@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  * Everything here is a narrow per-row map — no shuffle, codegen-friendly
+  * where built on `functions._`, so it scales linearly with input splits.
+  *
+  * Where a capability is expressible with Spark built-ins it is (oracle-
+  * checkable against DuckDB); the heuristic/hashed ones (langId,
+  * fingerprint) are Scala UDFs with unit-test coverage instead.
+  */
+object TextOps {
+
+  /** Whitespace token count, `0` for blank/empty. Built-ins only. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword-boundary token count: runs of letters, runs of
+    * digits, runs of other non-space symbols — each optionally preceded
+    * by one space (the GPT-2 pre-tokenizer shape, lookaheads removed so
+    * the same pattern runs on Java regex and RE2/DuckDB).
+    */
+  val BpeishPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** ASCII-punctuation count/ratio over characters (explicit class so the
+    * Java and RE2 dialects agree byte-for-byte).
+    */
+  val PunctClass = "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]"
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, PunctClass, ""))
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "as", "with", "was", "at", "by", "be", "this")
+
+  /** Fraction of whitespace tokens that are (lowercased) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    val stops = filter(toks, t => t.isin(Stopwords.map(lit(_).cast("string")): _*))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length band + word shape + low
+    * punctuation density. Heuristic but fully built-in-expressible, so it
+    * has a DuckDB oracle.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val lenScore = least(n / lit(200.0), lit(1.0))
+    val toks = tokenCountWs(text).cast("double")
+    val avgWord = when(toks === 0, lit(0.0)).otherwise(n / toks)
+    val wordScore = when(avgWord >= 3 && avgWord <= 12, lit(1.0)).otherwise(lit(0.5))
+    val punctRatio = when(n === 0, lit(0.0)).otherwise(punctCount(text).cast("double") / n)
+    val punctScore = lit(1.0) - least(punctRatio * lit(4.0), lit(1.0))
+    round((lenScore + wordScore + punctScore) / lit(3.0), 4)
+  }
+
+  // --- language ID (heuristic n-gram/stopword scorer; UDF) ---------------
+
+  /** Tiny per-language marker sets: characteristic stopwords plus script
+    * ranges. Public-knowledge heuristic (the classic stopword/trigram
+    * profile approach of Cavnar & Trenkle, 1994).
+    */
+  private val markers: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "is", "you", "that", "with"),
+    "es" -> Set("el", "la", "los", "las", "de", "que", "es", "una", "para", "por"),
+    "fr" -> Set("le", "les", "des", "une", "est", "dans", "pour", "avec", "sur"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von"),
+    "it" -> Set("il", "di", "che", "per", "con", "sono", "della", "una"),
+    "pt" -> Set("os", "uma", "com", "para", "mais", "como", "dos", "ser"))
+
+  def langIdHeuristic(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    // script-based fast paths
+    val cjk = text.codePoints().filter(c =>
+      (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3040 && c <= 0x30FF)).count()
+    if (cjk > text.length / 8) {
+      val kana = text.codePoints().filter(c => c >= 0x3040 && c <= 0x30FF).count()
+      return if (kana > 0) "ja" else "zh"
+    }
+    val cyr = text.codePoints().filter(c => c >= 0x0400 && c <= 0x04FF).count()
+    if (cyr > text.length / 4) return "ru"
+    val toks = HashEmbedder.tokens(text)
+    if (toks.isEmpty) return "und"
+    val scores = markers.map { case (lang, set) =>
+      lang -> toks.count(set.contains)
+    }
+    val (best, cnt) = scores.maxBy { case (l, c) => (c, l) }
+    if (cnt == 0) "und" else best
+  }
+
+  def langId(text: Column): Column = udf(langIdHeuristic _).apply(text)
+
+  // --- fingerprinting -----------------------------------------------------
+
+  /** 64-bit Rabin-Karp rolling-hash document fingerprint over normalized
+    * tokens — order-sensitive, whitespace-insensitive. Deterministic.
+    */
+  def fingerprint64(text: String): Long = {
+    val toks = HashEmbedder.tokens(text)
+    var h = 1125899906842597L // large prime
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var j = 0
+      while (j < t.length) { h = 31 * h + t.charAt(j); j += 1 }
+      h = 131 * h + 0x1F
+      i += 1
+    }
+    h
+  }
+
+  def fingerprint(text: Column): Column = udf(fingerprint64 _).apply(text)
+
+  /** SimHash-64 over whitespace tokens (Charikar 2002; used by Google for
+    * web near-dup detection, Manku et al. WWW'07).
+    */
+  def simhash64(text: String): Long = {
+    val toks = HashEmbedder.tokens(text)
+    if (toks.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = scala.util.hashing.MurmurHash3.stringHash(toks(i), 7)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(toks(i), 13)
+      val h64 = (h.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+      var b = 0
+      while (b < 64) {
+        if (((h64 >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def simhash(text: Column): Column = udf(simhash64 _).apply(text)
+
+  /** MinHash signature over character shingles (Broder 1997). `n` seeded
+    * MurmurHash3 permutations; deterministic across executors.
+    */
+  def minhashSignature(text: String, numHashes: Int, shingleLen: Int): Array[Long] = {
+    val norm = HashEmbedder.tokens(text).mkString(" ")
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (norm.length < shingleLen) return sig
+    var i = 0
+    while (i + shingleLen <= norm.length) {
+      val sh = norm.substring(i, i + shingleLen)
+      var f = 0
+      while (f < numHashes) {
+        val h = scala.util.hashing.MurmurHash3.stringHash(sh, f * 0x9E3779B9 + 17).toLong & 0xFFFFFFFFL
+        if (h < sig(f)) sig(f) = h
+        f += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def minhash(text: Column, numHashes: Int = 64, shingleLen: Int = 5): Column =
+    udf((s: String) => minhashSignature(s, numHashes, shingleLen)).apply(text)
+}

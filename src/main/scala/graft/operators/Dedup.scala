@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{TextOps, VectorFunctions}
+
+/** Deduplication operators for training-data pipelines, over a corpus
+  * DataFrame with a unique id column and a text (or embedding) column.
+  *
+  * Scale notes (the 100 TB posture):
+  *  - exact: one hash-shuffle on the normalized-text hash; map-side
+  *    partial min keeps the shuffle tiny.
+  *  - MinHash-LSH: band signatures -> explode to (band, bandHash) keys ->
+  *    self-equi-join per bucket. Work is proportional to bucket collision
+  *    mass, never |D|^2. Skewed buckets (boilerplate docs) are the known
+  *    hazard; cap bucket size before pairing.
+  *  - SimHash: 64-bit fingerprint, banded into 4x16-bit sub-keys (Manku
+  *    et al. WWW'07): candidate pairs share a sub-key, then exact Hamming
+  *    filter ≤ maxDist.
+  *  - n-gram Jaccard: explode distinct shingles, equi-join on shingle,
+  *    count common per pair, Jaccard from per-doc distinct counts. Built
+  *    entirely from relational ops so it's oracle-checkable.
+  *  - embedding cosine: exact pairwise above threshold via broadcast
+  *    nested-loop (small corpora) — the LSH variant in [[VectorSearch]]
+  *    is the scale path.
+  */
+object Dedup {
+
+  /** Normalization used for exact dedup: lowercase, collapse whitespace. */
+  def normText(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Exact duplicates removed: keeps the lowest id per normalized text.
+    * One shuffle (on the group key), map-side combine for the min.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(normText(col(textCol)))
+    df.withColumn("__keep", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__keep")
+  }
+
+  /** Exact-dup groups (group key + ids), for inspection/oracle checks. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(normText(col(textCol)).as("norm_text"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** MinHash+LSH candidate duplicate pairs (id1 < id2). Banding: split
+    * the `numHashes` signature into `bands` bands of `numHashes/bands`
+    * rows; docs colliding in ≥1 band become candidates; then the exact
+    * estimated Jaccard (fraction of matching minhashes) filters by
+    * `threshold`.
+    */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 5,
+      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = df.select(
+      col(idCol).as("id"),
+      TextOps.minhash(col(textCol), numHashes, shingleLen).as("sig"))
+      .cache()
+    // band hash = hash of the signature slice
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        hash(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bh")))
+    // cap pathological buckets (boilerplate): count per (band,bh)
+    val bucketed = banded
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("__bn") <= maxBucket)
+    val l = bucketed.select(col("band"), col("bh"), col("id").as("id1"), col("sig").as("sig1"))
+    val r = bucketed.select(col("band"), col("bh"), col("id").as("id2"), col("sig").as("sig2"))
+    val cand = l.join(r, Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "sig1", "sig2")
+      .dropDuplicates("id1", "id2")
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
+          .cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ maxDist on 64-bit
+    * fingerprints, candidates via 4x16-bit band collisions.
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), TextOps.simhash(col(textCol)).as("fp"))
+    // band index carried alongside the 16-bit slice so different slice
+    // positions never collide with each other
+    val banded2 = fp.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bh")))
+    val l = banded2.select(col("band"), col("bh"), col("id").as("id1"), col("fp").as("fp1"))
+    val r = banded2.select(col("band"), col("bh"), col("id").as("id2"), col("fp").as("fp2"))
+    l.join(r, Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", bit_count(col("fp1").bitwiseXOR(col("fp2"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** Word n-gram Jaccard similarity pairs ≥ threshold. Pure relational
+    * composition (split/explode/join/group) — oracle-expressible.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("toks"))
+    val grams = toks
+      .withColumn("gram",
+        explode(transform(sequence(lit(0), greatest(size(col("toks")) - n, lit(0)) ),
+          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))))
+      .filter(size(col("toks")) >= n)
+      .select("id", "gram").distinct()
+    val counts = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val l = grams.select(col("id").as("id1"), col("gram"))
+    val r = grams.select(col("id").as("id2"), col("gram"))
+    val common = l.join(r, "gram").filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
+    common
+      .join(counts.withColumnRenamed("id", "id1").withColumnRenamed("n_grams", "n1"), "id1")
+      .join(counts.withColumnRenamed("id", "id2").withColumnRenamed("n_grams", "n2"), "id2")
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, exact pairwise
+    * over a broadcast corpus (bit-compatible with DuckDB's
+    * list_cosine_similarity, so the oracle hash-matches).
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = broadcast(df.select(col(idCol).as("id2"), col(vecCol).as("v2")))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cosine", VectorFunctions.cosine_similarity(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+}

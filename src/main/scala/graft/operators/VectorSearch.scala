@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TopKByScore, TopKHeap, VectorFunctions}
+
+/** In-engine top-k vector similarity search — the Spark-native equivalent
+  * of the reference's `FEDERATED_SEARCH('mongodb_vector_search', k, vector)`
+  * lateral join against MongoDB Atlas `$vectorSearch`
+  * (reference README.md:355-366, 404-407, 438-446; parameters: similarity
+  * dotProduct README.md:380, k=3 README.md:406, numCandidates≤10000
+  * README.md:364,368).
+  *
+  * Physical shape: the corpus is the broadcast side of a nested-loop
+  * scoring join (corpora that fit the broadcast threshold), scored with the
+  * codegen'd float32 expressions in [[graft.functions.VectorExprs]]. Two
+  * top-k strategies:
+  *
+  *  - `topKFlat` — window `row_number() <= k`. Shuffles the full
+  *    |Q|x|C| scored relation on query id: correct, oracle-friendly, but
+  *    NOT the 100 TB path.
+  *  - `topKAgg` — the native bounded-heap [[graft.functions.TopKByScore]]
+  *    aggregate. Partial aggregation runs map-side inside the same stage
+  *    as the scoring join, so only ≤k rows per query per partition ever
+  *    reach the shuffle. This is the plan that survives a 1000-executor
+  *    corpus scan.
+  *  - `topKBroadcast` — collect+broadcast the corpus, compute each
+  *    query's top-k in one narrow projection: zero shuffle, no
+  *    intermediate cross product. The fastest exact path while the
+  *    corpus fits executor memory.
+  *
+  * For corpora too big to broadcast, `annTopK` prunes candidates with
+  * sign-random-projection LSH buckets first (the `numCandidates`
+  * recall/latency knob, README.md:364,368): an equi-join on bucket id
+  * replaces the cross product, at a documented recall cost.
+  */
+object VectorSearch {
+
+  /** Score metric by name, mirroring Atlas index `similarity` options. */
+  def scoreCol(metric: String)(q: Column, c: Column): Column = metric match {
+    case "dot"    => VectorFunctions.dot_product(q, c)
+    case "cosine" => VectorFunctions.cosine_similarity(q, c)
+    case "l2"     => VectorFunctions.l2_distance(q, c) // smaller = closer
+    case m        => throw new IllegalArgumentException(s"unknown metric $m")
+  }
+
+  private def orderFor(metric: String): Seq[Column] =
+    if (metric == "l2") Seq(col("score").asc, col("match_id").asc)
+    else Seq(col("score").desc, col("match_id").asc)
+
+  /** Exact top-k, window strategy. Output: query cols + (match_id, score,
+    * rank). Tie-break (score, match_id asc) is deterministic (FIXTURES §C).
+    */
+  def topKFlat(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, metric: String = "dot"): DataFrame = {
+    val c = broadcast(corpus.select(col(cId).as("match_id"), col(cVec).as("__cvec")))
+    val scored = queries
+      .crossJoin(c)
+      .withColumn("score", scoreCol(metric)(col(qVec), col("__cvec")))
+      .drop("__cvec")
+    val w = Window.partitionBy(col(qId)).orderBy(orderFor(metric): _*)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exact top-k, bounded-heap aggregation strategy (the scale path).
+    * Output: one row per query with `matches ARRAY<STRUCT<id,score>>`
+    * sorted best-first. The aggregate is the native
+    * [[graft.functions.TopKByScore]] TypedImperativeAggregate: map-side
+    * partial aggregation means only ≤k rows per query per partition reach
+    * the shuffle — the |Q|x|C| scored cross product never hits disk.
+    */
+  def topKAgg(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, metric: String = "dot"): DataFrame = {
+    val asc = metric == "l2"
+    val c = broadcast(corpus.select(col(cId).as("match_id"), col(cVec).as("__cvec")))
+    spreadSmallInput(queries)
+      .crossJoin(c)
+      .withColumn("score", scoreCol(metric)(col(qVec), col("__cvec")))
+      .groupBy(col(qId))
+      .agg(TopKByScore.topK(col("match_id"), col("score"), k, asc).as("matches"))
+  }
+
+  /** The query side drives the parallelism of the scoring join: a small
+    * query table read from one parquet split would put the whole |Q|x|C|
+    * scan in a single task. Fan it out to the session's shuffle
+    * parallelism when it arrives under-partitioned (the shuffled data is
+    * only (id, vec) — tiny relative to the scoring work it unlocks).
+    */
+  private def spreadSmallInput(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Fastest exact path when the corpus fits on one executor: collect the
+    * corpus once, broadcast it, and compute each query's top-k inside a
+    * single narrow projection — the |Q|x|C| intermediate relation never
+    * exists, there is NO shuffle at all, and the plan is a pure map over
+    * the query scan (linear scale-out over query splits; this is exactly
+    * the shape the reference's per-row `FEDERATED_SEARCH` lateral join
+    * has, README.md:404-407). Falls back to [[topKAgg]] when the corpus
+    * exceeds `maxCorpusRows`.
+    *
+    * Output: (qId, matches ARRAY<STRUCT<id,score>>), best-first.
+    */
+  def topKBroadcast(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, metric: String = "dot",
+      maxCorpusRows: Int = 2000000): DataFrame = {
+    val collected = corpus
+      .select(col(cId).cast("long"), col(cVec).cast("array<float>"))
+      .limit(maxCorpusRows + 1)
+      .collect()
+    if (collected.length > maxCorpusRows)
+      return topKAgg(queries, qId, qVec, corpus, cId, cVec, k, metric)
+        .select(col(qId), col("matches"))
+    val ids = collected.map(_.getLong(0))
+    val vecs = collected.map(_.getSeq[Float](1).toArray)
+    val bc = queries.sparkSession.sparkContext.broadcast((ids, vecs))
+    val asc = metric == "l2"
+    val m = metric
+    val scan = udf((q: Seq[Float]) => {
+      val (cids, cvecs) = bc.value
+      val qa = q.toArray
+      val heap = new TopKHeap(k, asc)
+      var i = 0
+      while (i < cids.length) {
+        heap.insert(cids(i), scoreF32(m, qa, cvecs(i)))
+        i += 1
+      }
+      (0 until heap.n).map(j => ScoredId(heap.ids(j), heap.scores(j)))
+    })
+    spreadSmallInput(queries).select(col(qId), scan(col(qVec)).as("matches"))
+  }
+
+  /** Float32 scoring on plain arrays — bit-identical to the Catalyst
+    * expressions in [[graft.functions.VectorExprs]] (and to DuckDB's list
+    * functions), so every strategy returns identical scores.
+    */
+  def scoreF32(metric: String, a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    metric match {
+      case "dot" =>
+        var acc = 0.0f; var i = 0
+        while (i < n) { acc += a(i) * b(i); i += 1 }
+        acc.toDouble
+      case "cosine" =>
+        var dot = 0.0f; var aa = 0.0f; var bb = 0.0f; var i = 0
+        while (i < n) { val x = a(i); val y = b(i); dot += x * y; aa += x * x; bb += y * y; i += 1 }
+        val cos = dot / (math.sqrt(aa).toFloat * math.sqrt(bb).toFloat)
+        (if (cos > 1.0f) 1.0f else if (cos < -1.0f) -1.0f else cos).toDouble
+      case "l2" =>
+        var acc = 0.0f; var i = 0
+        while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+        math.sqrt(acc.toDouble)
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+  }
+
+  /** J2 result shape: append `search_results ARRAY<ROW<content STRING>>`
+    * to each query row, like the reference's lateral FEDERATED_SEARCH
+    * (README.md:426-433): corpus payload columns projected into an array
+    * of structs, best match first.
+    */
+  def searchResults(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      payload: Seq[String], k: Int, metric: String = "dot"): DataFrame = {
+    // Slim the streamed side to (id, vec) before the scoring join: any
+    // shuffle must never carry query payload (text) columns — at sf0.1
+    // that is the difference between a ~25 GB shuffle and a few MB.
+    val slim = queries.select(col(qId), col(qVec))
+    val top = topKBroadcast(slim, qId, qVec, corpus, cId, cVec, k, metric)
+      .select(col(qId), posexplode(col("matches")).as(Seq("rank", "m")))
+      .select(col(qId), col("rank"), col("m.id").as("match_id"))
+    // Reattach the projected payload columns (broadcast: corpus is the
+    // small side by construction) and fold best-first into one array.
+    val pay = broadcast(
+      corpus.select((Seq(cId) ++ payload).map(col): _*).withColumnRenamed(cId, "match_id"))
+    val withPayload = top.join(pay, "match_id")
+    val resultStruct = struct(payload.map(col): _*).as("r")
+    val grouped = withPayload
+      .groupBy(col(qId))
+      .agg(transform(
+        array_sort(collect_list(struct(col("rank"), resultStruct))),
+        x => x("r")).as("search_results"))
+    queries.join(grouped, qId)
+  }
+
+  /** LSH-pruned approximate top-k for corpora beyond broadcast size.
+    * Sign-random-projection (hyperplane) LSH: bucket id = the `nBits`-bit
+    * sign pattern of projections onto deterministic pseudo-random
+    * hyperplanes. Queries and corpus join on bucket equality — an equi
+    * (shuffle or broadcast) join on `bucket`, NOT a cross product — then
+    * exact scoring + top-k within the candidate set. Recall < 1; raise
+    * `nTables` (multi-probe over independent hyperplane sets) to trade
+    * compute for recall, like Atlas' `numCandidates` (README.md:364,368).
+    */
+  def annTopK(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, metric: String = "dot",
+      nBits: Int = 8, nTables: Int = 4, dim: Int = 64): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      val qb = queries.select(col(qId), col(qVec))
+        .withColumn("bucket", Lsh.bucketCol(col(qVec), nBits, t, dim))
+      val cb = corpus.select(col(cId).as("match_id"), col(cVec).as("__cvec"))
+        .withColumn("bucket", Lsh.bucketCol(col("__cvec"), nBits, t, dim))
+      qb.join(cb, "bucket").drop("bucket")
+    }
+    val candidates = tables.reduce(_ unionByName _)
+      .dropDuplicates(qId, "match_id")
+      .withColumn("score", scoreCol(metric)(col(qVec), col("__cvec")))
+      .drop("__cvec")
+    val w = Window.partitionBy(col(qId)).orderBy(orderFor(metric): _*)
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
+
+/** Sign-random-projection LSH (Charikar, STOC 2002): deterministic
+  * hyperplanes derived from a seeded xorshift-style hash so every executor
+  * generates identical planes with no broadcast state.
+  */
+object Lsh {
+  def hyperplane(table: Int, bit: Int, dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      // splitmix64 on (table, bit, i) -> uniform in [-1, 1)
+      var z = (table.toLong << 40) ^ (bit.toLong << 20) ^ i.toLong ^ 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      v(i) = ((z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+      i += 1
+    }
+    v
+  }
+
+  def bucket(vec: Seq[Float], nBits: Int, table: Int, dim: Int): Int = {
+    var b = 0
+    var bit = 0
+    while (bit < nBits) {
+      val h = hyperplane(table, bit, dim)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(vec.length, dim)
+      while (i < n) { dot += vec(i) * h(i); i += 1 }
+      if (dot >= 0) b |= (1 << bit)
+      bit += 1
+    }
+    b
+  }
+
+  def bucketCol(vec: Column, nBits: Int, table: Int, dim: Int): Column =
+    udf((v: Seq[Float]) => bucket(v, nBits, table, dim)).apply(vec)
+}
+
+/** Match element shape shared by the top-k strategies. */
+case class ScoredId(id: Long, score: Double)

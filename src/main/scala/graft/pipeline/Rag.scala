@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.HashEmbedder
+import graft.model.Models
+import graft.operators.VectorSearch
+
+/** The reference's end-to-end pipeline (SURVEY §3, reference
+  * README.md:17-24), re-expressed as three narrow Spark stages over the
+  * test tables:
+  *
+  *   1. embed   — question text -> vector
+  *      (`ml_predict('vector_encoding', content)`, README.md:286-288)
+  *   2. search  — vector -> top-k corpus matches as `products`
+  *      (`FEDERATED_SEARCH('mongodb_vector_search', 3, vector)`,
+  *       README.md:438-446)
+  *   3. respond — prompt JSON -> assistant answer
+  *      (`json_object(...)` + `ML_PREDICT('retail_assistant', ...)`,
+  *       README.md:724-732)
+  *
+  * `documents` stands in for `user_questions`; `embeddings` for the
+  * Atlas `retail.product` vector corpus. Stages 1 and 3 are shuffle-free
+  * projections; stage 2 is a broadcast scoring join + per-query top-k.
+  */
+object Rag {
+  val K = 3 // reference k (README.md:406)
+
+  /** Stage 1: user_questions -> user_questions_vector. */
+  def embedQuestions(questions: DataFrame, textCol: String): DataFrame = {
+    val registry = Models.default()
+    questions.withColumn("vector",
+      registry.mlPredict(Models.VectorEncoding, col(textCol)))
+  }
+
+  /** Stage 2: append `products ARRAY<STRUCT<content>>` — the reference's
+    * `search_results AS products` (README.md:430). Corpus vectors come
+    * from the embeddings table; `content` is synthesized from the match
+    * id like the reference's product descriptions.
+    */
+  def retrieve(withVec: DataFrame, qId: String, corpus: DataFrame, k: Int = K): DataFrame = {
+    val corpusWithContent = corpus.withColumn(
+      "content", concat(lit("product_"), col("vec_id"), lit(" label_"), col("label")))
+    VectorSearch.searchResults(
+      withVec, qId, "vector", corpusWithContent, "vec_id", "embedding",
+      payload = Seq("content"), k = k)
+      .withColumnRenamed("search_results", "products")
+  }
+
+  /** Stage 3: prompt assembly (to_json = Flink JSON_OBJECT, compact,
+    * key order = argument order) + deterministic LLM.
+    */
+  def respond(withProducts: DataFrame, contentCol: String): DataFrame = {
+    val registry = Models.default()
+    withProducts
+      .withColumn("prompt", to_json(struct(
+        lit("user").as("role"),
+        col(contentCol).as("content"),
+        to_json(col("products")).as("products"))))
+      .withColumn("json_response",
+        registry.mlPredict(Models.RetailAssistant, col("prompt")))
+  }
+
+  /** Full slice over a testdata dir (SURVEY §7.3): flagship entry. */
+  def e2e(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val questions = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").as("content"))
+    val corpus = Tables(spark, dir, "embeddings")
+    val withVec = embedQuestions(questions, "content")
+    val retrieved = retrieve(withVec, "doc_id", corpus, k)
+    respond(retrieved, "content")
+      .select("doc_id", "content", "products", "prompt", "json_response")
+      .orderBy("doc_id")
+  }
+}
