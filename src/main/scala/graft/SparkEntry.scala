@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import scala.collection.immutable.ListMap
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.functions.{HashEmbedder, TextOps, VectorFunctions}
-import graft.operators.{Dedup, VectorSearch}
+import graft.operators.{Dedup, Multimodal, VectorSearch}
 import graft.pipeline.Rag
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -126,6 +128,188 @@ object SparkEntry {
 
     // --- full RAG slice (no oracle; smoke + unit tests) -------------------
     "q_rag_e2e" -> ((s, dir) => Rag.e2e(s, dir)),
+
+    // --- text analysis (north star) ---------------------------------------
+    "q_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCountWs(col("text")).cast("long").as("n_tok_ws"),
+        TextOps.tokenCountBpeish(col("text")).cast("long").as("n_tok_bpe"),
+        TextOps.punctCount(col("text")).cast("long").as("n_punct"),
+        TextOps.stopwordRatio(col("text")).as("stopword_ratio"))
+        .orderBy("doc_id")),
+
+    // lang-id + fingerprint (UDF heuristics; rows-only + unit tests)
+    "q_lang_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // --- n-gram Jaccard near-dup pairs (north star; oracle ✓) -------------
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.3)
+        .orderBy("id1", "id2")),
+
+    // --- MinHash near-dup pairs (north star; rows-only + unit tests) ------
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleLen = 5, threshold = 0.5)
+        .orderBy("id1", "id2")),
+
+    // --- SimHash near-dup pairs (north star; rows-only + unit tests) ------
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 6)
+        .orderBy("id1", "id2")),
+
+    // --- TPC-H-style breadth: joins + agg + top-n (SURVEY §2.12) ----------
+    "q3_shipping" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < "1998-01-01")
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > "1998-01-01")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg((sum(round(col("l_extendedprice") * 100) *
+          (lit(100) - round(col("l_discount") * 100))) / 10000.0).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_region_revenue" -> ((s, dir) => {
+      val asia = broadcast(
+        t(s, dir, "nation").join(
+          broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(asia, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg((sum(round(col("l_extendedprice") * 100) *
+          (lit(100) - round(col("l_discount") * 100))) / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // semi join: orders with >=1 returned line (left_semi)
+    "q_semi_join" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // anti join: customers with no orders
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // theta join: lines priced far above catalog
+    "q_theta_join" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey") &&
+            col("l_extendedprice") > col("p_retailprice") * 20)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("p_brand")),
+
+    // --- window functions ------------------------------------------------
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running_cents", sum(round(col("value") * 100)).over(w))
+        .select(col("event_id"), col("user_id"),
+          (col("running_cents") / 100.0).as("running_value"))
+        .orderBy("event_id")
+    }),
+
+    // --- grouping sets / distinct agg ------------------------------------
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // --- set operations ---------------------------------------------------
+    "q_set_ops" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      def active(y: Int) = ord.filter(year(col("o_orderdate")) === y).select("o_custkey")
+      active(1995).intersect(active(1996)).except(active(2000))
+        .orderBy("o_custkey")
+    }),
+
+    // --- global sort / limit ----------------------------------------------
+    "q_sort_limit" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)),
+
+    // --- events: tumbling window + sessionize (ST gap-fill) ---------------
+    "q_events_tumbling" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumCents(col("value")).as("sum_value"))
+        .select(col("w.start").cast("long").as("hour"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("hour", "event_type")),
+
+    "q_sessionize" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+        .orderBy("user_id")),
+
+    // --- multimodal binary columns (north star) ---------------------------
+    "q_multimodal_bytes" -> ((s, dir) =>
+      Multimodal.byteStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.withMediaColumn(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .orderBy("media_id")),
+
+    // --- ANN (LSH candidate pruning — approximate, rows-only + tests) -----
+    "q_vector_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      VectorSearch.annTopK(queries, "query_id", "qv", emb, "vec_id", "embedding",
+        k = 3, metric = "dot", nBits = 6, nTables = 4)
+        .select("query_id", "match_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (driver's t2 gate). Keys absent here
@@ -196,6 +380,110 @@ object SparkEntry {
 
     "q_prompt_assembly" ->
       ("SELECT doc_id, json_object('role', 'user', 'content', text, 'lang', lang) AS prompt " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_text_stats" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok_ws, " +
+        "len(regexp_extract_all(text, ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS n_tok_bpe, " +
+        "length(text) - length(regexp_replace(text, '[!\"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')) AS n_punct, " +
+        "CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) = 0 THEN 0.0 " +
+        "ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        "t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','was','at','by','be','this'], t))) AS DOUBLE) " +
+        "/ CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS DOUBLE) END AS stopword_ratio " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_ngram_jaccard" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents), " +
+        "grams AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS gram " +
+        "FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS r(i) WHERE len(tk) >= 3), " +
+        "counts AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id), " +
+        "common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common " +
+        "FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id1, id2, jaccard FROM (" +
+        "SELECT id1, id2, CAST(common AS DOUBLE) / CAST(c1.n_grams + c2.n_grams - common AS DOUBLE) AS jaccard " +
+        "FROM common JOIN counts c1 ON c1.doc_id = id1 JOIN counts c2 ON c2.doc_id = id2) " +
+        "WHERE jaccard >= 0.3 ORDER BY id1, id2"),
+
+    "q3_shipping" ->
+      ("SELECT l_orderkey, revenue, n_lines FROM (" +
+        "SELECT l_orderkey, " +
+        "sum(round(l_extendedprice*100) * (100 - round(l_discount*100)))/10000.0 AS revenue, " +
+        "count(*) AS n_lines " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "AND l_shipdate > TIMESTAMP '1998-01-01' " +
+        "GROUP BY l_orderkey) ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+
+    "q5_region_revenue" ->
+      ("SELECT n_name, sum(round(l_extendedprice*100) * (100 - round(l_discount*100)))/10000.0 AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"),
+
+    "q_semi_join" ->
+      ("SELECT o_orderstatus, count(*) AS n FROM orders o " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
+    "q_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) " +
+        "ORDER BY c_custkey"),
+
+    "q_theta_join" ->
+      ("SELECT p_brand, count(*) AS n FROM lineitem JOIN part " +
+        "ON l_partkey = p_partkey AND l_extendedprice > p_retailprice * 20 " +
+        "GROUP BY p_brand ORDER BY p_brand"),
+
+    "q_window_rank" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk " +
+        "FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk"),
+
+    "q_window_running" ->
+      ("SELECT event_id, user_id, " +
+        "sum(round(value*100)) OVER (PARTITION BY user_id ORDER BY event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_value " +
+        "FROM events ORDER BY event_id"),
+
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+
+    "q_distinct_agg" ->
+      ("SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, " +
+        "count(DISTINCT l_partkey) AS n_part, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_set_ops" ->
+      ("(SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995 " +
+        "INTERSECT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996) " +
+        "EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2000 " +
+        "ORDER BY o_custkey"),
+
+    "q_sort_limit" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"),
+
+    "q_events_tumbling" ->
+      ("SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, event_type, " +
+        "count(*) AS n, sum(round(value*100))/100.0 AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"),
+
+    "q_sessionize" ->
+      ("WITH gaps AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM events), " +
+        "marks AS (SELECT user_id, CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM gaps) " +
+        "SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events " +
+        "FROM marks GROUP BY user_id ORDER BY user_id"),
+
+    "q_multimodal_bytes" ->
+      ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest " +
         "FROM documents ORDER BY doc_id"),
   )
 }

@@ -127,9 +127,11 @@ object Dedup {
     common
       .join(counts.withColumnRenamed("id", "id1").withColumnRenamed("n_grams", "n1"), "id1")
       .join(counts.withColumnRenamed("id", "id2").withColumnRenamed("n_grams", "n2"), "id2")
+      // raw IEEE division, no rounding: bit-identical to the DuckDB oracle's
+      // CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE)
       .withColumn("jaccard",
-        round(col("common").cast("double") /
-          (col("n1") + col("n2") - col("common")).cast("double"), 4))
+        col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }

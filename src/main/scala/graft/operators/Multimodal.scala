@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/
+  * video payloads ride as opaque `BINARY` columns with typed metadata;
+  * decode / feature-extraction runs as a partition-wise map over the
+  * binary batches (the Spark-side schema, partitioning, and batch shape
+  * are real; the codec itself is a clearly-marked deterministic stub —
+  * this container ships no image/audio libraries).
+  *
+  * At 100 TB: binary payloads dominate row size, so every operator here
+  * is a narrow map (no shuffle) and feature extraction drops the payload
+  * column as early as possible (project-away before any wide stage).
+  */
+object Multimodal {
+
+  /** Typed media row: the schema a real pipeline would carry. */
+  case class MediaRecord(media_id: Long, kind: String, bytes: Array[Byte])
+
+  /** Extracted features; `decoded_*` fields come from the stub codec. */
+  case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long, checksum: Long,
+      decoded_width: Int, decoded_height: Int, decoded_mean: Double)
+
+  /** Attach a binary media column derived from a text column — the
+    * stand-in for real payload ingestion (testdata has no binary table;
+    * UTF-8 bytes give a deterministic, content-dependent payload).
+    */
+  def withMediaColumn(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      when(col(idCol) % 3 === 0, lit("image"))
+        .when(col(idCol) % 3 === 1, lit("audio"))
+        .otherwise(lit("video")).as("kind"),
+      col(textCol).cast("binary").as("bytes"))
+
+  /** STUB DECODER — deterministic fake standing in for a real image/audio
+    * codec (none available in this environment). Derives plausible,
+    * reproducible "decoded" properties purely from the payload bytes.
+    * Replace the body with a real codec (e.g. javax.imageio / ffmpeg
+    * bindings) without touching any calling plumbing.
+    */
+  def stubDecode(kind: String, bytes: Array[Byte]): (Int, Int, Double) = {
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xFF; i += 1 }
+    val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+    val w = 16 + (math.abs(sum) % 64).toInt
+    val h = kind match {
+      case "image" => 16 + ((math.abs(sum) / 64) % 64).toInt
+      case "audio" => 1 // 1-D signal
+      case _       => 16 + ((math.abs(sum) / 64) % 32).toInt
+    }
+    (w, h, mean)
+  }
+
+  /** Partition-wise feature extraction over binary batches — the Scala
+    * equivalent of a vectorized-batch UDF: one function call per
+    * partition iterator, payload column consumed and dropped. Output is
+    * a typed Dataset with a stable feature schema.
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    implicit val inEnc = Encoders.product[MediaRecord]
+    media.select(col("media_id").cast("long"), col("kind"), col("bytes"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val crc = new java.util.zip.CRC32()
+          crc.update(r.bytes)
+          val (w, h, mean) = stubDecode(r.kind, r.bytes)
+          MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, crc.getValue, w, h, mean)
+        }
+      }
+  }
+
+  /** Oracle-checkable slice of the media pipeline: byte length + md5 via
+    * codegen'd built-ins (no stub involved), so DuckDB can verify the
+    * binary-column plumbing end-to-end.
+    */
+  def byteStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(textCol).cast("binary")).cast("long").as("n_bytes"),
+      md5(col(textCol).cast("binary")).as("digest"))
+}

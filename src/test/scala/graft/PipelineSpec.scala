@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.pipeline.Rag
+
+class PipelineSpec extends SparkSpec {
+
+  test("rag e2e: every row carries k products, prompt json, response json") {
+    val out = Rag.e2e(spark, sf).limit(50).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val products = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("products"))
+      assert(products.length == Rag.K)
+      val prompt = r.getString(r.fieldIndex("prompt"))
+      assert(prompt.startsWith("""{"role":"user","content":"""))
+      val resp = r.getString(r.fieldIndex("json_response"))
+      assert(resp.startsWith("""{"role":"assistant""""))
+    }
+  }
+
+  test("rag e2e is deterministic across runs") {
+    val a = Rag.e2e(spark, sf).limit(20).collect().map(_.toString).toSeq
+    val b = Rag.e2e(spark, sf).limit(20).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("prompt json matches the flink JSON_OBJECT shape (compact, arg order)") {
+    import spark.implicits._
+    val df = Seq(("u1", "find shoes")).toDF("sessionid", "content")
+      .select(to_json(struct(
+        lit("user").as("role"), col("content"), col("sessionid"))).as("j"))
+    assert(df.head().getString(0) ==
+      """{"role":"user","content":"find shoes","sessionid":"u1"}""")
+  }
+
+  test("multimodal: features preserve rows, kinds partition by id, stub is deterministic") {
+    val media = Multimodal.withMediaColumn(Tables(spark, sf, "documents"), "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == Tables(spark, sf, "documents").count())
+    feats.foreach { f =>
+      assert(Set("image", "audio", "video").contains(f.kind))
+      assert(f.n_bytes > 0)
+      assert(f.decoded_width >= 16)
+      if (f.kind == "audio") assert(f.decoded_height == 1)
+      assert(f.decoded_mean > 0.0)
+    }
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+  }
+
+  test("entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching queries key") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
+  }
+}

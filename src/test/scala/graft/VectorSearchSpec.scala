@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TopKHeap
+import graft.operators.VectorSearch
+
+class VectorSearchSpec extends SparkSpec {
+  import VectorSearch._
+
+  private lazy val emb = Tables(spark, sf, "embeddings")
+  private lazy val queries =
+    emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  private def flat(metric: String, k: Int) =
+    topKFlat(queries, "qid", "qv", emb, "vec_id", "embedding", k, metric)
+      .select("qid", "match_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def fromMatches(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("qid"), explode(col("matches")).as("m"))
+      .select(col("qid"), col("m.id"), col("m.score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("all three strategies return identical top-k (dot)") {
+    val f = flat("dot", 3)
+    val a = fromMatches(topKAgg(queries, "qid", "qv", emb, "vec_id", "embedding", 3, "dot"))
+    val b = fromMatches(topKBroadcast(queries, "qid", "qv", emb, "vec_id", "embedding", 3, "dot"))
+    assert(f == a)
+    assert(f == b)
+    assert(f.nonEmpty)
+  }
+
+  test("strategies agree for cosine and l2 too") {
+    for (m <- Seq("cosine", "l2")) {
+      val f = flat(m, 4)
+      val a = fromMatches(topKAgg(queries, "qid", "qv", emb, "vec_id", "embedding", 4, m))
+      val b = fromMatches(topKBroadcast(queries, "qid", "qv", emb, "vec_id", "embedding", 4, m))
+      assert(f == a, s"agg mismatch for $m")
+      assert(f == b, s"broadcast mismatch for $m")
+    }
+  }
+
+  test("self-match ranks first under dot for normalized-ish vectors") {
+    val top1 = topKFlat(queries, "qid", "qv", emb, "vec_id", "embedding", 1, "cosine")
+      .select("qid", "match_id").collect()
+    top1.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("topK(k) is a prefix of topK(k+1)") {
+    val k3 = topKFlat(queries, "qid", "qv", emb, "vec_id", "embedding", 3, "dot")
+      .select("qid", "match_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val k5 = topKFlat(queries, "qid", "qv", emb, "vec_id", "embedding", 5, "dot")
+      .select("qid", "match_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(k3.subsetOf(k5))
+  }
+
+  test("annTopK candidates are a subset of exact scores and include self") {
+    val ann = annTopK(queries, "qid", "qv", emb, "vec_id", "embedding", 3, "dot")
+      .select("qid", "match_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ann.nonEmpty)
+    // every query collides with itself in every LSH table -> rank-1 self pair exists
+    val self = ann.filter { case (q, m) => q == m }
+    assert(self.length == queries.count())
+  }
+
+  test("TopKHeap keeps best k with deterministic tie-break") {
+    val h = new TopKHeap(3, ascending = false)
+    h.insert(1, 0.5); h.insert(2, 0.9); h.insert(3, 0.5)
+    h.insert(4, 0.1); h.insert(5, 0.9)
+    // expect (2,0.9),(5,0.9) id-tiebreak asc, then (1,0.5)
+    assert(h.n == 3)
+    assert((h.ids(0), h.scores(0)) == (2L, 0.9))
+    assert((h.ids(1), h.scores(1)) == (5L, 0.9))
+    assert((h.ids(2), h.scores(2)) == (1L, 0.5))
+  }
+
+  test("property: TopKHeap == sort-based top-k on random input") {
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(50)
+      val k = 1 + rnd.nextInt(8)
+      val xs = Array.fill(n)((rnd.nextInt(20).toLong, (rnd.nextInt(5) / 4.0)))
+      val h = new TopKHeap(k, ascending = false)
+      xs.foreach { case (id, s) => h.insert(id, s) }
+      val sorted = xs.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+      val got = (0 until h.n).map(i => (h.ids(i), h.scores(i)))
+      assert(got == sorted, s"n=$n k=$k")
+    }
+  }
+
+  test("property: heap merge == concatenated insert") {
+    val rnd = new scala.util.Random(11)
+    (1 to 100).foreach { _ =>
+      val a = Array.fill(rnd.nextInt(30))((rnd.nextInt(100).toLong, rnd.nextDouble()))
+      val b = Array.fill(rnd.nextInt(30))((rnd.nextInt(100).toLong, rnd.nextDouble()))
+      val k = 1 + rnd.nextInt(5)
+      val h1 = new TopKHeap(k, false); a.foreach { case (i, s) => h1.insert(i, s) }
+      val h2 = new TopKHeap(k, false); b.foreach { case (i, s) => h2.insert(i, s) }
+      h1.mergeIn(h2)
+      val h3 = new TopKHeap(k, false); (a ++ b).foreach { case (i, s) => h3.insert(i, s) }
+      assert((0 until h1.n).map(i => (h1.ids(i), h1.scores(i))) ==
+        (0 until h3.n).map(i => (h3.ids(i), h3.scores(i))))
+    }
+  }
+
+  test("scoreF32 matches the Catalyst expressions bit-for-bit") {
+    val rows = emb.limit(20).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val df = emb.limit(20).select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(emb.limit(20).select(col("vec_id").as("b_id"), col("embedding").as("b")))
+    for (m <- Seq("dot", "cosine", "l2")) {
+      val got = df.withColumn("s", scoreCol(m)(col("a"), col("b")))
+        .select("a_id", "b_id", "s").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val lookup = rows.toMap
+      got.foreach { case ((i, j), s) =>
+        assert(s == scoreF32(m, lookup(i), lookup(j)), s"metric=$m pair=($i,$j)")
+      }
+    }
+  }
+}
