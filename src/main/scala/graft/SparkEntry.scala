@@ -300,6 +300,32 @@ object SparkEntry {
         .toDF()
         .orderBy("media_id")),
 
+    // --- pure-SQL surface: extension-registered functions + temp views ----
+    "q_sql_topk" -> ((s, dir) => {
+      Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql("""
+        SELECT query_id, match_id, score, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                 dot_product(q.embedding, c.embedding) AS score,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+          FROM embeddings q CROSS JOIN embeddings c)
+        WHERE rank <= 3 ORDER BY query_id, rank""")
+    }),
+
+    "q_sql_topk_agg" -> ((s, dir) => {
+      Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql("""
+        SELECT query_id, m.id AS match_id, m.score AS score
+        FROM (
+          SELECT q.vec_id AS query_id,
+                 top_k_by_score(c.vec_id, dot_product(q.embedding, c.embedding), 3) AS matches
+          FROM embeddings q CROSS JOIN embeddings c
+          GROUP BY q.vec_id)
+        LATERAL VIEW explode(matches) AS m
+        ORDER BY query_id, m.score DESC, m.id""")
+    }),
+
     // --- ANN (LSH candidate pruning — approximate, rows-only + tests) -----
     "q_vector_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -485,5 +511,23 @@ object SparkEntry {
     "q_multimodal_bytes" ->
       ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest " +
         "FROM documents ORDER BY doc_id"),
+
+    "q_sql_topk" ->
+      ("SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
+        "list_dot_product(q.embedding, c.embedding) AS score, " +
+        "row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
+        "FROM embeddings q, embeddings c) WHERE rnk <= 3 " +
+        "ORDER BY query_id, rank"),
+
+    "q_sql_topk_agg" ->
+      ("SELECT query_id, match_id, score FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
+        "list_dot_product(q.embedding, c.embedding) AS score, " +
+        "row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
+        "FROM embeddings q, embeddings c) WHERE rnk <= 3 " +
+        "ORDER BY query_id, score DESC, match_id"),
   )
 }

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.pipeline.Rag
+
+/** Structured Streaming drivers for the reference's continuous pipeline
+  * semantics (SURVEY §2.9 ST1: `INSERT INTO ... SELECT` "will run forever
+  * ... as they are submitted", reference README.md:435).
+  *
+  * Design: one implementation, two drivers — every transform is the
+  * *batch* operator from the rest of the engine, lifted into a stream
+  * either natively (narrow maps and windowed aggregations run unchanged
+  * on a streaming DataFrame) or via `foreachBatch` (for multi-stage
+  * pipelines like RAG that include broadcast joins + top-k). Micro-batch
+  * execution is Spark's scalable path: state is bounded by watermarks,
+  * sinks are transactional per epoch.
+  *
+  * The file source stands in for the reference's Kafka topics (same
+  * append-only, replayable contract; swap `.format("kafka")` in
+  * deployment — the transforms don't change).
+  */
+object Streams {
+
+  /** Open a streaming view of a directory of parquet files ("the topic"). */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "8").parquet(dir)
+
+  /** The reference's schemaless-topic retrofit (SURVEY §1.2): a stream of
+    * raw JSON strings decoded by an explicit schema at read time —
+    * `from_json` over the value column, exactly Flink's
+    * schema-registry-attach step (reference README.md:223-252).
+    */
+  def decodeJsonTopic(raw: DataFrame, valueCol: String, schema: StructType): DataFrame =
+    raw.withColumn("__rec", from_json(col(valueCol), schema)).select("__rec.*")
+
+  /** ST1 for the full RAG slice: every micro-batch of arriving questions
+    * is embedded, searched against the corpus, and answered using the
+    * *batch* operators (foreachBatch = the Flink perpetual INSERT).
+    * Output parquet is partitioned by micro-batch epoch for exactly-once
+    * replay semantics.
+    */
+  def ragStream(
+      spark: SparkSession,
+      questionsDir: String,
+      questionSchema: StructType,
+      corpus: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      k: Int = Rag.K): StreamingQuery = {
+    val questions = fileStream(spark, questionsDir, questionSchema)
+    questions.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val withVec = Rag.embedQuestions(batch, "content")
+        val retrieved = Rag.retrieve(withVec, "doc_id", corpus, k)
+        Rag.respond(retrieved, "content")
+          .select("doc_id", "content", "products", "prompt", "json_response")
+          .write.mode("append").parquet(s"$outDir/epoch=$epoch")
+        ()
+      }
+      .start()
+  }
+
+  /** Continuous tumbling-window counts over an event stream; watermark
+    * bounds state (late data beyond `watermark` is dropped — the
+    * retention knob the reference sets on its topics, README.md:102).
+    * Runs unchanged in batch: same expression on a static DataFrame.
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100)) / 100.0).as("sum_value"))
+      .select(col("w.start").cast("long").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Continuous sessionization: 30-minute-gap session windows per user.
+    * Same operator as the batch `q_sessionize` first stage.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("sw.start").cast("long").as("session_start"), col("n"))
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.pipeline.Rag
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("streaming rag (availableNow) equals the batch pipeline") {
+    val src = tmp("graft_q_src")
+    val out = tmp("graft_q_out")
+    val ckpt = tmp("graft_q_ckpt")
+    // "produce to the topic": two parquet files arriving
+    val questions = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text").as("content"))
+    questions.filter(col("doc_id") % 2 === 0).write.parquet(s"$src/f0")
+    questions.filter(col("doc_id") % 2 === 1).write.parquet(s"$src/f1")
+
+    val corpus = Tables(spark, sf, "embeddings")
+    val q = Streams.ragStream(spark, s"$src/*", questions.schema, corpus, out, ckpt)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "content", "prompt", "json_response")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val batch = Rag.e2e(spark, sf)
+      .select("doc_id", "content", "prompt", "json_response")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming tumbling counts (complete mode) equal batch aggregation") {
+    val events = Tables(spark, sf, "events")
+    val src = tmp("graft_ev_src")
+    events.write.parquet(s"$src/all")
+
+    val stream = Streams.tumblingCounts(
+      Streams.fileStream(spark, s"$src/*", events.schema))
+    val q = stream.writeStream
+      .format("memory").queryName("tumbling_test").outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("tumbling_test")
+      .orderBy("hour", "event_type").collect().map(_.toString).toSeq
+    val batch = Streams.tumblingCounts(events)
+      .orderBy("hour", "event_type").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming sessionization (complete mode) equals batch session windows") {
+    val events = Tables(spark, sf, "events")
+    val src = tmp("graft_se_src")
+    events.write.parquet(s"$src/all")
+
+    val stream = Streams.sessionCounts(
+      Streams.fileStream(spark, s"$src/*", events.schema))
+    val q = stream.writeStream
+      .format("memory").queryName("session_test").outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("session_test")
+      .orderBy("user_id", "session_start").collect().map(_.toString).toSeq
+    val batch = Streams.sessionCounts(events)
+      .orderBy("user_id", "session_start").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("json topic decode: schemaless string -> typed columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val raw = Seq(
+      """{"role":"user","content":"find shoes","sessionid":"s1"}""",
+      """{"role":"user","content":"blue shirt","sessionid":"s2"}""").toDF("value")
+    val schema = StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType),
+      StructField("sessionid", StringType)))
+    val decoded = Streams.decodeJsonTopic(raw, "value", schema).collect()
+    assert(decoded.map(_.getString(1)).toSeq == Seq("find shoes", "blue shirt"))
+  }
+}
