@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Dozens of distinct whole-stage-codegen classes exhaust the default
+  // 240 MB code cache over a long session; the JIT then silently disables
+  // compilation and random queries run interpreted 10-20x slower.
+  "-XX:ReservedCodeCacheSize=1g",
 )

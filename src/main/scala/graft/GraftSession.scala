@@ -20,6 +20,25 @@ object GraftSession {
       // would sort-spill the whole scored cross product. Buffers are tiny
       // (k ids+scores), so a large in-memory map is the right trade.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      // Shuffle/spill files on tmpfs when available: this host's disk has
+      // high iowait variance, and sf0.1 shuffle volumes (<2 GB) fit RAM
+      // comfortably. On a real cluster leave spark.local.dir to the
+      // cluster manager's fast local volumes.
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-local" else "/tmp")
+      // Spark 4 routes lower()/upper() through ICU case mapping by
+      // default (spark.sql.icu.caseMappings.enabled) — measured 10-20x
+      // slower on hot paths (thread dumps show all 32 workers inside
+      // CollationSupport$Lower.execBinaryICU). JVM semantics match the
+      // DuckDB oracle for the engine's normalization (ASCII + simple
+      // unicode); full ICU collation is not part of this engine's
+      // contract.
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      // A session running many heterogeneous queries generates far more
+      // than 100 distinct codegen classes (the default cache bound);
+      // eviction means multi-second driver-side Janino recompiles on
+      // every re-plan — executor threads sit idle meanwhile.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
       // timestamp — read as Long, converted at the scan edge (Tables).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -45,7 +45,9 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .filter(col("l_quantity") > 30 && col("l_returnflag") === "R")
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")),
+        // (l_orderkey, l_linenumber) is NOT unique in this synthetic data;
+        // include l_quantity so ties are identical tuples
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
 
     // --- schemaless -> schema retrofit (SURVEY §1.2) ---------------------
     "q_from_json" -> ((s, dir) =>
@@ -315,13 +317,18 @@ object SparkEntry {
 
     "q_sql_topk_agg" -> ((s, dir) => {
       Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      // score is computed in the inner SELECT (codegen'd projection), not
+      // inside the aggregate call — a TypedImperativeAggregate evaluates
+      // its input expressions interpreted, per row
       s.sql("""
         SELECT query_id, m.id AS match_id, m.score AS score
         FROM (
-          SELECT q.vec_id AS query_id,
-                 top_k_by_score(c.vec_id, dot_product(q.embedding, c.embedding), 3) AS matches
-          FROM embeddings q CROSS JOIN embeddings c
-          GROUP BY q.vec_id)
+          SELECT query_id, top_k_by_score(match_id, score, 3) AS matches
+          FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                   dot_product(q.embedding, c.embedding) AS score
+            FROM embeddings q CROSS JOIN embeddings c)
+          GROUP BY query_id)
         LATERAL VIEW explode(matches) AS m
         ORDER BY query_id, m.score DESC, m.id""")
     }),
@@ -348,7 +355,7 @@ object SparkEntry {
     "q_filter" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
         "WHERE l_quantity > 30 AND l_returnflag = 'R' " +
-        "ORDER BY l_orderkey, l_linenumber"),
+        "ORDER BY l_orderkey, l_linenumber, l_quantity"),
 
     "q_from_json" ->
       ("SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +

@@ -15,14 +15,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Fact tables that drive heavy downstream compute. The driver's test
+    * parquet is written as a single row group, so a bare scan yields ONE
+    * task no matter how it's split — fan these out to the session's
+    * parallelism at the scan edge. This is a local-testdata adaptation:
+    * a production 100 TB table arrives as thousands of row groups and
+    * needs (and gets) no such repartition, because the check below sees
+    * scan partitions >= the target. Dimension tables are left alone so
+    * they stay broadcast-cheap.
+    */
+  private val factTables = Set("lineitem", "orders", "events", "documents", "embeddings")
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a raw
     // nanos Long only under spark.sql.legacy.parquet.nanosAsLong (set by
     // GraftSession); convert to µs TimestampType at the scan edge so every
     // operator downstream sees a plain timestamp.
-    if (name == "events" && df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) // integer div: ns are > 2^53, double math would lose µs
+    val df =
+      if (name == "events" && raw.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) // integer div: ns are > 2^53, double math would lose µs
+      else raw
+    val target = spark.sessionState.conf.numShufflePartitions
+    if (factTables.contains(name) && df.rdd.getNumPartitions < target)
+      df.repartition(target)
     else df
   }
 

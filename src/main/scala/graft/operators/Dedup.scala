@@ -57,28 +57,43 @@ object Dedup {
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // No cache: signatures are cheap to recompute (one string hash per
+    // shingle) and a shared cached block serializes concurrent readers
+    // on the memory-store lock.
     val sig = df.select(
       col(idCol).as("id"),
       TextOps.minhash(col(textCol), numHashes, shingleLen).as("sig"))
-      .cache()
-    // band hash = hash of the signature slice
-    val banded = sig.select(col("id"), col("sig"),
+    // Candidate generation runs on SLIM rows (id, band, bh) only — the
+    // 64-long signatures never enter the bucket join or the pair dedup
+    // shuffle; they are re-attached afterwards via two joins against the
+    // small cached signature table.
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         hash(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bh")))
-    // cap pathological buckets (boilerplate): count per (band,bh)
-    val bucketed = banded
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .filter(col("__bn") <= maxBucket)
-    val l = bucketed.select(col("band"), col("bh"), col("id").as("id1"), col("sig").as("sig1"))
-    val r = bucketed.select(col("band"), col("bh"), col("id").as("id2"), col("sig").as("sig2"))
+    // cap pathological buckets (boilerplate): drop (band,bh) groups with
+    // more than maxBucket members — bounded quadratic work per bucket
+    val sizes = banded.groupBy("band", "bh").agg(count(lit(1)).as("__bn"))
+    val bucketed = banded.join(sizes.filter(col("__bn") <= maxBucket), Seq("band", "bh"))
+    val l = bucketed.select(col("band"), col("bh"), col("id").as("id1"))
+    val r = bucketed.select(col("band"), col("bh"), col("id").as("id2"))
     val cand = l.join(r, Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2", "sig1", "sig2")
+      .select("id1", "id2")
       .dropDuplicates("id1", "id2")
+    // Matching-minhash fraction via a tight primitive loop: zip_with /
+    // filter / size are higher-order functions, which Catalyst evaluates
+    // interpreted (per-element UnsafeArrayData.get + boxing) — measured
+    // as the single-straggler hot spot on large candidate sets.
+    val estJaccard = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var eq = 0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / numHashes.toDouble
+    }
     cand
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
-          .cast("double") / lit(numHashes.toDouble))
+      .join(sig.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sig.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
+      .withColumn("est_jaccard", estJaccard(col("sig1"), col("sig2")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
