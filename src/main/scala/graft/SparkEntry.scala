@@ -333,6 +333,17 @@ object SparkEntry {
         ORDER BY query_id, m.score DESC, m.id""")
     }),
 
+    // --- ANN, IVF variant (k-means cells + nProbe; rows-only + tests) -----
+    "q_vector_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.operators.IvfSearch.ivfTopK(queries, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 3, metric = "dot",
+        nList = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // --- ANN (LSH candidate pruning — approximate, rows-only + tests) -----
     "q_vector_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

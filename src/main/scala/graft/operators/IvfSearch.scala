@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorSearch.{scoreCol, scoreF32}
+
+/** IVF (inverted-file) approximate nearest neighbour — the clustering
+  * counterpart to the LSH path in [[VectorSearch.annTopK]], mirroring the
+  * recall/latency knob of the reference's ANN index (`numCandidates`,
+  * reference README.md:364,368): corpus vectors are partitioned into
+  * `nList` Voronoi cells around k-means centroids; each query probes only
+  * the `nProbe` nearest cells, so exact scoring touches ~|C|*nProbe/nList
+  * candidates instead of the full corpus.
+  *
+  * Scale shape (the 100 TB posture):
+  *  - training: `iters` Lloyd rounds; each is one narrow map over the
+  *    corpus (centroids broadcast) + one tiny aggregation. Per-dimension
+  *    sums use integer arithmetic (round(v*1e7) accumulated as LONG), so
+  *    centroid means are bit-identical regardless of partitioning —
+  *    floating-point partial-sum order can never flip an assignment.
+  *  - index: the corpus gains a `cell` column — at rest this would be a
+  *    partition/bucket column, so a probe prunes file-level partitions.
+  *  - query: queries explode to nProbe (query, cell) pairs and equi-join
+  *    the celled corpus on `cell` — a shuffle join on a low-cardinality
+  *    key (AQE handles the skew of popular cells), never a cross product.
+  */
+object IvfSearch {
+
+  /** Deterministic k-means centroids over `ARRAY<FLOAT>` vectors. */
+  def trainCentroids(
+      corpus: DataFrame, cVec: String, cId: String,
+      nList: Int, iters: Int = 2, dim: Int = 64): Array[Array[Float]] = {
+    // init: first nList vectors by id — deterministic and cheap; Lloyd
+    // rounds wash out the arbitrary start.
+    var centroids: Array[Array[Float]] = corpus
+      .orderBy(col(cId)).limit(nList).select(cVec).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val scale = 1e7
+    (1 to iters).foreach { _ =>
+      val assigned = corpus.select(
+        nearestCell(centroids)(col(cVec)).as("cell"),
+        posexplode(col(cVec)).as(Seq("dim", "v")))
+      val sums = assigned
+        .groupBy("cell", "dim")
+        .agg(sum(round(col("v") * scale).cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val acc = Array.fill(nList)(new Array[Float](dim))
+      val counts = new Array[Long](nList)
+      sums.foreach { r =>
+        val cell = r.getInt(0); val d = r.getInt(1)
+        acc(cell)(d) = (r.getLong(2).toDouble / scale / r.getLong(3)).toFloat
+        counts(cell) = r.getLong(3)
+      }
+      // empty cells keep their previous centroid
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        if (counts(i) > 0) acc(i) else old
+      }
+    }
+    centroids
+  }
+
+  /** Column: index of the nearest centroid (L2), ties to the lower id. */
+  def nearestCell(centroids: Array[Array[Float]])(vec: Column): Column = {
+    val cs = centroids
+    udf((v: Seq[Float]) => {
+      val q = v.toArray
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        val d = scoreF32("l2", q, cs(i))
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }).apply(vec)
+  }
+
+  /** Column: indices of the `nProbe` nearest centroids, best first. */
+  def nearestCells(centroids: Array[Array[Float]], nProbe: Int)(vec: Column): Column = {
+    val cs = centroids
+    udf((v: Seq[Float]) => {
+      val q = v.toArray
+      cs.indices
+        .map(i => (i, scoreF32("l2", q, cs(i))))
+        .sortBy { case (i, d) => (d, i) }
+        .take(nProbe).map(_._1)
+    }).apply(vec)
+  }
+
+  /** IVF top-k: train (or reuse) centroids, cell-partition the corpus,
+    * probe nProbe cells per query, exact top-k within candidates.
+    * Output: (qId, match_id, score, rank), rank 1 = best.
+    */
+  def ivfTopK(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, metric: String = "dot",
+      nList: Int = 16, nProbe: Int = 4, iters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    val centroids = trainCentroids(corpus, cVec, cId, nList, iters, dim)
+    val celled = corpus.select(col(cId).as("match_id"), col(cVec).as("__cvec"),
+      nearestCell(centroids)(col(cVec)).as("cell"))
+    val probed = queries.select(col(qId), col(qVec),
+      explode(nearestCells(centroids, nProbe)(col(qVec))).as("cell"))
+    val asc = metric == "l2"
+    val scored = probed.join(celled, "cell")
+      .withColumn("score", scoreCol(metric)(col(qVec), col("__cvec")))
+      .groupBy(col(qId))
+      .agg(graft.functions.TopKByScore.topK(col("match_id"), col("score"), k, asc).as("matches"))
+    scored
+      .select(col(qId), posexplode(col("matches")).as(Seq("rank0", "m")))
+      .select(col(qId), col("m.id").as("match_id"), col("m.score").as("score"),
+        (col("rank0") + 1).cast("int").as("rank"))
+  }
+}

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.pipeline.Rag
@@ -80,6 +80,35 @@ object Streams {
       .select(col("w.start").cast("long").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Running per-user event count and value total via explicit keyed
+    * state — the `mapGroupsWithState` form of custom stateful streaming
+    * (the mechanism the reference's `sessionid` affinity would use for
+    * true conversation state, SURVEY §2.9 ST3). Each micro-batch folds
+    * its events into the per-user [[UserState]] and emits the updated
+    * running totals (use outputMode("update")). State lives in the state
+    * store, partitioned by key — per-user, not per-history, memory.
+    */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    implicit val stateEnc = Encoders.product[UserState]
+    implicit val outEnc = Encoders.product[UserTotals]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val rowEnc = Encoders.product[UserEvent]
+    events.select(col("user_id").cast("long").as("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserTotals](GroupStateTimeout.NoTimeout) {
+        (uid, batch, state) =>
+          var n = 0L; var cents = 0L
+          batch.foreach { e => n += 1; cents += e.cents }
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          val next = UserState(prev.n + n, prev.cents + cents)
+          state.update(next)
+          UserTotals(uid, next.n, next.cents / 100.0)
+      }
+      .toDF()
+  }
+
   /** Continuous sessionization: 30-minute-gap session windows per user.
     * Same operator as the batch `q_sessionize` first stage.
     */
@@ -91,3 +120,8 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("sw.start").cast("long").as("session_start"), col("n"))
 }
+
+/** Keyed-state records for [[Streams.runningUserTotals]]. */
+case class UserEvent(user_id: Long, cents: Long)
+case class UserState(n: Long, cents: Long)
+case class UserTotals(user_id: Long, n_events: Long, total_value: Double)

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfSearch, VectorSearch}
+
+class IvfSpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, sf, "embeddings")
+  private lazy val queries = emb.filter(col("vec_id") % 10 === 0)
+    .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  test("ivf returns k matches per query, self-match first (cosine-friendly data)") {
+    val got = IvfSearch.ivfTopK(queries, "qid", "qv", emb, "vec_id", "embedding",
+      k = 3, metric = "dot", nList = 8, nProbe = 2)
+      .collect()
+    val byQuery = got.groupBy(_.getLong(0))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 3, s"query $q should have 3 matches")
+      // rank-1 row is the query itself: it always lands in its own probe cell
+      val rank1 = rows.minBy(_.getInt(3))
+      assert(rank1.getLong(1) == q)
+    }
+  }
+
+  test("ivf recall vs exact top-k is reasonable at nProbe=half") {
+    val exact = VectorSearch.topKFlat(queries, "qid", "qv", emb, "vec_id", "embedding",
+      k = 3, metric = "dot")
+      .select("qid", "match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = IvfSearch.ivfTopK(queries, "qid", "qv", emb, "vec_id", "embedding",
+      k = 3, metric = "dot", nList = 8, nProbe = 4)
+      .select("qid", "match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("centroid training is deterministic across runs") {
+    val a = IvfSearch.trainCentroids(emb, "embedding", "vec_id", nList = 4, iters = 2)
+    val b = IvfSearch.trainCentroids(emb, "embedding", "vec_id", nList = 4, iters = 2)
+    assert(a.length == 4)
+    a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+  }
+
+  test("probing more cells never lowers recall") {
+    def hits(nProbe: Int) =
+      IvfSearch.ivfTopK(queries, "qid", "qv", emb, "vec_id", "embedding",
+        k = 3, metric = "dot", nList = 8, nProbe = nProbe)
+        .select("qid", "match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = VectorSearch.topKFlat(queries, "qid", "qv", emb, "vec_id", "embedding",
+      k = 3, metric = "dot")
+      .select("qid", "match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r2 = exact.intersect(hits(2)).size
+    val r8 = exact.intersect(hits(8)).size
+    assert(r8 >= r2)
+    assert(hits(8) == exact) // probing ALL cells = exact search
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.TopicCatalog
+
+class SourcesSpec extends SparkSpec {
+
+  private def catalog() =
+    new TopicCatalog(spark, Files.createTempDirectory("graft_topics").toString)
+
+  private val questionSchema = StructType(Seq(
+    StructField("role", StringType), StructField("content", StringType),
+    StructField("sessionid", StringType), StructField("email", StringType)))
+
+  test("create + produce + schema-on-read scan (the reference's topic flow)") {
+    val c = catalog()
+    c.create("user_questions", questionSchema)
+    // the reference's sample record (README.md:190 shape)
+    c.produceJson("user_questions", Seq(
+      """{"role":"user","content":"I am looking for shoes","sessionid":"s1","email":"a@b.c"}""",
+      """{"role":"user","content":"blue shirt","sessionid":"s2"}"""))
+    val rows = c.table("user_questions").orderBy("sessionid").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "I am looking for shoes")
+    assert(rows(1).getString(3) == null) // absent field reads as null
+  }
+
+  test("insertInto enforces the registered schema at submit time") {
+    val c = catalog()
+    c.create("user_questions", questionSchema)
+    import spark.implicits._
+    val bad = Seq(("user", "hello")).toDF("role", "content")
+    val err = intercept[IllegalArgumentException](c.insertInto("user_questions", bad))
+    assert(err.getMessage.contains("schema mismatch"))
+  }
+
+  test("insert-select pipeline between topics (the perpetual INSERT, batch form)") {
+    val c = catalog()
+    c.create("user_questions", questionSchema)
+    c.create("user_questions_vector", StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType),
+      StructField("sessionid", StringType),
+      StructField("vector", ArrayType(FloatType)))))
+    c.produceJson("user_questions", Seq(
+      """{"role":"user","content":"find shoes","sessionid":"s1","email":"x@y.z"}"""))
+    // embed stage: note email is deliberately NOT carried (README.md:244-246)
+    val embedded = c.table("user_questions")
+      .select(col("role"), col("content"), col("sessionid"),
+        graft.functions.HashEmbedder.embedCol(col("content")).as("vector"))
+    c.insertInto("user_questions_vector", embedded)
+    val out = c.table("user_questions_vector").collect()
+    assert(out.length == 1)
+    assert(out(0).getSeq[Float](3).length == 64)
+  }
+
+  test("insertValues with complex ARRAY<ROW> literal (README.md:616-623)") {
+    val c = catalog()
+    val sch = StructType(Seq(
+      StructField("sessionid", StringType),
+      StructField("products", ArrayType(StructType(Seq(StructField("content", StringType)))))))
+    c.create("llm_prompt_test", sch)
+    c.insertValues("llm_prompt_test",
+      Row("s1", Seq(Row("productA"), Row("productB"))))
+    val got = c.table("llm_prompt_test").collect()(0)
+    assert(got.getSeq[Row](1).map(_.getString(0)) == Seq("productA", "productB"))
+  }
+
+  test("describe lists columns like the reference transcript") {
+    val c = catalog()
+    c.create("user_questions", questionSchema)
+    val d = c.describe("user_questions").collect()
+    assert(d.map(_.getString(0)).toSeq == Seq("role", "content", "sessionid", "email"))
+    assert(d.forall(_.getString(1) == "string"))
+  }
+
+  test("temp view makes the topic SQL-visible") {
+    val c = catalog()
+    c.create("user_questions", questionSchema)
+    c.produceJson("user_questions", Seq("""{"role":"user","content":"q","sessionid":"s"}"""))
+    // view was registered at create time over an empty dir; re-register to pick up data
+    c.table("user_questions").createOrReplaceTempView("user_questions")
+    assert(spark.sql("SELECT count(*) FROM user_questions").head().getLong(0) == 1)
+  }
+}
