@@ -244,6 +244,43 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // --- as-of join (custom operator; SURVEY §2.3 absent-from-Spark) ------
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select("user_id", "ts", "value")
+      graft.operators.AsofJoin.asofLeft(
+        purchases, signups, "user_id", "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("value").as("signup_value"))
+        .orderBy("event_id")
+    }),
+
+    // --- more window functions: lag / lead / ntile ------------------------
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("event_id")
+    }),
+
+    // --- quality scoring (north star text analysis) -----------------------
+    "q_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // --- sketch aggregate: HLL distinct (rows-only; spec checks accuracy) -
+    "q_hll_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
     // --- grouping sets / distinct agg ------------------------------------
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -538,6 +575,35 @@ object SparkEntry {
         "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
         "FROM embeddings q, embeddings c) WHERE rnk <= 3 " +
         "ORDER BY query_id, rank"),
+
+    "q_asof_join" ->
+      ("WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+        "signups AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') " +
+        "SELECT event_id, purchases.user_id AS user_id, value AS signup_value " +
+        "FROM purchases ASOF LEFT JOIN signups " +
+        "ON purchases.user_id = signups.user_id AND purchases.ts >= signups.ts " +
+        "ORDER BY event_id"),
+
+    "q_window_lag" ->
+      ("SELECT event_id, user_id, " +
+        "lag(event_type, 1) OVER w AS prev_type, " +
+        "lead(event_type, 1) OVER w AS next_type, " +
+        "CAST(ntile(4) OVER w AS INTEGER) AS quartile " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id) " +
+        "ORDER BY event_id"),
+
+    "q_quality" ->
+      ("SELECT doc_id, round((" +
+        "least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) + " +
+        "CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(length(text) AS DOUBLE) / n_tok END) " +
+        "BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END + " +
+        "(1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+        "CAST(length(text) - length(regexp_replace(text, '[!\"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')) AS DOUBLE) " +
+        "/ length(text) END) * 4.0, 1.0))" +
+        ") / 3.0, 4) AS quality FROM (" +
+        "SELECT doc_id, text, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS n_tok " +
+        "FROM documents) ORDER BY doc_id"),
 
     "q_sql_topk_agg" ->
       ("SELECT query_id, match_id, score FROM (" +

@@ -40,6 +40,19 @@ object Dedup {
       .drop("__keep")
   }
 
+  /** Exact dedup, 100 TB form: the window key is xxhash64(normText)
+    * instead of the full normalized text, so the shuffle carries 8 bytes
+    * per row instead of the document body. 64-bit collisions are
+    * negligible for dedup (birthday bound ~2^32 docs); the oracle-paired
+    * [[exact]] keeps the full-text key for bit-exact checkability.
+    */
+  def exactScalable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(normText(col(textCol))))
+    df.withColumn("__keep", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__keep")
+  }
+
   /** Exact-dup groups (group key + ids), for inspection/oracle checks. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(normText(col(textCol)).as("norm_text"))

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof left join picks the latest right row at-or-before the left ts") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00")))
+      .toDF("id", "key", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), "a"),
+      (10L, ts("2024-01-01 11:00:00"), "b"),
+      (20L, ts("2024-01-01 09:30:00"), "c")) // after left row 3
+      .toDF("key", "t", "tag")
+    val got = AsofJoin.asofLeft(left, right, "key", "t", "t", Seq("tag"))
+      .select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> null))
+  }
+
+  test("right row exactly at the left timestamp is visible") {
+    val left = Seq((1L, 5L, ts("2024-01-01 10:00:00"))).toDF("id", "key", "t")
+    val right = Seq((5L, ts("2024-01-01 10:00:00"), "same")).toDF("key", "t", "tag")
+    val got = AsofJoin.asofLeft(left, right, "key", "t", "t", Seq("tag")).head()
+    assert(got.getString(got.fieldIndex("tag")) == "same")
+  }
+
+  test("matches a windowed brute-force oracle on events data") {
+    val ev = Tables(spark, sf, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value"))
+    val got = AsofJoin.asofLeft(purchases, signups, "user_id", "ts", "ts", Seq("value"))
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    // brute force: join all preceding signups, keep max-ts one
+    val brute = purchases.alias("p")
+      .join(signups.alias("s"),
+        col("p.user_id") === col("s.user_id") && col("p.ts") >= col("s.ts"), "left")
+      .groupBy(col("p.event_id"))
+      .agg(max(struct(col("s.ts"), col("s.value"))).as("m"))
+      .select(col("event_id"), col("m.value"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+}

@@ -16,6 +16,21 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("exactScalable (hash-keyed) agrees with exact (text-keyed)") {
+    val docs = Tables(spark, sf, "documents")
+    val a = Dedup.exact(docs, "doc_id", "text").select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Dedup.exactScalable(docs, "doc_id", "text").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("hll approx distinct within its declared error of exact") {
+    val li = Tables(spark, sf, "lineitem")
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("minhash finds planted near-duplicate, skips unrelated") {
     val base = (1 to 60).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 58).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
