@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+
+class SkewAndBucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation equals plain aggregation") {
+    val li = Tables(spark, sf, "lineitem")
+    val plain = li.groupBy(col("l_returnflag").as("k"))
+      .agg(sum(col("l_quantity")).as("q"), sum(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = SkewJoin.saltedSumAgg(
+      li.withColumnRenamed("l_returnflag", "k"), "k", buckets = 8,
+      aggs = Seq("q" -> col("l_quantity"), "n" -> lit(1)))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    // heavily skewed: 90% of rows share one key
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 0L, i)).toDF("k", "v")
+    val small = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "tag")
+    val plain = big.join(small, "k").select("k", "v", "tag")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = SkewJoin.saltedJoin(big, small, "k", buckets = 8)
+      .select("k", "v", "tag").collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val suffix = System.nanoTime() // fresh names: stale warehouse dirs survive DROP TABLE
+    val liT = s"li_bucketed_$suffix"; val ordT = s"ord_bucketed_$suffix"
+    Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable(liT)
+    Tables(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable(ordT)
+    val joined = spark.table(liT)
+      .join(spark.table(ordT),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides read pre-bucketed: the sort-merge join needs no shuffle
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    // and it still returns the right row count
+    val expected = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(joined.count() == expected)
+  }
+}
