@@ -304,6 +304,34 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // --- bag-semantics set ops --------------------------------------------
+    "q_set_ops_all" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      def keys(y: Int) = ord.filter(year(col("o_orderdate")) === y).select("o_custkey")
+      keys(1995).intersectAll(keys(1996)).exceptAll(keys(2000))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy("o_custkey")
+    }),
+
+    // --- pivot ------------------------------------------------------------
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    // --- conversation history: windowed array agg (reference sessionid) ---
+    "q_conversation" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-3, -1)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          collect_list(col("event_type")).over(w).as("history"))
+        .orderBy("event_id")
+    }),
+
     // --- global sort / limit ----------------------------------------------
     "q_sort_limit" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -551,6 +579,28 @@ object SparkEntry {
     "q_sort_limit" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
         "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"),
+
+    "q_set_ops_all" ->
+      ("SELECT o_custkey, count(*) AS n FROM (" +
+        "(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 " +
+        "INTERSECT ALL SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) " +
+        "EXCEPT ALL SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000) " +
+        "GROUP BY o_custkey ORDER BY o_custkey"),
+
+    "q_pivot" ->
+      ("SELECT user_id, " +
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, " +
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, " +
+        "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, " +
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+
+    "q_conversation" ->
+      ("SELECT event_id, user_id, " +
+        "coalesce(list(event_type) OVER (PARTITION BY user_id ORDER BY event_id " +
+        "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), []) AS history " +
+        "FROM events ORDER BY event_id"),
 
     "q_events_tumbling" ->
       ("SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, event_type, " +

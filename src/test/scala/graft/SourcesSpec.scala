@@ -70,6 +70,55 @@ class SourcesSpec extends SparkSpec {
     assert(got.getSeq[Row](1).map(_.getString(0)) == Seq("productA", "productB"))
   }
 
+  test("full reference architecture: 4 topics, question to llm_answers") {
+    import graft.model.Models
+    import graft.operators.VectorSearch
+    val c = catalog()
+    // the reference's four tables (SURVEY §1.3)
+    c.create("user_questions", questionSchema)
+    c.create("user_questions_vector", StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType),
+      StructField("sessionid", StringType), StructField("vector", ArrayType(FloatType)))))
+    c.create("user_prompts", StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType),
+      StructField("sessionid", StringType),
+      StructField("products", ArrayType(StructType(Seq(StructField("content", StringType))))))))
+    c.create("llm_answers", StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType),
+      StructField("sessionid", StringType), StructField("json_response", StringType))))
+
+    c.produceJson("user_questions", Seq(
+      """{"role":"user","content":"Find me a pair of mens formal shoes in medium size.","sessionid":"abc123","email":"bob@example.com"}"""))
+    val registry = Models.default()
+
+    // stage 1: embed (the reference's first perpetual INSERT)
+    c.insertInto("user_questions_vector", c.table("user_questions")
+      .select(col("role"), col("content"), col("sessionid"),
+        registry.mlPredict(Models.VectorEncoding, col("content")).as("vector")))
+
+    // stage 2: vector search -> products
+    val corpus = Tables(spark, sf, "embeddings")
+      .withColumn("content", concat(lit("product_"), col("vec_id")))
+    val retrieved = VectorSearch.searchResults(
+      c.table("user_questions_vector"), "sessionid", "vector",
+      corpus, "vec_id", "embedding", payload = Seq("content"), k = 3)
+    c.insertInto("user_prompts", retrieved
+      .select(col("role"), col("content"), col("sessionid"),
+        col("search_results").as("products")))
+
+    // stage 3: prompt assembly + LLM
+    c.insertInto("llm_answers", c.table("user_prompts")
+      .select(col("role"), col("content"), col("sessionid"),
+        registry.mlPredict(Models.RetailAssistant,
+          to_json(struct(col("role"), col("content"),
+            to_json(col("products")).as("products")))).as("json_response")))
+
+    val out = c.table("llm_answers").collect()
+    assert(out.length == 1)
+    assert(out(0).getString(2) == "abc123")
+    assert(out(0).getString(3).contains("assistant"))
+  }
+
   test("describe lists columns like the reference transcript") {
     val c = catalog()
     c.create("user_questions", questionSchema)
