@@ -356,6 +356,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
         .orderBy("user_id")),
 
+    // --- scalar-function breadth: strings (SURVEY §2.8 absences) ----------
+    "q_string_funcs" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          concat(col("c_mktsegment"), lit("#"), col("c_name")).as("joined"),
+          length(col("c_name")).cast("long").as("len"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("dist"))
+        .orderBy("c_custkey")),
+
+    // --- scalar-function breadth: dates + math ----------------------------
+    "q_date_math_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          round(sqrt(col("o_totalprice")), 6).as("sqrt_price"),
+          round(log(col("o_totalprice") + 1), 6).as("log_price"),
+          pmod(col("o_orderkey"), lit(7)).as("mod7"),
+          floor(col("o_totalprice") / 1000).as("price_k"))
+        .orderBy("o_orderkey")),
+
+    // --- exact percentiles ------------------------------------------------
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"))
+        .orderBy("l_returnflag")),
+
     // --- multimodal binary columns (north star) ---------------------------
     "q_multimodal_bytes" -> ((s, dir) =>
       Multimodal.byteStats(t(s, dir, "documents"), "doc_id", "text")
@@ -616,6 +650,27 @@ object SparkEntry {
     "q_multimodal_bytes" ->
       ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest " +
         "FROM documents ORDER BY doc_id"),
+
+    "q_string_funcs" ->
+      ("SELECT c_custkey, upper(c_name) AS up, substring(c_name, 1, 8) AS prefix, " +
+        "c_mktsegment || '#' || c_name AS joined, length(c_name) AS len, " +
+        "lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded, " +
+        "levenshtein(c_mktsegment, 'BUILDING') AS dist " +
+        "FROM customer ORDER BY c_custkey"),
+
+    "q_date_math_funcs" ->
+      ("SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m, " +
+        "dayofmonth(o_orderdate) AS d, " +
+        "round(sqrt(o_totalprice), 6) AS sqrt_price, " +
+        "round(ln(o_totalprice + 1), 6) AS log_price, " +
+        "o_orderkey % 7 AS mod7, floor(o_totalprice / 1000) AS price_k " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    "q_percentile" ->
+      ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50, " +
+        "quantile_cont(l_quantity, 0.9) AS p90, " +
+        "min(l_quantity) AS mn, max(l_quantity) AS mx " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     "q_sql_topk" ->
       ("SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +

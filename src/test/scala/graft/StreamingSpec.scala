@@ -79,6 +79,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("topic json stream: records produced to a TopicCatalog arrive via readStream") {
+    import org.apache.spark.sql.types._
+    val c = new graft.sources.TopicCatalog(spark, tmp("graft_topic_stream"))
+    val schema = StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType),
+      StructField("sessionid", StringType)))
+    c.create("questions_stream", schema)
+    c.produceJson("questions_stream", Seq(
+      """{"role":"user","content":"q1","sessionid":"s1"}""",
+      """{"role":"user","content":"q2","sessionid":"s2"}"""))
+    val q = c.stream("questions_stream").writeStream
+      .format("memory").queryName("topic_stream_test").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("topic_stream_test").orderBy("sessionid")
+      .collect().map(_.getString(1)).toSeq
+    assert(got == Seq("q1", "q2"))
+  }
+
   test("json topic decode: schemaless string -> typed columns") {
     import spark.implicits._
     import org.apache.spark.sql.types._
