@@ -1,21 +1,25 @@
 package graft
 
-/** Scratch profiling main: full suite with INFO logging around slow
-  * queries — prints query boundaries so log timestamps can be aligned.
+/** Scratch dev main: print formatted physical plans for named queries
+  * (e.g. `runMain graft.ProfMain /root/testdata/sf0.01 q_vector_topk`),
+  * or time them with `-t name...`.
   */
 object ProfMain {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = GraftSession.local()
-    spark.sparkContext.setLogLevel("INFO")
-    SparkEntry.queries.keys.foreach { n =>
-      System.err.println(s"##### BEGIN $n ${System.currentTimeMillis()}")
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => println(s"[prof] $n FAILED $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"##### END $n $dt%.2f ${System.currentTimeMillis()}")
-      println(f"[prof] $dt%8.2f s  $n")
+    val (timeMode, names) =
+      if (args.length > 1 && args(1) == "-t") (true, args.drop(2).toSeq)
+      else (false, args.drop(1).toSeq)
+    names.foreach { name =>
+      if (timeMode) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        println(f"[prof] ${(System.nanoTime() - t0) / 1e9}%8.2f s  $name")
+      } else {
+        println(s"\n########## $name")
+        SparkEntry.queries(name)(spark, dir).explain("formatted")
+      }
     }
     spark.stop()
   }

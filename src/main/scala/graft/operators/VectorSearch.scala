@@ -116,6 +116,7 @@ object VectorSearch {
       maxCorpusRows: Int = 2000000): DataFrame = {
     val collected = corpus
       .select(col(cId).cast("long"), col(cVec).cast("array<float>"))
+      .filter(col(cId).isNotNull && col(cVec).isNotNull)
       .limit(maxCorpusRows + 1)
       .collect()
     if (collected.length > maxCorpusRows)
@@ -128,7 +129,7 @@ object VectorSearch {
     val m = metric
     val scan = udf((q: Seq[Float]) => {
       val (cids, cvecs) = bc.value
-      val qa = q.toArray
+      val qa = if (q == null) Array.empty[Float] else q.toArray
       val heap = new TopKHeap(k, asc)
       var i = 0
       while (i < cids.length) {
