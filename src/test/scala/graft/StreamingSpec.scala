@@ -79,6 +79,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("watermark drops late data in append mode (the retention bound)") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val src = tmp("graft_late_src")
+    def ts(s: String) = Timestamp.valueOf(s)
+    // batch 1: on-time events 10:00-12:30 -> watermark advances to 11:30
+    Seq((1L, ts("2024-01-01 10:10:00"), 1.0),
+      (2L, ts("2024-01-01 10:20:00"), 1.0),
+      (3L, ts("2024-01-01 12:30:00"), 1.0))
+      .toDF("event_id", "ts", "value").write.parquet(s"$src/a")
+    Thread.sleep(1100) // distinct mtime: the file source orders batches by it
+    // batch 2: a LATE event at 10:15 — beyond the 1h watermark, dropped
+    Seq((4L, ts("2024-01-01 10:15:00"), 1.0))
+      .toDF("event_id", "ts", "value").write.parquet(s"$src/b")
+
+    val schema = spark.read.parquet(s"$src/a").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("hour"), col("n"))
+    val q = stream.writeStream
+      .format("memory").queryName("late_test").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("late_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hour10 = java.time.LocalDateTime.parse("2024-01-01T10:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    // the 10:00 window finalized with 2 events; the late 4th never counted
+    assert(got(hour10) == 2L, s"got=$got")
+  }
+
   test("topic json stream: records produced to a TopicCatalog arrive via readStream") {
     import org.apache.spark.sql.types._
     val c = new graft.sources.TopicCatalog(spark, tmp("graft_topic_stream"))
