@@ -43,7 +43,8 @@ object GraftSession {
       // timestamp — read as Long, converted at the scan edge (Tables).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)): SparkSession = {
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
