@@ -257,6 +257,17 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // --- interval join (custom operator; range-join absence in §2.3) ------
+    "q_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+      graft.operators.IntervalJoin.within(
+        ev, ev.withColumnRenamed("event_id", "event_id2").withColumnRenamed("ts", "ts2"),
+        "user_id", "ts", "ts2", maxGapSeconds = 60, rightPayload = Seq("event_id2"))
+        .filter(col("event_id") < col("event_id2"))
+        .select("event_id", "event_id2", "user_id")
+        .orderBy("event_id", "event_id2")
+    }),
+
     // --- more window functions: lag / lead / ntile ------------------------
     "q_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -688,6 +699,13 @@ object SparkEntry {
         "FROM purchases ASOF LEFT JOIN signups " +
         "ON purchases.user_id = signups.user_id AND purchases.ts >= signups.ts " +
         "ORDER BY event_id"),
+
+    "q_interval_join" ->
+      ("SELECT a.event_id AS event_id, b.event_id AS event_id2, a.user_id AS user_id " +
+        "FROM events a JOIN events b ON a.user_id = b.user_id " +
+        "AND a.event_id < b.event_id " +
+        "AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 60000000 " +
+        "ORDER BY event_id, event_id2"),
 
     "q_window_lag" ->
       ("SELECT event_id, user_id, " +

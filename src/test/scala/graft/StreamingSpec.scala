@@ -85,29 +85,38 @@ class StreamingSpec extends SparkSpec {
     val src = tmp("graft_late_src")
     def ts(s: String) = Timestamp.valueOf(s)
     // batch 1: on-time events 10:00-12:30 -> watermark advances to 11:30
+    val ckpt = tmp("graft_late_ckpt")
+    val outDir = tmp("graft_late_out") + "/out"
+    // two separate availableNow RUNS over one checkpoint: the watermark
+    // from run 1 is restored for run 2, so batch composition can't race
+    // (file sink, not memory — memory can't recover from a checkpoint)
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(s"$src/a").schema
+      val stream = spark.readStream.schema(schema).parquet(s"$src/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("long").as("hour"), col("n"))
+      val q = stream.writeStream
+        .format("parquet").outputMode("append")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // run 1: on-time events 10:00-12:30 -> watermark persists at 11:30
     Seq((1L, ts("2024-01-01 10:10:00"), 1.0),
       (2L, ts("2024-01-01 10:20:00"), 1.0),
       (3L, ts("2024-01-01 12:30:00"), 1.0))
-      .toDF("event_id", "ts", "value").write.parquet(s"$src/a")
-    Thread.sleep(1100) // distinct mtime: the file source orders batches by it
-    // batch 2: a LATE event at 10:15 — beyond the 1h watermark, dropped
+      .toDF("event_id", "ts", "value").coalesce(1).write.parquet(s"$src/a")
+    runOnce()
+    // run 2: a LATE event at 10:15 — beyond the restored watermark, dropped
     Seq((4L, ts("2024-01-01 10:15:00"), 1.0))
-      .toDF("event_id", "ts", "value").write.parquet(s"$src/b")
+      .toDF("event_id", "ts", "value").coalesce(1).write.parquet(s"$src/b")
+    runOnce()
 
-    val schema = spark.read.parquet(s"$src/a").schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour").as("w"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("w.start").cast("long").as("hour"), col("n"))
-    val q = stream.writeStream
-      .format("memory").queryName("late_test").outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(120000)
-
-    val got = spark.table("late_test").collect()
+    val got = spark.read.parquet(outDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     val hour10 = java.time.LocalDateTime.parse("2024-01-01T10:00:00")
       .toEpochSecond(java.time.ZoneOffset.UTC)
