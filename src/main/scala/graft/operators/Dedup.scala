@@ -164,6 +164,27 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** The full training-data dedup recipe, composed: (1) drop exact
+    * duplicates (normalized text), then (2) drop near-duplicates found
+    * by MinHash-LSH, keeping the lowest id of each near-dup cluster.
+    * Cluster membership is the transitive closure approximated by one
+    * min-propagation round over candidate pairs — adequate for the
+    * pair-density real corpora exhibit after exact dedup; iterate to a
+    * fixpoint for pathological chains.
+    */
+  def dedupPipeline(
+      df: DataFrame, idCol: String, textCol: String,
+      minhashThreshold: Double = 0.7): DataFrame = {
+    val exactDone = exact(df, idCol, textCol)
+    val pairs = minhashPairs(exactDone, idCol, textCol, threshold = minhashThreshold)
+    // one row per near-dup member pointing at its cluster minimum
+    val drop = pairs.select(col("id1"), col("id2"))
+      .groupBy(col("id2").as("__victim"))
+      .agg(min(col("id1")).as("__keeper"))
+      .select(col("__victim"))
+    exactDone.join(drop, exactDone(idCol) === drop("__victim"), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, exact pairwise
     * over a broadcast corpus (bit-compatible with DuckDB's
     * list_cosine_similarity, so the oracle hash-matches).

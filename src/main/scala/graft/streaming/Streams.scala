@@ -80,6 +80,15 @@ object Streams {
       .select(col("w.start").cast("long").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact deduplication: drop re-deliveries of the same id
+    * within the watermark horizon (state holds ids only as long as a
+    * duplicate could still arrive — the bounded-state form of
+    * dropDuplicates, SURVEY §2.9).
+    */
+  def dedupStream(events: DataFrame, idCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
+
   /** Running per-user event count and value total via explicit keyed
     * state — the `mapGroupsWithState` form of custom stateful streaming
     * (the mechanism the reference's `sessionid` affinity would use for

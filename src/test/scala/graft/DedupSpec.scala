@@ -72,6 +72,36 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("dedup pipeline removes exact and minhash near-dups, keeps low ids") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val df = docs(
+      1L -> base,
+      2L -> base.toUpperCase,                                     // exact dup of 1
+      3L -> ((1 to 58).map(i => s"token$i").mkString(" ") + " x y"), // near-dup of 1
+      4L -> (100 to 160).map(i => s"w$i").mkString(" "))          // unrelated
+    val kept = Dedup.dedupPipeline(df, "id", "text", minhashThreshold = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L))
+  }
+
+  test("streaming dedup drops re-delivered events (equals batch distinct)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables(spark, sf, "events").limit(200)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    // the same file twice = an exactly-once failure/retry re-delivery
+    events.coalesce(1).write.parquet(s"$dir/a")
+    events.coalesce(1).write.parquet(s"$dir/b")
+    val stream = graft.streaming.Streams.dedupStream(
+      spark.readStream.schema(events.schema).parquet(s"$dir/*"), "event_id")
+    val q = stream.writeStream
+      .format("memory").queryName("dedup_stream_test").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("dedup_stream_test").select("event_id").distinct().count() ==
+      events.count())
+    assert(spark.table("dedup_stream_test").count() == events.count())
+  }
+
   test("embedding near-dup pairs symmetric corpus sanity") {
     val emb = Tables(spark, sf, "embeddings")
     val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = 0.99)
