@@ -23,10 +23,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Clamp the heap: on this rig JVM heaps >16g trigger whole-VM page-fault
+// stalls (host memory reclaim freezes the microVM while the JVM faults
+// pages in bursts — root-caused in commit fda8e7e; BENCH_r01 lost ~150s
+// to a ~90g harness-supplied heap). sf0.1 fits comfortably in 8g.
+val driverMemMb: Long = {
+  val raw = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
+  val mb =
+    if (raw.endsWith("g")) raw.dropRight(1).toLong * 1024
+    else if (raw.endsWith("m")) raw.dropRight(1).toLong
+    else raw.toLong / (1024 * 1024) // bare bytes
+  math.min(math.max(mb, 1024L), 16 * 1024L)
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${driverMemMb}m",
   // Dozens of distinct whole-stage-codegen classes exhaust the default
   // 240 MB code cache over a long session; the JIT then silently disables
   // compilation and random queries run interpreted 10-20x slower.

@@ -4,27 +4,30 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
-    def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
+    def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Boolean =
       // noop sink: forces full evaluation of every output column (count()
       // would let Catalyst prune the expensive expressions away and time
       // a different, cheaper plan).
-      try { fn(spark, dir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
     // Warmup at the smallest SF: JIT-compiles codegen'd stages, UDF hot
     // loops, and shuffle paths so the timed pass measures steady-state
     // throughput rather than first-run compilation.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       SparkEntry.queries.foreach { case (n, fn) => runOne(n, fn, warmDir) }
+    // A failed query is reported as -1, never as a normal-looking (tiny)
+    // timing that could silently pass as a fast result.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      runOne(name, fn, sfDir)
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = runOne(name, fn, sfDir)
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

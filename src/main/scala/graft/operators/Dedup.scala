@@ -164,30 +164,68 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Connected components over near-dup candidate pairs by iterative
+    * min-label propagation: every member converges to its cluster's
+    * minimum id. Rounds = cluster diameter (near-dup clusters are
+    * star/clique shaped in practice, so 2-3 rounds); each round is one
+    * equi-join + partial-min aggregation on slim (long, long) rows, and
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * doesn't replay rounds 1..N-1.
+    *
+    * Output: (id, label) for every id that appears in a pair.
+    */
+  def clusterLabels(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("blabel")), "b")
+        .groupBy("a").agg(min(col("blabel")).as("nmin"))
+        .withColumnRenamed("a", "id")
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "__old"), "id")
+        .filter(col("label") < col("__old")).count()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** The full training-data dedup recipe, composed: (1) drop exact
     * duplicates (normalized text), then (2) drop near-duplicates found
     * by MinHash-LSH, keeping the lowest id of each near-dup cluster.
-    * Cluster membership is the transitive closure approximated by one
-    * min-propagation round over candidate pairs — adequate for the
-    * pair-density real corpora exhibit after exact dedup; iterate to a
-    * fixpoint for pathological chains.
+    * Cluster membership is the TRANSITIVE closure of the candidate
+    * pairs ([[clusterLabels]] fixpoint) — a member whose only link to
+    * the cluster minimum is through a chain (A~B~C with A≁C) is still
+    * deduplicated against it.
     */
   def dedupPipeline(
       df: DataFrame, idCol: String, textCol: String,
       minhashThreshold: Double = 0.7): DataFrame = {
     val exactDone = exact(df, idCol, textCol)
     val pairs = minhashPairs(exactDone, idCol, textCol, threshold = minhashThreshold)
-    // one row per near-dup member pointing at its cluster minimum
-    val drop = pairs.select(col("id1"), col("id2"))
-      .groupBy(col("id2").as("__victim"))
-      .agg(min(col("id1")).as("__keeper"))
-      .select(col("__victim"))
-    exactDone.join(drop, exactDone(idCol) === drop("__victim"), "left_anti")
+    val victims = clusterLabels(pairs)
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as("__victim"))
+    exactDone.join(victims, exactDone(idCol) === victims("__victim"), "left_anti")
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, exact pairwise
     * over a broadcast corpus (bit-compatible with DuckDB's
     * list_cosine_similarity, so the oracle hash-matches).
+    *
+    * O(n²) scoring — this is the ORACLE twin for small corpora;
+    * [[embeddingNearDupPairsLsh]] is the default at scale.
     */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
@@ -195,6 +233,43 @@ object Dedup {
     val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
     val b = broadcast(df.select(col(idCol).as("id2"), col(vecCol).as("v2")))
     a.join(b, col("id1") < col("id2"))
+      .withColumn("cosine", VectorFunctions.cosine_similarity(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+
+  /** Embedding near-dup pairs, 100 TB form: sign-random-projection LSH
+    * buckets ([[Lsh]], Charikar STOC'02) replace the cross product with
+    * `nTables` bucket-equi-joins — work scales with bucket collision
+    * mass, never |D|². High-cosine pairs land in the same bucket with
+    * probability (1 - θ/π)^nBits per table; raise `nTables` for recall
+    * (candidates are exact-scored, so precision is 1 vs the exact twin).
+    * Candidate dedup runs on slim (id1, id2) rows; vectors re-attach via
+    * two joins afterwards, so the wide embedding columns never enter the
+    * pair-dedup shuffle.
+    */
+  def embeddingNearDupPairsLsh(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 8, nTables: Int = 6,
+      dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = (0 until nTables).map { t =>
+      base.select(col("id"),
+        Lsh.bucketCol(col("v"), nBits, t, dim).as("bh"), lit(t).as("tbl"))
+    }.reduce(_ unionByName _)
+    // cap pathological buckets (e.g. an all-zeros embedding cluster):
+    // bounded quadratic work per (table, bucket)
+    val sizes = bucketed.groupBy("tbl", "bh").agg(count(lit(1)).as("__bn"))
+    val capped = bucketed.join(sizes.filter(col("__bn") <= maxBucket), Seq("tbl", "bh"))
+    val l = capped.select(col("tbl"), col("bh"), col("id").as("id1"))
+    val r = capped.select(col("tbl"), col("bh"), col("id").as("id2"))
+    val cand = l.join(r, Seq("tbl", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .dropDuplicates("id1", "id2")
+    cand
+      .join(base.select(col("id").as("id1"), col("v").as("v1")), "id1")
+      .join(base.select(col("id").as("id2"), col("v").as("v2")), "id2")
       .withColumn("cosine", VectorFunctions.cosine_similarity(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")

@@ -192,7 +192,12 @@ object VectorSearch {
       .agg(transform(
         array_sort(collect_list(struct(col("rank"), resultStruct))),
         x => x("r")).as("search_results"))
-    queries.join(grouped, qId)
+    // left join: a query with no candidates (empty corpus, null id) still
+    // surfaces, with an empty search_results array
+    queries.join(grouped, Seq(qId), "left")
+      .withColumn("search_results",
+        coalesce(col("search_results"),
+          array().cast(grouped.schema("search_results").dataType)))
   }
 
   /** LSH-pruned approximate top-k for corpora beyond broadcast size.
@@ -245,23 +250,48 @@ object Lsh {
     v
   }
 
-  def bucket(vec: Seq[Float], nBits: Int, table: Int, dim: Int): Int = {
+  /** All `nBits` hyperplanes of one table, flattened row-major into a
+    * single array — built ONCE (driver side, captured in the UDF closure)
+    * instead of allocating nBits fresh Array[Float](dim) per input row.
+    */
+  def planeMatrix(table: Int, nBits: Int, dim: Int): Array[Float] = {
+    val m = new Array[Float](nBits * dim)
+    var bit = 0
+    while (bit < nBits) {
+      System.arraycopy(hyperplane(table, bit, dim), 0, m, bit * dim, dim)
+      bit += 1
+    }
+    m
+  }
+
+  /** Bucket id from a prebuilt plane matrix: one pass of nBits dot
+    * products with zero per-row allocation.
+    */
+  def bucket(vec: Seq[Float], nBits: Int, dim: Int, planes: Array[Float]): Int = {
+    val v = vec match {
+      case w: scala.collection.immutable.ArraySeq[_]
+          if w.unsafeArray.isInstanceOf[Array[Float]] =>
+        w.unsafeArray.asInstanceOf[Array[Float]]
+      case other => other.toArray
+    }
+    val n = math.min(v.length, dim)
     var b = 0
     var bit = 0
     while (bit < nBits) {
-      val h = hyperplane(table, bit, dim)
       var dot = 0.0
       var i = 0
-      val n = math.min(vec.length, dim)
-      while (i < n) { dot += vec(i) * h(i); i += 1 }
+      val off = bit * dim
+      while (i < n) { dot += v(i) * planes(off + i); i += 1 }
       if (dot >= 0) b |= (1 << bit)
       bit += 1
     }
     b
   }
 
-  def bucketCol(vec: Column, nBits: Int, table: Int, dim: Int): Column =
-    udf((v: Seq[Float]) => bucket(v, nBits, table, dim)).apply(vec)
+  def bucketCol(vec: Column, nBits: Int, table: Int, dim: Int): Column = {
+    val planes = planeMatrix(table, nBits, dim)
+    udf((v: Seq[Float]) => bucket(v, nBits, dim, planes)).apply(vec)
+  }
 }
 
 /** Match element shape shared by the top-k strategies. */

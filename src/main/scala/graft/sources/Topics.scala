@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** In-engine equivalent of the reference's topic-backed dynamic tables
   * (SURVEY §1.1, §2.1): a named, schema-registered, append-only table of
@@ -15,6 +15,9 @@ import org.apache.spark.sql.types.StructType
   *    (README.md:266-274) -> [[TopicCatalog.create]]: registers the
   *    schema, creates the backing directory ("the topic"), exposes a
   *    temp view.
+  *  - Implicit `key BYTES ... BUCKET KEY` first column on every topic
+  *    table (README.md:551) -> every scan/describe carries a leading
+  *    nullable `key BINARY`; records produced without a key read null.
   *  - UI/manual produce of one JSON record (README.md:187-195) ->
   *    [[TopicCatalog.produceJson]].
   *  - `INSERT INTO ... SELECT` (README.md:286-288, 438-446) ->
@@ -23,9 +26,19 @@ import org.apache.spark.sql.types.StructType
   *  - `INSERT INTO ... VALUES` with `ARRAY[ROW(...)]` literals
   *    (README.md:616-623) -> [[TopicCatalog.insertValues]] or plain
   *    `spark.sql("INSERT INTO ... VALUES (named_struct(...))")`.
-  *  - `DESCRIBE table` (README.md:543-556) -> [[TopicCatalog.describe]].
+  *  - `DESCRIBE table` (README.md:543-556) -> [[TopicCatalog.describe]]
+  *    (col_name, data_type, nullable, extras — `BUCKET KEY` on key).
   *  - Schema-mismatch INSERT fails at submit time, like the reference's
   *    sink/query mismatch error (README.md:586-594).
+  *  - Degenerate `ROW<>` (a JSON "object" column modeled with no fields)
+  *    is rejected at CREATE time: in the reference it poisons every
+  *    INSERT with an unfixable sink-mismatch (README.md:586-598) and the
+  *    fix is to model the fields (README.md:600-608) — fail fast instead.
+  *  - Schema evolution: the reference auto-updates the Flink table when
+  *    the registry schema evolves (README.md:610-612) ->
+  *    [[TopicCatalog.evolve]] (append-only: existing fields keep name and
+  *    type; new nullable fields appear on the next scan; old records read
+  *    them as null).
   *
   * Records are JSON lines on disk — the same row-oriented, schema-on-read
   * contract as JSON-on-Kafka (README.md:190,272). At scale the backing
@@ -35,6 +48,7 @@ import org.apache.spark.sql.types.StructType
   */
 class TopicCatalog(spark: SparkSession, root: String) {
 
+  /** Declared (value) schema per topic; scans prepend [[TopicCatalog.KeyField]]. */
   private val registry = scala.collection.concurrent.TrieMap.empty[String, StructType]
 
   private def dir(name: String) = s"$root/$name"
@@ -42,13 +56,44 @@ class TopicCatalog(spark: SparkSession, root: String) {
   /** CREATE TABLE (S2): register schema + create the topic dir + view. */
   def create(name: String, schema: StructType): Unit = {
     require(!registry.contains(name), s"topic $name already exists")
+    require(!schema.fieldNames.contains(TopicCatalog.KeyField.name),
+      s"column '${TopicCatalog.KeyField.name}' is implicit on every topic table")
+    TopicCatalog.rejectDegenerateRows(name, schema)
     registry(name) = schema
     Files.createDirectories(Paths.get(dir(name)))
-    table(name).createOrReplaceTempView(name)
+    refreshView(name)
   }
 
-  def schemaOf(name: String): StructType =
+  /** Schema evolution (reference README.md:610-612): the table definition
+    * follows the registry. Append-only compatibility — every existing
+    * field must survive with an identical type; added fields read as null
+    * from pre-evolution records (PERMISSIVE schema-on-read).
+    */
+  def evolve(name: String, newSchema: StructType): Unit = {
+    val old = valueSchemaOf(name)
+    TopicCatalog.rejectDegenerateRows(name, newSchema)
+    require(!newSchema.fieldNames.contains(TopicCatalog.KeyField.name),
+      s"column '${TopicCatalog.KeyField.name}' is implicit on every topic table")
+    old.fields.foreach { f =>
+      val kept = newSchema.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"evolve $name: incompatible evolution drops field '${f.name}'"))
+      if (kept.dataType != f.dataType)
+        throw new IllegalArgumentException(
+          s"evolve $name: incompatible type change for '${f.name}' " +
+            s"(${f.dataType.simpleString} -> ${kept.dataType.simpleString})")
+    }
+    registry(name) = newSchema
+    refreshView(name)
+  }
+
+  /** Declared value schema (what CREATE registered). */
+  def valueSchemaOf(name: String): StructType =
     registry.getOrElse(name, throw new IllegalArgumentException(s"unknown topic $name"))
+
+  /** Read schema: implicit bucket-key column + declared fields. */
+  def schemaOf(name: String): StructType =
+    StructType(TopicCatalog.KeyField +: valueSchemaOf(name).fields)
 
   /** Schema-on-read scan of the topic (schemaless bytes + registered
     * schema, SURVEY §1.2). PERMISSIVE like Flink's registry decode:
@@ -61,46 +106,87 @@ class TopicCatalog(spark: SparkSession, root: String) {
   def stream(name: String): DataFrame =
     spark.readStream.schema(schemaOf(name)).json(dir(name))
 
+  /** The SQL temp view snapshots the file listing at registration time;
+    * re-register after every produce/insert so `spark.sql` over the view
+    * always sees the latest records.
+    */
+  private def refreshView(name: String): Unit =
+    table(name).createOrReplaceTempView(name)
+
   /** Manual produce (S5): append raw JSON records (one per line). */
   def produceJson(name: String, records: Seq[String]): Unit = {
-    schemaOf(name) // existence check
+    valueSchemaOf(name) // existence check
     val path = Paths.get(dir(name), s"produce-${System.nanoTime()}.json")
     Files.write(path, records.mkString("", "\n", "\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    refreshView(name)
   }
 
-  /** INSERT INTO ... VALUES (S7): typed rows, incl. complex values. */
+  /** INSERT INTO ... VALUES (S7): typed rows against the declared value
+    * schema, incl. complex values (the key is produced null, like an
+    * unkeyed Kafka record).
+    */
   def insertValues(name: String, rows: Row*): Unit =
     insertInto(name, spark.createDataFrame(
-      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schemaOf(name)))
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), valueSchemaOf(name)))
 
   /** INSERT INTO ... SELECT (S6, batch): columns are matched by NAME
     * against the registered schema; a mismatch fails at submit time
     * exactly like the reference's sink-schema error (README.md:586-594).
+    * The implicit key column may be supplied or omitted (reads null).
     */
   def insertInto(name: String, df: DataFrame): Unit = {
-    val target = schemaOf(name)
+    val target = valueSchemaOf(name)
+    val withKey = df.schema.fieldNames.contains(TopicCatalog.KeyField.name)
+    val targetNames =
+      if (withKey) TopicCatalog.KeyField.name +: target.fieldNames.toSeq
+      else target.fieldNames.toSeq
     val missing = target.fieldNames.toSet -- df.schema.fieldNames.toSet
-    val extra = df.schema.fieldNames.toSet -- target.fieldNames.toSet
+    val extra = df.schema.fieldNames.toSet -- targetNames.toSet
     if (missing.nonEmpty || extra.nonEmpty)
       throw new IllegalArgumentException(
         s"insert into $name: schema mismatch (missing=$missing, unexpected=$extra)")
-    df.select(target.fieldNames.map(col): _*)
+    df.select(targetNames.map(col): _*)
       .write.mode("append").json(dir(name))
+    refreshView(name)
   }
 
-  /** DESCRIBE (P5): one row per column, like the reference transcript
-    * (README.md:543-556).
+  /** DESCRIBE (P5): one row per column with the reference transcript's
+    * shape (README.md:543-556) — the implicit key leads with extras
+    * `BUCKET KEY`.
     */
   def describe(name: String): DataFrame = {
     import spark.implicits._
-    schemaOf(name).fields.map(f =>
-      (f.name, f.dataType.simpleString, f.nullable)).toSeq
-      .toDF("col_name", "data_type", "nullable")
+    schemaOf(name).fields.map { f =>
+      val extras = if (f.name == TopicCatalog.KeyField.name) "BUCKET KEY" else ""
+      (f.name, f.dataType.simpleString, f.nullable, extras)
+    }.toSeq.toDF("col_name", "data_type", "nullable", "extras")
   }
 
   def drop(name: String): Unit = {
     registry.remove(name)
     spark.catalog.dropTempView(name)
+  }
+}
+
+object TopicCatalog {
+  /** The implicit Kafka record key on every topic table (README.md:551). */
+  val KeyField: StructField = StructField("key", BinaryType, nullable = true)
+
+  /** Analysis-time rejection of degenerate `ROW<>` anywhere in the schema
+    * (fields, array elements, map values) — SURVEY §1.5 / README.md:586-598.
+    */
+  private[sources] def rejectDegenerateRows(topic: String, schema: StructType): Unit = {
+    def check(path: String, dt: DataType): Unit = dt match {
+      case s: StructType if s.fields.isEmpty =>
+        throw new IllegalArgumentException(
+          s"topic $topic: column '$path' is a degenerate ROW<> — JSON object " +
+            "columns must model their fields (reference README.md:586-608)")
+      case s: StructType => s.fields.foreach(f => check(s"$path.${f.name}", f.dataType))
+      case a: ArrayType => check(s"$path[]", a.elementType)
+      case m: MapType => check(s"$path{}", m.valueType)
+      case _ => ()
+    }
+    schema.fields.foreach(f => check(f.name, f.dataType))
   }
 }

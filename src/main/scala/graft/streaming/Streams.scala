@@ -58,9 +58,12 @@ object Streams {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val withVec = Rag.embedQuestions(batch, "content")
         val retrieved = Rag.retrieve(withVec, "doc_id", corpus, k)
+        // overwrite keyed by epoch: a retried micro-batch replaces any
+        // partial write from the failed attempt instead of appending
+        // duplicates — the standard foreachBatch exactly-once pattern
         Rag.respond(retrieved, "content")
           .select("doc_id", "content", "products", "prompt", "json_response")
-          .write.mode("append").parquet(s"$outDir/epoch=$epoch")
+          .write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
         ()
       }
       .start()
@@ -83,11 +86,13 @@ object Streams {
   /** Streaming exact deduplication: drop re-deliveries of the same id
     * within the watermark horizon (state holds ids only as long as a
     * duplicate could still arrive — the bounded-state form of
-    * dropDuplicates, SURVEY §2.9).
+    * dropDuplicates, SURVEY §2.9). Keyed on id alone — a re-delivery
+    * stamped with a *different* ts is still dropped, which
+    * `dropDuplicates(id, ts)` would let through.
     */
   def dedupStream(events: DataFrame, idCol: String,
       watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
 
   /** Running per-user event count and value total via explicit keyed
     * state — the `mapGroupsWithState` form of custom stateful streaming

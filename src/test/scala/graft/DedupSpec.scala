@@ -102,6 +102,66 @@ class DedupSpec extends SparkSpec {
     assert(spark.table("dedup_stream_test").count() == events.count())
   }
 
+  test("clusterLabels reaches the transitive closure (chains and vees)") {
+    // chain 1~2~3 with 1≁3: every member must label to the minimum
+    val chain = Seq((2L, 3L), (1L, 2L)).toDF("id1", "id2")
+    assert(Dedup.clusterLabels(chain).as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // the single-round failure shape: (1,3),(2,3) — 2's only path to the
+    // minimum is through 3
+    val vee = Seq((1L, 3L), (2L, 3L)).toDF("id1", "id2")
+    assert(Dedup.clusterLabels(vee).as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a long chain needs multiple propagation rounds; disjoint clusters
+    // stay disjoint
+    val long = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L)).toDF("id1", "id2")
+    assert(Dedup.clusterLabels(long).as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("dedup pipeline drops transitive near-dup chains (A~B~C, A≁C)") {
+    // B overlaps A by 54/60 tokens and C by 54/60, but A and C share only
+    // 48/60 — with the right threshold, pairs are (A,B),(B,C) without (A,C)
+    val a = (1 to 60).map(i => s"token$i").mkString(" ")
+    val b = (7 to 66).map(i => s"token$i").mkString(" ")
+    val c = (13 to 72).map(i => s"token$i").mkString(" ")
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val kept = Dedup.dedupPipeline(
+      docs(1L -> a, 2L -> b, 3L -> c, 4L -> other), "id", "text",
+      minhashThreshold = 0.6)
+      .select("id").as[Long].collect().sorted.toSeq
+    // regardless of whether (1,3) itself is a candidate pair, the
+    // transitive closure keeps only the chain minimum
+    assert(kept == Seq(1L, 4L))
+  }
+
+  test("embeddingNearDupPairsLsh: exact precision, high recall vs the exact twin") {
+    val rnd = new scala.util.Random(42)
+    def randVec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]): Array[Float] =
+      v.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    // 12 planted near-dup triples + 150 unrelated vectors
+    val planted = (0 until 12).flatMap { g =>
+      val base = randVec()
+      Seq((g * 3L, base), (g * 3L + 1, perturb(base)), (g * 3L + 2, perturb(base)))
+    }
+    val noise = (0 until 150).map(i => (1000L + i, randVec()))
+    val emb = (planted ++ noise).toDF("vec_id", "embedding")
+    val exactPairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lshPairs = Dedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding", 0.9,
+      nBits = 8, nTables = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exactPairs.size >= 12) // the plant worked
+    // precision 1: candidates are exact-scored with the same threshold
+    assert(lshPairs.subsetOf(exactPairs))
+    // recall: multi-table LSH must find nearly all true pairs
+    val recall = lshPairs.size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"recall=$recall (${lshPairs.size}/${exactPairs.size})")
+  }
+
   test("embedding near-dup pairs symmetric corpus sanity") {
     val emb = Tables(spark, sf, "embeddings")
     val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = 0.99)

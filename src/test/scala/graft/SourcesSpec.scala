@@ -26,8 +26,8 @@ class SourcesSpec extends SparkSpec {
       """{"role":"user","content":"blue shirt","sessionid":"s2"}"""))
     val rows = c.table("user_questions").orderBy("sessionid").collect()
     assert(rows.length == 2)
-    assert(rows(0).getString(1) == "I am looking for shoes")
-    assert(rows(1).getString(3) == null) // absent field reads as null
+    assert(rows(0).getAs[String]("content") == "I am looking for shoes")
+    assert(rows(1).getAs[String]("email") == null) // absent field reads as null
   }
 
   test("insertInto enforces the registered schema at submit time") {
@@ -55,7 +55,7 @@ class SourcesSpec extends SparkSpec {
     c.insertInto("user_questions_vector", embedded)
     val out = c.table("user_questions_vector").collect()
     assert(out.length == 1)
-    assert(out(0).getSeq[Float](3).length == 64)
+    assert(out(0).getSeq[Float](out(0).fieldIndex("vector")).length == 64)
   }
 
   test("insertValues with complex ARRAY<ROW> literal (README.md:616-623)") {
@@ -67,7 +67,7 @@ class SourcesSpec extends SparkSpec {
     c.insertValues("llm_prompt_test",
       Row("s1", Seq(Row("productA"), Row("productB"))))
     val got = c.table("llm_prompt_test").collect()(0)
-    assert(got.getSeq[Row](1).map(_.getString(0)) == Seq("productA", "productB"))
+    assert(got.getSeq[Row](got.fieldIndex("products")).map(_.getString(0)) == Seq("productA", "productB"))
   }
 
   test("full reference architecture: 4 topics, question to llm_answers") {
@@ -115,24 +115,82 @@ class SourcesSpec extends SparkSpec {
 
     val out = c.table("llm_answers").collect()
     assert(out.length == 1)
-    assert(out(0).getString(2) == "abc123")
-    assert(out(0).getString(3).contains("assistant"))
+    assert(out(0).getAs[String]("sessionid") == "abc123")
+    assert(out(0).getAs[String]("json_response").contains("assistant"))
   }
 
-  test("describe lists columns like the reference transcript") {
+  test("describe lists columns like the reference transcript, key BUCKET KEY first") {
     val c = catalog()
     c.create("user_questions", questionSchema)
     val d = c.describe("user_questions").collect()
-    assert(d.map(_.getString(0)).toSeq == Seq("role", "content", "sessionid", "email"))
-    assert(d.forall(_.getString(1) == "string"))
+    assert(d.map(_.getString(0)).toSeq == Seq("key", "role", "content", "sessionid", "email"))
+    assert(d.head.getString(1) == "binary")
+    assert(d.head.getAs[String]("extras") == "BUCKET KEY")
+    assert(d.tail.forall(_.getString(1) == "string"))
+    assert(d.tail.forall(_.getAs[String]("extras") == ""))
   }
 
   test("temp view makes the topic SQL-visible") {
     val c = catalog()
     c.create("user_questions", questionSchema)
     c.produceJson("user_questions", Seq("""{"role":"user","content":"q","sessionid":"s"}"""))
-    // view was registered at create time over an empty dir; re-register to pick up data
-    c.table("user_questions").createOrReplaceTempView("user_questions")
+    // produce refreshes the view: no manual re-registration needed
     assert(spark.sql("SELECT count(*) FROM user_questions").head().getLong(0) == 1)
+  }
+
+  test("every topic table carries the implicit key BYTES bucket-key column (README.md:551)") {
+    val c = catalog()
+    c.create("user_questions", questionSchema)
+    val sch = c.table("user_questions").schema
+    assert(sch.fields.head.name == "key")
+    assert(sch.fields.head.dataType == BinaryType)
+    c.produceJson("user_questions", Seq("""{"role":"user","content":"q","sessionid":"s"}"""))
+    assert(c.table("user_questions").head().getAs[Array[Byte]]("key") == null)
+    // a declared 'key' column collides with the implicit one
+    val err = intercept[IllegalArgumentException](
+      c.create("bad_key", StructType(Seq(StructField("key", BinaryType)))))
+    assert(err.getMessage.contains("implicit"))
+  }
+
+  test("degenerate ROW<> is rejected at CREATE time (README.md:586-608)") {
+    val c = catalog()
+    val err = intercept[IllegalArgumentException](
+      c.create("llm_prompt_test", StructType(Seq(
+        StructField("sessionid", StringType),
+        StructField("llm_request_json_object", StructType(Seq.empty))))))
+    assert(err.getMessage.contains("ROW<>"))
+    // nested inside an array element too
+    val err2 = intercept[IllegalArgumentException](
+      c.create("llm_prompt_test2", StructType(Seq(
+        StructField("products", ArrayType(StructType(Seq.empty)))))))
+    assert(err2.getMessage.contains("ROW<>"))
+  }
+
+  test("schema evolution updates the table automatically (README.md:610-612)") {
+    val c = catalog()
+    c.create("user_questions", StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+    c.produceJson("user_questions", Seq("""{"role":"user","content":"old record"}"""))
+    // registry evolves: a sessionid field is appended
+    c.evolve("user_questions", StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType),
+      StructField("sessionid", StringType))))
+    // pre-evolution records read the new field as null; the SQL view
+    // followed the evolution without re-registration
+    val old = spark.sql(
+      "SELECT sessionid FROM user_questions WHERE content = 'old record'").collect()
+    assert(old.length == 1 && old(0).getString(0) == null)
+    c.produceJson("user_questions",
+      Seq("""{"role":"user","content":"new record","sessionid":"s9"}"""))
+    assert(c.table("user_questions").where(col("sessionid") === "s9").count() == 1)
+    // incompatible evolutions fail: dropped field / changed type
+    val errDrop = intercept[IllegalArgumentException](
+      c.evolve("user_questions", StructType(Seq(StructField("role", StringType)))))
+    assert(errDrop.getMessage.contains("drops field"))
+    val errType = intercept[IllegalArgumentException](
+      c.evolve("user_questions", StructType(Seq(
+        StructField("role", IntegerType), StructField("content", StringType),
+        StructField("sessionid", StringType)))))
+    assert(errType.getMessage.contains("incompatible type change"))
   }
 }

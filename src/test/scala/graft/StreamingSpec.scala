@@ -140,7 +140,7 @@ class StreamingSpec extends SparkSpec {
       .start()
     q.awaitTermination(60000)
     val got = spark.table("topic_stream_test").orderBy("sessionid")
-      .collect().map(_.getString(1)).toSeq
+      .collect().map(_.getAs[String]("content")).toSeq
     assert(got == Seq("q1", "q2"))
   }
 
