@@ -8,7 +8,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{HashEmbedder, TextOps, VectorFunctions}
-import graft.operators.{Dedup, Multimodal, VectorSearch}
+import graft.operators.{Corpus, Dedup, Multimodal, VectorSearch}
 import graft.pipeline.Rag
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -312,11 +312,20 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
-    // --- sketch aggregate: HLL distinct (rows-only; spec checks accuracy) -
+    // --- sketch aggregate: HLL distinct --------------------------------
+    // Oracle-checkable accuracy contract: the sketch value itself is
+    // engine-specific, so the driver-facing columns are the EXACT count
+    // plus a boolean asserting the HLL estimate landed within 5% of it
+    // (rsd=0.02 ⇒ 5% is > 2σ). The oracle emits the exact count and
+    // literal TRUE — a drifting sketch flips the boolean and fails hash.
     "q_hll_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("hll_ok"))
         .orderBy("l_returnflag")),
 
     // --- grouping sets / distinct agg ------------------------------------
@@ -434,6 +443,54 @@ object SparkEntry {
           min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"))
         .orderBy("l_returnflag")),
 
+    // --- corpus curation: deterministic stratified sampling ---------------
+    // Sampling is a pure function of doc_id (multiplicative hash), not an
+    // RNG — the same subset selects on any cluster size / partitioning,
+    // which is what makes a 100 TB sampled corpus reproducible.
+    "q_sample_stratified" -> ((s, dir) =>
+      Corpus.stratifiedSample(t(s, dir, "documents"), "doc_id", "source",
+        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.125)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // --- corpus curation: PII redaction -----------------------------------
+    // The synthetic corpus carries no PII, so the query plants one email,
+    // phone, and URL per row (derived from doc_id) and then redacts —
+    // exercising the regex surface genuinely on both engines.
+    "q_pii_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("dirty", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".com or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" see https://ex"), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(".org/d/"), col("doc_id").cast("string")))
+        .select(col("doc_id"), Corpus.redactPii(col("dirty")).as("clean"),
+          Corpus.piiCounts(col("dirty"))._1.as("n_email"),
+          Corpus.piiCounts(col("dirty"))._2.as("n_phone"),
+          Corpus.piiCounts(col("dirty"))._3.as("n_url"))
+        .orderBy("doc_id")),
+
+    // --- corpus curation: benchmark decontamination -----------------------
+    // Benchmark = every 97th document (stand-in eval set); flag docs
+    // sharing any distinct 4-gram with it. Benchmark grams broadcast.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.contamination(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", n = 4, minShared = 1)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // --- corpus curation: intra-doc repetition profile --------------------
+    "q_repetition" -> ((s, dir) =>
+      Corpus.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // --- multimodal binary columns (north star) ---------------------------
     "q_multimodal_bytes" -> ((s, dir) =>
       Multimodal.byteStats(t(s, dir, "documents"), "doc_id", "text")
@@ -488,6 +545,72 @@ object SparkEntry {
         nList = 16, nProbe = 4)
         .orderBy("query_id", "rank")
     }),
+
+    // --- SQL surface: CUBE grouping sets with grouping() flags ------------
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // --- SQL surface: correlated EXISTS subquery --------------------------
+    "q_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 10000)
+        ORDER BY c_custkey""")
+    }),
+
+    // --- SQL surface: scalar subquery (exact integer-cent comparison) -----
+    // avg-threshold filter done in exact integer arithmetic on both
+    // engines: cents * n * 2 > total_cents * 3  ⇔  price > 1.5 * avg
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+        FROM orders
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+                * (SELECT count(*) FROM orders) * 2
+              > (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) FROM orders) * 3
+        ORDER BY o_orderkey""")
+    }),
+
+    // --- SQL surface: chained CTEs (per-year busiest customers) -----------
+    "q_cte" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        WITH yearly AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_custkey, count(*) AS n
+          FROM orders GROUP BY 1, 2),
+        peaks AS (SELECT y AS py, max(n) AS mx FROM yearly GROUP BY y)
+        SELECT y, o_custkey, n
+        FROM yearly JOIN peaks ON yearly.y = peaks.py AND yearly.n = peaks.mx
+        ORDER BY y, o_custkey""")
+    }),
+
+    // --- SQL surface: unpivot (stack) to long form ------------------------
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("stack(2, 'total_cents', CAST(round(o_totalprice * 100) AS BIGINT), " +
+            "'custkey', o_custkey) AS (metric, value)"))
+        .orderBy("o_orderkey", "metric")),
+
+    // --- SQL surface: JSON path extraction over the props column ----------
+    "q_json_path" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          get_json_object(col("props"), "$.missing").as("missing"))
+        .orderBy("event_id")),
 
     // --- topic catalog round-trip: create + produce + INSERT SELECT + scan
     // (S1/S2/S5/S6 made driver-visible; oracle = the same rows straight
@@ -808,5 +931,89 @@ object SparkEntry {
         "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
         "FROM embeddings q, embeddings c) WHERE rnk <= 3 " +
         "ORDER BY query_id, rank"),
+
+    "q_hll_distinct" ->
+      ("SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, " +
+        "TRUE AS hll_ok FROM lineitem GROUP BY 1 ORDER BY 1"),
+
+    "q_sample_stratified" ->
+      ("SELECT doc_id, source FROM documents " +
+        "WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 < " +
+        "CASE WHEN source = 'src0' THEN 4294967296 " +
+        "WHEN source = 'src1' THEN 2147483648 " +
+        "WHEN source = 'src2' THEN 1073741824 " +
+        "ELSE 536870912 END ORDER BY doc_id"),
+
+    "q_pii_redact" ->
+      ("SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(dirty, " +
+        "'https?://[^\\s]+', '<URL>', 'g'), " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS clean, " +
+        "CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, " +
+        "CAST(len(regexp_extract_all(dirty, '\\b[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) AS n_phone, " +
+        "CAST(len(regexp_extract_all(dirty, 'https?://[^\\s]+')) AS BIGINT) AS n_url " +
+        "FROM (SELECT doc_id, concat(text, ' contact user', doc_id, '@mail', " +
+        "doc_id % 7, '.com or 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), " +
+        "' see https://ex', doc_id % 5, '.org/d/', doc_id) AS dirty FROM documents) " +
+        "ORDER BY doc_id"),
+
+    "q_decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents), " +
+        "grams AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+3], ' ') AS gram " +
+        "FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 1))) AS r(i) WHERE len(tk) >= 4), " +
+        "bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0) " +
+        "SELECT g.doc_id, count(*) AS n_shared FROM grams g JOIN bench b ON g.gram = b.gram " +
+        "WHERE g.doc_id % 97 <> 0 GROUP BY 1 HAVING count(*) >= 1 ORDER BY doc_id"),
+
+    "q_repetition" ->
+      ("WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok FROM documents), " +
+        "cnts AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok, count(*) AS n_distinct, " +
+        "CAST(max(cnt) AS BIGINT) AS top_cnt FROM cnts GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_cube" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n, " +
+        "CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf, " +
+        "CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+
+    "q_exists_subquery" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 10000) " +
+        "ORDER BY c_custkey"),
+
+    "q_scalar_subquery" ->
+      ("SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents " +
+        "FROM orders " +
+        "WHERE CAST(round(o_totalprice * 100) AS BIGINT) " +
+        "* (SELECT count(*) FROM orders) * 2 " +
+        "> (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) FROM orders) * 3 " +
+        "ORDER BY o_orderkey"),
+
+    "q_cte" ->
+      ("WITH yearly AS (" +
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_custkey, count(*) AS n " +
+        "FROM orders GROUP BY 1, 2), " +
+        "peaks AS (SELECT y AS py, max(n) AS mx FROM yearly GROUP BY y) " +
+        "SELECT y, o_custkey, n " +
+        "FROM yearly JOIN peaks ON yearly.y = peaks.py AND yearly.n = peaks.mx " +
+        "ORDER BY y, o_custkey"),
+
+    "q_unpivot" ->
+      ("SELECT o_orderkey, metric, value FROM (" +
+        "SELECT o_orderkey, 'total_cents' AS metric, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS value FROM orders " +
+        "UNION ALL SELECT o_orderkey, 'custkey', o_custkey FROM orders) " +
+        "ORDER BY o_orderkey, metric"),
+
+    "q_json_path" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
+        "json_extract_string(props, '$.missing') AS missing " +
+        "FROM events ORDER BY event_id"),
   )
 }

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * deterministic stratified sampling, PII redaction, benchmark
+  * decontamination, and intra-document repetition statistics.
+  *
+  * Everything here is either a narrow per-row map (sampling, redaction)
+  * or a slim-keyed equi-join (decontamination), so each operator scales
+  * linearly with input splits at 100 TB. All arithmetic is integer /
+  * regex-on-string and mirrors one-to-one into ANSI SQL, so every
+  * operator is DuckDB-oracle-checkable.
+  */
+object Corpus {
+
+  // --- deterministic sampling ---------------------------------------------
+
+  /** Order-free multiplicative hash of an id into [0, 2^32): Knuth's
+    * 2654435761 (golden-ratio) multiplier. The id is reduced mod 2^31
+    * first so the product never exceeds 2^31 * 2654435761 < 2^63 —
+    * overflow-free in engines that trap int64 overflow (DuckDB) and
+    * wrap-free in those that don't (JVM), so both compute the same value
+    * for any BIGINT id.
+    */
+  def sampleHash(id: Column): Column =
+    pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+
+  /** Deterministic stratified sampling: keep a row iff
+    * `sampleHash(id) < rate(stratum) * 2^32`. Sampling is a pure
+    * function of the id — stable across runs, executors, and engines
+    * (no RNG state, unlike `df.sample`), so a 100 TB re-run or a
+    * different partitioning selects the identical subset. Rates are
+    * per-stratum with a default; thresholds are precomputed to exact
+    * longs on the driver.
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    def thresh(r: Double): Long = (r * 4294967296d).toLong
+    val threshold = rates.foldLeft(lit(thresh(defaultRate))) {
+      case (acc, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit(thresh(r))).otherwise(acc)
+    }
+    df.filter(sampleHash(col(idCol)) < threshold)
+  }
+
+  // --- PII redaction -------------------------------------------------------
+
+  /** Regex dialect notes: patterns avoid lookarounds and backreferences so
+    * the same string means the same automaton in Java regex (Spark) and
+    * RE2 (DuckDB). `\b` is the ASCII word boundary in both.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+  val UrlRe = "https?://[^\\s]+"
+
+  /** Replace URLs, then emails, then phone numbers with typed placeholder
+    * tokens. URL first: an email-shaped substring inside a URL should
+    * redact as part of the URL, not survive as a second token.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-row PII hit counts (emails counted before redaction, so an
+    * email inside a URL counts under both — documented, deterministic).
+    */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(UrlRe), lit(0))).cast("long"))
+
+  // --- benchmark decontamination ------------------------------------------
+
+  /** Distinct word `n`-grams per document — the shared shingle stage of
+    * [[Dedup.ngramJaccardPairs]], exposed for contamination checks.
+    */
+  def distinctGrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .withColumn("gram",
+        explode(transform(sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
+          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))))
+      .select("id", "gram").distinct()
+
+  /** Benchmark decontamination: for every candidate document, the number
+    * of distinct word n-grams it shares with the benchmark (eval-set)
+    * corpus; rows with `n_shared >= minShared` are contamination flags.
+    *
+    * Scale shape: the benchmark side is an eval set — small by
+    * construction — so its distinct-gram set is explicitly `broadcast`;
+    * the candidate side streams map-side through the hash join and the
+    * only shuffle is the final per-doc count on slim (id) keys. Work is
+    * linear in corpus grams, never |corpus| x |benchmark|.
+    */
+  def contamination(
+      docs: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, minShared: Long = 1): DataFrame = {
+    val docGrams = distinctGrams(docs, idCol, textCol, n)
+    val benchGrams = distinctGrams(benchmark, idCol, textCol, n)
+      .select("gram").distinct()
+    docGrams.join(broadcast(benchGrams), "gram")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  // --- repetition statistics ----------------------------------------------
+
+  /** Intra-document repetition profile over whitespace tokens:
+    * `n_tok` total tokens, `n_distinct` distinct tokens, and `top_cnt`
+    * (the highest single-token frequency). Duplication ratio
+    * `(n_tok - n_distinct) / n_tok` and top-token dominance
+    * `top_cnt / n_tok` derive from these exact integers — emitting the
+    * integer numerators keeps the output hash-stable across engines
+    * (no float rounding anywhere).
+    *
+    * Shape: tokens explode to slim (id, tok) rows, two partial-agg
+    * shuffles on the id key — linear, skew-free (a single document's
+    * tokens land in one group but documents are bounded).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+          t => length(t) > 0)).as("tok"))
+    toks.groupBy("id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("id")
+      .agg(sum(col("cnt")).as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sampleHash lands in [0, 2^32) and is a pure function of the id") {
+    val ids = spark.range(0, 10000).toDF("id")
+    val h = ids.select(Corpus.sampleHash(col("id")).as("h"))
+    val bounds = h.agg(min("h"), max("h")).head()
+    assert(bounds.getLong(0) >= 0L && bounds.getLong(1) < 4294967296L)
+    // stable across evaluations (no RNG state)
+    val a = h.as[Long].collect().toSeq
+    val b = ids.select(Corpus.sampleHash(col("id")).as("h")).as[Long].collect().toSeq
+    assert(a == b)
+  }
+
+  test("stratified sample selects per-stratum rates, deterministically") {
+    val docs = Tables(spark, sf, "documents")
+    val sampled = Corpus.stratifiedSample(docs, "doc_id", "source",
+      rates = Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+    val bySrc = sampled.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src0") == totals("src0"), "rate 1.0 keeps every row")
+    assert(!bySrc.contains("src1"), "rate 0.0 keeps none")
+    val defaultKept = bySrc.filterKeys(s => s != "src0" && s != "src1").values.sum
+    val defaultTotal = totals.filterKeys(s => s != "src0" && s != "src1").values.sum
+    val frac = defaultKept.toDouble / defaultTotal
+    assert(frac > 0.3 && frac < 0.7, s"default 0.5 rate sampled frac=$frac")
+    // re-running selects the identical subset
+    val again = Corpus.stratifiedSample(docs, "doc_id", "source",
+      rates = Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+    assert(sampled.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("redactPii replaces email, phone, url; email inside a url is url") {
+    val df = Seq(
+      (1L, "write to alice.smith+x@corp.example.org today"),
+      (2L, "call 555-0142 now"),
+      (3L, "docs at https://example.com/a?user=bob@mail.com rest"),
+      (4L, "two mails a@b.io and c.d@e.co"),
+      (5L, "clean text, no pii")).toDF("id", "text")
+    val out = df.select(col("id"), Corpus.redactPii(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "write to <EMAIL> today")
+    assert(out(2L) == "call <PHONE> now")
+    assert(out(3L) == "docs at <URL> rest", "url eats the embedded email")
+    assert(out(4L) == "two mails <EMAIL> and <EMAIL>")
+    assert(out(5L) == "clean text, no pii")
+  }
+
+  test("piiCounts counts each kind") {
+    val df = Seq((1L, "a@b.io c@d.io 555-1234 https://x.org")).toDF("id", "text")
+    val (e, p, u) = Corpus.piiCounts(col("text"))
+    val r = df.select(e.as("e"), p.as("p"), u.as("u")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 1L)))
+  }
+
+  test("contamination flags a doc sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "prefix words then the quick brown fox appears here"),
+      (2L, "completely unrelated text with no overlap at all")).toDF("id", "text")
+    val flagged = Corpus.contamination(docs, bench, "id", "text", n = 4, minShared = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged.contains(1L) && flagged(1L) >= 1L)
+    assert(!flagged.contains(2L))
+  }
+
+  test("repetitionStats: exact integer profile") {
+    val df = Seq((1L, "a a a b b c"), (2L, "x y z")).toDF("id", "text")
+    val r = Corpus.repetitionStats(df, "id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(1L) == ((6L, 3L, 3L)), "6 tokens, 3 distinct, top count 3")
+    assert(r(2L) == ((3L, 3L, 1L)))
+  }
+
+  test("distinctGrams emits each n-gram once per doc") {
+    val df = Seq((1L, "a b a b a b")).toDF("id", "text")
+    val grams = Corpus.distinctGrams(df, "id", "text", 2)
+      .select("gram").as[String].collect().sorted.toSeq
+    assert(grams == Seq("a b", "b a"))
+  }
+}
