@@ -485,6 +485,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- corpus curation: per-source token budget (training-mix fill) -----
+    "q_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      Corpus.tokenBudget(docs, "doc_id", "source", "n_tok", budget = 2000L)
+        .orderBy("doc_id")
+    }),
+
     // --- corpus curation: intra-doc repetition profile --------------------
     "q_repetition" -> ((s, dir) =>
       Corpus.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
@@ -544,6 +553,34 @@ object SparkEntry {
         emb, "vec_id", "embedding", k = 3, metric = "dot",
         nList = 16, nProbe = 4)
         .orderBy("query_id", "rank")
+    }),
+
+    // --- ANN accuracy contracts (oracle-checkable approximate search) -----
+    // Same pattern as the HLL contract: the approximate result itself is
+    // engine-specific, so the driver-checked output is a per-query boolean
+    // asserting >=1 of the true top-3 was retrieved; the oracle pins TRUE.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val approx = VectorSearch.annTopK(queries, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 3, metric = "dot", nBits = 6, nTables = 4)
+      val exact = VectorSearch.topKFlat(queries, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 3, metric = "dot")
+      VectorSearch.recallContract(approx, exact, queries, "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
+    "q_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val approx = graft.operators.IvfSearch.ivfTopK(queries, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 3, metric = "dot", nList = 16, nProbe = 4)
+      val exact = VectorSearch.topKFlat(queries, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 3, metric = "dot")
+      VectorSearch.recallContract(approx, exact, queries, "query_id", "match_id", 1)
+        .orderBy("query_id")
     }),
 
     // --- SQL surface: CUBE grouping sets with grouping() flags ------------
@@ -1015,5 +1052,22 @@ object SparkEntry {
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
         "json_extract_string(props, '$.missing') AS missing " +
         "FROM events ORDER BY event_id"),
+
+    "q_token_budget" ->
+      ("WITH d AS (SELECT doc_id, source, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok FROM documents), " +
+        "r AS (SELECT doc_id, source, n_tok, sum(n_tok) OVER (" +
+        "PARTITION BY source ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS running_tok FROM d) " +
+        "SELECT doc_id, source, n_tok, CAST(running_tok AS BIGINT) AS running_tok " +
+        "FROM r WHERE running_tok <= 2000 ORDER BY doc_id"),
+
+    "q_ann_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_ivf_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
   )
 }

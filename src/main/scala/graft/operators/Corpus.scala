@@ -110,6 +110,30 @@ object Corpus {
       .filter(col("n_shared") >= minShared)
   }
 
+  // --- token-budget selection (data mixing) -------------------------------
+
+  /** Fill a per-stratum token budget: within each stratum, documents are
+    * visited in [[sampleHash]] order (a deterministic, unbiased
+    * shuffle — no RNG state, stable at any cluster size) and kept while
+    * the running token total stays within `budget`. This is the core of
+    * training-mix construction: "N tokens of source A, M of source B".
+    *
+    * Scale shape: one window aggregation partitioned by stratum. Strata
+    * (sources/domains) are numerous at corpus scale, so the partition-by
+    * key fans out; a single giant stratum is the skew case — pre-split
+    * it upstream or budget it separately.
+    */
+  def tokenBudget(
+      df: DataFrame, idCol: String, stratumCol: String, tokCol: String,
+      budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(sampleHash(col(idCol)), col(idCol))
+      .rowsBetween(Long.MinValue, 0)
+    df.withColumn("running_tok", sum(col(tokCol)).over(w))
+      .filter(col("running_tok") <= budget)
+  }
+
   // --- repetition statistics ----------------------------------------------
 
   /** Intra-document repetition profile over whitespace tokens:

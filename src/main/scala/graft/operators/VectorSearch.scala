@@ -228,6 +228,27 @@ object VectorSearch {
     val w = Window.partitionBy(col(qId)).orderBy(orderFor(metric): _*)
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Recall contract for an approximate search against its exact twin:
+    * per query, `recall_ok` = at least `minHits` of the approximate
+    * matches appear in the exact top-k. Turns a non-deterministic-looking
+    * (but in fact fully deterministic) ANN result into an
+    * oracle-checkable accuracy assertion — the oracle emits the query
+    * list with literal TRUE, so any recall regression flips a boolean
+    * and fails the hash (same pattern as the HLL 5% contract).
+    *
+    * Both inputs are (qId, matchId) projections; `queries` left-joins so
+    * a query with ZERO overlapping matches still surfaces (as false).
+    */
+  def recallContract(
+      approx: DataFrame, exact: DataFrame, queries: DataFrame,
+      qId: String, matchId: String, minHits: Long): DataFrame = {
+    val hits = approx.select(col(qId), col(matchId))
+      .join(exact.select(col(qId), col(matchId)), Seq(qId, matchId))
+      .groupBy(qId).agg(count(lit(1)).as("__hits"))
+    queries.select(col(qId)).join(hits, Seq(qId), "left")
+      .select(col(qId), (coalesce(col("__hits"), lit(0L)) >= minHits).as("recall_ok"))
+  }
 }
 
 /** Sign-random-projection LSH (Charikar, STOC 2002): deterministic

@@ -79,6 +79,33 @@ class CorpusSpec extends SparkSpec {
     assert(r(2L) == ((3L, 3L, 1L)))
   }
 
+  test("tokenBudget fills each stratum up to the budget in hash order") {
+    val df = Seq(
+      (1L, "a", 900L), (2L, "a", 900L), (3L, "a", 900L), (4L, "a", 900L),
+      (10L, "b", 500L)).toDF("id", "src", "n_tok")
+    val kept = Corpus.tokenBudget(df, "id", "src", "n_tok", budget = 2000L)
+    val byStratum = kept.groupBy("src")
+      .agg(count(lit(1)).as("n"), sum("n_tok").as("tot"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byStratum("a") == ((2L, 1800L)), "exactly 2 of the 900-token docs fit in 2000")
+    assert(byStratum("b") == ((1L, 500L)))
+    // deterministic: same subset on re-run
+    val again = Corpus.tokenBudget(df, "id", "src", "n_tok", budget = 2000L)
+    assert(kept.select("id").as[Long].collect().sorted.toSeq ==
+      again.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("recallContract: per-query boolean against the exact twin") {
+    import graft.operators.VectorSearch
+    val queries = Seq((1L, "x"), (2L, "x")).toDF("qid", "ignore")
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)).toDF("qid", "mid")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 98L), (2L, 99L)).toDF("qid", "mid")
+    val r = VectorSearch.recallContract(approx, exact, queries, "qid", "mid", 1)
+      .as[(Long, Boolean)].collect().toMap
+    assert(r(1L), "query 1 retrieved one true match")
+    assert(!r(2L), "query 2 retrieved none")
+  }
+
   test("distinctGrams emits each n-gram once per doc") {
     val df = Seq((1L, "a b a b a b")).toDF("id", "text")
     val grams = Corpus.distinctGrams(df, "id", "text", 2)
