@@ -398,6 +398,14 @@ object SparkEntry {
           col("n"), col("sum_value"))
         .orderBy("hour", "event_type")),
 
+    // --- sliding windows (batch twin of Streams.slidingCounts) ------------
+    "q_events_sliding" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("long").as("win_start"), col("event_type"), col("n"))
+        .orderBy("win_start", "event_type")),
+
     "q_sessionize" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
@@ -1052,6 +1060,14 @@ object SparkEntry {
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
         "json_extract_string(props, '$.missing') AS missing " +
         "FROM events ORDER BY event_id"),
+
+    // each event belongs to exactly size/slide = 4 overlapping windows:
+    // starts floor(epoch/900)*900 - i*900 for i in 0..3
+    "q_events_sliding" ->
+      ("SELECT win_start, event_type, count(*) AS n FROM (" +
+        "SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - i * 900 AS win_start, " +
+        "event_type FROM events, UNNEST([0, 1, 2, 3]) AS t(i)) " +
+        "GROUP BY 1, 2 ORDER BY win_start, event_type"),
 
     "q_token_budget" ->
       ("WITH d AS (SELECT doc_id, source, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +

@@ -133,6 +133,43 @@ object Streams {
       .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("sw.start").cast("long").as("session_start"), col("n"))
+
+  /** Stream-stream interval join: each left event joins right events of
+    * the same key whose timestamp falls within `[lts - before, lts]`.
+    * Both sides carry watermarks and the join condition time-bounds BOTH
+    * event times, so Spark derives a state-eviction horizon for each
+    * side — state is bounded, the join runs forever (the streaming form
+    * of the batch interval join, SURVEY §2.3/§2.9).
+    */
+  def intervalJoinStream(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      before: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(keyCol).as("k"), col("ts").as("lts"),
+        col("event_id").as("left_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(keyCol).as("rk"), col("ts").as("rts"),
+        col("event_id").as("right_id"))
+    l.join(r,
+      col("k") === col("rk") &&
+        col("rts") >= col("lts") - expr(s"INTERVAL $before") &&
+        col("rts") <= col("lts"))
+      .select(col("k").as(keyCol), col("left_id"), col("right_id"),
+        col("lts"), col("rts"))
+  }
+
+  /** Sliding-window aggregation: overlapping windows (`size` long, one
+    * every `slide`) — each event contributes to size/slide windows.
+    * Watermark-bounded state like [[tumblingCounts]]; identical results
+    * on a static DataFrame (batch twin).
+    */
+  def slidingCounts(events: DataFrame, size: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("win_start"), col("event_type"), col("n"))
 }
 
 /** Keyed-state records for [[Streams.runningUserTotals]]. */

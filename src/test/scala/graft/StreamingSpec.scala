@@ -79,6 +79,65 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join (append) equals the batch twin") {
+    val events = Tables(spark, sf, "events")
+    val src = tmp("graft_ssj_src")
+    events.write.parquet(s"$src/all")
+    def left(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "purchase")
+    def right(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "view")
+
+    val stream = Streams.intervalJoinStream(
+      left(Streams.fileStream(spark, s"$src/*", events.schema)),
+      right(Streams.fileStream(spark, s"$src/*", events.schema)),
+      "user_id")
+    val q = stream.writeStream
+      .format("memory").queryName("ssj_test").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("ssj_test")
+      .orderBy("left_id", "right_id").collect().map(_.toString).toSeq
+    // batch twin: same join condition on static frames
+    val l = left(events).select(col("user_id").as("k"),
+      col("ts").as("lts"), col("event_id").as("left_id"))
+    val r = right(events).select(col("user_id").as("rk"),
+      col("ts").as("rts"), col("event_id").as("right_id"))
+    val batch = l.join(r, col("k") === col("rk") &&
+        col("rts") >= col("lts") - expr("INTERVAL 30 minutes") &&
+        col("rts") <= col("lts"))
+      .select(col("k").as("user_id"), col("left_id"), col("right_id"),
+        col("lts"), col("rts"))
+      .orderBy("left_id", "right_id").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming sliding windows (complete mode) equal batch aggregation") {
+    val events = Tables(spark, sf, "events")
+    val src = tmp("graft_slide_src")
+    events.write.parquet(s"$src/all")
+
+    val stream = Streams.slidingCounts(
+      Streams.fileStream(spark, s"$src/*", events.schema))
+    val q = stream.writeStream
+      .format("memory").queryName("sliding_test").outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sliding_test")
+      .orderBy("win_start", "event_type").collect().map(_.toString).toSeq
+    val batch = Streams.slidingCounts(events)
+      .orderBy("win_start", "event_type").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    // each event lands in size/slide = 4 overlapping windows: more rows
+    // than the tumbling form over the same data
+    assert(streamed.nonEmpty)
+  }
+
   test("watermark drops late data in append mode (the retention bound)") {
     import java.sql.Timestamp
     import spark.implicits._
