@@ -318,11 +318,16 @@ object SparkEntry {
     // plus a boolean asserting the HLL estimate landed within 5% of it
     // (rsd=0.02 ⇒ 5% is > 2σ). The oracle emits the exact count and
     // literal TRUE — a drifting sketch flips the boolean and fails hash.
+    // Pre-deduplicate (flag, partkey) once, then count + sketch over the
+    // distinct keys: HLL is duplicate-insensitive so the estimate is
+    // identical, and the plan avoids the Expand (double-shuffle) that
+    // `count(DISTINCT) + approx_count_distinct` in one agg would cost.
     "q_hll_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
+        .select("l_returnflag", "l_partkey").distinct()
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+          count(lit(1)).as("exact_parts"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts")) <=
             col("exact_parts") * 0.05).as("hll_ok"))
