@@ -365,6 +365,42 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // --- full outer join (partially disjoint key sets, nulls surfaced) ----
+    "q_full_outer" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      def yearly(y: Int, out: String) = ord.filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey").as(s"k$y")).agg(count(lit(1)).as(out))
+      yearly(1995, "n_1995").join(yearly(1996, "n_1996"),
+          col("k1995") === col("k1996"), "full_outer")
+        .select(coalesce(col("k1995"), col("k1996")).as("custkey"),
+          col("n_1995"), col("n_1996"))
+        .orderBy("custkey")
+    }),
+
+    // --- array-function breadth (serialized for the driver loader) --------
+    "q_array_funcs" -> ((s, dir) => {
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(array_distinct(toks)).cast("long").as("n_uniq"),
+          array_join(slice(sort_array(array_distinct(toks)), 1, 3), " ").as("first3"),
+          array_contains(toks, "the").as("has_the"))
+        .orderBy("doc_id")
+    }),
+
+    // --- sketch percentile accuracy contract ------------------------------
+    // approx_percentile(p50) must land inside the exact [p40, p60] band;
+    // oracle pins TRUE (same pattern as the HLL/recall contracts).
+    "q_approx_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"),
+          expr("percentile(l_extendedprice, 0.4)").as("p40"),
+          expr("percentile(l_extendedprice, 0.6)").as("p60"))
+        .select(col("l_returnflag"),
+          (col("ap") >= col("p40") && col("ap") <= col("p60")).as("p50_ok"))
+        .orderBy("l_returnflag")),
+
     // --- pivot ------------------------------------------------------------
     "q_pivot" -> ((s, dir) =>
       t(s, dir, "events")
@@ -1082,6 +1118,25 @@ object SparkEntry {
         "ROWS UNBOUNDED PRECEDING) AS running_tok FROM d) " +
         "SELECT doc_id, source, n_tok, CAST(running_tok AS BIGINT) AS running_tok " +
         "FROM r WHERE running_tok <= 2000 ORDER BY doc_id"),
+
+    "q_full_outer" ->
+      ("WITH y95 AS (SELECT o_custkey AS k, count(*) AS n_1995 FROM orders " +
+        "WHERE year(o_orderdate) = 1995 GROUP BY 1), " +
+        "y96 AS (SELECT o_custkey AS k, count(*) AS n_1996 FROM orders " +
+        "WHERE year(o_orderdate) = 1996 GROUP BY 1) " +
+        "SELECT coalesce(y95.k, y96.k) AS custkey, n_1995, n_1996 " +
+        "FROM y95 FULL OUTER JOIN y96 ON y95.k = y96.k ORDER BY custkey"),
+
+    "q_array_funcs" ->
+      ("SELECT doc_id, CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq, " +
+        "array_to_string(list_sort(list_distinct(tk))[1:3], ' ') AS first3, " +
+        "list_contains(tk, 'the') AS has_the " +
+        "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        "t -> len(t) > 0) AS tk FROM documents) ORDER BY doc_id"),
+
+    "q_approx_percentile" ->
+      ("SELECT l_returnflag, TRUE AS p50_ok FROM lineitem " +
+        "GROUP BY 1 ORDER BY 1"),
 
     "q_ann_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +

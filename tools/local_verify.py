@@ -53,4 +53,19 @@ for d in sorted(glob.glob(f"{outdir}/q_*")):
     n = con.execute(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
     print(f"[{'OK  ' if n > 0 else 'FAIL'}] {name}: rows-only check, {n} rows")
     if n == 0: fail += 1
+
+# driver-loader hazard: the driver loads every output (oracle or not) with
+# pandas, which cannot hash ndarray cells — ANY list/struct output column
+# crashes its gate (CORRECTNESS_r01). Flag them here so the regression is
+# caught locally before a round is burned.
+import pyarrow.parquet as pq
+for d in sorted(glob.glob(f"{outdir}/q_*")):
+    name = os.path.basename(d)
+    files = glob.glob(f"{d}/*.parquet")
+    if not files: continue
+    nested = [f.name for f in pq.read_schema(files[0])
+              if "list" in str(f.type) or "struct" in str(f.type)]
+    if nested:
+        print(f"[FAIL] {name}: nested output columns {nested} crash the driver loader")
+        fail += 1
 sys.exit(1 if fail else 0)
