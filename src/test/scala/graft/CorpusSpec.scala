@@ -106,6 +106,21 @@ class CorpusSpec extends SparkSpec {
     assert(!r(2L), "query 2 retrieved none")
   }
 
+  test("null and empty text: curation ops degrade without throwing") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "),
+      (4L, "real text here")).toDF("id", "text")
+    // redaction passes nulls through, leaves clean text alone
+    val red = df.select(col("id"), Corpus.redactPii(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(red(1L).isEmpty && red(2L).contains("") && red(4L).contains("real text here"))
+    // repetition stats: null/empty/blank docs vanish (no tokens), real stays
+    val rep = Corpus.repetitionStats(df, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(rep == Set(4L))
+    // grams: nothing shorter than n survives
+    assert(Corpus.distinctGrams(df, "id", "text", 3).count() == 1)
+  }
+
   test("distinctGrams emits each n-gram once per doc") {
     val df = Seq((1L, "a b a b a b")).toDF("id", "text")
     val grams = Corpus.distinctGrams(df, "id", "text", 2)

@@ -18,6 +18,28 @@ class SkewAndBucketSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("partitioned-by-column write prunes partitions at the scan") {
+    // the 100 TB layout: fact tables partitioned by a coarse key (date,
+    // IVF cell, source) so a keyed query touches only its partitions
+    val dir = java.nio.file.Files.createTempDirectory("graft_partprune").toString
+    Tables(spark, sf, "events")
+      .withColumn("etype", col("event_type"))
+      .write.partitionBy("etype").parquet(s"$dir/events_p")
+    val scan = spark.read.parquet(s"$dir/events_p").filter(col("etype") === "purchase")
+    // the filter lands in PartitionFilters (file-listing pruning), and the
+    // scan node touches only the one matching partition directory
+    val fileScan = scan.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(fileScan.partitionFilters.exists(_.toString.contains("etype")),
+      s"etype filter not in PartitionFilters: ${fileScan.partitionFilters}")
+    assert(fileScan.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, got ${fileScan.selectedPartitions.partitionCount}")
+    val expected = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(scan.count() == expected)
+  }
+
   test("salted join equals plain join on skewed data") {
     // heavily skewed: 90% of rows share one key
     val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 0L, i)).toDF("k", "v")
