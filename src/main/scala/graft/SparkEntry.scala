@@ -534,6 +534,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- language ID, oracle-checked --------------------------------------
+    // The full stopword-marker heuristic (TextOps.langIdHeuristic) is
+    // re-expressed relationally in the DuckDB oracle: per-language marker
+    // counts + argmax with the same (count, lang) tie-break. The CJK /
+    // Cyrillic script fast paths are vacuous on this ASCII corpus.
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang"))
+        .orderBy("doc_id")),
+
     // --- corpus curation: per-source token budget (training-mix fill) -----
     "q_token_budget" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1109,6 +1119,28 @@ object SparkEntry {
         "SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - i * 900 AS win_start, " +
         "event_type FROM events, UNNEST([0, 1, 2, 3]) AS t(i)) " +
         "GROUP BY 1, 2 ORDER BY win_start, event_type"),
+
+    "q_lang_id" ->
+      ("WITH toks AS (SELECT doc_id, unnest(list_filter(" +
+        "regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), t -> len(t) > 0)) AS tok " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, " +
+        "count(*) FILTER (WHERE tok IN ('the','and','of','to','is','you','that','with')) AS en, " +
+        "count(*) FILTER (WHERE tok IN ('el','la','los','las','de','que','es','una','para','por')) AS es, " +
+        "count(*) FILTER (WHERE tok IN ('le','les','des','une','est','dans','pour','avec','sur')) AS fr, " +
+        "count(*) FILTER (WHERE tok IN ('der','die','das','und','ist','nicht','ein','mit','von')) AS de, " +
+        "count(*) FILTER (WHERE tok IN ('il','di','che','per','con','sono','della','una')) AS it, " +
+        "count(*) FILTER (WHERE tok IN ('os','uma','com','para','mais','como','dos','ser')) AS pt " +
+        "FROM toks GROUP BY doc_id) " +
+        "SELECT d.doc_id, CASE " +
+        "WHEN c.doc_id IS NULL OR greatest(en, es, fr, de, it, pt) = 0 THEN 'und' " +
+        "WHEN pt = greatest(en, es, fr, de, it, pt) THEN 'pt' " +
+        "WHEN it = greatest(en, es, fr, de, it, pt) THEN 'it' " +
+        "WHEN fr = greatest(en, es, fr, de, it, pt) THEN 'fr' " +
+        "WHEN es = greatest(en, es, fr, de, it, pt) THEN 'es' " +
+        "WHEN en = greatest(en, es, fr, de, it, pt) THEN 'en' " +
+        "ELSE 'de' END AS lang " +
+        "FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id ORDER BY d.doc_id"),
 
     "q_token_budget" ->
       ("WITH d AS (SELECT doc_id, source, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +
