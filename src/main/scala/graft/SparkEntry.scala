@@ -394,11 +394,13 @@ object SparkEntry {
     "q_approx_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
+        // array-form percentile: one sorted buffer for both exact bounds
+        // instead of two independent percentile aggregates
         .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"),
-          expr("percentile(l_extendedprice, 0.4)").as("p40"),
-          expr("percentile(l_extendedprice, 0.6)").as("p60"))
+          expr("percentile(l_extendedprice, array(0.4D, 0.6D))").as("band"))
         .select(col("l_returnflag"),
-          (col("ap") >= col("p40") && col("ap") <= col("p60")).as("p50_ok"))
+          (col("ap") >= element_at(col("band"), 1) &&
+            col("ap") <= element_at(col("band"), 2)).as("p50_ok"))
         .orderBy("l_returnflag")),
 
     // --- pivot ------------------------------------------------------------
