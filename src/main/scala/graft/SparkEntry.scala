@@ -494,6 +494,15 @@ object SparkEntry {
           min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"))
         .orderBy("l_returnflag")),
 
+    // --- composed dedup recipe (flagship training-data pipeline; rows-only:
+    // survivors depend on MinHash candidates, which no SQL oracle can
+    // recompute — closure/chain semantics are spec-verified in DedupSpec)
+    "q_dedup_pipeline" -> ((s, dir) =>
+      Dedup.dedupPipeline(t(s, dir, "documents"), "doc_id", "text",
+        minhashThreshold = 0.7)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // --- corpus curation: deterministic stratified sampling ---------------
     // Sampling is a pure function of doc_id (multiplicative hash), not an
     // RNG — the same subset selects on any cluster size / partitioning,
