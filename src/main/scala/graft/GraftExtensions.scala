@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, Multiply, Pmod}
+import org.apache.spark.sql.types.LongType
 
 import graft.functions.{CosineSimilarityF32, DotProductF32, L2DistanceF32, TopKByScore}
 
@@ -43,5 +44,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val asc = if (es.length > 3) es(3).eval().asInstanceOf[Boolean] else false
         TopKByScore(es.head, es(1), k, asc)
       }))
+    // Deterministic sampling hash (Corpus.sampleHash) as a SQL function —
+    // composed entirely from built-in expressions, so it codegens and
+    // constant-folds like any built-in.
+    ext.injectFunction((
+      FunctionIdentifier("sample_hash"),
+      info("sample_hash",
+        "sample_hash(id) - overflow-free Knuth multiplicative hash of a BIGINT id into [0, 2^32)"),
+      (es: Seq[Expression]) =>
+        Pmod(
+          Multiply(
+            Pmod(Cast(es.head, LongType), Literal(2147483648L)),
+            Literal(2654435761L)),
+          Literal(4294967296L))))
   }
 }

@@ -719,6 +719,15 @@ object SparkEntry {
           get_json_object(col("props"), "$.missing").as("missing"))
         .orderBy("event_id")),
 
+    // --- SQL surface: extension-registered sampling hash ------------------
+    "q_sql_sample" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""
+        SELECT doc_id, source FROM documents
+        WHERE sample_hash(doc_id) < 1073741824
+        ORDER BY doc_id""")
+    }),
+
     // --- topic catalog round-trip: create + produce + INSERT SELECT + scan
     // (S1/S2/S5/S6 made driver-visible; oracle = the same rows straight
     // from the source table plus the manually-produced record)
@@ -1130,6 +1139,11 @@ object SparkEntry {
         "SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - i * 900 AS win_start, " +
         "event_type FROM events, UNNEST([0, 1, 2, 3]) AS t(i)) " +
         "GROUP BY 1, 2 ORDER BY win_start, event_type"),
+
+    "q_sql_sample" ->
+      ("SELECT doc_id, source FROM documents " +
+        "WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 < 1073741824 " +
+        "ORDER BY doc_id"),
 
     "q_lang_id" ->
       ("WITH toks AS (SELECT doc_id, unnest(list_filter(" +

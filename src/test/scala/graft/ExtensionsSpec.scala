@@ -13,6 +13,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - math.sqrt(27)) < 1e-6)
   }
 
+  test("sample_hash from SQL equals Corpus.sampleHash column form") {
+    import org.apache.spark.sql.functions.col
+    spark.range(0, 1000).toDF("id").createOrReplaceTempView("ids")
+    val sql = spark.sql("SELECT sample_hash(id) FROM ids ORDER BY id")
+      .as[Long].collect().toSeq
+    val col_ = spark.range(0, 1000).toDF("id").orderBy("id")
+      .select(graft.operators.Corpus.sampleHash(col("id")))
+      .as[Long].collect().toSeq
+    assert(sql == col_)
+    assert(sql.forall(h => h >= 0 && h < 4294967296L))
+  }
+
   test("top_k_by_score aggregate works from SQL with tie-break") {
     Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1))
       .toDF("id", "s").createOrReplaceTempView("scored")
