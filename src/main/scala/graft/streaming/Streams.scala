@@ -134,6 +134,49 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("sw.start").cast("long").as("session_start"), col("n"))
 
+  /** Timeout-driven session emission via `flatMapGroupsWithState`: per
+    * user, events accumulate in keyed state; when the event-time timeout
+    * fires (no activity for `gap` past the watermark), the COMPLETED
+    * session is emitted and state cleared. Unlike `mapGroupsWithState`
+    * (exactly one output per invocation), flatMap emits zero rows while
+    * a session is open and one when it closes — the emission contract
+    * session analytics needs. State per user is O(1) (count + bounds).
+    */
+  def expiringSessions(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val rowEnc = Encoders.product[SessionEvent]
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.start, s.end, s.n))
+          } else {
+            var s = state.getOption.getOrElse(SessionState(Long.MaxValue, Long.MinValue, 0L))
+            batch.foreach { e =>
+              val t = e.ts.getTime
+              s = SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1)
+            }
+            state.update(s)
+            // close the session once the watermark passes last-event + gap
+            state.setTimeoutTimestamp(s.end + gapMs)
+            Iterator.empty
+          }
+      }
+      .toDF()
+  }
+
   /** Stream-stream interval join: each left event joins right events of
     * the same key whose timestamp falls within `[lts - before, lts]`.
     * Both sides carry watermarks and the join condition time-bounds BOTH
@@ -176,3 +219,8 @@ object Streams {
 case class UserEvent(user_id: Long, cents: Long)
 case class UserState(n: Long, cents: Long)
 case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+/** Keyed-state records for [[Streams.expiringSessions]]. */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+case class SessionState(start: Long, end: Long, n: Long)
+case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_events: Long)

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{HashEmbedder, TextOps}
+import graft.operators.Corpus
+
+/** Property-style invariants over generated inputs (scalacheck Gen with
+  * fixed seeds — deterministic across runs, no flaky tolerance rolls).
+  * These pin the hash/sketch primitives' mathematical contracts, which
+  * the oracle gate can't see (oracles check end-to-end values, not
+  * distributional properties).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val wordGen: Gen[String] =
+    Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
+
+  private def docGen(n: Int): Gen[String] =
+    Gen.listOfN(n, wordGen).map(_.mkString(" "))
+
+  test("minhash estimate tracks true character-shingle jaccard") {
+    // Broder '97: E[matching minhashes / numHashes] = true jaccard of the
+    // shingle sets; with 64 hashes, |est - true| beyond 0.3 is > 4 sigma.
+    for (seed <- 1L to 20L) {
+      val base = sample(docGen(60), seed)
+      val mutCount = (seed % 30).toInt
+      val words = base.split(" ")
+      val mutated = words.zipWithIndex.map { case (w, i) =>
+        if (i < mutCount) sample(wordGen, seed * 1000 + i) else w
+      }.mkString(" ")
+      def shingles(s: String): Set[String] = {
+        val norm = HashEmbedder.tokens(s).mkString(" ")
+        (0 to norm.length - 5).map(i => norm.substring(i, i + 5)).toSet
+      }
+      val trueJ = {
+        val (a, b) = (shingles(base), shingles(mutated))
+        if (a.isEmpty && b.isEmpty) 1.0
+        else a.intersect(b).size.toDouble / a.union(b).size
+      }
+      val sa = TextOps.minhashSignature(base, 64, 5)
+      val sb = TextOps.minhashSignature(mutated, 64, 5)
+      val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 64
+      assert(math.abs(est - trueJ) <= 0.3,
+        s"seed=$seed est=$est true=$trueJ")
+    }
+  }
+
+  test("identical text: minhash estimate 1, simhash distance 0, fingerprint equal") {
+    for (seed <- 1L to 10L) {
+      val doc = sample(docGen(40), seed)
+      val doc2 = "  " + doc.replace(" ", "   ") + "  " // whitespace-insensitive
+      assert(TextOps.minhashSignature(doc, 64, 5).toSeq ==
+        TextOps.minhashSignature(doc2, 64, 5).toSeq)
+      assert(java.lang.Long.bitCount(
+        TextOps.simhash64(doc) ^ TextOps.simhash64(doc2)) == 0)
+      assert(TextOps.fingerprint64(doc) == TextOps.fingerprint64(doc2))
+    }
+  }
+
+  test("disjoint-vocabulary texts: simhash far apart, minhash estimate ~0") {
+    for (seed <- 1L to 10L) {
+      val a = sample(docGen(40), seed)
+      val b = sample(docGen(40), seed + 100).toUpperCase.replace(' ', 'Q')
+        .grouped(8).mkString(" ") // guaranteed-different token stream
+      val ham = java.lang.Long.bitCount(TextOps.simhash64(a) ^ TextOps.simhash64(b))
+      assert(ham > 10, s"seed=$seed hamming=$ham")
+      val est = TextOps.minhashSignature(a, 64, 5)
+        .zip(TextOps.minhashSignature(b, 64, 5))
+        .count { case (x, y) => x == y }.toDouble / 64
+      assert(est < 0.2, s"seed=$seed est=$est")
+    }
+  }
+
+  test("sampleHash is uniform enough for rate-accurate sampling") {
+    val n = 20000L
+    val ids = (0L until n)
+    def kept(rate: Double): Long = {
+      val threshold = (rate * 4294967296d).toLong
+      ids.count { id =>
+        val h = java.lang.Math.floorMod(
+          java.lang.Math.floorMod(id, 2147483648L) * 2654435761L, 4294967296L)
+        h < threshold
+      }
+    }
+    for (rate <- Seq(0.1, 0.25, 0.5, 0.75)) {
+      val frac = kept(rate).toDouble / n
+      assert(math.abs(frac - rate) < 0.02, s"rate=$rate got=$frac")
+    }
+  }
+
+  test("embedder: unit norm, self-cosine 1, deterministic") {
+    for (seed <- 1L to 10L) {
+      val doc = sample(docGen(20), seed)
+      val v = HashEmbedder.embed(doc, 64)
+      val v2 = HashEmbedder.embed(doc, 64)
+      assert(v.toSeq == v2.toSeq)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5, s"norm=$norm")
+    }
+    assert(HashEmbedder.embed("", 64).forall(_ == 0f), "empty text -> zero vector")
+  }
+}

@@ -183,6 +183,47 @@ class StreamingSpec extends SparkSpec {
     assert(got(hour10) == 2L, s"got=$got")
   }
 
+  test("flatMapGroupsWithState emits a session only when its timeout fires") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val src = tmp("graft_sess_src")
+    val ckpt = tmp("graft_sess_ckpt")
+    val outDir = tmp("graft_sess_out") + "/out"
+    def ts(s: String) = Timestamp.valueOf(s)
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(s"$src/a").schema
+      val stream = Streams.expiringSessions(
+        spark.readStream.schema(schema).parquet(s"$src/*"),
+        gapMs = 30 * 60 * 1000L, watermark = "1 minute")
+      val q = stream.writeStream
+        .format("parquet").outputMode("append")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // run 1: user 1's session (2 events) + a later event pinning the watermark
+    Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")),
+      (99L, ts("2024-01-01 10:06:00")))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(s"$src/a")
+    runOnce()
+    // run 2: watermark advances well past user 1's gap; run 3 gives the
+    // restored watermark a batch to evaluate timeouts against
+    Seq((2L, ts("2024-01-01 12:00:00")))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(s"$src/b")
+    runOnce()
+    Seq((3L, ts("2024-01-01 12:30:00")))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(s"$src/c")
+    runOnce()
+
+    val out = spark.read.parquet(outDir)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def ms(s: String) = ts(s).getTime
+    assert(out.contains(1L), s"user 1's closed session should have emitted: $out")
+    assert(out(1L) == ((ms("2024-01-01 10:00:00"), ms("2024-01-01 10:05:00"), 2L)))
+    assert(!out.contains(3L), "user 3's session is still open — nothing emitted")
+  }
+
   test("topic json stream: records produced to a TopicCatalog arrive via readStream") {
     import org.apache.spark.sql.types._
     val c = new graft.sources.TopicCatalog(spark, tmp("graft_topic_stream"))
