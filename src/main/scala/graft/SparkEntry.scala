@@ -158,6 +158,41 @@ object SparkEntry {
     "q_rag_e2e" -> ((s, dir) =>
       Rag.e2e(s, dir).withColumn("products", to_json(col("products")))),
 
+    // --- contract twins: embedder / RAG / multimodal (oracle pins TRUE) ---
+    // The hash-derived values themselves aren't SQL-computable, so the
+    // oracle-checked surface is their mathematical contract, like the
+    // HLL/recall contracts: unit norm for the embedder, JSON structure
+    // for the RAG response, stub-codec bounds for media features.
+    "q_embed_contract" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), HashEmbedder.embedCol(col("text")).as("v"))
+        .select(col("doc_id"),
+          VectorFunctions.dot_product(col("v"), col("v")).as("selfdot"))
+        .select(col("doc_id"),
+          (abs(col("selfdot") - 1.0) < 1e-5 || col("selfdot") === 0.0)
+            .as("unit_norm_ok"))
+        .orderBy("doc_id")),
+
+    "q_rag_contract" -> ((s, dir) =>
+      Rag.e2e(s, dir)
+        .select(col("doc_id"),
+          (get_json_object(col("prompt"), "$.role") === "user").as("prompt_role_ok"),
+          (get_json_object(col("json_response"), "$.role") === "assistant")
+            .as("response_role_ok"),
+          (size(col("products")) > 0).as("has_products"),
+          (get_json_object(col("prompt"), "$.content").isNotNull)
+            .as("prompt_has_content"))
+        .orderBy("doc_id")),
+
+    "q_multimodal_contract" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.withMediaColumn(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          (col("decoded_width").between(16, 79)).as("width_ok"),
+          (col("kind") =!= "audio" || col("decoded_height") === 1).as("audio_1d_ok"))
+        .orderBy("media_id")),
+
     // --- text analysis (north star) ---------------------------------------
     "q_text_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1139,6 +1174,21 @@ object SparkEntry {
         "SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - i * 900 AS win_start, " +
         "event_type FROM events, UNNEST([0, 1, 2, 3]) AS t(i)) " +
         "GROUP BY 1, 2 ORDER BY win_start, event_type"),
+
+    "q_embed_contract" ->
+      ("SELECT doc_id, TRUE AS unit_norm_ok FROM documents ORDER BY doc_id"),
+
+    "q_rag_contract" ->
+      ("SELECT doc_id, TRUE AS prompt_role_ok, TRUE AS response_role_ok, " +
+        "TRUE AS has_products, TRUE AS prompt_has_content " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_multimodal_contract" ->
+      ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "TRUE AS width_ok, TRUE AS audio_1d_ok " +
+        "FROM documents ORDER BY media_id"),
 
     "q_sql_sample" ->
       ("SELECT doc_id, source FROM documents " +
