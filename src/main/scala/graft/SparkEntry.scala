@@ -779,6 +779,25 @@ object SparkEntry {
       c.table("docs_topic").select("doc_id", "source", "n_chars").orderBy("doc_id")
     }),
 
+    // --- DESCRIBE table with the implicit bucket-key column (P5) ----------
+    "q_topic_describe" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q_desc").toString
+      val c = new graft.sources.TopicCatalog(s, root)
+      c.create("products_topic", StructType(Seq(
+        StructField("product_id", LongType), StructField("name", StringType))))
+      c.describe("products_topic").orderBy("col_name")
+    }),
+
+    // --- version-pinned ML_PREDICT equals the default dispatch (M4) -------
+    "q_model_pin" -> ((s, dir) => {
+      val r = graft.model.Models.default()
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (r.mlPredict("retail_assistant$1", col("text")) ===
+            r.mlPredict("retail_assistant", col("text"))).as("pin_eq_default"))
+        .orderBy("doc_id")
+    }),
+
     // --- DESCRIBE MODEL over the reference's two registered models --------
     // (M1/M2/M3 made driver-visible; metadata is static so the oracle is a
     // VALUES literal)
@@ -1174,6 +1193,16 @@ object SparkEntry {
         "SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - i * 900 AS win_start, " +
         "event_type FROM events, UNNEST([0, 1, 2, 3]) AS t(i)) " +
         "GROUP BY 1, 2 ORDER BY win_start, event_type"),
+
+    "q_topic_describe" ->
+      ("SELECT * FROM (VALUES " +
+        "('key', 'binary', true, 'BUCKET KEY'), " +
+        "('product_id', 'bigint', true, ''), " +
+        "('name', 'string', true, '')" +
+        ") AS t(col_name, data_type, nullable, extras) ORDER BY col_name"),
+
+    "q_model_pin" ->
+      ("SELECT doc_id, TRUE AS pin_eq_default FROM documents ORDER BY doc_id"),
 
     "q_embed_contract" ->
       ("SELECT doc_id, TRUE AS unit_norm_ok FROM documents ORDER BY doc_id"),
