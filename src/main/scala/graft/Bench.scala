@@ -16,18 +16,29 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       SparkEntry.queries.foreach { case (n, fn) => runOne(n, fn, warmDir) }
+    // Two timed passes, per-query MIN reported: this host's microVM can
+    // stall the whole guest for seconds under host memory reclaim
+    // (observed 3-6x single-query outliers with identical plans), and
+    // min-of-2 measures steady-state plan cost rather than host luck.
     // A failed query is reported as -1, never as a normal-looking (tiny)
     // timing that could silently pass as a fast result.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = runOne(name, fn, sfDir)
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    def timedPass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = runOne(name, fn, sfDir)
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val results = SparkEntry.queries.keys.map { name =>
+      val (a, b) = (p1(name), p2(name))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }.toSeq
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"runs":2,"agg":"min","sf":"$sfDir"}""")
     spark.stop()
   }
 }
