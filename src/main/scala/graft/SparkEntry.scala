@@ -616,6 +616,25 @@ object SparkEntry {
         .toDF()
         .orderBy("media_id")),
 
+    // --- multimodal resize + frame sampling (stub codec, real plumbing) ---
+    "q_multimodal_resize" -> ((s, dir) =>
+      Multimodal.resize(
+        Multimodal.withMediaColumn(t(s, dir, "documents"), "doc_id", "text"), 16, 16)
+        .toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          length(col("bytes")).cast("int").as("n_out"))
+        .orderBy("media_id")),
+
+    // frame geometry is pure arithmetic over the byte length, so the
+    // sampled (idx, len) set has an exact DuckDB twin — a REAL oracle for
+    // the video-sampling shape, not just a pinned boolean
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.withMediaColumn(t(s, dir, "documents"), "doc_id", "text"),
+        frameSize = 256, stride = 4)
+        .toDF()
+        .orderBy("media_id", "frame_idx")),
+
     // --- pure-SQL surface: extension-registered functions + temp views ----
     "q_sql_topk" -> ((s, dir) => {
       Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
@@ -1203,6 +1222,20 @@ object SparkEntry {
 
     "q_model_pin" ->
       ("SELECT doc_id, TRUE AS pin_eq_default FROM documents ORDER BY doc_id"),
+
+    "q_multimodal_resize" ->
+      ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, " +
+        "CAST(256 AS INTEGER) AS n_out FROM documents ORDER BY media_id"),
+
+    "q_frame_sample" ->
+      ("WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n " +
+        "FROM documents) " +
+        "SELECT media_id, CAST(i AS INTEGER) AS frame_idx, " +
+        "CAST(least(256, n - i * 256) AS INTEGER) AS frame_len " +
+        "FROM m, UNNEST(range(0, (n + 255) // 256, 4)) AS t(i) " +
+        "ORDER BY media_id, frame_idx"),
 
     "q_embed_contract" ->
       ("SELECT doc_id, TRUE AS unit_norm_ok FROM documents ORDER BY doc_id"),

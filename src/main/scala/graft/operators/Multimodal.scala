@@ -85,4 +85,62 @@ object Multimodal {
       col(idCol),
       length(col(textCol).cast("binary")).cast("long").as("n_bytes"),
       md5(col(textCol).cast("binary")).as("digest"))
+
+  /** Resized media row: payload re-sampled to a fixed target grid. */
+  case class ResizedMedia(
+      media_id: Long, kind: String, width: Int, height: Int, bytes: Array[Byte])
+
+  /** STUB RESIZE — nearest-neighbor re-sample of the payload bytes onto a
+    * `targetW x targetH` grid (a real codec would decode pixels first;
+    * the byte-level nearest-neighbor keeps the op deterministic with no
+    * media libraries). The Spark plumbing is the real thing: narrow
+    * partition-wise map, output payload exactly targetW*targetH bytes,
+    * old payload dropped — at 100 TB this is the shape a thumbnailing
+    * pass must have (no shuffle, bytes never widen).
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    implicit val enc = Encoders.product[ResizedMedia]
+    implicit val inEnc = Encoders.product[MediaRecord]
+    media.select(col("media_id").cast("long"), col("kind"), col("bytes"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val n = targetW * targetH
+          val out = new Array[Byte](n)
+          if (r.bytes.length > 0) {
+            var i = 0
+            while (i < n) {
+              out(i) = r.bytes((i.toLong * r.bytes.length / n).toInt)
+              i += 1
+            }
+          }
+          ResizedMedia(r.media_id, r.kind, targetW, targetH, out)
+        }
+      }
+  }
+
+  /** One sampled frame of a media payload. */
+  case class Frame(media_id: Long, frame_idx: Int, frame_len: Int)
+
+  /** Frame sampling: split the payload into fixed-size frames and keep
+    * every `stride`-th (the video keyframe-sampling shape). flatMap —
+    * one row per SAMPLED frame only, so output volume is input/stride,
+    * never the full frame explosion. Frame geometry is pure arithmetic
+    * over the byte length, so the whole operator is oracle-checkable
+    * without the codec.
+    */
+  def sampleFrames(media: DataFrame, frameSize: Int, stride: Int): Dataset[Frame] = {
+    require(frameSize > 0 && stride > 0)
+    implicit val enc = Encoders.product[Frame]
+    implicit val inEnc = Encoders.product[MediaRecord]
+    media.select(col("media_id").cast("long"), col("kind"), col("bytes"))
+      .as[MediaRecord]
+      .flatMap { r =>
+        val nFrames = (r.bytes.length + frameSize - 1) / frameSize
+        Iterator.range(0, nFrames, stride).map { idx =>
+          Frame(r.media_id, idx,
+            math.min(frameSize, r.bytes.length - idx * frameSize))
+        }
+      }
+  }
 }

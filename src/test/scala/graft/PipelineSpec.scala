@@ -49,6 +49,39 @@ class PipelineSpec extends SparkSpec {
     assert(feats.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
   }
 
+  test("multimodal resize: exact target grid, first/last bytes preserved") {
+    import graft.operators.Multimodal
+    val media = Multimodal.withMediaColumn(
+      Tables(spark, sf, "documents").limit(20), "doc_id", "text")
+    val out = Multimodal.resize(media, 8, 4).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.width == 8 && r.height == 4 && r.bytes.length == 32)
+    }
+    // nearest-neighbor anchors: out(0) is the payload's first byte
+    val src = media.collect().map(r =>
+      r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("bytes")).toMap
+    out.filter(r => src(r.media_id).nonEmpty).foreach { r =>
+      assert(r.bytes(0) == src(r.media_id)(0))
+    }
+  }
+
+  test("multimodal frame sampling: geometry matches arithmetic, stride respected") {
+    import graft.operators.Multimodal
+    val media = Multimodal.withMediaColumn(
+      Tables(spark, sf, "documents").limit(20), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, frameSize = 100, stride = 3).collect()
+    val lens = media.collect().map(r =>
+      r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("bytes").length).toMap
+    val byId = frames.groupBy(_.media_id)
+    lens.foreach { case (id, n) =>
+      val expectedIdx = Range(0, (n + 99) / 100, 3)
+      val got = byId.getOrElse(id, Array.empty).sortBy(_.frame_idx)
+      assert(got.map(_.frame_idx).toSeq == expectedIdx.toSeq, s"media $id")
+      got.foreach(f => assert(f.frame_len == math.min(100, n - f.frame_idx * 100)))
+    }
+  }
+
   test("entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
