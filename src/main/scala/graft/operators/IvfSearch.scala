@@ -113,4 +113,57 @@ object IvfSearch {
       .select(col(qId), col("m.id").as("match_id"), col("m.score").as("score"),
         (col("rank0") + 1).cast("int").as("rank"))
   }
+
+  // --- at-rest index: cell as a PARTITION column -------------------------
+
+  /** Materialize the IVF index on disk: the celled corpus partitioned BY
+    * `cell` (so a probe prunes whole partition directories at file-listing
+    * time — the at-rest layout the Scaladoc above promises), plus the
+    * trained centroids for reload. Index once, search many.
+    */
+  def writeIndex(
+      corpus: DataFrame, cId: String, cVec: String, path: String,
+      nList: Int = 16, iters: Int = 2, dim: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(corpus, cVec, cId, nList, iters, dim)
+    corpus.select(col(cId).as("id"), col(cVec).as("vec"),
+        nearestCell(centroids)(col(cVec)).as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/corpus")
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Float]] =
+    spark.read.parquet(s"$path/centroids").orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Probe a persisted index. The union of probed cells across the query
+    * batch (a driver-side collect bounded by nList — small by
+    * construction) becomes an IN filter on the PARTITION column, so the
+    * corpus scan lists only the probed cells' directories; unprobed
+    * partitions are never opened. Semantics identical to [[ivfTopK]]
+    * run with the stored centroids.
+    */
+  def searchIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qId: String, qVec: String,
+      k: Int, metric: String = "dot", nProbe: Int = 4): DataFrame = {
+    val centroids = loadCentroids(spark, path)
+    val probed = queries.select(col(qId), col(qVec),
+      explode(nearestCells(centroids, nProbe)(col(qVec))).as("cell"))
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    val celled = spark.read.parquet(s"$path/corpus")
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+      .select(col("id").as("match_id"), col("vec").as("__cvec"), col("cell"))
+    val asc = metric == "l2"
+    probed.join(celled, "cell")
+      .withColumn("score", scoreCol(metric)(col(qVec), col("__cvec")))
+      .groupBy(col(qId))
+      .agg(graft.functions.TopKByScore.topK(col("match_id"), col("score"), k, asc).as("matches"))
+      .select(col(qId), posexplode(col("matches")).as(Seq("rank0", "m")))
+      .select(col(qId), col("m.id").as("match_id"), col("m.score").as("score"),
+        (col("rank0") + 1).cast("int").as("rank"))
+  }
 }

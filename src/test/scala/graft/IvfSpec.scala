@@ -54,4 +54,35 @@ class IvfSpec extends SparkSpec {
     assert(r8 >= r2)
     assert(hits(8) == exact) // probing ALL cells = exact search
   }
+
+  test("persisted index: partition-pruned probe equals in-memory search") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    IvfSearch.writeIndex(emb, "vec_id", "embedding", path, nList = 8, iters = 2)
+    // a specific row, not limit(1): an unordered limit may pick a
+    // different row on each of the two evaluations below
+    val oneQuery = emb.filter(col("vec_id") === 60)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val fromIndex = IvfSearch.searchIndex(spark, path, oneQuery, "qid", "qv",
+      k = 3, metric = "dot", nProbe = 2)
+    // the corpus scan lists ONLY the probed cells' partition directories
+    val scan = fromIndex.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.requiredSchema.fieldNames.contains("vec") => f
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"expected 2 probed partitions, got ${scan.selectedPartitions.partitionCount}")
+    // identical results to the in-memory path with the same centroids
+    val centroids = IvfSearch.loadCentroids(spark, path)
+    val celled = emb.select(col("vec_id").as("match_id"), col("embedding").as("__cvec"),
+      IvfSearch.nearestCell(centroids)(col("embedding")).as("cell"))
+    val probed = oneQuery.select(col("qid"), col("qv"),
+      explode(IvfSearch.nearestCells(centroids, 2)(col("qv"))).as("cell"))
+    val expected = probed.join(celled, "cell")
+      .withColumn("score", graft.functions.VectorFunctions.dot_product(col("qv"), col("__cvec")))
+      .orderBy(col("score").desc, col("match_id")).limit(3)
+      .select("match_id").as[Long].collect().toSeq
+    val got = fromIndex.orderBy("rank").select("match_id").as[Long].collect().toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+  }
 }
