@@ -80,9 +80,7 @@ object Dedup {
     // 64-long signatures never enter the bucket join or the pair dedup
     // shuffle; they are re-attached afterwards via two joins against the
     // small cached signature table.
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        hash(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bh")))
+    val banded = bandRows(sig, numHashes, bands)
     // cap pathological buckets (boilerplate): drop (band,bh) groups with
     // more than maxBucket members — bounded quadratic work per bucket
     val sizes = banded.groupBy("band", "bh").agg(count(lit(1)).as("__bn"))
@@ -109,6 +107,43 @@ object Dedup {
       .withColumn("est_jaccard", estJaccard(col("sig1"), col("sig2")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** (id, sig) → slim (id, band, bh) LSH-band rows. */
+  def bandRows(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        hash(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bh")))
+  }
+
+  /** Ids from `newSigs` that are MinHash near-duplicates of anything in
+    * `storeSigs` (both (id, sig) relations): banded-bucket equi-join for
+    * candidates, exact estimated-jaccard filter. The cross-set form of
+    * [[minhashPairs]] — the building block for INCREMENTAL dedup, where
+    * each new slice of a corpus is checked against the accumulated
+    * signature store without re-pairing the store against itself.
+    */
+  def minhashDupsAgainst(
+      newSigs: DataFrame, storeSigs: DataFrame,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val l = bandRows(newSigs, numHashes, bands)
+    val r = bandRows(storeSigs, numHashes, bands)
+      .withColumnRenamed("id", "store_id")
+    val cand = l.join(r, Seq("band", "bh"))
+      .select("id", "store_id").dropDuplicates("id", "store_id")
+    val estJaccard = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var eq = 0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / numHashes.toDouble
+    }
+    cand
+      .join(newSigs.select(col("id"), col("sig").as("sig1")), "id")
+      .join(storeSigs.select(col("id").as("store_id"), col("sig").as("sig2")), "store_id")
+      .filter(estJaccard(col("sig1"), col("sig2")) >= threshold)
+      .select("id").distinct()
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist on 64-bit

@@ -134,6 +134,56 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("sw.start").cast("long").as("session_start"), col("n"))
 
+  /** Streaming NEAR-duplicate filtering — the incremental-ingest form of
+    * the batch MinHash pipeline: every micro-batch of documents is
+    * (1) deduplicated within itself (banded candidates + transitive
+    * closure, keep-lowest), (2) checked against the accumulated
+    * signature STORE of previously admitted documents
+    * ([[graft.operators.Dedup.minhashDupsAgainst]] — banded equi-join,
+    * never batch × store), and (3) survivors land in the sink while
+    * their signatures append to the store. Both writes are
+    * overwrite-by-epoch, so a retried micro-batch replaces its partial
+    * output — exactly-once without a transactional store.
+    *
+    * At 100 TB the store is the big side: the join ships only slim
+    * (band, bh) rows and the per-epoch store layout keeps appends
+    * cheap (no compaction in the hot path; compact offline).
+    */
+  def nearDupFilterStream(
+      spark: SparkSession,
+      docsDir: String, schema: StructType,
+      idCol: String, textCol: String,
+      outDir: String, storeDir: String, checkpointDir: String,
+      threshold: Double = 0.7): StreamingQuery = {
+    import graft.operators.Dedup
+    import graft.functions.TextOps
+    fileStream(spark, docsDir, schema).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        // within-batch near-dup closure, keep-lowest
+        val inBatch = Dedup.dedupPipeline(batch, idCol, textCol, threshold)
+        val sigs = inBatch.select(col(idCol).as("id"),
+          TextOps.minhash(col(textCol)).as("sig"))
+        // against the store of prior epochs (don't self-compare: a retry
+        // overwrites its own epoch dir, so exclude the current epoch)
+        val storeEpochs = Option(new java.io.File(storeDir).listFiles())
+          .map(_.filter(f => f.isDirectory && f.getName != s"epoch=$epoch"))
+          .getOrElse(Array.empty[java.io.File])
+        val survivors =
+          if (storeEpochs.nonEmpty) {
+            val store = spark.read.parquet(storeEpochs.map(_.getPath).toIndexedSeq: _*)
+            val dupIds = Dedup.minhashDupsAgainst(sigs, store, threshold = threshold)
+            inBatch.join(dupIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+          } else inBatch
+        survivors.write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+        sigs.join(survivors.select(col(idCol).as("id")), "id")
+          .write.mode("overwrite").parquet(s"$storeDir/epoch=$epoch")
+        ()
+      }
+      .start()
+  }
+
   /** Timeout-driven session emission via `flatMapGroupsWithState`: per
     * user, events accumulate in keyed state; when the event-time timeout
     * fires (no activity for `gap` past the watermark), the COMPLETED

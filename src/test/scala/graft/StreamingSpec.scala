@@ -183,6 +183,41 @@ class StreamingSpec extends SparkSpec {
     assert(got(hour10) == 2L, s"got=$got")
   }
 
+  test("streaming near-dup filter: later epochs drop near-dups of admitted docs") {
+    import spark.implicits._
+    val src = tmp("graft_nd_src")
+    val out = tmp("graft_nd_out")
+    val store = tmp("graft_nd_store")
+    val ckpt = tmp("graft_nd_ckpt")
+    def doc(seed: Int, mutate: Int): String =
+      (1 to 80).map(i => if (i <= mutate) s"mut${seed}x$i" else s"word$i").mkString(" ")
+    def schema = spark.read.parquet(s"$src/a").schema
+    def runOnce(): Unit = {
+      val q = Streams.nearDupFilterStream(spark, s"$src/*", schema,
+        "id", "text", out, store, ckpt, threshold = 0.7)
+      q.awaitTermination(120000)
+    }
+    // batch 1: an original + an unrelated doc
+    Seq((1L, doc(1, 0)), (2L, (1 to 80).map(i => s"other$i").mkString(" ")))
+      .toDF("id", "text").coalesce(1).write.parquet(s"$src/a")
+    runOnce()
+    // batch 2: a near-dup of doc 1 (2 tokens changed) + a fresh doc
+    Seq((3L, doc(3, 2)), (4L, (1 to 80).map(i => s"fresh$i").mkString(" ")))
+      .toDF("id", "text").coalesce(1).write.parquet(s"$src/b")
+    runOnce()
+    // batch 3: exact resend of the already-rejected near-dup + dup of 4
+    Seq((5L, doc(5, 2)), (6L, (1 to 80).map(i => s"fresh$i").mkString(" ")))
+      .toDF("id", "text").coalesce(1).write.parquet(s"$src/c")
+    runOnce()
+
+    val admitted = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    assert(admitted.contains(1L) && admitted.contains(2L), s"batch 1 all admitted: $admitted")
+    assert(!admitted.contains(3L), "near-dup of admitted doc 1 dropped")
+    assert(admitted.contains(4L), "fresh doc admitted")
+    assert(!admitted.contains(5L), "near-dup of doc 1 still dropped in epoch 3")
+    assert(!admitted.contains(6L), "exact dup of admitted doc 4 dropped")
+  }
+
   test("flatMapGroupsWithState emits a session only when its timeout fires") {
     import java.sql.Timestamp
     import spark.implicits._
