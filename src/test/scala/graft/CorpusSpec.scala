@@ -121,6 +121,18 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.distinctGrams(df, "id", "text", 3).count() == 1)
   }
 
+  test("corner cases: empty benchmark, zero budget, negative ids") {
+    val docs = Seq((1L, "some real text here for the test")).toDF("id", "text")
+    val emptyBench = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Corpus.contamination(docs, emptyBench, "id", "text").count() == 0)
+    val toks = Seq((1L, "a", 5L)).toDF("id", "src", "n_tok")
+    assert(Corpus.tokenBudget(toks, "id", "src", "n_tok", budget = 0L).count() == 0)
+    // negative ids still hash into [0, 2^32): pmod, not %
+    val negs = Seq(-1L, -42L, Long.MinValue).toDF("id")
+      .select(Corpus.sampleHash(col("id")).as("h")).as[Long].collect()
+    assert(negs.forall(h => h >= 0L && h < 4294967296L), negs.mkString(","))
+  }
+
   test("distinctGrams emits each n-gram once per doc") {
     val df = Seq((1L, "a b a b a b")).toDF("id", "text")
     val grams = Corpus.distinctGrams(df, "id", "text", 2)
