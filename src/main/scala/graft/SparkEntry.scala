@@ -616,6 +616,25 @@ object SparkEntry {
         .toDF()
         .orderBy("media_id")),
 
+    // --- file-format breadth: ORC + CSV round-trip, driver-checked --------
+    // (the reference ingests only JSON-on-Kafka; a general engine must
+    // round-trip columnar and text formats without loss — aggregate
+    // equality against the source table proves fidelity)
+    "q_formats_roundtrip" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val root = java.nio.file.Files.createTempDirectory("graft_q_fmt").toString
+      base.write.mode("overwrite").orc(s"$root/orc")
+      base.write.mode("overwrite").option("header", "true").csv(s"$root/csv")
+      val orc = s.read.orc(s"$root/orc")
+      val csv = s.read.schema(base.schema).option("header", "true").csv(s"$root/csv")
+      orc.withColumn("format", lit("orc"))
+        .unionByName(csv.withColumn("format", lit("csv")))
+        .groupBy("format")
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("format")
+    }),
+
     // --- multimodal resize + frame sampling (stub codec, real plumbing) ---
     "q_multimodal_resize" -> ((s, dir) =>
       Multimodal.resize(
@@ -1222,6 +1241,13 @@ object SparkEntry {
 
     "q_model_pin" ->
       ("SELECT doc_id, TRUE AS pin_eq_default FROM documents ORDER BY doc_id"),
+
+    "q_formats_roundtrip" ->
+      ("SELECT format, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "count(DISTINCT source) AS n_sources FROM (" +
+        "SELECT 'orc' AS format, n_chars, source FROM documents " +
+        "UNION ALL SELECT 'csv', n_chars, source FROM documents) " +
+        "GROUP BY format ORDER BY format"),
 
     "q_multimodal_resize" ->
       ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
