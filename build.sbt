@@ -29,10 +29,13 @@ val jdk17AddOpens = Seq(
 // to a ~90g harness-supplied heap). sf0.1 fits comfortably in 8g.
 val driverMemMb: Long = {
   val raw = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
-  val mb =
-    if (raw.endsWith("g")) raw.dropRight(1).toLong * 1024
-    else if (raw.endsWith("m")) raw.dropRight(1).toLong
-    else raw.toLong / (1024 * 1024) // bare bytes
+  // tolerate fractional/garbled specs ("1.5g", "") — fall back to 8g
+  // rather than failing every sbt command at load time
+  val mb = scala.util.Try {
+    if (raw.endsWith("g")) (raw.dropRight(1).toDouble * 1024).toLong
+    else if (raw.endsWith("m")) raw.dropRight(1).toDouble.toLong
+    else raw.toDouble.toLong / (1024 * 1024) // bare bytes
+  }.getOrElse(8 * 1024L)
   math.min(math.max(mb, 1024L), 16 * 1024L)
 }
 javaOptions ++= jdk17AddOpens ++ Seq(

@@ -1146,7 +1146,7 @@ object SparkEntry {
 
     "q_sample_stratified" ->
       ("SELECT doc_id, source FROM documents " +
-        "WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 < " +
+        "WHERE (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296 < " +
         "CASE WHEN source = 'src0' THEN 4294967296 " +
         "WHEN source = 'src1' THEN 2147483648 " +
         "WHEN source = 'src2' THEN 1073741824 " +
@@ -1280,7 +1280,7 @@ object SparkEntry {
 
     "q_sql_sample" ->
       ("SELECT doc_id, source FROM documents " +
-        "WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 < 1073741824 " +
+        "WHERE (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296 < 1073741824 " +
         "ORDER BY doc_id"),
 
     "q_lang_id" ->
@@ -1309,7 +1309,7 @@ object SparkEntry {
       ("WITH d AS (SELECT doc_id, source, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok FROM documents), " +
         "r AS (SELECT doc_id, source, n_tok, sum(n_tok) OVER (" +
-        "PARTITION BY source ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id " +
+        "PARTITION BY source ORDER BY (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS running_tok FROM d) " +
         "SELECT doc_id, source, n_tok, CAST(running_tok AS BIGINT) AS running_tok " +
         "FROM r WHERE running_tok <= 2000 ORDER BY doc_id"),

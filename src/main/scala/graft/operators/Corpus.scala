@@ -22,7 +22,9 @@ object Corpus {
     * first so the product never exceeds 2^31 * 2654435761 < 2^63 —
     * overflow-free in engines that trap int64 overflow (DuckDB) and
     * wrap-free in those that don't (JVM), so both compute the same value
-    * for any BIGINT id.
+    * for any BIGINT id. NOTE for oracle SQL: `pmod` is non-negative for
+    * negative ids; a plain sign-preserving `%` (DuckDB) must be wrapped
+    * as `((id % m) + m) % m` to agree — the driver-facing oracles do.
     */
   def sampleHash(id: Column): Column =
     pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))

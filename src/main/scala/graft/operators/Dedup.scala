@@ -233,6 +233,13 @@ object Dedup {
       round += 1
     }
     edges.unpersist()
+    // a >maxRounds-diameter chain means the closure is incomplete —
+    // surface it (silently admitting duplicates is the worst failure
+    // mode a dedup pipeline can have)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"clusterLabels did not converge in $maxRounds rounds " +
+          s"($changed labels still changing) — raise maxRounds for this graph")
     labels
   }
 

@@ -34,7 +34,9 @@ object Multimodal {
       when(col(idCol) % 3 === 0, lit("image"))
         .when(col(idCol) % 3 === 1, lit("audio"))
         .otherwise(lit("video")).as("kind"),
-      col(textCol).cast("binary").as("bytes"))
+      // null payloads normalize to empty: every downstream partition-wise
+      // op (crc/decode/resize/frame loops) can deref bytes unconditionally
+      coalesce(col(textCol).cast("binary"), lit(Array.emptyByteArray)).as("bytes"))
 
   /** STUB DECODER — deterministic fake standing in for a real image/audio
     * codec (none available in this environment). Derives plausible,

@@ -171,14 +171,20 @@ object Streams {
           .map(_.filter(f => f.isDirectory && f.getName != s"epoch=$epoch"))
           .getOrElse(Array.empty[java.io.File])
         val survivors =
-          if (storeEpochs.nonEmpty) {
+          (if (storeEpochs.nonEmpty) {
             val store = spark.read.parquet(storeEpochs.map(_.getPath).toIndexedSeq: _*)
             val dupIds = Dedup.minhashDupsAgainst(sigs, store, threshold = threshold)
             inBatch.join(dupIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-          } else inBatch
-        survivors.write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
-        sigs.join(survivors.select(col(idCol).as("id")), "id")
-          .write.mode("overwrite").parquet(s"$storeDir/epoch=$epoch")
+          } else inBatch)
+            // the survivors DAG (dedup closure + store scan + banded join)
+            // feeds BOTH writes below — persist so the store scan and
+            // candidate join run once per epoch, not twice
+            .persist()
+        try {
+          survivors.write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+          sigs.join(survivors.select(col(idCol).as("id")), "id")
+            .write.mode("overwrite").parquet(s"$storeDir/epoch=$epoch")
+        } finally survivors.unpersist()
         ()
       }
       .start()
@@ -236,13 +242,14 @@ object Streams {
     */
   def intervalJoinStream(
       left: DataFrame, right: DataFrame, keyCol: String,
-      before: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
-    val l = left.withWatermark("ts", watermark)
-      .select(col(keyCol).as("k"), col("ts").as("lts"),
-        col("event_id").as("left_id"))
-    val r = right.withWatermark("ts", watermark)
-      .select(col(keyCol).as("rk"), col("ts").as("rts"),
-        col("event_id").as("right_id"))
+      before: String = "30 minutes", watermark: String = "1 hour",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("k"), col(tsCol).as("lts"),
+        col(idCol).as("left_id"))
+    val r = right.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("rk"), col(tsCol).as("rts"),
+        col(idCol).as("right_id"))
     l.join(r,
       col("k") === col("rk") &&
         col("rts") >= col("lts") - expr(s"INTERVAL $before") &&

@@ -121,6 +121,15 @@ class DedupSpec extends SparkSpec {
         10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("clusterLabels surfaces non-convergence instead of truncating") {
+    // a 6-link chain needs 5 propagation rounds; maxRounds=3 must throw,
+    // not silently return an incomplete closure
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("id1", "id2")
+    intercept[IllegalStateException] {
+      Dedup.clusterLabels(chain, maxRounds = 3).collect()
+    }
+  }
+
   test("dedup pipeline drops transitive near-dup chains (A~B~C, A≁C)") {
     // B overlaps A by 54/60 tokens and C by 54/60, but A and C share only
     // 48/60 — with the right threshold, pairs are (A,B),(B,C) without (A,C)

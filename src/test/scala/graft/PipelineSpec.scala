@@ -82,6 +82,17 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal ops tolerate null payloads (normalized to empty)") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "real")).toDF("doc_id", "text")
+    val media = Multimodal.withMediaColumn(df, "doc_id", "text")
+    assert(Multimodal.extractFeatures(media).collect().length == 2)
+    assert(Multimodal.resize(media, 4, 4).collect().forall(_.bytes.length == 16))
+    // null payload -> zero frames; real payload -> one
+    assert(Multimodal.sampleFrames(media, 100, 1).collect().map(_.media_id).toSeq == Seq(2L))
+  }
+
   test("entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
