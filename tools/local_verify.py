@@ -55,17 +55,19 @@ for d in sorted(glob.glob(f"{outdir}/q_*")):
     if n == 0: fail += 1
 
 # driver-loader hazard: the driver loads every output (oracle or not) with
-# pandas, which cannot hash ndarray cells — ANY list/struct output column
-# crashes its gate (CORRECTNESS_r01). Flag them here so the regression is
-# caught locally before a round is burned.
-import pyarrow.parquet as pq
-for d in sorted(glob.glob(f"{outdir}/q_*")):
+# pandas and sorts/hashes it — ndarray cells (ANY list/struct column) crash
+# that gate (CORRECTNESS_r01), and exotic dtypes can too. Run the actual
+# pandas load + sort_values + hash here so the regression is caught locally
+# before a round is burned.
+import pandas as pd
+for d in sorted(glob.glob(f"{outdir}/q*")):
+    if not os.path.isdir(d): continue
     name = os.path.basename(d)
-    files = glob.glob(f"{d}/*.parquet")
-    if not files: continue
-    nested = [f.name for f in pq.read_schema(files[0])
-              if "list" in str(f.type) or "struct" in str(f.type)]
-    if nested:
-        print(f"[FAIL] {name}: nested output columns {nested} crash the driver loader")
+    try:
+        df = pd.read_parquet(d)
+        df.sort_values(by=list(df.columns), inplace=True)
+        pd.util.hash_pandas_object(df.reset_index(drop=True))
+    except Exception as e:
+        print(f"[FAIL] {name}: pandas load/sort/hash raised: {e!r}")
         fail += 1
 sys.exit(1 if fail else 0)
