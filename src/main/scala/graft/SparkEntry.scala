@@ -520,6 +520,30 @@ object SparkEntry {
           floor(col("o_totalprice") / 1000).as("price_k"))
         .orderBy("o_orderkey")),
 
+    // --- date arithmetic breadth ------------------------------------------
+    "q_date_arith" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          trunc(col("o_orderdate").cast("date"), "month").as("month_start"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+          last_day(col("o_orderdate").cast("date")).as("eom"))
+        .orderBy("o_orderkey")),
+
+    // --- RANGE window frame (value-based, tie-inclusive — distinct from
+    // the ROWS frames elsewhere; partitioned by year so frame state is
+    // bounded per partition at scale) ---------------------------------------
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("y")).orderBy(col("cents"))
+        .rangeBetween(-100000L, 0L)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("y"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("near_sum", sum(col("cents")).over(w))
+        .orderBy("o_orderkey")
+    }),
+
     // --- exact percentiles ------------------------------------------------
     "q_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1241,6 +1265,20 @@ object SparkEntry {
 
     "q_model_pin" ->
       ("SELECT doc_id, TRUE AS pin_eq_default FROM documents ORDER BY doc_id"),
+
+    "q_date_arith" ->
+      ("SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, " +
+        "datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since, " +
+        "CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m, " +
+        "CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    "q_window_range" ->
+      ("SELECT o_orderkey, y, cents, CAST(sum(cents) OVER (PARTITION BY y ORDER BY cents " +
+        "RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_sum FROM (" +
+        "SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "ORDER BY o_orderkey"),
 
     "q_formats_roundtrip" ->
       ("SELECT format, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
