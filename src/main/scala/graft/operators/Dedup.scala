@@ -254,7 +254,10 @@ object Dedup {
   def dedupPipeline(
       df: DataFrame, idCol: String, textCol: String,
       minhashThreshold: Double = 0.7): DataFrame = {
-    val exactDone = exact(df, idCol, textCol)
+    // hash-keyed exact stage: the shuffle carries 8-byte keys instead of
+    // full normalized text (the 100 TB default; DedupSpec proves it
+    // selects the identical survivor set as the text-keyed twin)
+    val exactDone = exactScalable(df, idCol, textCol)
     val pairs = minhashPairs(exactDone, idCol, textCol, threshold = minhashThreshold)
     val victims = clusterLabels(pairs)
       .filter(col("label") =!= col("id"))

@@ -183,6 +183,32 @@ class StreamingSpec extends SparkSpec {
     assert(got(hour10) == 2L, s"got=$got")
   }
 
+  test("curation transforms run unchanged on a stream (one impl, two drivers)") {
+    import graft.functions.TextOps
+    import graft.operators.Corpus
+    val docs = Tables(spark, sf, "documents")
+    val src = tmp("graft_cur_src")
+    docs.write.parquet(s"$src/all")
+    // the same narrow-map pipeline: quality score + PII redact + hash sample
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      Corpus.stratifiedSample(df, "doc_id", "source",
+        rates = Map("src0" -> 1.0), defaultRate = 0.5)
+        .select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          Corpus.redactPii(col("text")).as("clean"))
+    val q = curate(Streams.fileStream(spark, s"$src/*", docs.schema))
+      .writeStream
+      .format("memory").queryName("curation_test").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("curation_test")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val batch = curate(docs).orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming near-dup filter: later epochs drop near-dups of admitted docs") {
     import spark.implicits._
     val src = tmp("graft_nd_src")
