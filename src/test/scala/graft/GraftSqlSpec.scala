@@ -88,4 +88,115 @@ WITH (
     val g = facade()
     assert(g.execute("SELECT 1 + 1 AS two").head.getInt(0) == 2)
   }
+
+  /** The reference's full worksheet — embedding lateral, vector-search
+    * lateral, prompt assembly with JSON_OBJECT, perpetual inserts — run
+    * statement-for-statement (README.md:266-287, 411-445, 723-731).
+    */
+  test("the reference's embed -> search -> prompt worksheet runs verbatim") {
+    val g = facade()
+    // setup: the models and topics the worksheet assumes
+    g.execute("""CREATE MODEL `vector_encoding`
+INPUT (input STRING)
+OUTPUT (vector ARRAY<FLOAT>)
+WITH(
+  'TASK' = 'embedding',
+  'PROVIDER' = 'openai',
+  'OPENAI.CONNECTION' = 'openai-vector-connection'
+);""")
+    g.execute("""CREATE MODEL retail_assistant
+INPUT(prompts STRING)
+OUTPUT(json_response STRING)
+COMMENT 'retail assistant model'
+WITH (
+  'provider' = 'openai',
+  'task' = 'classification',
+  'openai.connection' = 'openai-llm-connection',
+  'openai.system_prompt' = 'You are a retail assistant helping the user select clothing items.'
+);""")
+    g.execute("""CREATE TABLE `user_questions` (
+    `role`         STRING,
+    `content`      STRING,
+    `sessionid`    STRING
+) WITH ('value.format' = 'json-registry');""")
+    g.execute("""CREATE TABLE `user_questions_vector` (
+    `role`         STRING,
+    `content`      STRING,
+    `sessionid`    STRING,
+    `vector`      ARRAY<FLOAT>
+) WITH (
+  'value.format' = 'json-registry'
+);""")
+    g.execute("""CREATE TABLE `user_prompts` (
+    `role`         STRING,
+    `content`      STRING,
+    `sessionid`    STRING,
+    `products` ARRAY<ROW<`content` STRING>>
+) WITH (
+  'value.format' = 'json-registry'
+);""")
+    g.execute("""CREATE TABLE `llm_answers` (
+    `role`         STRING,
+    `content`      STRING,
+    `sessionid`    STRING,
+    `json_response` STRING
+) WITH ('value.format' = 'json-registry');""")
+    g.topics.produceJson("user_questions", Seq(
+      """{"role":"user","content":"good mens golf shirts","sessionid":"s1"}""",
+      """{"role":"user","content":"waterproof hiking boots","sessionid":"s2"}"""))
+    // the search corpus standing in for the reference's Atlas collection
+    val corpus = Tables(spark, sf, "documents").limit(50)
+      .select(col("text").as("content"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    g.registerSearchCorpus("mongodb_vector_search", corpus, "content", "vector")
+
+    // --- README.md:279-280: test the vector encoding function -----------
+    val probe = g.execute(
+      """select `role`, `content`, `sessionid`, `vector` from `user_questions`,
+lateral table (ml_predict('vector_encoding', content));""").collect()
+    assert(probe.length == 2 && probe.forall(_.getSeq[Float](3).length == 64))
+
+    // --- README.md:285-287: perpetual insert (batch form) ----------------
+    g.execute(
+      """insert into `user_questions_vector` select `role`, `content`, `sessionid`, `vector` from `user_questions`,
+lateral table (ml_predict('vector_encoding', content));""")
+
+    // --- README.md:425-431: vector search lateral ------------------------
+    val searched = g.execute("""SELECT
+  user_questions_vector.role,
+  user_questions_vector.content,
+  user_questions_vector.sessionid,
+  search_results as products
+FROM user_questions_vector,
+LATERAL TABLE(FEDERATED_SEARCH('mongodb_vector_search', 3, vector));""").collect()
+    assert(searched.length == 2)
+    assert(searched.forall(_.getSeq[org.apache.spark.sql.Row](3).length == 3))
+
+    // --- README.md:437-445: its insert form ------------------------------
+    g.execute("""Insert into user_prompts (role, content, sessionid, products)
+SELECT
+  user_questions_vector.role,
+  user_questions_vector.content,
+  user_questions_vector.sessionid,
+  search_results as products
+FROM user_questions_vector,
+LATERAL TABLE(FEDERATED_SEARCH('mongodb_vector_search', 3, vector));""")
+
+    // --- README.md:723-731: the LLM prompt insert with JSON_OBJECT -------
+    g.execute("""insert into llm_answers (role, content, sessionid, json_response)
+SELECT role, content, sessionid, json_response FROM user_prompts,
+LATERAL TABLE(ML_PREDICT('retail_assistant', json_object(
+      'role' VALUE role,
+      'content' VALUE content,
+      'products' VALUE cast(products as string))
+    )
+  );""")
+
+    val answers = g.execute(
+      "SELECT sessionid, json_response FROM llm_answers ORDER BY sessionid").collect()
+    assert(answers.length == 2)
+    assert(answers.forall(_.getString(1).contains("\"role\":\"assistant\"")))
+    assert(answers.forall(_.getString(1).contains("clothing items")),
+      "the DDL-declared system prompt reaches the answers")
+  }
 }
