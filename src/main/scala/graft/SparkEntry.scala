@@ -1191,9 +1191,12 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, " +
         "CAST(len(regexp_extract_all(dirty, '\\b[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) AS n_phone, " +
         "CAST(len(regexp_extract_all(dirty, 'https?://[^\\s]+')) AS BIGINT) AS n_url " +
+        // pmod parity: Spark pmod is non-negative while DuckDB % is
+        // sign-preserving — wrap so both agree for ANY id sign
         "FROM (SELECT doc_id, concat(text, ' contact user', doc_id, '@mail', " +
-        "doc_id % 7, '.com or 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), " +
-        "' see https://ex', doc_id % 5, '.org/d/', doc_id) AS dirty FROM documents) " +
+        "((doc_id % 7) + 7) % 7, '.com or 555-', " +
+        "lpad(CAST(((doc_id % 10000) + 10000) % 10000 AS VARCHAR), 4, '0'), " +
+        "' see https://ex', ((doc_id % 5) + 5) % 5, '.org/d/', doc_id) AS dirty FROM documents) " +
         "ORDER BY doc_id"),
 
     "q_decontaminate" ->

@@ -127,10 +127,19 @@ object Dedup {
   def minhashDupsAgainst(
       newSigs: DataFrame, storeSigs: DataFrame,
       numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
-    val l = bandRows(newSigs, numHashes, bands)
-    val r = bandRows(storeSigs, numHashes, bands)
+      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val l0 = bandRows(newSigs, numHashes, bands)
+    val r0 = bandRows(storeSigs, numHashes, bands)
       .withColumnRenamed("id", "store_id")
+    // Same pathological-bucket cap as minhashPairs, counted across BOTH
+    // sides: a boilerplate (band,bh) bucket in the accumulated store would
+    // otherwise make the candidate join quadratic in the stream path.
+    val sizes = l0.select(col("band"), col("bh"))
+      .unionAll(r0.select(col("band"), col("bh")))
+      .groupBy("band", "bh").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+    val l = l0.join(sizes.select("band", "bh"), Seq("band", "bh"))
+    val r = r0.join(sizes.select("band", "bh"), Seq("band", "bh"))
     val cand = l.join(r, Seq("band", "bh"))
       .select("id", "store_id").dropDuplicates("id", "store_id")
     val estJaccard = udf { (a: Seq[Long], b: Seq[Long]) =>

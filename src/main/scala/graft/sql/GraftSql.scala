@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
-import graft.functions.HashEmbedder
+import graft.functions.{HashEmbedder, TopKHeap}
 import graft.model.{ModelRegistry, StubLlm}
 import graft.operators.VectorSearch
 import graft.sources.TopicCatalog
@@ -46,28 +46,35 @@ class GraftSql(
   private val outputNames =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Registered FEDERATED_SEARCH corpora: name -> (collected rows of
-    * (content, vector), metric). Bounded collect — the reference's Atlas
-    * index is the broadcast side of its search (README.md:404-407); cap
-    * with `maxRows` like [[VectorSearch.topKBroadcast]].
+  /** Registered FEDERATED_SEARCH corpora. Small corpora are collected
+    * once (bounded) and scanned per row with a bounded heap — the shape
+    * of the reference's per-row lateral against its Atlas index
+    * (README.md:404-407). Beyond-cap corpora stay as DataFrames and the
+    * search routes through the distributed [[VectorSearch.topKAgg]]
+    * instead of refusing.
     */
-  private val corpora = scala.collection.concurrent.TrieMap
-    .empty[String, Array[(String, Array[Float])]]
+  private val corpora =
+    scala.collection.concurrent.TrieMap.empty[String, CorpusRef]
 
   /** Register the backing corpus for `FEDERATED_SEARCH('<name>', k, v)`
     * statements — the in-engine stand-in for the reference's external
-    * Atlas collection (contentCol, vecCol projected and collected under a
-    * row cap).
+    * Atlas collection. Default `maxRows` matches
+    * [[VectorSearch.topKBroadcast]]'s driver-collect posture scaled to
+    * the ≤16g clamped driver heap: 100k (content, 64-float) rows is a
+    * few tens of MB; 2M rows of Row overhead was an OOM hazard.
     */
   def registerSearchCorpus(
       name: String, df: DataFrame, contentCol: String, vecCol: String,
-      maxRows: Int = 2000000): Unit = {
+      maxRows: Int = 100000, numCandidates: Int = 10000): Unit = {
+    requireNumCandidates(numCandidates)
     val rows = df.select(contentCol, vecCol).limit(maxRows + 1).collect()
-    require(rows.length <= maxRows,
-      s"corpus $name exceeds maxRows=$maxRows; use the DataFrame API " +
-        "(VectorSearch.topKAgg/annTopK) for beyond-broadcast corpora")
-    corpora(name) = rows.map(r =>
-      (r.getString(0), r.getSeq[Float](1).toArray))
+    corpora(name) =
+      if (rows.length <= maxRows)
+        // sorted by content so heap index tie-break == content tie-break,
+        // independent of collect order
+        InMemCorpus(rows.map(r => (r.getString(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1))
+      else DfCorpus(df, contentCol, vecCol)
   }
 
   /** Execute one statement; DDL forms return a small status/metadata
@@ -105,14 +112,45 @@ class GraftSql(
 
     case CreateTableRe(name, cols, opts) =>
       // Flink column DDL is Spark-DDL compatible once backticks drop and
-      // ROW<...> becomes STRUCT<...>; the WITH options (connector/
-      // value.format) select the topic backend, which in this engine is
-      // always the TopicCatalog.
+      // ROW<...> becomes STRUCT<...>.
       val schema = StructType.fromDDL(
         cols.replace("`", "").replaceAll("(?i)\\bROW<", "STRUCT<"))
-      topics.create(name, schema)
-      val _ = parseOptions(opts) // validated shape; stored format is JSON lines
-      status(s"created table $name")
+      val options = parseOptions(opts)
+      options.get("connector") match {
+        case Some(conn) if conn != "kafka" =>
+          // External-connector table, e.g. the reference's ANN-searchable
+          // Atlas collection (README.md:355-366): `'connector'='mongodb',
+          // 'mongodb.collection'=..., 'mongodb.path'=<vector field>,
+          // 'mongodb.numCandidates'=...`. Routes to FEDERATED_SEARCH
+          // corpus registration (NOT a topic) against an in-engine
+          // backing relation named by `<database>.<collection>` /
+          // `<collection>` — resolved lazily at first search, like the
+          // external system the options point at.
+          val nc = options.collectFirst {
+            case (key, v) if key.endsWith(".numcandidates") => v.trim.toInt
+          }.getOrElse(10000)
+          requireNumCandidates(nc)
+          val vecField = options.collectFirst {
+            case (key, v) if key.endsWith(".path") => v
+          }.getOrElse("vector")
+          val backing = (options.collectFirst {
+            case (key, v) if key.endsWith(".database") => v
+          }, options.collectFirst {
+            case (key, v) if key.endsWith(".collection") => v
+          }) match {
+            case (db, Some(coll)) => db.map(d => s"$d.$coll").toSeq :+ coll
+            case _ => Seq(name)
+          }
+          require(schema.nonEmpty, s"external table $name declares no columns")
+          corpora(name) = LazyCorpus(backing, schema.head.name, vecField)
+          status(s"created external search table $name (connector=$conn, " +
+            s"numCandidates=$nc)")
+        case _ =>
+          // Topic-backed table ('value.format'='json-registry', or
+          // connector=kafka): always the TopicCatalog in this engine.
+          topics.create(name, schema)
+          status(s"created table $name")
+      }
 
     case InsertIntoRe(table, colList, select) =>
       // INSERT INTO topic [(cols)] SELECT ... — the reference's perpetual
@@ -154,8 +192,10 @@ class GraftSql(
     rewriteLateral(rewriteJsonObject(sql))
 
   private def rewriteJsonObject(sql: String): String = {
-    val lower = sql.toLowerCase
-    val at = lower.indexOf("json_object")
+    // quote-aware seed: a string literal containing "json_object(" must
+    // not trigger the rewrite (matchParen is quote-aware; the seed match
+    // has to be too)
+    val at = indexOfOutsideQuotes(sql, "json_object")
     if (at < 0) return sql
     val open = sql.indexOf('(', at)
     if (open < 0) return sql
@@ -184,25 +224,58 @@ class GraftSql(
     require(lc < sql.length && sql.charAt(lc) == ')',
       s"malformed LATERAL TABLE near: ${sql.substring(mm.start, math.min(sql.length, mm.start + 80))}")
     val lateralClose = lc
-    val (call, outName) = fnKind match {
+    // a dotted source (db.tbl) can't itself be a subquery alias — alias
+    // with the last name segment so unqualified refs keep resolving
+    val alias = table.substring(table.lastIndexOf('.') + 1)
+    val prefix = sql.substring(0, mm.start)
+    val suffix = sql.substring(lateralClose + 1)
+    val replaced = fnKind match {
       case "ml_predict" =>
         val (ref, arg) = splitFirstArg(args)
-        (s"${mlPredictUdf(ref)}($arg)",
-          outputNames.getOrElse(ref.takeWhile(_ != '$'), "json_response"))
+        val call = s"${mlPredictUdf(ref)}($arg)"
+        val outName = outputNames.getOrElse(ref.takeWhile(_ != '$'), "json_response")
+        s"(SELECT *, $call AS $outName FROM $table) AS $alias"
       case _ =>
         val parts = splitArgs(args)
         require(parts.length == 3,
           s"FEDERATED_SEARCH expects ('corpus', k, vectorCol), got: $args")
         val corpus = unquote(parts(0))
-        (s"${federatedSearchUdf(corpus, parts(1).trim.toInt)}(${parts(2)})",
-          "search_results")
+        val k = parts(1).trim.toInt
+        resolveCorpus(corpus) match {
+          case mem: InMemCorpus =>
+            val call = s"${federatedSearchUdf(corpus, mem, k)}(${parts(2)})"
+            s"(SELECT *, $call AS search_results FROM $table) AS $alias"
+          case big: DfCorpus =>
+            // beyond the driver-collect cap: distributed search via
+            // topKAgg, materialized as a temp view carrying the source
+            // columns + search_results
+            s"${fedSearchView(table, parts(2), big, k)} AS $alias"
+          case _: LazyCorpus =>
+            throw new IllegalStateException("unreachable: resolveCorpus resolves LazyCorpus")
+        }
     }
-    val prefix = sql.substring(0, mm.start)
-    val suffix = sql.substring(lateralClose + 1)
-    val rewritten =
-      s"$prefix FROM (SELECT *, $call AS $outName FROM $table) AS $table $suffix"
-    rewriteLateral(rewritten)
+    rewriteLateral(s"$prefix FROM $replaced $suffix")
   }
+
+  /** Resolve a corpus reference to a concrete form: lazy table-backed
+    * corpora (external-connector CREATE TABLE) are bound to the first
+    * resolvable backing relation and re-registered via
+    * [[registerSearchCorpus]] (collect if small, DataFrame otherwise).
+    */
+  private def resolveCorpus(name: String): CorpusRef =
+    corpora.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown search corpus '$name' — CREATE TABLE ... WITH " +
+        "('connector'='mongodb', ...) or call registerSearchCorpus first")) match {
+      case LazyCorpus(candidates, contentCol, vecCol) =>
+        val df = candidates.view.flatMap { ref =>
+          try Some(spark.table(ref)) catch { case _: Exception => None }
+        }.headOption.getOrElse(throw new IllegalArgumentException(
+          s"search corpus '$name': no backing relation among " +
+            candidates.mkString("[", ", ", "]")))
+        registerSearchCorpus(name, df, contentCol, vecCol)
+        corpora(name)
+      case c => c
+    }
 
   /** Register (idempotently) a scalar UDF evaluating the resolved model
     * and return its name. Output type follows the model task: embedding
@@ -221,22 +294,70 @@ class GraftSql(
     fname
   }
 
-  /** Register (idempotently) the broadcast top-k UDF for a corpus and
-    * return its name: dot-product scoring over the collected corpus, best
-    * k contents as ARRAY<STRUCT<content STRING>> (the reference's
-    * `search_results` shape, README.md:417,425-431).
+  /** Register (idempotently) the broadcast top-k UDF for a collected
+    * corpus and return its name: dot-product scoring over the corpus with
+    * a bounded [[TopKHeap]] (O(n log k), no per-row sort allocation),
+    * best k contents as ARRAY<STRUCT<content STRING>> (the reference's
+    * `search_results` shape, README.md:417,425-431). Ties break by
+    * content asc (rows are content-sorted at registration, and the heap
+    * breaks score ties by index asc).
     */
-  private def federatedSearchUdf(corpus: String, k: Int): String = {
-    val rows = corpora.getOrElse(corpus, throw new IllegalArgumentException(
-      s"unknown search corpus '$corpus' — call registerSearchCorpus first"))
+  private def federatedSearchUdf(corpus: String, mem: InMemCorpus, k: Int): String = {
+    val rows = mem.rows
     val fname = s"federated_search__${corpus}__$k".replaceAll("[^\\w]", "_")
     spark.udf.register(fname, (v: Seq[Float]) => {
       val q = if (v == null) Array.empty[Float] else v.toArray
-      rows.map { case (content, cv) =>
-        (content, VectorSearch.scoreF32("dot", q, cv))
-      }.sortBy { case (c, s) => (-s, c) }.take(k).map(p => SearchHit(p._1)).toSeq
+      val heap = new TopKHeap(k, ascending = false)
+      var i = 0
+      while (i < rows.length) {
+        heap.insert(i.toLong, VectorSearch.scoreF32("dot", q, rows(i)._2))
+        i += 1
+      }
+      (0 until heap.n).map(j => SearchHit(rows(heap.ids(j).toInt)._1))
     })
     fname
+  }
+
+  private val fedViewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Distributed FEDERATED_SEARCH for beyond-cap corpora: score through
+    * [[VectorSearch.topKAgg]] (map-side bounded heap — only ≤k rows per
+    * query per partition reach the shuffle), map match ids back to
+    * contents, and register source-columns + `search_results` as a temp
+    * view the rewritten statement selects FROM.
+    */
+  private def fedSearchView(
+      table: String, vecExpr: String, big: DfCorpus, k: Int): String = {
+    import org.apache.spark.sql.functions._
+    // deterministic content-derived ids, NOT monotonically_increasing_id:
+    // both q and c appear twice in the DAG (scoring subtree + join-back)
+    // and mono-ids are recomputed per evaluation, so a repartitioned
+    // input would permute the join. Rows with identical (content, vector)
+    // collapse to one id — harmless for top-k membership.
+    val base = spark.table(table)
+    val q = base.withColumn("__qid", xxhash64(expr(vecExpr)))
+    val c = big.df
+      .select(col(big.contentCol).as("__content"),
+        col(big.vecCol).cast("array<float>").as("__cvec"))
+      .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
+      .dropDuplicates("__cid")
+    val hits = VectorSearch.topKAgg(
+      q.select(col("__qid"), expr(vecExpr).as("__qvec")), "__qid", "__qvec",
+      c, "__cid", "__cvec", k, "dot")
+    val resolved = hits
+      .select(col("__qid"), posexplode(col("matches")).as(Seq("__rank", "__m")))
+      .select(col("__qid"), col("__rank"), col("__m.id").as("__cid"))
+      .join(c.select("__cid", "__content"), "__cid")
+      .groupBy("__qid")
+      .agg(sort_array(collect_list(struct(col("__rank"), col("__content"))))
+        .as("__sorted"))
+      .select(col("__qid"),
+        transform(col("__sorted"), x =>
+          struct(x.getField("__content").as("content"))).as("search_results"))
+    val out = q.join(resolved, Seq("__qid"), "left").drop("__qid")
+    val view = s"graft_fedsearch_${fedViewCounter.incrementAndGet()}"
+    out.createOrReplaceTempView(view)
+    view
   }
 
   private def status(msg: String): DataFrame = {
@@ -247,6 +368,20 @@ class GraftSql(
 
 /** `search_results` element shape (ARRAY<ROW<content STRING>>). */
 case class SearchHit(content: String)
+
+/** Registered FEDERATED_SEARCH corpus states. */
+private[sql] sealed trait CorpusRef
+/** Collected (content, vector) rows, content-sorted — per-row heap scan. */
+private[sql] final case class InMemCorpus(rows: Array[(String, Array[Float])])
+  extends CorpusRef
+/** Beyond-cap corpus left distributed — searched via topKAgg. */
+private[sql] final case class DfCorpus(
+  df: DataFrame, contentCol: String, vecCol: String) extends CorpusRef
+/** External-connector CREATE TABLE corpus, backing relation (candidate
+  * names in resolution order) bound at first search. */
+private[sql] final case class LazyCorpus(
+  backingCandidates: Seq[String], contentCol: String, vecCol: String)
+  extends CorpusRef
 
 object GraftSql {
   // (?is): case-insensitive, dot-matches-newline — statements arrive as
@@ -263,6 +398,31 @@ object GraftSql {
     """(?is)^\s*INSERT\s+INTO\s+`?([\w.-]+)`?\s*(?:\(([^)]*)\))?\s*(SELECT\b.*?)\s*;?\s*$""".r
   private[sql] val LateralRe =
     """(?is)\bFROM\s+(`?[\w.]+`?)\s*,\s*LATERAL\s+TABLE\s*\(\s*(ML_PREDICT|FEDERATED_SEARCH)\b""".r
+
+  /** Candidate-pool bound, matching the reference's numCandidates rule:
+    * "must be less than or equal to 10,000" (README.md:368).
+    */
+  private[sql] def requireNumCandidates(n: Int): Unit =
+    require(n >= 1 && n <= 10000,
+      s"numCandidates must be in [1, 10000] (reference README.md:368), got $n")
+
+  /** First index of `needle` (case-insensitive) outside single-quoted
+    * string literals, or -1.
+    */
+  private[sql] def indexOfOutsideQuotes(s: String, needle: String): Int = {
+    val lower = s.toLowerCase
+    val n = needle.toLowerCase
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false; i += 1 }
+      else if (c == '\'') { inQuote = true; i += 1 }
+      else if (lower.startsWith(n, i)) return i
+      else i += 1
+    }
+    -1
+  }
 
   /** Index of the ')' matching the '(' at `open` (quote-aware). */
   private[sql] def matchParen(s: String, open: Int): Int = {

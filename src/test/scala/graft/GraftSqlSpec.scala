@@ -144,11 +144,25 @@ WITH (
     g.topics.produceJson("user_questions", Seq(
       """{"role":"user","content":"good mens golf shirts","sessionid":"s1"}""",
       """{"role":"user","content":"waterproof hiking boots","sessionid":"s2"}"""))
-    // the search corpus standing in for the reference's Atlas collection
-    val corpus = Tables(spark, sf, "documents").limit(50)
+    // the backing relation standing in for the reference's Atlas
+    // retail.product collection — named `product`, resolved by the
+    // external-table DDL below (NO programmatic registerSearchCorpus)
+    Tables(spark, sf, "documents").limit(50)
       .select(col("text").as("content"),
         graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
-    g.registerSearchCorpus("mongodb_vector_search", corpus, "content", "vector")
+      .createOrReplaceTempView("product")
+    // --- README.md:355-366: the ANN-searchable external table, verbatim -
+    g.execute("""CREATE TABLE mongodb_vector_search (
+  `content` STRING
+) WITH (
+  'connector' = 'mongodb',
+  'mongodb.connection' = 'mongodb-fed-search-connection',
+  'mongodb.database' = 'retail',
+  'mongodb.collection' = 'product',
+  'mongodb.index' = 'vector_index',
+  'mongodb.path' = 'vector',
+  'mongodb.numCandidates' = '20'
+);""")
 
     // --- README.md:279-280: test the vector encoding function -----------
     val probe = g.execute(
@@ -198,5 +212,65 @@ LATERAL TABLE(ML_PREDICT('retail_assistant', json_object(
     assert(answers.forall(_.getString(1).contains("\"role\":\"assistant\"")))
     assert(answers.forall(_.getString(1).contains("clothing items")),
       "the DDL-declared system prompt reaches the answers")
+  }
+
+  test("beyond-cap corpus falls back to the distributed topKAgg path") {
+    val g = facade()
+    import spark.implicits._
+    val corpus = Tables(spark, sf, "documents").filter(col("doc_id") < 40)
+      .select(col("text").as("content"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    // cap of 10 < 40 rows → DfCorpus; search must still return correct top-k
+    g.registerSearchCorpus("big_corpus", corpus, "content", "vector", maxRows = 10)
+    val qs = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select(col("doc_id"), col("text").as("content"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    qs.createOrReplaceTempView("big_questions")
+    val got = g.execute(
+      """SELECT doc_id, search_results FROM big_questions,
+LATERAL TABLE(FEDERATED_SEARCH('big_corpus', 3, vector));""").collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getSeq[org.apache.spark.sql.Row](1).length == 3))
+    // equivalence: same corpus under a generous cap takes the in-memory
+    // heap path — both paths must return the same hit set per query
+    g.registerSearchCorpus("small_corpus", corpus, "content", "vector")
+    val mem = g.execute(
+      """SELECT doc_id, search_results FROM big_questions,
+LATERAL TABLE(FEDERATED_SEARCH('small_corpus', 3, vector));""").collect()
+    def hits(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(_.getString(0)).toSet).toMap
+    assert(hits(got) == hits(mem))
+  }
+
+  test("numCandidates beyond 10000 is rejected (README.md:368)") {
+    val g = facade()
+    val err = intercept[IllegalArgumentException] {
+      g.execute("""CREATE TABLE bad_search (content STRING) WITH (
+  'connector' = 'mongodb', 'mongodb.numCandidates' = '10001');""")
+    }
+    assert(err.getMessage.contains("10000"))
+  }
+
+  test("json_object inside a string literal is not rewritten") {
+    val g = facade()
+    val r = g.execute(
+      "SELECT 'call json_object(here)' AS s, json_object('k' VALUE 1) AS j")
+      .collect().head
+    assert(r.getString(0) == "call json_object(here)")
+    assert(r.getString(1) == """{"k":1}""")
+  }
+
+  test("dotted table name in a lateral gets a valid alias") {
+    val g = facade()
+    g.execute("""CREATE MODEL enc INPUT (input STRING) OUTPUT (vector ARRAY<FLOAT>)
+WITH ('task' = 'embedding');""")
+    import spark.implicits._
+    Seq(("u", "hello")).toDF("role", "content")
+      .createOrReplaceGlobalTempView("qs")
+    val rows = g.execute(
+      """SELECT role, content, vector FROM global_temp.qs,
+LATERAL TABLE(ML_PREDICT('enc', content));""").collect()
+    assert(rows.length == 1 && rows.head.getSeq[Float](2).length == 64)
   }
 }
