@@ -114,6 +114,26 @@ object IvfSearch {
         (col("rank0") + 1).cast("int").as("rank"))
   }
 
+  /** [[ivfTopK]] tuned from a `numCandidates` budget — the reference's
+    * ANN knob (README.md:364,368) instead of raw nProbe: candidates per
+    * query are ~|C| * nProbe / nList, so nProbe is the largest probe
+    * count that keeps the pool within the budget (≥1 so a query always
+    * probes its own cell).
+    */
+  def ivfTopKCandidates(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, metric: String = "dot",
+      numCandidates: Int = 10000, nList: Int = 16, iters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    VectorSearch.requireNumCandidates(numCandidates)
+    require(k <= numCandidates, s"k=$k exceeds numCandidates=$numCandidates")
+    val n = math.max(1L, corpus.count())
+    val nProbe = math.max(1, math.min(nList,
+      (numCandidates.toLong * nList / n).toInt))
+    ivfTopK(queries, qId, qVec, corpus, cId, cVec, k, metric, nList, nProbe, iters, dim)
+  }
+
   // --- at-rest index: cell as a PARTITION column -------------------------
 
   /** Materialize the IVF index on disk: the celled corpus partitioned BY

@@ -229,6 +229,34 @@ object VectorSearch {
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Candidate-pool bound shared by the ANN entry points, mirroring the
+    * reference's `numCandidates` rule: "must be less than or equal to
+    * 10,000" (reference README.md:364,368).
+    */
+  def requireNumCandidates(n: Int): Unit =
+    require(n >= 1 && n <= 10000,
+      s"numCandidates must be in [1, 10000] (reference README.md:368), got $n")
+
+  /** [[annTopK]] tuned from a `numCandidates` budget — the reference's
+    * ANN knob (README.md:364,368) instead of raw (nBits, nTables): the
+    * expected candidate pool per query is ~|C| * nTables / 2^nBits, so
+    * nBits is chosen as the smallest width that brings the pool under
+    * the budget. Recall rises with the budget, like Atlas.
+    */
+  def annTopKCandidates(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, metric: String = "dot",
+      numCandidates: Int = 10000, nTables: Int = 4, dim: Int = 64): DataFrame = {
+    requireNumCandidates(numCandidates)
+    require(k <= numCandidates, s"k=$k exceeds numCandidates=$numCandidates")
+    val n = corpus.count()
+    val pool = n.toDouble * nTables / numCandidates
+    val nBits = math.max(1, math.min(16,
+      math.ceil(math.log(math.max(1.0, pool)) / math.log(2.0)).toInt))
+    annTopK(queries, qId, qVec, corpus, cId, cVec, k, metric, nBits, nTables, dim)
+  }
+
   /** Recall contract for an approximate search against its exact twin:
     * per query, `recall_ok` = at least `minHits` of the approximate
     * matches appear in the exact top-k. Turns a non-deterministic-looking

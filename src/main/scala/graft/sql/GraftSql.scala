@@ -403,8 +403,7 @@ object GraftSql {
     * "must be less than or equal to 10,000" (README.md:368).
     */
   private[sql] def requireNumCandidates(n: Int): Unit =
-    require(n >= 1 && n <= 10000,
-      s"numCandidates must be in [1, 10000] (reference README.md:368), got $n")
+    graft.operators.VectorSearch.requireNumCandidates(n)
 
   /** First index of `needle` (case-insensitive) outside single-quoted
     * string literals, or -1.

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, VectorSearch}
+import graft.operators.{Dedup, IvfSearch, VectorSearch}
 
 /** Null / empty-input behavior of the custom operators. */
 class RobustnessSpec extends SparkSpec {
@@ -76,5 +76,45 @@ class RobustnessSpec extends SparkSpec {
   test("mismatched vector lengths score over the common prefix") {
     val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 1f))).toDF("a", "b")
     assert(df.select(VectorFunctions.dot_product(col("a"), col("b"))).head().getDouble(0) == 3.0)
+  }
+
+  test("numCandidates beyond the reference's 10,000 bound is rejected (README.md:368)") {
+    val d = vdf(Seq((1L: java.lang.Long) -> Seq(1f, 0f)))
+    val e1 = intercept[IllegalArgumentException] {
+      VectorSearch.annTopKCandidates(d, "id", "v", d, "id", "v",
+        k = 1, numCandidates = 10001)
+    }
+    assert(e1.getMessage.contains("10000"))
+    val e2 = intercept[IllegalArgumentException] {
+      IvfSearch.ivfTopKCandidates(d, "id", "v", d, "id", "v",
+        k = 1, numCandidates = 0)
+    }
+    assert(e2.getMessage.contains("10000"))
+    // k cannot exceed the candidate pool
+    val e3 = intercept[IllegalArgumentException] {
+      VectorSearch.annTopKCandidates(d, "id", "v", d, "id", "v",
+        k = 11, numCandidates = 10)
+    }
+    assert(e3.getMessage.contains("numCandidates"))
+  }
+
+  test("numCandidates-tuned ANN entry points return correctly ranked hits") {
+    // orthogonal one-hot vectors: every query's own vector is its unique
+    // cosine-rank-1 match, and a query always shares LSH buckets / IVF
+    // cells with its identical corpus twin
+    val rows = (0L until 8L).map(i =>
+      (i: java.lang.Long) -> Seq.tabulate(8)(d => if (d == i) i + 1f else 0f))
+    val d = vdf(rows)
+    val qs = d.filter(col("id") < 4)
+    val got = VectorSearch.annTopKCandidates(
+      qs, "id", "v", d.withColumnRenamed("id", "cid"), "cid", "v",
+      k = 1, metric = "cosine", numCandidates = 10000, dim = 8)
+      .select("id", "match_id").collect()
+    assert(got.length == 4 && got.forall(r => r.getLong(0) == r.getLong(1)))
+    val ivf = IvfSearch.ivfTopKCandidates(
+      qs, "id", "v", d.withColumnRenamed("id", "cid"), "cid", "v",
+      k = 1, metric = "cosine", numCandidates = 10000, nList = 4, dim = 8)
+      .select("id", "match_id").collect()
+    assert(ivf.length == 4 && ivf.forall(r => r.getLong(0) == r.getLong(1)))
   }
 }
