@@ -753,6 +753,26 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // --- persisted IVF index: write once (cell = partition column), probe
+    // with partition pruning, same recall contract as the in-flight IVF.
+    // The at-rest layout is the 100 TB index shape: a probe lists only the
+    // probed cells' directories (PlanAuditSpec pins the pruned scan).
+    "q_ivf_index_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding", path,
+        nList = 16)
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val approx = graft.operators.IvfSearch.searchIndex(s, path, queries,
+        "query_id", "qv", k = 3, metric = "dot", nProbe = 4)
+      val exact = VectorSearch.topKFlat(queries, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 3, metric = "dot")
+      VectorSearch.recallContract(approx, exact, queries, "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
     // --- SQL surface: CUBE grouping sets with grouping() flags ------------
     "q_cube" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1385,6 +1405,10 @@ object SparkEntry {
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 
     "q_ivf_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_ivf_index_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
   )

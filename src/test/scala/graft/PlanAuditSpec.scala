@@ -84,4 +84,67 @@ class PlanAuditSpec extends SparkSpec {
     // scan-edge fan-out + window hash partitioning + final sort range
     assert(exchanges.size <= 3, s"${exchanges.size} shuffles: $p")
   }
+
+  test("persisted IVF index probe scans ONLY the probed cell partitions") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sf, "embeddings")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_planaudit").toString
+    graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding", path,
+      nList = 16)
+    // a single query probes nProbe=2 of the 16 cells
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val searched = graft.operators.IvfSearch.searchIndex(spark, path, queries,
+      "query_id", "qv", k = 3, metric = "dot", nProbe = 2)
+    // plain collect: collectWithSubqueries can surface LOGICAL subquery
+    // plans here and class-cast (see verify-skill gotchas)
+    val indexScans = searched.queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("graft_ivf_planaudit")))
+    assert(indexScans.nonEmpty, "no scan over the persisted index found")
+    indexScans.foreach { f =>
+      // partition pruning happened at file-listing time: of the 16 cell
+      // directories only the 2 probed ones are selected. Static filters
+      // only — the probe join ALSO installs a dynamicpruning#N subquery
+      // (DPP on the cell key), which is unevaluable outside execution.
+      val static = f.partitionFilters.filterNot(e =>
+        e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+      assert(static.nonEmpty, s"no static partition filter: ${f.partitionFilters}")
+      val selected = f.relation.location.listFiles(static, f.dataFilters)
+      val cells = selected.map(_.values.getInt(0)).toSet
+      assert(cells.size <= 2, s"probed partitions not pruned: $cells")
+    }
+  }
+
+  test("IVF probe join under a skewed cell distribution stays an equi-join (AQE skew-safe)") {
+    import org.apache.spark.sql.functions._
+    // deliberately skewed: 90% of corpus vectors identical -> one popular
+    // cell; the probe join must remain a hash equi-join on `cell` (AQE's
+    // skew-join splitting applies to shuffle joins at runtime) and never
+    // degenerate into a cross product.
+    import spark.implicits._
+    val skewed = (0L until 2000L).map { i =>
+      val v = if (i % 10 == 0) Seq.tabulate(8)(d => (i % 97 + d).toFloat / 97f)
+              else Seq.tabulate(8)(_ => 1f) // the popular identical vector
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val queries = skewed.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val searched = graft.operators.IvfSearch.ivfTopK(queries, "query_id", "qv",
+      skewed, "vec_id", "embedding", k = 3, metric = "dot",
+      nList = 4, nProbe = 2, dim = 8)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    val p = searched.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // and the result is still correct under the skew: every query returns
+    // k hits, and a query whose vector is the popular one scores 1.0-sim
+    // matches first
+    val rows = searched.collect()
+    assert(rows.nonEmpty)
+    val perQuery = rows.groupBy(_.getLong(0))
+    assert(perQuery.forall(_._2.length == 3))
+  }
 }
