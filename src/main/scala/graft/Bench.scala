@@ -38,7 +38,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // detail line first, compact total LAST: the driver captures the tail
+    // of the log, and the long per-query map was truncated in BENCH_r02 —
+    // the last line must always carry the headline number.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"runs":2,"agg":"min","sf":"$sfDir"}""")
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"runs":2,"agg":"min","sf":"$sfDir"}""")
   }
 }
