@@ -903,6 +903,157 @@ object SparkEntry {
         .select("query_id", "match_id", "score", "rank")
         .orderBy("query_id", "rank")
     }),
+
+    // --- accuracy-contract twins for the sketch/approx dedup family -------
+    // Same pattern as q_ann_recall / q_hll_distinct: rows are keyed on an
+    // oracle-recomputable ground truth (exact character-5-shingle Jaccard
+    // over the minhash normalization, relational on both engines), real
+    // columns carry values both engines compute, booleans pin the sketch
+    // guarantees the oracle can't re-derive.
+
+    "q_minhash_contract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // recall, keyed on ground truth: planted near-dups sit at exact
+      // jaccard >= 0.8 on this corpus while background pairs stay < 0.5 —
+      // at s >= 0.8 a 16x4 band hits with p ~ 1 - (1-0.8^4)^16 > 0.999,
+      // and est >= 0.5 is > 4 sigma below the true value (64 hashes)
+      val exact = Dedup.charShingleJaccardPairs(docs, "doc_id", "text", 5, 0.8)
+      val mh = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleLen = 5, threshold = 0.5)
+      val found = exact
+        .join(mh.select(col("id1"), col("id2"), lit(true).as("__f")),
+          Seq("id1", "id2"), "left")
+        .select(col("id1"), col("id2"),
+          coalesce(col("__f"), lit(false)).as("found_ok"))
+      // precision: every emitted pair (est >= 0.5) must hold an exact
+      // jaccard >= 0.2 — 0.3 was only ~4 sigma of estimator slack and an
+      // observed borderline pair (est exactly 0.5, exact 0.269) sat inside
+      // it; 0.2 is ~5.4 sigma below the est cut with 64 hashes
+      val loose = Dedup.charShingleJaccardPairs(docs, "doc_id", "text", 5, 0.2)
+      val prec = mh.join(loose.select("id1", "id2"), Seq("id1", "id2"), "left_anti")
+        .agg((count(lit(1)) === 0).as("precision_all_ok"))
+      found.crossJoin(prec).orderBy("id1", "id2")
+    }),
+
+    "q_simhash_contract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // the guarantee the 4x16-bit banding actually gives (Manku WWW'07
+      // pigeonhole): hamming <= 3 ==> at least one band is identical, so
+      // the banded join MUST surface the pair. Short docs can push a
+      // 0.9-jaccard pair past distance 3 (few tokens => low bit margins),
+      // so distance > 3 pairs are legitimately best-effort — the contract
+      // pins exactly the theorem, keyed on oracle-recomputable pairs.
+      val exact = Dedup.charShingleJaccardPairs(docs, "doc_id", "text", 5, 0.9)
+      val fp = docs.select(col("doc_id"), TextOps.simhash(col("text")).as("fp"))
+      val withH = exact
+        .join(fp.select(col("doc_id").as("id1"), col("fp").as("fp1")), "id1")
+        .join(fp.select(col("doc_id").as("id2"), col("fp").as("fp2")), "id2")
+        .withColumn("hamming", bit_count(col("fp1").bitwiseXOR(col("fp2"))))
+      val sh = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 6)
+      withH
+        .join(sh.select(col("id1"), col("id2"), lit(true).as("__f")),
+          Seq("id1", "id2"), "left")
+        .select(col("id1"), col("id2"),
+          (col("hamming") > 3 || col("__f").isNotNull).as("manku_ok"))
+        .orderBy("id1", "id2")
+    }),
+
+    // fingerprint semantics gate, REAL-valued: Rabin-Karp fingerprints
+    // must induce exactly the same doc partition as the normalized token
+    // sequence itself (order-sensitive, whitespace-insensitive) — the
+    // oracle recomputes the group sizes from the raw text
+    "q_fingerprint_contract" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("__fp"))
+        .withColumn("n_same_fp",
+          count(lit(1)).over(Window.partitionBy("__fp")).cast("long"))
+        .select("doc_id", "n_same_fp")
+        .orderBy("doc_id")),
+
+    // dedup-pipeline contract: per-doc `is_isolated` is REAL (both engines
+    // compute max pairwise exact jaccard < 0.3); the booleans pin that the
+    // pipeline never removes an isolated doc (no-false-positive recall)
+    // and that its survivors are a subset of the text-keyed exact-dedup
+    // survivors (validates the xxhash64 shuffle-key equivalence end-to-end)
+    "q_dedup_pipeline_contract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val surv = Dedup.dedupPipeline(docs, "doc_id", "text", minhashThreshold = 0.7)
+        .select(col("doc_id"), lit(true).as("__s"))
+      val loose = Dedup.charShingleJaccardPairs(docs, "doc_id", "text", 5, 0.3)
+      val paired = loose.select(col("id1").as("doc_id"))
+        .union(loose.select(col("id2").as("doc_id")))
+        .distinct().withColumn("__p", lit(true))
+      val exactSurv = Dedup.exact(docs, "doc_id", "text")
+        .select(col("doc_id"), lit(true).as("__e"))
+      docs.select("doc_id")
+        .join(surv, Seq("doc_id"), "left")
+        .join(paired, Seq("doc_id"), "left")
+        .join(exactSurv, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("__p").isNull.as("is_isolated"),
+          (col("__p").isNotNull || col("__s").isNotNull).as("isolated_kept_ok"),
+          (col("__s").isNull || col("__e").isNotNull).as("subset_in_exact_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // LSH embedding-dedup contract, single row: n_exact is REAL (the
+    // oracle re-runs the O(n^2) cosine join itself); precision is exact
+    // by construction (candidates are exact-scored), recall >= 0.6 pins
+    // the 4-bit x 8-table bucket design on this corpus
+    "q_embedding_lsh_contract" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.35).select(col("id1"), col("id2"), lit(1).as("__x"))
+      val lsh = Dedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding",
+        threshold = 0.35, nBits = 4, nTables = 8)
+        .select(col("id1"), col("id2"), lit(1).as("__l"))
+      exact.join(lsh, Seq("id1", "id2"), "full_outer")
+        .agg(
+          sum(col("__x")).cast("long").as("n_exact"),
+          (count(lit(1)) === sum(col("__x"))).as("precision_ok"),
+          (sum(when(col("__x").isNotNull && col("__l").isNotNull, 1).otherwise(0)) * 10
+            >= sum(col("__x")) * 6).as("recall_ge_60_ok"))
+    }),
+
+    // incremental-dedup contract (the streaming signature-store path,
+    // driver-visible): split the corpus into an accumulated "store"
+    // (even ids) and a "new batch" (odd ids); every new doc with an
+    // exact char-5 jaccard >= 0.8 partner in the store must be flagged
+    // by the banded cross-set join minhashDupsAgainst — keyed on the
+    // oracle-recomputable ground-truth set
+    "q_incremental_dedup_contract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = (d: DataFrame) => d.select(col("doc_id").as("id"),
+        TextOps.minhash(col("text"), 64, 5).as("sig"))
+      val flagged = Dedup.minhashDupsAgainst(
+        sig(docs.filter(col("doc_id") % 2 === 1)),
+        sig(docs.filter(col("doc_id") % 2 === 0)),
+        numHashes = 64, bands = 16, threshold = 0.5)
+        .withColumnRenamed("id", "doc_id").withColumn("__d", lit(true))
+      val exactPairs = Dedup.charShingleJaccardPairs(docs, "doc_id", "text", 5, 0.8)
+      val truth = exactPairs.select(col("id1").as("a"), col("id2").as("b"))
+        .union(exactPairs.select(col("id2").as("a"), col("id1").as("b")))
+        .filter(col("a") % 2 === 1 && col("b") % 2 === 0)
+        .select(col("a").as("doc_id")).distinct()
+      truth.join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__d").isNotNull.as("flagged_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // media features, REAL arithmetic oracle: the stub codec derives
+    // width/height/mean purely from the payload byte-sum, which DuckDB
+    // recomputes from the UTF-8 text (pure-ASCII corpus => byte == ord);
+    // byte_sum reconstructs exactly from mean * n_bytes (sum <= 255 * n
+    // is far inside double precision)
+    "q_media_features_contract" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.withMediaColumn(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("decoded_width").cast("long").as("w"),
+          col("decoded_height").cast("long").as("h"),
+          round(col("decoded_mean") * col("n_bytes")).cast("long").as("byte_sum"))
+        .orderBy("media_id")),
   )
 
   /** DuckDB-equivalent SQL per query (driver's t2 gate). Keys absent here
@@ -1411,5 +1562,75 @@ object SparkEntry {
     "q_ivf_index_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    // exact char-5-shingle Jaccard over the minhash normalization
+    // (lowercased alphanumeric tokens joined by one space) — the shared
+    // ground-truth CTE the sketch contracts key on
+    "q_minhash_contract" ->
+      (CharShingleCte +
+        "SELECT id1, id2, TRUE AS found_ok, TRUE AS precision_all_ok " +
+        "FROM j WHERE jac >= 0.8 ORDER BY id1, id2"),
+
+    "q_simhash_contract" ->
+      (CharShingleCte +
+        "SELECT id1, id2, TRUE AS manku_ok " +
+        "FROM j WHERE jac >= 0.9 ORDER BY id1, id2"),
+
+    "q_fingerprint_contract" ->
+      ("SELECT doc_id, CAST(count(*) OVER (PARTITION BY " +
+        "array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
+        "t -> len(t) > 0), ' ')) AS BIGINT) AS n_same_fp " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_dedup_pipeline_contract" ->
+      (CharShingleCte.dropRight(1) + ", " +
+        "paired AS (SELECT id1 AS doc_id FROM j WHERE jac >= 0.3 " +
+        "UNION SELECT id2 FROM j WHERE jac >= 0.3) " +
+        "SELECT doc_id, doc_id NOT IN (SELECT doc_id FROM paired) AS is_isolated, " +
+        "TRUE AS isolated_kept_ok, TRUE AS subset_in_exact_ok " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_incremental_dedup_contract" ->
+      (CharShingleCte.dropRight(1) + ", " +
+        "cand AS (SELECT id1 AS a, id2 AS b FROM j WHERE jac >= 0.8 " +
+        "UNION ALL SELECT id2, id1 FROM j WHERE jac >= 0.8) " +
+        "SELECT DISTINCT a AS doc_id, TRUE AS flagged_ok FROM cand " +
+        "WHERE a % 2 = 1 AND b % 2 = 0 ORDER BY doc_id"),
+
+    "q_embedding_lsh_contract" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS precision_ok, " +
+        "TRUE AS recall_ge_60_ok FROM (" +
+        "SELECT 1 AS x FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
+        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35)"),
+
+    "q_media_features_contract" ->
+      ("WITH chars AS (SELECT doc_id, ord(substring(text, i, 1)) AS o " +
+        "FROM documents, UNNEST(range(1, len(text) + 1)) AS r(i)), " +
+        "sums AS (SELECT doc_id, sum(o) AS s, count(*) AS n FROM chars GROUP BY doc_id) " +
+        "SELECT d.doc_id AS media_id, " +
+        "CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "CAST(coalesce(n, 0) AS BIGINT) AS n_bytes, " +
+        "CAST(16 + coalesce(s, 0) % 64 AS BIGINT) AS w, " +
+        "CAST(CASE WHEN d.doc_id % 3 = 0 THEN 16 + (coalesce(s, 0) // 64) % 64 " +
+        "WHEN d.doc_id % 3 = 1 THEN 1 " +
+        "ELSE 16 + (coalesce(s, 0) // 64) % 32 END AS BIGINT) AS h, " +
+        "CAST(coalesce(s, 0) AS BIGINT) AS byte_sum " +
+        "FROM documents d LEFT JOIN sums USING (doc_id) ORDER BY media_id"),
   )
+
+  /** DuckDB CTE chain computing exact character-5-shingle Jaccard pairs
+    * over the minhash normalization — ends with relation `j(id1, id2,
+    * jac)` and a trailing space. Shared by the sketch-accuracy oracles.
+    */
+  private val CharShingleCte: String =
+    "WITH norm AS (SELECT doc_id, array_to_string(list_filter(" +
+      "regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0), ' ') AS nm " +
+      "FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, substring(nm, i, 5) AS s " +
+      "FROM norm, UNNEST(range(1, len(nm) - 3)) AS r(i) WHERE len(nm) >= 5), " +
+      "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "j AS (SELECT id1, id2, CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE) AS jac " +
+      "FROM common JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2) "
 }

@@ -208,6 +208,42 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Exact character-shingle Jaccard pairs ≥ threshold over the SAME
+    * normalization minhashSignature uses (lowercase tokens joined by a
+    * single space — [[graft.functions.HashEmbedder.tokens]]). Pure
+    * relational composition (split/transform/explode/join/group), so a
+    * SQL oracle can recompute it independently — this is the ground
+    * truth the MinHash / SimHash accuracy contracts are keyed on.
+    *
+    * O(collision mass) like [[ngramJaccardPairs]]; intended for contract
+    * checking and small corpora, not as the scale dedup path.
+    */
+  def charShingleJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 5, threshold: Double = 0.8): DataFrame = {
+    val norm = df.select(col(idCol).as("id"),
+      array_join(
+        filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0),
+        " ").as("nm"))
+    val sh = norm.filter(length(col("nm")) >= shingleLen)
+      .select(col("id"), explode(array_distinct(transform(
+        sequence(lit(1), length(col("nm")) - (shingleLen - 1)),
+        i => col("nm").substr(i, lit(shingleLen))))).as("sh"))
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val l = sh.select(col("id").as("id1"), col("sh"))
+    val r = sh.select(col("id").as("id2"), col("sh"))
+    val common = l.join(r, "sh").filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("id").as("id1"), col("n").as("n1")), "id1")
+      .join(counts.select(col("id").as("id2"), col("n").as("n2")), "id2")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
   /** Connected components over near-dup candidate pairs by iterative
     * min-label propagation: every member converges to its cluster's
     * minimum id. Rounds = cluster diameter (near-dup clusters are

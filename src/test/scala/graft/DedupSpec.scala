@@ -171,6 +171,40 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall (${lshPairs.size}/${exactPairs.size})")
   }
 
+  test("charShingleJaccardPairs matches brute force on a small corpus") {
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "the quick brown fox jumps over the lazy cat" // near-dup of a
+    val c = "completely different content here entirely"
+    val df = docs(1L -> a, 2L -> b, 3L -> c)
+    def shingles(s: String): Set[String] = {
+      val nm = s.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).mkString(" ")
+      (0 to nm.length - 5).map(i => nm.substring(i, i + 5)).toSet
+    }
+    def jac(x: String, y: String): Double = {
+      val (sx, sy) = (shingles(x), shingles(y))
+      sx.intersect(sy).size.toDouble / sx.union(sy).size
+    }
+    val got = Dedup.charShingleJaccardPairs(df, "id", "text", 5, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val want = Seq((1L, 2L) -> jac(a, b), (1L, 3L) -> jac(a, c), (2L, 3L) -> jac(b, c))
+      .filter(_._2 >= 0.3).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12, s"$k") }
+  }
+
+  test("charShingle ground truth vs minhash estimate: planted dup agrees") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val exact = Dedup.charShingleJaccardPairs(df, "id", "text", 5, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhashPairs(df, "id", "text", 64, 16, 5, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)))
+    assert(mh == exact, "minhash candidate set should equal ground truth here")
+  }
+
   test("embedding near-dup pairs symmetric corpus sanity") {
     val emb = Tables(spark, sf, "embeddings")
     val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = 0.99)
