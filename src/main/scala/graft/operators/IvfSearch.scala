@@ -125,14 +125,23 @@ object IvfSearch {
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, metric: String = "dot",
       numCandidates: Int = 10000, nList: Int = 16, iters: Int = 2,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, corpusRows: Option[Long] = None): DataFrame = {
     VectorSearch.requireNumCandidates(numCandidates)
     require(k <= numCandidates, s"k=$k exceeds numCandidates=$numCandidates")
-    val n = math.max(1L, corpus.count())
-    val nProbe = math.max(1, math.min(nList,
-      (numCandidates.toLong * nList / n).toInt))
-    ivfTopK(queries, qId, qVec, corpus, cId, cVec, k, metric, nList, nProbe, iters, dim)
+    // statistics-based (no scan) unless the caller knows the cardinality —
+    // see VectorSearch.estimatedRows for why a count job is unaffordable
+    val n = corpusRows.getOrElse(VectorSearch.estimatedRows(corpus, dim))
+    ivfTopK(queries, qId, qVec, corpus, cId, cVec, k, metric, nList,
+      probesForBudget(n, nList, numCandidates), iters, dim)
   }
+
+  /** nProbe from a candidate budget: the largest probe count keeping the
+    * expected pool (~n * nProbe / nList) within budget; ≥1 so a query
+    * always probes its own cell.
+    */
+  def probesForBudget(n: Long, nList: Int, numCandidates: Int): Int =
+    math.max(1, math.min(nList,
+      (numCandidates.toLong * nList / math.max(1L, n)).toInt))
 
   // --- at-rest index: cell as a PARTITION column -------------------------
 

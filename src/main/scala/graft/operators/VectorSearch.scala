@@ -113,7 +113,16 @@ object VectorSearch {
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, metric: String = "dot",
-      maxCorpusRows: Int = 2000000): DataFrame = {
+      maxCorpusRows: Int = 2000000,
+      maxCorpusBytes: Long = 1L << 30): DataFrame = {
+    // Byte-aware guard BEFORE the driver collect: a row cap alone is not a
+    // memory cap (2M rows of 1536-dim float is ~12 GB — far past the
+    // clamped 16g heap). Catalyst's size statistics (file bytes for file
+    // sources) cost no job; beyond the byte cap the search stays
+    // distributed via topKAgg.
+    if (corpus.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(maxCorpusBytes))
+      return topKAgg(queries, qId, qVec, corpus, cId, cVec, k, metric)
+        .select(col(qId), col("matches"))
     val collected = corpus
       .select(col(cId).cast("long"), col(cVec).cast("array<float>"))
       .filter(col(cId).isNotNull && col(cVec).isNotNull)
@@ -247,14 +256,36 @@ object VectorSearch {
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, metric: String = "dot",
-      numCandidates: Int = 10000, nTables: Int = 4, dim: Int = 64): DataFrame = {
+      numCandidates: Int = 10000, nTables: Int = 4, dim: Int = 64,
+      corpusRows: Option[Long] = None): DataFrame = {
     requireNumCandidates(numCandidates)
     require(k <= numCandidates, s"k=$k exceeds numCandidates=$numCandidates")
-    val n = corpus.count()
+    val n = corpusRows.getOrElse(estimatedRows(corpus, dim))
+    annTopK(queries, qId, qVec, corpus, cId, cVec, k, metric,
+      bitsForBudget(n, nTables, numCandidates), nTables, dim)
+  }
+
+  /** nBits from a candidate budget: the smallest bucket width whose
+    * expected per-query pool (~n * nTables / 2^nBits) fits the budget.
+    */
+  def bitsForBudget(n: Long, nTables: Int, numCandidates: Int): Int = {
     val pool = n.toDouble * nTables / numCandidates
-    val nBits = math.max(1, math.min(16,
+    math.max(1, math.min(16,
       math.ceil(math.log(math.max(1.0, pool)) / math.log(2.0)).toInt))
-    annTopK(queries, qId, qVec, corpus, cId, cVec, k, metric, nBits, nTables, dim)
+  }
+
+  /** Corpus row count for budget tuning WITHOUT running a job: Catalyst's
+    * logical statistics (file bytes for file sources) divided by the
+    * (id, dim-float-vector) row width. Budget sizing is a heuristic knob,
+    * so a byte-derived estimate serves exactly as well as an exact count —
+    * and a 100 TB corpus cannot afford a full scan per query batch just to
+    * pick nBits/nProbe. Callers with a known cardinality pass it
+    * explicitly via `corpusRows`.
+    */
+  private[operators] def estimatedRows(df: DataFrame, dim: Int): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).getOrElse(
+      math.max(1L, (stats.sizeInBytes / (8L + 4L * dim)).toLong))
   }
 
   /** Recall contract for an approximate search against its exact twin:

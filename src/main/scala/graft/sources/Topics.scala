@@ -91,6 +91,11 @@ class TopicCatalog(spark: SparkSession, root: String) {
   def valueSchemaOf(name: String): StructType =
     registry.getOrElse(name, throw new IllegalArgumentException(s"unknown topic $name"))
 
+  /** Whether `name` is a registered topic (drives the SQL facade's
+    * create-vs-evolve routing for re-issued CREATE TABLE).
+    */
+  def exists(name: String): Boolean = registry.contains(name)
+
   /** Read schema: implicit bucket-key column + declared fields. */
   def schemaOf(name: String): StructType =
     StructType(TopicCatalog.KeyField +: valueSchemaOf(name).fields)
@@ -108,9 +113,10 @@ class TopicCatalog(spark: SparkSession, root: String) {
 
   /** The SQL temp view snapshots the file listing at registration time;
     * re-register after every produce/insert so `spark.sql` over the view
-    * always sees the latest records.
+    * always sees the latest records. Public so streaming drivers can
+    * restore the full view after shadowing it with a micro-batch slice.
     */
-  private def refreshView(name: String): Unit =
+  def refreshView(name: String): Unit =
     table(name).createOrReplaceTempView(name)
 
   /** Manual produce (S5): append raw JSON records (one per line). */

@@ -1,6 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.{HashEmbedder, TopKHeap}
@@ -148,9 +149,26 @@ class GraftSql(
         case _ =>
           // Topic-backed table ('value.format'='json-registry', or
           // connector=kafka): always the TopicCatalog in this engine.
-          topics.create(name, schema)
-          status(s"created table $name")
+          // A RE-issued CREATE TABLE with a compatible superset schema is
+          // the reference's schema-evolution flow — the registry schema
+          // evolves and the table definition follows automatically
+          // (README.md:610-612); old records read the new fields as null.
+          if (topics.exists(name)) {
+            topics.evolve(name, schema)
+            status(s"evolved table $name")
+          } else {
+            topics.create(name, schema)
+            status(s"created table $name")
+          }
       }
+
+    case AlterTableAddRe(name, colsDdl) =>
+      // ALTER TABLE t ADD COLUMNS (c TYPE, ...) — the explicit-DDL spelling
+      // of the same registry evolution (append-only; README.md:610-612).
+      val added = StructType.fromDDL(
+        colsDdl.replace("`", "").replaceAll("(?i)\\bROW<", "STRUCT<"))
+      topics.evolve(name, StructType(topics.valueSchemaOf(name).fields ++ added.fields))
+      status(s"evolved table $name (+${added.fieldNames.mkString(", ")})")
 
     case InsertIntoRe(table, colList, select) =>
       // INSERT INTO topic [(cols)] SELECT ... — the reference's perpetual
@@ -170,6 +188,55 @@ class GraftSql(
       status(s"inserted into $table")
 
     case other => spark.sql(other)
+  }
+
+  /** The reference's PERPETUAL pipeline form: an `INSERT INTO ... SELECT`
+    * submitted to Flink "will run forever in the background ... performing
+    * vector searches against user_questions as they are submitted"
+    * (reference README.md:435). Here the same statement runs as a
+    * Structured Streaming query: the source topic is opened as a stream,
+    * and each micro-batch re-binds the topic's view name to the newly
+    * arrived slice and executes the UNCHANGED statement through the batch
+    * [[execute]] path — one implementation, two drivers. All rewrites
+    * (LATERAL ML_PREDICT / FEDERATED_SEARCH, JSON_OBJECT) and the
+    * schema-checked insert therefore behave identically in both modes.
+    *
+    * Delivery is at-least-once into the target topic (append-only JSON,
+    * like unkeyed Kafka records); the checkpoint bounds replay to the
+    * last uncommitted micro-batch. Default trigger `AvailableNow` drains
+    * what exists and stops (spec-friendly); pass
+    * `Trigger.ProcessingTime(0)` for the reference's run-forever mode.
+    */
+  def executeStreaming(
+      sql0: String, checkpointDir: String,
+      sourceTopic: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val (table, select) = rewriteDml(sql0) match {
+      case InsertIntoRe(t, _, sel) => (t, sel)
+      case other => throw new IllegalArgumentException(
+        s"executeStreaming expects INSERT INTO ... SELECT, got: ${other.take(80)}")
+    }
+    val source = sourceTopic.getOrElse {
+      val m = """(?is)\bFROM\s+`?([\w.]+)`?""".r.findFirstMatchIn(select)
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot locate the source topic in: ${select.take(80)}"))
+      m.group(1)
+    }
+    require(topics.exists(source),
+      s"streaming source '$source' is not a registered topic " +
+        "(pass sourceTopic explicitly for derived sources)")
+    require(topics.exists(table), s"streaming target '$table' is not a registered topic")
+    topics.stream(source).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // shadow the topic view with this micro-batch's slice, run the
+        // verbatim statement batch-style, then restore the full view
+        batch.createOrReplaceTempView(source)
+        try { execute(sql0); () }
+        finally topics.refreshView(source)
+      }
+      .start()
   }
 
   // --- verbatim-DML rewrites ----------------------------------------------
@@ -394,6 +461,8 @@ object GraftSql {
     """(?is)^\s*DESCRIBE\s+MODEL\s+`?([\w.$-]+)`?\s*;?\s*$""".r
   private val CreateTableRe =
     """(?is)^\s*CREATE\s+TABLE\s+`?([\w.-]+)`?\s*\((.*)\)\s*WITH\s*\((.*?)\)\s*;?\s*$""".r
+  private val AlterTableAddRe =
+    """(?is)^\s*ALTER\s+TABLE\s+`?([\w.-]+)`?\s+ADD\s+COLUMNS?\s*\((.*)\)\s*;?\s*$""".r
   private val InsertIntoRe =
     """(?is)^\s*INSERT\s+INTO\s+`?([\w.-]+)`?\s*(?:\(([^)]*)\))?\s*(SELECT\b.*?)\s*;?\s*$""".r
   private[sql] val LateralRe =

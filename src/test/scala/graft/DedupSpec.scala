@@ -192,6 +192,32 @@ class DedupSpec extends SparkSpec {
     want.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12, s"$k") }
   }
 
+  test("bitset shingle jaccard is bit-identical to the relational form") {
+    // real corpus (sf0.001 documents) at a loose threshold: the bitset
+    // all-pairs path must reproduce the equi-join path's pair set AND its
+    // IEEE-double jaccard values exactly (same integer counts, same
+    // division), since it replaces the join as the contracts' shared
+    // ground truth
+    val documents = Tables(spark, sf, "documents")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rel = keyed(Dedup.charShingleJaccardPairs(documents, "doc_id", "text", 5, 0.2))
+    val bit = keyed(Dedup.charShingleJaccardPairsBitset(documents, "doc_id", "text", 5, 0.2))
+    assert(bit.keySet == rel.keySet)
+    rel.foreach { case (k, v) => assert(bit(k) == v, s"pair $k: ${bit(k)} != $v") }
+    assert(rel.nonEmpty) // the comparison actually exercised pairs
+  }
+
+  test("bitset shingle jaccard falls back to relational when vocab exceeds cap") {
+    val df = docs(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "completely different content here entirely")
+    val capped = Dedup.charShingleJaccardPairsBitset(df, "id", "text", 5, 0.3,
+      maxVocab = 4) // forces the fallback branch
+    val rel = Dedup.charShingleJaccardPairs(df, "id", "text", 5, 0.3)
+    assert(capped.collect().toSet == rel.collect().toSet)
+  }
+
   test("charShingle ground truth vs minhash estimate: planted dup agrees") {
     val base = (1 to 60).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 58).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
