@@ -27,8 +27,9 @@ object SparkEntry {
     Tables(spark, dir, name)
 
   /** Exact char-5-shingle Jaccard ground truth at the LOOSEST threshold
-    * any sketch contract uses (0.2), computed ONCE per (session, dir) and
-    * pinned with `localCheckpoint` — the four sketch-accuracy contracts
+    * any sketch contract uses (0.2), computed ONCE per (session, dir) —
+    * materialized by the bitset kernel's own localCheckpoint — and shared:
+    * the four sketch-accuracy contracts
     * (minhash / simhash / dedup-pipeline / incremental-dedup) each filter
     * this small pair list at their own threshold instead of re-running
     * the shingle equi-join (the single most expensive subtree in the
@@ -40,8 +41,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def shingleGroundTruth(s: SparkSession, dir: String): DataFrame =
     shingleGtCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
-      Dedup.charShingleJaccardPairsBitset(t(s, dir, "documents"), "doc_id", "text", 5, 0.2)
-        .localCheckpoint())
+      Dedup.charShingleJaccardPairsBitset(t(s, dir, "documents"), "doc_id", "text", 5, 0.2))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -949,8 +949,12 @@ object SparkEntry {
       // at s >= 0.8 a 16x4 band hits with p ~ 1 - (1-0.8^4)^16 > 0.999,
       // and est >= 0.5 is > 4 sigma below the true value (64 hashes)
       val exact = shingleGroundTruth(s, dir).filter(col("jaccard") >= 0.8)
+      // materialize once: both the recall join and the precision anti-join
+      // consume the candidate set, and the signature/bucket pipeline is
+      // the expensive subtree
       val mh = Dedup.minhashPairs(docs, "doc_id", "text",
         numHashes = 64, bands = 16, shingleLen = 5, threshold = 0.5)
+        .localCheckpoint()
       val found = exact
         .join(mh.select(col("id1"), col("id2"), lit(true).as("__f")),
           Seq("id1", "id2"), "left")
