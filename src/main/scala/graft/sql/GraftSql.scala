@@ -231,8 +231,14 @@ class GraftSql(
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // shadow the topic view with this micro-batch's slice, run the
-        // verbatim statement batch-style, then restore the full view
-        batch.createOrReplaceTempView(source)
+        // verbatim statement batch-style, then restore the full view.
+        // The slice must be RE-BOUND to the facade session first:
+        // foreachBatch hands a frame owned by the stream's CLONED
+        // session, and a temp view registered on the clone is invisible
+        // to the facade's spark.sql — the statement would silently read
+        // the full topic again every batch.
+        val slice = spark.createDataFrame(batch.rdd, batch.schema)
+        slice.createOrReplaceTempView(source)
         try { execute(sql0); () }
         finally topics.refreshView(source)
       }

@@ -252,6 +252,106 @@ LATERAL TABLE(FEDERATED_SEARCH('small_corpus', 3, vector));""").collect()
     assert(err.getMessage.contains("10000"))
   }
 
+  test("re-issued CREATE TABLE with a superset schema evolves the topic (README.md:610-612)") {
+    val g = facade()
+    g.execute("""CREATE TABLE `user_questions` (
+    `role`         STRING,
+    `content`      STRING
+) WITH ('value.format' = 'json-registry');""")
+    g.topics.produceJson("user_questions", Seq("""{"role":"user","content":"old"}"""))
+    // the registry schema evolved; the same DDL re-issued with the new
+    // column updates the table definition instead of failing
+    g.execute("""CREATE TABLE `user_questions` (
+    `role`         STRING,
+    `content`      STRING,
+    `sessionid`    STRING
+) WITH ('value.format' = 'json-registry');""")
+    g.topics.produceJson("user_questions",
+      Seq("""{"role":"user","content":"new","sessionid":"s9"}"""))
+    val rows = g.execute(
+      "SELECT content, sessionid FROM user_questions ORDER BY content").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("new", "s9"), ("old", null)))
+    // ALTER TABLE ADD COLUMNS is the explicit spelling of the same evolution
+    g.execute("ALTER TABLE `user_questions` ADD COLUMNS (`priority` INT);")
+    assert(g.topics.schemaOf("user_questions").fieldNames.contains("priority"))
+    g.topics.produceJson("user_questions",
+      Seq("""{"role":"user","content":"with-priority","sessionid":"s10","priority":3}"""))
+    assert(g.execute(
+      "SELECT priority FROM user_questions WHERE content = 'with-priority'")
+      .head.getInt(0) == 3)
+    // pre-evolution records read the added columns as null
+    assert(g.execute("SELECT priority FROM user_questions WHERE content = 'old'")
+      .head.isNullAt(0))
+    // incompatible evolution (dropping a field) still fails loudly
+    val err = intercept[IllegalArgumentException] {
+      g.execute("""CREATE TABLE `user_questions` (`role` STRING) WITH (
+  'value.format' = 'json-registry');""")
+    }
+    assert(err.getMessage.contains("incompatible"))
+  }
+
+  test("executeStreaming runs the reference's perpetual INSERT incrementally (README.md:435)") {
+    val g = facade()
+    g.execute("""CREATE MODEL `vector_encoding`
+INPUT (input STRING)
+OUTPUT (vector ARRAY<FLOAT>)
+WITH(
+  'TASK' = 'embedding',
+  'PROVIDER' = 'openai',
+  'OPENAI.CONNECTION' = 'openai-vector-connection'
+);""")
+    g.execute("""CREATE TABLE `user_questions` (
+    `role`         STRING,
+    `content`      STRING,
+    `sessionid`    STRING
+) WITH ('value.format' = 'json-registry');""")
+    g.execute("""CREATE TABLE `user_questions_vector` (
+    `role`         STRING,
+    `content`      STRING,
+    `sessionid`    STRING,
+    `vector`      ARRAY<FLOAT>
+) WITH (
+  'value.format' = 'json-registry'
+);""")
+    // the reference's perpetual statement, verbatim (README.md:285-287)
+    val insert =
+      """insert into `user_questions_vector` select `role`, `content`, `sessionid`, `vector` from `user_questions`,
+lateral table (ml_predict('vector_encoding', content));"""
+    g.topics.produceJson("user_questions", Seq(
+      """{"role":"user","content":"good mens golf shirts","sessionid":"s1"}""",
+      """{"role":"user","content":"waterproof hiking boots","sessionid":"s2"}"""))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+    g.executeStreaming(insert, ckpt).awaitTermination()
+    def target(): Seq[(String, String, Int)] = g.execute(
+      "SELECT content, sessionid, size(vector) FROM user_questions_vector ORDER BY sessionid")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(target() == Seq(("good mens golf shirts", "s1", 64),
+      ("waterproof hiking boots", "s2", 64)))
+    // records arrive later; the SAME statement + checkpoint appends ONLY
+    // them (no reprocessing of the drained prefix)
+    g.topics.produceJson("user_questions",
+      Seq("""{"role":"user","content":"linen summer pants","sessionid":"s3"}"""))
+    g.executeStreaming(insert, ckpt).awaitTermination()
+    assert(target() == Seq(("good mens golf shirts", "s1", 64),
+      ("waterproof hiking boots", "s2", 64), ("linen summer pants", "s3", 64)))
+    // stream ≡ batch: the unchanged statement driven batch-style over the
+    // full topic produces the same rows
+    g.execute("""CREATE TABLE `uqv_batch` (
+    `role`         STRING,
+    `content`      STRING,
+    `sessionid`    STRING,
+    `vector`      ARRAY<FLOAT>
+) WITH ('value.format' = 'json-registry');""")
+    g.execute(insert.replace("`user_questions_vector`", "`uqv_batch`"))
+    val batch = g.execute(
+      "SELECT content, sessionid, size(vector) FROM uqv_batch ORDER BY sessionid")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(batch == target())
+    // the full source view is restored after the last micro-batch shadow
+    assert(g.execute("SELECT count(*) FROM user_questions").head.getLong(0) == 3)
+  }
+
   test("json_object inside a string literal is not rewritten") {
     val g = facade()
     val r = g.execute(

@@ -98,6 +98,78 @@ class RobustnessSpec extends SparkSpec {
     assert(e3.getMessage.contains("numCandidates"))
   }
 
+  test("byte cap reroutes a wide-vector corpus to the distributed agg path") {
+    // 32 rows, far below the row cap, but over a deliberately tiny byte
+    // cap: the guard must refuse the driver collect and fall back to
+    // topKAgg (visible as an Aggregate in the optimized plan), with the
+    // same hit set as the in-heap path. (For an in-memory LocalRelation
+    // Catalyst sizes rows by schema defaultSize — ~12B/row here; file
+    // sources report real file bytes, which is where the guard earns its
+    // keep. 100B < 32 rows x 12B regardless.)
+    val dim = 256
+    val corpus = vdf((0L until 32L).map(i =>
+      (i: java.lang.Long) -> Seq.tabulate(dim)(d => if (d == i % dim) 1f else 0f)))
+    val queries = corpus.filter(col("id") < 4)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val guarded = VectorSearch.topKBroadcast(queries, "qid", "qv", corpus, "id", "v",
+      k = 3, maxCorpusRows = 1000000, maxCorpusBytes = 100)
+    assert(guarded.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, "expected the topKAgg fallback plan")
+    val direct = VectorSearch.topKBroadcast(queries, "qid", "qv", corpus, "id", "v", 3)
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)).toSet).toMap
+    assert(hits(guarded) == hits(direct))
+  }
+
+  test("budget-tuned ANN sizes its candidate pool without running a job") {
+    // plan CONSTRUCTION must not scan the corpus: the budget comes from
+    // Catalyst statistics (the old form ran corpus.count() per call —
+    // a full scan per query batch at 100 TB)
+    val emb = Tables(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      VectorSearch.annTopKCandidates(qs, "qid", "qv", emb, "vec_id", "embedding",
+        k = 3, numCandidates = 100)
+      drainListenerBus()
+      assert(jobs.get() == 0,
+        s"budget sizing launched ${jobs.get()} job(s); it must be statistics-only")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Flush pending SparkListener events so job-count assertions are
+    * deterministic (reflective: LiveListenerBus.waitUntilEmpty is
+    * private[spark]); falls back to a grace sleep.
+    */
+  private def drainListenerBus(): Unit = try {
+    val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+      .invoke(spark.sparkContext)
+    bus.getClass.getMethods
+      .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+      .get.invoke(bus)
+    ()
+  } catch { case scala.util.control.NonFatal(_) => Thread.sleep(1500) }
+
+  test("candidate budget maths hold at representative scales") {
+    // 1M vectors, 16 cells, 10k budget: expected pool per probe is 62.5k,
+    // so only the query's own cell is probed
+    assert(IvfSearch.probesForBudget(n = 1000000L, nList = 16, numCandidates = 10000) == 1)
+    // tiny corpus: probe everything
+    assert(IvfSearch.probesForBudget(n = 1000L, nList = 16, numCandidates = 10000) == 16)
+    // 1M vectors, 4 tables, 10k budget: pool 400 per bucket -> 9 bits
+    assert(VectorSearch.bitsForBudget(n = 1000000L, nTables = 4, numCandidates = 10000) == 9)
+    // degenerate corpus never underflows the [1,16] bit range
+    assert(VectorSearch.bitsForBudget(n = 1L, nTables = 4, numCandidates = 10000) == 1)
+  }
+
   test("numCandidates-tuned ANN entry points return correctly ranked hits") {
     // orthogonal one-hot vectors: every query's own vector is its unique
     // cosine-rank-1 match, and a query always shares LSH buckets / IVF
