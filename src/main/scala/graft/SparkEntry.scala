@@ -924,6 +924,62 @@ object SparkEntry {
         .orderBy("name", "version")
     }),
 
+    // --- ALTER MODEL default_version made driver-visible (M5) -------------
+    // (three CREATE MODEL versions like the reference's README.md:660-699
+    // history, default re-pinned to 2 via the verbatim ALTER syntax;
+    // metadata is static so the oracle is a VALUES literal)
+    "q_model_alter" -> ((s, dir) => {
+      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_q_alter").toString))
+      val create = """CREATE MODEL retail_assistant
+INPUT(prompts STRING)
+OUTPUT(json_response STRING)
+WITH (
+  'provider' = 'openai',
+  'task' = 'classification',
+  'openai.connection' = 'openai-llm-connection'
+);"""
+      g.execute(create); g.execute(create); g.execute(create)
+      g.execute("ALTER MODEL `retail_assistant` SET ('default_version'='2');")
+      g.execute("DESCRIBE MODEL retail_assistant$all").orderBy("version")
+    }),
+
+    // --- connection DDL made driver-visible (S4) --------------------------
+    // (the reference's four `confluent flink connection create` CLI blocks
+    // parsed verbatim, README.md:53-60/67-74/79-86/321-329; credentials
+    // masked on describe — config metadata is static, oracle is literal)
+    "q_connection_describe" -> ((s, dir) =>
+      graft.model.Connections.default().describe(s).orderBy("name")),
+
+    // --- INSERT VALUES with complex literals (S7/F3) ----------------------
+    // (the reference's verbatim ARRAY[ROW(...)] insert, README.md:614-623,
+    // through the SQL facade; plus one typed-Row insert through the
+    // catalog API; arrays serialize to_json for the pandas-safe contract)
+    "q_insert_values" -> ((s, dir) => {
+      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_q_vals").toString))
+      g.execute("""CREATE TABLE `user_prompts` (
+    `role`         STRING,
+    `content`      STRING,
+    `sessionid`    STRING,
+    `products` ARRAY<ROW<`content` STRING>>
+) WITH ('value.format' = 'json-registry');""")
+      g.execute("""insert into user_prompts (role, content, sessionid, products)
+values (
+  'user',
+  'Find me a pair of mens formal shoes in medium size.',
+  'abc256',
+  ARRAY[ROW('Blue Medium Adult Male Shoes, product_id: 101'), ROW('Blue Medium Adult Female Shoes, product_id: 102')]
+);""")
+      g.topics.insertValues("user_prompts",
+        org.apache.spark.sql.Row("user", "Waterproof hiking boots", "abc257",
+          Seq(org.apache.spark.sql.Row("Trail boots, product_id: 201"))))
+      g.topics.table("user_prompts")
+        .select(col("role"), col("content"), col("sessionid"),
+          to_json(col("products")).as("products_json"))
+        .orderBy("sessionid")
+    }),
+
     // --- ANN (LSH candidate pruning — approximate, rows-only + tests) -----
     "q_vector_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1367,6 +1423,40 @@ object SparkEntry {
         "'provider=stub,system_prompt=You are a retail assistant')" +
         ") AS t(name, version, is_default, task, input, output, options) " +
         "ORDER BY name, version"),
+
+    "q_model_alter" ->
+      ("SELECT * FROM (VALUES " +
+        "('retail_assistant', 1, false, 'classification', 'STRING', 'STRING', " +
+        "'openai.connection=openai-llm-connection,provider=openai,task=classification'), " +
+        "('retail_assistant', 2, true, 'classification', 'STRING', 'STRING', " +
+        "'openai.connection=openai-llm-connection,provider=openai,task=classification'), " +
+        "('retail_assistant', 3, false, 'classification', 'STRING', 'STRING', " +
+        "'openai.connection=openai-llm-connection,provider=openai,task=classification')" +
+        ") AS t(name, version, is_default, task, input, output, options) " +
+        "ORDER BY version"),
+
+    "q_connection_describe" ->
+      ("SELECT * FROM (VALUES " +
+        "('mongodb-connection', 'mongodb', 'aws', 'us-west-2', '', " +
+        "'${atlas_endpoint}', 'password=<hidden>,username=<hidden>'), " +
+        "('mongodb-fed-search-connection', 'mongodb', 'aws', 'us-west-2', " +
+        "'my-environment-id', '${atlas_endpoint}', 'password=<hidden>,username=<hidden>'), " +
+        "('openai-llm-connection', 'openai', 'aws', 'us-west-2', 'my-env-id', " +
+        "'https://api.openai.com/v1/chat/completions', 'api-key=<hidden>'), " +
+        "('openai-vector-connection', 'openai', 'aws', 'us-west-2', 'my-env-id', " +
+        "'https://api.openai.com/v1/embeddings', 'api-key=<hidden>')" +
+        ") AS t(name, type, cloud, region, environment, endpoint, credentials) " +
+        "ORDER BY name"),
+
+    "q_insert_values" ->
+      ("SELECT * FROM (VALUES " +
+        "('user', 'Find me a pair of mens formal shoes in medium size.', 'abc256', " +
+        "'[{\"content\":\"Blue Medium Adult Male Shoes, product_id: 101\"}," +
+        "{\"content\":\"Blue Medium Adult Female Shoes, product_id: 102\"}]'), " +
+        "('user', 'Waterproof hiking boots', 'abc257', " +
+        "'[{\"content\":\"Trail boots, product_id: 201\"}]')" +
+        ") AS t(role, content, sessionid, products_json) " +
+        "ORDER BY sessionid"),
 
     "q_sql_topk_agg" ->
       ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +

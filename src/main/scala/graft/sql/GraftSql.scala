@@ -37,9 +37,21 @@ import graft.sources.TopicCatalog
 class GraftSql(
     spark: SparkSession,
     val topics: TopicCatalog,
-    val registry: ModelRegistry = new ModelRegistry) {
+    val registry: ModelRegistry = new ModelRegistry,
+    val connections: graft.model.ConnectionCatalog = graft.model.Connections.default()) {
 
   import GraftSql._
+
+  /** Register a connection from the reference's verbatim
+    * `confluent flink connection create` CLI block (README.md:53-60).
+    * Pre-wired with the reference's four connections ("If you completed
+    * the first step then you should already have this connection",
+    * README.md:51) so its worksheets run unmodified.
+    */
+  def createConnection(cli: String): DataFrame = {
+    val c = connections.createFromCli(cli)
+    status(s"created connection ${c.name} (type=${c.connType})")
+  }
 
   /** Output column name per model (from the DDL's OUTPUT clause) — what a
     * `LATERAL TABLE(ML_PREDICT(...))` join exposes to the SELECT list.
@@ -86,6 +98,11 @@ class GraftSql(
       val options0 = parseOptions(opts)
       val options =
         if (comment != null) options0 + ("comment" -> comment) else options0
+      // a model's '<provider>.connection' must exist — the reference
+      // fails statements over dangling connections with
+      // "Connection '<name>' not found" (README.md:310-316)
+      options.collect { case (k, v) if k.endsWith(".connection") => v }
+        .foreach(connections.resolve)
       val task = options.getOrElse("task", "chat").toLowerCase
       val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         if (task == "embedding") c => HashEmbedder.embedCol(c)
@@ -127,6 +144,10 @@ class GraftSql(
           // backing relation named by `<database>.<collection>` /
           // `<collection>` — resolved lazily at first search, like the
           // external system the options point at.
+          // dangling '<connector>.connection' fails like the reference
+          // (README.md:310-316)
+          options.collect { case (k, v) if k.endsWith(".connection") => v }
+            .foreach(connections.resolve)
           val nc = options.collectFirst {
             case (key, v) if key.endsWith(".numcandidates") => v.trim.toInt
           }.getOrElse(10000)
@@ -187,7 +208,61 @@ class GraftSql(
       topics.insertInto(table, df)
       status(s"inserted into $table")
 
+    case InsertValuesRe(table, colList, valuesBody) =>
+      // INSERT INTO topic [(cols)] VALUES (...), ... with Flink's complex
+      // literals (README.md:614-623: `ARRAY[ROW('...'), ROW('...')]`):
+      // each tuple becomes a SELECT whose ARRAY[/ROW( literals rewrite to
+      // array(/named_struct( against the DECLARED column types, then the
+      // rows append through the same schema-checked insert as any SELECT.
+      val target = topics.valueSchemaOf(table)
+      val cols = Option(colList)
+        .map(_.split(",").map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq)
+        .getOrElse(target.fieldNames.toSeq)
+      val tuples = splitArgs(valuesBody)
+      val selects = tuples.map { tup =>
+        val t = tup.trim
+        require(t.startsWith("(") && t.endsWith(")"),
+          s"malformed VALUES tuple: ${t.take(40)}")
+        val args = splitArgs(t.substring(1, t.length - 1))
+        require(args.length == cols.length,
+          s"VALUES width (${args.length}) != column list (${cols.length})")
+        cols.zip(args).map { case (c, a) =>
+          val dt = target.fields.find(_.name == c).map(_.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"insert into $table: unknown column '$c'"))
+          s"${valuesExpr(a, dt)} AS `$c`"
+        }.mkString("SELECT ", ", ", "")
+      }.mkString(" UNION ALL ")
+      topics.insertInto(table, spark.sql(selects))
+      status(s"inserted ${tuples.length} row(s) into $table")
+
     case other => spark.sql(other)
+  }
+
+  /** Rewrite one VALUES literal against its declared type: Flink's
+    * `ARRAY[...]` → `array(...)` and `ROW(args)` → `named_struct('f1',
+    * a1, ...)` with field names taken from the declared STRUCT — applied
+    * recursively so `ARRAY[ROW(...), ...]` nests. Anything else passes
+    * through as Spark SQL.
+    */
+  private def valuesExpr(e: String, dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types.{ArrayType, StructType => St}
+    val t = e.trim
+    dt match {
+      case ArrayType(el, _) if t.toUpperCase.startsWith("ARRAY[") && t.endsWith("]") =>
+        val inner = t.substring("ARRAY[".length, t.length - 1).trim
+        val elems = if (inner.isEmpty) Seq.empty else splitArgs(inner)
+        elems.map(valuesExpr(_, el)).mkString("array(", ", ", ")")
+      case st: St if t.matches("(?is)^ROW\\s*\\(.*\\)$") =>
+        val args = splitArgs(
+          t.replaceAll("(?is)^ROW\\s*\\(", "").dropRight(1))
+        require(args.length == st.fields.length,
+          s"ROW(...) arity ${args.length} != declared struct ${st.fields.length}")
+        st.fields.zip(args).map { case (f, a) =>
+          s"'${f.name}', ${valuesExpr(a, f.dataType)}"
+        }.mkString("named_struct(", ", ", ")")
+      case _ => e
+    }
   }
 
   /** The reference's PERPETUAL pipeline form: an `INSERT INTO ... SELECT`
@@ -471,6 +546,8 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+`?([\w.-]+)`?\s+ADD\s+COLUMNS?\s*\((.*)\)\s*;?\s*$""".r
   private val InsertIntoRe =
     """(?is)^\s*INSERT\s+INTO\s+`?([\w.-]+)`?\s*(?:\(([^)]*)\))?\s*(SELECT\b.*?)\s*;?\s*$""".r
+  private val InsertValuesRe =
+    """(?is)^\s*INSERT\s+INTO\s+`?([\w.-]+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(\(.*\))\s*;?\s*$""".r
   private[sql] val LateralRe =
     """(?is)\bFROM\s+(`?[\w.]+`?)\s*,\s*LATERAL\s+TABLE\s*\(\s*(ML_PREDICT|FEDERATED_SEARCH)\b""".r
 
@@ -518,7 +595,9 @@ object GraftSql {
     throw new IllegalArgumentException(s"unbalanced parens from $open in: $s")
   }
 
-  /** Split a top-level argument list (quote- and paren-aware). */
+  /** Split a top-level argument list (quote-, paren- and bracket-aware —
+    * brackets nest for Flink's `ARRAY[ROW(...), ROW(...)]` literals).
+    */
   private[sql] def splitArgs(args: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
@@ -530,8 +609,8 @@ object GraftSql {
       if (inQuote) { if (c == '\'') inQuote = false }
       else c match {
         case '\'' => inQuote = true
-        case '('  => depth += 1
-        case ')'  => depth -= 1
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
         case ',' if depth == 0 =>
           out += args.substring(start, i); start = i + 1
         case _ => ()

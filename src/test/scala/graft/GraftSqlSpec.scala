@@ -352,6 +352,66 @@ lateral table (ml_predict('vector_encoding', content));"""
     assert(g.execute("SELECT count(*) FROM user_questions").head.getLong(0) == 3)
   }
 
+  test("connection CLI blocks parse verbatim; dangling refs fail with the reference's error (README.md:90-96,310-316)") {
+    val g = facade()
+    // the reference's four connections are pre-wired ("you should already
+    // have this connection", README.md:51)
+    assert(g.connections.exists("openai-vector-connection"))
+    assert(g.connections.exists("mongodb-fed-search-connection"))
+    // the Azure variant, verbatim — including its missing line
+    // continuation after --endpoint (README.md:90-96)
+    g.createConnection("""confluent flink connection create azureopenai-cli-connection \
+--cloud AZURE \
+--region westus2 \
+--type azureopenai \
+--endpoint https://matrix-central.openai.azure.com/openai/deployments/matrix-central-emb
+--api-key <your-azure-api-key>""")
+    val az = g.connections.resolve("azureopenai-cli-connection")
+    assert(az.connType == "azureopenai" && az.cloud == "AZURE")
+    assert(az.endpoint.startsWith("https://matrix-central"))
+    // describe never leaks a credential value
+    val desc = g.connections.describe(spark).collect()
+    assert(desc.length == 5)
+    assert(desc.forall(r => !r.getString(6).contains("your-") &&
+      !r.getString(6).contains("atlas_")))
+    // a dangling reference fails with the reference's exact sentence
+    val err = intercept[graft.model.ConnectionNotFoundException] {
+      g.execute("""CREATE MODEL m1 INPUT (input STRING) OUTPUT (v ARRAY<FLOAT>)
+WITH ('task' = 'embedding', 'openai.connection' = 'mongodb-connection-typo');""")
+    }
+    assert(err.getMessage == "Connection 'mongodb-connection-typo' not found")
+  }
+
+  test("the reference's ARRAY[ROW(...)] INSERT VALUES runs verbatim (README.md:614-623)") {
+    val g = facade()
+    g.execute("""CREATE TABLE `user_prompts` (
+    `role`         STRING,
+    `content`      STRING,
+    `sessionid`    STRING,
+    `products` ARRAY<ROW<`content` STRING>>
+) WITH ('value.format' = 'json-registry');""")
+    g.execute("""insert into user_prompts (role, content, sessionid, products)
+values (
+  'user',
+  'Find me a pair of mens formal shoes in medium size.',
+  'abc256',
+  ARRAY[ROW('Blue Medium Adult Male Shoes, product_id: 101'), ROW('Blue Medium Adult Female Shoes, product_id: 102')]
+);""")
+    val r = g.execute(
+      "SELECT role, content, sessionid, products FROM user_prompts").collect()
+    assert(r.length == 1)
+    assert(r.head.getString(2) == "abc256")
+    assert(r.head.getSeq[org.apache.spark.sql.Row](3).map(_.getString(0)) == Seq(
+      "Blue Medium Adult Male Shoes, product_id: 101",
+      "Blue Medium Adult Female Shoes, product_id: 102"))
+    // schema-checked like every insert: a VALUES row against an unknown
+    // column fails at submit time
+    val err = intercept[IllegalArgumentException] {
+      g.execute("insert into user_prompts (role, nope) values ('a', 'b');")
+    }
+    assert(err.getMessage.contains("nope"))
+  }
+
   test("json_object inside a string literal is not rewritten") {
     val g = facade()
     val r = g.execute(
