@@ -1087,6 +1087,52 @@ values (
         .orderBy("doc_id")
     }),
 
+    // quality-aware dedup contract: exact duplicates are PLANTED (every
+    // 10th doc gets a copy differing only in case/whitespace, so its raw
+    // quality differs while its normalized text doesn't — the corpus has
+    // no natural exact dups). REAL columns both engines recompute:
+    // exact_keeper_id (argmax quality per normalized-text group, id
+    // tie-break — exercises the cross-engine quality formula inside an
+    // argmax) and is_isolated (group anchor absent from the GT-0.3 pair
+    // set). Booleans pin keepBest semantics the oracle can't re-derive:
+    // survivors are always their group's keeper, isolated keepers always
+    // survive, and the keepBest pipeline keeps exactly as many docs as
+    // the min-id pipeline (isomorphic cluster structure).
+    "q_dedup_keepbest_contract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("   ")).as("text"))
+      val corpus = docs.unionByName(planted)
+        .withColumn("__q", TextOps.qualityScore(col("text")))
+      val surv = Dedup.dedupPipelineKeepBest(corpus, "doc_id", "text", "__q")
+        .select(col("doc_id"), lit(true).as("__s"))
+      val cntOk = surv.agg(count(lit(1)).as("__bn"))
+        .crossJoin(Dedup.dedupPipeline(corpus, "doc_id", "text")
+          .agg(count(lit(1)).as("__mn")))
+        .select((col("__bn") === col("__mn")).as("count_eq_ok"))
+      val wq = Window.partitionBy(Dedup.normText(col("text")))
+        .orderBy(col("__q").desc, col("doc_id"))
+      val wg = Window.partitionBy(Dedup.normText(col("text")))
+      val loose = shingleGroundTruth(s, dir).filter(col("jaccard") >= 0.3)
+      val paired = loose.select(col("id1").as("anchor"))
+        .union(loose.select(col("id2").as("anchor")))
+        .distinct().withColumn("__p", lit(true))
+      corpus
+        .withColumn("exact_keeper_id", first(col("doc_id")).over(wq))
+        .withColumn("anchor", min(col("doc_id")).over(wg))
+        .join(surv, Seq("doc_id"), "left")
+        .join(paired, Seq("anchor"), "left")
+        .select(col("doc_id"), col("exact_keeper_id"),
+          col("__p").isNull.as("is_isolated"),
+          (col("__s").isNull || col("doc_id") === col("exact_keeper_id"))
+            .as("survivor_is_keeper_ok"),
+          (col("__p").isNotNull || col("doc_id") =!= col("exact_keeper_id") ||
+            col("__s").isNotNull).as("isolated_kept_ok"))
+        .crossJoin(cntOk)
+        .orderBy("doc_id")
+    }),
+
     // LSH embedding-dedup contract, single row: n_exact is REAL (the
     // oracle re-runs the O(n^2) cosine join itself); precision is exact
     // by construction (candidates are exact-scored), recall >= 0.6 pins
@@ -1721,6 +1767,34 @@ values (
         "UNION ALL SELECT id2, id1 FROM j WHERE jac >= 0.8) " +
         "SELECT DISTINCT a AS doc_id, TRUE AS flagged_ok FROM cand " +
         "WHERE a % 2 = 1 AND b % 2 = 0 ORDER BY doc_id"),
+
+    "q_dedup_keepbest_contract" ->
+      (CharShingleCte.dropRight(1) + ", " +
+        "corpus AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 100000, concat('  ', upper(text), '   ') " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
+        "qual AS (SELECT doc_id, text, round((" +
+        "least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) + " +
+        "CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(length(text) AS DOUBLE) / n_tok END) " +
+        "BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END + " +
+        "(1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+        "CAST(length(text) - length(regexp_replace(text, '[!\"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')) AS DOUBLE) " +
+        "/ length(text) END) * 4.0, 1.0))" +
+        ") / 3.0, 4) AS __q FROM (" +
+        "SELECT doc_id, text, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS n_tok " +
+        "FROM corpus)), " +
+        "grp AS (SELECT doc_id, __q, " +
+        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nk FROM qual), " +
+        "keeper AS (SELECT doc_id, " +
+        "first_value(doc_id) OVER (PARTITION BY nk ORDER BY __q DESC, doc_id) AS exact_keeper_id, " +
+        "min(doc_id) OVER (PARTITION BY nk) AS anchor FROM grp), " +
+        "paired AS (SELECT id1 AS a FROM j WHERE jac >= 0.3 " +
+        "UNION SELECT id2 FROM j WHERE jac >= 0.3) " +
+        "SELECT doc_id, exact_keeper_id, " +
+        "anchor NOT IN (SELECT a FROM paired) AS is_isolated, " +
+        "TRUE AS survivor_is_keeper_ok, TRUE AS isolated_kept_ok, " +
+        "TRUE AS count_eq_ok FROM keeper ORDER BY doc_id"),
 
     "q_embedding_lsh_contract" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS precision_ok, " +

@@ -410,6 +410,48 @@ object Dedup {
     exactDone.join(victims, exactDone(idCol) === victims("__victim"), "left_anti")
   }
 
+  /** Exact dedup keeping the BEST-quality member per normalized-text
+    * group (quality desc, id asc tie-break) — the survivor choice a
+    * training-data pipeline actually wants: among byte-different copies
+    * of the same content, keep the cleanest rendering, not the lowest
+    * id. Same single hash shuffle as [[exactScalable]].
+    */
+  def exactKeepBest(
+      df: DataFrame, idCol: String, textCol: String, qualityCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(normText(col(textCol))))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
+  /** [[dedupPipeline]] with quality-aware survivor selection in BOTH
+    * stages: exact groups keep their best-quality member, and each
+    * MinHash near-dup cluster (transitive closure) keeps its best-quality
+    * member instead of its minimum id. The cluster stage adds one slim
+    * (id, label, quality) shuffle on top of the closure.
+    *
+    * The CLUSTER STRUCTURE is identical to [[dedupPipeline]]'s on any
+    * input where exact-duplicate copies agree on the minhash-normalized
+    * token sequence (normText-equal texts always do — they differ only
+    * in case/whitespace): the chosen exact survivors then carry identical
+    * signatures, so the candidate graph is isomorphic and the two
+    * pipelines keep the same NUMBER of documents, differing only in
+    * WHICH member represents each cluster (DedupSpec pins both).
+    */
+  def dedupPipelineKeepBest(
+      df: DataFrame, idCol: String, textCol: String, qualityCol: String,
+      minhashThreshold: Double = 0.7): DataFrame = {
+    val exactDone = exactKeepBest(df, idCol, textCol, qualityCol)
+    val pairs = minhashPairs(exactDone, idCol, textCol, threshold = minhashThreshold)
+    val q = exactDone.select(col(idCol).as("id"), col(qualityCol).as("__q"))
+    val ranked = clusterLabels(pairs).join(q, "id")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("label").orderBy(col("__q").desc, col("id"))))
+    val victims = ranked.filter(col("__rk") > 1).select(col("id").as("__victim"))
+    exactDone.join(victims, exactDone(idCol) === victims("__victim"), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, exact pairwise
     * over a broadcast corpus (bit-compatible with DuckDB's
     * list_cosine_similarity, so the oracle hash-matches).

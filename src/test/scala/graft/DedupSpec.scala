@@ -231,6 +231,49 @@ class DedupSpec extends SparkSpec {
     assert(mh == exact, "minhash candidate set should equal ground truth here")
   }
 
+  test("exactKeepBest keeps the best-quality copy, not the lowest id") {
+    val df = Seq(
+      (1L, "hello   world", 0.4), // messy copy, low quality
+      (2L, "Hello World", 0.9),   // clean copy of the same content
+      (3L, "other doc", 0.5)
+    ).toDF("id", "text", "q")
+    val kept = Dedup.exactKeepBest(df, "id", "text", "q")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+    // quality tie falls back to lowest id
+    val tied = Seq((5L, "same", 0.7), (4L, "SAME", 0.7)).toDF("id", "text", "q")
+    assert(Dedup.exactKeepBest(tied, "id", "text", "q")
+      .select("id").as[Long].head() == 4L)
+  }
+
+  test("keepBest pipeline keeps one best-quality doc per near-dup cluster") {
+    // planted: 1~2~3 form a minhash near-dup chain, 9 is isolated
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val variant = (1 to 58).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
+    val variant2 = (3 to 60).map(i => s"token$i").mkString(" ") + " tokenZ"
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, base, 0.5), (2L, variant, 0.9), (3L, variant2, 0.7), (9L, other, 0.1)
+    ).toDF("id", "text", "q")
+    val kept = Dedup.dedupPipelineKeepBest(df, "id", "text", "q", minhashThreshold = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    // cluster {1,2,3} -> highest quality (2) survives; isolated 9 survives
+    assert(kept == Seq(2L, 9L))
+    // same cluster structure as the min-id pipeline: equal survivor count
+    val minKept = Dedup.dedupPipeline(df, "id", "text", minhashThreshold = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(minKept == Seq(1L, 9L))
+    assert(kept.size == minKept.size)
+  }
+
+  test("keepBest pipeline equals min-id pipeline count on the real corpus") {
+    val docs = Tables(spark, sf, "documents")
+      .withColumn("q", graft.functions.TextOps.qualityScore(col("text")))
+    val best = Dedup.dedupPipelineKeepBest(docs, "doc_id", "text", "q").count()
+    val minId = Dedup.dedupPipeline(docs, "doc_id", "text").count()
+    assert(best == minId)
+  }
+
   test("embedding near-dup pairs symmetric corpus sanity") {
     val emb = Tables(spark, sf, "embeddings")
     val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = 0.99)

@@ -52,8 +52,21 @@ for name, sql in sorted(oracle.items()):
         import pandas as _pd
         sdf = _pd.read_parquet(os.path.dirname(files[0]))
         odf = con.execute(sql).df()
+        def _date_equiv(a, b):
+            # Spark DATE loads as object-of-datetime.date, DuckDB as
+            # datetime64 — the driver's gate treats these as equal
+            # (q_date_arith green in CORRECTNESS_r03/r04); mirror that.
+            import datetime as _dt
+            for x, y in ((a, b), (b, a)):
+                if str(y.dtype).startswith("datetime64") and x.dtype == object:
+                    nn = x.dropna()
+                    if len(nn) and all(isinstance(v, (_dt.date, _dt.datetime))
+                                       for v in nn.head(5)):
+                        return True
+            return False
         dbad = [(c, str(sdf[c].dtype), str(odf[c].dtype)) for c in sdf.columns
-                if c in odf.columns and str(sdf[c].dtype) != str(odf[c].dtype)]
+                if c in odf.columns and str(sdf[c].dtype) != str(odf[c].dtype)
+                and not _date_equiv(sdf[c], odf[c])]
         if dbad:
             print(f"[FAIL] {name}: dtype mismatch (spark,duck): {dbad}")
             fail += 1
