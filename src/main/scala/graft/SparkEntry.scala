@@ -1095,9 +1095,10 @@ values (
     // tie-break — exercises the cross-engine quality formula inside an
     // argmax) and is_isolated (group anchor absent from the GT-0.3 pair
     // set). Booleans pin keepBest semantics the oracle can't re-derive:
-    // survivors are always their group's keeper, isolated keepers always
-    // survive, and the keepBest pipeline keeps exactly as many docs as
-    // the min-id pipeline (isomorphic cluster structure).
+    // survivors are always their group's keeper and isolated keepers
+    // always survive. (Count-isomorphism with the min-id pipeline is
+    // DedupSpec-pinned — re-running a second full pipeline here would
+    // double the query's cost for a property the spec already gates.)
     "q_dedup_keepbest_contract" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val planted = docs.filter(col("doc_id") % 10 === 0)
@@ -1107,10 +1108,6 @@ values (
         .withColumn("__q", TextOps.qualityScore(col("text")))
       val surv = Dedup.dedupPipelineKeepBest(corpus, "doc_id", "text", "__q")
         .select(col("doc_id"), lit(true).as("__s"))
-      val cntOk = surv.agg(count(lit(1)).as("__bn"))
-        .crossJoin(Dedup.dedupPipeline(corpus, "doc_id", "text")
-          .agg(count(lit(1)).as("__mn")))
-        .select((col("__bn") === col("__mn")).as("count_eq_ok"))
       val wq = Window.partitionBy(Dedup.normText(col("text")))
         .orderBy(col("__q").desc, col("doc_id"))
       val wg = Window.partitionBy(Dedup.normText(col("text")))
@@ -1129,7 +1126,6 @@ values (
             .as("survivor_is_keeper_ok"),
           (col("__p").isNotNull || col("doc_id") =!= col("exact_keeper_id") ||
             col("__s").isNotNull).as("isolated_kept_ok"))
-        .crossJoin(cntOk)
         .orderBy("doc_id")
     }),
 
@@ -1793,8 +1789,8 @@ values (
         "UNION SELECT id2 FROM j WHERE jac >= 0.3) " +
         "SELECT doc_id, exact_keeper_id, " +
         "anchor NOT IN (SELECT a FROM paired) AS is_isolated, " +
-        "TRUE AS survivor_is_keeper_ok, TRUE AS isolated_kept_ok, " +
-        "TRUE AS count_eq_ok FROM keeper ORDER BY doc_id"),
+        "TRUE AS survivor_is_keeper_ok, TRUE AS isolated_kept_ok " +
+        "FROM keeper ORDER BY doc_id"),
 
     "q_embedding_lsh_contract" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS precision_ok, " +

@@ -164,6 +164,24 @@ object IvfSearch {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append newly arrived vectors to a persisted index WITHOUT
+    * retraining: cells come from the STORED centroids, rows land in
+    * their cell's partition directory (dynamic-partition append). This
+    * is the continuous-ingestion path — the at-rest analog of the
+    * reference's perpetual INSERT keeping its collection searchable as
+    * new embeddings arrive (README.md:432-445): index once, append
+    * forever, probe pruning unchanged. Centroids drift only at the next
+    * full [[writeIndex]] — the standard IVF split of offline retrain /
+    * online append.
+    */
+  def appendToIndex(
+      df: DataFrame, cId: String, cVec: String, path: String): Unit = {
+    val centroids = loadCentroids(df.sparkSession, path)
+    df.select(col(cId).as("id"), col(cVec).as("vec"),
+        nearestCell(centroids)(col(cVec)).as("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/corpus")
+  }
+
   def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Float]] =
     spark.read.parquet(s"$path/centroids").orderBy("cell").collect()
       .map(_.getSeq[Float](1).toArray)

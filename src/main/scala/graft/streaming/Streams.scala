@@ -69,6 +69,25 @@ object Streams {
       .start()
   }
 
+  /** Continuous vector indexing: every micro-batch of arriving vectors
+    * appends to a persisted IVF index (cells assigned from the STORED
+    * centroids — [[graft.operators.IvfSearch.appendToIndex]]), so
+    * searchers see them on their next probe. The reference's perpetual
+    * embed→index pipeline (README.md:432-445) in at-rest form; pairs
+    * with an offline `writeIndex` retrain cadence.
+    */
+  def ivfIndexStream(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.IvfSearch.appendToIndex(batch, idCol, vecCol, indexPath)
+        ()
+      }
+      .start()
+
   /** Continuous tumbling-window counts over an event stream; watermark
     * bounds state (late data beyond `watermark` is dropped — the
     * retention knob the reference sets on its topics, README.md:102).

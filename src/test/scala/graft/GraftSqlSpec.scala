@@ -352,6 +352,28 @@ lateral table (ml_predict('vector_encoding', content));"""
     assert(g.execute("SELECT count(*) FROM user_questions").head.getLong(0) == 3)
   }
 
+  test("executeStreaming run-forever mode picks up records produced after start") {
+    val g = facade()
+    g.execute("""CREATE TABLE `src` (`content` STRING) WITH ('value.format' = 'json-registry');""")
+    g.execute("""CREATE TABLE `dst` (`content` STRING) WITH ('value.format' = 'json-registry');""")
+    g.topics.produceJson("src", Seq("""{"content":"a"}"""))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_forever_ck").toString
+    // the reference's actual semantic: the statement "will run forever in
+    // the background" (README.md:435) — ProcessingTime(0) keeps polling
+    val q = g.executeStreaming("insert into `dst` select `content` from `src`;",
+      ckpt, trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      def dst() = g.execute("SELECT content FROM dst ORDER BY content")
+        .collect().map(_.getString(0)).toSeq
+      assert(dst() == Seq("a"))
+      // produced AFTER the query started — the running stream must see it
+      g.topics.produceJson("src", Seq("""{"content":"b"}"""))
+      q.processAllAvailable()
+      assert(dst() == Seq("a", "b"))
+    } finally q.stop()
+  }
+
   test("connection CLI blocks parse verbatim; dangling refs fail with the reference's error (README.md:90-96,310-316)") {
     val g = facade()
     // the reference's four connections are pre-wired ("you should already

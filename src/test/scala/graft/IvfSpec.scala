@@ -55,6 +55,53 @@ class IvfSpec extends SparkSpec {
     assert(hits(8) == exact) // probing ALL cells = exact search
   }
 
+  test("appendToIndex: appended vectors are searchable, pruning intact") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    // index the even half, then append the odd half without retraining
+    IvfSearch.writeIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, nList = 8, iters = 2)
+    IvfSearch.appendToIndex(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", path)
+    // an appended vector finds ITSELF at rank 1 (cosine self-sim = 1;
+    // a query always probes its own stored cell because assignment uses
+    // the same stored centroids)
+    val q = emb.filter(col("vec_id") === 61)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = IvfSearch.searchIndex(spark, path, q, "qid", "qv",
+      k = 1, metric = "cosine", nProbe = 1).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 61L)
+    // probe pruning still lists only the probed partitions
+    val plan = IvfSearch.searchIndex(spark, path, q, "qid", "qv",
+      k = 1, metric = "cosine", nProbe = 1)
+    val scan = plan.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.requiredSchema.fieldNames.contains("vec") => f
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 1)
+    // full corpus present: index rows = even + odd halves
+    assert(spark.read.parquet(s"$path/corpus").count() == emb.count())
+  }
+
+  test("ivfIndexStream: stream-ingested vectors become searchable") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_stream_idx").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ivf_stream_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_stream_ck").toString
+    IvfSearch.writeIndex(emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", path, nList = 8, iters = 2)
+    // late vectors arrive as files on a stream
+    val late = emb.filter(col("vec_id") >= 400)
+    late.write.mode("overwrite").parquet(srcDir)
+    val stream = graft.streaming.Streams.fileStream(spark, srcDir, late.schema)
+    graft.streaming.Streams.ivfIndexStream(stream, "vec_id", "embedding", path, ckpt)
+      .awaitTermination()
+    val q = emb.filter(col("vec_id") === 460)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = IvfSearch.searchIndex(spark, path, q, "qid", "qv",
+      k = 1, metric = "cosine", nProbe = 1).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 460L)
+  }
+
   test("persisted index: partition-pruned probe equals in-memory search") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
