@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -167,6 +169,48 @@ class TopicCatalog(spark: SparkSession, root: String) {
       val extras = if (f.name == TopicCatalog.KeyField.name) "BUCKET KEY" else ""
       (f.name, f.dataType.simpleString, f.nullable, extras)
     }.toSeq.toDF("col_name", "data_type", "nullable", "extras")
+  }
+
+  /** Compact a topic's accumulated small files. Append-only topics gain
+    * one file per produce/insert; at scale the file LISTING becomes the
+    * scan bottleneck long before the bytes do (every reader stats every
+    * file). Rewrites the current snapshot into `targetFiles`
+    * consolidated files, then removes the snapshot's originals.
+    *
+    * Visibility: add-then-remove — a crash between the stages leaves
+    * records temporarily DUPLICATED (at-least-once, like an in-flight
+    * Kafka log compaction), never lost; re-running compact converges. A
+    * production store would swap a manifest atomically instead of
+    * renaming files; the reader contract (scan the directory) is
+    * unchanged either way.
+    *
+    * Returns the number of original files removed.
+    */
+  def compact(name: String, targetFiles: Int = 1): Int = {
+    valueSchemaOf(name) // existence check
+    val topicDir = Paths.get(dir(name))
+    val originals = Files.list(topicDir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".json"))
+      .toVector
+    if (originals.isEmpty) return 0
+    // snapshot through the same schema-on-read path every reader uses
+    val staged = Files.createTempDirectory(topicDir, ".compact-")
+    table(name).coalesce(targetFiles)
+      .write.mode("overwrite").json(staged.toString)
+    // stage in: consolidated parts become visible under unique names
+    Files.list(staged).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .zipWithIndex.foreach { case (p, i) =>
+        Files.move(p, topicDir.resolve(s"compact-${System.nanoTime()}-$i.json"))
+      }
+    // stage out: drop the snapshot's originals (new appends since the
+    // listing above are untouched)
+    originals.foreach(Files.deleteIfExists(_))
+    // clean staging leftovers (_SUCCESS etc.)
+    Files.list(staged).iterator().asScala.foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(staged)
+    refreshView(name)
+    originals.size
   }
 
   def drop(name: String): Unit = {

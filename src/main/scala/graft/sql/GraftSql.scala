@@ -121,6 +121,12 @@ class GraftSql(
       registry.setDefault(name, ver.toInt)
       status(s"default_version of $name set to $ver")
 
+    case DescribeTableRe(name) if topics.exists(name) =>
+      // the reference's `desc \`topic\`` transcript (README.md:543-556):
+      // registered topics describe through the catalog so the implicit
+      // BUCKET KEY row shows; anything else falls through to spark.sql
+      topics.describe(name)
+
     case DescribeModelRe(ref) =>
       val (name, all) = ref.indexOf('$') match {
         case -1 => (ref, false)
@@ -540,6 +546,8 @@ object GraftSql {
     """(?is)^\s*ALTER\s+MODEL\s+`?([\w.-]+)`?\s*SET\s*\(\s*'default_version'\s*=\s*'(\d+)'\s*\)\s*;?\s*$""".r
   private val DescribeModelRe =
     """(?is)^\s*DESCRIBE\s+MODEL\s+`?([\w.$-]+)`?\s*;?\s*$""".r
+  private val DescribeTableRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+(?!MODEL\b)`?([\w.-]+)`?\s*;?\s*$""".r
   private val CreateTableRe =
     """(?is)^\s*CREATE\s+TABLE\s+`?([\w.-]+)`?\s*\((.*)\)\s*WITH\s*\((.*?)\)\s*;?\s*$""".r
   private val AlterTableAddRe =

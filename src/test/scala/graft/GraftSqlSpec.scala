@@ -434,6 +434,25 @@ values (
     assert(err.getMessage.contains("nope"))
   }
 
+  test("desc `topic` shows the implicit BUCKET KEY row (README.md:543-556)") {
+    val g = facade()
+    g.execute("""CREATE TABLE `llm_prompt_test` (
+    `llm_request_json_string` STRING,
+    `sessionid`    STRING
+) WITH ('value.format' = 'json-registry');""")
+    // the reference's verbatim short form
+    val rows = g.execute("desc `llm_prompt_test`;").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("key", "llm_request_json_string", "sessionid"))
+    val keyRow = rows.head
+    assert(keyRow.getString(1) == "binary" && keyRow.getString(3) == "BUCKET KEY")
+    // non-topic names still fall through to spark.sql
+    import spark.implicits._
+    Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("plain_view")
+    val plain = g.execute("DESCRIBE plain_view").collect()
+    assert(plain.map(_.getString(0)).toSet == Set("a", "b"))
+  }
+
   test("json_object inside a string literal is not rewritten") {
     val g = facade()
     val r = g.execute(

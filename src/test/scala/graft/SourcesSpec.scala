@@ -119,6 +119,33 @@ class SourcesSpec extends SparkSpec {
     assert(out(0).getAs[String]("json_response").contains("assistant"))
   }
 
+  test("compact consolidates small files without changing the data") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_compact").toString
+    val c = new TopicCatalog(spark, root)
+    c.create("busy_topic", questionSchema)
+    // 5 produces + 1 insert = at least 6 files on disk
+    (1 to 5).foreach(i => c.produceJson("busy_topic",
+      Seq(s"""{"role":"user","content":"q$i","sessionid":"s$i"}""")))
+    c.insertInto("busy_topic",
+      Seq(("user", "bulk", "s9", "x@y.z")).toDF("role", "content", "sessionid", "email"))
+    def snapshot() = c.table("busy_topic")
+      .select("role", "content", "sessionid", "email")
+      .collect().map(_.toSeq).toSet
+    def nFiles() = new java.io.File(s"$root/busy_topic")
+      .listFiles().count(_.getName.endsWith(".json"))
+    val before = snapshot()
+    assert(nFiles() >= 6)
+    val removed = c.compact("busy_topic")
+    assert(removed >= 6)
+    assert(nFiles() == 1)
+    assert(snapshot() == before)
+    // the topic stays appendable and re-compactable
+    c.produceJson("busy_topic", Seq("""{"role":"user","content":"late","sessionid":"s10"}"""))
+    assert(snapshot().size == before.size + 1)
+    assert(c.compact("busy_topic") == 2)
+  }
+
   test("describe lists columns like the reference transcript, key BUCKET KEY first") {
     val c = catalog()
     c.create("user_questions", questionSchema)
