@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.expressions.Window
@@ -895,6 +895,34 @@ object SparkEntry {
       c.table("docs_topic").select("doc_id", "source", "n_chars").orderBy("doc_id")
     }),
 
+    // --- keyed (cleanup.policy=compact) topic compaction ------------------
+    // (the other standard Kafka cleanup policy: latest record per key +
+    // CDC-style tombstone delete; winner via ONE max_by hash aggregation
+    // with map-side combine — no window sort. Oracle recomputes the
+    // winners from the events source with a row_number window.)
+    "q_compacted_topic" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q_compact").toString
+      val c = new graft.sources.TopicCatalog(s, root)
+      c.create("user_state", StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("ts", TimestampType),
+        StructField("event_id", LongType))))
+      c.insertInto("user_state", t(s, dir, "events")
+        .select(col("user_id").cast("string").cast("binary").as("key"),
+          col("user_id"), col("event_type"), col("value"), col("ts"),
+          col("event_id")))
+      // delete user 7's state: tombstone ordered past every real event
+      c.tombstone("user_state", "7".getBytes("UTF-8"),
+        Map("ts" -> java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+      c.compactKeyed("user_state", "ts", Seq("event_id"))
+      c.table("user_state")
+        // epoch-micros long: pandas-dtype-stable across engines AND proves
+        // the topic JSON encoding round-trips full microsecond precision
+        .select(col("user_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .orderBy("user_id")
+    }),
+
     // --- DESCRIBE table with the implicit bucket-key column (P5) ----------
     "q_topic_describe" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft_q_desc").toString
@@ -1457,6 +1485,12 @@ values (
         "SELECT CAST(-1 AS BIGINT) AS doc_id, 'manual' AS source, CAST(0 AS BIGINT) AS n_chars " +
         "UNION ALL SELECT doc_id, source, n_chars FROM documents) " +
         "ORDER BY doc_id"),
+
+    "q_compacted_topic" ->
+      ("SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id FROM (" +
+        "SELECT e.*, row_number() OVER (" +
+        "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events e) WHERE rn = 1 AND user_id <> 7 ORDER BY user_id"),
 
     "q_model_describe" ->
       ("SELECT * FROM (VALUES " +

@@ -155,7 +155,8 @@ class TopicCatalog(spark: SparkSession, root: String) {
       throw new IllegalArgumentException(
         s"insert into $name: schema mismatch (missing=$missing, unexpected=$extra)")
     df.select(targetNames.map(col): _*)
-      .write.mode("append").json(dir(name))
+      .write.option("timestampFormat", TopicCatalog.TsWriteFormat)
+      .mode("append").json(dir(name))
     refreshView(name)
   }
 
@@ -196,7 +197,8 @@ class TopicCatalog(spark: SparkSession, root: String) {
     // snapshot through the same schema-on-read path every reader uses
     val staged = Files.createTempDirectory(topicDir, ".compact-")
     table(name).coalesce(targetFiles)
-      .write.mode("overwrite").json(staged.toString)
+      .write.option("timestampFormat", TopicCatalog.TsWriteFormat)
+      .mode("overwrite").json(staged.toString)
     // stage in: consolidated parts become visible under unique names
     Files.list(staged).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("part-"))
@@ -213,6 +215,78 @@ class TopicCatalog(spark: SparkSession, root: String) {
     originals.size
   }
 
+  /** Produce a CDC-style tombstone: the record that deletes `key` under
+    * keyed compaction. Kafka's tombstone is key + null value; a delete
+    * in a changelog additionally carries its ordering position (a CDC
+    * delete event ships its commit timestamp), so the tombstone here is
+    * key + the `orderVals` fields + every other value field null. Until
+    * [[compactKeyed]] runs, scans see it as an ordinary (mostly-null)
+    * record — exactly a compacted Kafka topic's read behavior before
+    * the cleaner has processed the segment.
+    */
+  def tombstone(name: String, key: Array[Byte], orderVals: Map[String, Any]): Unit = {
+    val schema = valueSchemaOf(name)
+    val unknown = orderVals.keySet -- schema.fieldNames.toSet
+    require(unknown.isEmpty, s"tombstone $name: unknown ordering fields $unknown")
+    val full = StructType(TopicCatalog.KeyField +: schema.fields)
+    val row = Row.fromSeq(key +: schema.fields.toSeq.map(f => orderVals.get(f.name).orNull))
+    spark.createDataFrame(java.util.Arrays.asList(row), full)
+      .write.option("timestampFormat", TopicCatalog.TsWriteFormat)
+      .mode("append").json(dir(name))
+    refreshView(name)
+  }
+
+  /** Keyed (Kafka `cleanup.policy=compact`) compaction: rewrite the
+    * topic keeping only the LATEST record per key, ordered by
+    * `orderCol` (+ `tiebreaks` — include a unique one for determinism),
+    * and dropping keys whose winner is a tombstone (every value field
+    * null apart from the ordering columns). Records must all carry a
+    * key: Kafka rejects unkeyed produce to compacted topics, enforced
+    * here at compact time.
+    *
+    * Same add-then-remove visibility contract as [[compact]]
+    * (at-least-once under a crash, convergent on re-run). The winner
+    * computation is [[graft.operators.Compaction.latestByKey]] — one
+    * hash shuffle with map-side partial aggregation, no sort.
+    *
+    * Returns the number of original files removed.
+    */
+  def compactKeyed(name: String, orderCol: String,
+      tiebreaks: Seq[String] = Nil): Int = {
+    val schema = valueSchemaOf(name)
+    (orderCol +: tiebreaks).foreach(c => require(schema.fieldNames.contains(c),
+      s"compactKeyed $name: unknown ordering column '$c'"))
+    val topicDir = Paths.get(dir(name))
+    val originals = Files.list(topicDir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".json"))
+      .toVector
+    if (originals.isEmpty) return 0
+    val snap = table(name)
+    if (snap.filter(col(TopicCatalog.KeyField.name).isNull).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"compactKeyed $name: unkeyed record present — compacted topics require a key")
+    val winners = graft.operators.Compaction.latestByKey(
+      snap, Seq(TopicCatalog.KeyField.name), orderCol +: tiebreaks)
+    val orderSet = (orderCol +: tiebreaks).toSet
+    val deadCols = schema.fieldNames.toSeq.filterNot(orderSet.contains)
+    val live =
+      if (deadCols.isEmpty) winners
+      else winners.filter(!deadCols.map(col(_).isNull).reduce(_ && _))
+    val staged = Files.createTempDirectory(topicDir, ".compact-")
+    live.coalesce(1).write.option("timestampFormat", TopicCatalog.TsWriteFormat)
+      .mode("overwrite").json(staged.toString)
+    Files.list(staged).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .zipWithIndex.foreach { case (p, i) =>
+        Files.move(p, topicDir.resolve(s"compact-${System.nanoTime()}-$i.json"))
+      }
+    originals.foreach(Files.deleteIfExists(_))
+    Files.list(staged).iterator().asScala.foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(staged)
+    refreshView(name)
+    originals.size
+  }
+
   def drop(name: String): Unit = {
     registry.remove(name)
     spark.catalog.dropTempView(name)
@@ -222,6 +296,13 @@ class TopicCatalog(spark: SparkSession, root: String) {
 object TopicCatalog {
   /** The implicit Kafka record key on every topic table (README.md:551). */
   val KeyField: StructField = StructField("key", BinaryType, nullable = true)
+
+  /** JSON write format for timestamp fields: full microsecond precision.
+    * Spark's default JSON `timestampFormat` truncates to milliseconds on
+    * WRITE; reads keep the default (its fallback parser accepts both the
+    * milli and micro forms, so manually-produced records stay readable).
+    */
+  val TsWriteFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
   /** Analysis-time rejection of degenerate `ROW<>` anywhere in the schema
     * (fields, array elements, map values) — SURVEY §1.5 / README.md:586-598.

@@ -147,4 +147,20 @@ class PlanAuditSpec extends SparkSpec {
     val perQuery = rows.groupBy(_.getLong(0))
     assert(perQuery.forall(_._2.length == 3))
   }
+
+  test("latestByKey: partial combine before the shuffle, never a window") {
+    import spark.implicits._
+    val log = Seq((1L, "a", 1L), (1L, "b", 2L), (2L, "c", 1L))
+      .toDF("k", "v", "version")
+    val p = graft.operators.Compaction.latestByKey(log, Seq("k"), Seq("version"))
+      .queryExecution.executedPlan.toString
+    // map-side partial max_by collapses each mapper's duplicates to one
+    // candidate per key BELOW the exchange — shuffle volume scales with
+    // distinct keys, not changelog length (a row_number window would
+    // shuffle + sort every row)
+    val exchangeAt = p.indexOf("Exchange")
+    val partialAt = p.indexOf("partial_max_by")
+    assert(exchangeAt >= 0 && partialAt > exchangeAt, p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
 }

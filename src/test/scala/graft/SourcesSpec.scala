@@ -220,4 +220,53 @@ class SourcesSpec extends SparkSpec {
         StructField("sessionid", StringType)))))
     assert(errType.getMessage.contains("incompatible type change"))
   }
+
+  test("keyed compaction keeps the latest record per key and applies tombstones") {
+    val c = catalog()
+    c.create("profiles", StructType(Seq(
+      StructField("name", StringType), StructField("version", LongType))))
+    def rec(key: String, name: String, version: Long) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(key.getBytes("UTF-8"), name, version)),
+        StructType(TopicCatalog.KeyField +: c.valueSchemaOf("profiles").fields))
+    c.insertInto("profiles", rec("u1", "alice", 1L))
+    c.insertInto("profiles", rec("u1", "alicia", 2L))
+    c.insertInto("profiles", rec("u2", "bob", 1L))
+    c.insertInto("profiles", rec("u3", "carol", 5L))
+    // CDC delete for u3, ordered after its latest record
+    c.tombstone("profiles", "u3".getBytes("UTF-8"), Map("version" -> 6L))
+    // before compaction the tombstone is an ordinary mostly-null record
+    assert(c.table("profiles").count() == 5)
+    val removed = c.compactKeyed("profiles", "version")
+    assert(removed == 5) // five single-record files rewritten
+    val after = c.table("profiles")
+      .select(col("key").cast("string"), col("name"), col("version"))
+      .orderBy("key").collect()
+    assert(after.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("u1", "alicia", 2L), ("u2", "bob", 1L)))
+    // idempotent: a second compaction converges without data change
+    c.compactKeyed("profiles", "version")
+    assert(c.table("profiles").count() == 2)
+  }
+
+  test("keyed compaction rejects unkeyed records (Kafka compacted-topic rule)") {
+    val c = catalog()
+    c.create("profiles", StructType(Seq(
+      StructField("name", StringType), StructField("version", LongType))))
+    c.insertValues("profiles", Row("alice", 1L)) // no key -> key reads null
+    val err = intercept[IllegalStateException](c.compactKeyed("profiles", "version"))
+    assert(err.getMessage.contains("unkeyed record"))
+  }
+
+  test("timestamps survive the topic JSON encoding at microsecond precision") {
+    val c = catalog()
+    c.create("stamped", StructType(Seq(
+      StructField("id", LongType), StructField("at", TimestampType))))
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:20:30.123456")
+    c.insertInto("stamped", spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, t0)),
+      c.valueSchemaOf("stamped")))
+    val got = c.table("stamped").select("at").head().getTimestamp(0)
+    assert(got == t0)
+  }
 }
