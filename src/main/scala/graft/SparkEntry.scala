@@ -1019,6 +1019,33 @@ values (
         .orderBy("query_id", "rank")
     }),
 
+    // --- PQ (product quantization) ANN: compressed-corpus ADC scan --------
+    // (Jégou 2011; third index family beside LSH/IVF — rows-only, the
+    // recall contract below is the hash gate)
+    "q_vector_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.operators.PqSearch.pqTopK(queries, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 3, metric = "dot",
+        m = 8, kCodes = 16, numCandidates = 100)
+        .select("query_id", "match_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val approx = graft.operators.PqSearch.pqTopK(queries, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 3, metric = "dot",
+        m = 8, kCodes = 16, numCandidates = 100)
+      val exact = VectorSearch.topKFlat(queries, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 3, metric = "dot")
+      VectorSearch.recallContract(approx, exact, queries, "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
     // --- accuracy-contract twins for the sketch/approx dedup family -------
     // Same pattern as q_ann_recall / q_hll_distinct: rows are keyed on an
     // oracle-recomputable ground truth (exact character-5-shingle Jaccard
@@ -1757,6 +1784,10 @@ values (
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 
     "q_ivf_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_pq_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKHeap
+import graft.operators.VectorSearch.{scoreCol, scoreF32}
+
+/** Product-quantization ANN (Jégou, Douze, Schmid: "Product Quantization
+  * for Nearest Neighbor Search", IEEE TPAMI 2011) — the third index
+  * family next to LSH ([[VectorSearch.annTopK]]) and IVF
+  * ([[IvfSearch]]), covering the axis those two don't: MEMORY. The
+  * vector dimension is split into `m` subspaces; each subspace gets a
+  * `kCodes`-entry codebook; a vector is stored as `m` small codes. At
+  * 64-dim float32 with m=8, kCodes=16 that is 256 bytes -> 8 half-byte
+  * codes (~4 bytes at rest) per vector — a 100 TB embedding corpus
+  * compresses to the point where the scan is CPU-bound, not IO-bound.
+  *
+  * Query path is ADC (asymmetric distance computation): per query, one
+  * `m x kCodes` lookup table of partial scores against the codebooks;
+  * each candidate's approximate score is then `m` table lookups — no
+  * float vector is touched until the exact re-rank of the surviving
+  * `numCandidates`.
+  *
+  * Scale shape:
+  *  - training: per-subspace Lloyd rounds, all `m` subspaces in ONE
+  *    aggregation pass per round (explode by dimension, integer-sum
+  *    accumulation exactly like [[IvfSearch.trainCentroids]] — means are
+  *    bit-identical regardless of partitioning).
+  *  - encode: one narrow map over the corpus (codebooks broadcast).
+  *  - search: the query batch (bounded, like the reference's worksheet
+  *    searches) broadcasts WITH precomputed LUTs; a mapPartitions scan
+  *    over the coded corpus keeps one bounded heap per query — the
+  *    |Q|x|C| relation never materializes, and the corpus side only
+  *    ships (id, codes). Exact re-rank joins the numCandidates
+  *    survivors back to their full vectors.
+  */
+object PqSearch {
+
+  /** `books(s)(c)` = sub-centroid `c` of subspace `s` (dsub floats). */
+  final case class Codebooks(m: Int, kCodes: Int, dsub: Int,
+      books: Array[Array[Array[Float]]])
+
+  /** Deterministic per-subspace k-means. Init: the first `kCodes`
+    * vectors by id donate their subvectors (arbitrary but stable; Lloyd
+    * rounds wash it out). Each round re-estimates ALL subspace means in
+    * one integer-sum aggregation, so results do not depend on
+    * partitioning or float summation order.
+    */
+  def trainCodebooks(
+      corpus: DataFrame, cId: String, cVec: String,
+      m: Int = 8, kCodes: Int = 16, iters: Int = 2, dim: Int = 64): Codebooks = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val seed = corpus.orderBy(col(cId)).limit(kCodes).select(cVec).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(seed.nonEmpty, "trainCodebooks: empty corpus")
+    var books: Array[Array[Array[Float]]] =
+      Array.tabulate(m, kCodes) { (s, c) =>
+        val v = seed(c % seed.length)
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)
+      }
+    val scale = 1e7
+    (1 to iters).foreach { _ =>
+      val codes = encodeUdf(Codebooks(m, kCodes, dsub, books))
+      // (subspace, code, dim-within-subspace) integer sums in one pass
+      val sums = corpus
+        .select(codes(col(cVec)).as("codes"), posexplode(col(cVec)).as(Seq("d", "v")))
+        .select((col("d") / dsub).cast("int").as("s"),
+          (col("d") % dsub).cast("int").as("sd"),
+          element_at(col("codes"), (col("d") / dsub).cast("int") + 1).as("c"),
+          col("v"))
+        .groupBy("s", "c", "sd")
+        .agg(sum(round(col("v") * scale).cast("long")).as("acc"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { r =>
+        val s = r.getInt(0); val c = r.getInt(1); val sd = r.getInt(2)
+        next(s)(c)(sd) = (r.getLong(3).toDouble / scale / r.getLong(4)).toFloat
+      }
+      books = next
+    }
+    Codebooks(m, kCodes, dsub, books)
+  }
+
+  /** Column UDF: vector -> `m` codes (nearest sub-centroid per subspace,
+    * L2, ties to the lower code — same rule as [[IvfSearch.nearestCell]]).
+    */
+  def encodeUdf(cb: Codebooks): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val local = cb
+    val f = udf((v: Seq[Float]) => {
+      val q = v.toArray
+      Array.tabulate(local.m) { s =>
+        val sub = java.util.Arrays.copyOfRange(q, s * local.dsub, (s + 1) * local.dsub)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < local.kCodes) {
+          val d = scoreF32("l2", sub, local.books(s)(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    })
+    (vec: org.apache.spark.sql.Column) => f(vec)
+  }
+
+  /** The coded corpus: (match_id, codes ARRAY<INT>). At rest the codes
+    * pack to `m * ceil(log2(kCodes)/8)` bytes in a BINARY column; the
+    * relational shape here keeps the demo oracle-friendly.
+    */
+  def encode(corpus: DataFrame, cId: String, cVec: String, cb: Codebooks): DataFrame =
+    corpus.select(col(cId).cast("long").as("match_id"),
+      encodeUdf(cb)(col(cVec)).as("codes"))
+
+  /** PQ top-k with exact re-rank. `metric` "dot" or "l2" drive the ADC
+    * tables directly (both decompose additively over subspaces);
+    * "cosine" approximates with dot for candidate selection (sensible
+    * for the near-unit-norm embeddings the reference's models emit) and
+    * re-ranks exactly with true cosine.
+    *
+    * The query batch is collected and broadcast with its LUTs — bounded
+    * by `maxQueries` exactly like [[VectorSearch.topKBroadcast]] bounds
+    * its corpus collect; the corpus side stays fully distributed.
+    */
+  def pqTopK(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, metric: String = "dot",
+      m: Int = 8, kCodes: Int = 16, iters: Int = 2, dim: Int = 64,
+      numCandidates: Int = 100, maxQueries: Int = 10000): DataFrame = {
+    VectorSearch.requireNumCandidates(numCandidates)
+    require(k <= numCandidates, s"k=$k exceeds numCandidates=$numCandidates")
+    val spark = queries.sparkSession
+    import spark.implicits._
+
+    val cb = trainCodebooks(corpus, cId, cVec, m, kCodes, iters, dim)
+    val coded = encode(corpus, cId, cVec, cb)
+
+    val qRows = queries
+      .select(col(qId).cast("long"), col(qVec).cast("array<float>"))
+      .filter(col(qId).isNotNull && col(qVec).isNotNull)
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"pqTopK: query batch exceeds maxQueries=$maxQueries — split the batch")
+
+    val adcMetric = if (metric == "l2") "l2" else "dot"
+    val asc = adcMetric == "l2"
+    // flattened LUT per query: lut(s * kCodes + c) = partial score of the
+    // query's subspace-s slice against codebook entry c
+    val luts = qRows.map { r =>
+      val q = r.getSeq[Float](1).toArray
+      val lut = new Array[Double](m * kCodes)
+      var s = 0
+      while (s < m) {
+        val sub = java.util.Arrays.copyOfRange(q, s * cb.dsub, (s + 1) * cb.dsub)
+        var c = 0
+        while (c < kCodes) {
+          lut(s * kCodes + c) = scoreF32(adcMetric, sub, cb.books(s)(c))
+          c += 1
+        }
+        s += 1
+      }
+      (r.getLong(0), lut)
+    }
+    val bc = spark.sparkContext.broadcast(luts)
+    val mm = m; val kk = kCodes; val cand = numCandidates
+
+    // ADC scan: per partition, one bounded heap per query; only
+    // (query_id, match_id, approx) survivors leave the partition
+    val candidates = coded.as[(Long, Seq[Int])].mapPartitions { it =>
+      val qs = bc.value
+      val heaps = qs.map { case (id, _) => (id, new TopKHeap(cand, asc)) }
+      it.foreach { case (mid, codesSeq) =>
+        val codes = codesSeq.toArray
+        var qi = 0
+        while (qi < qs.length) {
+          val lut = qs(qi)._2
+          var approx = 0.0
+          var s = 0
+          while (s < mm) { approx += lut(s * kk + codes(s)); s += 1 }
+          heaps(qi)._2.insert(mid, approx)
+          qi += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        (0 until h.n).map(i => (qid, h.ids(i), h.scores(i)))
+      }
+    }.toDF(qId, "match_id", "__approx")
+
+    // global candidate cut to the budget, then exact re-rank on the true
+    // metric over full vectors (numCandidates rows per query — tiny)
+    val globalCand = candidates
+      .groupBy(col(qId))
+      .agg(graft.functions.TopKByScore.topK(col("match_id"), col("__approx"),
+        numCandidates, asc).as("cs"))
+      .select(col(qId), explode(col("cs")).as("c"))
+      .select(col(qId), col("c.id").as("match_id"))
+    val rerank = globalCand
+      .join(corpus.select(col(cId).cast("long").as("match_id"),
+        col(cVec).as("__cvec")), "match_id")
+      .join(broadcast(queries.select(col(qId).cast("long").as(qId),
+        col(qVec).as("__qvec"))), qId)
+      .withColumn("score", scoreCol(metric)(col("__qvec"), col("__cvec")))
+    rerank
+      .groupBy(col(qId))
+      .agg(graft.functions.TopKByScore.topK(col("match_id"), col("score"), k,
+        metric == "l2").as("matches"))
+      .select(col(qId), posexplode(col("matches")).as(Seq("rank0", "mt")))
+      .select(col(qId), col("mt.id").as("match_id"), col("mt.score").as("score"),
+        (col("rank0") + 1).cast("int").as("rank"))
+  }
+}
