@@ -804,6 +804,28 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // --- persisted IVF-PQ index: partition-pruned probe over PQ codes -----
+    // (the composed 100 TB layout — coarse cells prune directories, PQ
+    // residual codes compress the scan ~32x, exact re-rank from the
+    // source corpus; recall contract is the hash gate)
+    "q_ivfpq_index_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
+        graft.operators.IvfPqIndex.writeIndex(emb, "vec_id", "embedding", path,
+          nList = 16, m = 8, kCodes = 16)
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val approx = graft.operators.IvfPqIndex.searchIndex(s, path, queries,
+        "query_id", "qv", emb, "vec_id", "embedding",
+        k = 3, metric = "dot", nProbe = 8, numCandidates = 200)
+      val exact = VectorSearch.topKFlat(queries, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 3, metric = "dot")
+      VectorSearch.recallContract(approx, exact, queries, "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
     // --- SQL surface: CUBE grouping sets with grouping() flags ------------
     "q_cube" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1788,6 +1810,10 @@ values (
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 
     "q_pq_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_ivfpq_index_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKHeap
+import graft.operators.VectorSearch.{scoreCol, scoreF32}
+
+/** IVF-PQ: the composed at-rest ANN layout for corpora where BOTH scan
+  * pruning and memory compression matter (Jégou 2011 §V; the layout
+  * FAISS calls `IVFx,PQy`). Coarse IVF centroids split the corpus into
+  * `nList` cells — a partition column on disk, so a probe prunes whole
+  * directories at file-listing time ([[IvfSearch.writeIndex]]'s trick) —
+  * and within each cell vectors are stored ONLY as PQ codes of their
+  * RESIDUAL against the cell centroid (residuals are tighter clustered
+  * than raw vectors, so the same codebook budget quantizes them with
+  * less error). 100 TB of float32 embeddings becomes ~1.5 TB of codes.
+  *
+  * Query: probe nProbe cells; per (query, probed cell) one ADC lookup
+  * table built from the query's residual; scan only the probed cells'
+  * codes (no float vector is read); exact re-rank of the surviving
+  * `numCandidates` joins the source corpus by id — at scale a
+  * point-lookup join against the primary store.
+  */
+object IvfPqIndex {
+
+  /** Build + persist: `path/corpus` is (id, codes) parquet partitioned
+    * by `cell`; `path/centroids` and `path/codebooks` hold the trained
+    * model. Codebooks train on residuals (vector − its cell centroid).
+    * Centroids are written LAST so their _SUCCESS implies a complete
+    * index.
+    */
+  def writeIndex(
+      corpus: DataFrame, cId: String, cVec: String, path: String,
+      nList: Int = 16, m: Int = 8, kCodes: Int = 16, iters: Int = 2,
+      dim: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = IvfSearch.trainCentroids(corpus, cVec, cId, nList, iters, dim)
+    val resid = residualUdf(centroids)
+    val celled = corpus.select(col(cId).cast("long").as("id"),
+        IvfSearch.nearestCell(centroids)(col(cVec)).as("cell"), col(cVec).as("v"))
+      .withColumn("rv", resid(col("v"), col("cell")))
+    val cb = PqSearch.trainCodebooks(
+      celled.select(col("id"), col("rv")), "id", "rv", m, kCodes, iters, dim)
+    celled.select(col("id"), col("cell"),
+        PqSearch.encodeUdf(cb)(col("rv")).as("codes"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/corpus")
+    cb.books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (v, c) => (s, c, v.toSeq) }
+    }.toSeq.toDF("s", "c", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  private def residualUdf(centroids: Array[Array[Float]]) = {
+    val cs = centroids
+    udf((v: Seq[Float], cell: Int) => {
+      val c = cs(cell)
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    })
+  }
+
+  def loadCodebooks(spark: SparkSession, path: String,
+      m: Int, kCodes: Int, dim: Int): PqSearch.Codebooks = {
+    val dsub = dim / m
+    val books = Array.ofDim[Array[Float]](m, kCodes)
+    spark.read.parquet(s"$path/codebooks").collect().foreach { r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
+    }
+    PqSearch.Codebooks(m, kCodes, dsub, books)
+  }
+
+  /** Probe a persisted IVF-PQ index. The probed-cell union becomes an IN
+    * filter on the partition column (directory pruning, like
+    * [[IvfSearch.searchIndex]]); the scan reads ONLY (id, codes, cell).
+    * `corpus` supplies full vectors for the exact re-rank of the
+    * `numCandidates` ADC survivors.
+    */
+  def searchIndex(
+      spark: SparkSession, path: String,
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, metric: String = "dot", nProbe: Int = 4,
+      m: Int = 8, kCodes: Int = 16, dim: Int = 64,
+      numCandidates: Int = 100, maxQueries: Int = 10000): DataFrame = {
+    VectorSearch.requireNumCandidates(numCandidates)
+    require(k <= numCandidates, s"k=$k exceeds numCandidates=$numCandidates")
+    import spark.implicits._
+    val centroids = IvfSearch.loadCentroids(spark, path)
+    val cb = loadCodebooks(spark, path, m, kCodes, dim)
+
+    val qRows = queries
+      .select(col(qId).cast("long"), col(qVec).cast("array<float>"))
+      .filter(col(qId).isNotNull && col(qVec).isNotNull)
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"searchIndex: query batch exceeds maxQueries=$maxQueries — split the batch")
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Float](1).toArray)
+
+    // probe set per query (driver-side: |Q| bounded, nList small)
+    val probes: Array[Array[Int]] = qVecs.map { q =>
+      centroids.indices
+        .map(i => (i, scoreF32("l2", q, centroids(i))))
+        .sortBy { case (i, d) => (d, i) }
+        .take(nProbe).map(_._1).toArray
+    }
+    val cells = probes.flatten.distinct.sorted
+
+    // per (query, probed cell): ADC LUT over the query's residual
+    // (l2 decomposes over residual subspaces; dot(q, c + r) =
+    // dot(q, c) + dot(q, r) — LUT on q against the residual books plus a
+    // per-cell constant, so scores stay comparable ACROSS cells)
+    val adcMetric = if (metric == "l2") "l2" else "dot"
+    val asc = adcMetric == "l2"
+    val lutOf = new scala.collection.mutable.HashMap[(Int, Int), (Array[Double], Double)]
+    for (qi <- qVecs.indices; cell <- probes(qi)) {
+      val q = qVecs(qi)
+      val base = if (adcMetric == "l2")
+        Array.tabulate(dim)(i => q(i) - centroids(cell)(i)) else q
+      val lut = new Array[Double](m * kCodes)
+      var s = 0
+      while (s < m) {
+        val sub = java.util.Arrays.copyOfRange(base, s * cb.dsub, (s + 1) * cb.dsub)
+        var c = 0
+        while (c < kCodes) {
+          lut(s * kCodes + c) = scoreF32(adcMetric, sub, cb.books(s)(c))
+          c += 1
+        }
+        s += 1
+      }
+      val const = if (adcMetric == "dot") scoreF32("dot", q, centroids(cell)) else 0.0
+      lutOf((qi, cell)) = (lut, const)
+    }
+    val probersOf: Map[Int, Array[Int]] =
+      cells.map(cell => cell -> qVecs.indices.filter(qi => probes(qi).contains(cell)).toArray).toMap
+    val bc = spark.sparkContext.broadcast((qIds, lutOf.toMap, probersOf))
+    val mm = m; val kk = kCodes; val cand = numCandidates; val ascL = asc
+
+    val coded = spark.read.parquet(s"$path/corpus")
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+      .select(col("id"), col("codes"), col("cell"))
+    val candidates = coded.as[(Long, Seq[Int], Int)].mapPartitions { it =>
+      val (ids, luts, probers) = bc.value
+      val heaps = scala.collection.mutable.HashMap.empty[Int, TopKHeap]
+      it.foreach { case (mid, codesSeq, cell) =>
+        val codes = codesSeq.toArray
+        val qis = probers.getOrElse(cell, Array.emptyIntArray)
+        var j = 0
+        while (j < qis.length) {
+          val qi = qis(j)
+          val (lut, const) = luts((qi, cell))
+          var approx = const
+          var s = 0
+          while (s < mm) { approx += lut(s * kk + codes(s)); s += 1 }
+          heaps.getOrElseUpdate(qi, new TopKHeap(cand, ascL)).insert(mid, approx)
+          j += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qi, h) =>
+        (0 until h.n).map(i => (ids(qi), h.ids(i), h.scores(i)))
+      }
+    }.toDF(qId, "match_id", "__approx")
+
+    val globalCand = candidates
+      .groupBy(col(qId))
+      .agg(graft.functions.TopKByScore.topK(col("match_id"), col("__approx"),
+        numCandidates, asc).as("cs"))
+      .select(col(qId), explode(col("cs")).as("c"))
+      .select(col(qId), col("c.id").as("match_id"))
+    globalCand
+      .join(corpus.select(col(cId).cast("long").as("match_id"),
+        col(cVec).as("__cvec")), "match_id")
+      .join(broadcast(queries.select(col(qId).cast("long").as(qId),
+        col(qVec).as("__qvec"))), qId)
+      .withColumn("score", scoreCol(metric)(col("__qvec"), col("__cvec")))
+      .groupBy(col(qId))
+      .agg(graft.functions.TopKByScore.topK(col("match_id"), col("score"), k,
+        metric == "l2").as("matches"))
+      .select(col(qId), posexplode(col("matches")).as(Seq("rank0", "mt")))
+      .select(col(qId), col("mt.id").as("match_id"), col("mt.score").as("score"),
+        (col("rank0") + 1).cast("int").as("rank"))
+  }
+}

@@ -71,6 +71,67 @@ class PqSpec extends SparkSpec {
     assert(wide >= narrow, s"recall shrank: cand=10 -> $narrow, cand=500 -> $wide")
   }
 
+  test("ivf-pq persisted index: probe is recall-sound and partition-pruned") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    graft.operators.IvfPqIndex.writeIndex(emb, "vec_id", "embedding", path,
+      nList = 8, m = 8, kCodes = 16)
+    val approx = graft.operators.IvfPqIndex.searchIndex(spark, path,
+      queries, "qid", "qv", emb, "vec_id", "embedding",
+      k = 3, metric = "dot", nProbe = 4, numCandidates = 200)
+    val got = approx.collect()
+    val byQuery = got.groupBy(_.getLong(0))
+    assert(byQuery.nonEmpty)
+    // self-match survives: a vector's residual quantizes to its own codes,
+    // so its ADC score tops its cell's scan and re-rank confirms rank 1
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.minBy(_.getInt(3)).getLong(1) == q)
+    }
+    val exact = VectorSearch.topKFlat(queries, "qid", "qv", emb, "vec_id",
+      "embedding", k = 3, metric = "dot")
+      .select("qid", "match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approxSet = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approxSet).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+    // the code scan reads only (id, codes, cell) — never a float vector —
+    // and partition-prunes to the probed cells
+    val one = queries.limit(1)
+    val probe = graft.operators.IvfPqIndex.searchIndex(spark, path,
+      one, "qid", "qv", emb, "vec_id", "embedding",
+      k = 3, metric = "dot", nProbe = 2, numCandidates = 50)
+    val scans = probe.queryExecution.sparkPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft_ivfpq")) => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { f =>
+      assert(!f.requiredSchema.fieldNames.contains("vec"),
+        f.requiredSchema.fieldNames.mkString(","))
+      assert(f.partitionFilters.nonEmpty, "probe scan not partition-pruned")
+    }
+  }
+
+  test("ivf-pq residual coding beats raw-vector pq at equal budget (or ties)") {
+    // same m/kCodes/candidates; residuals are tighter clustered, so the
+    // composed index should not do WORSE than global-codebook PQ
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_cmp").toString
+    graft.operators.IvfPqIndex.writeIndex(emb, "vec_id", "embedding", path,
+      nList = 8, m = 8, kCodes = 16)
+    val exact = VectorSearch.topKFlat(queries, "qid", "qv", emb, "vec_id",
+      "embedding", k = 3, metric = "dot")
+      .select("qid", "match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = graft.operators.IvfPqIndex.searchIndex(spark, path,
+      queries, "qid", "qv", emb, "vec_id", "embedding",
+      k = 3, metric = "dot", nProbe = 8, numCandidates = 100)
+      .select("qid", "match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = PqSearch.pqTopK(queries, "qid", "qv", emb, "vec_id", "embedding",
+      k = 3, metric = "dot", m = 8, kCodes = 16, numCandidates = 100)
+      .select("qid", "match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rIvfPq = exact.intersect(ivfpq).size
+    val rFlat = exact.intersect(flat).size
+    assert(rIvfPq >= rFlat - 2, // small slack: nProbe=8 of 8 cells probes all
+      s"ivf-pq recall $rIvfPq much worse than flat pq $rFlat")
+  }
+
   test("budget and batch bounds are enforced") {
     intercept[IllegalArgumentException](
       PqSearch.pqTopK(queries, "qid", "qv", emb, "vec_id", "embedding",
