@@ -78,16 +78,22 @@ class GraftSql(
     */
   def registerSearchCorpus(
       name: String, df: DataFrame, contentCol: String, vecCol: String,
-      maxRows: Int = 100000, numCandidates: Int = 10000): Unit = {
+      maxRows: Int = 100000, numCandidates: Int = 10000,
+      indexType: String = "flat"): Unit = {
     requireNumCandidates(numCandidates)
+    require(GraftSql.IndexTypes.contains(indexType),
+      s"index type '$indexType' not in ${GraftSql.IndexTypes.mkString("/")}")
     val rows = df.select(contentCol, vecCol).limit(maxRows + 1).collect()
     corpora(name) =
       if (rows.length <= maxRows)
         // sorted by content so heap index tie-break == content tie-break,
-        // independent of collect order
+        // independent of collect order. A collected corpus ignores the
+        // declared index family: the broadcast heap scan IS the fastest
+        // exact plan at this size, and ANN only trades accuracy for
+        // speed it can't gain here.
         InMemCorpus(rows.map(r => (r.getString(0), r.getSeq[Float](1).toArray))
           .sortBy(_._1))
-      else DfCorpus(df, contentCol, vecCol)
+      else DfCorpus(df, contentCol, vecCol, indexType, numCandidates)
   }
 
   /** Execute one statement; DDL forms return a small status/metadata
@@ -161,6 +167,15 @@ class GraftSql(
           val vecField = options.collectFirst {
             case (key, v) if key.endsWith(".path") => v
           }.getOrElse("vector")
+          // '<connector>.index.type' picks the distributed search family
+          // ('flat' exact | 'ivf' | 'pq' | 'lsh') — distinct from the
+          // reference's '<connector>.index', which names the remote index
+          // (README.md:362) and stays free-form
+          val idxType = options.collectFirst {
+            case (key, v) if key.endsWith(".index.type") => v.trim.toLowerCase
+          }.getOrElse("flat")
+          require(GraftSql.IndexTypes.contains(idxType),
+            s"index type '$idxType' not in ${GraftSql.IndexTypes.mkString("/")}")
           val backing = (options.collectFirst {
             case (key, v) if key.endsWith(".database") => v
           }, options.collectFirst {
@@ -170,9 +185,9 @@ class GraftSql(
             case _ => Seq(name)
           }
           require(schema.nonEmpty, s"external table $name declares no columns")
-          corpora(name) = LazyCorpus(backing, schema.head.name, vecField)
+          corpora(name) = LazyCorpus(backing, schema.head.name, vecField, idxType, nc)
           status(s"created external search table $name (connector=$conn, " +
-            s"numCandidates=$nc)")
+            s"index=$idxType, numCandidates=$nc)")
         case _ =>
           // Topic-backed table ('value.format'='json-registry', or
           // connector=kafka): always the TopicCatalog in this engine.
@@ -420,13 +435,14 @@ class GraftSql(
     corpora.getOrElse(name, throw new IllegalArgumentException(
       s"unknown search corpus '$name' — CREATE TABLE ... WITH " +
         "('connector'='mongodb', ...) or call registerSearchCorpus first")) match {
-      case LazyCorpus(candidates, contentCol, vecCol) =>
+      case LazyCorpus(candidates, contentCol, vecCol, idxType, nc) =>
         val df = candidates.view.flatMap { ref =>
           try Some(spark.table(ref)) catch { case _: Exception => None }
         }.headOption.getOrElse(throw new IllegalArgumentException(
           s"search corpus '$name': no backing relation among " +
             candidates.mkString("[", ", ", "]")))
-        registerSearchCorpus(name, df, contentCol, vecCol)
+        registerSearchCorpus(name, df, contentCol, vecCol,
+          numCandidates = nc, indexType = idxType)
         corpora(name)
       case c => c
     }
@@ -475,10 +491,12 @@ class GraftSql(
   private val fedViewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Distributed FEDERATED_SEARCH for beyond-cap corpora: score through
-    * [[VectorSearch.topKAgg]] (map-side bounded heap — only ≤k rows per
-    * query per partition reach the shuffle), map match ids back to
-    * contents, and register source-columns + `search_results` as a temp
-    * view the rewritten statement selects FROM.
+    * the corpus' declared index family — exact [[VectorSearch.topKAgg]]
+    * ("flat": map-side bounded heap, only ≤k rows per query per
+    * partition reach the shuffle) or an ANN operator ("ivf" | "pq" |
+    * "lsh") under the declared numCandidates budget — map match ids
+    * back to contents, and register source-columns + `search_results`
+    * as a temp view the rewritten statement selects FROM.
     */
   private def fedSearchView(
       table: String, vecExpr: String, big: DfCorpus, k: Int): String = {
@@ -495,12 +513,30 @@ class GraftSql(
         col(big.vecCol).cast("array<float>").as("__cvec"))
       .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
       .dropDuplicates("__cid")
-    val hits = VectorSearch.topKAgg(
-      q.select(col("__qid"), expr(vecExpr).as("__qvec")), "__qid", "__qvec",
-      c, "__cid", "__cvec", k, "dot")
-    val resolved = hits
-      .select(col("__qid"), posexplode(col("matches")).as(Seq("__rank", "__m")))
-      .select(col("__qid"), col("__rank"), col("__m.id").as("__cid"))
+    val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"))
+    val ranked = big.indexType match {
+      case "ivf" =>
+        graft.operators.IvfSearch.ivfTopKCandidates(qv, "__qid", "__qvec",
+          c, "__cid", "__cvec", k, "dot", numCandidates = big.numCandidates)
+          .select(col("__qid"), col("rank").as("__rank"),
+            col("match_id").as("__cid"))
+      case "pq" =>
+        graft.operators.PqSearch.pqTopK(qv, "__qid", "__qvec",
+          c, "__cid", "__cvec", k, "dot",
+          numCandidates = big.numCandidates)
+          .select(col("__qid"), col("rank").as("__rank"),
+            col("match_id").as("__cid"))
+      case "lsh" =>
+        VectorSearch.annTopKCandidates(qv, "__qid", "__qvec",
+          c, "__cid", "__cvec", k, "dot", numCandidates = big.numCandidates)
+          .select(col("__qid"), col("rank").as("__rank"),
+            col("match_id").as("__cid"))
+      case _ =>
+        VectorSearch.topKAgg(qv, "__qid", "__qvec", c, "__cid", "__cvec", k, "dot")
+          .select(col("__qid"), posexplode(col("matches")).as(Seq("__rank", "__m")))
+          .select(col("__qid"), col("__rank"), col("__m.id").as("__cid"))
+    }
+    val resolved = ranked
       .join(c.select("__cid", "__content"), "__cid")
       .groupBy("__qid")
       .agg(sort_array(collect_list(struct(col("__rank"), col("__content"))))
@@ -528,16 +564,26 @@ private[sql] sealed trait CorpusRef
 /** Collected (content, vector) rows, content-sorted — per-row heap scan. */
 private[sql] final case class InMemCorpus(rows: Array[(String, Array[Float])])
   extends CorpusRef
-/** Beyond-cap corpus left distributed — searched via topKAgg. */
+/** Beyond-cap corpus left distributed — searched via topKAgg ("flat")
+  * or an ANN family ("ivf" | "pq" | "lsh") under the declared
+  * numCandidates budget.
+  */
 private[sql] final case class DfCorpus(
-  df: DataFrame, contentCol: String, vecCol: String) extends CorpusRef
+  df: DataFrame, contentCol: String, vecCol: String,
+  indexType: String = "flat", numCandidates: Int = 10000) extends CorpusRef
 /** External-connector CREATE TABLE corpus, backing relation (candidate
   * names in resolution order) bound at first search. */
 private[sql] final case class LazyCorpus(
-  backingCandidates: Seq[String], contentCol: String, vecCol: String)
+  backingCandidates: Seq[String], contentCol: String, vecCol: String,
+  indexType: String = "flat", numCandidates: Int = 10000)
   extends CorpusRef
 
 object GraftSql {
+  /** Search families an external table may declare via
+    * '<connector>.index.type'.
+    */
+  val IndexTypes: Set[String] = Set("flat", "ivf", "pq", "lsh")
+
   // (?is): case-insensitive, dot-matches-newline — statements arrive as
   // multi-line worksheet text, optionally ';'-terminated
   private val CreateModelRe =

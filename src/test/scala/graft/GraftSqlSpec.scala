@@ -243,6 +243,49 @@ LATERAL TABLE(FEDERATED_SEARCH('small_corpus', 3, vector));""").collect()
     assert(hits(got) == hits(mem))
   }
 
+  test("external table declares an ANN index family; search routes through it") {
+    val g = facade()
+    val corpus = Tables(spark, sf, "documents").filter(col("doc_id") < 60)
+      .select(col("text").as("content"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    corpus.createOrReplaceTempView("indexed_product")
+    g.execute("""CREATE TABLE ivf_vector_search (
+  `content` STRING
+) WITH (
+  'connector' = 'mongodb',
+  'mongodb.collection' = 'indexed_product',
+  'mongodb.path' = 'vector',
+  'mongodb.index' = 'vector_index',
+  'mongodb.index.type' = 'ivf',
+  'mongodb.numCandidates' = '50'
+);""")
+    // force the distributed path (cap below corpus size) so the declared
+    // family actually routes — a collected corpus would heap-scan exactly
+    g.registerSearchCorpus("ivf_vector_search", corpus, "content", "vector",
+      maxRows = 10, numCandidates = 50, indexType = "ivf")
+    val qs = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select(col("doc_id"), graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    qs.createOrReplaceTempView("indexed_questions")
+    val got = g.execute(
+      """SELECT doc_id, search_results FROM indexed_questions,
+LATERAL TABLE(FEDERATED_SEARCH('ivf_vector_search', 3, vector));""").collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getSeq[org.apache.spark.sql.Row](1).length == 3))
+    // a query document inside the corpus must retrieve its own content
+    // (self-similarity tops any IVF probe that includes its own cell)
+    val texts = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      val hits = r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).toSet
+      assert(hits.contains(texts(r.getLong(0))), s"doc ${r.getLong(0)} missed itself")
+    }
+    // unknown family fails fast at DDL time
+    val err = intercept[IllegalArgumentException](g.execute(
+      """CREATE TABLE bad_index (`content` STRING) WITH (
+'connector' = 'mongodb', 'mongodb.index.type' = 'hnsw');"""))
+    assert(err.getMessage.contains("index type"))
+  }
+
   test("numCandidates beyond 10000 is rejected (README.md:368)") {
     val g = facade()
     val err = intercept[IllegalArgumentException] {
