@@ -63,6 +63,24 @@ object IvfPqIndex {
     })
   }
 
+  /** Append newly arrived vectors WITHOUT retraining: cells from the
+    * stored coarse centroids, codes from the stored codebooks — the
+    * same offline-retrain / online-append split as
+    * [[IvfSearch.appendToIndex]]. Rows land in their cell's partition
+    * directory (dynamic-partition append); probe pruning is unchanged.
+    */
+  def appendToIndex(df: DataFrame, cId: String, cVec: String, path: String,
+      m: Int = 8, kCodes: Int = 16, dim: Int = 64): Unit = {
+    val spark = df.sparkSession
+    val centroids = IvfSearch.loadCentroids(spark, path)
+    val cb = loadCodebooks(spark, path, m, kCodes, dim)
+    df.select(col(cId).cast("long").as("id"),
+        IvfSearch.nearestCell(centroids)(col(cVec)).as("cell"), col(cVec).as("v"))
+      .withColumn("rv", residualUdf(centroids)(col("v"), col("cell")))
+      .select(col("id"), col("cell"), PqSearch.encodeUdf(cb)(col("rv")).as("codes"))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/corpus")
+  }
+
   def loadCodebooks(spark: SparkSession, path: String,
       m: Int, kCodes: Int, dim: Int): PqSearch.Codebooks = {
     val dsub = dim / m

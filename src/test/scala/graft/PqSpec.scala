@@ -132,6 +132,27 @@ class PqSpec extends SparkSpec {
       s"ivf-pq recall $rIvfPq much worse than flat pq $rFlat")
   }
 
+  test("ivf-pq append path: new vectors are searchable without retraining") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    val base = emb.filter(col("vec_id") < 400)
+    val late = emb.filter(col("vec_id") >= 400)
+    graft.operators.IvfPqIndex.writeIndex(base, "vec_id", "embedding", path,
+      nList = 8, m = 8, kCodes = 16)
+    graft.operators.IvfPqIndex.appendToIndex(late, "vec_id", "embedding", path)
+    // a late vector queries for itself: the appended codes must surface it
+    val lateQ = late.limit(5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = graft.operators.IvfPqIndex.searchIndex(spark, path,
+      lateQ, "qid", "qv", emb, "vec_id", "embedding",
+      k = 3, metric = "dot", nProbe = 8, numCandidates = 100)
+      .collect()
+    val byQuery = got.groupBy(_.getLong(0))
+    assert(byQuery.size == 5)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.minBy(_.getInt(3)).getLong(1) == q, s"late vector $q not found")
+    }
+  }
+
   test("budget and batch bounds are enforced") {
     intercept[IllegalArgumentException](
       PqSearch.pqTopK(queries, "qid", "qv", emb, "vec_id", "embedding",
