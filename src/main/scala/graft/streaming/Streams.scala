@@ -252,6 +252,41 @@ object Streams {
       .toDF()
   }
 
+  /** Continuously-maintained latest-per-key snapshot — the streaming
+    * twin of [[graft.operators.Compaction.latestByKey]] and the
+    * changelog→table duality Kafka Streams calls a KTable: each
+    * micro-batch folds its records into O(1) keyed state (the current
+    * winner's ordering + payload) and, in Update output mode, emits one
+    * refreshed snapshot row per key TOUCHED in the batch. Ties on the
+    * ordering keep the incumbent (first-writer-wins, matching
+    * `max_by`'s tie behavior under a unique tiebreak column folded into
+    * `ord`). State never grows with changelog length — only with
+    * distinct keys, the same bound the batch compaction's shuffle has.
+    *
+    * Input columns: (k LONG, ord LONG, payload STRING).
+    */
+  def latestByKeyStream(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupState
+    implicit val stateEnc = Encoders.product[WinnerState]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val rowEnc = Encoders.product[ChangeRec]
+    records
+      .select(col("k").cast("long").as("k"), col("ord").cast("long").as("ord"),
+        col("payload").cast("string").as("payload"))
+      .as[ChangeRec]
+      .groupByKey(_.k)
+      .mapGroupsWithState[WinnerState, ChangeRec](GroupStateTimeout.NoTimeout()) {
+        (k: Long, batch: Iterator[ChangeRec], state: GroupState[WinnerState]) =>
+          var w = state.getOption.getOrElse(WinnerState(Long.MinValue, null))
+          batch.foreach { r =>
+            if (r.ord > w.ord) w = WinnerState(r.ord, r.payload)
+          }
+          state.update(w)
+          ChangeRec(k, w.ord, w.payload)
+      }
+      .toDF()
+  }
+
   /** Stream-stream interval join: each left event joins right events of
     * the same key whose timestamp falls within `[lts - before, lts]`.
     * Both sides carry watermarks and the join condition time-bounds BOTH
@@ -295,6 +330,10 @@ object Streams {
 case class UserEvent(user_id: Long, cents: Long)
 case class UserState(n: Long, cents: Long)
 case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+/** Changelog record / keyed state for [[Streams.latestByKeyStream]]. */
+case class ChangeRec(k: Long, ord: Long, payload: String)
+case class WinnerState(ord: Long, payload: String)
 
 /** Keyed-state records for [[Streams.expiringSessions]]. */
 case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

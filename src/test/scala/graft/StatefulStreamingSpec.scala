@@ -39,4 +39,38 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(finalRows == batch)
     assert(finalRows.nonEmpty)
   }
+
+  test("latestByKeyStream snapshot converges to the batch latestByKey") {
+    val events = Tables(spark, sf, "events")
+    val changelog = events.select(
+      col("user_id").cast("long").as("k"),
+      // fold the unique tiebreak into the ordering so stream fold order
+      // and batch max_by agree on ties: (epoch-millis << 20) | event_id
+      // (fits a long: ~2^41 millis * 2^20 < 2^63; event_id < 2^20 here)
+      (unix_millis(col("ts")) * 1048576 + col("event_id")).as("ord"),
+      col("event_type").as("payload"))
+    val src = Files.createTempDirectory("graft_ktable_src").toString
+    changelog.filter(col("k") % 2 === 0).write.parquet(s"$src/f0")
+    changelog.filter(col("k") % 2 === 1).write.parquet(s"$src/f1")
+
+    val stream = Streams.latestByKeyStream(
+      spark.readStream.schema(changelog.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*"))
+    val q = stream.writeStream
+      .format("memory").queryName("ktable").outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // the last emission per key is the maintained snapshot
+    val got = spark.table("ktable")
+      .groupBy("k").agg(max(struct(col("ord"), col("payload"))).as("w"))
+      .select(col("k"), col("w.ord"), col("w.payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = graft.operators.Compaction
+      .latestByKey(changelog, Seq("k"), Seq("ord"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
