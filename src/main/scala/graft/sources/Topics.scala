@@ -53,17 +53,57 @@ class TopicCatalog(spark: SparkSession, root: String) {
   /** Declared (value) schema per topic; scans prepend [[TopicCatalog.KeyField]]. */
   private val registry = scala.collection.concurrent.TrieMap.empty[String, StructType]
 
+  /** Per-topic configs (Kafka topic-config shape: `cleanup.policy`,
+    * `compaction.ordering`, retention knobs — free-form strings).
+    */
+  private val configs =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+
   private def dir(name: String) = s"$root/$name"
 
-  /** CREATE TABLE (S2): register schema + create the topic dir + view. */
-  def create(name: String, schema: StructType): Unit = {
+  /** CREATE TABLE (S2): register schema + create the topic dir + view.
+    * `props` carries topic configs; `'cleanup.policy'='compact'` marks
+    * the topic keyed-compacted (with `'compaction.ordering'='col[,col…]'`
+    * naming the winner ordering), mirroring Kafka's topic-level config.
+    */
+  def create(name: String, schema: StructType,
+      props: Map[String, String] = Map.empty): Unit = {
     require(!registry.contains(name), s"topic $name already exists")
     require(!schema.fieldNames.contains(TopicCatalog.KeyField.name),
       s"column '${TopicCatalog.KeyField.name}' is implicit on every topic table")
     TopicCatalog.rejectDegenerateRows(name, schema)
+    if (props.get("cleanup.policy").contains("compact")) {
+      val ordering = compactionOrdering(props)
+      require(ordering.nonEmpty,
+        s"topic $name: cleanup.policy=compact requires 'compaction.ordering'")
+      ordering.foreach(c => require(schema.fieldNames.contains(c),
+        s"topic $name: compaction.ordering column '$c' not in schema"))
+    }
     registry(name) = schema
+    configs(name) = props
     Files.createDirectories(Paths.get(dir(name)))
     refreshView(name)
+  }
+
+  /** Declared topic configs (empty map for pre-config topics). */
+  def configsOf(name: String): Map[String, String] =
+    configs.getOrElse(name, Map.empty)
+
+  private def compactionOrdering(props: Map[String, String]): Seq[String] =
+    props.getOrElse("compaction.ordering", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Run the topic's declared maintenance: keyed compaction when
+    * `cleanup.policy=compact` (latest per key by the declared ordering,
+    * tombstones applied), small-file consolidation otherwise. Returns
+    * files removed.
+    */
+  def compactByPolicy(name: String): Int = {
+    val props = configsOf(name)
+    if (props.get("cleanup.policy").contains("compact")) {
+      val ordering = compactionOrdering(props)
+      compactKeyed(name, ordering.head, ordering.tail)
+    } else compact(name)
   }
 
   /** Schema evolution (reference README.md:610-612): the table definition

@@ -199,7 +199,7 @@ class GraftSql(
             topics.evolve(name, schema)
             status(s"evolved table $name")
           } else {
-            topics.create(name, schema)
+            topics.create(name, schema, options)
             status(s"created table $name")
           }
       }
@@ -211,6 +211,13 @@ class GraftSql(
         colsDdl.replace("`", "").replaceAll("(?i)\\bROW<", "STRUCT<"))
       topics.evolve(name, StructType(topics.valueSchemaOf(name).fields ++ added.fields))
       status(s"evolved table $name (+${added.fieldNames.mkString(", ")})")
+
+    case CompactTableRe(name) if topics.exists(name) =>
+      // maintenance statement: run the topic's declared cleanup policy
+      // (keyed 'compact' with its declared ordering, else small-file
+      // consolidation — Kafka's two cleanup policies)
+      val removed = topics.compactByPolicy(name)
+      status(s"compacted table $name ($removed files rewritten)")
 
     case InsertIntoRe(table, colList, select) =>
       // INSERT INTO topic [(cols)] SELECT ... — the reference's perpetual
@@ -598,6 +605,8 @@ object GraftSql {
     """(?is)^\s*CREATE\s+TABLE\s+`?([\w.-]+)`?\s*\((.*)\)\s*WITH\s*\((.*?)\)\s*;?\s*$""".r
   private val AlterTableAddRe =
     """(?is)^\s*ALTER\s+TABLE\s+`?([\w.-]+)`?\s+ADD\s+COLUMNS?\s*\((.*)\)\s*;?\s*$""".r
+  private val CompactTableRe =
+    """(?is)^\s*COMPACT\s+TABLE\s+`?([\w.-]+)`?\s*;?\s*$""".r
   private val InsertIntoRe =
     """(?is)^\s*INSERT\s+INTO\s+`?([\w.-]+)`?\s*(?:\(([^)]*)\))?\s*(SELECT\b.*?)\s*;?\s*$""".r
   private val InsertValuesRe =

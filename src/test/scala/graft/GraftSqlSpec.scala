@@ -286,6 +286,37 @@ LATERAL TABLE(FEDERATED_SEARCH('ivf_vector_search', 3, vector));""").collect()
     assert(err.getMessage.contains("index type"))
   }
 
+  test("cleanup.policy=compact: DDL-declared keyed compaction via COMPACT TABLE") {
+    val g = facade()
+    g.execute("""CREATE TABLE `user_profile` (
+  `name` STRING,
+  `version` BIGINT
+) WITH (
+  'value.format' = 'json-registry',
+  'cleanup.policy' = 'compact',
+  'compaction.ordering' = 'version'
+);""")
+    def rec(key: String, name: String, version: Long) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          key.getBytes("UTF-8"), name, version)),
+        org.apache.spark.sql.types.StructType(
+          graft.sources.TopicCatalog.KeyField +: g.topics.valueSchemaOf("user_profile").fields))
+    g.topics.insertInto("user_profile", rec("u1", "alice", 1L))
+    g.topics.insertInto("user_profile", rec("u1", "alicia", 2L))
+    g.topics.insertInto("user_profile", rec("u2", "bob", 1L))
+    val st = g.execute("COMPACT TABLE user_profile;").collect()
+    assert(st.head.getString(0).contains("compacted table user_profile"))
+    val after = g.execute("SELECT name, version FROM user_profile ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(after == Seq(("alicia", 2L), ("bob", 1L)))
+    // a compacted-declared topic must name its ordering at CREATE time
+    val err = intercept[IllegalArgumentException](g.execute(
+      """CREATE TABLE bad_compact (`v` BIGINT) WITH (
+'value.format' = 'json-registry', 'cleanup.policy' = 'compact');"""))
+    assert(err.getMessage.contains("compaction.ordering"))
+  }
+
   test("numCandidates beyond 10000 is rejected (README.md:368)") {
     val g = facade()
     val err = intercept[IllegalArgumentException] {
