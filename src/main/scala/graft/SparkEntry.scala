@@ -652,6 +652,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- corpus curation: sequence-packing plan (concat-then-chunk) -------
+    // (fixed 512-token training sequences per stratum in deterministic
+    // hash-shuffle order; all-integer window cumsum, oracle-recomputable)
+    "q_seq_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      Corpus.packSequences(docs, "doc_id", "source", "n_tok", seqLen = 512L)
+        .orderBy("doc_id")
+    }),
+
     // --- corpus curation: intra-doc repetition profile --------------------
     "q_repetition" -> ((s, dir) =>
       Corpus.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
@@ -1772,6 +1783,17 @@ values (
         "WHEN en = greatest(en, es, fr, de, it, pt) THEN 'en' " +
         "ELSE 'de' END AS lang " +
         "FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id ORDER BY d.doc_id"),
+
+    "q_seq_packing" ->
+      ("WITH d AS (SELECT doc_id, source, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok FROM documents), " +
+        "r AS (SELECT doc_id, source, n_tok, COALESCE(sum(n_tok) OVER (" +
+        "PARTITION BY source ORDER BY (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM d) " +
+        "SELECT doc_id, source, n_tok, CAST(cum_before // 512 AS BIGINT) AS pack_id, " +
+        "CAST(cum_before % 512 AS BIGINT) AS pack_offset, " +
+        "(cum_before % 512) + n_tok > 512 AS crosses " +
+        "FROM r ORDER BY doc_id"),
 
     "q_token_budget" ->
       ("WITH d AS (SELECT doc_id, source, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +

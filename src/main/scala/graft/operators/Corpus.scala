@@ -136,6 +136,38 @@ object Corpus {
       .filter(col("running_tok") <= budget)
   }
 
+  /** Sequence-packing plan (GPT-style pretraining data prep): documents
+    * are conceptually concatenated in deterministic [[sampleHash]]
+    * shuffle order within each stratum, then chunked into fixed
+    * `seqLen`-token training sequences. Emits per document the sequence
+    * it STARTS in (`pack_id`), its token offset there (`pack_offset`),
+    * and whether it spills across a boundary (`crosses`) — the plan a
+    * tokenizer worker executes verbatim, without the text ever moving.
+    *
+    * All-integer arithmetic on a window cumsum, so a SQL oracle
+    * recomputes it exactly. Scale shape: one sort shuffle per stratum —
+    * packing is inherently sequential per training stream, and
+    * per-stratum parallelism (each source is its own stream) is the
+    * standard answer; the windowed rows are slim (id, n_tok), never the
+    * text.
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, stratumCol: String, tokCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(sampleHash(col(idCol)), col(idCol))
+      .rowsBetween(Long.MinValue, -1)
+    df.withColumn("cum_before", coalesce(sum(col(tokCol)).over(w), lit(0L)))
+      // integer division (`div`), not `/`: long / long is double in
+      // Spark SQL, and float quotients have no place in a pack plan
+      .withColumn("pack_id", expr(s"cum_before div $seqLen"))
+      .withColumn("pack_offset", col("cum_before") % seqLen)
+      .withColumn("crosses", col("pack_offset") + col(tokCol) > seqLen)
+      .drop("cum_before")
+  }
+
   // --- repetition statistics ----------------------------------------------
 
   /** Intra-document repetition profile over whitespace tokens:

@@ -139,4 +139,31 @@ class CorpusSpec extends SparkSpec {
       .select("gram").as[String].collect().sorted.toSeq
     assert(grams == Seq("a b", "b a"))
   }
+
+  test("packSequences: contiguous chunking invariants hold per stratum") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextOps.tokenCountWs(col("text")).cast("long").as("n_tok"))
+    val plan = Corpus.packSequences(docs, "doc_id", "source", "n_tok", seqLen = 128L)
+      .collect()
+    assert(plan.length == docs.count())
+    plan.foreach { r =>
+      val (tok, pid, off) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(pid >= 0 && off >= 0 && off < 128)
+      // crosses is exactly "doesn't fit in the remainder"
+      assert(r.getBoolean(5) == (off + tok > 128))
+    }
+    // per stratum: positions reconstruct a gapless concatenation — the
+    // farthest document's END position (pack_id*128 + offset + n_tok)
+    // equals the stratum's total token count
+    plan.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val totalTok = rows.map(_.getLong(2)).sum
+      val maxEnd = rows.map(r => r.getLong(3) * 128 + r.getLong(4) + r.getLong(2)).max
+      assert(maxEnd == totalTok, s"gap: maxEnd=$maxEnd total=$totalTok")
+    }
+    // determinism: repartitioned input yields the identical plan
+    val again = Corpus.packSequences(docs.repartition(13), "doc_id", "source",
+      "n_tok", seqLen = 128L).collect()
+    assert(plan.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
 }
