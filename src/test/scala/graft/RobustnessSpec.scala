@@ -189,4 +189,35 @@ class RobustnessSpec extends SparkSpec {
       .select("id", "match_id").collect()
     assert(ivf.length == 4 && ivf.forall(r => r.getLong(0) == r.getLong(1)))
   }
+
+  test("keyed compaction corner cases: tombstone-only topic, empty topic, bad columns") {
+    import org.apache.spark.sql.types._
+    val c = new graft.sources.TopicCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_rb_topics").toString)
+    c.create("t", StructType(Seq(
+      StructField("name", StringType), StructField("version", LongType))))
+    // empty topic: nothing to do, no job
+    assert(c.compactKeyed("t", "version") == 0)
+    // tombstone-only topic compacts to zero records
+    c.tombstone("t", "gone".getBytes("UTF-8"), Map("version" -> 1L))
+    assert(c.compactKeyed("t", "version") == 1)
+    assert(c.table("t").count() == 0)
+    // unknown ordering column fails fast, before any job
+    val err = intercept[IllegalArgumentException](c.compactKeyed("t", "nope"))
+    assert(err.getMessage.contains("unknown ordering column"))
+    val err2 = intercept[IllegalArgumentException](
+      c.tombstone("t", "x".getBytes("UTF-8"), Map("nope" -> 1L)))
+    assert(err2.getMessage.contains("unknown ordering fields"))
+  }
+
+  test("latestByKey rejects degenerate column sets") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("k", "ord")
+    intercept[IllegalArgumentException](
+      graft.operators.Compaction.latestByKey(df, Seq("k", "ord"), Seq("ord")))
+    intercept[IllegalArgumentException](
+      graft.operators.Compaction.latestByKey(df, Seq.empty, Seq("ord")))
+    intercept[IllegalArgumentException](
+      graft.operators.Compaction.latestByKey(df, Seq("k"), Seq.empty))
+  }
 }
