@@ -93,6 +93,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("latestByKey equals the window row_number form on random changelogs") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.choose(0L, 9L)
+      ord <- Gen.choose(0L, 49L)
+      payload <- wordGen
+    } yield (k, ord, payload)
+    for (seed <- 1L to 5L) {
+      val rows = sample(Gen.listOfN(200, rowGen), seed)
+      // make (k, ord) unique so both forms are deterministic (the
+      // documented contract: ordering must totally order within a key)
+      val uniq = rows.zipWithIndex
+        .map { case ((k, o, p), i) => (k, o * 1000 + i, p) }
+      val df = uniq.toDF("k", "ord", "payload")
+      val got = graft.operators.Compaction
+        .latestByKey(df.repartition(7), Seq("k"), Seq("ord"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val w = Window.partitionBy("k").orderBy(col("ord").desc)
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("k", "ord", "payload")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("embedder: unit norm, self-cosine 1, deterministic") {
     for (seed <- 1L to 10L) {
       val doc = sample(docGen(20), seed)
