@@ -426,6 +426,53 @@ lateral table (ml_predict('vector_encoding', content));"""
     assert(g.execute("SELECT count(*) FROM user_questions").head.getLong(0) == 3)
   }
 
+  test("executeStreaming drives the verbatim FEDERATED_SEARCH insert (README.md:437-445)") {
+    val g = facade()
+    g.execute("""CREATE TABLE `user_questions_vector` (
+    `role`         STRING,
+    `content`      STRING,
+    `sessionid`    STRING,
+    `vector`      ARRAY<FLOAT>
+) WITH ('value.format' = 'json-registry');""")
+    g.execute("""CREATE TABLE `user_prompts` (
+    `role`         STRING,
+    `content`      STRING,
+    `sessionid`    STRING,
+    `products` ARRAY<ROW<`content` STRING>>
+) WITH ('value.format' = 'json-registry');""")
+    val corpus = Tables(spark, sf, "documents").limit(40)
+      .select(col("text").as("content"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    g.registerSearchCorpus("mongodb_vector_search", corpus, "content", "vector")
+    def ask(sid: String, q: String): Unit = g.topics.insertInto("user_questions_vector",
+      Tables(spark, sf, "documents").limit(1)
+        .select(lit("user").as("role"), lit(q).as("content"),
+          lit(sid).as("sessionid"),
+          graft.functions.HashEmbedder.embedCol(lit(q)).as("vector")))
+    ask("s1", "blue shoes")
+    // the reference's run-forever search insert, verbatim (README.md:437-445)
+    val insert = """Insert into user_prompts (role, content, sessionid, products)
+SELECT
+  user_questions_vector.role,
+  user_questions_vector.content,
+  user_questions_vector.sessionid,
+  search_results as products
+FROM user_questions_vector,
+LATERAL TABLE(FEDERATED_SEARCH('mongodb_vector_search', 3, vector));"""
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fed_ck").toString
+    g.executeStreaming(insert, ckpt).awaitTermination()
+    def prompts(): Seq[(String, Int)] = g.execute(
+      "SELECT sessionid, size(products) FROM user_prompts ORDER BY sessionid")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(prompts() == Seq(("s1", 3)))
+    // a question arriving later is searched incrementally — the drained
+    // prefix is not re-inserted (the reference's "performing vector
+    // searches against user_questions as they are submitted")
+    ask("s2", "winter jacket")
+    g.executeStreaming(insert, ckpt).awaitTermination()
+    assert(prompts() == Seq(("s1", 3), ("s2", 3)))
+  }
+
   test("executeStreaming run-forever mode picks up records produced after start") {
     val g = facade()
     g.execute("""CREATE TABLE `src` (`content` STRING) WITH ('value.format' = 'json-registry');""")
