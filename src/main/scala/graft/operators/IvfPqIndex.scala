@@ -116,6 +116,9 @@ object IvfPqIndex {
       .limit(maxQueries + 1).collect()
     require(qRows.length <= maxQueries,
       s"searchIndex: query batch exceeds maxQueries=$maxQueries — split the batch")
+    require(qRows.length.toLong * numCandidates <= 10000000L,
+      s"searchIndex: |queries|*numCandidates = ${qRows.length.toLong * numCandidates} " +
+        "exceeds 10M (per-task heap bound) — split the batch or narrow the budget")
     val qIds = qRows.map(_.getLong(0))
     val qVecs = qRows.map(_.getSeq[Float](1).toArray)
 

@@ -143,6 +143,11 @@ object PqSearch {
       .limit(maxQueries + 1).collect()
     require(qRows.length <= maxQueries,
       s"pqTopK: query batch exceeds maxQueries=$maxQueries — split the batch")
+    // per-task heap memory is |Q| x numCandidates x 16B — bound the
+    // product, not just the factors (10k x 10k would be 1.6 GB per task)
+    require(qRows.length.toLong * numCandidates <= 10000000L,
+      s"pqTopK: |queries|*numCandidates = ${qRows.length.toLong * numCandidates} " +
+        "exceeds 10M (per-task heap bound) — split the batch or narrow the budget")
 
     val adcMetric = if (metric == "l2") "l2" else "dot"
     val asc = adcMetric == "l2"

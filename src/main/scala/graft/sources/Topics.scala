@@ -292,7 +292,7 @@ class TopicCatalog(spark: SparkSession, root: String) {
     * Returns the number of original files removed.
     */
   def compactKeyed(name: String, orderCol: String,
-      tiebreaks: Seq[String] = Nil): Int = {
+      tiebreaks: Seq[String] = Nil, targetFiles: Int = 1): Int = {
     val schema = valueSchemaOf(name)
     (orderCol +: tiebreaks).foreach(c => require(schema.fieldNames.contains(c),
       s"compactKeyed $name: unknown ordering column '$c'"))
@@ -312,8 +312,11 @@ class TopicCatalog(spark: SparkSession, root: String) {
     val live =
       if (deadCols.isEmpty) winners
       else winners.filter(!deadCols.map(col(_).isNull).reduce(_ && _))
+    // targetFiles sizes the rewritten snapshot (1 suits local topics; a
+    // production compaction would size by bytes-per-file instead)
     val staged = Files.createTempDirectory(topicDir, ".compact-")
-    live.coalesce(1).write.option("timestampFormat", TopicCatalog.TsWriteFormat)
+    live.coalesce(targetFiles)
+      .write.option("timestampFormat", TopicCatalog.TsWriteFormat)
       .mode("overwrite").json(staged.toString)
     Files.list(staged).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("part-"))
