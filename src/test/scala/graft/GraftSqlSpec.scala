@@ -473,6 +473,82 @@ LATERAL TABLE(FEDERATED_SEARCH('mongodb_vector_search', 3, vector));"""
     assert(prompts() == Seq(("s1", 3), ("s2", 3)))
   }
 
+  test("the reference's full pipeline cascades as streaming stages end-to-end") {
+    // question -> embed insert -> search insert -> LLM insert, each the
+    // verbatim worksheet statement run as its own incremental streaming
+    // query over the previous stage's topic — the composed run-forever
+    // deployment the reference describes (README.md:285,435,723)
+    val g = facade()
+    g.execute("""CREATE MODEL `vector_encoding`
+INPUT (input STRING) OUTPUT (vector ARRAY<FLOAT>)
+WITH('TASK' = 'embedding', 'PROVIDER' = 'openai',
+  'OPENAI.CONNECTION' = 'openai-vector-connection');""")
+    g.execute("""CREATE MODEL `retail_assistant`
+INPUT (prompts STRING) OUTPUT (json_response STRING)
+WITH ('provider' = 'openai', 'task' = 'chat',
+  'openai.connection' = 'openai-llm-connection',
+  'openai.system_prompt' = 'You are a retail assistant helping people find clothing items.');""")
+    g.execute("""CREATE TABLE `user_questions` (
+    `role` STRING, `content` STRING, `sessionid` STRING
+) WITH ('value.format' = 'json-registry');""")
+    g.execute("""CREATE TABLE `user_questions_vector` (
+    `role` STRING, `content` STRING, `sessionid` STRING, `vector` ARRAY<FLOAT>
+) WITH ('value.format' = 'json-registry');""")
+    g.execute("""CREATE TABLE `user_prompts` (
+    `role` STRING, `content` STRING, `sessionid` STRING,
+    `products` ARRAY<ROW<`content` STRING>>
+) WITH ('value.format' = 'json-registry');""")
+    g.execute("""CREATE TABLE `llm_answers` (
+    `role` STRING, `content` STRING, `sessionid` STRING, `json_response` STRING
+) WITH ('value.format' = 'json-registry');""")
+    val corpus = Tables(spark, sf, "documents").limit(40)
+      .select(col("text").as("content"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    g.registerSearchCorpus("mongodb_vector_search", corpus, "content", "vector")
+
+    val embedInsert =
+      """insert into `user_questions_vector` select `role`, `content`, `sessionid`, `vector` from `user_questions`,
+lateral table (ml_predict('vector_encoding', content));"""
+    val searchInsert = """Insert into user_prompts (role, content, sessionid, products)
+SELECT user_questions_vector.role, user_questions_vector.content,
+  user_questions_vector.sessionid, search_results as products
+FROM user_questions_vector,
+LATERAL TABLE(FEDERATED_SEARCH('mongodb_vector_search', 3, vector));"""
+    val llmInsert = """insert into llm_answers (role, content, sessionid, json_response)
+SELECT role, content, sessionid, json_response FROM user_prompts,
+LATERAL TABLE(ML_PREDICT('retail_assistant', json_object(
+      'role' VALUE role, 'content' VALUE content,
+      'products' VALUE cast(products as string))));"""
+    val ck = java.nio.file.Files.createTempDirectory("graft_cascade_ck").toString
+    def drainAll(): Unit = {
+      g.executeStreaming(embedInsert, s"$ck/embed").awaitTermination()
+      g.executeStreaming(searchInsert, s"$ck/search").awaitTermination()
+      g.executeStreaming(llmInsert, s"$ck/llm").awaitTermination()
+    }
+    def answers(): Seq[(String, String)] = g.execute(
+      "SELECT sessionid, json_response FROM llm_answers ORDER BY sessionid")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+    g.topics.produceJson("user_questions", Seq(
+      """{"role":"user","content":"I am looking for blue shoes","sessionid":"s1"}"""))
+    drainAll()
+    val first = answers()
+    assert(first.map(_._1) == Seq("s1"))
+    assert(first.head._2.contains("\"role\":\"assistant\""))
+    assert(first.head._2.contains("clothing items"),
+      "the DDL system prompt reaches the streamed answer")
+    // a second question flows through ALL stages incrementally: s1 is
+    // not recomputed at any stage (checkpoints hold), s2 appears
+    g.topics.produceJson("user_questions", Seq(
+      """{"role":"user","content":"warm winter gloves","sessionid":"s2"}"""))
+    drainAll()
+    assert(answers().map(_._1) == Seq("s1", "s2"))
+    // each intermediate topic holds exactly one record per question —
+    // proof no stage double-processed under the cascade
+    assert(g.execute("SELECT count(*) FROM user_questions_vector").head.getLong(0) == 2)
+    assert(g.execute("SELECT count(*) FROM user_prompts").head.getLong(0) == 2)
+  }
+
   test("executeStreaming run-forever mode picks up records produced after start") {
     val g = facade()
     g.execute("""CREATE TABLE `src` (`content` STRING) WITH ('value.format' = 'json-registry');""")
