@@ -40,8 +40,28 @@ object SparkEntry {
   private val shingleGtCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def shingleGroundTruth(s: SparkSession, dir: String): DataFrame =
-    shingleGtCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
-      Dedup.charShingleJaccardPairsBitset(t(s, dir, "documents"), "doc_id", "text", 5, 0.2))
+    // synchronized: TrieMap.getOrElseUpdate is not atomic for the
+    // expensive branch (two concurrent first-touchers would both run the
+    // kernel); evicting other-application keys keeps a long-lived JVM
+    // that cycles SparkSessions (test suites) from pinning dead
+    // checkpoint RDDs forever
+    shingleGtCache.synchronized {
+      val app = s.sparkContext.applicationId
+      shingleGtCache.keys.filter(_._1 != app).foreach(shingleGtCache.remove)
+      shingleGtCache.getOrElseUpdate((app, dir),
+        Dedup.charShingleJaccardPairsBitset(t(s, dir, "documents"), "doc_id", "text", 5, 0.2))
+    }
+
+  /** Content tag for persisted-index paths: the source dir PLUS the
+    * embeddings file's length and mtime, so a regenerated dataset at the
+    * same path triggers a rebuild instead of silently probing a stale
+    * index (and path-hash collisions can't alias two datasets).
+    */
+  private def indexTag(dir: String): String = {
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    java.lang.Long.toHexString(
+      (dir.hashCode.toLong << 32) ^ f.length() ^ (f.lastModified() * 31))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -797,8 +817,9 @@ object SparkEntry {
     "q_ivf_index_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
-        java.lang.Integer.toHexString(dir.hashCode)
-      // Index once, probe many: the path is content-addressed by dir, so a
+        indexTag(dir)
+      // Index once, probe many: the path is content-addressed by dir +
+      // data-file stats (indexTag), so a
       // previously built index is valid — the benchmark times the PROBE,
       // not the build. Centroids are written last, so their _SUCCESS
       // implies the whole index landed.
@@ -822,7 +843,7 @@ object SparkEntry {
     "q_ivfpq_index_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        indexTag(dir)
       if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
         graft.operators.IvfPqIndex.writeIndex(emb, "vec_id", "embedding", path,
           nList = 16, m = 8, kCodes = 16)

@@ -51,8 +51,14 @@ class ConnectionCatalog {
     require(head.containsSlice(Seq("connection", "create")) && head.last != "create",
       s"not a connection create command: ${cli.linesIterator.next()}")
     val name = head.last
-    val flags = rest.grouped(2).collect {
-      case Seq(k, v) if k.startsWith("--") => k.stripPrefix("--") -> unquote(v)
+    // strict --flag value alternation: a valueless flag would silently
+    // shift every later pair under grouped(2), so reject it loudly
+    val flags = rest.grouped(2).map {
+      case Seq(k, v) if k.startsWith("--") && !v.startsWith("--") =>
+        k.stripPrefix("--") -> unquote(v)
+      case bad => throw new IllegalArgumentException(
+        s"connection create: malformed flag pair '${bad.mkString(" ")}' — " +
+          "expected --flag value")
     }.toMap
     val c = Connection(
       name = name,

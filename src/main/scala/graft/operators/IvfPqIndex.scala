@@ -69,11 +69,10 @@ object IvfPqIndex {
     * [[IvfSearch.appendToIndex]]. Rows land in their cell's partition
     * directory (dynamic-partition append); probe pruning is unchanged.
     */
-  def appendToIndex(df: DataFrame, cId: String, cVec: String, path: String,
-      m: Int = 8, kCodes: Int = 16, dim: Int = 64): Unit = {
+  def appendToIndex(df: DataFrame, cId: String, cVec: String, path: String): Unit = {
     val spark = df.sparkSession
     val centroids = IvfSearch.loadCentroids(spark, path)
-    val cb = loadCodebooks(spark, path, m, kCodes, dim)
+    val cb = loadCodebooks(spark, path)
     df.select(col(cId).cast("long").as("id"),
         IvfSearch.nearestCell(centroids)(col(cVec)).as("cell"), col(cVec).as("v"))
       .withColumn("rv", residualUdf(centroids)(col("v"), col("cell")))
@@ -81,13 +80,20 @@ object IvfPqIndex {
       .write.partitionBy("cell").mode("append").parquet(s"$path/corpus")
   }
 
-  def loadCodebooks(spark: SparkSession, path: String,
-      m: Int, kCodes: Int, dim: Int): PqSearch.Codebooks = {
-    val dsub = dim / m
+  /** Codebook shape (m, kCodes, dsub) is DERIVED from the persisted
+    * rows, never trusted from caller parameters — a mismatch with the
+    * write-time values would silently shift every flattened LUT index.
+    */
+  def loadCodebooks(spark: SparkSession, path: String): PqSearch.Codebooks = {
+    val rows = spark.read.parquet(s"$path/codebooks").collect()
+    require(rows.nonEmpty, s"loadCodebooks: no codebooks at $path")
+    val m = rows.map(_.getInt(0)).max + 1
+    val kCodes = rows.map(_.getInt(1)).max + 1
+    val dsub = rows.head.getSeq[Float](2).length
     val books = Array.ofDim[Array[Float]](m, kCodes)
-    spark.read.parquet(s"$path/codebooks").collect().foreach { r =>
-      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
-    }
+    rows.foreach { r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray }
+    require(books.forall(_.forall(_ != null)),
+      s"loadCodebooks: incomplete codebook grid at $path (expected $m x $kCodes)")
     PqSearch.Codebooks(m, kCodes, dsub, books)
   }
 
@@ -102,13 +108,15 @@ object IvfPqIndex {
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, metric: String = "dot", nProbe: Int = 4,
-      m: Int = 8, kCodes: Int = 16, dim: Int = 64,
       numCandidates: Int = 100, maxQueries: Int = 10000): DataFrame = {
     VectorSearch.requireNumCandidates(numCandidates)
     require(k <= numCandidates, s"k=$k exceeds numCandidates=$numCandidates")
     import spark.implicits._
     val centroids = IvfSearch.loadCentroids(spark, path)
-    val cb = loadCodebooks(spark, path, m, kCodes, dim)
+    val cb = loadCodebooks(spark, path)
+    // shape comes from the persisted model, never from the caller
+    val m = cb.m; val kCodes = cb.kCodes
+    val dim = centroids.headOption.map(_.length).getOrElse(cb.m * cb.dsub)
 
     val qRows = queries
       .select(col(qId).cast("long"), col(qVec).cast("array<float>"))
@@ -186,23 +194,7 @@ object IvfPqIndex {
       }
     }.toDF(qId, "match_id", "__approx")
 
-    val globalCand = candidates
-      .groupBy(col(qId))
-      .agg(graft.functions.TopKByScore.topK(col("match_id"), col("__approx"),
-        numCandidates, asc).as("cs"))
-      .select(col(qId), explode(col("cs")).as("c"))
-      .select(col(qId), col("c.id").as("match_id"))
-    globalCand
-      .join(corpus.select(col(cId).cast("long").as("match_id"),
-        col(cVec).as("__cvec")), "match_id")
-      .join(broadcast(queries.select(col(qId).cast("long").as(qId),
-        col(qVec).as("__qvec"))), qId)
-      .withColumn("score", scoreCol(metric)(col("__qvec"), col("__cvec")))
-      .groupBy(col(qId))
-      .agg(graft.functions.TopKByScore.topK(col("match_id"), col("score"), k,
-        metric == "l2").as("matches"))
-      .select(col(qId), posexplode(col("matches")).as(Seq("rank0", "mt")))
-      .select(col(qId), col("mt.id").as("match_id"), col("mt.score").as("score"),
-        (col("rank0") + 1).cast("int").as("rank"))
+    PqSearch.cutAndRerank(candidates, queries, qId, qVec, corpus, cId, cVec,
+      k, metric, numCandidates, asc)
   }
 }

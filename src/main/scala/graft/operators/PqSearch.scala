@@ -193,21 +193,33 @@ object PqSearch {
       }
     }.toDF(qId, "match_id", "__approx")
 
-    // global candidate cut to the budget, then exact re-rank on the true
-    // metric over full vectors (numCandidates rows per query — tiny)
+    cutAndRerank(candidates, queries, qId, qVec, corpus, cId, cVec,
+      k, metric, numCandidates, asc)
+  }
+
+  /** Shared tail of every ADC scan ([[pqTopK]], [[IvfPqIndex
+    * .searchIndex]]): cut the per-partition survivors to the global
+    * `numCandidates` best per query BY APPROXIMATE SCORE, then re-rank
+    * exactly on the true metric over full vectors (numCandidates rows
+    * per query — a point-lookup join at scale). Output
+    * (qId, match_id, score, rank), rank 1 best.
+    */
+  private[operators] def cutAndRerank(
+      candidates: DataFrame, queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, metric: String, numCandidates: Int, asc: Boolean): DataFrame = {
     val globalCand = candidates
       .groupBy(col(qId))
       .agg(graft.functions.TopKByScore.topK(col("match_id"), col("__approx"),
         numCandidates, asc).as("cs"))
       .select(col(qId), explode(col("cs")).as("c"))
       .select(col(qId), col("c.id").as("match_id"))
-    val rerank = globalCand
+    globalCand
       .join(corpus.select(col(cId).cast("long").as("match_id"),
         col(cVec).as("__cvec")), "match_id")
       .join(broadcast(queries.select(col(qId).cast("long").as(qId),
         col(qVec).as("__qvec"))), qId)
       .withColumn("score", scoreCol(metric)(col("__qvec"), col("__cvec")))
-    rerank
       .groupBy(col(qId))
       .agg(graft.functions.TopKByScore.topK(col("match_id"), col("score"), k,
         metric == "l2").as("matches"))

@@ -72,6 +72,15 @@ class TopicCatalog(spark: SparkSession, root: String) {
     require(!schema.fieldNames.contains(TopicCatalog.KeyField.name),
       s"column '${TopicCatalog.KeyField.name}' is implicit on every topic table")
     TopicCatalog.rejectDegenerateRows(name, schema)
+    validateConfigs(name, schema, props)
+    registry(name) = schema
+    configs(name) = props
+    Files.createDirectories(Paths.get(dir(name)))
+    refreshView(name)
+  }
+
+  private def validateConfigs(name: String, schema: StructType,
+      props: Map[String, String]): Unit =
     if (props.get("cleanup.policy").contains("compact")) {
       val ordering = compactionOrdering(props)
       require(ordering.nonEmpty,
@@ -79,15 +88,18 @@ class TopicCatalog(spark: SparkSession, root: String) {
       ordering.foreach(c => require(schema.fieldNames.contains(c),
         s"topic $name: compaction.ordering column '$c' not in schema"))
     }
-    registry(name) = schema
-    configs(name) = props
-    Files.createDirectories(Paths.get(dir(name)))
-    refreshView(name)
-  }
 
   /** Declared topic configs (empty map for pre-config topics). */
   def configsOf(name: String): Map[String, String] =
     configs.getOrElse(name, Map.empty)
+
+  /** Replace the topic's configs (the config half of a re-issued CREATE
+    * TABLE — the schema half is [[evolve]]); validated like create.
+    */
+  def updateConfigs(name: String, props: Map[String, String]): Unit = {
+    validateConfigs(name, valueSchemaOf(name), props)
+    configs(name) = props
+  }
 
   private def compactionOrdering(props: Map[String, String]): Seq[String] =
     props.getOrElse("compaction.ordering", "")
@@ -218,39 +230,96 @@ class TopicCatalog(spark: SparkSession, root: String) {
     * file). Rewrites the current snapshot into `targetFiles`
     * consolidated files, then removes the snapshot's originals.
     *
-    * Visibility: add-then-remove — a crash between the stages leaves
-    * records temporarily DUPLICATED (at-least-once, like an in-flight
-    * Kafka log compaction), never lost; re-running compact converges. A
-    * production store would swap a manifest atomically instead of
-    * renaming files; the reader contract (scan the directory) is
-    * unchanged either way.
+    * Crash contract (write-ahead MANIFEST, shared with [[compactKeyed]]
+    * via [[runCompaction]]): the staged directory (hidden from readers —
+    * Spark's file index skips dot-prefixed paths) fills with the
+    * consolidated parts, then a MANIFEST naming the originals commits
+    * the compaction; only then do parts move in and originals move out.
+    * A crash BEFORE the manifest rolls back (staging is discarded,
+    * originals untouched); a crash AFTER it rolls FORWARD on the next
+    * compaction (remaining moves and deletes complete first), so
+    * duplicates are only ever visible between a crash and the next
+    * compact — never baked into a converged snapshot. The snapshot reads
+    * the LISTED originals explicitly, so records produced concurrently
+    * with the compaction are neither copied twice nor lost.
     *
     * Returns the number of original files removed.
     */
-  def compact(name: String, targetFiles: Int = 1): Int = {
-    valueSchemaOf(name) // existence check
-    val topicDir = Paths.get(dir(name))
-    val originals = Files.list(topicDir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".json"))
+  def compact(name: String, targetFiles: Int = 1): Int =
+    runCompaction(name, identity, targetFiles)
+
+  /** List the topic's record files, closing the directory stream. */
+  private def listJson(topicDir: java.nio.file.Path): Vector[java.nio.file.Path] = {
+    val s = Files.list(topicDir)
+    try s.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".json") && !Files.isDirectory(p))
       .toVector
-    if (originals.isEmpty) return 0
-    // snapshot through the same schema-on-read path every reader uses
+    finally s.close()
+  }
+
+  private def listDir(d: java.nio.file.Path): Vector[java.nio.file.Path] = {
+    val s = Files.list(d)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
+  /** Complete or discard compactions interrupted by a crash: a staging
+    * dir WITHOUT a MANIFEST never became visible — delete it (roll
+    * back); one WITH a MANIFEST is committed — finish moving its parts
+    * in, delete the originals it names, and remove it (roll forward).
+    */
+  private def recoverCompactions(topicDir: java.nio.file.Path): Unit =
+    listDir(topicDir)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(".compact-"))
+      .foreach { staged =>
+        val manifest = staged.resolve("MANIFEST")
+        if (!Files.exists(manifest)) {
+          listDir(staged).foreach(Files.deleteIfExists(_))
+          Files.deleteIfExists(staged)
+        } else {
+          val originals = Files.readAllLines(manifest).asScala
+          commitCompaction(topicDir, staged, originals.toVector.map(topicDir.resolve(_)))
+        }
+      }
+
+  /** The commit phase: move staged parts in (deterministic per-part
+    * names, so a re-run after a partial commit is idempotent), delete
+    * the manifested originals, drop staging. Safe to re-run.
+    */
+  private def commitCompaction(topicDir: java.nio.file.Path,
+      staged: java.nio.file.Path, originals: Seq[java.nio.file.Path]): Unit = {
+    val tag = staged.getFileName.toString.stripPrefix(".compact-")
+    listDir(staged)
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .foreach { p =>
+        Files.move(p, topicDir.resolve(s"compact-$tag-${p.getFileName}.json"))
+      }
+    originals.foreach(Files.deleteIfExists(_))
+    listDir(staged).foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(staged)
+  }
+
+  /** Shared compaction protocol: recover pending work, snapshot the
+    * LISTED originals through `transform`, stage, commit (see
+    * [[compact]] for the crash contract).
+    */
+  private def runCompaction(name: String, transform: DataFrame => DataFrame,
+      targetFiles: Int): Int = {
+    val readSchema = schemaOf(name) // existence check
+    val topicDir = Paths.get(dir(name))
+    recoverCompactions(topicDir)
+    val originals = listJson(topicDir)
+    if (originals.isEmpty) { refreshView(name); return 0 }
+    // snapshot ONLY the listed files: concurrent produces stay untouched
+    val snap = spark.read.schema(readSchema)
+      .json(originals.map(_.toString): _*)
     val staged = Files.createTempDirectory(topicDir, ".compact-")
-    table(name).coalesce(targetFiles)
+    transform(snap).coalesce(targetFiles)
       .write.option("timestampFormat", TopicCatalog.TsWriteFormat)
       .mode("overwrite").json(staged.toString)
-    // stage in: consolidated parts become visible under unique names
-    Files.list(staged).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("part-"))
-      .zipWithIndex.foreach { case (p, i) =>
-        Files.move(p, topicDir.resolve(s"compact-${System.nanoTime()}-$i.json"))
-      }
-    // stage out: drop the snapshot's originals (new appends since the
-    // listing above are untouched)
-    originals.foreach(Files.deleteIfExists(_))
-    // clean staging leftovers (_SUCCESS etc.)
-    Files.list(staged).iterator().asScala.foreach(Files.deleteIfExists(_))
-    Files.deleteIfExists(staged)
+    // the MANIFEST write is the commit point
+    Files.write(staged.resolve("MANIFEST"),
+      originals.map(_.getFileName.toString).mkString("\n").getBytes("UTF-8"))
+    commitCompaction(topicDir, staged, originals)
     refreshView(name)
     originals.size
   }
@@ -284,10 +353,13 @@ class TopicCatalog(spark: SparkSession, root: String) {
     * key: Kafka rejects unkeyed produce to compacted topics, enforced
     * here at compact time.
     *
-    * Same add-then-remove visibility contract as [[compact]]
-    * (at-least-once under a crash, convergent on re-run). The winner
-    * computation is [[graft.operators.Compaction.latestByKey]] — one
-    * hash shuffle with map-side partial aggregation, no sort.
+    * Same MANIFEST crash contract as [[compact]] (shared
+    * [[runCompaction]] protocol; duplicates visible only between a
+    * crash and the next compaction). The winner computation is
+    * [[graft.operators.Compaction.latestByKey]] — one shuffle with
+    * map-side partial aggregation. `targetFiles` sizes the rewritten
+    * snapshot (1 suits local topics; a production compaction would size
+    * by bytes-per-file instead).
     *
     * Returns the number of original files removed.
     */
@@ -296,38 +368,17 @@ class TopicCatalog(spark: SparkSession, root: String) {
     val schema = valueSchemaOf(name)
     (orderCol +: tiebreaks).foreach(c => require(schema.fieldNames.contains(c),
       s"compactKeyed $name: unknown ordering column '$c'"))
-    val topicDir = Paths.get(dir(name))
-    val originals = Files.list(topicDir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".json"))
-      .toVector
-    if (originals.isEmpty) return 0
-    val snap = table(name)
-    if (snap.filter(col(TopicCatalog.KeyField.name).isNull).limit(1).count() > 0)
-      throw new IllegalStateException(
-        s"compactKeyed $name: unkeyed record present — compacted topics require a key")
-    val winners = graft.operators.Compaction.latestByKey(
-      snap, Seq(TopicCatalog.KeyField.name), orderCol +: tiebreaks)
-    val orderSet = (orderCol +: tiebreaks).toSet
-    val deadCols = schema.fieldNames.toSeq.filterNot(orderSet.contains)
-    val live =
+    runCompaction(name, { snap =>
+      if (snap.filter(col(TopicCatalog.KeyField.name).isNull).limit(1).count() > 0)
+        throw new IllegalStateException(
+          s"compactKeyed $name: unkeyed record present — compacted topics require a key")
+      val winners = graft.operators.Compaction.latestByKey(
+        snap, Seq(TopicCatalog.KeyField.name), orderCol +: tiebreaks)
+      val orderSet = (orderCol +: tiebreaks).toSet
+      val deadCols = schema.fieldNames.toSeq.filterNot(orderSet.contains)
       if (deadCols.isEmpty) winners
       else winners.filter(!deadCols.map(col(_).isNull).reduce(_ && _))
-    // targetFiles sizes the rewritten snapshot (1 suits local topics; a
-    // production compaction would size by bytes-per-file instead)
-    val staged = Files.createTempDirectory(topicDir, ".compact-")
-    live.coalesce(targetFiles)
-      .write.option("timestampFormat", TopicCatalog.TsWriteFormat)
-      .mode("overwrite").json(staged.toString)
-    Files.list(staged).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("part-"))
-      .zipWithIndex.foreach { case (p, i) =>
-        Files.move(p, topicDir.resolve(s"compact-${System.nanoTime()}-$i.json"))
-      }
-    originals.foreach(Files.deleteIfExists(_))
-    Files.list(staged).iterator().asScala.foreach(Files.deleteIfExists(_))
-    Files.deleteIfExists(staged)
-    refreshView(name)
-    originals.size
+    }, targetFiles)
   }
 
   def drop(name: String): Unit = {

@@ -197,6 +197,9 @@ class GraftSql(
           // (README.md:610-612); old records read the new fields as null.
           if (topics.exists(name)) {
             topics.evolve(name, schema)
+            // the statement's WITH clause is the full new config set —
+            // a re-issued CREATE TABLE updates cleanup.policy etc. too
+            topics.updateConfigs(name, options)
             status(s"evolved table $name")
           } else {
             topics.create(name, schema, options)
@@ -204,9 +207,11 @@ class GraftSql(
           }
       }
 
-    case AlterTableAddRe(name, colsDdl) =>
+    case AlterTableAddRe(name, colsDdl) if topics.exists(name) =>
       // ALTER TABLE t ADD COLUMNS (c TYPE, ...) — the explicit-DDL spelling
       // of the same registry evolution (append-only; README.md:610-612).
+      // Guarded on topics.exists like DESCRIBE/COMPACT: ALTER against an
+      // ordinary Spark table falls through to spark.sql untouched.
       val added = StructType.fromDDL(
         colsDdl.replace("`", "").replaceAll("(?i)\\bROW<", "STRUCT<"))
       topics.evolve(name, StructType(topics.valueSchemaOf(name).fields ++ added.fields))

@@ -277,9 +277,11 @@ object Streams {
       .groupByKey(_.k)
       .mapGroupsWithState[WinnerState, ChangeRec](GroupStateTimeout.NoTimeout()) {
         (k: Long, batch: Iterator[ChangeRec], state: GroupState[WinnerState]) =>
-          var w = state.getOption.getOrElse(WinnerState(Long.MinValue, null))
+          // explicit `has` flag, NOT an ord sentinel: a real record with
+          // ord == Long.MinValue must still win an empty state
+          var w = state.getOption.getOrElse(WinnerState(0L, null, has = false))
           batch.foreach { r =>
-            if (r.ord > w.ord) w = WinnerState(r.ord, r.payload)
+            if (!w.has || r.ord > w.ord) w = WinnerState(r.ord, r.payload, has = true)
           }
           state.update(w)
           ChangeRec(k, w.ord, w.payload)
@@ -333,7 +335,7 @@ case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
 /** Changelog record / keyed state for [[Streams.latestByKeyStream]]. */
 case class ChangeRec(k: Long, ord: Long, payload: String)
-case class WinnerState(ord: Long, payload: String)
+case class WinnerState(ord: Long, payload: String, has: Boolean)
 
 /** Keyed-state records for [[Streams.expiringSessions]]. */
 case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

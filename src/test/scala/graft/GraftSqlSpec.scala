@@ -317,6 +317,36 @@ LATERAL TABLE(FEDERATED_SEARCH('ivf_vector_search', 3, vector));""").collect()
     assert(err.getMessage.contains("compaction.ordering"))
   }
 
+  test("re-issued CREATE TABLE updates topic configs; ALTER on non-topics falls through") {
+    val g = facade()
+    g.execute("""CREATE TABLE `profile2` (`name` STRING, `version` BIGINT)
+WITH ('value.format' = 'json-registry');""")
+    // re-issue with a compaction policy: schema evolves AND configs update
+    g.execute("""CREATE TABLE `profile2` (`name` STRING, `version` BIGINT)
+WITH ('value.format' = 'json-registry', 'cleanup.policy' = 'compact',
+  'compaction.ordering' = 'version');""")
+    assert(g.topics.configsOf("profile2").get("cleanup.policy").contains("compact"))
+    def rec(key: String, name: String, version: Long) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          key.getBytes("UTF-8"), name, version)),
+        org.apache.spark.sql.types.StructType(
+          graft.sources.TopicCatalog.KeyField +: g.topics.valueSchemaOf("profile2").fields))
+    g.topics.insertInto("profile2", rec("u1", "a", 1L))
+    g.topics.insertInto("profile2", rec("u1", "b", 2L))
+    g.execute("COMPACT TABLE profile2;")
+    assert(g.execute("SELECT name FROM profile2").collect().map(_.getString(0)).toSeq
+      == Seq("b"), "the re-issued policy must drive keyed compaction")
+    // ALTER TABLE against an ordinary Spark table is NOT hijacked by the
+    // topic path — it falls through to spark.sql
+    spark.sql("CREATE TABLE IF NOT EXISTS plain_tbl (a INT) USING parquet " +
+      s"LOCATION '${java.nio.file.Files.createTempDirectory("graft_plain")}'")
+    try {
+      g.execute("ALTER TABLE plain_tbl ADD COLUMNS (b INT)")
+      assert(spark.table("plain_tbl").schema.fieldNames.toSeq == Seq("a", "b"))
+    } finally spark.sql("DROP TABLE IF EXISTS plain_tbl")
+  }
+
   test("numCandidates beyond 10000 is rejected (README.md:368)") {
     val g = facade()
     val err = intercept[IllegalArgumentException] {
@@ -588,6 +618,11 @@ LATERAL TABLE(ML_PREDICT('retail_assistant', json_object(
     val az = g.connections.resolve("azureopenai-cli-connection")
     assert(az.connType == "azureopenai" && az.cloud == "AZURE")
     assert(az.endpoint.startsWith("https://matrix-central"))
+    // a valueless flag must fail loudly, not silently shift later pairs
+    val badCli = intercept[IllegalArgumentException](g.createConnection(
+      """confluent flink connection create bad-conn \
+--cloud aws --verbose --type mongodb --endpoint e"""))
+    assert(badCli.getMessage.contains("malformed flag pair"))
     // describe never leaks a credential value
     val desc = g.connections.describe(spark).collect()
     assert(desc.length == 5)
