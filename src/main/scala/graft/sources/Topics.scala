@@ -316,9 +316,15 @@ class TopicCatalog(spark: SparkSession, root: String) {
     transform(snap).coalesce(targetFiles)
       .write.option("timestampFormat", TopicCatalog.TsWriteFormat)
       .mode("overwrite").json(staged.toString)
-    // the MANIFEST write is the commit point
-    Files.write(staged.resolve("MANIFEST"),
+    // the MANIFEST is the commit point, so it must APPEAR atomically:
+    // write to a temp name, then rename (atomic on one filesystem) — a
+    // torn manifest would otherwise roll forward with a partial
+    // originals list and bake the unlisted ones in as duplicates
+    val tmp = staged.resolve("MANIFEST.tmp")
+    Files.write(tmp,
       originals.map(_.getFileName.toString).mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, staged.resolve("MANIFEST"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     commitCompaction(topicDir, staged, originals)
     refreshView(name)
     originals.size

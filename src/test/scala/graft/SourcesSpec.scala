@@ -258,6 +258,50 @@ class SourcesSpec extends SparkSpec {
     assert(err.getMessage.contains("unkeyed record"))
   }
 
+  test("compaction recovery: rollback without MANIFEST, roll-forward with it") {
+    val root = Files.createTempDirectory("graft_recover").toString
+    val c = new TopicCatalog(spark, root)
+    c.create("t", StructType(Seq(
+      StructField("name", StringType), StructField("version", LongType))))
+    c.produceJson("t", Seq("""{"name":"a","version":1}"""))
+    c.produceJson("t", Seq("""{"name":"b","version":2}"""))
+    import scala.jdk.CollectionConverters._
+    val topicDir = java.nio.file.Paths.get(s"$root/t")
+    val firstOriginal = {
+      val s = Files.list(topicDir)
+      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".json"))
+        .toVector.sortBy(_.getFileName.toString).head
+      finally s.close()
+    }
+    // crash BEFORE the manifest: staged parts must be discarded, their
+    // records never surface
+    val rollback = Files.createDirectory(topicDir.resolve(".compact-rollback"))
+    Files.write(rollback.resolve("part-00000.json"),
+      """{"name":"ghost","version":99}""".getBytes("UTF-8"))
+    // crash AFTER the manifest, before the move: parts must roll FORWARD
+    // (become visible) and the manifested original must be deleted
+    val fwd = Files.createDirectory(topicDir.resolve(".compact-forward"))
+    Files.write(fwd.resolve("part-00000.json"),
+      """{"name":"recovered","version":9}""".getBytes("UTF-8"))
+    Files.write(fwd.resolve("MANIFEST"),
+      firstOriginal.getFileName.toString.getBytes("UTF-8"))
+    c.compact("t")
+    val after = c.table("t").select("name").collect().map(_.getString(0)).toSet
+    assert(!after.contains("ghost"), "uncommitted staging leaked records")
+    assert(after.contains("recovered"), "committed staging was not rolled forward")
+    assert(!after.contains("a"), "the manifested original must be superseded")
+    assert(after.contains("b"))
+    // staging dirs are gone; re-run converges without change
+    val leftovers = {
+      val s = Files.list(topicDir)
+      try s.iterator().asScala.filter(p => Files.isDirectory(p)).toVector
+      finally s.close()
+    }
+    assert(leftovers.isEmpty)
+    c.compact("t")
+    assert(c.table("t").select("name").collect().map(_.getString(0)).toSet == after)
+  }
+
   test("timestamps survive the topic JSON encoding at microsecond precision") {
     val c = catalog()
     c.create("stamped", StructType(Seq(
