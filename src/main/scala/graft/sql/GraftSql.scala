@@ -224,6 +224,12 @@ class GraftSql(
       val removed = topics.compactByPolicy(name)
       status(s"compacted table $name ($removed files rewritten)")
 
+    case ShowPropsRe(name) if topics.exists(name) =>
+      // topic configs (cleanup.policy etc.) through the standard Spark
+      // spelling; non-topics fall through to spark.sql's own TBLPROPERTIES
+      import spark.implicits._
+      topics.configsOf(name).toSeq.sorted.toDF("key", "value")
+
     case InsertIntoRe(table, colList, select) =>
       // INSERT INTO topic [(cols)] SELECT ... — the reference's perpetual
       // pipeline statement (README.md:285-287, 432-445, ~723), batch form:
@@ -612,6 +618,8 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+`?([\w.-]+)`?\s+ADD\s+COLUMNS?\s*\((.*)\)\s*;?\s*$""".r
   private val CompactTableRe =
     """(?is)^\s*COMPACT\s+TABLE\s+`?([\w.-]+)`?\s*;?\s*$""".r
+  private val ShowPropsRe =
+    """(?is)^\s*SHOW\s+TBLPROPERTIES\s+`?([\w.-]+)`?\s*;?\s*$""".r
   private val InsertIntoRe =
     """(?is)^\s*INSERT\s+INTO\s+`?([\w.-]+)`?\s*(?:\(([^)]*)\))?\s*(SELECT\b.*?)\s*;?\s*$""".r
   private val InsertValuesRe =

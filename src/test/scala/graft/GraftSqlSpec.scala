@@ -315,6 +315,11 @@ LATERAL TABLE(FEDERATED_SEARCH('ivf_vector_search', 3, vector));""").collect()
       """CREATE TABLE bad_compact (`v` BIGINT) WITH (
 'value.format' = 'json-registry', 'cleanup.policy' = 'compact');"""))
     assert(err.getMessage.contains("compaction.ordering"))
+    // configs are inspectable through the standard Spark spelling
+    val props = g.execute("SHOW TBLPROPERTIES user_profile")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("cleanup.policy").contains("compact"))
+    assert(props.get("compaction.ordering").contains("version"))
   }
 
   test("re-issued CREATE TABLE updates topic configs; ALTER on non-topics falls through") {
