@@ -365,6 +365,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // --- forward as-of: earliest right row at-or-after the left row -------
+    // (the other direction of the time-series join; DuckDB's ASOF with a
+    // flipped inequality is the oracle)
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select("user_id", "ts", "value")
+      graft.operators.AsofJoin.asofLeft(
+        purchases, signups, "user_id", "ts", "ts", Seq("value"),
+        direction = "forward")
+        .select(col("event_id"), col("user_id"), col("value").as("next_signup_value"))
+        .orderBy("event_id")
+    }),
+
     // --- interval join (custom operator; range-join absence in §2.3) ------
     "q_interval_join" -> ((s, dir) => {
       val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
@@ -1531,6 +1547,14 @@ values (
         "SELECT event_id, purchases.user_id AS user_id, value AS signup_value " +
         "FROM purchases ASOF LEFT JOIN signups " +
         "ON purchases.user_id = signups.user_id AND purchases.ts >= signups.ts " +
+        "ORDER BY event_id"),
+
+    "q_asof_forward" ->
+      ("WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+        "signups AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') " +
+        "SELECT event_id, purchases.user_id AS user_id, value AS next_signup_value " +
+        "FROM purchases ASOF LEFT JOIN signups " +
+        "ON purchases.user_id = signups.user_id AND purchases.ts <= signups.ts " +
         "ORDER BY event_id"),
 
     "q_interval_join" ->

@@ -53,4 +53,51 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == brute)
     assert(got.nonEmpty)
   }
+
+  test("forward direction matches a brute-force oracle; coincident rows visible") {
+    val ev = Tables(spark, sf, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value"))
+    val got = AsofJoin.asofLeft(purchases, signups, "user_id", "ts", "ts",
+      Seq("value"), direction = "forward")
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    // brute force: join all following signups, keep min-ts one
+    val brute = purchases.alias("p")
+      .join(signups.alias("s"),
+        col("p.user_id") === col("s.user_id") && col("p.ts") <= col("s.ts"), "left")
+      .groupBy(col("p.event_id"))
+      .agg(min(struct(col("s.ts"), col("s.value"))).as("m"))
+      .select(col("event_id"), col("m.value"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(got == brute)
+    // exact-coincidence visibility in the forward direction
+    val left = Seq((1L, 5L, ts("2024-01-01 10:00:00"))).toDF("id", "key", "t")
+    val right = Seq((5L, ts("2024-01-01 10:00:00"), "same")).toDF("key", "t", "tag")
+    val one = AsofJoin.asofLeft(left, right, "key", "t", "t", Seq("tag"),
+      direction = "forward").head()
+    assert(one.getString(one.fieldIndex("tag")) == "same")
+  }
+
+  test("nearest direction picks the closer side, ties to backward") {
+    val left = Seq(
+      (1L, 5L, ts("2024-01-01 10:00:00")),  // bw 09:00 (1h), fw 10:30 (30m) -> fw
+      (2L, 5L, ts("2024-01-01 09:10:00")),  // bw 09:00 (10m), fw 10:30 (80m) -> bw
+      (3L, 6L, ts("2024-01-01 10:00:00")),  // equidistant 1h both sides -> bw
+      (4L, 7L, ts("2024-01-01 10:00:00")))  // only fw exists -> fw
+      .toDF("id", "key", "t")
+    val right = Seq(
+      (5L, ts("2024-01-01 09:00:00"), "bw5"),
+      (5L, ts("2024-01-01 10:30:00"), "fw5"),
+      (6L, ts("2024-01-01 09:00:00"), "bw6"),
+      (6L, ts("2024-01-01 11:00:00"), "fw6"),
+      (7L, ts("2024-01-01 11:00:00"), "fw7"))
+      .toDF("key", "t", "tag")
+    val got = AsofJoin.asofLeft(left, right, "key", "t", "t", Seq("tag"),
+      direction = "nearest")
+      .select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "fw5", 2L -> "bw5", 3L -> "bw6", 4L -> "fw7"))
+  }
 }
