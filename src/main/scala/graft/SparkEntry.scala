@@ -688,6 +688,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- corpus curation: deterministic train/val/test split --------------
+    // (hash-banded membership — a document can never migrate between
+    // splits across runs; oracle recomputes the same integer thresholds)
+    "q_split_assign" -> ((s, dir) =>
+      Corpus.assignSplits(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")),
+
+    // --- corpus curation: exact-count per-stratum carve-out ---------------
+    "q_take_per_stratum" -> ((s, dir) =>
+      Corpus.takePerStratum(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", n = 10)
+        .orderBy("doc_id")),
+
     // --- corpus curation: sequence-packing plan (concat-then-chunk) -------
     // (fixed 512-token training sequences per stratum in deterministic
     // hash-shuffle order; all-integer window cumsum, oracle-recomputable)
@@ -1828,6 +1844,22 @@ values (
         "WHEN en = greatest(en, es, fr, de, it, pt) THEN 'en' " +
         "ELSE 'de' END AS lang " +
         "FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id ORDER BY d.doc_id"),
+
+    // split thresholds are the Scala-side (cumFraction * 2^32).toLong
+    // literals: 0.8 -> 3435973836, 0.9 -> 3865470566 (double rounding
+    // included, so both engines band identically)
+    "q_split_assign" ->
+      ("SELECT doc_id, source, CASE WHEN h < 3435973836 THEN 'train' " +
+        "WHEN h < 3865470566 THEN 'val' ELSE 'test' END AS split FROM (" +
+        "SELECT doc_id, source, " +
+        "(((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296 AS h " +
+        "FROM documents) ORDER BY doc_id"),
+
+    "q_take_per_stratum" ->
+      ("SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (" +
+        "PARTITION BY source ORDER BY " +
+        "(((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, doc_id" +
+        ") AS rn FROM documents) WHERE rn <= 10 ORDER BY doc_id"),
 
     "q_seq_packing" ->
       ("WITH d AS (SELECT doc_id, source, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +

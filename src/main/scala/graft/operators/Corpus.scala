@@ -136,6 +136,47 @@ object Corpus {
       .filter(col("running_tok") <= budget)
   }
 
+  /** Deterministic train/val/test (or any banded) split assignment:
+    * each id's [[sampleHash]] falls into one of the cumulative-fraction
+    * bands, so membership is a pure function of the id — stable across
+    * runs, partitionings, and engines (the property eval-set carve-outs
+    * must have: a document can never migrate between splits when the
+    * corpus is re-processed). `splits` maps label -> fraction and must
+    * sum to ≤ 1; ids hashing past the last band get the final label
+    * (fractions are exact 2^32-range thresholds, not probabilistic).
+    * Zero shuffle — a narrow projection.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "assignSplits: at least one split")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"assignSplits: fractions sum to ${splits.map(_._2).sum} > 1")
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val thresholds = cum.map(c => (c * 4294967296d).toLong)
+    val h = sampleHash(col(idCol))
+    val expr0: Column = lit(splits.last._1)
+    val labeled = splits.zip(thresholds).reverse.foldLeft(expr0) {
+      case (acc, ((label, _), thr)) => when(h < thr, lit(label)).otherwise(acc)
+    }
+    df.withColumn("split", labeled)
+  }
+
+  /** Exact-count carve-out: the first `n` ids per stratum in
+    * deterministic [[sampleHash]] order — the fixed-size eval-set
+    * counterpart to the rate-based [[stratifiedSample]]. One window
+    * sort per stratum over slim rows.
+    */
+  def takePerStratum(df: DataFrame, idCol: String, stratumCol: String,
+      n: Int): DataFrame = {
+    require(n >= 0, s"takePerStratum: n=$n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(sampleHash(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Sequence-packing plan (GPT-style pretraining data prep): documents
     * are conceptually concatenated in deterministic [[sampleHash]]
     * shuffle order within each stratum, then chunked into fixed

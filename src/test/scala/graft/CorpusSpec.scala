@@ -140,6 +140,41 @@ class CorpusSpec extends SparkSpec {
     assert(grams == Seq("a b", "b a"))
   }
 
+  test("assignSplits: stable banded membership, exhaustive and disjoint") {
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("source"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Corpus.assignSplits(docs, "doc_id", splits)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet.subsetOf(Set("train", "val", "test")))
+    assert(got.values.sum == docs.count())
+    // roughly proportional (hash-uniform; generous bounds at n=500)
+    assert(got("train") > got.values.sum * 6 / 10)
+    // stable under repartition: identical assignment per id
+    val a = Corpus.assignSplits(docs, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Corpus.assignSplits(docs.repartition(9), "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Corpus.assignSplits(docs, "doc_id", Seq("a" -> 0.9, "b" -> 0.2)))
+  }
+
+  test("takePerStratum: exact counts, deterministic membership") {
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("source"))
+    val got = Corpus.takePerStratum(docs, "doc_id", "source", n = 7)
+    val perStratum = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val available = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perStratum.foreach { case (s2, n2) => assert(n2 == math.min(7L, available(s2))) }
+    // the carve-out is a prefix of the hash order: re-running with a
+    // larger n strictly extends it
+    val ids7 = got.collect().map(_.getLong(0)).toSet
+    val ids9 = Corpus.takePerStratum(docs, "doc_id", "source", n = 9)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids7.subsetOf(ids9))
+  }
+
   test("packSequences: contiguous chunking invariants hold per stratum") {
     val docs = Tables(spark, sf, "documents")
       .select(col("doc_id"), col("source"),
