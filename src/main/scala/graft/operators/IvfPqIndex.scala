@@ -46,10 +46,7 @@ object IvfPqIndex {
     celled.select(col("id"), col("cell"),
         PqSearch.encodeUdf(cb)(col("rv")).as("codes"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/corpus")
-    cb.books.zipWithIndex.flatMap { case (book, s) =>
-      book.zipWithIndex.map { case (v, c) => (s, c, v.toSeq) }
-    }.toSeq.toDF("s", "c", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    PqSearch.saveCodebooks(spark, s"$path/codebooks", cb)
     centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -80,22 +77,11 @@ object IvfPqIndex {
       .write.partitionBy("cell").mode("append").parquet(s"$path/corpus")
   }
 
-  /** Codebook shape (m, kCodes, dsub) is DERIVED from the persisted
-    * rows, never trusted from caller parameters — a mismatch with the
-    * write-time values would silently shift every flattened LUT index.
+  /** Codebook shape is derived from the persisted rows — see
+    * [[PqSearch.loadCodebooks]] (one loader for both index families).
     */
-  def loadCodebooks(spark: SparkSession, path: String): PqSearch.Codebooks = {
-    val rows = spark.read.parquet(s"$path/codebooks").collect()
-    require(rows.nonEmpty, s"loadCodebooks: no codebooks at $path")
-    val m = rows.map(_.getInt(0)).max + 1
-    val kCodes = rows.map(_.getInt(1)).max + 1
-    val dsub = rows.head.getSeq[Float](2).length
-    val books = Array.ofDim[Array[Float]](m, kCodes)
-    rows.foreach { r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray }
-    require(books.forall(_.forall(_ != null)),
-      s"loadCodebooks: incomplete codebook grid at $path (expected $m x $kCodes)")
-    PqSearch.Codebooks(m, kCodes, dsub, books)
-  }
+  def loadCodebooks(spark: SparkSession, path: String): PqSearch.Codebooks =
+    PqSearch.loadCodebooks(spark, s"$path/codebooks")
 
   /** Probe a persisted IVF-PQ index. The probed-cell union becomes an IN
     * filter on the partition column (directory pruning, like

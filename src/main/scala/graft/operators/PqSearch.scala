@@ -55,6 +55,8 @@ object PqSearch {
     val seed = corpus.orderBy(col(cId)).limit(kCodes).select(cVec).collect()
       .map(_.getSeq[Float](0).toArray)
     require(seed.nonEmpty, "trainCodebooks: empty corpus")
+    seed.foreach(v => require(v.length == dim,
+      s"trainCodebooks: corpus vector has ${v.length} dims, declared dim=$dim"))
     var books: Array[Array[Array[Float]]] =
       Array.tabulate(m, kCodes) { (s, c) =>
         val v = seed(c % seed.length)
@@ -90,6 +92,10 @@ object PqSearch {
     val local = cb
     val f = udf((v: Seq[Float]) => {
       val q = v.toArray
+      // fail fast instead of zero-padding: copyOfRange would silently
+      // pad a too-short vector and degrade recall without any signal
+      require(q.length == local.m * local.dsub,
+        s"encode: vector has ${q.length} dims, codebooks expect ${local.m * local.dsub}")
       Array.tabulate(local.m) { s =>
         val sub = java.util.Arrays.copyOfRange(q, s * local.dsub, (s + 1) * local.dsub)
         var best = 0; var bestD = Double.MaxValue
@@ -103,6 +109,36 @@ object PqSearch {
       }
     })
     (vec: org.apache.spark.sql.Column) => f(vec)
+  }
+
+  /** Persist trained codebooks as (s, c, centroid) parquet — the same
+    * layout [[IvfPqIndex.writeIndex]] embeds under `path/codebooks`, so
+    * one loader serves both. Train offline, serve many: at 100 TB the
+    * codebooks are a model artifact, not a per-query byproduct.
+    */
+  def saveCodebooks(spark: SparkSession, path: String, cb: Codebooks): Unit = {
+    import spark.implicits._
+    cb.books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (v, c) => (s, c, v.toSeq) }
+    }.toSeq.toDF("s", "c", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Codebook shape (m, kCodes, dsub) is DERIVED from the persisted
+    * rows, never trusted from caller parameters — a mismatch with the
+    * write-time values would silently shift every flattened LUT index.
+    */
+  def loadCodebooks(spark: SparkSession, path: String): Codebooks = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.nonEmpty, s"loadCodebooks: no codebooks at $path")
+    val m = rows.map(_.getInt(0)).max + 1
+    val kCodes = rows.map(_.getInt(1)).max + 1
+    val dsub = rows.head.getSeq[Float](2).length
+    val books = Array.ofDim[Array[Float]](m, kCodes)
+    rows.foreach { r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray }
+    require(books.forall(_.forall(_ != null)),
+      s"loadCodebooks: incomplete codebook grid at $path (expected $m x $kCodes)")
+    Codebooks(m, kCodes, dsub, books)
   }
 
   /** The coded corpus: (match_id, codes ARRAY<INT>). At rest the codes
@@ -128,13 +164,27 @@ object PqSearch {
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, metric: String = "dot",
       m: Int = 8, kCodes: Int = 16, iters: Int = 2, dim: Int = 64,
-      numCandidates: Int = 100, maxQueries: Int = 10000): DataFrame = {
+      numCandidates: Int = 100, maxQueries: Int = 10000): DataFrame =
+    pqTopK(queries, qId, qVec, corpus, cId, cVec, k,
+      trainCodebooks(corpus, cId, cVec, m, kCodes, iters, dim),
+      metric, numCandidates, maxQueries)
+
+  /** Serve-only overload: the codebooks arrive pre-trained (offline
+    * training, [[saveCodebooks]]/[[loadCodebooks]], or a cache keyed by
+    * corpus content) — the query body does no training passes. This is
+    * the 100 TB shape: train once on a sample, encode/serve many.
+    */
+  def pqTopK(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, cb: Codebooks, metric: String,
+      numCandidates: Int, maxQueries: Int): DataFrame = {
     VectorSearch.requireNumCandidates(numCandidates)
     require(k <= numCandidates, s"k=$k exceeds numCandidates=$numCandidates")
     val spark = queries.sparkSession
     import spark.implicits._
+    val m = cb.m; val kCodes = cb.kCodes
 
-    val cb = trainCodebooks(corpus, cId, cVec, m, kCodes, iters, dim)
     val coded = encode(corpus, cId, cVec, cb)
 
     val qRows = queries
@@ -155,6 +205,8 @@ object PqSearch {
     // query's subspace-s slice against codebook entry c
     val luts = qRows.map { r =>
       val q = r.getSeq[Float](1).toArray
+      require(q.length == m * cb.dsub,
+        s"pqTopK: query vector has ${q.length} dims, codebooks expect ${m * cb.dsub}")
       val lut = new Array[Double](m * kCodes)
       var s = 0
       while (s < m) {

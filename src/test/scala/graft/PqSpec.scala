@@ -153,6 +153,36 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("serve overload with pre-trained codebooks matches train-in-body") {
+    val cb = PqSearch.trainCodebooks(emb, "vec_id", "embedding", m = 8, kCodes = 16)
+    val served = PqSearch.pqTopK(queries, "qid", "qv", emb, "vec_id", "embedding",
+      k = 3, cb = cb, metric = "dot", numCandidates = 100, maxQueries = 10000)
+      .collect().map(_.toString).sorted
+    val trained = PqSearch.pqTopK(queries, "qid", "qv", emb, "vec_id", "embedding",
+      k = 3, metric = "dot", m = 8, kCodes = 16, numCandidates = 100)
+      .collect().map(_.toString).sorted
+    assert(served.sameElements(trained))
+  }
+
+  test("codebooks roundtrip through parquet save/load") {
+    val cb = PqSearch.trainCodebooks(emb, "vec_id", "embedding", m = 4, kCodes = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_cb").toString + "/cb"
+    PqSearch.saveCodebooks(spark, path, cb)
+    val loaded = PqSearch.loadCodebooks(spark, path)
+    assert(loaded.m == cb.m && loaded.kCodes == cb.kCodes && loaded.dsub == cb.dsub)
+    for (s <- 0 until cb.m; c <- 0 until cb.kCodes)
+      assert(loaded.books(s)(c).sameElements(cb.books(s)(c)))
+  }
+
+  test("short vectors fail fast instead of silently zero-padding") {
+    val bad = emb.select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding"))
+    intercept[IllegalArgumentException](
+      PqSearch.trainCodebooks(bad, "vec_id", "embedding"))
+    val cb = PqSearch.trainCodebooks(emb, "vec_id", "embedding", m = 8, kCodes = 16)
+    intercept[Exception](
+      PqSearch.encode(bad, "vec_id", "embedding", cb).collect())
+  }
+
   test("budget and batch bounds are enforced") {
     intercept[IllegalArgumentException](
       PqSearch.pqTopK(queries, "qid", "qv", emb, "vec_id", "embedding",
