@@ -1284,16 +1284,22 @@ values (
         .withColumn("__q", TextOps.qualityScore(col("text")))
       val surv = Dedup.dedupPipelineKeepBest(corpus, "doc_id", "text", "__q")
         .select(col("doc_id"), lit(true).as("__s"))
-      val wq = Window.partitionBy(Dedup.normText(col("text")))
+      // one window pass: normText materialized ONCE as a column, both
+      // the keeper (first by quality) and the anchor (min id, full
+      // frame) share the same (partition, order) spec so Spark plans a
+      // single shuffle+sort+Window — r5's shape evaluated normText as a
+      // partition-key expression in two separate window passes
+      val wq = Window.partitionBy(col("__nt"))
         .orderBy(col("__q").desc, col("doc_id"))
-      val wg = Window.partitionBy(Dedup.normText(col("text")))
       val loose = shingleGroundTruth(s, dir).filter(col("jaccard") >= 0.3)
       val paired = loose.select(col("id1").as("anchor"))
         .union(loose.select(col("id2").as("anchor")))
         .distinct().withColumn("__p", lit(true))
       corpus
+        .withColumn("__nt", Dedup.normText(col("text")))
         .withColumn("exact_keeper_id", first(col("doc_id")).over(wq))
-        .withColumn("anchor", min(col("doc_id")).over(wg))
+        .withColumn("anchor", min(col("doc_id")).over(
+          wq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .join(surv, Seq("doc_id"), "left")
         .join(paired, Seq("anchor"), "left")
         .select(col("doc_id"), col("exact_keeper_id"),
