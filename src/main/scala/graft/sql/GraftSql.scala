@@ -96,10 +96,63 @@ class GraftSql(
       else DfCorpus(df, contentCol, vecCol, indexType, numCandidates)
   }
 
+  /** Statement-scoped session options (`SET 'k' = 'v'`) — the Flink
+    * spelling the reference's worksheets assume. The one load-bearing
+    * key is `'execution.mode' = 'continuous'`: every subsequent
+    * `INSERT INTO ... SELECT` then runs as a Structured Streaming query
+    * (the reference's submit-and-run-forever semantic, README.md:435)
+    * with no Scala-level method choice. Supporting keys:
+    * `'execution.checkpoint-dir'` (default: a fresh tmpdir per
+    * statement) and `'execution.trigger'` (`'available-now'` drains and
+    * stops — spec/bench friendly; any Spark interval string such as
+    * `'1 second'` polls; unset = run forever at ProcessingTime(0)).
+    */
+  private val sessionOpts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Streaming queries started by statement-level continuous INSERTs, in
+    * start order — callers await/stop these (the facade never blocks on
+    * a run-forever statement).
+    */
+  private val started =
+    new java.util.concurrent.CopyOnWriteArrayList[StreamingQuery]
+  def activeStreams: Seq[StreamingQuery] =
+    scala.jdk.CollectionConverters.ListHasAsScala(started).asScala.toSeq
+
+  private def continuousMode: Boolean =
+    sessionOpts.get("execution.mode").exists(_.equalsIgnoreCase("continuous"))
+
   /** Execute one statement; DDL forms return a small status/metadata
     * DataFrame, everything else returns whatever `spark.sql` returns.
+    * Under `SET 'execution.mode' = 'continuous'`, an INSERT INTO SELECT
+    * starts (and registers in [[activeStreams]]) a streaming query
+    * instead of draining the topic batch-style.
     */
   def execute(sql0: String): DataFrame = rewriteDml(sql0) match {
+    case SetOptionRe(k, v) =>
+      sessionOpts(k.toLowerCase) = v
+      status(s"set ${k.toLowerCase} = $v")
+
+    case ResetOptionRe(k) =>
+      sessionOpts.remove(k.toLowerCase)
+      status(s"reset ${k.toLowerCase}")
+
+    case InsertIntoRe(table, _, _) if continuousMode && topics.exists(table) =>
+      val ckpt = sessionOpts.getOrElse("execution.checkpoint-dir",
+        java.nio.file.Files.createTempDirectory("graft_sql_ckpt_").toString)
+      val trig = sessionOpts.get("execution.trigger") match {
+        case Some(t) if t.equalsIgnoreCase("available-now") => Trigger.AvailableNow()
+        case Some(interval) => Trigger.ProcessingTime(interval)
+        case None => Trigger.ProcessingTime(0L)
+      }
+      val q = executeStreaming(sql0, ckpt, trigger = trig)
+      started.add(q)
+      status(s"started continuous INSERT INTO $table (stream id ${q.id})")
+
+    case _ => executeBatch(sql0)
+  }
+
+  private def executeBatch(sql0: String): DataFrame = rewriteDml(sql0) match {
     case CreateModelRe(name, in, out, comment, opts) =>
       val options0 = parseOptions(opts)
       val options =
@@ -353,7 +406,10 @@ class GraftSql(
         // the full topic again every batch.
         val slice = spark.createDataFrame(batch.rdd, batch.schema)
         slice.createOrReplaceTempView(source)
-        try { execute(sql0); () }
+        // executeBatch, not execute: under statement-level continuous
+        // mode the outer routing would otherwise start a NEW stream from
+        // inside every micro-batch
+        try { executeBatch(sql0); () }
         finally topics.refreshView(source)
       }
       .start()
@@ -622,6 +678,12 @@ object GraftSql {
     """(?is)^\s*SHOW\s+TBLPROPERTIES\s+`?([\w.-]+)`?\s*;?\s*$""".r
   private val InsertIntoRe =
     """(?is)^\s*INSERT\s+INTO\s+`?([\w.-]+)`?\s*(?:\(([^)]*)\))?\s*(SELECT\b.*?)\s*;?\s*$""".r
+  // Flink's quoted SET/RESET forms only — Spark's own unquoted
+  // `SET spark.x=y` falls through to spark.sql untouched
+  private val SetOptionRe =
+    """(?is)^\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*;?\s*$""".r
+  private val ResetOptionRe =
+    """(?is)^\s*RESET\s+'([^']+)'\s*;?\s*$""".r
   private val InsertValuesRe =
     """(?is)^\s*INSERT\s+INTO\s+`?([\w.-]+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(\(.*\))\s*;?\s*$""".r
   private[sql] val LateralRe =

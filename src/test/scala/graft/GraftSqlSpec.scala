@@ -508,6 +508,57 @@ LATERAL TABLE(FEDERATED_SEARCH('mongodb_vector_search', 3, vector));"""
     assert(prompts() == Seq(("s1", 3), ("s2", 3)))
   }
 
+  test("SET 'execution.mode'='continuous' makes INSERT a stream — SQL only (README.md:435)") {
+    val g = facade()
+    g.execute("""CREATE MODEL `vector_encoding`
+INPUT (input STRING) OUTPUT (vector ARRAY<FLOAT>)
+WITH('TASK' = 'embedding', 'PROVIDER' = 'openai',
+  'OPENAI.CONNECTION' = 'openai-vector-connection');""")
+    g.execute("""CREATE TABLE `user_questions` (
+    `role` STRING, `content` STRING, `sessionid` STRING
+) WITH ('value.format' = 'json-registry');""")
+    g.execute("""CREATE TABLE `user_questions_vector` (
+    `role` STRING, `content` STRING, `sessionid` STRING, `vector` ARRAY<FLOAT>
+) WITH ('value.format' = 'json-registry');""")
+    g.topics.produceJson("user_questions", Seq(
+      """{"role":"user","content":"good mens golf shirts","sessionid":"s1"}""",
+      """{"role":"user","content":"waterproof hiking boots","sessionid":"s2"}"""))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_setmode_ck").toString
+    // the entire flow is SQL statements — no Scala-level method choice
+    g.execute("SET 'execution.mode' = 'continuous';")
+    g.execute(s"SET 'execution.checkpoint-dir' = '$ckpt';")
+    g.execute("SET 'execution.trigger' = 'available-now';")
+    val st = g.execute(
+      """insert into `user_questions_vector` select `role`, `content`, `sessionid`, `vector` from `user_questions`,
+lateral table (ml_predict('vector_encoding', content));""")
+    assert(st.head.getString(0).startsWith("started continuous INSERT INTO"))
+    assert(g.activeStreams.nonEmpty)
+    g.activeStreams.foreach(_.awaitTermination())
+    def target(): Seq[(String, Int)] = g.execute(
+      "SELECT sessionid, size(vector) FROM user_questions_vector ORDER BY sessionid")
+      .collect().map(r => (r.getString(0), r.getInt(2 - 1))).toSeq
+    assert(target() == Seq(("s1", 64), ("s2", 64)))
+    // the same statement re-issued under the same checkpoint drains ONLY
+    // newly arrived records (incremental, not a batch re-run)
+    g.topics.produceJson("user_questions",
+      Seq("""{"role":"user","content":"linen summer pants","sessionid":"s3"}"""))
+    g.execute(
+      """insert into `user_questions_vector` select `role`, `content`, `sessionid`, `vector` from `user_questions`,
+lateral table (ml_predict('vector_encoding', content));""")
+    g.activeStreams.foreach(_.awaitTermination())
+    assert(target() == Seq(("s1", 64), ("s2", 64), ("s3", 64)))
+    // RESET + batch mode restores the drain-everything semantics
+    g.execute("RESET 'execution.checkpoint-dir';")
+    g.execute("SET 'execution.mode' = 'batch';")
+    g.execute("""CREATE TABLE `uqv_b` (
+    `role` STRING, `content` STRING, `sessionid` STRING, `vector` ARRAY<FLOAT>
+) WITH ('value.format' = 'json-registry');""")
+    g.execute(
+      """insert into `uqv_b` select `role`, `content`, `sessionid`, `vector` from `user_questions`,
+lateral table (ml_predict('vector_encoding', content));""")
+    assert(g.execute("SELECT count(*) FROM uqv_b").head.getLong(0) == 3)
+  }
+
   test("the reference's full pipeline cascades as streaming stages end-to-end") {
     // question -> embed insert -> search insert -> LLM insert, each the
     // verbatim worksheet statement run as its own incremental streaming
