@@ -416,6 +416,37 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // --- ASOF JOIN through the SQL facade (DuckDB's own spelling is the
+    // oracle, so the statement-level surface earns a real hash row) ------
+    "q_asof_sql" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts").createOrReplaceTempView("asof_p")
+      ev.filter(col("event_type") === "signup")
+        .select("user_id", "ts", "value").createOrReplaceTempView("asof_s")
+      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_q_asof").toString))
+      g.execute("""SELECT event_id, user_id, value AS signup_value
+FROM asof_p p ASOF LEFT JOIN asof_s s2
+ON p.user_id = s2.user_id AND p.ts >= s2.ts
+ORDER BY event_id""")
+    }),
+
+    // --- interval join through the SQL facade (Flink's symmetric-BETWEEN
+    // spelling routes to the bucketed IntervalJoin, not a BNL join) ------
+    "q_interval_sql" -> ((s, dir) => {
+      t(s, dir, "events").select("event_id", "user_id", "ts")
+        .createOrReplaceTempView("iv_events")
+      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_q_iv").toString))
+      g.execute("""SELECT event_id, b_event_id AS event_id2, user_id
+FROM iv_events a JOIN iv_events b
+ON a.user_id = b.user_id
+AND a.ts BETWEEN b.ts - INTERVAL '1' MINUTE AND b.ts + INTERVAL '1' MINUTE
+WHERE event_id < b_event_id
+ORDER BY event_id, event_id2""")
+    }),
+
     // --- interval join (custom operator; range-join absence in §2.3) ------
     "q_interval_join" -> ((s, dir) => {
       val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
@@ -1613,6 +1644,21 @@ values (
         "FROM purchases ASOF LEFT JOIN signups " +
         "ON purchases.user_id = signups.user_id AND purchases.ts <= signups.ts " +
         "ORDER BY event_id"),
+
+    "q_asof_sql" ->
+      ("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+        "s2 AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') " +
+        "SELECT event_id, p.user_id AS user_id, value AS signup_value " +
+        "FROM p ASOF LEFT JOIN s2 " +
+        "ON p.user_id = s2.user_id AND p.ts >= s2.ts " +
+        "ORDER BY event_id"),
+
+    "q_interval_sql" ->
+      ("SELECT a.event_id AS event_id, b.event_id AS event_id2, a.user_id AS user_id " +
+        "FROM events a JOIN events b ON a.user_id = b.user_id " +
+        "AND a.event_id < b.event_id " +
+        "AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 60000000 " +
+        "ORDER BY event_id, event_id2"),
 
     "q_interval_join" ->
       ("SELECT a.event_id AS event_id, b.event_id AS event_id2, a.user_id AS user_id " +

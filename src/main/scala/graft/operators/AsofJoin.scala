@@ -44,7 +44,11 @@ object AsofJoin {
         right.schema(c).dataType).as(s"__r_$c")) ++
         Seq(lit(null).cast(right.schema(rightTs).dataType).as("__r___rts"),
           col("__side"), col("__ts"))): _*)
+    // a null-ts right row matches nothing (SQL ASOF semantics): unfiltered
+    // it would sort first in the backward window and donate its payload to
+    // left rows with no real predecessor
     val r = right
+      .filter(col(rightTs).isNotNull)
       .select((Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
         col(rightTs).as("__r___rts")) ++
         rightPayload.map(c => col(c).as(s"__r_$c"))): _*)
@@ -72,8 +76,10 @@ object AsofJoin {
       case "forward"  => carryAll(unioned, wFwd, "__fw_")
       case _          => carryAll(carryAll(unioned, wBack, "__bw_"), wFwd, "__fw_")
     }
+    // a null-ts LEFT row also matches nothing: the desc window would sort
+    // it last and hand it the earliest right row
     val picked = rightPayload.map { c =>
-      (direction match {
+      when(col("__ts").isNull, lit(null)).otherwise(direction match {
         case "backward" => col(s"__bw_$c")
         case "forward"  => col(s"__fw_$c")
         case _ =>

@@ -418,6 +418,8 @@ class GraftSql(
   // --- verbatim-DML rewrites ----------------------------------------------
 
   /** Text-level rewrites that map the reference's Flink-only DML forms
+    * (plus the two time-series join spellings Spark's parser lacks —
+    * `ASOF JOIN` and the symmetric `BETWEEN ± INTERVAL` join)
     * onto Spark-parsable equivalents, applied before routing:
     *  - `JSON_OBJECT('k' VALUE v, ...)` → `to_json(named_struct('k', v, ...))`
     *    (README.md:434-439; Spark has no VALUE syntax).
@@ -432,7 +434,156 @@ class GraftSql(
     *    [[registerSearchCorpus]].
     */
   private def rewriteDml(sql: String): String =
-    rewriteLateral(rewriteJsonObject(sql))
+    rewriteInterval(rewriteAsof(rewriteLateral(rewriteJsonObject(sql))))
+
+  /** `FROM l [AS a] ASOF [LEFT] JOIN r [AS b] ON a.k = b.k AND a.ts >= b.ts`
+    * (DuckDB's spelling; `<=` flips to the forward direction) →
+    * [[graft.operators.AsofJoin.asofLeft]] materialized as a temp view
+    * aliased with the left alias. The view carries the left columns plus
+    * every right column that doesn't collide (the right's own key/ts
+    * arrive through the left side) — so the SELECT list references right
+    * payloads unqualified or through the left alias. Plain ASOF JOIN is
+    * inner (unmatched left rows drop); ASOF LEFT JOIN keeps them with
+    * null payloads.
+    */
+  private def rewriteAsof(sql: String): String = {
+    val m = AsofJoinRe.findFirstMatchIn(sql)
+    if (m.isEmpty) return sql
+    val mm = m.get
+    val lt = mm.group(1).replace("`", "")
+    val la = Option(mm.group(2)).getOrElse(lt.substring(lt.lastIndexOf('.') + 1))
+    val isLeft = mm.group(3) != null
+    val rt = mm.group(4).replace("`", "")
+    val ra = Option(mm.group(5)).getOrElse(rt.substring(rt.lastIndexOf('.') + 1))
+    val conds = splitTopLevelAnd(mm.group(6))
+    require(conds.length == 2,
+      s"ASOF JOIN expects exactly `key = key AND ts >= ts` in ON, got: ${mm.group(6)}")
+    val QualRef = """(?s)^\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*(=|>=|<=)\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*$""".r
+    def parse(c: String): (String, String, String, String, String) = c match {
+      case QualRef(q1, c1, op, q2, c2) => (q1, c1, op, q2, c2)
+      case _ => throw new IllegalArgumentException(
+        s"ASOF JOIN ON terms must be alias-qualified comparisons, got: $c")
+    }
+    val parsed = conds.map(parse)
+    val eq = parsed.find(_._3 == "=").getOrElse(throw new IllegalArgumentException(
+      s"ASOF JOIN needs one equality key term: ${mm.group(6)}"))
+    val ineq = parsed.find(p => p._3 == ">=" || p._3 == "<=")
+      .getOrElse(throw new IllegalArgumentException(
+        s"ASOF JOIN needs one >=/<= time term: ${mm.group(6)}"))
+    def isL(q: String) = q.equalsIgnoreCase(la)
+    def isR(q: String) = q.equalsIgnoreCase(ra)
+    require((isL(eq._1) || isR(eq._1)) && (isL(eq._4) || isR(eq._4)) &&
+      (isL(ineq._1) || isR(ineq._1)) && (isL(ineq._4) || isR(ineq._4)),
+      s"ASOF JOIN ON terms must reference $la/$ra")
+    val (lKey, rKey) = if (isL(eq._1)) (eq._2, eq._5) else (eq._5, eq._2)
+    // orient the inequality so the left table's ts is on the LHS
+    val (lts, rts, op) =
+      if (isL(ineq._1)) (ineq._2, ineq._5, ineq._3)
+      else (ineq._5, ineq._2, if (ineq._3 == ">=") "<=" else ">=")
+    val direction = if (op == ">=") "backward" else "forward"
+    val left = spark.table(lt)
+    val right0 = spark.table(rt)
+    require(rKey == lKey || !right0.columns.contains(lKey),
+      s"ASOF JOIN: cannot align key $rKey to $lKey — right already has $lKey")
+    val right = if (rKey == lKey) right0 else right0.withColumnRenamed(rKey, lKey)
+    import org.apache.spark.sql.functions.col
+    // the right ts rides along under a reserved name: inner semantics
+    // filter on it (matched == non-null ts carried from the right row)
+    val rtsTagged = right.withColumn("__asof_matched_ts", col(rts))
+    val payload = right.columns
+      .filterNot(c => c == lKey || left.columns.contains(c)).toSeq :+ "__asof_matched_ts"
+    val joined = graft.operators.AsofJoin.asofLeft(
+      left, rtsTagged, lKey, lts, rts, payload, direction)
+    val df = (if (isLeft) joined
+              else joined.filter(col("__asof_matched_ts").isNotNull))
+      .drop("__asof_matched_ts")
+    val view = s"graft_asof_${fedViewCounter.incrementAndGet()}"
+    df.createOrReplaceTempView(view)
+    rewriteAsof(sql.substring(0, mm.start) + s" FROM $view AS $la " +
+      sql.substring(mm.end))
+  }
+
+  /** Flink's batch interval-join spelling — `FROM a JOIN b ON a.k = b.k
+    * AND a.ts BETWEEN b.ts - INTERVAL 'n' <unit> AND b.ts + INTERVAL 'n'
+    * <unit>` (symmetric bounds) → [[graft.operators.IntervalJoin.within]]
+    * via a temp view, avoiding the broadcast-nested-loop plan Spark
+    * would pick for the raw range predicate. Left columns keep their
+    * names; colliding right columns surface as `<rightAlias>_<col>`.
+    */
+  private def rewriteInterval(sql: String): String = {
+    val m = IntervalJoinRe.findFirstMatchIn(sql)
+    if (m.isEmpty) return sql
+    val mm = m.get
+    val lt = mm.group(1).replace("`", "")
+    val la = Option(mm.group(2)).getOrElse(lt.substring(lt.lastIndexOf('.') + 1))
+    val rt = mm.group(3).replace("`", "")
+    val ra = Option(mm.group(4)).getOrElse(rt.substring(rt.lastIndexOf('.') + 1))
+    val (k1q, k1, k2q, k2) = (mm.group(5), mm.group(6), mm.group(7), mm.group(8))
+    val (t1q, t1) = (mm.group(9), mm.group(10))
+    val (t2q, t2) = (mm.group(11), mm.group(12))
+    val (n1, u1, t3q, t3, n2, u2) =
+      (mm.group(13).toLong, mm.group(14), mm.group(15), mm.group(16),
+        mm.group(17).toLong, mm.group(18))
+    require(t2q == t3q && t2 == t3 && n1 == n2 && u1.equalsIgnoreCase(u2),
+      "interval join expects symmetric BETWEEN x - INTERVAL d AND x + INTERVAL d bounds")
+    val gapSeconds = n1 * (u1.toUpperCase match {
+      case "SECOND" | "SECONDS" => 1L
+      case "MINUTE" | "MINUTES" => 60L
+      case "HOUR" | "HOURS"     => 3600L
+      case "DAY" | "DAYS"       => 86400L
+      case u => throw new IllegalArgumentException(s"unsupported INTERVAL unit $u")
+    })
+    def isL(q: String) = q.equalsIgnoreCase(la)
+    def isR(q: String) = q.equalsIgnoreCase(ra)
+    require((isL(k1q) || isR(k1q)) && (isL(k2q) || isR(k2q)) &&
+      (isL(t1q) || isR(t1q)) && (isL(t2q) || isR(t2q)),
+      s"interval join ON terms must reference $la/$ra")
+    val (lKey, rKey) = if (isL(k1q)) (k1, k2) else (k2, k1)
+    val (lts, rts) = if (isL(t1q)) (t1, t2) else (t2, t1)
+    val left = spark.table(lt)
+    val right0 = spark.table(rt)
+    require(rKey == lKey || !right0.columns.contains(lKey),
+      s"interval join: cannot align key $rKey to $lKey — right already has $lKey")
+    val right = if (rKey == lKey) right0 else right0.withColumnRenamed(rKey, lKey)
+    import org.apache.spark.sql.functions.col
+    // colliding right payloads surface as <rightAlias>_<col> (the right
+    // ts included), so both sides' columns stay addressable in the SELECT
+    val renames = right.columns.filterNot(_ == lKey).collect {
+      case c if left.columns.contains(c) => c -> s"${ra}_$c"
+    }.toMap
+    val rRenamed = renames.foldLeft(right) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to) }
+    val payload = rRenamed.columns.filterNot(_ == lKey).toSeq
+    val df = graft.operators.IntervalJoin.within(
+      left, rRenamed, lKey, lts, renames.getOrElse(rts, rts), gapSeconds, payload)
+    val view = s"graft_interval_${fedViewCounter.incrementAndGet()}"
+    df.createOrReplaceTempView(view)
+    rewriteInterval(sql.substring(0, mm.start) + s" FROM $view AS $la " +
+      sql.substring(mm.end))
+  }
+
+  /** Split on top-level AND (quote/paren aware). */
+  private def splitTopLevelAnd(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inQuote = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false; i += 1 }
+      else c match {
+        case '\'' => inQuote = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ if depth == 0 && (c == 'a' || c == 'A') &&
+            s.regionMatches(true, i, "AND", 0, 3) &&
+            (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+            (i + 3 >= s.length || !s.charAt(i + 3).isLetterOrDigit) =>
+          out += s.substring(start, i); start = i + 3; i += 3
+        case _ => i += 1
+      }
+    }
+    out += s.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
 
   private def rewriteJsonObject(sql: String): String = {
     // quote-aware seed: a string literal containing "json_object(" must
@@ -686,6 +837,21 @@ object GraftSql {
     """(?is)^\s*RESET\s+'([^']+)'\s*;?\s*$""".r
   private val InsertValuesRe =
     """(?is)^\s*INSERT\s+INTO\s+`?([\w.-]+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(\(.*\))\s*;?\s*$""".r
+  // DuckDB's ASOF [LEFT] JOIN spelling; the ON clause runs to the next
+  // top-level clause keyword (or end of statement)
+  private[sql] val AsofJoinRe =
+    ("""(?is)\bFROM\s+`?([\w.]+)`?(?:\s+(?:AS\s+)?(?!ASOF\b)(\w+))?""" +
+      """\s+ASOF\s+(LEFT\s+)?JOIN\s+`?([\w.]+)`?(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?""" +
+      """\s+ON\s+(.*?)(?=\s+(?:WHERE|GROUP|ORDER|LIMIT|HAVING)\b|\s*;?\s*$)""").r
+  // Flink's symmetric-BETWEEN interval join: k = k AND ts BETWEEN
+  // ts - INTERVAL 'n' unit AND ts + INTERVAL 'n' unit
+  private[sql] val IntervalJoinRe =
+    ("""(?is)\bFROM\s+`?([\w.]+)`?(?:\s+(?:AS\s+)?(?!JOIN\b)(\w+))?""" +
+      """\s+JOIN\s+`?([\w.]+)`?(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+ON\s+""" +
+      """`?(\w+)`?\s*\.\s*`?(\w+)`?\s*=\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s+AND\s+""" +
+      """`?(\w+)`?\s*\.\s*`?(\w+)`?\s+BETWEEN\s+`?(\w+)`?\s*\.\s*`?(\w+)`?\s*-\s*""" +
+      """INTERVAL\s*'(\d+)'\s*(\w+)\s+AND\s+""" +
+      """`?(\w+)`?\s*\.\s*`?(\w+)`?\s*\+\s*INTERVAL\s*'(\d+)'\s*(\w+)""").r
   private[sql] val LateralRe =
     """(?is)\bFROM\s+(`?[\w.]+`?)\s*,\s*LATERAL\s+TABLE\s*\(\s*(ML_PREDICT|FEDERATED_SEARCH)\b""".r
 

@@ -100,4 +100,26 @@ class AsofJoinSpec extends SparkSpec {
       .select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(got == Map(1L -> "fw5", 2L -> "bw5", 3L -> "bw6", 4L -> "fw7"))
   }
+
+  test("null timestamps match nothing on either side (SQL ASOF semantics)") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, null.asInstanceOf[Timestamp]), // null left ts -> no match
+      (3L, 20L, ts("2024-01-01 09:00:00")))
+      .toDF("id", "key", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), "a"),
+      (10L, null.asInstanceOf[Timestamp], "poison"), // must donate to no one
+      (20L, null.asInstanceOf[Timestamp], "poison2"))
+      .toDF("key", "t", "tag")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val got = AsofJoin.asofLeft(left, right, "key", "t", "t", Seq("tag"),
+        direction = dir)
+        .select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got(2L) == null, s"$dir: null left ts must yield null payload")
+      assert(got(3L) == null, s"$dir: null right ts must not donate a payload")
+      if (dir != "forward")
+        assert(got(1L) == "a", s"$dir: real match must survive the null filter")
+    }
+  }
 }

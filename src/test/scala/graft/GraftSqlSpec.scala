@@ -741,6 +741,64 @@ values (
     assert(plain.map(_.getString(0)).toSet == Set("a", "b"))
   }
 
+  test("ASOF JOIN statements route to AsofJoin with DuckDB semantics") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val g = facade()
+    Seq((1L, 10L, ts("2024-01-01 10:00:00")),
+        (2L, 10L, ts("2024-01-01 12:00:00")),
+        (3L, 20L, ts("2024-01-01 09:00:00")))
+      .toDF("id", "k", "t").createOrReplaceTempView("asof_l")
+    Seq((10L, ts("2024-01-01 09:30:00"), "a"),
+        (10L, ts("2024-01-01 11:00:00"), "b"),
+        (20L, ts("2024-01-01 09:30:00"), "c"))
+      .toDF("k", "t", "tag").createOrReplaceTempView("asof_r")
+    // LEFT keeps unmatched rows with null payload
+    val leftJoin = g.execute(
+      """SELECT id, tag FROM asof_l l ASOF LEFT JOIN asof_r r
+         ON l.k = r.k AND l.t >= r.t ORDER BY id""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(leftJoin == Seq((1L, "a"), (2L, "b"), (3L, null)))
+    // plain ASOF JOIN is inner: row 3 (no signup before it) drops
+    val inner = g.execute(
+      """SELECT id, tag FROM asof_l l ASOF JOIN asof_r r
+         ON l.k = r.k AND l.t >= r.t ORDER BY id""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(inner == Seq((1L, "a"), (2L, "b")))
+    // <= flips to the forward direction
+    val fwd = g.execute(
+      """SELECT id, tag FROM asof_l l ASOF LEFT JOIN asof_r r
+         ON l.k = r.k AND l.t <= r.t ORDER BY id""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(fwd == Seq((1L, "b"), (2L, null), (3L, "c")))
+    // malformed ON fails loudly, not silently wrong
+    intercept[IllegalArgumentException](g.execute(
+      "SELECT id FROM asof_l l ASOF JOIN asof_r r ON l.k = r.k"))
+  }
+
+  test("symmetric BETWEEN join statements route to the bucketed IntervalJoin") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val g = facade()
+    Seq((1L, 10L, ts("2024-01-01 10:00:00")),
+        (2L, 10L, ts("2024-01-01 10:00:30")),
+        (3L, 10L, ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "t").createOrReplaceTempView("iv_l")
+    val got = g.execute(
+      """SELECT event_id, b_event_id AS event_id2 FROM iv_l a JOIN iv_l b
+         ON a.user_id = b.user_id
+         AND a.t BETWEEN b.t - INTERVAL '1' MINUTE AND b.t + INTERVAL '1' MINUTE
+         WHERE event_id < b_event_id ORDER BY event_id, event_id2""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L))) // rows 1,2 within 60s; row 3 is 2h away
+    // asymmetric bounds are rejected, not silently approximated
+    intercept[IllegalArgumentException](g.execute(
+      """SELECT event_id FROM iv_l a JOIN iv_l b ON a.user_id = b.user_id
+         AND a.t BETWEEN b.t - INTERVAL '1' MINUTE AND b.t + INTERVAL '2' MINUTE"""))
+  }
+
   test("json_object inside a string literal is not rewritten") {
     val g = facade()
     val r = g.execute(
