@@ -301,33 +301,91 @@ class TopicCatalog(spark: SparkSession, root: String) {
   /** Shared compaction protocol: recover pending work, snapshot the
     * LISTED originals through `transform`, stage, commit (see
     * [[compact]] for the crash contract).
+    *
+    * SINGLE ACTIVE COMPACTOR per topic, enforced — not assumed. Two
+    * concurrent compactions would each treat the other's live
+    * (pre-MANIFEST) staging dir as crashed and roll it back, and both
+    * could commit full snapshots of the same originals, permanently
+    * duplicating every record of a plain compaction. Serialization is
+    * two-level: a JVM-wide monitor keyed by the topic directory (all
+    * catalog instances in one process queue up), plus an on-disk
+    * `.compact.lock` lease (atomic CREATE_NEW; dot-prefixed so readers
+    * skip it) that makes a compactor in ANOTHER process fail fast
+    * instead of corrupting. A crashed compactor's lock expires after
+    * [[TopicCatalog.CompactionLeaseMillis]] and is taken over; its
+    * staging is then rolled back/forward by [[recoverCompactions]],
+    * which only ever runs with the lock held — so an un-manifested
+    * staging dir seen there is always dead, never a live peer's.
     */
   private def runCompaction(name: String, transform: DataFrame => DataFrame,
       targetFiles: Int): Int = {
     val readSchema = schemaOf(name) // existence check
     val topicDir = Paths.get(dir(name))
-    recoverCompactions(topicDir)
-    val originals = listJson(topicDir)
-    if (originals.isEmpty) { refreshView(name); return 0 }
-    // snapshot ONLY the listed files: concurrent produces stay untouched
-    val snap = spark.read.schema(readSchema)
-      .json(originals.map(_.toString): _*)
-    val staged = Files.createTempDirectory(topicDir, ".compact-")
-    transform(snap).coalesce(targetFiles)
-      .write.option("timestampFormat", TopicCatalog.TsWriteFormat)
-      .mode("overwrite").json(staged.toString)
-    // the MANIFEST is the commit point, so it must APPEAR atomically:
-    // write to a temp name, then rename (atomic on one filesystem) — a
-    // torn manifest would otherwise roll forward with a partial
-    // originals list and bake the unlisted ones in as duplicates
-    val tmp = staged.resolve("MANIFEST.tmp")
-    Files.write(tmp,
-      originals.map(_.getFileName.toString).mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, staged.resolve("MANIFEST"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    commitCompaction(topicDir, staged, originals)
-    refreshView(name)
-    originals.size
+    TopicCatalog.compactionMonitor(topicDir).synchronized {
+      val lockFile = topicDir.resolve(".compact.lock")
+      acquireCompactionLock(name, lockFile)
+      try {
+        recoverCompactions(topicDir)
+        val originals = listJson(topicDir)
+        if (originals.isEmpty) { refreshView(name); return 0 }
+        // snapshot ONLY the listed files: concurrent produces stay untouched
+        val snap = spark.read.schema(readSchema)
+          .json(originals.map(_.toString): _*)
+        val staged = Files.createTempDirectory(topicDir, ".compact-")
+        try {
+          transform(snap).coalesce(targetFiles)
+            .write.option("timestampFormat", TopicCatalog.TsWriteFormat)
+            .mode("overwrite").json(staged.toString)
+          // the MANIFEST is the commit point, so it must APPEAR atomically:
+          // write to a temp name, then rename (atomic on one filesystem) — a
+          // torn manifest would otherwise roll forward with a partial
+          // originals list and bake the unlisted ones in as duplicates
+          val tmp = staged.resolve("MANIFEST.tmp")
+          Files.write(tmp,
+            originals.map(_.getFileName.toString).mkString("\n").getBytes("UTF-8"))
+          Files.move(tmp, staged.resolve("MANIFEST"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          case e: Throwable =>
+            // failed before the commit point: roll back NOW rather than
+            // leaving staging for the next compaction's recovery
+            if (!Files.exists(staged.resolve("MANIFEST"))) {
+              listDir(staged).foreach(Files.deleteIfExists(_))
+              Files.deleteIfExists(staged)
+            }
+            throw e
+        }
+        commitCompaction(topicDir, staged, originals)
+        refreshView(name)
+        originals.size
+      } finally Files.deleteIfExists(lockFile)
+    }
+  }
+
+  /** Take the on-disk compaction lease: atomic create wins; an existing
+    * lock younger than the lease means a LIVE compactor in another
+    * process (fail fast — running anyway would corrupt, see
+    * [[runCompaction]]); an older one is a crashed compactor's leftover
+    * and is taken over.
+    */
+  private def acquireCompactionLock(name: String,
+      lockFile: java.nio.file.Path): Unit = {
+    val id = s"${ProcessHandle.current().pid()}\n".getBytes("UTF-8")
+    def tryCreate(): Boolean =
+      try { Files.write(lockFile, id, StandardOpenOption.CREATE_NEW); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (tryCreate()) return
+    val age = try
+      System.currentTimeMillis() - Files.getLastModifiedTime(lockFile).toMillis
+    catch { case _: java.io.IOException => Long.MaxValue } // vanished: stale
+    if (age < TopicCatalog.CompactionLeaseMillis)
+      throw new IllegalStateException(
+        s"compaction already in progress on topic $name (lock $lockFile, " +
+          s"age ${age / 1000}s < lease ${TopicCatalog.CompactionLeaseMillis / 1000}s)")
+    Files.deleteIfExists(lockFile) // stale: crashed compactor — take over
+    if (!tryCreate())
+      throw new IllegalStateException(
+        s"compaction already in progress on topic $name (lost lock race)")
   }
 
   /** Produce a CDC-style tombstone: the record that deletes `key` under
@@ -396,6 +454,20 @@ class TopicCatalog(spark: SparkSession, root: String) {
 object TopicCatalog {
   /** The implicit Kafka record key on every topic table (README.md:551). */
   val KeyField: StructField = StructField("key", BinaryType, nullable = true)
+
+  /** In-process compaction serialization: one monitor per topic
+    * directory, shared by every catalog instance in the JVM.
+    */
+  private val compactionMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def compactionMonitor(d: java.nio.file.Path): Object =
+    compactionMonitors.computeIfAbsent(
+      d.toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** A crashed compactor's on-disk `.compact.lock` goes stale (and is
+    * taken over) after this; live compactions here run in seconds.
+    */
+  private[sources] val CompactionLeaseMillis: Long = 10 * 60 * 1000L
 
   /** JSON write format for timestamp fields: full microsecond precision.
     * Spark's default JSON `timestampFormat` truncates to milliseconds on

@@ -302,6 +302,49 @@ class SourcesSpec extends SparkSpec {
     assert(c.table("t").select("name").collect().map(_.getString(0)).toSet == after)
   }
 
+  test("compactions serialize: concurrent compacts never duplicate records") {
+    val root = Files.createTempDirectory("graft_serial").toString
+    val c = new TopicCatalog(spark, root)
+    c.create("t", StructType(Seq(
+      StructField("name", StringType), StructField("version", LongType))))
+    (1 to 20).foreach(i => c.produceJson("t", Seq(s"""{"name":"r$i","version":$i}""")))
+    // two racing compactors in one JVM: the per-topic-dir monitor
+    // serializes them — without it, each would roll back the other's
+    // live staging and/or double-commit the same originals, baking
+    // every record in twice
+    import scala.jdk.CollectionConverters._
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 2).map { _ =>
+      new Thread(() =>
+        try c.compact("t")
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"serialized compactions must both succeed: ${errs.asScala.headOption}")
+    val rows = c.table("t").select("name").collect().map(_.getString(0)).toSeq
+    assert(rows.sorted == (1 to 20).map(i => s"r$i").sorted,
+      "concurrent compaction lost or duplicated records")
+  }
+
+  test("cross-process compaction lock: fresh lock fails fast, stale lock is taken over") {
+    val root = Files.createTempDirectory("graft_lock").toString
+    val c = new TopicCatalog(spark, root)
+    c.create("t", StructType(Seq(StructField("name", StringType))))
+    c.produceJson("t", Seq("""{"name":"a"}""", """{"name":"b"}"""))
+    val lock = java.nio.file.Paths.get(s"$root/t/.compact.lock")
+    // another process's LIVE lock (fresh mtime): compact refuses
+    Files.write(lock, "99999\n".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](c.compact("t"))
+    assert(e.getMessage.contains("already in progress"))
+    // a CRASHED process's lock (stale mtime): compact takes over
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 11 * 60 * 1000L))
+    assert(c.compact("t") > 0)
+    assert(!Files.exists(lock), "lock must be released after compaction")
+    assert(c.table("t").count() == 2)
+  }
+
   test("timestamps survive the topic JSON encoding at microsecond precision") {
     val c = catalog()
     c.create("stamped", StructType(Seq(
