@@ -80,13 +80,43 @@ class TopicCatalog(spark: SparkSession, root: String) {
   }
 
   private def validateConfigs(name: String, schema: StructType,
-      props: Map[String, String]): Unit =
+      props: Map[String, String]): Unit = {
     if (props.get("cleanup.policy").contains("compact")) {
       val ordering = compactionOrdering(props)
       require(ordering.nonEmpty,
         s"topic $name: cleanup.policy=compact requires 'compaction.ordering'")
       ordering.foreach(c => require(schema.fieldNames.contains(c),
         s"topic $name: compaction.ordering column '$c' not in schema"))
+    }
+    props.get("partition.by").foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"topic $name: partition.by column '$c' not in schema"))
+      require(f.dataType == TimestampType || f.dataType == DateType,
+        s"topic $name: partition.by column '$c' must be TIMESTAMP or DATE, " +
+          s"got ${f.dataType.simpleString}")
+      require(!schema.fieldNames.contains(TopicCatalog.PartitionDirField),
+        s"topic $name: column name '${TopicCatalog.PartitionDirField}' is " +
+          "reserved for the partition directory of a partitioned topic")
+    }
+  }
+
+  /** The declared ingest-time partition column, if the topic is
+    * partitioned (`'partition.by'='<ts col>'`). Records land in
+    * `ingest_dt=YYYY-MM-DD/` subdirectories derived from it — the
+    * at-rest layout that lets retention and date-bounded scans prune
+    * whole directories at file-listing time instead of reading 100 TB
+    * to filter it (Kafka's segment-level retention; a warehouse's date
+    * partitions).
+    */
+  def partitionFieldOf(name: String): Option[String] =
+    configsOf(name).get("partition.by")
+
+  private def withPartitionDir(name: String, df: DataFrame): DataFrame =
+    partitionFieldOf(name) match {
+      case Some(ts) => df.withColumn(TopicCatalog.PartitionDirField,
+        date_format(col(ts), "yyyy-MM-dd"))
+      case None => df
     }
 
   /** Declared topic configs (empty map for pre-config topics). */
@@ -137,6 +167,7 @@ class TopicCatalog(spark: SparkSession, root: String) {
           s"evolve $name: incompatible type change for '${f.name}' " +
             s"(${f.dataType.simpleString} -> ${kept.dataType.simpleString})")
     }
+    validateConfigs(name, newSchema, configsOf(name))
     registry(name) = newSchema
     refreshView(name)
   }
@@ -157,13 +188,68 @@ class TopicCatalog(spark: SparkSession, root: String) {
   /** Schema-on-read scan of the topic (schemaless bytes + registered
     * schema, SURVEY §1.2). PERMISSIVE like Flink's registry decode:
     * fields absent from a record read as null; extra fields are ignored.
+    * recursiveFileLookup reaches into `ingest_dt=` partition dirs
+    * without partition-column inference (the partition value is derived
+    * pruning metadata — every record keeps its full payload in-file).
     */
   def table(name: String): DataFrame =
-    spark.read.schema(schemaOf(name)).json(dir(name))
+    spark.read.schema(schemaOf(name))
+      .option("recursiveFileLookup", "true").json(dir(name))
 
   /** Streaming scan — the "dynamic" in dynamic table (ST1). */
   def stream(name: String): DataFrame =
-    spark.readStream.schema(schemaOf(name)).json(dir(name))
+    spark.readStream.schema(schemaOf(name))
+      .option("recursiveFileLookup", "true").json(dir(name))
+
+  /** Date-bounded scan of a partitioned topic that PRUNES AT LISTING
+    * TIME: only `ingest_dt=` directories inside [fromDate, toDate]
+    * (inclusive, `yyyy-MM-dd`) are handed to the reader — plus any
+    * unpartitioned stragglers for correctness — and the declared
+    * partition column's predicate is re-applied, so the slice is exact
+    * even for records whose file placement predates partitioning. At
+    * 100 TB this is the difference between statting three directories
+    * and statting the topic.
+    */
+  def tableSlice(name: String, fromDate: String, toDate: String): DataFrame = {
+    val ts = partitionFieldOf(name).getOrElse(throw new IllegalArgumentException(
+      s"tableSlice $name: topic has no 'partition.by' config"))
+    val topicDir = Paths.get(dir(name))
+    val matching = listDir(topicDir).filter { p =>
+      val n = p.getFileName.toString
+      Files.isDirectory(p) && n.startsWith(TopicCatalog.PartitionDirPrefix) && {
+        val v = n.stripPrefix(TopicCatalog.PartitionDirPrefix)
+        v >= fromDate && v <= toDate
+      }
+    }
+    // top-level stragglers (records written before the topic was
+    // partitioned) can hold any date — include them, the filter decides
+    val loose = listDir(topicDir).filter(p =>
+      !Files.isDirectory(p) && p.getFileName.toString.endsWith(".json"))
+    val files = (matching.flatMap(d => listJsonUnder(d)) ++ loose).map(_.toString)
+    val slice =
+      if (files.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](), schemaOf(name))
+      else spark.read.schema(schemaOf(name)).json(files: _*)
+    slice.filter(date_format(col(ts), "yyyy-MM-dd").between(fromDate, toDate))
+  }
+
+  /** Kafka-style time retention for a partitioned topic: drop whole
+    * `ingest_dt=` directories strictly before `beforeDate` WITHOUT
+    * reading a record. Returns the number of partitions removed.
+    */
+  def expirePartitions(name: String, beforeDate: String): Int = {
+    partitionFieldOf(name).getOrElse(throw new IllegalArgumentException(
+      s"expirePartitions $name: topic has no 'partition.by' config"))
+    val topicDir = Paths.get(dir(name))
+    val expired = listDir(topicDir).filter { p =>
+      val n = p.getFileName.toString
+      Files.isDirectory(p) && n.startsWith(TopicCatalog.PartitionDirPrefix) &&
+        n.stripPrefix(TopicCatalog.PartitionDirPrefix) < beforeDate
+    }
+    expired.foreach(deleteRecursively)
+    refreshView(name)
+    expired.size
+  }
 
   /** The SQL temp view snapshots the file listing at registration time;
     * re-register after every produce/insert so `spark.sql` over the view
@@ -173,13 +259,24 @@ class TopicCatalog(spark: SparkSession, root: String) {
   def refreshView(name: String): Unit =
     table(name).createOrReplaceTempView(name)
 
-  /** Manual produce (S5): append raw JSON records (one per line). */
+  /** Manual produce (S5): append raw JSON records (one per line). On a
+    * partitioned topic the records route through the typed insert so
+    * they land in their `ingest_dt=` directory (unpartitioned topics
+    * keep the raw byte-append, preserving unknown fields for
+    * schema-on-read).
+    */
   def produceJson(name: String, records: Seq[String]): Unit = {
     valueSchemaOf(name) // existence check
-    val path = Paths.get(dir(name), s"produce-${System.nanoTime()}.json")
-    Files.write(path, records.mkString("", "\n", "\n").getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    refreshView(name)
+    if (partitionFieldOf(name).isDefined) {
+      import spark.implicits._
+      insertInto(name,
+        spark.read.schema(schemaOf(name)).json(spark.createDataset(records)))
+    } else {
+      val path = Paths.get(dir(name), s"produce-${System.nanoTime()}.json")
+      Files.write(path, records.mkString("", "\n", "\n").getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      refreshView(name)
+    }
   }
 
   /** INSERT INTO ... VALUES (S7): typed rows against the declared value
@@ -206,8 +303,12 @@ class TopicCatalog(spark: SparkSession, root: String) {
     if (missing.nonEmpty || extra.nonEmpty)
       throw new IllegalArgumentException(
         s"insert into $name: schema mismatch (missing=$missing, unexpected=$extra)")
-    df.select(targetNames.map(col): _*)
-      .write.option("timestampFormat", TopicCatalog.TsWriteFormat)
+    val out = withPartitionDir(name, df.select(targetNames.map(col): _*))
+    val writer = partitionFieldOf(name) match {
+      case Some(_) => out.write.partitionBy(TopicCatalog.PartitionDirField)
+      case None => out.write
+    }
+    writer.option("timestampFormat", TopicCatalog.TsWriteFormat)
       .mode("append").json(dir(name))
     refreshView(name)
   }
@@ -248,18 +349,29 @@ class TopicCatalog(spark: SparkSession, root: String) {
   def compact(name: String, targetFiles: Int = 1): Int =
     runCompaction(name, identity, targetFiles)
 
-  /** List the topic's record files, closing the directory stream. */
-  private def listJson(topicDir: java.nio.file.Path): Vector[java.nio.file.Path] = {
-    val s = Files.list(topicDir)
-    try s.iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".json") && !Files.isDirectory(p))
-      .toVector
-    finally s.close()
-  }
+  /** List the topic's record files — top level plus `ingest_dt=`
+    * partition dirs; dot-prefixed staging stays invisible.
+    */
+  private def listJson(topicDir: java.nio.file.Path): Vector[java.nio.file.Path] =
+    listJsonUnder(topicDir)
+
+  private def listJsonUnder(d: java.nio.file.Path): Vector[java.nio.file.Path] =
+    listDir(d).flatMap { p =>
+      val n = p.getFileName.toString
+      if (Files.isDirectory(p))
+        if (n.startsWith(".")) Vector.empty else listJsonUnder(p)
+      else if (n.endsWith(".json")) Vector(p)
+      else Vector.empty
+    }
 
   private def listDir(d: java.nio.file.Path): Vector[java.nio.file.Path] = {
     val s = Files.list(d)
     try s.iterator().asScala.toVector finally s.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
   }
 
   /** Complete or discard compactions interrupted by a crash: a staging
@@ -273,9 +385,10 @@ class TopicCatalog(spark: SparkSession, root: String) {
       .foreach { staged =>
         val manifest = staged.resolve("MANIFEST")
         if (!Files.exists(manifest)) {
-          listDir(staged).foreach(Files.deleteIfExists(_))
-          Files.deleteIfExists(staged)
+          deleteRecursively(staged)
         } else {
+          // manifest lines are topic-dir-RELATIVE paths (plain files at
+          // the top level, `ingest_dt=.../file` under partitioning)
           val originals = Files.readAllLines(manifest).asScala
           commitCompaction(topicDir, staged, originals.toVector.map(topicDir.resolve(_)))
         }
@@ -283,19 +396,31 @@ class TopicCatalog(spark: SparkSession, root: String) {
 
   /** The commit phase: move staged parts in (deterministic per-part
     * names, so a re-run after a partial commit is idempotent), delete
-    * the manifested originals, drop staging. Safe to re-run.
+    * the manifested originals, drop staging. Safe to re-run. A
+    * partitioned rewrite's parts sit under `ingest_dt=` subdirectories
+    * in staging and keep that placement in the topic, so compaction
+    * preserves the pruning layout.
     */
   private def commitCompaction(topicDir: java.nio.file.Path,
       staged: java.nio.file.Path, originals: Seq[java.nio.file.Path]): Unit = {
     val tag = staged.getFileName.toString.stripPrefix(".compact-")
-    listDir(staged)
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .foreach { p =>
-        Files.move(p, topicDir.resolve(s"compact-$tag-${p.getFileName}.json"))
+    def moveParts(d: java.nio.file.Path): Unit = listDir(d).foreach { p =>
+      val n = p.getFileName.toString
+      if (Files.isDirectory(p)) moveParts(p)
+      else if (n.startsWith("part-")) {
+        val destDir = topicDir.resolve(staged.relativize(p.getParent))
+        Files.createDirectories(destDir)
+        Files.move(p, destDir.resolve(s"compact-$tag-$n.json"))
       }
+    }
+    moveParts(staged)
     originals.foreach(Files.deleteIfExists(_))
-    listDir(staged).foreach(Files.deleteIfExists(_))
-    Files.deleteIfExists(staged)
+    // drop partition dirs the deletes emptied (a keyed rewrite can
+    // concentrate all keys into fewer dates)
+    listDir(topicDir).filter(p => Files.isDirectory(p) &&
+      p.getFileName.toString.startsWith(TopicCatalog.PartitionDirPrefix) &&
+      listDir(p).isEmpty).foreach(Files.deleteIfExists(_))
+    deleteRecursively(staged)
   }
 
   /** Shared compaction protocol: recover pending work, snapshot the
@@ -333,8 +458,12 @@ class TopicCatalog(spark: SparkSession, root: String) {
           .json(originals.map(_.toString): _*)
         val staged = Files.createTempDirectory(topicDir, ".compact-")
         try {
-          transform(snap).coalesce(targetFiles)
-            .write.option("timestampFormat", TopicCatalog.TsWriteFormat)
+          val rewritten = withPartitionDir(name, transform(snap)).coalesce(targetFiles)
+          val writer = partitionFieldOf(name) match {
+            case Some(_) => rewritten.write.partitionBy(TopicCatalog.PartitionDirField)
+            case None => rewritten.write
+          }
+          writer.option("timestampFormat", TopicCatalog.TsWriteFormat)
             .mode("overwrite").json(staged.toString)
           // the MANIFEST is the commit point, so it must APPEAR atomically:
           // write to a temp name, then rename (atomic on one filesystem) — a
@@ -342,17 +471,16 @@ class TopicCatalog(spark: SparkSession, root: String) {
           // originals list and bake the unlisted ones in as duplicates
           val tmp = staged.resolve("MANIFEST.tmp")
           Files.write(tmp,
-            originals.map(_.getFileName.toString).mkString("\n").getBytes("UTF-8"))
+            originals.map(p => topicDir.relativize(p).toString)
+              .mkString("\n").getBytes("UTF-8"))
           Files.move(tmp, staged.resolve("MANIFEST"),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         } catch {
           case e: Throwable =>
             // failed before the commit point: roll back NOW rather than
             // leaving staging for the next compaction's recovery
-            if (!Files.exists(staged.resolve("MANIFEST"))) {
-              listDir(staged).foreach(Files.deleteIfExists(_))
-              Files.deleteIfExists(staged)
-            }
+            if (!Files.exists(staged.resolve("MANIFEST")))
+              deleteRecursively(staged)
             throw e
         }
         commitCompaction(topicDir, staged, originals)
@@ -403,10 +531,9 @@ class TopicCatalog(spark: SparkSession, root: String) {
     require(unknown.isEmpty, s"tombstone $name: unknown ordering fields $unknown")
     val full = StructType(TopicCatalog.KeyField +: schema.fields)
     val row = Row.fromSeq(key +: schema.fields.toSeq.map(f => orderVals.get(f.name).orNull))
-    spark.createDataFrame(java.util.Arrays.asList(row), full)
-      .write.option("timestampFormat", TopicCatalog.TsWriteFormat)
-      .mode("append").json(dir(name))
-    refreshView(name)
+    // through insertInto so a partitioned topic's tombstone lands in its
+    // ingest_dt directory like any other record
+    insertInto(name, spark.createDataFrame(java.util.Arrays.asList(row), full))
   }
 
   /** Keyed (Kafka `cleanup.policy=compact`) compaction: rewrite the
@@ -468,6 +595,14 @@ object TopicCatalog {
     * taken over) after this; live compactions here run in seconds.
     */
   private[sources] val CompactionLeaseMillis: Long = 10 * 60 * 1000L
+
+  /** Derived partition-directory column of a partitioned topic (never in
+    * the value schema; `partitionBy` consumes it at write time). The dir
+    * prefix deliberately avoids a leading underscore/dot — Spark's file
+    * listing would treat such paths as hidden.
+    */
+  val PartitionDirField: String = "ingest_dt"
+  val PartitionDirPrefix: String = s"$PartitionDirField="
 
   /** JSON write format for timestamp fields: full microsecond precision.
     * Spark's default JSON `timestampFormat` truncates to milliseconds on

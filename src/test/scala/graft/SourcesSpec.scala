@@ -345,6 +345,88 @@ class SourcesSpec extends SparkSpec {
     assert(c.table("t").count() == 2)
   }
 
+  test("partitioned topic: records land in ingest_dt dirs; date slice prunes at listing time") {
+    val root = Files.createTempDirectory("graft_part").toString
+    val c = new TopicCatalog(spark, root)
+    c.create("t", StructType(Seq(
+      StructField("id", LongType), StructField("at", TimestampType))),
+      Map("partition.by" -> "at"))
+    def row(id: Long, d: String) = s"""{"id":$id,"at":"$d 10:00:00"}"""
+    c.produceJson("t", Seq(row(1, "2024-01-01"), row(2, "2024-01-02"), row(3, "2024-01-03")))
+    // layout: one ingest_dt=<date> dir per distinct date
+    import scala.jdk.CollectionConverters._
+    def dirs() = {
+      val s = Files.list(java.nio.file.Paths.get(s"$root/t"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("ingest_dt=")).toVector.sorted
+      finally s.close()
+    }
+    assert(dirs() == Vector("ingest_dt=2024-01-01", "ingest_dt=2024-01-02",
+      "ingest_dt=2024-01-03"))
+    // the full scan sees every record with its payload intact
+    assert(c.table("t").select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // the date-bounded slice READS only the matching partitions' files
+    val slice = c.tableSlice("t", "2024-01-02", "2024-01-03")
+    assert(slice.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    val scanned = slice.inputFiles.toSeq
+    assert(scanned.nonEmpty && scanned.forall(f =>
+      f.contains("ingest_dt=2024-01-02") || f.contains("ingest_dt=2024-01-03")),
+      s"slice must not stat other partitions: $scanned")
+    // partition-level retention deletes whole dirs without reading
+    assert(c.expirePartitions("t", "2024-01-02") == 1)
+    assert(dirs() == Vector("ingest_dt=2024-01-02", "ingest_dt=2024-01-03"))
+    assert(c.table("t").count() == 2)
+    // the schema may not claim the reserved derived column
+    intercept[IllegalArgumentException] {
+      c.create("bad", StructType(Seq(
+        StructField("ingest_dt", StringType), StructField("at", TimestampType))),
+        Map("partition.by" -> "at"))
+    }
+    // partition.by must name a time-typed schema column
+    intercept[IllegalArgumentException] {
+      c.create("bad2", StructType(Seq(StructField("id", LongType))),
+        Map("partition.by" -> "id"))
+    }
+  }
+
+  test("compaction preserves the partition layout (keyed and plain)") {
+    val root = Files.createTempDirectory("graft_part_compact").toString
+    val c = new TopicCatalog(spark, root)
+    c.create("t", StructType(Seq(
+      StructField("name", StringType), StructField("version", LongType),
+      StructField("at", TimestampType))),
+      Map("partition.by" -> "at"))
+    def rec(name: String, v: Long, d: String) =
+      s"""{"key":"${java.util.Base64.getEncoder.encodeToString(name.getBytes)}","name":"$name","version":$v,"at":"$d 10:00:00"}"""
+    // key a: versions on two dates (latest on 01-02); key b: one version
+    c.produceJson("t", Seq(rec("a", 1, "2024-01-01")))
+    c.produceJson("t", Seq(rec("a", 2, "2024-01-02")))
+    c.produceJson("t", Seq(rec("b", 1, "2024-01-01")))
+    assert(c.compactKeyed("t", "version") > 0)
+    val rows = c.table("t").select("name", "version").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("a", 2L), ("b", 1L)))
+    // winners still live under their ingest_dt dirs (pruning preserved)
+    val files = c.table("t").inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(_.contains("ingest_dt=")),
+      s"compacted files must keep the partition layout: $files")
+    val slice = c.tableSlice("t", "2024-01-02", "2024-01-02")
+    assert(slice.select("name").collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(slice.inputFiles.forall(_.contains("ingest_dt=2024-01-02")))
+    // plain small-file compaction on a partitioned topic also keeps dirs
+    val c2root = Files.createTempDirectory("graft_part_compact2").toString
+    val c2 = new TopicCatalog(spark, c2root)
+    c2.create("u", StructType(Seq(
+      StructField("id", LongType), StructField("at", TimestampType))),
+      Map("partition.by" -> "at"))
+    (1 to 6).foreach(i => c2.produceJson("u",
+      Seq(s"""{"id":$i,"at":"2024-01-0${(i % 2) + 1} 10:00:00"}""")))
+    assert(c2.compact("u") > 0)
+    assert(c2.table("u").count() == 6)
+    assert(c2.table("u").inputFiles.forall(_.contains("ingest_dt=")))
+  }
+
   test("timestamps survive the topic JSON encoding at microsecond precision") {
     val c = catalog()
     c.create("stamped", StructType(Seq(
