@@ -88,6 +88,27 @@ object Streams {
       }
       .start()
 
+  /** Continuous IVF-PQ indexing — [[ivfIndexStream]]'s twin for the
+    * composed index family: every micro-batch assigns cells from the
+    * STORED coarse centroids and codes residuals with the STORED
+    * codebooks ([[graft.operators.IvfPqIndex.appendToIndex]]), so new
+    * vectors become searchable through the partition-pruned probe
+    * without any retraining in the stream. Offline `writeIndex` retrains
+    * on its own cadence, exactly the online-append/offline-retrain split
+    * a 100 TB index runs.
+    */
+  def ivfPqIndexStream(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.IvfPqIndex.appendToIndex(batch, idCol, vecCol, indexPath)
+        ()
+      }
+      .start()
+
   /** Continuous tumbling-window counts over an event stream; watermark
     * bounds state (late data beyond `watermark` is dropped — the
     * retention knob the reference sets on its topics, README.md:102).

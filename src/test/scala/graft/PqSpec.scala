@@ -183,6 +183,47 @@ class PqSpec extends SparkSpec {
       PqSearch.encode(bad, "vec_id", "embedding", cb).collect())
   }
 
+  test("ivfPqIndexStream: stream-ingested vectors searchable without retrain") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_stream_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivfpq_stream_ck").toString
+    graft.operators.IvfPqIndex.writeIndex(emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", path, nList = 8, m = 8, kCodes = 16)
+    val modelBefore = spark.read.parquet(s"$path/codebooks").collect()
+      .map(_.toString).sorted
+    // late vectors arrive as files on a stream; the index ingests them
+    // incrementally with the STORED model — no retrain in the stream
+    val late = emb.filter(col("vec_id") >= 400)
+    late.write.mode("overwrite").parquet(srcDir)
+    val stream = graft.streaming.Streams.fileStream(spark, srcDir, late.schema)
+    graft.streaming.Streams.ivfPqIndexStream(stream, "vec_id", "embedding", path, ckpt)
+      .awaitTermination()
+    val modelAfter = spark.read.parquet(s"$path/codebooks").collect()
+      .map(_.toString).sorted
+    assert(modelBefore.sameElements(modelAfter), "stream append must not retrain")
+    // every late vector finds itself through the persisted probe
+    val lateQ = late.limit(5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = graft.operators.IvfPqIndex.searchIndex(spark, path,
+      lateQ, "qid", "qv", emb, "vec_id", "embedding",
+      k = 3, metric = "dot", nProbe = 8, numCandidates = 100).collect()
+    val byQuery = got.groupBy(_.getLong(0))
+    assert(byQuery.size == 5)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.minBy(_.getInt(3)).getLong(1) == q, s"streamed vector $q not found")
+    }
+    // and the probe over the grown index still partition-prunes
+    val probe = graft.operators.IvfPqIndex.searchIndex(spark, path,
+      lateQ.limit(1), "qid", "qv", emb, "vec_id", "embedding",
+      k = 3, metric = "dot", nProbe = 2, numCandidates = 50)
+    val scans = probe.queryExecution.sparkPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft_ivfpq_stream")) => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "probe over the appended index lost partition pruning")
+  }
+
   test("budget and batch bounds are enforced") {
     intercept[IllegalArgumentException](
       PqSearch.pqTopK(queries, "qid", "qv", emb, "vec_id", "embedding",
