@@ -122,6 +122,95 @@ class RobustnessSpec extends SparkSpec {
     assert(hits(guarded) == hits(direct))
   }
 
+  test("1536-dim vectors (the reference's dimensionality, README.md:170) drive the fallback paths") {
+    val dim = 1536
+    // deterministic synthetic corpus on a REAL file source (the byte
+    // guard reads file statistics, which LocalRelation can't exercise),
+    // with 10 planted near-duplicate pairs
+    // fully dense unit vectors (hash-derived, deterministic): sparse or
+    // repetitive values would let parquet compress the corpus under any
+    // realistic byte cap and the guard would never trip
+    def widevec(seed: Long): Array[Float] = {
+      val v = Array.tabulate(dim)(d =>
+        scala.util.hashing.MurmurHash3.stringHash(s"$seed:$d", 7).toFloat / Int.MaxValue)
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      v.map(x => (x / n).toFloat)
+    }
+    val base = (0L until 200L).map(i => (i, widevec(i).toSeq))
+    val dups = (0L until 10L).map { i =>
+      val v = widevec(i)
+      v(0) += 0.01f
+      (1000L + i, v.toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_wide").toString
+    (base ++ dups).toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val emb = spark.read.parquet(dir)
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+    // --- byte guard over real file stats: a cap under the ~1.2 MB of
+    // parquet reroutes to the distributed agg path with identical hits
+    val guarded = VectorSearch.topKBroadcast(queries, "qid", "qv",
+      emb, "vec_id", "embedding", k = 3, maxCorpusBytes = 64L << 10)
+    assert(guarded.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, "expected the topKAgg fallback plan at 1536 dims")
+    val direct = VectorSearch.topKBroadcast(queries, "qid", "qv",
+      emb, "vec_id", "embedding", 3)
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)).toSet).toMap
+    assert(hits(guarded) == hits(direct))
+
+    // --- PQ at 1536 dims (dsub = 192): train, persist, serve; every
+    // query keeps itself in its top-3
+    val cbPath = java.nio.file.Files.createTempDirectory("graft_wide_cb").toString + "/cb"
+    graft.operators.PqSearch.saveCodebooks(spark, cbPath,
+      graft.operators.PqSearch.trainCodebooks(emb, "vec_id", "embedding",
+        m = 8, kCodes = 16, dim = dim))
+    val cb = graft.operators.PqSearch.loadCodebooks(spark, cbPath)
+    assert(cb.dsub == 192)
+    val pq = graft.operators.PqSearch.pqTopK(queries, "qid", "qv",
+      emb, "vec_id", "embedding", k = 3, cb = cb, metric = "dot",
+      numCandidates = 50, maxQueries = 10000).collect()
+    pq.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.exists(_.getLong(1) == q), s"query $q lost itself at 1536 dims")
+    }
+
+    // --- IVF-PQ persisted index at 1536 dims: residual coding + pruned probe
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_wide_idx").toString
+    graft.operators.IvfPqIndex.writeIndex(emb, "vec_id", "embedding", idxPath,
+      nList = 8, m = 8, kCodes = 16, dim = dim)
+    val ivfpq = graft.operators.IvfPqIndex.searchIndex(spark, idxPath,
+      queries, "qid", "qv", emb, "vec_id", "embedding",
+      k = 3, metric = "dot", nProbe = 8, numCandidates = 50)
+    ivfpq.collect().groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.exists(_.getLong(1) == q), s"ivf-pq lost query $q at 1536 dims")
+    }
+
+    // --- embedding near-dup at 1536 dims: exact finds exactly the 10
+    // planted pairs; the LSH twin (wide random hyperplanes) finds them all
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.9)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == (0L until 10L).map(i => (i, 1000L + i)).toSet)
+    val lsh = Dedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding", 0.9,
+      nBits = 4, nTables = 8, dim = dim)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH at 1536 dims missed planted pairs: ${exact -- lsh}")
+  }
+
+  test("bitset ground-truth kernel: byte cap falls back to the relational join, same pairs") {
+    val docs = Tables(spark, sf, "documents").limit(120)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBitset = Dedup.charShingleJaccardPairsBitset(docs, "doc_id", "text", 5, 0.3)
+    // a 1 KB packed-mask cap forces the relational fallback path
+    val viaFallback = Dedup.charShingleJaccardPairsBitset(docs, "doc_id", "text", 5, 0.3,
+      maxPackedBytes = 1024)
+    assert(pairs(viaBitset) == pairs(viaFallback),
+      "bitset kernel and relational fallback disagree")
+  }
+
   test("budget-tuned ANN sizes its candidate pool without running a job") {
     // plan CONSTRUCTION must not scan the corpus: the budget comes from
     // Catalyst statistics (the old form ran corpus.count() per call —
