@@ -1311,8 +1311,11 @@ values (
       val planted = docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(lit("  "), upper(col("text")), lit("   ")).as("text"))
+      // materialized once: the pipeline under test and the oracle-side
+      // window both consume the scored corpus
       val corpus = docs.unionByName(planted)
         .withColumn("__q", TextOps.qualityScore(col("text")))
+        .localCheckpoint()
       val surv = Dedup.dedupPipelineKeepBest(corpus, "doc_id", "text", "__q")
         .select(col("doc_id"), lit(true).as("__s"))
       // one window pass: normText materialized ONCE as a column, both

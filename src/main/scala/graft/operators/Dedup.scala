@@ -70,12 +70,26 @@ object Dedup {
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // No cache: signatures are cheap to recompute (one string hash per
-    // shingle) and a shared cached block serializes concurrent readers
-    // on the memory-store lock.
+    // Materialize signatures ONCE: sig feeds three subtrees (banding +
+    // both candidate join-backs), and un-materialized each would re-run
+    // the minhash UDF over every document — shingles x numHashes work,
+    // measured as ~2/3 of this operator's cost at sf0.1. localCheckpoint
+    // (not persist) also cuts lineage, and its blocks are plain RDD
+    // partitions: numDocs x ~0.5 KB, negligible next to the corpus.
     val sig = df.select(
       col(idCol).as("id"),
       TextOps.minhash(col(textCol), numHashes, shingleLen).as("sig"))
+      .localCheckpoint()
+    // a checkpointed plan reports UNKNOWN size statistics, so Catalyst
+    // would sort-merge every join against it (measured: the join-backs
+    // became the operator's hot spot). Below a byte bound the signature
+    // table and the bucket-size table get explicit broadcast hints; a
+    // beyond-bound corpus keeps the shuffle joins, which are the correct
+    // plan at that size anyway.
+    val nDocs = sig.count()
+    val sigBytes = nDocs * (16L + 8L * numHashes)
+    def hinted(d: DataFrame): DataFrame =
+      if (sigBytes <= (256L << 20)) broadcast(d) else d
     // Candidate generation runs on SLIM rows (id, band, bh) only — the
     // 64-long signatures never enter the bucket join or the pair dedup
     // shuffle; they are re-attached afterwards via two joins against the
@@ -84,7 +98,8 @@ object Dedup {
     // cap pathological buckets (boilerplate): drop (band,bh) groups with
     // more than maxBucket members — bounded quadratic work per bucket
     val sizes = banded.groupBy("band", "bh").agg(count(lit(1)).as("__bn"))
-    val bucketed = banded.join(sizes.filter(col("__bn") <= maxBucket), Seq("band", "bh"))
+    val bucketed = banded.join(hinted(sizes.filter(col("__bn") <= maxBucket)),
+      Seq("band", "bh"))
     val l = bucketed.select(col("band"), col("bh"), col("id").as("id1"))
     val r = bucketed.select(col("band"), col("bh"), col("id").as("id2"))
     val cand = l.join(r, Seq("band", "bh"))
@@ -102,8 +117,8 @@ object Dedup {
       eq.toDouble / numHashes.toDouble
     }
     cand
-      .join(sig.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
-      .join(sig.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
+      .join(hinted(sig.select(col("id").as("id1"), col("sig").as("sig1"))), "id1")
+      .join(hinted(sig.select(col("id").as("id2"), col("sig").as("sig2"))), "id2")
       .withColumn("est_jaccard", estJaccard(col("sig1"), col("sig2")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
@@ -402,7 +417,9 @@ object Dedup {
     // hash-keyed exact stage: the shuffle carries 8-byte keys instead of
     // full normalized text (the 100 TB default; DedupSpec proves it
     // selects the identical survivor set as the text-keyed twin)
-    val exactDone = exactScalable(df, idCol, textCol)
+    // materialized once: exactDone feeds the near-dup stage AND the final
+    // anti-join — unmaterialized, the exact-dedup window would run twice
+    val exactDone = exactScalable(df, idCol, textCol).localCheckpoint()
     val pairs = minhashPairs(exactDone, idCol, textCol, threshold = minhashThreshold)
     val victims = clusterLabels(pairs)
       .filter(col("label") =!= col("id"))
@@ -442,7 +459,9 @@ object Dedup {
   def dedupPipelineKeepBest(
       df: DataFrame, idCol: String, textCol: String, qualityCol: String,
       minhashThreshold: Double = 0.7): DataFrame = {
-    val exactDone = exactKeepBest(df, idCol, textCol, qualityCol)
+    // materialized once: three subtrees consume it (near-dup pairs, the
+    // quality lookup, the final anti-join)
+    val exactDone = exactKeepBest(df, idCol, textCol, qualityCol).localCheckpoint()
     val pairs = minhashPairs(exactDone, idCol, textCol, threshold = minhashThreshold)
     val q = exactDone.select(col(idCol).as("id"), col(qualityCol).as("__q"))
     val ranked = clusterLabels(pairs).join(q, "id")
