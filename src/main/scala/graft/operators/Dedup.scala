@@ -102,10 +102,14 @@ object Dedup {
       Seq("band", "bh"))
     val l = bucketed.select(col("band"), col("bh"), col("id").as("id1"))
     val r = bucketed.select(col("band"), col("bh"), col("id").as("id2"))
+    // duplicates (pairs colliding in several bands, factor <= bands) ride
+    // through to the post-threshold dedup below: scoring a few duplicate
+    // candidates is a cheap map, whereas deduplicating the full
+    // candidate set here would shuffle EVERY candidate before the filter
+    // throws almost all of them away
     val cand = l.join(r, Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
-      .dropDuplicates("id1", "id2")
     // Matching-minhash fraction via a tight primitive loop: zip_with /
     // filter / size are higher-order functions, which Catalyst evaluates
     // interpreted (per-element UnsafeArrayData.get + boxing) — measured
@@ -122,6 +126,9 @@ object Dedup {
       .withColumn("est_jaccard", estJaccard(col("sig1"), col("sig2")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      // band-collision duplicates carry identical estimates, so keeping
+      // an arbitrary one is deterministic
+      .dropDuplicates("id1", "id2")
   }
 
   /** (id, sig) → slim (id, band, bh) LSH-band rows. */
@@ -155,8 +162,11 @@ object Dedup {
       .filter(col("__bn") <= maxBucket)
     val l = l0.join(sizes.select("band", "bh"), Seq("band", "bh"))
     val r = r0.join(sizes.select("band", "bh"), Seq("band", "bh"))
+    // same late-dedup trade as minhashPairs: the final `.distinct()` on
+    // the flagged ids dedups after the threshold filter, so the full
+    // candidate set never shuffles
     val cand = l.join(r, Seq("band", "bh"))
-      .select("id", "store_id").dropDuplicates("id", "store_id")
+      .select("id", "store_id")
     val estJaccard = udf { (a: Seq[Long], b: Seq[Long]) =>
       var eq = 0; var i = 0
       val n = math.min(a.length, b.length)
