@@ -380,8 +380,12 @@ object Dedup {
     * Output: (id, label) for every id that appears in a pair.
     */
   def clusterLabels(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // materialize the pair plan ONCE: the symmetric-edge union references
+    // it twice, and a union's branches do not share work — an expensive
+    // upstream (the banded-LSH candidate pipeline) would run per branch
+    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    val edges = p.select(col("id1").as("a"), col("id2").as("b"))
+      .union(p.select(col("id2").as("a"), col("id1").as("b")))
       .persist()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
