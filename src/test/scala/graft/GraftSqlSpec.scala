@@ -741,6 +741,26 @@ values (
     assert(plain.map(_.getString(0)).toSet == Set("a", "b"))
   }
 
+  test("partition.by DDL: partitioned topics are fully SQL-reachable") {
+    val g = facade()
+    g.execute("""CREATE TABLE `clicks` (
+    `id` BIGINT, `at` TIMESTAMP
+) WITH ('value.format' = 'json-registry', 'partition.by' = 'at');""")
+    g.topics.produceJson("clicks", Seq(
+      """{"id":1,"at":"2024-05-01T10:00:00"}""",
+      """{"id":2,"at":"2024-05-02T10:00:00"}"""))
+    assert(g.execute("SELECT count(*) FROM clicks").head.getLong(0) == 2)
+    // records landed under ingest_dt= dirs; the config shows through
+    // SHOW TBLPROPERTIES; COMPACT preserves the layout
+    val props = g.execute("SHOW TBLPROPERTIES clicks").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("partition.by") == "at")
+    g.execute("COMPACT TABLE clicks")
+    assert(g.topics.table("clicks").inputFiles.forall(_.contains("ingest_dt=")))
+    assert(g.execute("SELECT count(*) FROM clicks").head.getLong(0) == 2)
+    assert(g.topics.tableSlice("clicks", "2024-05-02", "2024-05-02").count() == 1)
+  }
+
   test("ASOF JOIN statements route to AsofJoin with DuckDB semantics") {
     import spark.implicits._
     import java.sql.Timestamp
