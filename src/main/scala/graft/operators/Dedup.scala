@@ -379,11 +379,29 @@ object Dedup {
     *
     * Output: (id, label) for every id that appears in a pair.
     */
-  def clusterLabels(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def clusterLabels(pairs: DataFrame, maxRounds: Int = 50,
+      maxDriverEdges: Long = 1L << 22): DataFrame = {
     // materialize the pair plan ONCE: the symmetric-edge union references
     // it twice, and a union's branches do not share work — an expensive
     // upstream (the banded-LSH candidate pipeline) would run per branch
     val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    // Near-dup graphs are SPARSE relative to the corpus (edge count ~
+    // duplicate mass, not |D|): below the bound, a driver union-find
+    // labels components in one pass over the collected edges — replacing
+    // 2-4 iterative rounds of join+aggregate+count jobs with
+    // microseconds. 4M edges x 16 B = 64 MB, comfortably in-heap; a
+    // denser graph stays on the distributed label-propagation path,
+    // which is the correct plan at that size. Numeric ids only (every
+    // pipeline here keys on a numeric doc id); other id types keep the
+    // generic path.
+    val numericIds = p.schema.fields.forall(f => f.dataType match {
+      case _: org.apache.spark.sql.types.LongType => true
+      case _: org.apache.spark.sql.types.IntegerType => true
+      case _: org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    })
+    val nEdges = p.count()
+    if (numericIds && nEdges <= maxDriverEdges) return clusterLabelsDriver(p)
     val edges = p.select(col("id1").as("a"), col("id2").as("b"))
       .union(p.select(col("id2").as("a"), col("id1").as("b")))
       .persist()
@@ -415,6 +433,42 @@ object Dedup {
         s"clusterLabels did not converge in $maxRounds rounds " +
           s"($changed labels still changing) — raise maxRounds for this graph")
     labels
+  }
+
+  /** Driver union-find over a bounded, materialized (id1, id2) edge
+    * list: each id labels with the MINIMUM id of its connected component
+    * — exactly the fixpoint the distributed label propagation converges
+    * to, without per-round jobs. Path-compressed; the min id is kept as
+    * each set's root, so label assignment is deterministic.
+    */
+  private def clusterLabelsDriver(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.get(x) != x) {
+        parent.put(x, parent.get(parent.get(x))) // path halving
+        x = parent.get(x)
+      }
+      x
+    }
+    val rows = p.collect()
+    rows.foreach { r =>
+      val a = r.get(0).asInstanceOf[Number].longValue
+      val b = r.get(1).asInstanceOf[Number].longValue
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // attach the larger root under the smaller: the component min
+        // stays the root
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet.forEach(id => out += ((id, find(id))))
+    out.toSeq.toDF("id", "label")
   }
 
   /** The full training-data dedup recipe, composed: (1) drop exact

@@ -123,11 +123,26 @@ class DedupSpec extends SparkSpec {
 
   test("clusterLabels surfaces non-convergence instead of truncating") {
     // a 6-link chain needs 5 propagation rounds; maxRounds=3 must throw,
-    // not silently return an incomplete closure
+    // not silently return an incomplete closure (maxDriverEdges=0 forces
+    // the distributed path — the driver union-find has no round limit)
     val chain = (1L until 6L).map(i => (i, i + 1)).toDF("id1", "id2")
     intercept[IllegalStateException] {
-      Dedup.clusterLabels(chain, maxRounds = 3).collect()
+      Dedup.clusterLabels(chain, maxRounds = 3, maxDriverEdges = 0).collect()
     }
+  }
+
+  test("driver union-find and distributed label propagation agree") {
+    // two chains and a triangle, plus an isolated pair — min-of-component
+    // labels must be identical on both paths
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (20L, 21L)).toDF("id1", "id2")
+    def labels(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val driver = labels(Dedup.clusterLabels(edges))
+    val dist = labels(Dedup.clusterLabels(edges, maxDriverEdges = 0))
+    assert(driver == dist)
+    assert(driver == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)))
   }
 
   test("dedup pipeline drops transitive near-dup chains (A~B~C, A≁C)") {
