@@ -78,6 +78,28 @@ object SparkEntry {
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         numHashes = 64, bands = 16, shingleLen = 5, threshold = 0.5))
 
+  /** Exact embedding near-dup pairs at 0.35 — q_dedup_embedding (the
+    * pairs) and q_embedding_lsh_contract (the recall denominator).
+    */
+  private def memoizedEmbeddingPairs(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "embedding_pairs_0.35")(
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35))
+
+  /** LSH embedding near-dup pairs (0.35, 4 bits x 8 tables) —
+    * q_dedup_embedding_lsh and the contract's candidate side.
+    */
+  private def memoizedEmbeddingPairsLsh(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "embedding_pairs_lsh_0.35")(
+      Dedup.embeddingNearDupPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, nBits = 4, nTables = 8))
+
+  /** The flagship RAG slice — q_rag_e2e (the rows) and q_rag_contract
+    * (JSON-structure properties of the same rows).
+    */
+  private def memoizedRagE2e(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "rag_e2e")(Rag.e2e(s, dir))
+
   /** Content tag for persisted-index paths, so a regenerated dataset at
     * the same path triggers a rebuild instead of silently probing a
     * stale index. `embeddings.parquet` may be a single file (the
@@ -234,8 +256,7 @@ object SparkEntry {
     // is integer-scaled (round-to-integer agrees across engines; raw
     // float hashes don't, CORRECTNESS_r01).
     "q_dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35)
+      memoizedEmbeddingPairs(s, dir)
         .select(col("id1"), col("id2"),
           round(col("cosine") * 1e6).cast("long").as("cosine_1e6"))
         .orderBy("id1", "id2")),
@@ -244,8 +265,7 @@ object SparkEntry {
     // precision against the exact twin). Threshold 0.35 / 4-bit buckets
     // exercise the candidate route end-to-end on this corpus.
     "q_dedup_embedding_lsh" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35, nBits = 4, nTables = 8)
+      memoizedEmbeddingPairsLsh(s, dir)
         .orderBy("id1", "id2")),
 
     // --- prompt assembly (F1/F2) ------------------------------------------
@@ -260,7 +280,7 @@ object SparkEntry {
     // products is ARRAY<STRUCT<content>> — serialize for the driver's
     // pandas loader (rows-only check); Rag.e2e keeps the typed array.
     "q_rag_e2e" -> ((s, dir) =>
-      Rag.e2e(s, dir).withColumn("products", to_json(col("products")))),
+      memoizedRagE2e(s, dir).withColumn("products", to_json(col("products")))),
 
     // --- contract twins: embedder / RAG / multimodal (oracle pins TRUE) ---
     // The hash-derived values themselves aren't SQL-computable, so the
@@ -278,7 +298,7 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "q_rag_contract" -> ((s, dir) =>
-      Rag.e2e(s, dir)
+      memoizedRagE2e(s, dir)
         .select(col("doc_id"),
           (get_json_object(col("prompt"), "$.role") === "user").as("prompt_role_ok"),
           (get_json_object(col("json_response"), "$.role") === "assistant")
@@ -1371,11 +1391,10 @@ values (
     // by construction (candidates are exact-scored), recall >= 0.6 pins
     // the 4-bit x 8-table bucket design on this corpus
     "q_embedding_lsh_contract" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
-        threshold = 0.35).select(col("id1"), col("id2"), lit(1).as("__x"))
-      val lsh = Dedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding",
-        threshold = 0.35, nBits = 4, nTables = 8)
+      // both sides shared with their standalone queries via the memo
+      val exact = memoizedEmbeddingPairs(s, dir)
+        .select(col("id1"), col("id2"), lit(1).as("__x"))
+      val lsh = memoizedEmbeddingPairsLsh(s, dir)
         .select(col("id1"), col("id2"), lit(1).as("__l"))
       exact.join(lsh, Seq("id1", "id2"), "full_outer")
         .agg(
