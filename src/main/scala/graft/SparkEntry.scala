@@ -60,45 +60,75 @@ object SparkEntry {
       shingleGtCache.getOrElseUpdate((app, dir, tag), f.localCheckpoint())
     }
 
+  /** Like [[memo]] but ALWAYS recomputes, refreshing the cache entry.
+    * Used by the standalone operator-under-test queries: their bench
+    * timing must reflect a real run every pass (a cache hit would game
+    * the min-of-passes metric), while their contract twins — checks OF
+    * the same run — legitimately read the refreshed entry.
+    */
+  private def memoRefresh(s: SparkSession, dir: String, tag: String)(
+      f: => DataFrame): DataFrame =
+    shingleGtCache.synchronized {
+      val app = s.sparkContext.applicationId
+      shingleGtCache.keys.filter(_._1 != app).foreach(shingleGtCache.remove)
+      val df = f.localCheckpoint()
+      shingleGtCache((app, dir, tag)) = df
+      df
+    }
+
   /** The full dedup pipeline over `documents` — consumed by
     * q_dedup_pipeline (survivors) and q_dedup_pipeline_contract
     * (properties of the same run).
     */
-  private def memoizedPipeline(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "dedup_pipeline_0.7")(
-      Dedup.dedupPipeline(t(s, dir, "documents"), "doc_id", "text",
-        minhashThreshold = 0.7))
+  private def memoizedPipeline(s: SparkSession, dir: String,
+      fresh: Boolean = false): DataFrame = {
+    def f = Dedup.dedupPipeline(t(s, dir, "documents"), "doc_id", "text",
+      minhashThreshold = 0.7)
+    if (fresh) memoRefresh(s, dir, "dedup_pipeline_0.7")(f)
+    else memo(s, dir, "dedup_pipeline_0.7")(f)
+  }
 
   /** MinHash candidate pairs over `documents` at the 0.5 estimate cut —
     * consumed by q_minhash_pairs (the pairs) and q_minhash_contract
     * (recall/precision of the same pairs).
     */
-  private def memoizedMinhashPairs(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "minhash_pairs_0.5")(
-      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 64, bands = 16, shingleLen = 5, threshold = 0.5))
+  private def memoizedMinhashPairs(s: SparkSession, dir: String,
+      fresh: Boolean = false): DataFrame = {
+    def f = Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      numHashes = 64, bands = 16, shingleLen = 5, threshold = 0.5)
+    if (fresh) memoRefresh(s, dir, "minhash_pairs_0.5")(f)
+    else memo(s, dir, "minhash_pairs_0.5")(f)
+  }
 
   /** Exact embedding near-dup pairs at 0.35 — q_dedup_embedding (the
     * pairs) and q_embedding_lsh_contract (the recall denominator).
     */
-  private def memoizedEmbeddingPairs(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "embedding_pairs_0.35")(
-      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35))
+  private def memoizedEmbeddingPairs(s: SparkSession, dir: String,
+      fresh: Boolean = false): DataFrame = {
+    def f = Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+      "embedding", threshold = 0.35)
+    if (fresh) memoRefresh(s, dir, "embedding_pairs_0.35")(f)
+    else memo(s, dir, "embedding_pairs_0.35")(f)
+  }
 
   /** LSH embedding near-dup pairs (0.35, 4 bits x 8 tables) —
     * q_dedup_embedding_lsh and the contract's candidate side.
     */
-  private def memoizedEmbeddingPairsLsh(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "embedding_pairs_lsh_0.35")(
-      Dedup.embeddingNearDupPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35, nBits = 4, nTables = 8))
+  private def memoizedEmbeddingPairsLsh(s: SparkSession, dir: String,
+      fresh: Boolean = false): DataFrame = {
+    def f = Dedup.embeddingNearDupPairsLsh(t(s, dir, "embeddings"), "vec_id",
+      "embedding", threshold = 0.35, nBits = 4, nTables = 8)
+    if (fresh) memoRefresh(s, dir, "embedding_pairs_lsh_0.35")(f)
+    else memo(s, dir, "embedding_pairs_lsh_0.35")(f)
+  }
 
   /** The flagship RAG slice — q_rag_e2e (the rows) and q_rag_contract
     * (JSON-structure properties of the same rows).
     */
-  private def memoizedRagE2e(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "rag_e2e")(Rag.e2e(s, dir))
+  private def memoizedRagE2e(s: SparkSession, dir: String,
+      fresh: Boolean = false): DataFrame =
+    if (fresh) memoRefresh(s, dir, "rag_e2e")(Rag.e2e(s, dir))
+    else memo(s, dir, "rag_e2e")(Rag.e2e(s, dir))
 
   /** Content tag for persisted-index paths, so a regenerated dataset at
     * the same path triggers a rebuild instead of silently probing a
@@ -256,7 +286,7 @@ object SparkEntry {
     // is integer-scaled (round-to-integer agrees across engines; raw
     // float hashes don't, CORRECTNESS_r01).
     "q_dedup_embedding" -> ((s, dir) =>
-      memoizedEmbeddingPairs(s, dir)
+      memoizedEmbeddingPairs(s, dir, fresh = true)
         .select(col("id1"), col("id2"),
           round(col("cosine") * 1e6).cast("long").as("cosine_1e6"))
         .orderBy("id1", "id2")),
@@ -265,7 +295,7 @@ object SparkEntry {
     // precision against the exact twin). Threshold 0.35 / 4-bit buckets
     // exercise the candidate route end-to-end on this corpus.
     "q_dedup_embedding_lsh" -> ((s, dir) =>
-      memoizedEmbeddingPairsLsh(s, dir)
+      memoizedEmbeddingPairsLsh(s, dir, fresh = true)
         .orderBy("id1", "id2")),
 
     // --- prompt assembly (F1/F2) ------------------------------------------
@@ -280,7 +310,7 @@ object SparkEntry {
     // products is ARRAY<STRUCT<content>> — serialize for the driver's
     // pandas loader (rows-only check); Rag.e2e keeps the typed array.
     "q_rag_e2e" -> ((s, dir) =>
-      memoizedRagE2e(s, dir).withColumn("products", to_json(col("products")))),
+      memoizedRagE2e(s, dir, fresh = true).withColumn("products", to_json(col("products")))),
 
     // --- contract twins: embedder / RAG / multimodal (oracle pins TRUE) ---
     // The hash-derived values themselves aren't SQL-computable, so the
@@ -344,7 +374,7 @@ object SparkEntry {
 
     // --- MinHash near-dup pairs (north star; rows-only + unit tests) ------
     "q_minhash_pairs" -> ((s, dir) =>
-      memoizedMinhashPairs(s, dir)
+      memoizedMinhashPairs(s, dir, fresh = true)
         .orderBy("id1", "id2")),
 
     // --- SimHash near-dup pairs (north star; rows-only + unit tests) ------
@@ -733,7 +763,7 @@ ORDER BY event_id, event_id2""")
     // survivors depend on MinHash candidates, which no SQL oracle can
     // recompute — closure/chain semantics are spec-verified in DedupSpec)
     "q_dedup_pipeline" -> ((s, dir) =>
-      memoizedPipeline(s, dir)
+      memoizedPipeline(s, dir, fresh = true)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
