@@ -142,10 +142,25 @@ class TopicCatalog(spark: SparkSession, root: String) {
     */
   def compactByPolicy(name: String): Int = {
     val props = configsOf(name)
-    if (props.get("cleanup.policy").contains("compact")) {
-      val ordering = compactionOrdering(props)
-      compactKeyed(name, ordering.head, ordering.tail)
-    } else compact(name)
+    // Kafka's time-retention knob: on a PARTITIONED topic, expired
+    // `ingest_dt=` directories drop at listing time before any rewrite —
+    // a 100 TB topic retains by deleting directories, never by reading
+    // records. (cleanup.policy=delete is Kafka's default; retention on
+    // an unpartitioned topic would need a record-level rewrite, which
+    // COMPACT deliberately doesn't do — declare 'partition.by' instead.)
+    val expired = (props.get("retention.ms"), partitionFieldOf(name)) match {
+      case (Some(ms), Some(_)) =>
+        val cutoff = java.time.Instant.now().minusMillis(ms.trim.toLong)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+        expirePartitions(name, cutoff)
+      case _ => 0
+    }
+    val rewritten =
+      if (props.get("cleanup.policy").contains("compact")) {
+        val ordering = compactionOrdering(props)
+        compactKeyed(name, ordering.head, ordering.tail)
+      } else compact(name)
+    expired + rewritten
   }
 
   /** Schema evolution (reference README.md:610-612): the table definition

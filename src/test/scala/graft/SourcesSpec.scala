@@ -427,6 +427,31 @@ class SourcesSpec extends SparkSpec {
     assert(c2.table("u").inputFiles.forall(_.contains("ingest_dt=")))
   }
 
+  test("retention.ms on a partitioned topic drops expired partitions via COMPACT") {
+    val root = Files.createTempDirectory("graft_retention").toString
+    val c = new TopicCatalog(spark, root)
+    // retain ~2 days: the 2020 partition must go, today's must stay
+    c.create("t", StructType(Seq(
+      StructField("id", LongType), StructField("at", TimestampType))),
+      Map("partition.by" -> "at", "retention.ms" -> (2L * 86400000L).toString))
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
+    c.produceJson("t", Seq(
+      """{"id":1,"at":"2020-01-01T10:00:00"}""",
+      s"""{"id":2,"at":"${today}T00:10:00"}"""))
+    assert(c.table("t").count() == 2)
+    assert(c.compactByPolicy("t") >= 1)
+    val left = c.table("t").select("id").collect().map(_.getLong(0)).toSeq
+    assert(left == Seq(2L), s"expected only today's record, got $left")
+    // no partition column -> retention is a no-op (never record-rewrites)
+    val c2 = new TopicCatalog(spark, Files.createTempDirectory("graft_ret2").toString)
+    c2.create("u", StructType(Seq(
+      StructField("id", LongType), StructField("at", TimestampType))),
+      Map("retention.ms" -> "1"))
+    c2.produceJson("u", Seq("""{"id":1,"at":"2020-01-01T10:00:00"}"""))
+    c2.compactByPolicy("u")
+    assert(c2.table("u").count() == 1)
+  }
+
   test("timestamps survive the topic JSON encoding at microsecond precision") {
     val c = catalog()
     c.create("stamped", StructType(Seq(
