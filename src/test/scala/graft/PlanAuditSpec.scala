@@ -85,6 +85,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.size <= 3, s"${exchanges.size} shuffles: $p")
   }
 
+  test("q_asof_sql: the as-of carry is ONE window pass over one shuffle") {
+    // pre-AQE plan, like scans(): the adaptive wrapper hides children
+    val p = SparkEntry.queries("q_asof_sql")(spark, sf).queryExecution.sparkPlan
+    val windows = p.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1, s"expected a single window carry, got ${windows.size}")
+    val exchanges = p.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // scan-edge fan-outs + ONE hash partitioning on the join key + the
+    // final range sort; a BETWEEN-style plan would add a nested loop
+    assert(exchanges.size <= 4, s"${exchanges.size} shuffles: $p")
+    val bnl = p.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.isEmpty, "as-of must not plan a nested-loop join")
+  }
+
+  test("q_interval_sql: bucketed equi-join, never a nested-loop range join") {
+    val p = SparkEntry.queries("q_interval_sql")(spark, sf).queryExecution.sparkPlan
+    val bnl = p.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.isEmpty, "interval join degenerated into a nested loop")
+  }
+
+  test("q_dedup_keepbest_contract: keeper and anchor share ONE window operator") {
+    val p = SparkEntry.queries("q_dedup_keepbest_contract")(spark, sf)
+      .queryExecution.sparkPlan
+    val windows = p.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // the contract's own keeper+anchor pass (same partition/order spec,
+    // two frames) must plan as one WindowExec; the pipeline under test
+    // contributes its own internal window(s)
+    assert(windows.exists(_.windowExpression.size >= 2),
+      s"keeper+anchor split across windows: ${windows.map(_.windowExpression.size)}")
+  }
+
   test("persisted IVF index probe scans ONLY the probed cell partitions") {
     import org.apache.spark.sql.functions._
     val emb = Tables(spark, sf, "embeddings")
