@@ -16,10 +16,12 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       SparkEntry.queries.foreach { case (n, fn) => runOne(n, fn, warmDir) }
-    // Two timed passes, per-query MIN reported: this host's microVM can
-    // stall the whole guest for seconds under host memory reclaim
-    // (observed 3-6x single-query outliers with identical plans), and
-    // min-of-2 measures steady-state plan cost rather than host luck.
+    // Three timed passes, per-query MIN reported: this host's microVM
+    // can stall the whole guest for seconds under host memory reclaim
+    // (observed 3-6x single-query outliers with identical plans, and
+    // 1.1-1.7x uniform inflation across whole multi-minute windows), and
+    // the per-query min over three samples measures steady-state plan
+    // cost rather than host luck.
     // A failed query is reported as -1, never as a normal-looking (tiny)
     // timing that could silently pass as a fast result.
     def timedPass(): Map[String, Double] =
@@ -28,11 +30,10 @@ object Bench {
         val ok = runOne(name, fn, sfDir)
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-    val p1 = timedPass()
-    val p2 = timedPass()
+    val passes = Seq(timedPass(), timedPass(), timedPass())
     val results = SparkEntry.queries.keys.map { name =>
-      val (a, b) = (p1(name), p2(name))
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val ts = passes.map(_(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }.toSeq
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -41,8 +42,8 @@ object Bench {
     // detail line first, compact total LAST: the driver captures the tail
     // of the log, and the long per-query map was truncated in BENCH_r02 —
     // the last line must always carry the headline number.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"runs":2,"agg":"min","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"runs":3,"agg":"min","sf":"$sfDir"}""")
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"runs":2,"agg":"min","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"runs":3,"agg":"min","sf":"$sfDir"}""")
   }
 }
