@@ -797,6 +797,27 @@ values (
       "SELECT id FROM asof_l l ASOF JOIN asof_r r ON l.k = r.k"))
   }
 
+  test("ASOF JOIN composes with INSERT INTO SELECT through the facade") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val g = facade()
+    g.execute("""CREATE TABLE `enriched` (
+    `id` BIGINT, `tag` STRING
+) WITH ('value.format' = 'json-registry');""")
+    Seq((1L, 10L, ts("2024-01-01 10:00:00")), (2L, 10L, ts("2024-01-01 12:00:00")))
+      .toDF("id", "k", "t").createOrReplaceTempView("asof_il")
+    Seq((10L, ts("2024-01-01 09:30:00"), "a"), (10L, ts("2024-01-01 11:00:00"), "b"))
+      .toDF("k", "t", "tag").createOrReplaceTempView("asof_ir")
+    g.execute(
+      """INSERT INTO enriched (id, tag)
+         SELECT id, tag FROM asof_il l ASOF JOIN asof_ir r
+         ON l.k = r.k AND l.t >= r.t""")
+    val got = g.execute("SELECT id, tag FROM enriched ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("symmetric BETWEEN join statements route to the bucketed IntervalJoin") {
     import spark.implicits._
     import java.sql.Timestamp
