@@ -472,9 +472,12 @@ class GraftSql(
         s"ASOF JOIN needs one >=/<= time term: ${mm.group(6)}"))
     def isL(q: String) = q.equalsIgnoreCase(la)
     def isR(q: String) = q.equalsIgnoreCase(ra)
-    require((isL(eq._1) || isR(eq._1)) && (isL(eq._4) || isR(eq._4)) &&
-      (isL(ineq._1) || isR(ineq._1)) && (isL(ineq._4) || isR(ineq._4)),
-      s"ASOF JOIN ON terms must reference $la/$ra")
+    // each term must compare one LEFT column with one RIGHT column —
+    // same-side comparisons would silently mis-assign the key/ts roles
+    for (term <- Seq(eq, ineq))
+      require((isL(term._1) && isR(term._4)) || (isR(term._1) && isL(term._4)),
+        s"ASOF JOIN ON terms must compare $la against $ra, got: " +
+          s"${term._1}.${term._2} ${term._3} ${term._4}.${term._5}")
     val (lKey, rKey) = if (isL(eq._1)) (eq._2, eq._5) else (eq._5, eq._2)
     // orient the inequality so the left table's ts is on the LHS
     val (lts, rts, op) =
@@ -535,9 +538,11 @@ class GraftSql(
     })
     def isL(q: String) = q.equalsIgnoreCase(la)
     def isR(q: String) = q.equalsIgnoreCase(ra)
-    require((isL(k1q) || isR(k1q)) && (isL(k2q) || isR(k2q)) &&
-      (isL(t1q) || isR(t1q)) && (isL(t2q) || isR(t2q)),
-      s"interval join ON terms must reference $la/$ra")
+    // one side from each table per term (see rewriteAsof)
+    require((isL(k1q) && isR(k2q)) || (isR(k1q) && isL(k2q)),
+      s"interval join key term must compare $la against $ra")
+    require((isL(t1q) && isR(t2q)) || (isR(t1q) && isL(t2q)),
+      s"interval join time term must compare $la against $ra")
     val (lKey, rKey) = if (isL(k1q)) (k1, k2) else (k2, k1)
     val (lts, rts) = if (isL(t1q)) (t1, t2) else (t2, t1)
     val left = spark.table(lt)

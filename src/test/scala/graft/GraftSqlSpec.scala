@@ -795,6 +795,9 @@ values (
     // malformed ON fails loudly, not silently wrong
     intercept[IllegalArgumentException](g.execute(
       "SELECT id FROM asof_l l ASOF JOIN asof_r r ON l.k = r.k"))
+    // same-side comparisons are rejected, not silently mis-assigned
+    intercept[IllegalArgumentException](g.execute(
+      "SELECT id FROM asof_l l ASOF JOIN asof_r r ON l.k = l.k AND l.t >= r.t"))
   }
 
   test("ASOF JOIN composes with INSERT INTO SELECT through the facade") {
