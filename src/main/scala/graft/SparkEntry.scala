@@ -160,21 +160,10 @@ object SparkEntry {
     * serve path ([[graft.operators.PqSearch.pqTopK]] with a `cb`) does
     * zero training passes.
     */
-  private val pqCbCache =
-    scala.collection.concurrent.TrieMap.empty[String, graft.operators.PqSearch.Codebooks]
   private def pqCodebooks(s: SparkSession, dir: String): graft.operators.PqSearch.Codebooks =
-    pqCbCache.synchronized {
-      val tag = indexTag(dir)
-      pqCbCache.getOrElseUpdate(tag, {
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_cb_$tag"
-        if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-          val cb = graft.operators.PqSearch.trainCodebooks(
-            t(s, dir, "embeddings"), "vec_id", "embedding", m = 8, kCodes = 16)
-          graft.operators.PqSearch.saveCodebooks(s, path, cb)
-        }
-        graft.operators.PqSearch.loadCodebooks(s, path)
-      })
-    }
+    graft.operators.PqSearch.cachedCodebooks(
+      t(s, dir, "embeddings"), "vec_id", "embedding", indexTag(dir),
+      m = 8, kCodes = 16)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

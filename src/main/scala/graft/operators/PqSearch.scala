@@ -41,6 +41,46 @@ object PqSearch {
   final case class Codebooks(m: Int, kCodes: Int, dsub: Int,
       books: Array[Array[Array[Float]]])
 
+  /** Lifetime count of [[trainCodebooks]] invocations in this JVM —
+    * observability for the train-once/serve-many contract: specs assert
+    * it does NOT move across a repeat search over the same corpus.
+    */
+  val trainInvocations = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** In-process codebook cache backing [[cachedCodebooks]], keyed by
+    * corpus identity tag.
+    */
+  private val cbCache =
+    scala.collection.concurrent.TrieMap.empty[String, Codebooks]
+
+  /** Train-once/serve-many codebooks for the corpus identified by
+    * `tag`: trained at most once per JVM (in-process cache) and, when
+    * `persist`, written content-addressed under the JVM tmpdir so a
+    * fresh JVM over the same corpus RELOADS instead of retraining.
+    * Pass `persist = false` when `tag` is only unique per registration
+    * (not derived from the data's content) — a persisted artifact under
+    * a non-content tag could outlive the data it was trained on.
+    *
+    * This is the one sanctioned route from a query body to codebooks:
+    * the reference's PQ index is prebuilt at declaration time
+    * (README.md:370-382), so no per-statement path may pay training.
+    */
+  def cachedCodebooks(
+      corpus: DataFrame, cId: String, cVec: String, tag: String,
+      m: Int = 8, kCodes: Int = 16, iters: Int = 2, dim: Int = 64,
+      persist: Boolean = true): Codebooks =
+    cbCache.synchronized {
+      cbCache.getOrElseUpdate(tag, {
+        if (persist) {
+          val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_cb_$tag"
+          if (!new java.io.File(s"$path/_SUCCESS").exists())
+            saveCodebooks(corpus.sparkSession, path,
+              trainCodebooks(corpus, cId, cVec, m, kCodes, iters, dim))
+          loadCodebooks(corpus.sparkSession, path)
+        } else trainCodebooks(corpus, cId, cVec, m, kCodes, iters, dim)
+      })
+    }
+
   /** Deterministic per-subspace k-means. Init: the first `kCodes`
     * vectors by id donate their subvectors (arbitrary but stable; Lloyd
     * rounds wash it out). Each round re-estimates ALL subspace means in
@@ -50,6 +90,7 @@ object PqSearch {
   def trainCodebooks(
       corpus: DataFrame, cId: String, cVec: String,
       m: Int = 8, kCodes: Int = 16, iters: Int = 2, dim: Int = 64): Codebooks = {
+    trainInvocations.incrementAndGet()
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val dsub = dim / m
     val seed = corpus.orderBy(col(cId)).limit(kCodes).select(cVec).collect()

@@ -93,7 +93,13 @@ class GraftSql(
         // speed it can't gain here.
         InMemCorpus(rows.map(r => (r.getString(0), r.getSeq[Float](1).toArray))
           .sortBy(_._1))
-      else DfCorpus(df, contentCol, vecCol, indexType, numCandidates)
+      else DfCorpus(df, contentCol, vecCol, indexType, numCandidates,
+        // registration-scoped identity: semanticHash ties the tag to the
+        // corpus' resolved plan, the counter makes each registration
+        // distinct so re-registering over regenerated data retrains
+        tag = s"sql_${name}_" +
+          Integer.toHexString(df.queryExecution.analyzed.canonicalized.semanticHash()) +
+          s"_g${GraftSql.corpusGen.incrementAndGet()}")
   }
 
   /** Statement-scoped session options (`SET 'k' = 'v'`) — the Flink
@@ -751,9 +757,15 @@ class GraftSql(
           .select(col("__qid"), col("rank").as("__rank"),
             col("match_id").as("__cid"))
       case "pq" =>
+        // serve-only: codebooks come from the registration-scoped cache
+        // (train-once at first statement, zero training jobs after) —
+        // persist=false because the tag is registration-unique, not
+        // derived from the data files' content
+        val cb = graft.operators.PqSearch.cachedCodebooks(
+          c, "__cid", "__cvec", big.tag, persist = false)
         graft.operators.PqSearch.pqTopK(qv, "__qid", "__qvec",
-          c, "__cid", "__cvec", k, "dot",
-          numCandidates = big.numCandidates)
+          c, "__cid", "__cvec", k, cb, "dot",
+          numCandidates = big.numCandidates, maxQueries = 10000)
           .select(col("__qid"), col("rank").as("__rank"),
             col("match_id").as("__cid"))
       case "lsh" =>
@@ -796,11 +808,15 @@ private[sql] final case class InMemCorpus(rows: Array[(String, Array[Float])])
   extends CorpusRef
 /** Beyond-cap corpus left distributed — searched via topKAgg ("flat")
   * or an ANN family ("ivf" | "pq" | "lsh") under the declared
-  * numCandidates budget.
+  * numCandidates budget. `tag` is the corpus identity for index
+  * artifacts (PQ codebooks): unique per registration, so a
+  * re-registered corpus retrains and repeat statements over one
+  * registration serve the cached artifact.
   */
 private[sql] final case class DfCorpus(
   df: DataFrame, contentCol: String, vecCol: String,
-  indexType: String = "flat", numCandidates: Int = 10000) extends CorpusRef
+  indexType: String = "flat", numCandidates: Int = 10000,
+  tag: String = "") extends CorpusRef
 /** External-connector CREATE TABLE corpus, backing relation (candidate
   * names in resolution order) bound at first search. */
 private[sql] final case class LazyCorpus(
@@ -813,6 +829,9 @@ object GraftSql {
     * '<connector>.index.type'.
     */
   val IndexTypes: Set[String] = Set("flat", "ivf", "pq", "lsh")
+
+  /** Registration generation counter feeding [[DfCorpus.tag]]. */
+  private[sql] val corpusGen = new java.util.concurrent.atomic.AtomicLong(0)
 
   // (?is): case-insensitive, dot-matches-newline — statements arrive as
   // multi-line worksheet text, optionally ';'-terminated

@@ -286,6 +286,44 @@ LATERAL TABLE(FEDERATED_SEARCH('ivf_vector_search', 3, vector));""").collect()
     assert(err.getMessage.contains("index type"))
   }
 
+  test("pq index trains once per corpus: repeat FEDERATED_SEARCH runs zero training jobs") {
+    val g = facade()
+    val corpus = Tables(spark, sf, "documents").filter(col("doc_id") < 60)
+      .select(col("text").as("content"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    // cap below corpus size → distributed DfCorpus path, so the declared
+    // pq family actually routes (a collected corpus heap-scans exactly)
+    g.registerSearchCorpus("pq_vector_search", corpus, "content", "vector",
+      maxRows = 10, numCandidates = 50, indexType = "pq")
+    val qs = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select(col("doc_id"), graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    qs.createOrReplaceTempView("pq_questions")
+    val stmt =
+      """SELECT doc_id, search_results FROM pq_questions,
+LATERAL TABLE(FEDERATED_SEARCH('pq_vector_search', 3, vector));"""
+    val first = g.execute(stmt).collect()
+    assert(first.length == 3)
+    assert(first.forall(_.getSeq[org.apache.spark.sql.Row](1).length == 3))
+    // the reference's index is prebuilt (README.md:370-382): a repeat
+    // statement over the same registration must serve the cached
+    // codebooks — ZERO additional training invocations
+    val trained = graft.operators.PqSearch.trainInvocations.get()
+    val second = g.execute(stmt).collect()
+    assert(graft.operators.PqSearch.trainInvocations.get() == trained,
+      "second FEDERATED_SEARCH statement retrained PQ codebooks")
+    def hits(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(_.getString(0)).toSet).toMap
+    assert(hits(first) == hits(second))
+    // re-registration is a NEW corpus identity: it must retrain rather
+    // than serve codebooks from data it wasn't trained on
+    g.registerSearchCorpus("pq_vector_search", corpus, "content", "vector",
+      maxRows = 10, numCandidates = 50, indexType = "pq")
+    g.execute(stmt).collect()
+    assert(graft.operators.PqSearch.trainInvocations.get() > trained,
+      "re-registered corpus served stale codebooks")
+  }
+
   test("cleanup.policy=compact: DDL-declared keyed compaction via COMPACT TABLE") {
     val g = facade()
     g.execute("""CREATE TABLE `user_profile` (
