@@ -122,6 +122,39 @@ object SparkEntry {
     else memo(s, dir, "embedding_pairs_lsh_0.35")(f)
   }
 
+  /** Planted-dup scored corpus for the keepBest queries: every 10th doc
+    * gets a copy differing only in case/whitespace, so its raw quality
+    * differs while its normalized text doesn't (the corpus has no
+    * natural exact dups). Shared by q_dedup_keepbest (the pipeline
+    * under test) and q_dedup_keepbest_contract (the oracle-side window
+    * over the same corpus).
+    */
+  private def keepBestCorpus(s: SparkSession, dir: String,
+      fresh: Boolean = false): DataFrame = {
+    def f = {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("   ")).as("text"))
+      docs.unionByName(planted)
+        .withColumn("__q", TextOps.qualityScore(col("text")))
+    }
+    if (fresh) memoRefresh(s, dir, "keepbest_corpus")(f)
+    else memo(s, dir, "keepbest_corpus")(f)
+  }
+
+  /** KeepBest pipeline survivors over [[keepBestCorpus]] — consumed by
+    * q_dedup_keepbest (the survivors) and q_dedup_keepbest_contract
+    * (properties of the same run).
+    */
+  private def memoizedKeepBest(s: SparkSession, dir: String,
+      fresh: Boolean = false): DataFrame = {
+    def f = Dedup.dedupPipelineKeepBest(
+      keepBestCorpus(s, dir, fresh), "doc_id", "text", "__q")
+    if (fresh) memoRefresh(s, dir, "keepbest_surv")(f)
+    else memo(s, dir, "keepbest_surv")(f)
+  }
+
   /** The flagship RAG slice — q_rag_e2e (the rows) and q_rag_contract
     * (JSON-structure properties of the same rows).
     */
@@ -1354,29 +1387,29 @@ values (
         .orderBy("doc_id")
     }),
 
-    // quality-aware dedup contract: exact duplicates are PLANTED (every
-    // 10th doc gets a copy differing only in case/whitespace, so its raw
-    // quality differs while its normalized text doesn't — the corpus has
-    // no natural exact dups). REAL columns both engines recompute:
-    // exact_keeper_id (argmax quality per normalized-text group, id
-    // tie-break — exercises the cross-engine quality formula inside an
-    // argmax) and is_isolated (group anchor absent from the GT-0.3 pair
-    // set). Booleans pin keepBest semantics the oracle can't re-derive:
-    // survivors are always their group's keeper and isolated keepers
-    // always survive. (Count-isomorphism with the min-id pipeline is
-    // DedupSpec-pinned — re-running a second full pipeline here would
-    // double the query's cost for a property the spec already gates.)
+    // quality-aware keepBest dedup pipeline over the planted corpus —
+    // the operator under test (memoRefresh: every bench pass pays the
+    // real run). The near-dup survivor choice isn't SQL-derivable, so
+    // this row is rows-only; the hash-green contract twin below pins
+    // the semantics of THIS run via the shared memo.
+    "q_dedup_keepbest" -> ((s, dir) =>
+      memoizedKeepBest(s, dir, fresh = true)
+        .select("doc_id").orderBy("doc_id")),
+
+    // quality-aware dedup contract over the SAME run q_dedup_keepbest
+    // just refreshed (planted corpus + survivors read from the memo).
+    // REAL columns both engines recompute: exact_keeper_id (argmax
+    // quality per normalized-text group, id tie-break — exercises the
+    // cross-engine quality formula inside an argmax) and is_isolated
+    // (group anchor absent from the GT-0.3 pair set). Booleans pin
+    // keepBest semantics the oracle can't re-derive: survivors are
+    // always their group's keeper and isolated keepers always survive.
+    // (Count-isomorphism with the min-id pipeline is DedupSpec-pinned —
+    // re-running a second full pipeline here would double the query's
+    // cost for a property the spec already gates.)
     "q_dedup_keepbest_contract" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val planted = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(lit("  "), upper(col("text")), lit("   ")).as("text"))
-      // materialized once: the pipeline under test and the oracle-side
-      // window both consume the scored corpus
-      val corpus = docs.unionByName(planted)
-        .withColumn("__q", TextOps.qualityScore(col("text")))
-        .localCheckpoint()
-      val surv = Dedup.dedupPipelineKeepBest(corpus, "doc_id", "text", "__q")
+      val corpus = keepBestCorpus(s, dir)
+      val surv = memoizedKeepBest(s, dir)
         .select(col("doc_id"), lit(true).as("__s"))
       // one window pass: normText materialized ONCE as a column, both
       // the keeper (first by quality) and the anchor (min id, full

@@ -81,11 +81,10 @@ object Dedup {
       TextOps.minhash(col(textCol), numHashes, shingleLen).as("sig"))
       .localCheckpoint()
     // a checkpointed plan reports UNKNOWN size statistics, so Catalyst
-    // would sort-merge every join against it (measured: the join-backs
-    // became the operator's hot spot). Below a byte bound the signature
-    // table and the bucket-size table get explicit broadcast hints; a
-    // beyond-bound corpus keeps the shuffle joins, which are the correct
-    // plan at that size anyway.
+    // would sort-merge every join against it. Below a byte bound the
+    // bucket-size table gets an explicit broadcast hint and candidate
+    // scoring takes the broadcast-map path; a beyond-bound corpus keeps
+    // the shuffle joins, which are the correct plan at that size anyway.
     val nDocs = sig.count()
     val sigBytes = nDocs * (16L + 8L * numHashes)
     def hinted(d: DataFrame): DataFrame =
@@ -106,29 +105,62 @@ object Dedup {
     // through to the post-threshold dedup below: scoring a few duplicate
     // candidates is a cheap map, whereas deduplicating the full
     // candidate set here would shuffle EVERY candidate before the filter
-    // throws almost all of them away
-    val cand = l.join(r, Seq("band", "bh"))
+    // throws almost all of them away. The self-join's right side is
+    // nDocs x bands slim rows — broadcast it under the same byte cap
+    // (checkpoint-derived stats are UNKNOWN, so Catalyst would otherwise
+    // shuffle+sort both sides).
+    val cand = l.join(hinted(r), Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
-    // Matching-minhash fraction via a tight primitive loop: zip_with /
-    // filter / size are higher-order functions, which Catalyst evaluates
-    // interpreted (per-element UnsafeArrayData.get + boxing) — measured
-    // as the single-straggler hot spot on large candidate sets.
-    val estJaccard = udf { (a: Seq[Long], b: Seq[Long]) =>
-      var eq = 0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
-      eq.toDouble / numHashes.toDouble
+    if (sigBytes <= (256L << 20)) {
+      // Bounded corpus (same byte cap as the join hints): score
+      // candidates against a BROADCAST primitive-array signature map in
+      // one narrow pass. The relational form below pays two join-backs
+      // plus a Seq[Long] UDF — per candidate that converts two
+      // UnsafeArrayData to boxed seqs (2 x numHashes boxed longs);
+      // measured at sf0.1 (190k candidates) the scoring tail was ~70% of
+      // the operator. The map is the same data the broadcast hash join
+      // ships, minus the boxing.
+      val spark = df.sparkSession
+      import spark.implicits._
+      val sigMap = sig.as[(Long, Array[Long])].collect().toMap
+      val bc = spark.sparkContext.broadcast(sigMap)
+      val nh = numHashes; val th = threshold
+      cand.as[(Long, Long)].mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (a, b) =>
+          val sa = m(a); val sb = m(b)
+          var eq = 0; var i = 0
+          val n = math.min(sa.length, sb.length)
+          while (i < n) { if (sa(i) == sb(i)) eq += 1; i += 1 }
+          val est = eq.toDouble / nh
+          if (est >= th) Some((a, b, est)) else None
+        }
+      }.toDF("id1", "id2", "est_raw")
+        // Spark round (HALF_UP) — bit-identical to the relational path
+        .select(col("id1"), col("id2"), round(col("est_raw"), 4).as("est_jaccard"))
+        // band-collision duplicates carry identical estimates, so keeping
+        // an arbitrary one is deterministic
+        .dropDuplicates("id1", "id2")
+    } else {
+      // Beyond-cap scale path: re-attach signatures relationally (the
+      // joins shuffle on id — correct at this size) and score with a
+      // tight primitive loop; zip_with / filter / size higher-order
+      // functions evaluate interpreted and were measured slower still.
+      val estJaccard = udf { (a: Seq[Long], b: Seq[Long]) =>
+        var eq = 0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+        eq.toDouble / numHashes.toDouble
+      }
+      cand
+        .join(sig.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
+        .join(sig.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
+        .withColumn("est_jaccard", estJaccard(col("sig1"), col("sig2")))
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .dropDuplicates("id1", "id2")
     }
-    cand
-      .join(hinted(sig.select(col("id").as("id1"), col("sig").as("sig1"))), "id1")
-      .join(hinted(sig.select(col("id").as("id2"), col("sig").as("sig2"))), "id2")
-      .withColumn("est_jaccard", estJaccard(col("sig1"), col("sig2")))
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
-      // band-collision duplicates carry identical estimates, so keeping
-      // an arbitrary one is deterministic
-      .dropDuplicates("id1", "id2")
   }
 
   /** (id, sig) → slim (id, band, bh) LSH-band rows. */
