@@ -155,6 +155,18 @@ object SparkEntry {
     else memo(s, dir, "keepbest_surv")(f)
   }
 
+  /** One SQL facade per session for the pure-SELECT statement queries
+    * (q_asof_sql / q_interval_sql): they never touch topics, so they
+    * share one catalog tmpdir per app instead of leaking a fresh
+    * directory every invocation (3 bench passes × 2 queries = 6 dirs).
+    */
+  private val sqlFacades =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, graft.sql.GraftSql]
+  private def sqlFacade(s: SparkSession): graft.sql.GraftSql =
+    sqlFacades.getOrElseUpdate(s, new graft.sql.GraftSql(s,
+      new graft.sources.TopicCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_q_sql").toString)))
+
   /** The flagship RAG slice — q_rag_e2e (the rows) and q_rag_contract
     * (JSON-structure properties of the same rows).
     */
@@ -521,9 +533,7 @@ object SparkEntry {
         .select("event_id", "user_id", "ts").createOrReplaceTempView("asof_p")
       ev.filter(col("event_type") === "signup")
         .select("user_id", "ts", "value").createOrReplaceTempView("asof_s")
-      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
-        java.nio.file.Files.createTempDirectory("graft_q_asof").toString))
-      g.execute("""SELECT event_id, user_id, value AS signup_value
+      sqlFacade(s).execute("""SELECT event_id, user_id, value AS signup_value
 FROM asof_p p ASOF LEFT JOIN asof_s s2
 ON p.user_id = s2.user_id AND p.ts >= s2.ts
 ORDER BY event_id""")
@@ -534,9 +544,7 @@ ORDER BY event_id""")
     "q_interval_sql" -> ((s, dir) => {
       t(s, dir, "events").select("event_id", "user_id", "ts")
         .createOrReplaceTempView("iv_events")
-      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
-        java.nio.file.Files.createTempDirectory("graft_q_iv").toString))
-      g.execute("""SELECT event_id, b_event_id AS event_id2, user_id
+      sqlFacade(s).execute("""SELECT event_id, b_event_id AS event_id2, user_id
 FROM iv_events a JOIN iv_events b
 ON a.user_id = b.user_id
 AND a.ts BETWEEN b.ts - INTERVAL '1' MINUTE AND b.ts + INTERVAL '1' MINUTE

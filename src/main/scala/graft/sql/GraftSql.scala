@@ -133,8 +133,14 @@ class GraftSql(
     * Under `SET 'execution.mode' = 'continuous'`, an INSERT INTO SELECT
     * starts (and registers in [[activeStreams]]) a streaming query
     * instead of draining the topic batch-style.
+    *
+    * Routing matches the RAW statement: the DML rewrites never touch the
+    * SET/INSERT prefixes these patterns key on, and rewriting here would
+    * run the side-effecting ASOF/interval/lateral rewrites a second time
+    * (they plan joins eagerly and register temp views — [[executeBatch]]
+    * is the single place a statement is rewritten).
     */
-  def execute(sql0: String): DataFrame = rewriteDml(sql0) match {
+  def execute(sql0: String): DataFrame = sql0 match {
     case SetOptionRe(k, v) =>
       sessionOpts(k.toLowerCase) = v
       status(s"set ${k.toLowerCase} = $v")
@@ -144,8 +150,21 @@ class GraftSql(
       status(s"reset ${k.toLowerCase}")
 
     case InsertIntoRe(table, _, _) if continuousMode && topics.exists(table) =>
-      val ckpt = sessionOpts.getOrElse("execution.checkpoint-dir",
-        java.nio.file.Files.createTempDirectory("graft_sql_ckpt_").toString)
+      // a configured checkpoint dir is a BASE: each DISTINCT statement
+      // gets a content-keyed subdir. Two different streaming INSERTs
+      // therefore never share a checkpoint (sharing fails the second
+      // start, or worse resumes the wrong offsets), while a re-issued
+      // identical statement finds its own subdir again and drains only
+      // newly arrived records — the incremental-resume semantic the
+      // continuous-mode spec pins.
+      val ckpt = sessionOpts.get("execution.checkpoint-dir") match {
+        case Some(base) =>
+          val key = java.lang.Integer.toHexString(
+            sql0.replaceAll("\\s+", " ").trim.hashCode)
+          s"$base/${table}_$key"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_sql_ckpt_").toString
+      }
       val trig = sessionOpts.get("execution.trigger") match {
         case Some(t) if t.equalsIgnoreCase("available-now") => Trigger.AvailableNow()
         case Some(interval) => Trigger.ProcessingTime(interval)
@@ -158,7 +177,21 @@ class GraftSql(
     case _ => executeBatch(sql0)
   }
 
-  private def executeBatch(sql0: String): DataFrame = rewriteDml(sql0) match {
+  /** Single rewrite point: the statement is rewritten ONCE, and every
+    * temp view the rewrites registered (`graft_asof_N` /
+    * `graft_interval_N` / `graft_fedsearch_N`) is dropped after the
+    * statement resolves against it — Spark analyzes eagerly on
+    * `spark.sql`, so the returned DataFrame keeps working and a
+    * long-lived session (or a run-forever continuous INSERT re-rewriting
+    * per micro-batch) no longer accumulates views.
+    */
+  private def executeBatch(sql0: String): DataFrame = {
+    val stmtViews = scala.collection.mutable.ListBuffer.empty[String]
+    try executeRewritten(rewriteDml(sql0, stmtViews))
+    finally stmtViews.foreach(v => spark.catalog.dropTempView(v))
+  }
+
+  private def executeRewritten(rewritten: String): DataFrame = rewritten match {
     case CreateModelRe(name, in, out, comment, opts) =>
       val options0 = parseOptions(opts)
       val options =
@@ -384,7 +417,11 @@ class GraftSql(
       sql0: String, checkpointDir: String,
       sourceTopic: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val (table, select) = rewriteDml(sql0) match {
+    // parse the RAW statement: the first FROM names the real source
+    // topic even when a rewrite would replace it (ASOF/interval/lateral
+    // FROM clauses become graft_* temp views), and the side-effecting
+    // rewrites stay confined to executeBatch inside each micro-batch
+    val (table, select) = sql0 match {
       case InsertIntoRe(t, _, sel) => (t, sel)
       case other => throw new IllegalArgumentException(
         s"executeStreaming expects INSERT INTO ... SELECT, got: ${other.take(80)}")
@@ -439,8 +476,11 @@ class GraftSql(
     *    (README.md:425-431); corpus registered via
     *    [[registerSearchCorpus]].
     */
-  private def rewriteDml(sql: String): String =
-    rewriteInterval(rewriteAsof(rewriteLateral(rewriteJsonObject(sql))))
+  private def rewriteDml(
+      sql: String,
+      views: scala.collection.mutable.Buffer[String]): String =
+    rewriteInterval(rewriteAsof(
+      rewriteLateral(rewriteJsonObject(sql), views), views), views)
 
   /** `FROM l [AS a] ASOF [LEFT] JOIN r [AS b] ON a.k = b.k AND a.ts >= b.ts`
     * (DuckDB's spelling; `<=` flips to the forward direction) →
@@ -452,7 +492,9 @@ class GraftSql(
     * inner (unmatched left rows drop); ASOF LEFT JOIN keeps them with
     * null payloads.
     */
-  private def rewriteAsof(sql: String): String = {
+  private def rewriteAsof(
+      sql: String,
+      views: scala.collection.mutable.Buffer[String]): String = {
     val m = AsofJoinRe.findFirstMatchIn(sql)
     if (m.isEmpty) return sql
     val mm = m.get
@@ -508,8 +550,9 @@ class GraftSql(
       .drop("__asof_matched_ts")
     val view = s"graft_asof_${fedViewCounter.incrementAndGet()}"
     df.createOrReplaceTempView(view)
+    views += view
     rewriteAsof(sql.substring(0, mm.start) + s" FROM $view AS $la " +
-      sql.substring(mm.end))
+      sql.substring(mm.end), views)
   }
 
   /** Flink's batch interval-join spelling — `FROM a JOIN b ON a.k = b.k
@@ -519,7 +562,9 @@ class GraftSql(
     * would pick for the raw range predicate. Left columns keep their
     * names; colliding right columns surface as `<rightAlias>_<col>`.
     */
-  private def rewriteInterval(sql: String): String = {
+  private def rewriteInterval(
+      sql: String,
+      views: scala.collection.mutable.Buffer[String]): String = {
     val m = IntervalJoinRe.findFirstMatchIn(sql)
     if (m.isEmpty) return sql
     val mm = m.get
@@ -569,8 +614,9 @@ class GraftSql(
       left, rRenamed, lKey, lts, renames.getOrElse(rts, rts), gapSeconds, payload)
     val view = s"graft_interval_${fedViewCounter.incrementAndGet()}"
     df.createOrReplaceTempView(view)
+    views += view
     rewriteInterval(sql.substring(0, mm.start) + s" FROM $view AS $la " +
-      sql.substring(mm.end))
+      sql.substring(mm.end), views)
   }
 
   /** Split on top-level AND (quote/paren aware). */
@@ -613,7 +659,9 @@ class GraftSql(
     rewriteJsonObject(replaced) // handle multiple occurrences
   }
 
-  private def rewriteLateral(sql: String): String = {
+  private def rewriteLateral(
+      sql: String,
+      views: scala.collection.mutable.Buffer[String]): String = {
     val m = LateralRe.findFirstMatchIn(sql)
     if (m.isEmpty) return sql
     val mm = m.get
@@ -654,12 +702,12 @@ class GraftSql(
             // beyond the driver-collect cap: distributed search via
             // topKAgg, materialized as a temp view carrying the source
             // columns + search_results
-            s"${fedSearchView(table, parts(2), big, k)} AS $alias"
+            s"${fedSearchView(table, parts(2), big, k, views)} AS $alias"
           case _: LazyCorpus =>
             throw new IllegalStateException("unreachable: resolveCorpus resolves LazyCorpus")
         }
     }
-    rewriteLateral(s"$prefix FROM $replaced $suffix")
+    rewriteLateral(s"$prefix FROM $replaced $suffix", views)
   }
 
   /** Resolve a corpus reference to a concrete form: lazy table-backed
@@ -735,7 +783,8 @@ class GraftSql(
     * as a temp view the rewritten statement selects FROM.
     */
   private def fedSearchView(
-      table: String, vecExpr: String, big: DfCorpus, k: Int): String = {
+      table: String, vecExpr: String, big: DfCorpus, k: Int,
+      views: scala.collection.mutable.Buffer[String]): String = {
     import org.apache.spark.sql.functions._
     // deterministic content-derived ids, NOT monotonically_increasing_id:
     // both q and c appear twice in the DAG (scoring subtree + join-back)
@@ -789,6 +838,7 @@ class GraftSql(
     val out = q.join(resolved, Seq("__qid"), "left").drop("__qid")
     val view = s"graft_fedsearch_${fedViewCounter.incrementAndGet()}"
     out.createOrReplaceTempView(view)
+    views += view
     view
   }
 

@@ -890,6 +890,61 @@ values (
     assert(r.getString(1) == """{"k":1}""")
   }
 
+  test("rewrite temp views are statement-scoped: repeated statements leave the catalog stable") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val g = facade()
+    Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+      .createOrReplaceTempView("hyg_l")
+    Seq((10L, ts("2024-01-01 09:30:00"), "a")).toDF("k", "t", "tag")
+      .createOrReplaceTempView("hyg_r")
+    def graftViews(): Set[String] =
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_")).toSet
+    val before = graftViews()
+    // a long-lived session (or a continuous INSERT re-rewriting per
+    // micro-batch) must not accumulate graft_asof_N / graft_interval_N
+    // views — each statement drops what its rewrite registered
+    for (_ <- 1 to 5) {
+      val got = g.execute(
+        """SELECT id, tag FROM hyg_l l ASOF JOIN hyg_r r
+           ON l.k = r.k AND l.t >= r.t""").collect()
+      assert(got.length == 1)
+    }
+    for (_ <- 1 to 3) {
+      val got = g.execute(
+        """SELECT id, b_id FROM hyg_l a JOIN hyg_l b ON a.k = b.k
+           AND a.t BETWEEN b.t - INTERVAL '1' MINUTE AND b.t + INTERVAL '1' MINUTE""")
+        .collect()
+      assert(got.length == 1)
+    }
+    assert(graftViews() == before)
+  }
+
+  test("two distinct continuous INSERTs under one checkpoint base don't share offsets") {
+    val g = facade()
+    g.execute("CREATE TABLE `ck_src` (`v` STRING) WITH ('value.format' = 'json-registry');")
+    g.execute("CREATE TABLE `ck_a` (`v` STRING) WITH ('value.format' = 'json-registry');")
+    g.execute("CREATE TABLE `ck_b` (`v` STRING) WITH ('value.format' = 'json-registry');")
+    g.topics.produceJson("ck_src", Seq("""{"v":"x"}""", """{"v":"y"}"""))
+    val base = java.nio.file.Files.createTempDirectory("graft_ckbase").toString
+    g.execute("SET 'execution.mode' = 'continuous';")
+    g.execute(s"SET 'execution.checkpoint-dir' = '$base';")
+    g.execute("SET 'execution.trigger' = 'available-now';")
+    g.execute("insert into ck_a select v from ck_src;")
+    g.activeStreams.foreach(_.awaitTermination())
+    // a DIFFERENT statement under the same base must start from its own
+    // checkpoint, not resume (and be starved by) the first statement's
+    g.execute("insert into ck_b select v from ck_src;")
+    g.activeStreams.foreach(_.awaitTermination())
+    def vals(t: String): Seq[String] = g.execute(s"SELECT v FROM $t ORDER BY v")
+      .collect().map(_.getString(0)).toSeq
+    assert(vals("ck_a") == Seq("x", "y"))
+    assert(vals("ck_b") == Seq("x", "y"))
+    assert(new java.io.File(base).listFiles().count(_.isDirectory) == 2)
+  }
+
   test("dotted table name in a lateral gets a valid alias") {
     val g = facade()
     g.execute("""CREATE MODEL enc INPUT (input STRING) OUTPUT (vector ARRAY<FLOAT>)
