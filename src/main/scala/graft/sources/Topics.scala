@@ -150,8 +150,14 @@ class TopicCatalog(spark: SparkSession, root: String) {
     // COMPACT deliberately doesn't do — declare 'partition.by' instead.)
     val expired = (props.get("retention.ms"), partitionFieldOf(name)) match {
       case (Some(ms), Some(_)) =>
+        // the cutoff date must be derived in the SAME zone that named the
+        // `ingest_dt=` dirs (date_format uses spark.sql.session.timeZone)
+        // — a UTC cutoff against non-UTC dir dates could delete a
+        // partition still inside retention.ms
+        val zone = java.time.ZoneId.of(
+          spark.conf.get("spark.sql.session.timeZone"))
         val cutoff = java.time.Instant.now().minusMillis(ms.trim.toLong)
-          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+          .atZone(zone).toLocalDate.toString
         expirePartitions(name, cutoff)
       case _ => 0
     }
@@ -251,19 +257,29 @@ class TopicCatalog(spark: SparkSession, root: String) {
   /** Kafka-style time retention for a partitioned topic: drop whole
     * `ingest_dt=` directories strictly before `beforeDate` WITHOUT
     * reading a record. Returns the number of partitions removed.
+    *
+    * Runs under the compaction monitor + lease: an unserialized expiry
+    * could race a compaction that already snapshotted the expired files
+    * — its commit would resurrect the expired records, and its
+    * originals-delete would race the recursive delete. Pending staged
+    * work is resolved (rolled back/forward) before anything is deleted,
+    * so a crashed compactor's manifest can't replay expired data later.
     */
   def expirePartitions(name: String, beforeDate: String): Int = {
     partitionFieldOf(name).getOrElse(throw new IllegalArgumentException(
       s"expirePartitions $name: topic has no 'partition.by' config"))
     val topicDir = Paths.get(dir(name))
-    val expired = listDir(topicDir).filter { p =>
-      val n = p.getFileName.toString
-      Files.isDirectory(p) && n.startsWith(TopicCatalog.PartitionDirPrefix) &&
-        n.stripPrefix(TopicCatalog.PartitionDirPrefix) < beforeDate
+    withCompactionLock(name, topicDir) {
+      recoverCompactions(topicDir)
+      val expired = listDir(topicDir).filter { p =>
+        val n = p.getFileName.toString
+        Files.isDirectory(p) && n.startsWith(TopicCatalog.PartitionDirPrefix) &&
+          n.stripPrefix(TopicCatalog.PartitionDirPrefix) < beforeDate
+      }
+      expired.foreach(deleteRecursively)
+      refreshView(name)
+      expired.size
     }
-    expired.foreach(deleteRecursively)
-    refreshView(name)
-    expired.size
   }
 
   /** The SQL temp view snapshots the file listing at registration time;
@@ -274,24 +290,45 @@ class TopicCatalog(spark: SparkSession, root: String) {
   def refreshView(name: String): Unit =
     table(name).createOrReplaceTempView(name)
 
-  /** Manual produce (S5): append raw JSON records (one per line). On a
-    * partitioned topic the records route through the typed insert so
-    * they land in their `ingest_dt=` directory (unpartitioned topics
-    * keep the raw byte-append, preserving unknown fields for
-    * schema-on-read).
+  /** Manual produce (S5): append RAW JSON records (one per line) — on
+    * every topic shape. Partitioning must not change schema-on-read
+    * semantics: re-serializing through the declared schema would
+    * silently and permanently drop fields the schema doesn't know yet,
+    * whereas the raw bytes keep them on disk for later evolution
+    * (evolve + PERMISSIVE read). On a partitioned topic the records are
+    * grouped into their `ingest_dt=` directories by parsing ONLY the
+    * declared partition column (Spark's own parser + session timezone,
+    * so placement matches [[withPartitionDir]]); records whose
+    * partition column is null/unparseable land at the topic root, where
+    * [[tableSlice]] already includes loose files on both sides of the
+    * date filter.
     */
   def produceJson(name: String, records: Seq[String]): Unit = {
     valueSchemaOf(name) // existence check
-    if (partitionFieldOf(name).isDefined) {
-      import spark.implicits._
-      insertInto(name,
-        spark.read.schema(schemaOf(name)).json(spark.createDataset(records)))
-    } else {
-      val path = Paths.get(dir(name), s"produce-${System.nanoTime()}.json")
-      Files.write(path, records.mkString("", "\n", "\n").getBytes("UTF-8"),
+    val topicDir = Paths.get(dir(name))
+    def append(dir: java.nio.file.Path, lines: Seq[String]): Unit = {
+      Files.createDirectories(dir)
+      Files.write(dir.resolve(s"produce-${System.nanoTime()}.json"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-      refreshView(name)
     }
+    partitionFieldOf(name) match {
+      case Some(_) =>
+        import spark.implicits._
+        val dated = withPartitionDir(name,
+          spark.read.schema(schemaOf(name)).json(spark.createDataset(records)))
+          .select(col(TopicCatalog.PartitionDirField)).collect()
+          .map(r => Option(r.getString(0)))
+        require(dated.length == records.length,
+          s"produce $name: ${records.length} records parsed to ${dated.length} rows")
+        records.zip(dated).groupBy(_._2).foreach { case (dt, rs) =>
+          val target = dt.fold(topicDir)(d =>
+            topicDir.resolve(s"${TopicCatalog.PartitionDirPrefix}$d"))
+          append(target, rs.map(_._1))
+        }
+      case None => append(topicDir, records)
+    }
+    refreshView(name)
   }
 
   /** INSERT INTO ... VALUES (S7): typed rows against the declared value
@@ -461,13 +498,11 @@ class TopicCatalog(spark: SparkSession, root: String) {
       targetFiles: Int): Int = {
     val readSchema = schemaOf(name) // existence check
     val topicDir = Paths.get(dir(name))
-    TopicCatalog.compactionMonitor(topicDir).synchronized {
-      val lockFile = topicDir.resolve(".compact.lock")
-      acquireCompactionLock(name, lockFile)
-      try {
-        recoverCompactions(topicDir)
-        val originals = listJson(topicDir)
-        if (originals.isEmpty) { refreshView(name); return 0 }
+    withCompactionLock(name, topicDir) {
+      recoverCompactions(topicDir)
+      val originals = listJson(topicDir)
+      if (originals.isEmpty) { refreshView(name); 0 }
+      else {
         // snapshot ONLY the listed files: concurrent produces stay untouched
         val snap = spark.read.schema(readSchema)
           .json(originals.map(_.toString): _*)
@@ -501,9 +536,23 @@ class TopicCatalog(spark: SparkSession, root: String) {
         commitCompaction(topicDir, staged, originals)
         refreshView(name)
         originals.size
-      } finally Files.deleteIfExists(lockFile)
+      }
     }
   }
+
+  /** The two-level single-writer protocol shared by compaction AND
+    * partition expiry (both delete topic files): JVM-wide monitor keyed
+    * by the topic directory, plus the on-disk `.compact.lock` lease
+    * ([[acquireCompactionLock]]) against writers in other processes.
+    */
+  private def withCompactionLock[T](name: String,
+      topicDir: java.nio.file.Path)(body: => T): T =
+    TopicCatalog.compactionMonitor(topicDir).synchronized {
+      val lockFile = topicDir.resolve(".compact.lock")
+      acquireCompactionLock(name, lockFile)
+      try body
+      finally Files.deleteIfExists(lockFile)
+    }
 
   /** Take the on-disk compaction lease: atomic create wins; an existing
     * lock younger than the lease means a LIVE compactor in another

@@ -390,6 +390,43 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("partitioned produce keeps raw bytes: unknown fields survive schema evolution") {
+    val root = Files.createTempDirectory("graft_part_raw").toString
+    val c = new TopicCatalog(spark, root)
+    c.create("t", StructType(Seq(
+      StructField("id", LongType), StructField("at", TimestampType))),
+      Map("partition.by" -> "at"))
+    // the record carries a field the schema doesn't know yet — it must
+    // reach disk anyway (identical to unpartitioned schema-on-read), in
+    // the ingest_dt= dir its partition column names
+    c.produceJson("t", Seq(
+      """{"id":1,"at":"2024-01-01 10:00:00","extra":"kept"}""",
+      """{"id":2,"at":"2024-01-02 10:00:00","extra":"kept2"}""",
+      """{"id":3,"at":null}"""))
+    import scala.jdk.CollectionConverters._
+    def ls(p: String) = {
+      val s = Files.list(java.nio.file.Paths.get(p))
+      try s.iterator().asScala.map(_.getFileName.toString).toVector.sorted
+      finally s.close()
+    }
+    assert(ls(s"$root/t").count(_.startsWith("ingest_dt=")) == 2)
+    // a null partition column lands as a loose root file, still readable
+    assert(ls(s"$root/t").exists(f => f.startsWith("produce-") && f.endsWith(".json")))
+    assert(c.table("t").count() == 3)
+    assert(c.table("t").where(col("at").isNull).count() == 1)
+    // evolve: the unknown field becomes schema — pre-evolution raw
+    // records surface it (the typed-insert route would have dropped it)
+    c.evolve("t", StructType(Seq(
+      StructField("id", LongType), StructField("at", TimestampType),
+      StructField("extra", StringType))))
+    assert(c.table("t").where(col("extra") === "kept").count() == 1)
+    assert(c.table("t").select("extra").collect().map(_.getString(0)).toSet ==
+      Set("kept", "kept2", null))
+    // the date slice still prunes: only the matching dir's file is read
+    val slice = c.tableSlice("t", "2024-01-02", "2024-01-02")
+    assert(slice.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("compaction preserves the partition layout (keyed and plain)") {
     val root = Files.createTempDirectory("graft_part_compact").toString
     val c = new TopicCatalog(spark, root)
