@@ -539,6 +539,21 @@ ON p.user_id = s2.user_id AND p.ts >= s2.ts
 ORDER BY event_id""")
     }),
 
+    // --- strict ASOF boundary through the SQL facade: `>` excludes an
+    // exactly-coincident right row (DuckDB admits both forms, so the
+    // boundary semantics earn their own oracle row) --------------------
+    "q_asof_sql_strict" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts").createOrReplaceTempView("asof_p")
+      ev.filter(col("event_type") === "signup")
+        .select("user_id", "ts", "value").createOrReplaceTempView("asof_s")
+      sqlFacade(s).execute("""SELECT event_id, user_id, value AS signup_value
+FROM asof_p p ASOF LEFT JOIN asof_s s2
+ON p.user_id = s2.user_id AND p.ts > s2.ts
+ORDER BY event_id""")
+    }),
+
     // --- interval join through the SQL facade (Flink's symmetric-BETWEEN
     // spelling routes to the bucketed IntervalJoin, not a BNL join) ------
     "q_interval_sql" -> ((s, dir) => {
@@ -1754,6 +1769,14 @@ values (
         "SELECT event_id, p.user_id AS user_id, value AS signup_value " +
         "FROM p ASOF LEFT JOIN s2 " +
         "ON p.user_id = s2.user_id AND p.ts >= s2.ts " +
+        "ORDER BY event_id"),
+
+    "q_asof_sql_strict" ->
+      ("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+        "s2 AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') " +
+        "SELECT event_id, p.user_id AS user_id, value AS signup_value " +
+        "FROM p ASOF LEFT JOIN s2 " +
+        "ON p.user_id = s2.user_id AND p.ts > s2.ts " +
         "ORDER BY event_id"),
 
     "q_interval_sql" ->

@@ -26,12 +26,15 @@ object AsofJoin {
   /** leftTs/rightTs columns must be mutually comparable (both timestamp
     * or both numeric). Right payload columns arrive null when no right
     * row qualifies (like ASOF LEFT JOIN). A right row AT the left row's
-    * exact timestamp qualifies in every direction.
+    * exact timestamp qualifies in every direction by default;
+    * `strict = true` excludes it (the `>` / `<` boundary of SQL ASOF
+    * dialects, vs the default `>=` / `<=`).
     */
   def asofLeft(
       left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String,
-      rightPayload: Seq[String], direction: String = "backward"): DataFrame = {
+      rightPayload: Seq[String], direction: String = "backward",
+      strict: Boolean = false): DataFrame = {
     require(Set("backward", "forward", "nearest").contains(direction),
       s"asofLeft: direction '$direction' not in backward/forward/nearest")
     val leftCols = left.columns.toSeq
@@ -58,18 +61,22 @@ object AsofJoin {
       case c => lit(null).cast(left.schema(c).dataType).as(c)
     } ++ payloads.map(c => col(s"__r_$c")) ++ Seq(col("__side"), col("__ts"))): _*)
     val unioned = l.unionByName(rAligned)
-    // side ordering: right (0) sorts before left (1) at equal ts in BOTH
-    // window directions, so an exactly-coincident right row is visible
+    // side ordering decides the boundary: right (0) before left (1) at
+    // equal ts makes an exactly-coincident right row visible (inclusive
+    // >=/<=); strict flips it so the left row's window position hasn't
+    // seen the coincident right row yet (exclusive >/<). Same flip in
+    // BOTH window directions.
+    val sideOrd = if (strict) col("__side").desc else col("__side").asc
     def carryAll(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,
         prefix: String): DataFrame =
       payloads.foldLeft(df) { (d, c) =>
         d.withColumn(s"$prefix$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
       }
     val wBack = Window.partitionBy(col(key))
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc, sideOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = Window.partitionBy(col(key))
-      .orderBy(col("__ts").desc, col("__side").asc)
+      .orderBy(col("__ts").desc, sideOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = direction match {
       case "backward" => carryAll(unioned, wBack, "__bw_")

@@ -506,7 +506,7 @@ class GraftSql(
     val conds = splitTopLevelAnd(mm.group(6))
     require(conds.length == 2,
       s"ASOF JOIN expects exactly `key = key AND ts >= ts` in ON, got: ${mm.group(6)}")
-    val QualRef = """(?s)^\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*(=|>=|<=)\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*$""".r
+    val QualRef = """(?s)^\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*(>=|<=|=|>|<)\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*$""".r
     def parse(c: String): (String, String, String, String, String) = c match {
       case QualRef(q1, c1, op, q2, c2) => (q1, c1, op, q2, c2)
       case _ => throw new IllegalArgumentException(
@@ -515,9 +515,9 @@ class GraftSql(
     val parsed = conds.map(parse)
     val eq = parsed.find(_._3 == "=").getOrElse(throw new IllegalArgumentException(
       s"ASOF JOIN needs one equality key term: ${mm.group(6)}"))
-    val ineq = parsed.find(p => p._3 == ">=" || p._3 == "<=")
+    val ineq = parsed.find(p => Set(">=", "<=", ">", "<").contains(p._3))
       .getOrElse(throw new IllegalArgumentException(
-        s"ASOF JOIN needs one >=/<= time term: ${mm.group(6)}"))
+        s"ASOF JOIN needs one >=/<=/>/< time term: ${mm.group(6)}"))
     def isL(q: String) = q.equalsIgnoreCase(la)
     def isR(q: String) = q.equalsIgnoreCase(ra)
     // each term must compare one LEFT column with one RIGHT column —
@@ -528,10 +528,16 @@ class GraftSql(
           s"${term._1}.${term._2} ${term._3} ${term._4}.${term._5}")
     val (lKey, rKey) = if (isL(eq._1)) (eq._2, eq._5) else (eq._5, eq._2)
     // orient the inequality so the left table's ts is on the LHS
+    def mirror(op: String): String = op match {
+      case ">=" => "<=" case "<=" => ">=" case ">" => "<" case "<" => ">"
+    }
     val (lts, rts, op) =
       if (isL(ineq._1)) (ineq._2, ineq._5, ineq._3)
-      else (ineq._5, ineq._2, if (ineq._3 == ">=") "<=" else ">=")
-    val direction = if (op == ">=") "backward" else "forward"
+      else (ineq._5, ineq._2, mirror(ineq._3))
+    // > / < are the strict boundary: an exactly-coincident right row is
+    // excluded (DuckDB's dialect admits both forms)
+    val direction = if (op.startsWith(">")) "backward" else "forward"
+    val strict = !op.endsWith("=")
     val left = spark.table(lt)
     val right0 = spark.table(rt)
     require(rKey == lKey || !right0.columns.contains(lKey),
@@ -544,7 +550,7 @@ class GraftSql(
     val payload = right.columns
       .filterNot(c => c == lKey || left.columns.contains(c)).toSeq :+ "__asof_matched_ts"
     val joined = graft.operators.AsofJoin.asofLeft(
-      left, rtsTagged, lKey, lts, rts, payload, direction)
+      left, rtsTagged, lKey, lts, rts, payload, direction, strict)
     val df = (if (isLeft) joined
               else joined.filter(col("__asof_matched_ts").isNotNull))
       .drop("__asof_matched_ts")

@@ -33,6 +33,27 @@ class AsofJoinSpec extends SparkSpec {
     assert(got.getString(got.fieldIndex("tag")) == "same")
   }
 
+  test("strict boundary excludes the coincident right row in both directions") {
+    val left = Seq(
+      (1L, 5L, ts("2024-01-01 10:00:00")),
+      (2L, 5L, ts("2024-01-01 12:00:00"))).toDF("id", "key", "t")
+    val right = Seq(
+      (5L, ts("2024-01-01 10:00:00"), "at10"),
+      (5L, ts("2024-01-01 11:00:00"), "at11")).toDF("key", "t", "tag")
+    def run(direction: String, strict: Boolean): Map[Long, String] =
+      AsofJoin.asofLeft(left, right, "key", "t", "t", Seq("tag"),
+        direction, strict)
+        .select("id", "tag").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+    // backward: left row 1 coincides with at10 — inclusive sees it,
+    // strict falls back to (nothing); row 2 unaffected
+    assert(run("backward", strict = false) == Map(1L -> "at10", 2L -> "at11"))
+    assert(run("backward", strict = true) == Map(1L -> null, 2L -> "at11"))
+    // forward: inclusive takes the coincident row, strict the next one
+    assert(run("forward", strict = false) == Map(1L -> "at10", 2L -> null))
+    assert(run("forward", strict = true) == Map(1L -> "at11", 2L -> null))
+  }
+
   test("matches a windowed brute-force oracle on events data") {
     val ev = Tables(spark, sf, "events")
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -830,6 +830,23 @@ values (
          ON l.k = r.k AND l.t <= r.t ORDER BY id""")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(fwd == Seq((1L, "b"), (2L, null), (3L, "c")))
+    // strict > excludes a coincident right row (DuckDB's dialect): add a
+    // signup exactly at row 1's timestamp — inclusive >= matches it,
+    // strict > skips back to the earlier one
+    Seq((10L, ts("2024-01-01 09:30:00"), "a"),
+        (10L, ts("2024-01-01 10:00:00"), "at"),
+        (10L, ts("2024-01-01 11:00:00"), "b"))
+      .toDF("k", "t", "tag").createOrReplaceTempView("asof_rs")
+    val strictGot = g.execute(
+      """SELECT id, tag FROM asof_l l ASOF LEFT JOIN asof_rs r
+         ON l.k = r.k AND l.t > r.t ORDER BY id""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(strictGot.take(2) == Seq((1L, "a"), (2L, "b")))
+    val inclGot = g.execute(
+      """SELECT id, tag FROM asof_l l ASOF LEFT JOIN asof_rs r
+         ON l.k = r.k AND l.t >= r.t ORDER BY id""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(inclGot.take(2) == Seq((1L, "at"), (2L, "b")))
     // malformed ON fails loudly, not silently wrong
     intercept[IllegalArgumentException](g.execute(
       "SELECT id FROM asof_l l ASOF JOIN asof_r r ON l.k = r.k"))
