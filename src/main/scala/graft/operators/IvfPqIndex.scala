@@ -50,6 +50,11 @@ object IvfPqIndex {
     centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // training baseline for online-append drift detection (same
+    // assigned-centroid distance as the IVF family)
+    IvfSearch.writeStats(spark, path, IvfSearch.celledStats(
+      celled.withColumn("__dist",
+        IvfSearch.cellDist(centroids)(col("v"), col("cell"))), nList))
   }
 
   private def residualUdf(centroids: Array[Array[Float]]) = {
@@ -65,16 +70,25 @@ object IvfPqIndex {
     * same offline-retrain / online-append split as
     * [[IvfSearch.appendToIndex]]. Rows land in their cell's partition
     * directory (dynamic-partition append); probe pruning is unchanged.
+    * Returns the batch's [[AppendStats]] against the training baseline
+    * — drift hurts doubly here (wrong cell AND a codebook trained on a
+    * different residual distribution), so the retrain signal matters
+    * even more than for plain IVF.
     */
-  def appendToIndex(df: DataFrame, cId: String, cVec: String, path: String): Unit = {
+  def appendToIndex(df: DataFrame, cId: String, cVec: String, path: String): AppendStats = {
     val spark = df.sparkSession
     val centroids = IvfSearch.loadCentroids(spark, path)
     val cb = loadCodebooks(spark, path)
-    df.select(col(cId).cast("long").as("id"),
+    val celled = df.select(col(cId).cast("long").as("id"),
         IvfSearch.nearestCell(centroids)(col(cVec)).as("cell"), col(cVec).as("v"))
-      .withColumn("rv", residualUdf(centroids)(col("v"), col("cell")))
+      .localCheckpoint()
+    celled.withColumn("rv", residualUdf(centroids)(col("v"), col("cell")))
       .select(col("id"), col("cell"), PqSearch.encodeUdf(cb)(col("rv")).as("codes"))
       .write.partitionBy("cell").mode("append").parquet(s"$path/corpus")
+    IvfSearch.driftVerdict(
+      IvfSearch.celledStats(celled.withColumn("__dist",
+        IvfSearch.cellDist(centroids)(col("v"), col("cell"))), centroids.length),
+      IvfSearch.loadStats(spark, path))
   }
 
   /** Codebook shape is derived from the persisted rows — see

@@ -25,7 +25,37 @@ import graft.operators.VectorSearch.{scoreCol, scoreF32}
   *    the celled corpus on `cell` — a shuffle join on a low-cardinality
   *    key (AQE handles the skew of popular cells), never a cross product.
   */
+/** Drift report for one online append against a persisted IVF/IVF-PQ
+  * index ([[IvfSearch.appendToIndex]] / [[IvfPqIndex.appendToIndex]]).
+  * Appended vectors are assigned to STORED centroids, so a sustained
+  * distribution shift silently degrades recall: residuals grow (vectors
+  * sit far from every trained centroid) and occupancy concentrates (new
+  * mass crowds a few cells, defeating probe pruning). Both are measured
+  * per batch against the baseline recorded at `writeIndex` time;
+  * `retrainRecommended` fires when either leaves the trained regime —
+  * the signal to schedule the offline retrain leg of the
+  * online-append/offline-retrain split.
+  *
+  * `occupancySkew` is maxCellShare × nList: 1.0 = perfectly uniform,
+  * nList = everything in one cell. Baselines are NaN (and the signal
+  * stays quiet) for a pre-stats index.
+  */
+case class AppendStats(
+    rows: Long,
+    meanResidual: Double,
+    occupancySkew: Double,
+    baselineMeanResidual: Double,
+    baselineOccupancySkew: Double,
+    retrainRecommended: Boolean)
+
 object IvfSearch {
+
+  /** Drift thresholds: a batch whose mean assigned-centroid distance
+    * exceeds 1.5× the training baseline, or whose occupancy skew
+    * exceeds 2× the training skew, is out of the trained regime.
+    */
+  val ResidualDriftFactor = 1.5
+  val OccupancyDriftFactor = 2.0
 
   /** Deterministic k-means centroids over `ARRAY<FLOAT>` vectors. */
   def trainCentroids(
@@ -156,12 +186,69 @@ object IvfSearch {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = trainCentroids(corpus, cVec, cId, nList, iters, dim)
-    corpus.select(col(cId).as("id"), col(cVec).as("vec"),
-        nearestCell(centroids)(col(cVec)).as("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/corpus")
+    val celled = corpus.select(col(cId).as("id"), col(cVec).as("vec"),
+      nearestCell(centroids)(col(cVec)).as("cell"))
+    celled.write.partitionBy("cell").mode("overwrite").parquet(s"$path/corpus")
     centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // training baseline for online-append drift detection
+    writeStats(spark, path, celledStats(
+      celled.withColumn("__dist", cellDist(centroids)(col("vec"), col("cell"))),
+      centroids.length))
+  }
+
+  /** Distance of a vector to its ASSIGNED centroid — the same L2 the
+    * assignment minimized, so drift is measured in assignment units.
+    */
+  private[operators] def cellDist(
+      centroids: Array[Array[Float]])(vec: Column, cell: Column): Column = {
+    val cs = centroids
+    udf((v: Seq[Float], c: Int) => scoreF32("l2", v.toArray, cs(c))).apply(vec, cell)
+  }
+
+  /** (rows, mean assigned-centroid distance, occupancy skew) of a celled
+    * frame carrying a `__dist` column — ONE aggregation job (per-cell
+    * partials, ≤ nList rows to the driver).
+    */
+  private[operators] def celledStats(
+      celled: DataFrame, nList: Int): (Long, Double, Double) = {
+    val perCell = celled.groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("__dist")).as("s")).collect()
+    if (perCell.isEmpty) return (0L, 0.0, 0.0)
+    val n = perCell.map(_.getLong(1)).sum
+    val mean = perCell.map(_.getDouble(2)).sum / n
+    val skew = perCell.map(_.getLong(1)).max.toDouble * nList / n
+    (n, mean, skew)
+  }
+
+  private[operators] def writeStats(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      stats: (Long, Double, Double)): Unit = {
+    import spark.implicits._
+    Seq((stats._2, stats._3)).toDF("mean_residual", "occupancy_skew")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Baseline recorded at writeIndex time; None for a pre-stats index. */
+  private[operators] def loadStats(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[(Double, Double)] =
+    if (!new java.io.File(s"$path/stats").isDirectory) None
+    else spark.read.parquet(s"$path/stats").collect().headOption
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+
+  /** Compare one batch's stats to the stored baseline. */
+  private[operators] def driftVerdict(
+      batch: (Long, Double, Double),
+      baseline: Option[(Double, Double)]): AppendStats = baseline match {
+    case Some((bm, bs)) =>
+      AppendStats(batch._1, batch._2, batch._3, bm, bs,
+        retrainRecommended = batch._1 > 0 &&
+          (batch._2 > ResidualDriftFactor * bm + 1e-12 ||
+            batch._3 > OccupancyDriftFactor * bs))
+    case None =>
+      AppendStats(batch._1, batch._2, batch._3, Double.NaN, Double.NaN,
+        retrainRecommended = false)
   }
 
   /** Append newly arrived vectors to a persisted index WITHOUT
@@ -172,14 +259,25 @@ object IvfSearch {
     * new embeddings arrive (README.md:432-445): index once, append
     * forever, probe pruning unchanged. Centroids drift only at the next
     * full [[writeIndex]] — the standard IVF split of offline retrain /
-    * online append.
+    * online append. Returns the batch's [[AppendStats]]: sustained
+    * distribution drift against stored centroids silently degrades
+    * recall, so every append measures itself against the training
+    * baseline and recommends the retrain when it leaves the regime.
     */
   def appendToIndex(
-      df: DataFrame, cId: String, cVec: String, path: String): Unit = {
-    val centroids = loadCentroids(df.sparkSession, path)
-    df.select(col(cId).as("id"), col(cVec).as("vec"),
+      df: DataFrame, cId: String, cVec: String, path: String): AppendStats = {
+    val spark = df.sparkSession
+    val centroids = loadCentroids(spark, path)
+    // assign cells once; the partition write and the drift aggregation
+    // both read the materialized assignment
+    val celled = df.select(col(cId).as("id"), col(cVec).as("vec"),
         nearestCell(centroids)(col(cVec)).as("cell"))
-      .write.partitionBy("cell").mode("append").parquet(s"$path/corpus")
+      .localCheckpoint()
+    celled.write.partitionBy("cell").mode("append").parquet(s"$path/corpus")
+    driftVerdict(
+      celledStats(celled.withColumn("__dist",
+        cellDist(centroids)(col("vec"), col("cell"))), centroids.length),
+      loadStats(spark, path))
   }
 
   def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Float]] =

@@ -78,12 +78,16 @@ object Streams {
     */
   def ivfIndexStream(
       vectors: DataFrame, idCol: String, vecCol: String,
-      indexPath: String, checkpointDir: String): StreamingQuery =
+      indexPath: String, checkpointDir: String,
+      onStats: graft.operators.AppendStats => Unit = _ => ()): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.IvfSearch.appendToIndex(batch, idCol, vecCol, indexPath)
+        // per-batch drift report vs the training baseline — the caller's
+        // hook for alerting / scheduling the offline retrain
+        onStats(graft.operators.IvfSearch.appendToIndex(
+          batch, idCol, vecCol, indexPath))
         ()
       }
       .start()
@@ -99,12 +103,14 @@ object Streams {
     */
   def ivfPqIndexStream(
       vectors: DataFrame, idCol: String, vecCol: String,
-      indexPath: String, checkpointDir: String): StreamingQuery =
+      indexPath: String, checkpointDir: String,
+      onStats: graft.operators.AppendStats => Unit = _ => ()): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.IvfPqIndex.appendToIndex(batch, idCol, vecCol, indexPath)
+        onStats(graft.operators.IvfPqIndex.appendToIndex(
+          batch, idCol, vecCol, indexPath))
         ()
       }
       .start()

@@ -82,6 +82,26 @@ class IvfSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/corpus").count() == emb.count())
   }
 
+  test("append drift metric: quiet on in-distribution batches, fires on a drifted batch") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    IvfSearch.writeIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, nList = 8, iters = 2)
+    // in-distribution: the held-out half of the SAME corpus
+    val ok = IvfSearch.appendToIndex(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", path)
+    assert(ok.rows > 0 && !ok.retrainRecommended,
+      s"in-distribution append flagged retrain: $ok")
+    assert(ok.baselineMeanResidual > 0 && ok.meanResidual > 0)
+    // drifted: a constant offset pushes every vector far from every
+    // trained centroid — residuals blow past the baseline
+    val shifted = emb.filter(col("vec_id") % 2 === 1)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(5.0f)).as("embedding"))
+    val bad = IvfSearch.appendToIndex(shifted, "vec_id", "embedding", path)
+    assert(bad.retrainRecommended, s"drifted append not flagged: $bad")
+    assert(bad.meanResidual > IvfSearch.ResidualDriftFactor * bad.baselineMeanResidual)
+  }
+
   test("ivfIndexStream: stream-ingested vectors become searchable") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_stream_idx").toString

@@ -153,6 +153,22 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq append drift metric mirrors the IVF one (shared baseline protocol)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_drift").toString
+    graft.operators.IvfPqIndex.writeIndex(emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", path, nList = 8, m = 8, kCodes = 16)
+    val ok = graft.operators.IvfPqIndex.appendToIndex(
+      emb.filter(col("vec_id") >= 400), "vec_id", "embedding", path)
+    assert(ok.rows > 0 && !ok.retrainRecommended,
+      s"in-distribution append flagged retrain: $ok")
+    val shifted = emb.filter(col("vec_id") >= 400)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(5.0f)).as("embedding"))
+    val bad = graft.operators.IvfPqIndex.appendToIndex(
+      shifted, "vec_id", "embedding", path)
+    assert(bad.retrainRecommended, s"drifted append not flagged: $bad")
+  }
+
   test("serve overload with pre-trained codebooks matches train-in-body") {
     val cb = PqSearch.trainCodebooks(emb, "vec_id", "embedding", m = 8, kCodes = 16)
     val served = PqSearch.pqTopK(queries, "qid", "qv", emb, "vec_id", "embedding",
