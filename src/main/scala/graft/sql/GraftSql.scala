@@ -159,8 +159,11 @@ class GraftSql(
       // continuous-mode spec pins.
       val ckpt = sessionOpts.get("execution.checkpoint-dir") match {
         case Some(base) =>
-          val key = java.lang.Integer.toHexString(
-            sql0.replaceAll("\\s+", " ").trim.hashCode)
+          // whitespace-normalized SHA-256 — a 32-bit hashCode could
+          // collide two different statements into one checkpoint
+          val digest = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(sql0.replaceAll("\\s+", " ").trim.getBytes("UTF-8"))
+          val key = digest.take(8).map("%02x".format(_)).mkString
           s"$base/${table}_$key"
         case None =>
           java.nio.file.Files.createTempDirectory("graft_sql_ckpt_").toString

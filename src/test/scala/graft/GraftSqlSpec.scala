@@ -936,6 +936,21 @@ values (
         .collect()
       assert(got.length == 1)
     }
+    // the distributed FEDERATED_SEARCH route registers graft_fedsearch_N
+    // views through the same collector
+    val corpus = Tables(spark, sf, "documents").filter(col("doc_id") < 40)
+      .select(col("text").as("content"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    g.registerSearchCorpus("hyg_corpus", corpus, "content", "vector", maxRows = 10)
+    Seq(("u", "hello")).toDF("role", "content")
+      .withColumn("vector", graft.functions.HashEmbedder.embedCol(col("content")))
+      .createOrReplaceTempView("hyg_q")
+    for (_ <- 1 to 3) {
+      val got = g.execute(
+        """SELECT role, search_results FROM hyg_q,
+LATERAL TABLE(FEDERATED_SEARCH('hyg_corpus', 3, vector));""").collect()
+      assert(got.length == 1)
+    }
     assert(graftViews() == before)
   }
 
