@@ -161,11 +161,18 @@ object SparkEntry {
     * directory every invocation (3 bench passes × 2 queries = 6 dirs).
     */
   private val sqlFacades =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, graft.sql.GraftSql]
+    scala.collection.concurrent.TrieMap.empty[String, graft.sql.GraftSql]
   private def sqlFacade(s: SparkSession): graft.sql.GraftSql =
-    sqlFacades.getOrElseUpdate(s, new graft.sql.GraftSql(s,
-      new graft.sources.TopicCatalog(s,
-        java.nio.file.Files.createTempDirectory("graft_q_sql").toString)))
+    sqlFacades.synchronized {
+      // keyed by applicationId, evicting other apps' entries — same
+      // protection as the memo above against a long-lived JVM that
+      // cycles SparkSessions pinning dead sessions forever
+      val app = s.sparkContext.applicationId
+      sqlFacades.keys.filter(_ != app).foreach(sqlFacades.remove)
+      sqlFacades.getOrElseUpdate(app, new graft.sql.GraftSql(s,
+        new graft.sources.TopicCatalog(s,
+          java.nio.file.Files.createTempDirectory("graft_q_sql").toString)))
+    }
 
   /** The flagship RAG slice — q_rag_e2e (the rows) and q_rag_contract
     * (JSON-structure properties of the same rows).

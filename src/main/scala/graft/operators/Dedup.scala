@@ -112,7 +112,12 @@ object Dedup {
     val cand = l.join(hinted(r), Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
-    if (sigBytes <= (256L << 20)) {
+    // the broadcast-map fast path encodes ids as Long; any other id type
+    // keeps the type-generic relational path (same rule as the
+    // clusterLabels driver fast path)
+    val longIds = sig.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (longIds && sigBytes <= (256L << 20)) {
       // Bounded corpus (same byte cap as the join hints): score
       // candidates against a BROADCAST primitive-array signature map in
       // one narrow pass. The relational form below pays two join-backs
@@ -143,10 +148,11 @@ object Dedup {
         // an arbitrary one is deterministic
         .dropDuplicates("id1", "id2")
     } else {
-      // Beyond-cap scale path: re-attach signatures relationally (the
-      // joins shuffle on id — correct at this size) and score with a
-      // tight primitive loop; zip_with / filter / size higher-order
-      // functions evaluate interpreted and were measured slower still.
+      // Beyond-cap scale path (and the generic path for non-long ids):
+      // re-attach signatures relationally (the joins shuffle on id —
+      // correct at this size) and score with a tight primitive loop;
+      // zip_with / filter / size higher-order functions evaluate
+      // interpreted and were measured slower still.
       val estJaccard = udf { (a: Seq[Long], b: Seq[Long]) =>
         var eq = 0; var i = 0
         val n = math.min(a.length, b.length)

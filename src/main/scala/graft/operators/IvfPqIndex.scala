@@ -38,9 +38,14 @@ object IvfPqIndex {
     import spark.implicits._
     val centroids = IvfSearch.trainCentroids(corpus, cVec, cId, nList, iters, dim)
     val resid = residualUdf(centroids)
+    // materialized once: codebook training scans it `iters` times, then
+    // the encode pass and the drift-baseline aggregation read it again —
+    // unmaterialized, each pass would replay the corpus scan + cell
+    // assignment + residual computation
     val celled = corpus.select(col(cId).cast("long").as("id"),
         IvfSearch.nearestCell(centroids)(col(cVec)).as("cell"), col(cVec).as("v"))
       .withColumn("rv", resid(col("v"), col("cell")))
+      .localCheckpoint()
     val cb = PqSearch.trainCodebooks(
       celled.select(col("id"), col("rv")), "id", "rv", m, kCodes, iters, dim)
     celled.select(col("id"), col("cell"),
@@ -88,7 +93,7 @@ object IvfPqIndex {
     IvfSearch.driftVerdict(
       IvfSearch.celledStats(celled.withColumn("__dist",
         IvfSearch.cellDist(centroids)(col("v"), col("cell"))), centroids.length),
-      IvfSearch.loadStats(spark, path))
+      centroids.length, IvfSearch.loadStats(spark, path))
   }
 
   /** Codebook shape is derived from the persisted rows — see

@@ -192,9 +192,12 @@ object IvfSearch {
     centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    // training baseline for online-append drift detection
+    // training baseline for online-append drift detection — aggregated
+    // over the parquet just written, not the source plan, so the build
+    // never pays a second corpus scan + assignment pass
+    val persisted = spark.read.parquet(s"$path/corpus")
     writeStats(spark, path, celledStats(
-      celled.withColumn("__dist", cellDist(centroids)(col("vec"), col("cell"))),
+      persisted.withColumn("__dist", cellDist(centroids)(col("vec"), col("cell"))),
       centroids.length))
   }
 
@@ -237,15 +240,21 @@ object IvfSearch {
     else spark.read.parquet(s"$path/stats").collect().headOption
       .map(r => (r.getDouble(0), r.getDouble(1)))
 
-  /** Compare one batch's stats to the stored baseline. */
+  /** Compare one batch's stats to the stored baseline. The occupancy
+    * clause only judges batches of at least 8×nList rows: a tiny
+    * micro-batch is maximally skewed by construction (2 rows in 2 cells
+    * of 16 reads as skew 8) and would false-fire on every small
+    * in-distribution append — exactly the streaming path the signal
+    * serves. Residual distance has no such size floor.
+    */
   private[operators] def driftVerdict(
-      batch: (Long, Double, Double),
+      batch: (Long, Double, Double), nList: Int,
       baseline: Option[(Double, Double)]): AppendStats = baseline match {
     case Some((bm, bs)) =>
       AppendStats(batch._1, batch._2, batch._3, bm, bs,
         retrainRecommended = batch._1 > 0 &&
           (batch._2 > ResidualDriftFactor * bm + 1e-12 ||
-            batch._3 > OccupancyDriftFactor * bs))
+            (batch._1 >= 8L * nList && batch._3 > OccupancyDriftFactor * bs)))
     case None =>
       AppendStats(batch._1, batch._2, batch._3, Double.NaN, Double.NaN,
         retrainRecommended = false)
@@ -277,7 +286,7 @@ object IvfSearch {
     driftVerdict(
       celledStats(celled.withColumn("__dist",
         cellDist(centroids)(col("vec"), col("cell"))), centroids.length),
-      loadStats(spark, path))
+      centroids.length, loadStats(spark, path))
   }
 
   def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Float]] =

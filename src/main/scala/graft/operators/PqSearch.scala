@@ -70,9 +70,18 @@ object PqSearch {
       m: Int = 8, kCodes: Int = 16, iters: Int = 2, dim: Int = 64,
       persist: Boolean = true): Codebooks =
     cbCache.synchronized {
-      cbCache.getOrElseUpdate(tag, {
+      // hyperparameters are part of the identity: the same corpus tag
+      // under a different PQ shape must train (and persist) separately,
+      // never serve mismatched codebooks
+      val key = s"${tag}_m${m}_k${kCodes}_i${iters}_d$dim"
+      // registration-scoped tags (persist=false) are never reused, so a
+      // long-lived session would otherwise grow one dead Codebooks per
+      // re-registration: bound the cache, clearing wholesale (persisted
+      // entries reload from disk; the rest retrain at most once more)
+      if (cbCache.size > 64) cbCache.clear()
+      cbCache.getOrElseUpdate(key, {
         if (persist) {
-          val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_cb_$tag"
+          val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_cb_$key"
           if (!new java.io.File(s"$path/_SUCCESS").exists())
             saveCodebooks(corpus.sparkSession, path,
               trainCodebooks(corpus, cId, cVec, m, kCodes, iters, dim))

@@ -94,12 +94,11 @@ class GraftSql(
         InMemCorpus(rows.map(r => (r.getString(0), r.getSeq[Float](1).toArray))
           .sortBy(_._1))
       else DfCorpus(df, contentCol, vecCol, indexType, numCandidates,
-        // registration-scoped identity: semanticHash ties the tag to the
-        // corpus' resolved plan, the counter makes each registration
-        // distinct so re-registering over regenerated data retrains
-        tag = s"sql_${name}_" +
-          Integer.toHexString(df.queryExecution.analyzed.canonicalized.semanticHash()) +
-          s"_g${GraftSql.corpusGen.incrementAndGet()}")
+        // registration-scoped identity: the per-registration counter
+        // alone guarantees uniqueness, so re-registering over
+        // regenerated data always retrains (the tag is deliberately NOT
+        // content-derived — see cachedCodebooks' persist=false contract)
+        tag = s"sql_${name}_g${GraftSql.corpusGen.incrementAndGet()}")
   }
 
   /** Statement-scoped session options (`SET 'k' = 'v'`) — the Flink

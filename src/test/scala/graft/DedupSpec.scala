@@ -42,6 +42,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("minhash pairs work with non-numeric ids (generic relational path)") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val df = Seq(("doc-a", base), ("doc-b", nearDup), ("doc-c", other))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashPairs(df, "id", "text",
+      numHashes = 64, bands = 16, shingleLen = 5, threshold = 0.5)
+      .select("id1", "id2").as[(String, String)].collect().toSet
+    assert(pairs == Set(("doc-a", "doc-b")))
+  }
+
   test("simhash finds planted near-duplicate within maxDist") {
     val base = (1 to 60).map(i => s"token$i").mkString(" ")
     val nearDup = base + " extra"

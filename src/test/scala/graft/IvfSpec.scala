@@ -100,6 +100,15 @@ class IvfSpec extends SparkSpec {
     val bad = IvfSearch.appendToIndex(shifted, "vec_id", "embedding", path)
     assert(bad.retrainRecommended, s"drifted append not flagged: $bad")
     assert(bad.meanResidual > IvfSearch.ResidualDriftFactor * bad.baselineMeanResidual)
+    // a tiny in-distribution micro-batch is maximally skewed by
+    // construction (2 rows in ≤2 cells) — the occupancy clause must not
+    // false-fire on it
+    val tiny = IvfSearch.appendToIndex(
+      emb.filter(col("vec_id").isin(3L, 5L))
+        .select((col("vec_id") + 20000).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", path)
+    assert(tiny.rows == 2 && !tiny.retrainRecommended,
+      s"tiny in-distribution append flagged retrain: $tiny")
   }
 
   test("ivfIndexStream: stream-ingested vectors become searchable") {
