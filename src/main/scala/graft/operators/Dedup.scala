@@ -610,10 +610,12 @@ object Dedup {
       threshold: Double, nBits: Int = 8, nTables: Int = 6,
       dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bucketed = (0 until nTables).map { t =>
-      base.select(col("id"),
-        Lsh.bucketCol(col("v"), nBits, t, dim).as("bh"), lit(t).as("tbl"))
-    }.reduce(_ unionByName _)
+    // all tables' buckets from ONE corpus pass (union branches don't
+    // share work — the per-table union form re-scanned the corpus and
+    // re-projected the vector nTables times)
+    val bucketed = base.select(col("id"),
+      posexplode(Lsh.bucketsCol(col("v"), nBits, nTables, dim))
+        .as(Seq("tbl", "bh")))
     // cap pathological buckets (e.g. an all-zeros embedding cluster):
     // bounded quadratic work per (table, bucket)
     val sizes = bucketed.groupBy("tbl", "bh").agg(count(lit(1)).as("__bn"))

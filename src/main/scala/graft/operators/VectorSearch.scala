@@ -223,14 +223,17 @@ object VectorSearch {
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, metric: String = "dot",
       nBits: Int = 8, nTables: Int = 4, dim: Int = 64): DataFrame = {
-    val tables = (0 until nTables).map { t =>
-      val qb = queries.select(col(qId), col(qVec))
-        .withColumn("bucket", Lsh.bucketCol(col(qVec), nBits, t, dim))
-      val cb = corpus.select(col(cId).as("match_id"), col(cVec).as("__cvec"))
-        .withColumn("bucket", Lsh.bucketCol(col("__cvec"), nBits, t, dim))
-      qb.join(cb, "bucket").drop("bucket")
-    }
-    val candidates = tables.reduce(_ unionByName _)
+    // all tables in one pass per side: (table, bucket) rows from a
+    // single scan, one equi-join on the pair — the per-table
+    // join-then-union form scanned both sides nTables times
+    val qb = queries.select(col(qId), col(qVec),
+      posexplode(Lsh.bucketsCol(col(qVec), nBits, nTables, dim))
+        .as(Seq("tbl", "bucket")))
+    val cb = corpus.select(col(cId).as("match_id"), col(cVec).as("__cvec"))
+      .select(col("match_id"), col("__cvec"),
+        posexplode(Lsh.bucketsCol(col("__cvec"), nBits, nTables, dim))
+          .as(Seq("tbl", "bucket")))
+    val candidates = qb.join(cb, Seq("tbl", "bucket")).drop("tbl", "bucket")
       .dropDuplicates(qId, "match_id")
       .withColumn("score", scoreCol(metric)(col(qVec), col("__cvec")))
       .drop("__cvec")
@@ -371,6 +374,17 @@ object Lsh {
   def bucketCol(vec: Column, nBits: Int, table: Int, dim: Int): Column = {
     val planes = planeMatrix(table, nBits, dim)
     udf((v: Seq[Float]) => bucket(v, nBits, dim, planes)).apply(vec)
+  }
+
+  /** Every table's bucket id in ONE pass (`posexplode` the result to
+    * (table, bucket) rows): per-table values are bit-identical to
+    * [[bucketCol]], but the input is scanned once instead of once per
+    * table — union branches don't share work, so the per-table
+    * union-of-selects form re-read the corpus `nTables` times.
+    */
+  def bucketsCol(vec: Column, nBits: Int, nTables: Int, dim: Int): Column = {
+    val planes = Array.tabulate(nTables)(t => planeMatrix(t, nBits, dim))
+    udf((v: Seq[Float]) => planes.map(p => bucket(v, nBits, dim, p))).apply(vec)
   }
 }
 
