@@ -248,12 +248,18 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("toks"))
+    // materialized once: three subtrees consume the distinct gram set
+    // (per-doc counts + both sides of the self-join), and their differing
+    // output aliases defeat ReusedExchange — unmaterialized, the
+    // tokenize + explode + distinct shuffle ran three times (slim
+    // (id, gram) rows, the same trade as minhashPairs' signatures)
     val grams = toks
       .withColumn("gram",
         explode(transform(sequence(lit(0), greatest(size(col("toks")) - n, lit(0)) ),
           i => array_join(slice(col("toks"), i + 1, lit(n)), " "))))
       .filter(size(col("toks")) >= n)
       .select("id", "gram").distinct()
+      .localCheckpoint()
     val counts = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val l = grams.select(col("id").as("id1"), col("gram"))
     val r = grams.select(col("id").as("id2"), col("gram"))
