@@ -1349,10 +1349,18 @@ values (
       // precision: every emitted pair (est >= 0.5) must hold an exact
       // jaccard >= 0.2 — 0.3 was only ~4 sigma of estimator slack and an
       // observed borderline pair (est exactly 0.5, exact 0.269) sat inside
-      // it; 0.2 is ~5.4 sigma below the est cut with 64 hashes
+      // it; 0.2 is ~5.4 sigma below the est cut with 64 hashes.
+      // Counted via a broadcast SEMI join (gt streamed once, no shuffle):
+      // a left-anti from mh would force the multi-million-row ground
+      // truth onto the build side — a full shuffle+sort per run. Both
+      // sides hold distinct pairs, so |mh ∩ gt| = |mh| ⇔ mh ⊆ gt.
       val loose = shingleGroundTruth(s, dir)
-      val prec = mh.join(loose.select("id1", "id2"), Seq("id1", "id2"), "left_anti")
-        .agg((count(lit(1)) === 0).as("precision_all_ok"))
+      val matched = loose.select("id1", "id2")
+        .join(broadcast(mh.select("id1", "id2")), Seq("id1", "id2"),
+          "left_semi")
+        .select(count(lit(1)).as("__m"))
+      val prec = mh.select(count(lit(1)).as("__n")).crossJoin(matched)
+        .select((col("__n") === col("__m")).as("precision_all_ok"))
       found.crossJoin(prec).orderBy("id1", "id2")
     }),
 

@@ -383,7 +383,13 @@ object Dedup {
         .map { case (id, n, m) => (id, n, m.toArray) }
       val bc = spark.sparkContext.broadcast(packed)
       val thr = threshold
-      masks.as[(Long, Int, Seq[Long])]
+      // repartition before the kernel: the masks inherit the scan's
+      // partitioning (often ONE task for a single-split parquet file),
+      // which would run the O(n^2) popcount serially AND leave the
+      // multi-million-row pair output in one partition, serializing
+      // every downstream consumer of the memoized ground truth
+      masks.repartition(spark.sparkContext.defaultParallelism)
+        .as[(Long, Int, Seq[Long])]
         .mapPartitions { it =>
           val right = bc.value
           it.flatMap { case (id1, n1, m1s) =>
