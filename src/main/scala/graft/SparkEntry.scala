@@ -43,6 +43,25 @@ object SparkEntry {
     memo(s, dir, "shingle_gt")(
       Dedup.charShingleJaccardPairsBitset(t(s, dir, "documents"), "doc_id", "text", 5, 0.2))
 
+  /** The standard ANN query slice (every 20th embedding) — shared by all
+    * vector-search queries probing the `embeddings` corpus.
+    */
+  private def annQueries(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  /** Exact flat top-3 (dot) over [[annQueries]] — the ORACLE side shared
+    * verbatim by every ANN recall contract (LSH / IVF / PQ / IVF-PQ,
+    * in-flight and persisted). Like [[shingleGroundTruth]], the ground
+    * truth is the oracle twin, not the operator under test, so the memo
+    * pattern applies: five contracts check five different indexes against
+    * ONE materialized exact answer instead of recomputing it per query.
+    */
+  private def annGroundTruth(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "ann_gt_k3_dot")(
+      VectorSearch.topKFlat(annQueries(s, dir), "query_id", "qv",
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 3, metric = "dot"))
+
   /** Per-(application, dir, tag) memo for expensive subplans SHARED
     * VERBATIM by several driver queries (the r5 ground-truth cache,
     * generalized): each is computed and materialized once per app —
@@ -1012,25 +1031,21 @@ ORDER BY event_id, event_id2""")
     // asserting >=1 of the true top-3 was retrieved; the oracle pins TRUE.
     "q_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val queries = annQueries(s, dir)
       val approx = VectorSearch.annTopK(queries, "query_id", "qv",
         emb, "vec_id", "embedding", k = 3, metric = "dot", nBits = 6, nTables = 4)
-      val exact = VectorSearch.topKFlat(queries, "query_id", "qv",
-        emb, "vec_id", "embedding", k = 3, metric = "dot")
-      VectorSearch.recallContract(approx, exact, queries, "query_id", "match_id", 1)
+      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
+        "query_id", "match_id", 1)
         .orderBy("query_id")
     }),
 
     "q_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val queries = annQueries(s, dir)
       val approx = graft.operators.IvfSearch.ivfTopK(queries, "query_id", "qv",
         emb, "vec_id", "embedding", k = 3, metric = "dot", nList = 16, nProbe = 4)
-      val exact = VectorSearch.topKFlat(queries, "query_id", "qv",
-        emb, "vec_id", "embedding", k = 3, metric = "dot")
-      VectorSearch.recallContract(approx, exact, queries, "query_id", "match_id", 1)
+      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
+        "query_id", "match_id", 1)
         .orderBy("query_id")
     }),
 
@@ -1050,13 +1065,11 @@ ORDER BY event_id, event_id2""")
       if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
         graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding", path,
           nList = 16)
-      val queries = emb.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val queries = annQueries(s, dir)
       val approx = graft.operators.IvfSearch.searchIndex(s, path, queries,
         "query_id", "qv", k = 3, metric = "dot", nProbe = 4)
-      val exact = VectorSearch.topKFlat(queries, "query_id", "qv",
-        emb, "vec_id", "embedding", k = 3, metric = "dot")
-      VectorSearch.recallContract(approx, exact, queries, "query_id", "match_id", 1)
+      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
+        "query_id", "match_id", 1)
         .orderBy("query_id")
     }),
 
@@ -1071,14 +1084,12 @@ ORDER BY event_id, event_id2""")
       if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
         graft.operators.IvfPqIndex.writeIndex(emb, "vec_id", "embedding", path,
           nList = 16, m = 8, kCodes = 16)
-      val queries = emb.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val queries = annQueries(s, dir)
       val approx = graft.operators.IvfPqIndex.searchIndex(s, path, queries,
         "query_id", "qv", emb, "vec_id", "embedding",
         k = 3, metric = "dot", nProbe = 8, numCandidates = 200)
-      val exact = VectorSearch.topKFlat(queries, "query_id", "qv",
-        emb, "vec_id", "embedding", k = 3, metric = "dot")
-      VectorSearch.recallContract(approx, exact, queries, "query_id", "match_id", 1)
+      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
+        "query_id", "match_id", 1)
         .orderBy("query_id")
     }),
 
@@ -1313,14 +1324,12 @@ values (
 
     "q_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val queries = annQueries(s, dir)
       val approx = graft.operators.PqSearch.pqTopK(queries, "query_id", "qv",
         emb, "vec_id", "embedding", k = 3, cb = pqCodebooks(s, dir),
         metric = "dot", numCandidates = 100, maxQueries = 10000)
-      val exact = VectorSearch.topKFlat(queries, "query_id", "qv",
-        emb, "vec_id", "embedding", k = 3, metric = "dot")
-      VectorSearch.recallContract(approx, exact, queries, "query_id", "match_id", 1)
+      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
+        "query_id", "match_id", 1)
         .orderBy("query_id")
     }),
 
