@@ -141,6 +141,19 @@ object SparkEntry {
     else memo(s, dir, "embedding_pairs_lsh_0.35")(f)
   }
 
+  /** SemDeDup survivors over `embeddings` (16 cells, cosine 0.35 — the
+    * same threshold as [[memoizedEmbeddingPairs]], so the exact pair set
+    * is the contract's ground truth) — q_semdedup (survivors) and
+    * q_semdedup_contract (properties of the same run).
+    */
+  private def memoizedSemDedup(s: SparkSession, dir: String,
+      fresh: Boolean = false): DataFrame = {
+    def f = Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      nClusters = 16, threshold = 0.35)
+    if (fresh) memoRefresh(s, dir, "semdedup_0.35")(f)
+    else memo(s, dir, "semdedup_0.35")(f)
+  }
+
   /** Planted-dup scored corpus for the keepBest queries: every 10th doc
     * gets a copy differing only in case/whitespace, so its raw quality
     * differs while its normalized text doesn't (the corpus has no
@@ -357,6 +370,38 @@ object SparkEntry {
     "q_dedup_embedding_lsh" -> ((s, dir) =>
       memoizedEmbeddingPairsLsh(s, dir, fresh = true)
         .orderBy("id1", "id2")),
+
+    // --- SemDeDup: k-means-bounded semantic dedup (Abbas 2023) ------------
+    // Survivors of cluster-bounded cosine dedup at 0.35 (rows-only; the
+    // contract twin below is the oracle gate).
+    "q_semdedup" -> ((s, dir) =>
+      memoizedSemDedup(s, dir, fresh = true)
+        .select(col("id").as("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy("vec_id")),
+
+    // Contract over the SAME run: the exact 0.35 pair set is the oracle-
+    // recomputable ground truth (DuckDB's own cosine); semDedup pairs are
+    // cluster-bounded ⊆ exact pairs, so "isolated docs survive" and
+    // "removed docs have a ≥-threshold exact neighbor" are guaranteed —
+    // pinned TRUE by the oracle, computed (not pinned) here.
+    "q_semdedup_contract" -> ((s, dir) => {
+      val surv = memoizedSemDedup(s, dir)
+        .select(col("id").as("vec_id")).withColumn("__kept", lit(true))
+      val exact = memoizedEmbeddingPairs(s, dir)
+      val paired = exact.select(col("id1").as("vec_id"))
+        .union(exact.select(col("id2").as("vec_id")))
+        .distinct().withColumn("__paired", lit(true))
+      t(s, dir, "embeddings").select(col("vec_id"))
+        .join(broadcast(paired), Seq("vec_id"), "left")
+        .join(broadcast(surv), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("__paired"), lit(false)).unary_!.as("is_isolated"),
+          (coalesce(col("__paired"), lit(false)) ||
+            coalesce(col("__kept"), lit(false))).as("isolated_kept_ok"),
+          (coalesce(col("__kept"), lit(false)) ||
+            coalesce(col("__paired"), lit(false))).as("removed_has_neighbor_ok"))
+        .orderBy("vec_id")
+    }),
 
     // --- prompt assembly (F1/F2) ------------------------------------------
     "q_prompt_assembly" -> ((s, dir) =>
@@ -621,6 +666,22 @@ ORDER BY event_id, event_id2""")
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // --- Gopher structural quality rules (Rae et al. 2021, table A1) ------
+    // Per-doc stats + composite verdict, all built-ins → full DuckDB oracle.
+    "q_gopher_rules" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(split(trim(col("text")), "\\s+"),
+            t => length(t) > 0)).cast("long").as("n_words"),
+          TextOps.meanWordLen(col("text")).as("mean_word_len"),
+          TextOps.symbolRatio(col("text")).as("symbol_ratio"),
+          TextOps.bulletLineRatio(col("text")).as("bullet_line_ratio"),
+          TextOps.ellipsisLineRatio(col("text")).as("ellipsis_line_ratio"),
+          TextOps.alphaWordRatio(col("text")).as("alpha_word_ratio"),
+          TextOps.stopwordHits(col("text")).cast("long").as("n_stop_hits"),
+          TextOps.gopherPass(col("text")).as("gopher_pass"))
+        .orderBy("doc_id")),
+
     // --- sketch aggregate: HLL distinct --------------------------------
     // Oracle-checkable accuracy contract: the sketch value itself is
     // engine-specific, so the driver-facing columns are the EXACT count
@@ -837,6 +898,17 @@ ORDER BY event_id, event_id2""")
       memoizedPipeline(s, dir, fresh = true)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
+
+    // --- duplicated token spans (Lee et al. 2021's exact-substring signal,
+    // relational form). The HASHED variant runs (8-byte shuffle keys, the
+    // 100 TB shape) while the DuckDB oracle rebuilds spans from gram TEXT —
+    // the hash gate proves the hashed plan loses nothing.
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpansHashed(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, minDocs = 2)
+        .select(col("id").as("doc_id"), col("pos").cast("long").as("pos"),
+          col("n_docs"))
+        .orderBy("doc_id", "pos")),
 
     // --- corpus curation: deterministic stratified sampling ---------------
     // Sampling is a pure function of doc_id (multiplicative hash), not an
@@ -1607,6 +1679,32 @@ values (
         "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35 " +
         "ORDER BY id1, id2"),
 
+    // SemDeDup contract: DuckDB recomputes the exact 0.35 pair set with
+    // its own cosine; the cluster-bounded pairs are a subset of it, so
+    // the two implication booleans are guaranteed and pinned TRUE.
+    "q_semdedup_contract" ->
+      ("WITH pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2 " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
+        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35), " +
+        "paired AS (SELECT id1 AS vec_id FROM pairs UNION SELECT id2 FROM pairs) " +
+        "SELECT vec_id, vec_id NOT IN (SELECT vec_id FROM paired) AS is_isolated, " +
+        "TRUE AS isolated_kept_ok, TRUE AS removed_has_neighbor_ok " +
+        "FROM embeddings ORDER BY vec_id"),
+
+    // duplicated 8-token spans: the oracle rebuilds every sliding window
+    // from gram TEXT (1-based DuckDB list slicing = the operator's `pos`
+    // spelling) and keeps windows seen in >= 2 distinct docs.
+    "q_dup_spans" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk " +
+        "FROM documents), " +
+        "grams AS (SELECT doc_id, i AS pos, array_to_string(tk[i:i+7], ' ') AS gram " +
+        "FROM toks, UNNEST(range(1, len(tk) - 6)) AS r(i) WHERE len(tk) >= 8), " +
+        "dup AS (SELECT gram, count(DISTINCT doc_id) AS n_docs FROM grams " +
+        "GROUP BY gram HAVING count(DISTINCT doc_id) >= 2) " +
+        "SELECT g.doc_id, g.pos, d.n_docs FROM grams g JOIN dup d ON g.gram = d.gram " +
+        "ORDER BY doc_id, pos"),
+
     "q_prompt_assembly" ->
       ("SELECT doc_id, json_object('role', 'user', 'content', text, 'lang', lang) AS prompt " +
         "FROM documents ORDER BY doc_id"),
@@ -1837,6 +1935,26 @@ values (
         "SELECT doc_id, text, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS n_tok " +
         "FROM documents) ORDER BY doc_id"),
+
+    "q_gopher_rules" ->
+      ("WITH base AS (SELECT doc_id, text, " +
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0) AS toks, " +
+        "list_filter(regexp_split_to_array(text, '\\n'), l -> len(trim(l)) > 0) AS lines " +
+        "FROM documents), " +
+        "m AS (SELECT doc_id, len(toks) AS n_words, " +
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks), 4) END AS mean_word_len, " +
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(CAST((length(text) - length(replace(text, '#', ''))) + " +
+        "(length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / len(toks), 4) END AS symbol_ratio, " +
+        "CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lines), 4) END AS bullet_line_ratio, " +
+        "CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS DOUBLE) / len(lines), 4) END AS ellipsis_line_ratio, " +
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks), 4) END AS alpha_word_ratio, " +
+        "len(list_distinct(list_filter(list_transform(toks, t -> lower(t)), " +
+        "t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','was','at','by','be','this'], t)))) AS n_stop_hits " +
+        "FROM base) " +
+        "SELECT *, (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10) " +
+        "AND symbol_ratio < 0.1 AND bullet_line_ratio < 0.9 AND ellipsis_line_ratio < 0.3 " +
+        "AND alpha_word_ratio > 0.8 AND n_stop_hits >= 2 AS gopher_pass " +
+        "FROM m ORDER BY doc_id"),
 
     "q_topic_roundtrip" ->
       ("SELECT * FROM (" +

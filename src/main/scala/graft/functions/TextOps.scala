@@ -62,6 +62,73 @@ object TextOps {
     round((lenScore + wordScore + punctScore) / lit(3.0), 4)
   }
 
+  // --- Gopher-style document quality rules --------------------------------
+  // (Rae et al. 2021 "Scaling Language Models: ... Gopher", table A1's
+  // structural filters; the same family RefinedWeb/C4 use. Built-ins
+  // only, so every column is DuckDB-oracle-checkable.)
+
+  /** Non-empty whitespace tokens. */
+  private def wsToks(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Non-blank lines. */
+  private def nbLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  private def safeRatio(num: Column, den: Column): Column =
+    when(den === 0, lit(0.0)).otherwise(round(num.cast("double") / den, 4))
+
+  /** Mean whitespace-token length (0.0 for empty docs), rounded to 4. */
+  def meanWordLen(text: Column): Column = {
+    val toks = wsToks(text)
+    safeRatio(aggregate(toks, lit(0), (a, t) => a + length(t)), size(toks))
+  }
+
+  /** (`#` count + `...` count) / word count — Gopher's symbol-to-word
+    * ratio. `...` occurrences are counted by length delta / 3 (leftmost
+    * non-overlapping, the same scan both regex engines make).
+    */
+  def symbolRatio(text: Column): Column = {
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses = (length(text) - length(regexp_replace(text, "\\.\\.\\.", "")))
+      .cast("double") / 3
+    safeRatio(hashes + ellipses, size(wsToks(text)))
+  }
+
+  /** Fraction of non-blank lines that start with a bullet marker. */
+  def bulletLineRatio(text: Column): Column = {
+    val lines = nbLines(text)
+    safeRatio(size(filter(lines, l => trim(l).rlike("^[-*•]"))), size(lines))
+  }
+
+  /** Fraction of non-blank lines ending with an ellipsis. */
+  def ellipsisLineRatio(text: Column): Column = {
+    val lines = nbLines(text)
+    safeRatio(size(filter(lines, l => trim(l).rlike("\\.\\.\\.$"))), size(lines))
+  }
+
+  /** Fraction of words containing at least one ASCII letter. */
+  def alphaWordRatio(text: Column): Column = {
+    val toks = wsToks(text)
+    safeRatio(size(filter(toks, t => t.rlike("[A-Za-z]"))), size(toks))
+  }
+
+  /** Number of DISTINCT [[Stopwords]] present — Gopher's "stop word
+    * presence" signal (>= 2 distinct hits expected of running prose).
+    */
+  def stopwordHits(text: Column): Column =
+    size(array_distinct(filter(transform(wsToks(text), t => lower(t)),
+      t => t.isin(Stopwords.map(lit(_).cast("string")): _*))))
+
+  /** The composite Gopher keep/drop verdict over the rules above. */
+  def gopherPass(text: Column): Column = {
+    val toks = size(wsToks(text))
+    toks.between(50, 100000) && meanWordLen(text).between(3, 10) &&
+      symbolRatio(text) < 0.1 && bulletLineRatio(text) < 0.9 &&
+      ellipsisLineRatio(text) < 0.3 && alphaWordRatio(text) > 0.8 &&
+      stopwordHits(text) >= 2
+  }
+
   // --- language ID (heuristic n-gram/stopword scorer; UDF) ---------------
 
   /** Tiny per-language marker sets: characteristic stopwords plus script

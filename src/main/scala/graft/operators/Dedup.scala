@@ -645,4 +645,94 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }
+
+  /** Duplicated token-span detection — the exact-substring dedup signal
+    * of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better"), expressed relationally instead of with a suffix
+    * array: every `n`-token sliding window is keyed by its joined text;
+    * a window whose key appears in at least `minDocs` distinct documents
+    * is a cross-document duplicated span.
+    *
+    * Output: one row per occurrence of a duplicated span —
+    * (id, pos [1-based token offset], n_docs carrying that span).
+    *
+    * Scale shape: the only shuffle is the group-by on the span key; rows
+    * into it are slim (key, doc, pos) triples, partial-aggregated
+    * map-side. Span keys are text here for oracle parity — a 100 TB run
+    * swaps the key for `xxhash64(gram)` (8-byte shuffle rows, same
+    * result modulo an astronomically unlikely collision), which
+    * [[duplicateSpansHashed]] provides.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val grams = spanGrams(df, idCol, textCol, n)
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    grams.join(dup, "gram").select("id", "pos", "n_docs")
+  }
+
+  /** [[duplicateSpans]] with the 8-byte hashed span key — the 100 TB
+    * form (the shuffle never carries gram text).
+    */
+  def duplicateSpansHashed(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val grams = spanGrams(df, idCol, textCol, n)
+      .select(col("id"), col("pos"), xxhash64(col("gram")).as("gh"))
+    val dup = grams.groupBy("gh")
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    grams.join(dup, "gh").select("id", "pos", "n_docs")
+  }
+
+  /** (id, pos, gram): all `n`-token sliding windows over lowercased
+    * whitespace tokens; `pos` is the 1-based token offset (the spelling
+    * DuckDB's 1-based list slicing reproduces verbatim).
+    */
+  private def spanGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    df.select(col(idCol).as("id"), toks.as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), size(col("tk")) - (n - 1)),
+        i => array_join(slice(col("tk"), i, lit(n)), " "))).as(Seq("p0", "gram")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("gram"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication that bounds the quadratic cosine comparison INSIDE
+    * k-means clusters. Vectors are assigned to `nClusters` cells
+    * ([[IvfSearch.trainCentroids]], the deterministic trainer the IVF
+    * index family already uses); candidate pairs are the within-cell
+    * pairs at `threshold`; each near-dup component keeps its minimum id
+    * ([[clusterLabels]] closure, so chains dedup transitively).
+    *
+    * Returns survivors (id, cell). Work scales with sum(cell_i²), never
+    * |D|²: at 100 TB, nClusters grows with the corpus so cells stay
+    * bounded, and the pairwise step is an equi-join on the cell id (one
+    * shuffle of slim rows) — the published recipe for embedding-level
+    * dedup at web scale.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, threshold: Double, iters: Int = 3,
+      dim: Int = 64): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val centroids = IvfSearch.trainCentroids(base, "v", "id", nClusters,
+      iters, dim)
+    val celled = base
+      .withColumn("cell", IvfSearch.nearestCell(centroids)(col("v")))
+      // one pass assigns cells; both sides of the pair join read it
+      .localCheckpoint()
+    val l = celled.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
+    val r = celled.select(col("cell"), col("id").as("id2"), col("v").as("v2"))
+    val pairs = l.join(r, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(VectorFunctions.cosine_similarity(col("v1"), col("v2")) >= threshold)
+      .select("id1", "id2")
+    val removed = clusterLabels(pairs)
+      .filter(col("id") =!= col("label")).select("id")
+    celled.select("id", "cell").join(removed, Seq("id"), "left_anti")
+  }
 }

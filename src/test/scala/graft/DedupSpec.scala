@@ -311,4 +311,40 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2)) <= 1.0)
     }
   }
+
+  test("duplicateSpans finds cross-doc 8-token windows; hashed form agrees") {
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val df = docs(
+      1L -> s"$shared and unique tail one",
+      2L -> s"prefix words here $shared",
+      3L -> "an entirely different document with no shared span at all yes")
+    val spans = Dedup.duplicateSpans(df, "id", "text", n = 8, minDocs = 2)
+      .select("id", "pos", "n_docs").as[(Long, Int, Long)].collect().sorted.toSeq
+    // 12 shared tokens -> 5 duplicated 8-windows per doc, offset by prefix
+    assert(spans.count(_._1 == 1L) == 5)
+    assert(spans.count(_._1 == 2L) == 5)
+    assert(spans.count(_._1 == 3L) == 0)
+    assert(spans.filter(_._1 == 1L).map(_._2) == Seq(1, 2, 3, 4, 5))
+    assert(spans.filter(_._1 == 2L).map(_._2) == Seq(4, 5, 6, 7, 8))
+    assert(spans.forall(_._3 == 2L))
+    val hashed = Dedup.duplicateSpansHashed(df, "id", "text", n = 8, minDocs = 2)
+      .select("id", "pos", "n_docs").as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(hashed == spans)
+  }
+
+  test("semDedup removes only docs with an exact >=threshold neighbor and keeps isolated docs") {
+    val emb = Tables(spark, sf, "embeddings")
+    val surv = Dedup.semDedup(emb, "vec_id", "embedding",
+      nClusters = 16, threshold = 0.35)
+    val kept = surv.select("id").as[Long].collect().toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    val removed = all -- kept
+    val exactPairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.35)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    val paired = exactPairs.flatMap(p => Seq(p._1, p._2)).toSet
+    // every removed doc has a true >=0.35 neighbor; isolated docs all kept
+    assert(removed.subsetOf(paired), "removed a doc with no exact neighbor")
+    assert((all -- paired).subsetOf(kept), "dropped an isolated doc")
+    assert(removed.nonEmpty, "semDedup removed nothing on a corpus with near-dups")
+  }
 }

@@ -73,4 +73,29 @@ class TextOpsSpec extends SparkSpec {
     assert(est(a, b) > 0.6)
     assert(est(a, c) < 0.2)
   }
+
+  test("gopher rules: metrics and verdict on crafted docs") {
+    val prose = "the quick brown fox jumps over a lazy dog and then " +
+      ("walks calmly onward through quiet fields " * 8)
+    val bullets = "- item one\n- item two\n- item three"
+    val symbols = "### ### ### word ... more ... dots ..."
+    val df = Seq((1L, prose), (2L, bullets), (3L, symbols), (4L, ""))
+      .toDF("id", "text")
+      .select(col("id"),
+        TextOps.meanWordLen(col("text")).as("mwl"),
+        TextOps.symbolRatio(col("text")).as("sym"),
+        TextOps.bulletLineRatio(col("text")).as("bul"),
+        TextOps.alphaWordRatio(col("text")).as("alpha"),
+        TextOps.stopwordHits(col("text")).as("stops"),
+        TextOps.gopherPass(col("text")).as("pass"))
+    val rows = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getBoolean(6), "running prose should pass")
+    assert(rows(2L).getDouble(3) == 1.0, "all lines bulleted")
+    assert(!rows(2L).getBoolean(6), "bullet list fails (too short + bullets)")
+    assert(rows(3L).getDouble(2) > 0.1, "symbol-heavy doc above symbol cut")
+    assert(!rows(3L).getBoolean(6))
+    assert(rows(4L).getDouble(1) == 0.0 && !rows(4L).getBoolean(6), "empty doc")
+    // stopword hits counts DISTINCT stopwords
+    assert(rows(1L).getInt(5) >= 2)
+  }
 }
