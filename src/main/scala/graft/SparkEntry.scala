@@ -671,15 +671,19 @@ ORDER BY event_id, event_id2""")
     "q_gopher_rules" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          size(filter(split(trim(col("text")), "\\s+"),
-            t => length(t) > 0)).cast("long").as("n_words"),
+          TextOps.wordCount(col("text")).cast("long").as("n_words"),
           TextOps.meanWordLen(col("text")).as("mean_word_len"),
           TextOps.symbolRatio(col("text")).as("symbol_ratio"),
           TextOps.bulletLineRatio(col("text")).as("bullet_line_ratio"),
           TextOps.ellipsisLineRatio(col("text")).as("ellipsis_line_ratio"),
           TextOps.alphaWordRatio(col("text")).as("alpha_word_ratio"),
-          TextOps.stopwordHits(col("text")).cast("long").as("n_stop_hits"),
-          TextOps.gopherPass(col("text")).as("gopher_pass"))
+          TextOps.stopwordHits(col("text")).cast("long").as("n_stop_hits"))
+        // verdict from the emitted columns: one tokenize pass per doc,
+        // and gopher_pass can never disagree with the reported metrics
+        .withColumn("gopher_pass", TextOps.gopherPassFromCols(
+          col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+          col("bullet_line_ratio"), col("ellipsis_line_ratio"),
+          col("alpha_word_ratio"), col("n_stop_hits")))
         .orderBy("doc_id")),
 
     // --- sketch aggregate: HLL distinct --------------------------------

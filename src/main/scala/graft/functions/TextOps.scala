@@ -67,9 +67,19 @@ object TextOps {
   // structural filters; the same family RefinedWeb/C4 use. Built-ins
   // only, so every column is DuckDB-oracle-checkable.)
 
-  /** Non-empty whitespace tokens. */
+  /** Non-empty whitespace tokens. Split on the explicit class
+    * `[ \t\n\f\r]+` — RE2's `\s` — rather than Java's `\s` (which also
+    * admits `\x0B`), so Spark and the DuckDB oracle tokenize
+    * byte-for-byte identically (same convention as BpeishPattern).
+    */
   private def wsToks(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    filter(split(trim(text), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+
+  /** Whitespace-token count — the shared word-count every Gopher ratio
+    * uses as its denominator (exposed so callers report the SAME count
+    * the composite verdict gates on).
+    */
+  def wordCount(text: Column): Column = size(wsToks(text))
 
   /** Non-blank lines. */
   private def nbLines(text: Column): Column =
@@ -101,10 +111,14 @@ object TextOps {
     safeRatio(size(filter(lines, l => trim(l).rlike("^[-*•]"))), size(lines))
   }
 
-  /** Fraction of non-blank lines ending with an ellipsis. */
+  /** Fraction of non-blank lines ending with an ellipsis. Anchored with
+    * `\z` (absolute end), not `$`: Java's unanchored `$` also matches
+    * before a trailing `\r` (CRLF text), where RE2's `$` — the DuckDB
+    * oracle's dialect — matches only at end-of-string.
+    */
   def ellipsisLineRatio(text: Column): Column = {
     val lines = nbLines(text)
-    safeRatio(size(filter(lines, l => trim(l).rlike("\\.\\.\\.$"))), size(lines))
+    safeRatio(size(filter(lines, l => trim(l).rlike("\\.\\.\\.\\z"))), size(lines))
   }
 
   /** Fraction of words containing at least one ASCII letter. */
@@ -120,14 +134,24 @@ object TextOps {
     size(array_distinct(filter(transform(wsToks(text), t => lower(t)),
       t => t.isin(Stopwords.map(lit(_).cast("string")): _*))))
 
-  /** The composite Gopher keep/drop verdict over the rules above. */
-  def gopherPass(text: Column): Column = {
-    val toks = size(wsToks(text))
-    toks.between(50, 100000) && meanWordLen(text).between(3, 10) &&
-      symbolRatio(text) < 0.1 && bulletLineRatio(text) < 0.9 &&
-      ellipsisLineRatio(text) < 0.3 && alphaWordRatio(text) > 0.8 &&
-      stopwordHits(text) >= 2
-  }
+  /** The composite Gopher verdict from ALREADY-COMPUTED metric columns —
+    * callers that emit the metrics derive the verdict from them (one
+    * tokenize pass per doc, and the verdict can never disagree with the
+    * reported numbers).
+    */
+  def gopherPassFromCols(nWords: Column, meanWordLen: Column,
+      symbolRatio: Column, bulletLineRatio: Column,
+      ellipsisLineRatio: Column, alphaWordRatio: Column,
+      stopwordHits: Column): Column =
+    nWords.between(50, 100000) && meanWordLen.between(3, 10) &&
+      symbolRatio < 0.1 && bulletLineRatio < 0.9 &&
+      ellipsisLineRatio < 0.3 && alphaWordRatio > 0.8 && stopwordHits >= 2
+
+  /** The composite Gopher keep/drop verdict straight from text. */
+  def gopherPass(text: Column): Column =
+    gopherPassFromCols(wordCount(text), meanWordLen(text), symbolRatio(text),
+      bulletLineRatio(text), ellipsisLineRatio(text), alphaWordRatio(text),
+      stopwordHits(text))
 
   // --- language ID (heuristic n-gram/stopword scorer; UDF) ---------------
 

@@ -664,25 +664,32 @@ object Dedup {
     * [[duplicateSpansHashed]] provides.
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minDocs: Int = 2): DataFrame = {
-    val grams = spanGrams(df, idCol, textCol, n)
-    val dup = grams.groupBy("gram")
-      .agg(countDistinct(col("id")).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-    grams.join(dup, "gram").select("id", "pos", "n_docs")
-  }
+      n: Int = 8, minDocs: Int = 2): DataFrame =
+    spansAtLeast(spanGrams(df, idCol, textCol, n), "gram", minDocs)
 
   /** [[duplicateSpans]] with the 8-byte hashed span key — the 100 TB
     * form (the shuffle never carries gram text).
     */
   def duplicateSpansHashed(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minDocs: Int = 2): DataFrame = {
-    val grams = spanGrams(df, idCol, textCol, n)
-      .select(col("id"), col("pos"), xxhash64(col("gram")).as("gh"))
-    val dup = grams.groupBy("gh")
-      .agg(countDistinct(col("id")).as("n_docs"))
+      n: Int = 8, minDocs: Int = 2): DataFrame =
+    spansAtLeast(spanGrams(df, idCol, textCol, n)
+      .select(col("id"), col("pos"), xxhash64(col("gram")).as("gh")), "gh",
+      minDocs)
+
+  /** Attach n_docs = count(DISTINCT id) per span key and keep keys seen
+    * in at least `minDocs` docs — as max(dense_rank) over one window
+    * partitioning, NOT groupBy+self-join: the gram stream (the expensive
+    * tokenize+explode) is built and shuffled exactly once, where the
+    * join form would re-execute it for the probe side.
+    */
+  private def spansAtLeast(grams: DataFrame, keyCol: String,
+      minDocs: Int): DataFrame = {
+    val ranked = Window.partitionBy(keyCol).orderBy("id")
+    val byKey = Window.partitionBy(keyCol)
+    grams.withColumn("__dr", dense_rank().over(ranked))
+      .withColumn("n_docs", max(col("__dr")).over(byKey).cast("long"))
       .filter(col("n_docs") >= minDocs)
-    grams.join(dup, "gh").select("id", "pos", "n_docs")
+      .select("id", "pos", "n_docs")
   }
 
   /** (id, pos, gram): all `n`-token sliding windows over lowercased
@@ -691,7 +698,9 @@ object Dedup {
     */
   private def spanGrams(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+    // explicit [ \t\n\f\r]+ = RE2's \s (Java's \s also admits \x0B):
+    // keeps gram text and positions byte-identical to the DuckDB oracle
+    val toks = filter(split(lower(trim(col(textCol))), "[ \\t\\n\\f\\r]+"),
       t => length(t) > 0)
     df.select(col(idCol).as("id"), toks.as("tk"))
       .filter(size(col("tk")) >= n)

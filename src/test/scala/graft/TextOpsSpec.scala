@@ -98,4 +98,15 @@ class TextOpsSpec extends SparkSpec {
     // stopword hits counts DISTINCT stopwords
     assert(rows(1L).getInt(5) >= 2)
   }
+
+  test("gopher ellipsis anchor matches RE2 end-of-string on CRLF text") {
+    // "...\r\n" splits to "...\r": RE2's $ (the DuckDB oracle) does NOT
+    // match before the trailing \r — the \z anchor must agree
+    val df = Seq((1L, "Read more...\r\nplain line"), (2L, "Read more...\nplain line"))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.ellipsisLineRatio(col("text")).as("r"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) == 0.0, "CRLF line must not count as ellipsis-terminated")
+    assert(m(2L) == 0.5)
+  }
 }
