@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet test tables (TESTDATA.md).
   *
@@ -28,14 +28,21 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a raw
-    // nanos Long only under spark.sql.legacy.parquet.nanosAsLong (set by
-    // GraftSession); convert to µs TimestampType at the scan edge so every
-    // operator downstream sees a plain timestamp.
-    val df =
-      if (name == "events" && raw.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+    // events.ts arrives in whatever parquet shape the generator used:
+    //  - TIMESTAMP(NANOS) reads as a raw nanos Long under
+    //    spark.sql.legacy.parquet.nanosAsLong (set by GraftSession);
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TIMESTAMP_NTZ,
+    //    which watermarks and unix_micros reject.
+    // Normalize both to plain TimestampType at the scan edge (session TZ
+    // is pinned UTC, so the NTZ wall time and the instant coincide) so
+    // every operator downstream sees one timestamp type.
+    val df = raw.schema.fields.find(f => f.name == "ts").map(_.dataType) match {
+      case Some(LongType) if name == "events" =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) // integer div: ns are > 2^53, double math would lose µs
-      else raw
+      case Some(TimestampNTZType) if name == "events" =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
     val target = spark.sessionState.conf.numShufflePartitions
     if (factTables.contains(name) && df.rdd.getNumPartitions < target)
       df.repartition(target)
