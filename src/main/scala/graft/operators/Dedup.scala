@@ -450,8 +450,15 @@ object Dedup {
       case _: org.apache.spark.sql.types.ShortType => true
       case _ => false
     })
-    val nEdges = p.count()
-    if (numericIds && nEdges <= maxDriverEdges) return clusterLabelsDriver(p)
+    // the size gate is folded into the bounded collect itself: one
+    // limit(cap+1) job replaces a count pre-pass + collect (two scans of
+    // the checkpointed pairs). cap+1 rows back means over-cap — fall
+    // through to the distributed path having fetched ≤64 MB once.
+    if (numericIds && maxDriverEdges < Int.MaxValue) {
+      val probe = p.limit(maxDriverEdges.toInt + 1).collect()
+      if (probe.length <= maxDriverEdges)
+        return clusterLabelsDriver(probe, p.sparkSession)
+    }
     val edges = p.select(col("id1").as("a"), col("id2").as("b"))
       .union(p.select(col("id2").as("a"), col("id1").as("b")))
       .persist()
@@ -491,8 +498,9 @@ object Dedup {
     * to, without per-round jobs. Path-compressed; the min id is kept as
     * each set's root, so label assignment is deterministic.
     */
-  private def clusterLabelsDriver(p: DataFrame): DataFrame = {
-    val spark = p.sparkSession
+  private def clusterLabelsDriver(
+      rows: Array[org.apache.spark.sql.Row],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     val parent = new java.util.HashMap[Long, Long]()
     def find(x0: Long): Long = {
@@ -503,7 +511,6 @@ object Dedup {
       }
       x
     }
-    val rows = p.collect()
     rows.foreach { r =>
       val a = r.get(0).asInstanceOf[Number].longValue
       val b = r.get(1).asInstanceOf[Number].longValue
