@@ -686,6 +686,33 @@ ORDER BY event_id, event_id2""")
           col("alpha_word_ratio"), col("n_stop_hits")))
         .orderBy("doc_id")),
 
+    // --- unigram-LM quality proxy (CCNet-style, Wenzek et al. 2020) -------
+    // Per-doc cross-entropy under the corpus's own unigram LM — the
+    // perplexity-bucket filter, fully relational, full DuckDB oracle.
+    "q_unigram_xent" -> ((s, dir) =>
+      Corpus.unigramXent(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // --- DSIR importance selection (Xie et al. 2023), deterministic -------
+    // Target distribution = the corpus's own English slice (the trusted-
+    // subset role); selection is top-100 by smoothed unigram log-ratio.
+    // The top-k is TakeOrderedAndProject + a broadcast semi-probe back —
+    // never a global single-partition window.
+    "q_dsir_select" -> ((s, dir) => {
+      // materialized once: the top-100 carve and the probe side both
+      // read it, and join branches don't share work
+      val w = Corpus.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en").withColumnRenamed("id", "doc_id")
+        .localCheckpoint()
+      val top = w.orderBy(col("dsir_weight").desc, col("doc_id"))
+        .limit(100).select(col("doc_id").as("__sel"))
+      w.join(broadcast(top), col("doc_id") === col("__sel"), "left")
+        .select(col("doc_id"), col("n_tok"), col("dsir_weight"),
+          col("__sel").isNotNull.as("selected"))
+        .orderBy("doc_id")
+    }),
+
     // --- sketch aggregate: HLL distinct --------------------------------
     // Oracle-checkable accuracy contract: the sketch value itself is
     // engine-specific, so the driver-facing columns are the EXACT count
@@ -2064,6 +2091,43 @@ values (
         "cnts AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2) " +
         "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok, count(*) AS n_distinct, " +
         "CAST(max(cnt) AS BIGINT) AS top_cnt FROM cnts GROUP BY doc_id ORDER BY doc_id"),
+
+    // unigram cross-entropy: the oracle mirrors the MLE formula term by
+    // term (ln(c) - ln(n), then the negated length-normalized sum) so
+    // both engines round the same double at 4 places.
+    "q_unigram_xent" ->
+      ("WITH dt AS (SELECT doc_id, tok, count(*) AS cnt FROM (" +
+        "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok " +
+        "FROM documents) GROUP BY doc_id, tok), " +
+        "vocab AS (SELECT tok, sum(cnt) AS c FROM dt GROUP BY tok), " +
+        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab) " +
+        "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok, " +
+        "round(-sum(cnt * (ln(c) - ln(n))) / sum(cnt), 4) AS xent " +
+        "FROM dt JOIN vocab USING (tok) CROSS JOIN tot " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+
+    // DSIR: add-1-smoothed target/raw unigram log-ratio, selection =
+    // top-100 by (rounded weight desc, doc_id) — the window spelling of
+    // the Spark side's TakeOrderedAndProject + broadcast semi-probe.
+    "q_dsir_select" ->
+      ("WITH dt AS (SELECT doc_id, tok, count(*) AS cnt FROM (" +
+        "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok " +
+        "FROM documents) GROUP BY doc_id, tok), " +
+        "raw AS (SELECT tok, sum(cnt) AS cr FROM dt GROUP BY tok), " +
+        "tgt AS (SELECT tok, sum(cnt) AS ct FROM dt " +
+        "WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en') GROUP BY tok), " +
+        "vocab AS (SELECT r.tok AS tok, cr, coalesce(ct, 0) AS ct " +
+        "FROM raw r LEFT JOIN tgt tt ON r.tok = tt.tok), " +
+        "tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr, CAST(sum(ct) AS DOUBLE) AS nt, " +
+        "CAST(count(*) AS DOUBLE) AS v FROM vocab), " +
+        "ratio AS (SELECT tok, ln(ct + 1) - ln(nt + v) - ln(cr + 1) + ln(nr + v) AS logratio " +
+        "FROM vocab CROSS JOIN tot), " +
+        "w AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok, " +
+        "round(sum(cnt * logratio), 4) AS dsir_weight " +
+        "FROM dt JOIN ratio USING (tok) GROUP BY doc_id) " +
+        "SELECT doc_id, n_tok, dsir_weight, " +
+        "row_number() OVER (ORDER BY dsir_weight DESC, doc_id) <= 100 AS selected " +
+        "FROM w ORDER BY doc_id"),
 
     "q_cube" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n, " +

@@ -209,6 +209,87 @@ object Corpus {
       .drop("cum_before")
   }
 
+  // --- unigram-LM corpus signals ------------------------------------------
+
+  /** Per-(document, token) counts over lowercased whitespace tokens —
+    * the shared first stage of the unigram-LM operators below. Split on
+    * the explicit class `[ \t\n\f\r]+` (RE2's `\s`, which the DuckDB
+    * oracle uses) so both engines tokenize byte-for-byte identically.
+    * One explode + one combine shuffle on (id, tok) — linear in corpus
+    * tokens. localCheckpoint: every consumer references this subtree
+    * two or three times, and union/join branches don't share work.
+    */
+  def docTokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(filter(split(lower(trim(col(textCol))), "[ \\t\\n\\f\\r]+"),
+          t => length(t) > 0)).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+
+  /** CCNet-style quality proxy (Wenzek et al. 2020): each document's
+    * cross-entropy under the corpus's OWN unigram LM,
+    * `xent(d) = -(1/|d|) Σ_w cnt_{w,d} · ln p(w)` with MLE
+    * probabilities `p(w) = c_w / N`. Running prose made of common words
+    * scores low; gibberish and rare-token soup scores high — the
+    * standard perplexity-bucket filter without an external LM (the
+    * zero-egress twin of CCNet's KenLM stage).
+    *
+    * Scale shape: two hash aggregations plus a shuffle equi-join on the
+    * token key; the vocabulary is Zipf-bounded (far smaller than the
+    * corpus), so AQE broadcasts it when it fits. The grand total joins
+    * in as a 1-row broadcast — no driver collect. Token-less documents
+    * simply don't appear (nothing to score).
+    */
+  def unigramXent(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dt = docTokenCounts(df, idCol, textCol)
+    val vocab = dt.groupBy("tok").agg(sum("cnt").as("c"))
+    val total = vocab.agg(sum(col("c")).cast("double").as("n"))
+    dt.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(sum(col("cnt")).as("n_tok"),
+        round(-sum(col("cnt") * (log(col("c")) - log(col("n")))) /
+          sum(col("cnt")), 4).as("xent"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per-document log
+    * importance ratio between a TARGET distribution (a trusted
+    * high-quality subset, `isTarget`) and the RAW corpus, under
+    * add-1-smoothed unigram LMs over the shared vocabulary —
+    * `w(d) = Σ_tok cnt_{tok,d} · (ln p_t(tok) − ln p_r(tok))`. Taking
+    * the top-weighted documents is DSIR's resampling in deterministic
+    * top-k form (the paper adds Gumbel noise; a reproducible corpus
+    * build wants a pure function of the data).
+    *
+    * Scale shape: both distributions aggregate from ONE shared
+    * (id, tok, cnt) pass; the log-ratio table is vocab-sized and joins
+    * back on the token key; totals are a 1-row broadcast. No driver
+    * collect anywhere.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val dt = docTokenCounts(df, idCol, textCol)
+    val tgtIds = df.filter(isTarget).select(col(idCol).as("id"))
+    val raw = dt.groupBy("tok").agg(sum("cnt").as("cr"))
+    val tgt = dt.join(tgtIds, Seq("id"), "left_semi")
+      .groupBy("tok").agg(sum("cnt").as("ct"))
+    val vocab = raw.join(tgt, Seq("tok"), "left")
+      .select(col("tok"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val totals = vocab.agg(
+      sum(col("cr")).cast("double").as("nr"),
+      sum(col("ct")).cast("double").as("nt"),
+      count(lit(1)).cast("double").as("v"))
+    val ratio = vocab.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        (log(col("ct") + 1) - log(col("nt") + col("v")) -
+          log(col("cr") + 1) + log(col("nr") + col("v"))).as("logratio"))
+    dt.join(ratio, "tok")
+      .groupBy("id")
+      .agg(sum(col("cnt")).as("n_tok"),
+        round(sum(col("cnt") * col("logratio")), 4).as("dsir_weight"))
+  }
+
   // --- repetition statistics ----------------------------------------------
 
   /** Intra-document repetition profile over whitespace tokens:

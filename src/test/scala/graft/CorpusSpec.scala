@@ -201,4 +201,48 @@ class CorpusSpec extends SparkSpec {
       "n_tok", seqLen = 128L).collect()
     assert(plan.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
+
+  test("unigramXent matches the hand-computed MLE cross-entropy") {
+    // corpus: d1 = "a a b", d2 = "b b" → vocab a:2 b:3, N=5
+    // xent(d1) = -(2·ln(2/5) + ln(3/5))/3 = 0.7811
+    // xent(d2) = -ln(3/5) = 0.5108
+    val docs = Seq((1L, "a A  b"), (2L, "b\tb")).toDF("id", "text")
+    val out = Corpus.unigramXent(docs, "id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((3L, 0.7811)))
+    assert(out(2L) == ((2L, 0.5108)))
+    // ordering property on the real corpus: a doc made of the corpus's
+    // most common tokens must score strictly lower than one made of
+    // tokens that appear nowhere else
+    val real = Tables(spark, sf, "documents").select("doc_id", "text")
+      .unionByName(Seq((900001L, "the and of to the and of to"),
+        (900002L, "zqxj kvwpt mbrgh zzyzx qqqqv wwwwk eeeej rrrrq"))
+        .toDF("doc_id", "text"))
+    val scored = Corpus.unigramXent(real, "doc_id", "text")
+      .filter(col("id") >= 900001L)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scored(900001L) < scored(900002L),
+      s"common-word doc ${scored(900001L)} should beat rare-word doc ${scored(900002L)}")
+  }
+
+  test("dsirWeights matches the hand-computed smoothed log-ratio") {
+    // target = {1}; d1 = "x x y", d2 = "y z"
+    // raw x:2 y:2 z:1 (Nr=5), tgt x:2 y:1 z:0 (Nt=3), V=3
+    // w(1) = 2·ln(4/3) + ln(8/9) = 0.4576 ; w(2) = ln(8/9) + ln(2/3) = -0.5232
+    val docs = Seq((1L, "x x y", true), (2L, "y z", false))
+      .toDF("id", "text", "is_tgt")
+    val out = Corpus.dsirWeights(docs, "id", "text", col("is_tgt"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((3L, 0.4576)))
+    assert(out(2L) == ((2L, -0.5232)))
+    // on the real corpus with the English slice as target, English docs
+    // must average a higher importance weight than the rest
+    val real = Tables(spark, sf, "documents")
+    val w = Corpus.dsirWeights(real, "doc_id", "text", col("lang") === "en")
+      .join(real.select(col("doc_id").as("id"), col("lang")), "id")
+    val means = w.groupBy(col("lang") === "en")
+      .agg(avg("dsir_weight")).as[(Boolean, Double)].collect().toMap
+    assert(means(true) > means(false),
+      s"en mean ${means(true)} should exceed non-en mean ${means(false)}")
+  }
 }
