@@ -955,6 +955,28 @@ ORDER BY event_id, event_id2""")
           col("n_docs"))
         .orderBy("doc_id", "pos")),
 
+    // --- cross-doc line dedup (C4 / RefinedWeb line-dedup stage) ----------
+    // The corpus is single-line text, so the query first derives a
+    // multi-line corpus deterministically (6-token lines from each doc's
+    // tokens — the same construction the oracle replays), then removes
+    // every line whose normalized form appears in >= 2 docs, keeping the
+    // min-id document's copy, and rebuilds the text.
+    "q_line_dedup" -> ((s, dir) => {
+      val toks = filter(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+"),
+        t => length(t) > 0)
+      val lined = t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("__tk"))
+        .select(col("doc_id"), concat_ws("\n",
+          transform(
+            sequence(lit(0),
+              greatest(ceil(size(col("__tk")) / 6.0).cast("int") - 1, lit(0))),
+            i => array_join(slice(col("__tk"), i * 6 + 1, lit(6)), " ")))
+          .as("text_lined"))
+      Dedup.lineDedup(lined, "doc_id", "text_lined", minDocs = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // --- corpus curation: deterministic stratified sampling ---------------
     // Sampling is a pure function of doc_id (multiplicative hash), not an
     // RNG — the same subset selects on any cluster size / partitioning,
@@ -2105,6 +2127,26 @@ values (
         "cnts AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2) " +
         "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok, count(*) AS n_distinct, " +
         "CAST(max(cnt) AS BIGINT) AS top_cnt FROM cnts GROUP BY doc_id ORDER BY doc_id"),
+
+    // line dedup: the oracle replays the 6-token-line construction and
+    // the keep rule (blank, under-threshold, or min-id keeper) with
+    // DISTINCT window aggregates, rebuilding text via ordered string_agg.
+    "q_line_dedup" ->
+      ("WITH lined AS (SELECT doc_id, array_to_string(" +
+        "[array_to_string(tk[i*6+1:i*6+6], ' ') " +
+        "FOR i IN range(0, greatest(CAST(ceil(len(tk)/6.0) AS INT), 1))], chr(10)) AS text_lined " +
+        "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents)), " +
+        "lines AS (SELECT doc_id, i AS pos, sp[i] AS line, lower(trim(sp[i])) AS key " +
+        "FROM (SELECT doc_id, string_split(text_lined, chr(10)) AS sp FROM lined), " +
+        "UNNEST(range(1, len(sp)+1)) r(i)), " +
+        "st AS (SELECT doc_id, pos, line, key, " +
+        "count(DISTINCT doc_id) OVER (PARTITION BY key) AS nd, " +
+        "min(doc_id) OVER (PARTITION BY key) AS keeper, " +
+        "count(*) OVER (PARTITION BY doc_id) AS n_lines FROM lines) " +
+        "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, count(*) AS n_kept, " +
+        "string_agg(line, chr(10) ORDER BY pos) AS clean_text " +
+        "FROM st WHERE len(key) = 0 OR nd < 2 OR doc_id = keeper " +
+        "GROUP BY doc_id, n_lines ORDER BY doc_id"),
 
     // unigram cross-entropy: the oracle mirrors the MLE formula term by
     // term (ln(c) - ln(n), then the negated length-normalized sum) so

@@ -717,6 +717,51 @@ object Dedup {
       .select(col("id"), (col("p0") + 1).as("pos"), col("gram"))
   }
 
+  /** Cross-document line-level deduplication — the line-dedup stage of
+    * C4 (Raffel et al. 2020) and RefinedWeb (Penedo et al. 2023):
+    * a normalized (lowercased, trimmed) line occurring in at least
+    * `minDocs` distinct documents is removed from every document except
+    * the one with the minimum id, and each document's text is
+    * reconstructed from its kept lines in original order. Blank lines
+    * never count as duplicates. A document whose every line is removed
+    * disappears (it was all boilerplate — exactly what the C4 recipe
+    * drops).
+    *
+    * Output: (id, n_lines, n_kept, clean_text).
+    *
+    * Scale shape: one explode to slim (id, pos, line) rows, then a
+    * single pass — the dup stats (distinct-doc count, keeper) ride in
+    * as window aggregates over the line-key partitioning and the
+    * rebuild is a groupBy on the id the second window already
+    * partitioned by, so the line stream is built and shuffled exactly
+    * once (the join form would re-execute it for the probe side).
+    * Heavy boilerplate lines are the skew hazard: the key window sorts
+    * each key group on one task, so cap or pre-filter stop-lines
+    * upstream when a corpus is boilerplate-dominated.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("key", lower(trim(col("line"))))
+    val ranked = Window.partitionBy("key").orderBy("id")
+    val byKey = Window.partitionBy("key")
+    val byId = Window.partitionBy("id")
+    lines
+      .withColumn("__dr", dense_rank().over(ranked))
+      .withColumn("__nd", max(col("__dr")).over(byKey))
+      .withColumn("__keeper", min(col("id")).over(byKey))
+      .withColumn("__n_lines", count(lit(1)).over(byId))
+      .filter(length(col("key")) === 0 ||
+        col("__nd") < minDocs || col("id") === col("__keeper"))
+      .groupBy("id")
+      .agg(first(col("__n_lines")).as("n_lines"),
+        count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line"))).as("clean_text"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication that bounds the quadratic cosine comparison INSIDE
     * k-means clusters. Vectors are assigned to `nClusters` cells

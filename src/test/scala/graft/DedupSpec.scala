@@ -347,4 +347,24 @@ class DedupSpec extends SparkSpec {
     assert((all -- paired).subsetOf(kept), "dropped an isolated doc")
     assert(removed.nonEmpty, "semDedup removed nothing on a corpus with near-dups")
   }
+
+  test("lineDedup keeps min-id copy of shared lines, blanks, and order") {
+    val docs = Seq(
+      (3L, "shared boilerplate\nunique three\n\nalso shared"),
+      (1L, "Shared Boilerplate\nunique one"),
+      (2L, "shared boilerplate\nunique two\nalso shared")).toDF("id", "text")
+    val out = Dedup.lineDedup(docs, "id", "text", minDocs = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 is the min-id keeper of "shared boilerplate" (case-folded);
+    // "also shared" keeps doc 2's copy; blank lines always survive
+    assert(out(1L) == ((2L, 2L, "Shared Boilerplate\nunique one")))
+    assert(out(2L) == ((3L, 2L, "unique two\nalso shared")))
+    assert(out(3L) == ((4L, 2L, "unique three\n")))
+    // a doc that is pure boilerplate disappears
+    val all = Seq((1L, "dup line"), (2L, "dup line"), (3L, "dup line"))
+      .toDF("id", "text")
+    assert(Dedup.lineDedup(all, "id", "text").select("id")
+      .as[Long].collect().toSeq == Seq(1L))
+  }
 }
