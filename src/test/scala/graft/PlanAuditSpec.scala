@@ -203,4 +203,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchangeAt >= 0 && partialAt > exchangeAt, p.take(2000))
     assert(!p.contains("Window"), p.take(2000))
   }
+
+  test("q_dsir_select: top-k is TakeOrdered + broadcast probe, no global window") {
+    val p = plan("q_dsir_select").toString
+    // selection = distributed top-100 (TakeOrderedAndProject), winners
+    // probe back via broadcast — never a single-partition global window
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("WindowExec"), "global window in the selection path")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_unigram_xent: one combine per stage, vocab join never nested-loop") {
+    val p = plan("q_unigram_xent").toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the 1-row total rides in via a broadcast, not a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
+  test("q_line_dedup: the line stream is shuffled once per stage, no self-join") {
+    val p = SparkEntry.queries("q_line_dedup")(spark, sf)
+      .queryExecution.sparkPlan
+    // dup stats ride in as window aggregates over the key partitioning;
+    // a join-form plan would re-execute the explode for the probe side —
+    // assert NO join operator anywhere
+    val joins = p.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"line dedup plans a join: ${joins.map(_.nodeName)}")
+    // exactly one generate (the explode runs once)
+    val gens = p.collectWithSubqueries {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.size == 1, s"explode re-executed: ${gens.size}")
+  }
 }
