@@ -955,6 +955,36 @@ ORDER BY event_id, event_id2""")
           col("n_docs"))
         .orderBy("doc_id", "pos")),
 
+    // --- the full curation recipe, composed end-to-end --------------------
+    // quality gate (Gopher-style structural rules at recipe thresholds) →
+    // exact dedup (min-id keeper) → deterministic train/test carve →
+    // decontaminate train against its own held-out split (4-gram
+    // overlap) → per-source token budget → sequence packing. Every stage
+    // is the already-oracled operator, so the COMPOSITION carries a full
+    // DuckDB oracle too; the one approximate stage of a production
+    // recipe (MinHash near-dup) ships separately as q_dedup_pipeline.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = docs.filter(
+        TextOps.wordCount(col("text")) >= 20 &&
+          TextOps.meanWordLen(col("text")).between(3.0, 10.0) &&
+          TextOps.stopwordHits(col("text")) >= 2)
+      val deduped = Dedup.exact(quality, "doc_id", "text")
+      val split = Corpus.assignSplits(deduped, "doc_id",
+        Seq("train" -> 0.9, "test" -> 0.1))
+      val train = split.filter(col("split") === "train")
+      val bench = split.filter(col("split") === "test")
+      val contaminated = Corpus.contamination(train, bench, "doc_id", "text",
+        n = 4, minShared = 1).select(col("id").as("doc_id"))
+      val clean = train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      val sized = clean.select(col("doc_id"), col("source"),
+        TextOps.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      val budgeted = Corpus.tokenBudget(sized, "doc_id", "source", "n_tok",
+        budget = 3000L).drop("running_tok")
+      Corpus.packSequences(budgeted, "doc_id", "source", "n_tok", seqLen = 256L)
+        .orderBy("doc_id")
+    }),
+
     // --- cross-doc line dedup (C4 / RefinedWeb line-dedup stage) ----------
     // The corpus is single-line text, so the query first derives a
     // multi-line corpus deterministically (6-token lines from each doc's
@@ -2127,6 +2157,43 @@ values (
         "cnts AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2) " +
         "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok, count(*) AS n_distinct, " +
         "CAST(max(cnt) AS BIGINT) AS top_cnt FROM cnts GROUP BY doc_id ORDER BY doc_id"),
+
+    // the composed curation recipe: each stage lifts its own proven
+    // oracle spelling — gate (gopher exprs), dedup (normText window),
+    // split (multiplicative-hash bands), decontamination (4-gram
+    // anti-join), budget + packing (hash-order running sums).
+    "q_curation_pipeline" ->
+      ("WITH q AS (SELECT doc_id, source, text FROM (" +
+        "SELECT doc_id, source, text, " +
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0) AS toks FROM documents) " +
+        "WHERE len(toks) >= 20 " +
+        "AND round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks), 4) BETWEEN 3 AND 10 " +
+        "AND len(list_distinct(list_filter(list_transform(toks, t -> lower(t)), " +
+        "t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','was','at','by','be','this'], t)))) >= 2), " +
+        "d2 AS (SELECT doc_id, source, text FROM q " +
+        "QUALIFY doc_id = min(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))), " +
+        "sp AS (SELECT doc_id, source, text, CASE WHEN " +
+        "(((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296 < 3865470566 " +
+        "THEN 'train' ELSE 'test' END AS split FROM d2), " +
+        "grams AS (SELECT DISTINCT doc_id, split, array_to_string(tk[i:i+3], ' ') AS gram " +
+        "FROM (SELECT doc_id, split, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM sp), " +
+        "UNNEST(range(1, greatest(len(tk) - 2, 1))) AS r(i) WHERE len(tk) >= 4), " +
+        "cont AS (SELECT DISTINCT g.doc_id FROM grams g " +
+        "JOIN (SELECT DISTINCT gram FROM grams WHERE split = 'test') b ON g.gram = b.gram " +
+        "WHERE g.split = 'train'), " +
+        "clean AS (SELECT doc_id, source, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok " +
+        "FROM sp WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM cont)), " +
+        "budg AS (SELECT doc_id, source, n_tok FROM (" +
+        "SELECT doc_id, source, n_tok, sum(n_tok) OVER (PARTITION BY source " +
+        "ORDER BY (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS running FROM clean) WHERE running <= 3000), " +
+        "r AS (SELECT doc_id, source, n_tok, COALESCE(sum(n_tok) OVER (PARTITION BY source " +
+        "ORDER BY (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM budg) " +
+        "SELECT doc_id, source, n_tok, CAST(cum_before // 256 AS BIGINT) AS pack_id, " +
+        "CAST(cum_before % 256 AS BIGINT) AS pack_offset, " +
+        "(cum_before % 256) + n_tok > 256 AS crosses FROM r ORDER BY doc_id"),
 
     // line dedup: the oracle replays the 6-token-line construction and
     // the keep rule (blank, under-threshold, or min-id keeper) with

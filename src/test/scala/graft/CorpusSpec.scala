@@ -245,4 +245,27 @@ class CorpusSpec extends SparkSpec {
     assert(means(true) > means(false),
       s"en mean ${means(true)} should exceed non-en mean ${means(false)}")
   }
+
+  test("composed curation pipeline: stage invariants hold end-to-end") {
+    val out = SparkEntry.queries("q_curation_pipeline")(spark, sf).collect()
+    assert(out.nonEmpty, "pipeline produced no training docs")
+    val docs = Tables(spark, sf, "documents")
+    // survivors are train-split members of the deduped quality gate:
+    // every survivor must be a real doc with >= 20 words
+    val ids = out.map(_.getLong(0)).toSet
+    val words = docs.select(col("doc_id"),
+        graft.functions.TextOps.wordCount(col("text")).as("w"))
+      .as[(Long, Int)].collect().toMap
+    ids.foreach(id => assert(words(id) >= 20, s"doc $id under the word gate"))
+    // the token budget holds per source
+    out.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      val tot = rows.map(_.getLong(2)).sum
+      assert(tot <= 3000L, s"source $src exceeds budget: $tot")
+    }
+    // packing invariants (offset within the sequence, crosses consistent)
+    out.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) < 256)
+      assert(r.getBoolean(5) == (r.getLong(4) + r.getLong(2) > 256))
+    }
+  }
 }
