@@ -970,8 +970,10 @@ ORDER BY event_id, event_id2""")
           TextOps.meanWordLen(col("text")).between(3.0, 10.0) &&
           TextOps.stopwordHits(col("text")) >= 2)
       val deduped = Dedup.exact(quality, "doc_id", "text")
+      // the gate→dedup→split prefix feeds four branches (train grams,
+      // bench grams, the anti-join probe, sized) — materialize it once
       val split = Corpus.assignSplits(deduped, "doc_id",
-        Seq("train" -> 0.9, "test" -> 0.1))
+        Seq("train" -> 0.9, "test" -> 0.1)).localCheckpoint()
       val train = split.filter(col("split") === "train")
       val bench = split.filter(col("split") === "test")
       val contaminated = Corpus.contamination(train, bench, "doc_id", "text",

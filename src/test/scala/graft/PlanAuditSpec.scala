@@ -210,7 +210,9 @@ class PlanAuditSpec extends SparkSpec {
     // probe back via broadcast — never a single-partition global window
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
-    assert(!p.contains("WindowExec"), "global window in the selection path")
+    // plan strings print node names without the Exec suffix — match
+    // "Window" like the latestByKey audit, not the class name
+    assert(!p.contains("Window"), "global window in the selection path")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
