@@ -2,6 +2,7 @@ package graft
 
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions.col
 
 import graft.functions.{HashEmbedder, TextOps}
 import graft.operators.Corpus
@@ -130,5 +131,53 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(norm - 1.0) < 1e-5, s"norm=$norm")
     }
     assert(HashEmbedder.embed("", 64).forall(_ == 0f), "empty text -> zero vector")
+  }
+
+  test("lineDedup is idempotent: a second pass removes nothing") {
+    import spark.implicits._
+    for (seed <- 1L to 5L) {
+      // random multi-line docs with planted shared lines
+      val shared = sample(docGen(6), seed * 31)
+      val docs = (1L to 8L).map { id =>
+        val own = sample(docGen(6), seed * 100 + id)
+        (id, if (id % 2 == 0) s"$shared\n$own" else s"$own\n$shared")
+      }.toDF("id", "text")
+      val once = graft.operators.Dedup.lineDedup(docs, "id", "text")
+      val clean = once.select(col("id"), col("clean_text").as("text"))
+      val twice = graft.operators.Dedup.lineDedup(clean, "id", "text")
+      val a = once.select("id", "n_kept", "clean_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val b = twice.select("id", "n_kept", "clean_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(a == b, s"seed=$seed: second pass changed the corpus")
+    }
+  }
+
+  test("unigramXent is invariant under corpus row order and partitioning") {
+    import spark.implicits._
+    val docs = (1L to 12L).map(id => (id, sample(docGen(15), id))).toDF("id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Corpus.unigramXent(df, "id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(docs) == run(docs.orderBy(col("id").desc).repartition(7)))
+  }
+
+  test("dsirWeights: weights shift up monotonically for target-like docs") {
+    import spark.implicits._
+    // a doc made of target-only vocabulary must outweigh a doc made of
+    // non-target vocabulary, for any seed
+    for (seed <- 1L to 5L) {
+      val tgtVocab = sample(docGen(10), seed)
+      val rawVocab = sample(docGen(10), seed + 1000)
+      val docs = Seq(
+        (1L, tgtVocab, true), (2L, tgtVocab, true),
+        (3L, rawVocab, false), (4L, rawVocab, false),
+        (5L, tgtVocab, false), // target-like, outside the target set
+        (6L, rawVocab, false)).toDF("id", "text", "t")
+      val w = graft.operators.Corpus.dsirWeights(docs, "id", "text", col("t"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(w(5L) > w(6L),
+        s"seed=$seed: target-vocab doc ${w(5L)} <= raw-vocab doc ${w(6L)}")
+    }
   }
 }
