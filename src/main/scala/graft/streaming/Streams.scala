@@ -236,6 +236,57 @@ object Streams {
       .start()
   }
 
+  /** Streaming front-end of the curation recipe (the batch composition
+    * is q_curation_pipeline): per micro-batch, the STATELESS
+    * Gopher-style quality gate filters first (narrow, no state), then
+    * exact dedup runs within the batch and against the store of every
+    * prior epoch's admitted documents — a re-ingested or boilerplate
+    * document never reaches the training corpus twice. The store holds
+    * 8-byte xxhash64(normText) keys only (never text), so cross-epoch
+    * state grows with distinct ADMITTED documents, not corpus bytes —
+    * the shape that keeps a year of 100 TB ingest inside a key-value
+    * footprint. Same epoch-dir store/retry contract as
+    * [[nearDupFilterStream]].
+    */
+  def curationFilterStream(
+      spark: SparkSession,
+      docsDir: String, schema: StructType,
+      idCol: String, textCol: String,
+      outDir: String, storeDir: String, checkpointDir: String,
+      minWords: Int = 20): StreamingQuery = {
+    import graft.operators.Dedup
+    import graft.functions.TextOps
+    fileStream(spark, docsDir, schema).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val gated = batch.filter(
+          TextOps.wordCount(col(textCol)) >= minWords &&
+            TextOps.meanWordLen(col(textCol)).between(3.0, 10.0) &&
+            TextOps.stopwordHits(col(textCol)) >= 2)
+        val inBatch = Dedup.exactScalable(gated, idCol, textCol)
+          .withColumn("__h", xxhash64(Dedup.normText(col(textCol))))
+        val storeEpochs = Option(new java.io.File(storeDir).listFiles())
+          .map(_.filter(f => f.isDirectory && f.getName != s"epoch=$epoch"))
+          .getOrElse(Array.empty[java.io.File])
+        val survivors =
+          (if (storeEpochs.nonEmpty) {
+            val store = spark.read
+              .parquet(storeEpochs.map(_.getPath).toIndexedSeq: _*)
+              .select(col("h").as("__h")).distinct()
+            inBatch.join(store, Seq("__h"), "left_anti")
+          } else inBatch).persist()
+        try {
+          survivors.drop("__h")
+            .write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+          survivors.select(col("__h").as("h"))
+            .write.mode("overwrite").parquet(s"$storeDir/epoch=$epoch")
+        } finally survivors.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Timeout-driven session emission via `flatMapGroupsWithState`: per
     * user, events accumulate in keyed state; when the event-time timeout
     * fires (no activity for `gap` past the watermark), the COMPLETED

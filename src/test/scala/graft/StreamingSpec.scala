@@ -209,6 +209,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming curation filter: gate + cross-epoch exact dedup") {
+    import spark.implicits._
+    val src = tmp("graft_cur_src")
+    val out = tmp("graft_cur_out")
+    val store = tmp("graft_cur_store")
+    val ckpt = tmp("graft_cur_ckpt")
+    // 25 words with stopword hits and 3-10 mean word length → passes the
+    // gate; `tag` differentiates documents
+    def good(tag: String): String =
+      s"the quick fox is $tag " + (1 to 20).map(i => s"word$i").mkString(" ")
+    def schema = spark.read.parquet(s"$src/a").schema
+    def runOnce(): Unit = {
+      val q = Streams.curationFilterStream(spark, s"$src/*", schema,
+        "id", "text", out, store, ckpt, minWords = 20)
+      q.awaitTermination(120000)
+    }
+    // epoch 1: two clean docs + a too-short doc + an in-batch exact dup
+    Seq((1L, good("alpha")), (2L, good("beta")),
+      (3L, "too short to pass the gate"),
+      (4L, good("alpha").toUpperCase)) // case-insensitive dup of 1
+      .toDF("id", "text").coalesce(1).write.parquet(s"$src/a")
+    runOnce()
+    // epoch 2: re-ingest of an admitted doc (whitespace-mangled) + fresh
+    Seq((5L, "  " + good("beta").replace(" ", "  ")), (6L, good("gamma")))
+      .toDF("id", "text").coalesce(1).write.parquet(s"$src/b")
+    runOnce()
+    val admitted = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 2L, 6L), s"admitted: $admitted")
+    // the store never holds text — 8-byte hashes only
+    val storeSchema = spark.read.parquet(s"$store/epoch=0").schema
+    assert(storeSchema.fieldNames.toSeq == Seq("h"))
+  }
+
   test("streaming near-dup filter: later epochs drop near-dups of admitted docs") {
     import spark.implicits._
     val src = tmp("graft_nd_src")
