@@ -965,10 +965,7 @@ ORDER BY event_id, event_id2""")
     // recipe (MinHash near-dup) ships separately as q_dedup_pipeline.
     "q_curation_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val quality = docs.filter(
-        TextOps.wordCount(col("text")) >= 20 &&
-          TextOps.meanWordLen(col("text")).between(3.0, 10.0) &&
-          TextOps.stopwordHits(col("text")) >= 2)
+      val quality = docs.filter(TextOps.curationGate(col("text")))
       val deduped = Dedup.exact(quality, "doc_id", "text")
       // the gate→dedup→split prefix feeds four branches (train grams,
       // bench grams, the anti-join probe, sized) — materialize it once

@@ -153,6 +153,17 @@ object TextOps {
       bulletLineRatio(text), ellipsisLineRatio(text), alphaWordRatio(text),
       stopwordHits(text))
 
+  /** The curation recipe's quality gate — the three structural rules the
+    * batch composition (q_curation_pipeline) and its streaming front-end
+    * ([[graft.streaming.Streams.curationFilterStream]]) share. ONE
+    * definition so a threshold change can never silently diverge the
+    * streaming corpus from the batch corpus and its DuckDB oracle.
+    */
+  def curationGate(text: Column, minWords: Int = 20): Column =
+    wordCount(text) >= minWords &&
+      meanWordLen(text).between(3.0, 10.0) &&
+      stopwordHits(text) >= 2
+
   // --- language ID (heuristic n-gram/stopword scorer; UDF) ---------------
 
   /** Tiny per-language marker sets: characteristic stopwords plus script

@@ -260,12 +260,17 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val gated = batch.filter(
-          TextOps.wordCount(col(textCol)) >= minWords &&
-            TextOps.meanWordLen(col(textCol)).between(3.0, 10.0) &&
-            TextOps.stopwordHits(col(textCol)) >= 2)
-        val inBatch = Dedup.exactScalable(gated, idCol, textCol)
-          .withColumn("__h", xxhash64(Dedup.normText(col(textCol))))
+        val gated = batch.filter(TextOps.curationGate(col(textCol), minWords))
+        // hash ONCE, then min-id dedup on the precomputed key — running
+        // exactScalable and then re-deriving __h would make a second
+        // full normText+hash pass over every admitted document body
+        val hashed = gated.withColumn("__h",
+          xxhash64(Dedup.normText(col(textCol))))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+        val inBatch = hashed
+          .withColumn("__keep", min(col(idCol)).over(w))
+          .filter(col(idCol) === col("__keep"))
+          .drop("__keep")
         val storeEpochs = Option(new java.io.File(storeDir).listFiles())
           .map(_.filter(f => f.isDirectory && f.getName != s"epoch=$epoch"))
           .getOrElse(Array.empty[java.io.File])

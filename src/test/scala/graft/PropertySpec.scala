@@ -158,8 +158,19 @@ class PropertySpec extends SparkSpec {
     val docs = (1L to 12L).map(id => (id, sample(docGen(15), id))).toDF("id", "text")
     def run(df: org.apache.spark.sql.DataFrame) =
       graft.operators.Corpus.unigramXent(df, "id", "text")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(run(docs) == run(docs.orderBy(col("id").desc).repartition(7)))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val a = run(docs)
+    val b = run(docs.orderBy(col("id").desc).repartition(7))
+    assert(a.keySet == b.keySet)
+    // token counts exactly; xent within 1e-3 — unlike the gate corpus
+    // (whose rounding-boundary margins are measured), docGen docs carry
+    // no margin guarantee, and partial-sum merge order is
+    // scheduler-dependent, so exact Double equality would be a latent
+    // flake on a value near a 1e-4 boundary
+    a.foreach { case (id, (n, x)) =>
+      assert(b(id)._1 == n)
+      assert(math.abs(b(id)._2 - x) < 1e-3, s"id=$id $x vs ${b(id)._2}")
+    }
   }
 
   test("dsirWeights: weights shift up monotonically for target-like docs") {
