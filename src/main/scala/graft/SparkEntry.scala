@@ -1100,6 +1100,15 @@ ORDER BY event_id, event_id2""")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // --- n-gram repetition profile (Gopher's dup/top n-gram fractions) ----
+    // Integer numerators only — the dup-fraction and dominance filters
+    // derive from (total, n_distinct, top_cnt) without float rounding.
+    "q_ngram_repetition" -> ((s, dir) =>
+      Corpus.ngramRepetition(t(s, dir, "documents"), "doc_id", "text",
+        ns = Seq(2, 3))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "n")),
+
     // --- multimodal binary columns (north star) ---------------------------
     "q_multimodal_bytes" -> ((s, dir) =>
       Multimodal.byteStats(t(s, dir, "documents"), "doc_id", "text")
@@ -2193,6 +2202,14 @@ values (
         "SELECT doc_id, source, n_tok, CAST(cum_before // 256 AS BIGINT) AS pack_id, " +
         "CAST(cum_before % 256 AS BIGINT) AS pack_offset, " +
         "(cum_before % 256) + n_tok > 256 AS crosses FROM r ORDER BY doc_id"),
+
+    "q_ngram_repetition" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents), " +
+        "g AS (SELECT doc_id, CAST(n AS INTEGER) AS n, array_to_string(tk[i:i+n-1], ' ') AS gram " +
+        "FROM toks, UNNEST([2, 3]) tn(n), UNNEST(range(1, len(tk) - n + 2)) r(i) WHERE len(tk) >= n), " +
+        "c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram) " +
+        "SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS total, count(*) AS n_distinct, " +
+        "CAST(max(c) AS BIGINT) AS top_cnt FROM c GROUP BY doc_id, n ORDER BY doc_id, n"),
 
     // line dedup: the oracle replays the 6-token-line construction and
     // the keep rule (blank, under-threshold, or min-id keeper) with

@@ -328,4 +328,38 @@ object Corpus {
         count(lit(1)).as("n_distinct"),
         max(col("cnt")).as("top_cnt"))
   }
+
+  /** N-gram repetition profile — the word-level half of Gopher's
+    * repetition filters (Rae et al. 2021, table A1: duplicate n-gram
+    * and top n-gram fractions): per document and per `n`, the total
+    * n-gram occurrence count, the distinct count, and the top single
+    * n-gram's occurrence count. The filter fractions derive from these
+    * exact integers — `(total - n_distinct) / total` is the duplicate
+    * n-gram fraction, `top_cnt / total` the top-n-gram dominance — and
+    * emitting the integer numerators keeps the output hash-stable
+    * across engines (no float rounding anywhere), the
+    * [[repetitionStats]] convention.
+    *
+    * Single pass: every requested n explodes from one tokenize (an
+    * n-literal explode, then a slice per position), so the text is
+    * scanned once no matter how many n's are profiled. Two partial-agg
+    * shuffles on slim keys, linear in corpus grams.
+    */
+  def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n list: $ns")
+    val toks = filter(split(lower(trim(col(textCol))), "[ \\t\\n\\f\\r]+"),
+      t => length(t) > 0)
+    df.select(col(idCol).as("id"), toks.as("tk"))
+      .select(col("id"), col("tk"),
+        explode(array(ns.map(n => lit(n)): _*)).as("n")) // int literals -> int column
+      .filter(size(col("tk")) >= col("n"))
+      .select(col("id"), col("n"),
+        explode(transform(sequence(lit(1), size(col("tk")) - col("n") + 1),
+          i => array_join(slice(col("tk"), i, col("n")), " "))).as("gram"))
+      .groupBy("id", "n", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("id", "n")
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"))
+  }
 }

@@ -246,6 +246,19 @@ class CorpusSpec extends SparkSpec {
       s"en mean ${means(true)} should exceed non-en mean ${means(false)}")
   }
 
+  test("ngramRepetition matches hand-counted totals, distincts, tops") {
+    // "a b a b a": 2-grams [a b, b a, a b, b a] -> total 4, distinct 2,
+    // top 2; 3-grams [a b a, b a b, a b a] -> total 3, distinct 2, top 2
+    val docs = Seq((1L, "a B a b A"), (2L, "x y")).toDF("id", "text")
+    val out = Corpus.ngramRepetition(docs, "id", "text", ns = Seq(2, 3))
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out((1L, 2)) == ((4L, 2L, 2L)))
+    assert(out((1L, 3)) == ((3L, 2L, 2L)))
+    assert(out((2L, 2)) == ((1L, 1L, 1L)))
+    assert(!out.contains((2L, 3)), "doc shorter than n emits no row")
+  }
+
   test("composed curation pipeline: stage invariants hold end-to-end") {
     val out = SparkEntry.queries("q_curation_pipeline")(spark, sf).collect()
     assert(out.nonEmpty, "pipeline produced no training docs")
