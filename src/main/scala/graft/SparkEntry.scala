@@ -1100,6 +1100,17 @@ ORDER BY event_id, event_id2""")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // --- boilerplate mining: corpus-wide top n-grams by doc frequency -----
+    // The list a stop-line / boilerplate filter is seeded from. Top-k is
+    // TakeOrderedAndProject over the gram->doc-frequency aggregate (slim
+    // keys, partial agg map-side); ties break on the gram text so the
+    // cut is deterministic in both engines.
+    "q_boilerplate_grams" -> ((s, dir) =>
+      Corpus.distinctGrams(t(s, dir, "documents"), "doc_id", "text", 3)
+        .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("gram"))
+        .limit(20)),
+
     // --- n-gram repetition profile (Gopher's dup/top n-gram fractions) ----
     // Integer numerators only — the dup-fraction and dominance filters
     // derive from (total, n_distinct, top_cnt) without float rounding.
@@ -2202,6 +2213,13 @@ values (
         "SELECT doc_id, source, n_tok, CAST(cum_before // 256 AS BIGINT) AS pack_id, " +
         "CAST(cum_before % 256 AS BIGINT) AS pack_offset, " +
         "(cum_before % 256) + n_tok > 256 AS crosses FROM r ORDER BY doc_id"),
+
+    "q_boilerplate_grams" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents), " +
+        "grams AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS gram " +
+        "FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS r(i) WHERE len(tk) >= 3) " +
+        "SELECT gram, count(*) AS doc_freq FROM grams GROUP BY gram " +
+        "ORDER BY doc_freq DESC, gram LIMIT 20"),
 
     "q_ngram_repetition" ->
       ("WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents), " +

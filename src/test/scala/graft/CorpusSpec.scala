@@ -259,6 +259,20 @@ class CorpusSpec extends SparkSpec {
     assert(!out.contains((2L, 3)), "doc shorter than n emits no row")
   }
 
+  test("boilerplate gram mining: doc frequency counts distinct docs, ties on gram") {
+    // "c c c" appears in docs 1-3 (twice in doc 1 — counted once),
+    // "a b z" only in doc 4
+    val docs = Seq(
+      (1L, "c c c c"), (2L, "x c c c"), (3L, "c c c y"), (4L, "a b z"))
+      .toDF("id", "text")
+    val top = Corpus.distinctGrams(docs, "id", "text", 3)
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(3).as[(String, Long)].collect().toSeq
+    assert(top.head == (("c c c", 3L)))
+    assert(top.map(_._1).contains("a b z") || top.length == 3)
+  }
+
   test("composed curation pipeline: stage invariants hold end-to-end") {
     val out = SparkEntry.queries("q_curation_pipeline")(spark, sf).collect()
     assert(out.nonEmpty, "pipeline produced no training docs")
