@@ -224,6 +224,14 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q_curation_pipeline: no cross product; contamination set broadcasts") {
+    val p = plan("q_curation_pipeline").toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the contaminated-id anti-probe and the benchmark gram set ride in
+    // as broadcasts (eval splits are small by construction)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("q_line_dedup: the line stream is shuffled once per stage, no self-join") {
     val p = SparkEntry.queries("q_line_dedup")(spark, sf)
       .queryExecution.sparkPlan
