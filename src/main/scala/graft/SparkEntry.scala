@@ -206,6 +206,25 @@ object SparkEntry {
           java.nio.file.Files.createTempDirectory("graft_q_sql").toString)))
     }
 
+  /** Deterministic multi-line corpus for the line-level operators
+    * (q_line_dedup, q_stopline_filter): the documents table is
+    * single-line text, so each doc's lowercased whitespace tokens are
+    * re-joined into 6-token lines — the exact construction the DuckDB
+    * oracles replay. Output: (doc_id, text_lined).
+    */
+  private def sixTokenLined(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+"),
+      t => length(t) > 0)
+    t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("__tk"))
+      .select(col("doc_id"), concat_ws("\n",
+        transform(
+          sequence(lit(0),
+            greatest(ceil(size(col("__tk")) / 6.0).cast("int") - 1, lit(0))),
+          i => array_join(slice(col("__tk"), i * 6 + 1, lit(6)), " ")))
+        .as("text_lined"))
+  }
+
   /** The flagship RAG slice — q_rag_e2e (the rows) and q_rag_contract
     * (JSON-structure properties of the same rows).
     */
@@ -990,18 +1009,24 @@ ORDER BY event_id, event_id2""")
     // tokens — the same construction the oracle replays), then removes
     // every line whose normalized form appears in >= 2 docs, keeping the
     // min-id document's copy, and rebuilds the text.
-    "q_line_dedup" -> ((s, dir) => {
-      val toks = filter(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+"),
-        t => length(t) > 0)
-      val lined = t(s, dir, "documents")
-        .select(col("doc_id"), toks.as("__tk"))
-        .select(col("doc_id"), concat_ws("\n",
-          transform(
-            sequence(lit(0),
-              greatest(ceil(size(col("__tk")) / 6.0).cast("int") - 1, lit(0))),
-            i => array_join(slice(col("__tk"), i * 6 + 1, lit(6)), " ")))
-          .as("text_lined"))
-      Dedup.lineDedup(lined, "doc_id", "text_lined", minDocs = 2)
+    "q_line_dedup" -> ((s, dir) =>
+      Dedup.lineDedup(sixTokenLined(s, dir), "doc_id", "text_lined",
+        minDocs = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // --- stop-line filter (C4 / RefinedWeb boilerplate removal) -----------
+    // The CONSUMER of the mined boilerplate list: lines with document
+    // frequency >= 3 over the derived line corpus are removed from every
+    // document (no keeper copy — boilerplate is boilerplate everywhere)
+    // and the text is rebuilt. The mine is the skew-safe count-distinct
+    // groupBy; the filter is a broadcast anti-join (no shuffle on the
+    // line key at all) — the pre-filter lineDedup's scaladoc asks for.
+    "q_stopline_filter" -> ((s, dir) => {
+      val lined = sixTokenLined(s, dir)
+      val stops = Dedup.boilerplateLines(lined, "doc_id", "text_lined",
+        minDocFreq = 3)
+      Dedup.stopLineFilter(lined, "doc_id", "text_lined", stops.select("key"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
@@ -2247,6 +2272,25 @@ values (
         "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, count(*) AS n_kept, " +
         "string_agg(line, chr(10) ORDER BY pos) AS clean_text " +
         "FROM st WHERE len(key) = 0 OR nd < 2 OR doc_id = keeper " +
+        "GROUP BY doc_id, n_lines ORDER BY doc_id"),
+
+    // stop-line filter: mine keys in >= 3 docs, remove them from every
+    // doc (no keeper), rebuild via ordered string_agg — same lined CTE.
+    "q_stopline_filter" ->
+      ("WITH lined AS (SELECT doc_id, array_to_string(" +
+        "[array_to_string(tk[i*6+1:i*6+6], ' ') " +
+        "FOR i IN range(0, greatest(CAST(ceil(len(tk)/6.0) AS INT), 1))], chr(10)) AS text_lined " +
+        "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents)), " +
+        "lines AS (SELECT doc_id, i AS pos, sp[i] AS line, lower(trim(sp[i])) AS key " +
+        "FROM (SELECT doc_id, string_split(text_lined, chr(10)) AS sp FROM lined), " +
+        "UNNEST(range(1, len(sp)+1)) r(i)), " +
+        "stops AS (SELECT key FROM lines WHERE len(key) > 0 " +
+        "GROUP BY key HAVING count(DISTINCT doc_id) >= 3), " +
+        "st AS (SELECT doc_id, pos, line, key, " +
+        "count(*) OVER (PARTITION BY doc_id) AS n_lines FROM lines) " +
+        "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, count(*) AS n_kept, " +
+        "string_agg(line, chr(10) ORDER BY pos) AS clean_text " +
+        "FROM st WHERE key NOT IN (SELECT key FROM stops) " +
         "GROUP BY doc_id, n_lines ORDER BY doc_id"),
 
     // unigram cross-entropy: the oracle mirrors the MLE formula term by

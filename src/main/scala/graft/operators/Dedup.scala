@@ -427,6 +427,11 @@ object Dedup {
     * `localCheckpoint` truncates the growing lineage so round N's plan
     * doesn't replay rounds 1..N-1.
     *
+    * `maxDriverEdges` bounds the driver union-find fast path; a value
+    * >= Int.MaxValue DISABLES it (the probe is a `limit(cap+1).collect`,
+    * and a >2G-row driver collect is never sane) and every graph takes
+    * the distributed label-propagation path.
+    *
     * Output: (id, label) for every id that appears in a pair.
     */
   def clusterLabels(pairs: DataFrame, maxRounds: Int = 50,
@@ -684,19 +689,28 @@ object Dedup {
       minDocs)
 
   /** Attach n_docs = count(DISTINCT id) per span key and keep keys seen
-    * in at least `minDocs` docs — as max(dense_rank) over one window
-    * partitioning, NOT groupBy+self-join: the gram stream (the expensive
-    * tokenize+explode) is built and shuffled exactly once, where the
-    * join form would re-execute it for the probe side.
+    * in at least `minDocs` docs — as a partial-agg groupBy on the key
+    * plus an equi-join back, NOT a window over the key: gram/line keys
+    * are Zipf-distributed, and `Window.partitionBy(key)` would put every
+    * occurrence of a corpus-wide boilerplate span on ONE task (an
+    * unsplittable sort partition). The groupBy is skew-safe twice over —
+    * `count_distinct` plans as a two-phase aggregate whose first shuffle
+    * keys on (key, id) (the doc id fans a hot key across reducers) and
+    * the second phase partial-aggregates map-side — and the join back is
+    * an equi-join AQE can skew-split, which a window partition never can.
+    *
+    * The gram stream (the expensive tokenize+explode) is still built
+    * once: a LAZY local checkpoint materializes it at first execution
+    * and both the stats side and the probe side read the same blocks
+    * (released when the plan is GC'd, via Spark's context cleaner).
     */
   private def spansAtLeast(grams: DataFrame, keyCol: String,
       minDocs: Int): DataFrame = {
-    val ranked = Window.partitionBy(keyCol).orderBy("id")
-    val byKey = Window.partitionBy(keyCol)
-    grams.withColumn("__dr", dense_rank().over(ranked))
-      .withColumn("n_docs", max(col("__dr")).over(byKey).cast("long"))
+    val g = grams.localCheckpoint(false)
+    val dup = g.groupBy(keyCol)
+      .agg(count_distinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-      .select("id", "pos", "n_docs")
+    g.join(dup, keyCol).select("id", "pos", "n_docs")
   }
 
   /** (id, pos, gram): all `n`-token sliding windows over lowercased
@@ -729,37 +743,98 @@ object Dedup {
     *
     * Output: (id, n_lines, n_kept, clean_text).
     *
-    * Scale shape: one explode to slim (id, pos, line) rows, then a
-    * single pass — the dup stats (distinct-doc count, keeper) ride in
-    * as window aggregates over the line-key partitioning and the
-    * rebuild is a groupBy on the id the second window already
-    * partitioned by, so the line stream is built and shuffled exactly
-    * once (the join form would re-execute it for the probe side).
-    * Heavy boilerplate lines are the skew hazard: the key window sorts
-    * each key group on one task, so cap or pre-filter stop-lines
-    * upstream when a corpus is boilerplate-dominated.
+    * Scale shape: one explode to slim (id, pos, line) rows, then
+    * (key → n_docs, keeper) via a partial-agg groupBy and an equi-join
+    * back — never a window over the line key. Line frequencies are
+    * Zipf-distributed ("all rights reserved" across a web corpus), and
+    * a key window would sort every occurrence of a hot line on one
+    * task; the groupBy combines map-side (count_distinct's first phase
+    * shuffles on (key, id), fanning hot keys across reducers) and the
+    * join back is AQE-skew-splittable. The dup-key table carries ONLY
+    * keys at `minDocs`+ — a corpus-size-independent boilerplate set
+    * that AQE broadcasts when it fits. The line stream materializes
+    * once via a lazy local checkpoint read by all three consumers.
+    * [[stopLineFilter]] composes upstream when a corpus is
+    * boilerplate-dominated enough that even the dup-key join is heavy.
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 2): DataFrame = {
     val lines = df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("key", lower(trim(col("line"))))
-    val ranked = Window.partitionBy("key").orderBy("id")
-    val byKey = Window.partitionBy("key")
-    val byId = Window.partitionBy("id")
-    lines
-      .withColumn("__dr", dense_rank().over(ranked))
-      .withColumn("__nd", max(col("__dr")).over(byKey))
-      .withColumn("__keeper", min(col("id")).over(byKey))
-      .withColumn("__n_lines", count(lit(1)).over(byId))
-      .filter(length(col("key")) === 0 ||
-        col("__nd") < minDocs || col("id") === col("__keeper"))
+      .localCheckpoint(false)
+    // blank lines never count as duplicates, so they never enter the
+    // stats agg; a left-join miss (__nd null) below marks a line as
+    // blank-or-under-threshold — kept in every document
+    val dupKeys = lines.filter(length(col("key")) > 0)
+      .groupBy("key")
+      .agg(count_distinct(col("id")).as("__nd"), min(col("id")).as("__keeper"))
+      .filter(col("__nd") >= minDocs)
+    val docSizes = lines.groupBy("id").agg(count(lit(1)).as("n_lines"))
+    lines.join(dupKeys, Seq("key"), "left")
+      .filter(col("__nd").isNull || col("id") === col("__keeper"))
       .groupBy("id")
-      .agg(first(col("__n_lines")).as("n_lines"),
-        count(lit(1)).as("n_kept"),
+      .agg(count(lit(1)).as("n_kept"),
         concat_ws("\n",
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             x => x.getField("line"))).as("clean_text"))
+      .join(docSizes, "id")
+      .select(col("id"), col("n_lines"), col("n_kept"), col("clean_text"))
+  }
+
+  /** Boilerplate line mining — the corpus-wide list a C4/RefinedWeb
+    * stop-line filter is seeded from: every normalized (lowercased,
+    * trimmed, non-blank) line with document frequency >= `minDocFreq`.
+    * Returns (key, doc_freq) ordered nowhere (callers top-k or join).
+    *
+    * Scale shape: one explode to slim (id, key) rows and a
+    * count-distinct groupBy on the line key — two-phase (first shuffle
+    * keys on (key, id), fanning hot boilerplate keys across reducers;
+    * second phase partial-aggregates map-side), so Zipf-heavy lines
+    * never concentrate on one task.
+    */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Long = 2): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .select(col("id"), lower(trim(col("line"))).as("key"))
+      .filter(length(col("key")) > 0)
+      .groupBy("key").agg(count_distinct(col("id")).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocFreq)
+
+  /** Stop-line filter — the consumer of [[boilerplateLines]] (or any
+    * curated list): every line whose normalized form appears in
+    * `stopLines` (first column, normalized on entry) is removed from
+    * EVERY document, and each document's text is rebuilt from its kept
+    * lines in original order. Unlike [[lineDedup]] no copy is kept —
+    * a mined stop line is boilerplate everywhere, which is exactly the
+    * pre-filter lineDedup wants upstream in a boilerplate-dominated
+    * corpus. A document whose every line is a stop line disappears.
+    * Output: (id, n_lines, n_kept, clean_text).
+    *
+    * Scale shape: the stop list is top-k-mined or curated — small by
+    * construction — so it broadcasts and the filter is a map-side
+    * anti-join; no shuffle touches the line key at all. The rebuild
+    * groups on the doc id (bounded groups).
+    */
+  def stopLineFilter(df: DataFrame, idCol: String, textCol: String,
+      stopLines: DataFrame): DataFrame = {
+    val stops = broadcast(stopLines
+      .select(lower(trim(col(stopLines.columns.head))).as("key"))
+      .filter(length(col("key")) > 0).distinct())
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("key", lower(trim(col("line"))))
+      .localCheckpoint(false)
+    val docSizes = lines.groupBy("id").agg(count(lit(1)).as("n_lines"))
+    lines.join(stops, Seq("key"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line"))).as("clean_text"))
+      .join(docSizes, "id")
+      .select(col("id"), col("n_lines"), col("n_kept"), col("clean_text"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -775,15 +850,23 @@ object Dedup {
     * bounded, and the pairwise step is an equi-join on the cell id (one
     * shuffle of slim rows) — the published recipe for embedding-level
     * dedup at web scale.
+    *
+    * Cells are additionally HARD-BOUNDED at `maxCell` members: k-means
+    * puts no ceiling on a cell, and one dense region (near-identical
+    * boilerplate embeddings — the exact thing a dedup corpus is full
+    * of) would otherwise make the within-cell join quadratic. Oversized
+    * cells are recursively re-clustered (the Abbas '23 recipe) by
+    * [[assignCellsBounded]]; a cell still oversized after `maxDepth`
+    * rounds — only possible when the vectors are genuinely
+    * (near-)identical, which no clustering can split — is processed
+    * anyway with a surfaced warning, since silently skipping the
+    * densest region is the one failure a dedup pipeline must not have.
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, threshold: Double, iters: Int = 3,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, maxCell: Int = 8192): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val centroids = IvfSearch.trainCentroids(base, "v", "id", nClusters,
-      iters, dim)
-    val celled = base
-      .withColumn("cell", IvfSearch.nearestCell(centroids)(col("v")))
+    val celled = assignCellsBounded(base, nClusters, iters, dim, maxCell)
       // one pass assigns cells; both sides of the pair join read it
       .localCheckpoint()
     val l = celled.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
@@ -795,5 +878,56 @@ object Dedup {
     val removed = clusterLabels(pairs)
       .filter(col("id") =!= col("label")).select("id")
     celled.select("id", "cell").join(removed, Seq("id"), "left_anti")
+  }
+
+  /** K-means cell assignment with a hard per-cell size bound: round r
+    * trains [[IvfSearch.trainCentroids]] over the rows still unbounded,
+    * labels them `r*nClusters + local` (rounds never collide, and round
+    * 0 with no oversized cell emits the plain 0..nClusters-1 labels),
+    * keeps the cells at or under `maxCell`, and re-clusters the members
+    * of oversized cells in the next round — dense regions get their own
+    * centroids and split. The recursion is bounded at `maxDepth`; the
+    * one population that can survive it is (near-)identical vectors,
+    * which NO partitioning can separate — those keep their last cells
+    * and a warning names the residual cell sizes. Each round is one
+    * train + one size aggregate over only the still-oversized subset,
+    * so the extra cost is proportional to the dense mass, not the
+    * corpus.
+    */
+  private def assignCellsBounded(base: DataFrame, nClusters: Int,
+      iters: Int, dim: Int, maxCell: Int, maxDepth: Int = 3): DataFrame = {
+    require(maxCell > 0, s"maxCell must be positive, got $maxCell")
+    var pending = base
+    var depth = 0
+    var parts = List.empty[DataFrame]
+    var result: DataFrame = null
+    while (result == null) {
+      val centroids = IvfSearch.trainCentroids(pending, "v", "id",
+        nClusters, iters, dim)
+      val celled = pending
+        .withColumn("cell",
+          IvfSearch.nearestCell(centroids)(col("v")) + lit(depth * nClusters))
+        // sizes pass + the split below both read this round's assignment
+        .localCheckpoint()
+      val over = celled.groupBy("cell").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxCell)
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+      if (over.isEmpty)
+        result = (celled :: parts).reduce(_ unionByName _)
+      else if (depth == maxDepth - 1) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"semDedup: ${over.length} cell(s) still over maxCell=$maxCell " +
+            s"after $maxDepth re-cluster rounds (sizes: " +
+            s"${over.map(_._2).sorted.reverse.take(5).mkString(", ")}) — " +
+            "members are near-identical; processing the quadratic cell(s)")
+        result = (celled :: parts).reduce(_ unionByName _)
+      } else {
+        val overIds = over.map(_._1).toSeq
+        parts ::= celled.filter(!col("cell").isin(overIds: _*))
+        pending = celled.filter(col("cell").isin(overIds: _*)).select("id", "v")
+        depth += 1
+      }
+    }
+    result
   }
 }

@@ -269,8 +269,9 @@ class CorpusSpec extends SparkSpec {
       .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("gram"))
       .limit(3).as[(String, Long)].collect().toSeq
-    assert(top.head == (("c c c", 3L)))
-    assert(top.map(_._1).contains("a b z") || top.length == 3)
+    // exact top-3: doc_freq desc, then gram asc breaks the 1-freq tie
+    // ("a b z" < "c c y" < "x c c" lexicographically)
+    assert(top == Seq(("c c c", 3L), ("a b z", 1L), ("c c y", 1L)))
   }
 
   test("composed curation pipeline: stage invariants hold end-to-end") {

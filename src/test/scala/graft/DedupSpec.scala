@@ -367,4 +367,46 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lineDedup(all, "id", "text").select("id")
       .as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("semDedup with a tight maxCell still satisfies the dedup contract") {
+    // recursive re-cluster changes candidate generation, never the
+    // guarantees: survivors at a tight cap must still satisfy the
+    // isolated-kept / removed-has-neighbor contract
+    val emb = Tables(spark, sf, "embeddings")
+    val capped = Dedup.semDedup(emb, "vec_id", "embedding",
+      nClusters = 16, threshold = 0.35, maxCell = 16)
+    val keptCapped = capped.select("id").as[Long].collect().toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    val exactPairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.35)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    val paired = exactPairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert((all -- keptCapped).subsetOf(paired), "removed a doc with no exact neighbor")
+    assert((all -- paired).subsetOf(keptCapped), "dropped an isolated doc")
+    // cap actually bit: with 500 vectors over 16 cells, average cell
+    // size is ~31 > 16, so at least one re-cluster round ran — cells
+    // from later rounds carry labels >= nClusters
+    assert(capped.select("cell").as[Int].collect().exists(_ >= 16),
+      "tight maxCell never triggered a re-cluster round")
+  }
+
+  test("boilerplateLines mines doc-frequent lines; stopLineFilter removes them everywhere") {
+    val docs = Seq(
+      (1L, "All Rights Reserved\nreal content one\nsubscribe now"),
+      (2L, "all rights reserved\nreal content two"),
+      (3L, "ALL RIGHTS RESERVED\n\nreal content three\nsubscribe now"),
+      (4L, "subscribe now")).toDF("id", "text")
+    val mined = Dedup.boilerplateLines(docs, "id", "text", minDocFreq = 3)
+      .as[(String, Long)].collect().toMap
+    assert(mined == Map("all rights reserved" -> 3L, "subscribe now" -> 3L))
+    val out = Dedup.stopLineFilter(docs, "id", "text",
+        Dedup.boilerplateLines(docs, "id", "text", minDocFreq = 3).select("key"))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // no keeper copy: the stop line vanishes from every doc, case-folded
+    assert(out(1L) == ((3L, 1L, "real content one")))
+    assert(out(2L) == ((2L, 1L, "real content two")))
+    assert(out(3L) == ((4L, 2L, "\nreal content three")))
+    // a doc that is pure boilerplate disappears
+    assert(!out.contains(4L))
+  }
 }
