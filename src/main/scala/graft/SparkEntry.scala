@@ -187,23 +187,68 @@ object SparkEntry {
     else memo(s, dir, "keepbest_surv")(f)
   }
 
+  /** Best-effort recursive delete of a per-app temp dir — called on
+    * app eviction and from a JVM shutdown hook, never in a query path.
+    */
+  private def deleteTempDir(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        val s = java.nio.file.Files.walk(root)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator.asScala
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally s.close()
+      }
+    } catch { case _: java.io.IOException => () }
+
+  /** Create a per-app temp dir that is deleted on JVM exit (and on
+    * app eviction by the callers below) — previously these catalog /
+    * scratch dirs were created fresh per invocation and never removed.
+    */
+  private def appTempDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteTempDir(dir), s"graft-tmp-cleanup-$prefix"))
+    dir
+  }
+
   /** One SQL facade per session for the pure-SELECT statement queries
     * (q_asof_sql / q_interval_sql): they never touch topics, so they
     * share one catalog tmpdir per app instead of leaking a fresh
-    * directory every invocation (3 bench passes × 2 queries = 6 dirs).
+    * directory every invocation (3 bench passes × 2 queries = 6 dirs);
+    * the dir itself is reaped on eviction or JVM exit.
     */
   private val sqlFacades =
-    scala.collection.concurrent.TrieMap.empty[String, graft.sql.GraftSql]
+    scala.collection.concurrent.TrieMap.empty[String, (graft.sql.GraftSql, String)]
   private def sqlFacade(s: SparkSession): graft.sql.GraftSql =
     sqlFacades.synchronized {
       // keyed by applicationId, evicting other apps' entries — same
       // protection as the memo above against a long-lived JVM that
       // cycles SparkSessions pinning dead sessions forever
       val app = s.sparkContext.applicationId
-      sqlFacades.keys.filter(_ != app).foreach(sqlFacades.remove)
-      sqlFacades.getOrElseUpdate(app, new graft.sql.GraftSql(s,
-        new graft.sources.TopicCatalog(s,
-          java.nio.file.Files.createTempDirectory("graft_q_sql").toString)))
+      sqlFacades.keys.filter(_ != app).foreach(k =>
+        sqlFacades.remove(k).foreach { case (_, d) => deleteTempDir(d) })
+      sqlFacades.getOrElseUpdate(app, {
+        val dir = appTempDir("graft_q_sql")
+        (new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s, dir)), dir)
+      })._1
+    }
+
+  /** One scratch dir per app for q_formats_roundtrip (overwrite-mode
+    * writes reuse it across bench passes instead of leaking a fresh
+    * dir per invocation — the same class of leak the facade above and
+    * the asof/interval catalog already fixed).
+    */
+  private val fmtDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def fmtDir(s: SparkSession): String =
+    fmtDirs.synchronized {
+      val app = s.sparkContext.applicationId
+      fmtDirs.keys.filter(_ != app).foreach(k =>
+        fmtDirs.remove(k).foreach(deleteTempDir))
+      fmtDirs.getOrElseUpdate(app, appTempDir("graft_q_fmt"))
     }
 
   /** Deterministic multi-line corpus for the line-level operators
@@ -1162,7 +1207,7 @@ ORDER BY event_id, event_id2""")
     // equality against the source table proves fidelity)
     "q_formats_roundtrip" -> ((s, dir) => {
       val base = t(s, dir, "documents").select("doc_id", "source", "n_chars")
-      val root = java.nio.file.Files.createTempDirectory("graft_q_fmt").toString
+      val root = fmtDir(s)
       base.write.mode("overwrite").orc(s"$root/orc")
       base.write.mode("overwrite").option("header", "true").csv(s"$root/csv")
       val orc = s.read.orc(s"$root/orc")

@@ -216,15 +216,26 @@ object Corpus {
     * the explicit class `[ \t\n\f\r]+` (RE2's `\s`, which the DuckDB
     * oracle uses) so both engines tokenize byte-for-byte identically.
     * One explode + one combine shuffle on (id, tok) — linear in corpus
-    * tokens. localCheckpoint: every consumer references this subtree
-    * two or three times, and union/join branches don't share work.
+    * tokens. LAZY localCheckpoint: every consumer references this
+    * subtree two or three times and union/join branches don't share
+    * work, so the first action materializes it once and later branches
+    * read the cached blocks — with no Spark jobs running as a side
+    * effect of query CONSTRUCTION (blocks are released when the plan
+    * is GC'd, via Spark's context cleaner). Cluster caveat: local
+    * checkpoints are non-recoverable — losing an executor after
+    * materialization fails the query instead of recomputing the lost
+    * blocks. That is the right trade on a single-app analytics run
+    * (recompute = rerun the query); a long-lived cluster pipeline that
+    * must survive executor churn should persist this stage to a
+    * reliable store (`spark.sparkContext.setCheckpointDir` +
+    * `.checkpoint()`, or write/read parquet) instead.
     */
   def docTokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         explode(filter(split(lower(trim(col(textCol))), "[ \\t\\n\\f\\r]+"),
           t => length(t) > 0)).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
   /** CCNet-style quality proxy (Wenzek et al. 2020): each document's
     * cross-entropy under the corpus's OWN unigram LM,
@@ -246,19 +257,32 @@ object Corpus {
     * than assumed: on the seed-pinned gate corpus every value sits
     * ≥ 1e-7 from its nearest 1e-4 boundary while worst-case
     * cross-engine divergence (libm ulps + summation order over ≤ 500
-    * terms) is ~1e-12 — five orders of margin. If the generator ever
-    * churns, re-measure or drop to 2 decimals.
+    * terms) is ~1e-12 — five orders of margin. The margin is ASSERTED
+    * mechanically (CorpusSpec "rounding margins"), so a generator churn
+    * fails that spec with a named cause instead of surfacing as a
+    * mysterious oracle hash mismatch; if it fires, re-measure or drop
+    * to 2 decimals.
     */
-  def unigramXent(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramXent(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    unigramXentImpl(df, idCol, textCol, rounded = true)
+
+  /** [[unigramXent]] with the rounding switchable off — the UNROUNDED
+    * scores feed the rounding-margin assertion in CorpusSpec (corpus
+    * churn must fail that spec loudly, not surface as a mysterious
+    * oracle hash mismatch).
+    */
+  private[graft] def unigramXentImpl(df: DataFrame, idCol: String,
+      textCol: String, rounded: Boolean): DataFrame = {
     val dt = docTokenCounts(df, idCol, textCol)
     val vocab = dt.groupBy("tok").agg(sum("cnt").as("c"))
     val total = vocab.agg(sum(col("c")).cast("double").as("n"))
+    val raw = -sum(col("cnt") * (log(col("c")) - log(col("n")))) /
+      sum(col("cnt"))
     dt.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .groupBy("id")
       .agg(sum(col("cnt")).as("n_tok"),
-        round(-sum(col("cnt") * (log(col("c")) - log(col("n")))) /
-          sum(col("cnt")), 4).as("xent"))
+        (if (rounded) round(raw, 4) else raw).as("xent"))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
@@ -279,10 +303,18 @@ object Corpus {
     * Float parity: same measured-margin argument as [[unigramXent]] —
     * weights sit ≥ 2e-8 from their nearest 1e-4 rounding boundary and
     * the rank-100 selection gap is 4.3e-4 on the gate corpus, both
-    * orders of magnitude above cross-engine fp divergence.
+    * orders of magnitude above cross-engine fp divergence; the margin
+    * is asserted mechanically in CorpusSpec ("rounding margins").
     */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
-      isTarget: Column): DataFrame = {
+      isTarget: Column): DataFrame =
+    dsirWeightsImpl(df, idCol, textCol, isTarget, rounded = true)
+
+  /** [[dsirWeights]] with the rounding switchable off — see
+    * [[unigramXentImpl]].
+    */
+  private[graft] def dsirWeightsImpl(df: DataFrame, idCol: String,
+      textCol: String, isTarget: Column, rounded: Boolean): DataFrame = {
     val dt = docTokenCounts(df, idCol, textCol)
     val tgtIds = df.filter(isTarget).select(col(idCol).as("id"))
     val raw = dt.groupBy("tok").agg(sum("cnt").as("cr"))
@@ -298,10 +330,11 @@ object Corpus {
       .select(col("tok"),
         (log(col("ct") + 1) - log(col("nt") + col("v")) -
           log(col("cr") + 1) + log(col("nr") + col("v"))).as("logratio"))
+    val weight = sum(col("cnt") * col("logratio"))
     dt.join(ratio, "tok")
       .groupBy("id")
       .agg(sum(col("cnt")).as("n_tok"),
-        round(sum(col("cnt") * col("logratio")), 4).as("dsir_weight"))
+        (if (rounded) round(weight, 4) else weight).as("dsir_weight"))
   }
 
   // --- repetition statistics ----------------------------------------------

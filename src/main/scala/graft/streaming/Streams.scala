@@ -29,6 +29,27 @@ object Streams {
   def fileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).option("maxFilesPerTrigger", "8").parquet(dir)
 
+  /** Prior-epoch subdirectories of a cross-epoch dedup store, via the
+    * Hadoop FileSystem API so the store may live on ANY supported
+    * filesystem (HDFS, S3A, local). `java.io.File.listFiles` would
+    * silently read a remote store as EMPTY — for a dedup store the
+    * worst possible failure mode (re-ingested duplicates admitted
+    * without any error). A nonexistent store dir is the legitimate
+    * first-epoch state and returns empty; any other access problem
+    * (permissions, transient FS fault) throws out of the micro-batch,
+    * which Structured Streaming surfaces as a query failure instead of
+    * quietly skipping cross-epoch dedup.
+    */
+  private def storeEpochDirs(spark: SparkSession, storeDir: String,
+      excludeEpoch: Long): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName != s"epoch=$excludeEpoch")
+      .map(_.getPath.toString)
+  }
+
   /** The reference's schemaless-topic retrofit (SURVEY §1.2): a stream of
     * raw JSON strings decoded by an explicit schema at read time —
     * `from_json` over the value column, exactly Flink's
@@ -213,12 +234,10 @@ object Streams {
           TextOps.minhash(col(textCol)).as("sig"))
         // against the store of prior epochs (don't self-compare: a retry
         // overwrites its own epoch dir, so exclude the current epoch)
-        val storeEpochs = Option(new java.io.File(storeDir).listFiles())
-          .map(_.filter(f => f.isDirectory && f.getName != s"epoch=$epoch"))
-          .getOrElse(Array.empty[java.io.File])
+        val storeEpochs = storeEpochDirs(spark, storeDir, epoch)
         val survivors =
           (if (storeEpochs.nonEmpty) {
-            val store = spark.read.parquet(storeEpochs.map(_.getPath).toIndexedSeq: _*)
+            val store = spark.read.parquet(storeEpochs: _*)
             val dupIds = Dedup.minhashDupsAgainst(sigs, store, threshold = threshold)
             inBatch.join(dupIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
           } else inBatch)
@@ -271,13 +290,11 @@ object Streams {
           .withColumn("__keep", min(col(idCol)).over(w))
           .filter(col(idCol) === col("__keep"))
           .drop("__keep")
-        val storeEpochs = Option(new java.io.File(storeDir).listFiles())
-          .map(_.filter(f => f.isDirectory && f.getName != s"epoch=$epoch"))
-          .getOrElse(Array.empty[java.io.File])
+        val storeEpochs = storeEpochDirs(spark, storeDir, epoch)
         val survivors =
           (if (storeEpochs.nonEmpty) {
             val store = spark.read
-              .parquet(storeEpochs.map(_.getPath).toIndexedSeq: _*)
+              .parquet(storeEpochs: _*)
               .select(col("h").as("__h")).distinct()
             inBatch.join(store, Seq("__h"), "left_anti")
           } else inBatch).persist()

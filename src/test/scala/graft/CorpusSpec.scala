@@ -274,6 +274,38 @@ class CorpusSpec extends SparkSpec {
     assert(top == Seq(("c c c", 3L), ("a b z", 1L), ("c c y", 1L)))
   }
 
+  test("rounding margins: no xent/dsir value sits near a 1e-4 boundary") {
+    // The oracle gate emits round(x, 4) doubles and relies on the
+    // UNROUNDED value sitting far from every k+0.5 (in 1e-4 units)
+    // rounding boundary relative to cross-engine fp divergence
+    // (~1e-12 over these term counts). The margins were measured on
+    // the seed-pinned corpus; this assertion mechanizes them, so a
+    // regenerated corpus (FIXTURES.md records that the driver DOES
+    // regenerate parquet) fails HERE with a named cause instead of as
+    // a mysterious CORRECTNESS hash mismatch. Asserted on the sf0.01
+    // gate corpus — the one the driver's DuckDB compare actually runs.
+    def boundaryDist(v: Double): Double = {
+      val scaled = v * 1e4
+      math.abs(scaled - math.floor(scaled) - 0.5) * 1e-4
+    }
+    val gateDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(gateDir).isDirectory)
+    val docs = Tables(spark, gateDir, "documents")
+    val xm = Corpus.unigramXentImpl(docs, "doc_id", "text", rounded = false)
+      .select("xent").as[Double].collect().map(boundaryDist).min
+    assert(xm >= 1e-9,
+      f"unigram-xent value within $xm%.2e of a 1e-4 rounding boundary — " +
+        "the corpus generator churned; re-measure margins or drop the " +
+        "oracle to 2 decimals before the hash gate flips")
+    val dm = Corpus.dsirWeightsImpl(docs, "doc_id", "text",
+        col("lang") === "en", rounded = false)
+      .select("dsir_weight").as[Double].collect().map(boundaryDist).min
+    assert(dm >= 1e-9,
+      f"dsir weight within $dm%.2e of a 1e-4 rounding boundary — " +
+        "the corpus generator churned; re-measure margins or drop the " +
+        "oracle to 2 decimals before the hash gate flips")
+  }
+
   test("composed curation pipeline: stage invariants hold end-to-end") {
     val out = SparkEntry.queries("q_curation_pipeline")(spark, sf).collect()
     assert(out.nonEmpty, "pipeline produced no training docs")
