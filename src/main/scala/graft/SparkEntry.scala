@@ -1020,18 +1020,45 @@ ORDER BY event_id, event_id2""")
         .orderBy("doc_id", "pos")),
 
     // --- the full curation recipe, composed end-to-end --------------------
-    // quality gate (Gopher-style structural rules at recipe thresholds) →
-    // exact dedup (min-id keeper) → deterministic train/test carve →
-    // decontaminate train against its own held-out split (4-gram
-    // overlap) → per-source token budget → sequence packing. Every stage
-    // is the already-oracled operator, so the COMPOSITION carries a full
-    // DuckDB oracle too; the one approximate stage of a production
-    // recipe (MinHash near-dup) ships separately as q_dedup_pipeline.
+    // structural gate (Gopher-style rules at recipe thresholds) →
+    // word-repetition gate (dup-2gram fraction, exact integer form) →
+    // LM-quality band (CCNet-style unigram xent, drop the gibberish
+    // tail) → DSIR importance selection (keep docs at least as
+    // target-like as raw) → exact dedup (min-id keeper) → deterministic
+    // train/test carve → decontaminate train against its own held-out
+    // split (4-gram overlap) → per-source token budget → sequence
+    // packing. Every stage is the already-oracled operator, so the
+    // COMPOSITION carries a full DuckDB oracle too; the one approximate
+    // stage of a production recipe (MinHash near-dup) ships separately
+    // as q_dedup_pipeline. Thresholds are set against the measured
+    // signal distributions of this corpus (dup-2gram p90 ≈ 0.068, xent
+    // p95 ≈ 3.41) so every stage drops real rows at every SF.
     "q_curation_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // structural gate; materialized once — three signal stages and
+      // the dedup prefix all re-read it
       val quality = docs.filter(TextOps.curationGate(col("text")))
-      val deduped = Dedup.exact(quality, "doc_id", "text")
-      // the gate→dedup→split prefix feeds four branches (train grams,
+        .select("doc_id", "source", "lang", "text").localCheckpoint()
+      // Gopher word-repetition gate: duplicate-2gram fraction <= 0.08
+      // as integer cross-multiplication — no float enters the filter
+      val repOk = Corpus.ngramRepetition(quality, "doc_id", "text", ns = Seq(2))
+        .filter((col("total") - col("n_distinct")) * 25 <= col("total") * 2)
+        .select(col("id").as("doc_id"))
+      val repKept = quality.join(repOk, "doc_id")
+      // CCNet-style band: drop the high-xent tail under the rep-gated
+      // corpus's OWN unigram LM (threshold on the rounded score both
+      // engines agree on to 4 decimals)
+      val xentOk = Corpus.unigramXent(repKept, "doc_id", "text")
+        .filter(col("xent") <= 3.45).select(col("id").as("doc_id"))
+      val xentKept = repKept.join(xentOk, "doc_id")
+      // DSIR selection: keep docs at least as target-like as the raw
+      // corpus (weight >= 0), target = the English slice
+      val dsirOk = Corpus.dsirWeights(xentKept, "doc_id", "text",
+          col("lang") === "en")
+        .filter(col("dsir_weight") >= 0).select(col("id").as("doc_id"))
+      val selected = xentKept.join(dsirOk, "doc_id")
+      val deduped = Dedup.exact(selected, "doc_id", "text")
+      // the gated→dedup→split prefix feeds four branches (train grams,
       // bench grams, the anti-join probe, sized) — materialize it once
       val split = Corpus.assignSplits(deduped, "doc_id",
         Seq("train" -> 0.9, "test" -> 0.1)).localCheckpoint()
@@ -2252,14 +2279,43 @@ values (
     // split (multiplicative-hash bands), decontamination (4-gram
     // anti-join), budget + packing (hash-order running sums).
     "q_curation_pipeline" ->
-      ("WITH q AS (SELECT doc_id, source, text FROM (" +
-        "SELECT doc_id, source, text, " +
+      ("WITH q AS (SELECT doc_id, source, lang, text FROM (" +
+        "SELECT doc_id, source, lang, text, " +
         "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0) AS toks FROM documents) " +
         "WHERE len(toks) >= 20 " +
         "AND round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks), 4) BETWEEN 3 AND 10 " +
         "AND len(list_distinct(list_filter(list_transform(toks, t -> lower(t)), " +
         "t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','was','at','by','be','this'], t)))) >= 2), " +
+        // word-repetition gate: dup-2gram fraction <= 0.08, integer form
+        "qtoks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM q), " +
+        "c2 AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS gram, count(*) AS c " +
+        "FROM qtoks, UNNEST(range(1, len(tk))) r(i) WHERE len(tk) >= 2 GROUP BY doc_id, gram), " +
+        "rep AS (SELECT doc_id FROM (SELECT doc_id, sum(c) AS total, count(*) AS n_distinct " +
+        "FROM c2 GROUP BY doc_id) WHERE (total - n_distinct) * 25 <= total * 2), " +
+        // CCNet xent band over the rep-gated corpus's own unigram LM
+        "dtx AS (SELECT doc_id, tok, count(*) AS cnt FROM (" +
+        "SELECT doc_id, unnest(tk) AS tok FROM qtoks WHERE doc_id IN (SELECT doc_id FROM rep)) " +
+        "GROUP BY doc_id, tok), " +
+        "vocabx AS (SELECT tok, sum(cnt) AS c FROM dtx GROUP BY tok), " +
+        "totx AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocabx), " +
+        "keptx AS (SELECT doc_id FROM (SELECT doc_id, " +
+        "round(-sum(cnt * (ln(c) - ln(n))) / sum(cnt), 4) AS xent " +
+        "FROM dtx JOIN vocabx USING (tok) CROSS JOIN totx GROUP BY doc_id) WHERE xent <= 3.45), " +
+        // DSIR: add-1-smoothed en-vs-raw log-ratio over the xent-kept set
+        "dt3 AS (SELECT * FROM dtx WHERE doc_id IN (SELECT doc_id FROM keptx)), " +
+        "rawv AS (SELECT tok, sum(cnt) AS cr FROM dt3 GROUP BY tok), " +
+        "tgtv AS (SELECT tok, sum(cnt) AS ct FROM dt3 " +
+        "WHERE doc_id IN (SELECT doc_id FROM q WHERE lang = 'en') GROUP BY tok), " +
+        "vocab2 AS (SELECT r.tok AS tok, cr, coalesce(ct, 0) AS ct " +
+        "FROM rawv r LEFT JOIN tgtv tt ON r.tok = tt.tok), " +
+        "tot2 AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr, CAST(sum(ct) AS DOUBLE) AS nt, " +
+        "CAST(count(*) AS DOUBLE) AS v FROM vocab2), " +
+        "ratio AS (SELECT tok, ln(ct + 1) - ln(nt + v) - ln(cr + 1) + ln(nr + v) AS logratio " +
+        "FROM vocab2 CROSS JOIN tot2), " +
+        "sel AS (SELECT doc_id FROM (SELECT doc_id, round(sum(cnt * logratio), 4) AS dw " +
+        "FROM dt3 JOIN ratio USING (tok) GROUP BY doc_id) WHERE dw >= 0), " +
         "d2 AS (SELECT doc_id, source, text FROM q " +
+        "WHERE doc_id IN (SELECT doc_id FROM sel) " +
         "QUALIFY doc_id = min(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))), " +
         "sp AS (SELECT doc_id, source, text, CASE WHEN " +
         "(((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296 < 3865470566 " +

@@ -232,20 +232,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
-  test("q_line_dedup: the line stream is shuffled once per stage, no self-join") {
-    val p = SparkEntry.queries("q_line_dedup")(spark, sf)
-      .queryExecution.sparkPlan
-    // dup stats ride in as window aggregates over the key partitioning;
-    // a join-form plan would re-execute the explode for the probe side —
-    // assert NO join operator anywhere
-    val joins = p.collectWithSubqueries {
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+  test("content-keyed operators: no window over a Zipf key, partial aggs instead") {
+    // gram/line frequencies are Zipf-distributed: a window partitioned
+    // by the content key would sort every occurrence of a corpus-wide
+    // boilerplate key ("all rights reserved") on ONE unsplittable task.
+    // The r8 shape is (key -> stats) via partial-agg groupBy — whose
+    // count_distinct first phase shuffles on (key, id), fanning hot
+    // keys across reducers — plus an equi-join back that AQE can
+    // skew-split. Assert the window is gone from every content-keyed
+    // query.
+    for (q <- Seq("q_line_dedup", "q_dup_spans", "q_stopline_filter")) {
+      val p = plan(q).toString
+      assert(!p.contains("Window"), s"$q: content-keyed window returned")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cross product")
     }
-    assert(joins.isEmpty, s"line dedup plans a join: ${joins.map(_.nodeName)}")
-    // exactly one generate (the explode runs once)
-    val gens = p.collectWithSubqueries {
-      case g: org.apache.spark.sql.execution.GenerateExec => g
-    }
-    assert(gens.size == 1, s"explode re-executed: ${gens.size}")
+    // the line stream materializes once (lazy local checkpoint): both
+    // the stats agg and the probe side scan the checkpointed RDD
+    // instead of re-deriving the explode per branch
+    assert(plan("q_line_dedup").toString.contains("Scan ExistingRDD"),
+      "line stream not checkpoint-shared across consumers")
+    // the stop-line list is mined top-down and rides in as a broadcast
+    // anti-join — no shuffle ever touches the line key in the filter
+    assert(plan("q_stopline_filter").toString.contains("BroadcastHashJoin"),
+      "stop-line list did not broadcast")
   }
 }
