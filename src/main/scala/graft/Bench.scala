@@ -42,7 +42,16 @@ object Bench {
     // detail line first, compact total LAST: the driver captures the tail
     // of the log, and the long per-query map was truncated in BENCH_r02 —
     // the last line must always carry the headline number.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"runs":3,"agg":"min","sf":"$sfDir"}""")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"runs":3,"agg":"min","sf":"$sfDir"}"""
+    println(detail)
+    // the driver's tail capture truncates the long per-query map
+    // (BENCH_r06/r07 shipped "parsed": null), so ALSO write the full
+    // detail line to a tracked file — round-over-round per-query deltas
+    // stay complete regardless of log truncation
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_full.json"), detail + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write BENCH_full.json: $e") }
     spark.stop()
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"runs":3,"agg":"min","sf":"$sfDir"}""")
   }

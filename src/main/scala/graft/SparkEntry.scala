@@ -1044,17 +1044,23 @@ ORDER BY event_id, event_id2""")
       val repOk = Corpus.ngramRepetition(quality, "doc_id", "text", ns = Seq(2))
         .filter((col("total") - col("n_distinct")) * 25 <= col("total") * 2)
         .select(col("id").as("doc_id"))
-      val repKept = quality.join(repOk, "doc_id")
+      // ONE unigram tokenize pass feeds both LM stages below — the
+      // count table semi-joins down as the gates tighten, instead of
+      // each stage re-scanning the text
+      val dtq = Corpus.docTokenCounts(quality, "doc_id", "text")
+      val dtRep = dtq.join(repOk.select(col("doc_id").as("id")), "id")
       // CCNet-style band: drop the high-xent tail under the rep-gated
       // corpus's OWN unigram LM (threshold on the rounded score both
       // engines agree on to 4 decimals)
-      val xentOk = Corpus.unigramXent(repKept, "doc_id", "text")
+      val xentOk = Corpus.unigramXentFromCounts(dtRep)
         .filter(col("xent") <= 3.45).select(col("id").as("doc_id"))
-      val xentKept = repKept.join(xentOk, "doc_id")
+      val xentKept = quality.join(repOk, "doc_id").join(xentOk, "doc_id")
       // DSIR selection: keep docs at least as target-like as the raw
-      // corpus (weight >= 0), target = the English slice
-      val dsirOk = Corpus.dsirWeights(xentKept, "doc_id", "text",
-          col("lang") === "en")
+      // corpus (weight >= 0), target = the English slice of the gated
+      // corpus (the semi-join intersects it with the xent-kept set)
+      val dtX = dtRep.join(xentOk.select(col("doc_id").as("id")), "id")
+      val dsirOk = Corpus.dsirWeightsFromCounts(dtX,
+          quality.filter(col("lang") === "en").select(col("doc_id").as("id")))
         .filter(col("dsir_weight") >= 0).select(col("id").as("doc_id"))
       val selected = xentKept.join(dsirOk, "doc_id")
       val deduped = Dedup.exact(selected, "doc_id", "text")

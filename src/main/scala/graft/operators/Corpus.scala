@@ -272,8 +272,17 @@ object Corpus {
     * oracle hash mismatch).
     */
   private[graft] def unigramXentImpl(df: DataFrame, idCol: String,
-      textCol: String, rounded: Boolean): DataFrame = {
-    val dt = docTokenCounts(df, idCol, textCol)
+      textCol: String, rounded: Boolean): DataFrame =
+    unigramXentFromCounts(docTokenCounts(df, idCol, textCol), rounded)
+
+  /** [[unigramXent]] over a PRECOMPUTED (id, tok, cnt) table — the
+    * composition entry point: a pipeline that gates on several
+    * unigram-LM signals derives them all from ONE tokenize pass
+    * (semi-join the count table down between stages) instead of
+    * re-scanning the text per stage.
+    */
+  private[graft] def unigramXentFromCounts(dt: DataFrame,
+      rounded: Boolean = true): DataFrame = {
     val vocab = dt.groupBy("tok").agg(sum("cnt").as("c"))
     val total = vocab.agg(sum(col("c")).cast("double").as("n"))
     val raw = -sum(col("cnt") * (log(col("c")) - log(col("n")))) /
@@ -314,9 +323,15 @@ object Corpus {
     * [[unigramXentImpl]].
     */
   private[graft] def dsirWeightsImpl(df: DataFrame, idCol: String,
-      textCol: String, isTarget: Column, rounded: Boolean): DataFrame = {
-    val dt = docTokenCounts(df, idCol, textCol)
-    val tgtIds = df.filter(isTarget).select(col(idCol).as("id"))
+      textCol: String, isTarget: Column, rounded: Boolean): DataFrame =
+    dsirWeightsFromCounts(docTokenCounts(df, idCol, textCol),
+      df.filter(isTarget).select(col(idCol).as("id")), rounded)
+
+  /** [[dsirWeights]] over a PRECOMPUTED (id, tok, cnt) table and an
+    * explicit target-id set — see [[unigramXentFromCounts]].
+    */
+  private[graft] def dsirWeightsFromCounts(dt: DataFrame,
+      tgtIds: DataFrame, rounded: Boolean = true): DataFrame = {
     val raw = dt.groupBy("tok").agg(sum("cnt").as("cr"))
     val tgt = dt.join(tgtIds, Seq("id"), "left_semi")
       .groupBy("tok").agg(sum("cnt").as("ct"))
