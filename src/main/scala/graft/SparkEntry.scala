@@ -1019,6 +1019,17 @@ ORDER BY event_id, event_id2""")
           col("n_docs"))
         .orderBy("doc_id", "pos")),
 
+    // --- duplicated-span REMOVAL (the scrubbing half of Lee 2021) ---------
+    // Tokens covered by a cross-doc 8-token span are cut from every doc
+    // except the span's min-id keeper; text rebuilt from kept tokens.
+    // Hashed span keys run (8-byte shuffle) while the oracle rebuilds
+    // from gram text — the hash gate again proves the plan loses nothing.
+    "q_span_scrub" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, minDocs = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // --- the full curation recipe, composed end-to-end --------------------
     // structural gate (Gopher-style rules at recipe thresholds) →
     // word-repetition gate (dup-2gram fraction, exact integer form) →
@@ -1118,6 +1129,17 @@ ORDER BY event_id, event_id2""")
         rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
         defaultRate = 0.125)
         .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // --- temperature-based mixture sampling (Lample & Conneau 2019) -------
+    // alpha = 0.5 flattens the lang mixture toward uniform (en is ~42%
+    // of this corpus; tails upsample relative to it). Rates derive from
+    // integerized sqrt weights in a fixed IEEE evaluation order, so the
+    // DuckDB oracle recomputes the exact same per-stratum thresholds.
+    "q_temperature_sample" -> ((s, dir) =>
+      Corpus.temperatureSample(t(s, dir, "documents"), "doc_id", "lang",
+        alpha = 0.5, targetRows = 250)
+        .select("doc_id", "lang")
         .orderBy("doc_id")),
 
     // --- corpus curation: PII redaction -----------------------------------
@@ -1924,6 +1946,28 @@ values (
         "SELECT g.doc_id, g.pos, d.n_docs FROM grams g JOIN dup d ON g.gram = d.gram " +
         "ORDER BY doc_id, pos"),
 
+    // span scrub: coverage = union of 8-token windows of every non-keeper
+    // occurrence of a duplicated gram; text rebuilt from uncovered tokens.
+    "q_span_scrub" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk " +
+        "FROM documents), " +
+        "tokens AS (SELECT doc_id, i AS p, tk[i] AS tok " +
+        "FROM toks, UNNEST(range(1, len(tk)+1)) r(i) WHERE len(tk) > 0), " +
+        "grams AS (SELECT doc_id, i AS pos, array_to_string(tk[i:i+7], ' ') AS gram " +
+        "FROM toks, UNNEST(range(1, len(tk) - 6)) AS r(i) WHERE len(tk) >= 8), " +
+        "dup AS (SELECT gram, min(doc_id) AS keeper FROM grams " +
+        "GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), " +
+        "cov AS (SELECT DISTINCT g.doc_id, g.pos + o AS p " +
+        "FROM grams g JOIN dup d USING (gram), UNNEST(range(0, 8)) r2(o) " +
+        "WHERE g.doc_id <> d.keeper), " +
+        "m AS (SELECT t.doc_id, t.p, t.tok, c.p IS NOT NULL AS cvd " +
+        "FROM tokens t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p) " +
+        "SELECT doc_id, count(*) AS n_tok, " +
+        "CAST(sum(CASE WHEN cvd THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+        "coalesce(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE NOT cvd), '') AS clean_text " +
+        "FROM m GROUP BY doc_id ORDER BY doc_id"),
+
     "q_prompt_assembly" ->
       ("SELECT doc_id, json_object('role', 'user', 'content', text, 'lang', lang) AS prompt " +
         "FROM documents ORDER BY doc_id"),
@@ -2248,6 +2292,19 @@ values (
         "WHEN source = 'src1' THEN 2147483648 " +
         "WHEN source = 'src2' THEN 1073741824 " +
         "ELSE 536870912 END ORDER BY doc_id"),
+
+    // temperature sampling: per-lang thresholds recomputed from the data
+    // (integer sqrt weights; ((T*w)/Σw)/n in the operator's exact IEEE
+    // evaluation order; floor to the same 2^32-range integer threshold).
+    "q_temperature_sample" ->
+      ("WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), " +
+        "w AS (SELECT lang, n, CAST(round(sqrt(n)) AS BIGINT) AS w FROM cnt), " +
+        "sw AS (SELECT CAST(sum(w) AS DOUBLE) AS sw FROM w), " +
+        "th AS (SELECT lang, CAST(floor(least(1.0, 250.0 * w / sw / n) * 4294967296) AS BIGINT) AS th " +
+        "FROM w CROSS JOIN sw) " +
+        "SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang) " +
+        "WHERE (((d.doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296 < th " +
+        "ORDER BY doc_id"),
 
     "q_pii_redact" ->
       ("SELECT doc_id, " +

@@ -136,6 +136,50 @@ object Corpus {
       .filter(col("running_tok") <= budget)
   }
 
+  /** Temperature-based mixture sampling (the multilingual/multi-source
+    * rebalancing of Lample & Conneau 2019): stratum `s` with `n_s` rows
+    * is sampled at rate `targetRows · q_s / n_s` (capped at 1), where
+    * `q_s = w_s / Σ w_j` and `w_s = round(n_s^alpha)` — alpha < 1
+    * flattens the mixture toward uniform (upsampling tail strata
+    * relative to the head), alpha = 1 preserves natural proportions.
+    * Row membership is then the same pure-function-of-the-id hash keep
+    * as [[stratifiedSample]] — identical subset on any cluster size.
+    *
+    * Cross-engine float parity (the rates must reproduce in an ANSI
+    * oracle): the weights are ROUNDED TO INTEGERS, so Σ w is exact,
+    * and each rate is the fixed evaluation order ((T·w)/Σw)/n of
+    * exactly-rounded IEEE ops over exactly-representable integers —
+    * bit-identical in any IEEE engine. With alpha = 0.5 the `pow` is
+    * `sqrt` (exactly rounded in IEEE 754), so w_s itself is also
+    * bit-stable; other alphas depend on the platform's `pow` ulps ONLY
+    * when n_s^alpha lands within an ulp of a half-integer — document
+    * the alpha you oracle against.
+    *
+    * Scale shape: one count aggregate (strata are few — sources,
+    * languages, domains — so the collect is model-sized) and one
+    * narrow hash filter; zero shuffle beyond the count.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+      alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(targetRows >= 0, s"targetRows must be >= 0, got $targetRows")
+    val counts = df.groupBy(stratumCol).count().collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+    // alpha = 0.5 routes through sqrt (exactly rounded in IEEE 754,
+    // unlike pow's 1-ulp license) so the integerized weight is
+    // bit-identical to any oracle engine's round(sqrt(n))
+    val w = counts.map { case (s, n) =>
+      val x = if (alpha == 0.5) math.sqrt(n.toDouble)
+              else math.pow(n.toDouble, alpha)
+      s -> math.round(x)
+    }
+    val sw = w.map(_._2).sum.toDouble
+    val rates = counts.zip(w).map { case ((s, n), (_, ws)) =>
+      s -> math.min(1.0, targetRows.toDouble * ws / sw / n)
+    }.toMap
+    stratifiedSample(df, idCol, stratumCol, rates, defaultRate = 0.0)
+  }
+
   /** Deterministic train/val/test (or any banded) split assignment:
     * each id's [[sampleHash]] falls into one of the cumulative-fraction
     * bands, so membership is a pure function of the id — stable across

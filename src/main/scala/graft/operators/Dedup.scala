@@ -731,6 +731,62 @@ object Dedup {
       .select(col("id"), (col("p0") + 1).as("pos"), col("gram"))
   }
 
+  /** Duplicated-span REMOVAL — the second half of Lee et al. 2021's
+    * exact-substring recipe ([[duplicateSpans]] detects; this scrubs):
+    * every token covered by an `n`-token span whose key appears in at
+    * least `minDocs` distinct documents is removed from every document
+    * EXCEPT the span's keeper (minimum id per span key), and each
+    * document is rebuilt from its kept tokens in order. Overlapping
+    * duplicated spans merge naturally (coverage positions union).
+    * Output: (id, n_tok, n_removed, clean_text) — clean_text is the
+    * normalized (lowercased, whitespace-joined) token stream, the same
+    * normalization the span keys use. Token-less documents disappear.
+    *
+    * Scale shape: span keys shuffle as 8-byte xxhash64 values; the
+    * (key → n_docs, keeper) stats come from the skew-safe partial-agg
+    * groupBy ([[spansAtLeast]]'s shape) and join back as an
+    * AQE-skew-splittable equi-join. Coverage explodes n rows per
+    * duplicated OCCURRENCE — bounded by duplicate mass, never corpus
+    * size — and the rebuild groups on the doc id. The tokenized base
+    * materializes once (lazy local checkpoint) for the token and gram
+    * branches.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"span length must be positive, got $n")
+    val toksCol = filter(split(lower(trim(col(textCol))), "[ \\t\\n\\f\\r]+"),
+      t => length(t) > 0)
+    val base = df.select(col(idCol).as("id"), toksCol.as("tk"))
+      .filter(size(col("tk")) > 0)
+      .localCheckpoint(false)
+    val tokens = base
+      .select(col("id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("p"), col("tok"))
+    val grams = base.filter(size(col("tk")) >= n)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), size(col("tk")) - (n - 1)),
+        i => array_join(slice(col("tk"), i, lit(n)), " "))).as(Seq("p0", "g")))
+      .select(col("id"), (col("p0") + 1).as("pos"), xxhash64(col("g")).as("gh"))
+      .localCheckpoint(false)
+    val dup = grams.groupBy("gh")
+      .agg(count_distinct(col("id")).as("__nd"), min(col("id")).as("__keeper"))
+      .filter(col("__nd") >= minDocs)
+    val covered = grams.join(dup, "gh")
+      .filter(col("id") =!= col("__keeper"))
+      .select(col("id"), explode(sequence(col("pos"),
+        col("pos") + (n - 1))).as("p"))
+      .distinct()
+      .withColumn("__c", lit(true))
+    tokens.join(covered, Seq("id", "p"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"),
+        count(col("__c")).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__c").isNull,
+            struct(col("p"), col("tok"))))),
+          x => x.getField("tok"))).as("clean_text"))
+  }
+
   /** Cross-document line-level deduplication — the line-dedup stage of
     * C4 (Raffel et al. 2020) and RefinedWeb (Penedo et al. 2023):
     * a normalized (lowercased, trimmed) line occurring in at least

@@ -274,6 +274,32 @@ class CorpusSpec extends SparkSpec {
     assert(top == Seq(("c c c", 3L), ("a b z", 1L), ("c c y", 1L)))
   }
 
+  test("temperatureSample flattens a skewed mixture deterministically") {
+    // stratum A dominates 16:1; alpha = 0.5 upsamples B relative to A
+    val df = ((1L to 160L).map(i => (i, "A")) ++ (1001L to 1010L).map(i => (i, "B")))
+      .toDF("id", "s")
+    val out = Corpus.temperatureSample(df, "id", "s", alpha = 0.5,
+      targetRows = 50)
+    val byStratum = out.groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    // hand-derived rates: w_A = round(sqrt(160)) = 13, w_B = 3, sw = 16
+    // -> rate_A = 50*13/16/160 ~ 0.254, rate_B = 50*3/16/10 ~ 0.938:
+    // B keeps nearly everything, A keeps roughly a quarter
+    val fracA = byStratum.getOrElse("A", 0L).toDouble / 160
+    val fracB = byStratum.getOrElse("B", 0L).toDouble / 10
+    assert(fracB > fracA, s"tail stratum not upsampled: A=$fracA B=$fracB")
+    assert(fracB >= 0.7 && fracA <= 0.45, s"rates off: A=$fracA B=$fracB")
+    // pure function of the id: identical membership on a second run
+    val again = Corpus.temperatureSample(df, "id", "s", alpha = 0.5,
+      targetRows = 50).select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // alpha = 1 preserves natural proportions: every stratum samples at
+    // the same uniform rate T/N (w_s = n_s, so rate = T/N everywhere)
+    val nat = Corpus.temperatureSample(df, "id", "s", alpha = 1.0,
+      targetRows = 50)
+    assert(nat.count() > 0)
+  }
+
   test("rounding margins: no xent/dsir value sits near a 1e-4 boundary") {
     // The oracle gate emits round(x, 4) doubles and relies on the
     // UNROUNDED value sitting far from every k+0.5 (in 1e-4 units)

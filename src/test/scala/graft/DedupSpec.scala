@@ -332,6 +332,30 @@ class DedupSpec extends SparkSpec {
     assert(hashed == spans)
   }
 
+  test("removeDuplicateSpans scrubs covered tokens from non-keepers only") {
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val df = docs(
+      1L -> s"$shared and unique tail one",
+      2L -> s"prefix words here $shared",
+      3L -> "an entirely different document with no shared span at all yes")
+    val out = Dedup.removeDuplicateSpans(df, "id", "text", n = 8, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 is keeper of every duplicated window — untouched
+    assert(out(1L) == ((16L, 0L, s"$shared and unique tail one")))
+    // doc 2: the 5 duplicated windows cover token positions 4..15 —
+    // overlapping coverage merges, the un-shared prefix survives
+    assert(out(2L) == ((15L, 12L, "prefix words here")))
+    assert(out(3L)._2 == 0L)
+    // a fully-covered doc stays in the output with empty text
+    val all = docs(1L -> "a b c d e f g h", 2L -> "a b c d e f g h")
+    val scrubbed = Dedup.removeDuplicateSpans(all, "id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(scrubbed(1L) == ((8L, 0L, "a b c d e f g h")))
+    assert(scrubbed(2L) == ((8L, 8L, "")))
+  }
+
   test("semDedup removes only docs with an exact >=threshold neighbor and keeps isolated docs") {
     val emb = Tables(spark, sf, "embeddings")
     val surv = Dedup.semDedup(emb, "vec_id", "embedding",

@@ -241,7 +241,8 @@ class PlanAuditSpec extends SparkSpec {
     // keys across reducers — plus an equi-join back that AQE can
     // skew-split. Assert the window is gone from every content-keyed
     // query.
-    for (q <- Seq("q_line_dedup", "q_dup_spans", "q_stopline_filter")) {
+    for (q <- Seq("q_line_dedup", "q_dup_spans", "q_stopline_filter",
+        "q_span_scrub")) {
       val p = plan(q).toString
       assert(!p.contains("Window"), s"$q: content-keyed window returned")
       assert(!p.contains("CartesianProduct"), s"$q plans a cross product")
