@@ -858,6 +858,20 @@ object Dedup {
       .groupBy("key").agg(count_distinct(col("id")).as("doc_freq"))
       .filter(col("doc_freq") >= minDocFreq)
 
+  /** [[boilerplateLines]] with 8-byte xxhash64 line keys — the
+    * cross-epoch streaming-store form (state never holds text; 16
+    * bytes per distinct line). Output: (kh, n).
+    */
+  def boilerplateLinesHashed(df: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Long = 2): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .select(col("id"), lower(trim(col("line"))).as("key"))
+      .filter(length(col("key")) > 0)
+      .groupBy(xxhash64(col("key")).as("kh"))
+      .agg(count_distinct(col("id")).as("n"))
+      .filter(col("n") >= minDocFreq)
+
   /** Stop-line filter — the consumer of [[boilerplateLines]] (or any
     * curated list): every line whose normalized form appears in
     * `stopLines` (first column, normalized on entry) is removed from
@@ -874,16 +888,32 @@ object Dedup {
     * groups on the doc id (bounded groups).
     */
   def stopLineFilter(df: DataFrame, idCol: String, textCol: String,
-      stopLines: DataFrame): DataFrame = {
-    val stops = broadcast(stopLines
-      .select(lower(trim(col(stopLines.columns.head))).as("key"))
-      .filter(length(col("key")) > 0).distinct())
+      stopLines: DataFrame): DataFrame =
+    stopLineFilterHashed(df, idCol, textCol,
+      stopLines
+        .select(lower(trim(col(stopLines.columns.head))).as("key"))
+        .filter(length(col("key")) > 0).distinct()
+        .select(xxhash64(col("key")).as("kh")))
+
+  /** [[stopLineFilter]] keyed on 8-byte xxhash64(normalized line)
+    * values (first column of `stopHashes`) — the form the streaming
+    * store feeds directly, and the internal spelling of the text
+    * entry point (the anti-probe broadcasts 8-byte keys instead of
+    * line text; a 64-bit collision admitting a stray removal is the
+    * same astronomically-unlikely trade every hashed dedup key here
+    * makes). Blank lines never match: the mine never emits a blank
+    * key, so the blank hash is never in the stop set.
+    */
+  def stopLineFilterHashed(df: DataFrame, idCol: String, textCol: String,
+      stopHashes: DataFrame): DataFrame = {
+    val stops = broadcast(stopHashes
+      .select(col(stopHashes.columns.head).as("__kh")).distinct())
     val lines = df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .withColumn("key", lower(trim(col("line"))))
+      .withColumn("__kh", xxhash64(lower(trim(col("line")))))
       .localCheckpoint(false)
     val docSizes = lines.groupBy("id").agg(count(lit(1)).as("n_lines"))
-    lines.join(stops, Seq("key"), "left_anti")
+    lines.join(stops, Seq("__kh"), "left_anti")
       .groupBy("id")
       .agg(count(lit(1)).as("n_kept"),
         concat_ws("\n",

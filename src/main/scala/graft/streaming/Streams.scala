@@ -309,6 +309,60 @@ object Streams {
       .start()
   }
 
+  /** Streaming stop-line (boilerplate) filter — the streaming form of
+    * [[graft.operators.Dedup.stopLineFilter]]. Boilerplate only
+    * emerges CORPUS-wide, so the mine accumulates across epochs: the
+    * store holds per-epoch (kh, n) line frequencies (8-byte hashed
+    * keys, never text — 16 bytes per distinct line). Each micro-batch
+    * (1) mines its own normalized-line doc frequencies, (2) sums them
+    * with every prior epoch's and takes keys whose CUMULATIVE count
+    * reaches `minDocFreq` as the stop set (per-epoch distinct-doc
+    * counts add exactly — a document never spans epochs), (3) scrubs
+    * those lines from the batch via the broadcast anti-join, and (4)
+    * appends its own frequencies overwrite-by-epoch (idempotent retry,
+    * the [[nearDupFilterStream]] store contract).
+    *
+    * Inherent streaming/batch divergence, by design: a batch run sees
+    * global counts, so a boilerplate line is scrubbed EVERYWHERE; a
+    * stream can only scrub from the epoch where the cumulative count
+    * crosses the threshold — text admitted before discovery is
+    * immutable (re-filter offline when that matters). At 100 TB the
+    * stop set (lines at `minDocFreq`+) is boilerplate-sized and
+    * broadcastable; the store grows with distinct lines — compact
+    * offline by merging epochs (sums are associative).
+    */
+  def stopLineFilterStream(
+      spark: SparkSession,
+      docsDir: String, schema: StructType,
+      idCol: String, textCol: String,
+      outDir: String, storeDir: String, checkpointDir: String,
+      minDocFreq: Long = 3): StreamingQuery = {
+    import graft.operators.Dedup
+    fileStream(spark, docsDir, schema).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        // the mine feeds both the stop-set union and the store write
+        val mine = Dedup.boilerplateLinesHashed(batch, idCol, textCol,
+          minDocFreq = 1).persist()
+        try {
+          val storeEpochs = storeEpochDirs(spark, storeDir, epoch)
+          val cumulative =
+            (if (storeEpochs.nonEmpty)
+              mine.unionByName(spark.read.parquet(storeEpochs: _*))
+            else mine)
+              .groupBy("kh").agg(sum(col("n")).as("n"))
+          val stops = cumulative.filter(col("n") >= minDocFreq).select("kh")
+          Dedup.stopLineFilterHashed(batch, idCol, textCol, stops)
+            .withColumnRenamed("id", idCol)
+            .write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+          mine.write.mode("overwrite").parquet(s"$storeDir/epoch=$epoch")
+        } finally mine.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Timeout-driven session emission via `flatMapGroupsWithState`: per
     * user, events accumulate in keyed state; when the event-time timeout
     * fires (no activity for `gap` past the watermark), the COMPLETED

@@ -242,6 +242,50 @@ class StreamingSpec extends SparkSpec {
     assert(storeSchema.fieldNames.toSeq == Seq("h"))
   }
 
+  test("streaming stop-line filter: boilerplate scrubs from its discovery epoch on") {
+    import spark.implicits._
+    val src = tmp("graft_sl_src")
+    val out = tmp("graft_sl_out")
+    val store = tmp("graft_sl_store")
+    val ckpt = tmp("graft_sl_ckpt")
+    def schema = spark.read.parquet(s"$src/a").schema
+    def runOnce(): Unit = {
+      val q = Streams.stopLineFilterStream(spark, s"$src/*", schema,
+        "id", "text", out, store, ckpt, minDocFreq = 3)
+      q.awaitTermination(120000)
+    }
+    // epoch 0: the boilerplate line appears in 2 docs — UNDER the
+    // threshold, so nothing is scrubbed yet
+    Seq((1L, "all rights reserved\ncontent one"),
+      (2L, "All Rights Reserved\ncontent two"))
+      .toDF("id", "text").coalesce(1).write.parquet(s"$src/a")
+    runOnce()
+    val e0 = spark.read.parquet(s"$out/epoch=0")
+      .select("id", "clean_text").as[(Long, String)].collect().toMap
+    assert(e0(1L) == "all rights reserved\ncontent one", s"e0: $e0")
+    assert(e0(2L) == "All Rights Reserved\ncontent two", s"e0: $e0")
+    // epoch 1: a third occurrence crosses minDocFreq = 3 cumulatively —
+    // the line scrubs from THIS epoch's docs (case-folded), including
+    // docs that also carry fresh content and an in-epoch-only line
+    Seq((3L, "ALL RIGHTS RESERVED\ncontent three"),
+      (4L, "all rights reserved\ncontent four"))
+      .toDF("id", "text").coalesce(1).write.parquet(s"$src/b")
+    runOnce()
+    val e1 = spark.read.parquet(s"$out/epoch=1")
+      .select("id", "n_lines", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(e1(3L) == ((2L, 1L, "content three")), s"e1: $e1")
+    assert(e1(4L) == ((2L, 1L, "content four")), s"e1: $e1")
+    // epoch-0 output is immutable — discovery never rewrites the past
+    val e0Again = spark.read.parquet(s"$out/epoch=0")
+      .select("id", "clean_text").as[(Long, String)].collect().toMap
+    assert(e0Again(1L).contains("all rights reserved"))
+    // the store never holds text — (kh, n) hashed frequencies only
+    assert(spark.read.parquet(s"$store/epoch=0").schema.fieldNames.toSeq
+      == Seq("kh", "n"))
+  }
+
   test("streaming near-dup filter: later epochs drop near-dups of admitted docs") {
     import spark.implicits._
     val src = tmp("graft_nd_src")
