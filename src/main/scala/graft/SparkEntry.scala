@@ -777,6 +777,17 @@ ORDER BY event_id, event_id2""")
         .orderBy("doc_id")
     }),
 
+    // --- cross-corpus unigram divergence (mix monitoring) -----------------
+    // KL both ways between the en slice and the rest under add-1
+    // unigram LMs over the union vocabulary — the drift signal a mix
+    // pipeline watches between slices or crawl snapshots. One row.
+    "q_corpus_divergence" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.corpusDivergence(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "doc_id", "text")
+    }),
+
     // --- sketch aggregate: HLL distinct --------------------------------
     // Oracle-checkable accuracy contract: the sketch value itself is
     // engine-specific, so the driver-facing columns are the EXACT count
@@ -2470,6 +2481,26 @@ values (
         "round(-sum(cnt * (ln(c) - ln(n))) / sum(cnt), 4) AS xent " +
         "FROM dt JOIN vocab USING (tok) CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
+
+    // cross-corpus divergence: union-vocab add-1 LMs, KL both ways; the
+    // smoothed probabilities are exact-integer ratios so only the ln
+    // terms carry libm ulps (the measured-margin argument again).
+    "q_corpus_divergence" ->
+      ("WITH wa AS (SELECT tok, count(*) AS ca FROM (" +
+        "SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok " +
+        "FROM documents WHERE lang = 'en') GROUP BY tok), " +
+        "wb AS (SELECT tok, count(*) AS cb FROM (" +
+        "SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok " +
+        "FROM documents WHERE lang <> 'en') GROUP BY tok), " +
+        "u AS (SELECT tok, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb " +
+        "FROM wa FULL OUTER JOIN wb USING (tok)), " +
+        "tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb, " +
+        "CAST(count(*) AS DOUBLE) AS v FROM u) " +
+        "SELECT CAST(sum(ca) AS BIGINT) AS n_tok_a, CAST(sum(cb) AS BIGINT) AS n_tok_b, " +
+        "count(*) AS vocab, " +
+        "round(sum(((ca+1)/(na+v)) * (ln((ca+1)/(na+v)) - ln((cb+1)/(nb+v)))), 4) AS kl_ab, " +
+        "round(sum(((cb+1)/(nb+v)) * (ln((cb+1)/(nb+v)) - ln((ca+1)/(na+v)))), 4) AS kl_ba " +
+        "FROM u CROSS JOIN tot"),
 
     // DSIR: add-1-smoothed target/raw unigram log-ratio, selection =
     // top-100 by (rounded weight desc, doc_id) — the window spelling of

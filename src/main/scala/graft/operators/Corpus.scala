@@ -396,6 +396,53 @@ object Corpus {
         (if (rounded) round(weight, 4) else weight).as("dsir_weight"))
   }
 
+  /** Unigram-LM divergence between two corpora — the mix-monitoring
+    * signal (is slice A drifting from slice B? does this week's crawl
+    * match last week's?): KL(A‖B) and KL(B‖A) under add-1-smoothed
+    * unigram LMs over the UNION vocabulary,
+    * `KL(A‖B) = Σ_w p_a(w) · (ln p_a(w) − ln p_b(w))` with
+    * `p_x(w) = (c_x(w)+1) / (N_x+V)`. Output is ONE row:
+    * (n_tok_a, n_tok_b, vocab, kl_ab, kl_ba), divergences rounded to
+    * 4 decimals (same cross-engine margin treatment as
+    * [[unigramXent]] — asserted in CorpusSpec's margin spec).
+    *
+    * Scale shape: each side is one explode + one combine shuffle on
+    * the token key; the union vocabulary is a full-outer join of two
+    * Zipf-bounded count tables; totals ride in as a 1-row broadcast
+    * and the divergences are one final aggregate — no driver collect.
+    */
+  def corpusDivergence(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpusDivergenceImpl(a, b, idCol, textCol, rounded = true)
+
+  /** [[corpusDivergence]] with the rounding switchable off — see
+    * [[unigramXentImpl]].
+    */
+  private[graft] def corpusDivergenceImpl(a: DataFrame, b: DataFrame,
+      idCol: String, textCol: String, rounded: Boolean): DataFrame = {
+    val ca = docTokenCounts(a, idCol, textCol)
+      .groupBy("tok").agg(sum("cnt").as("ca"))
+    val cb = docTokenCounts(b, idCol, textCol)
+      .groupBy("tok").agg(sum("cnt").as("cb"))
+    val vocab = ca.join(cb, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = vocab.agg(
+      sum(col("ca")).cast("double").as("na"),
+      sum(col("cb")).cast("double").as("nb"),
+      count(lit(1)).cast("double").as("v"))
+    val pa = (col("ca") + 1) / (col("na") + col("v"))
+    val pb = (col("cb") + 1) / (col("nb") + col("v"))
+    val klAb = sum(pa * (log(pa) - log(pb)))
+    val klBa = sum(pb * (log(pb) - log(pa)))
+    vocab.crossJoin(broadcast(totals))
+      .agg(sum(col("ca")).as("n_tok_a"), sum(col("cb")).as("n_tok_b"),
+        count(lit(1)).as("vocab"),
+        (if (rounded) round(klAb, 4) else klAb).as("kl_ab"),
+        (if (rounded) round(klBa, 4) else klBa).as("kl_ba"))
+  }
+
   // --- repetition statistics ----------------------------------------------
 
   /** Intra-document repetition profile over whitespace tokens:

@@ -121,6 +121,33 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.distinctGrams(df, "id", "text", 3).count() == 1)
   }
 
+  test("null and empty text: r8 line/span/mixture ops degrade without throwing") {
+    import graft.operators.Dedup
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "),
+      (4L, "real text here and more real text here again yes ok fine now"),
+      (5L, "real text here and more real text here again yes ok fine now"))
+      .toDF("id", "text")
+    // span scrub: token-less docs vanish; the dup doc pair still scrubs
+    val scrub = Dedup.removeDuplicateSpans(df, "id", "text", n = 8, minDocs = 2)
+      .select("id").as[Long].collect().toSet
+    assert(scrub == Set(4L, 5L))
+    // line ops: null text drops the doc (split(null) explodes nothing);
+    // empty/blank docs keep their single blank line
+    val ld = Dedup.lineDedup(df, "id", "text").select("id")
+      .as[Long].collect().toSet
+    assert(ld == Set(2L, 3L, 4L))
+    val sl = Dedup.stopLineFilter(df, "id", "text",
+      Seq("never present").toDF("key")).select("id").as[Long].collect().toSet
+    assert(sl == Set(2L, 3L, 4L, 5L))
+    // temperature sampling: a null stratum has no configured rate and
+    // falls to the 0.0 default — dropped, not thrown
+    val strat = Seq((1L, "A"), (2L, "A"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val kept = Corpus.temperatureSample(strat, "id", "s", alpha = 0.5,
+      targetRows = 2).select("id").as[Long].collect().toSet
+    assert(!kept.contains(3L))
+  }
+
   test("corner cases: empty benchmark, zero budget, negative ids") {
     val docs = Seq((1L, "some real text here for the test")).toDF("id", "text")
     val emptyBench = Seq.empty[(Long, String)].toDF("id", "text")
@@ -274,6 +301,26 @@ class CorpusSpec extends SparkSpec {
     assert(top == Seq(("c c c", 3L), ("a b z", 1L), ("c c y", 1L)))
   }
 
+  test("corpusDivergence matches the hand-computed smoothed KL") {
+    val a = Seq((1L, "a a b")).toDF("id", "text")
+    val b = Seq((2L, "b c")).toDF("id", "text")
+    val r = Corpus.corpusDivergence(a, b, "id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(r._1 == 3L && r._2 == 2L && r._3 == 3L)
+    // recompute the add-1 smoothed KLs over the 3-token union vocab
+    def p(c: Long, n: Double) = (c + 1) / (n + 3.0)
+    val ca = Map("a" -> 2L, "b" -> 1L, "c" -> 0L)
+    val cb = Map("a" -> 0L, "b" -> 1L, "c" -> 1L)
+    val klAb = ca.keys.map(k =>
+      p(ca(k), 3) * (math.log(p(ca(k), 3)) - math.log(p(cb(k), 2)))).sum
+    val klBa = ca.keys.map(k =>
+      p(cb(k), 2) * (math.log(p(cb(k), 2)) - math.log(p(ca(k), 3)))).sum
+    assert(math.abs(r._4 - klAb) <= 5.1e-5, s"kl_ab ${r._4} vs $klAb")
+    assert(math.abs(r._5 - klBa) <= 5.1e-5, s"kl_ba ${r._5} vs $klBa")
+    // KL is asymmetric and positive for these distinct corpora
+    assert(r._4 > 0 && r._5 > 0 && r._4 != r._5)
+  }
+
   test("temperatureSample flattens a skewed mixture deterministically") {
     // stratum A dominates 16:1; alpha = 0.5 upsamples B relative to A
     val df = ((1L to 160L).map(i => (i, "A")) ++ (1001L to 1010L).map(i => (i, "B")))
@@ -330,6 +377,15 @@ class CorpusSpec extends SparkSpec {
       f"dsir weight within $dm%.2e of a 1e-4 rounding boundary — " +
         "the corpus generator churned; re-measure margins or drop the " +
         "oracle to 2 decimals before the hash gate flips")
+    val kl = Corpus.corpusDivergenceImpl(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "doc_id", "text",
+        rounded = false)
+      .select("kl_ab", "kl_ba").as[(Double, Double)].collect().head
+    val km = Seq(kl._1, kl._2).map(boundaryDist).min
+    assert(km >= 1e-9,
+      f"corpus divergence within $km%.2e of a 1e-4 rounding boundary — " +
+        "the corpus generator churned; see the xent note above")
   }
 
   test("composed curation pipeline: stage invariants hold end-to-end") {
