@@ -47,11 +47,14 @@ object Bench {
     // the driver's tail capture truncates the long per-query map
     // (BENCH_r06/r07 shipped "parsed": null), so ALSO write the full
     // detail line to a tracked file — round-over-round per-query deltas
-    // stay complete regardless of log truncation
+    // stay complete regardless of log truncation. Path is cwd-relative
+    // under sbt (the repo root); override with SPARK_GRAFT_BENCH_FULL
+    // when launching from elsewhere (e.g. spark-submit).
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_full.json"), detail + "\n")
+      java.nio.file.Paths.get(fullPath), detail + "\n")
     catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write BENCH_full.json: $e") }
+      System.err.println(s"[bench] could not write $fullPath: $e") }
     spark.stop()
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"runs":3,"agg":"min","sf":"$sfDir"}""")
   }

@@ -188,7 +188,11 @@ object SparkEntry {
   }
 
   /** Best-effort recursive delete of a per-app temp dir — called on
-    * app eviction and from a JVM shutdown hook, never in a query path.
+    * app eviction and from the JVM shutdown hook, never in a query
+    * path. Catches UncheckedIOException too: Files.walk reports
+    * mid-traversal failures (dir vanishing under a concurrent cleanup)
+    * through the stream iterator as a RuntimeException, and best-effort
+    * cleanup of a dead app's scratch must never fail a live query.
     */
   private def deleteTempDir(dir: String): Unit =
     try {
@@ -201,7 +205,26 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
         finally s.close()
       }
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      case _: java.io.IOException => ()
+      case _: java.io.UncheckedIOException => ()
+    }
+
+  /** Dirs pending exit cleanup, drained by ONE static shutdown hook —
+    * a hook thread per dir would accumulate unboundedly in exactly the
+    * long-lived-JVM-cycling-sessions scenario the per-app eviction
+    * defends against. Eviction removes a dir from the set after
+    * deleting it eagerly.
+    */
+  private val exitCleanupDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val exitHookInstalled: Boolean = {
+    try Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      exitCleanupDirs.forEach(d => deleteTempDir(d))
+    }, "graft-tmp-cleanup"))
+    catch { case _: IllegalStateException => () } // already shutting down
+    true
+  }
 
   /** Create a per-app temp dir that is deleted on JVM exit (and on
     * app eviction by the callers below) — previously these catalog /
@@ -209,9 +232,14 @@ object SparkEntry {
     */
   private def appTempDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix).toString
-    Runtime.getRuntime.addShutdownHook(
-      new Thread(() => deleteTempDir(dir), s"graft-tmp-cleanup-$prefix"))
+    exitHookInstalled
+    exitCleanupDirs.add(dir)
     dir
+  }
+
+  private def reapTempDir(dir: String): Unit = {
+    deleteTempDir(dir)
+    exitCleanupDirs.remove(dir)
   }
 
   /** One SQL facade per session for the pure-SELECT statement queries
@@ -229,7 +257,7 @@ object SparkEntry {
       // cycles SparkSessions pinning dead sessions forever
       val app = s.sparkContext.applicationId
       sqlFacades.keys.filter(_ != app).foreach(k =>
-        sqlFacades.remove(k).foreach { case (_, d) => deleteTempDir(d) })
+        sqlFacades.remove(k).foreach { case (_, d) => reapTempDir(d) })
       sqlFacades.getOrElseUpdate(app, {
         val dir = appTempDir("graft_q_sql")
         (new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s, dir)), dir)
@@ -247,7 +275,7 @@ object SparkEntry {
     fmtDirs.synchronized {
       val app = s.sparkContext.applicationId
       fmtDirs.keys.filter(_ != app).foreach(k =>
-        fmtDirs.remove(k).foreach(deleteTempDir))
+        fmtDirs.remove(k).foreach(reapTempDir))
       fmtDirs.getOrElseUpdate(app, appTempDir("graft_q_fmt"))
     }
 
@@ -1060,7 +1088,7 @@ ORDER BY event_id, event_id2""")
       // structural gate; materialized once — three signal stages and
       // the dedup prefix all re-read it
       val quality = docs.filter(TextOps.curationGate(col("text")))
-        .select("doc_id", "source", "lang", "text").localCheckpoint()
+        .select("doc_id", "source", "lang", "text").localCheckpoint(false)
       // Gopher word-repetition gate: duplicate-2gram fraction <= 0.08
       // as integer cross-multiplication — no float enters the filter
       val repOk = Corpus.ngramRepetition(quality, "doc_id", "text", ns = Seq(2))
@@ -1089,7 +1117,7 @@ ORDER BY event_id, event_id2""")
       // the gated→dedup→split prefix feeds four branches (train grams,
       // bench grams, the anti-join probe, sized) — materialize it once
       val split = Corpus.assignSplits(deduped, "doc_id",
-        Seq("train" -> 0.9, "test" -> 0.1)).localCheckpoint()
+        Seq("train" -> 0.9, "test" -> 0.1)).localCheckpoint(false)
       val train = split.filter(col("split") === "train")
       val bench = split.filter(col("split") === "test")
       val contaminated = Corpus.contamination(train, bench, "doc_id", "text",

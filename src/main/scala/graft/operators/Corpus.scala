@@ -163,7 +163,14 @@ object Corpus {
       alpha: Double, targetRows: Long): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
     require(targetRows >= 0, s"targetRows must be >= 0, got $targetRows")
-    val counts = df.groupBy(stratumCol).count().collect()
+    // null strata are excluded from the mixture AND from the weight
+    // mass: they can never match a rate (the hash filter's when-chain
+    // is an equality on the stratum), so counting them would silently
+    // dilute every real stratum's rate and under-deliver targetRows —
+    // and String.valueOf(null) would alias a stratum literally named
+    // "null". Rows with a null stratum are dropped, not sampled.
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(stratumCol).count().collect()
       .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
     // alpha = 0.5 routes through sqrt (exactly rounded in IEEE 754,
     // unlike pow's 1-ulp license) so the integerized weight is

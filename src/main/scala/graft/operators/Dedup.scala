@@ -851,10 +851,7 @@ object Dedup {
     */
   def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
       minDocFreq: Long = 2): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(split(col(textCol), "\n")).as("line"))
-      .select(col("id"), lower(trim(col("line"))).as("key"))
-      .filter(length(col("key")) > 0)
+    normLines(df, idCol, textCol)
       .groupBy("key").agg(count_distinct(col("id")).as("doc_freq"))
       .filter(col("doc_freq") >= minDocFreq)
 
@@ -864,13 +861,21 @@ object Dedup {
     */
   def boilerplateLinesHashed(df: DataFrame, idCol: String, textCol: String,
       minDocFreq: Long = 2): DataFrame =
+    normLines(df, idCol, textCol)
+      .groupBy(xxhash64(col("key")).as("kh"))
+      .agg(count_distinct(col("id")).as("n"))
+      .filter(col("n") >= minDocFreq)
+
+  /** Shared (id, key) projection of both mines: one normalization +
+    * blank rule, so the text-keyed and hashed-store forms can never
+    * silently diverge.
+    */
+  private def normLines(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         explode(split(col(textCol), "\n")).as("line"))
       .select(col("id"), lower(trim(col("line"))).as("key"))
       .filter(length(col("key")) > 0)
-      .groupBy(xxhash64(col("key")).as("kh"))
-      .agg(count_distinct(col("id")).as("n"))
-      .filter(col("n") >= minDocFreq)
 
   /** Stop-line filter — the consumer of [[boilerplateLines]] (or any
     * curated list): every line whose normalized form appears in
@@ -952,9 +957,11 @@ object Dedup {
       nClusters: Int, threshold: Double, iters: Int = 3,
       dim: Int = 64, maxCell: Int = 8192): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // every round inside assignCellsBounded is already checkpointed, so
+    // both sides of the pair join read cached blocks — a second
+    // checkpoint here would double-materialize the widest rows in the
+    // system (id, vector, cell) for no sharing gain
     val celled = assignCellsBounded(base, nClusters, iters, dim, maxCell)
-      // one pass assigns cells; both sides of the pair join read it
-      .localCheckpoint()
     val l = celled.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
     val r = celled.select(col("cell"), col("id").as("id2"), col("v").as("v2"))
     val pairs = l.join(r, Seq("cell"))
