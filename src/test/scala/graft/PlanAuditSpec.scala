@@ -232,6 +232,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q_corpus_divergence: totals broadcast, union vocab never nested-loops data") {
+    val p = plan("q_corpus_divergence").toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the 1-row totals ride in via broadcast (nested-loop against one
+    // row is the broadcast cross join's physical spelling, fine); the
+    // vocab union itself must be a real join, i.e. SMJ or hash
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "vocab full-outer join missing")
+  }
+
   test("content-keyed operators: no window over a Zipf key, partial aggs instead") {
     // gram/line frequencies are Zipf-distributed: a window partitioned
     // by the content key would sort every occurrence of a corpus-wide
