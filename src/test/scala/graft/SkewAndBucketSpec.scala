@@ -52,6 +52,31 @@ class SkewAndBucketSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("hot content key: line/span dedup stay correct under extreme key skew") {
+    import graft.operators.Dedup
+    // 3000 docs all carrying the SAME boilerplate line (the Zipf head
+    // the r8 groupBy+join rewrite exists for), each with a unique line
+    val docs = (1L to 3000L)
+      .map(i => (i, s"all rights reserved\nunique line $i"))
+      .toDF("id", "text")
+    val ld = Dedup.lineDedup(docs, "id", "text", minDocs = 2)
+    // every doc survives (unique line), only doc 1 keeps the hot line
+    assert(ld.count() == 3000)
+    val withHot = ld.filter(col("clean_text").contains("all rights reserved"))
+      .select("id").as[Long].collect().toSeq
+    assert(withHot == Seq(1L), s"keeper set: $withHot")
+    // the same hot-key stress through the span path: 8-token prefix
+    // shared by all docs — n_docs must be exact at full skew
+    val spanDocs = (1L to 3000L)
+      .map(i => (i, s"t1 t2 t3 t4 t5 t6 t7 t8 unique$i"))
+      .toDF("id", "text")
+    val spans = Dedup.duplicateSpansHashed(spanDocs, "id", "text",
+      n = 8, minDocs = 2)
+    assert(spans.filter(col("pos") === 1).count() == 3000)
+    assert(spans.filter(col("pos") === 1).select("n_docs")
+      .distinct().as[Long].collect().toSeq == Seq(3000L))
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val suffix = System.nanoTime() // fresh names: stale warehouse dirs survive DROP TABLE
     val liT = s"li_bucketed_$suffix"; val ordT = s"ord_bucketed_$suffix"
