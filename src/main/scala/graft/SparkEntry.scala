@@ -341,6 +341,13 @@ object SparkEntry {
       t(s, dir, "embeddings"), "vec_id", "embedding", indexTag(dir),
       m = 8, kCodes = 16)
 
+  /** Train-once/serve-many SQ8 bounds, content-addressed like
+    * [[pqCodebooks]] — the bench queries never pay a training pass.
+    */
+  private def sqModel(s: SparkSession, dir: String): graft.operators.SqSearch.SqModel =
+    graft.operators.SqSearch.cachedModel(
+      t(s, dir, "embeddings"), "vec_id", "embedding", indexTag(dir))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Rag.e2e(spark, "/root/testdata/sf0.001")
@@ -783,6 +790,15 @@ ORDER BY event_id, event_id2""")
     // perplexity-bucket filter, fully relational, full DuckDB oracle.
     "q_unigram_xent" -> ((s, dir) =>
       Corpus.unigramXent(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // --- bigram-LM quality proxy (order-sensitive CCNet rung) -------------
+    // Per-doc cross-entropy under the corpus's own add-1 bigram LM —
+    // scores word ORDER, the signal the unigram proxy can't see; fully
+    // relational, full DuckDB oracle.
+    "q_bigram_xent" -> ((s, dir) =>
+      Corpus.bigramXent(t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
@@ -1685,6 +1701,31 @@ values (
         .orderBy("query_id")
     }),
 
+    // --- SQ8 (scalar quantization) ANN: byte-coded flat scan --------------
+    // (FAISS's SQ8 family — 4x memory cut with per-dim byte resolution;
+    // rows-only, the recall contract below is the hash gate)
+    "q_vector_sq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.operators.SqSearch.sqTopK(queries, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 3, model = sqModel(s, dir),
+        metric = "dot", numCandidates = 100, maxQueries = 10000)
+        .select("query_id", "match_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_sq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = annQueries(s, dir)
+      val approx = graft.operators.SqSearch.sqTopK(queries, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 3, model = sqModel(s, dir),
+        metric = "dot", numCandidates = 100, maxQueries = 10000)
+      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
+        "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
     // --- accuracy-contract twins for the sketch/approx dedup family -------
     // Same pattern as q_ann_recall / q_hll_distinct: rows are keyed on an
     // oracle-recomputable ground truth (exact character-5-shingle Jaccard
@@ -2510,6 +2551,26 @@ values (
         "FROM dt JOIN vocab USING (tok) CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
 
+    // bigram cross-entropy: the oracle mirrors the add-1 conditional
+    // term by term (ln(c12+1) - ln(c1+v), negated length-normalized sum)
+    // so both engines round the same double at 4 places; bigrams come
+    // from 1-based list indexing over the shared tokenizer.
+    "q_bigram_xent" ->
+      ("WITH base AS (SELECT doc_id, " +
+        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk " +
+        "FROM documents), " +
+        "bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, count(*) AS cnt " +
+        "FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM base WHERE len(tk) >= 2) " +
+        "GROUP BY doc_id, w1, w2), " +
+        "c12 AS (SELECT w1, w2, sum(cnt) AS c12 FROM bg GROUP BY w1, w2), " +
+        "c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1), " +
+        "vc AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM " +
+        "(SELECT unnest(tk) AS tok FROM base)) " +
+        "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigram, " +
+        "round(-sum(cnt * (ln(c12 + 1) - ln(c1 + v))) / sum(cnt), 4) AS xent2 " +
+        "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vc " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+
     // cross-corpus divergence: union-vocab add-1 LMs, KL both ways; the
     // smoothed probabilities are exact-integer ratios so only the ln
     // terms carry libm ulps (the measured-margin argument again).
@@ -2756,6 +2817,10 @@ values (
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 
     "q_pq_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_sq_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 

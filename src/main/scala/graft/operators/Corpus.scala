@@ -450,6 +450,69 @@ object Corpus {
         (if (rounded) round(klBa, 4) else klBa).as("kl_ba"))
   }
 
+  /** Bigram-LM quality proxy — one rung up the n-gram ladder from
+    * [[unigramXent]] toward CCNet's KenLM 5-gram stage (Wenzek et al.
+    * 2020): each document's cross-entropy under the corpus's OWN
+    * add-1-smoothed bigram LM,
+    * `xent2(d) = -(1/B_d) Σ_{(w1,w2)} cnt · ln p(w2|w1)` with
+    * `p(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V)` over the unigram
+    * vocabulary size `V` and `B_d` the document's bigram occurrence
+    * count. Unlike the unigram proxy, this scores WORD ORDER: shuffled
+    * or templated token soup that happens to reuse common words now
+    * pays for its unusual transitions.
+    *
+    * Scale shape: ONE tokenize pass feeds both the bigram explode and
+    * the vocabulary count (the token-array base is lazily
+    * checkpointed); bigram counts partial-aggregate map-side on slim
+    * (w1, w2) keys; the context totals derive from the bigram table
+    * (no second corpus pass); V rides in as a 1-row broadcast — no
+    * driver collect. The bigram vocabulary is larger than the unigram
+    * one but still far below corpus token mass (Zipf), and every join
+    * is an AQE-broadcastable equi-join on gram keys.
+    *
+    * Float parity: same measured-margin discipline as [[unigramXent]]
+    * — the emitted score is round(·, 4) and CorpusSpec's rounding-
+    * margin spec asserts each value's distance to its nearest 1e-4
+    * boundary stays orders of magnitude above cross-engine libm/
+    * summation-order divergence, so corpus churn fails loudly there
+    * rather than as an oracle hash mystery.
+    */
+  def bigramXent(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramXentImpl(df, idCol, textCol, rounded = true)
+
+  /** [[bigramXent]] with the rounding switchable off — see
+    * [[unigramXentImpl]].
+    */
+  private[graft] def bigramXentImpl(df: DataFrame, idCol: String,
+      textCol: String, rounded: Boolean): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "[ \\t\\n\\f\\r]+"),
+      t => length(t) > 0)
+    // one tokenize pass, shared (lazily checkpointed) by the bigram
+    // explode and the vocabulary count
+    val base = df.select(col(idCol).as("id"), toks.as("tk"))
+      .localCheckpoint(false)
+    val bg = base.filter(size(col("tk")) >= 2)
+      .select(col("id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2")))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val c12 = bg.groupBy("w1", "w2").agg(sum("cnt").as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val v = base.select(explode(col("tk")).as("tok"))
+      .agg(count_distinct(col("tok")).cast("double").as("v"))
+    val raw = -sum(col("cnt") * (log(col("c12") + 1) - log(col("c1") + col("v")))) /
+      sum(col("cnt"))
+    bg.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy("id")
+      .agg(sum(col("cnt")).as("n_bigram"),
+        (if (rounded) round(raw, 4) else raw).as("xent2"))
+  }
+
   // --- repetition statistics ----------------------------------------------
 
   /** Intra-document repetition profile over whitespace tokens:

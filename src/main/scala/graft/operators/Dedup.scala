@@ -938,9 +938,11 @@ object Dedup {
     *
     * Returns survivors (id, cell). Work scales with sum(cell_i²), never
     * |D|²: at 100 TB, nClusters grows with the corpus so cells stay
-    * bounded, and the pairwise step is an equi-join on the cell id (one
-    * shuffle of slim rows) — the published recipe for embedding-level
-    * dedup at web scale.
+    * bounded — the executable rule is [[suggestedClusters]]
+    * (`ceil(|D| / targetCell)`), asserted in DedupSpec rather than left
+    * as prose — and the pairwise step is an equi-join on the cell id
+    * (one shuffle of slim rows) — the published recipe for
+    * embedding-level dedup at web scale.
     *
     * Cells are additionally HARD-BOUNDED at `maxCell` members: k-means
     * puts no ceiling on a cell, and one dense region (near-identical
@@ -953,6 +955,24 @@ object Dedup {
     * anyway with a surfaced warning, since silently skipping the
     * densest region is the one failure a dedup pipeline must not have.
     */
+  /** The [[semDedup]] nClusters scaling rule, executable: enough cells
+    * that the MEAN cell holds ~`targetCell` vectors (`ceil(n /
+    * targetCell)`), so within-cell pair work stays ~`n · targetCell`
+    * (linear in the corpus for a fixed target) and the `maxCell` hard
+    * cap only fires on genuinely dense regions, not on average-sized
+    * cells. `targetCell` should sit well under `maxCell` (the default
+    * pairs 2048 with the 8192 cap — 4× headroom before re-clustering).
+    * Clamped to [1, 2^20]: beyond ~1M centroids the assignment scan
+    * itself (n · k distance evaluations) dominates and a coarse-first
+    * hierarchical pass is the right tool instead.
+    */
+  def suggestedClusters(n: Long, targetCell: Int = 2048): Int = {
+    require(targetCell > 0, s"targetCell must be positive, got $targetCell")
+    // ceil without the (n + target - 1) overflow at Long.MaxValue
+    val ceil = n / targetCell + (if (n % targetCell > 0) 1L else 0L)
+    math.min(1L << 20, math.max(1L, ceil)).toInt
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, threshold: Double, iters: Int = 3,
       dim: Int = 64, maxCell: Int = 8192): DataFrame = {

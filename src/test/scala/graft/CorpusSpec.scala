@@ -252,6 +252,36 @@ class CorpusSpec extends SparkSpec {
       s"common-word doc ${scored(900001L)} should beat rare-word doc ${scored(900002L)}")
   }
 
+  test("bigramXent matches the hand-computed add-1 conditional cross-entropy") {
+    // corpus: d1 = "a b a", d2 = "b b b" → bigrams c12(a,b)=1, c12(b,a)=1,
+    // c12(b,b)=2; contexts c1(a)=1, c1(b)=3; unigram vocab V=2
+    // xent2(d1) = -(ln(2/3) + ln(2/5))/2 = 0.6609
+    // xent2(d2) = -(2·ln(3/5))/2 = 0.5108
+    val docs = Seq((1L, "a  B a"), (2L, "b\tb b")).toDF("id", "text")
+    val out = Corpus.bigramXent(docs, "id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((2L, 0.6609)))
+    assert(out(2L) == ((2L, 0.5108)))
+    // single-token and empty docs have no bigrams and must not appear
+    val sparse = Seq((1L, "a b"), (2L, "lonely"), (3L, "  ")).toDF("id", "text")
+    assert(Corpus.bigramXent(sparse, "id", "text")
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("bigramXent is order-sensitive where unigramXent cannot be") {
+    // same token multiset, opposite order: the unigram proxy scores them
+    // identically; the bigram proxy penalizes the unseen transitions
+    val docs = ((1L to 5L).map(i => (i, "new york city")) ++
+      Seq((10L, "new york city"), (11L, "city york new"))).toDF("id", "text")
+    val bx = Corpus.bigramXent(docs, "id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(bx(10L) < bx(11L),
+      s"natural order ${bx(10L)} must beat shuffled ${bx(11L)}")
+    val ux = Corpus.unigramXent(docs, "id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(ux(10L) == ux(11L), "unigram xent is order-blind by construction")
+  }
+
   test("dsirWeights matches the hand-computed smoothed log-ratio") {
     // target = {1}; d1 = "x x y", d2 = "y z"
     // raw x:2 y:2 z:1 (Nr=5), tgt x:2 y:1 z:0 (Nt=3), V=3
@@ -377,6 +407,11 @@ class CorpusSpec extends SparkSpec {
       f"dsir weight within $dm%.2e of a 1e-4 rounding boundary — " +
         "the corpus generator churned; re-measure margins or drop the " +
         "oracle to 2 decimals before the hash gate flips")
+    val bm = Corpus.bigramXentImpl(docs, "doc_id", "text", rounded = false)
+      .select("xent2").as[Double].collect().map(boundaryDist).min
+    assert(bm >= 1e-9,
+      f"bigram-xent value within $bm%.2e of a 1e-4 rounding boundary — " +
+        "the corpus generator churned; see the unigram note above")
     val kl = Corpus.corpusDivergenceImpl(
         docs.filter(col("lang") === "en"),
         docs.filter(col("lang") =!= "en"), "doc_id", "text",

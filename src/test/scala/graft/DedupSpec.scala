@@ -413,6 +413,25 @@ class DedupSpec extends SparkSpec {
       "tight maxCell never triggered a re-cluster round")
   }
 
+  test("suggestedClusters: the nClusters scaling rule is executable, not prose") {
+    // ceil(n / targetCell), clamped to [1, 2^20] — the semDedup scaladoc's
+    // "nClusters grows with the corpus" as an assertable formula
+    assert(Dedup.suggestedClusters(0L) == 1)
+    assert(Dedup.suggestedClusters(1L) == 1)
+    assert(Dedup.suggestedClusters(2048L) == 1)
+    assert(Dedup.suggestedClusters(2049L) == 2)
+    assert(Dedup.suggestedClusters(1000000000L) == 488282)
+    assert(Dedup.suggestedClusters(Long.MaxValue) == (1 << 20))
+    assert(Dedup.suggestedClusters(100L, targetCell = 10) == 10)
+    // the invariant the rule exists for: below the clamp, the MEAN cell
+    // never exceeds targetCell, so the maxCell hard cap (4x the default
+    // target) only fires on genuinely dense regions
+    for (n <- Seq(1L, 999L, 2048L, 50000L, 123456789L)) {
+      val k = Dedup.suggestedClusters(n)
+      assert(n <= k.toLong * 2048, s"mean cell over target at n=$n, k=$k")
+    }
+  }
+
   test("boilerplateLines mines doc-frequent lines; stopLineFilter removes them everywhere") {
     val docs = Seq(
       (1L, "All Rights Reserved\nreal content one\nsubscribe now"),
