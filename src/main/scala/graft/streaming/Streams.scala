@@ -309,6 +309,100 @@ object Streams {
       .start()
   }
 
+  /** The FULLY-COMPOSED streaming curation front-end — the streaming
+    * twin of the batch `gate → dedupPipeline` composition: per
+    * micro-batch, (1) the stateless Gopher-style quality gate, (2)
+    * exact dedup within the batch and against the cross-epoch hash
+    * store (`storeDir/hash`, 8-byte xxhash64 keys), (3) MinHash
+    * near-dup — the within-batch banded closure (keep-lowest) AND the
+    * cross-epoch check against the signature store of previously
+    * ADMITTED documents (`storeDir/sig`, the [[nearDupFilterStream]]
+    * banded equi-join, never batch × store). Survivors land in the
+    * sink; their hashes and signatures append to the two stores,
+    * overwrite-by-epoch (idempotent retry).
+    *
+    * Equivalence contract (StreamingSpec proves it over three epochs):
+    * when ids are assigned in arrival order, the admitted set equals
+    * the batch `filter(curationGate) → dedupPipeline` over the union
+    * of all epochs — first-seen-wins IS min-id-wins. The one inherent
+    * divergence is transitive chains SPLIT ACROSS epochs: batch
+    * closure can connect A–C through a B it also drops, while the
+    * stream never stores a rejected document's signature; chains
+    * within one epoch close identically.
+    *
+    * At 100 TB both stores grow with distinct ADMITTED documents
+    * (8 B/doc hashes + numHashes·8 B/doc signatures), not corpus
+    * bytes; every cross-epoch check ships slim (band, bh) or hash
+    * rows. Stores compact offline by merging epoch dirs.
+    */
+  def curationNearDupFilterStream(
+      spark: SparkSession,
+      docsDir: String, schema: StructType,
+      idCol: String, textCol: String,
+      outDir: String, storeDir: String, checkpointDir: String,
+      minWords: Int = 20, threshold: Double = 0.7): StreamingQuery = {
+    import graft.operators.Dedup
+    import graft.functions.TextOps
+    fileStream(spark, docsDir, schema).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val gated = batch.filter(TextOps.curationGate(col(textCol), minWords))
+        // exact stage: hash once, min-id per key within the batch, then
+        // anti-join the cross-epoch hash store (the curationFilterStream
+        // shape — window over a full-text hash is duplicate-mass-bounded
+        // within one micro-batch)
+        val hashed = gated.withColumn("__h",
+          xxhash64(Dedup.normText(col(textCol))))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+        val inBatchExact = hashed
+          .withColumn("__keep", min(col(idCol)).over(w))
+          .filter(col(idCol) === col("__keep"))
+          .drop("__keep")
+        val hashEpochs = storeEpochDirs(spark, s"$storeDir/hash", epoch)
+        val afterExact =
+          (if (hashEpochs.nonEmpty) {
+            val store = spark.read.parquet(hashEpochs: _*)
+              .select(col("h").as("__h")).distinct()
+            inBatchExact.join(store, Seq("__h"), "left_anti")
+          } else inBatchExact)
+            // feeds the within-batch pair join (twice via banding), the
+            // cross-epoch join, and the final write — materialize once
+            .persist()
+        try {
+          // near-dup stage: within-batch banded closure, keep-lowest
+          val pairs = Dedup.minhashPairs(afterExact, idCol, textCol,
+            threshold = threshold)
+          val ndRemoved = Dedup.clusterLabels(pairs)
+            .filter(col("id") =!= col("label")).select("id")
+          val inBatchNd = afterExact.join(
+            ndRemoved.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+          // cross-epoch: against the signature store of admitted docs
+          val sigs = inBatchNd.select(col(idCol).as("id"),
+            TextOps.minhash(col(textCol)).as("sig"))
+          val sigEpochs = storeEpochDirs(spark, s"$storeDir/sig", epoch)
+          val survivors =
+            (if (sigEpochs.nonEmpty) {
+              val store = spark.read.parquet(sigEpochs: _*)
+              val dupIds = Dedup.minhashDupsAgainst(sigs, store,
+                threshold = threshold)
+              inBatchNd.join(dupIds.withColumnRenamed("id", idCol),
+                Seq(idCol), "left_anti")
+            } else inBatchNd).persist()
+          try {
+            survivors.drop("__h")
+              .write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+            survivors.select(col("__h").as("h"))
+              .write.mode("overwrite").parquet(s"$storeDir/hash/epoch=$epoch")
+            sigs.join(survivors.select(col(idCol).as("id")), "id")
+              .write.mode("overwrite").parquet(s"$storeDir/sig/epoch=$epoch")
+          } finally survivors.unpersist()
+        } finally afterExact.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Streaming stop-line (boilerplate) filter — the streaming form of
     * [[graft.operators.Dedup.stopLineFilter]]. Boilerplate only
     * emerges CORPUS-wide, so the mine accumulates across epochs: the

@@ -224,6 +224,17 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q_bigram_xent: no cross product, no content-keyed window, totals broadcast") {
+    val p = plan("q_bigram_xent").toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // gram keys are Zipf-distributed — the per-doc score must come from
+    // partial-agg groupBys + equi-joins, never a window over (w1, w2)
+    assert(!p.contains("Window"), "window over a content key")
+    // the 1-row vocabulary count rides in via broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
   test("q_curation_pipeline: no cross product; contamination set broadcasts") {
     val p = plan("q_curation_pipeline").toString
     assert(!p.contains("CartesianProduct"), p.take(2000))

@@ -242,6 +242,61 @@ class StreamingSpec extends SparkSpec {
     assert(storeSchema.fieldNames.toSeq == Seq("h"))
   }
 
+  test("composed streaming curation (gate + exact + near-dup) equals the batch recipe") {
+    import spark.implicits._
+    val src = tmp("graft_cnd_src")
+    val out = tmp("graft_cnd_out")
+    val store = tmp("graft_cnd_store")
+    val ckpt = tmp("graft_cnd_ckpt")
+    // 80 words, stopword-bearing prefix → passes the gate; `mutate`
+    // swaps the first n content words for tag-specific ones (near-dup
+    // when small, disjoint doc when large)
+    def doc(tag: String, mutate: Int): String =
+      "the quick fox is here " + (1 to 75)
+        .map(i => if (i <= mutate) s"${tag}x$i" else s"word$i").mkString(" ")
+    // a second base disjoint from doc(): near-dup pairs within it never
+    // connect to the doc() family
+    def doc2(tag: String, mutate: Int): String =
+      "the other fox is here " + (1 to 75)
+        .map(i => if (i <= mutate) s"${tag}x$i" else s"sbase$i").mkString(" ")
+    def fresh(tag: String): String =
+      s"the $tag fox is here " + (1 to 75).map(i => s"$tag$i").mkString(" ")
+    def schema = spark.read.parquet(s"$src/a").schema
+    def runOnce(): Unit = {
+      val q = Streams.curationNearDupFilterStream(spark, s"$src/*", schema,
+        "id", "text", out, store, ckpt, minWords = 20, threshold = 0.7)
+      q.awaitTermination(120000)
+    }
+    val e0 = Seq((1L, doc("a", 0)), (2L, fresh("other")),
+      (3L, "too short to pass the gate"))
+    val e1 = Seq((4L, doc("b", 2)), // near-dup of admitted 1
+      (5L, "  " + fresh("other").replace(" ", "  ")), // exact re-ingest of 2
+      (6L, fresh("gamma")),
+      (7L, doc2("w", 0)), (8L, doc2("v", 2))) // in-batch near-dup pair (7 wins)
+    val e2 = Seq((9L, doc("c", 2)), // near-dup of 1 two epochs later
+      (10L, fresh("delta")))
+    e0.toDF("id", "text").coalesce(1).write.parquet(s"$src/a"); runOnce()
+    e1.toDF("id", "text").coalesce(1).write.parquet(s"$src/b"); runOnce()
+    e2.toDF("id", "text").coalesce(1).write.parquet(s"$src/c"); runOnce()
+    val streamed = spark.read.parquet(out).select("id").as[Long].collect().toSet
+
+    // the batch recipe over the union of every epoch: ids are assigned
+    // in arrival order, so min-id-wins == first-seen-wins
+    val union = (e0 ++ e1 ++ e2).toDF("id", "text")
+    val gated = union.filter(
+      graft.functions.TextOps.curationGate(col("text"), 20))
+    val batch = operators.Dedup.dedupPipeline(gated, "id", "text",
+      minhashThreshold = 0.7).select("id").as[Long].collect().toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    // and the composition actually exercised every stage
+    assert(streamed == Set(1L, 2L, 6L, 7L, 10L), s"admitted: $streamed")
+    // two stores, neither holding text
+    assert(spark.read.parquet(s"$store/hash/epoch=0").schema.fieldNames.toSeq
+      == Seq("h"))
+    assert(spark.read.parquet(s"$store/sig/epoch=0").schema.fieldNames.toSeq
+      == Seq("id", "sig"))
+  }
+
   test("streaming stop-line filter: boilerplate scrubs from its discovery epoch on") {
     import spark.implicits._
     val src = tmp("graft_sl_src")
