@@ -314,15 +314,22 @@ object SparkEntry {
     * in-place part rewrite can leave both unchanged), so the tag hashes
     * every data file's (name, length, mtime) inside it instead.
     */
-  private def indexTag(dir: String): String = {
-    val root = new java.io.File(s"$dir/embeddings.parquet")
+  private def indexTag(dir: String): String = contentTag(dir, "embeddings")
+
+  /** Content identity of `$dir/$table.parquet` (names, sizes, mtimes) —
+    * the key for persisted train-once artifacts (PQ/SQ models on
+    * embeddings, the quality classifier on documents): same content →
+    * reload, changed content → retrain.
+    */
+  private def contentTag(dir: String, table: String): String = {
+    val root = new java.io.File(s"$dir/$table.parquet")
     val files: Array[java.io.File] =
       if (root.isDirectory)
         Option(root.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
           .sortBy(_.getName)
       else Array(root)
-    val h = files.foldLeft(dir.hashCode.toLong) { (acc, f) =>
+    val h = files.foldLeft(s"$dir/$table".hashCode.toLong) { (acc, f) =>
       ((acc * 1000003L) ^ f.getName.hashCode.toLong * 2654435761L) ^
         (f.length() * 31) ^ (f.lastModified() * 131)
     }
@@ -347,6 +354,19 @@ object SparkEntry {
   private def sqModel(s: SparkSession, dir: String): graft.operators.SqSearch.SqModel =
     graft.operators.SqSearch.cachedModel(
       t(s, dir, "embeddings"), "vec_id", "embedding", indexTag(dir))
+
+  /** Train-once/serve-many quality-classifier model, content-addressed
+    * like [[pqCodebooks]] — the production posture: the filter model is
+    * an offline artifact; bench queries only score. Weak labels = the
+    * Gopher structural verdict (named in the tag: a model is a function
+    * of corpus AND labeling).
+    */
+  private def qualityModel(s: SparkSession,
+      dir: String): graft.operators.QualityClassifier.Model =
+    graft.operators.QualityClassifier.cachedModel(
+      t(s, dir, "documents"), "doc_id", "text",
+      graft.functions.TextOps.gopherPass(col("text")),
+      tag = contentTag(dir, "documents") + "_gopher")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -801,6 +821,38 @@ ORDER BY event_id, event_id2""")
       Corpus.bigramXent(t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+
+    // --- trained quality classifier (GPT-3/fastText filter rung) ----------
+    // Logistic regression over hashed BoW + structural features, trained
+    // distributed on Gopher-verdict weak labels (train-once per app/dir;
+    // deterministic integer-scaled GD). Rows-only; the contract twin is
+    // the hash gate.
+    "q_quality_classifier" -> ((s, dir) =>
+      graft.operators.QualityClassifier.score(t(s, dir, "documents"),
+          "doc_id", "text", qualityModel(s, dir))
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("score", round(col("score"), 4))
+        .orderBy("doc_id")),
+
+    // Contract: scores are probabilities, and the trained model actually
+    // separates its weak labels (AUC >= 0.85 — measured 0.98+ at the
+    // gate SFs; the margin absorbs corpus churn). The oracle pins both
+    // booleans TRUE per doc.
+    "q_quality_classifier_contract" -> ((s, dir) => {
+      import graft.operators.QualityClassifier
+      val docs = t(s, dir, "documents")
+      val scored = QualityClassifier.score(docs, "doc_id", "text",
+          qualityModel(s, dir))
+        .join(docs.select(col("doc_id").as("id"),
+          graft.functions.TextOps.gopherPass(col("text")).as("__y")), "id")
+      val a = QualityClassifier.auc(scored, "score", "__y")
+        .select((col("auc") >= 0.85).as("auc_ok"))
+      scored
+        .select(col("id").as("doc_id"),
+          (col("score") >= 0.0 && col("score") <= 1.0).as("score_in_unit"))
+        .crossJoin(broadcast(a))
+        .orderBy("doc_id")
+    }),
 
     // --- DSIR importance selection (Xie et al. 2023), deterministic -------
     // Target distribution = the corpus's own English slice (the trusted-
@@ -2823,6 +2875,13 @@ values (
     "q_sq_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    // classifier contract: per-doc probability-range boolean plus the
+    // corpus-level AUC gate, both pinned TRUE (the recall-contract
+    // pattern — a drifting model flips a boolean and fails hash)
+    "q_quality_classifier_contract" ->
+      ("SELECT doc_id, TRUE AS score_in_unit, TRUE AS auc_ok " +
+        "FROM documents ORDER BY doc_id"),
 
     "q_ivfpq_index_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
