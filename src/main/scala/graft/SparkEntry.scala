@@ -522,6 +522,41 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // --- D4 prototypicality pruning (Tirumala 2023, arXiv:2308.12284) -----
+    // Anchor-celled form, fully oracled: cells are argmax-cosine against
+    // the 8 lowest-id vectors (a construction both engines replay on
+    // bit-identical FLOAT[] inputs with bit-equal cosine kernels, so
+    // assignment is deterministic cross-engine); centroids quantize to
+    // f32 on both sides (DiversifySpec asserts the quantized mean is
+    // summation-ORDER-invariant, so either engine's partial-sum order
+    // lands on the same float); emitted columns are integers only. The
+    // k-means-celled scale path is Diversify.d4Pipeline (spec-proven —
+    // trained centroids aren't oracle-reproducible).
+    "q_proto_prune" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // bounded driver collect: exactly 8 anchor rows by construction
+      val anchors = emb.orderBy("vec_id").limit(8)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val celled = graft.operators.Diversify.anchorCells(
+        emb, "vec_id", "embedding", anchors)
+      graft.operators.Diversify.prototypePrune(celled, "id", "v", "cell",
+        dropFrac = 0.25)
+        .select(col("id").as("vec_id"), col("cell"), col("n_cell"),
+          col("proto_rank"))
+        .orderBy("vec_id")
+    }),
+
+    // --- RAG sliding-window token chunker ---------------------------------
+    // 32-token chunks advancing by 24 (8 overlapping context tokens) —
+    // the ingestion step upstream of the reference's embed-and-store
+    // flow. Pure narrow codegen work; fully oracled incl. chunk text.
+    "q_chunk_tokens" -> ((s, dir) =>
+      Corpus.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, overlap = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_id")),
+
     // --- prompt assembly (F1/F2) ------------------------------------------
     "q_prompt_assembly" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -2063,6 +2098,51 @@ values (
         "SELECT vec_id, vec_id NOT IN (SELECT vec_id FROM paired) AS is_isolated, " +
         "TRUE AS isolated_kept_ok, TRUE AS removed_has_neighbor_ok " +
         "FROM embeddings ORDER BY vec_id"),
+
+    // D4 prototype pruning: the oracle replays the whole anchor-celled
+    // recipe — argmax-cosine cells against the 8 lowest-id vectors
+    // (ORDER BY cos DESC, aid = the Spark fold's max(struct(cos,-aid))),
+    // per-cell mean centroid quantized to FLOAT[] (f32 quantization is
+    // summation-order-invariant on this corpus — spec-asserted), then
+    // rank by cosine-to-centroid DESC with id tie-break and keep
+    // rank > ceil(0.25 * n_cell).
+    "q_proto_prune" ->
+      ("WITH anchors AS (SELECT vec_id AS aid, embedding AS av " +
+        "FROM embeddings ORDER BY vec_id LIMIT 8), " +
+        "scored AS (SELECT e.vec_id, e.embedding, a.aid, " +
+        "list_cosine_similarity(e.embedding, a.av) AS cos " +
+        "FROM embeddings e CROSS JOIN anchors a), " +
+        "cells AS (SELECT vec_id, embedding, aid AS cell FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY cos DESC, aid) AS rn FROM scored) WHERE rn = 1), " +
+        "cent AS (SELECT cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m " +
+        "FROM cells CROSS JOIN UNNEST(range(1, 65)) r(i) GROUP BY cell, i), " +
+        "cv AS (SELECT cell, CAST(list(m ORDER BY i) AS FLOAT[]) AS cvec " +
+        "FROM cent GROUP BY cell), " +
+        "pr AS (SELECT c.vec_id, c.cell, " +
+        "list_cosine_similarity(c.embedding, v.cvec) AS proto " +
+        "FROM cells c JOIN cv v USING (cell)), " +
+        "rk AS (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY cell ORDER BY proto DESC, vec_id) AS proto_rank, " +
+        "count(*) OVER (PARTITION BY cell) AS n_cell FROM pr) " +
+        "SELECT vec_id, cell, n_cell, CAST(proto_rank AS BIGINT) AS proto_rank " +
+        "FROM rk WHERE proto_rank > ceil(0.25 * n_cell) ORDER BY vec_id"),
+
+    // token chunker: same nChunks formula (1 if the doc fits, else
+    // ceil((n - size) / stride) + 1), 1-based inclusive list slicing.
+    "q_chunk_tokens" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS tk " +
+        "FROM documents), " +
+        "b AS (SELECT doc_id, tk, len(tk) AS n, " +
+        "CASE WHEN len(tk) <= 32 THEN 1 " +
+        "ELSE CAST(ceil((len(tk) - 32) / 24.0) AS INT) + 1 END AS nc " +
+        "FROM toks WHERE len(tk) > 0) " +
+        "SELECT doc_id, i AS chunk_id, " +
+        "CAST(least(32, n - i * 24) AS BIGINT) AS n_chunk_tok, " +
+        "array_to_string(tk[CAST(i*24+1 AS INT):CAST(i*24+32 AS INT)], ' ') AS chunk_text " +
+        "FROM b CROSS JOIN UNNEST(range(0, nc)) r(i) " +
+        "ORDER BY doc_id, chunk_id"),
 
     // duplicated 8-token spans: the oracle rebuilds every sliding window
     // from gram TEXT (1-based DuckDB list slicing = the operator's `pos`

@@ -260,6 +260,51 @@ object Corpus {
       .drop("cum_before")
   }
 
+  /** Sliding-window token chunker — the standard RAG ingestion step
+    * upstream of the reference's embed-and-store flow (reference
+    * README.md:266-283 embeds each record's `content` whole into its
+    * vector topic; documents longer than an embedding window are chunked
+    * into such records first — a beyond-reference curation op like the
+    * dedup/quality family): each document's
+    * whitespace tokens (case preserved — retrieval text is not
+    * normalized) split into windows of `chunkSize` tokens advancing by
+    * `chunkSize - overlap`, so consecutive chunks share `overlap` tokens
+    * of context. Chunk count is `1` when the document fits, else
+    * `ceil((n - chunkSize) / stride) + 1` — full coverage, and the last
+    * window is never a degenerate tail wholly contained in its
+    * predecessor. Token-less documents vanish.
+    *
+    * Output: (id, chunk_id [0-based], n_chunk_tok, chunk_text).
+    *
+    * Scale shape: pure narrow row-local work — one `transform` +
+    * `posexplode` inside whole-stage codegen, ZERO shuffles; output rows
+    * ∝ corpus tokens × (1 + overlap/stride). Downstream embedding /
+    * indexing ([[graft.functions.Embed]], the IVF/PQ index builders)
+    * compose directly on the exploded rows.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    val toks = filter(split(col(textCol), "[ \\t\\n\\f\\r]+"),
+      t => length(t) > 0)
+    df.select(col(idCol).as("id"), toks.as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") > 0)
+      .withColumn("nc", when(col("n") <= chunkSize, lit(1)).otherwise(
+        ceil((col("n") - chunkSize).cast("double") / stride).cast("int") + 1))
+      .select(col("id"), col("n"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => array_join(slice(col("tk"), i * stride + 1, lit(chunkSize)), " ")))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(chunkSize), col("n") - col("chunk_id") * stride)
+          .cast("long").as("n_chunk_tok"),
+        col("chunk_text"))
+  }
+
   // --- unigram-LM corpus signals ------------------------------------------
 
   /** Per-(document, token) counts over lowercased whitespace tokens —

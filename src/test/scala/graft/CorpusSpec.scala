@@ -445,4 +445,71 @@ class CorpusSpec extends SparkSpec {
       assert(r.getBoolean(5) == (r.getLong(4) + r.getLong(2) > 256))
     }
   }
+
+  test("chunkTokens: coverage, overlap, and chunk-count law") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),     // 10 toks: fits in one 8-chunk? no: size 8
+      (2L, "one two three"),            // fits whole
+      (3L, ""),                         // token-less -> vanishes
+      (4L, "  x  "),                    // 1 token with padding
+      (5L, (1 to 25).map(i => s"t$i").mkString(" "))) // 25 toks
+      .toDF("id", "text")
+    val size = 8; val ov = 3; val stride = size - ov
+    val out = Corpus.chunkTokens(docs, "id", "text", size, ov)
+      .orderBy("id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(!out.exists(_._1 == 3L), "empty doc must vanish")
+    // chunk-count law: 1 if n <= size else ceil((n - size) / stride) + 1
+    val counts = out.groupBy(_._1).view.mapValues(_.length).toMap
+    def law(n: Int) = if (n <= size) 1 else math.ceil((n - size).toDouble / stride).toInt + 1
+    assert(counts(1L) == law(10) && counts(2L) == law(3) &&
+      counts(4L) == law(1) && counts(5L) == law(25))
+    // doc 5: every token covered, consecutive chunks share `ov` tokens
+    val c5 = out.filter(_._1 == 5L).sortBy(_._2)
+    val toks5 = (1 to 25).map(i => s"t$i")
+    c5.foreach { case (_, cid, ntok, text) =>
+      val expect = toks5.slice((cid * stride).toInt,
+        (cid * stride).toInt + size)
+      assert(text == expect.mkString(" "), s"chunk $cid text")
+      assert(ntok == expect.length, s"chunk $cid n_chunk_tok")
+    }
+    val covered = c5.flatMap { case (_, cid, ntok, _) =>
+      (cid * stride) until (cid * stride + ntok) }.toSet
+    assert(covered == (0 until 25).toSet, "full token coverage")
+    c5.sliding(2).foreach {
+      case Array((_, _, n1, t1), (_, _, _, t2)) if n1 == size =>
+        assert(t1.split(" ").takeRight(ov).sameElements(t2.split(" ").take(ov)),
+          "consecutive chunks share exactly the overlap tokens")
+      case _ => ()
+    }
+    // boundary: n == size -> exactly one chunk; n == size + 1 -> two
+    val edge = Seq((1L, (1 to size).mkString(" ")),
+      (2L, (1 to size + 1).mkString(" "))).toDF("id", "text")
+    val ec = Corpus.chunkTokens(edge, "id", "text", size, ov)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(ec(1L) == 1 && ec(2L) == 2)
+  }
+
+  test("chunkTokens composes with the embedder: a chunk retrieves itself") {
+    val docs = Tables(spark, sf, "documents").limit(30)
+    val chunks = Corpus.chunkTokens(docs, "doc_id", "text", 32, 8)
+      .withColumn("cid",
+        col("id") * 1000 + col("chunk_id")) // unique per chunk
+      .withColumn("emb", graft.functions.HashEmbedder.embedCol(col("chunk_text")))
+    val probe = chunks.orderBy("cid").limit(5)
+      .select(col("cid").as("query_id"), col("emb").as("qv"),
+        col("chunk_text").as("qtext"))
+    val hits = graft.operators.VectorSearch.topKFlat(
+      probe, "query_id", "qv", chunks, "cid", "emb", k = 1, metric = "cosine")
+    val texts = chunks.select("cid", "chunk_text")
+      .as[(Long, String)].collect().toMap
+    val top = hits.filter(col("rank") === 1)
+      .select("query_id", "match_id").as[(Long, Long)].collect().toMap
+    top.foreach { case (q, m) =>
+      // identical chunk TEXT (the synthetic corpus repeats phrases, so a
+      // byte-identical chunk elsewhere legitimately ties at cosine 1.0)
+      assert(texts(q) == texts(m),
+        s"chunk $q should retrieve its own text at rank 1, got chunk $m")
+    }
+  }
 }

@@ -280,4 +280,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_stopline_filter").toString.contains("BroadcastHashJoin"),
       "stop-line list did not broadcast")
   }
+
+  test("q_chunk_tokens: pure narrow codegen — zero shuffles") {
+    val p = SparkEntry.queries("q_chunk_tokens")(spark, sf)
+      .queryExecution.sparkPlan
+    val exchanges = p.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // chunking is row-local transform+explode; the only exchange allowed
+    // is the final presentation sort's range partitioning
+    assert(exchanges.size <= 1, s"${exchanges.size} shuffles: $p")
+    assert(p.toString.contains("Generate"), "chunk explode missing")
+  }
+
+  test("q_proto_prune: centroids broadcast; rank window partitions on the bounded cell id") {
+    val p = plan("q_proto_prune").toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the (cell -> centroid) relation is one row per cell — it must ride
+    // into the scoring pass as a broadcast, never a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the only window is the per-cell rank — cells are bounded cluster
+    // labels (maxCell / anchor construction), not Zipf content keys
+    assert("Window".r.findAllIn(p).size <= 2, p.take(2000))
+  }
 }
