@@ -557,6 +557,21 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "chunk_id")),
 
+    // --- SEMANTIC decontamination (embedding-level eval-leak guard) -------
+    // Train slice = vec_id % 5 != 0, benchmark = the rest; a train doc
+    // within 0.35 cosine of ANY benchmark vector drops. Broadcast bench,
+    // one narrow anti-join pass (codegen'd cosine) — fully oracled via
+    // DuckDB's own NOT EXISTS over its bit-identical cosine.
+    "q_semantic_decontam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Corpus.semanticDecontaminate(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", threshold = 0.35)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+        .orderBy("vec_id")
+    }),
+
     // --- prompt assembly (F1/F2) ------------------------------------------
     "q_prompt_assembly" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -845,6 +860,17 @@ ORDER BY event_id, event_id2""")
     // perplexity-bucket filter, fully relational, full DuckDB oracle.
     "q_unigram_xent" -> ((s, dir) =>
       Corpus.unigramXent(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // --- CCNet perplexity buckets (head/middle/tail) ----------------------
+    // Band cutoffs estimated on the deterministic 20% hash sample (the
+    // CCNet held-out-slice discipline — never a global sort); assignment
+    // is a literal-compare chain on the rounded xent. Fully oracled:
+    // DuckDB replays the sample, the rank cutoffs, and the band compare.
+    "q_xent_buckets" -> ((s, dir) =>
+      Corpus.xentBuckets(t(s, dir, "documents"), "doc_id", "text",
+        sampleRate = 0.2, nBuckets = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
@@ -2144,6 +2170,13 @@ values (
         "FROM b CROSS JOIN UNNEST(range(0, nc)) r(i) " +
         "ORDER BY doc_id, chunk_id"),
 
+    "q_semantic_decontam" ->
+      ("SELECT t.vec_id, CAST(t.label AS BIGINT) AS label " +
+        "FROM embeddings t WHERE t.vec_id % 5 <> 0 " +
+        "AND NOT EXISTS (SELECT 1 FROM embeddings b WHERE b.vec_id % 5 = 0 " +
+        "AND list_cosine_similarity(t.embedding, b.embedding) >= 0.35) " +
+        "ORDER BY vec_id"),
+
     // duplicated 8-token spans: the oracle rebuilds every sliding window
     // from gram TEXT (1-based DuckDB list slicing = the operator's `pos`
     // spelling) and keeps windows seen in >= 2 distinct docs.
@@ -2682,6 +2715,30 @@ values (
         "round(-sum(cnt * (ln(c) - ln(n))) / sum(cnt), 4) AS xent " +
         "FROM dt JOIN vocab USING (tok) CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
+
+    // CCNet buckets: the oracle replays the xent, the 20% hash sample
+    // (the Knuth multiplicative hash spelling), the two rank cutoffs
+    // (ceil(m/3), ceil(2m/3) over (xent, id) order), and the band
+    // comparison with the same lexicographic tie-break.
+    "q_xent_buckets" ->
+      ("WITH dt AS (SELECT doc_id, tok, count(*) AS cnt FROM (" +
+        "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok " +
+        "FROM documents) GROUP BY doc_id, tok), " +
+        "vocab AS (SELECT tok, sum(cnt) AS c FROM dt GROUP BY tok), " +
+        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab), " +
+        "x AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok, " +
+        "round(-sum(cnt * (ln(c) - ln(n))) / sum(cnt), 4) AS xent " +
+        "FROM dt JOIN vocab USING (tok) CROSS JOIN tot GROUP BY doc_id), " +
+        "s AS (SELECT xent, doc_id AS id, " +
+        "row_number() OVER (ORDER BY xent, doc_id) AS rn, count(*) OVER () AS m " +
+        "FROM x WHERE (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296 < 858993459), " +
+        "cut AS (SELECT xent, id FROM s WHERE rn = CAST(ceil(m / 3.0) AS BIGINT) " +
+        "OR rn = CAST(ceil(2.0 * m / 3.0) AS BIGINT)) " +
+        "SELECT x.doc_id, x.n_tok, x.xent, " +
+        "CAST(sum(CASE WHEN x.xent > c.xent OR (x.xent = c.xent AND x.doc_id > c.id) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS bucket " +
+        "FROM x CROSS JOIN cut c GROUP BY x.doc_id, x.n_tok, x.xent " +
+        "ORDER BY doc_id"),
 
     // bigram cross-entropy: the oracle mirrors the add-1 conditional
     // term by term (ln(c12+1) - ln(c1+v), negated length-normalized sum)

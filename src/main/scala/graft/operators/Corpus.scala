@@ -112,6 +112,33 @@ object Corpus {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** SEMANTIC decontamination — the embedding-level guard next to the
+    * n-gram [[contamination]]: a training document whose embedding is
+    * within `threshold` cosine of ANY benchmark embedding is dropped
+    * (paraphrased eval leakage that shares no 4-gram still shares the
+    * embedding neighborhood). Returns the SURVIVORS of `docs`, schema
+    * unchanged.
+    *
+    * Scale shape: the benchmark side is an eval set — small by
+    * construction — so it rides in as a broadcast and the filter is one
+    * NARROW anti-join pass over the corpus (a broadcast nested-loop
+    * anti-join: each row scans the bench vectors with the codegen'd
+    * cosine — |docs| x |bench| x dim multiply-adds with |bench|
+    * bounded, zero shuffles). A benchmark too large to broadcast is the
+    * cross-set LSH shape ([[Dedup.minhashDupsAgainst]]'s bucket
+    * equi-join, with [[graft.operators.Lsh]] buckets) — not this
+    * operator's regime.
+    */
+  def semanticDecontaminate(
+      docs: DataFrame, benchmark: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val bench = broadcast(benchmark.select(col(vecCol).as("__bv")))
+    docs.join(bench,
+      graft.functions.VectorFunctions
+        .cosine_similarity(col(vecCol), col("__bv")) >= threshold,
+      "left_anti")
+  }
+
   // --- token-budget selection (data mixing) -------------------------------
 
   /** Fill a per-stratum token budget: within each stratum, documents are
@@ -388,6 +415,57 @@ object Corpus {
       .groupBy("id")
       .agg(sum(col("cnt")).as("n_tok"),
         (if (rounded) round(raw, 4) else raw).as("xent"))
+  }
+
+  /** CCNet's perplexity buckets (Wenzek et al. 2020 §4.4): documents
+    * band into `nBuckets` equal-mass bands (head / middle / tail for
+    * the canonical 3) by their [[unigramXent]] score, with the band
+    * CUTOFFS estimated on a deterministic [[sampleHash]] sample —
+    * exactly how CCNet computes its percentile thresholds on a held-out
+    * slice rather than sorting the whole crawl. Head (bucket 0) is the
+    * most-fluent band; tail (`nBuckets - 1`) the least.
+    *
+    * Output: (id, n_tok, xent, bucket).
+    *
+    * Scale shape: the corpus-wide work is [[unigramXent]]'s (shared
+    * tokenize pass, Zipf-bounded vocab join); cutoff estimation sorts
+    * and collects ONLY the hash sample (bounded by `maxSample`, failed
+    * loudly beyond — at crawl scale pick a rate giving a ~1e5-doc
+    * sample, which pins cutoffs to ±0.3% band mass); assignment is a
+    * literal-comparison chain, one narrow pass, zero extra shuffles —
+    * never a global sort or a single-partition window over the corpus.
+    *
+    * Determinism/oracle parity: cutoffs compare the ROUNDED xent (the
+    * 4-decimal value both engines agree on, margins spec-asserted) with
+    * (xent, id) lexicographic tie-break, so band membership is a pure
+    * function of the data.
+    */
+  def xentBuckets(df: DataFrame, idCol: String, textCol: String,
+      sampleRate: Double = 0.2, nBuckets: Int = 3,
+      maxSample: Int = 1 << 20): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
+    require(sampleRate > 0 && sampleRate <= 1,
+      s"sampleRate must be in (0, 1], got $sampleRate")
+    val x = unigramXent(df, idCol, textCol)
+    val thresh = (sampleRate * 4294967296d).toLong
+    // bounded collect: the hash sample only, sorted once distributed
+    val sample = x.filter(sampleHash(col("id")) < thresh)
+      .select(col("xent"), col("id")).orderBy("xent", "id")
+      .limit(maxSample + 1).collect()
+    require(sample.length <= maxSample,
+      s"xentBuckets sample exceeds maxSample=$maxSample — lower sampleRate")
+    val m = sample.length
+    require(m >= nBuckets,
+      s"xentBuckets sample has $m docs < $nBuckets buckets — raise sampleRate")
+    val cutoffs = (1 until nBuckets).map { j =>
+      val r = sample(math.ceil(j.toDouble * m / nBuckets).toInt - 1)
+      (r.getDouble(0), r.getLong(1))
+    }
+    val bucket = cutoffs.foldLeft(lit(0)) { case (acc, (xc, ic)) =>
+      acc + when(col("xent") > xc ||
+        (col("xent") === xc && col("id") > ic), 1).otherwise(0)
+    }
+    x.withColumn("bucket", bucket.cast("long"))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection

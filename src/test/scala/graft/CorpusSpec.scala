@@ -446,6 +446,72 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("semanticDecontaminate: survivors have no benchmark neighbor at threshold") {
+    val emb = Tables(spark, sf, "embeddings")
+    val train = emb.filter(col("vec_id") % 5 =!= 0)
+    val bench = emb.filter(col("vec_id") % 5 === 0)
+    val thr = 0.35
+    val surv = Corpus.semanticDecontaminate(train, bench, "vec_id", "embedding", thr)
+    assert(surv.columns.sameElements(train.columns), "schema unchanged")
+    val survIds = surv.select("vec_id").as[Long].collect().toSet
+    // brute-force ground truth: exact max cosine against the bench side
+    val benchRows = bench.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val trainRows = train.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0f; var aa = 0.0f; var bb = 0.0f
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
+      }
+      (dot / (math.sqrt(aa).toFloat * math.sqrt(bb).toFloat)).toDouble
+    }
+    trainRows.foreach { case (id, v) =>
+      val contaminated = benchRows.exists { case (_, bv) => cos(v, bv) >= thr }
+      assert(survIds.contains(id) == !contaminated,
+        s"doc $id: contaminated=$contaminated but kept=${survIds.contains(id)}")
+    }
+    assert(survIds.size < trainRows.length, "threshold 0.35 must flag something")
+    // a threshold above any possible cosine keeps everything
+    assert(Corpus.semanticDecontaminate(train, bench, "vec_id", "embedding",
+      1.01).count() == trainRows.length)
+  }
+
+  test("xentBuckets: bands are xent-monotone, near-equal mass, deterministic") {
+    val docs = Tables(spark, sf, "documents")
+    val out = Corpus.xentBuckets(docs, "doc_id", "text",
+      sampleRate = 0.2, nBuckets = 3)
+      .select(col("id"), col("xent"), col("bucket"))
+      .as[(Long, Double, Long)].collect()
+    assert(out.map(_._3).toSet.subsetOf(Set(0L, 1L, 2L)))
+    // monotone: sort by (xent, id) -> bucket never decreases
+    val sorted = out.sortBy(t => (t._2, t._1))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._3,
+        s"bucket order violated between ${a._1} and ${b._1}")
+      case _ => ()
+    }
+    // sample-estimated bands are near-equal mass (within 2x of n/3 here)
+    val sizes = out.groupBy(_._3).view.mapValues(_.length)
+    assert(sizes.size == 3, s"missing bands: $sizes")
+    sizes.foreach { case (b, n) =>
+      assert(n >= out.length / 6, s"band $b degenerate: $n of ${out.length}")
+    }
+    // deterministic: a second run reproduces membership bit-for-bit
+    val again = Corpus.xentBuckets(docs, "doc_id", "text",
+      sampleRate = 0.2, nBuckets = 3)
+      .select(col("id"), col("bucket")).as[(Long, Long)].collect().toMap
+    out.foreach { case (id, _, b) => assert(again(id) == b) }
+    // arg validation fails loudly
+    intercept[IllegalArgumentException] {
+      Corpus.xentBuckets(docs, "doc_id", "text", nBuckets = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.xentBuckets(docs, "doc_id", "text", sampleRate = 0.0)
+    }
+  }
+
   test("chunkTokens: coverage, overlap, and chunk-count law") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),     // 10 toks: fits in one 8-chunk? no: size 8
