@@ -136,6 +136,48 @@ object Streams {
       }
       .start()
 
+  /** Continuous RAG ingestion — the full document→searchable pipeline
+    * as one stream: every micro-batch of arriving DOCUMENTS is chunked
+    * ([[graft.operators.Corpus.chunkTokens]] — sliding token windows
+    * with overlap), each chunk embedded
+    * ([[graft.functions.HashEmbedder]], the session's registered
+    * embedding model), and appended to a persisted IVF index with cells
+    * assigned from the STORED centroids — searchers see new documents'
+    * chunks on their next probe, no retraining in the stream. This is
+    * the streaming form of the reference's embed→store flow
+    * (README.md:266-283) with the chunking step long documents need.
+    *
+    * Chunk ids are `doc_id * 1_000_000 + chunk_id` — collision-free
+    * while documents stay under a million chunks (24M tokens at the
+    * default stride) and ids under ~9.2e12; `searchIndex` hits map back
+    * to (doc, chunk) by div/mod.
+    *
+    * Per-batch work is the batch operators unchanged: narrow
+    * chunk+embed maps, then [[graft.operators.IvfSearch.appendToIndex]]
+    * (one partition-layout write + drift stats vs the training
+    * baseline, surfaced through `onStats` for the offline-retrain
+    * scheduler).
+    */
+  def chunkIndexStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, checkpointDir: String,
+      chunkSize: Int = 32, overlap: Int = 8,
+      onStats: graft.operators.AppendStats => Unit = _ => ()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val chunks = graft.operators.Corpus
+          .chunkTokens(batch, idCol, textCol, chunkSize, overlap)
+          .withColumn("chunk_uid", col("id") * 1000000L + col("chunk_id"))
+          .withColumn("emb",
+            graft.functions.HashEmbedder.embedCol(col("chunk_text")))
+        onStats(graft.operators.IvfSearch.appendToIndex(
+          chunks, "chunk_uid", "emb", indexPath))
+        ()
+      }
+      .start()
+
   /** Continuous tumbling-window counts over an event stream; watermark
     * bounds state (late data beyond `watermark` is dropped — the
     * retention knob the reference sets on its topics, README.md:102).

@@ -131,6 +131,47 @@ class IvfSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getLong(1) == 460L)
   }
 
+  test("chunkIndexStream: streamed documents' chunks become searchable") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    import graft.functions.HashEmbedder
+    val docs = Tables(spark, sf, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_chunk_idx").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_chunk_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_chunk_ck").toString
+    def chunksOf(d: org.apache.spark.sql.DataFrame) =
+      Corpus.chunkTokens(d, "doc_id", "text", 32, 8)
+        .withColumn("chunk_uid", col("id") * 1000000L + col("chunk_id"))
+        .withColumn("emb", HashEmbedder.embedCol(col("chunk_text")))
+    // index seeded from the first docs' chunks (the offline train leg)
+    IvfSearch.writeIndex(chunksOf(docs.filter(col("doc_id") < 40)),
+      "chunk_uid", "emb", path, nList = 8, iters = 2)
+    // late documents arrive on the stream — chunked + embedded + appended
+    val late = docs.filter(col("doc_id") >= 40)
+    late.write.mode("overwrite").parquet(srcDir)
+    var stats = List.empty[graft.operators.AppendStats]
+    graft.streaming.Streams.chunkIndexStream(
+      graft.streaming.Streams.fileStream(spark, srcDir, late.schema),
+      "doc_id", "text", path, ckpt, onStats = s => stats ::= s)
+      .awaitTermination()
+    assert(stats.nonEmpty && stats.map(_.rows).sum > 0, "no chunks appended")
+    // a late chunk queried by its own embedding retrieves a chunk with
+    // IDENTICAL text (itself, or a byte-identical chunk that ties at 1.0)
+    val lateChunks = chunksOf(late).localCheckpoint()
+    val probe = lateChunks.orderBy("chunk_uid").limit(3)
+      .select(col("chunk_uid").as("qid"), col("emb").as("qv"))
+    val texts = chunksOf(docs).select("chunk_uid", "chunk_text")
+      .as[(Long, String)].collect().toMap
+    val hits = IvfSearch.searchIndex(spark, path, probe, "qid", "qv",
+      k = 1, metric = "cosine", nProbe = 8).collect()
+    assert(hits.length == 3)
+    hits.foreach { r =>
+      val qid = r.getLong(0); val mid = r.getLong(1)
+      assert(texts(qid) == texts(mid),
+        s"query chunk $qid retrieved $mid with different text")
+    }
+  }
+
   test("persisted index: partition-pruned probe equals in-memory search") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
