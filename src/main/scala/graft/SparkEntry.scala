@@ -50,6 +50,47 @@ object SparkEntry {
     t(s, dir, "embeddings").filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
 
+  /** Fixed keyword queries for the lexical/hybrid retrieval family —
+    * terms drawn from the generator's stable vocabulary (present at
+    * every SF), mixing corpus-common terms with the rare "dup" so idf
+    * spans its real range. The DuckDB oracles inline the same list as
+    * a VALUES CTE.
+    */
+  private def lexQueries(s: SparkSession): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Seq((0L, "sort"), (0L, "merge"), (0L, "join"),
+        (1L, "window"), (1L, "agg"),
+        (2L, "stream"), (2L, "batch"), (2L, "dup"))
+      .toDF("query_id", "term")
+  }
+
+  /** The [[lexQueries]] list as the oracle's VALUES CTE. */
+  private val LexQueriesCte =
+    "q(query_id, term) AS (SELECT CAST(v AS BIGINT), t FROM (VALUES " +
+      "(0, 'sort'), (0, 'merge'), (0, 'join'), (1, 'window'), (1, 'agg'), " +
+      "(2, 'stream'), (2, 'batch'), (2, 'dup')) AS qv(v, t))"
+
+  /** The BM25 oracle pipeline over `documents` for [[LexQueriesCte]] —
+    * CTEs ending in `bmsc(query_id, doc_id, score)`, score already
+    * round(,4). Every operation and ASSOCIATION mirrors
+    * [[graft.operators.Lexical.bm25Scores]] exactly: the idf factor
+    * multiplies the PARENTHESIZED tf-norm quotient, `(1 - 0.75)` folds
+    * to the exact 0.25, and sums happen only under the final round.
+    */
+  private val Bm25Cte =
+    "tkl AS (SELECT doc_id, " +
+      "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk " +
+      "FROM documents), " +
+    "bst AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tk)) AS avgdl FROM tkl), " +
+    "btok AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS tok FROM tkl), " +
+    "btf AS (SELECT q.query_id, t.tok, t.doc_id, t.dl, count(*) AS tf " +
+      "FROM btok t JOIN q ON t.tok = q.term GROUP BY 1, 2, 3, 4), " +
+    "bdf AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT tok, doc_id FROM btf) GROUP BY tok), " +
+    "bmsc AS (SELECT btf.query_id, btf.doc_id, " +
+      "round(sum(ln(1 + (bst.n - bdf.df + 0.5) / (bdf.df + 0.5)) * " +
+      "(btf.tf * (1.2 + 1) / (btf.tf + 1.2 * (1 - 0.75 + 0.75 * btf.dl / bst.avgdl)))), 4) AS score " +
+      "FROM btf JOIN bdf USING (tok) CROSS JOIN bst GROUP BY 1, 2)"
+
   /** Exact flat top-3 (dot) over [[annQueries]] — the ORACLE side shared
     * verbatim by every ANN recall contract (LSH / IVF / PQ / IVF-PQ,
     * in-flight and persisted). Like [[shingleGroundTruth]], the ground
@@ -1839,6 +1880,52 @@ values (
         .orderBy("query_id")
     }),
 
+    // --- lexical + hybrid retrieval (production RAG's other half) ---------
+    // BM25 keyword top-10 over the documents corpus for the fixed
+    // lexQueries. Fully oracled: scores are round(,4) with the
+    // unigramXent measured-margin argument (asserted in LexicalSpec),
+    // rank is over the ROUNDED score with id tie-break, so both
+    // engines rank identically.
+    "q_bm25_topk" -> ((s, dir) =>
+      graft.operators.Lexical.bm25TopK(lexQueries(s), "query_id", "term",
+        t(s, dir, "documents"), "doc_id", "text", k = 10)
+        .orderBy("query_id", "rank")),
+
+    // Reciprocal-rank fusion of the cosine ranking (embeddings, query
+    // vectors = vec_id 0..2) with the BM25 ranking (documents, the
+    // aligned lexQueries) — doc_id == vec_id by construction in the
+    // test corpus. RRF adds exactly two IEEE quotients in fixed order,
+    // so the fused score needs no rounding.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val vq = emb.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val vrank = VectorSearch.topKAgg(vq, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 20, metric = "cosine")
+        .select(col("query_id"), posexplode(col("matches")).as(Seq("pos", "m")))
+        .select(col("query_id"), col("m.id").as("match_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+      val lrank = graft.operators.Lexical.bm25TopK(lexQueries(s),
+        "query_id", "term", t(s, dir, "documents"), "doc_id", "text", k = 20)
+        .select("query_id", "match_id", "rank")
+      graft.operators.Lexical.rrfFuse(vrank, lrank,
+        "query_id", "match_id", "rank", k = 5)
+        .orderBy("query_id", "rrf_rank")
+    }),
+
+    // MMR diversity re-rank of each query's cosine top-10 down to 3
+    // (lambda = 0.5: halving is exact in IEEE 754, so the marginal
+    // score is a bit-stable function of the bit-parity cosines and the
+    // unrolled DuckDB oracle replays the greedy selection exactly).
+    "q_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.operators.Lexical.mmrRerank(q, "query_id", "qv",
+        emb, "vec_id", "embedding", candN = 10, selectK = 3, lambda = 0.5)
+        .orderBy("query_id", "sel_rank")
+    }),
+
     // --- accuracy-contract twins for the sketch/approx dedup family -------
     // Same pattern as q_ann_recall / q_hll_distinct: rows are keyed on an
     // oracle-recomputable ground truth (exact character-5-shingle Jaccard
@@ -3012,6 +3099,73 @@ values (
     "q_sq_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    // BM25 top-10: the oracle replays tokenize -> tf/df/corpus stats ->
+    // the exact Lucene-parameterized formula (same association), rounds
+    // to 4 like the operator, and ranks over the rounded score.
+    "q_bm25_topk" ->
+      ("WITH " + LexQueriesCte + ", " + Bm25Cte + " " +
+        "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
+        "SELECT query_id, doc_id AS match_id, score, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bmsc) " +
+        "WHERE rnk <= 10 ORDER BY query_id, rank"),
+
+    // RRF fusion: cosine top-20 (queries = vec_id 0..2) fused with BM25
+    // top-20 over the SAME id space (doc_id == vec_id in the test
+    // corpus); the fused score adds the vector quotient first, exactly
+    // like the operator.
+    "q_hybrid_rrf" ->
+      ("WITH " + LexQueriesCte + ", " + Bm25Cte + ", " +
+        "vr AS (SELECT query_id, match_id, rnk FROM (" +
+        "SELECT q2.vec_id AS query_id, c.vec_id AS match_id, row_number() OVER (" +
+        "PARTITION BY q2.vec_id ORDER BY list_cosine_similarity(q2.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
+        "FROM embeddings q2, embeddings c WHERE q2.vec_id <= 2) WHERE rnk <= 20), " +
+        "lr AS (SELECT query_id, match_id, rnk FROM (" +
+        "SELECT query_id, doc_id AS match_id, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bmsc) WHERE rnk <= 20), " +
+        "fused AS (SELECT coalesce(vr.query_id, lr.query_id) AS query_id, " +
+        "coalesce(vr.match_id, lr.match_id) AS match_id, " +
+        "coalesce(CAST(1.0 AS DOUBLE) / (60 + vr.rnk), 0) + " +
+        "coalesce(CAST(1.0 AS DOUBLE) / (60 + lr.rnk), 0) AS rrf " +
+        "FROM vr FULL OUTER JOIN lr ON vr.query_id = lr.query_id AND vr.match_id = lr.match_id) " +
+        "SELECT query_id, match_id, CAST(r AS INTEGER) AS rrf_rank FROM (" +
+        "SELECT query_id, match_id, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY rrf DESC, match_id) AS r FROM fused) " +
+        "WHERE r <= 5 ORDER BY query_id, rrf_rank"),
+
+    // MMR: the oracle unrolls the greedy selection (candidates -> pure-
+    // relevance pick -> two marginal-score picks) with every cosine CAST
+    // to DOUBLE before arithmetic (the operator's expression widens its
+    // float32 result to double the same way) and lambda = 0.5 exact.
+    "q_mmr_rerank" ->
+      ("WITH mcand AS (SELECT query_id, match_id, rel FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
+        "CAST(list_cosine_similarity(q.embedding, c.embedding) AS DOUBLE) AS rel, " +
+        "row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id % 50 = 0) WHERE rnk <= 10), " +
+        "cv AS (SELECT mcand.query_id, mcand.match_id, mcand.rel, e.embedding AS v " +
+        "FROM mcand JOIN embeddings e ON mcand.match_id = e.vec_id), " +
+        "s1 AS (SELECT query_id, match_id, v FROM (SELECT query_id, match_id, v, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, match_id) AS r FROM cv) WHERE r = 1), " +
+        "m2 AS (SELECT c.query_id, c.match_id, c.v, " +
+        "0.5 * c.rel - 0.5 * CAST(list_cosine_similarity(c.v, s1.v) AS DOUBLE) AS mmr " +
+        "FROM cv c JOIN s1 ON c.query_id = s1.query_id AND c.match_id <> s1.match_id), " +
+        "s2 AS (SELECT query_id, match_id, v FROM (SELECT query_id, match_id, v, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, match_id) AS r FROM m2) WHERE r = 1), " +
+        "m3 AS (SELECT c.query_id, c.match_id, " +
+        "0.5 * c.rel - 0.5 * greatest(" +
+        "CAST(list_cosine_similarity(c.v, s1.v) AS DOUBLE), " +
+        "CAST(list_cosine_similarity(c.v, s2.v) AS DOUBLE)) AS mmr " +
+        "FROM cv c JOIN s1 ON c.query_id = s1.query_id JOIN s2 ON c.query_id = s2.query_id " +
+        "WHERE c.match_id <> s1.match_id AND c.match_id <> s2.match_id), " +
+        "s3 AS (SELECT query_id, match_id FROM (SELECT query_id, match_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, match_id) AS r FROM m3) WHERE r = 1) " +
+        "SELECT query_id, CAST(sr AS INTEGER) AS sel_rank, match_id FROM (" +
+        "SELECT query_id, 1 AS sr, match_id FROM s1 " +
+        "UNION ALL SELECT query_id, 2 AS sr, match_id FROM s2 " +
+        "UNION ALL SELECT query_id, 3 AS sr, match_id FROM s3) " +
+        "ORDER BY query_id, sel_rank"),
 
     // classifier contract: per-doc probability-range boolean plus the
     // corpus-level AUC gate, both pinned TRUE (the recall-contract

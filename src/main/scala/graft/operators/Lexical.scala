@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TopKByScore, VectorFunctions}
+
+/** Lexical and hybrid retrieval: BM25 keyword scoring, reciprocal-rank
+  * fusion of lexical + vector rankings, and MMR diversity re-ranking —
+  * the retrieval stack production RAG runs NEXT TO the reference's
+  * pure vector search (reference README.md:355-366 retrieves by
+  * embedding similarity alone; the standard deployment fuses that with
+  * a keyword ranking and de-redunds the final context window).
+  *
+  * Algorithms are the public classics: BM25 (Robertson & Walker 1994,
+  * the Lucene `k1`/`b` parameterization with the `ln(1 + ...)`
+  * non-negative idf), reciprocal-rank fusion (Cormack, Clarke &
+  * Büttcher 2009), and maximal-marginal-relevance (Carbonell &
+  * Goldstein 1998).
+  *
+  * Scale shape (the reason each piece looks the way it does):
+  *  - BM25 never materializes a corpus-wide posting list: the token
+  *    stream is filtered down to QUERY terms by a broadcast equi-join
+  *    before any shuffle, so shuffled rows ∝ occurrences of the query
+  *    terms, not corpus tokens. Document length rides along the token
+  *    stream (computed narrowly per row), so no join back to the
+  *    corpus is ever needed. df and corpus stats are term-count- and
+  *    1-row-sized broadcasts. Top-k is the bounded-heap aggregate
+  *    ([[graft.functions.TopKByScore]]) — partial-agg, skew-safe,
+  *    never a corpus-wide window.
+  *  - RRF is a slim full-outer join of two (query, id, rank) lists
+  *    whose sizes are ∝ queries × k, not corpus.
+  *  - MMR is expressed RELATIONALLY as k unrolled argmax stages over a
+  *    bounded candidate set (`candN` per query), with every float
+  *    computed by the bit-parity [[graft.functions.VectorExprs]]
+  *    cosine — work ∝ queries × candN² with no corpus-sized stage, and
+  *    no imperative per-group code that would sit outside codegen.
+  *
+  * Cross-engine float discipline (the repo's CORRECTNESS_r01 lesson):
+  *  - BM25 sums per-term doubles whose engine divergence is libm-ulp
+  *    sized; the emitted score is `round(score, 4)` and the rank is
+  *    taken over the ROUNDED score (id tie-break), so a sum-order or
+  *    `ln` ulp can never flip a rank unless a value sits within ~1e-12
+  *    of a 1e-4 grid boundary — the same measured-margin argument as
+  *    [[Corpus.unigramXent]], asserted in LexicalSpec.
+  *  - RRF adds exactly two IEEE quotients in a FIXED order — bit-stable
+  *    with no rounding needed.
+  *  - MMR with `lambda = 0.5` (the oracle default) computes
+  *    `0.5·rel − 0.5·maxsim`: halving is exact in IEEE 754, so the MMR
+  *    score is a bit-stable function of the bit-parity cosines.
+  */
+object Lexical {
+
+  /** Non-empty lowercased whitespace tokens — byte-identical to the
+    * [[Corpus.docTokenCounts]] / DuckDB `regexp_split_to_array(lower(
+    * trim(text)), '\s+')` convention (explicit class = RE2's `\s`).
+    */
+  private def toks(text: Column): Column =
+    filter(split(lower(trim(text)), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+
+  /** BM25 scores for every (query, matching document) pair.
+    *
+    * `queries` is a slim (queryId, term) table — one row per query
+    * term, duplicate terms per query are counted once (standard bag-of-
+    * words query with binary query-side tf). Documents sharing no term
+    * with a query don't appear (their score is exactly 0 and BM25's
+    * idf is strictly positive, so they can never displace a match).
+    *
+    * Output: (queryId, id, score) with `score = round(Σ_t idf_t ·
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), 4)` and
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))`. `N` and `avgdl` are computed
+    * over ALL corpus documents (token-less docs count toward N with
+    * dl = 0, matching `avg` over the full table in any SQL engine).
+    */
+  def bm25Scores(queries: DataFrame, qId: String, termCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoresImpl(queries, qId, termCol, docs, idCol, textCol, k1, b,
+      rounded = true)
+
+  /** [[bm25Scores]] with the rounding switchable off — the UNROUNDED
+    * scores feed the rounding-margin assertion in LexicalSpec (the
+    * [[Corpus.unigramXent]] discipline: corpus churn must fail that
+    * spec loudly, not surface as a mysterious oracle hash mismatch).
+    */
+  private[graft] def bm25ScoresImpl(
+      queries: DataFrame, qId: String, termCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      k1: Double, b: Double, rounded: Boolean): DataFrame = {
+    require(k1 >= 0, s"bm25: k1 must be >= 0, got $k1")
+    require(b >= 0 && b <= 1, s"bm25: b must be in [0,1], got $b")
+    val q = queries
+      .select(col(qId).cast("long").as("query_id"),
+        col(termCol).cast("string").as("__term"))
+      .distinct()
+    // dl rides the token stream (narrow, per-row) — no corpus join later
+    val tokStream = docs.select(col(idCol).as("id"), toks(col(textCol)).as("__tk"))
+      .select(col("id"), size(col("__tk")).as("dl"), explode(col("__tk")).as("tok"))
+    // corpus stats: one agg, 1-row broadcast. sum(dl) is an exact
+    // integer in a double, so avgdl is partition-order-independent.
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(size(toks(col(textCol)))).as("avgdl"))
+    // only query terms survive into the shuffle
+    val matched = tokStream
+      .join(broadcast(q), col("tok") === col("__term"))
+      .groupBy("query_id", "tok", "id", "dl")
+      .agg(count(lit(1)).as("tf"))
+    // df per term: (tok, id) pairs are distinct post-groupBy only per
+    // query — dedup across queries sharing a term before counting
+    val dfTable = matched.select("tok", "id").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val raw = sum(idf * tfNorm)
+    matched
+      .join(broadcast(dfTable), "tok")
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "id")
+      .agg((if (rounded) round(raw, 4) else raw).as("score"))
+  }
+
+  /** BM25 top-k per query: bounded-heap selection over [[bm25Scores]]
+    * by (rounded score desc, id asc). Output (queryId, match_id,
+    * score, rank) with rank 1 best.
+    */
+  def bm25TopK(queries: DataFrame, qId: String, termCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"bm25TopK: k must be positive, got $k")
+    bm25Scores(queries, qId, termCol, docs, idCol, textCol, k1, b)
+      .groupBy("query_id")
+      .agg(TopKByScore.topK(col("id"), col("score"), k).as("matches"))
+      .select(col("query_id"), posexplode(col("matches")).as(Seq("rank0", "m")))
+      .select(col("query_id"), col("m.id").as("match_id"),
+        col("m.score").as("score"),
+        (col("rank0") + 1).cast("int").as("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two rankings of
+    * the same id space: `rrf = 1/(kConst + rank_a) + 1/(kConst + rank_b)`,
+    * a list contributing 0 where it didn't rank the id. The sum has a
+    * FIXED operand order (a's quotient first), so the fused score is
+    * bit-stable across engines with no rounding.
+    *
+    * Inputs are (qCol, idCol, rankCol) lists (rank 1 best); output is
+    * (query_id, match_id, rrf_rank) — the fused top-`k`, ranked by
+    * (rrf desc, id asc). Slim full-outer join, rows ∝ queries × list
+    * sizes.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame,
+      qCol: String, idCol: String, rankCol: String,
+      k: Int, kConst: Int = 60): DataFrame = {
+    require(k > 0, s"rrfFuse: k must be positive, got $k")
+    require(kConst >= 0, s"rrfFuse: kConst must be >= 0, got $kConst")
+    val left = a.select(col(qCol).cast("long").as("query_id"),
+      col(idCol).cast("long").as("match_id"), col(rankCol).as("__ra"))
+    val right = b.select(col(qCol).cast("long").as("query_id"),
+      col(idCol).cast("long").as("match_id"), col(rankCol).as("__rb"))
+    val fused = left.join(right, Seq("query_id", "match_id"), "full_outer")
+      .select(col("query_id"), col("match_id"),
+        (coalesce(lit(1.0) / (lit(kConst) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kConst) + col("__rb")), lit(0.0))).as("rrf"))
+    fused.groupBy("query_id")
+      .agg(TopKByScore.topK(col("match_id"), col("rrf"), k).as("matches"))
+      .select(col("query_id"), posexplode(col("matches")).as(Seq("rank0", "m")))
+      .select(col("query_id"), col("m.id").as("match_id"),
+        (col("rank0") + 1).cast("int").as("rrf_rank"))
+  }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998)
+    * of each query's cosine top-`candN` candidates: greedily select
+    * `selectK` items, each maximizing
+    * `lambda·rel(c) − (1−lambda)·max_{s∈selected} cos(c, s)` (ties by
+    * lower id). The first pick is the pure-relevance argmax.
+    *
+    * Expressed as `selectK` UNROLLED relational argmax stages (greedy
+    * selection is inherently sequential in k, and k is a small
+    * constant): each stage broadcasts the 1-row-per-query selected set,
+    * computes the marginal score over the ≤ candN remaining candidates
+    * with the bit-parity cosine, and takes a bounded-heap argmax. No
+    * stage touches the corpus — after candidate generation, work is
+    * ∝ queries × candN × selectK.
+    *
+    * Output: (query_id, sel_rank [1-based], match_id).
+    */
+  def mmrRerank(queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      candN: Int, selectK: Int, lambda: Double = 0.5,
+      metric: String = "cosine"): DataFrame = {
+    require(candN > 0, s"mmrRerank: candN must be positive, got $candN")
+    require(selectK > 0 && selectK <= candN,
+      s"mmrRerank: selectK must be in [1, candN=$candN], got $selectK")
+    require(lambda >= 0 && lambda <= 1,
+      s"mmrRerank: lambda must be in [0,1], got $lambda")
+    val cand = VectorSearch.topKAgg(queries, qId, qVec,
+        corpus, cId, cVec, k = candN, metric = metric)
+      .select(col(qId).as("query_id"),
+        posexplode(col("matches")).as(Seq("__pos", "m")))
+      .select(col("query_id"), col("m.id").as("match_id"),
+        col("m.score").as("rel"))
+    // carry candidate vectors once; candidate-to-candidate sims reuse them
+    val candV = cand
+      .join(corpus.select(col(cId).cast("long").as("match_id"),
+        col(cVec).as("__v")), "match_id")
+      .select(col("query_id"), col("match_id"), col("rel"), col("__v"))
+      // bounded (queries × candN) and consumed by selectK stages below:
+      // materialize once instead of re-running the heap scan per stage
+      .localCheckpoint(false)
+
+    val sim: (Column, Column) => Column =
+      if (metric == "cosine") VectorFunctions.cosine_similarity
+      else VectorFunctions.dot_product
+
+    def argmax(scored: DataFrame, scoreCol: String): DataFrame =
+      scored.groupBy("query_id")
+        .agg(TopKByScore.topK(col("match_id"), col(scoreCol), 1).as("__top"))
+        .select(col("query_id"), col("__top")(0)("id").as("match_id"))
+
+    var selected = argmax(candV, "rel").withColumn("sel_rank", lit(1))
+    var rank = 2
+    while (rank <= selectK) {
+      // remaining = candidates minus selected; max-sim to the selected
+      // set via an equi-join on query_id (selected side is ≤ selectK
+      // rows per query — broadcast-sized relative to candidates)
+      val selV = selected
+        .join(candV.select(col("query_id"), col("match_id"), col("__v")),
+          Seq("query_id", "match_id"))
+        .select(col("query_id"), col("match_id").as("__sid"), col("__v").as("__sv"))
+      val remaining = candV.join(selected.select("query_id", "match_id"),
+        Seq("query_id", "match_id"), "left_anti")
+      val marginal = remaining
+        .join(selV, "query_id")
+        .groupBy("query_id", "match_id")
+        .agg(max(col("rel")).as("rel"),
+          max(sim(col("__v"), col("__sv"))).as("__maxsim"))
+        .withColumn("__mmr",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__maxsim"))
+      selected = selected.unionByName(
+        argmax(marginal, "__mmr").withColumn("sel_rank", lit(rank)))
+      rank += 1
+    }
+    selected.select(col("query_id"), col("sel_rank").cast("int").as("sel_rank"),
+      col("match_id"))
+  }
+}

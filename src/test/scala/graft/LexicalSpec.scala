@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Lexical, VectorSearch}
+
+/** BM25 / RRF / MMR — the lexical+hybrid retrieval family. */
+class LexicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- BM25 ----------------------------------------------------------------
+
+  test("bm25 matches a hand-computed score on a 3-doc corpus") {
+    // corpus: N=3, dls 2/3/2, avgdl = 7/3
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple apple cherry"),
+      (3L, "cherry durian")).toDF("id", "text")
+    val q = Seq((0L, "apple")).toDF("query_id", "term")
+    val got = Lexical.bm25ScoresImpl(q, "query_id", "term", docs, "id", "text",
+        k1 = 1.2, b = 0.75, rounded = false)
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(got.keySet == Set(1L, 2L), "only docs containing 'apple' score")
+    val n = 3.0; val df = 2.0; val avgdl = 7.0 / 3.0
+    val idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def tfNorm(tf: Double, dl: Double) =
+      tf * (1.2 + 1.0) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert(math.abs(got(1L) - idf * tfNorm(1, 2)) < 1e-12)
+    assert(math.abs(got(2L) - idf * tfNorm(2, 3)) < 1e-12)
+    // tf=2 in a slightly longer doc still beats tf=1 here
+    assert(got(2L) > got(1L))
+  }
+
+  test("bm25: rarer terms carry more weight at equal tf") {
+    val docs = Seq(
+      (1L, "common rare"), (2L, "common x"), (3L, "common y"),
+      (4L, "common z")).toDF("id", "text")
+    val q = Seq((0L, "common"), (1L, "rare")).toDF("query_id", "term")
+    val s = Lexical.bm25Scores(q, "query_id", "term", docs, "id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // doc 1 has both terms at tf=1, dl=2: the rare-term query scores it
+    // strictly higher than the common-term query does
+    assert(s((1L, 1L)) > s((0L, 1L)))
+  }
+
+  test("bm25TopK ranks by rounded score desc with id tie-break") {
+    // docs 2 and 3 are identical -> identical scores -> id order
+    val docs = Seq(
+      (1L, "term term other"), (2L, "term pad"), (3L, "term pad"),
+      (4L, "unrelated text")).toDF("id", "text")
+    val q = Seq((7L, "term")).toDF("query_id", "term")
+    val top = Lexical.bm25TopK(q, "query_id", "term", docs, "id", "text", k = 3)
+      .select("match_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(top.map(_._1).toSeq == Seq(1L, 2L, 3L),
+      s"expected tf-2 doc first then the id tie-break, got ${top.toSeq}")
+  }
+
+  test("bm25 query terms are deduplicated (binary query-side tf)") {
+    val docs = Seq((1L, "apple pie")).toDF("id", "text")
+    val q1 = Seq((0L, "apple")).toDF("query_id", "term")
+    val q2 = Seq((0L, "apple"), (0L, "apple")).toDF("query_id", "term")
+    val a = Lexical.bm25Scores(q1, "query_id", "term", docs, "id", "text")
+      .as[(Long, Long, Double)].collect().head._3
+    val b = Lexical.bm25Scores(q2, "query_id", "term", docs, "id", "text")
+      .as[(Long, Long, Double)].collect().head._3
+    assert(a == b)
+  }
+
+  test("rounding margins: no bm25 gate-corpus score sits near a 1e-4 boundary") {
+    // Same discipline as CorpusSpec's xent/dsir margins: the oracle
+    // ranks over round(score, 4), so every UNROUNDED score must sit far
+    // from a k+0.5 boundary relative to cross-engine divergence
+    // (libm ulps + sum order over <= 3 terms ~ 1e-13). Asserted on the
+    // sf0.01 gate corpus the driver's DuckDB compare actually runs.
+    def boundaryDist(v: Double): Double = {
+      val scaled = v * 1e4
+      math.abs(scaled - math.floor(scaled) - 0.5) * 1e-4
+    }
+    val gateDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(gateDir).isDirectory)
+    val docs = Tables(spark, gateDir, "documents")
+    val q = Seq((0L, "sort"), (0L, "merge"), (0L, "join"),
+      (1L, "window"), (1L, "agg"),
+      (2L, "stream"), (2L, "batch"), (2L, "dup")).toDF("query_id", "term")
+    val m = Lexical.bm25ScoresImpl(q, "query_id", "term", docs, "doc_id",
+        "text", k1 = 1.2, b = 0.75, rounded = false)
+      .select("score").as[Double].collect().map(boundaryDist).min
+    assert(m >= 1e-9,
+      f"bm25 score within $m%.2e of a 1e-4 rounding boundary — the corpus " +
+        "generator churned; re-measure margins before the hash gate flips")
+  }
+
+  // --- RRF -----------------------------------------------------------------
+
+  test("rrf fuses two rankings; a missing side contributes exactly 0") {
+    val a = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("q", "id", "r")
+    val b = Seq((0L, 11L, 1), (0L, 12L, 2)).toDF("q", "id", "r")
+    val fused = Lexical.rrfFuse(a, b, "q", "id", "r", k = 3, kConst = 60)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    // 11: 1/62 + 1/61 (top); 10: 1/61; 12: 1/62
+    assert(fused.map(_._2).toSeq == Seq(11L, 10L, 12L))
+  }
+
+  test("rrf ties break by lower id") {
+    // 10 ranked 1 only in a; 20 ranked 1 only in b -> equal rrf scores
+    val a = Seq((0L, 20L, 1)).toDF("q", "id", "r")
+    val b = Seq((0L, 10L, 1)).toDF("q", "id", "r")
+    val fused = Lexical.rrfFuse(a, b, "q", "id", "r", k = 2)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(fused.map(_._2).toSeq == Seq(10L, 20L))
+  }
+
+  test("rrf k cut keeps the top fused items per query independently") {
+    val a = Seq((0L, 1L, 1), (0L, 2L, 2), (1L, 5L, 1)).toDF("q", "id", "r")
+    val b = Seq((0L, 1L, 1), (1L, 6L, 1), (1L, 5L, 2)).toDF("q", "id", "r")
+    val fused = Lexical.rrfFuse(a, b, "q", "id", "r", k = 1)
+      .as[(Long, Long, Int)].collect()
+    assert(fused.toSet == Set((0L, 1L, 1), (1L, 5L, 1)),
+      s"got ${fused.toSeq}")
+  }
+
+  // --- MMR -----------------------------------------------------------------
+
+  /** Reference greedy MMR over an in-memory candidate list. */
+  private def bruteMmr(cands: Seq[(Long, Double, Array[Float])],
+      k: Int, lambda: Double): Seq[Long] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0f; var aa = 0.0f; var bb = 0.0f
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
+      }
+      val c = dot / (math.sqrt(aa).toFloat * math.sqrt(bb).toFloat)
+      (if (c > 1.0f) 1.0f else if (c < -1.0f) -1.0f else c).toDouble
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    while (selected.length < k) {
+      val remaining = cands.filterNot(c => selected.exists(_._1 == c._1))
+      val best = remaining.minBy { case (id, rel, v) =>
+        val maxSim = if (selected.isEmpty) 0.0
+          else selected.map(s => cos(v, s._2)).max
+        val score = if (selected.isEmpty) rel
+          else lambda * rel - (1 - lambda) * maxSim
+        (-score, id)
+      }
+      selected += ((best._1, best._3))
+    }
+    selected.map(_._1).toSeq
+  }
+
+  test("mmrRerank matches brute-force greedy MMR on the sf corpus") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val got = Lexical.mmrRerank(q, "query_id", "qv", emb, "vec_id",
+        "embedding", candN = 10, selectK = 3, lambda = 0.5)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+    // reference: exact top-10 per query then greedy selection
+    val cand = VectorSearch.topKFlat(q, "query_id", "qv", emb, "vec_id",
+        "embedding", k = 10, metric = "cosine")
+      .join(emb.select(col("vec_id").as("match_id"), col("embedding")), "match_id")
+      .select(col("query_id"), col("match_id"), col("score"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])].collect()
+      .groupBy(_._1)
+    assert(got.nonEmpty && got.keySet == cand.keySet)
+    cand.foreach { case (qid, cs) =>
+      val want = bruteMmr(cs.map(c => (c._2, c._3, c._4)).toSeq, 3, 0.5)
+      assert(got(qid) == want, s"query $qid: got ${got(qid)}, want $want")
+    }
+  }
+
+  test("mmr second pick trades relevance for diversity (lambda sensitivity)") {
+    // query q; candidate A nearly duplicates the top pick T; candidate B
+    // is less relevant but diverse from T. Pure relevance picks A second
+    // (rel 0.97 > 0.8); MMR at lambda=0.5 must pick B:
+    //   A: 0.5*0.97 - 0.5*cos(A,T)=~0.999 -> ~ -0.015
+    //   B: 0.5*0.80 - 0.5*cos(B,T)=~0.784 -> ~ +0.008
+    // (T must NOT equal the query: a self-identical top pick makes every
+    // candidate's max-sim equal its relevance and all marginals tie at 0)
+    val emb = Seq(
+      (0L, Array(0.98f, 0.199f, 0.0f)),       // T: top relevance
+      (1L, Array(0.97f, 0.243f, 0.0f)),       // A: near-dup of T
+      (2L, Array(0.8f, 0.0f, 0.6f))           // B: diverse
+    ).toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("query_id", "qv")
+    val got = Lexical.mmrRerank(q, "query_id", "qv", emb, "vec_id",
+        "embedding", candN = 3, selectK = 2, lambda = 0.5)
+      .as[(Long, Int, Long)].collect().sortBy(_._2).map(_._3).toSeq
+    assert(got == Seq(0L, 2L), s"got $got")
+  }
+}

@@ -293,6 +293,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toString.contains("Generate"), "chunk explode missing")
   }
 
+  test("q_bm25_topk: query terms broadcast before the shuffle; heap top-k, no window") {
+    val p = plan("q_bm25_topk").toString
+    // the corpus-sized token stream must meet the query terms through a
+    // broadcast equi-join (shuffled rows ∝ query-term occurrences, never
+    // corpus tokens), and the per-query top-k is the bounded-heap
+    // aggregate — a corpus-wide rank window would be the scale-killer
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Window"), "bm25 ranks via a window, not the heap")
+    assert(!p.contains("CartesianProduct"), "bm25 plans a cross product")
+    // partial (map-side) combine on the (query, term, doc) tf counts
+    assert(p.contains("partial_count") || p.contains("partial"), p.take(2000))
+  }
+
+  test("q_hybrid_rrf: fusion join is slim; no corpus-sized cross product") {
+    val p = plan("q_hybrid_rrf").toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // both ranking sides end in bounded heaps; the full-outer fusion join
+    // touches only queries × k rows
+    assert(!p.contains("Window"), "rrf ranks via a window, not the heap")
+  }
+
+  test("q_mmr_rerank: all stages bounded by candN — no corpus-wide rework") {
+    val df = SparkEntry.queries("q_mmr_rerank")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the candidate set materializes once (lazy local checkpoint) and
+    // every unrolled greedy stage reads it instead of re-running the
+    // corpus scan per selection round
+    assert(p.contains("Scan ExistingRDD"),
+      "MMR candidate set not checkpoint-shared across greedy stages")
+  }
+
   test("q_proto_prune: centroids broadcast; rank window partitions on the bounded cell id") {
     val p = plan("q_proto_prune").toString
     assert(!p.contains("CartesianProduct"), p.take(2000))
