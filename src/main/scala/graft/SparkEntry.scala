@@ -396,6 +396,13 @@ object SparkEntry {
     graft.operators.SqSearch.cachedModel(
       t(s, dir, "embeddings"), "vec_id", "embedding", indexTag(dir))
 
+  /** Train-once/serve-many BQ sign thresholds, content-addressed like
+    * [[pqCodebooks]] — the bench queries never pay a training pass.
+    */
+  private def bqModel(s: SparkSession, dir: String): graft.operators.BqSearch.BqModel =
+    graft.operators.BqSearch.cachedModel(
+      t(s, dir, "embeddings"), "embedding", indexTag(dir))
+
   /** Train-once/serve-many quality-classifier model, content-addressed
     * like [[pqCodebooks]] — the production posture: the filter model is
     * an offline artifact; bench queries only score. Weak labels = the
@@ -1880,6 +1887,31 @@ values (
         .orderBy("query_id")
     }),
 
+    // --- BQ (binary quantization) ANN: 1-bit sign codes -------------------
+    // (FAISS's binary-flat rung — 32x memory cut, XOR+popcount scan;
+    // rows-only, the recall contract below is the hash gate)
+    "q_vector_bq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.operators.BqSearch.bqTopK(queries, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 3, model = bqModel(s, dir),
+        metric = "dot", numCandidates = 100, maxQueries = 10000)
+        .select("query_id", "match_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_bq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = annQueries(s, dir)
+      val approx = graft.operators.BqSearch.bqTopK(queries, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 3, model = bqModel(s, dir),
+        metric = "dot", numCandidates = 100, maxQueries = 10000)
+      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
+        "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
     // --- lexical + hybrid retrieval (production RAG's other half) ---------
     // BM25 keyword top-10 over the documents corpus for the fixed
     // lexQueries. Fully oracled: scores are round(,4) with the
@@ -3097,6 +3129,10 @@ values (
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 
     "q_sq_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_bq_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 
