@@ -786,7 +786,7 @@ class GraftSql(
     * the corpus' declared index family — exact [[VectorSearch.topKAgg]]
     * ("flat": map-side bounded heap, only ≤k rows per query per
     * partition reach the shuffle) or an ANN operator ("ivf" | "pq" |
-    * "lsh") under the declared numCandidates budget — map match ids
+    * "lsh" | "sq" | "bq") under the declared numCandidates budget — map match ids
     * back to contents, and register source-columns + `search_results`
     * as a temp view the rewritten statement selects FROM.
     */
@@ -830,6 +830,27 @@ class GraftSql(
           c, "__cid", "__cvec", k, "dot", numCandidates = big.numCandidates)
           .select(col("__qid"), col("rank").as("__rank"),
             col("match_id").as("__cid"))
+      case "sq" =>
+        // serve-only like "pq": the byte-quantizer bounds come from the
+        // registration-scoped cache; dim derived from the data (the
+        // facade accepts any vector width)
+        val dim = c.select(size(col("__cvec"))).head.getInt(0)
+        val m = graft.operators.SqSearch.cachedModel(
+          c, "__cid", "__cvec", big.tag, dim = dim, persist = false)
+        graft.operators.SqSearch.sqTopK(qv, "__qid", "__qvec",
+          c, "__cid", "__cvec", k, m, "dot",
+          numCandidates = big.numCandidates, maxQueries = 10000)
+          .select(col("__qid"), col("rank").as("__rank"),
+            col("match_id").as("__cid"))
+      case "bq" =>
+        val dim = c.select(size(col("__cvec"))).head.getInt(0)
+        val m = graft.operators.BqSearch.cachedModel(
+          c, "__cvec", big.tag, dim = dim, persist = false)
+        graft.operators.BqSearch.bqTopK(qv, "__qid", "__qvec",
+          c, "__cid", "__cvec", k, m, "dot",
+          numCandidates = big.numCandidates, maxQueries = 10000)
+          .select(col("__qid"), col("rank").as("__rank"),
+            col("match_id").as("__cid"))
       case _ =>
         VectorSearch.topKAgg(qv, "__qid", "__qvec", c, "__cid", "__cvec", k, "dot")
           .select(col("__qid"), posexplode(col("matches")).as(Seq("__rank", "__m")))
@@ -865,7 +886,7 @@ private[sql] sealed trait CorpusRef
 private[sql] final case class InMemCorpus(rows: Array[(String, Array[Float])])
   extends CorpusRef
 /** Beyond-cap corpus left distributed — searched via topKAgg ("flat")
-  * or an ANN family ("ivf" | "pq" | "lsh") under the declared
+  * or an ANN family ("ivf" | "pq" | "lsh" | "sq" | "bq") under the declared
   * numCandidates budget. `tag` is the corpus identity for index
   * artifacts (PQ codebooks): unique per registration, so a
   * re-registered corpus retrains and repeat statements over one
@@ -886,7 +907,7 @@ object GraftSql {
   /** Search families an external table may declare via
     * '<connector>.index.type'.
     */
-  val IndexTypes: Set[String] = Set("flat", "ivf", "pq", "lsh")
+  val IndexTypes: Set[String] = Set("flat", "ivf", "pq", "lsh", "sq", "bq")
 
   /** Registration generation counter feeding [[DfCorpus.tag]]. */
   private[sql] val corpusGen = new java.util.concurrent.atomic.AtomicLong(0)

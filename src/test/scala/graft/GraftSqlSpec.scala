@@ -324,6 +324,43 @@ LATERAL TABLE(FEDERATED_SEARCH('pq_vector_search', 3, vector));"""
       "re-registered corpus served stale codebooks")
   }
 
+  test("sq and bq index families route and self-retrieve; serve-only after first statement") {
+    val g = facade()
+    val corpus = Tables(spark, sf, "documents").filter(col("doc_id") < 60)
+      .select(col("text").as("content"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    val qs = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select(col("doc_id"), graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    qs.createOrReplaceTempView("cq_questions")
+    val texts = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (family <- Seq("sq", "bq")) {
+      // cap below corpus size → distributed DfCorpus path, so the
+      // declared family actually routes
+      g.registerSearchCorpus(s"${family}_vector_search", corpus, "content",
+        "vector", maxRows = 10, numCandidates = 50, indexType = family)
+      val stmt =
+        s"""SELECT doc_id, search_results FROM cq_questions,
+LATERAL TABLE(FEDERATED_SEARCH('${family}_vector_search', 3, vector));"""
+      val first = g.execute(stmt).collect()
+      assert(first.length == 3)
+      assert(first.forall(_.getSeq[org.apache.spark.sql.Row](1).length == 3))
+      // a query document inside the corpus must retrieve its own content
+      first.foreach { r =>
+        val hits = r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).toSet
+        assert(hits.contains(texts(r.getLong(0))),
+          s"$family: doc ${r.getLong(0)} missed itself")
+      }
+      // repeat statement serves the registration-scoped cached model
+      val (sqT, bqT) = (graft.operators.SqSearch.trainInvocations.get(),
+        graft.operators.BqSearch.trainInvocations.get())
+      g.execute(stmt).collect()
+      assert(graft.operators.SqSearch.trainInvocations.get() == sqT &&
+        graft.operators.BqSearch.trainInvocations.get() == bqT,
+        s"$family: second FEDERATED_SEARCH statement retrained the model")
+    }
+  }
+
   test("cleanup.policy=compact: DDL-declared keyed compaction via COMPACT TABLE") {
     val g = facade()
     g.execute("""CREATE TABLE `user_profile` (
