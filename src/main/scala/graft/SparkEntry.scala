@@ -1958,6 +1958,20 @@ values (
         .orderBy("query_id", "sel_rank")
     }),
 
+    // Retrieval-quality metrics (precision@10, MRR, nDCG@10) of exact
+    // cosine retrieval against label relevance — fully oracled: prec and
+    // MRR are exact integer ratios; DCG/nDCG are round(,4) under the
+    // measured-margin rule (RetrievalEvalSpec).
+    "q_retrieval_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlab"))
+      graft.operators.RetrievalEval.evalLabelRetrieval(q, "query_id", "qv",
+        "qlab", emb, "vec_id", "embedding", "label", k = 10)
+        .orderBy("query_id")
+    }),
+
     // --- accuracy-contract twins for the sketch/approx dedup family -------
     // Same pattern as q_ann_recall / q_hll_distinct: rows are keyed on an
     // oracle-recomputable ground truth (exact character-5-shingle Jaccard
@@ -3168,6 +3182,35 @@ values (
         "SELECT query_id, match_id, row_number() OVER (" +
         "PARTITION BY query_id ORDER BY rrf DESC, match_id) AS r FROM fused) " +
         "WHERE r <= 5 ORDER BY query_id, rrf_rank"),
+
+    // Retrieval metrics: the oracle replays the cosine top-10, the label
+    // relevance join, the per-label corpus counts, and the ideal-DCG
+    // prefix (ascending cumsum over generate_series, the operator's
+    // ascending-loop spelling) with the same rounding.
+    "q_retrieval_eval" ->
+      ("WITH rk AS (SELECT query_id, qlab, match_id, rnk FROM (" +
+        "SELECT q.vec_id AS query_id, q.label AS qlab, c.vec_id AS match_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id % 25 = 0) WHERE rnk <= 10), " +
+        "hit AS (SELECT rk.query_id, rk.rnk, (e.label = rk.qlab) AS h " +
+        "FROM rk JOIN embeddings e ON rk.match_id = e.vec_id), " +
+        "lc AS (SELECT label, count(*) AS cnt FROM embeddings GROUP BY label), " +
+        "ic AS (SELECT i, sum(CAST(1.0 AS DOUBLE)/log2(i+1)) OVER (ORDER BY i) AS cum " +
+        "FROM generate_series(1, 10) t(i)), " +
+        "pq AS (SELECT query_id, CAST(sum(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at_k, " +
+        "coalesce(max(CASE WHEN h THEN CAST(1.0 AS DOUBLE)/rnk END), 0.0) AS mrr, " +
+        "coalesce(sum(CASE WHEN h THEN CAST(1.0 AS DOUBLE)/log2(rnk+1) END), 0.0) AS dcg " +
+        "FROM hit GROUP BY query_id), " +
+        "nr AS (SELECT q.vec_id AS query_id, lc.cnt FROM embeddings q " +
+        "JOIN lc ON q.label = lc.label WHERE q.vec_id % 25 = 0) " +
+        "SELECT pq.query_id, pq.n_rel_at_k, " +
+        "round(CAST(pq.n_rel_at_k AS DOUBLE) / 10, 4) AS prec_at_k, " +
+        "round(pq.mrr, 4) AS mrr, " +
+        "round(CASE WHEN coalesce(nr.cnt, 0) = 0 THEN 0.0 ELSE pq.dcg / ic.cum END, 4) AS ndcg " +
+        "FROM pq LEFT JOIN nr ON pq.query_id = nr.query_id " +
+        "LEFT JOIN ic ON ic.i = least(10, nr.cnt) " +
+        "ORDER BY pq.query_id"),
 
     // MMR: the oracle unrolls the greedy selection (candidates -> pure-
     // relevance pick -> two marginal-score picks) with every cosine CAST
