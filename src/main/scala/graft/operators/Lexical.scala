@@ -54,8 +54,9 @@ object Lexical {
   /** Non-empty lowercased whitespace tokens — byte-identical to the
     * [[Corpus.docTokenCounts]] / DuckDB `regexp_split_to_array(lower(
     * trim(text)), '\s+')` convention (explicit class = RE2's `\s`).
+    * Shared with the SQL facade's HYBRID_SEARCH query tokenization.
     */
-  private def toks(text: Column): Column =
+  private[graft] def toks(text: Column): Column =
     filter(split(lower(trim(text)), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
 
   /** BM25 scores for every (query, matching document) pair.

@@ -696,6 +696,17 @@ class GraftSql(
         val call = s"${mlPredictUdf(ref)}($arg)"
         val outName = outputNames.getOrElse(ref.takeWhile(_ != '$'), "json_response")
         s"(SELECT *, $call AS $outName FROM $table) AS $alias"
+      case "hybrid_search" =>
+        // HYBRID_SEARCH('corpus', k, vectorCol, textCol): reciprocal-rank
+        // fusion of the corpus's vector ranking with a BM25 keyword
+        // ranking of the text expression's tokens over corpus contents —
+        // the production retrieval pattern next to pure FEDERATED_SEARCH
+        val parts = splitArgs(args)
+        require(parts.length == 4,
+          s"HYBRID_SEARCH expects ('corpus', k, vectorCol, textCol), got: $args")
+        val corpus = unquote(parts(0))
+        val k = parts(1).trim.toInt
+        s"${hybridSearchView(table, parts(2), parts(3), corpus, k, views)} AS $alias"
       case _ =>
         val parts = splitArgs(args)
         require(parts.length == 3,
@@ -871,6 +882,72 @@ class GraftSql(
     view
   }
 
+  /** HYBRID_SEARCH: reciprocal-rank fusion (Cormack et al. 2009) of the
+    * corpus's exact vector ranking with a BM25 ranking of the query
+    * text's tokens over corpus CONTENTS. Both rankings go `fuseDepth`
+    * deep (max(k, 10) — RRF fuses deeper lists than it returns), fuse
+    * through [[graft.operators.Lexical.rrfFuse]], and the top-k fused
+    * hits come back as `search_results` exactly like FEDERATED_SEARCH.
+    * A collected (in-memory) corpus re-lifts to a DataFrame here: the
+    * lexical side needs distributed tf/df aggregation either way, and
+    * both sides stay bounded heaps.
+    */
+  private def hybridSearchView(
+      table: String, vecExpr: String, textExpr: String, corpusName: String,
+      k: Int, views: scala.collection.mutable.Buffer[String]): String = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (cdf, contentCol, vecCol) = resolveCorpus(corpusName) match {
+      case InMemCorpus(rows) =>
+        (rows.toSeq.toDF("__content0", "__cvec0"), "__content0", "__cvec0")
+      case big: DfCorpus => (big.df, big.contentCol, big.vecCol)
+      case _: LazyCorpus =>
+        throw new IllegalStateException("unreachable: resolveCorpus resolves LazyCorpus")
+    }
+    val base = spark.table(table)
+    // content-derived ids (the fedSearchView rule: mono-ids would permute
+    // under re-evaluation); the text expression joins the identity so two
+    // rows with one vector but different questions stay distinct queries
+    val q = base.withColumn("__qid", xxhash64(expr(vecExpr), expr(textExpr)))
+    val c = cdf
+      .select(col(contentCol).as("__content"),
+        col(vecCol).cast("array<float>").as("__cvec"))
+      .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
+      .dropDuplicates("__cid")
+    val fuseDepth = math.max(k, 10)
+    val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"),
+      expr(textExpr).as("__qtext"))
+    val vrank = VectorSearch.topKAgg(qv, "__qid", "__qvec",
+        c, "__cid", "__cvec", fuseDepth, "dot")
+      .select(col("__qid"), posexplode(col("matches")).as(Seq("__pos", "__m")))
+      .select(col("__qid"), col("__m.id").as("__cid"),
+        (col("__pos") + 1).cast("int").as("__rank"))
+    val qTerms = qv.select(col("__qid"),
+      explode(graft.operators.Lexical.toks(col("__qtext"))).as("term"))
+    val lrank = graft.operators.Lexical.bm25TopK(qTerms, "__qid", "term",
+        c.select(col("__cid"), col("__content")), "__cid", "__content",
+        fuseDepth)
+      .select(col("query_id").as("__qid"), col("match_id").as("__cid"),
+        col("rank").as("__rank"))
+    val fused = graft.operators.Lexical.rrfFuse(vrank, lrank,
+      "__qid", "__cid", "__rank", k)
+    val resolved = fused
+      .select(col("query_id").as("__qid"), col("match_id").as("__cid"),
+        col("rrf_rank"))
+      .join(c.select("__cid", "__content"), "__cid")
+      .groupBy("__qid")
+      .agg(sort_array(collect_list(struct(col("rrf_rank"), col("__content"))))
+        .as("__sorted"))
+      .select(col("__qid"),
+        transform(col("__sorted"), x =>
+          struct(x.getField("__content").as("content"))).as("search_results"))
+    val out = q.join(resolved, Seq("__qid"), "left").drop("__qid")
+    val view = s"graft_hybridsearch_${fedViewCounter.incrementAndGet()}"
+    out.createOrReplaceTempView(view)
+    views += view
+    view
+  }
+
   private def status(msg: String): DataFrame = {
     import spark.implicits._
     Seq(msg).toDF("status")
@@ -956,7 +1033,7 @@ object GraftSql {
       """INTERVAL\s*'(\d+)'\s*(\w+)\s+AND\s+""" +
       """`?(\w+)`?\s*\.\s*`?(\w+)`?\s*\+\s*INTERVAL\s*'(\d+)'\s*(\w+)""").r
   private[sql] val LateralRe =
-    """(?is)\bFROM\s+(`?[\w.]+`?)\s*,\s*LATERAL\s+TABLE\s*\(\s*(ML_PREDICT|FEDERATED_SEARCH)\b""".r
+    """(?is)\bFROM\s+(`?[\w.]+`?)\s*,\s*LATERAL\s+TABLE\s*\(\s*(ML_PREDICT|FEDERATED_SEARCH|HYBRID_SEARCH)\b""".r
 
   /** Candidate-pool bound, matching the reference's numCandidates rule:
     * "must be less than or equal to 10,000" (README.md:368).

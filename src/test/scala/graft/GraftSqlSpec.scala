@@ -361,6 +361,37 @@ LATERAL TABLE(FEDERATED_SEARCH('${family}_vector_search', 3, vector));"""
     }
   }
 
+  test("HYBRID_SEARCH fuses vector and BM25 rankings over corpus contents") {
+    val g = facade()
+    val corpus = Tables(spark, sf, "documents").filter(col("doc_id") < 80)
+      .select(col("text").as("content"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    g.registerSearchCorpus("hybrid_corpus", corpus, "content", "vector")
+    val qs = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select(col("doc_id"), col("text").as("question"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    qs.createOrReplaceTempView("hybrid_questions")
+    val got = g.execute(
+      """SELECT doc_id, search_results FROM hybrid_questions,
+LATERAL TABLE(HYBRID_SEARCH('hybrid_corpus', 3, vector, question));""").collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getSeq[org.apache.spark.sql.Row](1).length == 3))
+    // a query document inside the corpus tops BOTH rankings (vector
+    // self-similarity and BM25 of its own tokens), so RRF must keep it
+    val texts = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      val hits = r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+      assert(hits.head == texts(r.getLong(0)),
+        s"doc ${r.getLong(0)}: self not fused first")
+    }
+    // malformed arity fails fast
+    val err = intercept[IllegalArgumentException](g.execute(
+      """SELECT doc_id FROM hybrid_questions,
+LATERAL TABLE(HYBRID_SEARCH('hybrid_corpus', 3, vector));"""))
+    assert(err.getMessage.contains("HYBRID_SEARCH expects"))
+  }
+
   test("cleanup.policy=compact: DDL-declared keyed compaction via COMPACT TABLE") {
     val g = facade()
     g.execute("""CREATE TABLE `user_profile` (
