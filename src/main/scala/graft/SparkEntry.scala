@@ -403,6 +403,16 @@ object SparkEntry {
     graft.operators.BqSearch.cachedModel(
       t(s, dir, "embeddings"), "embedding", indexTag(dir))
 
+  /** Train-once/serve-many BPE merge table (30 merges over the gate
+    * corpus's word types) — driver-side model like the k-means/PQ
+    * artifacts, trained from ONE word-type aggregate per (app, dir).
+    */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Bpe.BpeModel]
+  private def bpeModel(s: SparkSession, dir: String): graft.operators.Bpe.BpeModel =
+    bpeCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir,
+      graft.operators.Bpe.trainMerges(t(s, dir, "documents"), "text", nMerges = 30))
+
   /** Train-once/serve-many quality-classifier model, content-addressed
     * like [[pqCodebooks]] — the production posture: the filter model is
     * an offline artifact; bench queries only score. Weak labels = the
@@ -1958,6 +1968,69 @@ values (
         .orderBy("query_id", "sel_rank")
     }),
 
+    // --- BPE tokenizer induction (Sennrich 2016) --------------------------
+    // The FIRST merge is an oracle-recomputable fact: the corpus's most
+    // frequent adjacent character pair weighted by word-type counts
+    // (count desc, then lexicographic pair). Fully oracled.
+    "q_bpe_merge_head" -> ((s, dir) =>
+      graft.operators.Bpe.mergesDf(t(s, dir, "documents"), "text", nMerges = 1)
+        .select(col("rank").cast("int").as("rank"), col("lhs"), col("rhs"))),
+
+    // The full 30-merge table (rows-only; ranks past 0 depend on
+    // re-segmentation no SQL engine can replay — the contract twin
+    // below pins the cross-engine-checkable invariants, and BpeSpec
+    // pins the exact sequence against an independent reference).
+    "q_bpe_merges" -> ((s, dir) => {
+      val m = bpeModel(s, dir)
+      import s.implicits._
+      m.merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "lhs", "rhs").orderBy("rank")
+    }),
+
+    // Contract twin: every merge's concatenation occurs in some corpus
+    // word (REAL corpus check), and each side is a single char or an
+    // earlier merge's unit (the BPE closure law).
+    "q_bpe_contract" -> ((s, dir) => {
+      val m = bpeModel(s, dir)
+      import s.implicits._
+      val units = scala.collection.mutable.Set.empty[String]
+      val rows = m.merges.zipWithIndex.map { case ((l, r), i) =>
+        def ok(x: String) = x.length == 1 || units.contains(x)
+        val c = ok(l) && ok(r)
+        units += (l + r)
+        (i, l + r, c)
+      }
+      val mdf = rows.toDF("rank", "pat", "construct_ok")
+      val words = graft.operators.Bpe.wordTypes(
+        t(s, dir, "documents"), "text", 1000000).select("word")
+      mdf.join(broadcast(words), contains(col("word"), col("pat")), "left")
+        .groupBy("rank")
+        .agg(max(col("construct_ok")).as("construct_ok"),
+          max(col("word").isNotNull).as("substring_ok"))
+        .select(col("rank").cast("int").as("rank"), col("substring_ok"),
+          col("construct_ok"))
+        .orderBy("rank")
+    }),
+
+    // Per-document BPE token budget under the learned merges (narrow
+    // map, broadcast model); the boolean pins n_words <= n_bpe_tok <=
+    // n_chars — bounds the oracle can derive, counts it cannot.
+    "q_bpe_tokens_contract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toksCol = filter(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+"),
+        x => length(x) > 0)
+      val bounds = docs.select(col("doc_id"),
+        size(toksCol).cast("long").as("__nw"),
+        aggregate(toksCol, lit(0L), (a, x) => a + length(x)).as("__nc"))
+      graft.operators.Bpe.encodeCount(docs, "doc_id", "text", bpeModel(s, dir))
+        .withColumnRenamed("id", "doc_id")
+        .join(bounds, "doc_id")
+        .select(col("doc_id"),
+          (col("n_bpe_tok") >= col("__nw") && col("n_bpe_tok") <= col("__nc"))
+            .as("bounds_ok"))
+        .orderBy("doc_id")
+    }),
+
     // Retrieval-quality metrics (precision@10, MRR, nDCG@10) of exact
     // cosine retrieval against label relevance — fully oracled: prec and
     // MRR are exact integer ratios; DCG/nDCG are round(,4) under the
@@ -3182,6 +3255,27 @@ values (
         "SELECT query_id, match_id, row_number() OVER (" +
         "PARTITION BY query_id ORDER BY rrf DESC, match_id) AS r FROM fused) " +
         "WHERE r <= 5 ORDER BY query_id, rrf_rank"),
+
+    // BPE head merge: the oracle replays word-type counts, every
+    // adjacent character pair weighted by type count, and the
+    // (count desc, lexicographic) argmax.
+    "q_bpe_merge_head" ->
+      ("WITH wc AS (SELECT word, count(*) AS cnt FROM (" +
+        "SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS word " +
+        "FROM documents) GROUP BY word), " +
+        "p AS (SELECT substr(word, CAST(i AS INTEGER), 1) AS lhs, " +
+        "substr(word, CAST(i AS INTEGER) + 1, 1) AS rhs, sum(cnt) AS c " +
+        "FROM (SELECT word, cnt, unnest(range(1, len(word))) AS i FROM wc) " +
+        "GROUP BY 1, 2) " +
+        "SELECT CAST(0 AS INTEGER) AS rank, lhs, rhs FROM p " +
+        "ORDER BY c DESC, lhs, rhs LIMIT 1"),
+
+    "q_bpe_contract" ->
+      ("SELECT CAST(i AS INTEGER) AS rank, TRUE AS substring_ok, " +
+        "TRUE AS construct_ok FROM generate_series(0, 29) t(i) ORDER BY rank"),
+
+    "q_bpe_tokens_contract" ->
+      ("SELECT doc_id, TRUE AS bounds_ok FROM documents ORDER BY doc_id"),
 
     // Retrieval metrics: the oracle replays the cosine top-10, the label
     // relevance join, the per-label corpus counts, and the ideal-DCG
