@@ -1968,6 +1968,13 @@ values (
         .orderBy("query_id", "sel_rank")
     }),
 
+    // Corpus datasheet: the per-source data card (counts, token mass,
+    // discrete length quantiles, corpus share). Fully oracled — the
+    // discrete order-statistic index formula replays verbatim in SQL.
+    "q_datasheet" -> ((s, dir) =>
+      Corpus.datasheet(t(s, dir, "documents"), "text", "source")
+        .orderBy("stratum")),
+
     // --- BPE tokenizer induction (Sennrich 2016) --------------------------
     // The FIRST merge is an oracle-recomputable fact: the corpus's most
     // frequent adjacent character pair weighted by word-type counts
@@ -3255,6 +3262,20 @@ values (
         "SELECT query_id, match_id, row_number() OVER (" +
         "PARTITION BY query_id ORDER BY rrf DESC, match_id) AS r FROM fused) " +
         "WHERE r <= 5 ORDER BY query_id, rrf_rank"),
+
+    "q_datasheet" ->
+      ("WITH b AS (SELECT source AS stratum, " +
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0)) AS nt, " +
+        "len(text) AS l FROM documents), " +
+        "per AS (SELECT stratum, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens, " +
+        "list_sort(list(l)) AS sorted FROM b GROUP BY stratum), " +
+        "tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM per) " +
+        "SELECT stratum, n_docs, n_tokens, " +
+        "round(CAST(n_tokens AS DOUBLE) / n_docs, 4) AS mean_tok, " +
+        "CAST(sorted[CAST(ceil(CAST(0.5 AS DOUBLE) * n_docs) AS INTEGER)] AS BIGINT) AS p50_len, " +
+        "CAST(sorted[CAST(ceil(CAST(0.9 AS DOUBLE) * n_docs) AS INTEGER)] AS BIGINT) AS p90_len, " +
+        "round(n_docs / total, 4) AS share " +
+        "FROM per CROSS JOIN tot ORDER BY stratum"),
 
     // BPE head merge: the oracle replays word-type counts, every
     // adjacent character pair weighted by type count, and the

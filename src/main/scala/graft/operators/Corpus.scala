@@ -694,4 +694,38 @@ object Corpus {
       .agg(sum(col("c")).as("total"), count(lit(1)).as("n_distinct"),
         max(col("c")).as("top_cnt"))
   }
+
+  /** Per-stratum corpus datasheet (the "data card" table every corpus
+    * release ships — Gebru et al., "Datasheets for Datasets", CACM
+    * 2021): document count, token mass, mean tokens/doc, discrete
+    * median and p90 of text length, and the stratum's share of the
+    * corpus. One aggregation pass over narrow per-row stats.
+    *
+    * Length quantiles are DISCRETE order statistics — the sorted
+    * group's element at 1-based index `ceil(q·n)` — not interpolated
+    * `percentile`: the explicit index formula is replayed verbatim by
+    * any SQL engine (`list_sort(list(x))[ceil(q*count(*))]`), so
+    * cross-engine parity is exact by construction where continuous
+    * interpolation would hinge on formula association. The sort
+    * collects one group's lengths per task — groups are strata
+    * (sources/languages), each far smaller than the corpus; mean and
+    * share are exact integer ratios under round(,4).
+    */
+  def datasheet(df: DataFrame, textCol: String, stratumCol: String): DataFrame = {
+    val base = df.select(col(stratumCol).as("stratum"),
+      graft.functions.TextOps.wordCount(col(textCol)).cast("long").as("__nt"),
+      length(col(textCol)).cast("long").as("__len"))
+    val per = base.groupBy("stratum").agg(
+      count(lit(1)).as("n_docs"),
+      sum("__nt").as("n_tokens"),
+      sort_array(collect_list(col("__len"))).as("__sorted"))
+    def disc(q: Double) = element_at(col("__sorted"),
+      ceil(lit(q) * col("n_docs")).cast("int"))
+    val tot = per.agg(sum("n_docs").cast("double").as("__total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 4).as("mean_tok"),
+        disc(0.5).as("p50_len"), disc(0.9).as("p90_len"),
+        round(col("n_docs") / col("__total"), 4).as("share"))
+  }
 }

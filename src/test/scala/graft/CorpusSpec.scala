@@ -578,4 +578,38 @@ class CorpusSpec extends SparkSpec {
         s"chunk $q should retrieve its own text at rank 1, got chunk $m")
     }
   }
+
+  test("datasheet: counts, means, discrete quantiles, shares on a fixed corpus") {
+    // stratum a: lengths 1,2,3,10 (texts of that many chars) — n=4:
+    //   p50 idx ceil(0.5*4)=2 -> 2; p90 idx ceil(0.9*4)=4 -> 10
+    // stratum b: single doc of 5 tokens
+    val docs = Seq(
+      (1L, "x", "a"), (2L, "xy", "a"), (3L, "xyz", "a"), (4L, "abcdefghij", "a"),
+      (5L, "t t t t t", "b")).toDF("id", "text", "src")
+    val got = Corpus.datasheet(docs, "text", "src")
+      .as[(String, Long, Long, Double, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val a = got("a")
+    assert(a._2 == 4 && a._3 == 1 + 1 + 1 + 1) // each text is one ws token
+    assert(a._4 == 1.0)
+    assert(a._5 == 2L && a._6 == 10L)
+    assert(a._7 == 0.8)
+    val b = got("b")
+    assert(b._2 == 1 && b._3 == 5 && b._4 == 5.0)
+    assert(b._5 == 9L && b._6 == 9L) // "t t t t t".length == 9
+    assert(b._7 == 0.2)
+  }
+
+  test("datasheet shares sum to 1 and doc counts to the corpus size") {
+    val docs = Tables(spark, sf, "documents")
+    val rows = Corpus.datasheet(docs, "text", "source")
+      .as[(String, Long, Long, Double, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum == docs.count())
+    val shareSum = rows.map(_._7).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"shares sum to $shareSum")
+    rows.foreach { r =>
+      assert(r._5 <= r._6, s"${r._1}: p50 ${r._5} > p90 ${r._6}")
+    }
+  }
 }
