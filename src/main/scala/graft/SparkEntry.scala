@@ -1968,6 +1968,18 @@ values (
         .orderBy("query_id", "sel_rank")
     }),
 
+    // Hard-negative mining (Karpukhin 2020): per query, the top-5 most
+    // similar DIFFERENT-label items — rank-only output, fully oracled.
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlab"))
+      graft.operators.RetrievalEval.hardNegatives(q, "query_id", "qv", "qlab",
+        emb, "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Corpus datasheet: the per-source data card (counts, token mass,
     // discrete length quantiles, corpus share). Fully oracled — the
     // discrete order-statistic index formula replays verbatim in SQL.
@@ -3262,6 +3274,15 @@ values (
         "SELECT query_id, match_id, row_number() OVER (" +
         "PARTITION BY query_id ORDER BY rrf DESC, match_id) AS r FROM fused) " +
         "WHERE r <= 5 ORDER BY query_id, rrf_rank"),
+
+    "q_hard_negatives" ->
+      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
+        "FROM embeddings q, embeddings c " +
+        "WHERE q.vec_id % 25 = 0 AND q.label <> c.label) WHERE rnk <= 5 " +
+        "ORDER BY query_id, rank"),
 
     "q_datasheet" ->
       ("WITH b AS (SELECT source AS stratum, " +

@@ -100,6 +100,35 @@ object RetrievalEval {
           .as("ndcg"))
   }
 
+  /** Hard-negative mining (the contrastive-training data-prep step —
+    * Karpukhin et al., EMNLP 2020 §4.2's "hard negatives": for each
+    * query, the most SIMILAR items that are NOT relevant, here
+    * label-disagreeing). One broadcast scan with the label filter
+    * applied BEFORE the bounded per-query heap — same corpus-
+    * broadcastable regime as [[VectorSearch.topKAgg]]; beyond it,
+    * generate candidates with an ANN family first and anti-filter.
+    * Output: (query_id, match_id, rank), rank 1 = hardest negative.
+    */
+  def hardNegatives(queries: DataFrame, qId: String, qVec: String,
+      qLab: String, corpus: DataFrame, cId: String, cVec: String,
+      cLab: String, k: Int, metric: String = "cosine"): DataFrame = {
+    require(k > 0, s"hardNegatives: k must be positive, got $k")
+    val c = broadcast(corpus.select(col(cId).cast("long").as("match_id"),
+      col(cVec).as("__cvec"), col(cLab).as("__clab")))
+    queries.select(col(qId).cast("long").as("query_id"),
+        col(qVec).as("__qv"), col(qLab).as("__qlab"))
+      .crossJoin(c)
+      .filter(col("__clab") =!= col("__qlab"))
+      .withColumn("__score",
+        VectorSearch.scoreCol(metric)(col("__qv"), col("__cvec")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topK(col("match_id"), col("__score"),
+        k, metric == "l2").as("matches"))
+      .select(col("query_id"), posexplode(col("matches")).as(Seq("__pos", "m")))
+      .select(col("query_id"), col("m.id").as("match_id"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
   /** Label-relevance evaluation of exact cosine top-k retrieval over an
     * embedded corpus: queries are corpus members, an item is relevant
     * to a query iff it carries the query's label (the standard

@@ -62,6 +62,36 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(got.forall(r => r._2 >= 1L && r._2 <= 10L))
   }
 
+  test("hard negatives: never the query's label, ranked by similarity") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlab"))
+    val got = RetrievalEval.hardNegatives(q, "query_id", "qv", "qlab",
+        emb, "vec_id", "embedding", "label", k = 5)
+      .as[(Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    got.foreach { case (qid, mid, _) =>
+      assert(labels(mid) != labels(qid),
+        s"negative $mid shares query $qid's label")
+    }
+    // brute-force check: rank 1 is the max-cosine other-label item
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Float = {
+      var d = 0.0f; var aa = 0.0f; var bb = 0.0f
+      a.indices.foreach { i => d += a(i)*b(i); aa += a(i)*a(i); bb += b(i)*b(i) }
+      d / (math.sqrt(aa).toFloat * math.sqrt(bb).toFloat)
+    }
+    got.filter(_._3 == 1).foreach { case (qid, mid, _) =>
+      val best = vecs.keys.filter(c => labels(c) != labels(qid))
+        .maxBy(c => (cos(vecs(qid), vecs(c)), -c))
+      assert(mid == best, s"query $qid: hardest negative $mid != $best")
+    }
+  }
+
   test("rounding margins: no metric on the gate corpus sits near a 1e-4 boundary") {
     // prec/mrr are exact integer ratios; dcg-derived values carry libm
     // ulps — same measured-margin rule as CorpusSpec/LexicalSpec.
