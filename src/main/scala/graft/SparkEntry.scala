@@ -1968,6 +1968,40 @@ values (
         .orderBy("query_id", "sel_rank")
     }),
 
+    // Hybrid-retrieval RAG (rows-only; the contract twin is the gate):
+    // the reference slice with retrieval swapped for RRF(vector, BM25)
+    // self-retrieval over documents.
+    "q_rag_hybrid" -> ((s, dir) =>
+      graft.pipeline.Rag.hybridE2e(s, dir)
+        .withColumn("products", to_json(col("products")))),
+
+    // Contract: k products, every product text IS a corpus document
+    // (referential integrity — a REAL join check), prompt JSON shape,
+    // response present. Self-retrieval is deliberately NOT asserted:
+    // the vector side pins self at rank 1 (unit-norm embedder,
+    // PipelineSpec), but BM25's length normalization legitimately
+    // ranks tighter term-packed documents above a long diffuse self,
+    // so the FUSED top-3 may exclude it — that is hybrid retrieval
+    // working as designed, not a defect.
+    "q_rag_hybrid_contract" -> ((s, dir) => {
+      val df = graft.pipeline.Rag.hybridE2e(s, dir)
+      val corpusTexts = t(s, dir, "documents")
+        .select(col("text").as("__ct")).distinct()
+      df.select(col("doc_id"),
+          explode(col("products")).as("p"),
+          col("prompt"), col("json_response"))
+        .join(broadcast(corpusTexts), col("p.content") === col("__ct"), "left")
+        .groupBy("doc_id")
+        .agg((count(lit(1)) === 3).as("products_k_ok"),
+          (sum(when(col("__ct").isNull, 1).otherwise(0)) === 0)
+            .as("products_from_corpus_ok"),
+          (max(get_json_object(col("prompt"), "$.role")) === "user")
+            .as("prompt_role_ok"),
+          (sum(when(col("json_response").isNull, 1).otherwise(0)) === 0)
+            .as("response_ok"))
+        .orderBy("doc_id")
+    }),
+
     // Hard-negative mining (Karpukhin 2020): per query, the top-5 most
     // similar DIFFERENT-label items — rank-only output, fully oracled.
     "q_hard_negatives" -> ((s, dir) => {
@@ -3274,6 +3308,11 @@ values (
         "SELECT query_id, match_id, row_number() OVER (" +
         "PARTITION BY query_id ORDER BY rrf DESC, match_id) AS r FROM fused) " +
         "WHERE r <= 5 ORDER BY query_id, rrf_rank"),
+
+    "q_rag_hybrid_contract" ->
+      ("SELECT doc_id, TRUE AS products_k_ok, TRUE AS products_from_corpus_ok, " +
+        "TRUE AS prompt_role_ok, TRUE AS response_ok " +
+        "FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id"),
 
     "q_hard_negatives" ->
       ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +

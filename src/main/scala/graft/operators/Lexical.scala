@@ -170,6 +170,40 @@ object Lexical {
         (col("rank0") + 1).cast("int").as("rrf_rank"))
   }
 
+  /** Hybrid retrieval: RRF fusion of a vector ranking and a BM25
+    * ranking over one corpus — the composed form behind the SQL
+    * facade's HYBRID_SEARCH and the hybrid RAG pipeline. `queries`
+    * carries BOTH the query vector and the query text; the corpus
+    * carries BOTH the item vector and the item text. Each side ranks
+    * `fuseDepth` deep (RRF fuses deeper lists than it returns), the
+    * fused top-`k` comes back as (query_id, match_id, rrf_rank).
+    *
+    * Scale shape: the vector side is the bounded-heap
+    * [[VectorSearch.topKAgg]]; the lexical side tokenizes the query
+    * text (narrow) and runs the broadcast-term BM25; fusion is the slim
+    * full-outer join — nothing corpus-sized beyond the two scans.
+    */
+  def hybridTopK(queries: DataFrame, qId: String, qVec: String, qText: String,
+      corpus: DataFrame, cId: String, cVec: String, cText: String,
+      k: Int, fuseDepth: Int = 10, metric: String = "dot",
+      kConst: Int = 60): DataFrame = {
+    require(k > 0, s"hybridTopK: k must be positive, got $k")
+    val depth = math.max(k, fuseDepth)
+    val vrank = VectorSearch.topKAgg(queries, qId, qVec,
+        corpus, cId, cVec, depth, metric)
+      .select(col(qId).cast("long").as("query_id"),
+        posexplode(col("matches")).as(Seq("__pos", "__m")))
+      .select(col("query_id"), col("__m.id").as("match_id"),
+        (col("__pos") + 1).cast("int").as("rank"))
+    val qTerms = queries.select(col(qId).cast("long").as("query_id"),
+      explode(toks(col(qText))).as("term"))
+    val lrank = bm25TopK(qTerms, "query_id", "term",
+        corpus.select(col(cId).as("__cid2"), col(cText).as("__ctext")),
+        "__cid2", "__ctext", depth)
+      .select("query_id", "match_id", "rank")
+    rrfFuse(vrank, lrank, "query_id", "match_id", "rank", k, kConst)
+  }
+
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998)
     * of each query's cosine top-`candN` candidates: greedily select
     * `selectK` items, each maximizing

@@ -62,6 +62,40 @@ object Rag {
         registry.mlPredict(Models.RetailAssistant, col("prompt")))
   }
 
+  /** Hybrid-retrieval RAG: the [[e2e]] slice with stage 2 swapped for
+    * [[graft.operators.Lexical.hybridTopK]] — reciprocal-rank fusion of
+    * the vector ranking with a BM25 ranking of the question's tokens,
+    * retrieving from the DOCUMENTS corpus itself (the self-retrieval
+    * deployment: "find related documents", both vectors from the
+    * registry embedder). Questions subsample (doc_id % 20) keeps the
+    * lexical side's term fan-out bounded in the bench.
+    */
+  def hybridE2e(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val registry = Models.default()
+    val corpus = Tables(spark, dir, "documents")
+      .select(col("doc_id").as("cid"), col("text").as("ctext"))
+      .withColumn("cvec", registry.mlPredict(Models.VectorEncoding, col("ctext")))
+    val questions = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("text").as("content"))
+    val withVec = embedQuestions(questions, "content")
+    val fused = graft.operators.Lexical.hybridTopK(
+      withVec, "doc_id", "vector", "content",
+      corpus, "cid", "cvec", "ctext", k, metric = "dot")
+    val products = fused
+      .join(corpus.select(col("cid").cast("long").as("match_id"), col("ctext")),
+        "match_id")
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("rrf_rank"), col("ctext"))))
+        .as("__sorted"))
+      .select(col("query_id").as("doc_id"),
+        transform(col("__sorted"), x =>
+          struct(x.getField("ctext").as("content"))).as("products"))
+    respond(questions.join(products, "doc_id"), "content")
+      .select("doc_id", "content", "products", "prompt", "json_response")
+      .orderBy("doc_id")
+  }
+
   /** Full slice over a testdata dir (SURVEY §7.3): flagship entry. */
   def e2e(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
     val questions = Tables(spark, dir, "documents")

@@ -914,23 +914,10 @@ class GraftSql(
         col(vecCol).cast("array<float>").as("__cvec"))
       .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
       .dropDuplicates("__cid")
-    val fuseDepth = math.max(k, 10)
     val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"),
       expr(textExpr).as("__qtext"))
-    val vrank = VectorSearch.topKAgg(qv, "__qid", "__qvec",
-        c, "__cid", "__cvec", fuseDepth, "dot")
-      .select(col("__qid"), posexplode(col("matches")).as(Seq("__pos", "__m")))
-      .select(col("__qid"), col("__m.id").as("__cid"),
-        (col("__pos") + 1).cast("int").as("__rank"))
-    val qTerms = qv.select(col("__qid"),
-      explode(graft.operators.Lexical.toks(col("__qtext"))).as("term"))
-    val lrank = graft.operators.Lexical.bm25TopK(qTerms, "__qid", "term",
-        c.select(col("__cid"), col("__content")), "__cid", "__content",
-        fuseDepth)
-      .select(col("query_id").as("__qid"), col("match_id").as("__cid"),
-        col("rank").as("__rank"))
-    val fused = graft.operators.Lexical.rrfFuse(vrank, lrank,
-      "__qid", "__cid", "__rank", k)
+    val fused = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
+      "__qtext", c, "__cid", "__cvec", "__content", k)
     val resolved = fused
       .select(col("query_id").as("__qid"), col("match_id").as("__cid"),
         col("rrf_rank"))

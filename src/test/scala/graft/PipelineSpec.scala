@@ -97,6 +97,37 @@ class PipelineSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("hybrid rag: vector side pins self at rank 1; fused products from corpus") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val registry = graft.model.Models.default()
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id").as("cid"), col("text").as("ctext"))
+      .withColumn("cvec", registry.mlPredict(
+        graft.model.Models.VectorEncoding, col("ctext")))
+    val questions = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("text").as("content"))
+    val withVec = graft.pipeline.Rag.embedQuestions(questions, "content")
+    // the unit-norm embedder makes self-dot the strict maximum: the
+    // self-retrieval law lives on the VECTOR side (the fused ranking
+    // may legitimately drop a long diffuse self — BM25 length norm)
+    val v1 = graft.operators.VectorSearch.topKAgg(withVec, "doc_id",
+        "vector", corpus, "cid", "cvec", 1, "dot")
+      .select(col("doc_id"), col("matches")(0)("id").as("top"))
+      .as[(Long, Long)].collect()
+    assert(v1.nonEmpty)
+    v1.foreach { case (q, top) => assert(q == top, s"query $q vector-rank1 $top") }
+    // fused slice: every product text is a corpus text
+    val out = graft.pipeline.Rag.hybridE2e(spark, sf)
+    val texts = Tables(spark, sf, "documents")
+      .select("text").as[String].collect().toSet
+    out.select(explode(col("products")).as("p"))
+      .select(col("p.content").as("c")).as[String]
+      .collect().foreach(c => assert(texts.contains(c), s"alien product: $c"))
+  }
+
   test("every oracleSql key has a matching queries key") {
     val qs = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet.diff(qs)
