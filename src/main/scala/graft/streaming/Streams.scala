@@ -90,6 +90,37 @@ object Streams {
       .start()
   }
 
+  /** Streaming hybrid retrieval: every micro-batch of arriving
+    * questions runs [[graft.operators.Lexical.hybridTopK]] — RRF fusion
+    * of vector and BM25 rankings — against the static corpus, the
+    * [[ragStream]] shape with the fused retriever. The corpus-side BM25
+    * statistics (tf/df/avgdl) recompute per micro-batch from the SAME
+    * corpus DataFrame, so stream output ≡ batch output by construction
+    * (proved in StreamingSpec); a deployment with a frozen corpus can
+    * persist the token stream once and pass the cached DataFrame here.
+    */
+  def hybridSearchStream(
+      spark: SparkSession,
+      questionsDir: String,
+      questionSchema: StructType,
+      corpus: DataFrame, cId: String, cVec: String, cText: String,
+      outDir: String,
+      checkpointDir: String,
+      k: Int = Rag.K): StreamingQuery = {
+    val questions = fileStream(spark, questionsDir, questionSchema)
+    questions.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val withVec = Rag.embedQuestions(batch, "content")
+        graft.operators.Lexical.hybridTopK(withVec, "doc_id", "vector",
+            "content", corpus, cId, cVec, cText, k, metric = "dot")
+          .write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+        ()
+      }
+      .start()
+  }
+
   /** Continuous vector indexing: every micro-batch of arriving vectors
     * appends to a persisted IVF index (cells assigned from the STORED
     * centroids — [[graft.operators.IvfSearch.appendToIndex]]), so

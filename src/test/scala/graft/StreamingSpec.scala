@@ -37,6 +37,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming hybrid search (availableNow) equals batch hybridTopK") {
+    val src = tmp("graft_hy_src")
+    val out = tmp("graft_hy_out")
+    val ckpt = tmp("graft_hy_ckpt")
+    val questions = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text").as("content"))
+    // arrive in two files across micro-batches
+    questions.filter(col("doc_id") % 20 === 0).write.parquet(s"$src/f0")
+    questions.filter(col("doc_id") % 20 =!= 0).write.parquet(s"$src/f1")
+
+    val registry = graft.model.Models.default()
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id").as("cid"), col("text").as("ctext"))
+      .withColumn("cvec", registry.mlPredict(
+        graft.model.Models.VectorEncoding, col("ctext")))
+    val q = Streams.hybridSearchStream(spark, s"$src/*", questions.schema,
+      corpus, "cid", "cvec", "ctext", out, ckpt)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+      .select("query_id", "match_id", "rrf_rank")
+      .orderBy("query_id", "rrf_rank").collect().map(_.toString).toSeq
+    val batch = graft.operators.Lexical.hybridTopK(
+        Rag.embedQuestions(questions, "content"), "doc_id", "vector",
+        "content", corpus, "cid", "cvec", "ctext", Rag.K, metric = "dot")
+      .orderBy("query_id", "rrf_rank").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming tumbling counts (complete mode) equal batch aggregation") {
     val events = Tables(spark, sf, "events")
     val src = tmp("graft_ev_src")
