@@ -70,26 +70,36 @@ object SparkEntry {
       "(0, 'sort'), (0, 'merge'), (0, 'join'), (1, 'window'), (1, 'agg'), " +
       "(2, 'stream'), (2, 'batch'), (2, 'dup')) AS qv(v, t))"
 
-  /** The BM25 oracle pipeline over `documents` for [[LexQueriesCte]] —
-    * CTEs ending in `bmsc(query_id, doc_id, score)`, score already
-    * round(,4). Every operation and ASSOCIATION mirrors
+  /** BM25 oracle pipeline generator: the tokenize -> tf/df/stats ->
+    * score CTE chain against the query CTE `qName`, all CTE names
+    * prefixed `p` so TWO scoring passes can coexist in one statement
+    * (the PRF oracle). When `base` is non-null the tokenize/stat CTEs
+    * of that earlier prefix are REUSED instead of re-emitted. Ends in
+    * `${p}sc(query_id, doc_id, score)`, score already round(,4). Every
+    * operation and ASSOCIATION mirrors
     * [[graft.operators.Lexical.bm25Scores]] exactly: the idf factor
     * multiplies the PARENTHESIZED tf-norm quotient, `(1 - 0.75)` folds
     * to the exact 0.25, and sums happen only under the final round.
     */
-  private val Bm25Cte =
-    "tkl AS (SELECT doc_id, " +
-      "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk " +
-      "FROM documents), " +
-    "bst AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tk)) AS avgdl FROM tkl), " +
-    "btok AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS tok FROM tkl), " +
-    "btf AS (SELECT q.query_id, t.tok, t.doc_id, t.dl, count(*) AS tf " +
-      "FROM btok t JOIN q ON t.tok = q.term GROUP BY 1, 2, 3, 4), " +
-    "bdf AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT tok, doc_id FROM btf) GROUP BY tok), " +
-    "bmsc AS (SELECT btf.query_id, btf.doc_id, " +
-      "round(sum(ln(1 + (bst.n - bdf.df + 0.5) / (bdf.df + 0.5)) * " +
-      "(btf.tf * (1.2 + 1) / (btf.tf + 1.2 * (1 - 0.75 + 0.75 * btf.dl / bst.avgdl)))), 4) AS score " +
-      "FROM btf JOIN bdf USING (tok) CROSS JOIN bst GROUP BY 1, 2)"
+  private def bm25CteFor(qName: String, p: String, base: String = null): String = {
+    val bp = if (base == null) p else base
+    val tokenize =
+      s"${bp}tk AS (SELECT doc_id, " +
+        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk " +
+        "FROM documents), " +
+      s"${bp}st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tk)) AS avgdl FROM ${bp}tk), " +
+      s"${bp}tok AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS tok FROM ${bp}tk), "
+    (if (base == null) tokenize else "") +
+      s"${p}tf AS (SELECT qq.query_id, t.tok, t.doc_id, t.dl, count(*) AS tf " +
+      s"FROM ${bp}tok t JOIN $qName qq ON t.tok = qq.term GROUP BY 1, 2, 3, 4), " +
+      s"${p}df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT tok, doc_id FROM ${p}tf) GROUP BY tok), " +
+      s"${p}sc AS (SELECT f.query_id, f.doc_id, " +
+      s"round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * " +
+      s"(f.tf * (1.2 + 1) / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl)))), 4) AS score " +
+      s"FROM ${p}tf f JOIN ${p}df d USING (tok) CROSS JOIN ${bp}st s GROUP BY 1, 2)"
+  }
+
+  private val Bm25Cte = bm25CteFor("q", "b")
 
   /** Exact flat top-3 (dot) over [[annQueries]] — the ORACLE side shared
     * verbatim by every ANN recall contract (LSH / IVF / PQ / IVF-PQ,
@@ -1933,6 +1943,16 @@ values (
         t(s, dir, "documents"), "doc_id", "text", k = 10)
         .orderBy("query_id", "rank")),
 
+    // PRF (RM3-style) query expansion: original query -> top-5 feedback
+    // docs -> 3 most frequent non-query terms mined -> expanded query
+    // re-ranked. Fully oracled: the oracle replays BOTH scoring passes
+    // and the deterministic term mining.
+    "q_bm25_prf" -> ((s, dir) =>
+      graft.operators.Lexical.bm25PrfTopK(lexQueries(s), "query_id", "term",
+        t(s, dir, "documents"), "doc_id", "text", k = 10,
+        fbDocs = 5, fbTerms = 3)
+        .orderBy("query_id", "rank")),
+
     // Reciprocal-rank fusion of the cosine ranking (embeddings, query
     // vectors = vec_id 0..2) with the BM25 ranking (documents, the
     // aligned lexQueries) — doc_id == vec_id by construction in the
@@ -3283,7 +3303,32 @@ values (
       ("WITH " + LexQueriesCte + ", " + Bm25Cte + " " +
         "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
         "SELECT query_id, doc_id AS match_id, score, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bmsc) " +
+        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bsc) " +
+        "WHERE rnk <= 10 ORDER BY query_id, rank"),
+
+    // PRF: pass-1 scoring (prefix b), feedback top-5, term mining with
+    // the NOT EXISTS original-term exclusion and (count desc, term)
+    // rank, expanded query UNION, pass-2 scoring (prefix e, reusing the
+    // b tokenize), final top-10 over the rounded pass-2 score.
+    "q_bm25_prf" ->
+      ("WITH " + LexQueriesCte + ", " + bm25CteFor("q", "b") + ", " +
+        "fb AS (SELECT query_id, doc_id FROM (" +
+        "SELECT query_id, doc_id, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bsc) " +
+        "WHERE rnk <= 5), " +
+        "ft AS (SELECT f.query_id, t.tok, count(*) AS c " +
+        "FROM btok t JOIN fb f USING (doc_id) GROUP BY 1, 2), " +
+        "mined AS (SELECT query_id, tok AS term FROM (" +
+        "SELECT ft.query_id, ft.tok, ft.c, row_number() OVER (" +
+        "PARTITION BY ft.query_id ORDER BY ft.c DESC, ft.tok) AS r FROM ft " +
+        "WHERE NOT EXISTS (SELECT 1 FROM q " +
+        "WHERE q.query_id = ft.query_id AND q.term = ft.tok)) WHERE r <= 3), " +
+        "q2(query_id, term) AS (SELECT query_id, term FROM q " +
+        "UNION SELECT query_id, term FROM mined), " +
+        bm25CteFor("q2", "e", base = "b") + " " +
+        "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
+        "SELECT query_id, doc_id AS match_id, score, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM esc) " +
         "WHERE rnk <= 10 ORDER BY query_id, rank"),
 
     // RRF fusion: cosine top-20 (queries = vec_id 0..2) fused with BM25
@@ -3298,7 +3343,7 @@ values (
         "FROM embeddings q2, embeddings c WHERE q2.vec_id <= 2) WHERE rnk <= 20), " +
         "lr AS (SELECT query_id, match_id, rnk FROM (" +
         "SELECT query_id, doc_id AS match_id, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bmsc) WHERE rnk <= 20), " +
+        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bsc) WHERE rnk <= 20), " +
         "fused AS (SELECT coalesce(vr.query_id, lr.query_id) AS query_id, " +
         "coalesce(vr.match_id, lr.match_id) AS match_id, " +
         "coalesce(CAST(1.0 AS DOUBLE) / (60 + vr.rnk), 0) + " +

@@ -170,6 +170,59 @@ object Lexical {
         (col("rank0") + 1).cast("int").as("rrf_rank"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (the RM3 recipe of
+    * Abdul-Jaleel et al., TREC 2004, in its deterministic binary-weight
+    * form): run the original query, take its `fbDocs` top documents as
+    * pseudo-relevant, mine the `fbTerms` most frequent NON-query terms
+    * from them (occurrence count desc, term asc — fully deterministic),
+    * and return the expanded (query_id, term) set = original ∪ mined.
+    *
+    * Scale shape: the feedback set is `queries × fbDocs` ids
+    * (broadcast); only those documents' tokens survive the mining join;
+    * the per-query term rank window is bounded by construction
+    * (≤ fbDocs × max dl candidate terms per query — NOT a Zipf content
+    * key).
+    */
+  def prfExpandTerms(queries: DataFrame, qId: String, termCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      fbDocs: Int = 5, fbTerms: Int = 3,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs > 0, s"prfExpandTerms: fbDocs=$fbDocs")
+    require(fbTerms >= 0, s"prfExpandTerms: fbTerms=$fbTerms")
+    val q = queries
+      .select(col(qId).cast("long").as("query_id"),
+        col(termCol).cast("string").as("term"))
+      .distinct()
+    val fb = bm25TopK(q, "query_id", "term", docs, idCol, textCol,
+        fbDocs, k1, b)
+      .select(col("query_id"), col("match_id"))
+    val tokStream = docs.select(col(idCol).cast("long").as("match_id"),
+      explode(toks(col(textCol))).as("tok"))
+    val ft = tokStream.join(broadcast(fb), "match_id")
+      .groupBy("query_id", "tok").agg(count(lit(1)).as("c"))
+    val qr = q.select(col("query_id").as("__q2"), col("term").as("__t2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("c").desc, col("tok"))
+    val mined = ft.join(qr,
+        ft("query_id") === qr("__q2") && ft("tok") === qr("__t2"), "left_anti")
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= fbTerms)
+      .select(col("query_id"), col("tok").as("term"))
+    q.unionByName(mined).distinct()
+  }
+
+  /** BM25 top-k under PRF expansion: [[prfExpandTerms]] then
+    * [[bm25TopK]] with the expanded term set.
+    */
+  def bm25PrfTopK(queries: DataFrame, qId: String, termCol: String,
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      fbDocs: Int = 5, fbTerms: Int = 3,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopK(
+      prfExpandTerms(queries, qId, termCol, docs, idCol, textCol,
+        fbDocs, fbTerms, k1, b),
+      "query_id", "term", docs, idCol, textCol, k, k1, b)
+
   /** Hybrid retrieval: RRF fusion of a vector ranking and a BM25
     * ranking over one corpus — the composed form behind the SQL
     * facade's HYBRID_SEARCH and the hybrid RAG pipeline. `queries`

@@ -91,6 +91,52 @@ class LexicalSpec extends SparkSpec {
         "generator churned; re-measure margins before the hash gate flips")
   }
 
+  test("prf expansion mines co-occurring terms and excludes originals") {
+    // fb docs for query "alpha" all contain "beta"; doc 9 has only
+    // "beta" and is unreachable by the original query but reachable
+    // after expansion
+    val docs = Seq(
+      (1L, "alpha beta x"), (2L, "alpha beta y"), (3L, "alpha beta z"),
+      (4L, "alpha beta w"), (5L, "alpha beta v"),
+      (9L, "beta beta beta")).toDF("id", "text")
+    val q = Seq((0L, "alpha")).toDF("query_id", "term")
+    val expanded = Lexical.prfExpandTerms(q, "query_id", "term",
+        docs, "id", "text", fbDocs = 5, fbTerms = 2)
+      .as[(Long, String)].collect().map(_._2).toSet
+    assert(expanded.contains("alpha"), "original terms kept")
+    assert(expanded.contains("beta"), s"co-occurring term mined: $expanded")
+    assert(expanded.size <= 3, s"fbTerms cap: $expanded") // 1 original + <= 2 mined
+    val ranked = Lexical.bm25PrfTopK(q, "query_id", "term",
+        docs, "id", "text", k = 10, fbDocs = 5, fbTerms = 2)
+      .select("match_id").as[Long].collect().toSet
+    assert(ranked.contains(9L),
+      "expansion must reach the beta-only document")
+    val unexpanded = Lexical.bm25TopK(q, "query_id", "term",
+        docs, "id", "text", k = 10)
+      .select("match_id").as[Long].collect().toSet
+    assert(!unexpanded.contains(9L))
+  }
+
+  test("rounding margins hold for the PRF-expanded gate queries too") {
+    def boundaryDist(v: Double): Double = {
+      val scaled = v * 1e4
+      math.abs(scaled - math.floor(scaled) - 0.5) * 1e-4
+    }
+    val gateDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(gateDir).isDirectory)
+    val docs = Tables(spark, gateDir, "documents")
+    val q = Seq((0L, "sort"), (0L, "merge"), (0L, "join"),
+      (1L, "window"), (1L, "agg"),
+      (2L, "stream"), (2L, "batch"), (2L, "dup")).toDF("query_id", "term")
+    val expanded = Lexical.prfExpandTerms(q, "query_id", "term",
+      docs, "doc_id", "text", fbDocs = 5, fbTerms = 3)
+    val m = Lexical.bm25ScoresImpl(expanded, "query_id", "term", docs,
+        "doc_id", "text", k1 = 1.2, b = 0.75, rounded = false)
+      .select("score").as[Double].collect().map(boundaryDist).min
+    assert(m >= 1e-9,
+      f"PRF-expanded bm25 score within $m%.2e of a 1e-4 boundary")
+  }
+
   // --- RRF -----------------------------------------------------------------
 
   test("rrf fuses two rankings; a missing side contributes exactly 0") {
