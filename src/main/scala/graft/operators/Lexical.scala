@@ -102,11 +102,17 @@ object Lexical {
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n"),
       avg(size(toks(col(textCol)))).as("avgdl"))
-    // only query terms survive into the shuffle
+    // only query terms survive into the shuffle. LAZY localCheckpoint:
+    // both the df aggregate and the scoring join consume this subtree,
+    // and without it the tokenize + broadcast-join upstream (including
+    // any PRF expansion pass feeding `queries`) evaluates TWICE; the
+    // first action materializes the slim tf table once (the
+    // [[Corpus.docTokenCounts]] rule, same cluster caveat).
     val matched = tokStream
       .join(broadcast(q), col("tok") === col("__term"))
       .groupBy("query_id", "tok", "id", "dl")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     // df per term: (tok, id) pairs are distinct post-groupBy only per
     // query — dedup across queries sharing a term before counting
     val dfTable = matched.select("tok", "id").distinct()

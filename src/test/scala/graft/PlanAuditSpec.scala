@@ -325,6 +325,25 @@ class PlanAuditSpec extends SparkSpec {
       "MMR candidate set not checkpoint-shared across greedy stages")
   }
 
+  test("retrieval additions: no cross products; PRF windows bounded by construction") {
+    for (q <- Seq("q_retrieval_eval", "q_hard_negatives", "q_datasheet")) {
+      val p = plan(q).toString
+      assert(!p.contains("CartesianProduct"), s"$q plans a cross product")
+    }
+    val prf = plan("q_bm25_prf").toString
+    assert(!prf.contains("CartesianProduct"), "PRF plans a cross product")
+    assert(prf.contains("BroadcastHashJoin"), "PRF feedback set did not broadcast")
+    // the only window is the per-query mined-term rank — candidates are
+    // bounded at fbDocs × max dl per query, NOT a Zipf content key.
+    // (Count structurally: the literal query term "window" also appears
+    // in the plan's data literals.)
+    val windows = SparkEntry.queries("q_bm25_prf")(spark, sf)
+      .queryExecution.sparkPlan.collectWithSubqueries {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    assert(windows.size <= 1, s"${windows.size} window execs in the PRF plan")
+  }
+
   test("q_proto_prune: centroids broadcast; rank window partitions on the bounded cell id") {
     val p = plan("q_proto_prune").toString
     assert(!p.contains("CartesianProduct"), p.take(2000))
