@@ -357,6 +357,15 @@ object SparkEntry {
     if (fresh) memoRefresh(s, dir, "rag_e2e")(Rag.e2e(s, dir))
     else memo(s, dir, "rag_e2e")(Rag.e2e(s, dir))
 
+  /** The hybrid RAG slice — q_rag_hybrid (rows, fresh per bench pass)
+    * and q_rag_hybrid_contract (law booleans over the SAME memoized
+    * rows — the [[memoizedRagE2e]] pattern).
+    */
+  private def memoizedHybridRag(s: SparkSession, dir: String,
+      fresh: Boolean = false): DataFrame =
+    if (fresh) memoRefresh(s, dir, "rag_hybrid")(Rag.hybridE2e(s, dir))
+    else memo(s, dir, "rag_hybrid")(Rag.hybridE2e(s, dir))
+
   /** Content tag for persisted-index paths, so a regenerated dataset at
     * the same path triggers a rebuild instead of silently probing a
     * stale index. `embeddings.parquet` may be a single file (the
@@ -1992,7 +2001,7 @@ values (
     // the reference slice with retrieval swapped for RRF(vector, BM25)
     // self-retrieval over documents.
     "q_rag_hybrid" -> ((s, dir) =>
-      graft.pipeline.Rag.hybridE2e(s, dir)
+      memoizedHybridRag(s, dir, fresh = true)
         .withColumn("products", to_json(col("products")))),
 
     // Contract: k products, every product text IS a corpus document
@@ -2004,7 +2013,7 @@ values (
     // so the FUSED top-3 may exclude it — that is hybrid retrieval
     // working as designed, not a defect.
     "q_rag_hybrid_contract" -> ((s, dir) => {
-      val df = graft.pipeline.Rag.hybridE2e(s, dir)
+      val df = memoizedHybridRag(s, dir)
       val corpusTexts = t(s, dir, "documents")
         .select(col("text").as("__ct")).distinct()
       df.select(col("doc_id"),

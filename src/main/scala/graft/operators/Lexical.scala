@@ -242,10 +242,18 @@ object Lexical {
     * text (narrow) and runs the broadcast-term BM25; fusion is the slim
     * full-outer join — nothing corpus-sized beyond the two scans.
     */
+  /** `maxQueryTerms` > 0 caps each query's BM25 term set at that many
+    * RAREST terms (corpus document frequency asc, term asc — the
+    * standard long-query term-selection rule): a document-as-query over
+    * a small vocabulary otherwise matches the entire corpus on every
+    * term and the scoring join degenerates to |corpus tokens| × |queries|.
+    * Rarest-first keeps the highest-idf (most discriminative) terms, and
+    * the matched row count collapses to Σ df of the selected terms.
+    */
   def hybridTopK(queries: DataFrame, qId: String, qVec: String, qText: String,
       corpus: DataFrame, cId: String, cVec: String, cText: String,
       k: Int, fuseDepth: Int = 10, metric: String = "dot",
-      kConst: Int = 60): DataFrame = {
+      kConst: Int = 60, maxQueryTerms: Int = 0): DataFrame = {
     require(k > 0, s"hybridTopK: k must be positive, got $k")
     val depth = math.max(k, fuseDepth)
     val vrank = VectorSearch.topKAgg(queries, qId, qVec,
@@ -254,8 +262,25 @@ object Lexical {
         posexplode(col("matches")).as(Seq("__pos", "__m")))
       .select(col("query_id"), col("__m.id").as("match_id"),
         (col("__pos") + 1).cast("int").as("rank"))
-    val qTerms = queries.select(col(qId).cast("long").as("query_id"),
-      explode(toks(col(qText))).as("term"))
+    val qTermsAll = queries.select(col(qId).cast("long").as("query_id"),
+      explode(toks(col(qText))).as("term")).distinct()
+    val qTerms =
+      if (maxQueryTerms <= 0) qTermsAll
+      else {
+        // corpus df per term (vocab-sized — Zipf-bounded, broadcasts);
+        // per-query rank window bounded by the query's own term count
+        val dfTab = corpus
+          .select(col(cId).as("__did"), explode(toks(col(cText))).as("term"))
+          .distinct()
+          .groupBy("term").agg(count(lit(1)).as("__df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("__df").asc, col("term"))
+        qTermsAll.join(broadcast(dfTab), Seq("term"), "left")
+          .withColumn("__df", coalesce(col("__df"), lit(0L)))
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= maxQueryTerms)
+          .select("query_id", "term")
+      }
     val lrank = bm25TopK(qTerms, "query_id", "term",
         corpus.select(col(cId).as("__cid2"), col(cText).as("__ctext")),
         "__cid2", "__ctext", depth)

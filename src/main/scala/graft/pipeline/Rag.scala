@@ -79,9 +79,13 @@ object Rag {
       .filter(col("doc_id") % 20 === 0)
       .select(col("doc_id"), col("text").as("content"))
     val withVec = embedQuestions(questions, "content")
+    // maxQueryTerms = 8: a document-as-query over this corpus's small
+    // vocabulary would otherwise match every corpus token on the
+    // lexical side — rarest-first term selection is the standard
+    // long-query treatment (see Lexical.hybridTopK)
     val fused = graft.operators.Lexical.hybridTopK(
       withVec, "doc_id", "vector", "content",
-      corpus, "cid", "cvec", "ctext", k, metric = "dot")
+      corpus, "cid", "cvec", "ctext", k, metric = "dot", maxQueryTerms = 8)
     val products = fused
       .join(corpus.select(col("cid").cast("long").as("match_id"), col("ctext")),
         "match_id")
