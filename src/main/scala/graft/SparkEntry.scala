@@ -362,9 +362,15 @@ object SparkEntry {
     * rows — the [[memoizedRagE2e]] pattern).
     */
   private def memoizedHybridRag(s: SparkSession, dir: String,
-      fresh: Boolean = false): DataFrame =
-    if (fresh) memoRefresh(s, dir, "rag_hybrid")(Rag.hybridE2e(s, dir))
-    else memo(s, dir, "rag_hybrid")(Rag.hybridE2e(s, dir))
+      fresh: Boolean = false): DataFrame = {
+    // the embedded corpus is the offline index artifact (the reference
+    // stores it in the vector topic) — memoized once per (app, dir);
+    // the RETRIEVAL pipeline still pays its full cost on fresh runs
+    val corpus = memo(s, dir, "rag_hybrid_corpus")(Rag.hybridCorpus(s, dir))
+    if (fresh) memoRefresh(s, dir, "rag_hybrid")(
+      Rag.hybridE2e(s, dir, corpusOverride = corpus))
+    else memo(s, dir, "rag_hybrid")(Rag.hybridE2e(s, dir, corpusOverride = corpus))
+  }
 
   /** Content tag for persisted-index paths, so a regenerated dataset at
     * the same path triggers a rebuild instead of silently probing a

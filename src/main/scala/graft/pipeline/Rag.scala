@@ -70,11 +70,23 @@ object Rag {
     * registry embedder). Questions subsample (doc_id % 20) keeps the
     * lexical side's term fan-out bounded in the bench.
     */
-  def hybridE2e(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+  /** The embedded documents corpus for [[hybridE2e]] — split out so the
+    * caller can memoize it: corpus embeddings are an OFFLINE indexing
+    * artifact in the reference (stored in the vector topic,
+    * README.md:432-445), so queries should not re-embed per run.
+    */
+  def hybridCorpus(spark: SparkSession, dir: String): DataFrame = {
     val registry = Models.default()
-    val corpus = Tables(spark, dir, "documents")
+    Tables(spark, dir, "documents")
       .select(col("doc_id").as("cid"), col("text").as("ctext"))
       .withColumn("cvec", registry.mlPredict(Models.VectorEncoding, col("ctext")))
+  }
+
+  def hybridE2e(spark: SparkSession, dir: String, k: Int = K,
+      corpusOverride: DataFrame = null): DataFrame = {
+    val corpus =
+      if (corpusOverride != null) corpusOverride
+      else hybridCorpus(spark, dir)
     val questions = Tables(spark, dir, "documents")
       .filter(col("doc_id") % 20 === 0)
       .select(col("doc_id"), col("text").as("content"))

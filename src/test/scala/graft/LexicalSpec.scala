@@ -166,6 +166,30 @@ class LexicalSpec extends SparkSpec {
       s"got ${fused.toSeq}")
   }
 
+  // --- hybrid term selection ----------------------------------------------
+
+  test("hybridTopK maxQueryTerms keeps the rarest corpus terms") {
+    // corpus: "rare" df=1, "mid" df=2, "common" df=3; the query holds
+    // all three plus an out-of-corpus term (df 0 -> selected first)
+    val corpus = Seq(
+      (0L, "rare mid common", Array(1.0f, 0.0f)),
+      (1L, "mid common x", Array(0.9f, 0.1f)),
+      (2L, "common y z", Array(0.0f, 1.0f))).toDF("cid", "ctext", "cvec")
+    val q = Seq((7L, "rare mid common ghost", Array(1.0f, 0.0f)))
+      .toDF("query_id", "qtext", "qv")
+    // with 2 terms: ghost (df 0) + rare (df 1) survive; doc 0 is the
+    // only lexical match, and it also tops the vector side
+    val fused = Lexical.hybridTopK(q, "query_id", "qv", "qtext",
+        corpus, "cid", "cvec", "ctext", k = 3, maxQueryTerms = 2)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(fused.head._2 == 0L, s"got ${fused.toSeq}")
+    // unrestricted run still works and ranks doc 0 first
+    val full = Lexical.hybridTopK(q, "query_id", "qv", "qtext",
+        corpus, "cid", "cvec", "ctext", k = 3)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(full.head._2 == 0L)
+  }
+
   // --- MMR -----------------------------------------------------------------
 
   /** Reference greedy MMR over an in-memory candidate list. */
