@@ -2049,6 +2049,28 @@ values (
         .orderBy("query_id", "rank")
     }),
 
+    // Contrastive training triples: rank-aligned (positive, negative)
+    // pairs per query from the same scored scan. Fully oracled.
+    "q_contrastive_triples" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlab"))
+      graft.operators.RetrievalEval.contrastiveTriples(q, "query_id", "qv",
+        "qlab", emb, "vec_id", "embedding", "label", k = 3)
+        .orderBy("query_id", "pair_rank")
+    }),
+
+    // Length-bucketed inference batch shaping: per-source sorted
+    // batches of 32 with padding-waste accounting. All-integer — fully
+    // oracled.
+    "q_length_batches" -> ((s, dir) =>
+      Corpus.lengthBatches(
+        t(s, dir, "documents").withColumn("n_tok",
+          graft.functions.TextOps.wordCount(col("text"))),
+        "doc_id", "source", "n_tok", batchSize = 32)
+        .orderBy("stratum", "batch_id")),
+
     // Corpus datasheet: the per-source data card (counts, token mass,
     // discrete length quantiles, corpus share). Fully oracled — the
     // discrete order-statistic index formula replays verbatim in SQL.
@@ -3382,6 +3404,36 @@ values (
         "FROM embeddings q, embeddings c " +
         "WHERE q.vec_id % 25 = 0 AND q.label <> c.label) WHERE rnk <= 5 " +
         "ORDER BY query_id, rank"),
+
+    // triples: positives = same-label non-self cosine ranking,
+    // negatives = different-label ranking, joined on rank
+    "q_contrastive_triples" ->
+      ("WITH sc AS (SELECT q.vec_id AS query_id, q.label AS qlab, " +
+        "c.vec_id AS match_id, c.label AS clab, " +
+        "list_cosine_similarity(q.embedding, c.embedding) AS s " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id % 25 = 0), " +
+        "pos AS (SELECT query_id, match_id AS pos_id, rnk FROM (" +
+        "SELECT query_id, match_id, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY s DESC, match_id) AS rnk FROM sc " +
+        "WHERE clab = qlab AND match_id <> query_id) WHERE rnk <= 3), " +
+        "neg AS (SELECT query_id, match_id AS neg_id, rnk FROM (" +
+        "SELECT query_id, match_id, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY s DESC, match_id) AS rnk FROM sc " +
+        "WHERE clab <> qlab) WHERE rnk <= 3) " +
+        "SELECT query_id, pos_id, neg_id, CAST(rnk AS INTEGER) AS pair_rank " +
+        "FROM pos JOIN neg USING (query_id, rnk) " +
+        "ORDER BY query_id, pair_rank"),
+
+    "q_length_batches" ->
+      ("WITH b AS (SELECT source AS stratum, doc_id, " +
+        "CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tok " +
+        "FROM documents), " +
+        "r AS (SELECT stratum, n_tok, CAST((row_number() OVER (" +
+        "PARTITION BY stratum ORDER BY n_tok DESC, doc_id) - 1) // 32 AS BIGINT) AS batch_id FROM b) " +
+        "SELECT stratum, batch_id, count(*) AS n_docs, max(n_tok) AS max_tok, " +
+        "CAST(sum(n_tok) AS BIGINT) AS sum_tok, " +
+        "count(*) * max(n_tok) - CAST(sum(n_tok) AS BIGINT) AS pad_waste " +
+        "FROM r GROUP BY stratum, batch_id ORDER BY stratum, batch_id"),
 
     "q_datasheet" ->
       ("WITH b AS (SELECT source AS stratum, " +

@@ -695,6 +695,39 @@ object Corpus {
         max(col("c")).as("top_cnt"))
   }
 
+  /** Length-bucketed batch shaping for inference/training serving
+    * (the sorted-batching rule every serving stack applies — batching
+    * similar lengths minimizes padding waste): within each stratum,
+    * documents sort by (token count desc, id) and chunk into batches
+    * of `batchSize`; each batch pads to its LONGEST member. Emits one
+    * row per batch: (stratum, batch_id, n_docs, max_tok, sum_tok,
+    * pad_waste = n_docs·max_tok − sum_tok).
+    *
+    * All-integer arithmetic over one per-stratum sort window (slim
+    * (id, n_tok) rows — the [[packSequences]] scale shape: per-stratum
+    * parallelism, never a global sort), so a SQL oracle replays it
+    * exactly.
+    */
+  def lengthBatches(df: DataFrame, idCol: String, stratumCol: String,
+      tokCol: String, batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"lengthBatches: batchSize=$batchSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+      .orderBy(col("n_tok").desc, col("id"))
+    df.select(col(stratumCol).as("stratum"), col(idCol).as("id"),
+        col(tokCol).cast("long").as("n_tok"))
+      .withColumn("__rn", row_number().over(w))
+      // integer `div`, not `/` (int/int is double in Spark SQL — the
+      // packSequences rule)
+      .withColumn("batch_id", expr(s"CAST((__rn - 1) div $batchSize AS BIGINT)"))
+      .groupBy("stratum", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .withColumn("pad_waste",
+        col("n_docs") * col("max_tok") - col("sum_tok"))
+  }
+
   /** Per-stratum corpus datasheet (the "data card" table every corpus
     * release ships — Gebru et al., "Datasheets for Datasets", CACM
     * 2021): document count, token mass, mean tokens/doc, discrete

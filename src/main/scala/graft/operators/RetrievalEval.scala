@@ -129,6 +129,42 @@ object RetrievalEval {
         (col("__pos") + 1).cast("int").as("rank"))
   }
 
+  /** Contrastive training triples (query, positive, negative) — the
+    * composed data-prep step for embedding-model training (DPR-style,
+    * Karpukhin 2020): positives are the query's top same-label
+    * neighbors, negatives its [[hardNegatives]]; the i-th positive
+    * pairs with the i-th negative (rank-aligned, so the hardest
+    * negative trains against the closest positive). Self-pairs are
+    * excluded from positives.
+    *
+    * Output: (query_id, pos_id, neg_id, pair_rank). Scale: two
+    * broadcast scans with bounded heaps — rows ∝ queries × k.
+    */
+  def contrastiveTriples(queries: DataFrame, qId: String, qVec: String,
+      qLab: String, corpus: DataFrame, cId: String, cVec: String,
+      cLab: String, k: Int, metric: String = "cosine"): DataFrame = {
+    require(k > 0, s"contrastiveTriples: k must be positive, got $k")
+    val c = broadcast(corpus.select(col(cId).cast("long").as("match_id"),
+      col(cVec).as("__cvec"), col(cLab).as("__clab")))
+    val q = queries.select(col(qId).cast("long").as("query_id"),
+      col(qVec).as("__qv"), col(qLab).as("__qlab"))
+    val scored = q.crossJoin(c)
+      .withColumn("__score",
+        VectorSearch.scoreCol(metric)(col("__qv"), col("__cvec")))
+    def ranked(filtered: DataFrame, outCol: String): DataFrame =
+      filtered.groupBy("query_id")
+        .agg(graft.functions.TopKByScore.topK(col("match_id"), col("__score"),
+          k, metric == "l2").as("matches"))
+        .select(col("query_id"), posexplode(col("matches")).as(Seq("__pos", "m")))
+        .select(col("query_id"), col("m.id").as(outCol),
+          (col("__pos") + 1).cast("int").as("pair_rank"))
+    val pos = ranked(scored.filter(col("__clab") === col("__qlab") &&
+      col("match_id") =!= col("query_id")), "pos_id")
+    val neg = ranked(scored.filter(col("__clab") =!= col("__qlab")), "neg_id")
+    pos.join(neg, Seq("query_id", "pair_rank"))
+      .select("query_id", "pos_id", "neg_id", "pair_rank")
+  }
+
   /** Label-relevance evaluation of exact cosine top-k retrieval over an
     * embedded corpus: queries are corpus members, an item is relevant
     * to a query iff it carries the query's label (the standard

@@ -600,6 +600,24 @@ class CorpusSpec extends SparkSpec {
     assert(b._7 == 0.2)
   }
 
+  test("lengthBatches: sorted batching, exact padding arithmetic") {
+    // stratum a: token counts 5,4,3,1 at batchSize 2 ->
+    //   batch 0: {5,4} max 5 sum 9 waste 1; batch 1: {3,1} max 3 sum 4 waste 2
+    val docs = Seq(
+      (1L, "a", 5L), (2L, "a", 4L), (3L, "a", 3L), (4L, "a", 1L),
+      (5L, "b", 7L)).toDF("id", "src", "nt")
+    val got = Corpus.lengthBatches(docs, "id", "src", "nt", batchSize = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("a", 0L)) == ("a", 0L, 2L, 5L, 9L, 1L))
+    assert(got(("a", 1L)) == ("a", 1L, 2L, 3L, 4L, 2L))
+    assert(got(("b", 0L)) == ("b", 0L, 1L, 7L, 7L, 0L))
+    // sorted batching wastes no more than any contiguous batching of
+    // the same counts: total waste equals sum of per-batch (max-mean)
+    val totalWaste = got.values.map(_._6).sum
+    assert(totalWaste == 3L)
+  }
+
   test("datasheet shares sum to 1 and doc counts to the corpus size") {
     val docs = Tables(spark, sf, "documents")
     val rows = Corpus.datasheet(docs, "text", "source")

@@ -92,6 +92,30 @@ class RetrievalEvalSpec extends SparkSpec {
     }
   }
 
+  test("contrastive triples: labels agree/disagree correctly, no self positives") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlab"))
+    val got = RetrievalEval.contrastiveTriples(q, "query_id", "qv", "qlab",
+        emb, "vec_id", "embedding", "label", k = 3)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    got.foreach { case (qid, pos, neg, r) =>
+      assert(pos != qid, s"self positive for $qid")
+      assert(labels(pos) == labels(qid), s"positive $pos label mismatch")
+      assert(labels(neg) != labels(qid), s"negative $neg label match")
+      assert(r >= 1 && r <= 3)
+    }
+    // rank-aligned: each query has equal pos/neg counts (the join)
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length).toSeq,
+        s"query $qid ranks not contiguous")
+    }
+  }
+
   test("rounding margins: no metric on the gate corpus sits near a 1e-4 boundary") {
     // prec/mrr are exact integer ratios; dcg-derived values carry libm
     // ulps — same measured-margin rule as CorpusSpec/LexicalSpec.
