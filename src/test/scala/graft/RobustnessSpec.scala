@@ -309,4 +309,38 @@ class RobustnessSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.operators.Compaction.latestByKey(df, Seq("k"), Seq.empty))
   }
+
+  test("lexical operators tolerate empty/degenerate inputs") {
+    import spark.implicits._
+    import graft.operators.Lexical
+    val docs = Seq((1L, "alpha beta"), (2L, ""), (3L, "   ")).toDF("id", "text")
+    // empty query table -> empty result, not an error
+    val noQ = Seq.empty[(Long, String)].toDF("query_id", "term")
+    assert(Lexical.bm25TopK(noQ, "query_id", "term", docs, "id", "text", 3)
+      .count() == 0)
+    // query matching nothing -> empty; blank docs count toward N/avgdl
+    val ghost = Seq((0L, "zzz")).toDF("query_id", "term")
+    assert(Lexical.bm25TopK(ghost, "query_id", "term", docs, "id", "text", 3)
+      .count() == 0)
+    // matching query ignores blank documents but still scores doc 1
+    val q = Seq((0L, "alpha")).toDF("query_id", "term")
+    val hit = Lexical.bm25TopK(q, "query_id", "term", docs, "id", "text", 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(hit.map(_._2).toSeq == Seq(1L))
+    // rrf of two empty rankings -> empty
+    val e = Seq.empty[(Long, Long, Int)].toDF("q", "id", "r")
+    assert(Lexical.rrfFuse(e, e, "q", "id", "r", 3).count() == 0)
+    // mmr parameter validation fails fast
+    val emb = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val qv = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    intercept[IllegalArgumentException](
+      Lexical.mmrRerank(qv, "query_id", "qv", emb, "vec_id", "embedding",
+        candN = 3, selectK = 5))
+    intercept[IllegalArgumentException](
+      Lexical.mmrRerank(qv, "query_id", "qv", emb, "vec_id", "embedding",
+        candN = 3, selectK = 2, lambda = 1.5))
+    // bpe: empty corpus trains zero merges without error
+    val noDocs = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(graft.operators.Bpe.trainMerges(noDocs, "text", 5).merges.isEmpty)
+  }
 }
