@@ -2054,6 +2054,18 @@ values (
         .orderBy("query_id", "rank")
     }),
 
+    // Grouped MaxSim (multi-vector late interaction, ColBERT-style):
+    // rank label-groups by the max cosine over their member vectors.
+    // Fully oracled (group-max + rank replay in SQL).
+    "q_maxsim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      VectorSearch.groupMaxSimTopK(q, "query_id", "qv",
+        emb, "label", "embedding", k = 3, metric = "cosine")
+        .orderBy("query_id", "rank")
+    }),
+
     // Contrastive training triples: rank-aligned (positive, negative)
     // pairs per query from the same scored scan. Fully oracled.
     "q_contrastive_triples" -> ((s, dir) => {
@@ -3409,6 +3421,15 @@ values (
         "FROM embeddings q, embeddings c " +
         "WHERE q.vec_id % 25 = 0 AND q.label <> c.label) WHERE rnk <= 5 " +
         "ORDER BY query_id, rank"),
+
+    "q_maxsim_topk" ->
+      ("SELECT query_id, match_group, CAST(rnk AS INTEGER) AS rank FROM (" +
+        "SELECT query_id, match_group, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY best DESC, match_group) AS rnk FROM (" +
+        "SELECT q.vec_id AS query_id, CAST(c.label AS BIGINT) AS match_group, " +
+        "max(list_cosine_similarity(q.embedding, c.embedding)) AS best " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id % 25 = 0 " +
+        "GROUP BY 1, 2)) WHERE rnk <= 3 ORDER BY query_id, rank"),
 
     // triples: positives = same-label non-self cosine ranking,
     // negatives = different-label ranking, joined on rank

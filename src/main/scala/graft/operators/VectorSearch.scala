@@ -49,6 +49,40 @@ object VectorSearch {
     if (metric == "l2") Seq(col("score").asc, col("match_id").asc)
     else Seq(col("score").desc, col("match_id").asc)
 
+  /** Grouped MaxSim retrieval — the multi-vector late-interaction shape
+    * (ColBERT's MaxSim reduced to document granularity, Khattab &
+    * Zaharia, SIGIR 2020): a DOCUMENT is represented by MANY vectors
+    * (its chunks — the [[graft.operators.Corpus.chunkTokens]] → embed
+    * pipeline's at-rest layout), and a document's score for a query is
+    * the MAX similarity over its member vectors. Output: (qId,
+    * match_group, rank), rank 1 best, ties by smaller group key.
+    *
+    * Scale shape: one broadcast scoring scan (the [[topKAgg]] regime),
+    * then `max` partial-aggregated per (query, group) — skew-safe — and
+    * the bounded per-query heap. Never a window over a content key.
+    */
+  def groupMaxSimTopK(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cGroup: String, cVec: String,
+      k: Int, metric: String = "cosine"): DataFrame = {
+    require(k > 0, s"groupMaxSimTopK: k must be positive, got $k")
+    val asc = metric == "l2"
+    val c = broadcast(corpus.select(col(cGroup).cast("long").as("__grp"),
+      col(cVec).as("__cvec")))
+    queries.select(col(qId).cast("long").as("query_id"), col(qVec).as("__qv"))
+      .crossJoin(c)
+      .withColumn("__s", scoreCol(metric)(col("__qv"), col("__cvec")))
+      .groupBy("query_id", "__grp")
+      // l2: a document is as close as its CLOSEST member -> min
+      .agg((if (asc) min(col("__s")) else max(col("__s"))).as("__best"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topK(col("__grp"), col("__best"), k, asc)
+        .as("matches"))
+      .select(col("query_id"), posexplode(col("matches")).as(Seq("__pos", "m")))
+      .select(col("query_id"), col("m.id").as("match_group"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
   /** Exact top-k, window strategy. Output: query cols + (match_id, score,
     * rank). Tie-break (score, match_id asc) is deterministic (FIXTURES §C).
     */

@@ -118,4 +118,51 @@ class VectorSearchSpec extends SparkSpec {
       }
     }
   }
+
+  test("groupMaxSimTopK: a group ranks by its BEST member (late interaction)") {
+    import spark.implicits._
+    // group 10 holds a far vector AND a near-identical one; group 20
+    // holds two mediocre vectors. MaxSim must rank group 10 first even
+    // though its MEAN is worse.
+    val corpus = Seq(
+      (1L, 10L, Array(-1.0f, 0.0f)),  // group 10: terrible member
+      (2L, 10L, Array(0.99f, 0.14f)), // group 10: near-perfect member
+      (3L, 20L, Array(0.7f, 0.7f)),
+      (4L, 20L, Array(0.7f, 0.71f))).toDF("vid", "grp", "vec")
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("query_id", "qv")
+    val got = graft.operators.VectorSearch.groupMaxSimTopK(
+        q, "query_id", "qv", corpus, "grp", "vec", k = 2)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(got.map(_._2).toSeq == Seq(10L, 20L), got.toSeq)
+    // l2 flips to min (closest member)
+    val l2 = graft.operators.VectorSearch.groupMaxSimTopK(
+        q, "query_id", "qv", corpus, "grp", "vec", k = 2, metric = "l2")
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(l2.map(_._2).toSeq == Seq(10L, 20L), l2.toSeq)
+  }
+
+  test("groupMaxSimTopK matches a brute-force group max on the sf corpus") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val got = graft.operators.VectorSearch.groupMaxSimTopK(
+        q, "query_id", "qv", emb, "label", "embedding", k = 3)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val vecs = emb.select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .as[(Long, Long, Array[Float])].collect()
+    val queries = vecs.filter(_._1 % 100 == 0)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0f; var aa = 0.0f; var bb = 0.0f
+      a.indices.foreach { i => d += a(i)*b(i); aa += a(i)*a(i); bb += b(i)*b(i) }
+      (d / (math.sqrt(aa).toFloat * math.sqrt(bb).toFloat)).toDouble
+    }
+    queries.foreach { case (qid, _, qv) =>
+      val best = vecs.groupBy(_._2).view
+        .mapValues(_.map(v => cos(qv, v._3)).max).toMap
+      val want = best.toSeq.sortBy { case (g, s) => (-s, g) }.take(3).map(_._1)
+      assert(got(qid) == want, s"query $qid: ${got(qid)} != $want")
+    }
+  }
 }
