@@ -579,6 +579,35 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("chunk -> embed -> groupMaxSim retrieves the chunk's own document") {
+    // the composed multi-vector layout: documents chunk, chunks embed,
+    // and retrieval ranks DOCUMENTS by their best chunk (late
+    // interaction) — a query made from one chunk's text must rank its
+    // source document first (ties only with byte-identical chunks)
+    val docs = Tables(spark, sf, "documents").limit(40)
+    val chunks = Corpus.chunkTokens(docs, "doc_id", "text", 32, 8)
+      .withColumn("emb", graft.functions.HashEmbedder.embedCol(col("chunk_text")))
+    val probe = chunks.filter(col("chunk_id") === 1) // mid-doc chunks
+      .orderBy("id").limit(5)
+      .select(col("id").as("query_id"), col("emb").as("qv"),
+        col("chunk_text").as("qtext"))
+    val got = graft.operators.VectorSearch.groupMaxSimTopK(
+        probe, "query_id", "qv", chunks, "id", "emb", k = 1)
+      .as[(Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    val texts = chunks.select(col("id"), col("chunk_text"))
+      .as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val probes = probe.select(col("query_id"), col("qtext"))
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (qid, grp, _) =>
+      // the winning document must contain the probe chunk's text
+      // byte-identically (self, or a legitimate exact-duplicate chunk)
+      assert(texts(grp).contains(probes(qid)),
+        s"query $qid retrieved doc $grp lacking its chunk")
+    }
+  }
+
   test("datasheet: counts, means, discrete quantiles, shares on a fixed corpus") {
     // stratum a: lengths 1,2,3,10 (texts of that many chars) — n=4:
     //   p50 idx ceil(0.5*4)=2 -> 2; p90 idx ceil(0.9*4)=4 -> 10
