@@ -2066,6 +2066,32 @@ values (
         .orderBy("query_id", "rank")
     }),
 
+    // The MaxSim scale path: IVF-probed candidates then group-max
+    // (rows-only; the recall contract below is the hash gate).
+    "q_maxsim_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      VectorSearch.groupMaxSimAnn(q, "query_id", "qv",
+        emb, "label", "vec_id", "embedding", k = 3, metric = "cosine",
+        numCandidates = 200)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_maxsim_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val approx = VectorSearch.groupMaxSimAnn(q, "query_id", "qv",
+        emb, "label", "vec_id", "embedding", k = 3, metric = "cosine",
+        numCandidates = 200)
+      val exact = VectorSearch.groupMaxSimTopK(q, "query_id", "qv",
+        emb, "label", "embedding", k = 3, metric = "cosine")
+      VectorSearch.recallContract(approx, exact, q,
+        "query_id", "match_group", 1)
+        .orderBy("query_id")
+    }),
+
     // Contrastive training triples: rank-aligned (positive, negative)
     // pairs per query from the same scored scan. Fully oracled.
     "q_contrastive_triples" -> ((s, dir) => {
@@ -3421,6 +3447,10 @@ values (
         "FROM embeddings q, embeddings c " +
         "WHERE q.vec_id % 25 = 0 AND q.label <> c.label) WHERE rnk <= 5 " +
         "ORDER BY query_id, rank"),
+
+    "q_maxsim_ann_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 25 = 0 ORDER BY query_id"),
 
     "q_maxsim_topk" ->
       ("SELECT query_id, match_group, CAST(rnk AS INTEGER) AS rank FROM (" +

@@ -83,6 +83,41 @@ object VectorSearch {
         (col("__pos") + 1).cast("int").as("rank"))
   }
 
+  /** [[groupMaxSimTopK]]'s scale path: IVF-probed chunk candidates
+    * (`numCandidates` best member vectors per query), then the group
+    * max over the RETRIEVED members only — the standard multi-vector
+    * ANN approximation (a group whose every member is missed by the
+    * probe cannot rank; recall is governed by the candidate budget, the
+    * same knob as every ANN family here, and gated by the recall
+    * contract like the rest). The candidate set is queries ×
+    * numCandidates ids — broadcast back onto a slim (id, group)
+    * projection, so the corpus is scanned only by the probe.
+    */
+  def groupMaxSimAnn(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cGroup: String, cId: String, cVec: String,
+      k: Int, metric: String = "cosine",
+      numCandidates: Int = 1000): DataFrame = {
+    require(k > 0, s"groupMaxSimAnn: k must be positive, got $k")
+    val asc = metric == "l2"
+    val cand = IvfSearch.ivfTopKCandidates(queries, qId, qVec,
+        corpus, cId, cVec, k = numCandidates, metric = metric,
+        numCandidates = numCandidates)
+      .select(col(qId).cast("long").as("query_id"),
+        col("match_id"), col("score"))
+    val groups = corpus.select(col(cId).cast("long").as("match_id"),
+      col(cGroup).cast("long").as("__grp"))
+    groups.join(broadcast(cand), "match_id")
+      .groupBy("query_id", "__grp")
+      .agg((if (asc) min(col("score")) else max(col("score"))).as("__best"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topK(col("__grp"), col("__best"), k, asc)
+        .as("matches"))
+      .select(col("query_id"), posexplode(col("matches")).as(Seq("__pos", "m")))
+      .select(col("query_id"), col("m.id").as("match_group"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
   /** Exact top-k, window strategy. Output: query cols + (match_id, score,
     * rank). Tie-break (score, match_id asc) is deterministic (FIXTURES §C).
     */

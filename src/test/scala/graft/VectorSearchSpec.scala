@@ -141,6 +141,26 @@ class VectorSearchSpec extends SparkSpec {
     assert(l2.map(_._2).toSeq == Seq(10L, 20L), l2.toSeq)
   }
 
+  test("groupMaxSimAnn recalls the exact top group under the candidate budget") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val approx = graft.operators.VectorSearch.groupMaxSimAnn(
+        q, "query_id", "qv", emb, "label", "vec_id", "embedding",
+        k = 3, numCandidates = 200)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = graft.operators.VectorSearch.groupMaxSimTopK(
+        q, "query_id", "qv", emb, "label", "embedding", k = 1)
+      .as[(Long, Long, Int)].collect()
+    assert(exact.nonEmpty)
+    exact.foreach { case (qid, top, _) =>
+      assert(approx(qid).contains(top),
+        s"query $qid: exact top group $top missed by the probed path")
+    }
+  }
+
   test("groupMaxSimTopK matches a brute-force group max on the sf corpus") {
     import spark.implicits._
     val emb = Tables(spark, sf, "embeddings")
