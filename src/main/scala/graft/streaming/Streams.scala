@@ -121,6 +121,35 @@ object Streams {
       .start()
   }
 
+  /** Continuous retrieval-quality monitoring: each micro-batch of
+    * arriving labeled queries is evaluated against the static corpus
+    * with [[graft.operators.RetrievalEval.evalLabelRetrieval]]
+    * (precision@k / MRR / nDCG per query) — the live dashboard feed a
+    * production retrieval deployment runs next to serving. Per-query
+    * metrics depend only on the query and the corpus, so stream output
+    * ≡ batch output regardless of batching (proved in StreamingSpec).
+    */
+  def retrievalEvalStream(
+      spark: SparkSession,
+      queriesDir: String,
+      querySchema: StructType,
+      corpus: DataFrame, cId: String, cVec: String, cLab: String,
+      outDir: String,
+      checkpointDir: String,
+      k: Int = 10): StreamingQuery = {
+    val queries = fileStream(spark, queriesDir, querySchema)
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.operators.RetrievalEval.evalLabelRetrieval(batch,
+            "query_id", "qv", "qlab", corpus, cId, cVec, cLab, k)
+          .write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+        ()
+      }
+      .start()
+  }
+
   /** Continuous vector indexing: every micro-batch of arriving vectors
     * appends to a persisted IVF index (cells assigned from the STORED
     * centroids — [[graft.operators.IvfSearch.appendToIndex]]), so

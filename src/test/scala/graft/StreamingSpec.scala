@@ -68,6 +68,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming retrieval eval (availableNow) equals batch metrics") {
+    val src = tmp("graft_re_src")
+    val out = tmp("graft_re_out")
+    val ckpt = tmp("graft_re_ckpt")
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlab"))
+    queries.filter(col("query_id") % 50 === 0).write.parquet(s"$src/f0")
+    queries.filter(col("query_id") % 50 =!= 0).write.parquet(s"$src/f1")
+
+    val q = Streams.retrievalEvalStream(spark, s"$src/*", queries.schema,
+      emb, "vec_id", "embedding", "label", out, ckpt)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+      .select("query_id", "n_rel_at_k", "prec_at_k", "mrr", "ndcg")
+      .orderBy("query_id").collect().map(_.toString).toSeq
+    val batch = graft.operators.RetrievalEval.evalLabelRetrieval(queries,
+        "query_id", "qv", "qlab", emb, "vec_id", "embedding", "label", 10)
+      .orderBy("query_id").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming tumbling counts (complete mode) equal batch aggregation") {
     val events = Tables(spark, sf, "events")
     val src = tmp("graft_ev_src")
