@@ -2054,6 +2054,13 @@ values (
         .orderBy("query_id", "rank")
     }),
 
+    // Winnowing fingerprint selection (Schleimer 2003, MOSS) over the
+    // normalized char stream — lexicographic gram order so the oracle
+    // replays the window minima exactly. Fully oracled.
+    "q_winnow" -> ((s, dir) =>
+      Dedup.winnow(t(s, dir, "documents"), "doc_id", "text", k = 5, w = 4)
+        .orderBy("id", "pos")),
+
     // Grouped MaxSim (multi-vector late interaction, ColBERT-style):
     // rank label-groups by the max cosine over their member vectors.
     // Fully oracled (group-max + rank replay in SQL).
@@ -3451,6 +3458,23 @@ values (
     "q_maxsim_ann_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 25 = 0 ORDER BY query_id"),
+
+    // winnowing: grams at every position, the (gram ++ zero-padded pos)
+    // sortable encoding, window minima over full w-windows, distinct
+    "q_winnow" ->
+      ("WITH s AS (SELECT doc_id AS id, " +
+        "regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS st FROM documents), " +
+        "g AS (SELECT id, CAST(i AS BIGINT) AS pos, " +
+        "substr(st, CAST(i AS INTEGER), 5) AS gram, len(st) - 4 AS ngrams " +
+        "FROM (SELECT id, st, unnest(range(1, len(st) - 3)) AS i FROM s " +
+        "WHERE len(st) >= 8)), " +
+        "m AS (SELECT id, pos, ngrams, " +
+        "min(gram || lpad(CAST(pos AS VARCHAR), 10, '0')) OVER (" +
+        "PARTITION BY id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm " +
+        "FROM g) " +
+        "SELECT DISTINCT id, CAST(substr(wm, 6, 10) AS BIGINT) AS pos, " +
+        "substr(wm, 1, 5) AS gram FROM m WHERE pos <= ngrams - 3 " +
+        "ORDER BY id, pos"),
 
     "q_maxsim_topk" ->
       ("SELECT query_id, match_group, CAST(rnk AS INTEGER) AS rank FROM (" +

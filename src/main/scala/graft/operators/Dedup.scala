@@ -1043,4 +1043,52 @@ object Dedup {
     }
     result
   }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): over the normalized character
+    * stream (lowercased, non-alphanumerics stripped), every `w`-window
+    * of character `k`-grams contributes its MINIMUM gram, ties broken
+    * by LEFTMOST position. The classic guarantees hold for any fixed
+    * total order on grams; this implementation orders grams
+    * LEXICOGRAPHICALLY (instead of by a hash) so a SQL oracle replays
+    * the selection exactly — encode each gram as `gram ++ zero-padded
+    * position` (grams are fixed-length, so string order == (gram, pos)
+    * order) and take the plain `min` over the window frame:
+    *  - any shared substring of length ≥ w + k − 1 yields a shared
+    *    fingerprint (the matching guarantee);
+    *  - consecutive selected positions gap by ≤ w (the density bound).
+    *
+    * Output: (id, pos [1-based in the normalized stream], gram),
+    * distinct per document.
+    *
+    * Scale shape: one narrow gram explode, one window partitioned by
+    * DOCUMENT id (bounded by document length — not a Zipf content
+    * key), one distinct. Fingerprint count ≈ 2·len/w per doc.
+    */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k > 0, s"winnow: k=$k")
+    require(w > 0, s"winnow: w=$w")
+    val gramsDf = df
+      .select(col(idCol).as("id"),
+        regexp_replace(lower(col(textCol)), "[^a-z0-9]", "").as("__s"))
+      .filter(length(col("__s")) >= k + w - 1)
+      .select(col("id"), col("__s"), expr(
+        s"posexplode(transform(sequence(1, length(__s) - ${k - 1}), " +
+          s"i -> substring(__s, i, $k)))").as(Seq("__p0", "gram")))
+      .select(col("id"), (col("__p0") + 1).as("pos"), col("gram"),
+        (length(col("__s")) - (k - 1)).as("__ngrams"))
+    // sortable (gram, pos) encoding: fixed-length grams ++ 10-digit pos
+    val enc = concat(col("gram"), lpad(col("pos").cast("string"), 10, "0"))
+    val win = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(0, w - 1)
+    gramsDf
+      .withColumn("__win_min", min(enc).over(win))
+      // only FULL windows select (window starts 1 .. ngrams - w + 1)
+      .filter(col("pos") <= col("__ngrams") - (w - 1))
+      .select(col("id"), col("__win_min")).distinct()
+      .select(col("id"),
+        substring(col("__win_min"), k + 1, 10).cast("long").as("pos"),
+        substring(col("__win_min"), 1, k).as("gram"))
+  }
 }

@@ -452,4 +452,41 @@ class DedupSpec extends SparkSpec {
     // a doc that is pure boilerplate disappears
     assert(!out.contains(4L))
   }
+
+  test("winnowing: matching guarantee, density bound, and selection laws") {
+    import spark.implicits._
+    val k = 5; val w = 4
+    // two docs share a long substring (>= w + k - 1 = 8 normalized
+    // chars) embedded in different contexts; a third is unrelated
+    val shared = "thequickbrownfoxjumps"
+    val docs = Seq(
+      (1L, s"AAA $shared zz"),
+      (2L, s"completely other prefix $shared and suffix"),
+      (3L, "nothing in common here at all xyz")).toDF("id", "text")
+    val fp = graft.operators.Dedup.winnow(docs, "id", "text", k, w)
+      .as[(Long, Long, String)].collect()
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // matching guarantee: docs 1 and 2 share >= 1 fingerprint GRAM
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "shared substring must yield a shared fingerprint")
+    // density: consecutive selected positions gap by <= w
+    fp.groupBy(_._1).foreach { case (id, rows) =>
+      val ps = rows.map(_._2).sorted
+      ps.zip(ps.tail).foreach { case (a, b) =>
+        assert(b - a <= w, s"doc $id: fingerprint gap ${b - a} > $w")
+      }
+    }
+    // every fingerprint is a real gram of the normalized stream at its
+    // claimed position
+    val norm = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.replaceAll("[^a-z0-9]", "") }
+      .toMap
+    fp.foreach { case (id, pos, gram) =>
+      assert(norm(id).substring(pos.toInt - 1, pos.toInt - 1 + k) == gram,
+        s"doc $id pos $pos: $gram not at that position")
+    }
+    // short docs (< k + w - 1 normalized chars) yield nothing, no error
+    val short = Seq((9L, "ab c")).toDF("id", "text")
+    assert(graft.operators.Dedup.winnow(short, "id", "text", k, w).count() == 0)
+  }
 }
