@@ -2061,6 +2061,13 @@ values (
       Dedup.winnow(t(s, dir, "documents"), "doc_id", "text", k = 5, w = 4)
         .orderBy("id", "pos")),
 
+    // MOSS matching step: near-dup candidate pairs sharing >= 2 winnow
+    // fingerprints, hot grams bucket-capped first. Fully oracled.
+    "q_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4, minShared = 2, maxBucket = 20)
+        .orderBy("id1", "id2")),
+
     // Grouped MaxSim (multi-vector late interaction, ColBERT-style):
     // rank label-groups by the max cosine over their member vectors.
     // Fully oracled (group-max + rank replay in SQL).
@@ -3458,6 +3465,26 @@ values (
     "q_maxsim_ann_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 25 = 0 ORDER BY query_id"),
+
+    "q_winnow_pairs" ->
+      ("WITH s AS (SELECT doc_id AS id, " +
+        "regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS st FROM documents), " +
+        "g AS (SELECT id, CAST(i AS BIGINT) AS pos, " +
+        "substr(st, CAST(i AS INTEGER), 5) AS gram, len(st) - 4 AS ngrams " +
+        "FROM (SELECT id, st, unnest(range(1, len(st) - 3)) AS i FROM s " +
+        "WHERE len(st) >= 8)), " +
+        "m AS (SELECT id, pos, ngrams, " +
+        "min(gram || lpad(CAST(pos AS VARCHAR), 10, '0')) OVER (" +
+        "PARTITION BY id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm " +
+        "FROM g), " +
+        "fp AS (SELECT DISTINCT id, substr(wm, 1, 5) AS gram FROM m " +
+        "WHERE pos <= ngrams - 3), " +
+        "sized AS (SELECT gram FROM fp GROUP BY gram HAVING count(*) <= 20), " +
+        "kept AS (SELECT fp.id, fp.gram FROM fp JOIN sized USING (gram)) " +
+        "SELECT id1, id2, CAST(n_shared AS BIGINT) AS n_shared FROM (" +
+        "SELECT a.id AS id1, b.id AS id2, count(*) AS n_shared " +
+        "FROM kept a JOIN kept b ON a.gram = b.gram AND a.id < b.id " +
+        "GROUP BY 1, 2) WHERE n_shared >= 2 ORDER BY id1, id2"),
 
     // winnowing: grams at every position, the (gram ++ zero-padded pos)
     // sortable encoding, window minima over full w-windows, distinct

@@ -1091,4 +1091,33 @@ object Dedup {
         substring(col("__win_min"), k + 1, 10).cast("long").as("pos"),
         substring(col("__win_min"), 1, k).as("gram"))
   }
+
+  /** Near-dup candidate pairs from shared [[winnow]] fingerprints — the
+    * MOSS matching step: documents pair when they share at least
+    * `minShared` fingerprint GRAMS, with grams held by more than
+    * `maxBucket` documents dropped first (corpus-wide boilerplate grams
+    * would otherwise quadratically pair everything — the
+    * [[minhashDups]] `maxBucket` rule; the drop is deterministic, so
+    * the SQL oracle replays it). Output: (id1 < id2, n_shared).
+    *
+    * Scale shape: fingerprints ≈ 2·len/w per doc; the pair join runs
+    * on the CAPPED gram buckets only, so work ∝ Σ bucket² bounded by
+    * maxBucket² per gram.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2,
+      maxBucket: Int = 20): DataFrame = {
+    require(minShared > 0, s"winnowPairs: minShared=$minShared")
+    require(maxBucket > 1, s"winnowPairs: maxBucket=$maxBucket")
+    val fp = winnow(df, idCol, textCol, k, w).select("id", "gram").distinct()
+    val sized = fp.groupBy("gram").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("gram")
+    val kept = fp.join(sized, "gram")
+    val a = kept.select(col("gram"), col("id").as("id1"))
+    val b = kept.select(col("gram"), col("id").as("id2"))
+    a.join(b, Seq("gram"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

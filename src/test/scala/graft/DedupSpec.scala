@@ -489,4 +489,25 @@ class DedupSpec extends SparkSpec {
     val short = Seq((9L, "ab c")).toDF("id", "text")
     assert(graft.operators.Dedup.winnow(short, "id", "text", k, w).count() == 0)
   }
+
+  test("winnowPairs: shared-substring docs pair; hot grams bucket-capped") {
+    import spark.implicits._
+    val shared = "uniquesharedrunofcharacters"
+    val boiler = "commonboilerplateeverywhere"
+    // docs 1/2 share a rare run; 3..8 all share only the boilerplate
+    val docs = (Seq(
+      (1L, s"first $shared tail"),
+      (2L, s"other prefix $shared")) ++
+      (3L to 8L).map(i => (i, s"doc number $i with $boiler"))
+    ).toDF("id", "text")
+    val pairs = graft.operators.Dedup.winnowPairs(docs, "id", "text",
+        k = 5, w = 4, minShared = 2, maxBucket = 4)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)), s"rare shared run must pair: $pairs")
+    // every gram shared among docs 3..8 (the boilerplate and the "doc
+    // number" prefix) is held by all six of them — bucket 6 > maxBucket
+    // 4, so all are dropped and boilerplate-only docs never pair
+    val boilerPairs = pairs.filter { case (a, b) => a >= 3 && b >= 3 }
+    assert(boilerPairs.isEmpty, s"capped grams still paired: $boilerPairs")
+  }
 }
