@@ -371,10 +371,17 @@ object SparkEntry {
     // posting-list statistics a search engine persists at index time)
     val dfTab = memo(s, dir, "rag_hybrid_df")(
       graft.operators.Lexical.termDf(corpus, "cid", "ctext"))
+    // the posting list is the third index-time artifact (tf/dl per
+    // (doc, term) — what a search engine persists as its inverted index)
+    val post = memo(s, dir, "rag_hybrid_postings")(
+      graft.operators.Lexical.postings(
+        corpus.select(col("cid"), col("ctext")), "cid", "ctext"))
     if (fresh) memoRefresh(s, dir, "rag_hybrid")(
-      Rag.hybridE2e(s, dir, corpusOverride = corpus, dfOverride = dfTab))
+      Rag.hybridE2e(s, dir, corpusOverride = corpus, dfOverride = dfTab,
+        postOverride = post))
     else memo(s, dir, "rag_hybrid")(
-      Rag.hybridE2e(s, dir, corpusOverride = corpus, dfOverride = dfTab))
+      Rag.hybridE2e(s, dir, corpusOverride = corpus, dfOverride = dfTab,
+        postOverride = post))
   }
 
   /** Content tag for persisted-index paths, so a regenerated dataset at

@@ -73,6 +73,22 @@ object Lexical {
     * over ALL corpus documents (token-less docs count toward N with
     * dl = 0, matching `avg` over the full table in any SQL engine).
     */
+  /** The corpus posting list: one row per (doc, token) with the term
+    * frequency and the document length riding along — the
+    * QUERY-INDEPENDENT half of BM25, aggregated ONCE (a map-side
+    * combine on (id, tok)) and reusable across every query batch. An
+    * offline index artifact like [[termDf]]: compute, persist, and pass
+    * back via the `postings` parameter so scoring never re-tokenizes
+    * the corpus. Structurally load-bearing: aggregating BEFORE the
+    * query join keeps the combine at corpus-token scale, where joining
+    * first would fan every token row out by the number of queries
+    * holding its term and aggregate THAT.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), toks(col(textCol)).as("__tk"))
+      .select(col("id"), size(col("__tk")).as("dl"), explode(col("__tk")).as("tok"))
+      .groupBy("id", "dl", "tok").agg(count(lit(1)).as("tf"))
+
   def bm25Scores(queries: DataFrame, qId: String, termCol: String,
       docs: DataFrame, idCol: String, textCol: String,
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
@@ -87,36 +103,35 @@ object Lexical {
   private[graft] def bm25ScoresImpl(
       queries: DataFrame, qId: String, termCol: String,
       docs: DataFrame, idCol: String, textCol: String,
-      k1: Double, b: Double, rounded: Boolean): DataFrame = {
+      k1: Double, b: Double, rounded: Boolean,
+      post: DataFrame = null): DataFrame = {
     require(k1 >= 0, s"bm25: k1 must be >= 0, got $k1")
     require(b >= 0 && b <= 1, s"bm25: b must be in [0,1], got $b")
     val q = queries
       .select(col(qId).cast("long").as("query_id"),
         col(termCol).cast("string").as("__term"))
       .distinct()
-    // dl rides the token stream (narrow, per-row) — no corpus join later
-    val tokStream = docs.select(col(idCol).as("id"), toks(col(textCol)).as("__tk"))
-      .select(col("id"), size(col("__tk")).as("dl"), explode(col("__tk")).as("tok"))
+    // the query-independent posting list — aggregated at corpus-token
+    // scale BEFORE any query fan-out (see [[postings]]); callers with a
+    // persisted posting artifact pass it in
+    val pl = if (post != null) post else postings(docs, idCol, textCol)
     // corpus stats: one agg, 1-row broadcast. sum(dl) is an exact
     // integer in a double, so avgdl is partition-order-independent.
+    // Derived from `docs` (not the posting list): token-less documents
+    // count toward N with dl = 0.
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n"),
       avg(size(toks(col(textCol)))).as("avgdl"))
-    // only query terms survive into the shuffle. LAZY localCheckpoint:
-    // both the df aggregate and the scoring join consume this subtree,
-    // and without it the tokenize + broadcast-join upstream (including
-    // any PRF expansion pass feeding `queries`) evaluates TWICE; the
-    // first action materializes the slim tf table once (the
-    // [[Corpus.docTokenCounts]] rule, same cluster caveat).
-    val matched = tokStream
-      .join(broadcast(q), col("tok") === col("__term"))
-      .groupBy("query_id", "tok", "id", "dl")
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
-    // df per term: (tok, id) pairs are distinct post-groupBy only per
-    // query — dedup across queries sharing a term before counting
-    val dfTable = matched.select("tok", "id").distinct()
+    // df per term is posting-list-derived ((id, tok) rows are distinct
+    // by construction) and query-independent — restricted to query
+    // terms by the same broadcast
+    val dfTable = pl.join(broadcast(q.select(col("__term")).distinct()),
+        col("tok") === col("__term"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
+    // the query fan-out joins AFTER aggregation: rows ∝ Σ_t df(t)·|q(t)|
+    // flow straight into the per-(query, doc) sum with no further
+    // wide aggregation of corpus-scale data
+    val matched = pl.join(broadcast(q), col("tok") === col("__term"))
     val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = col("tf") * (k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
@@ -134,9 +149,11 @@ object Lexical {
     */
   def bm25TopK(queries: DataFrame, qId: String, termCol: String,
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      post: DataFrame = null): DataFrame = {
     require(k > 0, s"bm25TopK: k must be positive, got $k")
-    bm25Scores(queries, qId, termCol, docs, idCol, textCol, k1, b)
+    bm25ScoresImpl(queries, qId, termCol, docs, idCol, textCol, k1, b,
+        rounded = true, post = post)
       .groupBy("query_id")
       .agg(TopKByScore.topK(col("id"), col("score"), k).as("matches"))
       .select(col("query_id"), posexplode(col("matches")).as(Seq("rank0", "m")))
@@ -264,7 +281,7 @@ object Lexical {
       corpus: DataFrame, cId: String, cVec: String, cText: String,
       k: Int, fuseDepth: Int = 10, metric: String = "dot",
       kConst: Int = 60, maxQueryTerms: Int = 0,
-      dfTable: DataFrame = null): DataFrame = {
+      dfTable: DataFrame = null, post: DataFrame = null): DataFrame = {
     require(k > 0, s"hybridTopK: k must be positive, got $k")
     val depth = math.max(k, fuseDepth)
     val vrank = VectorSearch.topKAgg(queries, qId, qVec,
@@ -292,7 +309,7 @@ object Lexical {
       }
     val lrank = bm25TopK(qTerms, "query_id", "term",
         corpus.select(col(cId).as("__cid2"), col(cText).as("__ctext")),
-        "__cid2", "__ctext", depth)
+        "__cid2", "__ctext", depth, post = post)
       .select("query_id", "match_id", "rank")
     rrfFuse(vrank, lrank, "query_id", "match_id", "rank", k, kConst)
   }
