@@ -231,7 +231,11 @@ object Lexical {
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= fbTerms)
       .select(col("query_id"), col("tok").as("term"))
-    q.unionByName(mined).distinct()
+    // LAZY checkpoint: the expanded set (queries × (originals + fbTerms)
+    // rows — tiny) feeds BOTH the df restriction and the scoring join of
+    // the second pass; without it the whole pass-1 + mining subtree
+    // evaluates twice
+    q.unionByName(mined).distinct().localCheckpoint(false)
   }
 
   /** BM25 top-k under PRF expansion: [[prfExpandTerms]] then
