@@ -31,27 +31,42 @@ object Dedup {
   def normText(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
 
   /** Exact duplicates removed: keeps the lowest id per normalized text.
-    * One shuffle (on the group key), map-side combine for the min.
+    *
+    * Shape: partial-agg `groupBy(key).agg(min(id))` + equi-join-back on
+    * the id — NEVER a window over the content key. A window partition is
+    * an unsplittable sort group, so the Zipf-head duplicate (the empty
+    * page, the boilerplate 404 body — exactly what web-scale dedup sees
+    * most) would serialize onto one task and AQE could not split it. The
+    * groupBy's map-side combine reduces each partition to one row per
+    * distinct key before the shuffle, and the join-back keys on the
+    * UNIQUE id — unskewed by construction, AQE-splittable.
     */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(normText(col(textCol)))
-    df.withColumn("__keep", min(col(idCol)).over(w))
-      .filter(col(idCol) === col("__keep"))
-      .drop("__keep")
-  }
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    joinBackKeepers(df, idCol,
+      df.groupBy(normText(col(textCol)).as("__k"))
+        .agg(min(col(idCol)).as("__keep")))
 
-  /** Exact dedup, 100 TB form: the window key is xxhash64(normText)
-    * instead of the full normalized text, so the shuffle carries 8 bytes
+  /** Exact dedup, 100 TB form: the group key is xxhash64(normText)
+    * instead of the full normalized text, so the combine carries 8 bytes
     * per row instead of the document body. 64-bit collisions are
     * negligible for dedup (birthday bound ~2^32 docs); the oracle-paired
-    * [[exact]] keeps the full-text key for bit-exact checkability.
+    * [[exact]] keeps the full-text key for bit-exact checkability. Same
+    * skew-proof groupBy + join-back shape as [[exact]].
     */
-  def exactScalable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(xxhash64(normText(col(textCol))))
-    df.withColumn("__keep", min(col(idCol)).over(w))
-      .filter(col(idCol) === col("__keep"))
-      .drop("__keep")
-  }
+  def exactScalable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    joinBackKeepers(df, idCol,
+      df.groupBy(xxhash64(normText(col(textCol))).as("__k"))
+        .agg(min(col(idCol)).as("__keep")))
+
+  /** Semi-join `df` against a (…, __keep) keeper-id table: survivors are
+    * the rows whose id appears in `keepers.__keep`. Ids are unique, so
+    * the join key is unskewed and AQE-splittable; Catalyst broadcasts
+    * the keeper side when it fits.
+    */
+  private def joinBackKeepers(df: DataFrame, idCol: String,
+      keepers: DataFrame): DataFrame =
+    df.join(keepers.select(col("__keep")),
+      df(idCol) === col("__keep"), "left_semi")
 
   /** Exact-dup groups (group key + ids), for inspection/oracle checks. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -561,16 +576,21 @@ object Dedup {
     * group (quality desc, id asc tie-break) — the survivor choice a
     * training-data pipeline actually wants: among byte-different copies
     * of the same content, keep the cleanest rendering, not the lowest
-    * id. Same single hash shuffle as [[exactScalable]].
+    * id. Same skew-proof shape as [[exact]]: one partial-agg groupBy on
+    * the 8-byte hashed key + the id-keyed semi-join back. The (quality
+    * desc, id asc) survivor choice is a single `min(struct(-quality,
+    * id))` aggregate — struct min is lexicographic, so negating the
+    * (numeric) quality gives quality-descending with the id ascending
+    * tie-break, with full map-side combining (a window's per-group sort
+    * would serialize the Zipf-head duplicate group onto one task).
     */
   def exactKeepBest(
-      df: DataFrame, idCol: String, textCol: String, qualityCol: String): DataFrame = {
-    val w = Window.partitionBy(xxhash64(normText(col(textCol))))
-      .orderBy(col(qualityCol).desc, col(idCol))
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .drop("__rk")
-  }
+      df: DataFrame, idCol: String, textCol: String, qualityCol: String): DataFrame =
+    joinBackKeepers(df, idCol,
+      df.groupBy(xxhash64(normText(col(textCol))).as("__k"))
+        .agg(min(struct(negate(col(qualityCol)).as("__nq"),
+          col(idCol).as("__i"))).as("__b"))
+        .select(col("__b.__i").as("__keep")))
 
   /** [[dedupPipeline]] with quality-aware survivor selection in BOTH
     * stages: exact groups keep their best-quality member, and each

@@ -387,11 +387,13 @@ object Streams {
         // full normText+hash pass over every admitted document body
         val hashed = gated.withColumn("__h",
           xxhash64(Dedup.normText(col(textCol))))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
-        val inBatch = hashed
-          .withColumn("__keep", min(col(idCol)).over(w))
-          .filter(col(idCol) === col("__keep"))
-          .drop("__keep")
+        // min-id per key via partial-agg groupBy + id-keyed semi-join —
+        // the skew-proof Dedup.exact shape (never a window over the
+        // content key, even within a micro-batch: a re-ingested
+        // boilerplate flood arrives as ONE batch)
+        val keep = hashed.groupBy("__h").agg(min(col(idCol)).as("__keep"))
+        val inBatch = hashed.join(keep.select("__keep"),
+          hashed(idCol) === col("__keep"), "left_semi")
         val storeEpochs = storeEpochDirs(spark, storeDir, epoch)
         val survivors =
           (if (storeEpochs.nonEmpty) {
@@ -450,17 +452,15 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val gated = batch.filter(TextOps.curationGate(col(textCol), minWords))
-        // exact stage: hash once, min-id per key within the batch, then
+        // exact stage: hash once, min-id per key within the batch (the
+        // skew-proof groupBy + semi-join-back shape of Dedup.exact), then
         // anti-join the cross-epoch hash store (the curationFilterStream
-        // shape — window over a full-text hash is duplicate-mass-bounded
-        // within one micro-batch)
+        // contract)
         val hashed = gated.withColumn("__h",
           xxhash64(Dedup.normText(col(textCol))))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
-        val inBatchExact = hashed
-          .withColumn("__keep", min(col(idCol)).over(w))
-          .filter(col(idCol) === col("__keep"))
-          .drop("__keep")
+        val keep = hashed.groupBy("__h").agg(min(col(idCol)).as("__keep"))
+        val inBatchExact = hashed.join(keep.select("__keep"),
+          hashed(idCol) === col("__keep"), "left_semi")
         val hashEpochs = storeEpochDirs(spark, s"$storeDir/hash", epoch)
         val afterExact =
           (if (hashEpochs.nonEmpty) {

@@ -77,6 +77,38 @@ class SkewAndBucketSpec extends SparkSpec {
       .distinct().as[Long].collect().toSeq == Seq(3000L))
   }
 
+  test("mega duplicate group: exact dedup has no single-task content-key sort") {
+    import graft.operators.Dedup
+    // the Zipf-head case: 5000 copies of ONE document (the empty page /
+    // boilerplate 404 body of web-scale dedup) plus distinct tails. A
+    // window over the content key would serialize the 5000-row group
+    // onto one unsplittable sort task; the groupBy + join-back shape
+    // partial-aggregates it map-side.
+    val docs = ((1L to 5000L).map(i => (i, "error 404 page not found")) ++
+      (5001L to 5200L).map(i => (i, s"unique document $i"))).toDF("id", "text")
+    for (dedup <- Seq(
+        Dedup.exact(docs, "id", "text"),
+        Dedup.exactScalable(docs, "id", "text"))) {
+      val plan = dedup.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"content-key window in plan:\n$plan")
+      val ids = dedup.select("id").as[Long].collect().toSet
+      assert(ids == (Set(1L) ++ (5001L to 5200L)), s"survivors: ${ids.size}")
+    }
+    // keepBest under the same skew: quality desc, id asc tie-break
+    val scored = docs.withColumn("q",
+      when(col("id") === 4999L, 9.0).otherwise(lit(1.0) / col("id")))
+    val kb = Dedup.exactKeepBest(scored, "id", "text", "q")
+    assert(!kb.queryExecution.executedPlan.toString.contains("Window"))
+    val kbIds = kb.select("id").as[Long].collect().toSet
+    // the hot group keeps its quality-9 member; singletons keep themselves
+    assert(kbIds == (Set(4999L) ++ (5001L to 5200L)), s"keepBest: ${kbIds.size}")
+    // tie-break: equal quality -> lowest id survives
+    val tied = Seq((7L, "same text", 1.0), (3L, "same text", 1.0),
+      (5L, "same  TEXT", 1.0)).toDF("id", "text", "q")
+    assert(Dedup.exactKeepBest(tied, "id", "text", "q")
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val suffix = System.nanoTime() // fresh names: stale warehouse dirs survive DROP TABLE
     val liT = s"li_bucketed_$suffix"; val ordT = s"ord_bucketed_$suffix"
