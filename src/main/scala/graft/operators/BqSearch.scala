@@ -43,28 +43,25 @@ object BqSearch {
     */
   val trainInvocations = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[String, BqModel]
+  private val modelCache = new ModelCache[BqModel]()
 
   /** Train-once/serve-many thresholds for the corpus identified by
     * `tag` — the [[PqSearch.cachedCodebooks]] contract: at most one
     * training pass per JVM per (tag, dim), persisted content-addressed
     * under the JVM tmpdir so a fresh JVM over the same corpus reloads
-    * instead of retraining.
+    * instead of retraining. Overflow evicts LRU entries only
+    * ([[ModelCache]]), never unrelated tags' hot models.
     */
   def cachedModel(corpus: DataFrame, cVec: String,
       tag: String, dim: Int = 64, persist: Boolean = true): BqModel =
-    modelCache.synchronized {
+    modelCache.getOrElseUpdate(s"${tag}_d$dim") {
       val key = s"${tag}_d$dim"
-      if (modelCache.size > 64) modelCache.clear()
-      modelCache.getOrElseUpdate(key, {
-        if (persist) {
-          val path = s"${System.getProperty("java.io.tmpdir")}/graft_bq_model_$key"
-          if (!new java.io.File(s"$path/_SUCCESS").exists())
-            saveModel(corpus.sparkSession, path, trainModel(corpus, cVec, dim))
-          loadModel(corpus.sparkSession, path)
-        } else trainModel(corpus, cVec, dim)
-      })
+      if (persist) {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_bq_model_$key"
+        if (!FsUtil.exists(corpus.sparkSession, s"$path/_SUCCESS"))
+          saveModel(corpus.sparkSession, path, trainModel(corpus, cVec, dim))
+        loadModel(corpus.sparkSession, path)
+      } else trainModel(corpus, cVec, dim)
     }
 
   /** Per-dimension midrange threshold in ONE partial-agg pass. */

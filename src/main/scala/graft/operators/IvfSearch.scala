@@ -236,7 +236,7 @@ object IvfSearch {
   /** Baseline recorded at writeIndex time; None for a pre-stats index. */
   private[operators] def loadStats(
       spark: org.apache.spark.sql.SparkSession, path: String): Option[(Double, Double)] =
-    if (!new java.io.File(s"$path/stats").isDirectory) None
+    if (!FsUtil.exists(spark, s"$path/stats")) None
     else spark.read.parquet(s"$path/stats").collect().headOption
       .map(r => (r.getDouble(0), r.getDouble(1)))
 

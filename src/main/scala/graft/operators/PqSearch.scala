@@ -50,8 +50,7 @@ object PqSearch {
   /** In-process codebook cache backing [[cachedCodebooks]], keyed by
     * corpus identity tag.
     */
-  private val cbCache =
-    scala.collection.concurrent.TrieMap.empty[String, Codebooks]
+  private val cbCache = new ModelCache[Codebooks]()
 
   /** Train-once/serve-many codebooks for the corpus identified by
     * `tag`: trained at most once per JVM (in-process cache) and, when
@@ -69,25 +68,22 @@ object PqSearch {
       corpus: DataFrame, cId: String, cVec: String, tag: String,
       m: Int = 8, kCodes: Int = 16, iters: Int = 2, dim: Int = 64,
       persist: Boolean = true): Codebooks =
-    cbCache.synchronized {
-      // hyperparameters are part of the identity: the same corpus tag
-      // under a different PQ shape must train (and persist) separately,
-      // never serve mismatched codebooks
+    // hyperparameters are part of the identity: the same corpus tag
+    // under a different PQ shape must train (and persist) separately,
+    // never serve mismatched codebooks. Registration-scoped tags
+    // (persist=false) are never reused, so a long-lived session would
+    // otherwise grow one dead Codebooks per re-registration: the
+    // bounded [[ModelCache]] evicts LRU entries only (persisted
+    // entries reload from disk; the rest retrain at most once more).
+    cbCache.getOrElseUpdate(s"${tag}_m${m}_k${kCodes}_i${iters}_d$dim") {
       val key = s"${tag}_m${m}_k${kCodes}_i${iters}_d$dim"
-      // registration-scoped tags (persist=false) are never reused, so a
-      // long-lived session would otherwise grow one dead Codebooks per
-      // re-registration: bound the cache, clearing wholesale (persisted
-      // entries reload from disk; the rest retrain at most once more)
-      if (cbCache.size > 64) cbCache.clear()
-      cbCache.getOrElseUpdate(key, {
-        if (persist) {
-          val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_cb_$key"
-          if (!new java.io.File(s"$path/_SUCCESS").exists())
-            saveCodebooks(corpus.sparkSession, path,
-              trainCodebooks(corpus, cId, cVec, m, kCodes, iters, dim))
-          loadCodebooks(corpus.sparkSession, path)
-        } else trainCodebooks(corpus, cId, cVec, m, kCodes, iters, dim)
-      })
+      if (persist) {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_cb_$key"
+        if (!FsUtil.exists(corpus.sparkSession, s"$path/_SUCCESS"))
+          saveCodebooks(corpus.sparkSession, path,
+            trainCodebooks(corpus, cId, cVec, m, kCodes, iters, dim))
+        loadCodebooks(corpus.sparkSession, path)
+      } else trainCodebooks(corpus, cId, cVec, m, kCodes, iters, dim)
     }
 
   /** Deterministic per-subspace k-means. Init: the first `kCodes`

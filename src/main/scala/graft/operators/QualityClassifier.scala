@@ -93,8 +93,7 @@ object QualityClassifier {
     */
   val trainInvocations = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[String, Model]
+  private val modelCache = new ModelCache[Model]()
 
   /** Train-once/serve-many model for the (corpus, labeling) identified
     * by `tag` — the [[PqSearch.cachedCodebooks]] contract: at most one
@@ -106,18 +105,15 @@ object QualityClassifier {
   def cachedModel(df: DataFrame, idCol: String, textCol: String,
       label: Column, tag: String, dimBits: Int = 12, iters: Int = 30,
       lr: Double = 4.0, persist: Boolean = true): Model =
-    modelCache.synchronized {
+    modelCache.getOrElseUpdate(s"${tag}_b${dimBits}_i${iters}_lr$lr") {
       val key = s"${tag}_b${dimBits}_i${iters}_lr$lr"
-      if (modelCache.size > 64) modelCache.clear()
-      modelCache.getOrElseUpdate(key, {
-        if (persist) {
-          val path = s"${System.getProperty("java.io.tmpdir")}/graft_qc_model_$key"
-          if (!new java.io.File(s"$path/_SUCCESS").exists())
-            saveModel(df.sparkSession, path,
-              train(df, idCol, textCol, label, dimBits, iters, lr))
-          loadModel(df.sparkSession, path)
-        } else train(df, idCol, textCol, label, dimBits, iters, lr)
-      })
+      if (persist) {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_qc_model_$key"
+        if (!FsUtil.exists(df.sparkSession, s"$path/_SUCCESS"))
+          saveModel(df.sparkSession, path,
+            train(df, idCol, textCol, label, dimBits, iters, lr))
+        loadModel(df.sparkSession, path)
+      } else train(df, idCol, textCol, label, dimBits, iters, lr)
     }
 
   /** Persist as (f, w) parquet rows — the model is an offline artifact

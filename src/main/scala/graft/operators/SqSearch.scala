@@ -56,8 +56,7 @@ object SqSearch {
     */
   val trainInvocations = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[String, SqModel]
+  private val modelCache = new ModelCache[SqModel]()
 
   /** Train-once/serve-many bounds for the corpus identified by `tag` —
     * the [[PqSearch.cachedCodebooks]] contract: at most one training
@@ -67,18 +66,15 @@ object SqSearch {
     */
   def cachedModel(corpus: DataFrame, cId: String, cVec: String,
       tag: String, dim: Int = 64, persist: Boolean = true): SqModel =
-    modelCache.synchronized {
+    modelCache.getOrElseUpdate(s"${tag}_d$dim") {
       val key = s"${tag}_d$dim"
-      if (modelCache.size > 64) modelCache.clear()
-      modelCache.getOrElseUpdate(key, {
-        if (persist) {
-          val path = s"${System.getProperty("java.io.tmpdir")}/graft_sq_model_$key"
-          if (!new java.io.File(s"$path/_SUCCESS").exists())
-            saveModel(corpus.sparkSession, path,
-              trainModel(corpus, cVec, dim))
-          loadModel(corpus.sparkSession, path)
-        } else trainModel(corpus, cVec, dim)
-      })
+      if (persist) {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_sq_model_$key"
+        if (!FsUtil.exists(corpus.sparkSession, s"$path/_SUCCESS"))
+          saveModel(corpus.sparkSession, path,
+            trainModel(corpus, cVec, dim))
+        loadModel(corpus.sparkSession, path)
+      } else trainModel(corpus, cVec, dim)
     }
 
   /** Per-dimension [min, max] in ONE partial-agg pass over slim (d, v)

@@ -60,17 +60,43 @@ object VectorSearch {
     * Scale shape: one broadcast scoring scan (the [[topKAgg]] regime),
     * then `max` partial-aggregated per (query, group) — skew-safe — and
     * the bounded per-query heap. Never a window over a content key.
+    *
+    * The broadcast is byte-guarded (the [[topKBroadcast]] stats check):
+    * a multi-vector corpus carries MANY vectors per document, so it
+    * outgrows the broadcast limit faster than any single-vector path.
+    * Beyond `maxCorpusBytes`, scoring falls back to a replicated-block
+    * shuffle equi-join — queries replicate across `shuffle.partitions`
+    * block ids, corpus rows hash to one block each — which realizes the
+    * same |Q|×|C| scoring scan as a distributed, AQE-splittable join
+    * feeding the identical partial-max/heap aggregation.
+    * [[groupMaxSimAnn]] remains the preferred route at that scale.
     */
   def groupMaxSimTopK(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cGroup: String, cVec: String,
-      k: Int, metric: String = "cosine"): DataFrame = {
+      k: Int, metric: String = "cosine",
+      maxCorpusBytes: Long = 1L << 30): DataFrame = {
     require(k > 0, s"groupMaxSimTopK: k must be positive, got $k")
     val asc = metric == "l2"
-    val c = broadcast(corpus.select(col(cGroup).cast("long").as("__grp"),
-      col(cVec).as("__cvec")))
-    queries.select(col(qId).cast("long").as("query_id"), col(qVec).as("__qv"))
-      .crossJoin(c)
+    val cSlim = corpus.select(col(cGroup).cast("long").as("__grp"),
+      col(cVec).as("__cvec"))
+    val q = queries.select(col(qId).cast("long").as("query_id"),
+      col(qVec).as("__qv"))
+    val scored =
+      if (corpus.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          BigInt(maxCorpusBytes))
+        q.crossJoin(broadcast(cSlim))
+      else {
+        val nBlocks = queries.sparkSession.sessionState.conf.numShufflePartitions
+        // row-hash block key (vector included): even spread regardless of
+        // group-size skew; every query meets every corpus row exactly once
+        val cB = cSlim.withColumn("__blk",
+          pmod(xxhash64(col("__grp"), col("__cvec")), lit(nBlocks)).cast("int"))
+        val qB = q.withColumn("__blk",
+          explode(sequence(lit(0), lit(nBlocks - 1))))
+        qB.join(cB, "__blk").drop("__blk")
+      }
+    scored
       .withColumn("__s", scoreCol(metric)(col("__qv"), col("__cvec")))
       .groupBy("query_id", "__grp")
       // l2: a document is as close as its CLOSEST member -> min

@@ -793,6 +793,23 @@ class GraftSql(
 
   private val fedViewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Vector dimensionality of a registered corpus, derived from the
+    * data ONCE per registration tag (re-registration mints a fresh tag,
+    * so a stale dim can never serve a regenerated corpus). An empty
+    * corpus fails with a named error instead of head's opaque
+    * NoSuchElementException, and the cache keeps repeat statements from
+    * paying a probe job each.
+    */
+  private val dimCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def corpusDim(c: DataFrame, tag: String): Int =
+    dimCache.getOrElseUpdate(tag, {
+      import org.apache.spark.sql.functions.{col, size}
+      c.select(size(col("__cvec"))).head(1).headOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"search corpus '$tag' is empty — cannot derive vector dimensionality"))
+        .getInt(0)
+    })
+
   /** Distributed FEDERATED_SEARCH for beyond-cap corpora: score through
     * the corpus' declared index family — exact [[VectorSearch.topKAgg]]
     * ("flat": map-side bounded heap, only ≤k rows per query per
@@ -845,7 +862,7 @@ class GraftSql(
         // serve-only like "pq": the byte-quantizer bounds come from the
         // registration-scoped cache; dim derived from the data (the
         // facade accepts any vector width)
-        val dim = c.select(size(col("__cvec"))).head.getInt(0)
+        val dim = corpusDim(c, big.tag)
         val m = graft.operators.SqSearch.cachedModel(
           c, "__cid", "__cvec", big.tag, dim = dim, persist = false)
         graft.operators.SqSearch.sqTopK(qv, "__qid", "__qvec",
@@ -854,7 +871,7 @@ class GraftSql(
           .select(col("__qid"), col("rank").as("__rank"),
             col("match_id").as("__cid"))
       case "bq" =>
-        val dim = c.select(size(col("__cvec"))).head.getInt(0)
+        val dim = corpusDim(c, big.tag)
         val m = graft.operators.BqSearch.cachedModel(
           c, "__cvec", big.tag, dim = dim, persist = false)
         graft.operators.BqSearch.bqTopK(qv, "__qid", "__qvec",

@@ -197,6 +197,25 @@ class RobustnessSpec extends SparkSpec {
       nBits = 4, nTables = 8, dim = dim)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact, s"LSH at 1536 dims missed planted pairs: ${exact -- lsh}")
+
+    // --- multi-vector MaxSim byte guard at 1536 dims: a cap under the
+    // corpus bytes reroutes the scoring scan from broadcast crossJoin to
+    // the replicated-block shuffle equi-join — identical rankings, no
+    // cartesian product in the fallback plan
+    val grouped = emb.withColumn("grp", col("vec_id") % 50)
+    def msHits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val msDirect = VectorSearch.groupMaxSimTopK(queries, "qid", "qv",
+      grouped, "grp", "embedding", k = 3)
+    val msGuarded = VectorSearch.groupMaxSimTopK(queries, "qid", "qv",
+      grouped, "grp", "embedding", k = 3, maxCorpusBytes = 64L << 10)
+    val msPlan = msGuarded.queryExecution.executedPlan.toString
+    assert(!msPlan.contains("CartesianProduct"),
+      s"guarded MaxSim must not go cartesian:\n$msPlan")
+    assert(!msPlan.contains("BroadcastNestedLoopJoin"),
+      s"guarded MaxSim must not broadcast the corpus:\n$msPlan")
+    assert(msHits(msGuarded) == msHits(msDirect),
+      "byte-guarded MaxSim ranking diverged from the broadcast path")
   }
 
   test("bitset ground-truth kernel: byte cap falls back to the relational join, same pairs") {

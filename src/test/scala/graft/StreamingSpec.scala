@@ -298,6 +298,29 @@ class StreamingSpec extends SparkSpec {
     assert(storeSchema.fieldNames.toSeq == Seq("h"))
   }
 
+  test("unreachable cross-epoch store fails the stream loudly, never reads as empty") {
+    import spark.implicits._
+    // silent-empty is the worst dedup-store failure mode: a store that
+    // cannot be reached must error out of the micro-batch (surfaced as a
+    // StreamingQueryException), not admit re-ingested duplicates. An
+    // unresolvable filesystem scheme stands in for the unreachable
+    // HDFS/S3 store.
+    val src = tmp("graft_badstore_src")
+    Seq((1L, "the quick fox is here " + (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("id", "text").coalesce(1).write.parquet(s"$src/a")
+    val schema = spark.read.parquet(s"$src/a").schema
+    val q = Streams.curationFilterStream(spark, s"$src/*", schema,
+      "id", "text", tmp("graft_badstore_out"),
+      "nosuchfs://nowhere/store", tmp("graft_badstore_ckpt"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.toLowerCase.contains("nosuchfs")),
+      s"expected a filesystem error naming the scheme, got: ${msgs(e)}")
+  }
+
   test("composed streaming curation (gate + exact + near-dup) equals the batch recipe") {
     import spark.implicits._
     val src = tmp("graft_cnd_src")
