@@ -376,13 +376,35 @@ object SparkEntry {
     val post = memo(s, dir, "rag_hybrid_postings")(
       graft.operators.Lexical.postings(
         corpus.select(col("cid"), col("ctext")), "cid", "ctext"))
+    // the 1-row (N, avgdl) stats artifact completes the index: with it,
+    // scoring passes never re-tokenize the corpus at all
+    val stats = memo(s, dir, "rag_hybrid_stats")(
+      graft.operators.Lexical.corpusStats(corpus, "ctext"))
     if (fresh) memoRefresh(s, dir, "rag_hybrid")(
       Rag.hybridE2e(s, dir, corpusOverride = corpus, dfOverride = dfTab,
-        postOverride = post))
+        postOverride = post, statsOverride = stats))
     else memo(s, dir, "rag_hybrid")(
       Rag.hybridE2e(s, dir, corpusOverride = corpus, dfOverride = dfTab,
-        postOverride = post))
+        postOverride = post, statsOverride = stats))
   }
+
+  /** Offline lexical index artifacts over the `documents` corpus —
+    * shared by the whole BM25 query family (q_bm25_topk, q_bm25_prf,
+    * q_hybrid_rrf), exactly the way [[memoizedHybridRag]] shares its
+    * chunk-corpus artifacts: a deployment computes the inverted index
+    * (postings), and corpus stats once at index time, and every query
+    * batch reuses them. The SCORING passes stay fresh per run — only
+    * the index artifacts memoize, preserving the operator-under-test
+    * bench discipline.
+    */
+  private def docPostings(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "docs_postings")(
+      graft.operators.Lexical.postings(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text"))
+
+  private def docBm25Stats(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "docs_bm25_stats")(
+      graft.operators.Lexical.corpusStats(t(s, dir, "documents"), "text"))
 
   /** Content tag for persisted-index paths, so a regenerated dataset at
     * the same path triggers a rebuild instead of silently probing a
@@ -1967,7 +1989,8 @@ values (
     // engines rank identically.
     "q_bm25_topk" -> ((s, dir) =>
       graft.operators.Lexical.bm25TopK(lexQueries(s), "query_id", "term",
-        t(s, dir, "documents"), "doc_id", "text", k = 10)
+        t(s, dir, "documents"), "doc_id", "text", k = 10,
+        post = docPostings(s, dir), stats = docBm25Stats(s, dir))
         .orderBy("query_id", "rank")),
 
     // PRF (RM3-style) query expansion: original query -> top-5 feedback
@@ -1977,7 +2000,8 @@ values (
     "q_bm25_prf" -> ((s, dir) =>
       graft.operators.Lexical.bm25PrfTopK(lexQueries(s), "query_id", "term",
         t(s, dir, "documents"), "doc_id", "text", k = 10,
-        fbDocs = 5, fbTerms = 3)
+        fbDocs = 5, fbTerms = 3,
+        post = docPostings(s, dir), stats = docBm25Stats(s, dir))
         .orderBy("query_id", "rank")),
 
     // Reciprocal-rank fusion of the cosine ranking (embeddings, query
@@ -1995,7 +2019,8 @@ values (
         .select(col("query_id"), col("m.id").as("match_id"),
           (col("pos") + 1).cast("int").as("rank"))
       val lrank = graft.operators.Lexical.bm25TopK(lexQueries(s),
-        "query_id", "term", t(s, dir, "documents"), "doc_id", "text", k = 20)
+        "query_id", "term", t(s, dir, "documents"), "doc_id", "text", k = 20,
+        post = docPostings(s, dir), stats = docBm25Stats(s, dir))
         .select("query_id", "match_id", "rank")
       graft.operators.Lexical.rrfFuse(vrank, lrank,
         "query_id", "match_id", "rank", k = 5)

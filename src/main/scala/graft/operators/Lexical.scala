@@ -78,8 +78,10 @@ object Lexical {
     * QUERY-INDEPENDENT half of BM25, aggregated ONCE (a map-side
     * combine on (id, tok)) and reusable across every query batch. An
     * offline index artifact like [[termDf]]: compute, persist, and pass
-    * back via the `postings` parameter so scoring never re-tokenizes
-    * the corpus. Structurally load-bearing: aggregating BEFORE the
+    * back via the `post` parameter — together with the [[corpusStats]]
+    * artifact via `stats`, scoring then never re-tokenizes the corpus
+    * (without `stats` the N/avgdl agg still scans it once per run).
+    * Structurally load-bearing: aggregating BEFORE the
     * query join keeps the combine at corpus-token scale, where joining
     * first would fan every token row out by the number of queries
     * holding its term and aggregate THAT.
@@ -89,11 +91,25 @@ object Lexical {
       .select(col("id"), size(col("__tk")).as("dl"), explode(col("__tk")).as("tok"))
       .groupBy("id", "dl", "tok").agg(count(lit(1)).as("tf"))
 
+  /** The 1-row corpus-stats artifact (N, avgdl) — the third offline
+    * index artifact next to [[postings]] and [[termDf]]. Derived from
+    * `docs` (not the posting list) so token-less documents count toward
+    * N with dl = 0, matching `avg` over the full table in any SQL
+    * engine. Compute once per corpus, persist, and pass back via the
+    * `stats` parameter: with postings + stats + df supplied, scoring
+    * genuinely never touches the corpus again.
+    */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(size(toks(col(textCol)))).as("avgdl"))
+
   def bm25Scores(queries: DataFrame, qId: String, termCol: String,
       docs: DataFrame, idCol: String, textCol: String,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+      k1: Double = 1.2, b: Double = 0.75,
+      post: DataFrame = null, stats: DataFrame = null): DataFrame =
     bm25ScoresImpl(queries, qId, termCol, docs, idCol, textCol, k1, b,
-      rounded = true)
+      rounded = true, post = post, stats = stats)
 
   /** [[bm25Scores]] with the rounding switchable off — the UNROUNDED
     * scores feed the rounding-margin assertion in LexicalSpec (the
@@ -104,7 +120,7 @@ object Lexical {
       queries: DataFrame, qId: String, termCol: String,
       docs: DataFrame, idCol: String, textCol: String,
       k1: Double, b: Double, rounded: Boolean,
-      post: DataFrame = null): DataFrame = {
+      post: DataFrame = null, stats: DataFrame = null): DataFrame = {
     require(k1 >= 0, s"bm25: k1 must be >= 0, got $k1")
     require(b >= 0 && b <= 1, s"bm25: b must be in [0,1], got $b")
     val q = queries
@@ -115,13 +131,12 @@ object Lexical {
     // scale BEFORE any query fan-out (see [[postings]]); callers with a
     // persisted posting artifact pass it in
     val pl = if (post != null) post else postings(docs, idCol, textCol)
-    // corpus stats: one agg, 1-row broadcast. sum(dl) is an exact
-    // integer in a double, so avgdl is partition-order-independent.
-    // Derived from `docs` (not the posting list): token-less documents
-    // count toward N with dl = 0.
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("n"),
-      avg(size(toks(col(textCol)))).as("avgdl"))
+    // corpus stats: one agg, 1-row broadcast — or the persisted
+    // [[corpusStats]] artifact. sum(dl) is an exact integer in a
+    // double, so avgdl is partition-order-independent. Derived from
+    // `docs` (not the posting list) when computed here: token-less
+    // documents count toward N with dl = 0.
+    val statsTab = if (stats != null) stats else corpusStats(docs, textCol)
     // df per term is posting-list-derived ((id, tok) rows are distinct
     // by construction) and query-independent — restricted to query
     // terms by the same broadcast
@@ -138,7 +153,7 @@ object Lexical {
     val raw = sum(idf * tfNorm)
     matched
       .join(broadcast(dfTable), "tok")
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(statsTab))
       .groupBy("query_id", "id")
       .agg((if (rounded) round(raw, 4) else raw).as("score"))
   }
@@ -150,10 +165,10 @@ object Lexical {
   def bm25TopK(queries: DataFrame, qId: String, termCol: String,
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      post: DataFrame = null): DataFrame = {
+      post: DataFrame = null, stats: DataFrame = null): DataFrame = {
     require(k > 0, s"bm25TopK: k must be positive, got $k")
     bm25ScoresImpl(queries, qId, termCol, docs, idCol, textCol, k1, b,
-        rounded = true, post = post)
+        rounded = true, post = post, stats = stats)
       .groupBy("query_id")
       .agg(TopKByScore.topK(col("id"), col("score"), k).as("matches"))
       .select(col("query_id"), posexplode(col("matches")).as(Seq("rank0", "m")))
@@ -209,20 +224,25 @@ object Lexical {
   def prfExpandTerms(queries: DataFrame, qId: String, termCol: String,
       docs: DataFrame, idCol: String, textCol: String,
       fbDocs: Int = 5, fbTerms: Int = 3,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      post: DataFrame = null, stats: DataFrame = null): DataFrame = {
     require(fbDocs > 0, s"prfExpandTerms: fbDocs=$fbDocs")
     require(fbTerms >= 0, s"prfExpandTerms: fbTerms=$fbTerms")
     val q = queries
       .select(col(qId).cast("long").as("query_id"),
         col(termCol).cast("string").as("term"))
       .distinct()
+    // one posting list serves the feedback pass AND the term mining —
+    // occurrence counts in the feedback docs are Σ tf from the posting
+    // rows, so the corpus is never re-tokenized for mining
+    val pl = if (post != null) post else postings(docs, idCol, textCol)
     val fb = bm25TopK(q, "query_id", "term", docs, idCol, textCol,
-        fbDocs, k1, b)
+        fbDocs, k1, b, post = pl, stats = stats)
       .select(col("query_id"), col("match_id"))
-    val tokStream = docs.select(col(idCol).cast("long").as("match_id"),
-      explode(toks(col(textCol))).as("tok"))
-    val ft = tokStream.join(broadcast(fb), "match_id")
-      .groupBy("query_id", "tok").agg(count(lit(1)).as("c"))
+    val ft = pl.select(col("id").cast("long").as("match_id"),
+        col("tok"), col("tf"))
+      .join(broadcast(fb), "match_id")
+      .groupBy("query_id", "tok").agg(sum(col("tf")).as("c"))
     val qr = q.select(col("query_id").as("__q2"), col("term").as("__t2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("c").desc, col("tok"))
@@ -244,11 +264,13 @@ object Lexical {
   def bm25PrfTopK(queries: DataFrame, qId: String, termCol: String,
       docs: DataFrame, idCol: String, textCol: String, k: Int,
       fbDocs: Int = 5, fbTerms: Int = 3,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+      k1: Double = 1.2, b: Double = 0.75,
+      post: DataFrame = null, stats: DataFrame = null): DataFrame =
     bm25TopK(
       prfExpandTerms(queries, qId, termCol, docs, idCol, textCol,
-        fbDocs, fbTerms, k1, b),
-      "query_id", "term", docs, idCol, textCol, k, k1, b)
+        fbDocs, fbTerms, k1, b, post = post, stats = stats),
+      "query_id", "term", docs, idCol, textCol, k, k1, b,
+      post = post, stats = stats)
 
   /** Hybrid retrieval: RRF fusion of a vector ranking and a BM25
     * ranking over one corpus — the composed form behind the SQL
@@ -285,7 +307,8 @@ object Lexical {
       corpus: DataFrame, cId: String, cVec: String, cText: String,
       k: Int, fuseDepth: Int = 10, metric: String = "dot",
       kConst: Int = 60, maxQueryTerms: Int = 0,
-      dfTable: DataFrame = null, post: DataFrame = null): DataFrame = {
+      dfTable: DataFrame = null, post: DataFrame = null,
+      stats: DataFrame = null): DataFrame = {
     require(k > 0, s"hybridTopK: k must be positive, got $k")
     val depth = math.max(k, fuseDepth)
     val vrank = VectorSearch.topKAgg(queries, qId, qVec,
@@ -300,20 +323,23 @@ object Lexical {
       if (maxQueryTerms <= 0) qTermsAll
       else {
         // corpus df per term (vocab-sized — Zipf-bounded, broadcasts);
-        // per-query rank window bounded by the query's own term count
+        // per-query rank window bounded by the query's own term count.
+        // The join is INNER: an out-of-vocabulary term (df = 0) can
+        // match nothing, so letting it sort as "rarest" would waste the
+        // term cap displacing discriminative in-corpus terms — standard
+        // long-query term selection drops unmatchable terms first
         val dfTab = if (dfTable != null) dfTable
           else termDf(corpus, cId, cText)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(col("__df").asc, col("term"))
-        qTermsAll.join(broadcast(dfTab), Seq("term"), "left")
-          .withColumn("__df", coalesce(col("__df"), lit(0L)))
+        qTermsAll.join(broadcast(dfTab), Seq("term"))
           .withColumn("__r", row_number().over(w))
           .filter(col("__r") <= maxQueryTerms)
           .select("query_id", "term")
       }
     val lrank = bm25TopK(qTerms, "query_id", "term",
         corpus.select(col(cId).as("__cid2"), col(cText).as("__ctext")),
-        "__cid2", "__ctext", depth, post = post)
+        "__cid2", "__ctext", depth, post = post, stats = stats)
       .select("query_id", "match_id", "rank")
     rrfFuse(vrank, lrank, "query_id", "match_id", "rank", k, kConst)
   }

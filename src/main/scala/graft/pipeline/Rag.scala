@@ -84,7 +84,8 @@ object Rag {
 
   def hybridE2e(spark: SparkSession, dir: String, k: Int = K,
       corpusOverride: DataFrame = null, dfOverride: DataFrame = null,
-      postOverride: DataFrame = null): DataFrame = {
+      postOverride: DataFrame = null,
+      statsOverride: DataFrame = null): DataFrame = {
     val corpus =
       if (corpusOverride != null) corpusOverride
       else hybridCorpus(spark, dir)
@@ -99,7 +100,7 @@ object Rag {
     val fused = graft.operators.Lexical.hybridTopK(
       withVec, "doc_id", "vector", "content",
       corpus, "cid", "cvec", "ctext", k, metric = "dot", maxQueryTerms = 8,
-      dfTable = dfOverride, post = postOverride)
+      dfTable = dfOverride, post = postOverride, stats = statsOverride)
     val products = fused
       .join(corpus.select(col("cid").cast("long").as("match_id"), col("ctext")),
         "match_id")

@@ -168,26 +168,57 @@ class LexicalSpec extends SparkSpec {
 
   // --- hybrid term selection ----------------------------------------------
 
-  test("hybridTopK maxQueryTerms keeps the rarest corpus terms") {
+  test("hybridTopK maxQueryTerms keeps the rarest IN-CORPUS terms; OOV terms never consume the cap") {
     // corpus: "rare" df=1, "mid" df=2, "common" df=3; the query holds
-    // all three plus an out-of-corpus term (df 0 -> selected first)
+    // all three plus an out-of-corpus term ("ghost", df 0). OOV terms
+    // match nothing, so they are dropped BEFORE the rarest-first cap —
+    // with 2 terms the selection is rare + mid, never ghost.
     val corpus = Seq(
       (0L, "rare mid common", Array(1.0f, 0.0f)),
       (1L, "mid common x", Array(0.9f, 0.1f)),
       (2L, "common y z", Array(0.0f, 1.0f))).toDF("cid", "ctext", "cvec")
     val q = Seq((7L, "rare mid common ghost", Array(1.0f, 0.0f)))
       .toDF("query_id", "qtext", "qv")
-    // with 2 terms: ghost (df 0) + rare (df 1) survive; doc 0 is the
-    // only lexical match, and it also tops the vector side
     val fused = Lexical.hybridTopK(q, "query_id", "qv", "qtext",
         corpus, "cid", "cvec", "ctext", k = 3, maxQueryTerms = 2)
       .as[(Long, Long, Int)].collect().sortBy(_._3)
     assert(fused.head._2 == 0L, s"got ${fused.toSeq}")
+    // mid made the cap (ghost didn't), so doc 1 has a lexical ranking
+    // and appears in the fused list even though its vector rank alone
+    // would not need it
+    assert(fused.map(_._2).contains(1L), s"got ${fused.toSeq}")
+    // a capped run with ONLY OOV query terms has no lexical side at
+    // all but still returns the vector ranking
+    val qOov = Seq((8L, "ghost phantom", Array(1.0f, 0.0f)))
+      .toDF("query_id", "qtext", "qv")
+    val oovFused = Lexical.hybridTopK(qOov, "query_id", "qv", "qtext",
+        corpus, "cid", "cvec", "ctext", k = 2, maxQueryTerms = 2)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(oovFused.head._2 == 0L, s"got ${oovFused.toSeq}")
     // unrestricted run still works and ranks doc 0 first
     val full = Lexical.hybridTopK(q, "query_id", "qv", "qtext",
         corpus, "cid", "cvec", "ctext", k = 3)
       .as[(Long, Long, Int)].collect().sortBy(_._3)
     assert(full.head._2 == 0L)
+  }
+
+  test("persisted index artifacts (postings + stats) reproduce direct BM25/PRF exactly") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val q = Seq((0L, "market"), (0L, "price"), (1L, "government"),
+      (1L, "policy")).toDF("query_id", "term")
+    // the offline artifacts, materialized once like a deployment would
+    val post = Lexical.postings(docs, "doc_id", "text").localCheckpoint()
+    val stats = Lexical.corpusStats(docs, "text").localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(rows(Lexical.bm25TopK(q, "query_id", "term", docs, "doc_id",
+        "text", k = 5, post = post, stats = stats)) ==
+      rows(Lexical.bm25TopK(q, "query_id", "term", docs, "doc_id",
+        "text", k = 5)))
+    assert(rows(Lexical.bm25PrfTopK(q, "query_id", "term", docs, "doc_id",
+        "text", k = 5, fbDocs = 3, fbTerms = 2, post = post, stats = stats)) ==
+      rows(Lexical.bm25PrfTopK(q, "query_id", "term", docs, "doc_id",
+        "text", k = 5, fbDocs = 3, fbTerms = 2)))
   }
 
   // --- MMR -----------------------------------------------------------------
