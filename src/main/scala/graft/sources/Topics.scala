@@ -88,6 +88,10 @@ class TopicCatalog(spark: SparkSession, root: String) {
       ordering.foreach(c => require(schema.fieldNames.contains(c),
         s"topic $name: compaction.ordering column '$c' not in schema"))
     }
+    props.get("validation").foreach { v =>
+      require(v == "strict" || v == "permissive",
+        s"topic $name: 'validation' must be 'strict' or 'permissive', got '$v'")
+    }
     props.get("partition.by").foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
@@ -302,9 +306,20 @@ class TopicCatalog(spark: SparkSession, root: String) {
     * partition column is null/unparseable land at the topic root, where
     * [[tableSlice]] already includes loose files on both sides of the
     * date filter.
+    *
+    * With `'validation'='strict'` in the topic configs, each record is
+    * checked against the declared schema BEFORE anything touches disk —
+    * the Schema Registry `additionalProperties: false` contract at
+    * produce time (reference README.md:228-252): a record carrying a
+    * field the schema doesn't declare (at any nesting depth) is rejected
+    * with the registry's error, and the whole produce call fails
+    * atomically (no partial append). The default stays the raw-append
+    * evolution posture documented above.
     */
   def produceJson(name: String, records: Seq[String]): Unit = {
     valueSchemaOf(name) // existence check
+    if (configsOf(name).get("validation").contains("strict"))
+      records.foreach(r => TopicCatalog.strictValidate(name, r, schemaOf(name)))
     val topicDir = Paths.get(dir(name))
     def append(dir: java.nio.file.Path, lines: Seq[String]): Unit = {
       Files.createDirectories(dir)
@@ -674,6 +689,49 @@ object TopicCatalog {
     * milli and micro forms, so manually-produced records stay readable).
     */
   val TsWriteFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  /** Produce-time strict validation (`'validation'='strict'`): the
+    * Schema Registry `additionalProperties: false` contract (reference
+    * README.md:228-252). Parses the record with Jackson (Spark's own
+    * JSON machinery — no new dependency) and walks it against the
+    * declared read schema: an object field not declared at that nesting
+    * level, array elements of struct type, and nested ROWs are all
+    * checked; MAP columns accept arbitrary keys by definition; scalar
+    * TYPE coercion stays the PERMISSIVE reader's business (the registry
+    * gate is about unknown FIELDS silently vanishing from reads, not
+    * about lexical number formats). Malformed JSON is rejected outright
+    * — strict mode exists to fail at produce, not at first scan.
+    */
+  private[sources] def strictValidate(
+      topic: String, record: String, schema: StructType): Unit = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val root: JsonNode =
+      try new ObjectMapper().readTree(record)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"produce $topic: strict validation rejected malformed JSON " +
+          s"(${e.getMessage}) in record: ${record.take(120)}") }
+    if (root == null || !root.isObject)
+      throw new IllegalArgumentException(
+        s"produce $topic: strict validation requires a JSON object record, " +
+          s"got: ${record.take(120)}")
+    def walk(node: JsonNode, dt: DataType, path: String): Unit = dt match {
+      case st: StructType if node.isObject =>
+        val declared = st.fields.map(f => f.name -> f.dataType).toMap
+        node.properties().asScala.foreach { e =>
+          declared.get(e.getKey) match {
+            case None => throw new IllegalArgumentException(
+              s"produce $topic: strict validation rejected record — field " +
+                s"'$path${e.getKey}' is not in the declared schema " +
+                "(additionalProperties=false)")
+            case Some(d) => walk(e.getValue, d, s"$path${e.getKey}.")
+          }
+        }
+      case at: ArrayType if node.isArray =>
+        node.elements().asScala.foreach(el => walk(el, at.elementType, path))
+      case _ => () // MAP keys are free-form; scalars coerce on read
+    }
+    walk(root, schema, "")
+  }
 
   /** Analysis-time rejection of degenerate `ROW<>` anywhere in the schema
     * (fields, array elements, map values) — SURVEY §1.5 / README.md:586-598.

@@ -707,6 +707,33 @@ class GraftSql(
         val corpus = unquote(parts(0))
         val k = parts(1).trim.toInt
         s"${hybridSearchView(table, parts(2), parts(3), corpus, k, views)} AS $alias"
+      case "prf_search" =>
+        // PRF_SEARCH('corpus', k, textCol [, fbDocs, fbTerms]): BM25
+        // keyword retrieval under pseudo-relevance-feedback expansion —
+        // the re-ranker surfaced in the same pure-SQL interface as the
+        // reference's searches (README.md:404-407), backed by the one
+        // [[graft.operators.Lexical.bm25PrfTopK]] implementation
+        val parts = splitArgs(args)
+        require(parts.length >= 3 && parts.length <= 5,
+          s"PRF_SEARCH expects ('corpus', k, textCol[, fbDocs, fbTerms]), got: $args")
+        val corpus = unquote(parts(0))
+        val k = parts(1).trim.toInt
+        val fbDocs = if (parts.length >= 4) parts(3).trim.toInt else 5
+        val fbTerms = if (parts.length >= 5) parts(4).trim.toInt else 3
+        s"${prfSearchView(table, parts(2), corpus, k, fbDocs, fbTerms, views)} AS $alias"
+      case "mmr_search" =>
+        // MMR_SEARCH('corpus', k, vectorCol [, candN, lambda]):
+        // maximal-marginal-relevance diversity re-rank of the corpus's
+        // cosine top-candN — one [[graft.operators.Lexical.mmrRerank]]
+        // core, two surfaces (Scala + SQL)
+        val parts = splitArgs(args)
+        require(parts.length >= 3 && parts.length <= 5,
+          s"MMR_SEARCH expects ('corpus', k, vectorCol[, candN, lambda]), got: $args")
+        val corpus = unquote(parts(0))
+        val k = parts(1).trim.toInt
+        val candN = if (parts.length >= 4) parts(3).trim.toInt else math.max(3 * k, 10)
+        val lambda = if (parts.length >= 5) parts(4).trim.toDouble else 0.5
+        s"${mmrSearchView(table, parts(2), corpus, k, candN, lambda, views)} AS $alias"
       case _ =>
         val parts = splitArgs(args)
         require(parts.length == 3,
@@ -913,6 +940,28 @@ class GraftSql(
       table: String, vecExpr: String, textExpr: String, corpusName: String,
       k: Int, views: scala.collection.mutable.Buffer[String]): String = {
     import org.apache.spark.sql.functions._
+    val base = spark.table(table)
+    // content-derived ids (the fedSearchView rule: mono-ids would permute
+    // under re-evaluation); the text expression joins the identity so two
+    // rows with one vector but different questions stay distinct queries
+    val q = base.withColumn("__qid", xxhash64(expr(vecExpr), expr(textExpr)))
+    val c = corpusContentDf(corpusName)
+    val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"),
+      expr(textExpr).as("__qtext"))
+    val fused = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
+      "__qtext", c, "__cid", "__cvec", "__content", k)
+    val ranked = fused.select(col("query_id").as("__qid"),
+      col("match_id").as("__cid"), col("rrf_rank").as("__rank"))
+    searchResultsView("hybridsearch", q, ranked, c, views)
+  }
+
+  /** A registered corpus as a slim (__cid, __content, __cvec) DataFrame
+    * with content-derived ids — the shared front half of every
+    * corpus-reading lateral view. An in-memory corpus re-lifts to a
+    * DataFrame: the lexical/MMR sides need distributed work either way.
+    */
+  private def corpusContentDf(corpusName: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     import spark.implicits._
     val (cdf, contentCol, vecCol) = resolveCorpus(corpusName) match {
       case InMemCorpus(rows) =>
@@ -921,35 +970,76 @@ class GraftSql(
       case _: LazyCorpus =>
         throw new IllegalStateException("unreachable: resolveCorpus resolves LazyCorpus")
     }
-    val base = spark.table(table)
-    // content-derived ids (the fedSearchView rule: mono-ids would permute
-    // under re-evaluation); the text expression joins the identity so two
-    // rows with one vector but different questions stay distinct queries
-    val q = base.withColumn("__qid", xxhash64(expr(vecExpr), expr(textExpr)))
-    val c = cdf
-      .select(col(contentCol).as("__content"),
+    cdf.select(col(contentCol).as("__content"),
         col(vecCol).cast("array<float>").as("__cvec"))
       .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
       .dropDuplicates("__cid")
-    val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"),
-      expr(textExpr).as("__qtext"))
-    val fused = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
-      "__qtext", c, "__cid", "__cvec", "__content", k)
-    val resolved = fused
-      .select(col("query_id").as("__qid"), col("match_id").as("__cid"),
-        col("rrf_rank"))
+  }
+
+  /** Assemble a ranked (__qid, __cid, __rank) list into the
+    * `search_results` ARRAY<ROW<content STRING>> shape, left-join it
+    * back onto the query table, and register the temp view — the shared
+    * back half of the search lateral views.
+    */
+  private def searchResultsView(kind: String, q: DataFrame, ranked: DataFrame,
+      c: DataFrame, views: scala.collection.mutable.Buffer[String]): String = {
+    import org.apache.spark.sql.functions._
+    val resolved = ranked
       .join(c.select("__cid", "__content"), "__cid")
       .groupBy("__qid")
-      .agg(sort_array(collect_list(struct(col("rrf_rank"), col("__content"))))
+      .agg(sort_array(collect_list(struct(col("__rank"), col("__content"))))
         .as("__sorted"))
       .select(col("__qid"),
         transform(col("__sorted"), x =>
           struct(x.getField("__content").as("content"))).as("search_results"))
     val out = q.join(resolved, Seq("__qid"), "left").drop("__qid")
-    val view = s"graft_hybridsearch_${fedViewCounter.incrementAndGet()}"
+    val view = s"graft_${kind}_${fedViewCounter.incrementAndGet()}"
     out.createOrReplaceTempView(view)
     views += view
     view
+  }
+
+  /** PRF_SEARCH: BM25 retrieval under RM3-style pseudo-relevance-
+    * feedback expansion ([[graft.operators.Lexical.bm25PrfTopK]]) of the
+    * query text's tokens over corpus CONTENTS, surfaced through the same
+    * LATERAL TABLE shape as FEDERATED_SEARCH.
+    */
+  private def prfSearchView(
+      table: String, textExpr: String, corpusName: String,
+      k: Int, fbDocs: Int, fbTerms: Int,
+      views: scala.collection.mutable.Buffer[String]): String = {
+    import org.apache.spark.sql.functions._
+    val base = spark.table(table)
+    val q = base.withColumn("__qid", xxhash64(expr(textExpr)))
+    val c = corpusContentDf(corpusName)
+    val qTerms = q.select(col("__qid").as("query_id"),
+      explode(graft.operators.Lexical.toks(expr(textExpr))).as("term"))
+    val ranked = graft.operators.Lexical.bm25PrfTopK(qTerms, "query_id",
+        "term", c, "__cid", "__content", k, fbDocs, fbTerms)
+      .select(col("query_id").as("__qid"), col("match_id").as("__cid"),
+        col("rank").as("__rank"))
+    searchResultsView("prfsearch", q, ranked, c, views)
+  }
+
+  /** MMR_SEARCH: maximal-marginal-relevance diversity re-rank
+    * ([[graft.operators.Lexical.mmrRerank]]) of the corpus's cosine
+    * top-`candN` for each query vector, returning the `selectK = k`
+    * selection in greedy pick order as `search_results`.
+    */
+  private def mmrSearchView(
+      table: String, vecExpr: String, corpusName: String,
+      k: Int, candN: Int, lambda: Double,
+      views: scala.collection.mutable.Buffer[String]): String = {
+    import org.apache.spark.sql.functions._
+    val base = spark.table(table)
+    val q = base.withColumn("__qid", xxhash64(expr(vecExpr)))
+    val c = corpusContentDf(corpusName)
+    val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"))
+    val ranked = graft.operators.Lexical.mmrRerank(qv, "__qid", "__qvec",
+        c, "__cid", "__cvec", candN = candN, selectK = k, lambda = lambda)
+      .select(col("query_id").as("__qid"), col("match_id").as("__cid"),
+        col("sel_rank").as("__rank"))
+    searchResultsView("mmrsearch", q, ranked, c, views)
   }
 
   private def status(msg: String): DataFrame = {
@@ -1037,7 +1127,7 @@ object GraftSql {
       """INTERVAL\s*'(\d+)'\s*(\w+)\s+AND\s+""" +
       """`?(\w+)`?\s*\.\s*`?(\w+)`?\s*\+\s*INTERVAL\s*'(\d+)'\s*(\w+)""").r
   private[sql] val LateralRe =
-    """(?is)\bFROM\s+(`?[\w.]+`?)\s*,\s*LATERAL\s+TABLE\s*\(\s*(ML_PREDICT|FEDERATED_SEARCH|HYBRID_SEARCH)\b""".r
+    """(?is)\bFROM\s+(`?[\w.]+`?)\s*,\s*LATERAL\s+TABLE\s*\(\s*(ML_PREDICT|FEDERATED_SEARCH|HYBRID_SEARCH|PRF_SEARCH|MMR_SEARCH)\b""".r
 
   /** Candidate-pool bound, matching the reference's numCandidates rule:
     * "must be less than or equal to 10,000" (README.md:368).

@@ -238,6 +238,31 @@ object Streams {
       }
       .start()
 
+  /** Continuous LEXICAL indexing — [[chunkIndexStream]]'s twin for the
+    * BM25 side of hybrid retrieval: every micro-batch of arriving
+    * documents appends its postings and a stats partial to a persisted
+    * [[graft.operators.LexicalIndex]], so a continuously-ingested corpus
+    * serves keyword and HYBRID retrieval without a batch re-index (the
+    * vector side appends through [[ivfIndexStream]]; before this twin a
+    * streamed corpus could serve vector-only). Stream ≡ batch by
+    * construction: postings are per-document rows and the stats partials
+    * sum exactly, so any batching of the same documents yields the same
+    * served artifacts (proved in StreamingSpec). New-ids contract as the
+    * vector appends — front with [[dedupStream]]/the curation fronts.
+    */
+  def lexicalIndexStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.LexicalIndex.appendToIndex(
+          batch, idCol, textCol, indexPath)
+        ()
+      }
+      .start()
+
   /** Continuous tumbling-window counts over an event stream; watermark
     * bounds state (late data beyond `watermark` is dropped — the
     * retention knob the reference sets on its topics, README.md:102).

@@ -392,6 +392,96 @@ LATERAL TABLE(HYBRID_SEARCH('hybrid_corpus', 3, vector));"""))
     assert(err.getMessage.contains("HYBRID_SEARCH expects"))
   }
 
+  test("PRF_SEARCH surfaces BM25+PRF expansion in SQL, identical to the Scala core") {
+    val g = facade()
+    val corpus = Tables(spark, sf, "documents").filter(col("doc_id") < 80)
+      .select(col("text").as("content"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    g.registerSearchCorpus("prf_corpus", corpus, "content", "vector")
+    val qs = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select(col("doc_id"), col("text").as("question"))
+    qs.createOrReplaceTempView("prf_questions")
+    val got = g.execute(
+      """SELECT doc_id, search_results FROM prf_questions,
+LATERAL TABLE(PRF_SEARCH('prf_corpus', 3, question, 5, 3));""").collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getSeq[org.apache.spark.sql.Row](1).length == 3))
+    // one implementation, two surfaces: the direct Lexical.bm25PrfTopK
+    // call over the same content-keyed corpus must produce the same
+    // ordered contents the SQL facade returned
+    val c = corpus.select(col("content").as("__content"),
+        col("vector").cast("array<float>").as("__cvec"))
+      .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
+      .dropDuplicates("__cid")
+    val qTerms = qs.select(xxhash64(col("question")).as("qid"),
+      explode(graft.operators.Lexical.toks(col("question"))).as("term"))
+    val direct = graft.operators.Lexical.bm25PrfTopK(qTerms, "qid", "term",
+        c, "__cid", "__content", 3, fbDocs = 5, fbTerms = 3)
+      .join(c.select(col("__cid").as("match_id"), col("__content")), "match_id")
+      .select(col("query_id"), col("rank"), col("__content")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getString(2)).toSeq }
+    val qidOf = qs.select(col("doc_id"), xxhash64(col("question")).as("qid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val sqlHits = r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+      assert(sqlHits == direct(qidOf(r.getLong(0))),
+        s"doc ${r.getLong(0)}: SQL and Scala PRF rankings diverge")
+    }
+    // malformed arity fails fast
+    val err = intercept[IllegalArgumentException](g.execute(
+      """SELECT doc_id FROM prf_questions,
+LATERAL TABLE(PRF_SEARCH('prf_corpus'));"""))
+    assert(err.getMessage.contains("PRF_SEARCH expects"))
+  }
+
+  test("MMR_SEARCH surfaces the diversity re-rank in SQL, identical to the Scala core") {
+    val g = facade()
+    val corpus = Tables(spark, sf, "documents").filter(col("doc_id") < 80)
+      .select(col("text").as("content"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    g.registerSearchCorpus("mmr_corpus", corpus, "content", "vector")
+    val qs = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select(col("doc_id"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    qs.createOrReplaceTempView("mmr_questions")
+    val got = g.execute(
+      """SELECT doc_id, search_results FROM mmr_questions,
+LATERAL TABLE(MMR_SEARCH('mmr_corpus', 3, vector, 10, 0.5));""").collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getSeq[org.apache.spark.sql.Row](1).length == 3))
+    // self is the pure-relevance first pick (cosine 1.0 with itself)
+    val texts = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](1).head.getString(0) ==
+        texts(r.getLong(0)), s"doc ${r.getLong(0)}: self not picked first")
+    }
+    // one implementation, two surfaces
+    val c = corpus.select(col("content").as("__content"),
+        col("vector").cast("array<float>").as("__cvec"))
+      .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
+      .dropDuplicates("__cid")
+    val qv = qs.select(xxhash64(col("vector")).as("__qid"), col("vector").as("__qvec"))
+    val direct = graft.operators.Lexical.mmrRerank(qv, "__qid", "__qvec",
+        c, "__cid", "__cvec", candN = 10, selectK = 3, lambda = 0.5)
+      .join(c.select(col("__cid").as("match_id"), col("__content")), "match_id")
+      .select(col("query_id"), col("sel_rank"), col("__content")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getString(2)).toSeq }
+    val qidOf = qs.select(col("doc_id"), xxhash64(col("vector")).as("qid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val sqlHits = r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+      assert(sqlHits == direct(qidOf(r.getLong(0))),
+        s"doc ${r.getLong(0)}: SQL and Scala MMR selections diverge")
+    }
+    val err = intercept[IllegalArgumentException](g.execute(
+      """SELECT doc_id FROM mmr_questions,
+LATERAL TABLE(MMR_SEARCH('mmr_corpus', 3, vector, 10, 0.5, 9));"""))
+    assert(err.getMessage.contains("MMR_SEARCH expects"))
+  }
+
   test("cleanup.policy=compact: DDL-declared keyed compaction via COMPACT TABLE") {
     val g = facade()
     g.execute("""CREATE TABLE `user_profile` (

@@ -30,6 +30,45 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).getAs[String]("email") == null) // absent field reads as null
   }
 
+  test("strict-validation produce rejects undeclared fields (README.md:228-252)") {
+    val c = catalog()
+    c.create("q_strict", questionSchema, Map("validation" -> "strict"))
+    // conforming records (with or without the implicit key) pass
+    c.produceJson("q_strict", Seq(
+      """{"role":"user","content":"hello","sessionid":"s1","email":"a@b.c"}""",
+      """{"role":"user","content":"partial"}"""))
+    assert(c.table("q_strict").count() == 2)
+    // the Schema Registry additionalProperties=false error transcript:
+    // a typo'd field fails the WHOLE produce atomically
+    val err = intercept[IllegalArgumentException](c.produceJson("q_strict", Seq(
+      """{"role":"user","content":"x","sesionid":"typo"}""")))
+    assert(err.getMessage.contains("'sesionid'") &&
+      err.getMessage.contains("additionalProperties=false"), err.getMessage)
+    assert(c.table("q_strict").count() == 2, "rejected produce must not append")
+    // nesting depth: undeclared field inside an ARRAY<ROW> element
+    val nested = StructType(Seq(StructField("items", ArrayType(StructType(Seq(
+      StructField("sku", StringType), StructField("qty", IntegerType)))))))
+    c.create("orders_strict", nested, Map("validation" -> "strict"))
+    c.produceJson("orders_strict", Seq("""{"items":[{"sku":"a","qty":1}]}"""))
+    val err2 = intercept[IllegalArgumentException](c.produceJson("orders_strict",
+      Seq("""{"items":[{"sku":"a","color":"red"}]}""")))
+    assert(err2.getMessage.contains("'items.color'"), err2.getMessage)
+    // malformed JSON fails at produce, not at first scan
+    val err3 = intercept[IllegalArgumentException](
+      c.produceJson("q_strict", Seq("""{"role": unquoted}""")))
+    assert(err3.getMessage.contains("malformed JSON"), err3.getMessage)
+    // default (no 'validation' config) keeps the raw-append evolution
+    // posture: the same unknown field is preserved for later evolve
+    val d = catalog()
+    d.create("q_default", questionSchema)
+    d.produceJson("q_default", Seq("""{"role":"user","content":"x","extra":"kept"}"""))
+    assert(d.table("q_default").count() == 1)
+    // config typo fails at CREATE
+    val err4 = intercept[IllegalArgumentException](
+      d.create("q_bad", questionSchema, Map("validation" -> "paranoid")))
+    assert(err4.getMessage.contains("validation"), err4.getMessage)
+  }
+
   test("insertInto enforces the registered schema at submit time") {
     val c = catalog()
     c.create("user_questions", questionSchema)

@@ -298,6 +298,73 @@ class StreamingSpec extends SparkSpec {
     assert(storeSchema.fieldNames.toSeq == Seq("h"))
   }
 
+  test("lexicalIndexStream: postings/stats appended per epoch equal the batch index") {
+    import spark.implicits._
+    import graft.operators.{Lexical, LexicalIndex}
+    val src = tmp("graft_lex_src")
+    val idx = tmp("graft_lex_idx")
+    val ckpt = tmp("graft_lex_ckpt")
+    val docs = Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+    // the store must exist before any append — index once, append forever
+    LexicalIndex.writeIndex(docs.filter(col("doc_id") < 20), "doc_id", "text", idx)
+    def runOnce(): Unit = {
+      val q = Streams.lexicalIndexStream(
+        Streams.fileStream(spark, s"$src/*", docs.schema),
+        "doc_id", "text", idx, ckpt)
+      q.awaitTermination(120000)
+    }
+    // two ingestion epochs of NEW documents
+    docs.filter(col("doc_id") >= 20 && col("doc_id") < 40).write.parquet(s"$src/a")
+    runOnce()
+    docs.filter(col("doc_id") >= 40).write.parquet(s"$src/b")
+    runOnce()
+    // postings ≡ batch postings over the full corpus, regardless of batching
+    val served = LexicalIndex.postings(spark, idx)
+      .orderBy("id", "tok").collect().map(_.toString).toSeq
+    val batch = Lexical.postings(docs, "doc_id", "text")
+      .orderBy("id", "tok").collect().map(_.toString).toSeq
+    assert(served == batch && served.nonEmpty)
+    // stats partials sum to the exact batch (n, avgdl)
+    assert(LexicalIndex.corpusStats(spark, idx).collect()(0) ==
+      Lexical.corpusStats(docs, "text").collect()(0))
+    // df twin matches too
+    val servedDf = LexicalIndex.termDf(spark, idx)
+      .orderBy("term").collect().map(_.toString).toSeq
+    val batchDf = Lexical.termDf(docs.select(col("doc_id").as("__did0"),
+        col("text").as("__t0")), "__did0", "__t0")
+      .orderBy("term").collect().map(_.toString).toSeq
+    assert(servedDf == batchDf)
+    // BM25 served ENTIRELY from the streamed artifacts (docs = null:
+    // scoring never touches the corpus) equals direct BM25 over the docs
+    val queries = Seq((1L, "the"), (1L, "customer"), (2L, "regular")).toDF("qid", "term")
+    val fromIndex = Lexical.bm25TopK(queries, "qid", "term", null, "id", "text",
+        k = 5, post = LexicalIndex.postings(spark, idx),
+        stats = LexicalIndex.corpusStats(spark, idx))
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val direct = Lexical.bm25TopK(queries, "qid", "term", docs, "doc_id", "text", k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(fromIndex == direct && fromIndex.nonEmpty)
+    // the bucket-pruned scan serves the same rows for a driver-known term set
+    val pruned = LexicalIndex.postingsForTerms(spark, idx, Seq("the", "customer"))
+      .filter(col("tok").isin("the", "customer"))
+      .orderBy("id", "tok").collect().map(_.toString).toSeq
+    val full = LexicalIndex.postings(spark, idx)
+      .filter(col("tok").isin("the", "customer"))
+      .orderBy("id", "tok").collect().map(_.toString).toSeq
+    assert(pruned == full && pruned.nonEmpty)
+    // appending to a missing store fails loudly, never creates it silently
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.lexicalIndexStream(
+        Streams.fileStream(spark, s"$src/*", docs.schema),
+        "doc_id", "text", tmp("graft_lex_missing") + "/nope",
+        tmp("graft_lex_ckpt2")).awaitTermination(120000)
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("writeIndex first")), s"got: ${msgs(e)}")
+  }
+
   test("unreachable cross-epoch store fails the stream loudly, never reads as empty") {
     import spark.implicits._
     // silent-empty is the worst dedup-store failure mode: a store that
