@@ -2004,6 +2004,26 @@ values (
         post = docPostings(s, dir), stats = docBm25Stats(s, dir))
         .orderBy("query_id", "rank")),
 
+    // --- persisted lexical index: BM25 served ENTIRELY from the at-rest
+    // postings/stats artifacts (LexicalIndex — the store the streaming
+    // append twin feeds), with the corpus never touched at scoring time.
+    // Same oracle as q_bm25_topk: serving from the index is semantically
+    // identical to scoring the corpus, which is exactly the property the
+    // row asserts. Index once, serve many (the build is content-addressed
+    // like the persisted vector indexes; the bench times the SERVE).
+    "q_bm25_indexed" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lex_index_" +
+        contentTag(dir, "documents")
+      if (!graft.operators.FsUtil.exists(s, s"$path/stats/_SUCCESS"))
+        graft.operators.LexicalIndex.writeIndex(
+          t(s, dir, "documents"), "doc_id", "text", path)
+      graft.operators.Lexical.bm25TopK(lexQueries(s), "query_id", "term",
+        null, "doc_id", "text", k = 10,
+        post = graft.operators.LexicalIndex.postings(s, path),
+        stats = graft.operators.LexicalIndex.corpusStats(s, path))
+        .orderBy("query_id", "rank")
+    }),
+
     // Reciprocal-rank fusion of the cosine ranking (embeddings, query
     // vectors = vec_id 0..2) with the BM25 ranking (documents, the
     // aligned lexQueries) — doc_id == vec_id by construction in the
@@ -3455,6 +3475,17 @@ values (
         "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
         "SELECT query_id, doc_id AS match_id, score, row_number() OVER (" +
         "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM esc) " +
+        "WHERE rnk <= 10 ORDER BY query_id, rank"),
+
+    // Index-served BM25 is semantically identical to direct BM25 — the
+    // oracle is q_bm25_topk's, and a hash match proves the persisted
+    // artifacts (postings + summed stats partials) reproduce corpus
+    // scoring exactly.
+    "q_bm25_indexed" ->
+      ("WITH " + LexQueriesCte + ", " + Bm25Cte + " " +
+        "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
+        "SELECT query_id, doc_id AS match_id, score, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bsc) " +
         "WHERE rnk <= 10 ORDER BY query_id, rank"),
 
     // RRF fusion: cosine top-20 (queries = vec_id 0..2) fused with BM25
