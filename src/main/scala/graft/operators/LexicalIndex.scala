@@ -44,7 +44,11 @@ object LexicalIndex {
 
   private def bucketed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     Lexical.postings(docs, idCol, textCol)
-      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(NBuckets)))
+      // int, not long: partition-directory values infer back as int, and
+      // the serve-time IN filter must hit the inferred type exactly for
+      // the pruning to happen at file-listing time (a cast around a
+      // partition column defeats pruning)
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(NBuckets)).cast("int"))
 
   private def statsRow(docs: DataFrame, textCol: String): DataFrame =
     docs.agg(count(lit(1)).as("n"),
@@ -102,8 +106,8 @@ object LexicalIndex {
     // store (a local-relation job over the driver-known term list) —
     // hand-rolling the hash here would silently desync on a seed change
     val buckets = terms.toDF("t")
-      .select(pmod(xxhash64(col("t")), lit(NBuckets))).distinct()
-      .collect().map(r => r.getLong(0): Any).toSeq
+      .select(pmod(xxhash64(col("t")), lit(NBuckets)).cast("int")).distinct()
+      .collect().map(r => r.getInt(0): Any).toSeq
     spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*))
       .select("id", "dl", "tok", "tf")

@@ -157,6 +157,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("persisted lexical index: term-driven serve lists only the terms' bucket partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lex_planaudit").toString
+    graft.operators.LexicalIndex.writeIndex(docs, "doc_id", "text", path)
+    val terms = Seq("sort", "merge")
+    val pruned = graft.operators.LexicalIndex.postingsForTerms(spark, path, terms)
+    val expectBuckets = terms.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(graft.operators.LexicalIndex.NBuckets))
+        .cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val indexScans = pruned.queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("graft_lex_planaudit")))
+    assert(indexScans.nonEmpty, "no scan over the persisted lexical index found")
+    indexScans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty, "no partition filter on the bucket column")
+      val selected = f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+      val buckets = selected.map(_.values.getInt(0)).toSet
+      assert(buckets == expectBuckets,
+        s"bucket dirs listed: $buckets, expected exactly: $expectBuckets")
+    }
+  }
+
   test("IVF probe join under a skewed cell distribution stays an equi-join (AQE skew-safe)") {
     import org.apache.spark.sql.functions._
     // deliberately skewed: 90% of corpus vectors identical -> one popular
