@@ -2054,6 +2054,36 @@ values (
         .orderBy("query_id", "rrf_rank")
     }),
 
+    // Hybrid fusion with the BM25 leg served ENTIRELY from the persisted
+    // lexical index (bucket-pruned postings + summed stats partials) —
+    // the continuously-ingested-corpus hybrid serve path, proven on the
+    // oracle board: same oracle as q_hybrid_rrf, so a hash match shows
+    // index-served hybrid ≡ corpus-scored hybrid.
+    "q_hybrid_indexed" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lex_index_" +
+        contentTag(dir, "documents")
+      if (!graft.operators.FsUtil.exists(s, s"$path/stats/_SUCCESS"))
+        graft.operators.LexicalIndex.writeIndex(
+          t(s, dir, "documents"), "doc_id", "text", path)
+      val emb = t(s, dir, "embeddings")
+      val vq = emb.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val vrank = VectorSearch.topKAgg(vq, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 20, metric = "cosine")
+        .select(col("query_id"), posexplode(col("matches")).as(Seq("pos", "m")))
+        .select(col("query_id"), col("m.id").as("match_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+      val lrank = graft.operators.Lexical.bm25TopK(lexQueries(s),
+        "query_id", "term", null, "doc_id", "text", k = 20,
+        post = graft.operators.LexicalIndex.postingsForTerms(s, path,
+          Seq("sort", "merge", "join", "window", "agg", "stream", "batch", "dup")),
+        stats = graft.operators.LexicalIndex.corpusStats(s, path))
+        .select("query_id", "match_id", "rank")
+      graft.operators.Lexical.rrfFuse(vrank, lrank,
+        "query_id", "match_id", "rank", k = 5)
+        .orderBy("query_id", "rrf_rank")
+    }),
+
     // MMR diversity re-rank of each query's cosine top-10 down to 3
     // (lambda = 0.5: halving is exact in IEEE 754, so the marginal
     // score is a bit-stable function of the bit-parity cosines and the
@@ -3500,6 +3530,28 @@ values (
     // corpus); the fused score adds the vector quotient first, exactly
     // like the operator.
     "q_hybrid_rrf" ->
+      ("WITH " + LexQueriesCte + ", " + Bm25Cte + ", " +
+        "vr AS (SELECT query_id, match_id, rnk FROM (" +
+        "SELECT q2.vec_id AS query_id, c.vec_id AS match_id, row_number() OVER (" +
+        "PARTITION BY q2.vec_id ORDER BY list_cosine_similarity(q2.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
+        "FROM embeddings q2, embeddings c WHERE q2.vec_id <= 2) WHERE rnk <= 20), " +
+        "lr AS (SELECT query_id, match_id, rnk FROM (" +
+        "SELECT query_id, doc_id AS match_id, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bsc) WHERE rnk <= 20), " +
+        "fused AS (SELECT coalesce(vr.query_id, lr.query_id) AS query_id, " +
+        "coalesce(vr.match_id, lr.match_id) AS match_id, " +
+        "coalesce(CAST(1.0 AS DOUBLE) / (60 + vr.rnk), 0) + " +
+        "coalesce(CAST(1.0 AS DOUBLE) / (60 + lr.rnk), 0) AS rrf " +
+        "FROM vr FULL OUTER JOIN lr ON vr.query_id = lr.query_id AND vr.match_id = lr.match_id) " +
+        "SELECT query_id, match_id, CAST(r AS INTEGER) AS rrf_rank FROM (" +
+        "SELECT query_id, match_id, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY rrf DESC, match_id) AS r FROM fused) " +
+        "WHERE r <= 5 ORDER BY query_id, rrf_rank"),
+
+    // index-served hybrid ≡ corpus-scored hybrid: the oracle is
+    // q_hybrid_rrf's verbatim — the row asserts the persisted lexical
+    // artifacts change nothing about the fused ranking
+    "q_hybrid_indexed" ->
       ("WITH " + LexQueriesCte + ", " + Bm25Cte + ", " +
         "vr AS (SELECT query_id, match_id, rnk FROM (" +
         "SELECT q2.vec_id AS query_id, c.vec_id AS match_id, row_number() OVER (" +
