@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.BinaryType
+
+/** Bloom-filter membership at corpus scale — the benchmark-too-big-to-
+  * broadcast regime of [[Corpus.contamination]] (reference capability:
+  * keeping eval/benchmark text out of the retrieval corpus the
+  * reference's topics feed to the LLM, README.md:404-445; the filter
+  * design is Bloom 1970 via Spark's own runtime-row-filtering sketch).
+  *
+  * [[Corpus.contamination]] broadcasts the benchmark's EXACT distinct
+  * n-gram strings. That is the right plan while the benchmark is an
+  * eval set (MBs). Decontaminating against a large held-out corpus — a
+  * full prior training epoch, a licensed-content blocklist, another
+  * lab's published eval suite in bulk — the exact gram set is tens of
+  * GB and the plan degrades to a corpus-gram × benchmark-gram shuffle
+  * join. The Bloom path restores the broadcast regime at any benchmark
+  * size: an m-bit filter is built ONCE by a distributed OR-merge
+  * aggregation (Spark's `BloomFilterAggregate`, the machinery behind
+  * AQE runtime filters — partial filters merge associatively, so the
+  * build is one pass with map-side combine and a single merged row),
+  * and the probe is a NARROW codegen'd pass over corpus grams
+  * (`BloomFilterMightContain`) — zero shuffle against the benchmark,
+  * regardless of its size.
+  *
+  * Error model: one-sided. Every inserted gram probes TRUE (no false
+  * negatives — a contaminated document can never slip through), and a
+  * non-member probes TRUE with p ≈ (1 - e^{-kn/m})^k. For
+  * DECONTAMINATION that is exactly the safe direction: the flagged set
+  * is a slight superset of the true contamination, so false positives
+  * cost a few clean documents, never a leaked eval item. Size `numBits`
+  * for the benchmark's distinct-gram count (the standard m ≈ 14.4·n
+  * gives p ≈ 0.1%); the filter bytes are a bounded INDEX ARTIFACT like
+  * the IVF centroids/PQ codebooks — built once, persisted or held by
+  * the driver, probed by every corpus shard.
+  *
+  * Determinism: the filter's set bits are an OR over per-element bit
+  * positions — order- and partitioning-independent — and the hash is
+  * seed-42 xxhash64 (the `functions.xxhash64` default) on both build
+  * and probe sides, so the same
+  * benchmark yields byte-identical filters on any cluster layout
+  * (asserted in BloomSpec).
+  */
+object Bloom {
+
+  /** Distributed build: Bloom filter over `xxhash64` of the values in
+    * `valueCol`, returned as the serialized filter bytes (one bounded
+    * driver row — the index-artifact collection step, like PQ codebook
+    * training; NOT a per-row collect).
+    */
+  def build(df: DataFrame, valueCol: Column, expectedItems: Long,
+      numBits: Long): Array[Byte] = {
+    require(expectedItems > 0, s"bloom: expectedItems=$expectedItems")
+    require(numBits > 0, s"bloom: numBits=$numBits")
+    val hashed = XxHash64(Seq(Shim.expression(valueCol)), 42L)
+    val agg = new BloomFilterAggregate(hashed,
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val row = df.agg(Shim.column(agg).as("bloom")).head()
+    // an EMPTY build side yields a null sketch; surface it as an empty
+    // filter of the declared size so probes are well-defined (all-false)
+    if (row.isNullAt(0)) {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(expectedItems, numBits)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    } else row.getAs[Array[Byte]](0)
+  }
+
+  /** Probe column: TRUE iff `value`'s xxhash64 might be in the filter.
+    * The filter rides as a foldable binary literal — the same shape
+    * Spark's injected runtime filters use — so the probe stays inside
+    * whole-stage codegen with the deserialized sketch cached per task.
+    */
+  def mightContain(bloomBytes: Array[Byte], value: Column): Column =
+    Shim.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      XxHash64(Seq(Shim.expression(value)), 42L)))
+
+  /** Build a filter over the benchmark's distinct word `n`-grams — the
+    * Bloom twin of [[Corpus.contamination]]'s broadcast gram set.
+    */
+  def buildGramBloom(benchmark: DataFrame, idCol: String, textCol: String,
+      n: Int, expectedItems: Long, numBits: Long): Array[Byte] =
+    build(
+      Corpus.distinctGrams(benchmark, idCol, textCol, n)
+        .select("gram").distinct(),
+      col("gram"), expectedItems, numBits)
+
+  /** Benchmark decontamination through a pre-built gram filter: per
+    * candidate document, the number of its distinct `n`-grams that the
+    * filter claims membership for; rows with `n_flagged >= minShared`
+    * are contamination flags. Output `(id, n_flagged)`.
+    *
+    * Guarantee: `n_flagged >= n_shared` of the exact
+    * [[Corpus.contamination]] for every document (no false negatives),
+    * so the flagged set under any `minShared` is a superset of the
+    * exact one. Scale shape: one narrow codegen'd probe pass over
+    * corpus grams, then the same slim per-id count shuffle as the exact
+    * operator — the benchmark contributes only the filter bytes.
+    */
+  def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
+      bloomBytes: Array[Byte], n: Int = 4, minShared: Long = 1): DataFrame =
+    Corpus.distinctGrams(docs, idCol, textCol, n)
+      .filter(mightContain(bloomBytes, col("gram")))
+      .groupBy("id").agg(count(lit(1)).as("n_flagged"))
+      .filter(col("n_flagged") >= minShared)
+}

@@ -241,18 +241,37 @@ object Corpus {
 
   /** Exact-count carve-out: the first `n` ids per stratum in
     * deterministic [[sampleHash]] order — the fixed-size eval-set
-    * counterpart to the rate-based [[stratifiedSample]]. One window
-    * sort per stratum over slim rows.
+    * counterpart to the rate-based [[stratifiedSample]].
+    *
+    * Scale shape: NOT a row_number window over the stratum key — a web
+    * corpus's hot source (one crawl dominating 70% of documents) would
+    * serialize that entire stratum onto one unsplittable sort task. The
+    * selection is a [[graft.functions.TopKByScore]] bounded-heap
+    * aggregation (ascending on the hash, ties by lower id — exactly the
+    * `ORDER BY hash, id` the SQL oracle states): map-side partial
+    * aggregation carries at most `n` ids per stratum per partition to
+    * the shuffle, so the hot stratum costs one O(n)-state heap per input
+    * partition instead of a full sort. The ≤ n·|strata| selected ids
+    * then semi-join back (null-safe on the stratum — a null stratum is a
+    * group, same as the window's partitionBy treated it); AQE broadcasts
+    * the selection when it fits, which at eval-carve-out sizes it always
+    * does.
     */
   def takePerStratum(df: DataFrame, idCol: String, stratumCol: String,
       n: Int): DataFrame = {
     require(n >= 0, s"takePerStratum: n=$n")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol))
-      .orderBy(sampleHash(col(idCol)), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n)
-      .drop("__rn")
+    if (n == 0) return df.limit(0)
+    val picked = df
+      .select(col(stratumCol).as("__stratum"), col(idCol).cast("long").as("__tid"))
+      .groupBy("__stratum")
+      .agg(graft.functions.TopKByScore.topK(
+        col("__tid"), sampleHash(col("__tid")).cast("double"), n,
+        ascending = true).as("__sel"))
+      .select(col("__stratum"), explode(col("__sel.id")).as("__tid"))
+    df.join(picked,
+      col(stratumCol) <=> col("__stratum") &&
+        col(idCol).cast("long") === col("__tid"),
+      "leftsemi")
   }
 
   /** Sequence-packing plan (GPT-style pretraining data prep): documents

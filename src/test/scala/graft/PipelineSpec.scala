@@ -34,6 +34,24 @@ class PipelineSpec extends SparkSpec {
       """{"role":"user","content":"find shoes","sessionid":"u1"}""")
   }
 
+  test("bloom-served decontamination equals the exact-join flags on the corpus") {
+    // the q_bloom_decontam oracle claim, asserted mechanically: at the
+    // designed filter size (m/n ~ 140) the one-sided error contributes
+    // zero false positives on this corpus, so bloom flags == exact flags
+    import graft.operators.{Bloom, Corpus}
+    val docs = Tables(spark, sf, "documents")
+    val cand = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val filt = Bloom.buildGramBloom(bench, "doc_id", "text", 4, 1L << 20, 1L << 24)
+    val bloomed = Bloom.contaminationBloom(cand, "doc_id", "text", filt, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exact = Corpus.contamination(cand, bench, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bloomed == exact,
+      s"bloom vs exact differ: ${(bloomed.toSet diff exact.toSet).take(5)}")
+    assert(exact.nonEmpty, "vacuous: no contamination in the fixture slice")
+  }
+
   test("multimodal: features preserve rows, kinds partition by id, stub is deterministic") {
     val media = Multimodal.withMediaColumn(Tables(spark, sf, "documents"), "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).collect()

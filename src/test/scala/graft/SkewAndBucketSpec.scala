@@ -109,6 +109,34 @@ class SkewAndBucketSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("hot stratum: takePerStratum has no single-task stratum sort") {
+    import graft.operators.Corpus
+    // one source owning 96% of the corpus — a row_number window over the
+    // stratum would sort the whole hot stratum in one task; the
+    // bounded-heap shape partial-aggregates ≤ n ids per partition
+    val docs = ((1L to 5000L).map(i => (i, "crawl")) ++
+      (5001L to 5200L).map(i => (i, s"src${i % 7}"))).toDF("id", "src")
+    val taken = Corpus.takePerStratum(docs, "id", "src", n = 3)
+    val plan = taken.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"stratum window in plan:\n$plan")
+    // selection must equal the window-ordered reference exactly
+    // (sampleHash asc, id asc within each stratum)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(Corpus.sampleHash(col("id")), col("id"))
+    val ref = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("id").as[Long].collect().toSet
+    assert(taken.select("id").as[Long].collect().toSet == ref)
+    // null stratum is its own group, same as the window semantics
+    val withNull = docs.withColumn("src",
+      when(col("id") <= 10L, lit(null: String)).otherwise(col("src")))
+    val refN = withNull.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("id").as[Long].collect().toSet
+    assert(Corpus.takePerStratum(withNull, "id", "src", 3)
+      .select("id").as[Long].collect().toSet == refN)
+    assert(Corpus.takePerStratum(docs, "id", "src", 0).count() == 0)
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val suffix = System.nanoTime() // fresh names: stale warehouse dirs survive DROP TABLE
     val liT = s"li_bucketed_$suffix"; val ordT = s"ord_bucketed_$suffix"
