@@ -39,6 +39,25 @@ object SparkEntry {
     */
   private val shingleGtCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  /** Driver-held index-artifact bytes (the Bloom gram filter), keyed and
+    * evicted exactly like [[memo]] — built once per (app, dir) the way a
+    * deployment builds its decontamination filter once per benchmark
+    * release, then probes every corpus shard with it.
+    */
+  private val artifactBytes =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Array[Byte]]
+  private def benchGramBloom(s: SparkSession, dir: String): Array[Byte] =
+    artifactBytes.synchronized {
+      val app = s.sparkContext.applicationId
+      artifactBytes.keys.filter(_._1 != app).foreach(artifactBytes.remove)
+      artifactBytes.getOrElseUpdate((app, dir, "bench_gram_bloom"), {
+        val docs = t(s, dir, "documents")
+        graft.operators.Bloom.buildGramBloom(
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0), "doc_id", "text",
+          n = 4, expectedItems = 1L << 20, numBits = 1L << 24)
+      })
+    }
   private def shingleGroundTruth(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "shingle_gt")(
       Dedup.charShingleJaccardPairsBitset(t(s, dir, "documents"), "doc_id", "text", 5, 0.2))
@@ -1458,6 +1477,25 @@ ORDER BY event_id, event_id2""")
         .orderBy("doc_id")
     }),
 
+    // --- Bloom-served decontamination (the benchmark-too-big regime) ------
+    // Same flags as q_decontaminate, served through the distributed-built
+    // Bloom gram filter instead of the broadcast exact gram set: the
+    // benchmark contributes only 2 MB of filter bytes, so the plan holds
+    // at ANY benchmark size. Oracled against the same exact-join SQL:
+    // Bloom error is one-sided (no false negatives ever) and at the
+    // designed m/n ≈ 140, k = 11 the false-positive probability across
+    // the whole corpus gram set is ~1e-6, so the flagged set IS the
+    // exact contamination set here (the general superset property is
+    // asserted in BloomSpec; equality on this corpus in PipelineSpec).
+    "q_bloom_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Bloom.contaminationBloom(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0), "doc_id", "text",
+        benchGramBloom(s, dir), n = 4, minShared = 1)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // --- language ID, oracle-checked --------------------------------------
     // The full stopword-marker heuristic (TextOps.langIdHeuristic) is
     // re-expressed relationally in the DuckDB oracle: per-language marker
@@ -2023,6 +2061,32 @@ values (
       // the posting list to whole term-buckets changes nothing
       // semantically (scoring equi-joins on the term) and the oracle
       // hash proves it
+      graft.operators.Lexical.bm25TopK(lexQueries(s), "query_id", "term",
+        null, "doc_id", "text", k = 10,
+        post = graft.operators.LexicalIndex.postingsForTerms(s, path,
+          Seq("sort", "merge", "join", "window", "agg", "stream", "batch", "dup")),
+        stats = graft.operators.LexicalIndex.corpusStats(s, path))
+        .orderBy("query_id", "rank")
+    }),
+
+    // The MAINTAINED index: built over half the corpus, grown to full
+    // by append, then COMPACTED (one file per bucket, stats partials
+    // pre-summed) — served under the very same oracle as the direct and
+    // freshly-indexed BM25. The hash match proves the whole lifecycle
+    // (build → append → compact) is score-invisible; the store is
+    // content-addressed with a build-complete marker written last.
+    "q_bm25_compacted" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lex_cidx_" +
+        contentTag(dir, "documents")
+      if (!graft.operators.FsUtil.exists(s, s"$path/_COMPACTED")) {
+        val docs = t(s, dir, "documents")
+        graft.operators.LexicalIndex.writeIndex(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", path)
+        graft.operators.LexicalIndex.appendToIndex(
+          docs.filter(pmod(col("doc_id"), lit(2)) =!= 0), "doc_id", "text", path)
+        graft.operators.LexicalIndex.compactIndex(s, path)
+        graft.operators.FsUtil.touch(s, s"$path/_COMPACTED")
+      }
       graft.operators.Lexical.bm25TopK(lexQueries(s), "query_id", "term",
         null, "doc_id", "text", k = 10,
         post = graft.operators.LexicalIndex.postingsForTerms(s, path,
@@ -3038,6 +3102,18 @@ values (
         "SELECT g.doc_id, count(*) AS n_shared FROM grams g JOIN bench b ON g.gram = b.gram " +
         "WHERE g.doc_id % 97 <> 0 GROUP BY 1 HAVING count(*) >= 1 ORDER BY doc_id"),
 
+    // the Bloom-served flags equal the exact-join flags (one-sided error;
+    // FP probability ~1e-6 at the designed filter size — see the query's
+    // comment), so the oracle is the exact contamination SQL verbatim
+    // with the operator's own output column name
+    "q_bloom_decontam" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents), " +
+        "grams AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+3], ' ') AS gram " +
+        "FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 1))) AS r(i) WHERE len(tk) >= 4), " +
+        "bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0) " +
+        "SELECT g.doc_id, count(*) AS n_flagged FROM grams g JOIN bench b ON g.gram = b.gram " +
+        "WHERE g.doc_id % 97 <> 0 GROUP BY 1 HAVING count(*) >= 1 ORDER BY doc_id"),
+
     "q_repetition" ->
       ("WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok FROM documents), " +
         "cnts AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2) " +
@@ -3519,6 +3595,15 @@ values (
     // artifacts (postings + summed stats partials) reproduce corpus
     // scoring exactly.
     "q_bm25_indexed" ->
+      ("WITH " + LexQueriesCte + ", " + Bm25Cte + " " +
+        "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
+        "SELECT query_id, doc_id AS match_id, score, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bsc) " +
+        "WHERE rnk <= 10 ORDER BY query_id, rank"),
+
+    // the maintained (build → append → compact) index serves the exact
+    // same scores — q_bm25_indexed's oracle verbatim
+    "q_bm25_compacted" ->
       ("WITH " + LexQueriesCte + ", " + Bm25Cte + " " +
         "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
         "SELECT query_id, doc_id AS match_id, score, row_number() OVER (" +

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction for persisted index stores — the maintenance
+  * half of the "index once, append forever" contract shared by the
+  * vector indexes ([[IvfSearch.appendToIndex]] /
+  * [[IvfPqIndex.appendToIndex]]) and the lexical index
+  * ([[LexicalIndex.appendToIndex]]).
+  *
+  * Continuous ingestion appends one parquet file per micro-batch per
+  * touched partition directory, so an index that has been streaming for
+  * days pays file-listing and footer-open costs proportional to its
+  * INGESTION HISTORY, not its data size — the classic small-file decay
+  * every long-lived partitioned store hits (the index analog of Kafka
+  * log compaction, which [[graft.sources.TopicCatalog.compactByPolicy]]
+  * already runs for topics). Compaction rewrites each partition's rows
+  * into one file and swaps the rewrite in. Row-identical by
+  * construction: same rows, same schema, same partition values — so
+  * probe-time partition pruning (IVF cells, lexical term buckets) is
+  * untouched. Asserted serve-identical end-to-end in StreamingSpec
+  * (BM25 scores) and IvfSpec (probe results).
+  *
+  * Swap discipline: the rewrite lands in a dot-prefixed sibling staging
+  * dir (never read by anyone), then swaps in via two renames. Rename is
+  * atomic on HDFS and local filesystems; compaction is a SINGLE-WRITER
+  * maintenance step, like every compactor. On rename-less object stores
+  * (S3) compact to a fresh index path and flip the serving pointer
+  * instead.
+  */
+object IndexMaintenance {
+
+  /** Rewrite a `col=`-partitioned parquet dir to ONE file per partition
+    * value (`repartition` on the partition key hashes each value to
+    * exactly one task, and the dynamic-partition write emits one file
+    * per value per task), then swap it in. Returns (data files before,
+    * after).
+    */
+  def compactPartitionedDir(spark: SparkSession, dir: String,
+      partitionCol: String, fanout: Int): (Long, Long) = {
+    require(FsUtil.exists(spark, dir), s"compact: no store at '$dir'")
+    val before = dataFiles(spark, dir)
+    val staged = stagingFor(dir)
+    spark.read.parquet(dir)
+      .repartition(math.max(fanout, 1), col(partitionCol))
+      .write.partitionBy(partitionCol).mode("overwrite").parquet(staged)
+    swapIn(spark, dir, staged)
+    (before, dataFiles(spark, dir))
+  }
+
+  /** Rewrite an UNPARTITIONED dir through `rewrite` (e.g. collapse
+    * append-time stats partials into one exactly-pre-aggregated row),
+    * then swap it in.
+    */
+  def rewriteDir(spark: SparkSession, dir: String)(
+      rewrite: DataFrame => DataFrame): Unit = {
+    require(FsUtil.exists(spark, dir), s"compact: no store at '$dir'")
+    val staged = stagingFor(dir)
+    rewrite(spark.read.parquet(dir)).write.mode("overwrite").parquet(staged)
+    swapIn(spark, dir, staged)
+  }
+
+  private def stagingFor(dir: String): String = {
+    val p = new Path(dir)
+    new Path(p.getParent, s".${p.getName}-compact").toString
+  }
+
+  private def swapIn(spark: SparkSession, live: String, staged: String): Unit = {
+    val livePath = new Path(live)
+    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retired = new Path(livePath.getParent, s".${livePath.getName}-retired")
+    fs.delete(retired, true)
+    require(fs.rename(livePath, retired), s"compact: cannot retire $livePath")
+    require(fs.rename(new Path(staged), livePath),
+      s"compact: cannot promote $staged")
+    fs.delete(retired, true)
+  }
+
+  private[operators] def dataFiles(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val it = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+}

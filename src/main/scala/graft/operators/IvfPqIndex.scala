@@ -96,6 +96,12 @@ object IvfPqIndex {
       centroids.length, IvfSearch.loadStats(spark, path))
   }
 
+  /** Compact the celled code store — identical layout to the IVF
+    * corpus, one shared compactor (see [[IvfSearch.compactIndex]]).
+    */
+  def compactIndex(spark: SparkSession, path: String): (Long, Long) =
+    IvfSearch.compactIndex(spark, path)
+
   /** Codebook shape is derived from the persisted rows — see
     * [[PqSearch.loadCodebooks]] (one loader for both index families).
     */

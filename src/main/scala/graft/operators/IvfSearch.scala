@@ -293,6 +293,20 @@ object IvfSearch {
     spark.read.parquet(s"$path/centroids").orderBy("cell").collect()
       .map(_.getSeq[Float](1).toArray)
 
+  /** Compact the celled corpus to one file per cell directory — cures
+    * the per-append small-file decay (see [[IndexMaintenance]]); probe
+    * pruning and results are unchanged (same rows, same `cell=`
+    * partition values; asserted in IvfSpec). Works for any store with
+    * the `corpus/cell=` layout, so [[IvfPqIndex]] delegates here too.
+    * Returns (data files before, after).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): (Long, Long) = {
+    require(FsUtil.exists(spark, s"$path/centroids"),
+      s"ivf index at '$path' does not exist or is unreachable")
+    IndexMaintenance.compactPartitionedDir(spark, s"$path/corpus", "cell",
+      loadCentroids(spark, path).length)
+  }
+
   /** Probe a persisted index. The union of probed cells across the query
     * batch (a driver-side collect bounded by nList — small by
     * construction) becomes an IN filter on the PARTITION column, so the

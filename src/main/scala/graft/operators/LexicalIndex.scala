@@ -94,6 +94,26 @@ object LexicalIndex {
   def postings(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/postings").select("id", "dl", "tok", "tf")
 
+  /** Compact the store — see [[IndexMaintenance]] for the decay this
+    * cures and the swap discipline. Postings collapse to one file per
+    * bucket (serve-identical; `bucket=` partition values preserved, so
+    * [[postingsForTerms]] pruning is untouched); the per-append stats
+    * partials collapse to one pre-summed row — exact, because the
+    * partials are counts and integer-valued sums under an associative
+    * `sum`, so readers of the compacted store compute bit-identical
+    * (n, avgdl). Asserted end-to-end on BM25 scores in StreamingSpec.
+    * Returns (posting files before, after).
+    */
+  def compactIndex(spark: SparkSession, path: String): (Long, Long) = {
+    require(FsUtil.exists(spark, s"$path/stats"),
+      s"lexical index at '$path' does not exist or is unreachable")
+    val counts = IndexMaintenance.compactPartitionedDir(
+      spark, s"$path/postings", "bucket", NBuckets)
+    IndexMaintenance.rewriteDir(spark, s"$path/stats")(
+      _.agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")).coalesce(1))
+    counts
+  }
+
   /** Bucket-pruned posting scan for a DRIVER-KNOWN term set: the IN
     * filter on the partition column lists only the terms' bucket
     * directories (cf. the IVF probe). Semantics identical to filtering

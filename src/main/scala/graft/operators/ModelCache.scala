@@ -39,4 +39,13 @@ private[graft] object FsUtil {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** Create an empty marker file (e.g. a build-complete flag written
+    * LAST, so its existence implies the whole artifact landed).
+    */
+  def touch(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true).close()
+  }
 }

@@ -172,6 +172,40 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("compactIndex: probe-identical after append-decay consolidation") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
+    IvfSearch.writeIndex(emb.filter(col("vec_id") < 200),
+      "vec_id", "embedding", path, nList = 8, iters = 2)
+    // three appends: each lands its own file in every touched cell dir
+    for (lo <- Seq(200, 300, 400))
+      IvfSearch.appendToIndex(
+        emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 100),
+        "vec_id", "embedding", path)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def probe() = IvfSearch.searchIndex(spark, path, q, "qid", "qv",
+        k = 3, metric = "dot", nProbe = 3)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    val pre = probe()
+    val (before, after) = IvfSearch.compactIndex(spark, path)
+    assert(after < before, s"no consolidation: $before -> $after")
+    assert(after <= 8, s"more than one file per cell: $after")
+    assert(probe() == pre && pre.nonEmpty)
+    // pruning still applies: a 2-cell probe lists exactly 2 partitions
+    val one = emb.filter(col("vec_id") === 60)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val planned = IvfSearch.searchIndex(spark, path, one, "qid", "qv",
+      k = 3, metric = "dot", nProbe = 2)
+    val scan = planned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.requiredSchema.fieldNames.contains("vec") => f
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 2)
+    // the store remains appendable after the swap
+    IvfSearch.appendToIndex(emb.limit(0), "vec_id", "embedding", path)
+  }
+
   test("persisted index: partition-pruned probe equals in-memory search") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString

@@ -76,6 +76,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_decontaminate").toString.contains("BroadcastHashJoin"))
   }
 
+  test("q_bloom_decontam: NO join at all — the benchmark rides as filter bytes") {
+    // the whole point of the Bloom path: the benchmark contributes a
+    // 2 MB literal, so the probe plan has no join of any kind and the
+    // only exchanges are the candidate side's own distinct + per-doc count
+    val p = plan("q_bloom_decontam").toString
+    assert(!p.contains("Join"), s"join in the bloom probe plan:\n$p")
+    assert(p.contains("might_contain"), "probe expression missing")
+  }
+
+  test("q_take_per_stratum: bounded-heap selection, never a stratum window") {
+    val p = plan("q_take_per_stratum").toString
+    assert(!p.contains("Window"), s"stratum window in plan:\n$p")
+    assert(p.contains("top_k_by_score"), "bounded-heap aggregate missing")
+  }
+
   test("q_token_budget: one exchange per stratum window, no extra shuffles") {
     val p = plan("q_token_budget")
     val exchanges = p.collectWithSubqueries {

@@ -365,6 +365,52 @@ class StreamingSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("writeIndex first")), s"got: ${msgs(e)}")
   }
 
+  test("compactIndex: serve-identical postings/stats/scores, small files collapsed") {
+    import spark.implicits._
+    import graft.operators.{Lexical, LexicalIndex}
+    val idx = tmp("graft_lex_compact")
+    val docs = Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 80).select(col("doc_id"), col("text"))
+    LexicalIndex.writeIndex(docs.filter(col("doc_id") < 20), "doc_id", "text", idx)
+    // three appends: each leaves its own files per touched bucket plus a
+    // 1-row stats partial — the small-file decay compaction exists for
+    for (lo <- Seq(20L, 40L, 60L))
+      LexicalIndex.appendToIndex(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 20),
+        "doc_id", "text", idx)
+    val queries = Seq((1L, "the"), (1L, "customer"), (2L, "regular")).toDF("qid", "term")
+    def serve() = Lexical.bm25TopK(queries, "qid", "term", null, "id", "text",
+        k = 5, post = LexicalIndex.postings(spark, idx),
+        stats = LexicalIndex.corpusStats(spark, idx))
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val preScores = serve()
+    val preStats = LexicalIndex.corpusStats(spark, idx).collect()(0)
+    val prePostings = LexicalIndex.postings(spark, idx)
+      .orderBy("id", "tok").collect().map(_.toString).toSeq
+    val (before, after) = LexicalIndex.compactIndex(spark, idx)
+    assert(after < before, s"no consolidation: $before -> $after")
+    assert(after <= LexicalIndex.NBuckets, s"more than one file per bucket: $after")
+    // serve-identical: rows, exact summed stats, and BM25 scores
+    assert(LexicalIndex.postings(spark, idx)
+      .orderBy("id", "tok").collect().map(_.toString).toSeq == prePostings)
+    assert(LexicalIndex.corpusStats(spark, idx).collect()(0) == preStats)
+    assert(serve() == preScores && preScores.nonEmpty)
+    // stats partials really collapsed to one pre-summed row
+    assert(spark.read.parquet(s"$idx/stats").count() == 1)
+    // bucket-pruned scan unaffected (partition values preserved)
+    val pruned = LexicalIndex.postingsForTerms(spark, idx, Seq("the"))
+      .filter(col("tok") === "the").orderBy("id").collect().map(_.toString).toSeq
+    val full = LexicalIndex.postings(spark, idx)
+      .filter(col("tok") === "the").orderBy("id").collect().map(_.toString).toSeq
+    assert(pruned == full && pruned.nonEmpty)
+    // the store remains appendable after the swap
+    LexicalIndex.appendToIndex(
+      Tables(spark, sf, "documents")
+        .filter(col("doc_id") >= 80 && col("doc_id") < 90)
+        .select(col("doc_id"), col("text")), "doc_id", "text", idx)
+    assert(LexicalIndex.corpusStats(spark, idx).collect()(0) !=  preStats)
+  }
+
   test("unreachable cross-epoch store fails the stream loudly, never reads as empty") {
     import spark.implicits._
     // silent-empty is the worst dedup-store failure mode: a store that
