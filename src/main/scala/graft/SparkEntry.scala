@@ -2433,12 +2433,19 @@ values (
     // sequence itself (order-sensitive, whitespace-insensitive) — the
     // oracle recomputes the group sizes from the raw text
     "q_fingerprint_contract" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("__fp"))
-        .withColumn("n_same_fp",
-          count(lit(1)).over(Window.partitionBy("__fp")).cast("long"))
-        .select("doc_id", "n_same_fp")
-        .orderBy("doc_id")),
+      {
+        // group sizes from a partial-agg groupBy + join-back on the
+        // fingerprint — not a count-over-window on the content-derived
+        // key (boilerplate texts share one fingerprint: a hot key)
+        val fp = t(s, dir, "documents")
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("__fp"))
+          .localCheckpoint(false)
+        fp.join(
+            fp.groupBy("__fp").agg(count(lit(1)).cast("long").as("n_same_fp")),
+            Seq("__fp"))
+          .select("doc_id", "n_same_fp")
+          .orderBy("doc_id")
+      }),
 
     // dedup-pipeline contract: per-doc `is_isolated` is REAL (both engines
     // compute max pairwise exact jaccard < 0.3); the booleans pin that the
@@ -2490,22 +2497,23 @@ values (
       val corpus = keepBestCorpus(s, dir)
       val surv = memoizedKeepBest(s, dir)
         .select(col("doc_id"), lit(true).as("__s"))
-      // one window pass: normText materialized ONCE as a column, both
-      // the keeper (first by quality) and the anchor (min id, full
-      // frame) share the same (partition, order) spec so Spark plans a
-      // single shuffle+sort+Window — r5's shape evaluated normText as a
-      // partition-key expression in two separate window passes
-      val wq = Window.partitionBy(col("__nt"))
-        .orderBy(col("__q").desc, col("doc_id"))
+      // group stats from ONE partial-agg groupBy over the normalized
+      // text, joined back on the group key — the skew-proof shape the
+      // operator itself uses (never a window over a content key: a hot
+      // duplicate group fans across join tasks instead of serializing
+      // into one sort). Keeper = argmax quality / min id via the same
+      // min-struct agg as Dedup.exactKeepBest; anchor = min id.
       val loose = shingleGroundTruth(s, dir).filter(col("jaccard") >= 0.3)
       val paired = loose.select(col("id1").as("anchor"))
         .union(loose.select(col("id2").as("anchor")))
         .distinct().withColumn("__p", lit(true))
-      corpus
-        .withColumn("__nt", Dedup.normText(col("text")))
-        .withColumn("exact_keeper_id", first(col("doc_id")).over(wq))
-        .withColumn("anchor", min(col("doc_id")).over(
-          wq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val withNt = corpus.withColumn("__nt", Dedup.normText(col("text")))
+      val groups = withNt.groupBy(col("__nt")).agg(
+        min(struct(negate(col("__q")).as("__nq"), col("doc_id").as("__i"))).as("__b"),
+        min(col("doc_id")).as("anchor"))
+        .select(col("__nt"), col("__b.__i").as("exact_keeper_id"), col("anchor"))
+      withNt
+        .join(groups, Seq("__nt"))
         .join(surv, Seq("doc_id"), "left")
         .join(paired, Seq("anchor"), "left")
         .select(col("doc_id"), col("exact_keeper_id"),

@@ -614,10 +614,18 @@ object Dedup {
     val exactDone = exactKeepBest(df, idCol, textCol, qualityCol).localCheckpoint()
     val pairs = minhashPairs(exactDone, idCol, textCol, threshold = minhashThreshold)
     val q = exactDone.select(col(idCol).as("id"), col(qualityCol).as("__q"))
-    val ranked = clusterLabels(pairs).join(q, "id")
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy("label").orderBy(col("__q").desc, col("id"))))
-    val victims = ranked.filter(col("__rk") > 1).select(col("id").as("__victim"))
+    // keeper per cluster = best quality, ties lowest id — the same
+    // min-struct partial agg as [[exactKeepBest]], NEVER a row_number
+    // window over the cluster label: a boilerplate mega-cluster is a hot
+    // label, and a window partition is an unsplittable sort group.
+    // labeled is referenced twice (keeper agg + anti-join) — materialize.
+    val labeled = clusterLabels(pairs).join(q, "id").localCheckpoint()
+    val keepers = labeled.groupBy("label")
+      .agg(min(struct(negate(col("__q")).as("__nq"), col("id").as("__i"))).as("__b"))
+      .select(col("__b.__i").as("__keep"))
+    val victims = labeled
+      .join(keepers, labeled("id") === col("__keep"), "left_anti")
+      .select(col("id").as("__victim"))
     exactDone.join(victims, exactDone(idCol) === victims("__victim"), "left_anti")
   }
 

@@ -127,17 +127,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(bnl.isEmpty, "interval join degenerated into a nested loop")
   }
 
-  test("q_dedup_keepbest_contract: keeper and anchor share ONE window operator") {
+  test("q_dedup_keepbest_contract: keeper+anchor come from a partial agg, no content-key window") {
     val p = SparkEntry.queries("q_dedup_keepbest_contract")(spark, sf)
       .queryExecution.sparkPlan
+    // the keeper (min-struct argmax) and anchor (min id) both come from
+    // ONE groupBy over the normalized text joined back on the group key
+    // — a window over the content key would serialize a hot duplicate
+    // group into one unsplittable sort task
     val windows = p.collectWithSubqueries {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    // the contract's own keeper+anchor pass (same partition/order spec,
-    // two frames) must plan as one WindowExec; the pipeline under test
-    // contributes its own internal window(s)
-    assert(windows.exists(_.windowExpression.size >= 2),
-      s"keeper+anchor split across windows: ${windows.map(_.windowExpression.size)}")
+    assert(windows.isEmpty,
+      s"content-key window in the contract plan: ${windows.size}")
   }
 
   test("persisted IVF index probe scans ONLY the probed cell partitions") {
