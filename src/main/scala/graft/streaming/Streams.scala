@@ -438,6 +438,36 @@ object Streams {
       .start()
   }
 
+  /** Streaming decontamination guard: per micro-batch, drop every
+    * document whose distinct word `n`-grams hit the benchmark's Bloom
+    * filter at least `minShared` times — the streaming twin of
+    * [[graft.operators.Bloom.contaminationBloom]]. STATELESS by
+    * construction: the filter bytes are fixed at stream start (a
+    * bounded artifact like the stored IVF centroids), so each batch is
+    * one narrow codegen'd probe pass + a slim per-id count — no
+    * cross-epoch store, no shuffle against the benchmark at any
+    * benchmark size. A new benchmark release is an offline event that
+    * rebuilds the filter and restarts the guard — the same
+    * offline-retrain / online-serve split as the index family. Error
+    * is one-sided: a contaminated document can NEVER slip through; a
+    * false positive costs one clean document (the safe direction).
+    */
+  def bloomDecontamStream(docs: DataFrame, idCol: String, textCol: String,
+      bloomBytes: Array[Byte], outDir: String, checkpointDir: String,
+      n: Int = 4, minShared: Long = 1): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val flagged = graft.operators.Bloom
+          .contaminationBloom(batch, idCol, textCol, bloomBytes, n, minShared)
+          .select(col("id").as("__flag"))
+        batch.join(flagged, batch(idCol) === col("__flag"), "left_anti")
+          .write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+        ()
+      }
+      .start()
+
   /** The FULLY-COMPOSED streaming curation front-end — the streaming
     * twin of the batch `gate → dedupPipeline` composition: per
     * micro-batch, (1) the stateless Gopher-style quality gate, (2)

@@ -411,6 +411,38 @@ class StreamingSpec extends SparkSpec {
     assert(LexicalIndex.corpusStats(spark, idx).collect()(0) !=  preStats)
   }
 
+  test("bloomDecontamStream: streamed survivors equal the batch anti-join") {
+    import graft.operators.{Bloom, Corpus}
+    val src = tmp("graft_bloomdc_src")
+    val out = tmp("graft_bloomdc_out")
+    val ckpt = tmp("graft_bloomdc_ck")
+    val docs = Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 120).select(col("doc_id"), col("text"))
+    val cand = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val filt = Bloom.buildGramBloom(bench, "doc_id", "text", 4, 1L << 20, 1L << 24)
+    // two arrival epochs
+    cand.filter(col("doc_id") < 60).write.parquet(s"$src/a")
+    Streams.bloomDecontamStream(
+      Streams.fileStream(spark, s"$src/*", cand.schema),
+      "doc_id", "text", filt, out, ckpt).awaitTermination(120000)
+    cand.filter(col("doc_id") >= 60).write.parquet(s"$src/b")
+    Streams.bloomDecontamStream(
+      Streams.fileStream(spark, s"$src/*", cand.schema),
+      "doc_id", "text", filt, out, ckpt).awaitTermination(120000)
+    val streamed = spark.read.parquet(out).select("doc_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    // batch reference: survivors of the exact anti-join (FP-free at the
+    // designed filter size — the PipelineSpec-asserted equality)
+    val contaminated = Corpus.contamination(cand, bench, "doc_id", "text", 4)
+      .select(col("id").as("__c"))
+    val expected = cand.join(contaminated, cand("doc_id") === col("__c"), "left_anti")
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(streamed == expected && expected.nonEmpty)
+    assert(streamed.size < cand.count(), "vacuous: nothing was flagged")
+  }
+
   test("unreachable cross-epoch store fails the stream loudly, never reads as empty") {
     import spark.implicits._
     // silent-empty is the worst dedup-store failure mode: a store that
