@@ -2259,6 +2259,31 @@ values (
         .orderBy("query_id")
     }),
 
+    // MaxSim served from the PERSISTED IVF index (the same
+    // content-addressed store q_ivf_index_recall probes): candidates
+    // from the partition-pruned at-rest probe, group-max over retrieved
+    // members, member→group mapping riding as the slim offline artifact
+    // — the multi-vector path for a continuously-appended index, gated
+    // by the same recall contract as the in-flight ANN form.
+    "q_maxsim_index_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+        indexTag(dir)
+      if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
+        graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding", path,
+          nList = 16)
+      val q = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val approx = VectorSearch.groupMaxSimIndex(s, path, q, "query_id", "qv",
+        emb.select("vec_id", "label"), "vec_id", "label",
+        k = 3, metric = "cosine", numCandidates = 200, nProbe = 8)
+      val exact = VectorSearch.groupMaxSimTopK(q, "query_id", "qv",
+        emb, "label", "embedding", k = 3, metric = "cosine")
+      VectorSearch.recallContract(approx, exact, q,
+        "query_id", "match_group", 1)
+        .orderBy("query_id")
+    }),
+
     // Contrastive training triples: rank-aligned (positive, negative)
     // pairs per query from the same scored scan. Fully oracled.
     "q_contrastive_triples" -> ((s, dir) => {
@@ -3678,6 +3703,10 @@ values (
         "ORDER BY query_id, rank"),
 
     "q_maxsim_ann_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 25 = 0 ORDER BY query_id"),
+
+    "q_maxsim_index_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 25 = 0 ORDER BY query_id"),
 

@@ -144,6 +144,44 @@ object VectorSearch {
         (col("__pos") + 1).cast("int").as("rank"))
   }
 
+  /** [[groupMaxSimAnn]] served from a PERSISTED IVF index
+    * ([[IvfSearch.writeIndex]] over the member vectors): candidates
+    * come from the partition-pruned probe — only the probed cells'
+    * directories are ever listed — and the group max runs over the
+    * retrieved members only. `groups` is the slim member→group mapping
+    * (matchIdCol, groupCol), an offline artifact next to the index the
+    * way `termDf` sits next to the posting store (16 bytes per member;
+    * corpora whose member ids ENCODE the group — the chunk_uid
+    * convention of `Streams.chunkIndexStream` — can derive it as a pure
+    * projection instead of storing it). The corpus itself is touched
+    * only by the probe, so a continuously-appended index serves
+    * multi-vector retrieval with no batch rebuild.
+    */
+  def groupMaxSimIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qId: String, qVec: String,
+      groups: DataFrame, matchIdCol: String, groupCol: String,
+      k: Int, metric: String = "cosine",
+      numCandidates: Int = 1000, nProbe: Int = 4): DataFrame = {
+    require(k > 0, s"groupMaxSimIndex: k must be positive, got $k")
+    val asc = metric == "l2"
+    val cand = IvfSearch.searchIndex(spark, path, queries, qId, qVec,
+        k = numCandidates, metric = metric, nProbe = nProbe)
+      .select(col(qId).cast("long").as("query_id"),
+        col("match_id"), col("score"))
+    val g = groups.select(col(matchIdCol).cast("long").as("match_id"),
+      col(groupCol).cast("long").as("__grp"))
+    g.join(broadcast(cand), "match_id")
+      .groupBy("query_id", "__grp")
+      .agg((if (asc) min(col("score")) else max(col("score"))).as("__best"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topK(col("__grp"), col("__best"), k, asc)
+        .as("matches"))
+      .select(col("query_id"), posexplode(col("matches")).as(Seq("__pos", "m")))
+      .select(col("query_id"), col("m.id").as("match_group"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
   /** Exact top-k, window strategy. Output: query cols + (match_id, score,
     * rank). Tie-break (score, match_id asc) is deterministic (FIXTURES §C).
     */

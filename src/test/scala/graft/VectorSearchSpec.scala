@@ -161,6 +161,30 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("groupMaxSimIndex: persisted-probe MaxSim recalls the exact top group") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_maxsim_idx").toString
+    graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding", path,
+      nList = 8, iters = 2)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val approx = graft.operators.VectorSearch.groupMaxSimIndex(
+        spark, path, q, "query_id", "qv",
+        emb.select("vec_id", "label"), "vec_id", "label",
+        k = 3, metric = "cosine", numCandidates = 200, nProbe = 4)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = graft.operators.VectorSearch.groupMaxSimTopK(
+        q, "query_id", "qv", emb, "label", "embedding", k = 1)
+      .as[(Long, Long, Int)].collect()
+    assert(exact.nonEmpty)
+    exact.foreach { case (qid, top, _) =>
+      assert(approx(qid).contains(top),
+        s"query $qid: exact top group $top missed by the persisted probe")
+    }
+  }
+
   test("groupMaxSimTopK matches a brute-force group max on the sf corpus") {
     import spark.implicits._
     val emb = Tables(spark, sf, "embeddings")
