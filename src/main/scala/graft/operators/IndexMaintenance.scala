@@ -32,6 +32,46 @@ import org.apache.spark.sql.functions._
   */
 object IndexMaintenance {
 
+  /** Lease age beyond which an existing lock is a crashed compactor's
+    * leftover (same policy as `TopicCatalog.CompactionLeaseMillis`).
+    */
+  val CompactionLeaseMillis: Long = 10L * 60 * 1000
+
+  private val monitors =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Enforce ONE active compactor per index store — the same protocol
+    * the topic compactor uses: in-process compactions serialize on a
+    * per-store monitor, and an on-disk `.compact.lock` lease (atomic
+    * no-overwrite create through the Hadoop FS, stale after
+    * [[CompactionLeaseMillis]]) makes a compactor in another process
+    * fail fast instead of racing the rename swap. Dot-prefixed, so
+    * readers never see it.
+    */
+  def withStoreLock[T](spark: SparkSession, root: String)(body: => T): T =
+    monitors.getOrElseUpdate(new Path(root).toString, new Object).synchronized {
+      val lock = new Path(root, ".compact.lock")
+      val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def tryCreate(): Boolean =
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (!tryCreate()) {
+        val age = try
+          System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.IOException => Long.MaxValue } // vanished: stale
+        if (age < CompactionLeaseMillis)
+          throw new IllegalStateException(
+            s"compaction already in progress on index store $root " +
+              s"(lock $lock, age ${age / 1000}s < lease ${CompactionLeaseMillis / 1000}s)")
+        fs.delete(lock, false) // stale: crashed compactor — take over
+        if (!tryCreate())
+          throw new IllegalStateException(
+            s"lost the compaction-lock race on index store $root")
+      }
+      try body
+      finally fs.delete(lock, false)
+    }
+
   /** Rewrite a `col=`-partitioned parquet dir to ONE file per partition
     * value (`repartition` on the partition key hashes each value to
     * exactly one task, and the dynamic-partition write emits one file

@@ -303,8 +303,10 @@ object IvfSearch {
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): (Long, Long) = {
     require(FsUtil.exists(spark, s"$path/centroids"),
       s"ivf index at '$path' does not exist or is unreachable")
-    IndexMaintenance.compactPartitionedDir(spark, s"$path/corpus", "cell",
-      loadCentroids(spark, path).length)
+    IndexMaintenance.withStoreLock(spark, path) {
+      IndexMaintenance.compactPartitionedDir(spark, s"$path/corpus", "cell",
+        loadCentroids(spark, path).length)
+    }
   }
 
   /** Probe a persisted index. The union of probed cells across the query

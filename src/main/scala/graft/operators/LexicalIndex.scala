@@ -107,11 +107,13 @@ object LexicalIndex {
   def compactIndex(spark: SparkSession, path: String): (Long, Long) = {
     require(FsUtil.exists(spark, s"$path/stats"),
       s"lexical index at '$path' does not exist or is unreachable")
-    val counts = IndexMaintenance.compactPartitionedDir(
-      spark, s"$path/postings", "bucket", NBuckets)
-    IndexMaintenance.rewriteDir(spark, s"$path/stats")(
-      _.agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")).coalesce(1))
-    counts
+    IndexMaintenance.withStoreLock(spark, path) {
+      val counts = IndexMaintenance.compactPartitionedDir(
+        spark, s"$path/postings", "bucket", NBuckets)
+      IndexMaintenance.rewriteDir(spark, s"$path/stats")(
+        _.agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")).coalesce(1))
+      counts
+    }
   }
 
   /** Bucket-pruned posting scan for a DRIVER-KNOWN term set: the IN

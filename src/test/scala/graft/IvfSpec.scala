@@ -206,6 +206,24 @@ class IvfSpec extends SparkSpec {
     IvfSearch.appendToIndex(emb.limit(0), "vec_id", "embedding", path)
   }
 
+  test("compactIndex: single active compactor enforced via the on-disk lease") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_lock").toString
+    IvfSearch.writeIndex(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", path, nList = 4, iters = 1)
+    // a LIVE lock (fresh mtime) in another process fails this one fast
+    val lock = new java.io.File(path, ".compact.lock")
+    assert(lock.createNewFile())
+    val e = intercept[IllegalStateException] {
+      IvfSearch.compactIndex(spark, path)
+    }
+    assert(e.getMessage.contains("compaction already in progress"))
+    // a STALE lock is a crashed compactor's leftover — taken over
+    assert(lock.setLastModified(System.currentTimeMillis() -
+      graft.operators.IndexMaintenance.CompactionLeaseMillis - 60000))
+    IvfSearch.compactIndex(spark, path) // succeeds
+    assert(!lock.exists(), "lease not released after compaction")
+  }
+
   test("persisted index: partition-pruned probe equals in-memory search") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
