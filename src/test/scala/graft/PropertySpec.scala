@@ -121,6 +121,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bloom membership: zero false negatives over random member sets") {
+    // Bloom 1970's one-sided guarantee, pinned over generated inputs:
+    // EVERY inserted value probes true, at any fill factor — the property
+    // decontamination's safety rests on (a missed member would leak an
+    // eval item into training).
+    import spark.implicits._
+    import graft.operators.Bloom
+    for (seed <- 1L to 10L) {
+      val n = 50 + (seed * 37 % 400).toInt
+      val members = sample(Gen.listOfN(n, wordGen), seed).distinct
+      // deliberately undersized bits on some rounds (high FP regime):
+      // false-negative freedom must hold even saturated
+      val bits = if (seed % 3 == 0) 256L else 8192L
+      val bloom = Bloom.build(members.toDF("g"), col("g"), n.toLong, bits)
+      val hit = members.toDF("g")
+        .filter(Bloom.mightContain(bloom, col("g"))).count()
+      assert(hit == members.size,
+        s"seed $seed: $hit/${members.size} members probe true (bits=$bits)")
+    }
+  }
+
   test("embedder: unit norm, self-cosine 1, deterministic") {
     for (seed <- 1L to 10L) {
       val doc = sample(docGen(20), seed)
