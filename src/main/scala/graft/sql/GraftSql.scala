@@ -721,6 +721,20 @@ class GraftSql(
         val fbDocs = if (parts.length >= 4) parts(3).trim.toInt else 5
         val fbTerms = if (parts.length >= 5) parts(4).trim.toInt else 3
         s"${prfSearchView(table, parts(2), corpus, k, fbDocs, fbTerms, views)} AS $alias"
+      case "maxsim_search" =>
+        // MAXSIM_SEARCH('corpus', k, vectorCol): multi-vector late
+        // interaction (Khattab & Zaharia 2020) — a corpus registered
+        // with SEVERAL vectors per content (one row per chunk/member,
+        // each carrying its parent document's content) ranks contents
+        // by their BEST member's similarity; one
+        // [[graft.operators.VectorSearch.groupMaxSimTopK]] core, two
+        // surfaces
+        val parts = splitArgs(args)
+        require(parts.length == 3,
+          s"MAXSIM_SEARCH expects ('corpus', k, vectorCol), got: $args")
+        val corpus = unquote(parts(0))
+        val k = parts(1).trim.toInt
+        s"${maxSimSearchView(table, parts(2), corpus, k, views)} AS $alias"
       case "mmr_search" =>
         // MMR_SEARCH('corpus', k, vectorCol [, candN, lambda]):
         // maximal-marginal-relevance diversity re-rank of the corpus's
@@ -1021,6 +1035,32 @@ class GraftSql(
     searchResultsView("prfsearch", q, ranked, c, views)
   }
 
+  /** MAXSIM_SEARCH: late-interaction ranking over a MULTI-VECTOR corpus
+    * — contents registered with several member vectors (one row per
+    * chunk) rank by their best member's cosine
+    * ([[graft.operators.VectorSearch.groupMaxSimTopK]]). The group key
+    * is the content's own identity, so `search_results` carries each
+    * winning document once, best-group-first.
+    */
+  private def maxSimSearchView(
+      table: String, vecExpr: String, corpusName: String,
+      k: Int, views: scala.collection.mutable.Buffer[String]): String = {
+    import org.apache.spark.sql.functions._
+    val base = spark.table(table)
+    val q = base.withColumn("__qid", xxhash64(expr(vecExpr)))
+    // members keep distinct (content, vec) rows; the GROUP is the content
+    val members = corpusContentDf(corpusName)
+      .withColumn("__gid", xxhash64(col("__content")))
+    val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"))
+    val ranked = graft.operators.VectorSearch.groupMaxSimTopK(qv, "__qid",
+        "__qvec", members, "__gid", "__cvec", k, "cosine")
+      .select(col("query_id").as("__qid"), col("match_group").as("__cid"),
+        col("rank").as("__rank"))
+    val groups = members.select(col("__gid").as("__cid"), col("__content"))
+      .dropDuplicates("__cid")
+    searchResultsView("maxsimsearch", q, ranked, groups, views)
+  }
+
   /** MMR_SEARCH: maximal-marginal-relevance diversity re-rank
     * ([[graft.operators.Lexical.mmrRerank]]) of the corpus's cosine
     * top-`candN` for each query vector, returning the `selectK = k`
@@ -1127,7 +1167,7 @@ object GraftSql {
       """INTERVAL\s*'(\d+)'\s*(\w+)\s+AND\s+""" +
       """`?(\w+)`?\s*\.\s*`?(\w+)`?\s*\+\s*INTERVAL\s*'(\d+)'\s*(\w+)""").r
   private[sql] val LateralRe =
-    """(?is)\bFROM\s+(`?[\w.]+`?)\s*,\s*LATERAL\s+TABLE\s*\(\s*(ML_PREDICT|FEDERATED_SEARCH|HYBRID_SEARCH|PRF_SEARCH|MMR_SEARCH)\b""".r
+    """(?is)\bFROM\s+(`?[\w.]+`?)\s*,\s*LATERAL\s+TABLE\s*\(\s*(ML_PREDICT|FEDERATED_SEARCH|HYBRID_SEARCH|PRF_SEARCH|MMR_SEARCH|MAXSIM_SEARCH)\b""".r
 
   /** Candidate-pool bound, matching the reference's numCandidates rule:
     * "must be less than or equal to 10,000" (README.md:368).

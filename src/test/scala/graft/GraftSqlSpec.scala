@@ -482,6 +482,64 @@ LATERAL TABLE(MMR_SEARCH('mmr_corpus', 3, vector, 10, 0.5, 9));"""))
     assert(err.getMessage.contains("MMR_SEARCH expects"))
   }
 
+  test("MAXSIM_SEARCH: multi-vector late interaction in SQL, identical to the Scala core") {
+    val g = facade()
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 40)
+    // multi-vector corpus: one row per 32-token chunk, each carrying its
+    // PARENT document's text as content — several vectors per content
+    val chunks = graft.operators.Corpus.chunkTokens(docs, "doc_id", "text", 32, 16)
+    val corpus = chunks
+      .join(docs.select(col("doc_id").as("id"), col("text").as("content")), "id")
+      .select(col("content"),
+        graft.functions.HashEmbedder.embedCol(col("chunk_text")).as("vector"))
+    g.registerSearchCorpus("maxsim_corpus", corpus, "content", "vector")
+    // queries: the embedding of one NON-FIRST chunk per query doc — pure
+    // doc-level retrieval would dilute it; late interaction must surface
+    // the parent via its best member
+    val qs = chunks.filter(col("chunk_id") === 1 && col("id") < 3)
+      .select(col("id").as("doc_id"),
+        graft.functions.HashEmbedder.embedCol(col("chunk_text")).as("vector"))
+    qs.createOrReplaceTempView("maxsim_questions")
+    val got = g.execute(
+      """SELECT doc_id, search_results FROM maxsim_questions,
+LATERAL TABLE(MAXSIM_SEARCH('maxsim_corpus', 3, vector));""").collect()
+    assert(got.nonEmpty)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      val hits = r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+      assert(hits.head == texts(r.getLong(0)),
+        s"doc ${r.getLong(0)}: parent not ranked first by its best member")
+    }
+    // one implementation, two surfaces: groupMaxSimTopK over the same
+    // member frame (group = content identity) yields the same contents
+    val members = corpus.select(col("content").as("__content"),
+        col("vector").cast("array<float>").as("__cvec"))
+      .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
+      .dropDuplicates("__cid")
+      .withColumn("__gid", xxhash64(col("__content")))
+    val qv = qs.select(xxhash64(col("vector")).as("__qid"), col("vector").as("__qvec"))
+    val gidText = members.select("__gid", "__content").distinct().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val direct = graft.operators.VectorSearch.groupMaxSimTopK(qv, "__qid",
+        "__qvec", members, "__gid", "__cvec", k = 3, metric = "cosine")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(2)).map(r => gidText(r.getLong(1))).toSeq }
+    val qidOf = qs.select(col("doc_id"), xxhash64(col("vector")).as("qid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val sqlHits = r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+      assert(sqlHits == direct(qidOf(r.getLong(0))),
+        s"doc ${r.getLong(0)}: SQL and Scala MaxSim rankings diverge")
+    }
+    val err = intercept[IllegalArgumentException](g.execute(
+      """SELECT doc_id FROM maxsim_questions,
+LATERAL TABLE(MAXSIM_SEARCH('maxsim_corpus'));"""))
+    assert(err.getMessage.contains("MAXSIM_SEARCH expects"))
+  }
+
   test("cleanup.policy=compact: DDL-declared keyed compaction via COMPACT TABLE") {
     val g = facade()
     g.execute("""CREATE TABLE `user_profile` (
