@@ -3846,6 +3846,8 @@ values (
         "JOIN lc ON q.label = lc.label WHERE q.vec_id % 25 = 0) " +
         "SELECT pq.query_id, pq.n_rel_at_k, " +
         "round(CAST(pq.n_rel_at_k AS DOUBLE) / 10, 4) AS prec_at_k, " +
+        "round(CASE WHEN coalesce(nr.cnt, 0) = 0 THEN 0.0 " +
+        "ELSE CAST(pq.n_rel_at_k AS DOUBLE) / nr.cnt END, 4) AS recall_at_k, " +
         "round(pq.mrr, 4) AS mrr, " +
         "round(CASE WHEN coalesce(nr.cnt, 0) = 0 THEN 0.0 ELSE pq.dcg / ic.cum END, 4) AS ndcg " +
         "FROM pq LEFT JOIN nr ON pq.query_id = nr.query_id " +

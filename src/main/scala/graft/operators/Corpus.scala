@@ -260,6 +260,11 @@ object Corpus {
   def takePerStratum(df: DataFrame, idCol: String, stratumCol: String,
       n: Int): DataFrame = {
     require(n >= 0, s"takePerStratum: n=$n")
+    // integral ids only (the clusterLabels rule): a non-numeric id would
+    // cast to null and silently select NOTHING — fail loudly instead
+    val idType = df.schema(idCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(idType.typeName),
+      s"takePerStratum: id column '$idCol' must be integral, got $idType")
     if (n == 0) return df.limit(0)
     val picked = df
       .select(col(stratumCol).as("__stratum"), col(idCol).cast("long").as("__tid"))

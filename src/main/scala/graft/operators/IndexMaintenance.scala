@@ -118,7 +118,10 @@ object IndexMaintenance {
     fs.delete(retired, true)
   }
 
-  private[operators] def dataFiles(spark: SparkSession, dir: String): Long = {
+  /** Recursive `.parquet` data-file count under `dir` — the decay metric
+    * compaction manages (and what callers alert on).
+    */
+  def dataFiles(spark: SparkSession, dir: String): Long = {
     val p = new Path(dir)
     val it = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .listFiles(p, true)

@@ -63,6 +63,11 @@ object RetrievalEval {
       .join(broadcast(nRel), Seq("query_id"), "left")
       .select(col("query_id"), col("n_rel_at_k"),
         round(col("n_rel_at_k").cast("double") / k, 4).as("prec_at_k"),
+        // recall@k = retrieved relevant / total relevant (exact integer
+        // ratio, the prec_at_k parity class); 0 when no relevance data
+        round(when(coalesce(col("__n_rel"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_rel_at_k").cast("double") / col("__n_rel")), 4)
+          .as("recall_at_k"),
         round(col("__mrr"), 4).as("mrr"),
         round(when(coalesce(col("__n_rel"), lit(0L)) === 0, lit(0.0))
           .otherwise(col("__dcg") /

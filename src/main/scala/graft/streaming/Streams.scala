@@ -124,7 +124,7 @@ object Streams {
   /** Continuous retrieval-quality monitoring: each micro-batch of
     * arriving labeled queries is evaluated against the static corpus
     * with [[graft.operators.RetrievalEval.evalLabelRetrieval]]
-    * (precision@k / MRR / nDCG per query) — the live dashboard feed a
+    * (precision@k / recall@k / MRR / nDCG per query) — the live dashboard feed a
     * production retrieval deployment runs next to serving. Per-query
     * metrics depend only on the query and the corpus, so stream output
     * ≡ batch output regardless of batching (proved in StreamingSpec).
@@ -160,15 +160,20 @@ object Streams {
   def ivfIndexStream(
       vectors: DataFrame, idCol: String, vecCol: String,
       indexPath: String, checkpointDir: String,
-      onStats: graft.operators.AppendStats => Unit = _ => ()): StreamingQuery =
+      onStats: graft.operators.AppendStats => Unit = _ => (),
+      compactEvery: Long = 0): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         // per-batch drift report vs the training baseline — the caller's
         // hook for alerting / scheduling the offline retrain
         onStats(graft.operators.IvfSearch.appendToIndex(
           batch, idCol, vecCol, indexPath))
+        // in-stream maintenance cadence (see lexicalIndexStream): the
+        // foreachBatch callback serializes it with this stream's appends
+        if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
+          graft.operators.IvfSearch.compactIndex(batch.sparkSession, indexPath)
         ()
       }
       .start()
@@ -185,13 +190,16 @@ object Streams {
   def ivfPqIndexStream(
       vectors: DataFrame, idCol: String, vecCol: String,
       indexPath: String, checkpointDir: String,
-      onStats: graft.operators.AppendStats => Unit = _ => ()): StreamingQuery =
+      onStats: graft.operators.AppendStats => Unit = _ => (),
+      compactEvery: Long = 0): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         onStats(graft.operators.IvfPqIndex.appendToIndex(
           batch, idCol, vecCol, indexPath))
+        if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
+          graft.operators.IvfPqIndex.compactIndex(batch.sparkSession, indexPath)
         ()
       }
       .start()
@@ -249,16 +257,27 @@ object Streams {
     * sum exactly, so any batching of the same documents yields the same
     * served artifacts (proved in StreamingSpec). New-ids contract as the
     * vector appends — front with [[dedupStream]]/the curation fronts.
+    *
+    * `compactEvery` > 0 runs [[graft.operators.LexicalIndex.compactIndex]]
+    * after every Nth epoch's append — the in-stream maintenance cadence
+    * that keeps file counts bounded by N×buckets instead of growing with
+    * ingestion history. Safe by construction: `foreachBatch` serializes
+    * the compaction with this stream's own appends, and the store lease
+    * ([[graft.operators.IndexMaintenance.withStoreLock]]) makes any
+    * OTHER process's compactor fail fast rather than race the swap.
     */
   def lexicalIndexStream(
       docs: DataFrame, idCol: String, textCol: String,
-      indexPath: String, checkpointDir: String): StreamingQuery =
+      indexPath: String, checkpointDir: String,
+      compactEvery: Long = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         graft.operators.LexicalIndex.appendToIndex(
           batch, idCol, textCol, indexPath)
+        if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
+          graft.operators.LexicalIndex.compactIndex(batch.sparkSession, indexPath)
         ()
       }
       .start()

@@ -14,10 +14,12 @@ class RetrievalEvalSpec extends SparkSpec {
     val rel = Seq((0L, 10L), (0L, 12L), (0L, 99L)).toDF("q", "id")
     val nRel = Seq((0L, 3L)).toDF("q", "cnt")
     val got = RetrievalEval.evalRanking(ranked, "q", "id", "rank",
-      rel, nRel, k = 3).as[(Long, Long, Double, Double, Double)].collect().head
-    val (qid, nRelAtK, prec, mrr, ndcg) = got
+      rel, nRel, k = 3)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    val (qid, nRelAtK, prec, recall, mrr, ndcg) = got
     assert(qid == 0L && nRelAtK == 2L)
     assert(prec == math.rint(2.0 / 3 * 1e4) / 1e4)
+    assert(recall == math.rint(2.0 / 3 * 1e4) / 1e4) // 2 of 3 relevant found
     assert(mrr == 1.0)
     def l2i(i: Int) = 1.0 / (math.log(i + 1.0) / math.log(2.0))
     val dcg = l2i(1) + l2i(3)
@@ -31,10 +33,12 @@ class RetrievalEvalSpec extends SparkSpec {
     val nRel = Seq((0L, 1L)).toDF("q", "cnt") // query 1 absent
     val got = RetrievalEval.evalRanking(ranked, "q", "id", "rank",
         rel, nRel, k = 5)
-      .as[(Long, Long, Double, Double, Double)].collect()
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
       .map(r => r._1 -> r).toMap
-    assert(got(0L)._4 == 0.0 && got(0L)._5 == 0.0)
-    assert(got(1L)._5 == 0.0, "query with no relevance data must score ndcg 0")
+    assert(got(0L)._5 == 0.0 && got(0L)._6 == 0.0)
+    assert(got(0L)._4 == 0.0, "nothing retrieved relevant must score recall 0")
+    assert(got(1L)._6 == 0.0, "query with no relevance data must score ndcg 0")
+    assert(got(1L)._4 == 0.0, "query with no relevance data must score recall 0")
   }
 
   test("perfect ranking of all relevant items scores ndcg 1") {
@@ -42,9 +46,10 @@ class RetrievalEvalSpec extends SparkSpec {
     val rel = Seq((0L, 1L), (0L, 2L)).toDF("q", "id")
     val nRel = Seq((0L, 2L)).toDF("q", "cnt")
     val got = RetrievalEval.evalRanking(ranked, "q", "id", "rank",
-      rel, nRel, k = 2).as[(Long, Long, Double, Double, Double)].collect().head
-    assert(got._5 == 1.0)
-    assert(got._3 == 1.0 && got._4 == 1.0)
+      rel, nRel, k = 2)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(got._6 == 1.0)
+    assert(got._3 == 1.0 && got._4 == 1.0 && got._5 == 1.0)
   }
 
   test("label retrieval on the sf corpus: self-match makes mrr 1 everywhere") {
@@ -54,11 +59,12 @@ class RetrievalEvalSpec extends SparkSpec {
         col("label").as("qlab"))
     val got = RetrievalEval.evalLabelRetrieval(q, "query_id", "qv", "qlab",
         emb, "vec_id", "embedding", "label", k = 10)
-      .as[(Long, Long, Double, Double, Double)].collect()
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
     assert(got.nonEmpty)
     // every query is its own rank-1 retrieval and shares its own label
-    assert(got.forall(_._4 == 1.0), "self-match must pin MRR to 1")
-    assert(got.forall(r => r._5 > 0.0 && r._5 <= 1.0))
+    assert(got.forall(_._5 == 1.0), "self-match must pin MRR to 1")
+    assert(got.forall(r => r._6 > 0.0 && r._6 <= 1.0))
+    assert(got.forall(r => r._4 > 0.0 && r._4 <= 1.0), "recall in (0,1]")
     assert(got.forall(r => r._2 >= 1L && r._2 <= 10L))
   }
 

@@ -83,11 +83,14 @@ class StreamingSpec extends SparkSpec {
       emb, "vec_id", "embedding", "label", out, ckpt)
     q.awaitTermination(120000)
 
+    val cols = Seq("query_id", "n_rel_at_k", "prec_at_k", "recall_at_k",
+      "mrr", "ndcg")
     val streamed = spark.read.parquet(out)
-      .select("query_id", "n_rel_at_k", "prec_at_k", "mrr", "ndcg")
+      .select(cols.map(col): _*)
       .orderBy("query_id").collect().map(_.toString).toSeq
     val batch = graft.operators.RetrievalEval.evalLabelRetrieval(queries,
         "query_id", "qv", "qlab", emb, "vec_id", "embedding", "label", 10)
+      .select(cols.map(col): _*)
       .orderBy("query_id").collect().map(_.toString).toSeq
     assert(streamed == batch)
     assert(streamed.nonEmpty)
@@ -409,6 +412,38 @@ class StreamingSpec extends SparkSpec {
         .filter(col("doc_id") >= 80 && col("doc_id") < 90)
         .select(col("doc_id"), col("text")), "doc_id", "text", idx)
     assert(LexicalIndex.corpusStats(spark, idx).collect()(0) !=  preStats)
+  }
+
+  test("lexicalIndexStream compactEvery: in-stream maintenance keeps files bounded") {
+    import spark.implicits._
+    import graft.operators.{Lexical, LexicalIndex}
+    val src = tmp("graft_lexce_src")
+    val idx = tmp("graft_lexce_idx")
+    val ckpt = tmp("graft_lexce_ck")
+    val docs = Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+    LexicalIndex.writeIndex(docs.filter(col("doc_id") < 20), "doc_id", "text", idx)
+    docs.filter(col("doc_id") >= 20 && col("doc_id") < 40).write.parquet(s"$src/a")
+    Streams.lexicalIndexStream(
+      Streams.fileStream(spark, s"$src/*", docs.schema),
+      "doc_id", "text", idx, ckpt, compactEvery = 1).awaitTermination(120000)
+    docs.filter(col("doc_id") >= 40).write.parquet(s"$src/b")
+    Streams.lexicalIndexStream(
+      Streams.fileStream(spark, s"$src/*", docs.schema),
+      "doc_id", "text", idx, ckpt, compactEvery = 1).awaitTermination(120000)
+    // every epoch compacted: at most one file per bucket, one stats row
+    assert(graft.operators.IndexMaintenance.dataFiles(spark, s"$idx/postings")
+      <= LexicalIndex.NBuckets)
+    assert(spark.read.parquet(s"$idx/stats").count() == 1)
+    // and the maintained store still serves the exact batch scores
+    val queries = Seq((1L, "the"), (2L, "customer")).toDF("qid", "term")
+    val served = Lexical.bm25TopK(queries, "qid", "term", null, "id", "text",
+        k = 5, post = LexicalIndex.postings(spark, idx),
+        stats = LexicalIndex.corpusStats(spark, idx))
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val direct = Lexical.bm25TopK(queries, "qid", "term", docs, "doc_id", "text", k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(served == direct && served.nonEmpty)
   }
 
   test("bloomDecontamStream: streamed survivors equal the batch anti-join") {
