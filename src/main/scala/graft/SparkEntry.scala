@@ -75,12 +75,21 @@ object SparkEntry {
     * spans its real range. The DuckDB oracles inline the same list as
     * a VALUES CTE.
     */
+  private val LexQueryTerms: Seq[(Long, String)] =
+    Seq((0L, "sort"), (0L, "merge"), (0L, "join"),
+      (1L, "window"), (1L, "agg"),
+      (2L, "stream"), (2L, "batch"), (2L, "dup"))
+
+  /** The distinct term set of [[LexQueryTerms]] — the ONE list the
+    * bucket-pruned index serves pass to `postingsForTerms` (hand-copied
+    * term lists would silently desync from the queries and prune away a
+    * scoring term's bucket).
+    */
+  private val LexQueryTermSet: Seq[String] = LexQueryTerms.map(_._2).distinct
+
   private def lexQueries(s: SparkSession): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    Seq((0L, "sort"), (0L, "merge"), (0L, "join"),
-        (1L, "window"), (1L, "agg"),
-        (2L, "stream"), (2L, "batch"), (2L, "dup"))
-      .toDF("query_id", "term")
+    LexQueryTerms.toDF("query_id", "term")
   }
 
   /** The [[lexQueries]] list as the oracle's VALUES CTE. */
@@ -1700,7 +1709,7 @@ ORDER BY event_id, event_id2""")
       // previously built index is valid — the benchmark times the PROBE,
       // not the build. Centroids are written last, so their _SUCCESS
       // implies the whole index landed.
-      if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
+      if (!graft.operators.FsUtil.exists(s, s"$path/centroids/_SUCCESS"))
         graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding", path,
           nList = 16)
       val queries = annQueries(s, dir)
@@ -1719,7 +1728,7 @@ ORDER BY event_id, event_id2""")
       val emb = t(s, dir, "embeddings")
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
         indexTag(dir)
-      if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
+      if (!graft.operators.FsUtil.exists(s, s"$path/centroids/_SUCCESS"))
         graft.operators.IvfPqIndex.writeIndex(emb, "vec_id", "embedding", path,
           nList = 16, m = 8, kCodes = 16)
       val queries = annQueries(s, dir)
@@ -2052,7 +2061,7 @@ values (
     // row asserts. Index once, serve many (the build is content-addressed
     // like the persisted vector indexes; the bench times the SERVE).
     "q_bm25_indexed" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lex_index_" +
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lex_index2_" +
         contentTag(dir, "documents")
       if (!graft.operators.FsUtil.exists(s, s"$path/stats/_SUCCESS"))
         graft.operators.LexicalIndex.writeIndex(
@@ -2066,7 +2075,7 @@ values (
       graft.operators.Lexical.bm25TopK(lexQueries(s), "query_id", "term",
         null, "doc_id", "text", k = 10,
         post = graft.operators.LexicalIndex.postingsForTerms(s, path,
-          Seq("sort", "merge", "join", "window", "agg", "stream", "batch", "dup")),
+          LexQueryTermSet),
         stats = graft.operators.LexicalIndex.corpusStats(s, path))
         .orderBy("query_id", "rank")
     }),
@@ -2078,7 +2087,7 @@ values (
     // (build → append → compact) is score-invisible; the store is
     // content-addressed with a build-complete marker written last.
     "q_bm25_compacted" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lex_cidx_" +
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lex_cidx2_" +
         contentTag(dir, "documents")
       if (!graft.operators.FsUtil.exists(s, s"$path/_COMPACTED")) {
         val docs = t(s, dir, "documents")
@@ -2092,7 +2101,7 @@ values (
       graft.operators.Lexical.bm25TopK(lexQueries(s), "query_id", "term",
         null, "doc_id", "text", k = 10,
         post = graft.operators.LexicalIndex.postingsForTerms(s, path,
-          Seq("sort", "merge", "join", "window", "agg", "stream", "batch", "dup")),
+          LexQueryTermSet),
         stats = graft.operators.LexicalIndex.corpusStats(s, path))
         .orderBy("query_id", "rank")
     }),
@@ -2126,7 +2135,7 @@ values (
     // oracle board: same oracle as q_hybrid_rrf, so a hash match shows
     // index-served hybrid ≡ corpus-scored hybrid.
     "q_hybrid_indexed" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lex_index_" +
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lex_index2_" +
         contentTag(dir, "documents")
       if (!graft.operators.FsUtil.exists(s, s"$path/stats/_SUCCESS"))
         graft.operators.LexicalIndex.writeIndex(
@@ -2142,7 +2151,7 @@ values (
       val lrank = graft.operators.Lexical.bm25TopK(lexQueries(s),
         "query_id", "term", null, "doc_id", "text", k = 20,
         post = graft.operators.LexicalIndex.postingsForTerms(s, path,
-          Seq("sort", "merge", "join", "window", "agg", "stream", "batch", "dup")),
+          LexQueryTermSet),
         stats = graft.operators.LexicalIndex.corpusStats(s, path))
         .select("query_id", "match_id", "rank")
       graft.operators.Lexical.rrfFuse(vrank, lrank,
@@ -2271,7 +2280,7 @@ values (
       val emb = t(s, dir, "embeddings")
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
         indexTag(dir)
-      if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
+      if (!graft.operators.FsUtil.exists(s, s"$path/centroids/_SUCCESS"))
         graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding", path,
           nList = 16)
       val q = emb.filter(col("vec_id") % 25 === 0)
@@ -2536,7 +2545,7 @@ values (
         .distinct().withColumn("__p", lit(true))
       val withNt = corpus.withColumn("__nt", Dedup.normText(col("text")))
       val groups = withNt.groupBy(col("__nt")).agg(
-        min(struct(negate(col("__q")).as("__nq"), col("doc_id").as("__i"))).as("__b"),
+        min(Dedup.keeperKey(col("__q"), col("doc_id"))).as("__b"),
         min(col("doc_id")).as("anchor"))
         .select(col("__nt"), col("__b.__i").as("exact_keeper_id"), col("anchor"))
       withNt

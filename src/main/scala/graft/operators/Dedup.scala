@@ -584,12 +584,24 @@ object Dedup {
     * tie-break, with full map-side combining (a window's per-group sort
     * would serialize the Zipf-head duplicate group onto one task).
     */
+  /** Keeper sort key: `min(struct(...))` over it emulates ORDER BY
+    * (quality DESC NULLS LAST, id ASC) exactly — the leading isNull
+    * boolean (false < true) makes every scored row beat every unscored
+    * row, matching the window form this replaced (desc puts nulls
+    * last); a bare `-quality` would instead let a NULL-quality row WIN
+    * the group (struct ordering puts a null field first), keeping the
+    * one member with no quality signal. The cast to double also keeps
+    * ANSI negate from overflowing on integral Int.MinValue qualities.
+    */
+  private[graft] def keeperKey(quality: Column, id: Column): Column =
+    struct(quality.isNull.as("__qn"),
+      negate(quality.cast("double")).as("__nq"), id.as("__i"))
+
   def exactKeepBest(
       df: DataFrame, idCol: String, textCol: String, qualityCol: String): DataFrame =
     joinBackKeepers(df, idCol,
       df.groupBy(xxhash64(normText(col(textCol))).as("__k"))
-        .agg(min(struct(negate(col(qualityCol)).as("__nq"),
-          col(idCol).as("__i"))).as("__b"))
+        .agg(min(keeperKey(col(qualityCol), col(idCol))).as("__b"))
         .select(col("__b.__i").as("__keep")))
 
   /** [[dedupPipeline]] with quality-aware survivor selection in BOTH
@@ -621,7 +633,7 @@ object Dedup {
     // labeled is referenced twice (keeper agg + anti-join) — materialize.
     val labeled = clusterLabels(pairs).join(q, "id").localCheckpoint()
     val keepers = labeled.groupBy("label")
-      .agg(min(struct(negate(col("__q")).as("__nq"), col("id").as("__i"))).as("__b"))
+      .agg(min(keeperKey(col("__q"), col("id"))).as("__b"))
       .select(col("__b.__i").as("__keep"))
     val victims = labeled
       .join(keepers, labeled("id") === col("__keep"), "left_anti")

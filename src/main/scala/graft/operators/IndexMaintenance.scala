@@ -26,9 +26,14 @@ import org.apache.spark.sql.functions._
   * Swap discipline: the rewrite lands in a dot-prefixed sibling staging
   * dir (never read by anyone), then swaps in via two renames. Rename is
   * atomic on HDFS and local filesystems; compaction is a SINGLE-WRITER
-  * maintenance step, like every compactor. On rename-less object stores
-  * (S3) compact to a fresh index path and flip the serving pointer
-  * instead.
+  * maintenance step enforced by [[withStoreLock]]. A crash between the
+  * two renames leaves the live path missing with a complete staged copy
+  * beside it — [[recoverSwap]] heals every such intermediate state and
+  * runs at the start of each compaction. Readers are not excluded: a
+  * serve that lists the dir inside the (microseconds-wide) rename
+  * window can fail transiently and should simply retry; on rename-less
+  * object stores (S3) compact to a fresh index path and flip the
+  * serving pointer instead.
   */
 object IndexMaintenance {
 
@@ -72,33 +77,73 @@ object IndexMaintenance {
       finally fs.delete(lock, false)
     }
 
-  /** Rewrite a `col=`-partitioned parquet dir to ONE file per partition
-    * value (`repartition` on the partition key hashes each value to
-    * exactly one task, and the dynamic-partition write emits one file
-    * per value per task), then swap it in. Returns (data files before,
-    * after).
+  /** Heal a dir whose previous swap was interrupted. States and cures:
+    *  - live present: any leftover staged/retired dirs are a PRE-swap
+    *    crash's debris (staged is only promoted after live is retired)
+    *    — discard them;
+    *  - live missing, staged present: crash between the two renames —
+    *    the staged copy is complete (it is fully written before any
+    *    rename), promote it;
+    *  - live missing, only retired present: crash right after retiring
+    *    — restore the retired original.
+    * Returns true when a missing live dir was restored. Call under
+    * [[withStoreLock]] (compaction does, first thing).
+    */
+  def recoverSwap(spark: SparkSession, dir: String): Boolean = {
+    val live = new Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new Path(stagingFor(dir))
+    val retired = new Path(live.getParent, s".${live.getName}-retired")
+    if (fs.exists(live)) {
+      fs.delete(staged, true)
+      fs.delete(retired, true)
+      false
+    } else if (fs.exists(staged)) {
+      require(fs.rename(staged, live), s"recover: cannot promote $staged")
+      fs.delete(retired, true)
+      true
+    } else if (fs.exists(retired)) {
+      require(fs.rename(retired, live), s"recover: cannot restore $retired")
+      true
+    } else false
+  }
+
+  /** Rewrite a partitioned parquet dir to ONE file per partition value
+    * combination (`repartition` on the partition keys hashes each
+    * combination to exactly one task, and the dynamic-partition write
+    * emits one file per combination per task), then swap it in.
+    * `transform` runs between read and rewrite (e.g. remapping closed
+    * epoch segments). Returns (data files before, after).
     */
   def compactPartitionedDir(spark: SparkSession, dir: String,
-      partitionCol: String, fanout: Int): (Long, Long) = {
+      partitionCols: Seq[String], fanout: Int,
+      transform: DataFrame => DataFrame = identity): (Long, Long) = {
     require(FsUtil.exists(spark, dir), s"compact: no store at '$dir'")
     val before = dataFiles(spark, dir)
     val staged = stagingFor(dir)
-    spark.read.parquet(dir)
-      .repartition(math.max(fanout, 1), col(partitionCol))
-      .write.partitionBy(partitionCol).mode("overwrite").parquet(staged)
+    transform(spark.read.parquet(dir))
+      .repartition(math.max(fanout, 1), partitionCols.map(col): _*)
+      .write.partitionBy(partitionCols: _*).mode("overwrite").parquet(staged)
     swapIn(spark, dir, staged)
     (before, dataFiles(spark, dir))
   }
 
-  /** Rewrite an UNPARTITIONED dir through `rewrite` (e.g. collapse
-    * append-time stats partials into one exactly-pre-aggregated row),
-    * then swap it in.
+  /** Single-partition-column convenience form. */
+  def compactPartitionedDir(spark: SparkSession, dir: String,
+      partitionCol: String, fanout: Int): (Long, Long) =
+    compactPartitionedDir(spark, dir, Seq(partitionCol), fanout)
+
+  /** Rewrite a dir through `rewrite` (e.g. collapse append-time stats
+    * partials into exactly-pre-aggregated rows), then swap it in.
     */
-  def rewriteDir(spark: SparkSession, dir: String)(
+  def rewriteDir(spark: SparkSession, dir: String,
+      partitionCols: Seq[String] = Nil)(
       rewrite: DataFrame => DataFrame): Unit = {
     require(FsUtil.exists(spark, dir), s"compact: no store at '$dir'")
     val staged = stagingFor(dir)
-    rewrite(spark.read.parquet(dir)).write.mode("overwrite").parquet(staged)
+    val w = rewrite(spark.read.parquet(dir)).write.mode("overwrite")
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(staged)
     swapIn(spark, dir, staged)
   }
 

@@ -50,7 +50,9 @@ object IvfPqIndex {
       celled.select(col("id"), col("rv")), "id", "rv", m, kCodes, iters, dim)
     celled.select(col("id"), col("cell"),
         PqSearch.encodeUdf(cb)(col("rv")).as("codes"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/corpus")
+      .withColumn("epoch", lit(-1L))
+      .write.partitionBy("cell", "epoch").mode("overwrite")
+      .parquet(s"$path/corpus")
     PqSearch.saveCodebooks(spark, s"$path/codebooks", cb)
     centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -80,16 +82,22 @@ object IvfPqIndex {
     * different residual distribution), so the retrain signal matters
     * even more than for plain IVF.
     */
-  def appendToIndex(df: DataFrame, cId: String, cVec: String, path: String): AppendStats = {
+  def appendToIndex(df: DataFrame, cId: String, cVec: String, path: String,
+      epoch: Long = -1L): AppendStats = {
     val spark = df.sparkSession
     val centroids = IvfSearch.loadCentroids(spark, path)
     val cb = loadCodebooks(spark, path)
     val celled = df.select(col(cId).cast("long").as("id"),
         IvfSearch.nearestCell(centroids)(col(cVec)).as("cell"), col(cVec).as("v"))
       .localCheckpoint()
-    celled.withColumn("rv", residualUdf(centroids)(col("v"), col("cell")))
+    // epoch >= 0: idempotent replay via dynamic partition overwrite
+    // (the IvfSearch.appendToIndex exactly-once rule)
+    val w = celled.withColumn("rv", residualUdf(centroids)(col("v"), col("cell")))
       .select(col("id"), col("cell"), PqSearch.encodeUdf(cb)(col("rv")).as("codes"))
-      .write.partitionBy("cell").mode("append").parquet(s"$path/corpus")
+      .withColumn("epoch", lit(epoch))
+      .write.partitionBy("cell", "epoch")
+    (if (epoch >= 0) w.option("partitionOverwriteMode", "dynamic").mode("overwrite")
+     else w.mode("append")).parquet(s"$path/corpus")
     IvfSearch.driftVerdict(
       IvfSearch.celledStats(celled.withColumn("__dist",
         IvfSearch.cellDist(centroids)(col("v"), col("cell"))), centroids.length),
@@ -99,8 +107,9 @@ object IvfPqIndex {
   /** Compact the celled code store — identical layout to the IVF
     * corpus, one shared compactor (see [[IvfSearch.compactIndex]]).
     */
-  def compactIndex(spark: SparkSession, path: String): (Long, Long) =
-    IvfSearch.compactIndex(spark, path)
+  def compactIndex(spark: SparkSession, path: String,
+      excludeEpoch: Long = Long.MinValue): (Long, Long) =
+    IvfSearch.compactIndex(spark, path, excludeEpoch)
 
   /** Codebook shape is derived from the persisted rows — see
     * [[PqSearch.loadCodebooks]] (one loader for both index families).

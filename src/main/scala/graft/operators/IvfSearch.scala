@@ -188,7 +188,12 @@ object IvfSearch {
     val centroids = trainCentroids(corpus, cVec, cId, nList, iters, dim)
     val celled = corpus.select(col(cId).as("id"), col(cVec).as("vec"),
       nearestCell(centroids)(col(cVec)).as("cell"))
-    celled.write.partitionBy("cell").mode("overwrite").parquet(s"$path/corpus")
+    // inner epoch partition level: the base build is epoch -1; streamed
+    // appends land as dynamic overwrites of their own epoch dirs, making
+    // at-least-once foreachBatch replays idempotent (see appendToIndex)
+    celled.withColumn("epoch", lit(-1L))
+      .write.partitionBy("cell", "epoch").mode("overwrite")
+      .parquet(s"$path/corpus")
     centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -274,7 +279,8 @@ object IvfSearch {
     * baseline and recommends the retrain when it leaves the regime.
     */
   def appendToIndex(
-      df: DataFrame, cId: String, cVec: String, path: String): AppendStats = {
+      df: DataFrame, cId: String, cVec: String, path: String,
+      epoch: Long = -1L): AppendStats = {
     val spark = df.sparkSession
     val centroids = loadCentroids(spark, path)
     // assign cells once; the partition write and the drift aggregation
@@ -282,7 +288,14 @@ object IvfSearch {
     val celled = df.select(col(cId).as("id"), col(cVec).as("vec"),
         nearestCell(centroids)(col(cVec)).as("cell"))
       .localCheckpoint()
-    celled.write.partitionBy("cell").mode("append").parquet(s"$path/corpus")
+    // epoch >= 0: IDEMPOTENT append — a replayed micro-batch overwrites
+    // its own (cell, epoch) partitions instead of duplicating vectors
+    // (the streaming fronts always tag; ad-hoc batch appends default to
+    // the plain append into the base segment)
+    val w = celled.withColumn("epoch", lit(epoch))
+      .write.partitionBy("cell", "epoch")
+    (if (epoch >= 0) w.option("partitionOverwriteMode", "dynamic").mode("overwrite")
+     else w.mode("append")).parquet(s"$path/corpus")
     driftVerdict(
       celledStats(celled.withColumn("__dist",
         cellDist(centroids)(col("vec"), col("cell"))), centroids.length),
@@ -293,19 +306,27 @@ object IvfSearch {
     spark.read.parquet(s"$path/centroids").orderBy("cell").collect()
       .map(_.getSeq[Float](1).toArray)
 
-  /** Compact the celled corpus to one file per cell directory — cures
-    * the per-append small-file decay (see [[IndexMaintenance]]); probe
-    * pruning and results are unchanged (same rows, same `cell=`
-    * partition values; asserted in IvfSpec). Works for any store with
-    * the `corpus/cell=` layout, so [[IvfPqIndex]] delegates here too.
-    * Returns (data files before, after).
+  /** Compact the celled corpus to one file per (cell, epoch-segment) —
+    * cures the per-append small-file decay (see [[IndexMaintenance]];
+    * crash recovery of an interrupted swap runs first); probe pruning
+    * and results are unchanged (same rows, same `cell=` partition
+    * values; asserted in IvfSpec). All CLOSED epochs merge into the
+    * base segment; `excludeEpoch` (a stream's in-flight epoch) keeps
+    * its own partitions so its at-least-once replay can still
+    * overwrite itself. Works for any store with the `corpus/cell=`
+    * layout, so [[IvfPqIndex]] delegates here too. Returns (data files
+    * before, after).
     */
-  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): (Long, Long) = {
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      excludeEpoch: Long = Long.MinValue): (Long, Long) = {
     require(FsUtil.exists(spark, s"$path/centroids"),
       s"ivf index at '$path' does not exist or is unreachable")
     IndexMaintenance.withStoreLock(spark, path) {
-      IndexMaintenance.compactPartitionedDir(spark, s"$path/corpus", "cell",
-        loadCentroids(spark, path).length)
+      IndexMaintenance.recoverSwap(spark, s"$path/corpus")
+      IndexMaintenance.compactPartitionedDir(spark, s"$path/corpus",
+        Seq("cell", "epoch"), loadCentroids(spark, path).length * 2,
+        _.withColumn("epoch",
+          when(col("epoch") === excludeEpoch, col("epoch")).otherwise(lit(-1L))))
     }
   }
 

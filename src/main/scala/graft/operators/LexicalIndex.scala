@@ -14,16 +14,27 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `path`:
   *  - `postings/` — (id, dl, tok, tf) parquet, partitioned by
-  *    `bucket = pmod(xxhash64(tok), NBuckets)`: a serve path whose query
-  *    term set is driver-known ([[postingsForTerms]]) prunes unprobed
-  *    bucket directories at file-listing time, exactly like the IVF
-  *    probe's cell pruning — the 100 TB posture for a handful of query
-  *    terms against a corpus-sized posting store.
-  *  - `stats/` — one (n, sumdl) partial row PER APPEND. Reading sums the
-  *    partials: counts and integer-valued double sums are exact under
-  *    addition (≤ 2^53), so (n, avgdl = sumdl/n) is bit-identical to the
-  *    batch [[Lexical.corpusStats]] over the unioned corpus regardless
-  *    of how ingestion was batched.
+  *    `bucket = pmod(xxhash64(tok), NBuckets)` and then by the append
+  *    `epoch`: a serve path whose query term set is driver-known
+  *    ([[postingsForTerms]]) prunes unprobed bucket directories at
+  *    file-listing time, exactly like the IVF probe's cell pruning —
+  *    the 100 TB posture for a handful of query terms against a
+  *    corpus-sized posting store. The inner epoch level exists for
+  *    EXACTLY-ONCE streaming: an epoch-tagged append lands as a
+  *    dynamic-partition overwrite of its own `epoch=` directories, so
+  *    an at-least-once `foreachBatch` replay REPLACES the failed
+  *    attempt's rows instead of duplicating them (the overwrite-by-
+  *    epoch sink pattern, applied inside a partitioned store).
+  *  - `stats/` — one (n, ndl, sumdl) partial row per segment,
+  *    partitioned by the same `epoch`. Reading sums the partials:
+  *    counts and integer-valued double sums are exact under addition
+  *    (≤ 2^53), so the derived (n, avgdl = sumdl/ndl) is bit-identical
+  *    to the batch [[Lexical.corpusStats]] over the unioned corpus
+  *    regardless of how ingestion was batched. `ndl` (docs with
+  *    non-null text) is stored separately from `n` because the batch
+  *    form's `avg` EXCLUDES null-text documents from its denominator
+  *    while still counting them in `n` — a single stored count cannot
+  *    reproduce both.
   *
   * df per term is DERIVED from the posting store ((id, tok) rows are
   * distinct by construction), never stored — a stored df would need
@@ -42,6 +53,11 @@ object LexicalIndex {
     */
   val NBuckets = 64
 
+  /** The epoch partition value of the offline-built base segment (and of
+    * compacted-together history).
+    */
+  val BaseEpoch = -1L
+
   private def bucketed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     Lexical.postings(docs, idCol, textCol)
       // int, not long: partition-directory values infer back as int, and
@@ -50,41 +66,88 @@ object LexicalIndex {
       // partition column defeats pruning)
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(NBuckets)).cast("int"))
 
-  private def statsRow(docs: DataFrame, textCol: String): DataFrame =
-    docs.agg(count(lit(1)).as("n"),
-      sum(size(Lexical.toks(col(textCol)))).cast("double").as("sumdl"))
+  /** (n, ndl) of a batch — no tokenization: `count(textCol)` counts
+    * non-null texts, which is precisely the denominator the batch
+    * `avg(size(toks(text)))` uses (size of a null tokenization is null
+    * and drops out of avg).
+    */
+  private def docCounts(docs: DataFrame, textCol: String): (Long, Long) = {
+    val r = docs.agg(count(lit(1)), count(col(textCol))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def writeStatsRow(spark: SparkSession, path: String,
+      n: Long, ndl: Long, sumdl: Double, epoch: Long, replace: Boolean): Unit = {
+    import spark.implicits._
+    val w = Seq((n, ndl, sumdl, epoch)).toDF("n", "ndl", "sumdl", "epoch")
+      .coalesce(1).write.partitionBy("epoch")
+    (if (replace) w.option("partitionOverwriteMode", "dynamic").mode("overwrite")
+     else w.mode("append")).parquet(s"$path/stats")
+  }
+
+  /** Total token count of a posting frame: each document's dl rides on
+    * every one of its posting rows, so sum once per distinct id.
+    * Token-less documents have no posting rows and contribute exactly
+    * the 0 they would have added.
+    */
+  private def sumDl(posts: DataFrame): Double = {
+    val r = posts.groupBy("id").agg(first(col("dl")).as("__dl"))
+      .agg(sum(col("__dl")).cast("double")).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
 
   /** Build (or rebuild) the index from a corpus — the offline "index
     * once" half; [[appendToIndex]] is the online "append forever" half.
+    * The corpus is tokenized ONCE: the stats pass re-reads the parquet
+    * just written (the [[IvfSearch.writeIndex]] rule) plus one
+    * tokenize-free count over the source. Stats are written LAST, so
+    * their `_SUCCESS` implies the whole index landed.
     */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
-    bucketed(docs, idCol, textCol)
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
-    statsRow(docs, textCol)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val spark = docs.sparkSession
+    bucketed(docs, idCol, textCol).withColumn("epoch", lit(BaseEpoch))
+      .write.partitionBy("bucket", "epoch").mode("overwrite")
+      .parquet(s"$path/postings")
+    val (n, ndl) = docCounts(docs, textCol)
+    val sumdl = sumDl(spark.read.parquet(s"$path/postings"))
+    // fresh build: drop any previous stats dir wholesale
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
+    statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(statsPath, true)
+    writeStatsRow(spark, path, n, ndl, sumdl, BaseEpoch, replace = false)
   }
 
   /** Append one batch of NEW documents. Fails loudly on a missing or
     * unreachable store (Hadoop-FS probe): an absent index must never be
     * silently (re)created mid-stream — that is the silent-empty failure
-    * mode the cross-epoch stores were hardened against. Returns the
-    * number of documents appended.
+    * mode the cross-epoch stores were hardened against.
+    *
+    * `epoch >= 0` makes the append IDEMPOTENT: postings and the stats
+    * partial land as dynamic-partition overwrites of that epoch's own
+    * directories, so re-running the same (batch, epoch) — an
+    * at-least-once foreachBatch replay, or a crash between the postings
+    * and stats writes — REPLACES the previous attempt instead of
+    * double-counting it. The default `epoch = -1` is a plain ad-hoc
+    * append into the base segment (no replay protection — automated
+    * ingestion should always tag epochs). Returns documents appended.
     */
   def appendToIndex(batch: DataFrame, idCol: String, textCol: String,
-      path: String): Long = {
+      path: String, epoch: Long = BaseEpoch): Long = {
     val spark = batch.sparkSession
     require(FsUtil.exists(spark, s"$path/stats"),
       s"lexical index at '$path' does not exist or is unreachable — " +
         "writeIndex first (appending to a missing store would serve empty postings)")
-    bucketed(batch, idCol, textCol)
-      .write.partitionBy("bucket").mode("append").parquet(s"$path/postings")
-    val s = statsRow(batch, textCol).collect()(0)
-    val n = s.getLong(0)
-    import spark.implicits._
-    // one partial row per append; readers sum partials (exact — see above)
-    Seq((n, if (s.isNullAt(1)) 0.0 else s.getDouble(1))).toDF("n", "sumdl")
-      .coalesce(1).write.mode("append").parquet(s"$path/stats")
+    // tokenize ONCE: the materialized posting batch feeds the partition
+    // write, the dl sum, and nothing else re-scans the text
+    val posts = bucketed(batch, idCol, textCol)
+      .withColumn("epoch", lit(epoch)).localCheckpoint()
+    val replace = epoch >= 0
+    val w = posts.write.partitionBy("bucket", "epoch")
+    (if (replace) w.option("partitionOverwriteMode", "dynamic").mode("overwrite")
+     else w.mode("append")).parquet(s"$path/postings")
+    val (n, ndl) = docCounts(batch, textCol)
+    writeStatsRow(spark, path, n, ndl, sumDl(posts), epoch, replace)
     n
   }
 
@@ -95,23 +158,41 @@ object LexicalIndex {
     spark.read.parquet(s"$path/postings").select("id", "dl", "tok", "tf")
 
   /** Compact the store — see [[IndexMaintenance]] for the decay this
-    * cures and the swap discipline. Postings collapse to one file per
-    * bucket (serve-identical; `bucket=` partition values preserved, so
+    * cures and the swap discipline (including crash recovery of an
+    * interrupted swap, which runs first). Postings collapse to one file
+    * per (bucket, epoch-segment); all CLOSED epochs merge into the
+    * [[BaseEpoch]] segment, while `excludeEpoch` (the stream's
+    * in-flight epoch) keeps its own partitions so an at-least-once
+    * replay of it can still overwrite itself — pass it from
+    * `foreachBatch`; offline compaction omits it and everything merges.
+    * Serve-identical: same rows, same `bucket=` partition values (so
     * [[postingsForTerms]] pruning is untouched); the per-append stats
-    * partials collapse to one pre-summed row — exact, because the
-    * partials are counts and integer-valued sums under an associative
-    * `sum`, so readers of the compacted store compute bit-identical
-    * (n, avgdl). Asserted end-to-end on BM25 scores in StreamingSpec.
-    * Returns (posting files before, after).
+    * partials collapse to one pre-summed row per segment — exact,
+    * because the partials are counts and integer-valued sums under an
+    * associative `sum`. Asserted end-to-end on BM25 scores in
+    * StreamingSpec. Returns (posting files before, after).
     */
-  def compactIndex(spark: SparkSession, path: String): (Long, Long) = {
+  def compactIndex(spark: SparkSession, path: String,
+      excludeEpoch: Long = Long.MinValue): (Long, Long) = {
     require(FsUtil.exists(spark, s"$path/stats"),
       s"lexical index at '$path' does not exist or is unreachable")
     IndexMaintenance.withStoreLock(spark, path) {
+      IndexMaintenance.recoverSwap(spark, s"$path/postings")
+      IndexMaintenance.recoverSwap(spark, s"$path/stats")
+      val seg = (e: org.apache.spark.sql.Column) =>
+        when(e === excludeEpoch, e).otherwise(lit(BaseEpoch))
       val counts = IndexMaintenance.compactPartitionedDir(
-        spark, s"$path/postings", "bucket", NBuckets)
-      IndexMaintenance.rewriteDir(spark, s"$path/stats")(
-        _.agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")).coalesce(1))
+        spark, s"$path/postings", Seq("bucket", "epoch"), NBuckets * 2,
+        _.withColumn("epoch", seg(col("epoch"))))
+      IndexMaintenance.rewriteDir(spark, s"$path/stats",
+        partitionCols = Seq("epoch")) {
+        _.withColumn("epoch", seg(col("epoch")))
+          .groupBy("epoch")
+          .agg(sum(col("n")).as("n"), sum(col("ndl")).as("ndl"),
+            sum(col("sumdl")).as("sumdl"))
+          .select("n", "ndl", "sumdl", "epoch")
+          .coalesce(1)
+      }
       counts
     }
   }
@@ -136,12 +217,14 @@ object LexicalIndex {
   }
 
   /** The (n, avgdl) artifact, shaped for the `stats` parameter of the
-    * BM25 family — summed over every append's partial row.
+    * BM25 family — summed over every segment's partial row. avgdl
+    * divides by `ndl` (non-null-text docs), the batch `avg`'s exact
+    * denominator.
     */
   def corpusStats(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/stats")
       .agg(sum(col("n")).cast("double").as("n"),
-        (sum(col("sumdl")) / sum(col("n"))).as("avgdl"))
+        (sum(col("sumdl")) / sum(col("ndl"))).as("avgdl"))
 
   /** df per term, shaped for the `dfTable` parameter of
     * [[Lexical.hybridTopK]] — derived from the posting store.

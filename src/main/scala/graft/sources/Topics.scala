@@ -728,7 +728,14 @@ object TopicCatalog {
         }
       case at: ArrayType if node.isArray =>
         node.elements().asScala.foreach(el => walk(el, at.elementType, path))
-      case _ => () // MAP keys are free-form; scalars coerce on read
+      case mt: MapType if node.isObject =>
+        // MAP keys are free-form by definition, but the VALUES still
+        // carry the declared value type — an undeclared field inside a
+        // map-valued struct would otherwise vanish on read, the exact
+        // failure strict mode exists to stop
+        node.properties().asScala.foreach(e =>
+          walk(e.getValue, mt.valueType, s"$path${e.getKey}."))
+      case _ => () // scalars coerce on read
     }
     walk(root, schema, "")
   }

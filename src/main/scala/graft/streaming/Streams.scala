@@ -167,13 +167,17 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         // per-batch drift report vs the training baseline — the caller's
-        // hook for alerting / scheduling the offline retrain
+        // hook for alerting / scheduling the offline retrain.
+        // epoch-tagged: an at-least-once replay overwrites its own epoch
+        // partitions instead of duplicating vectors
         onStats(graft.operators.IvfSearch.appendToIndex(
-          batch, idCol, vecCol, indexPath))
+          batch, idCol, vecCol, indexPath, epoch = epoch))
         // in-stream maintenance cadence (see lexicalIndexStream): the
-        // foreachBatch callback serializes it with this stream's appends
+        // foreachBatch callback serializes it with this stream's appends;
+        // the in-flight epoch is excluded so its replay stays idempotent
         if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
-          graft.operators.IvfSearch.compactIndex(batch.sparkSession, indexPath)
+          graft.operators.IvfSearch.compactIndex(batch.sparkSession, indexPath,
+            excludeEpoch = epoch)
         ()
       }
       .start()
@@ -197,9 +201,10 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         onStats(graft.operators.IvfPqIndex.appendToIndex(
-          batch, idCol, vecCol, indexPath))
+          batch, idCol, vecCol, indexPath, epoch = epoch))
         if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
-          graft.operators.IvfPqIndex.compactIndex(batch.sparkSession, indexPath)
+          graft.operators.IvfPqIndex.compactIndex(batch.sparkSession, indexPath,
+            excludeEpoch = epoch)
         ()
       }
       .start()
@@ -234,14 +239,14 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val chunks = graft.operators.Corpus
           .chunkTokens(batch, idCol, textCol, chunkSize, overlap)
           .withColumn("chunk_uid", col("id") * 1000000L + col("chunk_id"))
           .withColumn("emb",
             graft.functions.HashEmbedder.embedCol(col("chunk_text")))
         onStats(graft.operators.IvfSearch.appendToIndex(
-          chunks, "chunk_uid", "emb", indexPath))
+          chunks, "chunk_uid", "emb", indexPath, epoch = epoch))
         ()
       }
       .start()
@@ -274,10 +279,17 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        // epoch-tagged: an at-least-once replay of this micro-batch
+        // overwrites its own epoch partitions instead of duplicating
+        // postings (exactly-once through the idempotent-sink pattern)
         graft.operators.LexicalIndex.appendToIndex(
-          batch, idCol, textCol, indexPath)
+          batch, idCol, textCol, indexPath, epoch = epoch)
+        // compaction must EXCLUDE the in-flight epoch: merging it into
+        // the base segment before this epoch's checkpoint commits would
+        // let a replay re-append rows the merge already absorbed
         if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
-          graft.operators.LexicalIndex.compactIndex(batch.sparkSession, indexPath)
+          graft.operators.LexicalIndex.compactIndex(batch.sparkSession,
+            indexPath, excludeEpoch = epoch)
         ()
       }
       .start()

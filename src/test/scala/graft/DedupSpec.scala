@@ -271,6 +271,17 @@ class DedupSpec extends SparkSpec {
     val tied = Seq((5L, "same", 0.7), (4L, "SAME", 0.7)).toDF("id", "text", "q")
     assert(Dedup.exactKeepBest(tied, "id", "text", "q")
       .select("id").as[Long].head() == 4L)
+    // NULLS LAST: an unscored copy never beats a scored one, even with a
+    // lower id (the window form's `quality DESC` put nulls last; the
+    // min-struct form must match — a bare -quality would flip this)
+    val withNull = Seq(
+      (1L, "dup text", None),          // null quality, lowest id
+      (2L, "Dup  Text", Some(0.1)),    // scored — must win its group
+      (7L, "only nulls", None),
+      (8L, "ONLY  nulls", None)        // all-null group: lowest id wins
+    ).toDF("id", "text", "q")
+    assert(Dedup.exactKeepBest(withNull, "id", "text", "q")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 7L))
   }
 
   test("keepBest pipeline keeps one best-quality doc per near-dup cluster") {

@@ -53,6 +53,16 @@ class SourcesSpec extends SparkSpec {
     val err2 = intercept[IllegalArgumentException](c.produceJson("orders_strict",
       Seq("""{"items":[{"sku":"a","color":"red"}]}""")))
     assert(err2.getMessage.contains("'items.color'"), err2.getMessage)
+    // nesting through a MAP: keys are free-form, but an undeclared field
+    // inside a map-valued STRUCT is still rejected (it would silently
+    // vanish on read — the exact failure strict mode exists to stop)
+    val mapped = StructType(Seq(StructField("attrs",
+      MapType(StringType, StructType(Seq(StructField("a", IntegerType)))))))
+    c.create("attrs_strict", mapped, Map("validation" -> "strict"))
+    c.produceJson("attrs_strict", Seq("""{"attrs":{"anyKey":{"a":1}}}"""))
+    val errM = intercept[IllegalArgumentException](c.produceJson("attrs_strict",
+      Seq("""{"attrs":{"k":{"a":1,"extra":2}}}""")))
+    assert(errM.getMessage.contains("'attrs.k.extra'"), errM.getMessage)
     // malformed JSON fails at produce, not at first scan
     val err3 = intercept[IllegalArgumentException](
       c.produceJson("q_strict", Seq("""{"role": unquoted}""")))

@@ -414,6 +414,42 @@ class StreamingSpec extends SparkSpec {
     assert(LexicalIndex.corpusStats(spark, idx).collect()(0) !=  preStats)
   }
 
+  test("epoch-tagged appends are idempotent: a replayed micro-batch never double-counts") {
+    import spark.implicits._
+    import graft.operators.{Lexical, LexicalIndex}
+    val idx = tmp("graft_lex_replay")
+    val docs = Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 40).select(col("doc_id"), col("text"))
+    LexicalIndex.writeIndex(docs.filter(col("doc_id") < 20), "doc_id", "text", idx)
+    val batch = docs.filter(col("doc_id") >= 20)
+    // the at-least-once scenario: the same (batch, epoch) applied twice
+    LexicalIndex.appendToIndex(batch, "doc_id", "text", idx, epoch = 7)
+    val once = LexicalIndex.postings(spark, idx)
+      .orderBy("id", "tok").collect().map(_.toString).toSeq
+    val statsOnce = LexicalIndex.corpusStats(spark, idx).collect()(0)
+    LexicalIndex.appendToIndex(batch, "doc_id", "text", idx, epoch = 7)
+    assert(LexicalIndex.postings(spark, idx)
+      .orderBy("id", "tok").collect().map(_.toString).toSeq == once,
+      "replay duplicated postings")
+    assert(LexicalIndex.corpusStats(spark, idx).collect()(0) == statsOnce,
+      "replay double-counted stats")
+    // ...and the stats equal the batch form over the union (incl. n/avgdl)
+    assert(statsOnce == Lexical.corpusStats(docs, "text").collect()(0))
+    // the ivf family has the same guarantee
+    val emb = Tables(spark, sf, "embeddings")
+    val vidx = tmp("graft_ivf_replay")
+    graft.operators.IvfSearch.writeIndex(emb.filter(col("vec_id") < 200),
+      "vec_id", "embedding", vidx, nList = 4, iters = 1)
+    val vbatch = emb.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+    graft.operators.IvfSearch.appendToIndex(vbatch, "vec_id", "embedding",
+      vidx, epoch = 3)
+    val n1 = spark.read.parquet(s"$vidx/corpus").count()
+    graft.operators.IvfSearch.appendToIndex(vbatch, "vec_id", "embedding",
+      vidx, epoch = 3)
+    assert(spark.read.parquet(s"$vidx/corpus").count() == n1,
+      "ivf replay duplicated vectors")
+  }
+
   test("lexicalIndexStream compactEvery: in-stream maintenance keeps files bounded") {
     import spark.implicits._
     import graft.operators.{Lexical, LexicalIndex}
@@ -431,10 +467,12 @@ class StreamingSpec extends SparkSpec {
     Streams.lexicalIndexStream(
       Streams.fileStream(spark, s"$src/*", docs.schema),
       "doc_id", "text", idx, ckpt, compactEvery = 1).awaitTermination(120000)
-    // every epoch compacted: at most one file per bucket, one stats row
+    // every epoch compacted: at most one file per (bucket, segment) with
+    // two live segments (base + the excluded in-flight epoch), and at
+    // most one stats partial per segment
     assert(graft.operators.IndexMaintenance.dataFiles(spark, s"$idx/postings")
-      <= LexicalIndex.NBuckets)
-    assert(spark.read.parquet(s"$idx/stats").count() == 1)
+      <= LexicalIndex.NBuckets * 2)
+    assert(spark.read.parquet(s"$idx/stats").count() <= 2)
     // and the maintained store still serves the exact batch scores
     val queries = Seq((1L, "the"), (2L, "customer")).toDF("qid", "term")
     val served = Lexical.bm25TopK(queries, "qid", "term", null, "id", "text",
