@@ -255,7 +255,9 @@ object Corpus {
     * then semi-join back (null-safe on the stratum — a null stratum is a
     * group, same as the window's partitionBy treated it); AQE broadcasts
     * the selection when it fits, which at eval-carve-out sizes it always
-    * does.
+    * does. Null ids cannot be selected (the heap and the join-back both
+    * skip them) — the corpus-id contract (non-null integral unique ids)
+    * every id-keyed operator here assumes.
     */
   def takePerStratum(df: DataFrame, idCol: String, stratumCol: String,
       n: Int): DataFrame = {
