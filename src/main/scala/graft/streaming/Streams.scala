@@ -251,6 +251,54 @@ object Streams {
       }
       .start()
 
+  /** Continuous HYBRID ingestion — [[chunkIndexStream]] and
+    * [[lexicalIndexStream]] fused into ONE stream: each micro-batch of
+    * arriving documents is chunked+embedded into the persisted IVF
+    * index AND posted into the persisted lexical index, so the corpus
+    * serves vector, keyword, and fused (RRF) retrieval from the moment
+    * a document lands — the complete streaming back-end of
+    * `HYBRID_SEARCH`. One source, one checkpoint, one epoch sequence:
+    * both appends are epoch-tagged against the SAME epoch, so a replay
+    * overwrites both sides coherently (a crash between the two appends
+    * replays into two idempotent overwrites — neither side can
+    * double-count and neither side can permanently miss the batch).
+    * `compactEvery` maintains both stores, excluding the in-flight
+    * epoch on each.
+    */
+  def hybridIndexStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      vectorIndexPath: String, lexicalIndexPath: String,
+      checkpointDir: String,
+      chunkSize: Int = 32, overlap: Int = 8,
+      onStats: graft.operators.AppendStats => Unit = _ => (),
+      compactEvery: Long = 0): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        // one pass over the batch feeds both sides: materialize it so
+        // the chunk+embed subtree and the tokenize subtree don't each
+        // re-read the source
+        val b = batch.localCheckpoint()
+        val chunks = graft.operators.Corpus
+          .chunkTokens(b, idCol, textCol, chunkSize, overlap)
+          .withColumn("chunk_uid", col("id") * 1000000L + col("chunk_id"))
+          .withColumn("emb",
+            graft.functions.HashEmbedder.embedCol(col("chunk_text")))
+        onStats(graft.operators.IvfSearch.appendToIndex(
+          chunks, "chunk_uid", "emb", vectorIndexPath, epoch = epoch))
+        graft.operators.LexicalIndex.appendToIndex(
+          b, idCol, textCol, lexicalIndexPath, epoch = epoch)
+        if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1) {
+          graft.operators.IvfSearch.compactIndex(b.sparkSession,
+            vectorIndexPath, excludeEpoch = epoch)
+          graft.operators.LexicalIndex.compactIndex(b.sparkSession,
+            lexicalIndexPath, excludeEpoch = epoch)
+        }
+        ()
+      }
+      .start()
+
   /** Continuous LEXICAL indexing — [[chunkIndexStream]]'s twin for the
     * BM25 side of hybrid retrieval: every micro-batch of arriving
     * documents appends its postings and a stats partial to a persisted

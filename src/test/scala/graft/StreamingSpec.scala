@@ -414,6 +414,50 @@ class StreamingSpec extends SparkSpec {
     assert(LexicalIndex.corpusStats(spark, idx).collect()(0) !=  preStats)
   }
 
+  test("hybridIndexStream: one stream serves vector AND keyword retrieval") {
+    import spark.implicits._
+    import graft.operators.{Corpus, IvfSearch, Lexical, LexicalIndex}
+    import graft.functions.HashEmbedder
+    val src = tmp("graft_hyb_src")
+    val vidx = tmp("graft_hyb_vidx")
+    val lidx = tmp("graft_hyb_lidx")
+    val ckpt = tmp("graft_hyb_ck")
+    val docs = Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+    def chunksOf(d: org.apache.spark.sql.DataFrame) =
+      Corpus.chunkTokens(d, "doc_id", "text", 32, 8)
+        .withColumn("chunk_uid", col("id") * 1000000L + col("chunk_id"))
+        .withColumn("emb", HashEmbedder.embedCol(col("chunk_text")))
+    // offline build on the head; the stream ingests the tail
+    IvfSearch.writeIndex(chunksOf(docs.filter(col("doc_id") < 30)),
+      "chunk_uid", "emb", vidx, nList = 8, iters = 2)
+    LexicalIndex.writeIndex(docs.filter(col("doc_id") < 30), "doc_id", "text", lidx)
+    val late = docs.filter(col("doc_id") >= 30)
+    late.write.parquet(s"$src/a")
+    Streams.hybridIndexStream(
+      Streams.fileStream(spark, s"$src/*", late.schema),
+      "doc_id", "text", vidx, lidx, ckpt).awaitTermination(120000)
+    // vector side: a late chunk retrieves a byte-identical chunk text
+    val lateChunks = chunksOf(late).localCheckpoint()
+    val probe = lateChunks.orderBy("chunk_uid").limit(2)
+      .select(col("chunk_uid").as("qid"), col("emb").as("qv"))
+    val texts = chunksOf(docs).select("chunk_uid", "chunk_text")
+      .as[(Long, String)].collect().toMap
+    IvfSearch.searchIndex(spark, vidx, probe, "qid", "qv",
+        k = 1, metric = "cosine", nProbe = 8).collect()
+      .foreach { r => assert(texts(r.getLong(0)) == texts(r.getLong(1))) }
+    // lexical side: index-served BM25 over the SAME stream equals the
+    // direct batch over the unioned corpus
+    val queries = Seq((1L, "the"), (2L, "customer")).toDF("qid", "term")
+    val served = Lexical.bm25TopK(queries, "qid", "term", null, "id", "text",
+        k = 5, post = LexicalIndex.postings(spark, lidx),
+        stats = LexicalIndex.corpusStats(spark, lidx))
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val direct = Lexical.bm25TopK(queries, "qid", "term", docs, "doc_id", "text",
+        k = 5).orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(served == direct && served.nonEmpty)
+  }
+
   test("epoch-tagged appends are idempotent: a replayed micro-batch never double-counts") {
     import spark.implicits._
     import graft.operators.{Lexical, LexicalIndex}
