@@ -1435,6 +1435,21 @@ ORDER BY event_id, event_id2""")
         .orderBy("doc_id")
     }),
 
+    // --- stop-line filter with the SKETCH-FIRST mine ----------------------
+    // Same stop-line semantics, but the boilerplate list comes from the
+    // bounded-memory heavy-hitter sketch (candidates) + exact verify —
+    // the mine whose memory doesn't grow with the distinct-line space.
+    // Oracled by q_stopline_filter's verbatim SQL: the hash match proves
+    // the sketch-mined list is EXACT, not merely approximate.
+    "q_stopline_sketch" -> ((s, dir) => {
+      val lined = sixTokenLined(s, dir)
+      val stops = Dedup.boilerplateLinesSketch(lined, "doc_id", "text_lined",
+        minDocFreq = 3)
+      Dedup.stopLineFilter(lined, "doc_id", "text_lined", stops.select("key"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // --- corpus curation: deterministic stratified sampling ---------------
     // Sampling is a pure function of doc_id (multiplicative hash), not an
     // RNG — the same subset selects on any cluster size / partitioning,
@@ -3268,6 +3283,25 @@ values (
     // stop-line filter: mine keys in >= 3 docs, remove them from every
     // doc (no keeper), rebuild via ordered string_agg — same lined CTE.
     "q_stopline_filter" ->
+      ("WITH lined AS (SELECT doc_id, array_to_string(" +
+        "[array_to_string(tk[i*6+1:i*6+6], ' ') " +
+        "FOR i IN range(0, greatest(CAST(ceil(len(tk)/6.0) AS INT), 1))], chr(10)) AS text_lined " +
+        "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents)), " +
+        "lines AS (SELECT doc_id, i AS pos, sp[i] AS line, lower(trim(sp[i])) AS key " +
+        "FROM (SELECT doc_id, string_split(text_lined, chr(10)) AS sp FROM lined), " +
+        "UNNEST(range(1, len(sp)+1)) r(i)), " +
+        "stops AS (SELECT key FROM lines WHERE len(key) > 0 " +
+        "GROUP BY key HAVING count(DISTINCT doc_id) >= 3), " +
+        "st AS (SELECT doc_id, pos, line, key, " +
+        "count(*) OVER (PARTITION BY doc_id) AS n_lines FROM lines) " +
+        "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, count(*) AS n_kept, " +
+        "string_agg(line, chr(10) ORDER BY pos) AS clean_text " +
+        "FROM st WHERE key NOT IN (SELECT key FROM stops) " +
+        "GROUP BY doc_id, n_lines ORDER BY doc_id"),
+
+    // the sketch-first mine must be EXACT (candidates superset + exact
+    // verify), so its consumer is oracled by the stop-line SQL verbatim
+    "q_stopline_sketch" ->
       ("WITH lined AS (SELECT doc_id, array_to_string(" +
         "[array_to_string(tk[i*6+1:i*6+6], ' ') " +
         "FOR i IN range(0, greatest(CAST(ceil(len(tk)/6.0) AS INT), 1))], chr(10)) AS text_lined " +

@@ -895,6 +895,62 @@ object Dedup {
       .groupBy("key").agg(count_distinct(col("id")).as("doc_freq"))
       .filter(col("doc_freq") >= minDocFreq)
 
+  /** [[boilerplateLines]] computed SKETCH-FIRST — the bounded-memory
+    * mine for corpora whose distinct-line space is itself corpus-sized
+    * (every page of a 100 TB crawl contributes near-unique lines; the
+    * exact groupBy must shuffle them all even though only the Zipf head
+    * matters). Two passes:
+    *
+    *  1. candidates: per-document DISTINCT line keys (derived narrowly
+    *     inside the row — `array_distinct` over the same
+    *     normalize+blank rule as [[boilerplateLines]]) feed a
+    *     [[graft.functions.FreqItemsSketch]] heavy-hitter aggregate on
+    *     the 8-byte line hash. Fixed `maxMapSize` entries per
+    *     partition, associative partial merge, one merged sketch — the
+    *     unique-line tail never reaches a shuffle. NO_FALSE_NEGATIVES
+    *     makes the candidate set a guaranteed SUPERSET of every line
+    *     with true doc-frequency ≥ `minDocFreq`, PROVIDED the sketch's
+    *     maximum error stays below the threshold — asserted loudly
+    *     (raise `maxMapSize` when a corpus outgrows it), never a
+    *     silent recall loss.
+    *  2. verify: the ≤ maxMapSize candidates broadcast back and ONLY
+    *     their lines take the exact count-distinct path.
+    *
+    * The composed result is therefore EXACT — byte-equal to
+    * [[boilerplateLines]] (q_stopline_sketch proves it under the
+    * verbatim stop-line oracle) — with memory and shuffle bytes
+    * independent of the distinct-line count.
+    */
+  def boilerplateLinesSketch(df: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Long = 2, maxMapSize: Int = 1 << 14): DataFrame = {
+    require(minDocFreq >= 1, s"boilerplateLinesSketch: minDocFreq=$minDocFreq")
+    require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+      s"boilerplateLinesSketch: maxMapSize must be a power of 2 >= 8, got $maxMapSize")
+    // per-doc distinct keys, narrowly: same element-wise normalize+blank
+    // rule as normLines, then array_distinct inside the row — no wide
+    // (id, key) distinct is ever needed for CANDIDATE generation
+    val docKeys = df.select(explode(array_distinct(
+      filter(transform(split(col(textCol), "\n"), l => lower(trim(l))),
+        k => length(k) > 0))).as("key"))
+    val arr = docKeys
+      .agg(graft.functions.FreqItemsSketch.freqItems(
+        xxhash64(col("key")), minDocFreq, maxMapSize).as("hh"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    val (sentinel, items) = arr.partition(_.getLong(0) == Long.MinValue)
+    val maxError = sentinel.head.getLong(1)
+    require(maxError < minDocFreq,
+      s"boilerplateLinesSketch: sketch maximum error $maxError >= " +
+        s"minDocFreq $minDocFreq — the no-false-negative guarantee is " +
+        s"vacuous at this size; raise maxMapSize (now $maxMapSize)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cands = broadcast(items.map(_.getLong(0)).toDF("kh"))
+    normLines(df, idCol, textCol)
+      .join(cands, xxhash64(col("key")) === col("kh"), "left_semi")
+      .groupBy("key").agg(count_distinct(col("id")).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocFreq)
+  }
+
   /** [[boilerplateLines]] with 8-byte xxhash64 line keys — the
     * cross-epoch streaming-store form (state never holds text; 16
     * bytes per distinct line). Output: (kh, n).

@@ -258,6 +258,41 @@ class DedupSpec extends SparkSpec {
     assert(mh == exact, "minhash candidate set should equal ground truth here")
   }
 
+  test("boilerplateLinesSketch equals the exact mine; vacuous guarantee fails loudly") {
+    // planted: one boilerplate line across 40 docs, one across 3, and a
+    // long tail of unique lines (the distinct-line mass the sketch
+    // exists to keep out of memory); within-doc repetition must not
+    // inflate doc-frequency
+    val docs = (1L to 40L).map { i =>
+      val boiler = if (i <= 40) "subscribe to our newsletter\n" else ""
+      val rare = if (i <= 3) "cookie policy applies\ncookie policy applies\n" else ""
+      (i, s"${boiler}${rare}unique line $i alpha\nunique line $i beta")
+    }.toDF("id", "text")
+    val exact = Dedup.boilerplateLines(docs, "id", "text", minDocFreq = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketched = Dedup.boilerplateLinesSketch(docs, "id", "text",
+        minDocFreq = 3, maxMapSize = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketched == exact && exact.nonEmpty, s"sketch $sketched vs $exact")
+    assert(exact("cookie policy applies") == 3L,
+      "within-doc repetition inflated doc frequency")
+    // the no-false-negative guarantee must never fail SILENTLY: a map
+    // too small for the stream errors instead of under-mining
+    val wide = (1L to 2000L).map(i => (i, s"u$i a\nu$i b\nu$i c")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.boilerplateLinesSketch(wide, "id", "text", minDocFreq = 2,
+        maxMapSize = 8)
+    }
+    assert(e.getMessage.contains("raise maxMapSize"), e.getMessage)
+    // ...and on the real corpus the sketch path is byte-equal too
+    val corpus = Tables(spark, sf, "documents")
+    val exactC = Dedup.boilerplateLines(corpus, "doc_id", "text", 2)
+      .collect().map(_.toString).sorted.toSeq
+    val sketchC = Dedup.boilerplateLinesSketch(corpus, "doc_id", "text", 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sketchC == exactC)
+  }
+
   test("exactKeepBest keeps the best-quality copy, not the lowest id") {
     val df = Seq(
       (1L, "hello   world", 0.4), // messy copy, low quality
