@@ -35,9 +35,13 @@ import org.apache.spark.sql.types._
   *
   * Output: `ARRAY<STRUCT<item LONG, est LONG, lb LONG, ub LONG>>` of
   * items with upper bound ≥ `threshold`, best-first; plus a trailing
-  * sentinel row `(item = Long.MinValue, est = maxError, lb = n, ub =
-  * maxMapSize)` carrying the run's error accounting so callers can
-  * assert the guarantee was non-vacuous (`maxError < threshold`).
+  * sentinel row `(est = maxError, lb = n, ub = maxMapSize)` carrying
+  * the run's error accounting so callers can assert the guarantee was
+  * non-vacuous (`maxError < threshold`). The sentinel is ALWAYS the
+  * LAST element — a positional contract: its item field is a marker
+  * value only, and a real item's hash may legitimately collide with
+  * any marker, so callers must split on position (`arr.init` /
+  * `arr.last`), never on the item value.
   */
 case class FreqItemsSketch(
     child: Expression,

@@ -936,8 +936,12 @@ object Dedup {
       .agg(graft.functions.FreqItemsSketch.freqItems(
         xxhash64(col("key")), minDocFreq, maxMapSize).as("hh"))
       .head().getSeq[org.apache.spark.sql.Row](0)
-    val (sentinel, items) = arr.partition(_.getLong(0) == Long.MinValue)
-    val maxError = sentinel.head.getLong(1)
+    // POSITIONAL sentinel contract: eval appends the error-accounting
+    // row LAST — matching on the item value would mis-classify a real
+    // heavy hitter whose hash happens to equal the sentinel marker
+    val sentinel = arr.last
+    val items = arr.init
+    val maxError = sentinel.getLong(1)
     require(maxError < minDocFreq,
       s"boilerplateLinesSketch: sketch maximum error $maxError >= " +
         s"minDocFreq $minDocFreq — the no-false-negative guarantee is " +

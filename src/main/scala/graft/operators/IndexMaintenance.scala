@@ -108,6 +108,29 @@ object IndexMaintenance {
     } else false
   }
 
+  /** The ONE epoch-disciplined writer every index append goes through:
+    * `epoch >= 0` lands as a dynamic-partition OVERWRITE of the frame's
+    * own partitions (idempotent replay — the exactly-once contract);
+    * `epoch < 0` is a plain append into the base segment. Centralized
+    * so the overwrite discipline can never silently diverge between the
+    * lexical and vector stores.
+    */
+  def epochWrite(df: DataFrame, partitionCols: Seq[String], epoch: Long,
+      dir: String): Unit = {
+    val w = df.write.partitionBy(partitionCols: _*)
+    (if (epoch >= 0)
+       w.option("partitionOverwriteMode", "dynamic").mode("overwrite")
+     else w.mode("append")).parquet(dir)
+  }
+
+  /** Compaction's closed-epoch remap: every epoch except the stream's
+    * in-flight `excludeEpoch` merges into base segment `-1` (see the
+    * compactIndex docs for why the in-flight epoch must survive).
+    */
+  def closedEpochsToBase(excludeEpoch: Long)(df: DataFrame): DataFrame =
+    df.withColumn("epoch",
+      when(col("epoch") === excludeEpoch, col("epoch")).otherwise(lit(-1L)))
+
   /** Rewrite a partitioned parquet dir to ONE file per partition value
     * combination (`repartition` on the partition keys hashes each
     * combination to exactly one task, and the dynamic-partition write

@@ -90,14 +90,18 @@ object IvfPqIndex {
     val celled = df.select(col(cId).cast("long").as("id"),
         IvfSearch.nearestCell(centroids)(col(cVec)).as("cell"), col(cVec).as("v"))
       .localCheckpoint()
-    // epoch >= 0: idempotent replay via dynamic partition overwrite
-    // (the IvfSearch.appendToIndex exactly-once rule)
-    val w = celled.withColumn("rv", residualUdf(centroids)(col("v"), col("cell")))
+    // epoch >= 0: idempotent replay via dynamic partition overwrite,
+    // under the store lease with swap recovery first (the
+    // IvfSearch.appendToIndex exactly-once + recovery rule)
+    val coded = celled
+      .withColumn("rv", residualUdf(centroids)(col("v"), col("cell")))
       .select(col("id"), col("cell"), PqSearch.encodeUdf(cb)(col("rv")).as("codes"))
       .withColumn("epoch", lit(epoch))
-      .write.partitionBy("cell", "epoch")
-    (if (epoch >= 0) w.option("partitionOverwriteMode", "dynamic").mode("overwrite")
-     else w.mode("append")).parquet(s"$path/corpus")
+    IndexMaintenance.withStoreLock(spark, path) {
+      IndexMaintenance.recoverSwap(spark, s"$path/corpus")
+      IndexMaintenance.epochWrite(coded, Seq("cell", "epoch"), epoch,
+        s"$path/corpus")
+    }
     IvfSearch.driftVerdict(
       IvfSearch.celledStats(celled.withColumn("__dist",
         IvfSearch.cellDist(centroids)(col("v"), col("cell"))), centroids.length),

@@ -291,11 +291,16 @@ object IvfSearch {
     // epoch >= 0: IDEMPOTENT append — a replayed micro-batch overwrites
     // its own (cell, epoch) partitions instead of duplicating vectors
     // (the streaming fronts always tag; ad-hoc batch appends default to
-    // the plain append into the base segment)
-    val w = celled.withColumn("epoch", lit(epoch))
-      .write.partitionBy("cell", "epoch")
-    (if (epoch >= 0) w.option("partitionOverwriteMode", "dynamic").mode("overwrite")
-     else w.mode("append")).parquet(s"$path/corpus")
+    // the plain append into the base segment). The write runs under the
+    // store lease with swap recovery FIRST: a bare write after a
+    // compactor crashed mid-swap would CREATE a fresh corpus dir holding
+    // only this epoch, and the next compaction's recovery would then
+    // discard the real store as debris.
+    IndexMaintenance.withStoreLock(spark, path) {
+      IndexMaintenance.recoverSwap(spark, s"$path/corpus")
+      IndexMaintenance.epochWrite(celled.withColumn("epoch", lit(epoch)),
+        Seq("cell", "epoch"), epoch, s"$path/corpus")
+    }
     driftVerdict(
       celledStats(celled.withColumn("__dist",
         cellDist(centroids)(col("vec"), col("cell"))), centroids.length),
@@ -325,8 +330,7 @@ object IvfSearch {
       IndexMaintenance.recoverSwap(spark, s"$path/corpus")
       IndexMaintenance.compactPartitionedDir(spark, s"$path/corpus",
         Seq("cell", "epoch"), loadCentroids(spark, path).length * 2,
-        _.withColumn("epoch",
-          when(col("epoch") === excludeEpoch, col("epoch")).otherwise(lit(-1L))))
+        IndexMaintenance.closedEpochsToBase(excludeEpoch))
     }
   }
 

@@ -79,10 +79,9 @@ object LexicalIndex {
   private def writeStatsRow(spark: SparkSession, path: String,
       n: Long, ndl: Long, sumdl: Double, epoch: Long, replace: Boolean): Unit = {
     import spark.implicits._
-    val w = Seq((n, ndl, sumdl, epoch)).toDF("n", "ndl", "sumdl", "epoch")
-      .coalesce(1).write.partitionBy("epoch")
-    (if (replace) w.option("partitionOverwriteMode", "dynamic").mode("overwrite")
-     else w.mode("append")).parquet(s"$path/stats")
+    IndexMaintenance.epochWrite(
+      Seq((n, ndl, sumdl, epoch)).toDF("n", "ndl", "sumdl", "epoch").coalesce(1),
+      Seq("epoch"), if (replace) epoch else -1L, s"$path/stats")
   }
 
   /** Total token count of a posting frame: each document's dl rides on
@@ -135,19 +134,28 @@ object LexicalIndex {
   def appendToIndex(batch: DataFrame, idCol: String, textCol: String,
       path: String, epoch: Long = BaseEpoch): Long = {
     val spark = batch.sparkSession
-    require(FsUtil.exists(spark, s"$path/stats"),
-      s"lexical index at '$path' does not exist or is unreachable — " +
-        "writeIndex first (appending to a missing store would serve empty postings)")
-    // tokenize ONCE: the materialized posting batch feeds the partition
-    // write, the dl sum, and nothing else re-scans the text
+    // tokenize ONCE (outside the lock — pure compute): the materialized
+    // posting batch feeds the partition write and the dl sum, and
+    // nothing else re-scans the text
     val posts = bucketed(batch, idCol, textCol)
       .withColumn("epoch", lit(epoch)).localCheckpoint()
-    val replace = epoch >= 0
-    val w = posts.write.partitionBy("bucket", "epoch")
-    (if (replace) w.option("partitionOverwriteMode", "dynamic").mode("overwrite")
-     else w.mode("append")).parquet(s"$path/postings")
     val (n, ndl) = docCounts(batch, textCol)
-    writeStatsRow(spark, path, n, ndl, sumDl(posts), epoch, replace)
+    val sumdl = sumDl(posts)
+    // writes run under the store lease, and swap recovery runs FIRST:
+    // a replayed append after a compactor crashed mid-swap must restore
+    // the retired/staged store before writing — a bare write would
+    // CREATE a fresh dir holding only this epoch, and the next
+    // compaction's recovery would then discard the real store as debris
+    IndexMaintenance.withStoreLock(spark, path) {
+      IndexMaintenance.recoverSwap(spark, s"$path/postings")
+      IndexMaintenance.recoverSwap(spark, s"$path/stats")
+      require(FsUtil.exists(spark, s"$path/stats"),
+        s"lexical index at '$path' does not exist or is unreachable — " +
+          "writeIndex first (appending to a missing store would serve empty postings)")
+      IndexMaintenance.epochWrite(posts, Seq("bucket", "epoch"), epoch,
+        s"$path/postings")
+      writeStatsRow(spark, path, n, ndl, sumdl, epoch, replace = epoch >= 0)
+    }
     n
   }
 
@@ -173,20 +181,22 @@ object LexicalIndex {
     * StreamingSpec. Returns (posting files before, after).
     */
   def compactIndex(spark: SparkSession, path: String,
-      excludeEpoch: Long = Long.MinValue): (Long, Long) = {
-    require(FsUtil.exists(spark, s"$path/stats"),
-      s"lexical index at '$path' does not exist or is unreachable")
+      excludeEpoch: Long = Long.MinValue): (Long, Long) =
     IndexMaintenance.withStoreLock(spark, path) {
+      // recovery BEFORE the existence check: a compactor that crashed
+      // mid-swap leaves the live dir missing with a complete staged or
+      // retired copy beside it — requiring existence first would wedge
+      // the store until a manual rename
       IndexMaintenance.recoverSwap(spark, s"$path/postings")
       IndexMaintenance.recoverSwap(spark, s"$path/stats")
-      val seg = (e: org.apache.spark.sql.Column) =>
-        when(e === excludeEpoch, e).otherwise(lit(BaseEpoch))
+      require(FsUtil.exists(spark, s"$path/stats"),
+        s"lexical index at '$path' does not exist or is unreachable")
       val counts = IndexMaintenance.compactPartitionedDir(
         spark, s"$path/postings", Seq("bucket", "epoch"), NBuckets * 2,
-        _.withColumn("epoch", seg(col("epoch"))))
+        IndexMaintenance.closedEpochsToBase(excludeEpoch))
       IndexMaintenance.rewriteDir(spark, s"$path/stats",
-        partitionCols = Seq("epoch")) {
-        _.withColumn("epoch", seg(col("epoch")))
+        partitionCols = Seq("epoch")) { df =>
+        IndexMaintenance.closedEpochsToBase(excludeEpoch)(df)
           .groupBy("epoch")
           .agg(sum(col("n")).as("n"), sum(col("ndl")).as("ndl"),
             sum(col("sumdl")).as("sumdl"))
@@ -195,7 +205,6 @@ object LexicalIndex {
       }
       counts
     }
-  }
 
   /** Bucket-pruned posting scan for a DRIVER-KNOWN term set: the IN
     * filter on the partition column lists only the terms' bucket

@@ -29,6 +29,38 @@ object Streams {
   def fileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).option("maxFilesPerTrigger", "8").parquet(dir)
 
+  /** Namespace a stream's micro-batch id into the shared epoch space of
+    * an index store by the stream's CHECKPOINT identity — the identity
+    * Structured Streaming itself keys replay on. Micro-batch ids restart
+    * at 0 for every new checkpoint, so a SECOND stream appending to the
+    * same store would otherwise dynamic-overwrite the first stream's
+    * `epoch=0,1,…` partitions (silent data loss); namespaced, each
+    * checkpoint owns a disjoint epoch range while a RESTART of the same
+    * checkpoint keeps its ids (replay idempotency preserved). 22
+    * namespace bits x 40 epoch bits, sign bit clear (epoch >= 0 is the
+    * replace-mode contract); MurmurHash3 of the path is stable across
+    * JVMs. Collisions need two colliding checkpoints writing the SAME
+    * store (~k²/2²³ for k co-writing streams — and co-writing streams
+    * should be one stream anyway).
+    */
+  private def epochKey(checkpointDir: String, epoch: Long): Long =
+    ((scala.util.hashing.MurmurHash3.stringHash(checkpointDir).toLong
+      & 0x3FFFFFL) << 40) | (epoch & 0xFFFFFFFFFFL)
+
+  /** The chunk+embed projection shared by [[chunkIndexStream]] and
+    * [[hybridIndexStream]]. chunk_uid = doc_id * 1_000_000 + chunk_id —
+    * collision-free while documents stay under a million chunks and ids
+    * under ~9.2e12; `searchIndex` hits map back by div/mod. ONE place,
+    * because the uid contract is load-bearing for retrieval.
+    */
+  private def chunkEmbed(batch: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame =
+    graft.operators.Corpus
+      .chunkTokens(batch, idCol, textCol, chunkSize, overlap)
+      .withColumn("chunk_uid", col("id") * 1000000L + col("chunk_id"))
+      .withColumn("emb",
+        graft.functions.HashEmbedder.embedCol(col("chunk_text")))
+
   /** Prior-epoch subdirectories of a cross-epoch dedup store, via the
     * Hadoop FileSystem API so the store may live on ANY supported
     * filesystem (HDFS, S3A, local). `java.io.File.listFiles` would
@@ -171,13 +203,14 @@ object Streams {
         // epoch-tagged: an at-least-once replay overwrites its own epoch
         // partitions instead of duplicating vectors
         onStats(graft.operators.IvfSearch.appendToIndex(
-          batch, idCol, vecCol, indexPath, epoch = epoch))
+          batch, idCol, vecCol, indexPath,
+          epoch = epochKey(checkpointDir, epoch)))
         // in-stream maintenance cadence (see lexicalIndexStream): the
         // foreachBatch callback serializes it with this stream's appends;
         // the in-flight epoch is excluded so its replay stays idempotent
         if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
           graft.operators.IvfSearch.compactIndex(batch.sparkSession, indexPath,
-            excludeEpoch = epoch)
+            excludeEpoch = epochKey(checkpointDir, epoch))
         ()
       }
       .start()
@@ -201,10 +234,11 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         onStats(graft.operators.IvfPqIndex.appendToIndex(
-          batch, idCol, vecCol, indexPath, epoch = epoch))
+          batch, idCol, vecCol, indexPath,
+          epoch = epochKey(checkpointDir, epoch)))
         if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
           graft.operators.IvfPqIndex.compactIndex(batch.sparkSession, indexPath,
-            excludeEpoch = epoch)
+            excludeEpoch = epochKey(checkpointDir, epoch))
         ()
       }
       .start()
@@ -240,13 +274,10 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val chunks = graft.operators.Corpus
-          .chunkTokens(batch, idCol, textCol, chunkSize, overlap)
-          .withColumn("chunk_uid", col("id") * 1000000L + col("chunk_id"))
-          .withColumn("emb",
-            graft.functions.HashEmbedder.embedCol(col("chunk_text")))
+        val chunks = chunkEmbed(batch, idCol, textCol, chunkSize, overlap)
         onStats(graft.operators.IvfSearch.appendToIndex(
-          chunks, "chunk_uid", "emb", indexPath, epoch = epoch))
+          chunks, "chunk_uid", "emb", indexPath,
+          epoch = epochKey(checkpointDir, epoch)))
         ()
       }
       .start()
@@ -280,20 +311,17 @@ object Streams {
         // the chunk+embed subtree and the tokenize subtree don't each
         // re-read the source
         val b = batch.localCheckpoint()
-        val chunks = graft.operators.Corpus
-          .chunkTokens(b, idCol, textCol, chunkSize, overlap)
-          .withColumn("chunk_uid", col("id") * 1000000L + col("chunk_id"))
-          .withColumn("emb",
-            graft.functions.HashEmbedder.embedCol(col("chunk_text")))
+        val ek = epochKey(checkpointDir, epoch)
+        val chunks = chunkEmbed(b, idCol, textCol, chunkSize, overlap)
         onStats(graft.operators.IvfSearch.appendToIndex(
-          chunks, "chunk_uid", "emb", vectorIndexPath, epoch = epoch))
+          chunks, "chunk_uid", "emb", vectorIndexPath, epoch = ek))
         graft.operators.LexicalIndex.appendToIndex(
-          b, idCol, textCol, lexicalIndexPath, epoch = epoch)
+          b, idCol, textCol, lexicalIndexPath, epoch = ek)
         if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1) {
           graft.operators.IvfSearch.compactIndex(b.sparkSession,
-            vectorIndexPath, excludeEpoch = epoch)
+            vectorIndexPath, excludeEpoch = ek)
           graft.operators.LexicalIndex.compactIndex(b.sparkSession,
-            lexicalIndexPath, excludeEpoch = epoch)
+            lexicalIndexPath, excludeEpoch = ek)
         }
         ()
       }
@@ -331,13 +359,14 @@ object Streams {
         // overwrites its own epoch partitions instead of duplicating
         // postings (exactly-once through the idempotent-sink pattern)
         graft.operators.LexicalIndex.appendToIndex(
-          batch, idCol, textCol, indexPath, epoch = epoch)
+          batch, idCol, textCol, indexPath,
+          epoch = epochKey(checkpointDir, epoch))
         // compaction must EXCLUDE the in-flight epoch: merging it into
         // the base segment before this epoch's checkpoint commits would
         // let a replay re-append rows the merge already absorbed
         if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
           graft.operators.LexicalIndex.compactIndex(batch.sparkSession,
-            indexPath, excludeEpoch = epoch)
+            indexPath, excludeEpoch = epochKey(checkpointDir, epoch))
         ()
       }
       .start()

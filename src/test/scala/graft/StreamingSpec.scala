@@ -458,6 +458,34 @@ class StreamingSpec extends SparkSpec {
     assert(served == direct && served.nonEmpty)
   }
 
+  test("two streams with fresh checkpoints share a store without clobbering") {
+    // both streams start at micro-batch id 0; un-namespaced epochs would
+    // make the second stream's epoch-0 dynamic overwrite ERASE the
+    // first's — the checkpoint-keyed epoch namespace keeps them disjoint
+    import spark.implicits._
+    import graft.operators.{Lexical, LexicalIndex}
+    val idx = tmp("graft_lex_twock")
+    val docs = Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+    LexicalIndex.writeIndex(docs.filter(col("doc_id") < 20), "doc_id", "text", idx)
+    val srcA = tmp("graft_lex_srcA"); val srcB = tmp("graft_lex_srcB")
+    docs.filter(col("doc_id") >= 20 && col("doc_id") < 40).write.parquet(s"$srcA/a")
+    docs.filter(col("doc_id") >= 40).write.parquet(s"$srcB/b")
+    Streams.lexicalIndexStream(Streams.fileStream(spark, s"$srcA/*", docs.schema),
+      "doc_id", "text", idx, tmp("graft_lex_ckA")).awaitTermination(120000)
+    Streams.lexicalIndexStream(Streams.fileStream(spark, s"$srcB/*", docs.schema),
+      "doc_id", "text", idx, tmp("graft_lex_ckB")).awaitTermination(120000)
+    val queries = Seq((1L, "the"), (2L, "customer")).toDF("qid", "term")
+    val served = Lexical.bm25TopK(queries, "qid", "term", null, "id", "text",
+        k = 5, post = LexicalIndex.postings(spark, idx),
+        stats = LexicalIndex.corpusStats(spark, idx))
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val direct = Lexical.bm25TopK(queries, "qid", "term", docs, "doc_id", "text",
+        k = 5).orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(served == direct && served.nonEmpty,
+      "second stream's epoch-0 clobbered the first stream's data")
+  }
+
   test("epoch-tagged appends are idempotent: a replayed micro-batch never double-counts") {
     import spark.implicits._
     import graft.operators.{Lexical, LexicalIndex}
