@@ -142,6 +142,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("freq-items sketch: candidates are a superset of true heavy hitters") {
+    // Misra-Gries' guarantee under NO_FALSE_NEGATIVES, pinned over
+    // generated streams with planted heads and long random tails, across
+    // partitionings (estimates vary with order; the superset must not)
+    import spark.implicits._
+    import graft.functions.FreqItemsSketch
+    for (seed <- 1L to 5L) {
+      val heads = (1L to 5L).map(h => Seq.fill(30 + h.toInt)(h)).flatten
+      val tail = sample(Gen.listOfN(800, Gen.chooseNum(1000L, 999999L)), seed)
+      val stream = new scala.util.Random(seed).shuffle(heads ++ tail)
+      for (parts <- Seq(1, 7)) {
+        val arr = stream.toDF("v").repartition(parts)
+          .agg(FreqItemsSketch.freqItems(col("v"), 30L, 64).as("hh"))
+          .head().getSeq[org.apache.spark.sql.Row](0)
+        val sentinel = arr.last
+        assert(sentinel.getLong(2) == stream.length, "stream length accounting")
+        val cands = arr.init.map(_.getLong(0)).toSet
+        val trueHeavy = stream.groupBy(identity).filter(_._2.size >= 30).keySet
+        assert(trueHeavy.subsetOf(cands),
+          s"seed $seed parts $parts: missed ${trueHeavy diff cands}")
+        // estimates never undercount (upper bound >= estimate >= true)
+        val trueCounts = stream.groupBy(identity).view.mapValues(_.size.toLong)
+        arr.init.foreach { r =>
+          val t = trueCounts.getOrElse(r.getLong(0), 0L)
+          assert(r.getLong(1) >= t && r.getLong(3) >= t,
+            s"estimate below true count for item ${r.getLong(0)}")
+        }
+      }
+    }
+  }
+
   test("embedder: unit norm, self-cosine 1, deterministic") {
     for (seed <- 1L to 10L) {
       val doc = sample(docGen(20), seed)
