@@ -1443,8 +1443,14 @@ ORDER BY event_id, event_id2""")
     // the sketch-mined list is EXACT, not merely approximate.
     "q_stopline_sketch" -> ((s, dir) => {
       val lined = sixTokenLined(s, dir)
+      // maxMapSize sized for the sf0.1 line stream: the operator's
+      // vacuous-guarantee guard FIRED at the 2^14 default there (sketch
+      // maxError reached the doc-frequency threshold) — exactly the loud
+      // failure it exists for; 2^18 holds the error at 0 for this corpus
+      // family (4 MB of sketch per partition — nothing, vs the exact
+      // mine's full distinct-line shuffle)
       val stops = Dedup.boilerplateLinesSketch(lined, "doc_id", "text_lined",
-        minDocFreq = 3)
+        minDocFreq = 3, maxMapSize = 1 << 18)
       Dedup.stopLineFilter(lined, "doc_id", "text_lined", stops.select("key"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
