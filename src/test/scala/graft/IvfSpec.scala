@@ -206,6 +206,30 @@ class IvfSpec extends SparkSpec {
     IvfSearch.appendToIndex(emb.limit(0), "vec_id", "embedding", path)
   }
 
+  test("concurrent in-process compactors serialize on the store monitor") {
+    // two threads compacting the same store must run one-after-another
+    // (the monitor), not race the rename swap; both succeed and the
+    // store stays probe-identical
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_conc").toString
+    IvfSearch.writeIndex(emb.filter(col("vec_id") < 200),
+      "vec_id", "embedding", path, nList = 4, iters = 1)
+    IvfSearch.appendToIndex(emb.filter(col("vec_id") >= 200 && col("vec_id") < 300),
+      "vec_id", "embedding", path)
+    val q = emb.filter(col("vec_id") === 60)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def probe() = IvfSearch.searchIndex(spark, path, q, "qid", "qv",
+        k = 3, metric = "dot", nProbe = 4).collect().map(_.toString).toSeq
+    val pre = probe()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = Seq.fill(2)(Future(IvfSearch.compactIndex(spark, path)))
+    val results = Await.result(Future.sequence(runs), 300.seconds)
+    assert(results.length == 2, "both compactors must complete")
+    assert(probe() == pre && pre.nonEmpty)
+    assert(!new java.io.File(path, ".compact.lock").exists())
+  }
+
   test("compactIndex: single active compactor enforced via the on-disk lease") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_lock").toString
     IvfSearch.writeIndex(emb.filter(col("vec_id") < 100),
