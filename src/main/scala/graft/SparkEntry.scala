@@ -47,6 +47,20 @@ object SparkEntry {
     */
   private val artifactBytes =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), Array[Byte]]
+
+  /** Trained unigram-LM tokenizer per (app, dir) — a model artifact
+    * like the PQ codebooks: train once offline, encode many.
+    */
+  private val ulmCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), graft.operators.UnigramLm.UlmModel]
+  private def ulmModel(s: SparkSession, dir: String): graft.operators.UnigramLm.UlmModel =
+    ulmCache.synchronized {
+      val app = s.sparkContext.applicationId
+      ulmCache.keys.filter(_._1 != app).foreach(ulmCache.remove)
+      ulmCache.getOrElseUpdate((app, dir),
+        graft.operators.UnigramLm.train(t(s, dir, "documents"), "text",
+          vocabSize = 500, rounds = 2, maxPieceLen = 4))
+    }
   private def benchGramBloom(s: SparkSession, dir: String): Array[Byte] =
     artifactBytes.synchronized {
       val app = s.sparkContext.applicationId
@@ -2345,6 +2359,28 @@ values (
       Corpus.datasheet(t(s, dir, "documents"), "text", "source")
         .orderBy("stratum")),
 
+    // --- Unigram-LM tokenizer induction (Kudo 2018) -----------------------
+    // The SECOND tokenizer family next to BPE: start from a large
+    // candidate inventory, prune under hard-EM. The candidate stage is
+    // pure relational algebra — fully oracled (substring frequencies
+    // weighted by word-type counts, top-50 cap + always-kept chars).
+    "q_ulm_candidates" -> ((s, dir) =>
+      graft.operators.UnigramLm.candidates(t(s, dir, "documents"), "text",
+        maxPieceLen = 4, maxCandidates = 50)
+        .orderBy("piece")),
+
+    // Encode contract over the trained model (EM itself isn't SQL-
+    // replayable; UnigramLmSpec pins discovery/monotonicity/invariance):
+    // per doc, n_words is REAL (oracle recomputes it), every word's
+    // Viterbi pieces reassemble to the word, and the piece count can
+    // never undershoot the word count.
+    "q_ulm_encode" -> ((s, dir) =>
+      graft.operators.UnigramLm.encodeCount(
+        t(s, dir, "documents"), "doc_id", "text", ulmModel(s, dir))
+        .select(col("id").as("doc_id"), col("n_words"), col("roundtrip_ok"),
+          (col("n_pieces") >= col("n_words")).as("pieces_ok"))
+        .orderBy("doc_id")),
+
     // --- BPE tokenizer induction (Sennrich 2016) --------------------------
     // The FIRST merge is an oracle-recomputable fact: the corpus's most
     // frequent adjacent character pair weighted by word-type counts
@@ -3854,6 +3890,27 @@ values (
     // BPE head merge: the oracle replays word-type counts, every
     // adjacent character pair weighted by type count, and the
     // (count desc, lexicographic) argmax.
+    // unigram-LM candidate inventory: substring frequencies weighted by
+    // word-type counts, top-50 by (freq desc, piece asc) union ALL
+    // single chars, distinct — replayed relationally
+    "q_ulm_candidates" ->
+      ("WITH wc AS (SELECT word, count(*) AS cnt FROM (" +
+        "SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS word " +
+        "FROM documents) GROUP BY word), " +
+        "p AS (SELECT substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece, cnt " +
+        "FROM (SELECT word, cnt, l, unnest(range(1, len(word) - CAST(l AS INTEGER) + 2)) AS i " +
+        "FROM (SELECT word, cnt, unnest(range(1, least(4, len(word)) + 1)) AS l FROM wc))), " +
+        "f AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM p GROUP BY piece), " +
+        "top AS (SELECT piece, freq FROM f ORDER BY freq DESC, piece LIMIT 50), " +
+        "chars AS (SELECT piece, freq FROM f WHERE len(piece) = 1) " +
+        "SELECT DISTINCT piece, freq FROM (SELECT * FROM top UNION ALL SELECT * FROM chars) " +
+        "ORDER BY piece"),
+
+    "q_ulm_encode" ->
+      ("SELECT doc_id, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +
+        "ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) END AS BIGINT) AS n_words, " +
+        "TRUE AS roundtrip_ok, TRUE AS pieces_ok FROM documents ORDER BY doc_id"),
+
     "q_bpe_merge_head" ->
       ("WITH wc AS (SELECT word, count(*) AS cnt FROM (" +
         "SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS word " +
