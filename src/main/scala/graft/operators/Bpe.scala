@@ -72,7 +72,7 @@ object Bpe {
   /** The lowercased-whitespace-token convention shared with
     * [[Corpus.docTokenCounts]] (and the DuckDB oracle).
     */
-  private def toks(text: Column): Column =
+  private[operators] def toks(text: Column): Column =
     filter(split(lower(trim(text)), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
 
   /** The corpus's word-type table: (word, cnt), top `maxTypes` by

@@ -43,6 +43,9 @@ object UnigramLm {
     */
   final case class UlmModel(pieces: IndexedSeq[(String, Double)]) {
     lazy val logp: Map[String, Double] = pieces.toMap
+    // hoisted: segmentWord is the hot path of both EM and encode, and
+    // re-deriving this constant per call would scan the vocab each time
+    private lazy val maxLen: Int = pieces.iterator.map(_._1.length).max
 
     /** Viterbi segmentation of one word under the piece distribution.
       * DP over end positions; ties break deterministically: higher
@@ -54,7 +57,6 @@ object UnigramLm {
     def segmentWord(word: String): Seq[String] = {
       if (word.isEmpty) return Nil
       val n = word.length
-      val maxLen = pieces.iterator.map(_._1.length).max
       // best(i): (score, nPieces, lastPiece) for word[0, i)
       val score = Array.fill(n + 1)(Double.NegativeInfinity)
       val nPieces = Array.fill(n + 1)(Int.MaxValue)
@@ -138,6 +140,31 @@ object UnigramLm {
     top.unionByName(chars).distinct()
   }
 
+  /** [[candidates]] as a driver-side pure function of an already
+    * collected type table — identical output (UnigramLmSpec asserts
+    * it), so [[train]] pays ONE corpus pass and derives the inventory
+    * from the model-sized table it already holds.
+    */
+  private[graft] def candidatesFromTypes(
+      types: Seq[(String, Long)], maxPieceLen: Int,
+      maxCandidates: Int): Seq[(String, Long)] = {
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    types.foreach { case (w, c) =>
+      var l = 1
+      while (l <= math.min(maxPieceLen, w.length)) {
+        var i = 0
+        while (i + l <= w.length) {
+          val piece = w.substring(i, i + l)
+          freq(piece) = freq.getOrElse(piece, 0L) + c
+          i += 1
+        }
+        l += 1
+      }
+    }
+    val sorted = freq.toSeq.sortBy { case (p, f) => (-f, p) }
+    (sorted.take(maxCandidates) ++ sorted.filter(_._1.length == 1)).distinct
+  }
+
   /** Train the unigram LM — stages 2–3 (see object doc). */
   def train(df: DataFrame, textCol: String, vocabSize: Int,
       rounds: Int = 3, maxPieceLen: Int = 6, maxCandidates: Int = 2000,
@@ -147,8 +174,10 @@ object UnigramLm {
     val types = Bpe.wordTypes(df, textCol, maxTypes).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     require(types.nonEmpty, "unigram-lm: empty corpus")
-    val cand = candidates(df, textCol, maxPieceLen, maxCandidates, maxTypes)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // the documented ONE-pass discipline: the candidate inventory is a
+    // pure function of the type table just collected — recomputing it
+    // relationally would tokenize the corpus a second time
+    val cand = candidatesFromTypes(types, maxPieceLen, maxCandidates)
     // init: probabilities proportional to raw candidate frequencies
     var model = toModel(cand.map { case (p, f) => (p, f.toDouble) })
     (1 to rounds).foreach { _ =>
@@ -187,15 +216,18 @@ object UnigramLm {
   def encodeCount(df: DataFrame, idCol: String, textCol: String,
       model: UlmModel): DataFrame = {
     val m = model
-    val seg = udf((text: String) => {
-      val words =
-        if (text == null) Array.empty[String]
-        else text.trim.toLowerCase.split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
-      val segs = words.map(w => m.segmentWord(w))
-      val ok = words.zip(segs).forall { case (w, s) => s.mkString == w }
-      (words.length.toLong, segs.iterator.map(_.length.toLong).sum, ok)
+    // words come from the SAME column-side tokenization the training
+    // pass used (Bpe.toks) — a driver-side re-implementation would be a
+    // third copy of the split rule and Java's locale-sensitive
+    // toLowerCase (tr-TR dotless-i) could silently diverge from SQL
+    // lower(), pushing every affected word onto the OOV fallback
+    val seg = udf((words: Seq[String]) => {
+      val ws = if (words == null) Seq.empty[String] else words
+      val segs = ws.map(w => m.segmentWord(w))
+      val ok = ws.zip(segs).forall { case (w, s) => s.mkString == w }
+      (ws.length.toLong, segs.iterator.map(_.length.toLong).sum, ok)
     })
-    df.select(col(idCol).as("id"), seg(col(textCol)).as("__s"))
+    df.select(col(idCol).as("id"), seg(Bpe.toks(col(textCol))).as("__s"))
       .select(col("id"), col("__s._1").as("n_words"),
         col("__s._2").as("n_pieces"), col("__s._3").as("roundtrip_ok"))
   }

@@ -20,17 +20,34 @@ class UnigramLmSpec extends SparkSpec {
       s"no ab-piece in vocab: ${m.pieces.map(_._1)}")
   }
 
-  test("hard-EM likelihood is non-increasing over rounds") {
+  test("hard-EM likelihood is non-increasing over rounds (pre-prune)") {
+    // classical Viterbi-EM monotonicity holds for the UNPRUNED
+    // trajectory: a huge vocabSize makes the final prune a no-op, and
+    // the only non-E-step mass is the tiny unused-char floor — covered
+    // by a 0.1% tolerance. (A pruned model's NLL is NOT monotone in
+    // rounds: the cut can land differently per round count.)
     val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 60)
       .select(col("doc_id").as("id"), col("text"))
     val types = Bpe.wordTypes(docs, "text", 100000).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     val nlls = (1 to 3).map { r =>
-      UnigramLm.train(docs, "text", vocabSize = 300, rounds = r)
+      UnigramLm.train(docs, "text", vocabSize = 1000000, rounds = r)
         .negLogLikelihood(types)
     }
-    assert(nlls(0) + 1e-6 >= nlls(1) && nlls(1) + 1e-6 >= nlls(2),
+    assert(nlls(1) <= nlls(0) * 1.001 && nlls(2) <= nlls(1) * 1.001,
       s"likelihood regressed across rounds: $nlls")
+  }
+
+  test("driver-side candidate derivation equals the relational (oracled) stage") {
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 40)
+      .select(col("doc_id").as("id"), col("text"))
+    val relational = UnigramLm.candidates(docs, "text", maxPieceLen = 4,
+        maxCandidates = 60)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val types = Bpe.wordTypes(docs, "text", 1000000).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val driver = UnigramLm.candidatesFromTypes(types, 4, 60).toMap
+    assert(driver == relational, "train's one-pass inventory diverged")
   }
 
   test("coverage and roundtrip: every word segments and reassembles; chars kept") {
