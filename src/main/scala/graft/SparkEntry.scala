@@ -391,6 +391,26 @@ object SparkEntry {
         .as("text_lined"))
   }
 
+  /** Deterministic PUNCTUATED multi-line corpus for the C4 cleaning
+    * rules (q_c4_clean): the [[sixTokenLined]] lines gain terminal
+    * punctuation and rule-triggering markers by an index-keyed CASE
+    * both engines replay verbatim — line i of doc d becomes
+    * `lorem ipsum dolor.` (d%41=0, i=1), gains ` {` (d%37=0, i=0),
+    * ` javascript.` ((d+i)%29=0), or `.` ((d+i)%3≠0), else stays
+    * unpunctuated. Output: (doc_id, text_lined).
+    */
+  private def punctLined(s: SparkSession, dir: String): DataFrame =
+    sixTokenLined(s, dir).select(col("doc_id"),
+      concat_ws("\n", transform(split(col("text_lined"), "\n"), (ln, i) =>
+        when(pmod(col("doc_id"), lit(41)) === 0 && i === 1,
+          lit("lorem ipsum dolor."))
+          .when(pmod(col("doc_id"), lit(37)) === 0 && i === 0,
+            concat(ln, lit(" {")))
+          .when(pmod(col("doc_id") + i, lit(29)) === 0,
+            concat(ln, lit(" javascript.")))
+          .when(pmod(col("doc_id") + i, lit(3)) =!= 0, concat(ln, lit(".")))
+          .otherwise(ln))).as("text_lined"))
+
   /** The flagship RAG slice — q_rag_e2e (the rows) and q_rag_contract
     * (JSON-structure properties of the same rows).
     */
@@ -513,6 +533,16 @@ object SparkEntry {
   private def bpeModel(s: SparkSession, dir: String): graft.operators.Bpe.BpeModel =
     bpeCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir,
       graft.operators.Bpe.trainMerges(t(s, dir, "documents"), "text", nMerges = 30))
+
+  /** Train-once/serve-many WordPiece merge table — the third tokenizer
+    * artifact next to [[bpeModel]] and [[ulmModel]], same memo rule.
+    */
+  private val wpCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.WordPiece.WpModel]
+  private def wpModel(s: SparkSession, dir: String): graft.operators.WordPiece.WpModel =
+    wpCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir,
+      graft.operators.WordPiece.trainMerges(t(s, dir, "documents"), "text",
+        nMerges = 30))
 
   /** Train-once/serve-many quality-classifier model, content-addressed
     * like [[pqCodebooks]] — the production posture: the filter model is
@@ -2444,6 +2474,76 @@ values (
         .orderBy("doc_id")
     }),
 
+    // --- WordPiece tokenizer induction (Schuster & Nakajima 2012) ---------
+    // The THIRD tokenizer family: likelihood-ratio merges
+    // count(ab)/(count(a)*count(b)). The FIRST merge is fully oracled —
+    // the score is ONE IEEE double expression over exact long counts,
+    // so DuckDB replays the argmax bit-identically (q_bpe_merge_head's
+    // discipline, with the ratio in place of the raw count).
+    "q_wp_head" -> ((s, dir) =>
+      graft.operators.WordPiece.mergesDf(t(s, dir, "documents"), "text",
+        nMerges = 1)
+        .select(col("rank").cast("int").as("rank"), col("lhs"), col("rhs"))),
+
+    // Contract twin over the 30-merge table: every merge's concatenation
+    // occurs in some corpus word, and each side is a single char or an
+    // earlier merge's unit (the closure law; WordPieceSpec pins the
+    // exact sequence against an independent derivation).
+    "q_wp_contract" -> ((s, dir) => {
+      val m = wpModel(s, dir)
+      import s.implicits._
+      val units = scala.collection.mutable.Set.empty[String]
+      val rows = m.merges.zipWithIndex.map { case ((l, r), i) =>
+        def ok(x: String) = x.length == 1 || units.contains(x)
+        val c = ok(l) && ok(r)
+        units += (l + r)
+        (i, l + r, c)
+      }
+      val mdf = rows.toDF("rank", "pat", "construct_ok")
+      val words = graft.operators.Bpe.wordTypes(
+        t(s, dir, "documents"), "text", 1000000).select("word")
+      mdf.join(broadcast(words), contains(col("word"), col("pat")), "left")
+        .groupBy("rank")
+        .agg(max(col("construct_ok")).as("construct_ok"),
+          max(col("word").isNotNull).as("substring_ok"))
+        .select(col("rank").cast("int").as("rank"), col("substring_ok"),
+          col("construct_ok"))
+        .orderBy("rank")
+    }),
+
+    // Per-document WordPiece piece budget under greedy longest-match
+    // inference (narrow map, broadcast vocab); the boolean pins
+    // n_words <= n_wp_tok <= n_chars.
+    "q_wp_tokens_contract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toksCol = filter(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+"),
+        x => length(x) > 0)
+      val bounds = docs.select(col("doc_id"),
+        size(toksCol).cast("long").as("__nw"),
+        aggregate(toksCol, lit(0L), (a, x) => a + length(x)).as("__nc"))
+      graft.operators.WordPiece.encodeCount(docs, "doc_id", "text",
+        wpModel(s, dir))
+        .withColumnRenamed("id", "doc_id")
+        .join(bounds, "doc_id")
+        .select(col("doc_id"),
+          (col("n_wp_tok") >= col("__nw") && col("n_wp_tok") <= col("__nc"))
+            .as("bounds_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // --- C4 cleaning rules (Raffel 2020 §2.2) -----------------------------
+    // The structural web-page recipe over the deterministically
+    // punctuated line corpus: terminal-punctuation + min-word +
+    // javascript line rules, lorem-ipsum / curly-brace / min-sentence
+    // page rules. Fully oracled — the DuckDB oracle replays the corpus
+    // derivation, every line verdict, the sentence proxy, and the
+    // ordered text rebuild.
+    "q_c4_clean" -> ((s, dir) =>
+      graft.operators.Corpus.c4Clean(punctLined(s, dir), "doc_id",
+        "text_lined", minLineWords = 3, minSentences = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // Retrieval-quality metrics (precision@10, MRR, nDCG@10) of exact
     // cosine retrieval against label relevance — fully oracled: prec and
     // MRR are exact integer ratios; DCG/nDCG are round(,4) under the
@@ -3928,6 +4028,69 @@ values (
 
     "q_bpe_tokens_contract" ->
       ("SELECT doc_id, TRUE AS bounds_ok FROM documents ORDER BY doc_id"),
+
+    // WordPiece first merge: replay word types -> per-char counts ->
+    // adjacent-pair counts -> argmax of the IEEE-double likelihood
+    // ratio pcnt/(lcnt*rcnt) with the (score desc, lhs, rhs) order.
+    // Long counts < 2^53 cast exactly; /,* are correctly rounded, so
+    // the double is bit-identical to the Scala trainer's.
+    "q_wp_head" ->
+      ("WITH wc AS (SELECT word, count(*) AS cnt FROM (" +
+        "SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS word " +
+        "FROM documents) GROUP BY word), " +
+        "pos AS (SELECT word, cnt, CAST(i AS INTEGER) AS i " +
+        "FROM (SELECT word, cnt, unnest(range(1, len(word) + 1)) AS i FROM wc)), " +
+        "cc AS (SELECT substr(word, i, 1) AS c, sum(cnt) AS ccnt FROM pos GROUP BY 1), " +
+        "p AS (SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs, sum(cnt) AS pcnt " +
+        "FROM pos WHERE i < len(word) GROUP BY 1, 2) " +
+        "SELECT CAST(0 AS INTEGER) AS rank, lhs, rhs FROM p " +
+        "JOIN cc cl ON cl.c = p.lhs JOIN cc cr ON cr.c = p.rhs " +
+        "ORDER BY CAST(pcnt AS DOUBLE) / (CAST(cl.ccnt AS DOUBLE) * CAST(cr.ccnt AS DOUBLE)) DESC, lhs, rhs " +
+        "LIMIT 1"),
+
+    "q_wp_contract" ->
+      ("SELECT CAST(i AS INTEGER) AS rank, TRUE AS substring_ok, " +
+        "TRUE AS construct_ok FROM generate_series(0, 29) t(i) ORDER BY rank"),
+
+    "q_wp_tokens_contract" ->
+      ("SELECT doc_id, TRUE AS bounds_ok FROM documents ORDER BY doc_id"),
+
+    // C4 rules: replay the 6-token-line construction, the index-keyed
+    // punctuation CASE, each line verdict (terminal punct + >= 3 words
+    // + no javascript), the [.!?] sentence proxy over kept lines, the
+    // page flags, and the ordered rebuild (coalesced to '' when every
+    // line drops, matching concat_ws over the empty array).
+    "q_c4_clean" ->
+      ("WITH lined AS (SELECT doc_id, array_to_string(" +
+        "[array_to_string(tk[i*6+1:i*6+6], ' ') " +
+        "FOR i IN range(0, greatest(CAST(ceil(len(tk)/6.0) AS INT), 1))], chr(10)) AS text_lined " +
+        "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents)), " +
+        "plined AS (SELECT doc_id, array_to_string([CASE " +
+        "WHEN doc_id % 41 = 0 AND i = 1 THEN 'lorem ipsum dolor.' " +
+        "WHEN doc_id % 37 = 0 AND i = 0 THEN sp[i+1] || ' {' " +
+        "WHEN (doc_id + i) % 29 = 0 THEN sp[i+1] || ' javascript.' " +
+        "WHEN (doc_id + i) % 3 <> 0 THEN sp[i+1] || '.' " +
+        "ELSE sp[i+1] END FOR i IN range(0, len(sp))], chr(10)) AS text_lined " +
+        "FROM (SELECT doc_id, string_split(text_lined, chr(10)) AS sp FROM lined)), " +
+        "lines AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, sp[CAST(i AS INTEGER)+1] AS line " +
+        "FROM (SELECT doc_id, string_split(text_lined, chr(10)) AS sp FROM plined), " +
+        "UNNEST(range(0, len(sp))) r(i)), " +
+        "j AS (SELECT doc_id, pos, line, " +
+        "regexp_matches(line, '[.!?\"]$') " +
+        "AND len(list_filter(regexp_split_to_array(trim(line), '[ \\t\\f\\r]+'), t -> len(t) > 0)) >= 3 " +
+        "AND NOT regexp_matches(lower(line), '\\bjavascript\\b') AS keep FROM lines), " +
+        "agg AS (SELECT doc_id, count(*) AS n_lines, " +
+        "sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept, " +
+        "sum(CASE WHEN keep THEN len(regexp_extract_all(line, '[.!?]')) ELSE 0 END) AS n_sentences, " +
+        "coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS clean_text " +
+        "FROM j GROUP BY doc_id), " +
+        "fl AS (SELECT doc_id, contains(lower(text_lined), 'lorem ipsum') AS has_lorem, " +
+        "contains(text_lined, '{') AS has_brace FROM plined) " +
+        "SELECT agg.doc_id, CAST(n_lines AS BIGINT) AS n_lines, " +
+        "CAST(n_kept AS BIGINT) AS n_kept, CAST(n_sentences AS BIGINT) AS n_sentences, " +
+        "has_lorem, has_brace, " +
+        "(NOT has_lorem AND NOT has_brace AND n_sentences >= 3) AS kept_page, clean_text " +
+        "FROM agg JOIN fl ON agg.doc_id = fl.doc_id ORDER BY agg.doc_id"),
 
     // Retrieval metrics: the oracle replays the cosine top-10, the label
     // relevance join, the per-label corpus counts, and the ideal-DCG

@@ -787,4 +787,72 @@ object Corpus {
         disc(0.5).as("p50_len"), disc(0.9).as("p90_len"),
         round(col("n_docs") / col("__total"), 4).as("share"))
   }
+
+  // --- C4 cleaning heuristics (Raffel et al., JMLR 2020 §2.2) -------------
+
+  /** Terminal-punctuation line rule: the line's last character is one of
+    * `. ! ?` or a closing double quote (the C4 rule set).
+    */
+  private def c4LineTerminal(line: Column): Column =
+    line.rlike("[.!?\"]$")
+
+  /** The C4 web-page cleaning recipe over multi-line text, re-expressed
+    * relationally (Raffel et al. 2020, §2.2 — the rules that produced
+    * the C4 corpus from Common Crawl):
+    *
+    *  - a line is RETAINED iff it ends in a terminal punctuation mark
+    *    (`.`/`!`/`?`/closing quote), has at least `minLineWords`
+    *    whitespace words, and does not contain the word `javascript`
+    *    (case-insensitive);
+    *  - a PAGE is dropped iff it contains the phrase `lorem ipsum`
+    *    (case-insensitive), contains a curly bracket `{`, or retains
+    *    fewer than `minSentences` sentences. Sentences are counted as
+    *    occurrences of `.`/`!`/`?` in the retained lines — the
+    *    deterministic proxy both engines replay identically (the paper
+    *    used a sentence splitter; any monotone proxy preserves the
+    *    rule's character as a short-page gate).
+    *
+    * (The paper's fourth page rule — a bad-words blocklist — is the
+    * [[Dedup.stopLineFilter]]-style broadcast anti-join and is left to
+    * that operator family; this one covers the structural rules.)
+    *
+    * Scale shape: split lines with `posexplode`, per-line narrow
+    * booleans, one `groupBy` on the UNIQUE doc id (unskewed by
+    * construction, map-side combinable), text rebuilt with an ordered
+    * in-group sort over positions bounded by the document's own line
+    * count. Zero joins, one shuffle, fully oracle-replayable.
+    *
+    * Output: (id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+    * kept_page, clean_text) — one row per input document, dropped pages
+    * included with their verdict (the caller filters on `kept_page`;
+    * keeping the rows makes the gate itself auditable and oracled).
+    */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 3, minSentences: Int = 5): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+        lower(col(textCol)).contains("lorem ipsum").as("has_lorem"),
+        col(textCol).contains("{").as("has_brace"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val judged = lines.withColumn("__keep",
+      c4LineTerminal(col("line")) &&
+        size(filter(split(trim(col("line")), "[ \\t\\f\\r]+"),
+          t => length(t) > 0)) >= minLineWords &&
+        !lower(col("line")).rlike("\\bjavascript\\b"))
+    judged.groupBy("id", "has_lorem", "has_brace")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"),
+          size(regexp_extract_all(col("line"), lit("[.!?]"), lit(0))))
+          .otherwise(0)).cast("long").as("n_sentences"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("clean_text"))
+      .select(col("id"), col("n_lines"), col("n_kept"), col("n_sentences"),
+        col("has_lorem"), col("has_brace"),
+        (!col("has_lorem") && !col("has_brace") &&
+          col("n_sentences") >= minSentences).as("kept_page"),
+        col("clean_text"))
+  }
 }

@@ -659,4 +659,53 @@ class CorpusSpec extends SparkSpec {
       assert(r._5 <= r._6, s"${r._1}: p50 ${r._5} > p90 ${r._6}")
     }
   }
+
+  test("c4Clean line rules: terminal punctuation, min words, javascript") {
+    val docs = Seq(
+      (1L, Seq(
+        "one two three.",          // kept
+        "no terminal punct here",  // dropped: no terminal punctuation
+        "tiny.",                   // dropped: < 3 words
+        "uses JavaScript badly.",  // dropped: javascript word (ci)
+        "she said \"go now!\"",    // kept: closing quote terminal
+        "a b c! d e f?"            // kept: 2 sentence marks
+      ).mkString("\n"))).toDF("doc_id", "text")
+    val r = Corpus.c4Clean(docs, "doc_id", "text",
+      minLineWords = 3, minSentences = 3)
+      .as[(Long, Long, Long, Long, Boolean, Boolean, Boolean, String)]
+      .head()
+    val (_, nLines, nKept, nSent, lorem, brace, kept, clean) = r
+    assert(nLines == 6 && nKept == 3, s"lines=$nLines kept=$nKept")
+    // sentences: 1 (three.) + 1 (now!) + 2 (c! f?) = 4; "go now!" has
+    // one mark inside the quote
+    assert(nSent == 4, s"n_sentences=$nSent")
+    assert(!lorem && !brace && kept)
+    assert(clean == Seq("one two three.", "she said \"go now!\"",
+      "a b c! d e f?").mkString("\n"), clean)
+  }
+
+  test("c4Clean page rules: lorem ipsum, curly brace, min sentences") {
+    val docs = Seq(
+      (1L, "good line number one.\nLorem Ipsum filler text."),
+      (2L, "good line number one.\nvar x = function() {"),
+      (3L, "only one sentence here."),
+      (4L, "first good sentence here.\nsecond good sentence here.")
+    ).toDF("doc_id", "text")
+    val got = Corpus.c4Clean(docs, "doc_id", "text",
+      minLineWords = 3, minSentences = 2)
+      .select("id", "has_lorem", "has_brace", "kept_page")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((true, false, false)), "lorem ipsum page dropped (ci)")
+    assert(got(2L) == ((false, true, false)), "curly-brace page dropped")
+    assert(got(3L) == ((false, false, false)), "under min sentences")
+    assert(got(4L) == ((false, false, true)), "clean 2-sentence page kept")
+  }
+
+  test("c4Clean rebuilds empty text when every line drops") {
+    val docs = Seq((9L, "no punct at all\nstill none")).toDF("doc_id", "text")
+    val r = Corpus.c4Clean(docs, "doc_id", "text", 3, 1)
+      .select("n_kept", "clean_text").as[(Long, String)].head()
+    assert(r == ((0L, "")), r)
+  }
 }

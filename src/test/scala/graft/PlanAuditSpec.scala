@@ -397,4 +397,20 @@ class PlanAuditSpec extends SparkSpec {
     // labels (maxCell / anchor construction), not Zipf content keys
     assert("Window".r.findAllIn(p).size <= 2, p.take(2000))
   }
+
+  test("q_c4_clean: narrow line verdicts, one doc-id aggregate, zero joins") {
+    val p = plan("q_c4_clean").toString
+    // the whole recipe is posexplode -> per-line booleans -> groupBy on
+    // the UNIQUE doc id: no join of any kind, no window, and exactly
+    // one exchange (the id aggregate; unskewed by construction)
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    // exactly one hash exchange (the id aggregate); the trailing range
+    // exchange is the driver-facing orderBy, not operator work
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+    // map-side partial aggregation runs below that exchange
+    val exchangeAt = p.indexOf("Exchange")
+    val partialAt = p.indexOf("partial_count")
+    assert(exchangeAt >= 0 && partialAt > exchangeAt, p.take(2000))
+  }
 }
