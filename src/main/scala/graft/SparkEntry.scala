@@ -1761,6 +1761,39 @@ ORDER BY event_id, event_id2""")
         .orderBy("query_id")
     }),
 
+    // --- HNSW (sharded small-world graphs — the Atlas/Lucene family) ------
+    // Graph build per hash shard, broadcast query batch, exact re-rank
+    // of the shard-survivor union; recall contract is the hash gate
+    // like every other index family.
+    "q_hnsw_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = annQueries(s, dir)
+      val approx = graft.operators.HnswSearch.hnswTopK(queries, "query_id",
+        "qv", emb, "vec_id", "embedding", k = 3, metric = "dot",
+        m = 8, efConstruction = 64, efSearch = 32, nShards = 4)
+      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
+        "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
+    // Persisted HNSW: graphs build once (content-addressed path, the
+    // q_ivf_index_recall discipline — the benchmark times the PROBE),
+    // restore from stored adjacency, serve under the same contract.
+    "q_hnsw_index_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_index_" +
+        indexTag(dir)
+      if (!graft.operators.FsUtil.exists(s, s"$path/_meta/_SUCCESS"))
+        graft.operators.HnswSearch.writeIndex(emb, "vec_id", "embedding",
+          path, nShards = 4, m = 8, efConstruction = 64, metric = "dot")
+      val queries = annQueries(s, dir)
+      val approx = graft.operators.HnswSearch.searchIndex(s, path, queries,
+        "query_id", "qv", k = 3, efSearch = 32)
+      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
+        "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
     // --- persisted IVF index: write once (cell = partition column), probe
     // with partition pruning, same recall contract as the in-flight IVF.
     // The at-rest layout is the 100 TB index shape: a probe lists only the
@@ -2016,6 +2049,20 @@ values (
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       VectorSearch.annTopK(queries, "query_id", "qv", emb, "vec_id", "embedding",
         k = 3, metric = "dot", nBits = 6, nTables = 4)
+        .select("query_id", "match_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- HNSW ANN: sharded graph search (rows-only; q_hnsw_recall is
+    // the hash gate). Scores are the bit-parity scoreF32, rank exact
+    // over the shard-survivor union.
+    "q_vector_hnsw" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.operators.HnswSearch.hnswTopK(queries, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 3, metric = "dot",
+        m = 8, efConstruction = 64, efSearch = 32, nShards = 4)
         .select("query_id", "match_id", "score", "rank")
         .orderBy("query_id", "rank")
     }),
@@ -3760,6 +3807,14 @@ values (
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 
     "q_ivf_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_hnsw_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_hnsw_index_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 

@@ -1,0 +1,399 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.VectorSearch.scoreF32
+
+/** HNSW approximate nearest-neighbor search (Malkov & Yashunin, TPAMI
+  * 2018) — the graph-index family completing the ladder next to LSH,
+  * IVF, PQ, IVF-PQ, SQ8 and BQ. This is the index the reference's
+  * managed vector store actually runs under the hood (Atlas
+  * `$vectorSearch` is Lucene-HNSW-backed), so the family was the one
+  * conspicuous gap in the FAISS-style lineup.
+  *
+  * Distributed form: SHARDED small-world graphs — the Lucene-segment /
+  * FAISS-shard posture. The corpus hash-repartitions by id into
+  * `nShards` shards; each task builds an in-memory HNSW over ITS shard
+  * only and greedy-searches it for the whole broadcast query batch;
+  * per-query-per-shard top-k survivors union and an exact re-rank
+  * window (slim: queries × nShards × k rows) cuts the global top-k.
+  * Build is embarrassingly parallel and never needs a global graph;
+  * search cost is `nShards × ef` score evaluations per query — the
+  * standard sharded-HNSW trade (every shard must be probed, unlike
+  * IVF's pruned cells; in exchange, recall per candidate is the best
+  * of any family and the build has no training step).
+  *
+  * Determinism (the oracle discipline): the graph is a pure function
+  * of (shard content, parameters) — shard assignment is the
+  * deterministic hash partitioning on the UNIQUE id, insertion order
+  * is id-sorted within the shard, the level of node `id` derives from
+  * splitmix64(id) (no RNG state), and every in-graph comparison
+  * tie-breaks on the internal index. Scores that leave the operator
+  * are [[VectorSearch.scoreF32]] — bit-identical to the Catalyst
+  * expressions and DuckDB — so the result is exactly reproducible and
+  * the recall contract (q_hnsw_recall) hash-gates it.
+  *
+  * Memory bound: one shard's vectors + adjacency must fit the task
+  * heap (the Lucene segment rule). The build fails loudly past
+  * `maxShardRows` instead of densifying into an OOM — size `nShards`
+  * so shards stay under it (at 100 TB: shards of ~1-2M vectors, i.e.
+  * nShards in the tens of thousands, each an independent task).
+  */
+object HnswSearch {
+
+  /** splitmix64-derived node level: floor(-ln(u) * mL), u in (0,1] from
+    * the id's hash — no RNG state, so the level of a node is a pure
+    * function of (id, m) and never needs storing.
+    */
+  private[operators] def levelOf(id: Long, mL: Double): Int = {
+    var z = id + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    // top 53 bits -> u in (0,1]; 0 maps to 1.0
+    val u = ((z >>> 11) + 1).toDouble / (1L << 53).toDouble
+    math.min(30, (-math.log(u) * mL).toInt)
+  }
+
+  /** In-memory single-shard HNSW graph over id-sorted rows. Neighbor
+    * selection is the paper's simple variant (closest-M); layer-0
+    * degree bound is 2M, upper layers M (the standard setting).
+    */
+  private[operators] final class Graph(
+      val ids: Array[Long], val vecs: Array[Array[Float]],
+      m: Int, efC: Int, metric: String) {
+
+    private val n = ids.length
+    private val mL = 1.0 / math.log(m.toDouble)
+    // similarity: larger = closer (l2 negated for in-graph ordering)
+    @inline private def sim(q: Array[Float], i: Int): Double = {
+      val s = scoreF32(metric, q, vecs(i))
+      if (metric == "l2") -s else s
+    }
+
+    private[operators] val levels: Array[Int] =
+      Array.tabulate(n)(i => HnswSearch.levelOf(ids(i), mL))
+    // links(node)(layer) = neighbor internal indices
+    private[operators] val links: Array[Array[Array[Int]]] =
+      Array.tabulate(n)(i => Array.fill(levels(i) + 1)(Array.empty[Int]))
+    private var entry: Int = -1
+    private var maxLevel: Int = -1
+
+    /** Restore a built graph from stored adjacency (the persisted-index
+      * load path): levels are a pure function of (id, m) so only the
+      * neighbor lists need storing; entry point / max level recompute
+      * to exactly what [[build]] would have chosen (id-sorted insertion
+      * makes it the smallest internal index at the top level).
+      */
+    private[operators] def restore(adj: Array[Array[Array[Int]]]): Graph = {
+      require(adj.length == n, s"restore: ${adj.length} rows for $n nodes")
+      var i = 0
+      while (i < n) {
+        require(adj(i).length == levels(i) + 1,
+          s"restore: node $i has ${adj(i).length} layers, level ${levels(i)} " +
+            "— was the index written with a different m?")
+        links(i) = adj(i); i += 1
+      }
+      maxLevel = -1
+      i = 0
+      while (i < n) {
+        if (levels(i) > maxLevel) { maxLevel = levels(i); entry = i }
+        i += 1
+      }
+      this
+    }
+
+    /** ef-bounded best-first search on one layer from entry `ep`.
+      * Returns up to `ef` internal indices, best-first, deterministic
+      * (similarity then internal-index tie-break).
+      */
+    private def searchLayer(q: Array[Float], ep: Int, ef: Int,
+        layer: Int): Array[Int] = {
+      val visited = new java.util.HashSet[Integer]()
+      // candidates: best-first; results: worst-first bounded at ef
+      // PriorityQueue dequeues the MAX under its ordering: ordBest puts
+      // the highest similarity first, ties to the smaller internal index
+      val ordBest = Ordering.by[(Double, Int), (Double, Double)] {
+        case (s, i) => (s, -i.toDouble)
+      }
+      val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ordBest)
+      val ordWorst = ordBest.reverse
+      val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ordWorst)
+      val s0 = sim(q, ep)
+      visited.add(ep); cand.enqueue((s0, ep)); res.enqueue((s0, ep))
+      while (cand.nonEmpty) {
+        val (cs, c) = cand.dequeue()
+        val worst = res.head._1
+        if (cs < worst && res.size >= ef) { cand.clear() }
+        else {
+          val nbrs = links(c)(layer)
+          var j = 0
+          while (j < nbrs.length) {
+            val e = nbrs(j)
+            if (visited.add(e)) {
+              val es = sim(q, e)
+              if (res.size < ef || es > res.head._1 ||
+                  (es == res.head._1 && e < res.head._2)) {
+                cand.enqueue((es, e)); res.enqueue((es, e))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      val drained: Seq[(Double, Int)] = res.dequeueAll
+      drained.reverseIterator.map(_._2).toArray
+    }
+
+    /** Greedy single-step descent on upper layers. */
+    private def greedy(q: Array[Float], ep0: Int, layer: Int): Int = {
+      var ep = ep0
+      var eps = sim(q, ep)
+      var improved = true
+      while (improved) {
+        improved = false
+        val nbrs = links(ep)(layer)
+        var j = 0
+        while (j < nbrs.length) {
+          val e = nbrs(j)
+          val es = sim(q, e)
+          if (es > eps || (es == eps && e < ep)) {
+            ep = e; eps = es; improved = true
+          }
+          j += 1
+        }
+      }
+      ep
+    }
+
+    private def closestM(q: Array[Float], cands: Array[Int],
+        bound: Int): Array[Int] =
+      cands.sortBy(i => (-sim(q, i), i)).take(bound)
+
+    private def insert(i: Int): Unit = {
+      val lvl = levels(i)
+      if (entry < 0) { entry = i; maxLevel = lvl; return }
+      var ep = entry
+      var l = maxLevel
+      while (l > lvl) { ep = greedy(vecs(i), ep, l); l -= 1 }
+      l = math.min(lvl, maxLevel)
+      while (l >= 0) {
+        val w = searchLayer(vecs(i), ep, efC, l)
+        val bound = if (l == 0) 2 * m else m
+        val sel = closestM(vecs(i), w, m)
+        links(i)(l) = sel
+        var j = 0
+        while (j < sel.length) {
+          val e = sel(j)
+          val merged = links(e)(l) :+ i
+          links(e)(l) =
+            if (merged.length <= bound) merged
+            else closestM(vecs(e), merged, bound)
+          j += 1
+        }
+        if (w.nonEmpty) ep = w(0)
+        l -= 1
+      }
+      if (lvl > maxLevel) { entry = i; maxLevel = lvl }
+    }
+
+    /** Build by id-sorted insertion order (the caller pre-sorts). */
+    def build(): Graph = { var i = 0; while (i < n) { insert(i); i += 1 }; this }
+
+    /** Top-`k` internal indices for a query (ef-bounded beam at layer
+      * 0 after the greedy descent), best-first.
+      */
+    def search(q: Array[Float], k: Int, ef: Int): Array[Int] = {
+      if (entry < 0) return Array.empty
+      var ep = entry
+      var l = maxLevel
+      while (l > 0) { ep = greedy(q, ep, l); l -= 1 }
+      searchLayer(q, ep, math.max(ef, k), 0).take(k)
+    }
+  }
+
+  /** Sharded HNSW top-k: per-shard graphs + broadcast query batch +
+    * exact re-rank of the slim shard-survivor union. Output: (qId,
+    * match_id, score, rank) — the [[VectorSearch.annTopK]] shape, with
+    * scores from the bit-parity [[scoreF32]].
+    */
+  def hnswTopK(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, metric: String = "dot",
+      m: Int = 8, efConstruction: Int = 64, efSearch: Int = 32,
+      nShards: Int = 4, maxQueries: Int = 10000,
+      maxShardRows: Int = 2000000): DataFrame = {
+    require(k >= 1, s"hnswTopK: k=$k")
+    require(m >= 2 && efConstruction >= m && efSearch >= 1 && nShards >= 1,
+      s"hnswTopK: bad params m=$m efC=$efConstruction efS=$efSearch nShards=$nShards")
+    val spark = queries.sparkSession
+    import spark.implicits._
+
+    val qRows = queries
+      .select(col(qId).cast("long"), col(qVec).cast("array<float>"))
+      .filter(col(qId).isNotNull && col(qVec).isNotNull)
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"hnswTopK: query batch exceeds maxQueries=$maxQueries — split the batch")
+    val qBatch = qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bc = spark.sparkContext.broadcast(qBatch)
+    val (mm, efc, efs, kk, met, maxRows) =
+      (m, efConstruction, efSearch, k, metric, maxShardRows)
+
+    val candidates = corpus
+      .select(col(cId).cast("long"), col(cVec).cast("array<float>"))
+      .filter(col(cId).isNotNull && col(cVec).isNotNull)
+      .repartition(nShards, col(cId))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val rows = it.map { case (id, v) => (id, v.toArray) }.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          require(rows.length <= maxRows,
+            s"hnswTopK: shard of ${rows.length} rows exceeds maxShardRows=" +
+              s"$maxRows — raise nShards (the shard must fit the task heap)")
+          // id-sorted insertion: the graph is a pure function of content
+          java.util.Arrays.sort(rows,
+            Ordering.by[(Long, Array[Float]), Long](_._1))
+          val g = new Graph(rows.map(_._1), rows.map(_._2), mm, efc, met).build()
+          val qs = bc.value
+          qs.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, kk, efs).iterator.map { idx =>
+              (qid, rows(idx)._1, scoreF32(met, qv, rows(idx)._2))
+            }
+          }
+        }
+      }.toDF(qId, "match_id", "score")
+
+    // exact re-rank of the shard-survivor union: queries × nShards × k
+    // rows — slim by construction, so the per-query window is bounded
+    rerank(candidates, qId, metric, k)
+  }
+
+  private def rerank(candidates: DataFrame, qId: String, metric: String,
+      k: Int): DataFrame = {
+    val ord =
+      if (metric == "l2") Seq(col("score").asc, col("match_id").asc)
+      else Seq(col("score").desc, col("match_id").asc)
+    val w = Window.partitionBy(col(qId)).orderBy(ord: _*)
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // --- persisted index (index once, search many — the at-rest form) -------
+
+  /** Write a sharded HNSW index to `path`: per-shard graphs serialized
+    * as one parquet row per node — (id, vec, links ARRAY<ARRAY<BIGINT>>
+    * of neighbor IDS per layer) under a `shard=` partition directory —
+    * plus a 1-row `_meta` table (m, efConstruction, metric, nShards).
+    * Levels and the entry point are pure functions of (id, m), so only
+    * adjacency is stored; [[searchIndex]] restores graphs bit-exactly
+    * (HnswSpec pins searchIndex ≡ hnswTopK).
+    *
+    * Build cost is the same embarrassingly-parallel per-shard pass as
+    * the in-flight form — writing it down amortizes the build across
+    * query batches, the [[IvfSearch.writeIndex]] posture.
+    */
+  def writeIndex(
+      corpus: DataFrame, cId: String, cVec: String, path: String,
+      nShards: Int = 4, m: Int = 8, efConstruction: Int = 64,
+      metric: String = "dot", maxShardRows: Int = 2000000): Unit = {
+    require(m >= 2 && efConstruction >= m && nShards >= 1,
+      s"writeIndex: bad params m=$m efC=$efConstruction nShards=$nShards")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (mm, efc, met, maxRows) = (m, efConstruction, metric, maxShardRows)
+    val nodes = corpus
+      .select(col(cId).cast("long"), col(cVec).cast("array<float>"))
+      .filter(col(cId).isNotNull && col(cVec).isNotNull)
+      .repartition(nShards, col(cId))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val shard = org.apache.spark.TaskContext.getPartitionId()
+        val rows = it.map { case (id, v) => (id, v.toArray) }.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          require(rows.length <= maxRows,
+            s"writeIndex: shard of ${rows.length} rows exceeds maxShardRows=" +
+              s"$maxRows — raise nShards")
+          java.util.Arrays.sort(rows,
+            Ordering.by[(Long, Array[Float]), Long](_._1))
+          val g = new Graph(rows.map(_._1), rows.map(_._2), mm, efc, met)
+            .build()
+          rows.indices.iterator.map { i =>
+            val nbrIds: Seq[Seq[Long]] =
+              g.links(i).toSeq.map(_.toSeq.map(j => rows(j)._1))
+            (shard, rows(i)._1, rows(i)._2.toSeq, nbrIds)
+          }
+        }
+      }.toDF("shard", "id", "vec", "links")
+    nodes.write.mode("overwrite").partitionBy("shard").parquet(s"$path/nodes")
+    Seq((m, efConstruction, metric, nShards))
+      .toDF("m", "ef_construction", "metric", "n_shards")
+      .write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** Search a persisted index: graphs restore per shard from stored
+    * adjacency (no re-insertion — levels/entry recompute from ids) and
+    * serve the broadcast query batch; the same slim exact re-rank cuts
+    * the global top-k. Build parameters and metric come from the
+    * index's `_meta`, so a query cannot silently probe under a
+    * different geometry than the graphs were built for.
+    */
+  def searchIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qId: String, qVec: String,
+      k: Int, efSearch: Int = 32, maxQueries: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/_meta").head()
+    val (m, efc, metric) =
+      (meta.getAs[Int]("m"), meta.getAs[Int]("ef_construction"),
+        meta.getAs[String]("metric"))
+    val qRows = queries
+      .select(col(qId).cast("long"), col(qVec).cast("array<float>"))
+      .filter(col(qId).isNotNull && col(qVec).isNotNull)
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"searchIndex: query batch exceeds maxQueries=$maxQueries — split it")
+    val qBatch = qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bc = spark.sparkContext.broadcast(qBatch)
+    val (mm, efs, kk, met) = (m, efSearch, k, metric)
+
+    val candidates = spark.read.parquet(s"$path/nodes")
+      .select(col("shard").cast("int"), col("id").cast("long"),
+        col("vec").cast("array<float>"),
+        col("links").cast("array<array<bigint>>"))
+      .repartition(col("shard"))
+      .as[(Int, Long, Seq[Float], Seq[Seq[Long]])]
+      .mapPartitions { it =>
+        // a task may hold several shards after the shard repartition —
+        // group in memory (same heap scale as one build task)
+        val byShard = it.toArray.groupBy(_._1)
+        byShard.iterator.flatMap { case (_, rs) =>
+          val rows = rs.map(r => (r._2, r._3.toArray, r._4))
+          java.util.Arrays.sort(rows,
+            Ordering.by[(Long, Array[Float], Seq[Seq[Long]]), Long](_._1))
+          val ids = rows.map(_._1)
+          val adj: Array[Array[Array[Int]]] = rows.map(_._3.map(layer =>
+            layer.map { nid =>
+              val idx = java.util.Arrays.binarySearch(ids, nid)
+              require(idx >= 0, s"searchIndex: dangling neighbor id $nid")
+              idx
+            }.toArray).toArray)
+          val g = new Graph(ids, rows.map(_._2), mm, efc, met).restore(adj)
+          val qs = bc.value
+          qs.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, kk, efs).iterator.map { idx =>
+              (qid, ids(idx), scoreF32(met, qv, rows(idx)._2))
+            }
+          }
+        }
+      }.toDF(qId, "match_id", "score")
+
+    rerank(candidates, qId, metric, k)
+  }
+}

@@ -855,7 +855,7 @@ class GraftSql(
     * the corpus' declared index family — exact [[VectorSearch.topKAgg]]
     * ("flat": map-side bounded heap, only ≤k rows per query per
     * partition reach the shuffle) or an ANN operator ("ivf" | "pq" |
-    * "lsh" | "sq" | "bq") under the declared numCandidates budget — map match ids
+    * "lsh" | "sq" | "bq" | "hnsw") under the declared numCandidates budget — map match ids
     * back to contents, and register source-columns + `search_results`
     * as a temp view the rewritten statement selects FROM.
     */
@@ -918,6 +918,16 @@ class GraftSql(
         graft.operators.BqSearch.bqTopK(qv, "__qid", "__qvec",
           c, "__cid", "__cvec", k, m, "dot",
           numCandidates = big.numCandidates, maxQueries = 10000)
+          .select(col("__qid"), col("rank").as("__rank"),
+            col("match_id").as("__cid"))
+      case "hnsw" =>
+        // sharded small-world graphs (the Atlas/Lucene family the
+        // reference's $vectorSearch actually runs on); numCandidates
+        // maps to the layer-0 beam width, the HNSW recall knob
+        graft.operators.HnswSearch.hnswTopK(qv, "__qid", "__qvec",
+          c, "__cid", "__cvec", k, "dot",
+          efSearch = math.max(k, math.min(big.numCandidates, 10000)),
+          maxQueries = 10000)
           .select(col("__qid"), col("rank").as("__rank"),
             col("match_id").as("__cid"))
       case _ =>
@@ -1097,7 +1107,7 @@ private[sql] sealed trait CorpusRef
 private[sql] final case class InMemCorpus(rows: Array[(String, Array[Float])])
   extends CorpusRef
 /** Beyond-cap corpus left distributed — searched via topKAgg ("flat")
-  * or an ANN family ("ivf" | "pq" | "lsh" | "sq" | "bq") under the declared
+  * or an ANN family ("ivf" | "pq" | "lsh" | "sq" | "bq" | "hnsw") under the declared
   * numCandidates budget. `tag` is the corpus identity for index
   * artifacts (PQ codebooks): unique per registration, so a
   * re-registered corpus retrains and repeat statements over one
@@ -1118,7 +1128,7 @@ object GraftSql {
   /** Search families an external table may declare via
     * '<connector>.index.type'.
     */
-  val IndexTypes: Set[String] = Set("flat", "ivf", "pq", "lsh", "sq", "bq")
+  val IndexTypes: Set[String] = Set("flat", "ivf", "pq", "lsh", "sq", "bq", "hnsw")
 
   /** Registration generation counter feeding [[DfCorpus.tag]]. */
   private[sql] val corpusGen = new java.util.concurrent.atomic.AtomicLong(0)

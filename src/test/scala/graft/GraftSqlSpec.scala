@@ -282,8 +282,35 @@ LATERAL TABLE(FEDERATED_SEARCH('ivf_vector_search', 3, vector));""").collect()
     // unknown family fails fast at DDL time
     val err = intercept[IllegalArgumentException](g.execute(
       """CREATE TABLE bad_index (`content` STRING) WITH (
-'connector' = 'mongodb', 'mongodb.index.type' = 'hnsw');"""))
+'connector' = 'mongodb', 'mongodb.index.type' = 'annoy');"""))
     assert(err.getMessage.contains("index type"))
+  }
+
+  test("hnsw index family routes FEDERATED_SEARCH through the sharded graphs") {
+    val g = facade()
+    val corpus = Tables(spark, sf, "documents").filter(col("doc_id") < 60)
+      .select(col("text").as("content"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    // cap below corpus size → distributed DfCorpus path, so the declared
+    // hnsw family actually routes (a collected corpus heap-scans exactly)
+    g.registerSearchCorpus("hnsw_vector_search", corpus, "content", "vector",
+      maxRows = 10, numCandidates = 50, indexType = "hnsw")
+    val qs = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select(col("doc_id"), graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    qs.createOrReplaceTempView("hnsw_questions")
+    val got = g.execute(
+      """SELECT doc_id, search_results FROM hnsw_questions,
+LATERAL TABLE(FEDERATED_SEARCH('hnsw_vector_search', 3, vector));""").collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getSeq[org.apache.spark.sql.Row](1).length == 3))
+    // a corpus member's own content must surface (self-similarity tops
+    // the beam when the query equals a stored vector)
+    val texts = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      val hits = r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).toSet
+      assert(hits.contains(texts(r.getLong(0))), s"doc ${r.getLong(0)} missed itself")
+    }
   }
 
   test("pq index trains once per corpus: repeat FEDERATED_SEARCH runs zero training jobs") {

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{HnswSearch, VectorSearch}
+
+class HnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def queries = Tables(spark, sf, "embeddings")
+    .filter(col("vec_id") % 20 === 0)
+    .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  test("recall vs exact top-k on the embeddings corpus (the contract law)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = queries
+    val exact = VectorSearch.topKFlat(q, "query_id", "qv",
+      emb, "vec_id", "embedding", k = 3, metric = "dot")
+    val approx = HnswSearch.hnswTopK(q, "query_id", "qv",
+      emb, "vec_id", "embedding", k = 3, metric = "dot",
+      m = 8, efConstruction = 64, efSearch = 32, nShards = 4)
+    val rows = VectorSearch.recallContract(approx, exact, q,
+      "query_id", "match_id", 1)
+      .as[(Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val bad = rows.filter(!_._2)
+    assert(bad.isEmpty, s"recall misses: ${bad.take(5).mkString(",")}")
+  }
+
+  test("result is deterministic under input partitioning") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = queries
+    def run(c: org.apache.spark.sql.DataFrame) =
+      HnswSearch.hnswTopK(q, "query_id", "qv", c, "vec_id", "embedding",
+        k = 3, metric = "dot", nShards = 4)
+        .select("query_id", "rank", "match_id")
+        .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(run(emb) == run(emb.repartition(13)))
+  }
+
+  test("output shape: contiguous ranks, metric-monotone scores per query") {
+    val emb = Tables(spark, sf, "embeddings")
+    val got = HnswSearch.hnswTopK(queries, "query_id", "qv",
+      emb, "vec_id", "embedding", k = 3, metric = "dot", nShards = 4)
+      .select("query_id", "rank", "score")
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1)
+    got.foreach { case (qid, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to rs.length).toSeq,
+        s"query $qid ranks: ${byRank.map(_._2).mkString(",")}")
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sortBy(-_).toSeq,
+        s"query $qid scores not descending")
+    }
+  }
+
+  test("cosine self-retrieval: a corpus member finds itself") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = queries
+    val got = HnswSearch.hnswTopK(q, "query_id", "qv",
+      emb, "vec_id", "embedding", k = 3, metric = "cosine",
+      m = 8, efConstruction = 64, efSearch = 64, nShards = 2)
+      .filter(col("query_id") === col("match_id"))
+      .select("query_id").as[Long].collect().toSet
+    val want = q.select("query_id").as[Long].collect().toSet
+    assert(got == want,
+      s"${(want -- got).size} queries missed their own vector")
+  }
+
+  test("l2 metric: ascending ranking, self at distance 0") {
+    val emb = Tables(spark, sf, "embeddings").limit(200)
+    val q = emb.limit(5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val got = HnswSearch.hnswTopK(q, "query_id", "qv",
+      emb, "vec_id", "embedding", k = 2, metric = "l2",
+      efSearch = 200, nShards = 1)
+      .select("query_id", "rank", "match_id", "score")
+      .as[(Long, Int, Long, Double)].collect()
+    got.filter(_._2 == 1).foreach { case (qid, _, mid, s) =>
+      assert(mid == qid && s == 0.0, s"query $qid rank-1 = ($mid, $s)")
+    }
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2).map(_._4)
+      assert(sorted.toSeq == sorted.sorted.toSeq, "l2 scores not ascending")
+    }
+  }
+
+  test("persisted index: searchIndex equals the in-flight hnswTopK exactly") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = queries
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spec_idx"
+    graft.operators.HnswSearch.writeIndex(emb, "vec_id", "embedding", path,
+      nShards = 4, m = 8, efConstruction = 64, metric = "dot")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "match_id", "score")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val flight = rows(HnswSearch.hnswTopK(q, "query_id", "qv",
+      emb, "vec_id", "embedding", k = 3, metric = "dot",
+      m = 8, efConstruction = 64, efSearch = 32, nShards = 4))
+    val atRest = rows(graft.operators.HnswSearch.searchIndex(spark, path,
+      q, "query_id", "qv", k = 3, efSearch = 32))
+    assert(atRest == flight)
+    // a second probe of the same stored index replays identically
+    val again = rows(graft.operators.HnswSearch.searchIndex(spark, path,
+      q, "query_id", "qv", k = 3, efSearch = 32))
+    assert(again == atRest)
+  }
+
+  test("shard overflow fails loudly instead of densifying") {
+    val emb = Tables(spark, sf, "embeddings")
+    val e = intercept[Exception] {
+      HnswSearch.hnswTopK(queries, "query_id", "qv",
+        emb, "vec_id", "embedding", k = 3, nShards = 1, maxShardRows = 10)
+        .count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("maxShardRows") ||
+      e.getCause != null && e.getCause.getMessage.contains("maxShardRows"),
+      s"unexpected error: $e")
+  }
+}
