@@ -534,6 +534,56 @@ object SparkEntry {
     bpeCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir,
       graft.operators.Bpe.trainMerges(t(s, dir, "documents"), "text", nMerges = 30))
 
+  /** Shared contract bodies for the merge-table tokenizer families
+    * (BPE + WordPiece) — ONE implementation of each law so the two
+    * gates can never silently diverge.
+    *
+    * Closure contract: every merge's concatenation occurs in some
+    * corpus word (REAL corpus check via the broadcast word-type
+    * substring join), and each side is a single char or an earlier
+    * merge's unit.
+    */
+  private def mergeClosureContract(s: SparkSession, dir: String,
+      merges: IndexedSeq[(String, String)]): DataFrame = {
+    import s.implicits._
+    val units = scala.collection.mutable.Set.empty[String]
+    val rows = merges.zipWithIndex.map { case ((l, r), i) =>
+      def ok(x: String) = x.length == 1 || units.contains(x)
+      val c = ok(l) && ok(r)
+      units += (l + r)
+      (i, l + r, c)
+    }
+    val mdf = rows.toDF("rank", "pat", "construct_ok")
+    val words = graft.operators.Bpe.wordTypes(
+      t(s, dir, "documents"), "text", 1000000).select("word")
+    mdf.join(broadcast(words), contains(col("word"), col("pat")), "left")
+      .groupBy("rank")
+      .agg(max(col("construct_ok")).as("construct_ok"),
+        max(col("word").isNotNull).as("substring_ok"))
+      .select(col("rank").cast("int").as("rank"), col("substring_ok"),
+        col("construct_ok"))
+      .orderBy("rank")
+  }
+
+  /** Budget contract: per document, n_words <= <encoded count> <=
+    * n_chars — bounds the oracle can derive, counts it cannot.
+    * `counts` is the encoder output (id, `cntCol`).
+    */
+  private def tokenBoundsContract(s: SparkSession, dir: String,
+      counts: DataFrame, cntCol: String): DataFrame = {
+    val toksCol = filter(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+"),
+      x => length(x) > 0)
+    val bounds = t(s, dir, "documents").select(col("doc_id"),
+      size(toksCol).cast("long").as("__nw"),
+      aggregate(toksCol, lit(0L), (a, x) => a + length(x)).as("__nc"))
+    counts.withColumnRenamed("id", "doc_id")
+      .join(bounds, "doc_id")
+      .select(col("doc_id"),
+        (col(cntCol) >= col("__nw") && col(cntCol) <= col("__nc"))
+          .as("bounds_ok"))
+      .orderBy("doc_id")
+  }
+
   /** Train-once/serve-many WordPiece merge table — the third tokenizer
     * artifact next to [[bpeModel]] and [[ulmModel]], same memo rule.
     */
@@ -2479,47 +2529,18 @@ values (
 
     // Contract twin: every merge's concatenation occurs in some corpus
     // word (REAL corpus check), and each side is a single char or an
-    // earlier merge's unit (the BPE closure law).
-    "q_bpe_contract" -> ((s, dir) => {
-      val m = bpeModel(s, dir)
-      import s.implicits._
-      val units = scala.collection.mutable.Set.empty[String]
-      val rows = m.merges.zipWithIndex.map { case ((l, r), i) =>
-        def ok(x: String) = x.length == 1 || units.contains(x)
-        val c = ok(l) && ok(r)
-        units += (l + r)
-        (i, l + r, c)
-      }
-      val mdf = rows.toDF("rank", "pat", "construct_ok")
-      val words = graft.operators.Bpe.wordTypes(
-        t(s, dir, "documents"), "text", 1000000).select("word")
-      mdf.join(broadcast(words), contains(col("word"), col("pat")), "left")
-        .groupBy("rank")
-        .agg(max(col("construct_ok")).as("construct_ok"),
-          max(col("word").isNotNull).as("substring_ok"))
-        .select(col("rank").cast("int").as("rank"), col("substring_ok"),
-          col("construct_ok"))
-        .orderBy("rank")
-    }),
+    // earlier merge's unit (the BPE closure law; shared body with the
+    // WordPiece gate — mergeClosureContract).
+    "q_bpe_contract" -> ((s, dir) =>
+      mergeClosureContract(s, dir, bpeModel(s, dir).merges)),
 
     // Per-document BPE token budget under the learned merges (narrow
     // map, broadcast model); the boolean pins n_words <= n_bpe_tok <=
     // n_chars — bounds the oracle can derive, counts it cannot.
-    "q_bpe_tokens_contract" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val toksCol = filter(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+"),
-        x => length(x) > 0)
-      val bounds = docs.select(col("doc_id"),
-        size(toksCol).cast("long").as("__nw"),
-        aggregate(toksCol, lit(0L), (a, x) => a + length(x)).as("__nc"))
-      graft.operators.Bpe.encodeCount(docs, "doc_id", "text", bpeModel(s, dir))
-        .withColumnRenamed("id", "doc_id")
-        .join(bounds, "doc_id")
-        .select(col("doc_id"),
-          (col("n_bpe_tok") >= col("__nw") && col("n_bpe_tok") <= col("__nc"))
-            .as("bounds_ok"))
-        .orderBy("doc_id")
-    }),
+    "q_bpe_tokens_contract" -> ((s, dir) =>
+      tokenBoundsContract(s, dir,
+        graft.operators.Bpe.encodeCount(t(s, dir, "documents"), "doc_id",
+          "text", bpeModel(s, dir)), "n_bpe_tok")),
 
     // --- WordPiece tokenizer induction (Schuster & Nakajima 2012) ---------
     // The THIRD tokenizer family: likelihood-ratio merges
@@ -2532,51 +2553,20 @@ values (
         nMerges = 1)
         .select(col("rank").cast("int").as("rank"), col("lhs"), col("rhs"))),
 
-    // Contract twin over the 30-merge table: every merge's concatenation
-    // occurs in some corpus word, and each side is a single char or an
-    // earlier merge's unit (the closure law; WordPieceSpec pins the
-    // exact sequence against an independent derivation).
-    "q_wp_contract" -> ((s, dir) => {
-      val m = wpModel(s, dir)
-      import s.implicits._
-      val units = scala.collection.mutable.Set.empty[String]
-      val rows = m.merges.zipWithIndex.map { case ((l, r), i) =>
-        def ok(x: String) = x.length == 1 || units.contains(x)
-        val c = ok(l) && ok(r)
-        units += (l + r)
-        (i, l + r, c)
-      }
-      val mdf = rows.toDF("rank", "pat", "construct_ok")
-      val words = graft.operators.Bpe.wordTypes(
-        t(s, dir, "documents"), "text", 1000000).select("word")
-      mdf.join(broadcast(words), contains(col("word"), col("pat")), "left")
-        .groupBy("rank")
-        .agg(max(col("construct_ok")).as("construct_ok"),
-          max(col("word").isNotNull).as("substring_ok"))
-        .select(col("rank").cast("int").as("rank"), col("substring_ok"),
-          col("construct_ok"))
-        .orderBy("rank")
-    }),
+    // Contract twin over the 30-merge table: the closure law, the SAME
+    // body as q_bpe_contract (mergeClosureContract — one implementation
+    // for both merge-table families; WordPieceSpec pins the exact
+    // sequence against an independent derivation).
+    "q_wp_contract" -> ((s, dir) =>
+      mergeClosureContract(s, dir, wpModel(s, dir).merges)),
 
     // Per-document WordPiece piece budget under greedy longest-match
     // inference (narrow map, broadcast vocab); the boolean pins
-    // n_words <= n_wp_tok <= n_chars.
-    "q_wp_tokens_contract" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val toksCol = filter(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+"),
-        x => length(x) > 0)
-      val bounds = docs.select(col("doc_id"),
-        size(toksCol).cast("long").as("__nw"),
-        aggregate(toksCol, lit(0L), (a, x) => a + length(x)).as("__nc"))
-      graft.operators.WordPiece.encodeCount(docs, "doc_id", "text",
-        wpModel(s, dir))
-        .withColumnRenamed("id", "doc_id")
-        .join(bounds, "doc_id")
-        .select(col("doc_id"),
-          (col("n_wp_tok") >= col("__nw") && col("n_wp_tok") <= col("__nc"))
-            .as("bounds_ok"))
-        .orderBy("doc_id")
-    }),
+    // n_words <= n_wp_tok <= n_chars (shared tokenBoundsContract body).
+    "q_wp_tokens_contract" -> ((s, dir) =>
+      tokenBoundsContract(s, dir,
+        graft.operators.WordPiece.encodeCount(t(s, dir, "documents"),
+          "doc_id", "text", wpModel(s, dir)), "n_wp_tok")),
 
     // --- C4 cleaning rules (Raffel 2020 §2.2) -----------------------------
     // The structural web-page recipe over the deterministically

@@ -84,6 +84,33 @@ object Bpe {
       .orderBy(col("cnt").desc, col("word"))
       .limit(maxTypes)
 
+  /** Collapse every non-overlapping left-to-right occurrence of `pair`
+    * in a segmented word — the merge-replay walk shared by the BPE and
+    * [[WordPiece]] trainers (one implementation so the two tokenizer
+    * families can never diverge on re-segmentation semantics).
+    */
+  private[operators] def remerge(syms: Vector[String],
+      pair: (String, String)): Vector[String] = {
+    if (syms.length < 2) return syms
+    val (bl, br) = pair
+    val out = Vector.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == bl && syms(j + 1) == br) {
+        out += (bl + br); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** The segmented word-type table both trainers start from: ONE corpus
+    * pass to (1-char-segmented word, count), capped at `maxTypes`.
+    */
+  private[operators] def segmentedTypes(df: DataFrame, textCol: String,
+      maxTypes: Int): Array[(Vector[String], Long)] =
+    wordTypes(df, textCol, maxTypes).collect()
+      .map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1)))
+
   /** Train `nMerges` BPE merges. One corpus pass (the word-type
     * aggregate, a TakeOrdered under `maxTypes`); the merge loop is
     * driver-side over the model-sized type table.
@@ -92,10 +119,7 @@ object Bpe {
       maxTypes: Int = 1000000): BpeModel = {
     require(nMerges >= 0, s"trainMerges: nMerges=$nMerges")
     require(maxTypes > 0, s"trainMerges: maxTypes=$maxTypes")
-    val types = wordTypes(df, textCol, maxTypes).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    var words: Array[(Vector[String], Long)] =
-      types.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    var words = segmentedTypes(df, textCol, maxTypes)
     val merges = IndexedSeq.newBuilder[(String, String)]
     var i = 0
     var exhausted = false
@@ -115,20 +139,7 @@ object Bpe {
         // deterministic across runs and platforms
         val best = pairCounts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
         merges += best
-        val (bl, br) = best
-        words = words.map { case (syms, c) =>
-          if (syms.length < 2) (syms, c)
-          else {
-            val out = Vector.newBuilder[String]
-            var j = 0
-            while (j < syms.length) {
-              if (j < syms.length - 1 && syms(j) == bl && syms(j + 1) == br) {
-                out += (bl + br); j += 2
-              } else { out += syms(j); j += 1 }
-            }
-            (out.result(), c)
-          }
-        }
+        words = words.map { case (syms, c) => (remerge(syms, best), c) }
       }
       i += 1
     }
@@ -152,8 +163,11 @@ object Bpe {
   def encodeCount(df: DataFrame, idCol: String, textCol: String,
       model: BpeModel): DataFrame = {
     val local = model
+    // null text propagates a null token array into the udf (Spark does
+    // not null-shield reference-typed args) — count it as 0 tokens
     val cnt = udf((words: Seq[String]) =>
-      words.map(w => local.encodeWord(w).length.toLong).sum)
+      if (words == null) 0L
+      else words.map(w => local.encodeWord(w).length.toLong).sum)
     df.select(col(idCol).as("id"), cnt(toks(col(textCol))).as("n_bpe_tok"))
   }
 }

@@ -829,10 +829,15 @@ object Corpus {
     */
   def c4Clean(df: DataFrame, idCol: String, textCol: String,
       minLineWords: Int = 3, minSentences: Int = 5): DataFrame = {
+    // null text coalesces to '' so the document still SURFACES (as one
+    // empty dropped line, kept_page = false) — the one-row-per-input
+    // contract is what makes the gate auditable; posexplode of a null
+    // array would silently erase the row instead
+    val text = coalesce(col(textCol), lit(""))
     val lines = df.select(col(idCol).as("id"),
-        lower(col(textCol)).contains("lorem ipsum").as("has_lorem"),
-        col(textCol).contains("{").as("has_brace"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        lower(text).contains("lorem ipsum").as("has_lorem"),
+        text.contains("{").as("has_brace"),
+        posexplode(split(text, "\n")).as(Seq("pos", "line")))
     val judged = lines.withColumn("__keep",
       c4LineTerminal(col("line")) &&
         size(filter(split(trim(col("line")), "[ \\t\\f\\r]+"),

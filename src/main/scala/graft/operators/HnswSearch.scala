@@ -105,11 +105,11 @@ object HnswSearch {
       this
     }
 
-    /** ef-bounded best-first search on one layer from entry `ep`.
+    /** ef-bounded best-first search on one layer from the seed nodes.
       * Returns up to `ef` internal indices, best-first, deterministic
       * (similarity then internal-index tie-break).
       */
-    private def searchLayer(q: Array[Float], ep: Int, ef: Int,
+    private def searchLayer(q: Array[Float], eps: Array[Int], ef: Int,
         layer: Int): Array[Int] = {
       val visited = new java.util.HashSet[Integer]()
       // candidates: best-first; results: worst-first bounded at ef
@@ -121,8 +121,13 @@ object HnswSearch {
       val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ordBest)
       val ordWorst = ordBest.reverse
       val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ordWorst)
-      val s0 = sim(q, ep)
-      visited.add(ep); cand.enqueue((s0, ep)); res.enqueue((s0, ep))
+      eps.foreach { ep =>
+        if (visited.add(ep)) {
+          val s0 = sim(q, ep)
+          cand.enqueue((s0, ep)); res.enqueue((s0, ep))
+          if (res.size > ef) res.dequeue()
+        }
+      }
       while (cand.nonEmpty) {
         val (cs, c) = cand.dequeue()
         val worst = res.head._1
@@ -181,7 +186,7 @@ object HnswSearch {
       while (l > lvl) { ep = greedy(vecs(i), ep, l); l -= 1 }
       l = math.min(lvl, maxLevel)
       while (l >= 0) {
-        val w = searchLayer(vecs(i), ep, efC, l)
+        val w = searchLayer(vecs(i), Array(ep), efC, l)
         val bound = if (l == 0) 2 * m else m
         val sel = closestM(vecs(i), w, m)
         links(i)(l) = sel
@@ -200,8 +205,69 @@ object HnswSearch {
       if (lvl > maxLevel) { entry = i; maxLevel = lvl }
     }
 
-    /** Build by id-sorted insertion order (the caller pre-sorts). */
-    def build(): Graph = { var i = 0; while (i < n) { insert(i); i += 1 }; this }
+    /** Build by id-sorted insertion order (the caller pre-sorts), then
+      * repair layer-0 connectivity.
+      */
+    def build(): Graph = {
+      var i = 0
+      while (i < n) { insert(i); i += 1 }
+      repairConnectivity()
+      this
+    }
+
+    /** Simple-variant backlink pruning can strand a node: when a hub's
+      * list overflows, [[closestM]] may evict the only IN-edge a distant
+      * node had, making it unreachable from the entry point at ANY ef.
+      * Repair: one BFS over layer-0 out-edges from the entry, then every
+      * unreachable node gets an in-edge from its nearest REACHABLE node
+      * (linear scan, index tie-break — deterministic), which makes it
+      * and everything it reaches reachable, so one round suffices. The
+      * repair edge may overflow the 2M degree bound by one — a soft
+      * bound; stranded nodes are empirically rare, so the extra scan
+      * cost is U × n with U ≈ 0. Guarantees: ef = n search visits every
+      * node, so exact self-retrieval holds (HnswSpec pins it on
+      * adversarially clustered data).
+      */
+    private def repairConnectivity(): Unit = {
+      if (n == 0 || entry < 0) return
+      val seen = new Array[Boolean](n)
+      val stack = new java.util.ArrayDeque[Integer]()
+      seen(entry) = true; stack.push(entry)
+      var nSeen = 1
+      while (!stack.isEmpty) {
+        val c = stack.pop()
+        val nbrs = links(c)(0)
+        var j = 0
+        while (j < nbrs.length) {
+          val e = nbrs(j)
+          if (!seen(e)) { seen(e) = true; nSeen += 1; stack.push(e) }
+          j += 1
+        }
+      }
+      if (nSeen == n) return
+      var u = 0
+      while (u < n) {
+        if (!seen(u)) {
+          var best = -1
+          var bestSim = Double.NegativeInfinity
+          var r = 0
+          while (r < n) {
+            if (seen(r)) {
+              val s = sim(vecs(u), r)
+              if (s > bestSim || (s == bestSim && r < best)) {
+                best = r; bestSim = s
+              }
+            }
+            r += 1
+          }
+          // NaN sims (zero vectors under cosine) compare false
+          // everywhere — fall back to the entry point
+          if (best < 0) best = entry
+          links(best)(0) = links(best)(0) :+ u
+        }
+        u += 1
+      }
+    }
 
     /** Top-`k` internal indices for a query (ef-bounded beam at layer
       * 0 after the greedy descent), best-first.
@@ -211,9 +277,61 @@ object HnswSearch {
       var ep = entry
       var l = maxLevel
       while (l > 0) { ep = greedy(q, ep, l); l -= 1 }
-      searchLayer(q, ep, math.max(ef, k), 0).take(k)
+      // seed the layer-0 beam with BOTH the descended ep and the entry
+      // point: connectivity repair guarantees every node reachable FROM
+      // the entry, so an entry-seeded exhaustive beam visits all of
+      // them even when ep's own forward component is a sink
+      val seeds = if (ep == entry) Array(ep) else Array(ep, entry)
+      searchLayer(q, seeds, math.max(ef, k), 0).take(k)
     }
   }
+
+  /** Collect + bound + broadcast the query batch (shared by the
+    * in-flight and at-rest entry points).
+    */
+  private def collectQueryBatch(
+      queries: DataFrame, qId: String, qVec: String, maxQueries: Int,
+      who: String): org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]] = {
+    val qRows = queries
+      .select(col(qId).cast("long"), col(qVec).cast("array<float>"))
+      .filter(col(qId).isNotNull && col(qVec).isNotNull)
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"$who: query batch exceeds maxQueries=$maxQueries — split the batch")
+    queries.sparkSession.sparkContext.broadcast(
+      qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
+  }
+
+  /** Slim (id, vec) corpus hash-repartitioned into `nShards` shards —
+    * the deterministic shard assignment shared by build paths.
+    */
+  private def shardedCorpus(corpus: DataFrame, cId: String, cVec: String,
+      nShards: Int): DataFrame =
+    corpus
+      .select(col(cId).cast("long"), col(cVec).cast("array<float>"))
+      .filter(col(cId).isNotNull && col(cVec).isNotNull)
+      .repartition(nShards, col(cId))
+
+  /** Bound-check + id-sort one shard's rows (build preamble). */
+  private def sortedShard(rows: Array[(Long, Array[Float])], maxRows: Int,
+      who: String): Array[(Long, Array[Float])] = {
+    require(rows.length <= maxRows,
+      s"$who: shard of ${rows.length} rows exceeds maxShardRows=$maxRows " +
+        "— raise nShards (the shard must fit the task heap)")
+    java.util.Arrays.sort(rows, Ordering.by[(Long, Array[Float]), Long](_._1))
+    rows
+  }
+
+  /** Serve the broadcast batch from one shard graph: per-query top-k
+    * (qid, match id, bit-parity score) survivors.
+    */
+  private def serveShard(g: Graph, qs: Array[(Long, Array[Float])],
+      k: Int, ef: Int, metric: String): Iterator[(Long, Long, Double)] =
+    qs.iterator.flatMap { case (qid, qv) =>
+      g.search(qv, k, ef).iterator.map { idx =>
+        (qid, g.ids(idx), scoreF32(metric, qv, g.vecs(idx)))
+      }
+    }
 
   /** Sharded HNSW top-k: per-shard graphs + broadcast query batch +
     * exact re-rank of the slim shard-survivor union. Output: (qId,
@@ -233,39 +351,20 @@ object HnswSearch {
     val spark = queries.sparkSession
     import spark.implicits._
 
-    val qRows = queries
-      .select(col(qId).cast("long"), col(qVec).cast("array<float>"))
-      .filter(col(qId).isNotNull && col(qVec).isNotNull)
-      .limit(maxQueries + 1).collect()
-    require(qRows.length <= maxQueries,
-      s"hnswTopK: query batch exceeds maxQueries=$maxQueries — split the batch")
-    val qBatch = qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val bc = spark.sparkContext.broadcast(qBatch)
+    val bc = collectQueryBatch(queries, qId, qVec, maxQueries, "hnswTopK")
     val (mm, efc, efs, kk, met, maxRows) =
       (m, efConstruction, efSearch, k, metric, maxShardRows)
 
-    val candidates = corpus
-      .select(col(cId).cast("long"), col(cVec).cast("array<float>"))
-      .filter(col(cId).isNotNull && col(cVec).isNotNull)
-      .repartition(nShards, col(cId))
+    val candidates = shardedCorpus(corpus, cId, cVec, nShards)
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
-        val rows = it.map { case (id, v) => (id, v.toArray) }.toArray
+        val rows = sortedShard(
+          it.map { case (id, v) => (id, v.toArray) }.toArray,
+          maxRows, "hnswTopK")
         if (rows.isEmpty) Iterator.empty
         else {
-          require(rows.length <= maxRows,
-            s"hnswTopK: shard of ${rows.length} rows exceeds maxShardRows=" +
-              s"$maxRows — raise nShards (the shard must fit the task heap)")
-          // id-sorted insertion: the graph is a pure function of content
-          java.util.Arrays.sort(rows,
-            Ordering.by[(Long, Array[Float]), Long](_._1))
           val g = new Graph(rows.map(_._1), rows.map(_._2), mm, efc, met).build()
-          val qs = bc.value
-          qs.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, kk, efs).iterator.map { idx =>
-              (qid, rows(idx)._1, scoreF32(met, qv, rows(idx)._2))
-            }
-          }
+          serveShard(g, bc.value, kk, efs, met)
         }
       }.toDF(qId, "match_id", "score")
 
@@ -307,21 +406,15 @@ object HnswSearch {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (mm, efc, met, maxRows) = (m, efConstruction, metric, maxShardRows)
-    val nodes = corpus
-      .select(col(cId).cast("long"), col(cVec).cast("array<float>"))
-      .filter(col(cId).isNotNull && col(cVec).isNotNull)
-      .repartition(nShards, col(cId))
+    val nodes = shardedCorpus(corpus, cId, cVec, nShards)
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val shard = org.apache.spark.TaskContext.getPartitionId()
-        val rows = it.map { case (id, v) => (id, v.toArray) }.toArray
+        val rows = sortedShard(
+          it.map { case (id, v) => (id, v.toArray) }.toArray,
+          maxRows, "writeIndex")
         if (rows.isEmpty) Iterator.empty
         else {
-          require(rows.length <= maxRows,
-            s"writeIndex: shard of ${rows.length} rows exceeds maxShardRows=" +
-              s"$maxRows — raise nShards")
-          java.util.Arrays.sort(rows,
-            Ordering.by[(Long, Array[Float]), Long](_._1))
           val g = new Graph(rows.map(_._1), rows.map(_._2), mm, efc, met)
             .build()
           rows.indices.iterator.map { i =>
@@ -353,14 +446,7 @@ object HnswSearch {
     val (m, efc, metric) =
       (meta.getAs[Int]("m"), meta.getAs[Int]("ef_construction"),
         meta.getAs[String]("metric"))
-    val qRows = queries
-      .select(col(qId).cast("long"), col(qVec).cast("array<float>"))
-      .filter(col(qId).isNotNull && col(qVec).isNotNull)
-      .limit(maxQueries + 1).collect()
-    require(qRows.length <= maxQueries,
-      s"searchIndex: query batch exceeds maxQueries=$maxQueries — split it")
-    val qBatch = qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val bc = spark.sparkContext.broadcast(qBatch)
+    val bc = collectQueryBatch(queries, qId, qVec, maxQueries, "searchIndex")
     val (mm, efs, kk, met) = (m, efSearch, k, metric)
 
     val candidates = spark.read.parquet(s"$path/nodes")
@@ -385,12 +471,7 @@ object HnswSearch {
               idx
             }.toArray).toArray)
           val g = new Graph(ids, rows.map(_._2), mm, efc, met).restore(adj)
-          val qs = bc.value
-          qs.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, kk, efs).iterator.map { idx =>
-              (qid, ids(idx), scoreF32(met, qv, rows(idx)._2))
-            }
-          }
+          serveShard(g, bc.value, kk, efs, met)
         }
       }.toDF(qId, "match_id", "score")
 

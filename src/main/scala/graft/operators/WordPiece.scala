@@ -75,12 +75,8 @@ object WordPiece {
       maxTypes: Int = 1000000): WpModel = {
     require(nMerges >= 0, s"trainMerges: nMerges=$nMerges")
     require(maxTypes > 0, s"trainMerges: maxTypes=$maxTypes")
-    val types = Bpe.wordTypes(df, textCol, maxTypes).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    var words: Array[(Vector[String], Long)] =
-      types.map { case (w, c) => (w.map(_.toString).toVector, c) }
-    val chars: Set[String] =
-      types.iterator.flatMap(_._1.map(_.toString)).toSet
+    var words = Bpe.segmentedTypes(df, textCol, maxTypes)
+    val chars: Set[String] = words.iterator.flatMap(_._1).toSet
     val merges = IndexedSeq.newBuilder[(String, String)]
     var vocab = chars
     var i = 0
@@ -111,20 +107,9 @@ object WordPiece {
         }._1
         merges += best
         vocab = vocab + (best._1 + best._2)
-        val (bl, br) = best
-        words = words.map { case (syms, c) =>
-          if (syms.length < 2) (syms, c)
-          else {
-            val out = Vector.newBuilder[String]
-            var j = 0
-            while (j < syms.length) {
-              if (j < syms.length - 1 && syms(j) == bl && syms(j + 1) == br) {
-                out += (bl + br); j += 2
-              } else { out += syms(j); j += 1 }
-            }
-            (out.result(), c)
-          }
-        }
+        // the re-segmentation walk is Bpe.remerge — ONE implementation
+        // for both trainer families
+        words = words.map { case (syms, c) => (Bpe.remerge(syms, best), c) }
       }
       i += 1
     }
@@ -147,8 +132,11 @@ object WordPiece {
   def encodeCount(df: DataFrame, idCol: String, textCol: String,
       model: WpModel): DataFrame = {
     val local = model
+    // null text propagates a null token array into the udf (Spark does
+    // not null-shield reference-typed args) — count it as 0 tokens
     val cnt = udf((words: Seq[String]) =>
-      words.map(w => local.encodeWord(w).length.toLong).sum)
+      if (words == null) 0L
+      else words.map(w => local.encodeWord(w).length.toLong).sum)
     df.select(col(idCol).as("id"),
       cnt(Bpe.toks(col(textCol))).as("n_wp_tok"))
   }

@@ -923,9 +923,23 @@ class GraftSql(
       case "hnsw" =>
         // sharded small-world graphs (the Atlas/Lucene family the
         // reference's $vectorSearch actually runs on); numCandidates
-        // maps to the layer-0 beam width, the HNSW recall knob
-        graft.operators.HnswSearch.hnswTopK(qv, "__qid", "__qvec",
-          c, "__cid", "__cvec", k, "dot",
+        // maps to the layer-0 beam width, the HNSW recall knob.
+        // Index-once/probe-many like the pq/sq/bq cached artifacts:
+        // the graphs persist per (application, registration) via
+        // writeIndex — repeated statements run ZERO build passes — and
+        // nShards is sized from the corpus count at build time so a
+        // beyond-cap corpus never trips the per-shard heap bound the
+        // in-flight defaults would (target ~1M rows per shard graph).
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_sql_hnsw_" +
+          s"${spark.sparkContext.applicationId}_${big.tag}"
+        if (!graft.operators.FsUtil.exists(spark, s"$path/_meta/_SUCCESS")) {
+          val nRows = c.count()
+          val shards = math.max(1, math.ceil(nRows / 1000000.0).toInt)
+          graft.operators.HnswSearch.writeIndex(c, "__cid", "__cvec", path,
+            nShards = shards, m = 8, efConstruction = 64, metric = "dot")
+        }
+        graft.operators.HnswSearch.searchIndex(spark, path, qv,
+          "__qid", "__qvec", k,
           efSearch = math.max(k, math.min(big.numCandidates, 10000)),
           maxQueries = 10000)
           .select(col("__qid"), col("rank").as("__rank"),

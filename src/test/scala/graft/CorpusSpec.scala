@@ -708,4 +708,16 @@ class CorpusSpec extends SparkSpec {
       .select("n_kept", "clean_text").as[(Long, String)].head()
     assert(r == ((0L, "")), r)
   }
+
+  test("c4Clean surfaces null-text documents instead of dropping the row") {
+    val docs = Seq((1L, "good first sentence here."), (2L, null))
+      .toDF("doc_id", "text")
+    val got = Corpus.c4Clean(docs, "doc_id", "text", 3, 1)
+      .select("id", "kept_page", "n_kept", "clean_text")
+      .as[(Long, Boolean, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L), "one output row per input document")
+    assert(got(2L) == ((false, 0L, "")), got(2L))
+    assert(got(1L)._1, "clean page still kept")
+  }
 }

@@ -298,9 +298,9 @@ LATERAL TABLE(FEDERATED_SEARCH('ivf_vector_search', 3, vector));""").collect()
     val qs = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
       .select(col("doc_id"), graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
     qs.createOrReplaceTempView("hnsw_questions")
-    val got = g.execute(
-      """SELECT doc_id, search_results FROM hnsw_questions,
-LATERAL TABLE(FEDERATED_SEARCH('hnsw_vector_search', 3, vector));""").collect()
+    val stmt = """SELECT doc_id, search_results FROM hnsw_questions,
+LATERAL TABLE(FEDERATED_SEARCH('hnsw_vector_search', 3, vector));"""
+    val got = g.execute(stmt).collect()
     assert(got.length == 3)
     assert(got.forall(_.getSeq[org.apache.spark.sql.Row](1).length == 3))
     // a corpus member's own content must surface (self-similarity tops
@@ -311,6 +311,19 @@ LATERAL TABLE(FEDERATED_SEARCH('hnsw_vector_search', 3, vector));""").collect()
       val hits = r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).toSet
       assert(hits.contains(texts(r.getLong(0))), s"doc ${r.getLong(0)} missed itself")
     }
+    // index-once: the first statement persisted the sharded graphs; a
+    // second statement must PROBE the same artifact (no rebuild — the
+    // _meta completion marker's mtime is unchanged) and replay exactly
+    val metaDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith(
+        s"graft_sql_hnsw_${spark.sparkContext.applicationId}_"))
+    assert(metaDirs.nonEmpty, "persisted hnsw index missing")
+    val metaMarker = new java.io.File(metaDirs.head, "_meta/_SUCCESS")
+    assert(metaMarker.exists())
+    val mtime = metaMarker.lastModified()
+    val again = g.execute(stmt).collect()
+    assert(metaMarker.lastModified() == mtime, "second statement rebuilt the index")
+    assert(again.map(_.toString).sorted.toSeq == got.map(_.toString).sorted.toSeq)
   }
 
   test("pq index trains once per corpus: repeat FEDERATED_SEARCH runs zero training jobs") {

@@ -106,6 +106,43 @@ class HnswSpec extends SparkSpec {
     assert(again == atRest)
   }
 
+  test("connectivity repair: every node reachable — exhaustive ef finds all") {
+    // Adversarial shape for simple-variant pruning: dense clusters
+    // saturate hub neighbor lists at a tiny degree bound (m=2), the
+    // classic way an outlier loses its only in-edge. With the layer-0
+    // repair, an ef = corpus-size beam must reach EVERY node, so each
+    // vector retrieves itself as its own cosine top-1 (id tie-break).
+    val n = 240
+    val pts = (0L until n.toLong).map { i =>
+      val cluster = (i % 3).toInt
+      val base = Array.fill(8)(0.05f)
+      base(cluster) = 10f  // tight pile per cluster...
+      base(3 + cluster) = (i / 3).toFloat * 0.05f // ...fanned enough that
+      // self-cosine (exactly 1) beats any neighbor in float32
+      (i, base.toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val q = df.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    // An ef = n beam from a fully-connected layer 0 sees EVERY node, so
+    // the result must EQUAL the exact top-1 under the same bit-parity
+    // scoring (float32 can round a near-parallel neighbor's cosine to
+    // exactly 1.0 while self rounds below — so the law is equality with
+    // the exact twin, not literal self-retrieval)
+    def pairs(df0: org.apache.spark.sql.DataFrame) =
+      df0.filter(col("rank") === 1).select("query_id", "match_id")
+        .as[(Long, Long)].collect().sorted.toSeq
+    val got = pairs(HnswSearch.hnswTopK(q, "query_id", "qv",
+      df, "vec_id", "embedding", k = 1, metric = "cosine",
+      m = 2, efConstruction = 4, efSearch = n, nShards = 1))
+    val exact = pairs(VectorSearch.topKFlat(q, "query_id", "qv",
+      df, "vec_id", "embedding", k = 1, metric = "cosine"))
+    assert(got.length == n)
+    val misses = got.zip(exact).filter { case (g, e) => g != e }
+    assert(misses.isEmpty,
+      s"${misses.length} nodes unreachable: ${misses.take(5).mkString(",")}")
+  }
+
   test("shard overflow fails loudly instead of densifying") {
     val emb = Tables(spark, sf, "embeddings")
     val e = intercept[Exception] {

@@ -75,6 +75,18 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
+  test("encodeCount tolerates null text (0 tokens), for BPE too") {
+    val docs = Seq((1L, "ab ab"), (2L, null)).toDF("id", "text")
+    val m = WordPiece.trainMerges(docs, "text", nMerges = 1)
+    val got = WordPiece.encodeCount(docs, "id", "text", m)
+      .as[(Long, Long)].collect().toMap
+    assert(got(2L) == 0L && got(1L) > 0L, got)
+    val bm = Bpe.trainMerges(docs, "text", nMerges = 1)
+    val bgot = Bpe.encodeCount(docs, "id", "text", bm)
+      .as[(Long, Long)].collect().toMap
+    assert(bgot(2L) == 0L && bgot(1L) > 0L, bgot)
+  }
+
   test("first merge agrees with a direct single-pass recomputation") {
     // Independent derivation of round 1 straight from word types,
     // without the trainer's re-segmentation machinery.
