@@ -1831,7 +1831,9 @@ ORDER BY event_id, event_id2""")
     // restore from stored adjacency, serve under the same contract.
     "q_hnsw_index_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_index_" +
+      // v2: the segment layout added the epoch partition column — a
+      // stale pre-epoch index under the same content tag must not serve
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_index_v2_" +
         indexTag(dir)
       if (!graft.operators.FsUtil.exists(s, s"$path/_meta/_SUCCESS"))
         graft.operators.HnswSearch.writeIndex(emb, "vec_id", "embedding",

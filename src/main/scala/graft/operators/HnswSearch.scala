@@ -385,34 +385,25 @@ object HnswSearch {
 
   // --- persisted index (index once, search many — the at-rest form) -------
 
-  /** Write a sharded HNSW index to `path`: per-shard graphs serialized
-    * as one parquet row per node — (id, vec, links ARRAY<ARRAY<BIGINT>>
-    * of neighbor IDS per layer) under a `shard=` partition directory —
-    * plus a 1-row `_meta` table (m, efConstruction, metric, nShards).
-    * Levels and the entry point are pure functions of (id, m), so only
-    * adjacency is stored; [[searchIndex]] restores graphs bit-exactly
-    * (HnswSpec pins searchIndex ≡ hnswTopK).
-    *
-    * Build cost is the same embarrassingly-parallel per-shard pass as
-    * the in-flight form — writing it down amortizes the build across
-    * query batches, the [[IvfSearch.writeIndex]] posture.
+  /** Per-segment node rows for `corpus` under `epoch`: each hash shard
+    * builds its graph and serializes one row per node — (shard, epoch,
+    * id, vec, links ARRAY<ARRAY<BIGINT>> of neighbor IDS per layer).
+    * The shared build pass behind [[writeIndex]], [[appendToIndex]] and
+    * [[compactIndex]]'s rebuild.
     */
-  def writeIndex(
-      corpus: DataFrame, cId: String, cVec: String, path: String,
-      nShards: Int = 4, m: Int = 8, efConstruction: Int = 64,
-      metric: String = "dot", maxShardRows: Int = 2000000): Unit = {
-    require(m >= 2 && efConstruction >= m && nShards >= 1,
-      s"writeIndex: bad params m=$m efC=$efConstruction nShards=$nShards")
+  private def buildNodes(
+      corpus: DataFrame, cId: String, cVec: String, nShards: Int,
+      m: Int, efConstruction: Int, metric: String, maxShardRows: Int,
+      epoch: Long, who: String): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (mm, efc, met, maxRows) = (m, efConstruction, metric, maxShardRows)
-    val nodes = shardedCorpus(corpus, cId, cVec, nShards)
+    shardedCorpus(corpus, cId, cVec, nShards)
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val shard = org.apache.spark.TaskContext.getPartitionId()
         val rows = sortedShard(
-          it.map { case (id, v) => (id, v.toArray) }.toArray,
-          maxRows, "writeIndex")
+          it.map { case (id, v) => (id, v.toArray) }.toArray, maxRows, who)
         if (rows.isEmpty) Iterator.empty
         else {
           val g = new Graph(rows.map(_._1), rows.map(_._2), mm, efc, met)
@@ -424,10 +415,113 @@ object HnswSearch {
           }
         }
       }.toDF("shard", "id", "vec", "links")
-    nodes.write.mode("overwrite").partitionBy("shard").parquet(s"$path/nodes")
+      .withColumn("epoch", lit(epoch))
+  }
+
+  /** Shard count targeting ~`targetRows` vectors per segment graph. */
+  private def shardsFor(n: Long, targetRows: Long = 1000000L): Int =
+    math.max(1L, (n + targetRows - 1) / targetRows).toInt
+
+  /** Write a sharded HNSW index to `path`: per-shard graphs serialized
+    * as one parquet row per node under `shard=`/`epoch=` partition
+    * directories (base segments carry epoch `-1`), plus a 1-row
+    * `_meta` table (m, efConstruction, metric, nShards) written LAST —
+    * its `_SUCCESS` implies the whole index landed. Levels and the
+    * entry point are pure functions of (id, m), so only adjacency is
+    * stored; [[searchIndex]] restores graphs bit-exactly (HnswSpec
+    * pins searchIndex ≡ hnswTopK).
+    *
+    * Build cost is the same embarrassingly-parallel per-shard pass as
+    * the in-flight form — writing it down amortizes the build across
+    * query batches, the [[IvfSearch.writeIndex]] posture; continuous
+    * growth rides [[appendToIndex]] + [[compactIndex]].
+    */
+  def writeIndex(
+      corpus: DataFrame, cId: String, cVec: String, path: String,
+      nShards: Int = 4, m: Int = 8, efConstruction: Int = 64,
+      metric: String = "dot", maxShardRows: Int = 2000000): Unit = {
+    require(m >= 2 && efConstruction >= m && nShards >= 1,
+      s"writeIndex: bad params m=$m efC=$efConstruction nShards=$nShards")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    buildNodes(corpus, cId, cVec, nShards, m, efConstruction, metric,
+      maxShardRows, epoch = -1L, who = "writeIndex")
+      .write.mode("overwrite").partitionBy("shard", "epoch")
+      .parquet(s"$path/nodes")
     Seq((m, efConstruction, metric, nShards))
       .toDF("m", "ef_construction", "metric", "n_shards")
       .write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** Append a batch of vectors as NEW segment graphs (the Lucene
+    * posture: existing graphs are never mutated; the batch builds its
+    * own shard graphs under its epoch and searchers probe every
+    * segment). `epoch >= 0` lands as a dynamic-partition overwrite of
+    * its own (shard, epoch) partitions — idempotent under
+    * at-least-once replay, the [[IvfSearch.appendToIndex]] contract —
+    * and the write runs under the store lease with swap recovery
+    * first. Returns (rows appended, segment graphs built).
+    */
+  def appendToIndex(df: DataFrame, cId: String, cVec: String, path: String,
+      epoch: Long = -1L, maxShardRows: Int = 2000000): (Long, Int) = {
+    val spark = df.sparkSession
+    val meta = spark.read.parquet(s"$path/_meta").head()
+    val (m, efc, metric) =
+      (meta.getAs[Int]("m"), meta.getAs[Int]("ef_construction"),
+        meta.getAs[String]("metric"))
+    val slim = df.select(col(cId).cast("long").as("id"),
+        col(cVec).cast("array<float>").as("vec"))
+      .filter(col("id").isNotNull && col("vec").isNotNull)
+      .localCheckpoint()
+    val n = slim.count()
+    val shards = shardsFor(n, targetRows = math.max(1, maxShardRows / 2))
+    val nodes = buildNodes(slim, "id", "vec", shards, m, efc, metric,
+      maxShardRows, epoch, who = "appendToIndex")
+    IndexMaintenance.withStoreLock(spark, path) {
+      IndexMaintenance.recoverSwap(spark, s"$path/nodes")
+      IndexMaintenance.epochWrite(nodes, Seq("shard", "epoch"), epoch,
+        s"$path/nodes")
+    }
+    (n, shards)
+  }
+
+  /** Merge all CLOSED epoch segments into freshly rebuilt base graphs
+    * (epoch `-1`) — the Lucene segment merge: many small append-time
+    * graphs decay search cost (every segment probes), so compaction
+    * re-shards their (id, vec) rows to ~target size and REBUILDS the
+    * graphs (adjacency is derived state; the rebuild IS the merge).
+    * `excludeEpoch` (a stream's in-flight epoch) keeps its partitions
+    * so its at-least-once replay can still overwrite itself. Runs
+    * under the store lease with crash-safe staging + swap. Returns
+    * (data files before, after).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      excludeEpoch: Long = Long.MinValue,
+      maxShardRows: Int = 2000000): (Long, Long) = {
+    require(FsUtil.exists(spark, s"$path/_meta"),
+      s"hnsw index at '$path' does not exist or is unreachable")
+    val meta = spark.read.parquet(s"$path/_meta").head()
+    val (m, efc, metric) =
+      (meta.getAs[Int]("m"), meta.getAs[Int]("ef_construction"),
+        meta.getAs[String]("metric"))
+    IndexMaintenance.withStoreLock(spark, path) {
+      IndexMaintenance.recoverSwap(spark, s"$path/nodes")
+      val before = IndexMaintenance.dataFiles(spark, s"$path/nodes")
+      IndexMaintenance.rewriteDir(spark, s"$path/nodes",
+        Seq("shard", "epoch")) { df =>
+        val closed = df.filter(col("epoch") =!= excludeEpoch)
+          .select("id", "vec").localCheckpoint()
+        val kept = df.filter(col("epoch") === excludeEpoch)
+          .select("shard", "id", "vec", "links", "epoch")
+        val shards = shardsFor(closed.count(),
+          targetRows = math.max(1, maxShardRows / 2))
+        buildNodes(closed, "id", "vec", shards, m, efc, metric,
+          maxShardRows, epoch = -1L, who = "compactIndex")
+          .select("shard", "id", "vec", "links", "epoch")
+          .unionByName(kept)
+      }
+      (before, IndexMaintenance.dataFiles(spark, s"$path/nodes"))
+    }
   }
 
   /** Search a persisted index: graphs restore per shard from stored
@@ -449,18 +543,20 @@ object HnswSearch {
     val bc = collectQueryBatch(queries, qId, qVec, maxQueries, "searchIndex")
     val (mm, efs, kk, met) = (m, efSearch, k, metric)
 
+    // every SEGMENT — a (shard, epoch) pair: base graphs plus any
+    // append-time epoch graphs — restores and probes independently
     val candidates = spark.read.parquet(s"$path/nodes")
-      .select(col("shard").cast("int"), col("id").cast("long"),
-        col("vec").cast("array<float>"),
+      .select(col("shard").cast("int"), col("epoch").cast("long"),
+        col("id").cast("long"), col("vec").cast("array<float>"),
         col("links").cast("array<array<bigint>>"))
-      .repartition(col("shard"))
-      .as[(Int, Long, Seq[Float], Seq[Seq[Long]])]
+      .repartition(col("shard"), col("epoch"))
+      .as[(Int, Long, Long, Seq[Float], Seq[Seq[Long]])]
       .mapPartitions { it =>
-        // a task may hold several shards after the shard repartition —
+        // a task may hold several segments after the repartition —
         // group in memory (same heap scale as one build task)
-        val byShard = it.toArray.groupBy(_._1)
-        byShard.iterator.flatMap { case (_, rs) =>
-          val rows = rs.map(r => (r._2, r._3.toArray, r._4))
+        val bySeg = it.toArray.groupBy(r => (r._1, r._2))
+        bySeg.iterator.flatMap { case (_, rs) =>
+          val rows = rs.map(r => (r._3, r._4.toArray, r._5))
           java.util.Arrays.sort(rows,
             Ordering.by[(Long, Array[Float], Seq[Seq[Long]]), Long](_._1))
           val ids = rows.map(_._1)
@@ -475,6 +571,12 @@ object HnswSearch {
         }
       }.toDF(qId, "match_id", "score")
 
-    rerank(candidates, qId, metric, k)
+    // an id re-ingested across epochs may surface from several
+    // segments: keep its best score (deterministic, metric-aware) so a
+    // duplicate never occupies two ranks; base-only stores have unique
+    // ids, so this is the identity there (searchIndex ≡ hnswTopK)
+    val best = if (metric == "l2") min(col("score")) else max(col("score"))
+    rerank(candidates.groupBy(col(qId), col("match_id"))
+      .agg(best.as("score")), qId, metric, k)
   }
 }

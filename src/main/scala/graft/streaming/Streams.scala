@@ -243,6 +243,36 @@ object Streams {
       }
       .start()
 
+  /** Continuous HNSW indexing — [[ivfIndexStream]]'s twin for the
+    * graph family: every micro-batch builds its OWN segment graphs
+    * under its epoch ([[graft.operators.HnswSearch.appendToIndex]] —
+    * the Lucene posture: existing graphs are never mutated, searchers
+    * probe every segment), so arriving vectors become searchable with
+    * zero graph surgery. `compactEvery` merges the accumulated small
+    * segments into rebuilt base graphs on a cadence (the rebuild IS
+    * the segment merge — adjacency is derived state), excluding the
+    * in-flight epoch so its at-least-once replay stays idempotent.
+    * `onAppend` receives (rows appended, segments built) per batch.
+    */
+  def hnswIndexStream(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, checkpointDir: String,
+      onAppend: ((Long, Int)) => Unit = _ => (),
+      compactEvery: Long = 0): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        onAppend(graft.operators.HnswSearch.appendToIndex(
+          batch, idCol, vecCol, indexPath,
+          epoch = epochKey(checkpointDir, epoch)))
+        if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
+          graft.operators.HnswSearch.compactIndex(batch.sparkSession,
+            indexPath, excludeEpoch = epochKey(checkpointDir, epoch))
+        ()
+      }
+      .start()
+
   /** Continuous RAG ingestion — the full document→searchable pipeline
     * as one stream: every micro-batch of arriving DOCUMENTS is chunked
     * ([[graft.operators.Corpus.chunkTokens]] — sliding token windows

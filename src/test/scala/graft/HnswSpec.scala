@@ -143,6 +143,80 @@ class HnswSpec extends SparkSpec {
       s"${misses.length} nodes unreachable: ${misses.take(5).mkString(",")}")
   }
 
+  test("segment appends: idempotent replay, exhaustive-ef exactness, compaction merge") {
+    val emb = Tables(spark, sf, "embeddings")
+    val n = emb.count().toInt
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_seg_idx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    graft.operators.HnswSearch.writeIndex(
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", path,
+      nShards = 2, m = 8, efConstruction = 64, metric = "dot")
+    // two append epochs — each builds its own segment graphs
+    val (r1, s1) = graft.operators.HnswSearch.appendToIndex(
+      emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", path,
+      epoch = 5L)
+    assert(r1 > 0 && s1 >= 1)
+    graft.operators.HnswSearch.appendToIndex(
+      emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding", path,
+      epoch = 6L)
+    val q = queries
+    // ef = corpus size: every segment beam is exhaustive, so the union
+    // + exact re-rank must EQUAL the exact top-k over the full corpus
+    def got() = graft.operators.HnswSearch.searchIndex(spark, path,
+      q, "query_id", "qv", k = 3, efSearch = n)
+      .select("query_id", "rank", "match_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val exact = VectorSearch.topKFlat(q, "query_id", "qv",
+      emb, "vec_id", "embedding", k = 3, metric = "dot")
+      .select("query_id", "rank", "match_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val afterAppend = got()
+    assert(afterAppend == exact, "segmented index diverges from exact top-k")
+    // at-least-once replay of epoch 5 overwrites itself — no duplicates
+    graft.operators.HnswSearch.appendToIndex(
+      emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", path,
+      epoch = 5L)
+    assert(got() == exact, "replayed epoch changed results")
+    // compaction merges the closed epochs into rebuilt base graphs
+    val (before, after) = graft.operators.HnswSearch.compactIndex(spark, path)
+    assert(before > 0 && after > 0)
+    val epochs = spark.read.parquet(s"$path/nodes")
+      .select("epoch").distinct().as[Long].collect().toSet
+    assert(epochs == Set(-1L), s"epochs not merged: $epochs")
+    assert(got() == exact, "compaction changed results")
+  }
+
+  test("hnswIndexStream: streamed vectors become searchable (with compaction cadence)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val n = emb.count().toInt
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_stream_idx").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_hnsw_stream_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hnsw_stream_ck").toString
+    graft.operators.HnswSearch.writeIndex(emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", path, nShards = 2)
+    val late = emb.filter(col("vec_id") >= 400)
+    late.write.mode("overwrite").parquet(srcDir)
+    var appended = List.empty[(Long, Int)]
+    graft.streaming.Streams.hnswIndexStream(
+      graft.streaming.Streams.fileStream(spark, srcDir, late.schema),
+      "vec_id", "embedding", path, ckpt,
+      onAppend = s => appended ::= s, compactEvery = 1)
+      .awaitTermination()
+    assert(appended.nonEmpty && appended.map(_._1).sum == late.count(),
+      s"append stats wrong: $appended")
+    // exhaustive-ef law over the streamed store
+    val q = queries
+    val got = graft.operators.HnswSearch.searchIndex(spark, path,
+      q, "query_id", "qv", k = 3, efSearch = n)
+      .select("query_id", "rank", "match_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val exact = VectorSearch.topKFlat(q, "query_id", "qv",
+      emb, "vec_id", "embedding", k = 3, metric = "dot")
+      .select("query_id", "rank", "match_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(got == exact)
+  }
+
   test("shard overflow fails loudly instead of densifying") {
     val emb = Tables(spark, sf, "embeddings")
     val e = intercept[Exception] {
