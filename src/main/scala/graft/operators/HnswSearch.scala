@@ -312,13 +312,24 @@ object HnswSearch {
       .filter(col(cId).isNotNull && col(cVec).isNotNull)
       .repartition(nShards, col(cId))
 
-  /** Bound-check + id-sort one shard's rows (build preamble). */
+  /** Bound-check + id-sort one shard's rows (build preamble). Rejects
+    * duplicate ids loudly: a graph's stored neighbor references resolve
+    * by id binary-search at restore, so a duplicated id would make
+    * resolution ambiguous and silently strand one twin.
+    */
   private def sortedShard(rows: Array[(Long, Array[Float])], maxRows: Int,
       who: String): Array[(Long, Array[Float])] = {
     require(rows.length <= maxRows,
       s"$who: shard of ${rows.length} rows exceeds maxShardRows=$maxRows " +
         "— raise nShards (the shard must fit the task heap)")
     java.util.Arrays.sort(rows, Ordering.by[(Long, Array[Float]), Long](_._1))
+    var i = 1
+    while (i < rows.length) {
+      require(rows(i)._1 != rows(i - 1)._1,
+        s"$who: duplicate vector id ${rows(i)._1} in one segment — ids " +
+          "must be unique (dedup upstream, or let compaction last-writer-win)")
+      i += 1
+    }
     rows
   }
 
@@ -463,7 +474,15 @@ object HnswSearch {
     * first. Returns (rows appended, segment graphs built).
     */
   def appendToIndex(df: DataFrame, cId: String, cVec: String, path: String,
-      epoch: Long = -1L, maxShardRows: Int = 2000000): (Long, Int) = {
+      epoch: Long, maxShardRows: Int = 2000000): (Long, Int) = {
+    // UNLIKE the IVF twin, a plain epoch<0 append would land new node
+    // rows inside the existing base partitions — merging two disjoint
+    // graphs into one "segment" whose non-entry component is
+    // unreachable at any ef. HNSW appends must always be their own
+    // segments, so the epoch is mandatory and non-negative.
+    require(epoch >= 0,
+      s"appendToIndex: epoch must be >= 0 (got $epoch) — an HNSW append " +
+        "is always its own segment; epoch -1 is reserved for base graphs")
     val spark = df.sparkSession
     val meta = spark.read.parquet(s"$path/_meta").head()
     val (m, efc, metric) =
@@ -475,14 +494,20 @@ object HnswSearch {
       .localCheckpoint()
     val n = slim.count()
     val shards = shardsFor(n, targetRows = math.max(1, maxShardRows / 2))
+    // materialize the expensive graph build BEFORE taking the store
+    // lease (the IvfSearch.appendToIndex discipline) — the lock must
+    // cover only the write, not an O(n·efC) build that could outlive
+    // the lease and let another writer break it
     val nodes = buildNodes(slim, "id", "vec", shards, m, efc, metric,
       maxShardRows, epoch, who = "appendToIndex")
+      .localCheckpoint()
+    val built = nodes.select("shard").distinct().count().toInt
     IndexMaintenance.withStoreLock(spark, path) {
       IndexMaintenance.recoverSwap(spark, s"$path/nodes")
       IndexMaintenance.epochWrite(nodes, Seq("shard", "epoch"), epoch,
         s"$path/nodes")
     }
-    (n, shards)
+    (n, built)
   }
 
   /** Merge all CLOSED epoch segments into freshly rebuilt base graphs
@@ -509,8 +534,15 @@ object HnswSearch {
       val before = IndexMaintenance.dataFiles(spark, s"$path/nodes")
       IndexMaintenance.rewriteDir(spark, s"$path/nodes",
         Seq("shard", "epoch")) { df =>
+        // last-writer-wins across epochs: an id re-ingested in a later
+        // epoch supersedes its earlier vector — ONE row per id enters
+        // the rebuild (a duplicated id inside one graph would make
+        // restore's id->index resolution ambiguous; sortedShard rejects
+        // it loudly, this is the path that resolves it)
         val closed = df.filter(col("epoch") =!= excludeEpoch)
-          .select("id", "vec").localCheckpoint()
+          .groupBy("id")
+          .agg(max_by(col("vec"), col("epoch")).as("vec"))
+          .localCheckpoint()
         val kept = df.filter(col("epoch") === excludeEpoch)
           .select("shard", "id", "vec", "links", "epoch")
         val shards = shardsFor(closed.count(),
@@ -550,25 +582,39 @@ object HnswSearch {
         col("id").cast("long"), col("vec").cast("array<float>"),
         col("links").cast("array<array<bigint>>"))
       .repartition(col("shard"), col("epoch"))
+      .sortWithinPartitions("shard", "epoch")
       .as[(Int, Long, Long, Seq[Float], Seq[Seq[Long]])]
       .mapPartitions { it =>
-        // a task may hold several segments after the repartition —
-        // group in memory (same heap scale as one build task)
-        val bySeg = it.toArray.groupBy(r => (r._1, r._2))
-        bySeg.iterator.flatMap { case (_, rs) =>
-          val rows = rs.map(r => (r._3, r._4.toArray, r._5))
-          java.util.Arrays.sort(rows,
-            Ordering.by[(Long, Array[Float], Seq[Seq[Long]]), Long](_._1))
-          val ids = rows.map(_._1)
-          val adj: Array[Array[Array[Int]]] = rows.map(_._3.map(layer =>
-            layer.map { nid =>
-              val idx = java.util.Arrays.binarySearch(ids, nid)
-              require(idx >= 0, s"searchIndex: dangling neighbor id $nid")
-              idx
-            }.toArray).toArray)
-          val g = new Graph(ids, rows.map(_._2), mm, efc, met).restore(adj)
-          serveShard(g, bc.value, kk, efs, met)
-        }
+        // a task may hold several segments after the repartition; rows
+        // arrive segment-contiguous (the within-partition sort), so
+        // materialize ONE segment at a time — task heap stays at
+        // single-build-task scale no matter how many small append
+        // epochs accumulated since the last compaction
+        val buf = it.buffered
+        new Iterator[Iterator[(Long, Long, Double)]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[(Long, Long, Double)] = {
+            val key = (buf.head._1, buf.head._2)
+            val seg = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Array[Float], Seq[Seq[Long]])]
+            while (buf.hasNext && (buf.head._1, buf.head._2) == key) {
+              val r = buf.next()
+              seg += ((r._3, r._4.toArray, r._5))
+            }
+            val rows = seg.toArray
+            java.util.Arrays.sort(rows,
+              Ordering.by[(Long, Array[Float], Seq[Seq[Long]]), Long](_._1))
+            val ids = rows.map(_._1)
+            val adj: Array[Array[Array[Int]]] = rows.map(_._3.map(layer =>
+              layer.map { nid =>
+                val idx = java.util.Arrays.binarySearch(ids, nid)
+                require(idx >= 0, s"searchIndex: dangling neighbor id $nid")
+                idx
+              }.toArray).toArray)
+            val g = new Graph(ids, rows.map(_._2), mm, efc, met).restore(adj)
+            serveShard(g, bc.value, kk, efs, met)
+          }
+        }.flatten
       }.toDF(qId, "match_id", "score")
 
     // an id re-ingested across epochs may surface from several

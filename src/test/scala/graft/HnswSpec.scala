@@ -186,6 +186,44 @@ class HnswSpec extends SparkSpec {
     assert(got() == exact, "compaction changed results")
   }
 
+  test("append guards: mandatory epoch, duplicate-id rejection, last-writer-wins compaction") {
+    val emb = Tables(spark, sf, "embeddings").filter(col("vec_id") < 100)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_guard_idx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    graft.operators.HnswSearch.writeIndex(emb, "vec_id", "embedding", path,
+      nShards = 2)
+    // a plain epoch<0 append would merge disjoint graphs into one
+    // segment — rejected up front
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.HnswSearch.appendToIndex(emb, "vec_id", "embedding",
+        path, epoch = -1L)
+    }
+    assert(e1.getMessage.contains("epoch"), e1.getMessage)
+    // duplicate ids inside one batch make neighbor resolution ambiguous
+    val e2 = intercept[Exception] {
+      graft.operators.HnswSearch.appendToIndex(
+        emb.union(emb), "vec_id", "embedding", path, epoch = 3L)
+    }
+    assert(e2.toString.contains("duplicate vector id") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("duplicate vector id")),
+      s"unexpected: $e2")
+    // re-ingesting an id in a later epoch supersedes it at compaction
+    val shifted = emb.filter(col("vec_id") === 5)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(1.0f)).as("embedding"))
+    val (r, s) = graft.operators.HnswSearch.appendToIndex(
+      shifted, "vec_id", "embedding", path, epoch = 7L)
+    assert(r == 1 && s == 1, s"append stats ($r, $s)")
+    graft.operators.HnswSearch.compactIndex(spark, path)
+    val rows5 = spark.read.parquet(s"$path/nodes")
+      .filter(col("id") === 5).select("vec")
+      .as[Seq[Float]].collect()
+    assert(rows5.length == 1, s"id 5 appears ${rows5.length} times after compaction")
+    val orig = emb.filter(col("vec_id") === 5)
+      .select("embedding").as[Seq[Float]].head()
+    assert(rows5.head == orig.map(_ + 1.0f), "later epoch's vector did not win")
+  }
+
   test("hnswIndexStream: streamed vectors become searchable (with compaction cadence)") {
     val emb = Tables(spark, sf, "embeddings")
     val n = emb.count().toInt
