@@ -89,7 +89,7 @@ object Bpe {
     * [[WordPiece]] trainers (one implementation so the two tokenizer
     * families can never diverge on re-segmentation semantics).
     */
-  private[operators] def remerge(syms: Vector[String],
+  private[graft] def remerge(syms: Vector[String],
       pair: (String, String)): Vector[String] = {
     if (syms.length < 2) return syms
     val (bl, br) = pair

@@ -243,4 +243,64 @@ class PropertySpec extends SparkSpec {
         s"seed=$seed: target-vocab doc ${w(5L)} <= raw-vocab doc ${w(6L)}")
     }
   }
+
+  test("remerge: concatenation preserved, no adjacent target pair survives") {
+    // The shared re-segmentation walk behind BOTH merge-table trainers
+    // (Bpe.remerge): a left-to-right non-overlapping pass must (a)
+    // preserve the concatenated string, (b) leave NO adjacent (l, r)
+    // occurrence, and (c) be idempotent for its pair.
+    val symGen = Gen.listOfN(12, Gen.oneOf("a", "b", "ab", "ba"))
+    for (seed <- 1L to 40L) {
+      val syms = sample(symGen, seed).toVector
+      val pair = sample(Gen.oneOf(("a", "b"), ("b", "a"), ("a", "a"),
+        ("ab", "b"), ("b", "ab")), seed + 999)
+      val out = graft.operators.Bpe.remerge(syms, pair)
+      assert(out.mkString == syms.mkString, s"seed=$seed: content changed")
+      out.sliding(2).filter(_.length == 2).foreach { w =>
+        assert((w(0), w(1)) != pair,
+          s"seed=$seed: pair $pair survived in $out")
+      }
+      assert(graft.operators.Bpe.remerge(out, pair) == out,
+        s"seed=$seed: remerge not idempotent")
+    }
+  }
+
+  test("WordPiece greedy encode: reassembly and piece-count bounds on random words") {
+    for (seed <- 1L to 10L) {
+      import spark.implicits._
+      val docs = Seq((1L, sample(docGen(30), seed))).toDF("id", "text")
+      val m = graft.operators.WordPiece.trainMerges(docs, "text", nMerges = 6)
+      for (ws <- 1 to 8) {
+        val w = sample(wordGen, seed * 100 + ws)
+        val pieces = m.encodeWord(w)
+        assert(pieces.mkString == w, s"seed=$seed: $w -> $pieces")
+        assert(pieces.nonEmpty && pieces.length <= w.length)
+      }
+    }
+  }
+
+  test("HNSW exhaustive-ef beam equals exact top-k on random vector sets") {
+    // The connectivity guarantee generalized: for ANY vector set, an
+    // ef = n beam over the repaired graph must return the exact top-k
+    // under the same bit-parity scoring — regardless of metric.
+    import spark.implicits._
+    val vecGen = Gen.listOfN(6, Gen.choose(-1.0f, 1.0f))
+    for ((metric, seed) <- Seq(("dot", 1L), ("cosine", 2L), ("l2", 3L))) {
+      val n = 120
+      val rows = (0L until n.toLong).map(i =>
+        (i, sample(vecGen, seed * 10000 + i).toSeq))
+      val df = rows.toDF("vec_id", "embedding")
+      val q = df.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      def pairs(d: org.apache.spark.sql.DataFrame) =
+        d.select("query_id", "rank", "match_id")
+          .as[(Long, Int, Long)].collect().sorted.toSeq
+      val got = pairs(graft.operators.HnswSearch.hnswTopK(q, "query_id",
+        "qv", df, "vec_id", "embedding", k = 3, metric = metric,
+        m = 4, efConstruction = 8, efSearch = n, nShards = 1))
+      val exact = pairs(graft.operators.VectorSearch.topKFlat(q, "query_id",
+        "qv", df, "vec_id", "embedding", k = 3, metric = metric))
+      assert(got == exact, s"metric=$metric diverged from exact")
+    }
+  }
 }
