@@ -216,6 +216,28 @@ class RobustnessSpec extends SparkSpec {
       s"guarded MaxSim must not broadcast the corpus:\n$msPlan")
     assert(msHits(msGuarded) == msHits(msDirect),
       "byte-guarded MaxSim ranking diverged from the broadcast path")
+
+    // --- HNSW at 1536 dims: in-flight graphs and the persisted segment
+    // store both serve the real-dimensionality corpus; the exhaustive-ef
+    // law holds (ef = corpus size -> exact top-k equality), so no node
+    // becomes unreachable at the reference's width
+    val nAll = (base ++ dups).length
+    def hnswPairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("qid", "rank", "match_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sorted.toSeq
+    val hnswFlight = hnswPairs(graft.operators.HnswSearch.hnswTopK(
+      queries, "qid", "qv", emb, "vec_id", "embedding", k = 3,
+      metric = "dot", nShards = 3, efSearch = nAll))
+    val exactWide = hnswPairs(VectorSearch.topKFlat(queries, "qid", "qv",
+      emb, "vec_id", "embedding", k = 3, metric = "dot"))
+    assert(hnswFlight == exactWide, "hnsw diverged from exact at 1536 dims")
+    val hnswIdx = java.nio.file.Files.createTempDirectory("graft_wide_hnsw").toString
+    graft.operators.HnswSearch.writeIndex(emb, "vec_id", "embedding",
+      hnswIdx, nShards = 3, metric = "dot")
+    val hnswRest = hnswPairs(graft.operators.HnswSearch.searchIndex(spark,
+      hnswIdx, queries, "qid", "qv", k = 3, efSearch = nAll))
+    assert(hnswRest == exactWide, "persisted hnsw diverged at 1536 dims")
   }
 
   test("bitset ground-truth kernel: byte cap falls back to the relational join, same pairs") {
