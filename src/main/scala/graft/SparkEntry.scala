@@ -571,7 +571,11 @@ object SparkEntry {
     */
   private def tokenBoundsContract(s: SparkSession, dir: String,
       counts: DataFrame, cntCol: String): DataFrame = {
-    val toksCol = filter(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+"),
+    // coalesce mirrors the encoders' null guard: a null text counts 0
+    // tokens there, so the bounds side must see 0 words / 0 chars (not
+    // size(null) = -1 and a null verdict diverging from the oracle)
+    val toksCol = filter(
+      split(lower(trim(coalesce(col("text"), lit("")))), "[ \\t\\n\\f\\r]+"),
       x => length(x) > 0)
     val bounds = t(s, dir, "documents").select(col("doc_id"),
       size(toksCol).cast("long").as("__nw"),

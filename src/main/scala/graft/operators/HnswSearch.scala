@@ -111,7 +111,9 @@ object HnswSearch {
       */
     private def searchLayer(q: Array[Float], eps: Array[Int], ef: Int,
         layer: Int): Array[Int] = {
-      val visited = new java.util.HashSet[Integer]()
+      // flat visited flags, not a hash set: the innermost loop of every
+      // query × segment probe — no boxing, no hashing
+      val visited = new Array[Boolean](n)
       // candidates: best-first; results: worst-first bounded at ef
       // PriorityQueue dequeues the MAX under its ordering: ordBest puts
       // the highest similarity first, ties to the smaller internal index
@@ -122,7 +124,8 @@ object HnswSearch {
       val ordWorst = ordBest.reverse
       val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ordWorst)
       eps.foreach { ep =>
-        if (visited.add(ep)) {
+        if (!visited(ep)) {
+          visited(ep) = true
           val s0 = sim(q, ep)
           cand.enqueue((s0, ep)); res.enqueue((s0, ep))
           if (res.size > ef) res.dequeue()
@@ -137,7 +140,8 @@ object HnswSearch {
           var j = 0
           while (j < nbrs.length) {
             val e = nbrs(j)
-            if (visited.add(e)) {
+            if (!visited(e)) {
+              visited(e) = true
               val es = sim(q, e)
               if (res.size < ef || es > res.head._1 ||
                   (es == res.head._1 && e < res.head._2)) {
@@ -429,8 +433,10 @@ object HnswSearch {
       .withColumn("epoch", lit(epoch))
   }
 
-  /** Shard count targeting ~`targetRows` vectors per segment graph. */
-  private def shardsFor(n: Long, targetRows: Long = 1000000L): Int =
+  /** Shard count targeting ~`targetRows` vectors per segment graph —
+    * the ONE shard-sizing policy (the SQL facade calls it too).
+    */
+  private[graft] def shardsFor(n: Long, targetRows: Long = 1000000L): Int =
     math.max(1L, (n + targetRows - 1) / targetRows).toInt
 
   /** Write a sharded HNSW index to `path`: per-shard graphs serialized
@@ -501,6 +507,9 @@ object HnswSearch {
     val nodes = buildNodes(slim, "id", "vec", shards, m, efc, metric,
       maxShardRows, epoch, who = "appendToIndex")
       .localCheckpoint()
+    // reads the just-checkpointed blocks (no graph rebuild) — the stat
+    // must count shards actually WRITTEN, not requested (hash shards
+    // can be empty)
     val built = nodes.select("shard").distinct().count().toInt
     IndexMaintenance.withStoreLock(spark, path) {
       IndexMaintenance.recoverSwap(spark, s"$path/nodes")
@@ -591,9 +600,9 @@ object HnswSearch {
         // single-build-task scale no matter how many small append
         // epochs accumulated since the last compaction
         val buf = it.buffered
-        new Iterator[Iterator[(Long, Long, Double)]] {
+        new Iterator[Iterator[(Long, Long, Double, Long)]] {
           def hasNext: Boolean = buf.hasNext
-          def next(): Iterator[(Long, Long, Double)] = {
+          def next(): Iterator[(Long, Long, Double, Long)] = {
             val key = (buf.head._1, buf.head._2)
             val seg = scala.collection.mutable.ArrayBuffer
               .empty[(Long, Array[Float], Seq[Seq[Long]])]
@@ -612,17 +621,22 @@ object HnswSearch {
                 idx
               }.toArray).toArray)
             val g = new Graph(ids, rows.map(_._2), mm, efc, met).restore(adj)
+            val segEpoch = key._2
             serveShard(g, bc.value, kk, efs, met)
+              .map { case (q, mId, s) => (q, mId, s, segEpoch) }
           }
         }.flatten
-      }.toDF(qId, "match_id", "score")
+      }.toDF(qId, "match_id", "score", "epoch")
 
     // an id re-ingested across epochs may surface from several
-    // segments: keep its best score (deterministic, metric-aware) so a
-    // duplicate never occupies two ranks; base-only stores have unique
-    // ids, so this is the identity there (searchIndex ≡ hnswTopK)
-    val best = if (metric == "l2") min(col("score")) else max(col("score"))
+    // segments: the LATEST epoch's vector wins (max_by epoch — the
+    // same last-writer-wins rule compactIndex applies), so serve-time
+    // results agree with post-compaction results and a superseded
+    // vector's score can never outrank its replacement. (id, epoch) is
+    // unique — one hash shard per id per epoch — so the pick is
+    // deterministic; base-only stores have unique ids, so this is the
+    // identity there (searchIndex ≡ hnswTopK).
     rerank(candidates.groupBy(col(qId), col("match_id"))
-      .agg(best.as("score")), qId, metric, k)
+      .agg(max_by(col("score"), col("epoch")).as("score")), qId, metric, k)
   }
 }

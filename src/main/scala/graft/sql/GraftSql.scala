@@ -932,11 +932,16 @@ class GraftSql(
         // in-flight defaults would (target ~1M rows per shard graph).
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_sql_hnsw_" +
           s"${spark.sparkContext.applicationId}_${big.tag}"
-        if (!graft.operators.FsUtil.exists(spark, s"$path/_meta/_SUCCESS")) {
-          val nRows = c.count()
-          val shards = math.max(1, math.ceil(nRows / 1000000.0).toInt)
-          graft.operators.HnswSearch.writeIndex(c, "__cid", "__cvec", path,
-            nShards = shards, m = 8, efConstruction = 64, metric = "dot")
+        // check-then-build under one monitor: two concurrent statements
+        // on a fresh registration must not both run the overwrite build
+        // on the shared path (the synchronized-ModelCache discipline
+        // the pq/sq/bq families get for free)
+        GraftSql.hnswBuildLock.synchronized {
+          if (!graft.operators.FsUtil.exists(spark, s"$path/_meta/_SUCCESS")) {
+            val shards = graft.operators.HnswSearch.shardsFor(c.count())
+            graft.operators.HnswSearch.writeIndex(c, "__cid", "__cvec", path,
+              nShards = shards, m = 8, efConstruction = 64, metric = "dot")
+          }
         }
         graft.operators.HnswSearch.searchIndex(spark, path, qv,
           "__qid", "__qvec", k,
@@ -1143,6 +1148,11 @@ object GraftSql {
     * '<connector>.index.type'.
     */
   val IndexTypes: Set[String] = Set("flat", "ivf", "pq", "lsh", "sq", "bq", "hnsw")
+
+  /** Serializes check-then-build of the per-registration persisted hnsw
+    * index (see the "hnsw" federated-search route).
+    */
+  private[sql] val hnswBuildLock = new Object
 
   /** Registration generation counter feeding [[DfCorpus.tag]]. */
   private[sql] val corpusGen = new java.util.concurrent.atomic.AtomicLong(0)

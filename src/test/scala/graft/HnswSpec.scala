@@ -214,7 +214,21 @@ class HnswSpec extends SparkSpec {
     val (r, s) = graft.operators.HnswSearch.appendToIndex(
       shifted, "vec_id", "embedding", path, epoch = 7L)
     assert(r == 1 && s == 1, s"append stats ($r, $s)")
+    // serve-time last-writer-wins BEFORE compaction: id 5 must score by
+    // its NEW vector even though the base segment still holds the old
+    // one — serve results agree with post-compaction results
+    val origVec = emb.filter(col("vec_id") === 5)
+      .select("embedding").as[Seq[Float]].head().toArray
+    val newVec = origVec.map(_ + 1.0f)
+    val q5 = emb.filter(col("vec_id") === 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def score5() = graft.operators.HnswSearch.searchIndex(spark, path, q5,
+      "query_id", "qv", k = 100, efSearch = 200)
+      .filter(col("match_id") === 5).select("score").as[Double].head()
+    val want = graft.operators.VectorSearch.scoreF32("dot", origVec, newVec)
+    assert(score5() == want, "pre-compaction serve used the stale vector")
     graft.operators.HnswSearch.compactIndex(spark, path)
+    assert(score5() == want, "compaction changed the served score")
     val rows5 = spark.read.parquet(s"$path/nodes")
       .filter(col("id") === 5).select("vec")
       .as[Seq[Float]].collect()
