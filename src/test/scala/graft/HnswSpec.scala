@@ -238,6 +238,46 @@ class HnswSpec extends SparkSpec {
     assert(rows5.head == orig.map(_ + 1.0f), "later epoch's vector did not win")
   }
 
+  test("interrupted compaction swap self-heals on the next append (both crash states)") {
+    val emb = Tables(spark, sf, "embeddings").filter(col("vec_id") < 200)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_swap_idx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    graft.operators.HnswSearch.writeIndex(
+      emb.filter(col("vec_id") < 150), "vec_id", "embedding", path,
+      nShards = 2)
+    val live = new java.io.File(s"$path/nodes")
+    def rowsInStore() = spark.read.parquet(s"$path/nodes").count()
+    val baseRows = rowsInStore()
+    // crash state A: compactor retired the live dir and died before
+    // promoting the staged rewrite — the staged dir holds the new store
+    assert(live.renameTo(new java.io.File(s"$path/.nodes-compact")))
+    graft.operators.HnswSearch.appendToIndex(
+      emb.filter(col("vec_id") >= 150 && col("vec_id") < 170),
+      "vec_id", "embedding", path, epoch = 11L)
+    assert(live.exists(), "staged store not promoted")
+    assert(rowsInStore() == baseRows + 20)
+    // crash state B: compactor died between retiring live and deleting
+    // the retired copy — recovery must restore it, never read-as-empty
+    assert(live.renameTo(new java.io.File(s"$path/.nodes-retired")))
+    graft.operators.HnswSearch.appendToIndex(
+      emb.filter(col("vec_id") >= 170), "vec_id", "embedding", path,
+      epoch = 12L)
+    assert(live.exists(), "retired store not restored")
+    assert(rowsInStore() == baseRows + 50)
+    // the healed, appended store still serves the exhaustive-ef law
+    val q = emb.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val got = graft.operators.HnswSearch.searchIndex(spark, path,
+      q, "query_id", "qv", k = 3, efSearch = 200)
+      .select("query_id", "rank", "match_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val exact = VectorSearch.topKFlat(q, "query_id", "qv",
+      emb, "vec_id", "embedding", k = 3, metric = "dot")
+      .select("query_id", "rank", "match_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(got == exact)
+  }
+
   test("hnswIndexStream: streamed vectors become searchable (with compaction cadence)") {
     val emb = Tables(spark, sf, "embeddings")
     val n = emb.count().toInt
