@@ -398,6 +398,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size <= 2, p.take(2000))
   }
 
+  test("q_vector_hnsw: shard scan + slim re-rank, no cartesian, bounded exchanges") {
+    val p = plan("q_vector_hnsw").toString
+    // the scoring work lives in the per-shard mapPartitions; the plan
+    // must never degenerate into a cross product or corpus broadcast,
+    // and carries only the shard repartition + the slim candidate
+    // re-rank window (queries x nShards x k rows) + the driver orderBy
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(2000))
+  }
+
   test("q_c4_clean: narrow line verdicts, one doc-id aggregate, zero joins") {
     val p = plan("q_c4_clean").toString
     // the whole recipe is posexplode -> per-line booleans -> groupBy on
