@@ -58,8 +58,9 @@ object HnswSearch {
   }
 
   /** In-memory single-shard HNSW graph over id-sorted rows. Neighbor
-    * selection is the paper's simple variant (closest-M); layer-0
-    * degree bound is 2M, upper layers M (the standard setting).
+    * selection is the paper's Algorithm 4 heuristic (directional
+    * diversity with pruned-connection backfill); layer-0 degree bound
+    * is 2M, upper layers M (the standard setting).
     */
   private[operators] final class Graph(
       val ids: Array[Long], val vecs: Array[Array[Float]],
@@ -178,9 +179,40 @@ object HnswSearch {
       ep
     }
 
-    private def closestM(q: Array[Float], cands: Array[Int],
-        bound: Int): Array[Int] =
-      cands.sortBy(i => (-sim(q, i), i)).take(bound)
+    /** The paper's Algorithm 4 (select-neighbors-heuristic): scan
+      * candidates in proximity order and keep one iff it is closer to
+      * the base point than to every already-kept neighbor — selected
+      * edges span diverse DIRECTIONS instead of piling into the
+      * nearest cluster, which is what keeps small-world graphs
+      * navigable on clustered data. Survivors short of `bound`
+      * backfill with the closest discarded candidates
+      * (keepPrunedConnections). Deterministic: proximity order with
+      * index tie-break, fixed scan order, `>=` on the tie.
+      */
+    private def selectNeighbors(q: Array[Float], cands: Array[Int],
+        bound: Int): Array[Int] = {
+      val sorted = cands.sortBy(i => (-sim(q, i), i))
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val discarded = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < sorted.length && kept.length < bound) {
+        val e = sorted(i)
+        val sq = sim(q, e)
+        var ok = true
+        var j = 0
+        while (ok && j < kept.length) {
+          if (sim(vecs(e), kept(j)) >= sq) ok = false
+          j += 1
+        }
+        if (ok) kept += e else discarded += e
+        i += 1
+      }
+      var d = 0
+      while (kept.length < bound && d < discarded.length) {
+        kept += discarded(d); d += 1
+      }
+      kept.toArray
+    }
 
     private def insert(i: Int): Unit = {
       val lvl = levels(i)
@@ -192,7 +224,7 @@ object HnswSearch {
       while (l >= 0) {
         val w = searchLayer(vecs(i), Array(ep), efC, l)
         val bound = if (l == 0) 2 * m else m
-        val sel = closestM(vecs(i), w, m)
+        val sel = selectNeighbors(vecs(i), w, m)
         links(i)(l) = sel
         var j = 0
         while (j < sel.length) {
@@ -200,7 +232,7 @@ object HnswSearch {
           val merged = links(e)(l) :+ i
           links(e)(l) =
             if (merged.length <= bound) merged
-            else closestM(vecs(e), merged, bound)
+            else selectNeighbors(vecs(e), merged, bound)
           j += 1
         }
         if (w.nonEmpty) ep = w(0)
@@ -219,9 +251,11 @@ object HnswSearch {
       this
     }
 
-    /** Simple-variant backlink pruning can strand a node: when a hub's
-      * list overflows, [[closestM]] may evict the only IN-edge a distant
-      * node had, making it unreachable from the entry point at ANY ef.
+    /** Backlink pruning can strand a node: when a hub's list
+      * overflows, [[selectNeighbors]] may evict the only IN-edge a
+      * distant node had, making it unreachable from the entry at ANY
+      * ef (rarer under the diversity heuristic than simple closest-M,
+      * but still possible).
       * Repair: one BFS over layer-0 out-edges from the entry, then every
       * unreachable node gets an in-edge from its nearest REACHABLE node
       * (linear scan, index tie-break — deterministic), which makes it
