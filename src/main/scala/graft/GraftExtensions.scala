@@ -20,7 +20,10 @@ import graft.functions.{CosineSimilarityF32, DotProductF32, L2DistanceF32, TopKB
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    // the full (non-deprecated) constructor: only className/name/usage
+    // matter for DESCRIBE FUNCTION; the rest are empty metadata slots
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

@@ -194,7 +194,7 @@ object IvfPqIndex {
     val mm = m; val kk = kCodes; val cand = numCandidates; val ascL = asc
 
     val coded = spark.read.parquet(s"$path/corpus")
-      .filter(col("cell").isin(cells.map(Int.box): _*))
+      .filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*))
       .select(col("id"), col("codes"), col("cell"))
     val candidates = coded.as[(Long, Seq[Int], Int)].mapPartitions { it =>
       val (ids, luts, probers) = bc.value

@@ -350,7 +350,7 @@ object IvfSearch {
       explode(nearestCells(centroids, nProbe)(col(qVec))).as("cell"))
     val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
     val celled = spark.read.parquet(s"$path/corpus")
-      .filter(col("cell").isin(cells.map(Int.box): _*))
+      .filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*))
       .select(col("id").as("match_id"), col("vec").as("__cvec"), col("cell"))
     val asc = metric == "l2"
     probed.join(celled, "cell")

@@ -30,7 +30,7 @@ object SkewJoin {
       df: DataFrame, key: String, buckets: Int,
       aggs: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(buckets)))
+      pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(buckets)))
     val partials = aggs.map { case (n, c) => sum(c).as(s"__p_$n") }
     val finals = aggs.map { case (n, _) => sum(col(s"__p_$n")).as(n) }
     salted.groupBy(col(key), col("__salt"))
@@ -43,7 +43,7 @@ object SkewJoin {
   def saltedJoin(
       big: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(buckets)).cast("int"))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(buckets)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
