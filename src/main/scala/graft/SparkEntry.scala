@@ -67,9 +67,12 @@ object SparkEntry {
       artifactBytes.keys.filter(_._1 != app).foreach(artifactBytes.remove)
       artifactBytes.getOrElseUpdate((app, dir, "bench_gram_bloom"), {
         val docs = t(s, dir, "documents")
-        graft.operators.Bloom.buildGramBloom(
+        // sized from the measured gram count (48 bits/item, per-probe
+        // fp ≈ 2⁻³³), so the oracle's exact-equality margin holds at
+        // any sf instead of decaying as a fixed-size filter fills up
+        graft.operators.Bloom.buildGramBloomSized(
           docs.filter(pmod(col("doc_id"), lit(97)) === 0), "doc_id", "text",
-          n = 4, expectedItems = 1L << 20, numBits = 1L << 24)
+          n = 4)
       })
     }
   private def shingleGroundTruth(s: SparkSession, dir: String): DataFrame =
@@ -1610,13 +1613,16 @@ ORDER BY event_id, event_id2""")
     // --- Bloom-served decontamination (the benchmark-too-big regime) ------
     // Same flags as q_decontaminate, served through the distributed-built
     // Bloom gram filter instead of the broadcast exact gram set: the
-    // benchmark contributes only 2 MB of filter bytes, so the plan holds
+    // benchmark contributes only the filter bytes, so the plan holds
     // at ANY benchmark size. Oracled against the same exact-join SQL:
-    // Bloom error is one-sided (no false negatives ever) and at the
-    // designed m/n ≈ 140, k = 11 the false-positive probability across
-    // the whole corpus gram set is ~1e-6, so the flagged set IS the
-    // exact contamination set here (the general superset property is
-    // asserted in BloomSpec; equality on this corpus in PipelineSpec).
+    // Bloom error is one-sided (no false negatives ever) and the filter
+    // is SIZED FROM THE MEASURED gram count with a 2²⁴-bit floor (see
+    // buildGramBloomSized: Spark's 32-bit double hashing floors small
+    // filters' fp near 10⁻⁵, so the floor, not the ratio, carries the
+    // margin), keeping the expected false-positive count ≪ 1 across
+    // the corpus gram set at any sf — the flagged set IS the exact
+    // contamination set (the guaranteed superset property — the
+    // operator's contract — is what BloomSpec and PipelineSpec assert).
     "q_bloom_decontam" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.operators.Bloom.contaminationBloom(

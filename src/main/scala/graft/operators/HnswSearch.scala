@@ -656,21 +656,55 @@ object HnswSearch {
               }.toArray).toArray)
             val g = new Graph(ids, rows.map(_._2), mm, efc, met).restore(adj)
             val segEpoch = key._2
-            serveShard(g, bc.value, kk, efs, met)
+            // explicit per-segment ef budget: a small append-epoch
+            // segment cannot hold more than its own row count in the
+            // search beam, so after heavy append traffic (many small
+            // epochs before compaction) total serve cost is Σ min(ef,
+            // segment rows), not segments × ef. Identical results — a
+            // beam as wide as the segment already visits every node —
+            // floored at k so the segment can still fill its top-k.
+            val segEf = math.max(kk, math.min(efs, rows.length))
+            serveShard(g, bc.value, kk, segEf, met)
               .map { case (q, mId, s) => (q, mId, s, segEpoch) }
           }
         }.flatten
       }.toDF(qId, "match_id", "score", "epoch")
 
-    // an id re-ingested across epochs may surface from several
-    // segments: the LATEST epoch's vector wins (max_by epoch — the
-    // same last-writer-wins rule compactIndex applies), so serve-time
-    // results agree with post-compaction results and a superseded
-    // vector's score can never outrank its replacement. (id, epoch) is
-    // unique — one hash shard per id per epoch — so the pick is
-    // deterministic; base-only stores have unique ids, so this is the
-    // identity there (searchIndex ≡ hnswTopK).
-    rerank(candidates.groupBy(col(qId), col("match_id"))
-      .agg(max_by(col("score"), col("epoch")).as("score")), qId, metric, k)
+    // an id re-ingested across epochs supersedes its older vectors: the
+    // LATEST epoch wins (the same last-writer-wins rule compactIndex
+    // applies), so serve-time results agree with post-compaction results
+    // and a superseded vector's score can never outrank its replacement.
+    // Picking max_by(score, epoch) over the SURVIVORS is not enough —
+    // when the re-ingested vector is far from a query, the newest
+    // segment's own top-k omits the id and only the stale row surfaces —
+    // so superseded rows are filtered against the store's per-id max
+    // epoch. That table comes from a scan of the node store pruned to
+    // the id column (epoch is a partition value, vec/links never read)
+    // and restricted to ids appearing in >1 epoch, so it is
+    // append-churn-sized; single-epoch stores (every base-only or
+    // freshly compacted index) skip the join entirely on the
+    // partition-listing check, keeping searchIndex ≡ hnswTopK there.
+    val nodesSlim = spark.read.parquet(s"$path/nodes")
+      .select(col("id").cast("long").as("match_id"),
+        col("epoch").cast("long").as("__node_epoch"))
+    val multiEpoch =
+      nodesSlim.select("__node_epoch").distinct().limit(2).count() > 1
+    val lww =
+      if (!multiEpoch) candidates
+      else {
+        val superseded = nodesSlim
+          .groupBy("match_id")
+          .agg(max(col("__node_epoch")).as("__max_epoch"),
+            count(lit(1)).as("__n_epochs"))
+          .filter(col("__n_epochs") > 1)
+          .select("match_id", "__max_epoch")
+        candidates.join(superseded, Seq("match_id"), "left")
+          .filter(col("__max_epoch").isNull || col("epoch") === col("__max_epoch"))
+      }
+    // after the filter every surviving (query, id) group holds rows of
+    // one epoch — one hash shard per id per epoch — so max is a plain
+    // dedup, deterministic by construction
+    rerank(lww.groupBy(col(qId), col("match_id"))
+      .agg(max(col("score")).as("score")), qId, metric, k)
   }
 }

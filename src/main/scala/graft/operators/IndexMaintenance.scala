@@ -52,14 +52,43 @@ object IndexMaintenance {
     * [[CompactionLeaseMillis]]) makes a compactor in another process
     * fail fast instead of racing the rename swap. Dot-prefixed, so
     * readers never see it.
+    *
+    * Cross-process discipline the lease file itself must honor:
+    *  - the lock file carries a per-acquisition OWNER TOKEN, and release
+    *    deletes the lock only while the token still matches — a holder
+    *    that overran its lease and was legitimately usurped must not
+    *    delete the usurper's lock (that would cascade the broken-lease
+    *    state the takeover just repaired). An overrun-and-usurped body
+    *    that completes fails LOUDLY instead of returning, because its
+    *    writes may have raced the takeover's.
+    *  - stale-lock takeover is a RENAME of the stale lock to a
+    *    contender-unique tombstone, not delete-then-create: rename
+    *    succeeds for exactly one contender under HDFS/posix semantics,
+    *    where interleaved deletes let two contenders both create "their"
+    *    lock and both proceed into the rename swap.
     */
   def withStoreLock[T](spark: SparkSession, root: String)(body: => T): T =
     monitors.getOrElseUpdate(new Path(root).toString, new Object).synchronized {
       val lock = new Path(root, ".compact.lock")
       val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val token = java.util.UUID.randomUUID().toString
       def tryCreate(): Boolean =
-        try { fs.create(lock, false).close(); true }
-        catch { case _: java.io.IOException => false }
+        try {
+          val out = fs.create(lock, false)
+          out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      def lockToken(): Option[String] =
+        try {
+          val in = fs.open(lock)
+          try {
+            val buf = new Array[Byte](128)
+            val n = in.read(buf)
+            Some(new String(buf, 0, math.max(n, 0),
+              java.nio.charset.StandardCharsets.UTF_8))
+          } finally in.close()
+        } catch { case _: java.io.IOException => None }
       if (!tryCreate()) {
         val age = try
           System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
@@ -68,13 +97,33 @@ object IndexMaintenance {
           throw new IllegalStateException(
             s"compaction already in progress on index store $root " +
               s"(lock $lock, age ${age / 1000}s < lease ${CompactionLeaseMillis / 1000}s)")
-        fs.delete(lock, false) // stale: crashed compactor — take over
+        // stale: crashed compactor. Exactly one contender wins the rename
+        // of the old lock to its own tombstone; losers fall through to the
+        // no-overwrite create, which the winner has already claimed.
+        val tomb = new Path(root, s".compact.lock.stale-$token")
+        val wonTakeover =
+          try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
+        if (wonTakeover) fs.delete(tomb, false)
         if (!tryCreate())
           throw new IllegalStateException(
             s"lost the compaction-lock race on index store $root")
       }
-      try body
-      finally fs.delete(lock, false)
+      val t0 = System.currentTimeMillis()
+      var stillOwned = true
+      val result =
+        try body
+        finally {
+          stillOwned = lockToken().contains(token)
+          if (stillOwned) fs.delete(lock, false)
+        }
+      if (!stillOwned)
+        throw new IllegalStateException(
+          s"compaction on index store $root held the lease for " +
+            s"${(System.currentTimeMillis() - t0) / 1000}s (lease " +
+            s"${CompactionLeaseMillis / 1000}s) and was usurped by another " +
+            "compactor — its writes may have raced the takeover; verify the " +
+            "store (recoverSwap heals interrupted swaps) before serving")
+      result
     }
 
   /** Heal a dir whose previous swap was interrupted. States and cures:

@@ -842,7 +842,7 @@ class GraftSql(
     * paying a probe job each.
     */
   private val dimCache = scala.collection.concurrent.TrieMap.empty[String, Int]
-  private def corpusDim(c: DataFrame, tag: String): Int =
+  private[graft] def corpusDim(c: DataFrame, tag: String): Int =
     dimCache.getOrElseUpdate(tag, {
       import org.apache.spark.sql.functions.{col, size}
       c.select(size(col("__cvec"))).head(1).headOption.getOrElse(

@@ -401,6 +401,25 @@ LATERAL TABLE(FEDERATED_SEARCH('${family}_vector_search', 3, vector));"""
     }
   }
 
+  test("corpusDim: empty corpus names the error; cached tag never re-probes the data") {
+    import spark.implicits._
+    val g = facade()
+    // an empty corpus at dim-probe time fails with a NAMED error, not
+    // head()'s opaque NoSuchElementException
+    val emptyC = Seq.empty[(Long, Seq[Float])].toDF("__cid", "__cvec")
+    val e = intercept[IllegalArgumentException] {
+      g.corpusDim(emptyC, "dimc_empty")
+    }
+    assert(e.getMessage.contains("is empty"), e.getMessage)
+    // dim is derived ONCE per registration tag: the second lookup for a
+    // cached tag is answered without touching the data — handing it a
+    // frame that would FAIL the probe proves no probe job runs
+    val c = Seq((1L, Seq(1f, 2f, 3f))).toDF("__cid", "__cvec")
+    assert(g.corpusDim(c, "dimc_tag") == 3)
+    assert(g.corpusDim(emptyC, "dimc_tag") == 3,
+      "cached tag re-probed the corpus (a repeat statement would pay a job)")
+  }
+
   test("HYBRID_SEARCH fuses vector and BM25 rankings over corpus contents") {
     val g = facade()
     val corpus = Tables(spark, sf, "documents").filter(col("doc_id") < 80)

@@ -238,6 +238,75 @@ class HnswSpec extends SparkSpec {
     assert(rows5.head == orig.map(_ + 1.0f), "later epoch's vector did not win")
   }
 
+  test("last-writer-wins holds when the newest segment's top-k OMITS the re-ingested id") {
+    // the hard LWW case: id 5 is re-ingested with a vector FAR from the
+    // query, inside an append segment that also holds fillers closer to
+    // the query than far-5 — so the newest segment's own per-segment
+    // top-k never surfaces id 5, and only the STALE base row would reach
+    // the rerank. Survivor-level max_by(score, epoch) cannot see the
+    // replacement here; the per-id max-epoch filter must drop the stale
+    // row by RANK. Ground truth: post-compaction serve (compaction
+    // resolves LWW structurally) — pre-compaction serve must equal it.
+    val emb = Tables(spark, sf, "embeddings").filter(col("vec_id") < 100)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_lww_idx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    graft.operators.HnswSearch.writeIndex(emb, "vec_id", "embedding", path,
+      nShards = 2)
+    val far5 = emb.filter(col("vec_id") === 5)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val fillers = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+    graft.operators.HnswSearch.appendToIndex(
+      far5.unionByName(fillers), "vec_id", "embedding", path, epoch = 4L)
+    // query = id 5's ORIGINAL vector: the stale base row would self-match
+    // at the maximum score and outrank everything
+    val q5 = emb.filter(col("vec_id") === 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def serve() = graft.operators.HnswSearch.searchIndex(spark, path, q5,
+      "query_id", "qv", k = 3, efSearch = 16)
+      .select("query_id", "rank", "match_id", "score")
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    val pre = serve()
+    val staleScore = {
+      val v = emb.filter(col("vec_id") === 5)
+        .select("embedding").as[Seq[Float]].head().toArray
+      graft.operators.VectorSearch.scoreF32("dot", v, v)
+    }
+    assert(!pre.exists(r => r._3 == 5L && r._4 == staleScore),
+      s"stale superseded vector surfaced: $pre")
+    graft.operators.HnswSearch.compactIndex(spark, path)
+    assert(serve() == pre,
+      "pre-compaction serve diverges from post-compaction (LWW broken)")
+  }
+
+  test("per-segment ef budget: oversized efSearch equals ef = segment size") {
+    // the explicit serve budget: a segment's beam is capped at its own
+    // row count, so any efSearch at or beyond the largest segment yields
+    // identical (exhaustive) beams — serve cost after heavy append
+    // traffic is Σ min(ef, segment rows), never segments × ef
+    val emb = Tables(spark, sf, "embeddings").filter(col("vec_id") < 150)
+    val n = emb.count().toInt
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_efb_idx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    graft.operators.HnswSearch.writeIndex(
+      emb.filter(col("vec_id") < 100), "vec_id", "embedding", path, nShards = 2)
+    graft.operators.HnswSearch.appendToIndex(
+      emb.filter(col("vec_id") >= 100), "vec_id", "embedding", path, epoch = 1L)
+    def serve(ef: Int) = graft.operators.HnswSearch.searchIndex(spark, path,
+      queries, "query_id", "qv", k = 3, efSearch = ef)
+      .select("query_id", "rank", "match_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val atN = serve(n)
+    assert(atN == serve(100 * n), "capped beam diverges from oversized ef")
+    val exact = VectorSearch.topKFlat(queries, "query_id", "qv",
+      emb, "vec_id", "embedding", k = 3, metric = "dot")
+      .select("query_id", "rank", "match_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(atN == exact, "exhaustive beams diverge from exact top-k")
+  }
+
   test("interrupted compaction swap self-heals on the next append (both crash states)") {
     val emb = Tables(spark, sf, "embeddings").filter(col("vec_id") < 200)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_swap_idx"

@@ -246,6 +246,31 @@ class IvfSpec extends SparkSpec {
       graft.operators.IndexMaintenance.CompactionLeaseMillis - 60000))
     IvfSearch.compactIndex(spark, path) // succeeds
     assert(!lock.exists(), "lease not released after compaction")
+    // and the atomic rename-takeover leaves no tombstone debris behind
+    val debris = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith(".compact.lock"))
+    assert(debris.isEmpty, s"lock debris after takeover: ${debris.mkString(",")}")
+  }
+
+  test("store lock: a usurped holder fails loudly and never deletes the usurper's lock") {
+    // lease overrun: a body that runs past CompactionLeaseMillis gets
+    // legitimately taken over by another process. The overrun holder's
+    // release must not delete the usurper's lock (that would cascade the
+    // broken-lease state), and completing the body must FAIL — its
+    // writes may have raced the takeover's.
+    val root = java.nio.file.Files.createTempDirectory("graft_lock_usurp").toString
+    val lock = new java.io.File(root, ".compact.lock")
+    val e = intercept[IllegalStateException] {
+      graft.operators.IndexMaintenance.withStoreLock(spark, root) {
+        // another process deems our lease stale and takes over mid-body
+        assert(lock.delete())
+        java.nio.file.Files.write(lock.toPath, "intruder-token".getBytes("UTF-8"))
+      }
+    }
+    assert(e.getMessage.contains("usurped"), e.getMessage)
+    assert(lock.exists, "usurper's lock must survive the overrun holder's release")
+    assert(new String(java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")
+      == "intruder-token", "usurper's lock content must be untouched")
   }
 
   test("persisted index: partition-pruned probe equals in-memory search") {

@@ -10,6 +10,37 @@ class LexicalSpec extends SparkSpec {
 
   // --- BM25 ----------------------------------------------------------------
 
+  test("index-served BM25 plans zero corpus work: no tokenize, only index scans") {
+    // the at-rest contract: with postings + stats both supplied from the
+    // persisted LexicalIndex, scoring NEVER touches the corpus — not
+    // even for N/avgdl (the stats artifact carries them). Proven two
+    // ways: the corpus handle passed is null (a fallback re-derivation
+    // would NPE), and the plan holds no tokenizer and no non-index scan.
+    import graft.operators.LexicalIndex
+    val docs = Tables(spark, sf, "documents")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lex_planidx_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    LexicalIndex.writeIndex(docs, "doc_id", "text", path)
+    val post = LexicalIndex.postings(spark, path)
+    val terms = post.select(col("tok")).distinct().orderBy("tok")
+      .limit(2).as[String].collect()
+    val q = terms.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toSeq.toDF("query_id", "term")
+    val served = Lexical.bm25TopK(q, "query_id", "term",
+      null, "doc_id", "text", k = 5,
+      post = post, stats = LexicalIndex.corpusStats(spark, path))
+    val plan = served.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("split(lower(trim"),
+      s"tokenizer in the indexed serve plan:\n$plan")
+    val scans = served.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.nonEmpty && scans.forall(_.contains(new java.io.File(path).getName)),
+      s"scan outside the index store: $scans")
+    assert(served.count() > 0, "vacuous: no matches for in-corpus terms")
+  }
+
   test("bm25 matches a hand-computed score on a 3-doc corpus") {
     // corpus: N=3, dls 2/3/2, avgdl = 7/3
     val docs = Seq(

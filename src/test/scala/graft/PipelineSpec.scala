@@ -34,22 +34,31 @@ class PipelineSpec extends SparkSpec {
       """{"role":"user","content":"find shoes","sessionid":"u1"}""")
   }
 
-  test("bloom-served decontamination equals the exact-join flags on the corpus") {
-    // the q_bloom_decontam oracle claim, asserted mechanically: at the
-    // designed filter size (m/n ~ 140) the one-sided error contributes
-    // zero false positives on this corpus, so bloom flags == exact flags
+  test("bloom-served decontamination: guaranteed superset of the exact-join flags") {
+    // the operator's CONTRACT is one-sided: every exactly-contaminated
+    // doc is flagged with at least its exact shared-gram count (no false
+    // negatives, ever) — that is what this spec gates on, because
+    // equality is probabilistic (a single false-positive gram can flag a
+    // clean doc). The oracle's exact equality is carried by the SIZED
+    // filter (buildGramBloomSized: 48 bits/measured-gram with a 2²⁴-bit
+    // floor), whose expected false-positive count stays ≪ 1 at any sf.
     import graft.operators.{Bloom, Corpus}
     val docs = Tables(spark, sf, "documents")
     val cand = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
     val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-    val filt = Bloom.buildGramBloom(bench, "doc_id", "text", 4, 1L << 20, 1L << 24)
+    val filt = Bloom.buildGramBloomSized(bench, "doc_id", "text", 4)
     val bloomed = Bloom.contaminationBloom(cand, "doc_id", "text", filt, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val exact = Corpus.contamination(cand, bench, "doc_id", "text", 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(bloomed == exact,
-      s"bloom vs exact differ: ${(bloomed.toSet diff exact.toSet).take(5)}")
+    exact.foreach { case (id, nShared) =>
+      assert(bloomed.getOrElse(id, 0L) >= nShared,
+        s"false negative: doc $id bloom ${bloomed.get(id)} < exact $nShared")
+    }
     assert(exact.nonEmpty, "vacuous: no contamination in the fixture slice")
+    // and at the sized filter's margin, equality in fact holds here
+    assert(bloomed == exact,
+      s"sized-filter false positives: ${(bloomed.toSet diff exact.toSet).take(5)}")
   }
 
   test("multimodal: features preserve rows, kinds partition by id, stub is deterministic") {
