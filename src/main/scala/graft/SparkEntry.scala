@@ -2075,6 +2075,77 @@ WITH (
     "q_connection_describe" -> ((s, dir) =>
       graft.model.Connections.default().describe(s).orderBy("name")),
 
+    // --- the reference's teaching-by-failure surface, under the hash gate --
+    // (each case is a negative transcript the reference walks through or a
+    // guard it documents: sink/query schema mismatch README.md:586-594,
+    // degenerate ROW<> README.md:586-608, model/version 404 README.md:
+    // 657-699, numCandidates ≤ 10000 README.md:368, Schema Registry
+    // additionalProperties=false README.md:228-252. Every case must fail
+    // with the DECLARED class and message marker — emitted as rows, so a
+    // silently-weakened guard breaks the oracle hash, not just a spec.)
+    "q_error_transcripts" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{StructType, StructField, StringType, LongType}
+      val root = java.nio.file.Files.createTempDirectory("graft_q_errs").toString
+      val c = new graft.sources.TopicCatalog(s, root)
+      val g = new graft.sql.GraftSql(s, c)
+      val r = graft.model.Models.default()
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType)))
+      val cases: Seq[(String, String, () => Unit)] = Seq(
+        ("degenerate_row_type", "ROW<>",
+          () => c.create("llm_prompt_test", StructType(Seq(
+            StructField("sessionid", StringType),
+            StructField("llm_request_json_object", StructType(Seq.empty)))))),
+        ("model_404", "model no_such_model not found",
+          () => r.resolve("no_such_model")),
+        ("model_version_404", "version 9 not found",
+          () => r.resolve(graft.model.Models.RetailAssistant + "$9")),
+        ("num_candidates_cap", "numCandidates must be in [1, 10000]",
+          () => g.registerSearchCorpus("caps", t(s, dir, "documents")
+            .select(col("text").as("content"),
+              graft.functions.HashEmbedder.embedCol(col("text")).as("vector")),
+            "content", "vector", numCandidates = 10001)),
+        ("sink_schema_mismatch", "schema mismatch",
+          () => {
+            c.create("sink_topic", docSchema)
+            c.insertInto("sink_topic",
+              t(s, dir, "documents").select("doc_id", "source", "n_chars"))
+          }),
+        ("strict_produce_reject", "additionalProperties=false",
+          () => {
+            c.create("strict_topic", docSchema, Map("validation" -> "strict"))
+            c.produceJson("strict_topic",
+              Seq("""{"doc_id":1,"source":"web","email":"x@y.z"}"""))
+          }),
+        ("unknown_corpus", "unknown search corpus",
+          () => {
+            t(s, dir, "documents").limit(1)
+              .select(graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+              .createOrReplaceTempView("q_et_src")
+            g.execute("SELECT * FROM q_et_src, " +
+              "LATERAL TABLE(FEDERATED_SEARCH('no_such_corpus', 3, vector));")
+          }),
+        ("unknown_metric", "unknown metric manhattan",
+          () => graft.operators.VectorSearch.topKFlat(
+            t(s, dir, "embeddings").limit(1)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", t(s, dir, "embeddings"), "vec_id", "embedding",
+            k = 1, metric = "manhattan")))
+      val rows = cases.map { case (name, needle, act) =>
+        val (cls, detail) =
+          try { act(); ("NO_ERROR", s"MISSING: $needle") }
+          catch {
+            case e: Throwable =>
+              (e.getClass.getSimpleName,
+                if (e.getMessage != null && e.getMessage.contains(needle)) needle
+                else s"UNEXPECTED: ${Option(e.getMessage).getOrElse("").take(80)}")
+          }
+        (name, cls, detail)
+      }
+      rows.toDF("case_name", "error_class", "detail").orderBy("case_name")
+    }),
+
     // --- INSERT VALUES with complex literals (S7/F3) ----------------------
     // (the reference's verbatim ARRAY[ROW(...)] insert, README.md:614-623,
     // through the SQL facade; plus one typed-Row insert through the
@@ -3283,6 +3354,20 @@ values (
         "'https://api.openai.com/v1/embeddings', 'api-key=<hidden>')" +
         ") AS t(name, type, cloud, region, environment, endpoint, credentials) " +
         "ORDER BY name"),
+
+    "q_error_transcripts" ->
+      ("SELECT * FROM (VALUES " +
+        "('degenerate_row_type', 'IllegalArgumentException', 'ROW<>'), " +
+        "('model_404', 'ModelNotFoundException', 'model no_such_model not found'), " +
+        "('model_version_404', 'ModelNotFoundException', 'version 9 not found'), " +
+        "('num_candidates_cap', 'IllegalArgumentException', " +
+        "'numCandidates must be in [1, 10000]'), " +
+        "('sink_schema_mismatch', 'IllegalArgumentException', 'schema mismatch'), " +
+        "('strict_produce_reject', 'IllegalArgumentException', " +
+        "'additionalProperties=false'), " +
+        "('unknown_corpus', 'IllegalArgumentException', 'unknown search corpus'), " +
+        "('unknown_metric', 'IllegalArgumentException', 'unknown metric manhattan')" +
+        ") AS t(case_name, error_class, detail) ORDER BY case_name"),
 
     "q_insert_values" ->
       ("SELECT * FROM (VALUES " +
