@@ -136,7 +136,18 @@ object Lexical {
     // double, so avgdl is partition-order-independent. Derived from
     // `docs` (not the posting list) when computed here: token-less
     // documents count toward N with dl = 0.
-    val statsTab = if (stats != null) stats else corpusStats(docs, textCol)
+    val statsTab =
+      if (stats != null) stats
+      else {
+        // a null corpus is the INDEX-SERVED calling convention (postings
+        // + stats artifacts, the corpus deliberately unreachable) — a
+        // missing stats artifact there must name the fix, not NPE
+        require(docs != null,
+          "bm25: postings supplied without the corpus-stats artifact and " +
+            "no corpus to derive N/avgdl from — pass the persisted " +
+            "LexicalIndex.corpusStats (or Lexical.corpusStats) via `stats`")
+        corpusStats(docs, textCol)
+      }
     // df per term is posting-list-derived ((id, tok) rows are distinct
     // by construction) and query-independent — restricted to query
     // terms by the same broadcast
