@@ -988,36 +988,82 @@ class GraftSql(
     // under re-evaluation); the text expression joins the identity so two
     // rows with one vector but different questions stay distinct queries
     val q = base.withColumn("__qid", xxhash64(expr(vecExpr), expr(textExpr)))
-    val c = corpusContentDf(corpusName)
+    val (c, ref) = corpusContentDfWithRef(corpusName)
     val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"),
       expr(textExpr).as("__qtext"))
+    // postings/stats/df from the per-registration artifact cache: the
+    // lexical side of a repeat statement never re-tokenizes the corpus
+    val (post, stats, dfT) = lexArtifactsFor(ref, c)
     val fused = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
-      "__qtext", c, "__cid", "__cvec", "__content", k)
+      "__qtext", c, "__cid", "__cvec", "__content", k,
+      dfTable = dfT, post = post, stats = stats)
     val ranked = fused.select(col("query_id").as("__qid"),
       col("match_id").as("__cid"), col("rrf_rank").as("__rank"))
     searchResultsView("hybridsearch", q, ranked, c, views)
   }
 
+  /** BM25 index artifacts — postings, corpus stats, term df — for a
+    * registered corpus, derived ONCE per registration: the lexical twin
+    * of the SQ/BQ model caches. Repeat HYBRID_SEARCH / PRF_SEARCH
+    * statements serve from the session-held artifacts instead of
+    * re-tokenizing the corpus per statement (the "index once, serve
+    * many" posture; the persisted [[graft.operators.LexicalIndex]] is
+    * the at-rest form of the same idea). Keyed by the CorpusRef
+    * INSTANCE: re-registration mints a fresh ref, so stale artifacts
+    * can never serve regenerated data, and a dropped registration's
+    * artifacts become unreachable with it. Lazily checkpointed —
+    * materialized by the first statement, sized by corpus tokens
+    * (postings) / vocabulary (df, Zipf-bounded) / one row (stats). The
+    * df table derives FROM the postings ((id, tok) rows are distinct by
+    * construction), not from a second tokenize pass.
+    */
+  private[graft] val lexArtifacts = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[AnyRef, (DataFrame, DataFrame, DataFrame)]())
+  private def lexArtifactsFor(
+      ref: AnyRef, c: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val got = lexArtifacts.get(ref)
+    if (got != null) got
+    else {
+      val post = graft.operators.Lexical.postings(c, "__cid", "__content")
+        .localCheckpoint(false)
+      val stats = graft.operators.Lexical.corpusStats(c, "__content")
+        .localCheckpoint(false)
+      val dfT = post.groupBy(col("tok").as("term"))
+        .agg(count(lit(1)).as("__df")).localCheckpoint(false)
+      val v = (post, stats, dfT)
+      lexArtifacts.put(ref, v)
+      v
+    }
+  }
+
   /** A registered corpus as a slim (__cid, __content, __cvec) DataFrame
     * with content-derived ids — the shared front half of every
-    * corpus-reading lateral view. An in-memory corpus re-lifts to a
-    * DataFrame: the lexical/MMR sides need distributed work either way.
+    * corpus-reading lateral view, plus the resolved CorpusRef (the
+    * identity the per-registration artifact caches key on). An
+    * in-memory corpus re-lifts to a DataFrame: the lexical/MMR sides
+    * need distributed work either way.
     */
-  private def corpusContentDf(corpusName: String): DataFrame = {
+  private def corpusContentDfWithRef(corpusName: String): (DataFrame, AnyRef) = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val (cdf, contentCol, vecCol) = resolveCorpus(corpusName) match {
+    val ref = resolveCorpus(corpusName)
+    val (cdf, contentCol, vecCol) = ref match {
       case InMemCorpus(rows) =>
         (rows.toSeq.toDF("__content0", "__cvec0"), "__content0", "__cvec0")
       case big: DfCorpus => (big.df, big.contentCol, big.vecCol)
       case _: LazyCorpus =>
         throw new IllegalStateException("unreachable: resolveCorpus resolves LazyCorpus")
     }
-    cdf.select(col(contentCol).as("__content"),
+    val slim = cdf.select(col(contentCol).as("__content"),
         col(vecCol).cast("array<float>").as("__cvec"))
       .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
       .dropDuplicates("__cid")
+    (slim, ref)
   }
+
+  private def corpusContentDf(corpusName: String): DataFrame =
+    corpusContentDfWithRef(corpusName)._1
 
   /** Assemble a ranked (__qid, __cid, __rank) list into the
     * `search_results` ARRAY<ROW<content STRING>> shape, left-join it
@@ -1054,11 +1100,15 @@ class GraftSql(
     import org.apache.spark.sql.functions._
     val base = spark.table(table)
     val q = base.withColumn("__qid", xxhash64(expr(textExpr)))
-    val c = corpusContentDf(corpusName)
+    val (c, ref) = corpusContentDfWithRef(corpusName)
     val qTerms = q.select(col("__qid").as("query_id"),
       explode(graft.operators.Lexical.toks(expr(textExpr))).as("term"))
+    // per-registration postings/stats: both PRF passes serve from the
+    // session-held artifacts instead of tokenizing the corpus again
+    val (post, stats, _) = lexArtifactsFor(ref, c)
     val ranked = graft.operators.Lexical.bm25PrfTopK(qTerms, "query_id",
-        "term", c, "__cid", "__content", k, fbDocs, fbTerms)
+        "term", c, "__cid", "__content", k, fbDocs, fbTerms,
+        post = post, stats = stats)
       .select(col("query_id").as("__qid"), col("match_id").as("__cid"),
         col("rank").as("__rank"))
     searchResultsView("prfsearch", q, ranked, c, views)

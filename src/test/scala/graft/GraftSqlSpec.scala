@@ -449,6 +449,21 @@ LATERAL TABLE(HYBRID_SEARCH('hybrid_corpus', 3, vector, question));""").collect(
       """SELECT doc_id FROM hybrid_questions,
 LATERAL TABLE(HYBRID_SEARCH('hybrid_corpus', 3, vector));"""))
     assert(err.getMessage.contains("HYBRID_SEARCH expects"))
+    // repeat statements serve the per-registration BM25 artifacts —
+    // identical results, ONE artifact entry (no per-statement re-derive);
+    // re-registration mints a fresh ref and therefore fresh artifacts
+    val again = g.execute(
+      """SELECT doc_id, search_results FROM hybrid_questions,
+LATERAL TABLE(HYBRID_SEARCH('hybrid_corpus', 3, vector, question));""").collect()
+    assert(again.map(_.toString).sorted.toSeq == got.map(_.toString).sorted.toSeq)
+    assert(g.lexArtifacts.size == 1,
+      s"expected one cached artifact set, got ${g.lexArtifacts.size}")
+    g.registerSearchCorpus("hybrid_corpus", corpus, "content", "vector")
+    g.execute(
+      """SELECT doc_id, search_results FROM hybrid_questions,
+LATERAL TABLE(HYBRID_SEARCH('hybrid_corpus', 3, vector, question));""").collect()
+    assert(g.lexArtifacts.size == 2,
+      "re-registration must mint fresh artifacts, not serve stale ones")
   }
 
   test("PRF_SEARCH surfaces BM25+PRF expansion in SQL, identical to the Scala core") {
