@@ -692,13 +692,22 @@ object HnswSearch {
     val lww =
       if (!multiEpoch) candidates
       else {
+        // checkpointed: the slim survivor set (queries × segments × k)
+        // feeds BOTH the candidate-id restriction and the filter join —
+        // without it the whole probe subtree would evaluate twice
+        val cand = candidates.localCheckpoint(false)
+        // restrict the max-epoch aggregation to candidate-TOUCHED ids
+        // (a semi-join keeps every epoch row of those ids): the shuffle
+        // is candidate-sized, not index-sized — the id column scan is
+        // the only full-store pass, and it is column-pruned
         val superseded = nodesSlim
+          .join(cand.select("match_id").distinct(), Seq("match_id"), "left_semi")
           .groupBy("match_id")
           .agg(max(col("__node_epoch")).as("__max_epoch"),
             count(lit(1)).as("__n_epochs"))
           .filter(col("__n_epochs") > 1)
           .select("match_id", "__max_epoch")
-        candidates.join(superseded, Seq("match_id"), "left")
+        cand.join(superseded, Seq("match_id"), "left")
           .filter(col("__max_epoch").isNull || col("epoch") === col("__max_epoch"))
       }
     // after the filter every surviving (query, id) group holds rows of
