@@ -42,6 +42,16 @@ object GraftSession {
       // testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
       // timestamp — read as Long, converted at the scan edge (Tables).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // BloomFilterAggregate silently clamps to these ceilings (defaults
+      // 2^26 bits / 4M items — sized for AQE's runtime join filters, not
+      // for decontamination artifacts over large benchmarks). Raise them
+      // so Bloom.buildGramBloomSized's measured sizing holds to ~10^8
+      // grams (2^33 bits = a 1 GiB driver-held artifact at the extreme);
+      // Bloom.build fails loudly rather than letting the clamp bite.
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        (1L << 33).toString)
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+        (1L << 29).toString)
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)): SparkSession = {

@@ -57,6 +57,29 @@ object Bloom {
       numBits: Long): Array[Byte] = {
     require(expectedItems > 0, s"bloom: expectedItems=$expectedItems")
     require(numBits > 0, s"bloom: numBits=$numBits")
+    // Spark's BloomFilterAggregate SILENTLY clamps both parameters to
+    // session ceilings (spark.sql.optimizer.runtime.bloomFilter.
+    // maxNumBits / maxNumItems, defaults 2²⁶ bits / 4M items) — a
+    // benchmark past the ceiling would quietly get a saturated filter
+    // whose false-positive rate is percent-grade, defeating the sized
+    // build's guarantee. Fail loudly and name the knob instead.
+    // (GraftSession raises both ceilings; foreign sessions get told.)
+    val conf = df.sparkSession.sessionState.conf
+    val maxBits = conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
+    val maxItems = conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
+    require(numBits <= maxBits,
+      s"bloom: numBits=$numBits exceeds the session ceiling $maxBits — " +
+        "Spark would silently clamp the filter and degrade its " +
+        "false-positive rate; raise spark.sql.optimizer.runtime." +
+        "bloomFilter.maxNumBits (and expect a ~" +
+        s"${numBits / 8 / (1 << 20)} MB driver-held artifact)")
+    require(expectedItems <= maxItems,
+      s"bloom: expectedItems=$expectedItems exceeds the session ceiling " +
+        s"$maxItems — Spark would silently clamp it (skewing the derived " +
+        "hash count); raise spark.sql.optimizer.runtime.bloomFilter." +
+        "maxNumItems")
     val hashed = XxHash64(Seq(Shim.expression(valueCol)), 42L)
     val agg = new BloomFilterAggregate(hashed,
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()

@@ -83,9 +83,14 @@ object IndexMaintenance {
         try {
           val in = fs.open(lock)
           try {
+            // read to EOF: a single read() is not guaranteed to fill the
+            // buffer on every filesystem, and a partial token must not
+            // masquerade as a foreign one
+            val bos = new java.io.ByteArrayOutputStream()
             val buf = new Array[Byte](128)
-            val n = in.read(buf)
-            Some(new String(buf, 0, math.max(n, 0),
+            var n = in.read(buf)
+            while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            Some(new String(bos.toByteArray,
               java.nio.charset.StandardCharsets.UTF_8))
           } finally in.close()
         } catch { case _: java.io.IOException => None }
@@ -113,7 +118,17 @@ object IndexMaintenance {
       val result =
         try body
         finally {
-          stillOwned = lockToken().contains(token)
+          // ownership on release: a matching token always means ours. A
+          // FOREIGN token means a takeover (or a protocol violator) holds
+          // the store — leave its lock alone. An UNREADABLE/vanished
+          // token while the lease is still live cannot be a legitimate
+          // takeover (peers judge staleness by the lock's mtime ≈ t0), so
+          // a transient read hiccup there must not orphan a healthy lock
+          // for the full lease; past the lease, unreadable stays
+          // conservative — don't delete what might be a usurper's.
+          val tk = lockToken()
+          stillOwned = tk.contains(token) || (tk.isEmpty &&
+            System.currentTimeMillis() - t0 < CompactionLeaseMillis)
           if (stillOwned) fs.delete(lock, false)
         }
       if (!stillOwned)

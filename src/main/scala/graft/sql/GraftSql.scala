@@ -991,51 +991,55 @@ class GraftSql(
     val (c, ref) = corpusContentDfWithRef(corpusName)
     val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"),
       expr(textExpr).as("__qtext"))
-    // postings/stats/df from the per-registration artifact cache: the
+    // postings/stats from the per-registration artifact cache: the
     // lexical side of a repeat statement never re-tokenizes the corpus
-    val (post, stats, dfT) = lexArtifactsFor(ref, c)
+    val (post, stats) = lexArtifactsFor(corpusName, ref, c)
     val fused = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
       "__qtext", c, "__cid", "__cvec", "__content", k,
-      dfTable = dfT, post = post, stats = stats)
+      post = post, stats = stats)
     val ranked = fused.select(col("query_id").as("__qid"),
       col("match_id").as("__cid"), col("rrf_rank").as("__rank"))
     searchResultsView("hybridsearch", q, ranked, c, views)
   }
 
-  /** BM25 index artifacts — postings, corpus stats, term df — for a
+  /** BM25 index artifacts — postings and corpus stats — for a
     * registered corpus, derived ONCE per registration: the lexical twin
     * of the SQ/BQ model caches. Repeat HYBRID_SEARCH / PRF_SEARCH
     * statements serve from the session-held artifacts instead of
     * re-tokenizing the corpus per statement (the "index once, serve
     * many" posture; the persisted [[graft.operators.LexicalIndex]] is
-    * the at-rest form of the same idea). Keyed by the CorpusRef
-    * INSTANCE: re-registration mints a fresh ref, so stale artifacts
-    * can never serve regenerated data, and a dropped registration's
-    * artifacts become unreachable with it. Lazily checkpointed —
-    * materialized by the first statement, sized by corpus tokens
-    * (postings) / vocabulary (df, Zipf-bounded) / one row (stats). The
-    * df table derives FROM the postings ((id, tok) rows are distinct by
-    * construction), not from a second tokenize pass.
+    * the at-rest form of the same idea). Keyed by corpus NAME with the
+    * resolved CorpusRef's identity stored alongside: re-registration
+    * mints a fresh ref, so a hit is served only while the ref still
+    * matches — stale artifacts can never serve regenerated data, and
+    * the replaced entry's checkpoint blocks become unreachable. BOUNDED
+    * (access-order LRU, like [[graft.operators.PqSearch]]'s model
+    * cache): a long-lived session cycling many registrations must not
+    * pin every prior corpus's checkpointed postings forever. Lazily
+    * checkpointed — materialized by the first statement, sized by
+    * corpus tokens (postings) / one row (stats).
     */
-  private[graft] val lexArtifacts = java.util.Collections.synchronizedMap(
-    new java.util.IdentityHashMap[AnyRef, (DataFrame, DataFrame, DataFrame)]())
-  private def lexArtifactsFor(
-      ref: AnyRef, c: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.functions._
-    val got = lexArtifacts.get(ref)
-    if (got != null) got
-    else {
-      val post = graft.operators.Lexical.postings(c, "__cid", "__content")
-        .localCheckpoint(false)
-      val stats = graft.operators.Lexical.corpusStats(c, "__content")
-        .localCheckpoint(false)
-      val dfT = post.groupBy(col("tok").as("term"))
-        .agg(count(lit(1)).as("__df")).localCheckpoint(false)
-      val v = (post, stats, dfT)
-      lexArtifacts.put(ref, v)
-      v
+  private[graft] val lexArtifacts =
+    new java.util.LinkedHashMap[String, (AnyRef, DataFrame, DataFrame)](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (AnyRef, DataFrame, DataFrame)]): Boolean =
+        size() > 64
     }
-  }
+  private def lexArtifactsFor(
+      name: String, ref: AnyRef, c: DataFrame): (DataFrame, DataFrame) =
+    lexArtifacts.synchronized {
+      val cur = lexArtifacts.get(name)
+      if (cur != null && (cur._1 eq ref)) (cur._2, cur._3)
+      else {
+        val post = graft.operators.Lexical.postings(c, "__cid", "__content")
+          .localCheckpoint(false)
+        val stats = graft.operators.Lexical.corpusStats(c, "__content")
+          .localCheckpoint(false)
+        lexArtifacts.put(name, (ref, post, stats))
+        (post, stats)
+      }
+    }
 
   /** A registered corpus as a slim (__cid, __content, __cvec) DataFrame
     * with content-derived ids — the shared front half of every
@@ -1105,7 +1109,7 @@ class GraftSql(
       explode(graft.operators.Lexical.toks(expr(textExpr))).as("term"))
     // per-registration postings/stats: both PRF passes serve from the
     // session-held artifacts instead of tokenizing the corpus again
-    val (post, stats, _) = lexArtifactsFor(ref, c)
+    val (post, stats) = lexArtifactsFor(corpusName, ref, c)
     val ranked = graft.operators.Lexical.bm25PrfTopK(qTerms, "query_id",
         "term", c, "__cid", "__content", k, fbDocs, fbTerms,
         post = post, stats = stats)

@@ -55,6 +55,29 @@ class BloomSpec extends SparkSpec {
     assert(members.filter(Bloom.mightContain(bloom, col("g"))).count() == 500)
   }
 
+  test("a build past Spark's silent clamp ceiling fails loudly, naming the knob") {
+    // BloomFilterAggregate clamps numBits/expectedItems to the session
+    // ceilings WITHOUT error — a saturated filter would quietly degrade
+    // to percent-grade false positives. The build must refuse instead.
+    val members = (1L to 10L).map(i => s"g$i").toDF("g")
+    val maxBits = spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
+    val e = intercept[IllegalArgumentException] {
+      Bloom.build(members, col("g"), 10, maxBits + 1)
+    }
+    assert(e.getMessage.contains("maxNumBits"), e.getMessage)
+    val maxItems = spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
+    val e2 = intercept[IllegalArgumentException] {
+      Bloom.build(members, col("g"), maxItems + 1, 4096)
+    }
+    assert(e2.getMessage.contains("maxNumItems"), e2.getMessage)
+    // and the raised GraftSession ceilings accommodate the sized build
+    // to ~10^8 measured grams (48 bits/item)
+    assert(100000000L * 48 <= maxBits,
+      s"session ceiling $maxBits below the sized build's documented range")
+  }
+
   test("empty benchmark builds an empty filter: nothing is flagged") {
     val (docs, bench) = docsBench
     val bloom = Bloom.buildGramBloom(bench.filter(col("id") < 0L),

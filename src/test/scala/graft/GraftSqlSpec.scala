@@ -450,20 +450,26 @@ LATERAL TABLE(HYBRID_SEARCH('hybrid_corpus', 3, vector, question));""").collect(
 LATERAL TABLE(HYBRID_SEARCH('hybrid_corpus', 3, vector));"""))
     assert(err.getMessage.contains("HYBRID_SEARCH expects"))
     // repeat statements serve the per-registration BM25 artifacts —
-    // identical results, ONE artifact entry (no per-statement re-derive);
-    // re-registration mints a fresh ref and therefore fresh artifacts
+    // identical results, ONE artifact entry (no per-statement re-derive)
     val again = g.execute(
       """SELECT doc_id, search_results FROM hybrid_questions,
 LATERAL TABLE(HYBRID_SEARCH('hybrid_corpus', 3, vector, question));""").collect()
     assert(again.map(_.toString).sorted.toSeq == got.map(_.toString).sorted.toSeq)
     assert(g.lexArtifacts.size == 1,
       s"expected one cached artifact set, got ${g.lexArtifacts.size}")
+    val before = g.lexArtifacts.get("hybrid_corpus")
+    // re-registration mints a fresh ref: the SAME name rebuilds in place
+    // (the replaced entry's checkpoints become unreachable — the cache
+    // stays bounded instead of pinning every prior registration)
     g.registerSearchCorpus("hybrid_corpus", corpus, "content", "vector")
     g.execute(
       """SELECT doc_id, search_results FROM hybrid_questions,
 LATERAL TABLE(HYBRID_SEARCH('hybrid_corpus', 3, vector, question));""").collect()
-    assert(g.lexArtifacts.size == 2,
-      "re-registration must mint fresh artifacts, not serve stale ones")
+    assert(g.lexArtifacts.size == 1,
+      "re-registration must replace the entry, not grow the cache")
+    val after = g.lexArtifacts.get("hybrid_corpus")
+    assert(!(before._1 eq after._1) && !(before._2 eq after._2),
+      "re-registration must rebuild the artifacts, not serve stale ones")
   }
 
   test("PRF_SEARCH surfaces BM25+PRF expansion in SQL, identical to the Scala core") {
