@@ -45,6 +45,18 @@ object IndexMaintenance {
   private val monitors =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
+  /** Outcome of reading the lock's owner token. VANISHED
+    * (FileNotFoundException — nothing left to release) is deliberately
+    * distinct from UNREADABLE (checksum mismatch after an out-of-band
+    * rewrite, or a transient IO failure) — only the former proves the
+    * lock is gone; the latter may be a usurper's lock and must never be
+    * deleted on that evidence.
+    */
+  sealed private trait LockRead
+  private final case class TokenIs(token: String) extends LockRead
+  private case object LockVanished extends LockRead
+  private case object LockUnreadable extends LockRead
+
   /** Enforce ONE active compactor per index store — the same protocol
     * the topic compactor uses: in-process compactions serialize on a
     * per-store monitor, and an on-disk `.compact.lock` lease (atomic
@@ -79,7 +91,7 @@ object IndexMaintenance {
           out.close()
           true
         } catch { case _: java.io.IOException => false }
-      def lockToken(): Option[String] =
+      def lockToken(): LockRead =
         try {
           val in = fs.open(lock)
           try {
@@ -90,10 +102,13 @@ object IndexMaintenance {
             val buf = new Array[Byte](128)
             var n = in.read(buf)
             while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-            Some(new String(bos.toByteArray,
+            TokenIs(new String(bos.toByteArray,
               java.nio.charset.StandardCharsets.UTF_8))
           } finally in.close()
-        } catch { case _: java.io.IOException => None }
+        } catch {
+          case _: java.io.FileNotFoundException => LockVanished
+          case _: java.io.IOException           => LockUnreadable
+        }
       if (!tryCreate()) {
         val age = try
           System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
@@ -118,17 +133,26 @@ object IndexMaintenance {
       val result =
         try body
         finally {
-          // ownership on release: a matching token always means ours. A
-          // FOREIGN token means a takeover (or a protocol violator) holds
-          // the store — leave its lock alone. An UNREADABLE/vanished
-          // token while the lease is still live cannot be a legitimate
-          // takeover (peers judge staleness by the lock's mtime ≈ t0), so
-          // a transient read hiccup there must not orphan a healthy lock
-          // for the full lease; past the lease, unreadable stays
-          // conservative — don't delete what might be a usurper's.
-          val tk = lockToken()
-          stillOwned = tk.contains(token) || (tk.isEmpty &&
-            System.currentTimeMillis() - t0 < CompactionLeaseMillis)
+          // ownership on release: ONLY a matching token means ours. A
+          // FOREIGN token means a takeover (or a protocol violator)
+          // holds the store — leave its lock alone. An UNREADABLE token
+          // is retried a bounded number of times (that covers a genuine
+          // transient IO hiccup), but one that STAYS unreadable is
+          // treated as foreign and never deleted: on checksummed
+          // filesystems a usurper's out-of-band rewrite makes the
+          // holder's read fail with a checksum mismatch, and deleting on
+          // that signal would cascade the exact broken-lease state the
+          // takeover repaired. A conservatively orphaned lock self-heals
+          // through the mtime-staleness takeover above. A VANISHED lock
+          // has nothing left to release and is equally not ours.
+          var read = lockToken()
+          var retries = 0
+          while (read == LockUnreadable && retries < 3) {
+            Thread.sleep(25L << retries)
+            read = lockToken()
+            retries += 1
+          }
+          stillOwned = read == TokenIs(token)
           if (stillOwned) fs.delete(lock, false)
         }
       if (!stillOwned)
