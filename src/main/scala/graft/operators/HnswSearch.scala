@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -684,11 +685,24 @@ object HnswSearch {
     // append-churn-sized; single-epoch stores (every base-only or
     // freshly compacted index) skip the join entirely on the
     // partition-listing check, keeping searchIndex ≡ hnswTopK there.
-    val nodesSlim = spark.read.parquet(s"$path/nodes")
+    // epoch is a partition DIRECTORY (nodes/shard=S/epoch=E/), so the
+    // single-vs-multi-epoch question is answered by listing those
+    // directories through the Hadoop FS — pure driver-side metadata, no
+    // Spark job per query batch (a DataFrame distinct over the epoch
+    // column would pay a scan-job even though it reads no data columns)
+    val nodesRoot = new Path(s"$path/nodes")
+    val nodesFs =
+      nodesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochDirs = nodesFs.listStatus(nodesRoot).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .flatMap(sh => nodesFs.listStatus(sh.getPath).iterator
+        .filter(e => e.isDirectory && e.getPath.getName.startsWith("epoch=")))
+      .map(_.getPath.getName)
+      .toSet
+    val multiEpoch = epochDirs.size > 1
+    lazy val nodesSlim = spark.read.parquet(s"$path/nodes")
       .select(col("id").cast("long").as("match_id"),
         col("epoch").cast("long").as("__node_epoch"))
-    val multiEpoch =
-      nodesSlim.select("__node_epoch").distinct().limit(2).count() > 1
     val lww =
       if (!multiEpoch) candidates
       else {

@@ -1023,8 +1023,30 @@ class GraftSql(
     new java.util.LinkedHashMap[String, (AnyRef, DataFrame, DataFrame)](
       16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (AnyRef, DataFrame, DataFrame)]): Boolean =
-        size() > 64
+          e: java.util.Map.Entry[String, (AnyRef, DataFrame, DataFrame)]): Boolean = {
+        val evict = size() > 64
+        // eviction must RELEASE, not merely forget: dropping the map
+        // entry leaves the localCheckpoint's persisted blocks in the
+        // block manager until driver GC + ContextCleaner get around to
+        // them, so a session cycling many corpora would pin up to 64
+        // corpus-token-sized postings frames long after eviction
+        if (evict) unpersistLexArtifacts(e.getValue)
+        evict
+      }
+    }
+  /** Drop a (ref, postings, stats) entry's checkpoint blocks from the
+    * block manager. The checkpointed frames' plans are `LogicalRDD`
+    * leaves over the persisted RDDs; unpersisting those releases
+    * executor storage immediately. A lazily-checkpointed frame that was
+    * never materialized unpersists as a no-op.
+    */
+  private def unpersistLexArtifacts(v: (AnyRef, DataFrame, DataFrame)): Unit =
+    Seq(v._2, v._3).foreach { df =>
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     }
   private def lexArtifactsFor(
       name: String, ref: AnyRef, c: DataFrame): (DataFrame, DataFrame) =
@@ -1032,6 +1054,9 @@ class GraftSql(
       val cur = lexArtifacts.get(name)
       if (cur != null && (cur._1 eq ref)) (cur._2, cur._3)
       else {
+        // re-registration: the stale entry is replaced below — release
+        // its checkpoint blocks now rather than waiting on GC
+        if (cur != null) unpersistLexArtifacts(cur)
         val post = graft.operators.Lexical.postings(c, "__cid", "__content")
           .localCheckpoint(false)
         val stats = graft.operators.Lexical.corpusStats(c, "__content")

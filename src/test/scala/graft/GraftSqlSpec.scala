@@ -470,6 +470,29 @@ LATERAL TABLE(HYBRID_SEARCH('hybrid_corpus', 3, vector, question));""").collect(
     val after = g.lexArtifacts.get("hybrid_corpus")
     assert(!(before._1 eq after._1) && !(before._2 eq after._2),
       "re-registration must rebuild the artifacts, not serve stale ones")
+    // replacement RELEASED the replaced entry's checkpoint blocks —
+    // they must be gone from the block manager, not waiting on GC
+    def ckptRddIds(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }.toSet
+    val oldIds = ckptRddIds(before._2) ++ ckptRddIds(before._3)
+    assert(oldIds.nonEmpty, "expected checkpointed artifacts on the old entry")
+    oldIds.foreach(id => assert(!spark.sparkContext.getPersistentRDDs.contains(id),
+      s"replaced artifact RDD $id still persisted after re-registration"))
+    // LRU eviction likewise releases, not merely forgets: flood the
+    // cache past its bound with inert entries and watch the live
+    // entry's blocks leave the block manager with it
+    val liveIds = ckptRddIds(after._2) ++ ckptRddIds(after._3)
+    assert(liveIds.exists(spark.sparkContext.getPersistentRDDs.contains),
+      "precondition: the live entry's checkpoints are materialized")
+    val inert = spark.range(1).toDF("x")
+    (1 to 64).foreach(i =>
+      g.lexArtifacts.put(s"__evict_filler_$i", (new Object, inert, inert)))
+    assert(g.lexArtifacts.get("hybrid_corpus") == null,
+      "eldest entry must be evicted past the cache bound")
+    liveIds.foreach(id => assert(!spark.sparkContext.getPersistentRDDs.contains(id),
+      s"evicted artifact RDD $id still persisted after LRU eviction"))
   }
 
   test("PRF_SEARCH surfaces BM25+PRF expansion in SQL, identical to the Scala core") {

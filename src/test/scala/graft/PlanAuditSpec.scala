@@ -200,6 +200,46 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("HNSW multi-epoch detection is a directory listing, never a data scan") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sf, "embeddings").filter(col("vec_id") < 120)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_planaudit").toString
+    graft.operators.HnswSearch.writeIndex(
+      emb.filter(col("vec_id") < 100), "vec_id", "embedding", path, nShards = 2)
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def nodeScans(df: DataFrame): Seq[FileSourceScanExec] =
+      df.queryExecution.sparkPlan
+        .collect { case f: FileSourceScanExec => f }
+        .filter(_.relation.location.rootPaths
+          .exists(_.toString.contains("graft_hnsw_planaudit")))
+    // single-epoch (base-only / freshly compacted): epoch multiplicity
+    // comes from listing nodes/shard=*/epoch=* directories through the
+    // Hadoop FS — driver metadata only — so the serve plan is the bare
+    // probe: exactly ONE scan of the node store and no LWW join at all
+    val single = graft.operators.HnswSearch.searchIndex(spark, path, queries,
+      "query_id", "qv", k = 3, efSearch = 16)
+    assert(nodeScans(single).length == 1,
+      s"single-epoch serve must scan the store exactly once:\n" +
+        single.queryExecution.sparkPlan)
+    // multi-epoch: the LWW filter may scan the store a second time, but
+    // ONLY the id data column (epoch is a partition value; vec/links —
+    // the store's weight — must never be read by the filter path)
+    graft.operators.HnswSearch.appendToIndex(
+      emb.filter(col("vec_id") >= 100), "vec_id", "embedding", path, epoch = 1L)
+    val multi = graft.operators.HnswSearch.searchIndex(spark, path, queries,
+      "query_id", "qv", k = 3, efSearch = 16)
+    val slim = nodeScans(multi).filter(f =>
+      !f.requiredSchema.fieldNames.contains("vec"))
+    assert(slim.nonEmpty, "multi-epoch serve lost its slim LWW scan")
+    slim.foreach { f =>
+      assert(f.requiredSchema.fieldNames.toSeq == Seq("id"),
+        s"LWW probe reads data columns beyond id: " +
+          f.requiredSchema.fieldNames.mkString(","))
+    }
+  }
+
   test("IVF probe join under a skewed cell distribution stays an equi-join (AQE skew-safe)") {
     import org.apache.spark.sql.functions._
     // deliberately skewed: 90% of corpus vectors identical -> one popular
