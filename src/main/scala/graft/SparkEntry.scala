@@ -1991,6 +1991,41 @@ ORDER BY event_id, event_id2""")
       c.table("docs_topic").select("doc_id", "source", "n_chars").orderBy("doc_id")
     }),
 
+    // --- ST1 under the hash gate: the reference's run-forever INSERT
+    // SELECT (README.md:435) driven as availableNow micro-batch drains
+    // over a real topic + checkpoint. TWO drain cycles over ONE
+    // checkpoint put the incremental contract itself on the oracle
+    // hash: the second run must append ONLY the late-arriving slice —
+    // any reprocessing of the drained prefix would duplicate rows and
+    // break the hash, not just a spec.
+    "q_stream_insert" -> ((s, dir) => {
+      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_q_stream").toString))
+      g.execute("""CREATE TABLE `doc_lines` (
+    `doc_id`  BIGINT,
+    `source`  STRING,
+    `n_chars` BIGINT
+) WITH ('value.format' = 'json-registry');""")
+      g.execute("""CREATE TABLE `doc_lines_out` (
+    `doc_id`  BIGINT,
+    `src`     STRING,
+    `n_chars` BIGINT
+) WITH ('value.format' = 'json-registry');""")
+      val docs = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val insert = """insert into `doc_lines_out`
+select `doc_id`, upper(`source`) AS `src`, `n_chars` from `doc_lines`
+where `n_chars` > 100;"""
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q_stream_ck").toString
+      g.topics.insertInto("doc_lines", docs.filter(col("doc_id") % 2 === 0))
+      g.executeStreaming(insert, ckpt).awaitTermination()
+      // records arrive after the first drain; the SAME statement and
+      // checkpoint resume from the committed offsets
+      g.topics.insertInto("doc_lines", docs.filter(col("doc_id") % 2 === 1))
+      g.executeStreaming(insert, ckpt).awaitTermination()
+      g.topics.table("doc_lines_out")
+        .select("doc_id", "src", "n_chars").orderBy("doc_id")
+    }),
+
     // --- keyed (cleanup.policy=compact) topic compaction ------------------
     // (the other standard Kafka cleanup policy: latest record per key +
     // CDC-style tombstone delete; winner via ONE max_by hash aggregation
@@ -2125,6 +2160,30 @@ WITH (
               .createOrReplaceTempView("q_et_src")
             g.execute("SELECT * FROM q_et_src, " +
               "LATERAL TABLE(FEDERATED_SEARCH('no_such_corpus', 3, vector));")
+          }),
+        ("lease_held", "compaction already in progress",
+          () => {
+            // a live (fresh-mtime) lock held by another compactor must
+            // fail this one fast instead of racing the rename swap
+            val store = java.nio.file.Files
+              .createTempDirectory("graft_q_lease").toString
+            java.nio.file.Files.createFile(
+              java.nio.file.Paths.get(store, ".compact.lock"))
+            graft.operators.IndexMaintenance.withStoreLock(s, store) { () }
+          }),
+        ("lease_usurped", "usurped by another compactor",
+          () => {
+            // a holder that overran its lease and was taken over must
+            // fail loudly on release — and never delete the usurper's
+            // lock (asserted below after the transcript rows build)
+            val store = java.nio.file.Files
+              .createTempDirectory("graft_q_usurp").toString
+            val lockF = java.nio.file.Paths.get(store, ".compact.lock")
+            graft.operators.IndexMaintenance.withStoreLock(s, store) {
+              java.nio.file.Files.delete(lockF)
+              java.nio.file.Files.write(lockF,
+                "intruder-token".getBytes("UTF-8"))
+            }
           }),
         ("unknown_metric", "unknown metric manhattan",
           () => graft.operators.VectorSearch.topKFlat(
@@ -3317,6 +3376,10 @@ values (
         "UNION ALL SELECT doc_id, source, n_chars FROM documents) " +
         "ORDER BY doc_id"),
 
+    "q_stream_insert" ->
+      ("SELECT doc_id, upper(source) AS src, n_chars FROM documents " +
+        "WHERE n_chars > 100 ORDER BY doc_id"),
+
     "q_compacted_topic" ->
       ("SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id FROM (" +
         "SELECT e.*, row_number() OVER (" +
@@ -3366,7 +3429,9 @@ values (
         "('strict_produce_reject', 'IllegalArgumentException', " +
         "'additionalProperties=false'), " +
         "('unknown_corpus', 'IllegalArgumentException', 'unknown search corpus'), " +
-        "('unknown_metric', 'IllegalArgumentException', 'unknown metric manhattan')" +
+        "('unknown_metric', 'IllegalArgumentException', 'unknown metric manhattan'), " +
+        "('lease_held', 'IllegalStateException', 'compaction already in progress'), " +
+        "('lease_usurped', 'IllegalStateException', 'usurped by another compactor')" +
         ") AS t(case_name, error_class, detail) ORDER BY case_name"),
 
     "q_insert_values" ->
