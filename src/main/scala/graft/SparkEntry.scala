@@ -158,6 +158,31 @@ object SparkEntry {
       VectorSearch.topKFlat(annQueries(s, dir), "query_id", "qv",
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 3, metric = "dot"))
 
+  /** The FILTERED-search predicate shared by the filtered family —
+    * `label % 4 = 1` admits ~a quarter of the corpus, selective enough
+    * that post-filtering a plain top-3 would visibly under-fill.
+    */
+  private val FilteredPred: org.apache.spark.sql.Column = col("label") % 4 === 1
+
+  /** Exact filtered top-3 (dot) — the ground truth both filtered index
+    * serves (IVF payload pre-filter, HNSW over-fetch post-filter) are
+    * contracted against; memoized like [[annGroundTruth]].
+    */
+  private def annFilteredGroundTruth(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "ann_gt_k3_dot_lbl1")(
+      VectorSearch.topKFiltered(annQueries(s, dir), "query_id", "qv",
+        t(s, dir, "embeddings"), "vec_id", "embedding", FilteredPred,
+        k = 3, metric = "dot"))
+
+  /** Exact cosine-radius result over [[annQueries]] at τ=0.3 — the
+    * ground truth of the LSH radius contract; memoized.
+    */
+  private def radiusGroundTruth(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "radius_gt_cos03")(
+      VectorSearch.radiusFlat(annQueries(s, dir), "query_id", "qv",
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, metric = "cosine"))
+
   /** Per-(application, dir, tag) memo for expensive subplans SHARED
     * VERBATIM by several driver queries (the r5 ground-truth cache,
     * generalized): each is computed and materialized once per app —
@@ -715,6 +740,34 @@ object SparkEntry {
         k = 5, metric = "cosine")
         .select("query_id", "match_id", "rank")
         .orderBy("query_id", "rank")
+    }),
+
+    // --- FILTERED vector search (exact pre-filter baseline) ---------------
+    // Atlas $vectorSearch's `filter` shape: a metadata predicate admits a
+    // subset of the corpus and the top-k is exact over the admitted set.
+    // This is the oracle-hashed baseline; the index-served strategies
+    // (IVF payload pushdown, HNSW over-fetch) contract against the same
+    // ground truth below.
+    "q_vector_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorSearch.topKFiltered(annQueries(s, dir), "query_id", "qv",
+        emb, "vec_id", "embedding", FilteredPred, k = 3, metric = "dot")
+        .select("query_id", "match_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- RANGE (radius) search: exact fixed-threshold retrieval -----------
+    // Every corpus vector with cosine ≥ 0.3 of each query — the radius
+    // twin of top-k (FAISS range_search). Cosine integer-scaled exactly
+    // like q_dedup_embedding (raw float hashes don't agree across
+    // engines; the rounded integer does).
+    "q_vector_radius" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorSearch.radiusFlat(annQueries(s, dir), "query_id", "qv",
+        emb, "vec_id", "embedding", threshold = 0.3, metric = "cosine")
+        .select(col("query_id"), col("match_id"),
+          round(col("score") * 1e6).cast("long").as("cosine_1e6"))
+        .orderBy("query_id", "match_id")
     }),
 
     // --- embedding near-dup pairs (north star) ----------------------------
@@ -1880,6 +1933,71 @@ ORDER BY event_id, event_id2""")
         .orderBy("query_id")
     }),
 
+    // --- FILTERED IVF serve: payload predicate inside the pruned probe ----
+    // The store carries `label` as a payload column (writeIndex payload),
+    // so the predicate evaluates inside the partition-pruned scan as a
+    // parquet PushedFilter — no join back to the source corpus. nProbe
+    // is raised 4→8 for the ~1/4-selective predicate (the 1/selectivity
+    // budget rule on IvfSearch.searchIndex); recall contract against the
+    // exact FILTERED ground truth is the hash gate.
+    "q_ivf_filtered_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivff_index_" +
+        indexTag(dir)
+      if (!graft.operators.FsUtil.exists(s, s"$path/centroids/_SUCCESS"))
+        graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding", path,
+          nList = 16, payload = Seq("label"))
+      val queries = annQueries(s, dir)
+      val approx = graft.operators.IvfSearch.searchIndex(s, path, queries,
+        "query_id", "qv", k = 3, metric = "dot", nProbe = 8,
+        filter = FilteredPred)
+      VectorSearch.recallContract(approx, annFilteredGroundTruth(s, dir),
+        queries, "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
+    // --- FILTERED HNSW serve: over-fetch + post-filter ---------------------
+    // A graph walk can't pre-filter without losing navigability, so the
+    // persisted graph (the SAME store q_hnsw_index_recall probes — no
+    // second build) over-fetches 8×k candidates and semi-joins the
+    // allowed-id set; contract against the exact filtered ground truth.
+    "q_hnsw_filtered_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_index_v2_" +
+        indexTag(dir)
+      if (!graft.operators.FsUtil.exists(s, s"$path/_meta/_SUCCESS"))
+        graft.operators.HnswSearch.writeIndex(emb, "vec_id", "embedding",
+          path, nShards = 4, m = 8, efConstruction = 64, metric = "dot")
+      val queries = annQueries(s, dir)
+      val approx = graft.operators.HnswSearch.searchIndexFiltered(s, path,
+        queries, "query_id", "qv", emb.filter(FilteredPred), "vec_id",
+        k = 3, efSearch = 32, overFetch = 8)
+      VectorSearch.recallContract(approx, annFilteredGroundTruth(s, dir),
+        queries, "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
+    // --- LSH radius search: bucket-pruned range retrieval ------------------
+    // Survivors of the (table, bucket) equi-join re-score EXACTLY and cut
+    // at the true threshold, so precision is 1.0 by construction and the
+    // contract gates per-query RECALL (fraction-based: radius result
+    // sizes vary per query, a fixed hit count would gate unevenly).
+    "q_radius_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = annQueries(s, dir)
+      // nBits=4/nTables=24 measured: min per-query recall 0.75 (sf0.001),
+      // 0.83 (sf0.01), 0.77 (sf0.1) — the 0.5 gate has ~50% margin.
+      // τ=0.3 is a hard LSH regime (per-hyperplane agreement ~0.6), so
+      // the table count does the work; see radiusLsh's Scaladoc for the
+      // threshold/recall law.
+      val approx = VectorSearch.radiusLsh(queries, "query_id", "qv",
+        emb, "vec_id", "embedding", threshold = 0.3, metric = "cosine",
+        nBits = 4, nTables = 24)
+      VectorSearch.radiusRecallContract(approx, radiusGroundTruth(s, dir),
+        queries, "query_id", "match_id", minFrac = 0.5)
+        .orderBy("query_id")
+    }),
+
     // --- persisted IVF-PQ index: partition-pruned probe over PQ codes -----
     // (the composed 100 TB layout — coarse cells prune directories, PQ
     // residual codes compress the scan ~32x, exact re-rank from the
@@ -3011,6 +3129,34 @@ values (
         "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
         "FROM embeddings q, embeddings c WHERE q.vec_id % 10 = 0) WHERE rnk <= 5 " +
         "ORDER BY query_id, rank"),
+
+    "q_vector_filtered" ->
+      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
+        "FROM embeddings q, embeddings c " +
+        "WHERE q.vec_id % 20 = 0 AND c.label % 4 = 1) WHERE rnk <= 3 " +
+        "ORDER BY query_id, rank"),
+
+    "q_vector_radius" ->
+      ("SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
+        "CAST(round(list_cosine_similarity(q.embedding, c.embedding) * 1e6) AS BIGINT) AS cosine_1e6 " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0 " +
+        "AND list_cosine_similarity(q.embedding, c.embedding) >= 0.3 " +
+        "ORDER BY query_id, match_id"),
+
+    "q_ivf_filtered_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_hnsw_filtered_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_radius_lsh_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 
     "q_dedup_embedding" ->
       ("SELECT a.vec_id AS id1, b.vec_id AS id2, " +

@@ -730,4 +730,42 @@ object HnswSearch {
     rerank(lww.groupBy(col(qId), col("match_id"))
       .agg(max(col("score")).as("score")), qId, metric, k)
   }
+
+  /** FILTERED serve over a persisted index: only ids present in
+    * `allowed` may fill the top-k. A graph walk cannot pre-filter
+    * without breaking its navigability (links route through excluded
+    * nodes), so this is the standard post-filter-with-over-fetch
+    * strategy (Lucene/Atlas filtered kNN): probe for `k * overFetch`
+    * candidates with a beam at least that wide, drop disallowed ids
+    * with a LEFT SEMI join (candidate-sized — queries × overFetch × k
+    * rows against the allowed-id set, never index-sized on the probe
+    * side), and re-rank the survivors to k. Recall degrades when a
+    * query's true filtered top-k sits beyond its overFetch·k nearest
+    * overall — at admit-rate s, overFetch ≳ c/s keeps the expected
+    * admitted pool at c·k; the recall contract pins what a given
+    * setting actually achieves. Filters too selective for over-fetch
+    * belong on the pre-filtering exact path
+    * ([[VectorSearch.topKFiltered]]) or a payload-filtered IVF store
+    * ([[IvfSearch.searchIndex]]).
+    */
+  def searchIndexFiltered(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qId: String, qVec: String,
+      allowed: DataFrame, allowedId: String,
+      k: Int, efSearch: Int = 32, overFetch: Int = 4,
+      maxQueries: Int = 10000): DataFrame = {
+    require(overFetch >= 1, s"overFetch must be >= 1, got $overFetch")
+    val metric = spark.read.parquet(s"$path/_meta").head()
+      .getAs[String]("metric")
+    // the beam must carry the whole over-fetched pool per segment or
+    // the widened k is a no-op at the graph layer
+    val wide = searchIndex(spark, path, queries, qId, qVec,
+      k * overFetch, math.max(efSearch, k * overFetch), maxQueries)
+    val ids = allowed
+      .select(col(allowedId).cast("long").as("match_id")).distinct()
+    rerank(
+      wide.join(ids, Seq("match_id"), "left_semi")
+        .select(col(qId), col("match_id"), col("score")),
+      qId, metric, k)
+  }
 }

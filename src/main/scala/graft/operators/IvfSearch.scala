@@ -182,12 +182,21 @@ object IvfSearch {
     */
   def writeIndex(
       corpus: DataFrame, cId: String, cVec: String, path: String,
-      nList: Int = 16, iters: Int = 2, dim: Int = 64): Unit = {
+      nList: Int = 16, iters: Int = 2, dim: Int = 64,
+      payload: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // payload columns ride ALONGSIDE the vectors in the store (the
+    // filtered-search layout: a metadata predicate evaluates inside the
+    // partition-pruned probe scan as a parquet PushedFilter, instead of
+    // joining back to the source corpus per query batch). Reserved
+    // store column names can't be payload.
+    val reserved = Set("id", "vec", "cell", "epoch")
+    payload.foreach(p => require(!reserved(p),
+      s"payload column '$p' collides with a reserved store column ($reserved)"))
     val centroids = trainCentroids(corpus, cVec, cId, nList, iters, dim)
-    val celled = corpus.select(col(cId).as("id"), col(cVec).as("vec"),
-      nearestCell(centroids)(col(cVec)).as("cell"))
+    val celled = corpus.select(col(cId).as("id") +: col(cVec).as("vec") +:
+      nearestCell(centroids)(col(cVec)).as("cell") +: payload.map(col): _*)
     // inner epoch partition level: the base build is epoch -1; streamed
     // appends land as dynamic overwrites of their own epoch dirs, making
     // at-least-once foreachBatch replays idempotent (see appendToIndex)
@@ -340,17 +349,29 @@ object IvfSearch {
     * corpus scan lists only the probed cells' directories; unprobed
     * partitions are never opened. Semantics identical to [[ivfTopK]]
     * run with the stored centroids.
+    *
+    * `filter` (over the store's payload columns — see [[writeIndex]])
+    * turns the probe into a FILTERED search: the predicate evaluates
+    * inside the same pruned scan (a parquet `PushedFilter` stacked on
+    * the partition pruning — no join back to the source corpus), and
+    * only admitted vectors compete for the top-k. Pre-filtering keeps
+    * results exact w.r.t. the probed cells at any selectivity, but a
+    * selective predicate thins each probed cell's pool — raise `nProbe`
+    * roughly by 1/selectivity to keep the effective candidate count,
+    * the same budget arithmetic as [[probesForBudget]].
     */
   def searchIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qId: String, qVec: String,
-      k: Int, metric: String = "dot", nProbe: Int = 4): DataFrame = {
+      k: Int, metric: String = "dot", nProbe: Int = 4,
+      filter: Column = lit(true)): DataFrame = {
     val centroids = loadCentroids(spark, path)
     val probed = queries.select(col(qId), col(qVec),
       explode(nearestCells(centroids, nProbe)(col(qVec))).as("cell"))
     val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
     val celled = spark.read.parquet(s"$path/corpus")
       .filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*))
+      .filter(filter)
       .select(col("id").as("match_id"), col("vec").as("__cvec"), col("cell"))
     val asc = metric == "l2"
     probed.join(celled, "cell")

@@ -200,6 +200,105 @@ object VectorSearch {
       .filter(col("rank") <= k)
   }
 
+  /** Exact FILTERED top-k: a metadata predicate restricts the corpus
+    * BEFORE scoring (the pre-filter strategy — Atlas `$vectorSearch`'s
+    * `filter` option; reference README.md:355-366 exposes the same
+    * search shape). Pre-filtering is exact at any selectivity: the k
+    * nearest of the admitted subset, never "the admitted among the k
+    * nearest" (which post-filtering under-fills on selective
+    * predicates). The predicate lands in the corpus scan, so at 100 TB
+    * it prunes at the parquet reader (`PushedFilters`), not after a
+    * full decode.
+    */
+  def topKFiltered(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      filter: Column, k: Int, metric: String = "dot"): DataFrame =
+    topKFlat(queries, qId, qVec, corpus.filter(filter), cId, cVec, k, metric)
+
+  /** Exact RANGE (radius) search: every corpus vector within `threshold`
+    * of each query — similarity ≥ threshold for dot/cosine, distance ≤
+    * threshold for l2 — the fixed-radius twin of top-k (FAISS
+    * `range_search`). Output (qId, match_id, score), UNranked: a radius
+    * result is a set, not a ladder. Exact baseline; [[radiusLsh]] is the
+    * scale path when the corpus outgrows the broadcast side.
+    */
+  def radiusFlat(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      threshold: Double, metric: String = "dot"): DataFrame = {
+    val c = broadcast(corpus.select(col(cId).as("match_id"), col(cVec).as("__cvec")))
+    queries
+      .crossJoin(c)
+      .withColumn("score", scoreCol(metric)(col(qVec), col("__cvec")))
+      .filter(radiusPred(metric, threshold))
+      .drop("__cvec")
+  }
+
+  /** Admission predicate for a radius query: l2 keeps the ball's inside
+    * (distance ≤ r), similarity metrics keep the cap above it (score ≥ τ).
+    */
+  private def radiusPred(metric: String, threshold: Double): Column =
+    if (metric == "l2") col("score") <= threshold else col("score") >= threshold
+
+  /** LSH-bucketed radius search (the scale path): sign-random-projection
+    * buckets (Charikar 2002) prune the |Q|x|C| cross product to an
+    * equi-join on (table, bucket), survivors are re-scored EXACTLY and
+    * cut at the true threshold. Precision is therefore 1.0 by
+    * construction — every emitted pair genuinely clears `threshold` —
+    * and only recall is approximate (a pair must share ≥1 of `nTables`
+    * buckets to be seen; miss probability decays as (1-p^nBits)^nTables
+    * with p = 1 - θ/π the per-hyperplane agreement). The economics
+    * follow the threshold: a HIGH threshold (near-dup radius, p → 1)
+    * gets high recall from few tables and narrow buckets — the regime
+    * LSH is built for — while a moderate threshold (τ=0.3 cosine is
+    * p≈0.6) must buy recall with table count, trading candidate volume
+    * (≈ |C|·nTables/2^nBits per query) against the full-scan baseline.
+    * [[radiusRecallContract]] pins the achieved recall against the
+    * exact twin.
+    */
+  def radiusLsh(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      threshold: Double, metric: String = "cosine",
+      nBits: Int = 4, nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val qb = queries.select(col(qId), col(qVec),
+      posexplode(Lsh.bucketsCol(col(qVec), nBits, nTables, dim))
+        .as(Seq("tbl", "bucket")))
+    val cb = corpus.select(col(cId).as("match_id"), col(cVec).as("__cvec"))
+      .select(col("match_id"), col("__cvec"),
+        posexplode(Lsh.bucketsCol(col("__cvec"), nBits, nTables, dim))
+          .as(Seq("tbl", "bucket")))
+    qb.join(cb, Seq("tbl", "bucket")).drop("tbl", "bucket")
+      .dropDuplicates(qId, "match_id")
+      .withColumn("score", scoreCol(metric)(col(qVec), col("__cvec")))
+      .filter(radiusPred(metric, threshold))
+      .drop("__cvec")
+  }
+
+  /** Per-query radius recall gate: TRUE when the approximate result
+    * recovered at least `minFrac` of the exact result's matches (a query
+    * whose exact ball is empty passes trivially). Same shape as
+    * [[recallContract]] but fraction-based — radius result sizes vary
+    * per query, so a fixed hit count would gate loose queries loosely
+    * and tight queries not at all.
+    */
+  def radiusRecallContract(
+      approx: DataFrame, exact: DataFrame, queries: DataFrame,
+      qId: String, matchId: String, minFrac: Double): DataFrame = {
+    val hits = approx.select(col(qId), col(matchId))
+      .join(exact.select(col(qId), col(matchId)), Seq(qId, matchId))
+      .groupBy(qId).agg(count(lit(1)).as("__hits"))
+    val want = exact.groupBy(qId).agg(count(lit(1)).as("__n"))
+    queries.select(col(qId))
+      .join(want, Seq(qId), "left")
+      .join(hits, Seq(qId), "left")
+      .select(col(qId),
+        (coalesce(col("__n"), lit(0L)) === 0L ||
+          coalesce(col("__hits"), lit(0L)) >=
+            ceil(lit(minFrac) * col("__n")).cast("long")).as("recall_ok"))
+  }
+
   /** Exact top-k, bounded-heap aggregation strategy (the scale path).
     * Output: one row per query with `matches ARRAY<STRUCT<id,score>>`
     * sorted best-first. The aggregate is the native

@@ -389,4 +389,37 @@ class HnswSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("maxShardRows"),
       s"unexpected error: $e")
   }
+
+  test("searchIndexFiltered: only allowed ids, equals exact filtered " +
+      "top-k when the over-fetch covers the corpus") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_filt").toString
+    HnswSearch.writeIndex(emb, "vec_id", "embedding", path,
+      nShards = 2, m = 8, efConstruction = 64, metric = "dot")
+    val pred = col("label") % 4 === 1
+    val allowed = emb.filter(pred).select("vec_id")
+    val n = emb.count().toInt
+    // overFetch*k >= corpus and a beam as wide as the corpus: the probe
+    // is exhaustive, so post-filtering must reproduce the exact filtered
+    // ladder with NO recall slack
+    val got = HnswSearch.searchIndexFiltered(spark, path, queries,
+        "query_id", "qv", allowed, "vec_id",
+        k = 3, efSearch = n, overFetch = (n + 2) / 3)
+      .select("query_id", "match_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val want = VectorSearch.topKFlat(queries, "query_id", "qv",
+        emb.filter(pred), "vec_id", "embedding", 3, "dot")
+      .select("query_id", "match_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // a modest over-fetch still returns ONLY allowed ids (the semi-join
+    // is the guarantee; recall is what the driver contract measures)
+    val admitted = allowed.as[Long].collect().toSet
+    HnswSearch.searchIndexFiltered(spark, path, queries, "query_id", "qv",
+        allowed, "vec_id", k = 3, efSearch = 32, overFetch = 8)
+      .select("match_id").as[Long].collect()
+      .foreach(m => assert(admitted(m), s"disallowed id $m served"))
+  }
 }

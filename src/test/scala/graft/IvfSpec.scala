@@ -303,4 +303,49 @@ class IvfSpec extends SparkSpec {
     val got = fromIndex.orderBy("rank").select("match_id").as[Long].collect().toSeq
     assert(got == expected, s"got=$got expected=$expected")
   }
+
+  test("payload store: filtered searchIndex pre-filters inside the pruned " +
+      "scan and equals the filtered exact result at a full probe") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_filt").toString
+    val pred = col("label") % 4 === 1
+    IvfSearch.writeIndex(emb, "vec_id", "embedding", path,
+      nList = 4, payload = Seq("label"))
+    // nProbe = nList: every cell probed, so the filtered serve must agree
+    // with the exact filtered ground truth EXACTLY (no recall slack)
+    val got = IvfSearch.searchIndex(spark, path, queries, "qid", "qv",
+        k = 3, metric = "dot", nProbe = 4, filter = pred)
+      .select("qid", "match_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val want = VectorSearch.topKFiltered(queries, "qid", "qv",
+        emb.filter(pred), "vec_id", "embedding", lit(true), 3, "dot")
+      .select("qid", "match_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the predicate is enforced in the store, not post-hoc: no returned id
+    // may be outside the admitted subset
+    val admitted = emb.filter(pred).select("vec_id").as[Long].collect().toSet
+    got.foreach { case (_, m, _) => assert(admitted(m)) }
+    // and the predicate reaches the parquet reader as a pushed filter on
+    // the payload column (stacked on the cell partition pruning)
+    val plan = IvfSearch.searchIndex(spark, path, queries, "qid", "qv",
+        k = 3, metric = "dot", nProbe = 2, filter = pred)
+      .queryExecution.sparkPlan
+    val scan = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.requiredSchema.fieldNames.contains("vec") => f
+    }.head
+    assert(scan.metadata("PushedFilters").contains("label"),
+      s"label predicate not pushed: ${scan.metadata("PushedFilters")}")
+    assert(scan.selectedPartitions.partitionCount <= 2 * 2,
+      "partition pruning lost under the payload filter")
+  }
+
+  test("payload columns may not shadow reserved store columns") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_resv").toString
+    val e = intercept[IllegalArgumentException] {
+      IvfSearch.writeIndex(emb.withColumn("cell", lit(1)), "vec_id",
+        "embedding", path, nList = 4, payload = Seq("cell"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
 }

@@ -185,6 +185,90 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("topKFiltered: exact filtered top-k — admitted matches only, " +
+      "equals brute force over the admitted subset") {
+    val pred = col("label") % 4 === 1
+    val got = topKFiltered(queries, "qid", "qv", emb, "vec_id", "embedding",
+        pred, k = 3, metric = "dot")
+      .select("qid", "match_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = topKFlat(queries, "qid", "qv", emb.filter(pred), "vec_id",
+        "embedding", 3, "dot")
+      .select("qid", "match_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // every returned id satisfies the predicate — pre-filter, never
+    // "admitted among the unfiltered top-k"
+    val admitted = emb.filter(pred).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    got.foreach { case (_, m, _) => assert(admitted(m)) }
+    // and the filtered ladder can differ from post-filtering the
+    // unfiltered one: each query still fills all 3 ranks
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3) == Set(1, 2, 3), s"query $q under-filled")
+    }
+  }
+
+  test("radiusFlat: exactly the pairs within the threshold, self included") {
+    import spark.implicits._
+    val got = radiusFlat(queries, "qid", "qv", emb, "vec_id", "embedding",
+        threshold = 0.3, metric = "cosine")
+      .select("qid", "match_id").as[(Long, Long)].collect().toSet
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val qs = vecs.filter(_._1 < 10)
+    val want = (for {
+      (qid, qv) <- qs
+      (cid, cv) <- vecs
+      if scoreF32("cosine", qv, cv) >= 0.3
+    } yield (qid, cid)).toSet
+    assert(got == want)
+    // the self pair (cosine 1.0) is always inside the ball
+    qs.foreach { case (qid, _) => assert(got((qid, qid))) }
+  }
+
+  test("radiusLsh: precision 1.0 (subset of exact), self-pair always seen, " +
+      "recall within the contract") {
+    val exact = radiusFlat(queries, "qid", "qv", emb, "vec_id", "embedding",
+        0.3, "cosine")
+      .select("qid", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = radiusLsh(queries, "qid", "qv", emb, "vec_id", "embedding",
+        0.3, "cosine", nBits = 4, nTables = 24)
+      .select("qid", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact re-score of candidates => every emitted pair genuinely clears
+    // the threshold
+    assert(approx.subsetOf(exact))
+    // identical vectors share every bucket, so the self pair cannot miss
+    queries.select("qid").collect().map(_.getLong(0))
+      .foreach(q => assert(approx((q, q))))
+    // the per-query fraction contract the driver query gates on
+    val ok = radiusRecallContract(
+      radiusLsh(queries, "qid", "qv", emb, "vec_id", "embedding",
+        0.3, "cosine", nBits = 4, nTables = 24),
+      radiusFlat(queries, "qid", "qv", emb, "vec_id", "embedding",
+        0.3, "cosine"),
+      queries, "qid", "match_id", minFrac = 0.5).collect()
+    assert(ok.nonEmpty)
+    ok.foreach(r => assert(r.getBoolean(1), s"query ${r.getLong(0)} below 0.5 recall"))
+  }
+
+  test("radiusRecallContract: a query with an empty exact ball passes trivially") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L)).toDF("qid", "match_id")
+    val approx = Seq((1L, 10L)).toDF("qid", "match_id")
+    val qs = Seq(Tuple1(1L), Tuple1(2L)).toDF("qid")
+    val got = radiusRecallContract(approx, exact, qs, "qid", "match_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got(1L))   // 1 of 2 = exactly the 0.5 floor
+    assert(got(2L))   // no exact matches -> trivially satisfied
+    val strict = radiusRecallContract(approx, exact, qs, "qid", "match_id", 0.75)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(!strict(1L)) // 0.5 < 0.75 -> gated
+  }
+
   test("groupMaxSimTopK matches a brute-force group max on the sf corpus") {
     import spark.implicits._
     val emb = Tables(spark, sf, "embeddings")
