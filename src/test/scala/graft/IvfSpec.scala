@@ -348,4 +348,31 @@ class IvfSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("reserved"))
   }
+
+  test("payload store appends: payload rides along; a payload-less batch " +
+      "fails loudly instead of serving NULLs under the filter") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_fappend").toString
+    val pred = col("label") % 4 === 1
+    IvfSearch.writeIndex(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+      path, nList = 4, payload = Seq("label"))
+    // an admitted vector beyond the base build, appended WITH its payload
+    val extra = emb.filter(col("vec_id") >= 300 && pred)
+    IvfSearch.appendToIndex(extra, "vec_id", "embedding", path, epoch = 1L)
+    val apId = extra.select("vec_id").as[Long].collect().head
+    val oneQuery = emb.filter(col("vec_id") === apId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = IvfSearch.searchIndex(spark, path, oneQuery, "qid", "qv",
+        k = 1, metric = "cosine", nProbe = 4, filter = pred)
+      .select("match_id").as[Long].collect()
+    assert(got.sameElements(Array(apId)),
+      s"appended admitted vector not served under the filter: ${got.toSeq}")
+    // and a batch WITHOUT the payload column is rejected by the store
+    val e = intercept[IllegalArgumentException] {
+      IvfSearch.appendToIndex(
+        emb.filter(col("vec_id") >= 300).select("vec_id", "embedding"),
+        "vec_id", "embedding", path, epoch = 2L)
+    }
+    assert(e.getMessage.contains("payload"))
+  }
 }
