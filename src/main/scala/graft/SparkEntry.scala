@@ -1937,9 +1937,11 @@ ORDER BY event_id, event_id2""")
     // The store carries `label` as a payload column (writeIndex payload),
     // so the predicate evaluates inside the partition-pruned scan as a
     // parquet PushedFilter — no join back to the source corpus. nProbe
-    // is raised 4→8 for the ~1/4-selective predicate (the 1/selectivity
-    // budget rule on IvfSearch.searchIndex); recall contract against the
-    // exact FILTERED ground truth is the hash gate.
+    // is raised 4→12 for the ~1/4-selective predicate (the 1/selectivity
+    // budget rule on IvfSearch.searchIndex says 16; 12 keeps a real
+    // probe decision in play and still clears the contract with margin —
+    // nProbe=8 missed 2/100 queries at sf0.1); recall contract against
+    // the exact FILTERED ground truth is the hash gate.
     "q_ivf_filtered_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivff_index_" +
@@ -1949,10 +1951,84 @@ ORDER BY event_id, event_id2""")
           nList = 16, payload = Seq("label"))
       val queries = annQueries(s, dir)
       val approx = graft.operators.IvfSearch.searchIndex(s, path, queries,
-        "query_id", "qv", k = 3, metric = "dot", nProbe = 8,
+        "query_id", "qv", k = 3, metric = "dot", nProbe = 12,
         filter = FilteredPred)
       VectorSearch.recallContract(approx, annFilteredGroundTruth(s, dir),
         queries, "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
+    // --- index DELETE protocol, IVF (exact under the hash gate) -----------
+    // The right-to-be-forgotten path: tombstone epochs kill rows at serve
+    // time immediately, LWW lets a later re-ingest out-live the delete,
+    // and compaction removes the rows physically + retires the
+    // tombstones. A FULL probe (nProbe = nList) makes the serve exact,
+    // so the whole lifecycle sits under the DuckDB hash: both phases
+    // (tombstone-filtered serve, post-compaction serve) must equal the
+    // exact top-3 over the surviving corpus.
+    "q_ivf_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_q_ivfdel").toString
+      graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding",
+        store, nList = 8)
+      // delete every label%5==3 vector at the store's current epoch...
+      graft.operators.IvfSearch.deleteFromIndex(s, store,
+        emb.filter(col("label") % 5 === 3).select("vec_id"), "vec_id")
+      // ...then re-ingest the even-id half — LWW revives exactly those
+      graft.operators.IvfSearch.appendToIndex(
+        emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 === 0),
+        "vec_id", "embedding", store, epoch = 1L)
+      val queries = annQueries(s, dir)
+      def serve(phase: String) =
+        graft.operators.IvfSearch.searchIndex(s, store, queries,
+          "query_id", "qv", k = 3, metric = "dot", nProbe = 8)
+          .select(lit(phase).as("phase"), col("query_id"), col("match_id"),
+            col("rank"))
+      val served = serve("served").localCheckpoint()
+      graft.operators.IvfSearch.compactIndex(s, store)
+      served.unionByName(serve("compacted"))
+        .orderBy("phase", "query_id", "rank")
+    }),
+
+    // --- index DELETE protocol, HNSW (contract) ----------------------------
+    // The graph twin of q_ivf_delete: deletion safety is absolute (a
+    // dead id may NEVER fill a slot — `no_deleted` pins set membership,
+    // not recall), retrieval quality after the delete is the usual
+    // recall contract against the exact top-3 over the SURVIVING corpus.
+    // Serve-time fetch widens by the live tombstone count so dead ids
+    // cannot displace alive neighbors out of the per-segment beam.
+    "q_hnsw_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_q_hnswdel").toString
+      graft.operators.HnswSearch.writeIndex(emb, "vec_id", "embedding",
+        store, nShards = 4, m = 8, efConstruction = 64, metric = "dot")
+      graft.operators.HnswSearch.deleteFromIndex(s, store,
+        emb.filter(col("label") % 5 === 3).select("vec_id"), "vec_id")
+      graft.operators.HnswSearch.appendToIndex(
+        emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 === 0),
+        "vec_id", "embedding", store, epoch = 1L)
+      val queries = annQueries(s, dir)
+      val approx = graft.operators.HnswSearch.searchIndex(s, store, queries,
+        "query_id", "qv", k = 3, efSearch = 32).localCheckpoint()
+      val surviving = emb.filter(col("label") % 5 =!= 3 ||
+        col("vec_id") % 2 === 0)
+      val exact = memo(s, dir, "ann_gt_k3_dot_surv")(
+        VectorSearch.topKFlat(queries, "query_id", "qv",
+          surviving, "vec_id", "embedding", k = 3, metric = "dot"))
+      val dead = emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").as("match_id"))
+      val noDead = queries.select("query_id").join(
+          approx.join(dead, Seq("match_id"), "left_semi")
+            .select(col("query_id"), lit(false).as("__hit")).distinct(),
+          Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("__hit"), lit(true))
+          .as("no_deleted"))
+      VectorSearch.recallContract(approx, exact, queries,
+        "query_id", "match_id", 1)
+        .join(noDead, Seq("query_id"))
+        .select("query_id", "recall_ok", "no_deleted")
         .orderBy("query_id")
     }),
 
@@ -3145,6 +3221,20 @@ values (
         "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0 " +
         "AND list_cosine_similarity(q.embedding, c.embedding) >= 0.3 " +
         "ORDER BY query_id, match_id"),
+
+    "q_ivf_delete" ->
+      ("SELECT p.phase, query_id, match_id, CAST(rnk AS INTEGER) AS rank " +
+        "FROM (SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0 " +
+        "AND (c.label % 5 <> 3 OR c.vec_id % 2 = 0)), " +
+        "(VALUES ('served'), ('compacted')) AS p(phase) WHERE rnk <= 3 " +
+        "ORDER BY phase, query_id, rank"),
+
+    "q_hnsw_delete" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS no_deleted " +
+        "FROM embeddings WHERE vec_id % 20 = 0 ORDER BY query_id"),
 
     "q_ivf_filtered_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +

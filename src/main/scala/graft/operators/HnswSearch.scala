@@ -582,8 +582,12 @@ object HnswSearch {
         // epoch supersedes its earlier vector — ONE row per id enters
         // the rebuild (a duplicated id inside one graph would make
         // restore's id->index resolution ambiguous; sortedShard rejects
-        // it loudly, this is the path that resolves it)
-        val closed = df.filter(col("epoch") =!= excludeEpoch)
+        // it loudly, this is the path that resolves it). Tombstoned
+        // rows drop FIRST (original epochs — the rule predates the
+        // rebuild's epoch=-1 remap), so deleted vectors leave the
+        // graphs physically here.
+        val closed = Tombstones.filterLive(spark, path,
+            df.filter(col("epoch") =!= excludeEpoch), "id", "epoch")
           .groupBy("id")
           .agg(max_by(col("vec"), col("epoch")).as("vec"))
           .localCheckpoint()
@@ -596,7 +600,29 @@ object HnswSearch {
           .select("shard", "id", "vec", "links", "epoch")
           .unionByName(kept)
       }
+      Tombstones.clearApplied(spark, path, excludeEpoch)
       (before, IndexMaintenance.dataFiles(spark, s"$path/nodes"))
+    }
+  }
+
+  /** Delete `ids` from a persisted HNSW index: a tombstone epoch lands
+    * under the store lock, [[searchIndex]] filters the dead rows from
+    * every candidate set immediately, and the next [[compactIndex]]
+    * rebuilds the graphs without them (same protocol as
+    * [[IvfSearch.deleteFromIndex]] — see [[Tombstones]]). Default
+    * epoch = the newest segment epoch: everything currently stored for
+    * the id dies, a later re-ingest serves again. Returns the tombstone
+    * epoch used.
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String, epoch: Option[Long] = None): Long = {
+    require(FsUtil.exists(spark, s"$path/_meta"),
+      s"hnsw index at '$path' does not exist or is unreachable")
+    IndexMaintenance.withStoreLock(spark, path) {
+      IndexMaintenance.recoverSwap(spark, s"$path/nodes")
+      val e = epoch.getOrElse(Tombstones.maxEpochIn(spark, s"$path/nodes"))
+      Tombstones.write(spark, path, ids, idCol, e)
+      e
     }
   }
 
@@ -617,7 +643,22 @@ object HnswSearch {
       (meta.getAs[Int]("m"), meta.getAs[Int]("ef_construction"),
         meta.getAs[String]("metric"))
     val bc = collectQueryBatch(queries, qId, qVec, maxQueries, "searchIndex")
-    val (mm, efs, kk, met) = (m, efSearch, k, metric)
+    // live tombstones occupy result slots the post-filter then empties —
+    // a segment's top-k could be ALL dead and the true alive neighbors
+    // never surface (the same displacement problem the LWW filter
+    // solves for superseded rows). Widening the per-segment fetch and
+    // beam by the live tombstone count restores the guarantee: T dead
+    // ids can displace at most T slots, so the alive top-k sits inside
+    // the top-(k+T). Serve cost therefore grows with the UNAPPLIED
+    // delete backlog — per-segment min(·, rows) caps it at exhaustive —
+    // and compactIndex restores the un-widened budget (count() here is
+    // one job over the tombstone id set: deletes-between-compactions
+    // sized, not index-sized).
+    val deadLive: Int =
+      if (!Tombstones.exists(spark, path)) 0
+      else math.min(Tombstones.maxPerId(spark, path).count(),
+        (Int.MaxValue / 4).toLong).toInt
+    val (mm, efs, kk, met) = (m, efSearch + deadLive, k + deadLive, metric)
 
     // every SEGMENT — a (shard, epoch) pair: base graphs plus any
     // append-time epoch graphs — restores and probes independently
@@ -703,13 +744,19 @@ object HnswSearch {
     lazy val nodesSlim = spark.read.parquet(s"$path/nodes")
       .select(col("id").cast("long").as("match_id"),
         col("epoch").cast("long").as("__node_epoch"))
+    // tombstoned candidates die first (see [[Tombstones]]): a deleted
+    // id may still live in stored graphs until the next compaction, but
+    // must never fill a top-k slot; survivors are rows NEWER than their
+    // id's newest tombstone (LWW re-ingest after delete serves again)
+    val alive = Tombstones.filterLive(spark, path, candidates,
+      "match_id", "epoch")
     val lww =
-      if (!multiEpoch) candidates
+      if (!multiEpoch) alive
       else {
         // checkpointed: the slim survivor set (queries × segments × k)
         // feeds BOTH the candidate-id restriction and the filter join —
         // without it the whole probe subtree would evaluate twice
-        val cand = candidates.localCheckpoint(false)
+        val cand = alive.localCheckpoint(false)
         // restrict the max-epoch aggregation to candidate-TOUCHED ids
         // (a semi-join keeps every epoch row of those ids): the shuffle
         // is candidate-sized, not index-sized — the id column scan is

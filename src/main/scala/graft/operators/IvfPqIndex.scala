@@ -193,8 +193,13 @@ object IvfPqIndex {
     val bc = spark.sparkContext.broadcast((qIds, lutOf.toMap, probersOf))
     val mm = m; val kk = kCodes; val cand = numCandidates; val ascL = asc
 
-    val coded = spark.read.parquet(s"$path/corpus")
-      .filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*))
+    // tombstoned code rows die before the ADC scan (same delete protocol
+    // as IvfSearch.searchIndex — see [[Tombstones]]; deletes heal
+    // physically at compactIndex, which this store shares with IVF)
+    val coded = Tombstones.filterLive(spark, path,
+        spark.read.parquet(s"$path/corpus")
+          .filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*)),
+        "id", "epoch")
       .select(col("id"), col("codes"), col("cell"))
     val candidates = coded.as[(Long, Seq[Int], Int)].mapPartitions { it =>
       val (ids, luts, probers) = bc.value

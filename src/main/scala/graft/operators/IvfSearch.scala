@@ -332,6 +332,29 @@ object IvfSearch {
     spark.read.parquet(s"$path/centroids").orderBy("cell").collect()
       .map(_.getSeq[Float](1).toArray)
 
+  /** Delete `ids` from a persisted index (IVF or IVF-PQ — both share
+    * the `corpus/cell=/epoch=` layout) WITHOUT rewriting it: a
+    * tombstone epoch lands under the store lock and the rows die at
+    * serve time immediately ([[searchIndex]] filters them); the next
+    * [[compactIndex]] removes them physically and retires the
+    * tombstone. Default epoch = the store's newest segment epoch
+    * ("delete what's here now"): every current row of the id dies, a
+    * LATER append of the same id out-lives the delete — the
+    * last-writer-wins order appends already follow. Returns the
+    * tombstone epoch used.
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String, epoch: Option[Long] = None): Long = {
+    require(FsUtil.exists(spark, s"$path/centroids"),
+      s"index at '$path' does not exist or is unreachable")
+    IndexMaintenance.withStoreLock(spark, path) {
+      IndexMaintenance.recoverSwap(spark, s"$path/corpus")
+      val e = epoch.getOrElse(Tombstones.maxEpochIn(spark, s"$path/corpus"))
+      Tombstones.write(spark, path, ids, idCol, e)
+      e
+    }
+  }
+
   /** Compact the celled corpus to one file per (cell, epoch-segment) —
     * cures the per-append small-file decay (see [[IndexMaintenance]];
     * crash recovery of an interrupted swap runs first); probe pruning
@@ -349,9 +372,22 @@ object IvfSearch {
       s"ivf index at '$path' does not exist or is unreachable")
     IndexMaintenance.withStoreLock(spark, path) {
       IndexMaintenance.recoverSwap(spark, s"$path/corpus")
-      IndexMaintenance.compactPartitionedDir(spark, s"$path/corpus",
+      // deletes heal here: tombstoned rows drop PHYSICALLY from closed
+      // segments (the in-flight epoch stays untouched — its
+      // at-least-once replay must be able to overwrite itself; the
+      // retained tombstone keeps its dead rows filtered at serve time).
+      // The rule reads ORIGINAL epochs, so it runs before the
+      // closed-epoch remap.
+      val applyTombstones: DataFrame => DataFrame = df =>
+        if (!Tombstones.exists(spark, path)) df
+        else Tombstones.filterLive(spark, path,
+            df.filter(col("epoch") =!= excludeEpoch), "id", "epoch")
+          .unionByName(df.filter(col("epoch") === excludeEpoch))
+      val res = IndexMaintenance.compactPartitionedDir(spark, s"$path/corpus",
         Seq("cell", "epoch"), loadCentroids(spark, path).length * 2,
-        IndexMaintenance.closedEpochsToBase(excludeEpoch))
+        applyTombstones.andThen(IndexMaintenance.closedEpochsToBase(excludeEpoch)))
+      Tombstones.clearApplied(spark, path, excludeEpoch)
+      res
     }
   }
 
@@ -381,9 +417,14 @@ object IvfSearch {
     val probed = queries.select(col(qId), col(qVec),
       explode(nearestCells(centroids, nProbe)(col(qVec))).as("cell"))
     val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
-    val celled = spark.read.parquet(s"$path/corpus")
-      .filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*))
-      .filter(filter)
+    // tombstoned rows die before scoring: a deleted id must not occupy a
+    // top-k slot even transiently (filterLive is a no-op join-free path
+    // when the store has no tombstones dir)
+    val celled = Tombstones.filterLive(spark, path,
+        spark.read.parquet(s"$path/corpus")
+          .filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*))
+          .filter(filter),
+        "id", "epoch")
       .select(col("id").as("match_id"), col("vec").as("__cvec"), col("cell"))
     val asc = metric == "l2"
     probed.join(celled, "cell")

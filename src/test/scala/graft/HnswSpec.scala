@@ -422,4 +422,42 @@ class HnswSpec extends SparkSpec {
       .select("match_id").as[Long].collect()
       .foreach(m => assert(admitted(m), s"disallowed id $m served"))
   }
+
+  test("deleteFromIndex: candidates die at serve, re-ingest revives, " +
+      "compaction rebuilds graphs without the dead and retires tombstones") {
+    val emb = Tables(spark, sf, "embeddings").filter(col("vec_id") < 200)
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_del").toString
+    HnswSearch.writeIndex(emb, "vec_id", "embedding", path,
+      nShards = 2, m = 8, efConstruction = 64, metric = "cosine")
+    val victims = emb.filter(col("vec_id") % 10 === 0).select("vec_id")
+    val victimIds = victims.as[Long].collect().toSet
+    val e = HnswSearch.deleteFromIndex(spark, path, victims, "vec_id")
+    assert(e == -1L)
+    def serve(): Map[Long, Seq[Long]] =
+      HnswSearch.searchIndex(spark, path,
+          emb.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 1, efSearch = 200)
+        .select("qid", "match_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val afterDelete = serve()
+    afterDelete.values.flatten.foreach(m => assert(!victimIds(m),
+      s"deleted id $m served"))
+    assert(afterDelete(0L) != Seq(0L),
+      "a deleted id queried by its own vector must not self-match")
+    // LWW: one victim re-ingested as a later epoch segment serves again
+    HnswSearch.appendToIndex(emb.filter(col("vec_id") === 0), "vec_id",
+      "embedding", path, epoch = 1L)
+    val afterRevive = serve()
+    assert(afterRevive(0L) == Seq(0L))
+    // compaction: graphs rebuild WITHOUT the dead ids, tombstones retire
+    HnswSearch.compactIndex(spark, path)
+    assert(!graft.operators.Tombstones.exists(spark, path))
+    val stored = spark.read.parquet(s"$path/nodes").select("id")
+      .as[Long].collect().toSet
+    victimIds.filter(_ != 0L).foreach(v =>
+      assert(!stored(v), s"dead id $v survived the graph rebuild"))
+    assert(stored(0L))
+    val afterCompact = serve()
+    assert(afterCompact == afterRevive, "compaction changed serve results")
+  }
 }

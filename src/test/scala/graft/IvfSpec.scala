@@ -375,4 +375,76 @@ class IvfSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("payload"))
   }
+
+  test("deleteFromIndex lifecycle: serve-time death, LWW re-ingest, " +
+      "physical removal + tombstone retirement at compaction") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    val base = emb.filter(col("vec_id") < 200)
+    IvfSearch.writeIndex(base, "vec_id", "embedding", path, nList = 4)
+    val victims = base.filter(col("vec_id") % 10 === 0).select("vec_id")
+    val victimIds = victims.as[Long].collect().toSet
+    val e = IvfSearch.deleteFromIndex(spark, path, victims, "vec_id")
+    assert(e == -1L, s"base-only store's newest epoch is -1, got $e")
+    // full probe = exact: no victim may occupy any slot, even queried
+    // with its OWN vector
+    def serve(): Map[Long, Seq[Long]] =
+      IvfSearch.searchIndex(spark, path,
+          base.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 1, metric = "cosine", nProbe = 4)
+        .select("qid", "match_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val afterDelete = serve()
+    afterDelete.values.flatten.foreach(m => assert(!victimIds(m),
+      s"deleted id $m served"))
+    // a deleted id queried by its own vector no longer self-matches
+    assert(afterDelete(0L) != Seq(0L))
+    // LWW: re-ingesting ONE victim at a later epoch revives exactly it
+    IvfSearch.appendToIndex(emb.filter(col("vec_id") === 0), "vec_id",
+      "embedding", path, epoch = 1L)
+    val afterRevive = serve()
+    assert(afterRevive(0L) == Seq(0L), "re-ingested id must serve again")
+    afterRevive.values.flatten.foreach(m =>
+      assert(!victimIds(m) || m == 0L, s"still-dead id $m served"))
+    // compaction: victims leave the store physically, tombstones retire
+    IvfSearch.compactIndex(spark, path)
+    assert(!graft.operators.Tombstones.exists(spark, path),
+      "fully-applied tombstones must retire at compaction")
+    val stored = spark.read.parquet(s"$path/corpus").select("id")
+      .as[Long].collect().toSet
+    victimIds.filter(_ != 0L).foreach(v =>
+      assert(!stored(v), s"dead id $v still in the compacted store"))
+    assert(stored(0L))
+    assert(serve() == afterRevive, "compaction changed serve results")
+  }
+
+  test("deleteFromIndex + in-flight epoch: compaction retains the live " +
+      "tombstone so a replayed micro-batch cannot resurrect dead rows") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_del_if").toString
+    IvfSearch.writeIndex(emb.filter(col("vec_id") < 100), "vec_id",
+      "embedding", path, nList = 4)
+    // in-flight epoch 7 lands, then its ids are deleted (tomb epoch 7)
+    val inflight = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    IvfSearch.appendToIndex(inflight, "vec_id", "embedding", path, epoch = 7L)
+    IvfSearch.deleteFromIndex(spark, path,
+      inflight.select("vec_id"), "vec_id", epoch = Some(7L))
+    // compact around the in-flight epoch: tombstone must SURVIVE
+    IvfSearch.compactIndex(spark, path, excludeEpoch = 7L)
+    assert(graft.operators.Tombstones.exists(spark, path),
+      "tombstone covering the in-flight epoch must be retained")
+    // the replay rewrites epoch 7 (at-least-once) — rows come back on
+    // disk, but the retained tombstone keeps them dead at serve time
+    IvfSearch.appendToIndex(inflight, "vec_id", "embedding", path, epoch = 7L)
+    val served = IvfSearch.searchIndex(spark, path,
+        inflight.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 1, metric = "cosine", nProbe = 4)
+      .select("match_id").as[Long].collect().toSet
+    val dead = inflight.select("vec_id").as[Long].collect().toSet
+    assert(served.intersect(dead).isEmpty,
+      s"replayed dead rows served: ${served.intersect(dead)}")
+    // final full compaction retires everything
+    IvfSearch.compactIndex(spark, path)
+    assert(!graft.operators.Tombstones.exists(spark, path))
+  }
 }

@@ -251,4 +251,28 @@ class PqSpec extends SparkSpec {
       PqSearch.pqTopK(queries, "qid", "qv", emb, "vec_id", "embedding",
         k = 3, numCandidates = 100, maxQueries = 1))
   }
+
+  test("ivf-pq serve honors tombstones (delete protocol shared with IVF)") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings").filter(col("vec_id") < 200)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_del").toString
+    graft.operators.IvfPqIndex.writeIndex(emb, "vec_id", "embedding", path,
+      nList = 4, m = 8, kCodes = 16)
+    val victims = emb.filter(col("vec_id") % 10 === 0).select("vec_id")
+    val victimIds = victims.as[Long].collect().toSet
+    graft.operators.IvfSearch.deleteFromIndex(spark, path, victims, "vec_id")
+    val served = graft.operators.IvfPqIndex.searchIndex(spark, path,
+        emb.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", emb, "vec_id", "embedding",
+        k = 1, metric = "cosine", nProbe = 4, numCandidates = 50)
+      .select("match_id").as[Long].collect().toSet
+    assert(served.intersect(victimIds).isEmpty,
+      s"deleted ids served from the PQ store: ${served.intersect(victimIds)}")
+    // compaction heals the code store physically through the shared path
+    graft.operators.IvfPqIndex.compactIndex(spark, path)
+    assert(!graft.operators.Tombstones.exists(spark, path))
+    val stored = spark.read.parquet(s"$path/corpus").select("id")
+      .as[Long].collect().toSet
+    assert(stored.intersect(victimIds).isEmpty)
+  }
 }
