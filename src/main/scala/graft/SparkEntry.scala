@@ -506,6 +506,32 @@ object SparkEntry {
     */
   private def indexTag(dir: String): String = contentTag(dir, "embeddings")
 
+  /** A FRESH mutable copy of a content-addressed pristine store: `build`
+    * runs once per (corpus content, tag) — the index-once discipline
+    * every *_index_recall query follows — and each caller mutates its
+    * own file-level clone (the delete-lifecycle queries tombstone,
+    * append, and compact theirs; cloning a small store is milliseconds
+    * where rebuilding costs a training pass). `doneMarker` is the
+    * build's last-written file, so its existence implies a complete
+    * pristine store.
+    */
+  private def clonedStore(s: SparkSession, dir: String, tag: String,
+      doneMarker: String)(build: String => Unit): String = {
+    val pristine =
+      s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${indexTag(dir)}"
+    if (!graft.operators.FsUtil.exists(s, s"$pristine/$doneMarker"))
+      build(pristine)
+    val clone = java.nio.file.Files.createTempDirectory(s"graft_${tag}_mut")
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(pristine)
+    val dst = new org.apache.hadoop.fs.Path(clone.toString)
+    val fs = src.getFileSystem(conf)
+    fs.listStatus(src).foreach(st =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new org.apache.hadoop.fs.Path(dst, st.getPath.getName), false, conf))
+    clone.toString
+  }
+
   /** Content identity of `$dir/$table.parquet` (names, sizes, mtimes) —
     * the key for persisted train-once artifacts (PQ/SQ models on
     * embeddings, the quality classifier on documents): same content →
@@ -1968,10 +1994,17 @@ ORDER BY event_id, event_id2""")
     // exact top-3 over the surviving corpus.
     "q_ivf_delete" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_q_ivfdel").toString
-      graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding",
-        store, nList = 8)
+      // tag v2: the pristine layout gained the post-build consolidation —
+      // a stale unconsolidated store under the old tag must not serve
+      val store = clonedStore(s, dir, "ivfdel_v2", "stats/_SUCCESS") { p =>
+        graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding",
+          p, nList = 8)
+        // consolidate the fresh store once (build-then-optimize): the
+        // partitioned write leaves one file per (cell, task) and every
+        // downstream clone/serve/compact pays the listing; one file per
+        // cell is the shape the lifecycle should start from
+        graft.operators.IvfSearch.compactIndex(s, p)
+      }
       // delete every label%5==3 vector at the store's current epoch...
       graft.operators.IvfSearch.deleteFromIndex(s, store,
         emb.filter(col("label") % 5 === 3).select("vec_id"), "vec_id")
@@ -2000,10 +2033,9 @@ ORDER BY event_id, event_id2""")
     // cannot displace alive neighbors out of the per-segment beam.
     "q_hnsw_delete" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_q_hnswdel").toString
-      graft.operators.HnswSearch.writeIndex(emb, "vec_id", "embedding",
-        store, nShards = 4, m = 8, efConstruction = 64, metric = "dot")
+      val store = clonedStore(s, dir, "hnswdel", "_meta/_SUCCESS")(p =>
+        graft.operators.HnswSearch.writeIndex(emb, "vec_id", "embedding",
+          p, nShards = 4, m = 8, efConstruction = 64, metric = "dot"))
       graft.operators.HnswSearch.deleteFromIndex(s, store,
         emb.filter(col("label") % 5 === 3).select("vec_id"), "vec_id")
       graft.operators.HnswSearch.appendToIndex(
