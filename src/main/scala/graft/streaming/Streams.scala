@@ -251,6 +251,119 @@ object Streams {
       }
       .start()
 
+  /** In-batch CDC resolution shared by the CDC index fronts: with
+    * `seqCol`, the per-id LATEST record wins (proper change ordering);
+    * without it, per-id uniqueness inside a micro-batch is the caller's
+    * contract and is ENFORCED — two unordered changes to one id are
+    * ambiguous, and picking one silently would be a wrong-answer
+    * machine. (A per-id tombstone + upsert pair counts as two changes;
+    * provide seqCol to express "replace".) localCheckpoint: the
+    * resolved set feeds both the tombstone write and the append.
+    */
+  private def resolveCdc(batch: DataFrame, idCol: String, vecCol: String,
+      seqCol: Option[String]): DataFrame =
+    (seqCol match {
+      case Some(sc) =>
+        batch.groupBy(col(idCol)).agg(max_by(col(vecCol), col(sc)).as(vecCol))
+      case None =>
+        val dup = batch.groupBy(col(idCol))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        require(dup.isEmpty,
+          s"CDC batch carries multiple unordered changes for some ids " +
+            s"(e.g. ${dup.select(idCol).take(3).mkString(", ")}) — pass " +
+            "seqCol so the latest change per id is well-defined")
+        batch.select(col(idCol), col(vecCol))
+    }).localCheckpoint()
+
+  /** CDC upsert/delete propagation into a persisted IVF store — the
+    * missing half of [[ivfIndexStream]]'s append-only posture: a keyed
+    * change stream (Kafka compacted-topic convention — a NULL vector is
+    * a tombstone deleting the id, see
+    * [[graft.sources.TopicCatalog]]'s `tombstone`) keeps the index in
+    * step with its source of truth, deletes included.
+    *
+    * Per micro-batch e, TWO sub-epochs make upsert a first-class
+    * operation on a store whose serve has no per-id versioning: every
+    * CHANGED id is tombstoned at sub-epoch 2e, and the live rows land
+    * at 2e+1 — so an upsert's new vector out-lives its own tombstone
+    * while every OLDER row of the id (and every plainly-deleted id)
+    * dies under the [[graft.operators.Tombstones]] rule. At-least-once
+    * replays overwrite their own 2e+1 partition and re-append
+    * equivalent 2e tombstones: idempotent. In-batch ordering:
+    * [[resolveCdc]] — with `seqCol` the per-id latest record wins,
+    * without it multiple changes to one id inside a batch are rejected
+    * as ambiguous.
+    *
+    * The live-tombstone table between compactions is CDC-traffic
+    * sized, not index-sized; `compactEvery` applies it physically and
+    * retires it on a cadence (excluding the in-flight append epoch so
+    * its replay stays idempotent).
+    */
+  def ivfCdcStream(
+      records: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, checkpointDir: String,
+      seqCol: Option[String] = None,
+      onStats: graft.operators.AppendStats => Unit = _ => (),
+      compactEvery: Long = 0): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val resolved = resolveCdc(batch, idCol, vecCol, seqCol)
+        val changed = resolved.select(idCol).distinct()
+        val live = resolved.filter(col(vecCol).isNotNull)
+        if (!changed.isEmpty) {
+          graft.operators.IvfSearch.deleteFromIndex(spark, indexPath,
+            changed, idCol, Some(epochKey(checkpointDir, 2 * epoch)))
+          if (!live.isEmpty)
+            onStats(graft.operators.IvfSearch.appendToIndex(
+              live, idCol, vecCol, indexPath,
+              epoch = epochKey(checkpointDir, 2 * epoch + 1)))
+        }
+        if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
+          graft.operators.IvfSearch.compactIndex(spark, indexPath,
+            excludeEpoch = epochKey(checkpointDir, 2 * epoch + 1))
+        ()
+      }
+      .start()
+
+  /** [[ivfCdcStream]]'s twin for HNSW stores. Upserts need NO
+    * self-tombstone here — serve-time last-writer-wins already lets a
+    * later epoch's vector supersede the id ([[graft.operators
+    * .HnswSearch.searchIndex]]) — so tombstones carry ONLY true
+    * deletes, keeping the live-tombstone count (which widens the
+    * serve beam) at actual-delete traffic, not upsert traffic.
+    */
+  def hnswCdcStream(
+      records: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, checkpointDir: String,
+      seqCol: Option[String] = None,
+      onAppend: ((Long, Int)) => Unit = _ => (),
+      compactEvery: Long = 0): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val resolved = resolveCdc(batch, idCol, vecCol, seqCol)
+        // resolveCdc leaves ONE record per id, so the null split is total
+        val dead = resolved.filter(col(vecCol).isNull).select(idCol)
+        val live = resolved.filter(col(vecCol).isNotNull)
+        if (!dead.isEmpty)
+          graft.operators.HnswSearch.deleteFromIndex(spark, indexPath,
+            dead, idCol, Some(epochKey(checkpointDir, 2 * epoch)))
+        if (!live.isEmpty)
+          onAppend(graft.operators.HnswSearch.appendToIndex(
+            live, idCol, vecCol, indexPath,
+            epoch = epochKey(checkpointDir, 2 * epoch + 1)))
+        if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
+          graft.operators.HnswSearch.compactIndex(spark, indexPath,
+            excludeEpoch = epochKey(checkpointDir, 2 * epoch + 1))
+        ()
+      }
+      .start()
+
   /** Continuous HNSW indexing — [[ivfIndexStream]]'s twin for the
     * graph family: every micro-batch builds its OWN segment graphs
     * under its epoch ([[graft.operators.HnswSearch.appendToIndex]] —

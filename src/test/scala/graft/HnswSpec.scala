@@ -460,4 +460,48 @@ class HnswSpec extends SparkSpec {
     val afterCompact = serve()
     assert(afterCompact == afterRevive, "compaction changed serve results")
   }
+
+  test("hnswCdcStream: tombstones delete, upserts supersede via LWW, " +
+      "delete backlog stays at true-delete size") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_cdc_idx").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_hnsw_cdc_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hnsw_cdc_ck").toString
+    HnswSearch.writeIndex(emb.filter(col("vec_id") < 100), "vec_id",
+      "embedding", path, nShards = 2, m = 8, efConstruction = 64,
+      metric = "cosine")
+    val schema = emb.select(col("vec_id"), col("embedding")).schema
+    // one drain: delete id 0, upsert id 50 with id 300's vector
+    emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"), lit(null).cast(schema("embedding").dataType).as("embedding"))
+      .unionByName(emb.filter(col("vec_id") === 300)
+        .select(lit(50L).as("vec_id"), col("embedding")))
+      .write.mode("overwrite").parquet(srcDir)
+    graft.streaming.Streams.hnswCdcStream(
+      graft.streaming.Streams.fileStream(spark, srcDir, schema),
+      "vec_id", "embedding", path, ckpt).awaitTermination()
+    // upserts carry NO tombstone on this store family: the backlog that
+    // widens the serve beam is exactly the one true delete
+    assert(graft.operators.Tombstones.maxPerId(spark, path).count() == 1L)
+    def serveSelf(id: Long): Seq[Long] = {
+      val q = emb.filter(col("vec_id") === id)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      HnswSearch.searchIndex(spark, path, q, "qid", "qv", k = 1,
+        efSearch = 100).select("match_id").as[Long].collect().toSeq
+    }
+    assert(serveSelf(0L) != Seq(0L), "tombstoned id still serves")
+    assert(serveSelf(50L) != Seq(50L), "upserted id's OLD vector must lose LWW")
+    val q300 = emb.filter(col("vec_id") === 300)
+      .select(lit(50L).as("qid"), col("embedding").as("qv"))
+    val hits = HnswSearch.searchIndex(spark, path, q300, "qid", "qv",
+        k = 1, efSearch = 100).select("match_id").as[Long].collect().toSeq
+    assert(hits == Seq(50L), s"replaced vector must serve the id: $hits")
+    // offline compaction retires the tombstone, results unchanged
+    HnswSearch.compactIndex(spark, path)
+    assert(!graft.operators.Tombstones.exists(spark, path))
+    assert(serveSelf(0L) != Seq(0L))
+    assert(HnswSearch.searchIndex(spark, path, q300, "qid", "qv", k = 1,
+      efSearch = 100).select("match_id").as[Long].collect().toSeq == Seq(50L))
+  }
 }

@@ -447,4 +447,93 @@ class IvfSpec extends SparkSpec {
     IvfSearch.compactIndex(spark, path)
     assert(!graft.operators.Tombstones.exists(spark, path))
   }
+
+  test("ivfCdcStream: tombstones delete, upserts replace (no duplicate " +
+      "rows), later drains keep winning, compaction cadence heals") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_cdc_idx").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ivf_cdc_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_cdc_ck").toString
+    IvfSearch.writeIndex(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", path, nList = 4)
+    val schema = emb.select(col("vec_id"), col("embedding")).schema
+    def serveSelf(id: Long): Seq[Long] = {
+      val q = emb.filter(col("vec_id") === id)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      IvfSearch.searchIndex(spark, path, q, "qid", "qv",
+        k = 1, metric = "cosine", nProbe = 4)
+        .select("match_id").as[Long].collect().toSeq
+    }
+    // drain 1: delete id 0 (tombstone = null vector), upsert id 50 with
+    // id 300's vector (a REPLACE — the old self-vector must die with it)
+    emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"), lit(null).cast(schema("embedding").dataType).as("embedding"))
+      .unionByName(emb.filter(col("vec_id") === 300)
+        .select(lit(50L).as("vec_id"), col("embedding")))
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = graft.streaming.Streams.fileStream(spark, srcDir, schema)
+    graft.streaming.Streams.ivfCdcStream(stream, "vec_id", "embedding",
+      path, ckpt).awaitTermination()
+    assert(serveSelf(0L) != Seq(0L), "tombstoned id still serves")
+    // id 50 now carries id 300's vector: querying WITH that vector
+    // self-matches 50 exactly once; querying with 50's OLD vector no
+    // longer finds 50 first
+    val q300 = emb.filter(col("vec_id") === 300)
+      .select(lit(50L).as("qid"), col("embedding").as("qv"))
+    val hits = IvfSearch.searchIndex(spark, path, q300, "qid", "qv",
+        k = 2, metric = "cosine", nProbe = 4)
+      .select("match_id").as[Long].collect().toSeq
+    assert(hits.head == 50L, s"replaced vector must serve the id: $hits")
+    assert(serveSelf(50L) != Seq(50L), "the OLD vector of an upserted id must be dead")
+    // drain 2 over the same checkpoint: re-insert id 0 — LWW revives it
+    emb.filter(col("vec_id") === 0).select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(srcDir)
+    graft.streaming.Streams.ivfCdcStream(
+      graft.streaming.Streams.fileStream(spark, srcDir, schema),
+      "vec_id", "embedding", path, ckpt, compactEvery = 1).awaitTermination()
+    assert(serveSelf(0L) == Seq(0L), "re-inserted id must serve again")
+    // the in-flight epoch's tombstones survive the cadence compaction;
+    // a final offline compaction retires everything
+    IvfSearch.compactIndex(spark, path)
+    assert(!graft.operators.Tombstones.exists(spark, path))
+    assert(serveSelf(0L) == Seq(0L))
+    assert(serveSelf(50L) != Seq(50L))
+  }
+
+  test("ivfCdcStream: unordered multi-change batches are rejected; seqCol resolves them") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_cdc2_idx").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ivf_cdc2_src").toString
+    IvfSearch.writeIndex(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", path, nList = 4)
+    val vec0 = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding"), lit(1L).as("seq"))
+    val tomb0 = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"),
+        lit(null).cast(vec0.schema("embedding").dataType).as("embedding"),
+        lit(2L).as("seq"))
+    val both = vec0.unionByName(tomb0)
+    both.write.mode("overwrite").parquet(srcDir)
+    val schema = both.schema
+    // unordered: ambiguous -> the micro-batch fails loudly
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft_ivf_cdc2_ck1").toString
+    val q1 = graft.streaming.Streams.ivfCdcStream(
+      graft.streaming.Streams.fileStream(spark, srcDir, schema)
+        .select("vec_id", "embedding"),
+      "vec_id", "embedding", path, ckpt1)
+    val e = intercept[Exception] { q1.awaitTermination() }
+    assert(e.getMessage != null && e.getMessage.contains("seqCol") ||
+      e.getCause != null && e.getCause.getMessage.contains("seqCol"))
+    // with seqCol, the latest change (the tombstone) wins
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ivf_cdc2_ck2").toString
+    graft.streaming.Streams.ivfCdcStream(
+      graft.streaming.Streams.fileStream(spark, srcDir, schema),
+      "vec_id", "embedding", path, ckpt2, seqCol = Some("seq"))
+      .awaitTermination()
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = IvfSearch.searchIndex(spark, path, q, "qid", "qv",
+      k = 1, metric = "cosine", nProbe = 4).select("match_id").as[Long].collect()
+    assert(!got.contains(0L), "seq-resolved tombstone must delete the id")
+  }
 }
