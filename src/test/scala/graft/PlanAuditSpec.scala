@@ -464,4 +464,44 @@ class PlanAuditSpec extends SparkSpec {
     val partialAt = p.indexOf("partial_count")
     assert(exchangeAt >= 0 && partialAt > exchangeAt, p.take(2000))
   }
+
+  test("radius family: LSH candidates join on buckets (no cross product), " +
+      "exact-filtered scan pushes the metadata predicate") {
+    // q_radius_lsh_recall's candidate step must be a (tbl, bucket)
+    // equi-join, never a degenerate NLJ over |Q|x|C|
+    val p = plan("q_radius_lsh_recall").toString
+    assert(!p.contains("CartesianProduct"), "radius LSH has a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "radius LSH has a broadcast NLJ")
+    // q_vector_filtered is a PRE-filter: the label predicate reaches the
+    // corpus-side parquet scan instead of filtering scored rows
+    val pushed = scans("q_vector_filtered")
+      .flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(_.contains("label")),
+      s"label predicate not pushed to any scan: $pushed")
+  }
+
+  test("tombstone-filtered IVF serve: dead-row filter is an equi-join, " +
+      "store scan still prunes to probed cells") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings").limit(200)
+    val path = java.nio.file.Files.createTempDirectory("graft_audit_tomb").toString
+    graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding", path,
+      nList = 4)
+    graft.operators.IvfSearch.deleteFromIndex(spark, path,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0)
+        .select("vec_id"), "vec_id")
+    val q = emb.limit(1).select(
+      org.apache.spark.sql.functions.col("vec_id").as("qid"),
+      org.apache.spark.sql.functions.col("embedding").as("qv"))
+    val df = graft.operators.IvfSearch.searchIndex(spark, path, q,
+      "qid", "qv", k = 3, metric = "dot", nProbe = 2)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "tombstone filter degenerated into a non-equi join")
+    val storeScan = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.requiredSchema.fieldNames.contains("vec") => f
+    }.head
+    assert(storeScan.selectedPartitions.partitionCount == 2,
+      s"probe pruning lost under tombstones: ${storeScan.selectedPartitions.partitionCount}")
+  }
 }
