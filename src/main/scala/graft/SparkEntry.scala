@@ -126,12 +126,13 @@ object SparkEntry {
     * multiplies the PARENTHESIZED tf-norm quotient, `(1 - 0.75)` folds
     * to the exact 0.25, and sums happen only under the final round.
     */
-  private def bm25CteFor(qName: String, p: String, base: String = null): String = {
+  private def bm25CteFor(qName: String, p: String, base: String = null,
+      src: String = "documents"): String = {
     val bp = if (base == null) p else base
     val tokenize =
       s"${bp}tk AS (SELECT doc_id, " +
         "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk " +
-        "FROM documents), " +
+        s"FROM $src), " +
       s"${bp}st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tk)) AS avgdl FROM ${bp}tk), " +
       s"${bp}tok AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS tok FROM ${bp}tk), "
     (if (base == null) tokenize else "") +
@@ -516,9 +517,10 @@ object SparkEntry {
     * pristine store.
     */
   private def clonedStore(s: SparkSession, dir: String, tag: String,
-      doneMarker: String)(build: String => Unit): String = {
-    val pristine =
-      s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${indexTag(dir)}"
+      doneMarker: String, table: String = "embeddings")(
+      build: String => Unit): String = {
+    val pristine = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      contentTag(dir, table)
     if (!graft.operators.FsUtil.exists(s, s"$pristine/$doneMarker"))
       build(pristine)
     val clone = java.nio.file.Files.createTempDirectory(s"graft_${tag}_mut")
@@ -2610,6 +2612,35 @@ values (
         .orderBy("query_id", "rank")
     }),
 
+    // --- lexical DELETE protocol under the hash gate -----------------------
+    // The text twin of q_ivf_delete: tombstoned documents vanish from
+    // BM25 retrieval at once, and the NEGATIVE stats partial lands the
+    // global constants (n, avgdl) exactly — both phases (tombstone-
+    // filtered serve, post-compaction serve) must hash-match the oracle
+    // computing BM25 from scratch over the SURVIVING corpus. Nothing
+    // weaker would pass: a stale n or avgdl shifts every score.
+    "q_bm25_delete" -> ((s, dir) => {
+      val store = clonedStore(s, dir, "lexdel", "stats/_SUCCESS",
+        table = "documents")(p =>
+        graft.operators.LexicalIndex.writeIndex(
+          t(s, dir, "documents"), "doc_id", "text", p))
+      graft.operators.LexicalIndex.deleteFromIndex(s, store,
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+          .select("doc_id"), "doc_id")
+      def serve(phase: String) =
+        graft.operators.Lexical.bm25TopK(lexQueries(s), "query_id", "term",
+          null, "doc_id", "text", k = 10,
+          post = graft.operators.LexicalIndex.postingsForTerms(s, store,
+            LexQueryTermSet),
+          stats = graft.operators.LexicalIndex.corpusStats(s, store))
+          .select(lit(phase).as("phase"), col("query_id"), col("match_id"),
+            col("score"), col("rank"))
+      val served = serve("served").localCheckpoint()
+      graft.operators.LexicalIndex.compactIndex(s, store)
+      served.unionByName(serve("compacted"))
+        .orderBy("phase", "query_id", "rank")
+    }),
+
     // The MAINTAINED index: built over half the corpus, grown to full
     // by append, then COMPACTED (one file per bucket, stats partials
     // pre-summed) — served under the very same oracle as the direct and
@@ -4295,6 +4326,20 @@ values (
         "SELECT query_id, doc_id AS match_id, score, row_number() OVER (" +
         "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bsc) " +
         "WHERE rnk <= 10 ORDER BY query_id, rank"),
+
+    // delete under the hash: BM25 from scratch over the SURVIVING
+    // corpus (the tokenize CTE reads the survivor subquery, so n, avgdl,
+    // df, and every score are the post-delete constants), each expected
+    // row twice — once per lifecycle phase
+    "q_bm25_delete" ->
+      ("WITH " + LexQueriesCte + ", " +
+        bm25CteFor("q", "d",
+          src = "(SELECT * FROM documents WHERE doc_id % 10 <> 0)") + " " +
+        "SELECT p.phase, query_id, match_id, score, CAST(rnk AS INTEGER) AS rank " +
+        "FROM (SELECT query_id, doc_id AS match_id, score, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM dsc), " +
+        "(VALUES ('served'), ('compacted')) AS p(phase) " +
+        "WHERE rnk <= 10 ORDER BY phase, query_id, rank"),
 
     // the maintained (build → append → compact) index serves the exact
     // same scores — q_bm25_indexed's oracle verbatim

@@ -161,9 +161,59 @@ object LexicalIndex {
 
   /** The full posting list, shaped for the `post` parameter of
     * [[Lexical.bm25Scores]]/[[Lexical.bm25TopK]]/[[Lexical.hybridTopK]].
+    * Tombstoned documents' rows die here (see [[deleteFromIndex]]), so
+    * every consumer — scoring, [[termDf]]'s document frequencies —
+    * serves the post-delete corpus.
     */
   def postings(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/postings").select("id", "dl", "tok", "tf")
+    Tombstones.filterLive(spark, path,
+      spark.read.parquet(s"$path/postings"), "id", "epoch")
+      .select("id", "dl", "tok", "tf")
+
+  /** Delete documents from a persisted lexical index without rewriting
+    * it — the text-store twin of [[IvfSearch.deleteFromIndex]] (one
+    * [[Tombstones]] protocol across every at-rest index family): the
+    * tombstone kills the documents' posting rows at serve time
+    * immediately, a LATER re-append of the same id out-lives it, and
+    * the next [[compactIndex]] removes the rows physically.
+    *
+    * BM25's GLOBAL constants heal too: the deleted documents' (count,
+    * Σdl) — aggregated from their still-alive posting rows, so a
+    * double-delete subtracts nothing twice — land as a NEGATIVE stats
+    * partial under the same summed-partials contract appends use;
+    * `corpusStats` is correct from the moment the delete commits.
+    * Documents whose text tokenized to nothing have no posting rows and
+    * keep their +1 in `n` (they are unretrievable either way — the
+    * residue affects only the idf constant and clears at the next full
+    * [[writeIndex]]). Returns the tombstone epoch used.
+    */
+  def deleteFromIndex(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String): Long = {
+    require(FsUtil.exists(spark, s"$path/stats"),
+      s"lexical index at '$path' does not exist or is unreachable")
+    IndexMaintenance.withStoreLock(spark, path) {
+      IndexMaintenance.recoverSwap(spark, s"$path/postings")
+      IndexMaintenance.recoverSwap(spark, s"$path/stats")
+      val e = Tombstones.maxEpochIn(spark, s"$path/postings")
+      val victims = ids.select(col(idCol).cast("long").as("__del")).distinct()
+        .localCheckpoint()
+      val alive = Tombstones.filterLive(spark, path,
+        spark.read.parquet(s"$path/postings"), "id", "epoch")
+      // one (id, epoch) unit per append that counted the doc — the exact
+      // quantum the positive partials were written in
+      val perDoc = alive
+        .join(victims, alive("id") === victims("__del"), "left_semi")
+        .groupBy(col("id"), col("epoch")).agg(first(col("dl")).as("__dl"))
+      val r = perDoc.agg(count(lit(1)), sum(col("__dl")).cast("double")).head()
+      val nDel = r.getLong(0)
+      if (nDel > 0) {
+        writeStatsRow(spark, path, -nDel, -nDel, -r.getDouble(1), e,
+          replace = false)
+        Tombstones.write(spark, path, victims, "__del", e)
+      }
+      e
+    }
+  }
 
   /** Compact the store — see [[IndexMaintenance]] for the decay this
     * cures and the swap discipline (including crash recovery of an
@@ -191,9 +241,20 @@ object LexicalIndex {
       IndexMaintenance.recoverSwap(spark, s"$path/stats")
       require(FsUtil.exists(spark, s"$path/stats"),
         s"lexical index at '$path' does not exist or is unreachable")
+      // deletes heal here (see deleteFromIndex): tombstoned rows drop
+      // PHYSICALLY from closed segments before the epoch remap (the rule
+      // reads original epochs); the in-flight epoch stays untouched so
+      // its replay can overwrite itself, its tombstones retained. The
+      // stats rewrite needs no delete logic — the negative partials the
+      // delete wrote merge into the summed segments like any other row.
+      val applyTombstones: DataFrame => DataFrame = df =>
+        if (!Tombstones.exists(spark, path)) df
+        else Tombstones.filterLive(spark, path,
+            df.filter(col("epoch") =!= excludeEpoch), "id", "epoch")
+          .unionByName(df.filter(col("epoch") === excludeEpoch))
       val counts = IndexMaintenance.compactPartitionedDir(
         spark, s"$path/postings", Seq("bucket", "epoch"), NBuckets * 2,
-        IndexMaintenance.closedEpochsToBase(excludeEpoch))
+        applyTombstones.andThen(IndexMaintenance.closedEpochsToBase(excludeEpoch)))
       IndexMaintenance.rewriteDir(spark, s"$path/stats",
         partitionCols = Seq("epoch")) { df =>
         IndexMaintenance.closedEpochsToBase(excludeEpoch)(df)
@@ -203,6 +264,7 @@ object LexicalIndex {
           .select("n", "ndl", "sumdl", "epoch")
           .coalesce(1)
       }
+      Tombstones.clearApplied(spark, path, excludeEpoch)
       counts
     }
 
@@ -220,8 +282,10 @@ object LexicalIndex {
     val buckets = terms.toDF("t")
       .select(pmod(xxhash64(col("t")), lit(NBuckets)).cast("int")).distinct()
       .collect().map(r => r.getInt(0): Any).toSeq
-    spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(buckets: _*))
+    Tombstones.filterLive(spark, path,
+        spark.read.parquet(s"$path/postings")
+          .filter(col("bucket").isin(buckets: _*)),
+        "id", "epoch")
       .select("id", "dl", "tok", "tf")
   }
 

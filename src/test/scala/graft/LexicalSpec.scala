@@ -323,4 +323,55 @@ class LexicalSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().sortBy(_._2).map(_._3).toSeq
     assert(got == Seq(0L, 2L), s"got $got")
   }
+
+  test("lexical deleteFromIndex: deleted docs unretrievable, BM25 scores " +
+      "equal a from-scratch index over the survivors, compaction heals") {
+    import graft.operators.LexicalIndex
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 200)
+    val path = java.nio.file.Files.createTempDirectory("graft_lex_del").toString
+    LexicalIndex.writeIndex(docs, "doc_id", "text", path)
+    val victims = docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+    val victimIds = victims.as[Long].collect().toSet
+    LexicalIndex.deleteFromIndex(spark, path, victims, "doc_id")
+    val terms = Seq((0L, "sort"), (0L, "merge"), (1L, "stream"), (1L, "dup"))
+      .toDF("query_id", "term")
+    def serve(p: String): Set[(Long, Long, Double)] =
+      Lexical.bm25TopK(terms, "query_id", "term", null, "doc_id", "text",
+          k = 10, post = LexicalIndex.postings(spark, p),
+          stats = LexicalIndex.corpusStats(spark, p))
+        .select("query_id", "match_id", "score")
+        .as[(Long, Long, Double)].collect().toSet
+    val afterDelete = serve(path)
+    afterDelete.foreach { case (_, d, _) => assert(!victimIds(d),
+      s"deleted doc $d retrievable") }
+    // the strong law: serve from the deleted index == serve from an
+    // index REBUILT over the surviving corpus — membership AND scores
+    // (the negative stats partial must land n and avgdl exactly)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_lex_rb").toString
+    LexicalIndex.writeIndex(docs.filter(col("doc_id") % 10 =!= 0),
+      "doc_id", "text", rebuilt)
+    assert(afterDelete == serve(rebuilt),
+      "post-delete BM25 diverges from a from-scratch survivor index")
+    // LWW: re-appending one victim restores it with survivor-corpus stats
+    LexicalIndex.appendToIndex(docs.filter(col("doc_id") === 0),
+      "doc_id", "text", path, epoch = 1L)
+    val revived = serve(path)
+    // compaction: physical removal + tombstone retirement, serve-stable
+    LexicalIndex.compactIndex(spark, path)
+    assert(!graft.operators.Tombstones.exists(spark, path))
+    val deadRows = spark.read.parquet(s"$path/postings")
+      .filter(col("id").isin(victimIds.filter(_ != 0L).toSeq.map(Long.box): _*))
+    assert(deadRows.isEmpty, "dead posting rows survived compaction")
+    assert(serve(path) == revived, "compaction changed BM25 results")
+    // double-delete is a no-op on the stats partials: n stays the
+    // survivor count (+ the revived doc), not double-subtracted
+    val nBefore = LexicalIndex.corpusStats(spark, path)
+      .select("n").as[Double].head()
+    LexicalIndex.deleteFromIndex(spark, path, victims, "doc_id")
+    LexicalIndex.deleteFromIndex(spark, path, victims, "doc_id")
+    val nAfter = LexicalIndex.corpusStats(spark, path)
+      .select("n").as[Double].head()
+    assert(nAfter == nBefore - 1.0,
+      s"double-delete corrupted stats: $nBefore -> $nAfter")
+  }
 }
