@@ -46,10 +46,16 @@ object Tombstones {
     * lock serializes it against compaction's swap).
     */
   def write(spark: SparkSession, root: String, ids: DataFrame,
-      idCol: String, epoch: Long): Unit =
-    ids.select(col(idCol).cast("long").as("id")).distinct()
-      .withColumn("epoch", lit(epoch))
-      .write.partitionBy("epoch").mode("append").parquet(dir(root))
+      idCol: String, epoch: Long): Unit = {
+    val slim = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint()
+    // an empty delete must be a NO-OP, not a schema trap: a zero-row
+    // partitioned write leaves a tombstones dir with no data files, and
+    // every later maxPerId read would die on schema inference
+    if (!slim.isEmpty)
+      slim.withColumn("epoch", lit(epoch))
+        .write.partitionBy("epoch").mode("append").parquet(dir(root))
+  }
 
   /** The per-id newest tombstone epoch — the one table every consumer
     * joins against: `(id, __tomb_epoch)`.

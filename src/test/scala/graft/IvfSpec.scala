@@ -536,4 +536,22 @@ class IvfSpec extends SparkSpec {
       k = 1, metric = "cosine", nProbe = 4).select("match_id").as[Long].collect()
     assert(!got.contains(0L), "seq-resolved tombstone must delete the id")
   }
+
+  test("deleting an empty id set is a no-op, never a schema trap") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_del0").toString
+    IvfSearch.writeIndex(emb.filter(col("vec_id") < 100), "vec_id",
+      "embedding", path, nList = 4)
+    IvfSearch.deleteFromIndex(spark, path,
+      emb.filter(col("vec_id") < 0).select("vec_id"), "vec_id")
+    assert(!graft.operators.Tombstones.exists(spark, path),
+      "empty delete left a tombstones dir behind")
+    // serve still works (an empty-file tombstones dir would kill the
+    // schema inference of every later probe)
+    val q = emb.filter(col("vec_id") === 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = IvfSearch.searchIndex(spark, path, q, "qid", "qv",
+      k = 1, metric = "cosine", nProbe = 4).select("match_id").as[Long].collect()
+    assert(got.sameElements(Array(10L)))
+  }
 }
