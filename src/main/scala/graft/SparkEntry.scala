@@ -2620,10 +2620,15 @@ values (
     // computing BM25 from scratch over the SURVIVING corpus. Nothing
     // weaker would pass: a stale n or avgdl shifts every score.
     "q_bm25_delete" -> ((s, dir) => {
-      val store = clonedStore(s, dir, "lexdel", "stats/_SUCCESS",
-        table = "documents")(p =>
+      // pristine tag v2: consolidated at build (one file per bucket, the
+      // q_ivf_delete discipline) so the clone/delete/serve/compact
+      // lifecycle starts from the store shape compaction maintains
+      val store = clonedStore(s, dir, "lexdel_v2", "stats/_SUCCESS",
+        table = "documents") { p =>
         graft.operators.LexicalIndex.writeIndex(
-          t(s, dir, "documents"), "doc_id", "text", p))
+          t(s, dir, "documents"), "doc_id", "text", p)
+        graft.operators.LexicalIndex.compactIndex(s, p)
+      }
       graft.operators.LexicalIndex.deleteFromIndex(s, store,
         t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
           .select("doc_id"), "doc_id")
