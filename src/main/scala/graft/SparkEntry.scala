@@ -2418,7 +2418,23 @@ WITH (
             t(s, dir, "embeddings").limit(1)
               .select(col("vec_id").as("qid"), col("embedding").as("qv")),
             "qid", "qv", t(s, dir, "embeddings"), "vec_id", "embedding",
-            k = 1, metric = "manhattan")))
+            k = 1, metric = "manhattan")),
+        ("delete_missing_store", "does not exist or is unreachable",
+          () => graft.operators.IvfSearch.deleteFromIndex(s,
+            java.nio.file.Files.createTempDirectory("graft_q_delmiss").toString,
+            t(s, dir, "embeddings").limit(1).select("vec_id"), "vec_id")),
+        ("payload_reserved", "collides with a reserved store column",
+          () => graft.operators.IvfSearch.writeIndex(
+            t(s, dir, "embeddings").withColumn("cell", lit(1)),
+            "vec_id", "embedding",
+            java.nio.file.Files.createTempDirectory("graft_q_resv").toString,
+            nList = 2, payload = Seq("cell"))),
+        ("filtered_overfetch", "overFetch must be >= 1",
+          () => graft.operators.HnswSearch.searchIndexFiltered(s,
+            "/nonexistent_store", t(s, dir, "embeddings").limit(1)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", t(s, dir, "embeddings").select("vec_id"), "vec_id",
+            k = 3, overFetch = 0)))
       val rows = cases.map { case (name, needle, act) =>
         val (cls, detail) =
           try { act(); ("NO_ERROR", s"MISSING: $needle") }
@@ -3735,7 +3751,13 @@ values (
         "('unknown_corpus', 'IllegalArgumentException', 'unknown search corpus'), " +
         "('unknown_metric', 'IllegalArgumentException', 'unknown metric manhattan'), " +
         "('lease_held', 'IllegalStateException', 'compaction already in progress'), " +
-        "('lease_usurped', 'IllegalStateException', 'usurped by another compactor')" +
+        "('lease_usurped', 'IllegalStateException', 'usurped by another compactor'), " +
+        "('delete_missing_store', 'IllegalArgumentException', " +
+        "'does not exist or is unreachable'), " +
+        "('payload_reserved', 'IllegalArgumentException', " +
+        "'collides with a reserved store column'), " +
+        "('filtered_overfetch', 'IllegalArgumentException', " +
+        "'overFetch must be >= 1')" +
         ") AS t(case_name, error_class, detail) ORDER BY case_name"),
 
     "q_insert_values" ->
