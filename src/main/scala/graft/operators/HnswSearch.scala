@@ -551,6 +551,10 @@ object HnswSearch {
       IndexMaintenance.epochWrite(nodes, Seq("shard", "epoch"), epoch,
         s"$path/nodes")
     }
+    // per-batch caller (hnswIndexStream / hnswCdcStream): this batch's
+    // checkpoint blocks release now, not at a future GC
+    IndexMaintenance.unpersistCheckpoint(slim)
+    IndexMaintenance.unpersistCheckpoint(nodes)
     (n, built)
   }
 

@@ -274,6 +274,21 @@ object IndexMaintenance {
     fs.delete(retired, true)
   }
 
+  /** Release a localCheckpoint's persisted blocks NOW instead of waiting
+    * on driver GC + ContextCleaner — the lexArtifacts eviction rule
+    * (GraftSql) as a shared utility: long-lived callers that checkpoint
+    * per iteration (a CDC stream's per-batch resolution, repeated
+    * deletes) would otherwise pin every iteration's blocks in executor
+    * storage until the JVM happens to collect. A never-materialized
+    * lazy checkpoint unpersists as a no-op.
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Recursive `.parquet` data-file count under `dir` — the decay metric
     * compaction manages (and what callers alert on).
     */

@@ -102,10 +102,12 @@ object IvfPqIndex {
       IndexMaintenance.epochWrite(coded, Seq("cell", "epoch"), epoch,
         s"$path/corpus")
     }
-    IvfSearch.driftVerdict(
+    val verdict = IvfSearch.driftVerdict(
       IvfSearch.celledStats(celled.withColumn("__dist",
         IvfSearch.cellDist(centroids)(col("v"), col("cell"))), centroids.length),
       centroids.length, IvfSearch.loadStats(spark, path))
+    IndexMaintenance.unpersistCheckpoint(celled)
+    verdict
   }
 
   /** Compact the celled code store — identical layout to the IVF

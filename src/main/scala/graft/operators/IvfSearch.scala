@@ -322,10 +322,14 @@ object IvfSearch {
       IndexMaintenance.epochWrite(celled.withColumn("epoch", lit(epoch)),
         Seq("cell", "epoch"), epoch, s"$path/corpus")
     }
-    driftVerdict(
+    val verdict = driftVerdict(
       celledStats(celled.withColumn("__dist",
         cellDist(centroids)(col("vec"), col("cell"))), centroids.length),
       centroids.length, loadStats(spark, path))
+    // per-batch caller (ivfIndexStream / ivfCdcStream): release this
+    // batch's checkpoint blocks now, not at a future GC
+    IndexMaintenance.unpersistCheckpoint(celled)
+    verdict
   }
 
   def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Float]] =

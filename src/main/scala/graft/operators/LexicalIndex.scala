@@ -156,6 +156,7 @@ object LexicalIndex {
         s"$path/postings")
       writeStatsRow(spark, path, n, ndl, sumdl, epoch, replace = epoch >= 0)
     }
+    IndexMaintenance.unpersistCheckpoint(posts)
     n
   }
 
@@ -211,6 +212,7 @@ object LexicalIndex {
           replace = false)
         Tombstones.write(spark, path, victims, "__del", e)
       }
+      IndexMaintenance.unpersistCheckpoint(victims)
       e
     }
   }

@@ -311,19 +311,23 @@ object Streams {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
         val resolved = resolveCdc(batch, idCol, vecCol, seqCol)
-        val changed = resolved.select(idCol).distinct()
-        val live = resolved.filter(col(vecCol).isNotNull)
-        if (!changed.isEmpty) {
-          graft.operators.IvfSearch.deleteFromIndex(spark, indexPath,
-            changed, idCol, Some(epochKey(checkpointDir, 2 * epoch)))
-          if (!live.isEmpty)
-            onStats(graft.operators.IvfSearch.appendToIndex(
-              live, idCol, vecCol, indexPath,
-              epoch = epochKey(checkpointDir, 2 * epoch + 1)))
-        }
-        if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
-          graft.operators.IvfSearch.compactIndex(spark, indexPath,
-            excludeEpoch = epochKey(checkpointDir, 2 * epoch + 1))
+        try {
+          val changed = resolved.select(idCol).distinct()
+          val live = resolved.filter(col(vecCol).isNotNull)
+          if (!changed.isEmpty) {
+            graft.operators.IvfSearch.deleteFromIndex(spark, indexPath,
+              changed, idCol, Some(epochKey(checkpointDir, 2 * epoch)))
+            if (!live.isEmpty)
+              onStats(graft.operators.IvfSearch.appendToIndex(
+                live, idCol, vecCol, indexPath,
+                epoch = epochKey(checkpointDir, 2 * epoch + 1)))
+          }
+          if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
+            graft.operators.IvfSearch.compactIndex(spark, indexPath,
+              excludeEpoch = epochKey(checkpointDir, 2 * epoch + 1))
+          // a run-forever stream checkpoints EVERY batch: release this
+          // batch's blocks now, not at some future GC
+        } finally graft.operators.IndexMaintenance.unpersistCheckpoint(resolved)
         ()
       }
       .start()
@@ -347,19 +351,21 @@ object Streams {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
         val resolved = resolveCdc(batch, idCol, vecCol, seqCol)
-        // resolveCdc leaves ONE record per id, so the null split is total
-        val dead = resolved.filter(col(vecCol).isNull).select(idCol)
-        val live = resolved.filter(col(vecCol).isNotNull)
-        if (!dead.isEmpty)
-          graft.operators.HnswSearch.deleteFromIndex(spark, indexPath,
-            dead, idCol, Some(epochKey(checkpointDir, 2 * epoch)))
-        if (!live.isEmpty)
-          onAppend(graft.operators.HnswSearch.appendToIndex(
-            live, idCol, vecCol, indexPath,
-            epoch = epochKey(checkpointDir, 2 * epoch + 1)))
-        if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
-          graft.operators.HnswSearch.compactIndex(spark, indexPath,
-            excludeEpoch = epochKey(checkpointDir, 2 * epoch + 1))
+        try {
+          // resolveCdc leaves ONE record per id, so the null split is total
+          val dead = resolved.filter(col(vecCol).isNull).select(idCol)
+          val live = resolved.filter(col(vecCol).isNotNull)
+          if (!dead.isEmpty)
+            graft.operators.HnswSearch.deleteFromIndex(spark, indexPath,
+              dead, idCol, Some(epochKey(checkpointDir, 2 * epoch)))
+          if (!live.isEmpty)
+            onAppend(graft.operators.HnswSearch.appendToIndex(
+              live, idCol, vecCol, indexPath,
+              epoch = epochKey(checkpointDir, 2 * epoch + 1)))
+          if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
+            graft.operators.HnswSearch.compactIndex(spark, indexPath,
+              excludeEpoch = epochKey(checkpointDir, 2 * epoch + 1))
+        } finally graft.operators.IndexMaintenance.unpersistCheckpoint(resolved)
         ()
       }
       .start()
