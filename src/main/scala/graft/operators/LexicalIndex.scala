@@ -189,13 +189,13 @@ object LexicalIndex {
     * [[writeIndex]]). Returns the tombstone epoch used.
     */
   def deleteFromIndex(spark: SparkSession, path: String,
-      ids: DataFrame, idCol: String): Long = {
+      ids: DataFrame, idCol: String, epoch: Option[Long] = None): Long = {
     require(FsUtil.exists(spark, s"$path/stats"),
       s"lexical index at '$path' does not exist or is unreachable")
     IndexMaintenance.withStoreLock(spark, path) {
       IndexMaintenance.recoverSwap(spark, s"$path/postings")
       IndexMaintenance.recoverSwap(spark, s"$path/stats")
-      val e = Tombstones.maxEpochIn(spark, s"$path/postings")
+      val e = epoch.getOrElse(Tombstones.maxEpochIn(spark, s"$path/postings"))
       val victims = ids.select(col(idCol).cast("long").as("__del")).distinct()
         .localCheckpoint()
       val alive = Tombstones.filterLive(spark, path,
@@ -208,9 +208,15 @@ object LexicalIndex {
       val r = perDoc.agg(count(lit(1)), sum(col("__dl")).cast("double")).head()
       val nDel = r.getLong(0)
       if (nDel > 0) {
+        // tombstone FIRST, correction second: a crash between the two
+        // leaves the rows dead and the stats conservatively overcounted
+        // (a retry then finds no alive victims and subtracts nothing) —
+        // the reverse order would subtract AGAIN on every retry. The
+        // residue is the same bounded idf-constant class as the
+        // tokenless-doc note above and clears at the next writeIndex.
+        Tombstones.write(spark, path, victims, "__del", e)
         writeStatsRow(spark, path, -nDel, -nDel, -r.getDouble(1), e,
           replace = false)
-        Tombstones.write(spark, path, victims, "__del", e)
       }
       IndexMaintenance.unpersistCheckpoint(victims)
       e

@@ -370,6 +370,50 @@ object Streams {
       }
       .start()
 
+  /** CDC upsert/delete propagation into a persisted LEXICAL (BM25)
+    * index — [[ivfCdcStream]]'s text twin, completing the protocol
+    * across every at-rest store family: a keyed change stream of
+    * documents (NULL text = tombstone) keeps the postings AND the BM25
+    * global constants in step with the source of truth. Upserts use the
+    * IVF self-tombstone shape — every changed id tombstones at
+    * sub-epoch 2e (which also writes the NEGATIVE stats partial for the
+    * dying rows, so n/avgdl heal in the same breath) and live documents
+    * land at 2e+1 with their own positive partial — replace without
+    * double-counting on a store whose append contract forbids
+    * re-ingesting a live id. Replays are idempotent: the re-run delete
+    * finds its victims already dead and subtracts nothing, the re-run
+    * append overwrites its own 2e+1 partitions.
+    */
+  def lexCdcStream(
+      records: DataFrame, idCol: String, textCol: String,
+      indexPath: String, checkpointDir: String,
+      seqCol: Option[String] = None,
+      compactEvery: Long = 0): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val resolved = resolveCdc(batch, idCol, textCol, seqCol)
+        try {
+          val changed = resolved.select(idCol).distinct()
+          val live = resolved.filter(col(textCol).isNotNull)
+          if (!changed.isEmpty) {
+            graft.operators.LexicalIndex.deleteFromIndex(spark, indexPath,
+              changed, idCol, Some(epochKey(checkpointDir, 2 * epoch)))
+            if (!live.isEmpty)
+              graft.operators.LexicalIndex.appendToIndex(
+                live, idCol, textCol, indexPath,
+                epoch = epochKey(checkpointDir, 2 * epoch + 1))
+          }
+          if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
+            graft.operators.LexicalIndex.compactIndex(spark, indexPath,
+              excludeEpoch = epochKey(checkpointDir, 2 * epoch + 1))
+        } finally graft.operators.IndexMaintenance.unpersistCheckpoint(resolved)
+        ()
+      }
+      .start()
+
   /** Continuous HNSW indexing — [[ivfIndexStream]]'s twin for the
     * graph family: every micro-batch builds its OWN segment graphs
     * under its epoch ([[graft.operators.HnswSearch.appendToIndex]] —

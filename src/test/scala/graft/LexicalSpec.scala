@@ -374,4 +374,44 @@ class LexicalSpec extends SparkSpec {
     assert(nAfter == nBefore - 1.0,
       s"double-delete corrupted stats: $nBefore -> $nAfter")
   }
+
+  test("lexCdcStream: tombstones delete with exact stats healing, " +
+      "upserts replace without double postings, serve matches a rebuild") {
+    import graft.operators.LexicalIndex
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 150)
+    val path = java.nio.file.Files.createTempDirectory("graft_lex_cdc_idx").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_lex_cdc_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lex_cdc_ck").toString
+    LexicalIndex.writeIndex(docs, "doc_id", "text", path)
+    // one drain: delete doc 0, REPLACE doc 10's text with doc 300's
+    val donor = Tables(spark, sf, "documents").filter(col("doc_id") === 300)
+    val changes = docs.filter(col("doc_id") === 0)
+      .select(col("doc_id"), lit(null).cast("string").as("text"))
+      .unionByName(donor.select(lit(10L).as("doc_id"), col("text")))
+    changes.write.mode("overwrite").parquet(srcDir)
+    graft.streaming.Streams.lexCdcStream(
+      graft.streaming.Streams.fileStream(spark, srcDir, changes.schema),
+      "doc_id", "text", path, ckpt).awaitTermination()
+    val terms = Seq((0L, "sort"), (0L, "merge"), (1L, "stream"), (1L, "dup"))
+      .toDF("query_id", "term")
+    def serve(p: String): Set[(Long, Long, Double)] =
+      Lexical.bm25TopK(terms, "query_id", "term", null, "doc_id", "text",
+          k = 10, post = LexicalIndex.postings(spark, p),
+          stats = LexicalIndex.corpusStats(spark, p))
+        .select("query_id", "match_id", "score")
+        .as[(Long, Long, Double)].collect().toSet
+    // ground truth: a from-scratch index over the POST-CDC corpus
+    val want = docs.filter(col("doc_id") =!= 0 && col("doc_id") =!= 10)
+      .unionByName(donor.select(lit(10L).as("doc_id"), col("text"))
+        .select(docs.columns.map {
+          case "doc_id" => col("doc_id"); case "text" => col("text")
+          case c => lit(null).cast(docs.schema(c).dataType).as(c) }: _*))
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_lex_cdc_rb").toString
+    LexicalIndex.writeIndex(want, "doc_id", "text", rebuilt)
+    assert(serve(path) == serve(rebuilt),
+      "post-CDC BM25 diverges from a from-scratch rebuild of the changed corpus")
+    // compaction cadence keeps serving the same answers
+    LexicalIndex.compactIndex(spark, path)
+    assert(serve(path) == serve(rebuilt))
+  }
 }
