@@ -69,6 +69,14 @@ class GraftSql(
   private val corpora =
     scala.collection.concurrent.TrieMap.empty[String, CorpusRef]
 
+  /** The registered SOURCE frame per corpus (all its columns, not just
+    * content+vector) — what FILTERED_SEARCH's metadata predicate
+    * resolves against. Kept alongside [[corpora]] because the collected
+    * InMemCorpus form deliberately drops every non-search column.
+    */
+  private val corpusSources =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, String, String)]
+
   /** Register the backing corpus for `FEDERATED_SEARCH('<name>', k, v)`
     * statements — the in-engine stand-in for the reference's external
     * Atlas collection. Default `maxRows` matches
@@ -84,6 +92,7 @@ class GraftSql(
     require(GraftSql.IndexTypes.contains(indexType),
       s"index type '$indexType' not in ${GraftSql.IndexTypes.mkString("/")}")
     val rows = df.select(contentCol, vecCol).limit(maxRows + 1).collect()
+    corpusSources(name) = (df, contentCol, vecCol)
     corpora(name) =
       if (rows.length <= maxRows)
         // sorted by content so heap index tie-break == content tie-break,
@@ -696,6 +705,38 @@ class GraftSql(
         val call = s"${mlPredictUdf(ref)}($arg)"
         val outName = outputNames.getOrElse(ref.takeWhile(_ != '$'), "json_response")
         s"(SELECT *, $call AS $outName FROM $table) AS $alias"
+      case "filtered_search" =>
+        // FILTERED_SEARCH('corpus', k, vectorCol, 'predicate'): the
+        // Atlas $vectorSearch filter shape on the SQL surface — a
+        // metadata predicate (any SQL expression over the REGISTERED
+        // corpus's columns) admits a subset, and the top-k is exact
+        // over the admitted set (pre-filter: results never under-fill
+        // on selective predicates). Routed through the same
+        // content-ranked view machinery as FEDERATED_SEARCH, so hits
+        // come back as `search_results`.
+        val parts = splitArgs(args)
+        require(parts.length == 4,
+          s"FILTERED_SEARCH expects ('corpus', k, vectorCol, 'predicate'), got: $args")
+        val corpus = unquote(parts(0))
+        val k = parts(1).trim.toInt
+        val pred = unquote(parts(3))
+        resolveCorpus(corpus) // binds lazy corpora -> corpusSources
+        val (src, contentCol, vecCol) = corpusSources.getOrElse(corpus,
+          throw new IllegalArgumentException(
+            s"unknown search corpus '$corpus' — CREATE TABLE ... WITH " +
+              "('connector'='mongodb', ...) or call registerSearchCorpus first"))
+        val admitted =
+          try src.filter(org.apache.spark.sql.functions.expr(pred))
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"FILTERED_SEARCH predicate '$pred' does not resolve against " +
+                s"corpus '$corpus' (${src.columns.mkString(", ")}): ${e.getMessage}")
+          }
+        // "flat" routes the view through the exact bounded-heap ranking
+        // over the admitted subset; registration-unique tag (serve-only)
+        val fc = DfCorpus(admitted, contentCol, vecCol, "flat", 10000,
+          tag = s"sqlf_${corpus}_g${GraftSql.corpusGen.incrementAndGet()}")
+        s"${fedSearchView(table, parts(2), fc, k, views)} AS $alias"
       case "hybrid_search" =>
         // HYBRID_SEARCH('corpus', k, vectorCol, textCol): reciprocal-rank
         // fusion of the corpus's vector ranking with a BM25 keyword
@@ -1280,7 +1321,7 @@ object GraftSql {
       """INTERVAL\s*'(\d+)'\s*(\w+)\s+AND\s+""" +
       """`?(\w+)`?\s*\.\s*`?(\w+)`?\s*\+\s*INTERVAL\s*'(\d+)'\s*(\w+)""").r
   private[sql] val LateralRe =
-    """(?is)\bFROM\s+(`?[\w.]+`?)\s*,\s*LATERAL\s+TABLE\s*\(\s*(ML_PREDICT|FEDERATED_SEARCH|HYBRID_SEARCH|PRF_SEARCH|MMR_SEARCH|MAXSIM_SEARCH)\b""".r
+    """(?is)\bFROM\s+(`?[\w.]+`?)\s*,\s*LATERAL\s+TABLE\s*\(\s*(ML_PREDICT|FEDERATED_SEARCH|FILTERED_SEARCH|HYBRID_SEARCH|PRF_SEARCH|MMR_SEARCH|MAXSIM_SEARCH)\b""".r
 
   /** Candidate-pool bound, matching the reference's numCandidates rule:
     * "must be less than or equal to 10,000" (README.md:368).

@@ -1308,4 +1308,54 @@ WITH ('task' = 'embedding');""")
 LATERAL TABLE(ML_PREDICT('enc', content));""").collect()
     assert(rows.length == 1 && rows.head.getSeq[Float](2).length == 64)
   }
+
+  test("FILTERED_SEARCH: metadata predicate pre-filters the corpus; " +
+      "exact over the admitted subset; bad inputs fail loudly") {
+    val g = facade()
+    import spark.implicits._
+    // corpus keeps its metadata columns (lang, n_chars) alongside the
+    // search pair — that is what the predicate resolves against
+    val corpus = Tables(spark, sf, "documents").filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("text").as("content"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    g.registerSearchCorpus("meta_corpus", corpus, "content", "vector")
+    val qs = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select(col("doc_id"), col("text").as("content"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    qs.createOrReplaceTempView("meta_questions")
+    val got = g.execute(
+      """SELECT doc_id, search_results FROM meta_questions,
+LATERAL TABLE(FILTERED_SEARCH('meta_corpus', 3, vector, 'n_chars > 300'));""")
+      .collect()
+    assert(got.length == 3)
+    // ground truth: operator-level exact filtered top-k over the same
+    // corpus — contents must agree per query
+    val want = graft.operators.VectorSearch.topKFiltered(qs, "doc_id",
+        "vector", corpus, "content", "vector",
+        col("n_chars") > 300, k = 3, metric = "dot")
+      .select(col("doc_id"), col("match_id"))
+      .as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val gotHits = got.map(r => r.getLong(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).toSet).toMap
+    assert(gotHits == want)
+    // every admitted hit genuinely satisfies the predicate
+    val admitted = corpus.filter(col("n_chars") > 300)
+      .select("content").as[String].collect().toSet
+    gotHits.values.flatten.foreach(c => assert(admitted(c)))
+    // a predicate over a column the corpus does not have names the
+    // corpus and its real columns
+    val e = intercept[IllegalArgumentException] {
+      g.execute("""SELECT doc_id FROM meta_questions,
+LATERAL TABLE(FILTERED_SEARCH('meta_corpus', 3, vector, 'no_such_col = 1'));""")
+    }
+    assert(e.getMessage.contains("does not resolve"))
+    // unknown corpus keeps the FEDERATED_SEARCH error surface
+    val e2 = intercept[IllegalArgumentException] {
+      g.execute("""SELECT doc_id FROM meta_questions,
+LATERAL TABLE(FILTERED_SEARCH('nope', 3, vector, 'n_chars > 0'));""")
+    }
+    assert(e2.getMessage.contains("unknown search corpus"))
+  }
 }
