@@ -655,13 +655,13 @@ object HnswSearch {
     // ids can displace at most T slots, so the alive top-k sits inside
     // the top-(k+T). Serve cost therefore grows with the UNAPPLIED
     // delete backlog — per-segment min(·, rows) caps it at exhaustive —
-    // and compactIndex restores the un-widened budget (count() here is
-    // one job over the tombstone id set: deletes-between-compactions
-    // sized, not index-sized).
+    // and compactIndex restores the un-widened budget. T counts only
+    // tombstoned ids that still HAVE a dead row in the node store
+    // (re-ingested ids and already-compacted rows displace nothing),
+    // and the count is fingerprint-cached in [[Tombstones]], so
+    // steady-state serving runs NO Spark job for it.
     val deadLive: Int =
-      if (!Tombstones.exists(spark, path)) 0
-      else math.min(Tombstones.maxPerId(spark, path).count(),
-        (Int.MaxValue / 4).toLong).toInt
+      Tombstones.liveDeadCount(spark, path, s"$path/nodes", "id", "epoch")
     val (mm, efs, kk, met) = (m, efSearch + deadLive, k + deadLive, metric)
 
     // every SEGMENT — a (shard, epoch) pair: base graphs plus any

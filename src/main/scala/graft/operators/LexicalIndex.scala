@@ -199,7 +199,13 @@ object LexicalIndex {
       val victims = ids.select(col(idCol).cast("long").as("__del")).distinct()
         .localCheckpoint()
       val alive = Tombstones.filterLive(spark, path,
-        spark.read.parquet(s"$path/postings"), "id", "epoch")
+          spark.read.parquet(s"$path/postings"), "id", "epoch")
+        // only rows the tombstone at epoch e actually kills: rows with a
+        // LATER epoch out-live it (LWW), so subtracting their stats here
+        // would undercount n/avgdl — and a replayed delete that lands
+        // after a re-append (CDC sub-epoch 2e+1) would subtract a second
+        // partial for documents that are still served, permanently
+        .filter(col("epoch").cast("long") <= e)
       // one (id, epoch) unit per append that counted the doc — the exact
       // quantum the positive partials were written in
       val perDoc = alive

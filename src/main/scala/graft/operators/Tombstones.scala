@@ -49,12 +49,90 @@ object Tombstones {
       idCol: String, epoch: Long): Unit = {
     val slim = ids.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint()
-    // an empty delete must be a NO-OP, not a schema trap: a zero-row
-    // partitioned write leaves a tombstones dir with no data files, and
-    // every later maxPerId read would die on schema inference
-    if (!slim.isEmpty)
-      slim.withColumn("epoch", lit(epoch))
-        .write.partitionBy("epoch").mode("append").parquet(dir(root))
+    try {
+      // an empty delete must be a NO-OP, not a schema trap: a zero-row
+      // partitioned write leaves a tombstones dir with no data files, and
+      // every later maxPerId read would die on schema inference (the
+      // emptiness probe is over the just-checkpointed blocks — bounded)
+      if (!slim.isEmpty)
+        slim.withColumn("epoch", lit(epoch))
+          .write.partitionBy("epoch").mode("append").parquet(dir(root))
+    } finally IndexMaintenance.unpersistCheckpoint(slim)
+  }
+
+  // (root, metadata fingerprint) -> count; LRU-bounded. Serve-time
+  // widening (HnswSearch) asks this on EVERY query batch — the cache
+  // turns steady-state serving into a driver FS listing with no Spark
+  // job; any delete / append / compaction changes the fingerprint and
+  // recounts once.
+  private val deadCountCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String), java.lang.Integer](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), java.lang.Integer])
+        : Boolean = size > 64
+    })
+
+  private[graft] def clearDeadCountCache(): Unit = deadCountCache.clear()
+
+  // metadata-only change detector: tombstone DATA FILES (name/len/mtime —
+  // a second delete at the SAME epoch appends files, so epoch dirs alone
+  // would miss it) plus the store's epoch partition dirs (a re-ingest
+  // that revives an id lands as a NEW epoch; an in-flight replay
+  // overwrites existing partitions with identical content, so missing it
+  // is harmless)
+  private def fingerprint(spark: SparkSession, root: String,
+      storeDir: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sb = new StringBuilder
+    val tp = new Path(dir(root))
+    val tfs = tp.getFileSystem(conf)
+    val it = tfs.listFiles(tp, true)
+    while (it.hasNext) {
+      val st = it.next()
+      sb.append(st.getPath.getName).append(':').append(st.getLen)
+        .append(':').append(st.getModificationTime).append(';')
+    }
+    val sp = new Path(storeDir)
+    val sfs = sp.getFileSystem(conf)
+    def walk(d: Path): Unit = sfs.listStatus(d).foreach { st =>
+      if (st.isDirectory) {
+        if (st.getPath.getName.contains("=")) sb.append(st.getPath.getName).append('|')
+        walk(st.getPath)
+      }
+    }
+    if (sfs.exists(sp)) walk(sp)
+    java.lang.Integer.toHexString(
+      java.util.Arrays.hashCode(sb.toString.getBytes("UTF-8"))) + ":" + sb.length
+  }
+
+  /** Tombstoned ids that still have a DEAD row (row epoch ≤ the id's
+    * newest tombstone epoch) under `storeDir` — the exact displacement
+    * bound serve-time over-fetch widening needs. Counting ALL tombstoned
+    * ids over-widens: ids already re-ingested (alive again — no slot
+    * displaced) and ids whose rows compaction already purged but whose
+    * tombstone is retained for the in-flight epoch contribute nothing.
+    * The tombstone side is delete-backlog-sized; the store side is a
+    * two-column pruned scan, semi-joined FROM the tombstone side so the
+    * output never exceeds the backlog. Cached against a metadata
+    * fingerprint — steady-state serving pays no Spark job.
+    */
+  def liveDeadCount(spark: SparkSession, root: String, storeDir: String,
+      idCol: String, epochCol: String): Int = {
+    if (!exists(spark, root)) return 0
+    val key = (root, fingerprint(spark, root, storeDir))
+    val hit = deadCountCache.get(key)
+    if (hit != null) return hit.intValue()
+    val tomb = maxPerId(spark, root)
+    val rows = spark.read.parquet(storeDir)
+      .select(col(idCol).cast("long").as("__sid"),
+        col(epochCol).cast("long").as("__sep"))
+    val n = math.min(
+      tomb.join(rows, tomb("id") === rows("__sid") &&
+        rows("__sep") <= tomb("__tomb_epoch"), "left_semi").count(),
+      (Int.MaxValue / 4).toLong).toInt
+    deadCountCache.put(key, n)
+    n
   }
 
   /** The per-id newest tombstone epoch — the one table every consumer

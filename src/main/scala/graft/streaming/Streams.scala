@@ -42,6 +42,20 @@ object Streams {
     * JVMs. Collisions need two colliding checkpoints writing the SAME
     * store (~k²/2²³ for k co-writing streams — and co-writing streams
     * should be one stream anyway).
+    *
+    * SINGLE-WRITER CONTRACT (stronger than the overwrite note above):
+    * the tombstone rule (a row dies iff its epoch ≤ the tombstone's)
+    * and serve-time LWW compare epochs NUMERICALLY, and namespaced
+    * epochs order by namespace HASH first, not logical time. Two
+    * writers with different namespaces therefore cannot delete or
+    * supersede each other's rows coherently: a delete issued under a
+    * lower-hash namespace (including a manual `deleteFromIndex`
+    * defaulting to `maxEpochIn`, which lands INSIDE whatever namespace
+    * currently holds the max) never kills a higher-hash writer's older
+    * rows, and can kill logically newer ones. Exactly ONE writer — one
+    * stream checkpoint, or one manual append/delete cadence — may own a
+    * store's epoch order; the CDC fronts enforce their own ordering
+    * within one checkpoint via sub-epochs (2e / 2e+1) for this reason.
     */
   private def epochKey(checkpointDir: String, epoch: Long): Long =
     ((scala.util.hashing.MurmurHash3.stringHash(checkpointDir).toLong

@@ -414,4 +414,36 @@ class LexicalSpec extends SparkSpec {
     LexicalIndex.compactIndex(spark, path)
     assert(serve(path) == serve(rebuilt))
   }
+
+  test("delete replay AFTER the upsert's re-append subtracts nothing: " +
+      "stats partials stay exact for still-served documents") {
+    // the at-least-once hazard inside lexCdcStream's sub-epoch dance: a
+    // crash after the 2e+1 append replays the batch, and the re-run
+    // delete (tombstone epoch 2e) must NOT treat the just-appended live
+    // rows (epoch 2e+1, which OUT-LIVE the tombstone) as victims — a
+    // second negative stats partial for a document still served would
+    // undercount n/avgdl permanently (compaction sums partials, so it
+    // would never heal)
+    import graft.operators.LexicalIndex
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 60)
+    val path = java.nio.file.Files.createTempDirectory("graft_lex_rpl").toString
+    LexicalIndex.writeIndex(docs, "doc_id", "text", path)
+    val changed = docs.filter(col("doc_id") === 10).select("doc_id")
+    // the CDC batch, step by step: tombstone at 2e, re-append at 2e+1
+    LexicalIndex.deleteFromIndex(spark, path, changed, "doc_id", Some(20L))
+    LexicalIndex.appendToIndex(docs.filter(col("doc_id") === 10),
+      "doc_id", "text", path, epoch = 21L)
+    val statsOnce = LexicalIndex.corpusStats(spark, path).collect()(0)
+    val postOnce = LexicalIndex.postings(spark, path)
+      .orderBy("id", "tok").collect().map(_.toString).toSeq
+    // the crash-replay: the SAME delete re-runs after the re-append
+    LexicalIndex.deleteFromIndex(spark, path, changed, "doc_id", Some(20L))
+    assert(LexicalIndex.corpusStats(spark, path).collect()(0) == statsOnce,
+      "replayed delete subtracted stats for rows that out-live the tombstone")
+    assert(LexicalIndex.postings(spark, path)
+      .orderBy("id", "tok").collect().map(_.toString).toSeq == postOnce,
+      "replayed delete changed served postings")
+    // ...and the stats still equal the batch form over the same corpus
+    assert(statsOnce == Lexical.corpusStats(docs, "text").collect()(0))
+  }
 }

@@ -275,6 +275,61 @@ class RobustnessSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("tombstone widening: counts only ids with a dead STORED row, " +
+      "and steady-state serve pays no Spark job for it") {
+    import graft.operators.{HnswSearch, Tombstones}
+    val emb = Tables(spark, sf, "embeddings").filter(col("vec_id") < 150)
+    val path = java.nio.file.Files.createTempDirectory("graft_deadcnt").toString
+    HnswSearch.writeIndex(emb.filter(col("vec_id") < 100), "vec_id",
+      "embedding", path, nShards = 2, m = 8, efConstruction = 64,
+      metric = "cosine")
+    // a later append so the tombstone epoch (maxEpochIn) outlives base
+    HnswSearch.appendToIndex(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+      "vec_id", "embedding", path, epoch = 5L)
+    val victims = emb.filter(col("vec_id") < 100 && col("vec_id") % 10 === 0)
+      .select("vec_id") // 10 ids, all base-segment-only
+    HnswSearch.deleteFromIndex(spark, path, victims, "vec_id")
+    Tombstones.clearDeadCountCache()
+    def cnt() = Tombstones.liveDeadCount(spark, path, s"$path/nodes",
+      "id", "epoch")
+    assert(cnt() == 10, "every victim still has its dead base row")
+    // steady state: the SECOND ask is a cache hit — zero Spark jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(cnt() == 10)
+      drainListenerBus()
+      assert(jobs.get() == 0,
+        s"cached dead-count ran ${jobs.get()} job(s) — serve path must be job-free")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // a SECOND delete at the SAME tombstone epoch (new files, same
+    // epoch dir) must invalidate — epoch-dir listing alone would miss it
+    HnswSearch.deleteFromIndex(spark, path,
+      emb.filter(col("vec_id") === 1).select("vec_id"), "vec_id",
+      epoch = Some(5L))
+    assert(cnt() == 11, "same-epoch delete not reflected in the bound")
+    // compaction purges the dead base rows but RETAINS the in-flight
+    // epoch's tombstones: the backlog that widens serve is now ZERO —
+    // counting tombstoned ids (the old bound) would still widen by 11
+    HnswSearch.compactIndex(spark, path, excludeEpoch = 5L)
+    assert(Tombstones.exists(spark, path),
+      "fixture lost: tombstones should be retained for the in-flight epoch")
+    assert(cnt() == 0,
+      "retained-but-fully-applied tombstones must not widen the beam")
+    // serve correctness is unchanged by the tightened bound
+    val q = emb.filter(col("vec_id") === 21)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val hit = HnswSearch.searchIndex(spark, path, q, "qid", "qv",
+      k = 1, efSearch = 100).select("match_id").collect().map(_.getLong(0))
+    assert(hit.toSeq == Seq(21L))
+  }
+
   /** Flush pending SparkListener events so job-count assertions are
     * deterministic (reflective: LiveListenerBus.waitUntilEmpty is
     * private[spark]); falls back to a grace sleep.
