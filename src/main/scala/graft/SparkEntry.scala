@@ -507,6 +507,21 @@ object SparkEntry {
     */
   private def indexTag(dir: String): String = contentTag(dir, "embeddings")
 
+  /** One-time facade corpus registration per (application, name): a
+    * registration collects (in-mem) or mints a fresh store tag
+    * (beyond-cap), so re-registering per bench pass would re-pay the
+    * collect — or worse, rebuild a persisted SQL-side index store every
+    * invocation. Names embed [[indexTag]], so regenerated data registers
+    * fresh.
+    */
+  private val sqlCorpusReg =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def registerOnce(s: SparkSession, name: String)(reg: => Unit): Unit = {
+    sqlCorpusReg.getOrElseUpdate(
+      s.sparkContext.applicationId + "|" + name, { reg; true })
+    ()
+  }
+
   /** A FRESH mutable copy of a content-addressed pristine store: `build`
     * runs once per (corpus content, tag) — the index-once discipline
     * every *_index_recall query follows — and each caller mutates its
@@ -795,6 +810,30 @@ object SparkEntry {
         emb, "vec_id", "embedding", threshold = 0.3, metric = "cosine")
         .select(col("query_id"), col("match_id"),
           round(col("score") * 1e6).cast("long").as("cosine_1e6"))
+        .orderBy("query_id", "match_id")
+    }),
+
+    // RADIUS_SEARCH on the SQL worksheet dialect — the same exact
+    // cosine ≥ 0.3 retrieval as q_vector_radius, reached entirely
+    // through the facade (register corpus → LATERAL TABLE statement),
+    // so the whole SQL route sits under the DuckDB hash. Contents are
+    // the corpus ids as strings; exploding search_results back to
+    // (query_id, match_id) keeps the output pandas-loadable.
+    "q_sql_radius" -> ((s, dir) => {
+      val g = sqlFacade(s)
+      val name = s"sqlrad_${indexTag(dir)}"
+      registerOnce(s, name) {
+        g.registerSearchCorpus(name,
+          t(s, dir, "embeddings").select(
+            col("vec_id").cast("string").as("content"),
+            col("embedding").as("vector")),
+          "content", "vector")
+      }
+      annQueries(s, dir).createOrReplaceTempView("graft_radius_queries")
+      g.execute("SELECT query_id, search_results FROM graft_radius_queries, " +
+          s"LATERAL TABLE(RADIUS_SEARCH('$name', 0.3, qv));")
+        .select(col("query_id"), explode(col("search_results")).as("m"))
+        .select(col("query_id"), col("m.content").cast("long").as("match_id"))
         .orderBy("query_id", "match_id")
     }),
 
@@ -1981,6 +2020,34 @@ ORDER BY event_id, event_id2""")
       val approx = graft.operators.IvfSearch.searchIndex(s, path, queries,
         "query_id", "qv", k = 3, metric = "dot", nProbe = 12,
         filter = FilteredPred)
+      VectorSearch.recallContract(approx, annFilteredGroundTruth(s, dir),
+        queries, "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
+    // Index-served FILTERED_SEARCH on the SQL dialect: the corpus is
+    // registered with indexType="ivf" beyond the collect cap, so the
+    // facade serves the statement from its persisted payload-pushdown
+    // store (predicate inside the pruned cell scan) instead of the
+    // per-statement exact pre-filter. Recall-contracted against the
+    // same exact filtered ground truth as the operator-level row.
+    "q_sql_filtered_indexed" -> ((s, dir) => {
+      val g = sqlFacade(s)
+      val name = s"sqlfivf_${indexTag(dir)}"
+      registerOnce(s, name) {
+        g.registerSearchCorpus(name,
+          t(s, dir, "embeddings").select(
+            col("vec_id").cast("string").as("content"),
+            col("embedding").as("vector"), col("label")),
+          "content", "vector", maxRows = 0, indexType = "ivf")
+      }
+      val queries = annQueries(s, dir)
+      queries.createOrReplaceTempView("graft_filtered_queries")
+      val approx = g.execute(
+          "SELECT query_id, search_results FROM graft_filtered_queries, " +
+            s"LATERAL TABLE(FILTERED_SEARCH('$name', 3, qv, 'label % 4 = 1'));")
+        .select(col("query_id"), explode(col("search_results")).as("m"))
+        .select(col("query_id"), col("m.content").cast("long").as("match_id"))
       VectorSearch.recallContract(approx, annFilteredGroundTruth(s, dir),
         queries, "query_id", "match_id", 1)
         .orderBy("query_id")
@@ -3323,6 +3390,16 @@ values (
     "q_ivf_filtered_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_sql_filtered_indexed" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_sql_radius" ->
+      ("SELECT q.vec_id AS query_id, c.vec_id AS match_id " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0 " +
+        "AND list_cosine_similarity(q.embedding, c.embedding) >= 0.3 " +
+        "ORDER BY query_id, match_id"),
 
     "q_hnsw_filtered_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +

@@ -517,7 +517,7 @@ object VectorSearch {
     * pick nBits/nProbe. Callers with a known cardinality pass it
     * explicitly via `corpusRows`.
     */
-  private[operators] def estimatedRows(df: DataFrame, dim: Int): Long = {
+  private[graft] def estimatedRows(df: DataFrame, dim: Int): Long = {
     val stats = df.queryExecution.optimizedPlan.stats
     stats.rowCount.map(_.toLong).getOrElse(
       math.max(1L, (stats.sizeInBytes / (8L + 4L * dim)).toLong))

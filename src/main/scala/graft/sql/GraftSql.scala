@@ -720,7 +720,7 @@ class GraftSql(
         val corpus = unquote(parts(0))
         val k = parts(1).trim.toInt
         val pred = unquote(parts(3))
-        resolveCorpus(corpus) // binds lazy corpora -> corpusSources
+        val resolved = resolveCorpus(corpus) // binds lazy corpora -> corpusSources
         val (src, contentCol, vecCol) = corpusSources.getOrElse(corpus,
           throw new IllegalArgumentException(
             s"unknown search corpus '$corpus' — CREATE TABLE ... WITH " +
@@ -732,11 +732,34 @@ class GraftSql(
               s"FILTERED_SEARCH predicate '$pred' does not resolve against " +
                 s"corpus '$corpus' (${src.columns.mkString(", ")}): ${e.getMessage}")
           }
-        // "flat" routes the view through the exact bounded-heap ranking
-        // over the admitted subset; registration-unique tag (serve-only)
-        val fc = DfCorpus(admitted, contentCol, vecCol, "flat", 10000,
-          tag = s"sqlf_${corpus}_g${GraftSql.corpusGen.incrementAndGet()}")
-        s"${fedSearchView(table, parts(2), fc, k, views)} AS $alias"
+        resolved match {
+          // a registered index family serves the filter from its
+          // persisted store (payload pushdown / over-fetch) — the exact
+          // pre-filter below would pay a full corpus scan per statement
+          case big: DfCorpus
+              if big.indexType == "ivf" || big.indexType == "hnsw" =>
+            s"${filteredIndexView(table, parts(2), big, k, pred,
+              src, contentCol, vecCol, views)} AS $alias"
+          case _ =>
+            // exact pre-filter: "flat" routes the view through the exact
+            // bounded-heap ranking over the admitted subset;
+            // registration-unique tag (serve-only)
+            val fc = DfCorpus(admitted, contentCol, vecCol, "flat", 10000,
+              tag = s"sqlf_${corpus}_g${GraftSql.corpusGen.incrementAndGet()}")
+            s"${fedSearchView(table, parts(2), fc, k, views)} AS $alias"
+        }
+      case "radius_search" =>
+        // RADIUS_SEARCH('corpus', threshold, vectorCol): every corpus
+        // vector with cosine ≥ threshold of the row's query vector —
+        // the reference's pattern is every search shape reachable from
+        // the worksheet (README.md:404-407); hits come back as
+        // `search_results` like every other search lateral.
+        val parts = splitArgs(args)
+        require(parts.length == 3,
+          s"RADIUS_SEARCH expects ('corpus', threshold, vectorCol), got: $args")
+        val corpus = unquote(parts(0))
+        val threshold = parts(1).trim.toDouble
+        s"${radiusSearchView(table, parts(2), corpus, threshold, views)} AS $alias"
       case "hybrid_search" =>
         // HYBRID_SEARCH('corpus', k, vectorCol, textCol): reciprocal-rank
         // fusion of the corpus's vector ranking with a BM25 keyword
@@ -900,22 +923,88 @@ class GraftSql(
     * back to contents, and register source-columns + `search_results`
     * as a temp view the rewritten statement selects FROM.
     */
+  /** The canonical search form of a corpus source: (__content, __cvec,
+    * __cid) with deterministic content-derived ids, NOT
+    * monotonically_increasing_id: the frame appears twice in a search
+    * DAG (scoring subtree + join-back) and mono-ids are recomputed per
+    * evaluation, so a repartitioned input would permute the join. Rows
+    * with identical (content, vector) collapse to one id — harmless for
+    * membership semantics. ONE derivation shared by every search view
+    * (federated / filtered / radius) and every persisted SQL-side store,
+    * because the id contract is what maps store hits back to contents.
+    */
+  private def canonCorpus(src: DataFrame, contentCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    src.select(col(contentCol).as("__content"),
+        col(vecCol).cast("array<float>").as("__cvec"))
+      .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
+      .dropDuplicates("__cid")
+  }
+
+  /** Build-once persisted HNSW store for a beyond-cap registration.
+    * Index-once/probe-many like the pq/sq/bq cached artifacts: the
+    * graphs persist per (application, registration) via writeIndex —
+    * repeated statements run ZERO build passes — and nShards is sized
+    * from the corpus count at build time so a beyond-cap corpus never
+    * trips the per-shard heap bound the in-flight defaults would
+    * (target ~1M rows per shard graph). Check-then-build runs under one
+    * monitor: two concurrent statements on a fresh registration must
+    * not both run the overwrite build on the shared path (the
+    * synchronized-ModelCache discipline the pq/sq/bq families get for
+    * free).
+    */
+  private def hnswStoreFor(c: DataFrame, big: DfCorpus): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sql_hnsw_" +
+      s"${spark.sparkContext.applicationId}_${big.tag}"
+    GraftSql.hnswBuildLock.synchronized {
+      if (!graft.operators.FsUtil.exists(spark, s"$path/_meta/_SUCCESS")) {
+        val shards = graft.operators.HnswSearch.shardsFor(c.count())
+        graft.operators.HnswSearch.writeIndex(c, "__cid", "__cvec", path,
+          nShards = shards, m = 8, efConstruction = 64, metric = "dot")
+      }
+    }
+    path
+  }
+
+  /** Build-once persisted IVF store for a beyond-cap registration, laid
+    * out for FILTERED serving: every non-reserved source column rides
+    * as PAYLOAD next to the vectors, so a metadata predicate evaluates
+    * inside the partition-pruned probe scan as a parquet PushedFilter —
+    * no join back to the source corpus per statement (the at-scale
+    * contract of [[graft.operators.IvfSearch.searchIndex]]). Same
+    * build-once/lock discipline as [[hnswStoreFor]].
+    */
+  private def ivfStoreFor(src: DataFrame, contentCol: String,
+      vecCol: String, big: DfCorpus): String = {
+    import org.apache.spark.sql.functions._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sql_ivf_" +
+      s"${spark.sparkContext.applicationId}_${big.tag}"
+    GraftSql.hnswBuildLock.synchronized {
+      if (!graft.operators.FsUtil.exists(spark, s"$path/centroids/_SUCCESS")) {
+        // reserved store names can't be payload; the vector column is
+        // already the store's `vec` — carrying it again would double
+        // the store bytes for nothing
+        val payload = src.columns.toSeq
+          .filterNot(Set("id", "vec", "cell", "epoch", vecCol))
+        val withIds = src
+          .withColumn("__cvec", col(vecCol).cast("array<float>"))
+          .withColumn("__cid", xxhash64(col(contentCol), col("__cvec")))
+          .dropDuplicates("__cid")
+        graft.operators.IvfSearch.writeIndex(withIds, "__cid", "__cvec",
+          path, nList = 16, payload = payload)
+      }
+    }
+    path
+  }
+
   private def fedSearchView(
       table: String, vecExpr: String, big: DfCorpus, k: Int,
       views: scala.collection.mutable.Buffer[String]): String = {
     import org.apache.spark.sql.functions._
-    // deterministic content-derived ids, NOT monotonically_increasing_id:
-    // both q and c appear twice in the DAG (scoring subtree + join-back)
-    // and mono-ids are recomputed per evaluation, so a repartitioned
-    // input would permute the join. Rows with identical (content, vector)
-    // collapse to one id — harmless for top-k membership.
     val base = spark.table(table)
     val q = base.withColumn("__qid", xxhash64(expr(vecExpr)))
-    val c = big.df
-      .select(col(big.contentCol).as("__content"),
-        col(big.vecCol).cast("array<float>").as("__cvec"))
-      .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
-      .dropDuplicates("__cid")
+    val c = canonCorpus(big.df, big.contentCol, big.vecCol)
     val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"))
     val ranked = big.indexType match {
       case "ivf" =>
@@ -965,27 +1054,8 @@ class GraftSql(
         // sharded small-world graphs (the Atlas/Lucene family the
         // reference's $vectorSearch actually runs on); numCandidates
         // maps to the layer-0 beam width, the HNSW recall knob.
-        // Index-once/probe-many like the pq/sq/bq cached artifacts:
-        // the graphs persist per (application, registration) via
-        // writeIndex — repeated statements run ZERO build passes — and
-        // nShards is sized from the corpus count at build time so a
-        // beyond-cap corpus never trips the per-shard heap bound the
-        // in-flight defaults would (target ~1M rows per shard graph).
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_sql_hnsw_" +
-          s"${spark.sparkContext.applicationId}_${big.tag}"
-        // check-then-build under one monitor: two concurrent statements
-        // on a fresh registration must not both run the overwrite build
-        // on the shared path (the synchronized-ModelCache discipline
-        // the pq/sq/bq families get for free)
-        GraftSql.hnswBuildLock.synchronized {
-          if (!graft.operators.FsUtil.exists(spark, s"$path/_meta/_SUCCESS")) {
-            val shards = graft.operators.HnswSearch.shardsFor(c.count())
-            graft.operators.HnswSearch.writeIndex(c, "__cid", "__cvec", path,
-              nShards = shards, m = 8, efConstruction = 64, metric = "dot")
-          }
-        }
-        graft.operators.HnswSearch.searchIndex(spark, path, qv,
-          "__qid", "__qvec", k,
+        graft.operators.HnswSearch.searchIndex(spark, hnswStoreFor(c, big),
+          qv, "__qid", "__qvec", k,
           efSearch = math.max(k, math.min(big.numCandidates, 10000)),
           maxQueries = 10000)
           .select(col("__qid"), col("rank").as("__rank"),
@@ -995,16 +1065,103 @@ class GraftSql(
           .select(col("__qid"), posexplode(col("matches")).as(Seq("__rank", "__m")))
           .select(col("__qid"), col("__rank"), col("__m.id").as("__cid"))
     }
-    val resolved = ranked
+    searchResultsView("fedsearch", q, ranked, c, views)
+  }
+
+  /** Index-served FILTERED_SEARCH for a beyond-cap registration: the
+    * exact pre-filter path re-scans the corpus per statement, which at
+    * 100 TB is exactly what the registered index exists to avoid — so a
+    * corpus declared `'ivf'` probes its persisted store with the
+    * predicate PUSHED INTO the pruned cell scan
+    * ([[graft.operators.IvfSearch.searchIndex]]'s payload layout: a
+    * parquet PushedFilter stacked on the partition pruning), and
+    * `'hnsw'` serves the standard post-filter-with-over-fetch strategy
+    * ([[graft.operators.HnswSearch.searchIndexFiltered]]) against an
+    * admitted-id set that is predicate-selectivity-sized. The declared
+    * `numCandidates` budget counts PRE-filter scanned rows — for
+    * selective predicates, register with a larger budget (the
+    * 1/selectivity rule on the operator's Scaladoc).
+    */
+  private def filteredIndexView(
+      table: String, vecExpr: String, big: DfCorpus, k: Int, pred: String,
+      src: DataFrame, contentCol: String, vecCol: String,
+      views: scala.collection.mutable.Buffer[String]): String = {
+    import org.apache.spark.sql.functions._
+    val base = spark.table(table)
+    val q = base.withColumn("__qid", xxhash64(expr(vecExpr)))
+    val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"))
+    val c = canonCorpus(src, contentCol, vecCol)
+    val ranked = big.indexType match {
+      case "ivf" =>
+        val n = VectorSearch.estimatedRows(c, corpusDim(c, big.tag))
+        graft.operators.IvfSearch.searchIndex(spark,
+            ivfStoreFor(src, contentCol, vecCol, big), qv, "__qid", "__qvec",
+            k, "dot",
+            nProbe = graft.operators.IvfSearch.probesForBudget(
+              n, 16, big.numCandidates),
+            filter = expr(pred))
+          .select(col("__qid"), col("rank").as("__rank"),
+            col("match_id").as("__cid"))
+      case "hnsw" =>
+        val admitted = canonCorpus(src.filter(expr(pred)), contentCol, vecCol)
+          .select("__cid")
+        graft.operators.HnswSearch.searchIndexFiltered(spark,
+            hnswStoreFor(c, big), qv, "__qid", "__qvec", admitted, "__cid",
+            k, efSearch = math.max(k, math.min(big.numCandidates, 10000)),
+            overFetch = 4, maxQueries = 10000)
+          .select(col("__qid"), col("rank").as("__rank"),
+            col("match_id").as("__cid"))
+      case other => throw new IllegalStateException(
+        s"filteredIndexView dispatched for index type '$other'")
+    }
+    searchResultsView("filteredsearch", q, ranked, c, views)
+  }
+
+  /** RADIUS_SEARCH: everything within a similarity threshold of each
+    * query — the fixed-radius twin of FEDERATED_SEARCH (FAISS
+    * `range_search`), on the same worksheet dialect. A radius result is
+    * a SET, not a ladder: `search_results` carries the admitted
+    * contents sorted best-first (cosine desc, content asc tie-break)
+    * so the array order is deterministic, but no rank is implied.
+    * Routing follows the registration's byte posture: a collected
+    * (in-memory-sized) corpus serves the exact [[VectorSearch
+    * .radiusFlat]]; a beyond-cap corpus takes the LSH-bucketed scale
+    * path ([[VectorSearch.radiusLsh]] — equi-join on (table, bucket),
+    * exact re-score, precision 1.0 with recall pinned by its contract).
+    */
+  private def radiusSearchView(
+      table: String, vecExpr: String, corpusName: String, threshold: Double,
+      views: scala.collection.mutable.Buffer[String]): String = {
+    import org.apache.spark.sql.functions._
+    val resolved = resolveCorpus(corpusName)
+    val (src, contentCol, vecCol) = corpusSources(corpusName)
+    val base = spark.table(table)
+    val q = base.withColumn("__qid", xxhash64(expr(vecExpr)))
+    val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"))
+      .dropDuplicates("__qid")
+    val c = canonCorpus(src, contentCol, vecCol)
+    val hits = resolved match {
+      case _: InMemCorpus =>
+        VectorSearch.radiusFlat(qv, "__qid", "__qvec",
+          c, "__cid", "__cvec", threshold, "cosine")
+      case _ =>
+        VectorSearch.radiusLsh(qv, "__qid", "__qvec",
+          c, "__cid", "__cvec", threshold, "cosine")
+    }
+    // best-first deterministic order inside the set: sort_array on
+    // (-score, content) — the struct comparator gives score-desc with a
+    // content tie-break, then the rank field is projected away
+    val resolvedHits = hits
+      .select(col("__qid"), col("match_id").as("__cid"), col("score"))
       .join(c.select("__cid", "__content"), "__cid")
       .groupBy("__qid")
-      .agg(sort_array(collect_list(struct(col("__rank"), col("__content"))))
-        .as("__sorted"))
+      .agg(sort_array(collect_list(struct((-col("score")).as("__negscore"),
+        col("__content")))).as("__sorted"))
       .select(col("__qid"),
         transform(col("__sorted"), x =>
           struct(x.getField("__content").as("content"))).as("search_results"))
-    val out = q.join(resolved, Seq("__qid"), "left").drop("__qid")
-    val view = s"graft_fedsearch_${fedViewCounter.incrementAndGet()}"
+    val out = q.join(resolvedHits, Seq("__qid"), "left").drop("__qid")
+    val view = s"graft_radiussearch_${fedViewCounter.incrementAndGet()}"
     out.createOrReplaceTempView(view)
     views += view
     view
@@ -1321,7 +1478,7 @@ object GraftSql {
       """INTERVAL\s*'(\d+)'\s*(\w+)\s+AND\s+""" +
       """`?(\w+)`?\s*\.\s*`?(\w+)`?\s*\+\s*INTERVAL\s*'(\d+)'\s*(\w+)""").r
   private[sql] val LateralRe =
-    """(?is)\bFROM\s+(`?[\w.]+`?)\s*,\s*LATERAL\s+TABLE\s*\(\s*(ML_PREDICT|FEDERATED_SEARCH|FILTERED_SEARCH|HYBRID_SEARCH|PRF_SEARCH|MMR_SEARCH|MAXSIM_SEARCH)\b""".r
+    """(?is)\bFROM\s+(`?[\w.]+`?)\s*,\s*LATERAL\s+TABLE\s*\(\s*(ML_PREDICT|FEDERATED_SEARCH|FILTERED_SEARCH|RADIUS_SEARCH|HYBRID_SEARCH|PRF_SEARCH|MMR_SEARCH|MAXSIM_SEARCH)\b""".r
 
   /** Candidate-pool bound, matching the reference's numCandidates rule:
     * "must be less than or equal to 10,000" (README.md:368).

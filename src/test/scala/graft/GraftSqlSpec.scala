@@ -1358,4 +1358,97 @@ LATERAL TABLE(FILTERED_SEARCH('nope', 3, vector, 'n_chars > 0'));""")
     }
     assert(e2.getMessage.contains("unknown search corpus"))
   }
+
+  test("RADIUS_SEARCH: SQL facade equals the radius operators on both " +
+      "byte postures (flat in-mem, LSH beyond-cap)") {
+    val g = facade()
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").cast("string").as("content"),
+      col("embedding").as("vector"))
+    val qs = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    qs.createOrReplaceTempView("radius_qs")
+    def hitsOf(stmt: String): Map[Long, Set[Long]] =
+      g.execute(stmt)
+        .select(col("query_id"), col("search_results")).collect()
+        .map(r => r.getLong(0) -> (
+          if (r.isNullAt(1)) Set.empty[Long]
+          else r.getSeq[org.apache.spark.sql.Row](1)
+            .map(_.getString(0).toLong).toSet)).toMap
+    // in-mem posture -> exact radiusFlat
+    g.registerSearchCorpus("rad_small", corpus, "content", "vector")
+    val gotFlat = hitsOf("""SELECT query_id, search_results FROM radius_qs,
+LATERAL TABLE(RADIUS_SEARCH('rad_small', 0.3, qv));""")
+    val wantFlat = graft.operators.VectorSearch.radiusFlat(qs, "query_id",
+        "qv", emb, "vec_id", "embedding", 0.3, "cosine")
+      .select(col("query_id"), col("match_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(gotFlat.filter(_._2.nonEmpty) == wantFlat && wantFlat.nonEmpty)
+    // beyond-cap posture -> LSH-bucketed scale path (same defaults)
+    g.registerSearchCorpus("rad_big", corpus, "content", "vector", maxRows = 0)
+    val gotLsh = hitsOf("""SELECT query_id, search_results FROM radius_qs,
+LATERAL TABLE(RADIUS_SEARCH('rad_big', 0.3, qv));""")
+    val wantLsh = graft.operators.VectorSearch.radiusLsh(qs, "query_id",
+        "qv", emb, "vec_id", "embedding", 0.3, "cosine")
+      .select(col("query_id"), col("match_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(gotLsh.filter(_._2.nonEmpty) == wantLsh)
+    // the LSH path is a subset of exact (precision 1.0 by construction)
+    gotLsh.foreach { case (q, ms) =>
+      assert(ms.subsetOf(wantFlat.getOrElse(q, Set.empty))) }
+    // search_results order is best-first: first hit of a self-query is
+    // the query's own vector (cosine 1.0)
+    val firsts = g.execute("""SELECT query_id, search_results FROM radius_qs,
+LATERAL TABLE(RADIUS_SEARCH('rad_small', 0.3, qv));""")
+      .select(col("query_id"),
+        element_at(col("search_results"), 1).getField("content").as("top"))
+      .as[(Long, String)].collect()
+    firsts.foreach { case (q, top) => assert(top.toLong == q,
+      s"query $q: best-first order broken, top=$top") }
+  }
+
+  test("FILTERED_SEARCH on an indexed registration serves from the " +
+      "persisted store: ivf payload pushdown and hnsw over-fetch") {
+    val g = facade()
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").cast("string").as("content"),
+      col("embedding").as("vector"), col("label"))
+    val qs = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    qs.createOrReplaceTempView("fidx_qs")
+    def hitsOf(corpusName: String): Map[Long, Set[Long]] =
+      g.execute(s"""SELECT query_id, search_results FROM fidx_qs,
+LATERAL TABLE(FILTERED_SEARCH('$corpusName', 3, qv, 'label % 4 = 1'));""")
+        .select(col("query_id"), col("search_results")).collect()
+        .map(r => r.getLong(0) -> (
+          if (r.isNullAt(1)) Set.empty[Long]
+          else r.getSeq[org.apache.spark.sql.Row](1)
+            .map(_.getString(0).toLong).toSet)).toMap
+    val exact = graft.operators.VectorSearch.topKFiltered(qs, "query_id",
+        "qv", emb, "vec_id", "embedding", col("label") % 4 === 1,
+        k = 3, metric = "dot")
+      .select(col("query_id"), col("match_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val admitted = emb.filter(col("label") % 4 === 1)
+      .select("vec_id").as[Long].collect().toSet
+    // ivf: with the default 10k budget on this corpus the probe covers
+    // every cell, so the payload-pushdown serve IS the exact result
+    g.registerSearchCorpus("fidx_ivf", corpus, "content", "vector",
+      maxRows = 0, indexType = "ivf")
+    val gotIvf = hitsOf("fidx_ivf")
+    assert(gotIvf == exact && exact.nonEmpty,
+      "full-probe ivf filtered serve must equal the exact filtered top-k")
+    // hnsw: over-fetch post-filter — absolute safety (only admitted ids)
+    // plus the self-retrieval guarantee (each query's own admitted
+    // vector is its dot-product argmax, well inside the over-fetch)
+    g.registerSearchCorpus("fidx_hnsw", corpus, "content", "vector",
+      maxRows = 0, indexType = "hnsw")
+    val gotHnsw = hitsOf("fidx_hnsw")
+    gotHnsw.values.flatten.foreach(m =>
+      assert(admitted(m), s"hnsw served non-admitted id $m"))
+    gotHnsw.filterKeys(admitted).foreach { case (q, ms) =>
+      assert(ms.contains(q), s"admitted query $q lost its own vector") }
+  }
 }
