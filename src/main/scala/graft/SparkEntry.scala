@@ -522,6 +522,22 @@ object SparkEntry {
     ()
   }
 
+  /** The ONE build-once persisted HNSW store over the embeddings table —
+    * q_hnsw_index_recall and q_hnsw_filtered_recall both probe it (the
+    * index-once discipline every *_index_recall query follows). v2: the
+    * segment layout added the epoch partition column — a stale pre-epoch
+    * index under the same content tag must not serve.
+    */
+  private def hnswIndexStore(s: SparkSession, dir: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_index_v2_" +
+      indexTag(dir)
+    if (!graft.operators.FsUtil.exists(s, s"$path/_meta/_SUCCESS"))
+      graft.operators.HnswSearch.writeIndex(t(s, dir, "embeddings"),
+        "vec_id", "embedding", path, nShards = 4, m = 8,
+        efConstruction = 64, metric = "dot")
+    path
+  }
+
   /** A FRESH mutable copy of a content-addressed pristine store: `build`
     * runs once per (corpus content, tag) — the index-once discipline
     * every *_index_recall query follows — and each caller mutates its
@@ -1960,17 +1976,10 @@ ORDER BY event_id, event_id2""")
     // q_ivf_index_recall discipline — the benchmark times the PROBE),
     // restore from stored adjacency, serve under the same contract.
     "q_hnsw_index_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      // v2: the segment layout added the epoch partition column — a
-      // stale pre-epoch index under the same content tag must not serve
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_index_v2_" +
-        indexTag(dir)
-      if (!graft.operators.FsUtil.exists(s, s"$path/_meta/_SUCCESS"))
-        graft.operators.HnswSearch.writeIndex(emb, "vec_id", "embedding",
-          path, nShards = 4, m = 8, efConstruction = 64, metric = "dot")
       val queries = annQueries(s, dir)
-      val approx = graft.operators.HnswSearch.searchIndex(s, path, queries,
-        "query_id", "qv", k = 3, efSearch = 32)
+      val approx = graft.operators.HnswSearch.searchIndex(s,
+        hnswIndexStore(s, dir), queries, "query_id", "qv", k = 3,
+        efSearch = 32)
       VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
         "query_id", "match_id", 1)
         .orderBy("query_id")
@@ -2140,14 +2149,10 @@ ORDER BY event_id, event_id2""")
     // allowed-id set; contract against the exact filtered ground truth.
     "q_hnsw_filtered_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_index_v2_" +
-        indexTag(dir)
-      if (!graft.operators.FsUtil.exists(s, s"$path/_meta/_SUCCESS"))
-        graft.operators.HnswSearch.writeIndex(emb, "vec_id", "embedding",
-          path, nShards = 4, m = 8, efConstruction = 64, metric = "dot")
       val queries = annQueries(s, dir)
-      val approx = graft.operators.HnswSearch.searchIndexFiltered(s, path,
-        queries, "query_id", "qv", emb.filter(FilteredPred), "vec_id",
+      val approx = graft.operators.HnswSearch.searchIndexFiltered(s,
+        hnswIndexStore(s, dir), queries, "query_id", "qv",
+        emb.filter(FilteredPred), "vec_id",
         k = 3, efSearch = 32, overFetch = 8)
       VectorSearch.recallContract(approx, annFilteredGroundTruth(s, dir),
         queries, "query_id", "match_id", 1)
@@ -2193,6 +2198,60 @@ ORDER BY event_id, event_id2""")
       VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
         "query_id", "match_id", 1)
         .orderBy("query_id")
+    }),
+
+    // --- index DELETE protocol, IVF-PQ (contract) --------------------------
+    // The compressed-store member of the delete family: the SAME
+    // tombstone lifecycle as q_ivf_delete (cloned pristine store →
+    // tombstone → LWW re-append → serve → compact → serve), gated like
+    // q_hnsw_delete because PQ is lossy — deletion safety is ABSOLUTE
+    // (`no_deleted`: a dead id may never fill a slot in either phase;
+    // the re-rank corpus is deliberately the FULL table so a tombstone
+    // leak would surface instead of being masked by the join), and
+    // retrieval quality is the recall contract against the exact top-3
+    // over the SURVIVING corpus.
+    "q_ivfpq_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val store = clonedStore(s, dir, "ivfpqdel", "stats/_SUCCESS") { p =>
+        graft.operators.IvfPqIndex.writeIndex(emb, "vec_id", "embedding",
+          p, nList = 8, m = 8, kCodes = 16)
+        // consolidate once (build-then-optimize, the q_ivf_delete rule)
+        graft.operators.IvfPqIndex.compactIndex(s, p)
+      }
+      graft.operators.IvfPqIndex.deleteFromIndex(s, store,
+        emb.filter(col("label") % 5 === 3).select("vec_id"), "vec_id")
+      graft.operators.IvfPqIndex.appendToIndex(
+        emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 === 0),
+        "vec_id", "embedding", store, epoch = 1L)
+      val queries = annQueries(s, dir)
+      val surviving = emb.filter(col("label") % 5 =!= 3 ||
+        col("vec_id") % 2 === 0)
+      val exact = memo(s, dir, "ann_gt_k3_dot_surv")(
+        VectorSearch.topKFlat(queries, "query_id", "qv",
+          surviving, "vec_id", "embedding", k = 3, metric = "dot"))
+      val dead = emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").as("match_id"))
+      def phaseDf(phase: String) = {
+        val approx = graft.operators.IvfPqIndex.searchIndex(s, store,
+            queries, "query_id", "qv", emb, "vec_id", "embedding",
+            k = 3, metric = "dot", nProbe = 8, numCandidates = 200)
+          .localCheckpoint()
+        val noDead = queries.select("query_id").join(
+            approx.join(dead, Seq("match_id"), "left_semi")
+              .select(col("query_id"), lit(false).as("__hit")).distinct(),
+            Seq("query_id"), "left")
+          .select(col("query_id"), coalesce(col("__hit"), lit(true))
+            .as("no_deleted"))
+        VectorSearch.recallContract(approx, exact, queries,
+          "query_id", "match_id", 1)
+          .join(noDead, Seq("query_id"))
+          .select(lit(phase).as("phase"), col("query_id"),
+            col("recall_ok"), col("no_deleted"))
+      }
+      val served = phaseDf("served").localCheckpoint()
+      graft.operators.IvfPqIndex.compactIndex(s, store)
+      served.unionByName(phaseDf("compacted"))
+        .orderBy("phase", "query_id")
     }),
 
     // --- SQL surface: CUBE grouping sets with grouping() flags ------------
@@ -4791,6 +4850,12 @@ values (
     "q_ivfpq_index_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_ivfpq_delete" ->
+      ("SELECT p.phase, vec_id AS query_id, TRUE AS recall_ok, " +
+        "TRUE AS no_deleted FROM embeddings, " +
+        "(VALUES ('served'), ('compacted')) AS p(phase) " +
+        "WHERE vec_id % 20 = 0 ORDER BY phase, query_id"),
 
     "q_ivf_index_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +

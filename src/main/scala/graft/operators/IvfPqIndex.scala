@@ -117,6 +117,17 @@ object IvfPqIndex {
       excludeEpoch: Long = Long.MinValue): (Long, Long) =
     IvfSearch.compactIndex(spark, path, excludeEpoch)
 
+  /** Delete documents' codes from the store — identical layout, one
+    * shared tombstone protocol (see [[IvfSearch.deleteFromIndex]] and
+    * [[Tombstones]]): dead code rows never reach the ADC scan
+    * ([[searchIndex]] filters them), a later re-append out-lives the
+    * delete, and [[compactIndex]] heals physically + retires the
+    * tombstones. Returns the tombstone epoch used.
+    */
+  def deleteFromIndex(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String, epoch: Option[Long] = None): Long =
+    IvfSearch.deleteFromIndex(spark, path, ids, idCol, epoch)
+
   /** Codebook shape is derived from the persisted rows — see
     * [[PqSearch.loadCodebooks]] (one loader for both index families).
     */

@@ -346,6 +346,48 @@ object Streams {
       }
       .start()
 
+  /** [[ivfCdcStream]]'s twin for the compressed IVF-PQ store — the same
+    * sub-epoch tombstone dance (every changed id tombstones at 2e, live
+    * upserts land at 2e+1 via [[graft.operators.IvfPqIndex
+    * .appendToIndex]], which encodes through the STORED coarse
+    * centroids and codebooks — no retraining per micro-batch), so a
+    * compressed index can track a keyed change stream: without it, a
+    * store whose raw vectors were discarded at encode time has no way
+    * to apply upserts. Replay idempotency, seqCol in-batch resolution,
+    * and the compaction cadence are identical to the IVF front (the
+    * two stores share the `corpus/cell=/epoch=` layout and compactor).
+    */
+  def ivfPqCdcStream(
+      records: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, checkpointDir: String,
+      seqCol: Option[String] = None,
+      onStats: graft.operators.AppendStats => Unit = _ => (),
+      compactEvery: Long = 0): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val resolved = resolveCdc(batch, idCol, vecCol, seqCol)
+        try {
+          val changed = resolved.select(idCol).distinct()
+          val live = resolved.filter(col(vecCol).isNotNull)
+          if (!changed.isEmpty) {
+            graft.operators.IvfPqIndex.deleteFromIndex(spark, indexPath,
+              changed, idCol, Some(epochKey(checkpointDir, 2 * epoch)))
+            if (!live.isEmpty)
+              onStats(graft.operators.IvfPqIndex.appendToIndex(
+                live, idCol, vecCol, indexPath,
+                epoch = epochKey(checkpointDir, 2 * epoch + 1)))
+          }
+          if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
+            graft.operators.IvfPqIndex.compactIndex(spark, indexPath,
+              excludeEpoch = epochKey(checkpointDir, 2 * epoch + 1))
+        } finally graft.operators.IndexMaintenance.unpersistCheckpoint(resolved)
+        ()
+      }
+      .start()
+
   /** [[ivfCdcStream]]'s twin for HNSW stores. Upserts need NO
     * self-tombstone here — serve-time last-writer-wins already lets a
     * later epoch's vector supersede the id ([[graft.operators

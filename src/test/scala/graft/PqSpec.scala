@@ -275,4 +275,100 @@ class PqSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(stored.intersect(victimIds).isEmpty)
   }
+
+  test("ivfPqCdcStream: tombstones delete, upserts replace without " +
+      "duplicates, later drains win, compaction cadence heals") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_cdc_idx").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_cdc_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivfpq_cdc_ck").toString
+    graft.operators.IvfPqIndex.writeIndex(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", path, nList = 4, m = 8, kCodes = 16)
+    val schema = emb.select(col("vec_id"), col("embedding")).schema
+    // the exact re-rank joins full vectors BY ID from the primary store
+    // (searchIndex's contract: the code store never holds raw vectors) —
+    // after a CDC drain the primary store reflects the changes, so the
+    // re-rank corpus must too: id 50 carries id 300's vector post-upsert
+    val postCdc = emb.filter(col("vec_id") =!= 50)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") === 300)
+        .select(lit(50L).as("vec_id"), col("embedding")))
+    def serveWith(qid: Long, qVecOf: Long, k: Int = 1): Seq[Long] = {
+      val q = emb.filter(col("vec_id") === qVecOf)
+        .select(lit(qid).as("qid"), col("embedding").as("qv"))
+      graft.operators.IvfPqIndex.searchIndex(spark, path, q, "qid", "qv",
+          postCdc, "vec_id", "embedding", k = k, metric = "cosine",
+          nProbe = 4, numCandidates = 50)
+        .orderBy("rank").select("match_id").as[Long].collect().toSeq
+    }
+    // drain 1: delete id 0 (null-vector tombstone), upsert id 50 with
+    // id 300's vector — the REPLACE must kill 50's old codes with it
+    emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"),
+        lit(null).cast(schema("embedding").dataType).as("embedding"))
+      .unionByName(emb.filter(col("vec_id") === 300)
+        .select(lit(50L).as("vec_id"), col("embedding")))
+      .write.mode("overwrite").parquet(srcDir)
+    graft.streaming.Streams.ivfPqCdcStream(
+      graft.streaming.Streams.fileStream(spark, srcDir, schema),
+      "vec_id", "embedding", path, ckpt).awaitTermination()
+    assert(serveWith(0L, qVecOf = 0L) != Seq(0L), "tombstoned id still serves")
+    assert(serveWith(50L, qVecOf = 50L) != Seq(50L),
+      "the OLD codes of an upserted id must be dead")
+    val hits = serveWith(50L, qVecOf = 300L, k = 2)
+    assert(hits.head == 50L, s"replaced vector must serve the id: $hits")
+    assert(hits.count(_ == 50L) == 1, s"duplicate rows for the upserted id: $hits")
+    // drain 2 over the same checkpoint: re-insert id 0 — LWW revives it
+    emb.filter(col("vec_id") === 0).select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(srcDir)
+    graft.streaming.Streams.ivfPqCdcStream(
+      graft.streaming.Streams.fileStream(spark, srcDir, schema),
+      "vec_id", "embedding", path, ckpt, compactEvery = 1).awaitTermination()
+    assert(serveWith(0L, qVecOf = 0L) == Seq(0L), "re-inserted id must serve again")
+    // cadence compaction kept the in-flight epoch's tombstones; offline
+    // compaction retires everything, serve is stable
+    graft.operators.IvfPqIndex.compactIndex(spark, path)
+    assert(!graft.operators.Tombstones.exists(spark, path))
+    assert(serveWith(0L, qVecOf = 0L) == Seq(0L))
+    assert(serveWith(50L, qVecOf = 50L) != Seq(50L))
+  }
+
+  test("ivfPqCdcStream: ambiguous multi-change batches are rejected; seqCol resolves") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_cdc2_idx").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_cdc2_src").toString
+    graft.operators.IvfPqIndex.writeIndex(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", path, nList = 4, m = 8, kCodes = 16)
+    val vec0 = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding"), lit(1L).as("seq"))
+    val tomb0 = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"),
+        lit(null).cast(vec0.schema("embedding").dataType).as("embedding"),
+        lit(2L).as("seq"))
+    val both = vec0.unionByName(tomb0)
+    both.write.mode("overwrite").parquet(srcDir)
+    val schema = both.schema
+    // unordered: ambiguous -> the micro-batch fails loudly
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft_ivfpq_cdc2_ck1").toString
+    val q1 = graft.streaming.Streams.ivfPqCdcStream(
+      graft.streaming.Streams.fileStream(spark, srcDir, schema)
+        .select("vec_id", "embedding"),
+      "vec_id", "embedding", path, ckpt1)
+    val e = intercept[Exception] { q1.awaitTermination() }
+    assert(e.getMessage != null && e.getMessage.contains("seqCol") ||
+      e.getCause != null && e.getCause.getMessage.contains("seqCol"))
+    // with seqCol the LATEST record wins: seq 2 is the tombstone
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ivfpq_cdc2_ck2").toString
+    graft.streaming.Streams.ivfPqCdcStream(
+      graft.streaming.Streams.fileStream(spark, srcDir, schema),
+      "vec_id", "embedding", path, ckpt2, seqCol = Some("seq"))
+      .awaitTermination()
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val served = graft.operators.IvfPqIndex.searchIndex(spark, path, q,
+        "qid", "qv", emb, "vec_id", "embedding",
+        k = 1, metric = "cosine", nProbe = 4, numCandidates = 50)
+      .select("match_id").as[Long].collect().toSeq
+    assert(served != Seq(0L), "seq-resolved tombstone must win the batch")
+  }
 }
