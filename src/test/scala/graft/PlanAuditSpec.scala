@@ -480,6 +480,26 @@ class PlanAuditSpec extends SparkSpec {
       s"label predicate not pushed to any scan: $pushed")
   }
 
+  test("q_sql_filtered_indexed: the facade serves from the persisted " +
+      "store with the predicate pushed into the pruned cell scan") {
+    // plain collect (no subquery descent): the facade plan carries a
+    // scalar subquery whose inner plan is still logical at this stage,
+    // which trips collectWithSubqueries' SparkPlan cast; the store scan
+    // lives in the main plan either way
+    val ss = SparkEntry.queries("q_sql_filtered_indexed")(spark, sf)
+      .queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }
+    // the plan must read the build-once SQL-side IVF store, not re-scan
+    // the source corpus per statement (the whole point of the route)
+    val store = ss.filter(s =>
+      s.metadata.getOrElse("Location", "").contains("graft_sql_ivf"))
+    assert(store.nonEmpty,
+      "no persisted-store scan in the plan — the facade fell back to a source-corpus scan")
+    val pushed = store.flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(_.contains("label")),
+      s"label predicate not pushed into the store scan: $pushed")
+  }
+
   test("tombstone-filtered IVF serve: dead-row filter is an equi-join, " +
       "store scan still prunes to probed cells") {
     import spark.implicits._
