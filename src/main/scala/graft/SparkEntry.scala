@@ -2560,7 +2560,37 @@ WITH (
             "/nonexistent_store", t(s, dir, "embeddings").limit(1)
               .select(col("vec_id").as("qid"), col("embedding").as("qv")),
             "qid", "qv", t(s, dir, "embeddings").select("vec_id"), "vec_id",
-            k = 3, overFetch = 0)))
+            k = 3, overFetch = 0)),
+        ("radius_bad_args", "RADIUS_SEARCH expects",
+          () => {
+            t(s, dir, "embeddings").limit(1)
+              .select(col("embedding").as("vector"))
+              .createOrReplaceTempView("q_et_rad_src")
+            g.execute("SELECT * FROM q_et_rad_src, " +
+              "LATERAL TABLE(RADIUS_SEARCH('whatever', 0.3));")
+          }),
+        ("radius_unknown_corpus", "unknown search corpus",
+          () => {
+            t(s, dir, "embeddings").limit(1)
+              .select(col("embedding").as("vector"))
+              .createOrReplaceTempView("q_et_rad_src2")
+            g.execute("SELECT * FROM q_et_rad_src2, " +
+              "LATERAL TABLE(RADIUS_SEARCH('no_such_corpus', 0.3, vector));")
+          }),
+        ("filtered_pred_unresolved", "does not resolve against",
+          () => {
+            g.registerSearchCorpus("q_et_meta",
+              t(s, dir, "documents").limit(20).select(
+                col("text").as("content"),
+                graft.functions.HashEmbedder.embedCol(col("text")).as("vector")),
+              "content", "vector")
+            t(s, dir, "embeddings").limit(1)
+              .select(col("embedding").as("vector"))
+              .createOrReplaceTempView("q_et_flt_src")
+            g.execute("SELECT * FROM q_et_flt_src, " +
+              "LATERAL TABLE(FILTERED_SEARCH('q_et_meta', 3, vector, " +
+              "'no_such_col = 1'));")
+          }))
       val rows = cases.map { case (name, needle, act) =>
         val (cls, detail) =
           try { act(); ("NO_ERROR", s"MISSING: $needle") }
@@ -3893,7 +3923,13 @@ values (
         "('payload_reserved', 'IllegalArgumentException', " +
         "'collides with a reserved store column'), " +
         "('filtered_overfetch', 'IllegalArgumentException', " +
-        "'overFetch must be >= 1')" +
+        "'overFetch must be >= 1'), " +
+        "('radius_bad_args', 'IllegalArgumentException', " +
+        "'RADIUS_SEARCH expects'), " +
+        "('radius_unknown_corpus', 'IllegalArgumentException', " +
+        "'unknown search corpus'), " +
+        "('filtered_pred_unresolved', 'IllegalArgumentException', " +
+        "'does not resolve against')" +
         ") AS t(case_name, error_class, detail) ORDER BY case_name"),
 
     "q_insert_values" ->
