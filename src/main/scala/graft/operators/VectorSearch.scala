@@ -220,16 +220,36 @@ object VectorSearch {
     * of each query — similarity ≥ threshold for dot/cosine, distance ≤
     * threshold for l2 — the fixed-radius twin of top-k (FAISS
     * `range_search`). Output (qId, match_id, score), UNranked: a radius
-    * result is a set, not a ladder. Exact baseline; [[radiusLsh]] is the
-    * scale path when the corpus outgrows the broadcast side.
+    * result is a set, not a ladder.
+    *
+    * The broadcast is byte-guarded (the [[topKBroadcast]] stats check):
+    * beyond `maxCorpusBytes` the SAME exact |Q|×|C| scan runs as a
+    * replicated-block shuffle equi-join ([[groupMaxSimTopK]]'s fallback
+    * shape — queries replicate across block ids, corpus rows hash to
+    * one block each, AQE-splittable) so exactness is preserved with no
+    * driver-memory hazard. [[radiusLsh]] remains the preferred scale
+    * path when approximate recall is acceptable — it prunes the scan
+    * instead of distributing it.
     */
   def radiusFlat(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
-      threshold: Double, metric: String = "dot"): DataFrame = {
-    val c = broadcast(corpus.select(col(cId).as("match_id"), col(cVec).as("__cvec")))
-    queries
-      .crossJoin(c)
+      threshold: Double, metric: String = "dot",
+      maxCorpusBytes: Long = 1L << 30): DataFrame = {
+    val c = corpus.select(col(cId).as("match_id"), col(cVec).as("__cvec"))
+    val scored =
+      if (corpus.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          BigInt(maxCorpusBytes))
+        queries.crossJoin(broadcast(c))
+      else {
+        val nBlocks = queries.sparkSession.sessionState.conf.numShufflePartitions
+        val cB = c.withColumn("__blk",
+          pmod(xxhash64(col("match_id"), col("__cvec")), lit(nBlocks)).cast("int"))
+        val qB = queries.withColumn("__blk",
+          explode(sequence(lit(0), lit(nBlocks - 1))))
+        qB.join(cB, "__blk").drop("__blk")
+      }
+    scored
       .withColumn("score", scoreCol(metric)(col(qVec), col("__cvec")))
       .filter(radiusPred(metric, threshold))
       .drop("__cvec")

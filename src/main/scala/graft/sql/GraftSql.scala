@@ -749,17 +749,23 @@ class GraftSql(
             s"${fedSearchView(table, parts(2), fc, k, views)} AS $alias"
         }
       case "radius_search" =>
-        // RADIUS_SEARCH('corpus', threshold, vectorCol): every corpus
-        // vector with cosine ≥ threshold of the row's query vector —
-        // the reference's pattern is every search shape reachable from
-        // the worksheet (README.md:404-407); hits come back as
-        // `search_results` like every other search lateral.
+        // RADIUS_SEARCH('corpus', threshold, vectorCol [, nBits,
+        // nTables]): every corpus vector with cosine ≥ threshold of the
+        // row's query vector — the reference's pattern is every search
+        // shape reachable from the worksheet (README.md:404-407); hits
+        // come back as `search_results` like every other search
+        // lateral. The optional LSH knobs apply on the beyond-cap path
+        // only; defaults are the parameters the radius recall contract
+        // measured (≥50% margin at all three SFs — q_radius_lsh_recall).
         val parts = splitArgs(args)
-        require(parts.length == 3,
-          s"RADIUS_SEARCH expects ('corpus', threshold, vectorCol), got: $args")
+        require(parts.length >= 3 && parts.length <= 5,
+          s"RADIUS_SEARCH expects ('corpus', threshold, vectorCol[, nBits, nTables]), got: $args")
         val corpus = unquote(parts(0))
         val threshold = parts(1).trim.toDouble
-        s"${radiusSearchView(table, parts(2), corpus, threshold, views)} AS $alias"
+        val nBits = if (parts.length >= 4) parts(3).trim.toInt else 4
+        val nTables = if (parts.length >= 5) parts(4).trim.toInt else 24
+        s"${radiusSearchView(table, parts(2), corpus, threshold,
+          nBits, nTables, views)} AS $alias"
       case "hybrid_search" =>
         // HYBRID_SEARCH('corpus', k, vectorCol, textCol): reciprocal-rank
         // fusion of the corpus's vector ranking with a BM25 keyword
@@ -1131,6 +1137,7 @@ class GraftSql(
     */
   private def radiusSearchView(
       table: String, vecExpr: String, corpusName: String, threshold: Double,
+      nBits: Int, nTables: Int,
       views: scala.collection.mutable.Buffer[String]): String = {
     import org.apache.spark.sql.functions._
     val resolved = resolveCorpus(corpusName)
@@ -1146,7 +1153,8 @@ class GraftSql(
           c, "__cid", "__cvec", threshold, "cosine")
       case _ =>
         VectorSearch.radiusLsh(qv, "__qid", "__qvec",
-          c, "__cid", "__cvec", threshold, "cosine")
+          c, "__cid", "__cvec", threshold, "cosine",
+          nBits = nBits, nTables = nTables)
     }
     // best-first deterministic order inside the set: sort_array on
     // (-score, content) — the struct comparator gives score-desc with a

@@ -1385,15 +1385,26 @@ LATERAL TABLE(RADIUS_SEARCH('rad_small', 0.3, qv));""")
       .select(col("query_id"), col("match_id")).as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(gotFlat.filter(_._2.nonEmpty) == wantFlat && wantFlat.nonEmpty)
-    // beyond-cap posture -> LSH-bucketed scale path (same defaults)
+    // beyond-cap posture -> LSH-bucketed scale path (the facade defaults
+    // to the recall-contract-measured parameters: nBits=4, nTables=24)
     g.registerSearchCorpus("rad_big", corpus, "content", "vector", maxRows = 0)
     val gotLsh = hitsOf("""SELECT query_id, search_results FROM radius_qs,
 LATERAL TABLE(RADIUS_SEARCH('rad_big', 0.3, qv));""")
     val wantLsh = graft.operators.VectorSearch.radiusLsh(qs, "query_id",
-        "qv", emb, "vec_id", "embedding", 0.3, "cosine")
+        "qv", emb, "vec_id", "embedding", 0.3, "cosine",
+        nBits = 4, nTables = 24)
       .select(col("query_id"), col("match_id")).as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(gotLsh.filter(_._2.nonEmpty) == wantLsh)
+    // explicit knobs pass through to the operator
+    val gotLsh8 = hitsOf("""SELECT query_id, search_results FROM radius_qs,
+LATERAL TABLE(RADIUS_SEARCH('rad_big', 0.3, qv, 4, 8));""")
+    val wantLsh8 = graft.operators.VectorSearch.radiusLsh(qs, "query_id",
+        "qv", emb, "vec_id", "embedding", 0.3, "cosine",
+        nBits = 4, nTables = 8)
+      .select(col("query_id"), col("match_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(gotLsh8.filter(_._2.nonEmpty) == wantLsh8)
     // the LSH path is a subset of exact (precision 1.0 by construction)
     gotLsh.foreach { case (q, ms) =>
       assert(ms.subsetOf(wantFlat.getOrElse(q, Set.empty))) }

@@ -252,6 +252,26 @@ class RobustnessSpec extends SparkSpec {
       "bitset kernel and relational fallback disagree")
   }
 
+  test("radiusFlat byte cap falls back to the replicated-block join: " +
+      "same pairs, no cartesian") {
+    val emb = Tables(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "match_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBroadcast = VectorSearch.radiusFlat(qs, "qid", "qv",
+      emb, "vec_id", "embedding", 0.3, "cosine")
+    // a 1 KB cap forces the distributed exact path
+    val viaBlocks = VectorSearch.radiusFlat(qs, "qid", "qv",
+      emb, "vec_id", "embedding", 0.3, "cosine", maxCorpusBytes = 1024)
+    assert(pairs(viaBroadcast) == pairs(viaBlocks) && pairs(viaBroadcast).nonEmpty,
+      "distributed exact radius diverged from the broadcast path")
+    val p = viaBlocks.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the byte-capped radius fallback degenerated into a cartesian scan")
+  }
+
   test("budget-tuned ANN sizes its candidate pool without running a job") {
     // plan CONSTRUCTION must not scan the corpus: the budget comes from
     // Catalyst statistics (the old form ran corpus.count() per call —
