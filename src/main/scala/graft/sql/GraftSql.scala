@@ -1004,6 +1004,22 @@ class GraftSql(
     path
   }
 
+  /** Build-once persisted IVF-PQ store for a beyond-cap registration —
+    * the composed 100 TB layout (coarse cells prune directories, PQ
+    * residual codes compress the scan) on the SQL surface. Same
+    * build-once/lock discipline as [[hnswStoreFor]].
+    */
+  private def ivfPqStoreFor(c: DataFrame, big: DfCorpus): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sql_ivfpq_" +
+      s"${spark.sparkContext.applicationId}_${big.tag}"
+    GraftSql.hnswBuildLock.synchronized {
+      if (!graft.operators.FsUtil.exists(spark, s"$path/stats/_SUCCESS"))
+        graft.operators.IvfPqIndex.writeIndex(c, "__cid", "__cvec", path,
+          nList = 16, m = 8, kCodes = 16)
+    }
+    path
+  }
+
   private def fedSearchView(
       table: String, vecExpr: String, big: DfCorpus, k: Int,
       views: scala.collection.mutable.Buffer[String]): String = {
@@ -1054,6 +1070,22 @@ class GraftSql(
         graft.operators.BqSearch.bqTopK(qv, "__qid", "__qvec",
           c, "__cid", "__cvec", k, m, "dot",
           numCandidates = big.numCandidates, maxQueries = 10000)
+          .select(col("__qid"), col("rank").as("__rank"),
+            col("match_id").as("__cid"))
+      case "ivfpq" =>
+        // the composed at-rest family (FAISS IVFx,PQy): partition-pruned
+        // probe over compressed residual codes, exact re-rank of the
+        // ADC survivors joining the canonical corpus by id. numCandidates
+        // sizes both the probe budget (nProbe) and the survivor pool,
+        // the latter clamped so |queries|×pool stays inside the serve's
+        // per-task heap bound.
+        val n = VectorSearch.estimatedRows(c, corpusDim(c, big.tag))
+        graft.operators.IvfPqIndex.searchIndex(spark, ivfPqStoreFor(c, big),
+            qv, "__qid", "__qvec", c, "__cid", "__cvec", k, "dot",
+            nProbe = graft.operators.IvfSearch.probesForBudget(
+              n, 16, big.numCandidates),
+            numCandidates = math.max(k, math.min(big.numCandidates, 1000)),
+            maxQueries = 10000)
           .select(col("__qid"), col("rank").as("__rank"),
             col("match_id").as("__cid"))
       case "hnsw" =>
@@ -1432,7 +1464,8 @@ object GraftSql {
   /** Search families an external table may declare via
     * '<connector>.index.type'.
     */
-  val IndexTypes: Set[String] = Set("flat", "ivf", "pq", "lsh", "sq", "bq", "hnsw")
+  val IndexTypes: Set[String] =
+    Set("flat", "ivf", "pq", "lsh", "sq", "bq", "hnsw", "ivfpq")
 
   /** Serializes check-then-build of the per-registration persisted hnsw
     * index (see the "hnsw" federated-search route).

@@ -326,6 +326,47 @@ LATERAL TABLE(FEDERATED_SEARCH('hnsw_vector_search', 3, vector));"""
     assert(again.map(_.toString).sorted.toSeq == got.map(_.toString).sorted.toSeq)
   }
 
+  test("ivfpq index family routes FEDERATED_SEARCH through the persisted " +
+      "compressed store; index-once across statements") {
+    val g = facade()
+    val corpus = Tables(spark, sf, "documents").filter(col("doc_id") < 60)
+      .select(col("text").as("content"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    // cap below corpus size → distributed DfCorpus path, so the declared
+    // ivfpq family actually routes (a collected corpus heap-scans exactly)
+    g.registerSearchCorpus("ivfpq_vector_search", corpus, "content", "vector",
+      maxRows = 10, numCandidates = 50, indexType = "ivfpq")
+    val qs = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select(col("doc_id"), graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    qs.createOrReplaceTempView("ivfpq_questions")
+    val stmt = """SELECT doc_id, search_results FROM ivfpq_questions,
+LATERAL TABLE(FEDERATED_SEARCH('ivfpq_vector_search', 3, vector));"""
+    val got = g.execute(stmt).collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getSeq[org.apache.spark.sql.Row](1).length == 3))
+    // the exact re-rank restores self-retrieval even though codes are
+    // lossy: a query equal to a stored vector tops its ADC shortlist
+    val texts = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      val hits = r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).toSet
+      assert(hits.contains(texts(r.getLong(0))), s"doc ${r.getLong(0)} missed itself")
+    }
+    // index-once: the first statement persisted the celled code store; a
+    // second statement probes the same artifact (completion marker mtime
+    // unchanged) and replays exactly
+    val storeDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith(
+        s"graft_sql_ivfpq_${spark.sparkContext.applicationId}_"))
+    assert(storeDirs.nonEmpty, "persisted ivfpq index missing")
+    val marker = new java.io.File(storeDirs.head, "stats/_SUCCESS")
+    assert(marker.exists())
+    val mtime = marker.lastModified()
+    val again = g.execute(stmt).collect()
+    assert(marker.lastModified() == mtime, "second statement rebuilt the index")
+    assert(again.map(_.toString).sorted.toSeq == got.map(_.toString).sorted.toSeq)
+  }
+
   test("pq index trains once per corpus: repeat FEDERATED_SEARCH runs zero training jobs") {
     val g = facade()
     val corpus = Tables(spark, sf, "documents").filter(col("doc_id") < 60)
