@@ -102,8 +102,9 @@ object Tombstones {
       }
     }
     if (sfs.exists(sp)) walk(sp)
-    java.lang.Integer.toHexString(
-      java.util.Arrays.hashCode(sb.toString.getBytes("UTF-8"))) + ":" + sb.length
+    // the raw listing IS the key (LRU holds ≤64 of them): a hash here
+    // could collide into a stale — possibly too-small — widening bound
+    sb.toString
   }
 
   /** Tombstoned ids that still have a DEAD row (row epoch ≤ the id's
