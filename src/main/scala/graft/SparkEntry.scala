@@ -2200,6 +2200,30 @@ ORDER BY event_id, event_id2""")
         .orderBy("query_id")
     }),
 
+    // --- FILTERED IVF-PQ serve: payload pushdown on the compressed store --
+    // The code store carries `label` as payload, so the predicate
+    // evaluates inside the partition-pruned ADC scan (no join back to
+    // the source corpus — the same layout as q_ivf_filtered_recall, on
+    // ~32x fewer bytes). nProbe raised for the ~1/4-selective predicate
+    // (the 1/selectivity budget rule); contract against the exact
+    // FILTERED ground truth.
+    "q_ivfpq_filtered_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqf_index_" +
+        indexTag(dir)
+      if (!graft.operators.FsUtil.exists(s, s"$path/stats/_SUCCESS"))
+        graft.operators.IvfPqIndex.writeIndex(emb, "vec_id", "embedding",
+          path, nList = 16, m = 8, kCodes = 16, payload = Seq("label"))
+      val queries = annQueries(s, dir)
+      val approx = graft.operators.IvfPqIndex.searchIndex(s, path, queries,
+        "query_id", "qv", emb, "vec_id", "embedding",
+        k = 3, metric = "dot", nProbe = 12, numCandidates = 200,
+        filter = FilteredPred)
+      VectorSearch.recallContract(approx, annFilteredGroundTruth(s, dir),
+        queries, "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
     // --- index DELETE protocol, IVF-PQ (contract) --------------------------
     // The compressed-store member of the delete family: the SAME
     // tombstone lifecycle as q_ivf_delete (cloned pristine store →
@@ -4892,6 +4916,10 @@ values (
         "TRUE AS no_deleted FROM embeddings, " +
         "(VALUES ('served'), ('compacted')) AS p(phase) " +
         "WHERE vec_id % 20 = 0 ORDER BY phase, query_id"),
+
+    "q_ivfpq_filtered_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 
     "q_ivf_index_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +

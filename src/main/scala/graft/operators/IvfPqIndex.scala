@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TopKHeap
@@ -33,23 +33,32 @@ object IvfPqIndex {
   def writeIndex(
       corpus: DataFrame, cId: String, cVec: String, path: String,
       nList: Int = 16, m: Int = 8, kCodes: Int = 16, iters: Int = 2,
-      dim: Int = 64): Unit = {
+      dim: Int = 64, payload: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // payload columns ride alongside the CODES (the filtered-search
+    // layout [[IvfSearch.writeIndex]] pioneered): a metadata predicate
+    // evaluates inside the partition-pruned ADC scan as a parquet
+    // PushedFilter, so a filtered probe of a compressed store still
+    // never joins back to the source corpus
+    val reserved = Set("id", "vec", "cell", "epoch", "codes", "v", "rv")
+    payload.foreach(p => require(!reserved(p),
+      s"payload column '$p' collides with a reserved store column ($reserved)"))
     val centroids = IvfSearch.trainCentroids(corpus, cVec, cId, nList, iters, dim)
     val resid = residualUdf(centroids)
     // materialized once: codebook training scans it `iters` times, then
     // the encode pass and the drift-baseline aggregation read it again —
     // unmaterialized, each pass would replay the corpus scan + cell
     // assignment + residual computation
-    val celled = corpus.select(col(cId).cast("long").as("id"),
-        IvfSearch.nearestCell(centroids)(col(cVec)).as("cell"), col(cVec).as("v"))
+    val celled = corpus.select(col(cId).cast("long").as("id") +:
+        IvfSearch.nearestCell(centroids)(col(cVec)).as("cell") +:
+        col(cVec).as("v") +: payload.map(col): _*)
       .withColumn("rv", resid(col("v"), col("cell")))
       .localCheckpoint()
     val cb = PqSearch.trainCodebooks(
       celled.select(col("id"), col("rv")), "id", "rv", m, kCodes, iters, dim)
-    celled.select(col("id"), col("cell"),
-        PqSearch.encodeUdf(cb)(col("rv")).as("codes"))
+    celled.select(col("id") +: col("cell") +:
+        PqSearch.encodeUdf(cb)(col("rv")).as("codes") +: payload.map(col): _*)
       .withColumn("epoch", lit(-1L))
       .write.partitionBy("cell", "epoch").mode("overwrite")
       .parquet(s"$path/corpus")
@@ -87,15 +96,29 @@ object IvfPqIndex {
     val spark = df.sparkSession
     val centroids = IvfSearch.loadCentroids(spark, path)
     val cb = loadCodebooks(spark, path)
-    val celled = df.select(col(cId).cast("long").as("id"),
-        IvfSearch.nearestCell(centroids)(col(cVec)).as("cell"), col(cVec).as("v"))
+    // a payload store's appends MUST carry the same payload columns —
+    // the store's own schema is the contract (the IvfSearch.appendToIndex
+    // rule: an epoch written without them would serve NULL under a
+    // filtered probe and silently vanish from every filtered result)
+    val payloadCols = spark.read.parquet(s"$path/corpus").schema
+      .fieldNames.filterNot(Set("id", "codes", "cell", "epoch")).toSeq
+    val missing = payloadCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"index store at '$path' carries payload columns " +
+        s"${payloadCols.mkString("[", ", ", "]")} (filtered-search layout); " +
+        s"append batch lacks ${missing.mkString("[", ", ", "]")} — supply " +
+        "them or rebuild the store without payload")
+    val celled = df.select(col(cId).cast("long").as("id") +:
+        IvfSearch.nearestCell(centroids)(col(cVec)).as("cell") +:
+        col(cVec).as("v") +: payloadCols.map(col): _*)
       .localCheckpoint()
     // epoch >= 0: idempotent replay via dynamic partition overwrite,
     // under the store lease with swap recovery first (the
     // IvfSearch.appendToIndex exactly-once + recovery rule)
     val coded = celled
       .withColumn("rv", residualUdf(centroids)(col("v"), col("cell")))
-      .select(col("id"), col("cell"), PqSearch.encodeUdf(cb)(col("rv")).as("codes"))
+      .select(col("id") +: col("cell") +:
+        PqSearch.encodeUdf(cb)(col("rv")).as("codes") +: payloadCols.map(col): _*)
       .withColumn("epoch", lit(epoch))
     IndexMaintenance.withStoreLock(spark, path) {
       IndexMaintenance.recoverSwap(spark, s"$path/corpus")
@@ -145,7 +168,8 @@ object IvfPqIndex {
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, metric: String = "dot", nProbe: Int = 4,
-      numCandidates: Int = 100, maxQueries: Int = 10000): DataFrame = {
+      numCandidates: Int = 100, maxQueries: Int = 10000,
+      filter: Column = lit(true)): DataFrame = {
     VectorSearch.requireNumCandidates(numCandidates)
     require(k <= numCandidates, s"k=$k exceeds numCandidates=$numCandidates")
     import spark.implicits._
@@ -208,10 +232,15 @@ object IvfPqIndex {
 
     // tombstoned code rows die before the ADC scan (same delete protocol
     // as IvfSearch.searchIndex — see [[Tombstones]]; deletes heal
-    // physically at compactIndex, which this store shares with IVF)
+    // physically at compactIndex, which this store shares with IVF).
+    // `filter` (over the store's payload columns — see [[writeIndex]])
+    // evaluates inside the same pruned scan as a parquet PushedFilter,
+    // so a FILTERED probe of the compressed store admits only matching
+    // rows into the ADC shortlist — no join back to the source corpus
     val coded = Tombstones.filterLive(spark, path,
         spark.read.parquet(s"$path/corpus")
-          .filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*)),
+          .filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*))
+          .filter(filter),
         "id", "epoch")
       .select(col("id"), col("codes"), col("cell"))
     val candidates = coded.as[(Long, Seq[Int], Int)].mapPartitions { it =>

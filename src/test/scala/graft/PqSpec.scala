@@ -276,6 +276,65 @@ class PqSpec extends SparkSpec {
     assert(stored.intersect(victimIds).isEmpty)
   }
 
+  test("ivf-pq filtered serve: payload predicate admits only matching ids; " +
+      "appends must carry the payload columns") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings").filter(col("vec_id") < 300)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_flt").toString
+    graft.operators.IvfPqIndex.writeIndex(emb.filter(col("vec_id") < 200),
+      "vec_id", "embedding", path, nList = 4, m = 8, kCodes = 16,
+      payload = Seq("label"))
+    val qs = emb.filter(col("vec_id") % 20 === 0 && col("vec_id") < 200)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val admitted = emb.filter(col("vec_id") < 200 && col("label") % 4 === 1)
+      .select("vec_id").as[Long].collect().toSet
+    def serve() = graft.operators.IvfPqIndex.searchIndex(spark, path, qs,
+        "qid", "qv", emb, "vec_id", "embedding", k = 3, metric = "dot",
+        nProbe = 4, numCandidates = 100, filter = col("label") % 4 === 1)
+      .select("qid", "match_id").as[(Long, Long)].collect()
+    val hits = serve()
+    assert(hits.nonEmpty)
+    hits.foreach { case (_, m) =>
+      assert(admitted(m), s"non-admitted id $m served from the filtered probe") }
+    // full probe (= every cell) makes the filtered ADC shortlist cover
+    // the admitted set, so the exact re-rank equals exact filtered top-k
+    val full = graft.operators.IvfPqIndex.searchIndex(spark, path, qs,
+        "qid", "qv", emb, "vec_id", "embedding", k = 3, metric = "dot",
+        nProbe = 4, numCandidates = 200, filter = col("label") % 4 === 1)
+      .select("qid", "match_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = VectorSearch.topKFiltered(qs, "qid", "qv",
+        emb.filter(col("vec_id") < 200), "vec_id", "embedding",
+        col("label") % 4 === 1, k = 3, metric = "dot")
+      .select("qid", "match_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(full == exact, "full-probe filtered ivf-pq diverged from exact filtered top-k")
+    // an append missing the payload column fails loudly (NULL-payload
+    // epochs would silently vanish from every filtered result)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.IvfPqIndex.appendToIndex(
+        emb.filter(col("vec_id") >= 200).select("vec_id", "embedding"),
+        "vec_id", "embedding", path, epoch = 1L)
+    }
+    assert(e.getMessage.contains("payload columns"))
+    // a compliant append serves under the filter immediately
+    graft.operators.IvfPqIndex.appendToIndex(
+      emb.filter(col("vec_id") >= 200).select("vec_id", "embedding", "label"),
+      "vec_id", "embedding", path, epoch = 1L)
+    val lateAdmitted = emb.filter(col("vec_id") >= 200 && col("label") % 4 === 1)
+      .select("vec_id").as[Long].collect().toSet
+    val lateQs = emb.filter(col("vec_id") >= 200)
+      .join(emb.filter(col("label") % 4 === 1 && col("vec_id") >= 200)
+        .select(col("vec_id").as("__a")), col("vec_id") === col("__a"), "left_semi")
+      .limit(2).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    graft.operators.IvfPqIndex.searchIndex(spark, path, lateQs,
+        "qid", "qv", emb, "vec_id", "embedding", k = 1, metric = "dot",
+        nProbe = 4, numCandidates = 100, filter = col("label") % 4 === 1)
+      .select("qid", "match_id").as[(Long, Long)].collect()
+      .foreach { case (q, m) => assert(m == q && lateAdmitted(m),
+        s"appended admitted id $q did not self-retrieve under the filter (got $m)") }
+  }
+
   test("ivfPqCdcStream: tombstones delete, upserts replace without " +
       "duplicates, later drains win, compaction cadence heals") {
     import spark.implicits._
