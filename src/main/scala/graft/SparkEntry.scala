@@ -538,6 +538,20 @@ object SparkEntry {
     path
   }
 
+  /** Its IVF twin: index once (content-addressed path; centroids are
+    * written last, so their _SUCCESS implies the whole index landed),
+    * probed by q_ivf_index_recall AND q_ivf_radius_recall — the
+    * benchmark times the PROBES, never a rebuild.
+    */
+  private def ivfIndexStore(s: SparkSession, dir: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+      indexTag(dir)
+    if (!graft.operators.FsUtil.exists(s, s"$path/centroids/_SUCCESS"))
+      graft.operators.IvfSearch.writeIndex(t(s, dir, "embeddings"),
+        "vec_id", "embedding", path, nList = 16)
+    path
+  }
+
   /** A FRESH mutable copy of a content-addressed pristine store: `build`
     * runs once per (corpus content, tag) — the index-once discipline
     * every *_index_recall query follows — and each caller mutates its
@@ -1990,19 +2004,9 @@ ORDER BY event_id, event_id2""")
     // The at-rest layout is the 100 TB index shape: a probe lists only the
     // probed cells' directories (PlanAuditSpec pins the pruned scan).
     "q_ivf_index_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
-        indexTag(dir)
-      // Index once, probe many: the path is content-addressed by dir +
-      // data-file stats (indexTag), so a
-      // previously built index is valid — the benchmark times the PROBE,
-      // not the build. Centroids are written last, so their _SUCCESS
-      // implies the whole index landed.
-      if (!graft.operators.FsUtil.exists(s, s"$path/centroids/_SUCCESS"))
-        graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding", path,
-          nList = 16)
       val queries = annQueries(s, dir)
-      val approx = graft.operators.IvfSearch.searchIndex(s, path, queries,
+      val approx = graft.operators.IvfSearch.searchIndex(s,
+        ivfIndexStore(s, dir), queries,
         "query_id", "qv", k = 3, metric = "dot", nProbe = 4)
       VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
         "query_id", "match_id", 1)
@@ -2177,6 +2181,25 @@ ORDER BY event_id, event_id2""")
         nBits = 4, nTables = 24)
       VectorSearch.radiusRecallContract(approx, radiusGroundTruth(s, dir),
         queries, "query_id", "match_id", minFrac = 0.5)
+        .orderBy("query_id")
+    }),
+
+    // --- IVF radius probe: range search on the persisted store -------------
+    // FAISS range_search on IVFFlat: nProbe cells per query, exact
+    // scoring of only the probed cells, true-threshold cut (precision
+    // 1.0 by construction; recall bounded by cell coverage). Reuses the
+    // SAME pristine store as q_ivf_index_recall — no second build.
+    // nProbe=12/16 measured at all 3 SFs: min per-query recall 0.64
+    // (sf0.1), 0.67 (sf0.001), 0.75 (sf0.01) — the 0.4 gate has ~60%
+    // margin. τ=0.3 is a WIDE ball (matches spread across many cells),
+    // the hard regime for a cell-pruned radius.
+    "q_ivf_radius_recall" -> ((s, dir) => {
+      val queries = annQueries(s, dir)
+      val approx = graft.operators.IvfSearch.radiusIndex(s,
+        ivfIndexStore(s, dir), queries, "query_id", "qv",
+        threshold = 0.3, metric = "cosine", nProbe = 12)
+      VectorSearch.radiusRecallContract(approx, radiusGroundTruth(s, dir),
+        queries, "query_id", "match_id", minFrac = 0.4)
         .orderBy("query_id")
     }),
 
@@ -4922,6 +4945,10 @@ values (
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 
     "q_ivf_index_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_ivf_radius_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 

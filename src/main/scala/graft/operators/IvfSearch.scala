@@ -395,6 +395,43 @@ object IvfSearch {
     }
   }
 
+  /** Fixed-radius probe of a persisted index — FAISS `range_search` on
+    * IVFFlat: `nProbe` cells per query from the stored centroids, EXACT
+    * scoring of only the probed cells' vectors (the same partition-dir
+    * pruning as [[searchIndex]]), true-threshold cut. Precision is 1.0
+    * by construction (every emitted pair genuinely clears `threshold`);
+    * recall is bounded by cell coverage — matches living in unprobed
+    * cells are unseen, so a WIDE radius wants a high `nProbe` while a
+    * near-dup radius (the common curation case) concentrates in the
+    * query's own cells. [[VectorSearch.radiusRecallContract]] pins what
+    * a setting achieves. `filter` rides the pruned scan like
+    * [[searchIndex]]'s. Output (qId, match_id, score), UNranked set
+    * semantics; an id re-appended across epochs collapses to its best
+    * score.
+    */
+  def radiusIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qId: String, qVec: String,
+      threshold: Double, metric: String = "cosine", nProbe: Int = 4,
+      filter: Column = lit(true)): DataFrame = {
+    val centroids = loadCentroids(spark, path)
+    val probed = queries.select(col(qId), col(qVec),
+      explode(nearestCells(centroids, nProbe)(col(qVec))).as("cell"))
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    val celled = Tombstones.filterLive(spark, path,
+        spark.read.parquet(s"$path/corpus")
+          .filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*))
+          .filter(filter),
+        "id", "epoch")
+      .select(col("id").as("match_id"), col("vec").as("__cvec"), col("cell"))
+    probed.join(celled, "cell")
+      .withColumn("score", scoreCol(metric)(col(qVec), col("__cvec")))
+      .filter(VectorSearch.radiusPred(metric, threshold))
+      .groupBy(col(qId), col("match_id"))
+      .agg((if (metric == "l2") min(col("score")) else max(col("score")))
+        .as("score"))
+  }
+
   /** Probe a persisted index. The union of probed cells across the query
     * batch (a driver-side collect bounded by nList — small by
     * construction) becomes an IN filter on the PARTITION column, so the

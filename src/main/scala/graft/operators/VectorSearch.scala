@@ -258,7 +258,7 @@ object VectorSearch {
   /** Admission predicate for a radius query: l2 keeps the ball's inside
     * (distance ≤ r), similarity metrics keep the cap above it (score ≥ τ).
     */
-  private def radiusPred(metric: String, threshold: Double): Column =
+  private[operators] def radiusPred(metric: String, threshold: Double): Column =
     if (metric == "l2") col("score") <= threshold else col("score") >= threshold
 
   /** LSH-bucketed radius search (the scale path): sign-random-projection

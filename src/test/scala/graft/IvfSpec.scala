@@ -554,4 +554,42 @@ class IvfSpec extends SparkSpec {
       k = 1, metric = "cosine", nProbe = 4).select("match_id").as[Long].collect()
     assert(got.sameElements(Array(10L)))
   }
+
+  test("radiusIndex: precision 1.0, full probe equals the exact radius, " +
+      "tombstones and payload filters honored") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") < 300)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_rad").toString
+    IvfSearch.writeIndex(corpus, "vec_id", "embedding", path, nList = 8,
+      payload = Seq("label"))
+    val qs = corpus.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "match_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(graft.operators.VectorSearch.radiusFlat(qs, "qid", "qv",
+      corpus, "vec_id", "embedding", 0.3, "cosine"))
+    // pruned probe: every emitted pair genuinely clears the threshold
+    // (subset of exact — precision 1.0 by construction)
+    val pruned = pairs(IvfSearch.radiusIndex(spark, path, qs, "qid", "qv",
+      0.3, "cosine", nProbe = 2))
+    assert(pruned.nonEmpty && pruned.subsetOf(exact))
+    // probing EVERY cell is the exact radius
+    val full = pairs(IvfSearch.radiusIndex(spark, path, qs, "qid", "qv",
+      0.3, "cosine", nProbe = 8))
+    assert(full == exact, "full-probe radius diverged from radiusFlat")
+    // payload filter: admitted pairs only, exact over the admitted set
+    val fullFiltered = pairs(IvfSearch.radiusIndex(spark, path, qs, "qid",
+      "qv", 0.3, "cosine", nProbe = 8, filter = col("label") % 4 === 1))
+    val admitted = corpus.filter(col("label") % 4 === 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(fullFiltered == exact.filter { case (_, m) => admitted(m) })
+    // a deleted match vanishes from the ball immediately
+    val victim = exact.head._2
+    IvfSearch.deleteFromIndex(spark, path,
+      Seq(victim).toDF("vec_id"), "vec_id")
+    val afterDelete = pairs(IvfSearch.radiusIndex(spark, path, qs, "qid",
+      "qv", 0.3, "cosine", nProbe = 8))
+    assert(afterDelete == exact.filter(_._2 != victim),
+      "tombstoned id still inside the radius ball")
+  }
 }
