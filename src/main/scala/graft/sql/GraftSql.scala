@@ -1161,11 +1161,14 @@ class GraftSql(
     * a SET, not a ladder: `search_results` carries the admitted
     * contents sorted best-first (cosine desc, content asc tie-break)
     * so the array order is deterministic, but no rank is implied.
-    * Routing follows the registration's byte posture: a collected
+    * Routing follows the registration's posture: a collected
     * (in-memory-sized) corpus serves the exact [[VectorSearch
-    * .radiusFlat]]; a beyond-cap corpus takes the LSH-bucketed scale
-    * path ([[VectorSearch.radiusLsh]] — equi-join on (table, bucket),
-    * exact re-score, precision 1.0 with recall pinned by its contract).
+    * .radiusFlat]]; a beyond-cap corpus declared `'ivf'` probes its
+    * persisted store ([[graft.operators.IvfSearch.radiusIndex]] — cell
+    * pruning, exact re-score); any other beyond-cap corpus takes the
+    * LSH-bucketed scale path ([[VectorSearch.radiusLsh]] — equi-join on
+    * (table, bucket), exact re-score, precision 1.0 with recall pinned
+    * by its contract).
     */
   private def radiusSearchView(
       table: String, vecExpr: String, corpusName: String, threshold: Double,
@@ -1183,6 +1186,14 @@ class GraftSql(
       case _: InMemCorpus =>
         VectorSearch.radiusFlat(qv, "__qid", "__qvec",
           c, "__cid", "__cvec", threshold, "cosine")
+      case big: DfCorpus if big.indexType == "ivf" =>
+        // a declared IVF family serves the radius from its persisted
+        // store (FAISS range_search posture): probed-cell pruning, exact
+        // re-score, precision 1.0 — nProbe 12/16 is the setting the
+        // radius recall contract measured (q_ivf_radius_recall)
+        graft.operators.IvfSearch.radiusIndex(spark,
+          ivfStoreFor(src, contentCol, vecCol, big), qv, "__qid", "__qvec",
+          threshold, "cosine", nProbe = 12)
       case _ =>
         VectorSearch.radiusLsh(qv, "__qid", "__qvec",
           c, "__cid", "__cvec", threshold, "cosine",

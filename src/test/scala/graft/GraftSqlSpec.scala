@@ -1458,6 +1458,17 @@ LATERAL TABLE(RADIUS_SEARCH('rad_small', 0.3, qv));""")
       .as[(Long, String)].collect()
     firsts.foreach { case (q, top) => assert(top.toLong == q,
       s"query $q: best-first order broken, top=$top") }
+    // a beyond-cap registration DECLARED ivf serves the radius from its
+    // persisted store: precision 1.0 (subset of exact) and the query's
+    // own vector always inside the ball (its own cell is always probed)
+    g.registerSearchCorpus("rad_ivf", corpus, "content", "vector",
+      maxRows = 0, indexType = "ivf")
+    val gotIvf = hitsOf("""SELECT query_id, search_results FROM radius_qs,
+LATERAL TABLE(RADIUS_SEARCH('rad_ivf', 0.3, qv));""")
+    gotIvf.foreach { case (q, ms) =>
+      assert(ms.subsetOf(wantFlat.getOrElse(q, Set.empty)),
+        s"ivf radius emitted a pair outside the exact ball for query $q")
+      assert(ms.contains(q), s"query $q lost its own vector from the ball") }
   }
 
   test("FILTERED_SEARCH on an indexed registration serves from the " +
