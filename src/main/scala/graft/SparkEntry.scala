@@ -2793,6 +2793,20 @@ values (
         post = docPostings(s, dir), stats = docBm25Stats(s, dir))
         .orderBy("query_id", "rank")),
 
+    // FILTERED BM25 (Lucene filtered-query semantics): scores from the
+    // GLOBAL corpus stats — identical to q_bm25_topk's — but only
+    // lang='en' documents may fill the top-10. Fully hash-oracled: the
+    // oracle replays the same global-stats pipeline and applies the
+    // filter at ranking time only.
+    "q_bm25_filtered" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Lexical.bm25TopKFiltered(lexQueries(s), "query_id",
+        "term", docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "doc_id", k = 10,
+        post = docPostings(s, dir), stats = docBm25Stats(s, dir))
+        .orderBy("query_id", "rank")
+    }),
+
     // PRF (RM3-style) query expansion: original query -> top-5 feedback
     // docs -> 3 most frequent non-query terms mined -> expanded query
     // re-ranked. Fully oracled: the oracle replays BOTH scoring passes
@@ -4535,6 +4549,17 @@ values (
         "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
         "SELECT query_id, doc_id AS match_id, score, row_number() OVER (" +
         "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bsc) " +
+        "WHERE rnk <= 10 ORDER BY query_id, rank"),
+
+    // same global-stats scoring chain; the lang filter applies at
+    // ranking time only (Lucene filtered-query semantics)
+    "q_bm25_filtered" ->
+      ("WITH " + LexQueriesCte + ", " + Bm25Cte + " " +
+        "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
+        "SELECT query_id, sc.doc_id AS match_id, score, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY score DESC, sc.doc_id) AS rnk " +
+        "FROM bsc sc JOIN documents d ON sc.doc_id = d.doc_id " +
+        "WHERE d.lang = 'en') " +
         "WHERE rnk <= 10 ORDER BY query_id, rank"),
 
     // PRF: pass-1 scoring (prefix b), feedback top-5, term mining with

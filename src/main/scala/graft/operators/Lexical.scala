@@ -188,6 +188,38 @@ object Lexical {
         (col("rank0") + 1).cast("int").as("rank"))
   }
 
+  /** FILTERED BM25 top-k — the Lucene filtered-query semantics: scores
+    * come from the GLOBAL corpus statistics (idf and avgdl over the
+    * WHOLE corpus — the same score an unfiltered query assigns, so a
+    * document's relevance does not shift with the filter), and only
+    * documents in `allowed` may fill the top-k. This is retrieval over
+    * a metadata-restricted candidate set, the text twin of
+    * [[VectorSearch.topKFiltered]].
+    *
+    * Scale shape: the semi-join lands on the SCORED stream, which is
+    * already query-term-bounded (rows ∝ query-term occurrences, never
+    * corpus tokens — [[bm25Scores]]' shuffle contract), so the filter
+    * costs one candidate-sized equi-join; the allowed side is a
+    * deduplicated id projection.
+    */
+  def bm25TopKFiltered(queries: DataFrame, qId: String, termCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      allowed: DataFrame, allowedId: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      post: DataFrame = null, stats: DataFrame = null): DataFrame = {
+    require(k > 0, s"bm25TopKFiltered: k must be positive, got $k")
+    val ids = allowed.select(col(allowedId).cast("long").as("id")).distinct()
+    bm25ScoresImpl(queries, qId, termCol, docs, idCol, textCol, k1, b,
+        rounded = true, post = post, stats = stats)
+      .join(ids, Seq("id"), "left_semi")
+      .groupBy("query_id")
+      .agg(TopKByScore.topK(col("id"), col("score"), k).as("matches"))
+      .select(col("query_id"), posexplode(col("matches")).as(Seq("rank0", "m")))
+      .select(col("query_id"), col("m.id").as("match_id"),
+        col("m.score").as("score"),
+        (col("rank0") + 1).cast("int").as("rank"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two rankings of
     * the same id space: `rrf = 1/(kConst + rank_a) + 1/(kConst + rank_b)`,
     * a list contributing 0 where it didn't rank the id. The sum has a

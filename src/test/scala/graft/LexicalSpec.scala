@@ -415,6 +415,42 @@ class LexicalSpec extends SparkSpec {
     assert(serve(path) == serve(rebuilt))
   }
 
+  test("bm25TopKFiltered: global stats, restricted candidates — a doc's " +
+      "score never shifts with the filter") {
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 200)
+    val terms = Seq((0L, "sort"), (0L, "merge"), (1L, "stream"), (1L, "dup"))
+      .toDF("query_id", "term")
+    val allowed = docs.filter(col("n_chars") > 300)
+    val allowedIds = allowed.select("doc_id").as[Long].collect().toSet
+    val filtered = Lexical.bm25TopKFiltered(terms, "query_id", "term",
+        docs, "doc_id", "text", allowed, "doc_id", k = 10)
+      .select("query_id", "match_id", "score")
+      .as[(Long, Long, Double)].collect()
+    assert(filtered.nonEmpty)
+    filtered.foreach { case (_, m, _) =>
+      assert(allowedIds(m), s"non-admitted doc $m retrieved") }
+    // the Lucene filtered-query law: scores come from the GLOBAL stats,
+    // so each admitted doc carries exactly its unfiltered score
+    val unfiltered = Lexical.bm25TopK(terms, "query_id", "term",
+        docs, "doc_id", "text", k = 1000)
+      .select("query_id", "match_id", "score")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, m, sc) => (q, m) -> sc }.toMap
+    filtered.foreach { case (q, m, sc) =>
+      assert(unfiltered((q, m)) == sc,
+        s"filtered score shifted for ($q, $m): $sc vs ${unfiltered((q, m))}") }
+    // ...and the filtered ranking is the unfiltered ranking restricted
+    // to admitted docs (no re-scoring reshuffle)
+    val wantIds = unfiltered.toSeq
+      .filter { case ((_, m), _) => allowedIds(m) }
+      .groupBy(_._1._1).view.mapValues(
+        _.sortBy { case ((_, m), sc) => (-sc, m) }.take(10).map(_._1._2)).toMap
+    val gotIds = filtered.groupBy(_._1).view.mapValues(
+      _.sortBy(r => (-r._3, r._2)).map(_._2).toSeq).toMap
+    gotIds.foreach { case (q, ids) => assert(ids == wantIds(q),
+      s"query $q: filtered ranking diverged from restricted unfiltered ranking") }
+  }
+
   test("delete replay AFTER the upsert's re-append subtracts nothing: " +
       "stats partials stay exact for still-served documents") {
     // the at-least-once hazard inside lexCdcStream's sub-epoch dance: a
