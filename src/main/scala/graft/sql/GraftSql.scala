@@ -986,13 +986,19 @@ class GraftSql(
     import org.apache.spark.sql.functions._
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_sql_ivf_" +
       s"${spark.sparkContext.applicationId}_${big.tag}"
+    // a source column named like a reserved store column could not ride
+    // as payload, so a predicate over it would silently resolve against
+    // the STORE's internal column (wrong rows, no error) — refuse loudly
+    val clash = src.columns.filter(Set("id", "vec", "cell", "epoch")).toSeq
+    require(clash.isEmpty,
+      s"FILTERED_SEARCH on an ivf registration: source column(s) " +
+        s"${clash.mkString("[", ", ", "]")} collide with reserved store " +
+        "columns (id/vec/cell/epoch) — rename them before registering")
     GraftSql.hnswBuildLock.synchronized {
       if (!graft.operators.FsUtil.exists(spark, s"$path/centroids/_SUCCESS")) {
-        // reserved store names can't be payload; the vector column is
-        // already the store's `vec` — carrying it again would double
-        // the store bytes for nothing
-        val payload = src.columns.toSeq
-          .filterNot(Set("id", "vec", "cell", "epoch", vecCol))
+        // the vector column is already the store's `vec` — carrying it
+        // again would double the store bytes for nothing
+        val payload = src.columns.toSeq.filterNot(_ == vecCol)
         val withIds = src
           .withColumn("__cvec", col(vecCol).cast("array<float>"))
           .withColumn("__cid", xxhash64(col(contentCol), col("__cvec")))

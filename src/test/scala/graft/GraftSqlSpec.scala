@@ -1513,5 +1513,16 @@ LATERAL TABLE(FILTERED_SEARCH('$corpusName', 3, qv, 'label % 4 = 1'));""")
       assert(admitted(m), s"hnsw served non-admitted id $m"))
     gotHnsw.filterKeys(admitted).foreach { case (q, ms) =>
       assert(ms.contains(q), s"admitted query $q lost its own vector") }
+    // a source column named like a reserved store column would let the
+    // predicate silently resolve against the STORE's internal column —
+    // the route must refuse loudly instead
+    g.registerSearchCorpus("fidx_clash",
+      corpus.withColumn("epoch", lit(1L)), "content", "vector",
+      maxRows = 0, indexType = "ivf")
+    val e = intercept[IllegalArgumentException] {
+      g.execute("""SELECT query_id FROM fidx_qs,
+LATERAL TABLE(FILTERED_SEARCH('fidx_clash', 3, qv, 'label % 4 = 1'));""")
+    }
+    assert(e.getMessage.contains("reserved store"), e.getMessage)
   }
 }
