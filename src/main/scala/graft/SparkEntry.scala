@@ -2928,6 +2928,33 @@ values (
         .orderBy("query_id", "rrf_rank")
     }),
 
+    // FILTERED hybrid: both legs metadata-restricted BEFORE fusion — the
+    // vector leg pre-filters its corpus (exact over the admitted subset,
+    // the topKFiltered law), the BM25 leg keeps GLOBAL stats and
+    // restricts candidates (the bm25TopKFiltered law) — then the same
+    // RRF. Fully hash-oracled: the oracle replays both filtered
+    // rankings and the fixed-operand-order fusion.
+    "q_hybrid_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val vq = emb.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val vrank = VectorSearch.topKAgg(vq, "query_id", "qv",
+        emb.filter(FilteredPred), "vec_id", "embedding", k = 20,
+        metric = "cosine")
+        .select(col("query_id"), posexplode(col("matches")).as(Seq("pos", "m")))
+        .select(col("query_id"), col("m.id").as("match_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+      val lrank = graft.operators.Lexical.bm25TopKFiltered(lexQueries(s),
+        "query_id", "term", docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "doc_id", k = 20,
+        post = docPostings(s, dir), stats = docBm25Stats(s, dir))
+        .select("query_id", "match_id", "rank")
+      graft.operators.Lexical.rrfFuse(vrank, lrank,
+        "query_id", "match_id", "rank", k = 5)
+        .orderBy("query_id", "rrf_rank")
+    }),
+
     // Hybrid fusion with the BM25 leg served ENTIRELY from the persisted
     // lexical index (bucket-pruned postings + summed stats partials) —
     // the continuously-ingested-corpus hybrid serve path, proven on the
@@ -4634,6 +4661,30 @@ values (
         "lr AS (SELECT query_id, match_id, rnk FROM (" +
         "SELECT query_id, doc_id AS match_id, row_number() OVER (" +
         "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bsc) WHERE rnk <= 20), " +
+        "fused AS (SELECT coalesce(vr.query_id, lr.query_id) AS query_id, " +
+        "coalesce(vr.match_id, lr.match_id) AS match_id, " +
+        "coalesce(CAST(1.0 AS DOUBLE) / (60 + vr.rnk), 0) + " +
+        "coalesce(CAST(1.0 AS DOUBLE) / (60 + lr.rnk), 0) AS rrf " +
+        "FROM vr FULL OUTER JOIN lr ON vr.query_id = lr.query_id AND vr.match_id = lr.match_id) " +
+        "SELECT query_id, match_id, CAST(r AS INTEGER) AS rrf_rank FROM (" +
+        "SELECT query_id, match_id, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY rrf DESC, match_id) AS r FROM fused) " +
+        "WHERE r <= 5 ORDER BY query_id, rrf_rank"),
+
+    // both legs filtered before fusion; the BM25 leg's scores stay
+    // global-stats (the Lucene filtered-query law)
+    "q_hybrid_filtered" ->
+      ("WITH " + LexQueriesCte + ", " + Bm25Cte + ", " +
+        "vr AS (SELECT query_id, match_id, rnk FROM (" +
+        "SELECT q2.vec_id AS query_id, c.vec_id AS match_id, row_number() OVER (" +
+        "PARTITION BY q2.vec_id ORDER BY list_cosine_similarity(q2.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
+        "FROM embeddings q2, embeddings c WHERE q2.vec_id <= 2 " +
+        "AND c.label % 4 = 1) WHERE rnk <= 20), " +
+        "lr AS (SELECT query_id, match_id, rnk FROM (" +
+        "SELECT query_id, sc.doc_id AS match_id, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY score DESC, sc.doc_id) AS rnk " +
+        "FROM bsc sc JOIN documents d ON sc.doc_id = d.doc_id " +
+        "WHERE d.lang = 'en') WHERE rnk <= 20), " +
         "fused AS (SELECT coalesce(vr.query_id, lr.query_id) AS query_id, " +
         "coalesce(vr.match_id, lr.match_id) AS match_id, " +
         "coalesce(CAST(1.0 AS DOUBLE) / (60 + vr.rnk), 0) + " +
