@@ -2066,6 +2066,32 @@ ORDER BY event_id, event_id2""")
         .orderBy("query_id")
     }),
 
+    // the hnsw twin of q_sql_filtered_indexed: the same statement on an
+    // 'hnsw' registration serves the over-fetch post-filter from the
+    // persisted graphs (GraftSqlSpec pins admit-safety; this row pins
+    // retrieval quality on the oracle board)
+    "q_sql_filtered_hnsw" -> ((s, dir) => {
+      val g = sqlFacade(s)
+      val name = s"sqlfhnsw_${indexTag(dir)}"
+      registerOnce(s, name) {
+        g.registerSearchCorpus(name,
+          t(s, dir, "embeddings").select(
+            col("vec_id").cast("string").as("content"),
+            col("embedding").as("vector"), col("label")),
+          "content", "vector", maxRows = 0, indexType = "hnsw")
+      }
+      val queries = annQueries(s, dir)
+      queries.createOrReplaceTempView("graft_filtered_hnsw_queries")
+      val approx = g.execute(
+          "SELECT query_id, search_results FROM graft_filtered_hnsw_queries, " +
+            s"LATERAL TABLE(FILTERED_SEARCH('$name', 3, qv, 'label % 4 = 1'));")
+        .select(col("query_id"), explode(col("search_results")).as("m"))
+        .select(col("query_id"), col("m.content").cast("long").as("match_id"))
+      VectorSearch.recallContract(approx, annFilteredGroundTruth(s, dir),
+        queries, "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
     // --- index DELETE protocol, IVF (exact under the hash gate) -----------
     // The right-to-be-forgotten path: tombstone epochs kill rows at serve
     // time immediately, LWW lets a later re-ingest out-live the delete,
@@ -3569,6 +3595,10 @@ values (
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 
     "q_sql_filtered_indexed" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_sql_filtered_hnsw" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 

@@ -1149,10 +1149,14 @@ class GraftSql(
       case "hnsw" =>
         val admitted = canonCorpus(src.filter(expr(pred)), contentCol, vecCol)
           .select("__cid")
+        // overFetch 16 covers predicates down to ~k/(16·k) ≈ 6% admit
+        // rate in expectation (overFetch ≳ c/s); more selective filters
+        // belong on the ivf payload-pushdown registration or the exact
+        // pre-filter — the operator's own guidance
         graft.operators.HnswSearch.searchIndexFiltered(spark,
             hnswStoreFor(c, big), qv, "__qid", "__qvec", admitted, "__cid",
             k, efSearch = math.max(k, math.min(big.numCandidates, 10000)),
-            overFetch = 4, maxQueries = 10000)
+            overFetch = 16, maxQueries = 10000)
           .select(col("__qid"), col("rank").as("__rank"),
             col("match_id").as("__cid"))
       case other => throw new IllegalStateException(
