@@ -2819,6 +2819,17 @@ values (
         post = docPostings(s, dir), stats = docBm25Stats(s, dir))
         .orderBy("query_id", "rank")),
 
+    // BM25 scoreDetails (the Atlas/Lucene explain shape): one row per
+    // (query, doc, matched term) with the scoring primitives and the
+    // factors whose product is the term's contribution — fully
+    // hash-oracled (the DuckDB oracle replays the per-term frame with
+    // the exact same associations as the score chain).
+    "q_bm25_explain" -> ((s, dir) =>
+      graft.operators.Lexical.bm25Explain(lexQueries(s), "query_id", "term",
+        t(s, dir, "documents"), "doc_id", "text",
+        post = docPostings(s, dir), stats = docBm25Stats(s, dir))
+        .orderBy("query_id", "match_id", "term")),
+
     // FILTERED BM25 (Lucene filtered-query semantics): scores from the
     // GLOBAL corpus stats — identical to q_bm25_topk's — but only
     // lang='en' documents may fill the top-10. Fully hash-oracled: the
@@ -4607,6 +4618,21 @@ values (
         "SELECT query_id, doc_id AS match_id, score, row_number() OVER (" +
         "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bsc) " +
         "WHERE rnk <= 10 ORDER BY query_id, rank"),
+
+    // the per-term frame behind the score chain, identical associations
+    // (idf's parenthesization, the folded (1 - 0.75) = 0.25, rounds only
+    // at the emitted factors)
+    "q_bm25_explain" ->
+      ("WITH " + LexQueriesCte + ", " + Bm25Cte + " " +
+        "SELECT query_id, f.doc_id AS match_id, f.tok AS term, " +
+        "CAST(f.tf AS BIGINT) AS tf, CAST(f.dl AS BIGINT) AS dl, " +
+        "CAST(d.df AS BIGINT) AS df, " +
+        "round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)), 4) AS idf, " +
+        "round(f.tf * (1.2 + 1) / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl)), 4) AS tf_norm, " +
+        "round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * " +
+        "(f.tf * (1.2 + 1) / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl))), 4) AS contribution " +
+        "FROM btf f JOIN bdf d USING (tok) CROSS JOIN bst s " +
+        "ORDER BY query_id, match_id, term"),
 
     // same global-stats scoring chain; the lang filter applies at
     // ranking time only (Lucene filtered-query semantics)

@@ -121,6 +121,29 @@ object Lexical {
       docs: DataFrame, idCol: String, textCol: String,
       k1: Double, b: Double, rounded: Boolean,
       post: DataFrame = null, stats: DataFrame = null): DataFrame = {
+    val raw = sum(idfCol * tfNormCol(k1, b))
+    matchedFrame(queries, qId, termCol, docs, idCol, textCol, k1, b,
+        post, stats)
+      .groupBy("query_id", "id")
+      .agg((if (rounded) round(raw, 4) else raw).as("score"))
+  }
+
+  private def idfCol: Column =
+    log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+  private def tfNormCol(k1: Double, b: Double): Column =
+    col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+
+  /** The per-(query, doc, matched term) frame every BM25 surface is
+    * built from: posting rows restricted to query terms, joined with the
+    * term-df table and the 1-row corpus stats. Carries
+    * (query_id, id, tok, tf, dl, df, n, avgdl).
+    */
+  private def matchedFrame(
+      queries: DataFrame, qId: String, termCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      k1: Double, b: Double,
+      post: DataFrame, stats: DataFrame): DataFrame = {
     require(k1 >= 0, s"bm25: k1 must be >= 0, got $k1")
     require(b >= 0 && b <= 1, s"bm25: b must be in [0,1], got $b")
     val q = queries
@@ -155,19 +178,36 @@ object Lexical {
         col("tok") === col("__term"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
     // the query fan-out joins AFTER aggregation: rows ∝ Σ_t df(t)·|q(t)|
-    // flow straight into the per-(query, doc) sum with no further
+    // flow straight into the per-(query, doc) consumer with no further
     // wide aggregation of corpus-scale data
-    val matched = pl.join(broadcast(q), col("tok") === col("__term"))
-    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-    val tfNorm = col("tf") * (k1 + 1.0) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-    val raw = sum(idf * tfNorm)
-    matched
+    pl.join(broadcast(q), col("tok") === col("__term"))
       .join(broadcast(dfTable), "tok")
       .crossJoin(broadcast(statsTab))
-      .groupBy("query_id", "id")
-      .agg((if (rounded) round(raw, 4) else raw).as("score"))
   }
+
+  /** Per-term score breakdown — the Lucene/Atlas `scoreDetails` shape:
+    * one row per (query, document, matched term) carrying the scoring
+    * primitives (tf, dl, df) and the factors (idf, tf_norm) whose
+    * product is the term's `contribution`; summing the UNROUNDED
+    * contributions over a (query, document) group IS [[bm25Scores]]'
+    * score (pinned in LexicalSpec). Each factor rounds to 4 for
+    * cross-engine stability, like the score itself. Retrieval debugging
+    * is the point: "why did this document rank?" answers itself from
+    * this frame with no scoring re-derivation.
+    */
+  def bm25Explain(queries: DataFrame, qId: String, termCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75,
+      post: DataFrame = null, stats: DataFrame = null): DataFrame =
+    matchedFrame(queries, qId, termCol, docs, idCol, textCol, k1, b,
+        post, stats)
+      .select(col("query_id"), col("id").as("match_id"),
+        col("tok").as("term"),
+        col("tf").cast("long").as("tf"), col("dl").cast("long").as("dl"),
+        col("df").cast("long").as("df"),
+        round(idfCol, 4).as("idf"),
+        round(tfNormCol(k1, b), 4).as("tf_norm"),
+        round(idfCol * tfNormCol(k1, b), 4).as("contribution"))
 
   /** BM25 top-k per query: bounded-heap selection over [[bm25Scores]]
     * by (rounded score desc, id asc). Output (queryId, match_id,

@@ -415,6 +415,39 @@ class LexicalSpec extends SparkSpec {
     assert(serve(path) == serve(rebuilt))
   }
 
+  test("bm25Explain: per-term contributions sum to the bm25 score exactly") {
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 150)
+    val terms = Seq((0L, "sort"), (0L, "merge"), (1L, "stream"), (1L, "dup"))
+      .toDF("query_id", "term")
+    // UNROUNDED factor product summed per (query, doc) must reproduce
+    // the unrounded score bit-for-bit modulo summation grouping — pin
+    // through the rounded surface both sides share (round(sum(raw), 4))
+    val explained = Lexical.bm25Explain(terms, "query_id", "term",
+      docs, "doc_id", "text")
+    val statsRow = Lexical.corpusStats(docs, "text").collect()(0)
+    val (nDocs, avgdl) = (statsRow.getDouble(0), statsRow.getDouble(1))
+    val reSummed = explained
+      .groupBy("query_id", "match_id")
+      // idf/tf_norm are ROUNDED in the frame; re-derive raw from the
+      // primitives it carries to prove the frame is self-sufficient
+      .agg(round(sum(
+        log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2 / (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))), 4)
+        .as("score"))
+      .select(col("query_id"), col("match_id").as("id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val scores = Lexical.bm25Scores(terms, "query_id", "term",
+        docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(scores.nonEmpty && reSummed == scores,
+      "per-term contributions do not reconstruct the bm25 score")
+    // and the emitted rounded contribution matches its factors' product
+    explained.select("idf", "tf_norm", "contribution").collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) * r.getDouble(1) - r.getDouble(2)) < 2e-4,
+        s"contribution inconsistent with its factors: $r") }
+  }
+
   test("bm25TopKFiltered: global stats, restricted candidates — a doc's " +
       "score never shifts with the filter") {
     val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 200)
