@@ -238,9 +238,11 @@ object Lexical {
     *
     * Scale shape: the semi-join lands on the SCORED stream, which is
     * already query-term-bounded (rows ∝ query-term occurrences, never
-    * corpus tokens — [[bm25Scores]]' shuffle contract), so the filter
-    * costs one candidate-sized equi-join; the allowed side is a
-    * deduplicated id projection.
+    * corpus tokens — [[bm25Scores]]' shuffle contract). The allowed
+    * side is a deduplicated single-column id projection — its one scan
+    * and shuffle are filter-selectivity-sized (AQE broadcasts it when
+    * small), never corpus-row-sized, and nothing corpus-scale is
+    * re-scored.
     */
   def bm25TopKFiltered(queries: DataFrame, qId: String, termCol: String,
       docs: DataFrame, idCol: String, textCol: String,
