@@ -843,6 +843,20 @@ object SparkEntry {
         .orderBy("query_id", "match_id")
     }),
 
+    // Facet counts over the radius result (Atlas $searchMeta facets next
+    // to $vectorSearch): per query, admitted matches bucketed by label.
+    // Fully hash-oracled — the one-pass grouped count over the same
+    // admitted stream as q_vector_radius.
+    "q_radius_facets" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorSearch.radiusFacetCounts(annQueries(s, dir), "query_id", "qv",
+        emb, "vec_id", "embedding", "label", threshold = 0.3,
+        metric = "cosine")
+        .select(col("query_id"), col("facet").cast("long").as("facet"),
+          col("n"))
+        .orderBy("query_id", "facet")
+    }),
+
     // RADIUS_SEARCH on the SQL worksheet dialect — the same exact
     // cosine ≥ 0.3 retrieval as q_vector_radius, reached entirely
     // through the facade (register corpus → LATERAL TABLE statement),
@@ -3618,6 +3632,12 @@ values (
         "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0 " +
         "AND list_cosine_similarity(q.embedding, c.embedding) >= 0.3 " +
         "ORDER BY query_id, match_id"),
+
+    "q_radius_facets" ->
+      ("SELECT q.vec_id AS query_id, CAST(c.label AS BIGINT) AS facet, count(*) AS n " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0 " +
+        "AND list_cosine_similarity(q.embedding, c.embedding) >= 0.3 " +
+        "GROUP BY 1, 2 ORDER BY query_id, facet"),
 
     "q_hnsw_filtered_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +

@@ -235,10 +235,25 @@ object VectorSearch {
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       threshold: Double, metric: String = "dot",
-      maxCorpusBytes: Long = 1L << 30): DataFrame = {
-    val c = corpus.select(col(cId).as("match_id"), col(cVec).as("__cvec"))
+      maxCorpusBytes: Long = 1L << 30): DataFrame =
+    radiusAdmitted(queries, qVec,
+      corpus.select(col(cId).as("match_id"), col(cVec).as("__cvec")),
+      corpus, threshold, metric, maxCorpusBytes)
+      .drop("__cvec")
+
+  /** The admitted (query row × corpus row) stream every radius surface
+    * is built from: byte-guarded broadcast cross join (beyond
+    * `maxCorpusBytes` the same exact scan runs as a replicated-block
+    * shuffle equi-join), exact score, true-threshold cut. `c` must
+    * carry (`match_id`, `__cvec`, extra columns as needed); `statsOf`
+    * is the UNPROJECTED corpus the byte estimate reads (Catalyst file
+    * statistics live on the source plan).
+    */
+  private def radiusAdmitted(
+      queries: DataFrame, qVec: String, c: DataFrame, statsOf: DataFrame,
+      threshold: Double, metric: String, maxCorpusBytes: Long): DataFrame = {
     val scored =
-      if (corpus.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      if (statsOf.queryExecution.optimizedPlan.stats.sizeInBytes <=
           BigInt(maxCorpusBytes))
         queries.crossJoin(broadcast(c))
       else {
@@ -252,8 +267,27 @@ object VectorSearch {
     scored
       .withColumn("score", scoreCol(metric)(col(qVec), col("__cvec")))
       .filter(radiusPred(metric, threshold))
-      .drop("__cvec")
   }
+
+  /** Facet counts over a radius result — the Atlas `$searchMeta` facet
+    * shape next to `$vectorSearch`: for each query, how many admitted
+    * matches (similarity within `threshold`) fall in each bucket of
+    * `facetCol`. One pass: the counts aggregate the SAME admitted
+    * stream [[radiusFlat]] emits (partial map-side combine on
+    * (query, facet) — never a second scoring scan, never a window).
+    * Output (qId, facet, n).
+    */
+  def radiusFacetCounts(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String, facetCol: String,
+      threshold: Double, metric: String = "cosine",
+      maxCorpusBytes: Long = 1L << 30): DataFrame =
+    radiusAdmitted(queries, qVec,
+      corpus.select(col(cId).as("match_id"), col(cVec).as("__cvec"),
+        col(facetCol).as("facet")),
+      corpus, threshold, metric, maxCorpusBytes)
+      .groupBy(col(qId), col("facet"))
+      .agg(count(lit(1)).as("n"))
 
   /** Admission predicate for a radius query: l2 keeps the ball's inside
     * (distance ≤ r), similarity metrics keep the cap above it (score ≥ τ).
