@@ -278,7 +278,14 @@ object Streams {
       seqCol: Option[String]): DataFrame =
     (seqCol match {
       case Some(sc) =>
-        batch.groupBy(col(idCol)).agg(max_by(col(vecCol), col(sc)).as(vecCol))
+        // per-id LATEST record, ALL columns — not just the value: a
+        // filtered-search store carries payload columns next to its
+        // vectors, and an upsert that dropped them could never append
+        // (the store-schema payload contract would reject the batch)
+        val others = batch.columns.filter(c => c != idCol && c != sc).toSeq
+        batch.groupBy(col(idCol))
+          .agg(max_by(struct(others.map(col): _*), col(sc)).as("__rec"))
+          .select(col(idCol) +: others.map(c => col(s"__rec.`$c`").as(c)): _*)
       case None =>
         val dup = batch.groupBy(col(idCol))
           .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
@@ -286,7 +293,7 @@ object Streams {
           s"CDC batch carries multiple unordered changes for some ids " +
             s"(e.g. ${dup.select(idCol).take(3).mkString(", ")}) — pass " +
             "seqCol so the latest change per id is well-defined")
-        batch.select(col(idCol), col(vecCol))
+        batch
     }).localCheckpoint()
 
   /** CDC upsert/delete propagation into a persisted IVF store — the

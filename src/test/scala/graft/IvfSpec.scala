@@ -555,6 +555,73 @@ class IvfSpec extends SparkSpec {
     assert(got.sameElements(Array(10L)))
   }
 
+  test("ivfCdcStream feeds a PAYLOAD (filtered-search) store: upserts " +
+      "carry their metadata into the filtered serve") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_cdcp_idx").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ivf_cdcp_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_cdcp_ck").toString
+    IvfSearch.writeIndex(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", path, nList = 4, payload = Seq("label"))
+    val oldLabel50 = emb.filter(col("vec_id") === 50)
+      .select(col("label").cast("long")).as[Long].head()
+    // one drain, no seqCol: delete id 0; upsert id 50 with id 300's
+    // vector and a FRESH label (999) — the payload must ride the upsert
+    val schema = emb.select(col("vec_id"), col("embedding"), col("label")).schema
+    emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"),
+        lit(null).cast(schema("embedding").dataType).as("embedding"),
+        lit(null).cast(schema("label").dataType).as("label"))
+      .unionByName(emb.filter(col("vec_id") === 300)
+        .select(lit(50L).as("vec_id"), col("embedding"),
+          lit(999).cast(schema("label").dataType).as("label")))
+      .write.mode("overwrite").parquet(srcDir)
+    graft.streaming.Streams.ivfCdcStream(
+      graft.streaming.Streams.fileStream(spark, srcDir, schema),
+      "vec_id", "embedding", path, ckpt).awaitTermination()
+    val q300 = emb.filter(col("vec_id") === 300)
+      .select(lit(50L).as("qid"), col("embedding").as("qv"))
+    def serveUnder(f: org.apache.spark.sql.Column): Seq[Long] =
+      IvfSearch.searchIndex(spark, path, q300, "qid", "qv", k = 1,
+          metric = "cosine", nProbe = 4, filter = f)
+        .select("match_id").as[Long].collect().toSeq
+    assert(serveUnder(col("label") === 999L) == Seq(50L),
+      "upserted payload not visible to the filtered serve")
+    assert(serveUnder(col("label") === oldLabel50) != Seq(50L),
+      "the upserted id still serves under its OLD payload")
+    // the seqCol path preserves payload too: a SECOND drain of the SAME
+    // stream (one checkpoint owns the store's epoch order) delivers two
+    // ordered changes to id 50 in one batch — the latest (label 1000)
+    // wins whole, vector and payload together
+    val srcDir2 = java.nio.file.Files.createTempDirectory("graft_ivf_cdcp_src2").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ivf_cdcp_store2").toString
+    val path2 = ckpt2 // fresh store for the seq scenario, one writer
+    IvfSearch.writeIndex(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", s"$path2/idx", nList = 4, payload = Seq("label"))
+    emb.filter(col("vec_id") === 300)
+      .select(lit(50L).as("vec_id"), col("embedding"),
+        lit(999).cast(schema("label").dataType).as("label"), lit(1L).as("seq"))
+      .unionByName(emb.filter(col("vec_id") === 300)
+        .select(lit(50L).as("vec_id"), col("embedding"),
+          lit(1000).cast(schema("label").dataType).as("label"), lit(2L).as("seq")))
+      .write.mode("overwrite").parquet(srcDir2)
+    val schema2 = org.apache.spark.sql.types.StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType))
+    graft.streaming.Streams.ivfCdcStream(
+      graft.streaming.Streams.fileStream(spark, srcDir2, schema2),
+      "vec_id", "embedding", s"$path2/idx",
+      java.nio.file.Files.createTempDirectory("graft_ivf_cdcp_ck2").toString,
+      seqCol = Some("seq")).awaitTermination()
+    def serveUnder2(f: org.apache.spark.sql.Column): Seq[Long] =
+      IvfSearch.searchIndex(spark, s"$path2/idx", q300, "qid", "qv", k = 1,
+          metric = "cosine", nProbe = 4, filter = f)
+        .select("match_id").as[Long].collect().toSeq
+    assert(serveUnder2(col("label") === 1000L) == Seq(50L),
+      "seq-resolved upsert lost its payload")
+    assert(serveUnder2(col("label") === 999L) != Seq(50L))
+  }
+
   test("radiusIndex: precision 1.0, full probe equals the exact radius, " +
       "tombstones and payload filters honored") {
     import spark.implicits._
