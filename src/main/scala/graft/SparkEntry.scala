@@ -2243,6 +2243,26 @@ ORDER BY event_id, event_id2""")
         .orderBy("query_id")
     }),
 
+    // --- persisted IVF-SQ index: partition-pruned probe over SQ8 codes ----
+    // (the 4x near-exact point of the compressed at-rest ladder — FAISS
+    // IVF,SQ8: coarse cells prune directories, per-dimension affine
+    // codes drive the scan, exact re-rank from the source corpus)
+    "q_ivfsq_index_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfsq_index_" +
+        indexTag(dir)
+      if (!graft.operators.FsUtil.exists(s, s"$path/stats/_SUCCESS"))
+        graft.operators.IvfSqIndex.writeIndex(emb, "vec_id", "embedding",
+          path, nList = 16)
+      val queries = annQueries(s, dir)
+      val approx = graft.operators.IvfSqIndex.searchIndex(s, path, queries,
+        "query_id", "qv", emb, "vec_id", "embedding",
+        k = 3, metric = "dot", nProbe = 8, numCandidates = 200)
+      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
+        "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
     // --- persisted IVF-PQ index: partition-pruned probe over PQ codes -----
     // (the composed 100 TB layout — coarse cells prune directories, PQ
     // residual codes compress the scan ~32x, exact re-rank from the
@@ -5083,6 +5103,10 @@ values (
         "FROM documents ORDER BY doc_id"),
 
     "q_ivfpq_index_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_ivfsq_index_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 

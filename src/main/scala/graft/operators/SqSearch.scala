@@ -144,16 +144,24 @@ object SqSearch {
     out
   }
 
+  /** Column-level encoder over a trained model — the store-side twin of
+    * [[encodeVec]] ([[PqSearch.encodeUdf]]'s shape), shared by the scan
+    * path here and [[IvfSqIndex]]'s celled store.
+    */
+  def encodeUdfOf(m: SqModel)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val local = m
+    val f = udf((v: Seq[Float]) => encodeVec(local, v.toArray))
+    (c: org.apache.spark.sql.Column) => f(c)
+  }
+
   /** The coded corpus: (match_id, codes BINARY) — `dim` bytes per
     * vector at rest, the 4× cut the family exists for.
     */
   def encode(corpus: DataFrame, cId: String, cVec: String,
-      m: SqModel): DataFrame = {
-    val local = m
-    val enc = udf((v: Seq[Float]) => encodeVec(local, v.toArray))
+      m: SqModel): DataFrame =
     corpus.select(col(cId).cast("long").as("match_id"),
-      enc(col(cVec)).as("codes"))
-  }
+      encodeUdfOf(m)(col(cVec)).as("codes"))
 
   /** SQ8 top-k with exact re-rank. `metric` "dot" drives the scan
     * natively (affine decomposition); "cosine" selects candidates by

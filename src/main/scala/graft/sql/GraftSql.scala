@@ -1026,6 +1026,20 @@ class GraftSql(
     path
   }
 
+  /** The SQ8 twin of [[ivfPqStoreFor]] — the near-exact 4× point of the
+    * compressed ladder.
+    */
+  private def ivfSqStoreFor(c: DataFrame, big: DfCorpus): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sql_ivfsq_" +
+      s"${spark.sparkContext.applicationId}_${big.tag}"
+    GraftSql.hnswBuildLock.synchronized {
+      if (!graft.operators.FsUtil.exists(spark, s"$path/stats/_SUCCESS"))
+        graft.operators.IvfSqIndex.writeIndex(c, "__cid", "__cvec", path,
+          nList = 16, dim = corpusDim(c, big.tag))
+    }
+    path
+  }
+
   private def fedSearchView(
       table: String, vecExpr: String, big: DfCorpus, k: Int,
       views: scala.collection.mutable.Buffer[String]): String = {
@@ -1090,6 +1104,18 @@ class GraftSql(
             qv, "__qid", "__qvec", c, "__cid", "__cvec", k, "dot",
             nProbe = graft.operators.IvfSearch.probesForBudget(
               n, 16, big.numCandidates),
+            numCandidates = math.max(k, math.min(big.numCandidates, 1000)),
+            maxQueries = 10000)
+          .select(col("__qid"), col("rank").as("__rank"),
+            col("match_id").as("__cid"))
+      case "ivfsq" =>
+        // the SQ8 celled store: same probe/re-rank shape as "ivfpq" on
+        // 4x-compressed near-exact codes (per-dimension affine scan)
+        val nSq = VectorSearch.estimatedRows(c, corpusDim(c, big.tag))
+        graft.operators.IvfSqIndex.searchIndex(spark, ivfSqStoreFor(c, big),
+            qv, "__qid", "__qvec", c, "__cid", "__cvec", k, "dot",
+            nProbe = graft.operators.IvfSearch.probesForBudget(
+              nSq, 16, big.numCandidates),
             numCandidates = math.max(k, math.min(big.numCandidates, 1000)),
             maxQueries = 10000)
           .select(col("__qid"), col("rank").as("__rank"),
@@ -1486,7 +1512,7 @@ object GraftSql {
     * '<connector>.index.type'.
     */
   val IndexTypes: Set[String] =
-    Set("flat", "ivf", "pq", "lsh", "sq", "bq", "hnsw", "ivfpq")
+    Set("flat", "ivf", "pq", "lsh", "sq", "bq", "hnsw", "ivfpq", "ivfsq")
 
   /** Serializes check-then-build of the per-registration persisted hnsw
     * index (see the "hnsw" federated-search route).

@@ -395,6 +395,42 @@ object Streams {
       }
       .start()
 
+  /** [[ivfPqCdcStream]]'s twin for the SQ8 celled store — same
+    * sub-epoch dance, encoding through the stored per-dimension bounds
+    * ([[graft.operators.IvfSqIndex.appendToIndex]], out-of-range values
+    * saturating per the SQ clamp rule).
+    */
+  def ivfSqCdcStream(
+      records: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, checkpointDir: String,
+      seqCol: Option[String] = None,
+      onStats: graft.operators.AppendStats => Unit = _ => (),
+      compactEvery: Long = 0): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val resolved = resolveCdc(batch, idCol, vecCol, seqCol)
+        try {
+          val changed = resolved.select(idCol).distinct()
+          val live = resolved.filter(col(vecCol).isNotNull)
+          if (!changed.isEmpty) {
+            graft.operators.IvfSqIndex.deleteFromIndex(spark, indexPath,
+              changed, idCol, Some(epochKey(checkpointDir, 2 * epoch)))
+            if (!live.isEmpty)
+              onStats(graft.operators.IvfSqIndex.appendToIndex(
+                live, idCol, vecCol, indexPath,
+                epoch = epochKey(checkpointDir, 2 * epoch + 1)))
+          }
+          if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
+            graft.operators.IvfSqIndex.compactIndex(spark, indexPath,
+              excludeEpoch = epochKey(checkpointDir, 2 * epoch + 1))
+        } finally graft.operators.IndexMaintenance.unpersistCheckpoint(resolved)
+        ()
+      }
+      .start()
+
   /** [[ivfCdcStream]]'s twin for HNSW stores. Upserts need NO
     * self-tombstone here — serve-time last-writer-wins already lets a
     * later epoch's vector supersede the id ([[graft.operators

@@ -367,6 +367,40 @@ LATERAL TABLE(FEDERATED_SEARCH('ivfpq_vector_search', 3, vector));"""
     assert(again.map(_.toString).sorted.toSeq == got.map(_.toString).sorted.toSeq)
   }
 
+  test("ivfsq index family routes FEDERATED_SEARCH through the persisted " +
+      "SQ8 store; index-once across statements") {
+    val g = facade()
+    val corpus = Tables(spark, sf, "documents").filter(col("doc_id") < 60)
+      .select(col("text").as("content"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    g.registerSearchCorpus("ivfsq_vector_search", corpus, "content", "vector",
+      maxRows = 10, numCandidates = 50, indexType = "ivfsq")
+    val qs = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select(col("doc_id"), graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    qs.createOrReplaceTempView("ivfsq_questions")
+    val stmt = """SELECT doc_id, search_results FROM ivfsq_questions,
+LATERAL TABLE(FEDERATED_SEARCH('ivfsq_vector_search', 3, vector));"""
+    val got = g.execute(stmt).collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getSeq[org.apache.spark.sql.Row](1).length == 3))
+    val texts = Tables(spark, sf, "documents").filter(col("doc_id") < 3)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      val hits = r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).toSet
+      assert(hits.contains(texts(r.getLong(0))), s"doc ${r.getLong(0)} missed itself")
+    }
+    val storeDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith(
+        s"graft_sql_ivfsq_${spark.sparkContext.applicationId}_"))
+    assert(storeDirs.nonEmpty, "persisted ivfsq index missing")
+    val marker = new java.io.File(storeDirs.head, "stats/_SUCCESS")
+    assert(marker.exists())
+    val mtime = marker.lastModified()
+    val again = g.execute(stmt).collect()
+    assert(marker.lastModified() == mtime, "second statement rebuilt the index")
+    assert(again.map(_.toString).sorted.toSeq == got.map(_.toString).sorted.toSeq)
+  }
+
   test("pq index trains once per corpus: repeat FEDERATED_SEARCH runs zero training jobs") {
     val g = facade()
     val corpus = Tables(spark, sf, "documents").filter(col("doc_id") < 60)

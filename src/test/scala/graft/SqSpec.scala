@@ -103,4 +103,105 @@ class SqSpec extends SparkSpec {
       assert(rank1.getDouble(2) == 0.0, "self L2 distance must be exactly 0")
     }
   }
+
+  test("ivf-sq persisted index: recall-sound probe, partition-pruned, " +
+      "payload filter and tombstones honored, appends searchable") {
+    import spark.implicits._
+    import graft.operators.IvfSqIndex
+    val corpus = emb.filter(col("vec_id") < 300)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfsq").toString
+    IvfSqIndex.writeIndex(corpus.filter(col("vec_id") < 200),
+      "vec_id", "embedding", path, nList = 4, payload = Seq("label"))
+    val qs = corpus.filter(col("vec_id") % 20 === 0 && col("vec_id") < 200)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // full probe + generous candidates: the exact re-rank makes the
+    // serve equal the exact top-k (SQ8 is near-exact, the shortlist
+    // covers the true neighbors)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "match_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = hits(IvfSqIndex.searchIndex(spark, path, qs, "qid", "qv",
+      corpus, "vec_id", "embedding", k = 3, metric = "dot",
+      nProbe = 4, numCandidates = 200))
+    val exact = hits(VectorSearch.topKFlat(qs, "qid", "qv",
+      corpus.filter(col("vec_id") < 200), "vec_id", "embedding",
+      k = 3, metric = "dot"))
+    assert(got == exact && exact.nonEmpty,
+      "full-probe ivf-sq serve diverged from the exact top-k")
+    // partition pruning: a 1-cell probe lists one cell directory
+    val plan = IvfSqIndex.searchIndex(spark, path,
+      qs.limit(1), "qid", "qv", corpus, "vec_id", "embedding",
+      k = 1, metric = "dot", nProbe = 1, numCandidates = 50)
+    val scan = plan.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.requiredSchema.fieldNames.contains("codes") => f
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"probe pruning lost: ${scan.selectedPartitions.partitionCount}")
+    // payload filter: only admitted ids may serve
+    val admitted = corpus.filter(col("vec_id") < 200 && col("label") % 4 === 1)
+      .select("vec_id").as[Long].collect().toSet
+    hits(IvfSqIndex.searchIndex(spark, path, qs, "qid", "qv",
+      corpus, "vec_id", "embedding", k = 3, metric = "dot",
+      nProbe = 4, numCandidates = 200, filter = col("label") % 4 === 1))
+      .values.flatten.foreach(m =>
+        assert(admitted(m), s"non-admitted id $m served"))
+    // append (payload contract enforced) + delete + compaction heal
+    intercept[IllegalArgumentException] {
+      IvfSqIndex.appendToIndex(
+        corpus.filter(col("vec_id") >= 200).select("vec_id", "embedding"),
+        "vec_id", "embedding", path, epoch = 1L)
+    }
+    IvfSqIndex.appendToIndex(
+      corpus.filter(col("vec_id") >= 200).select("vec_id", "embedding", "label"),
+      "vec_id", "embedding", path, epoch = 1L)
+    val q210 = corpus.filter(col("vec_id") === 210)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    assert(hits(IvfSqIndex.searchIndex(spark, path, q210, "qid", "qv",
+      corpus, "vec_id", "embedding", k = 1, metric = "cosine",
+      nProbe = 4, numCandidates = 50)) == Map(210L -> Set(210L)),
+      "appended vector not searchable")
+    IvfSqIndex.deleteFromIndex(spark, path,
+      Seq(210L).toDF("vec_id"), "vec_id")
+    assert(hits(IvfSqIndex.searchIndex(spark, path, q210, "qid", "qv",
+      corpus, "vec_id", "embedding", k = 1, metric = "cosine",
+      nProbe = 4, numCandidates = 50)) != Map(210L -> Set(210L)),
+      "tombstoned id still serves")
+    IvfSqIndex.compactIndex(spark, path)
+    assert(!graft.operators.Tombstones.exists(spark, path))
+    assert(!spark.read.parquet(s"$path/corpus").select("id")
+      .as[Long].collect().contains(210L), "dead row survived compaction")
+  }
+
+  test("ivfSqCdcStream: delete + payload-carrying upsert, serve follows") {
+    import spark.implicits._
+    import graft.operators.IvfSqIndex
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfsq_cdc").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ivfsq_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivfsq_ck").toString
+    IvfSqIndex.writeIndex(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", path, nList = 4, payload = Seq("label"))
+    val schema = emb.select(col("vec_id"), col("embedding"), col("label")).schema
+    emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"),
+        lit(null).cast(schema("embedding").dataType).as("embedding"),
+        lit(null).cast(schema("label").dataType).as("label"))
+      .unionByName(emb.filter(col("vec_id") === 300)
+        .select(lit(50L).as("vec_id"), col("embedding"),
+          lit(999).cast(schema("label").dataType).as("label")))
+      .write.mode("overwrite").parquet(srcDir)
+    graft.streaming.Streams.ivfSqCdcStream(
+      graft.streaming.Streams.fileStream(spark, srcDir, schema),
+      "vec_id", "embedding", path, ckpt).awaitTermination()
+    def serve(qid: Long, vecOf: Long, f: org.apache.spark.sql.Column): Seq[Long] =
+      IvfSqIndex.searchIndex(spark, path,
+          emb.filter(col("vec_id") === vecOf)
+            .select(lit(qid).as("qid"), col("embedding").as("qv")),
+          "qid", "qv", emb, "vec_id", "embedding", k = 1,
+          metric = "cosine", nProbe = 4, numCandidates = 50, filter = f)
+        .select("match_id").as[Long].collect().toSeq
+    assert(serve(0L, 0L, lit(true)) != Seq(0L), "tombstoned id still serves")
+    assert(serve(50L, 300L, col("label") === 999L) == Seq(50L),
+      "upsert's vector+payload did not reach the filtered serve")
+  }
 }
