@@ -2307,6 +2307,54 @@ ORDER BY event_id, event_id2""")
         .orderBy("query_id")
     }),
 
+    // --- index DELETE protocol, IVF-SQ (contract) --------------------------
+    // q_ivfpq_delete's twin on the SQ8 store: same lifecycle, same gates
+    // (absolute no_deleted in both phases + recall vs the exact top-3
+    // over the surviving corpus; the re-rank corpus is the FULL table so
+    // a tombstone leak surfaces instead of being join-masked).
+    "q_ivfsq_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val store = clonedStore(s, dir, "ivfsqdel", "stats/_SUCCESS") { p =>
+        graft.operators.IvfSqIndex.writeIndex(emb, "vec_id", "embedding",
+          p, nList = 8)
+        graft.operators.IvfSqIndex.compactIndex(s, p)
+      }
+      graft.operators.IvfSqIndex.deleteFromIndex(s, store,
+        emb.filter(col("label") % 5 === 3).select("vec_id"), "vec_id")
+      graft.operators.IvfSqIndex.appendToIndex(
+        emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 === 0),
+        "vec_id", "embedding", store, epoch = 1L)
+      val queries = annQueries(s, dir)
+      val surviving = emb.filter(col("label") % 5 =!= 3 ||
+        col("vec_id") % 2 === 0)
+      val exact = memo(s, dir, "ann_gt_k3_dot_surv")(
+        VectorSearch.topKFlat(queries, "query_id", "qv",
+          surviving, "vec_id", "embedding", k = 3, metric = "dot"))
+      val dead = emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").as("match_id"))
+      def phaseDf(phase: String) = {
+        val approx = graft.operators.IvfSqIndex.searchIndex(s, store,
+            queries, "query_id", "qv", emb, "vec_id", "embedding",
+            k = 3, metric = "dot", nProbe = 8, numCandidates = 200)
+          .localCheckpoint()
+        val noDead = queries.select("query_id").join(
+            approx.join(dead, Seq("match_id"), "left_semi")
+              .select(col("query_id"), lit(false).as("__hit")).distinct(),
+            Seq("query_id"), "left")
+          .select(col("query_id"), coalesce(col("__hit"), lit(true))
+            .as("no_deleted"))
+        VectorSearch.recallContract(approx, exact, queries,
+          "query_id", "match_id", 1)
+          .join(noDead, Seq("query_id"))
+          .select(lit(phase).as("phase"), col("query_id"),
+            col("recall_ok"), col("no_deleted"))
+      }
+      val served = phaseDf("served").localCheckpoint()
+      graft.operators.IvfSqIndex.compactIndex(s, store)
+      served.unionByName(phaseDf("compacted"))
+        .orderBy("phase", "query_id")
+    }),
+
     // --- index DELETE protocol, IVF-PQ (contract) --------------------------
     // The compressed-store member of the delete family: the SAME
     // tombstone lifecycle as q_ivf_delete (cloned pristine store →
@@ -5109,6 +5157,12 @@ values (
     "q_ivfsq_index_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_ivfsq_delete" ->
+      ("SELECT p.phase, vec_id AS query_id, TRUE AS recall_ok, " +
+        "TRUE AS no_deleted FROM embeddings, " +
+        "(VALUES ('served'), ('compacted')) AS p(phase) " +
+        "WHERE vec_id % 20 = 0 ORDER BY phase, query_id"),
 
     "q_ivfpq_delete" ->
       ("SELECT p.phase, vec_id AS query_id, TRUE AS recall_ok, " +
