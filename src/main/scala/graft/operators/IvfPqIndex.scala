@@ -71,6 +71,7 @@ object IvfPqIndex {
     IvfSearch.writeStats(spark, path, IvfSearch.celledStats(
       celled.withColumn("__dist",
         IvfSearch.cellDist(centroids)(col("v"), col("cell"))), nList))
+    IndexMaintenance.unpersistCheckpoint(celled)
   }
 
   private def residualUdf(centroids: Array[Array[Float]]) = {
