@@ -55,23 +55,27 @@ object IvfPqIndex {
         col(cVec).as("v") +: payload.map(col): _*)
       .withColumn("rv", resid(col("v"), col("cell")))
       .localCheckpoint()
-    val cb = PqSearch.trainCodebooks(
-      celled.select(col("id"), col("rv")), "id", "rv", m, kCodes, iters, dim)
-    celled.select(col("id") +: col("cell") +:
-        PqSearch.encodeUdf(cb)(col("rv")).as("codes") +: payload.map(col): _*)
-      .withColumn("epoch", lit(-1L))
-      .write.partitionBy("cell", "epoch").mode("overwrite")
-      .parquet(s"$path/corpus")
-    PqSearch.saveCodebooks(spark, s"$path/codebooks", cb)
-    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    // training baseline for online-append drift detection (same
-    // assigned-centroid distance as the IVF family)
-    IvfSearch.writeStats(spark, path, IvfSearch.celledStats(
-      celled.withColumn("__dist",
-        IvfSearch.cellDist(centroids)(col("v"), col("cell"))), nList))
-    IndexMaintenance.unpersistCheckpoint(celled)
+    // finally: a failed training pass, parquet write, or drift
+    // aggregation must not pin the checkpointed blocks for the session
+    // lifetime (the [[Tombstones.write]] rule)
+    try {
+      val cb = PqSearch.trainCodebooks(
+        celled.select(col("id"), col("rv")), "id", "rv", m, kCodes, iters, dim)
+      celled.select(col("id") +: col("cell") +:
+          PqSearch.encodeUdf(cb)(col("rv")).as("codes") +: payload.map(col): _*)
+        .withColumn("epoch", lit(-1L))
+        .write.partitionBy("cell", "epoch").mode("overwrite")
+        .parquet(s"$path/corpus")
+      PqSearch.saveCodebooks(spark, s"$path/codebooks", cb)
+      centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      // training baseline for online-append drift detection (same
+      // assigned-centroid distance as the IVF family)
+      IvfSearch.writeStats(spark, path, IvfSearch.celledStats(
+        celled.withColumn("__dist",
+          IvfSearch.cellDist(centroids)(col("v"), col("cell"))), nList))
+    } finally IndexMaintenance.unpersistCheckpoint(celled)
   }
 
   private def residualUdf(centroids: Array[Array[Float]]) = {
@@ -113,25 +117,25 @@ object IvfPqIndex {
         IvfSearch.nearestCell(centroids)(col(cVec)).as("cell") +:
         col(cVec).as("v") +: payloadCols.map(col): _*)
       .localCheckpoint()
-    // epoch >= 0: idempotent replay via dynamic partition overwrite,
-    // under the store lease with swap recovery first (the
-    // IvfSearch.appendToIndex exactly-once + recovery rule)
-    val coded = celled
-      .withColumn("rv", residualUdf(centroids)(col("v"), col("cell")))
-      .select(col("id") +: col("cell") +:
-        PqSearch.encodeUdf(cb)(col("rv")).as("codes") +: payloadCols.map(col): _*)
-      .withColumn("epoch", lit(epoch))
-    IndexMaintenance.withStoreLock(spark, path) {
-      IndexMaintenance.recoverSwap(spark, s"$path/corpus")
-      IndexMaintenance.epochWrite(coded, Seq("cell", "epoch"), epoch,
-        s"$path/corpus")
-    }
-    val verdict = IvfSearch.driftVerdict(
-      IvfSearch.celledStats(celled.withColumn("__dist",
-        IvfSearch.cellDist(centroids)(col("v"), col("cell"))), centroids.length),
-      centroids.length, IvfSearch.loadStats(spark, path))
-    IndexMaintenance.unpersistCheckpoint(celled)
-    verdict
+    try {
+      // epoch >= 0: idempotent replay via dynamic partition overwrite,
+      // under the store lease with swap recovery first (the
+      // IvfSearch.appendToIndex exactly-once + recovery rule)
+      val coded = celled
+        .withColumn("rv", residualUdf(centroids)(col("v"), col("cell")))
+        .select(col("id") +: col("cell") +:
+          PqSearch.encodeUdf(cb)(col("rv")).as("codes") +: payloadCols.map(col): _*)
+        .withColumn("epoch", lit(epoch))
+      IndexMaintenance.withStoreLock(spark, path) {
+        IndexMaintenance.recoverSwap(spark, s"$path/corpus")
+        IndexMaintenance.epochWrite(coded, Seq("cell", "epoch"), epoch,
+          s"$path/corpus")
+      }
+      IvfSearch.driftVerdict(
+        IvfSearch.celledStats(celled.withColumn("__dist",
+          IvfSearch.cellDist(centroids)(col("v"), col("cell"))), centroids.length),
+        centroids.length, IvfSearch.loadStats(spark, path))
+    } finally IndexMaintenance.unpersistCheckpoint(celled)
   }
 
   /** Compact the celled code store — identical layout to the IVF

@@ -317,19 +317,20 @@ object IvfSearch {
     // compactor crashed mid-swap would CREATE a fresh corpus dir holding
     // only this epoch, and the next compaction's recovery would then
     // discard the real store as debris.
-    IndexMaintenance.withStoreLock(spark, path) {
-      IndexMaintenance.recoverSwap(spark, s"$path/corpus")
-      IndexMaintenance.epochWrite(celled.withColumn("epoch", lit(epoch)),
-        Seq("cell", "epoch"), epoch, s"$path/corpus")
-    }
-    val verdict = driftVerdict(
-      celledStats(celled.withColumn("__dist",
-        cellDist(centroids)(col("vec"), col("cell"))), centroids.length),
-      centroids.length, loadStats(spark, path))
-    // per-batch caller (ivfIndexStream / ivfCdcStream): release this
-    // batch's checkpoint blocks now, not at a future GC
-    IndexMaintenance.unpersistCheckpoint(celled)
-    verdict
+    try {
+      IndexMaintenance.withStoreLock(spark, path) {
+        IndexMaintenance.recoverSwap(spark, s"$path/corpus")
+        IndexMaintenance.epochWrite(celled.withColumn("epoch", lit(epoch)),
+          Seq("cell", "epoch"), epoch, s"$path/corpus")
+      }
+      driftVerdict(
+        celledStats(celled.withColumn("__dist",
+          cellDist(centroids)(col("vec"), col("cell"))), centroids.length),
+        centroids.length, loadStats(spark, path))
+      // per-batch caller (ivfIndexStream / ivfCdcStream): release this
+      // batch's checkpoint blocks in the finally, not at a future GC —
+      // even when the write or the drift aggregation throws
+    } finally IndexMaintenance.unpersistCheckpoint(celled)
   }
 
   def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Float]] =

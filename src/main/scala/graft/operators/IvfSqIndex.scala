@@ -44,19 +44,23 @@ object IvfSqIndex {
         IvfSearch.nearestCell(centroids)(col(cVec)).as("cell") +:
         col(cVec).as("v") +: payload.map(col): _*)
       .localCheckpoint()
-    celled.select(col("id") +: col("cell") +: enc(col("v")).as("codes") +:
-        payload.map(col): _*)
-      .withColumn("epoch", lit(-1L))
-      .write.partitionBy("cell", "epoch").mode("overwrite")
-      .parquet(s"$path/corpus")
-    SqSearch.saveModel(spark, s"$path/sqmodel", m)
-    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    IvfSearch.writeStats(spark, path, IvfSearch.celledStats(
-      celled.withColumn("__dist",
-        IvfSearch.cellDist(centroids)(col("v"), col("cell"))), nList))
-    IndexMaintenance.unpersistCheckpoint(celled)
+    // finally: a failed parquet write or drift aggregation must not pin
+    // the checkpointed blocks for the session lifetime (the
+    // [[Tombstones.write]] rule)
+    try {
+      celled.select(col("id") +: col("cell") +: enc(col("v")).as("codes") +:
+          payload.map(col): _*)
+        .withColumn("epoch", lit(-1L))
+        .write.partitionBy("cell", "epoch").mode("overwrite")
+        .parquet(s"$path/corpus")
+      SqSearch.saveModel(spark, s"$path/sqmodel", m)
+      centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      IvfSearch.writeStats(spark, path, IvfSearch.celledStats(
+        celled.withColumn("__dist",
+          IvfSearch.cellDist(centroids)(col("v"), col("cell"))), nList))
+    } finally IndexMaintenance.unpersistCheckpoint(celled)
   }
 
   /** Append WITHOUT retraining: cells from the stored centroids, codes
@@ -81,21 +85,21 @@ object IvfSqIndex {
         IvfSearch.nearestCell(centroids)(col(cVec)).as("cell") +:
         col(cVec).as("v") +: payloadCols.map(col): _*)
       .localCheckpoint()
-    val coded = celled.select(col("id") +: col("cell") +:
-        SqSearch.encodeUdfOf(m)(col("v")).as("codes") +:
-        payloadCols.map(col): _*)
-      .withColumn("epoch", lit(epoch))
-    IndexMaintenance.withStoreLock(spark, path) {
-      IndexMaintenance.recoverSwap(spark, s"$path/corpus")
-      IndexMaintenance.epochWrite(coded, Seq("cell", "epoch"), epoch,
-        s"$path/corpus")
-    }
-    val verdict = IvfSearch.driftVerdict(
-      IvfSearch.celledStats(celled.withColumn("__dist",
-        IvfSearch.cellDist(centroids)(col("v"), col("cell"))), centroids.length),
-      centroids.length, IvfSearch.loadStats(spark, path))
-    IndexMaintenance.unpersistCheckpoint(celled)
-    verdict
+    try {
+      val coded = celled.select(col("id") +: col("cell") +:
+          SqSearch.encodeUdfOf(m)(col("v")).as("codes") +:
+          payloadCols.map(col): _*)
+        .withColumn("epoch", lit(epoch))
+      IndexMaintenance.withStoreLock(spark, path) {
+        IndexMaintenance.recoverSwap(spark, s"$path/corpus")
+        IndexMaintenance.epochWrite(coded, Seq("cell", "epoch"), epoch,
+          s"$path/corpus")
+      }
+      IvfSearch.driftVerdict(
+        IvfSearch.celledStats(celled.withColumn("__dist",
+          IvfSearch.cellDist(centroids)(col("v"), col("cell"))), centroids.length),
+        centroids.length, IvfSearch.loadStats(spark, path))
+    } finally IndexMaintenance.unpersistCheckpoint(celled)
   }
 
   /** Compact / delete: the layout is [[IvfSearch]]'s, so the machinery
@@ -117,6 +121,13 @@ object IvfSqIndex {
     * [[IvfPqIndex.searchIndex]]) — then exact re-rank of the
     * `numCandidates` survivors against `corpus`. `filter` rides the
     * pruned scan (payload pushdown); tombstoned rows die first.
+    *
+    * Metric contract (the [[SqSearch.sqTopK]] family rule): "cosine"
+    * SELECTS candidates by raw dot over the affine codes and re-ranks
+    * the survivors with true cosine — on an UNNORMALIZED corpus the
+    * shortlist is biased toward large-norm vectors, so either normalize
+    * stored/query vectors or widen `numCandidates`. Only "l2" switches
+    * the scan itself; every other metric scans affinely on dot.
     */
   def searchIndex(
       spark: SparkSession, path: String,

@@ -87,23 +87,33 @@ object Tombstones {
     val sb = new StringBuilder
     val tp = new Path(dir(root))
     val tfs = tp.getFileSystem(conf)
+    // listing order is NOT guaranteed stable across calls on every
+    // FileSystem — an unsorted key would make identical store state miss
+    // the cache (spurious recount jobs), so entries are collected and
+    // sorted into one canonical key
+    val tEntries = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = tfs.listFiles(tp, true)
     while (it.hasNext) {
       val st = it.next()
-      sb.append(st.getPath.getName).append(':').append(st.getLen)
-        .append(':').append(st.getModificationTime).append(';')
+      tEntries += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
     }
+    sb.append(tEntries.sorted.mkString(";")).append(';')
     val sp = new Path(storeDir)
     val sfs = sp.getFileSystem(conf)
+    val sEntries = scala.collection.mutable.ArrayBuffer.empty[String]
+    // full paths, not bare dir names: sorting a flat name list would
+    // conflate different (cell, epoch) nestings that share names
     def walk(d: Path): Unit = sfs.listStatus(d).foreach { st =>
       if (st.isDirectory) {
-        if (st.getPath.getName.contains("=")) sb.append(st.getPath.getName).append('|')
+        if (st.getPath.getName.contains("=")) sEntries += st.getPath.toUri.getPath
         walk(st.getPath)
       }
     }
     if (sfs.exists(sp)) walk(sp)
-    // the raw listing IS the key (LRU holds ≤64 of them): a hash here
-    // could collide into a stale — possibly too-small — widening bound
+    sb.append(sEntries.sorted.mkString("|"))
+    // the raw (sorted) listing IS the key (LRU holds ≤64 of them): a
+    // hash here could collide into a stale — possibly too-small —
+    // widening bound
     sb.toString
   }
 

@@ -736,8 +736,7 @@ class GraftSql(
           // a registered index family serves the filter from its
           // persisted store (payload pushdown / over-fetch) — the exact
           // pre-filter below would pay a full corpus scan per statement
-          case big: DfCorpus
-              if big.indexType == "ivf" || big.indexType == "hnsw" =>
+          case big: DfCorpus if Set("ivf", "ivfpq", "ivfsq", "hnsw")(big.indexType) =>
             s"${filteredIndexView(table, parts(2), big, k, pred,
               src, contentCol, vecCol, views)} AS $alias"
           case _ =>
@@ -761,9 +760,18 @@ class GraftSql(
         require(parts.length >= 3 && parts.length <= 5,
           s"RADIUS_SEARCH expects ('corpus', threshold, vectorCol[, nBits, nTables]), got: $args")
         val corpus = unquote(parts(0))
-        val threshold = parts(1).trim.toDouble
-        val nBits = if (parts.length >= 4) parts(3).trim.toInt else 4
-        val nTables = if (parts.length >= 5) parts(4).trim.toInt else 24
+        // numeric args rethrow as the dialect's named error, not a raw
+        // NumberFormatException — same guard contract as the arity check
+        def numArg[A](i: Int, what: String, parse: String => A): A =
+          try parse(parts(i).trim)
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"RADIUS_SEARCH $what must be numeric, got '${parts(i).trim}' — " +
+                "usage: RADIUS_SEARCH('corpus', threshold, vectorCol[, nBits, nTables])")
+          }
+        val threshold = numArg(1, "threshold", _.toDouble)
+        val nBits = if (parts.length >= 4) numArg(3, "nBits", _.toInt) else 4
+        val nTables = if (parts.length >= 5) numArg(4, "nTables", _.toInt) else 24
         s"${radiusSearchView(table, parts(2), corpus, threshold,
           nBits, nTables, views)} AS $alias"
       case "hybrid_search" =>
@@ -983,26 +991,12 @@ class GraftSql(
     */
   private def ivfStoreFor(src: DataFrame, contentCol: String,
       vecCol: String, big: DfCorpus): String = {
-    import org.apache.spark.sql.functions._
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_sql_ivf_" +
       s"${spark.sparkContext.applicationId}_${big.tag}"
-    // a source column named like a reserved store column could not ride
-    // as payload, so a predicate over it would silently resolve against
-    // the STORE's internal column (wrong rows, no error) — refuse loudly
-    val clash = src.columns.filter(Set("id", "vec", "cell", "epoch")).toSeq
-    require(clash.isEmpty,
-      s"FILTERED_SEARCH on an ivf registration: source column(s) " +
-        s"${clash.mkString("[", ", ", "]")} collide with reserved store " +
-        "columns (id/vec/cell/epoch) — rename them before registering")
     GraftSql.hnswBuildLock.synchronized {
       if (!graft.operators.FsUtil.exists(spark, s"$path/centroids/_SUCCESS")) {
-        // the vector column is already the store's `vec` — carrying it
-        // again would double the store bytes for nothing
-        val payload = src.columns.toSeq.filterNot(_ == vecCol)
-        val withIds = src
-          .withColumn("__cvec", col(vecCol).cast("array<float>"))
-          .withColumn("__cid", xxhash64(col(contentCol), col("__cvec")))
-          .dropDuplicates("__cid")
+        val (withIds, payload) = payloadSource(src, contentCol, vecCol,
+          Set("id", "vec", "cell", "epoch"), "ivf")
         graft.operators.IvfSearch.writeIndex(withIds, "__cid", "__cvec",
           path, nList = 16, payload = payload)
       }
@@ -1010,32 +1004,90 @@ class GraftSql(
     path
   }
 
+  /** A registered corpus SOURCE prepared for a payload-carrying
+    * persisted store: (__cid, __cvec, every non-vector source column)
+    * with the canonical content-derived ids ([[canonCorpus]]'s id
+    * contract — store hits map back to contents by this hash).
+    * Duplicate (content, vector) rows with DIVERGENT payload must not
+    * collapse to an ARBITRARY survivor (a filtered probe would then
+    * admit/reject the content on whichever duplicate happened to win,
+    * silently diverging from the exact pre-filter route, which filters
+    * BEFORE dedup): when every payload type is orderable the winner is
+    * the row with the greatest payload tuple — deterministic across
+    * rebuilds — otherwise (map-typed payload) the collapse falls back
+    * to an arbitrary-but-single survivor and the caveat is on the
+    * caller to keep duplicate rows' payload in agreement.
+    */
+  private def payloadSource(src: DataFrame, contentCol: String,
+      vecCol: String, reserved: Set[String], family: String): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.functions._
+    // a source column named like a reserved store column could not ride
+    // as payload, so a predicate over it would silently resolve against
+    // the STORE's internal column (wrong rows, no error) — refuse loudly
+    val clash = src.columns.filter(reserved).toSeq
+    require(clash.isEmpty,
+      s"FILTERED_SEARCH on an $family registration: source column(s) " +
+        s"${clash.mkString("[", ", ", "]")} collide with reserved store " +
+        s"columns ${reserved.toSeq.sorted.mkString("(", "/", ")")} — " +
+        "rename them before registering")
+    // the vector column is already the store's `vec` — carrying it
+    // again would double the store bytes for nothing
+    val payload = src.columns.toSeq.filterNot(_ == vecCol)
+    val keyed = src
+      .withColumn("__cvec", col(vecCol).cast("array<float>"))
+      .withColumn("__cid", xxhash64(col(contentCol), col("__cvec")))
+    val orderable = keyed.schema.fields
+      .filter(f => payload.contains(f.name))
+      .forall(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+    val deduped =
+      if (orderable)
+        keyed.groupBy("__cid")
+          .agg(max(struct(col("__cvec") +: payload.map(col): _*)).as("__w"))
+          .select(col("__cid"), col("__w.*"))
+      else keyed.dropDuplicates("__cid")
+    (deduped, payload)
+  }
+
   /** Build-once persisted IVF-PQ store for a beyond-cap registration —
     * the composed 100 TB layout (coarse cells prune directories, PQ
-    * residual codes compress the scan) on the SQL surface. Same
-    * build-once/lock discipline as [[hnswStoreFor]].
+    * residual codes compress the scan) on the SQL surface, laid out for
+    * FILTERED serving like [[ivfStoreFor]]: every non-reserved source
+    * column rides as payload next to the codes (an unfiltered probe's
+    * scan never reads them — parquet column pruning — so the unfiltered
+    * ladder pays nothing for the layout). Same build-once/lock
+    * discipline as [[hnswStoreFor]].
     */
-  private def ivfPqStoreFor(c: DataFrame, big: DfCorpus): String = {
+  private def ivfPqStoreFor(src: DataFrame, contentCol: String,
+      vecCol: String, big: DfCorpus): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_sql_ivfpq_" +
       s"${spark.sparkContext.applicationId}_${big.tag}"
     GraftSql.hnswBuildLock.synchronized {
-      if (!graft.operators.FsUtil.exists(spark, s"$path/stats/_SUCCESS"))
-        graft.operators.IvfPqIndex.writeIndex(c, "__cid", "__cvec", path,
-          nList = 16, m = 8, kCodes = 16)
+      if (!graft.operators.FsUtil.exists(spark, s"$path/stats/_SUCCESS")) {
+        val (withIds, payload) = payloadSource(src, contentCol, vecCol,
+          Set("id", "vec", "cell", "epoch", "codes", "v", "rv"), "ivfpq")
+        graft.operators.IvfPqIndex.writeIndex(withIds, "__cid", "__cvec",
+          path, nList = 16, m = 8, kCodes = 16, payload = payload)
+      }
     }
     path
   }
 
   /** The SQ8 twin of [[ivfPqStoreFor]] — the near-exact 4× point of the
-    * compressed ladder.
+    * compressed ladder, same payload-carrying filtered-serving layout.
     */
-  private def ivfSqStoreFor(c: DataFrame, big: DfCorpus): String = {
+  private def ivfSqStoreFor(src: DataFrame, contentCol: String,
+      vecCol: String, big: DfCorpus): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_sql_ivfsq_" +
       s"${spark.sparkContext.applicationId}_${big.tag}"
     GraftSql.hnswBuildLock.synchronized {
-      if (!graft.operators.FsUtil.exists(spark, s"$path/stats/_SUCCESS"))
-        graft.operators.IvfSqIndex.writeIndex(c, "__cid", "__cvec", path,
-          nList = 16, dim = corpusDim(c, big.tag))
+      if (!graft.operators.FsUtil.exists(spark, s"$path/stats/_SUCCESS")) {
+        val (withIds, payload) = payloadSource(src, contentCol, vecCol,
+          Set("id", "vec", "cell", "epoch", "codes", "v"), "ivfsq")
+        graft.operators.IvfSqIndex.writeIndex(withIds, "__cid", "__cvec",
+          path, nList = 16, dim = corpusDim(withIds, big.tag),
+          payload = payload)
+      }
     }
     path
   }
@@ -1100,7 +1152,8 @@ class GraftSql(
         // the latter clamped so |queries|×pool stays inside the serve's
         // per-task heap bound.
         val n = VectorSearch.estimatedRows(c, corpusDim(c, big.tag))
-        graft.operators.IvfPqIndex.searchIndex(spark, ivfPqStoreFor(c, big),
+        graft.operators.IvfPqIndex.searchIndex(spark,
+            ivfPqStoreFor(big.df, big.contentCol, big.vecCol, big),
             qv, "__qid", "__qvec", c, "__cid", "__cvec", k, "dot",
             nProbe = graft.operators.IvfSearch.probesForBudget(
               n, 16, big.numCandidates),
@@ -1112,7 +1165,8 @@ class GraftSql(
         // the SQ8 celled store: same probe/re-rank shape as "ivfpq" on
         // 4x-compressed near-exact codes (per-dimension affine scan)
         val nSq = VectorSearch.estimatedRows(c, corpusDim(c, big.tag))
-        graft.operators.IvfSqIndex.searchIndex(spark, ivfSqStoreFor(c, big),
+        graft.operators.IvfSqIndex.searchIndex(spark,
+            ivfSqStoreFor(big.df, big.contentCol, big.vecCol, big),
             qv, "__qid", "__qvec", c, "__cid", "__cvec", k, "dot",
             nProbe = graft.operators.IvfSearch.probesForBudget(
               nSq, 16, big.numCandidates),
@@ -1144,7 +1198,10 @@ class GraftSql(
     * corpus declared `'ivf'` probes its persisted store with the
     * predicate PUSHED INTO the pruned cell scan
     * ([[graft.operators.IvfSearch.searchIndex]]'s payload layout: a
-    * parquet PushedFilter stacked on the partition pruning), and
+    * parquet PushedFilter stacked on the partition pruning), `'ivfpq'`
+    * and `'ivfsq'` push the same predicate into their pruned CODE scans
+    * (compressed payload stores — the Atlas filtered-$vectorSearch
+    * shape at 1/32 and 1/4 the scanned bytes), and
     * `'hnsw'` serves the standard post-filter-with-over-fetch strategy
     * ([[graft.operators.HnswSearch.searchIndexFiltered]]) against an
     * admitted-id set that is predicate-selectivity-sized. The declared
@@ -1170,6 +1227,32 @@ class GraftSql(
             nProbe = graft.operators.IvfSearch.probesForBudget(
               n, 16, big.numCandidates),
             filter = expr(pred))
+          .select(col("__qid"), col("rank").as("__rank"),
+            col("match_id").as("__cid"))
+      case "ivfpq" =>
+        // the compressed celled store serves the predicate INSIDE the
+        // pruned ADC scan (payload PushedFilter stacked on cell
+        // pruning), exact re-rank of the admitted survivors by id-join
+        // — same pushdown posture as "ivf" at 1/32 the scanned bytes
+        val n = VectorSearch.estimatedRows(c, corpusDim(c, big.tag))
+        graft.operators.IvfPqIndex.searchIndex(spark,
+            ivfPqStoreFor(src, contentCol, vecCol, big),
+            qv, "__qid", "__qvec", c, "__cid", "__cvec", k, "dot",
+            nProbe = graft.operators.IvfSearch.probesForBudget(
+              n, 16, big.numCandidates),
+            numCandidates = math.max(k, math.min(big.numCandidates, 1000)),
+            maxQueries = 10000, filter = expr(pred))
+          .select(col("__qid"), col("rank").as("__rank"),
+            col("match_id").as("__cid"))
+      case "ivfsq" =>
+        val n = VectorSearch.estimatedRows(c, corpusDim(c, big.tag))
+        graft.operators.IvfSqIndex.searchIndex(spark,
+            ivfSqStoreFor(src, contentCol, vecCol, big),
+            qv, "__qid", "__qvec", c, "__cid", "__cvec", k, "dot",
+            nProbe = graft.operators.IvfSearch.probesForBudget(
+              n, 16, big.numCandidates),
+            numCandidates = math.max(k, math.min(big.numCandidates, 1000)),
+            maxQueries = 10000, filter = expr(pred))
           .select(col("__qid"), col("rank").as("__rank"),
             col("match_id").as("__cid"))
       case "hnsw" =>

@@ -1559,4 +1559,102 @@ LATERAL TABLE(FILTERED_SEARCH('fidx_clash', 3, qv, 'label % 4 = 1'));""")
     }
     assert(e.getMessage.contains("reserved store"), e.getMessage)
   }
+
+  test("FILTERED_SEARCH on a COMPRESSED registration (ivfpq/ivfsq) " +
+      "serves the predicate inside the pruned code scan") {
+    val g = facade()
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").cast("string").as("content"),
+      col("embedding").as("vector"), col("label"))
+    val qs = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    qs.createOrReplaceTempView("fpq_qs")
+    def hitsOf(corpusName: String): Map[Long, Set[Long]] =
+      g.execute(s"""SELECT query_id, search_results FROM fpq_qs,
+LATERAL TABLE(FILTERED_SEARCH('$corpusName', 3, qv, 'label % 4 = 1'));""")
+        .select(col("query_id"), col("search_results")).collect()
+        .map(r => r.getLong(0) -> (
+          if (r.isNullAt(1)) Set.empty[Long]
+          else r.getSeq[org.apache.spark.sql.Row](1)
+            .map(_.getString(0).toLong).toSet)).toMap
+    val exact = graft.operators.VectorSearch.topKFiltered(qs, "query_id",
+        "qv", emb, "vec_id", "embedding", col("label") % 4 === 1,
+        k = 3, metric = "dot")
+      .select(col("query_id"), col("match_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // at this corpus size the default budget probes every cell and the
+    // candidate clamp covers every admitted row, so the compressed
+    // shortlist contains the full admitted set and the exact re-rank
+    // makes both serves EQUAL the exact filtered top-k — the facade
+    // equivalence pin (recall at bench scale is contracted separately)
+    for (fam <- Seq("ivfpq", "ivfsq")) {
+      g.registerSearchCorpus(s"fpq_$fam", corpus, "content", "vector",
+        maxRows = 0, indexType = fam)
+      val got = hitsOf(s"fpq_$fam")
+      assert(got == exact && exact.nonEmpty,
+        s"full-probe $fam filtered serve must equal the exact filtered top-k")
+    }
+    // reserved-column clash refuses loudly on the compressed route too
+    g.registerSearchCorpus("fpq_clash",
+      corpus.withColumn("codes", lit(1L)), "content", "vector",
+      maxRows = 0, indexType = "ivfpq")
+    val e = intercept[IllegalArgumentException] {
+      g.execute("""SELECT query_id FROM fpq_qs,
+LATERAL TABLE(FILTERED_SEARCH('fpq_clash', 3, qv, 'label % 4 = 1'));""")
+    }
+    assert(e.getMessage.contains("reserved store"), e.getMessage)
+  }
+
+  test("payload-divergent duplicate (content, vector) rows dedupe to a " +
+      "DETERMINISTIC winner in persisted payload stores") {
+    val g = facade()
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings").limit(50)
+    val base = emb.select(col("vec_id").cast("string").as("content"),
+      col("embedding").as("vector"))
+    // every content twice: once with label 1, once with label 2 — the
+    // deterministic winner is the MAX payload tuple, so label 2 must
+    // survive for every content (an arbitrary survivor would flicker)
+    val dup = base.withColumn("label", lit(1L))
+      .union(base.withColumn("label", lit(2L)))
+    val qs = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    qs.createOrReplaceTempView("dup_qs")
+    g.registerSearchCorpus("dup_ivf", dup, "content", "vector",
+      maxRows = 0, indexType = "ivf")
+    def hits(pred: String): Seq[Set[Long]] =
+      g.execute(s"""SELECT query_id, search_results FROM dup_qs,
+LATERAL TABLE(FILTERED_SEARCH('dup_ivf', 3, qv, '$pred'));""")
+        .select(col("search_results")).collect().toSeq
+        .map(r => if (r.isNullAt(0)) Set.empty[Long]
+          else r.getSeq[org.apache.spark.sql.Row](0)
+            .map(_.getString(0).toLong).toSet)
+    // winner is label=2 for every content: the label=2 predicate admits
+    // the whole corpus, the label=1 predicate admits nothing
+    assert(hits("label = 2").forall(_.nonEmpty))
+    assert(hits("label = 1").forall(_.isEmpty))
+  }
+
+  test("RADIUS_SEARCH rejects a non-numeric threshold with the " +
+      "dialect's named error, not a raw NumberFormatException") {
+    val g = facade()
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings").limit(20)
+    g.registerSearchCorpus("radparse",
+      emb.select(col("vec_id").cast("string").as("content"),
+        col("embedding").as("vector")), "content", "vector")
+    emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .limit(2).createOrReplaceTempView("radparse_qs")
+    val e = intercept[IllegalArgumentException] {
+      g.execute("""SELECT query_id FROM radparse_qs,
+LATERAL TABLE(RADIUS_SEARCH('radparse', high, qv));""")
+    }
+    assert(e.getMessage.contains("threshold must be numeric"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      g.execute("""SELECT query_id FROM radparse_qs,
+LATERAL TABLE(RADIUS_SEARCH('radparse', 0.5, qv, 'four'));""")
+    }
+    assert(e2.getMessage.contains("nBits must be numeric"), e2.getMessage)
+  }
 }

@@ -459,4 +459,26 @@ class RobustnessSpec extends SparkSpec {
     val noDocs = Seq.empty[(Long, String)].toDF("id", "text")
     assert(graft.operators.Bpe.trainMerges(noDocs, "text", 5).merges.isEmpty)
   }
+
+  test("a FAILED index build releases its localCheckpoint blocks " +
+      "(try/finally, not success-path-only)") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings").limit(64)
+      .select(col("vec_id"), col("embedding"))
+    // the store root is a regular FILE, so the parquet write under it
+    // fails AFTER the celled frame was checkpointed — the blocks must
+    // not outlive the failure (session-lifetime leak otherwise)
+    val f = java.nio.file.Files.createTempFile("graft_rb_leak", ".notadir")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    for (build <- Seq[() => Unit](
+      () => graft.operators.IvfSqIndex.writeIndex(emb, "vec_id", "embedding",
+        f.toString, nList = 4, dim = 8),
+      () => graft.operators.IvfPqIndex.writeIndex(emb, "vec_id", "embedding",
+        f.toString, nList = 4, m = 4, kCodes = 8, dim = 8))) {
+      intercept[Exception](build())
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty,
+        s"failed build leaked checkpointed RDD blocks: $leaked")
+    }
+  }
 }
