@@ -522,6 +522,36 @@ object SparkEntry {
     ()
   }
 
+  /** Shared body of q_sql_filtered_pq / q_sql_filtered_sq: register the
+    * embeddings corpus beyond-cap under a compressed family, run the
+    * FILTERED_SEARCH worksheet statement (served from the persisted code
+    * store, predicate pushed into the pruned scan), and contract recall
+    * against the exact filtered ground truth — one parameterized shape,
+    * two families (the q_sql_filtered_indexed idiom).
+    */
+  private def sqlFilteredCompressed(s: SparkSession, dir: String,
+      family: String): DataFrame = {
+    val g = sqlFacade(s)
+    val name = s"sqlf${family}_${indexTag(dir)}"
+    registerOnce(s, name) {
+      g.registerSearchCorpus(name,
+        t(s, dir, "embeddings").select(
+          col("vec_id").cast("string").as("content"),
+          col("embedding").as("vector"), col("label")),
+        "content", "vector", maxRows = 0, indexType = family)
+    }
+    val queries = annQueries(s, dir)
+    queries.createOrReplaceTempView(s"graft_filtered_${family}_queries")
+    val approx = g.execute(
+        s"SELECT query_id, search_results FROM graft_filtered_${family}_queries, " +
+          s"LATERAL TABLE(FILTERED_SEARCH('$name', 3, qv, 'label % 4 = 1'));")
+      .select(col("query_id"), explode(col("search_results")).as("m"))
+      .select(col("query_id"), col("m.content").cast("long").as("match_id"))
+    VectorSearch.recallContract(approx, annFilteredGroundTruth(s, dir),
+      queries, "query_id", "match_id", 1)
+      .orderBy("query_id")
+  }
+
   /** The ONE build-once persisted HNSW store over the embeddings table —
     * q_hnsw_index_recall and q_hnsw_filtered_recall both probe it (the
     * index-once discipline every *_index_recall query follows). v2: the
@@ -2106,6 +2136,16 @@ ORDER BY event_id, event_id2""")
         .orderBy("query_id")
     }),
 
+    // the COMPRESSED twins of q_sql_filtered_indexed: an 'ivfpq' /
+    // 'ivfsq' registration serves the same statement from its persisted
+    // code store with the predicate pushed into the pruned ADC / affine
+    // scan — the corpora big enough to be registered compressed no
+    // longer pay the exact full-scan pre-filter on the SQL surface
+    "q_sql_filtered_pq" -> ((s, dir) =>
+      sqlFilteredCompressed(s, dir, "ivfpq")),
+    "q_sql_filtered_sq" -> ((s, dir) =>
+      sqlFilteredCompressed(s, dir, "ivfsq")),
+
     // --- index DELETE protocol, IVF (exact under the hash gate) -----------
     // The right-to-be-forgotten path: tombstone epochs kill rows at serve
     // time immediately, LWW lets a later re-ingest out-live the delete,
@@ -2299,6 +2339,27 @@ ORDER BY event_id, event_id2""")
           path, nList = 16, m = 8, kCodes = 16, payload = Seq("label"))
       val queries = annQueries(s, dir)
       val approx = graft.operators.IvfPqIndex.searchIndex(s, path, queries,
+        "query_id", "qv", emb, "vec_id", "embedding",
+        k = 3, metric = "dot", nProbe = 12, numCandidates = 200,
+        filter = FilteredPred)
+      VectorSearch.recallContract(approx, annFilteredGroundTruth(s, dir),
+        queries, "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
+    // --- FILTERED IVF-SQ serve: payload pushdown on the SQ8 store ---------
+    // The q_ivfpq_filtered_recall twin at the near-exact 4x point of the
+    // compressed ladder: `label` rides the code rows, the predicate
+    // evaluates inside the pruned affine scan, survivors re-rank exact.
+    "q_ivfsq_filtered_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfsqf_index_" +
+        indexTag(dir)
+      if (!graft.operators.FsUtil.exists(s, s"$path/stats/_SUCCESS"))
+        graft.operators.IvfSqIndex.writeIndex(emb, "vec_id", "embedding",
+          path, nList = 16, payload = Seq("label"))
+      val queries = annQueries(s, dir)
+      val approx = graft.operators.IvfSqIndex.searchIndex(s, path, queries,
         "query_id", "qv", emb, "vec_id", "embedding",
         k = 3, metric = "dot", nProbe = 12, numCandidates = 200,
         filter = FilteredPred)
@@ -3692,6 +3753,14 @@ values (
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 
     "q_sql_filtered_hnsw" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_sql_filtered_pq" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_sql_filtered_sq" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 
@@ -5171,6 +5240,10 @@ values (
         "WHERE vec_id % 20 = 0 ORDER BY phase, query_id"),
 
     "q_ivfpq_filtered_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_ivfsq_filtered_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 
