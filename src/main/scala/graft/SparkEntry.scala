@@ -2146,6 +2146,71 @@ ORDER BY event_id, event_id2""")
     "q_sql_filtered_sq" -> ((s, dir) =>
       sqlFilteredCompressed(s, dir, "ivfsq")),
 
+    // FILTERED hybrid retrieval on the SQL worksheet: the optional 5th
+    // HYBRID_SEARCH argument restricts BOTH legs to the admitted
+    // metadata subset (exact vector leg, Lucene filtered-query BM25 leg
+    // with GLOBAL stats) before RRF fusion. The fused ranking's internal
+    // tie-break is the canonical content-hash id (not reproducible in
+    // the oracle engine), so the gate is the facade-equivalence
+    // contract: the statement must EXACTLY equal the operator-level
+    // hybridTopK(allowed) fusion per query, every hit must be admitted,
+    // and the list must fill k — booleans pinned TRUE (the
+    // q_embed_contract gate class; q_hybrid_filtered hash-pins the
+    // fusion semantics at operator level).
+    "q_sql_hybrid_filtered" -> ((s, dir) => {
+      val g = sqlFacade(s)
+      val docs = t(s, dir, "documents")
+      val name = s"sqlhybf_${contentTag(dir, "documents")}"
+      val corpus = docs.select(col("text").as("content"),
+        HashEmbedder.embedCol(col("text")).as("vector"),
+        col("doc_id"), col("lang"))
+      registerOnce(s, name) {
+        g.registerSearchCorpus(name, corpus, "content", "vector",
+          maxRows = 0)
+      }
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qdoc"), col("text").as("question"),
+          HashEmbedder.embedCol(col("text")).as("qv"))
+      qs.createOrReplaceTempView("graft_hybf_queries")
+      val facadeHits = g.execute(
+          "SELECT qdoc, search_results FROM graft_hybf_queries, " +
+            s"LATERAL TABLE(HYBRID_SEARCH('$name', 5, qv, question, " +
+            "'doc_id % 2 = 0'));")
+        .select(col("qdoc"),
+          expr("transform(search_results, m -> m.content)").as("hits"))
+      // the operator-level fusion over the same canonical ids/admitted set
+      val slim = corpus.select(col("content").as("__content"),
+          col("vector").cast("array<float>").as("__cvec"))
+        .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
+        .dropDuplicates("__cid")
+      val allowed = corpus.filter(col("doc_id") % 2 === 0)
+        .select(col("content").as("__content"),
+          col("vector").cast("array<float>").as("__cvec"))
+        .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
+        .select("__cid")
+      val qv = qs.select(xxhash64(col("qv"), col("question")).as("__qid"),
+        col("qv").as("__qvec"), col("question").as("__qtext"), col("qdoc"))
+      val op = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
+          "__qtext", slim, "__cid", "__cvec", "__content", 5,
+          allowed = allowed, allowedId = "__cid")
+        .join(slim.select(col("__cid").as("match_id"), col("__content")),
+          "match_id")
+        .join(qv.select(col("__qid").as("query_id"), col("qdoc")), "query_id")
+        .groupBy("qdoc")
+        .agg(expr("transform(sort_array(collect_list(struct(rrf_rank, " +
+          "__content))), m -> m.__content)").as("op_hits"))
+      val admitted = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("text")).distinct()
+        .agg(collect_set(col("text")).as("adm"))
+      facadeHits.join(op, Seq("qdoc")).crossJoin(admitted)
+        .select(col("qdoc"),
+          (col("hits") === col("op_hits")).as("fused_eq_ok"),
+          expr("forall(hits, h -> array_contains(adm, h))")
+            .as("admitted_only_ok"),
+          (size(col("hits")) === 5).as("k_ok"))
+        .orderBy("qdoc")
+    }),
+
     // --- index DELETE protocol, IVF (exact under the hash gate) -----------
     // The right-to-be-forgotten path: tombstone epochs kill rows at serve
     // time immediately, LWW lets a later re-ingest out-live the delete,
@@ -3763,6 +3828,11 @@ values (
     "q_sql_filtered_sq" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_sql_hybrid_filtered" ->
+      ("SELECT doc_id AS qdoc, TRUE AS fused_eq_ok, " +
+        "TRUE AS admitted_only_ok, TRUE AS k_ok FROM documents " +
+        "WHERE doc_id % 100 = 0 ORDER BY qdoc"),
 
     "q_sql_radius" ->
       ("SELECT q.vec_id AS query_id, c.vec_id AS match_id " +

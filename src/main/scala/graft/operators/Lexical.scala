@@ -388,16 +388,31 @@ object Lexical {
       .distinct()
       .groupBy("term").agg(count(lit(1)).as("__df"))
 
+  /** `allowed` (optional, with `allowedId`): a metadata-restricted
+    * candidate id set — BOTH legs admit only its members (the vector leg
+    * scores the semi-joined corpus exactly; the lexical leg keeps GLOBAL
+    * corpus statistics per [[bm25TopKFiltered]]'s Lucene filtered-query
+    * semantics), so the fused top-k never under-fills on a selective
+    * filter and a document's BM25 relevance does not shift with it.
+    */
   def hybridTopK(queries: DataFrame, qId: String, qVec: String, qText: String,
       corpus: DataFrame, cId: String, cVec: String, cText: String,
       k: Int, fuseDepth: Int = 10, metric: String = "dot",
       kConst: Int = 60, maxQueryTerms: Int = 0,
       dfTable: DataFrame = null, post: DataFrame = null,
-      stats: DataFrame = null): DataFrame = {
+      stats: DataFrame = null,
+      allowed: DataFrame = null, allowedId: String = null): DataFrame = {
     require(k > 0, s"hybridTopK: k must be positive, got $k")
+    require(allowed == null || allowedId != null,
+      "hybridTopK: allowed requires allowedId")
     val depth = math.max(k, fuseDepth)
+    val allowedIds = if (allowed == null) null
+      else allowed.select(col(allowedId).cast("long").as("__aid")).distinct()
+    val vCorpus = if (allowedIds == null) corpus
+      else corpus.join(allowedIds,
+        corpus(cId).cast("long") === allowedIds("__aid"), "left_semi")
     val vrank = VectorSearch.topKAgg(queries, qId, qVec,
-        corpus, cId, cVec, depth, metric)
+        vCorpus, cId, cVec, depth, metric)
       .select(col(qId).cast("long").as("query_id"),
         posexplode(col("matches")).as(Seq("__pos", "__m")))
       .select(col("query_id"), col("__m.id").as("match_id"),
@@ -422,9 +437,15 @@ object Lexical {
           .filter(col("__r") <= maxQueryTerms)
           .select("query_id", "term")
       }
-    val lrank = bm25TopK(qTerms, "query_id", "term",
-        corpus.select(col(cId).as("__cid2"), col(cText).as("__ctext")),
-        "__cid2", "__ctext", depth, post = post, stats = stats)
+    val lrank = (if (allowedIds == null)
+        bm25TopK(qTerms, "query_id", "term",
+          corpus.select(col(cId).as("__cid2"), col(cText).as("__ctext")),
+          "__cid2", "__ctext", depth, post = post, stats = stats)
+      else
+        bm25TopKFiltered(qTerms, "query_id", "term",
+          corpus.select(col(cId).as("__cid2"), col(cText).as("__ctext")),
+          "__cid2", "__ctext", allowedIds, "__aid", depth,
+          post = post, stats = stats))
       .select("query_id", "match_id", "rank")
     rrfFuse(vrank, lrank, "query_id", "match_id", "rank", k, kConst)
   }

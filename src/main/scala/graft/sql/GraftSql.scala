@@ -775,16 +775,20 @@ class GraftSql(
         s"${radiusSearchView(table, parts(2), corpus, threshold,
           nBits, nTables, views)} AS $alias"
       case "hybrid_search" =>
-        // HYBRID_SEARCH('corpus', k, vectorCol, textCol): reciprocal-rank
-        // fusion of the corpus's vector ranking with a BM25 keyword
-        // ranking of the text expression's tokens over corpus contents —
-        // the production retrieval pattern next to pure FEDERATED_SEARCH
+        // HYBRID_SEARCH('corpus', k, vectorCol, textCol [, 'predicate']):
+        // reciprocal-rank fusion of the corpus's vector ranking with a
+        // BM25 keyword ranking of the text expression's tokens over
+        // corpus contents — the production retrieval pattern next to
+        // pure FEDERATED_SEARCH. The optional predicate restricts BOTH
+        // legs to the admitted metadata subset (exact vector leg, Lucene
+        // filtered-query BM25 leg with GLOBAL stats) before fusing.
         val parts = splitArgs(args)
-        require(parts.length == 4,
-          s"HYBRID_SEARCH expects ('corpus', k, vectorCol, textCol), got: $args")
+        require(parts.length == 4 || parts.length == 5,
+          s"HYBRID_SEARCH expects ('corpus', k, vectorCol, textCol[, 'predicate']), got: $args")
         val corpus = unquote(parts(0))
         val k = parts(1).trim.toInt
-        s"${hybridSearchView(table, parts(2), parts(3), corpus, k, views)} AS $alias"
+        val hpred = if (parts.length == 5) Some(unquote(parts(4))) else None
+        s"${hybridSearchView(table, parts(2), parts(3), corpus, k, hpred, views)} AS $alias"
       case "prf_search" =>
         // PRF_SEARCH('corpus', k, textCol [, fbDocs, fbTerms]): BM25
         // keyword retrieval under pseudo-relevance-feedback expansion —
@@ -1349,7 +1353,8 @@ class GraftSql(
     */
   private def hybridSearchView(
       table: String, vecExpr: String, textExpr: String, corpusName: String,
-      k: Int, views: scala.collection.mutable.Buffer[String]): String = {
+      k: Int, pred: Option[String],
+      views: scala.collection.mutable.Buffer[String]): String = {
     import org.apache.spark.sql.functions._
     val base = spark.table(table)
     // content-derived ids (the fedSearchView rule: mono-ids would permute
@@ -1360,11 +1365,29 @@ class GraftSql(
     val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"),
       expr(textExpr).as("__qtext"))
     // postings/stats from the per-registration artifact cache: the
-    // lexical side of a repeat statement never re-tokenizes the corpus
+    // lexical side of a repeat statement never re-tokenizes the corpus.
+    // The cache is predicate-INDEPENDENT (global Lucene filtered-query
+    // stats), so filtered and unfiltered statements share one artifact.
     val (post, stats) = lexArtifactsFor(corpusName, ref, c)
+    // the admitted set resolves against the REGISTERED source's columns
+    // (the FILTERED_SEARCH contract), mapped to canonical content ids
+    val admitted = pred.map { p =>
+      val (src, contentCol, vecCol) = corpusSources.getOrElse(corpusName,
+        throw new IllegalArgumentException(
+          s"unknown search corpus '$corpusName'"))
+      val filtered =
+        try src.filter(expr(p))
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"HYBRID_SEARCH predicate '$p' does not resolve against " +
+              s"corpus '$corpusName' (${src.columns.mkString(", ")}): ${e.getMessage}")
+        }
+      canonCorpus(filtered, contentCol, vecCol).select("__cid")
+    }.orNull
     val fused = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
       "__qtext", c, "__cid", "__cvec", "__content", k,
-      post = post, stats = stats)
+      post = post, stats = stats,
+      allowed = admitted, allowedId = if (admitted == null) null else "__cid")
     val ranked = fused.select(col("query_id").as("__qid"),
       col("match_id").as("__cid"), col("rrf_rank").as("__rank"))
     searchResultsView("hybridsearch", q, ranked, c, views)

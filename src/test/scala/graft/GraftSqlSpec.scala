@@ -1636,6 +1636,66 @@ LATERAL TABLE(FILTERED_SEARCH('dup_ivf', 3, qv, '$pred'));""")
     assert(hits("label = 1").forall(_.isEmpty))
   }
 
+  test("HYBRID_SEARCH accepts an optional metadata predicate restricting " +
+      "BOTH legs to the admitted subset before fusing") {
+    val g = facade()
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 80)
+    val corpus = docs.select(col("text").as("content"),
+      graft.functions.HashEmbedder.embedCol(col("text")).as("vector"),
+      col("doc_id"), col("lang"))
+    g.registerSearchCorpus("hybf_corpus", corpus, "content", "vector")
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id"), col("text").as("question"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    qs.createOrReplaceTempView("hybf_questions")
+    val got = g.execute(
+      """SELECT doc_id, search_results FROM hybf_questions,
+LATERAL TABLE(HYBRID_SEARCH('hybf_corpus', 3, vector, question, 'doc_id % 2 = 0'));""")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))).toMap
+    assert(got.size == 3 && got.values.forall(_.length == 3))
+    // admit-safety: every fused hit is an ADMITTED document's text
+    val adm = docs.filter(col("doc_id") % 2 === 0)
+      .select("text").collect().map(_.getString(0)).toSet
+    got.values.flatten.foreach(t => assert(adm(t), s"non-admitted hit: $t"))
+    // an admitted query document tops BOTH restricted legs, so RRF must
+    // fuse it first (the unfiltered test's self-first gate, filtered)
+    val texts = docs.filter(col("doc_id") < 3).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.filter(e => e._1 % 2 == 0).foreach { case (q, hits) =>
+      assert(hits.head == texts(q), s"admitted query doc $q not fused first") }
+    // the facade statement IS the operator call: equality against
+    // hybridTopK with the same canonical ids and admitted set
+    import org.apache.spark.sql.functions.xxhash64
+    val slim = corpus.select(col("content").as("__content"),
+        col("vector").cast("array<float>").as("__cvec"))
+      .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
+      .dropDuplicates("__cid")
+    val allowed = corpus.filter(col("doc_id") % 2 === 0)
+      .select(col("content").as("__content"),
+        col("vector").cast("array<float>").as("__cvec"))
+      .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
+      .select("__cid")
+    val qv = qs.select(xxhash64(col("vector"), col("question")).as("__qid"),
+      col("vector").as("__qvec"), col("question").as("__qtext"),
+      col("doc_id"))
+    val op = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
+        "__qtext", slim, "__cid", "__cvec", "__content", 3,
+        allowed = allowed, allowedId = "__cid")
+      .join(slim.select(col("__cid").as("match_id"), col("__content")), "match_id")
+      .join(qv.select(col("__qid").as("query_id"), col("doc_id")), "query_id")
+      .select(col("doc_id"), col("rrf_rank"), col("__content"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getString(2)).toSeq).toMap
+    assert(got.view.mapValues(_.toSeq).toMap == op,
+      "facade filtered hybrid must equal the operator fusion")
+    // bad predicate names the corpus and its columns
+    val err = intercept[IllegalArgumentException](g.execute(
+      """SELECT doc_id FROM hybf_questions,
+LATERAL TABLE(HYBRID_SEARCH('hybf_corpus', 3, vector, question, 'nope > 1'));"""))
+    assert(err.getMessage.contains("does not resolve against"), err.getMessage)
+  }
+
   test("RADIUS_SEARCH rejects a non-numeric threshold with the " +
       "dialect's named error, not a raw NumberFormatException") {
     val g = facade()
