@@ -552,6 +552,72 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** The celled delete-lifecycle MUTATION preamble shared by every
+    * q_*_delete fixture: clone the content-tagged pristine store (the
+    * build runs once per corpus content), tombstone every label%5==3
+    * vector at the store's current epoch, then LWW-revive the even-id
+    * half by re-ingesting at a later epoch. One implementation of the
+    * delete/revive recipe so a sixth index family adds a serve fn and
+    * knobs, not a fourth copy of the harness.
+    */
+  private def deleteLifecycleStore(s: SparkSession, dir: String, tag: String,
+      doneMarker: String = "stats/_SUCCESS")(build: String => Unit)(
+      delete: (String, DataFrame) => Any,
+      revive: (DataFrame, String) => Any): String = {
+    val emb = t(s, dir, "embeddings")
+    val store = clonedStore(s, dir, tag, doneMarker)(build)
+    delete(store, emb.filter(col("label") % 5 === 3).select("vec_id"))
+    revive(emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 === 0),
+      store)
+    store
+  }
+
+  /** The full contract-gated delete lifecycle for a LOSSY/compressed
+    * store family (q_ivfpq_delete / q_ivfsq_delete — q_hnsw_delete's
+    * gates, q_ivf_delete's phases): mutate via
+    * [[deleteLifecycleStore]], then serve TWICE (tombstone-filtered,
+    * post-compaction) with absolute deletion safety (`no_deleted`: a
+    * dead id may never fill a slot in either phase) and retrieval
+    * quality (recall vs the memoized exact top-3 over the SURVIVING
+    * corpus). The serve's re-rank corpus is deliberately the FULL table
+    * so a tombstone leak surfaces instead of being join-masked.
+    */
+  private def compressedDeleteLifecycle(s: SparkSession, dir: String,
+      tag: String)(build: String => Unit)(
+      delete: (String, DataFrame) => Any,
+      revive: (DataFrame, String) => Any,
+      compact: String => Any,
+      serve: (String, DataFrame) => DataFrame): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val store = deleteLifecycleStore(s, dir, tag)(build)(delete, revive)
+    val queries = annQueries(s, dir)
+    val surviving = emb.filter(col("label") % 5 =!= 3 ||
+      col("vec_id") % 2 === 0)
+    val exact = memo(s, dir, "ann_gt_k3_dot_surv")(
+      VectorSearch.topKFlat(queries, "query_id", "qv",
+        surviving, "vec_id", "embedding", k = 3, metric = "dot"))
+    val dead = emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 =!= 0)
+      .select(col("vec_id").as("match_id"))
+    def phaseDf(phase: String) = {
+      val approx = serve(store, queries).localCheckpoint()
+      val noDead = queries.select("query_id").join(
+          approx.join(dead, Seq("match_id"), "left_semi")
+            .select(col("query_id"), lit(false).as("__hit")).distinct(),
+          Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("__hit"), lit(true))
+          .as("no_deleted"))
+      VectorSearch.recallContract(approx, exact, queries,
+        "query_id", "match_id", 1)
+        .join(noDead, Seq("query_id"))
+        .select(lit(phase).as("phase"), col("query_id"),
+          col("recall_ok"), col("no_deleted"))
+    }
+    val served = phaseDf("served").localCheckpoint()
+    compact(store)
+    served.unionByName(phaseDf("compacted"))
+      .orderBy("phase", "query_id")
+  }
+
   /** The ONE build-once persisted HNSW store over the embeddings table —
     * q_hnsw_index_recall and q_hnsw_filtered_recall both probe it (the
     * index-once discipline every *_index_recall query follows). v2: the
@@ -578,6 +644,18 @@ object SparkEntry {
       indexTag(dir)
     if (!graft.operators.FsUtil.exists(s, s"$path/centroids/_SUCCESS"))
       graft.operators.IvfSearch.writeIndex(t(s, dir, "embeddings"),
+        "vec_id", "embedding", path, nList = 16)
+    path
+  }
+
+  /** The SQ8 twin of [[ivfIndexStore]]: one build-once store probed by
+    * q_ivfsq_index_recall AND q_ivfsq_radius_recall.
+    */
+  private def ivfSqIndexStore(s: SparkSession, dir: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfsq_index_" +
+      indexTag(dir)
+    if (!graft.operators.FsUtil.exists(s, s"$path/stats/_SUCCESS"))
+      graft.operators.IvfSqIndex.writeIndex(t(s, dir, "embeddings"),
         "vec_id", "embedding", path, nList = 16)
     path
   }
@@ -2223,7 +2301,7 @@ ORDER BY event_id, event_id2""")
       val emb = t(s, dir, "embeddings")
       // tag v2: the pristine layout gained the post-build consolidation —
       // a stale unconsolidated store under the old tag must not serve
-      val store = clonedStore(s, dir, "ivfdel_v2", "stats/_SUCCESS") { p =>
+      val store = deleteLifecycleStore(s, dir, "ivfdel_v2") { p =>
         graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding",
           p, nList = 8)
         // consolidate the fresh store once (build-then-optimize): the
@@ -2231,14 +2309,10 @@ ORDER BY event_id, event_id2""")
         // downstream clone/serve/compact pays the listing; one file per
         // cell is the shape the lifecycle should start from
         graft.operators.IvfSearch.compactIndex(s, p)
-      }
-      // delete every label%5==3 vector at the store's current epoch...
-      graft.operators.IvfSearch.deleteFromIndex(s, store,
-        emb.filter(col("label") % 5 === 3).select("vec_id"), "vec_id")
-      // ...then re-ingest the even-id half — LWW revives exactly those
-      graft.operators.IvfSearch.appendToIndex(
-        emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 === 0),
-        "vec_id", "embedding", store, epoch = 1L)
+      }((p, ids) => graft.operators.IvfSearch.deleteFromIndex(s, p, ids,
+          "vec_id"),
+        (df, p) => graft.operators.IvfSearch.appendToIndex(df, "vec_id",
+          "embedding", p, epoch = 1L))
       val queries = annQueries(s, dir)
       def serve(phase: String) =
         graft.operators.IvfSearch.searchIndex(s, store, queries,
@@ -2354,17 +2428,45 @@ ORDER BY event_id, event_id2""")
     // codes drive the scan, exact re-rank from the source corpus)
     "q_ivfsq_index_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfsq_index_" +
-        indexTag(dir)
-      if (!graft.operators.FsUtil.exists(s, s"$path/stats/_SUCCESS"))
-        graft.operators.IvfSqIndex.writeIndex(emb, "vec_id", "embedding",
-          path, nList = 16)
       val queries = annQueries(s, dir)
-      val approx = graft.operators.IvfSqIndex.searchIndex(s, path, queries,
+      val approx = graft.operators.IvfSqIndex.searchIndex(s,
+        ivfSqIndexStore(s, dir), queries,
         "query_id", "qv", emb, "vec_id", "embedding",
         k = 3, metric = "dot", nProbe = 8, numCandidates = 200)
       VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
         "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
+    // ANN scoreDetails (the vector-side q_bm25_explain — Atlas
+    // $vectorSearch explain/searchMeta): the serve's own observability
+    // frame under the hash. Full probe makes the ranks exact AND makes
+    // candidates_scanned exactly the store's live row count, so every
+    // column — ids, ranks, planner stat (cells_probed), executor stat
+    // (candidates_scanned) — is replayable by the external oracle.
+    // Pruned-probe counter consistency is pinned in IvfSpec.
+    "q_ann_explain" -> ((s, dir) => {
+      val queries = annQueries(s, dir)
+      graft.operators.IvfSearch.explainProbe(s, ivfIndexStore(s, dir),
+        queries, "query_id", "qv", k = 3, metric = "dot", nProbe = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+    // RADIUS from the SQ8 store (FAISS range_search on the compressed
+    // celled layout): the ONE build-once store q_ivfsq_index_recall
+    // probes, dequantized relaxed-threshold pre-pass, exact re-score cut
+    // at the true threshold — precision 1.0 by construction (subset of
+    // exact is pinned inside radiusRecallContract's precision gate),
+    // recall contracted like q_ivf_radius_recall at the same nProbe.
+    "q_ivfsq_radius_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = annQueries(s, dir)
+      val approx = graft.operators.IvfSqIndex.radiusIndex(s,
+        ivfSqIndexStore(s, dir), queries, "query_id", "qv",
+        emb, "vec_id", "embedding",
+        threshold = 0.3, metric = "cosine", nProbe = 12)
+      VectorSearch.radiusRecallContract(approx, radiusGroundTruth(s, dir),
+        queries, "query_id", "match_id", minFrac = 0.4)
         .orderBy("query_id")
     }),
 
@@ -2440,45 +2542,19 @@ ORDER BY event_id, event_id2""")
     // a tombstone leak surfaces instead of being join-masked).
     "q_ivfsq_delete" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val store = clonedStore(s, dir, "ivfsqdel", "stats/_SUCCESS") { p =>
+      compressedDeleteLifecycle(s, dir, "ivfsqdel") { p =>
         graft.operators.IvfSqIndex.writeIndex(emb, "vec_id", "embedding",
           p, nList = 8)
         graft.operators.IvfSqIndex.compactIndex(s, p)
-      }
-      graft.operators.IvfSqIndex.deleteFromIndex(s, store,
-        emb.filter(col("label") % 5 === 3).select("vec_id"), "vec_id")
-      graft.operators.IvfSqIndex.appendToIndex(
-        emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 === 0),
-        "vec_id", "embedding", store, epoch = 1L)
-      val queries = annQueries(s, dir)
-      val surviving = emb.filter(col("label") % 5 =!= 3 ||
-        col("vec_id") % 2 === 0)
-      val exact = memo(s, dir, "ann_gt_k3_dot_surv")(
-        VectorSearch.topKFlat(queries, "query_id", "qv",
-          surviving, "vec_id", "embedding", k = 3, metric = "dot"))
-      val dead = emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 =!= 0)
-        .select(col("vec_id").as("match_id"))
-      def phaseDf(phase: String) = {
-        val approx = graft.operators.IvfSqIndex.searchIndex(s, store,
-            queries, "query_id", "qv", emb, "vec_id", "embedding",
-            k = 3, metric = "dot", nProbe = 8, numCandidates = 200)
-          .localCheckpoint()
-        val noDead = queries.select("query_id").join(
-            approx.join(dead, Seq("match_id"), "left_semi")
-              .select(col("query_id"), lit(false).as("__hit")).distinct(),
-            Seq("query_id"), "left")
-          .select(col("query_id"), coalesce(col("__hit"), lit(true))
-            .as("no_deleted"))
-        VectorSearch.recallContract(approx, exact, queries,
-          "query_id", "match_id", 1)
-          .join(noDead, Seq("query_id"))
-          .select(lit(phase).as("phase"), col("query_id"),
-            col("recall_ok"), col("no_deleted"))
-      }
-      val served = phaseDf("served").localCheckpoint()
-      graft.operators.IvfSqIndex.compactIndex(s, store)
-      served.unionByName(phaseDf("compacted"))
-        .orderBy("phase", "query_id")
+      }(
+        (p, ids) => graft.operators.IvfSqIndex.deleteFromIndex(s, p, ids,
+          "vec_id"),
+        (df, p) => graft.operators.IvfSqIndex.appendToIndex(df, "vec_id",
+          "embedding", p, epoch = 1L),
+        p => graft.operators.IvfSqIndex.compactIndex(s, p),
+        (p, queries) => graft.operators.IvfSqIndex.searchIndex(s, p,
+          queries, "query_id", "qv", emb, "vec_id", "embedding",
+          k = 3, metric = "dot", nProbe = 8, numCandidates = 200))
     }),
 
     // --- index DELETE protocol, IVF-PQ (contract) --------------------------
@@ -2493,46 +2569,20 @@ ORDER BY event_id, event_id2""")
     // over the SURVIVING corpus.
     "q_ivfpq_delete" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val store = clonedStore(s, dir, "ivfpqdel", "stats/_SUCCESS") { p =>
+      compressedDeleteLifecycle(s, dir, "ivfpqdel") { p =>
         graft.operators.IvfPqIndex.writeIndex(emb, "vec_id", "embedding",
           p, nList = 8, m = 8, kCodes = 16)
         // consolidate once (build-then-optimize, the q_ivf_delete rule)
         graft.operators.IvfPqIndex.compactIndex(s, p)
-      }
-      graft.operators.IvfPqIndex.deleteFromIndex(s, store,
-        emb.filter(col("label") % 5 === 3).select("vec_id"), "vec_id")
-      graft.operators.IvfPqIndex.appendToIndex(
-        emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 === 0),
-        "vec_id", "embedding", store, epoch = 1L)
-      val queries = annQueries(s, dir)
-      val surviving = emb.filter(col("label") % 5 =!= 3 ||
-        col("vec_id") % 2 === 0)
-      val exact = memo(s, dir, "ann_gt_k3_dot_surv")(
-        VectorSearch.topKFlat(queries, "query_id", "qv",
-          surviving, "vec_id", "embedding", k = 3, metric = "dot"))
-      val dead = emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 =!= 0)
-        .select(col("vec_id").as("match_id"))
-      def phaseDf(phase: String) = {
-        val approx = graft.operators.IvfPqIndex.searchIndex(s, store,
-            queries, "query_id", "qv", emb, "vec_id", "embedding",
-            k = 3, metric = "dot", nProbe = 8, numCandidates = 200)
-          .localCheckpoint()
-        val noDead = queries.select("query_id").join(
-            approx.join(dead, Seq("match_id"), "left_semi")
-              .select(col("query_id"), lit(false).as("__hit")).distinct(),
-            Seq("query_id"), "left")
-          .select(col("query_id"), coalesce(col("__hit"), lit(true))
-            .as("no_deleted"))
-        VectorSearch.recallContract(approx, exact, queries,
-          "query_id", "match_id", 1)
-          .join(noDead, Seq("query_id"))
-          .select(lit(phase).as("phase"), col("query_id"),
-            col("recall_ok"), col("no_deleted"))
-      }
-      val served = phaseDf("served").localCheckpoint()
-      graft.operators.IvfPqIndex.compactIndex(s, store)
-      served.unionByName(phaseDf("compacted"))
-        .orderBy("phase", "query_id")
+      }(
+        (p, ids) => graft.operators.IvfPqIndex.deleteFromIndex(s, p, ids,
+          "vec_id"),
+        (df, p) => graft.operators.IvfPqIndex.appendToIndex(df, "vec_id",
+          "embedding", p, epoch = 1L),
+        p => graft.operators.IvfPqIndex.compactIndex(s, p),
+        (p, queries) => graft.operators.IvfPqIndex.searchIndex(s, p,
+          queries, "query_id", "qv", emb, "vec_id", "embedding",
+          k = 3, metric = "dot", nProbe = 8, numCandidates = 200))
     }),
 
     // --- SQL surface: CUBE grouping sets with grouping() flags ------------
@@ -5320,6 +5370,22 @@ values (
     "q_ivf_index_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_ivfsq_radius_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    // full probe: exact top-3 ids/ranks; cells_probed is the declared
+    // budget (16 = nList), candidates_scanned the store's live rows
+    "q_ann_explain" ->
+      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank, " +
+        "CAST(16 AS INTEGER) AS cells_probed, " +
+        "(SELECT count(*) FROM embeddings) AS candidates_scanned FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0) " +
+        "WHERE rnk <= 3 ORDER BY query_id, rank"),
 
     "q_ivf_radius_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +

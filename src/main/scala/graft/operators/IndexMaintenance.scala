@@ -201,14 +201,126 @@ object IndexMaintenance {
     * own partitions (idempotent replay — the exactly-once contract);
     * `epoch < 0` is a plain append into the base segment. Centralized
     * so the overwrite discipline can never silently diverge between the
-    * lexical and vector stores.
+    * lexical and vector stores — and so the single-writer epoch
+    * contract is ENFORCED here, not merely documented: a namespaced
+    * epoch from a namespace other than the store's claimed writer is
+    * refused before any bytes land ([[claimWriter]]).
     */
   def epochWrite(df: DataFrame, partitionCols: Seq[String], epoch: Long,
       dir: String): Unit = {
+    validateEpochNamespace(df.sparkSession,
+      new Path(dir).getParent.toString, epoch, s"append to $dir")
     val w = df.write.partitionBy(partitionCols: _*)
     (if (epoch >= 0)
        w.option("partitionOverwriteMode", "dynamic").mode("overwrite")
      else w.mode("append")).parquet(dir)
+  }
+
+  // --- single-writer epoch contract (see Streams.epochKey) ---------------
+  // Namespaced epochs (22 namespace bits << 40) order by namespace HASH,
+  // not logical time, so the tombstone rule and serve-time LWW are only
+  // coherent while ONE namespace owns a store's epoch order. The first
+  // namespaced write claims the store in a `_writer/namespace` sidecar;
+  // any later namespaced write or delete under a DIFFERENT namespace
+  // fails loudly instead of silently corrupting LWW. Epochs < 2^40
+  // (manual batch appends, base segments, deletes defaulting to the
+  // store's own maxEpochIn) carry namespace 0 / -1 and stay unrestricted
+  // on unclaimed stores: the manual cadence IS a legitimate single
+  // writer — but once a stream has claimed the store, a foreign
+  // small-integer epoch is refused too (it would land UNDER every
+  // claimed epoch and un-kill / mis-order against the stream's rows).
+
+  /** Namespace bits of an epoch: -1 for base-segment epochs (< 0),
+    * otherwise the top 22 bits (0 for plain small-integer epochs).
+    */
+  def epochNamespaceOf(epoch: Long): Long =
+    if (epoch < 0) -1L else (epoch >>> 40) & 0x3FFFFFL
+
+  private def writerSidecar(root: String) = new Path(root, "_writer/namespace")
+
+  // positive claims are immutable for the store's lifetime — cache them
+  // so steady-state appends pay zero FS probes; absence is NOT cached
+  // (another process may claim between batches)
+  private val writerCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  private def readClaim(spark: SparkSession, root: String): Option[(Long, String)] =
+    writerCache.get(root).orElse {
+      val p = writerSidecar(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val lines = raw.split("\n", 2)
+        val claim = (lines(0).trim.toLong, lines.lift(1).getOrElse("").trim)
+        writerCache.put(root, claim)
+        Some(claim)
+      }
+    }
+
+  /** Claim exclusive epoch-order ownership of the store at `root` for
+    * `namespace` (idempotent per namespace — a RESTART of the same
+    * checkpoint re-claims harmlessly). A store already claimed by a
+    * different namespace refuses loudly: two stream checkpoints writing
+    * one index store is the silent-LWW-corruption class this engine
+    * refuses everywhere else. `owner` is a human-readable identity for
+    * the error message (the checkpoint path).
+    */
+  def claimWriter(spark: SparkSession, root: String, namespace: Long,
+      owner: String): Unit = {
+    require(namespace >= 0, s"claimWriter: namespace must be >= 0, got $namespace")
+    readClaim(spark, root) match {
+      case Some((ns, who)) =>
+        if (ns != namespace) throw new IllegalStateException(
+          s"index store at '$root' is owned by writer namespace $ns " +
+            s"('$who'); a second writer (namespace $namespace, '$owner') " +
+            "would corrupt the store's epoch order — stream through the " +
+            "owning checkpoint, or retire the store")
+      case None =>
+        val p = writerSidecar(root)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(p.getParent)
+        try {
+          val out = fs.create(p, false) // fail, don't clobber, on a race
+          try out.write(s"$namespace\n$owner".getBytes("UTF-8"))
+          finally out.close()
+          writerCache.put(root, (namespace, owner))
+        } catch {
+          case _: java.io.IOException =>
+            // lost the creation race — re-read and hold the winner to
+            // the same contract
+            writerCache.remove(root)
+            readClaim(spark, root) match {
+              case Some((ns, who)) if ns != namespace =>
+                throw new IllegalStateException(
+                  s"index store at '$root' was claimed concurrently by " +
+                    s"namespace $ns ('$who') — second writer refused")
+              case Some(_) => ()
+              case None => throw new IllegalStateException(
+                s"cannot persist writer claim under '$root'")
+            }
+        }
+    }
+  }
+
+  /** Refuse a namespaced epoch that violates the store's claim. No-op
+    * for unclaimed stores (the manual batch cadence) and for
+    * base-segment epochs (< 0 — they order below every namespaced row,
+    * which LWW and the tombstone rule handle coherently).
+    */
+  def validateEpochNamespace(spark: SparkSession, root: String, epoch: Long,
+      what: String): Unit = {
+    if (epoch < 0) return
+    readClaim(spark, root).foreach { case (ns, who) =>
+      val ens = epochNamespaceOf(epoch)
+      if (ens != ns) throw new IllegalStateException(
+        s"$what: epoch $epoch carries writer namespace $ens, but the " +
+          s"store at '$root' is owned by namespace $ns ('$who') — a " +
+          "foreign epoch cannot order coherently against the owner's " +
+          "rows (LWW and tombstones compare epochs numerically)")
+    }
   }
 
   /** Compaction's closed-epoch remap: every epoch except the stream's

@@ -477,4 +477,47 @@ object IvfSearch {
       .select(col(qId), col("m.id").as("match_id"), col("m.score").as("score"),
         (col("rank0") + 1).cast("int").as("rank"))
   }
+
+  /** [[searchIndex]] with serve-time OBSERVABILITY — the vector-side
+    * analogue of the BM25 scoreDetails frame (Atlas $vectorSearch's
+    * explain/searchMeta shape): the same probe and the same scan, plus
+    * the per-query counters the serve actually saw. `cells_probed` is
+    * the planner stat (the declared probe budget — every query probes
+    * exactly nProbe cells); `candidates_scanned` is the executor stat
+    * (live rows in the query's probed cells that competed for the
+    * top-k, post-tombstone, post-filter). Counts are deterministic
+    * functions of (store, query batch, knobs) — under a FULL probe
+    * `candidates_scanned` is exactly the store's live row count, which
+    * puts the whole frame under an external hash oracle. One extra
+    * `count` in the existing aggregation: observability costs no second
+    * scan.
+    */
+  def explainProbe(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qId: String, qVec: String,
+      k: Int, metric: String = "dot", nProbe: Int = 4,
+      filter: Column = lit(true)): DataFrame = {
+    val centroids = loadCentroids(spark, path)
+    val probed = queries.select(col(qId), col(qVec),
+      explode(nearestCells(centroids, nProbe)(col(qVec))).as("cell"))
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    val celled = Tombstones.filterLive(spark, path,
+        spark.read.parquet(s"$path/corpus")
+          .filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*))
+          .filter(filter),
+        "id", "epoch")
+      .select(col("id").as("match_id"), col("vec").as("__cvec"), col("cell"))
+    val asc = metric == "l2"
+    probed.join(celled, "cell")
+      .withColumn("score", scoreCol(metric)(col(qVec), col("__cvec")))
+      .groupBy(col(qId))
+      .agg(graft.functions.TopKByScore.topK(col("match_id"), col("score"), k, asc).as("matches"),
+        count(lit(1)).as("candidates_scanned"))
+      .select(col(qId), col("candidates_scanned"),
+        posexplode(col("matches")).as(Seq("rank0", "m")))
+      .select(col(qId), col("m.id").as("match_id"),
+        (col("rank0") + 1).cast("int").as("rank"),
+        lit(nProbe).cast("int").as("cells_probed"),
+        col("candidates_scanned"))
+  }
 }

@@ -114,6 +114,56 @@ object IvfSqIndex {
       ids: DataFrame, idCol: String, epoch: Option[Long] = None): Long =
     IvfSearch.deleteFromIndex(spark, path, ids, idCol, epoch)
 
+  /** RADIUS search from the persisted SQ8 store (FAISS `range_search`
+    * posture on the compressed celled layout): probe cells like
+    * [[IvfSearch.radiusIndex]], DEQUANTIZE each scanned code row once
+    * ([[SqSearch.decodeVec]] — the affine raw-dot decomposition can't
+    * bound cosine/l2 thresholds), admit candidates at a RELAXED
+    * threshold (`margin` absorbs the half-step quantization error so
+    * near-boundary vectors aren't lost to rounding), then re-score the
+    * admitted pairs EXACTLY against `corpus` by id and cut at the true
+    * threshold — precision 1.0 by construction, recall bounded by cell
+    * probing exactly as the uncompressed radius. `filter` rides the
+    * pruned scan (payload pushdown).
+    */
+  def radiusIndex(
+      spark: SparkSession, path: String,
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      threshold: Double, metric: String = "cosine", nProbe: Int = 4,
+      margin: Double = 0.05, filter: Column = lit(true)): DataFrame = {
+    require(margin >= 0, s"radiusIndex: margin must be >= 0, got $margin")
+    val centroids = IvfSearch.loadCentroids(spark, path)
+    val m = SqSearch.loadModel(spark, s"$path/sqmodel")
+    val probed = queries.select(col(qId), col(qVec),
+      explode(IvfSearch.nearestCells(centroids, nProbe)(col(qVec))).as("cell"))
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    val dq = SqSearch.decodeUdfOf(m)
+    val celled = Tombstones.filterLive(spark, path,
+        spark.read.parquet(s"$path/corpus")
+          .filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*))
+          .filter(filter),
+        "id", "epoch")
+      .select(col("id").as("match_id"), dq(col("codes")).as("__dqvec"),
+        col("cell"))
+    val relaxed = threshold + (if (metric == "l2") margin else -margin)
+    val admitted = probed.join(celled, "cell")
+      .withColumn("__ascore",
+        VectorSearch.scoreCol(metric)(col(qVec), col("__dqvec")))
+      .filter(if (metric == "l2") col("__ascore") <= relaxed
+        else col("__ascore") >= relaxed)
+      .select(col(qId), col(qVec), col("match_id"))
+    admitted
+      .join(corpus.select(col(cId).cast("long").as("match_id"),
+        col(cVec).cast("array<float>").as("__cvec")), "match_id")
+      .withColumn("score",
+        VectorSearch.scoreCol(metric)(col(qVec), col("__cvec")))
+      .filter(VectorSearch.radiusPred(metric, threshold))
+      .groupBy(col(qId), col("match_id"))
+      .agg((if (metric == "l2") min(col("score")) else max(col("score")))
+        .as("score"))
+  }
+
   /** Probe the store: partition-pruned scan of the probed cells' CODES
     * (never a float vector), per-query affine scan — dot decomposes as
     * const + Σ w·code with the weights precomputed per query ([[SqSearch

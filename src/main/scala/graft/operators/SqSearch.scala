@@ -155,6 +155,35 @@ object SqSearch {
     (c: org.apache.spark.sql.Column) => f(c)
   }
 
+  /** Dequantize a code row back to its (near-exact) float vector —
+    * `v(d) ≈ lo(d) + Δ(d)·code/255`, the inverse of [[encodeVec]] up to
+    * the half-step quantization error. Serving paths that need a
+    * GEOMETRIC view of a code (radius thresholds on cosine/l2, where
+    * the raw-dot affine decomposition can't bound the metric) decode
+    * once per scanned row and score the decoded vector.
+    */
+  def decodeVec(m: SqModel, codes: Array[Byte]): Array[Float] = {
+    require(codes.length == m.dim,
+      s"decode: code row has ${codes.length} bytes, model expects ${m.dim}")
+    val out = new Array[Float](m.dim)
+    var d = 0
+    while (d < m.dim) {
+      val delta = m.hi(d) - m.lo(d)
+      out(d) = m.lo(d) + (if (delta <= 0f) 0f
+        else delta * (codes(d) & 0xff) / 255f)
+      d += 1
+    }
+    out
+  }
+
+  /** Column-level decoder — [[decodeVec]] as [[encodeUdfOf]]'s inverse. */
+  def decodeUdfOf(m: SqModel)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val local = m
+    val f = udf((codes: Array[Byte]) => decodeVec(local, codes))
+    (c: org.apache.spark.sql.Column) => f(c)
+  }
+
   /** The coded corpus: (match_id, codes BINARY) — `dim` bytes per
     * vector at rest, the 4× cut the family exists for.
     */

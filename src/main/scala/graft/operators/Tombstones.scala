@@ -47,6 +47,10 @@ object Tombstones {
     */
   def write(spark: SparkSession, root: String, ids: DataFrame,
       idCol: String, epoch: Long): Unit = {
+    // deletes are writes in the epoch order: a foreign-namespace
+    // tombstone on a claimed store cannot kill/spare coherently
+    IndexMaintenance.validateEpochNamespace(spark, root, epoch,
+      s"delete from $root")
     val slim = ids.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint()
     try {

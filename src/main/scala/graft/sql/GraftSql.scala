@@ -1317,6 +1317,14 @@ class GraftSql(
         graft.operators.IvfSearch.radiusIndex(spark,
           ivfStoreFor(src, contentCol, vecCol, big), qv, "__qid", "__qvec",
           threshold, "cosine", nProbe = 12)
+      case big: DfCorpus if big.indexType == "ivfsq" =>
+        // the SQ8 store serves the radius from its compressed cells:
+        // dequantized relaxed-threshold pre-pass, exact re-score cut at
+        // the true threshold (precision 1.0; recall contracted by
+        // q_ivfsq_radius_recall at the same nProbe)
+        graft.operators.IvfSqIndex.radiusIndex(spark,
+          ivfSqStoreFor(src, contentCol, vecCol, big), qv, "__qid", "__qvec",
+          c, "__cid", "__cvec", threshold, "cosine", nProbe = 12)
       case _ =>
         VectorSearch.radiusLsh(qv, "__qid", "__qvec",
           c, "__cid", "__cvec", threshold, "cosine",

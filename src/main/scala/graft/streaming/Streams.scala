@@ -57,9 +57,27 @@ object Streams {
     * store's epoch order; the CDC fronts enforce their own ordering
     * within one checkpoint via sub-epochs (2e / 2e+1) for this reason.
     */
+  private[streaming] def epochNamespace(checkpointDir: String): Long =
+    scala.util.hashing.MurmurHash3.stringHash(checkpointDir).toLong & 0x3FFFFFL
+
   private def epochKey(checkpointDir: String, epoch: Long): Long =
-    ((scala.util.hashing.MurmurHash3.stringHash(checkpointDir).toLong
-      & 0x3FFFFFL) << 40) | (epoch & 0xFFFFFFFFFFL)
+    (epochNamespace(checkpointDir) << 40) | (epoch & 0xFFFFFFFFFFL)
+
+  /** ENFORCE the single-writer contract at stream construction: the
+    * first index-writing stream claims the store for its checkpoint's
+    * namespace ([[graft.operators.IndexMaintenance.claimWriter]]); a
+    * second stream under a different checkpoint fails HERE, before a
+    * single mis-ordered epoch lands. Restarts of the same checkpoint
+    * re-claim idempotently. Manual batch appends/deletes against a
+    * claimed store are policed at the write choke points
+    * (epochWrite / Tombstones.write) — a delete defaulting to the
+    * store's own maxEpochIn stays inside the claimed namespace and is
+    * accepted; a foreign explicit epoch is refused.
+    */
+  private def claimStore(df: DataFrame, indexPath: String,
+      checkpointDir: String): Unit =
+    graft.operators.IndexMaintenance.claimWriter(df.sparkSession, indexPath,
+      epochNamespace(checkpointDir), checkpointDir)
 
   /** The chunk+embed projection shared by [[chunkIndexStream]] and
     * [[hybridIndexStream]]. chunk_uid = doc_id * 1_000_000 + chunk_id —
@@ -215,7 +233,8 @@ object Streams {
       vectors: DataFrame, idCol: String, vecCol: String,
       indexPath: String, checkpointDir: String,
       onStats: graft.operators.AppendStats => Unit = _ => (),
-      compactEvery: Long = 0): StreamingQuery =
+      compactEvery: Long = 0): StreamingQuery = {
+    claimStore(vectors, indexPath, checkpointDir)
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -236,6 +255,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** Continuous IVF-PQ indexing — [[ivfIndexStream]]'s twin for the
     * composed index family: every micro-batch assigns cells from the
@@ -250,7 +270,8 @@ object Streams {
       vectors: DataFrame, idCol: String, vecCol: String,
       indexPath: String, checkpointDir: String,
       onStats: graft.operators.AppendStats => Unit = _ => (),
-      compactEvery: Long = 0): StreamingQuery =
+      compactEvery: Long = 0): StreamingQuery = {
+    claimStore(vectors, indexPath, checkpointDir)
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -264,6 +285,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** In-batch CDC resolution shared by the CDC index fronts: with
     * `seqCol`, the per-id LATEST record wins (proper change ordering);
@@ -325,7 +347,8 @@ object Streams {
       indexPath: String, checkpointDir: String,
       seqCol: Option[String] = None,
       onStats: graft.operators.AppendStats => Unit = _ => (),
-      compactEvery: Long = 0): StreamingQuery =
+      compactEvery: Long = 0): StreamingQuery = {
+    claimStore(records, indexPath, checkpointDir)
     records.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -352,6 +375,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** [[ivfCdcStream]]'s twin for the compressed IVF-PQ store — the same
     * sub-epoch tombstone dance (every changed id tombstones at 2e, live
@@ -369,7 +393,8 @@ object Streams {
       indexPath: String, checkpointDir: String,
       seqCol: Option[String] = None,
       onStats: graft.operators.AppendStats => Unit = _ => (),
-      compactEvery: Long = 0): StreamingQuery =
+      compactEvery: Long = 0): StreamingQuery = {
+    claimStore(records, indexPath, checkpointDir)
     records.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -394,6 +419,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** [[ivfPqCdcStream]]'s twin for the SQ8 celled store — same
     * sub-epoch dance, encoding through the stored per-dimension bounds
@@ -405,7 +431,8 @@ object Streams {
       indexPath: String, checkpointDir: String,
       seqCol: Option[String] = None,
       onStats: graft.operators.AppendStats => Unit = _ => (),
-      compactEvery: Long = 0): StreamingQuery =
+      compactEvery: Long = 0): StreamingQuery = {
+    claimStore(records, indexPath, checkpointDir)
     records.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -430,6 +457,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** [[ivfCdcStream]]'s twin for HNSW stores. Upserts need NO
     * self-tombstone here — serve-time last-writer-wins already lets a
@@ -443,7 +471,8 @@ object Streams {
       indexPath: String, checkpointDir: String,
       seqCol: Option[String] = None,
       onAppend: ((Long, Int)) => Unit = _ => (),
-      compactEvery: Long = 0): StreamingQuery =
+      compactEvery: Long = 0): StreamingQuery = {
+    claimStore(records, indexPath, checkpointDir)
     records.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -468,6 +497,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** CDC upsert/delete propagation into a persisted LEXICAL (BM25)
     * index — [[ivfCdcStream]]'s text twin, completing the protocol
@@ -487,7 +517,8 @@ object Streams {
       records: DataFrame, idCol: String, textCol: String,
       indexPath: String, checkpointDir: String,
       seqCol: Option[String] = None,
-      compactEvery: Long = 0): StreamingQuery =
+      compactEvery: Long = 0): StreamingQuery = {
+    claimStore(records, indexPath, checkpointDir)
     records.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -512,6 +543,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** Continuous HNSW indexing — [[ivfIndexStream]]'s twin for the
     * graph family: every micro-batch builds its OWN segment graphs
@@ -528,7 +560,8 @@ object Streams {
       vectors: DataFrame, idCol: String, vecCol: String,
       indexPath: String, checkpointDir: String,
       onAppend: ((Long, Int)) => Unit = _ => (),
-      compactEvery: Long = 0): StreamingQuery =
+      compactEvery: Long = 0): StreamingQuery = {
+    claimStore(vectors, indexPath, checkpointDir)
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -542,6 +575,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** Continuous RAG ingestion — the full document→searchable pipeline
     * as one stream: every micro-batch of arriving DOCUMENTS is chunked
@@ -569,7 +603,8 @@ object Streams {
       docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, checkpointDir: String,
       chunkSize: Int = 32, overlap: Int = 8,
-      onStats: graft.operators.AppendStats => Unit = _ => ()): StreamingQuery =
+      onStats: graft.operators.AppendStats => Unit = _ => ()): StreamingQuery = {
+    claimStore(docs, indexPath, checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -581,6 +616,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** Continuous HYBRID ingestion — [[chunkIndexStream]] and
     * [[lexicalIndexStream]] fused into ONE stream: each micro-batch of
@@ -602,7 +638,9 @@ object Streams {
       checkpointDir: String,
       chunkSize: Int = 32, overlap: Int = 8,
       onStats: graft.operators.AppendStats => Unit = _ => (),
-      compactEvery: Long = 0): StreamingQuery =
+      compactEvery: Long = 0): StreamingQuery = {
+    claimStore(docs, vectorIndexPath, checkpointDir)
+    claimStore(docs, lexicalIndexPath, checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -626,6 +664,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** Continuous LEXICAL indexing — [[chunkIndexStream]]'s twin for the
     * BM25 side of hybrid retrieval: every micro-batch of arriving
@@ -650,7 +689,8 @@ object Streams {
   def lexicalIndexStream(
       docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, checkpointDir: String,
-      compactEvery: Long = 0): StreamingQuery =
+      compactEvery: Long = 0): StreamingQuery = {
+    claimStore(docs, indexPath, checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -670,6 +710,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** Continuous tumbling-window counts over an event stream; watermark
     * bounds state (late data beyond `watermark` is dropped — the

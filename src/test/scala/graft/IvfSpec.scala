@@ -524,11 +524,14 @@ class IvfSpec extends SparkSpec {
     val e = intercept[Exception] { q1.awaitTermination() }
     assert(e.getMessage != null && e.getMessage.contains("seqCol") ||
       e.getCause != null && e.getCause.getMessage.contains("seqCol"))
-    // with seqCol, the latest change (the tombstone) wins
-    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ivf_cdc2_ck2").toString
+    // with seqCol, the latest change (the tombstone) wins. The retry
+    // RESTARTS the SAME checkpoint (batch 0 never committed, so it
+    // replays under the fixed config) — the single-writer claim makes a
+    // fresh checkpoint on an already-claimed store a refusal, and
+    // restarting the owning checkpoint is the blessed remediation
     graft.streaming.Streams.ivfCdcStream(
       graft.streaming.Streams.fileStream(spark, srcDir, schema),
-      "vec_id", "embedding", path, ckpt2, seqCol = Some("seq"))
+      "vec_id", "embedding", path, ckpt1, seqCol = Some("seq"))
       .awaitTermination()
     val q = emb.filter(col("vec_id") === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -658,5 +661,82 @@ class IvfSpec extends SparkSpec {
       "qv", 0.3, "cosine", nProbe = 8))
     assert(afterDelete == exact.filter(_._2 != victim),
       "tombstoned id still inside the radius ball")
+  }
+
+  test("explainProbe: counters match an independent recount at pruned " +
+      "probes; ranks equal searchIndex's") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") < 300)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_expl").toString
+    IvfSearch.writeIndex(corpus, "vec_id", "embedding", path, nList = 8)
+    val qs = corpus.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val expl = IvfSearch.explainProbe(spark, path, qs, "qid", "qv",
+      k = 3, metric = "dot", nProbe = 2).collect()
+    assert(expl.nonEmpty && expl.forall(_.getInt(3) == 2), "cells_probed")
+    // executor stat: candidates_scanned == live rows in the query's own
+    // probed cells, recounted independently from the store
+    val centroids = IvfSearch.loadCentroids(spark, path)
+    val stored = spark.read.parquet(s"$path/corpus")
+      .groupBy("cell").count().as[(Int, Long)].collect().toMap
+    val qcells = qs.select(col("qid"),
+        IvfSearch.nearestCells(centroids, 2)(col("qv")).as("cells"))
+      .as[(Long, Seq[Int])].collect().toMap
+    expl.foreach { r =>
+      val want = qcells(r.getLong(0)).map(c => stored.getOrElse(c, 0L)).sum
+      assert(r.getLong(4) == want,
+        s"query ${r.getLong(0)}: candidates_scanned ${r.getLong(4)} != recount $want")
+    }
+    // the frame's (id, rank) pairs are searchIndex's own
+    val plain = IvfSearch.searchIndex(spark, path, qs, "qid", "qv",
+        k = 3, metric = "dot", nProbe = 2)
+      .select("qid", "match_id", "rank").collect().map(_.toString).sorted.toSeq
+    assert(expl.map(r => org.apache.spark.sql.Row(
+      r.getLong(0), r.getLong(1), r.getInt(2)).toString).sorted.toSeq == plain)
+  }
+
+  test("IvfSqIndex.radiusIndex: exact re-score gives precision 1.0; " +
+      "full probe + margin recovers the exact radius on SQ8 codes") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") < 300)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfsq_rad").toString
+    graft.operators.IvfSqIndex.writeIndex(corpus, "vec_id", "embedding",
+      path, nList = 8, payload = Seq("label"))
+    val qs = corpus.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "match_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(graft.operators.VectorSearch.radiusFlat(qs, "qid", "qv",
+      corpus, "vec_id", "embedding", 0.3, "cosine"))
+    // pruned probe: subset of exact (the re-score cuts at the TRUE
+    // threshold, so quantization can only lose candidates, never admit
+    // a pair outside the ball)
+    val pruned = pairs(graft.operators.IvfSqIndex.radiusIndex(spark, path,
+      qs, "qid", "qv", corpus, "vec_id", "embedding", 0.3, "cosine",
+      nProbe = 2))
+    assert(pruned.nonEmpty && pruned.subsetOf(exact))
+    // full probe: the default margin absorbs the SQ8 half-step error, so
+    // the relaxed pre-pass admits every true member — exact radius back
+    val full = pairs(graft.operators.IvfSqIndex.radiusIndex(spark, path,
+      qs, "qid", "qv", corpus, "vec_id", "embedding", 0.3, "cosine",
+      nProbe = 8))
+    assert(full == exact, "full-probe SQ8 radius diverged from radiusFlat")
+    // payload pushdown on the compressed radius scan
+    val fullFiltered = pairs(graft.operators.IvfSqIndex.radiusIndex(spark,
+      path, qs, "qid", "qv", corpus, "vec_id", "embedding", 0.3, "cosine",
+      nProbe = 8, filter = col("label") % 4 === 1))
+    val admitted = corpus.filter(col("label") % 4 === 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(fullFiltered == exact.filter { case (_, m) => admitted(m) })
+    // decode is encode's inverse up to the half-step error
+    val m = graft.operators.SqSearch.loadModel(spark, s"$path/sqmodel")
+    val v = corpus.select(col("embedding")).head().getSeq[Float](0).toArray
+    val rt = graft.operators.SqSearch.decodeVec(m,
+      graft.operators.SqSearch.encodeVec(m, v))
+    v.indices.foreach { d =>
+      val step = math.max((m.hi(d) - m.lo(d)) / 255f, 1e-6f)
+      assert(math.abs(rt(d) - v(d)) <= step,
+        s"dim $d: round-trip error ${math.abs(rt(d) - v(d))} > step $step")
+    }
   }
 }

@@ -416,11 +416,13 @@ class PqSpec extends SparkSpec {
     val e = intercept[Exception] { q1.awaitTermination() }
     assert(e.getMessage != null && e.getMessage.contains("seqCol") ||
       e.getCause != null && e.getCause.getMessage.contains("seqCol"))
-    // with seqCol the LATEST record wins: seq 2 is the tombstone
-    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ivfpq_cdc2_ck2").toString
+    // with seqCol the LATEST record wins: seq 2 is the tombstone. The
+    // retry restarts the SAME checkpoint (the single-writer claim
+    // refuses a fresh one; the failed batch never committed, so it
+    // replays under the fixed config)
     graft.streaming.Streams.ivfPqCdcStream(
       graft.streaming.Streams.fileStream(spark, srcDir, schema),
-      "vec_id", "embedding", path, ckpt2, seqCol = Some("seq"))
+      "vec_id", "embedding", path, ckpt1, seqCol = Some("seq"))
       .awaitTermination()
     val q = emb.filter(col("vec_id") === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))

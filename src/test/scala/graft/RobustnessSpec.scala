@@ -460,6 +460,55 @@ class RobustnessSpec extends SparkSpec {
     assert(graft.operators.Bpe.trainMerges(noDocs, "text", 5).merges.isEmpty)
   }
 
+  test("single-writer epoch contract is ENFORCED: second stream refused, " +
+      "manual delete inside the namespace accepted, foreign epoch refused") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings").limit(128)
+      .select(col("vec_id"), col("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rb_writer").toString
+    val store = s"$tmp/store"
+    val ckptA = s"$tmp/ckptA"
+    val ckptB = s"$tmp/ckptB"
+    graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding", store,
+      nList = 4)
+    val srcDir = s"$tmp/src"
+    emb.limit(32).write.mode("overwrite").parquet(srcDir)
+    val stream = graft.streaming.Streams.fileStream(spark, srcDir,
+      emb.schema)
+    // stream A claims the store and drains
+    graft.streaming.Streams.ivfIndexStream(stream, "vec_id", "embedding",
+      store, ckptA).awaitTermination()
+    // a RESTART of the same checkpoint re-claims idempotently
+    graft.streaming.Streams.ivfIndexStream(stream, "vec_id", "embedding",
+      store, ckptA).awaitTermination()
+    // a SECOND stream under a different checkpoint is refused at
+    // construction — before any mis-ordered epoch lands
+    val e = intercept[IllegalStateException] {
+      graft.streaming.Streams.ivfIndexStream(stream, "vec_id", "embedding",
+        store, ckptB)
+    }
+    assert(e.getMessage.contains("owned by writer namespace"), e.getMessage)
+    // manual delete defaulting to the store's own maxEpochIn lands
+    // INSIDE the claimed namespace: accepted, and it kills the row
+    val victim = Seq(emb.select("vec_id").as[Long].head()).toDF("vec_id")
+    assert(graft.operators.IvfSearch.deleteFromIndex(spark, store,
+      victim, "vec_id") >= 0)
+    // manual delete with a FOREIGN explicit epoch (small integer =
+    // namespace 0) is refused: it would order under every claimed epoch
+    val e2 = intercept[IllegalStateException] {
+      graft.operators.IvfSearch.deleteFromIndex(spark, store,
+        victim, "vec_id", epoch = Some(5L))
+    }
+    assert(e2.getMessage.contains("foreign epoch"), e2.getMessage)
+    // manual namespaced APPEND from nowhere (epoch >= 2^40 under another
+    // namespace) is refused at the write choke point too
+    val e3 = intercept[IllegalStateException] {
+      graft.operators.IvfSearch.appendToIndex(emb.limit(4), "vec_id",
+        "embedding", store, epoch = (999L << 40) | 7L)
+    }
+    assert(e3.getMessage.contains("namespace"), e3.getMessage)
+  }
+
   test("a FAILED index build releases its localCheckpoint blocks " +
       "(try/finally, not success-path-only)") {
     import spark.implicits._

@@ -458,23 +458,30 @@ class StreamingSpec extends SparkSpec {
     assert(served == direct && served.nonEmpty)
   }
 
-  test("two streams with fresh checkpoints share a store without clobbering") {
-    // both streams start at micro-batch id 0; un-namespaced epochs would
-    // make the second stream's epoch-0 dynamic overwrite ERASE the
-    // first's — the checkpoint-keyed epoch namespace keeps them disjoint
+  test("a second stream on a claimed store is REFUSED at construction; " +
+      "one checkpoint ingesting the same sources serves correctly") {
+    // namespaced epochs order by checkpoint hash, not logical time, so
+    // two checkpoints cannot delete/supersede each other's rows
+    // coherently — the claim turns the documented contract into a loud
+    // refusal. The blessed shape for two sources is ONE stream (glob
+    // source / union), proven below to serve identically to the batch.
     import spark.implicits._
     import graft.operators.{Lexical, LexicalIndex}
     val idx = tmp("graft_lex_twock")
     val docs = Tables(spark, sf, "documents")
       .filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
     LexicalIndex.writeIndex(docs.filter(col("doc_id") < 20), "doc_id", "text", idx)
-    val srcA = tmp("graft_lex_srcA"); val srcB = tmp("graft_lex_srcB")
-    docs.filter(col("doc_id") >= 20 && col("doc_id") < 40).write.parquet(s"$srcA/a")
-    docs.filter(col("doc_id") >= 40).write.parquet(s"$srcB/b")
-    Streams.lexicalIndexStream(Streams.fileStream(spark, s"$srcA/*", docs.schema),
+    val src = tmp("graft_lex_srcA")
+    docs.filter(col("doc_id") >= 20 && col("doc_id") < 40).write.parquet(s"$src/a")
+    docs.filter(col("doc_id") >= 40).write.parquet(s"$src/b")
+    Streams.lexicalIndexStream(Streams.fileStream(spark, s"$src/*", docs.schema),
       "doc_id", "text", idx, tmp("graft_lex_ckA")).awaitTermination(120000)
-    Streams.lexicalIndexStream(Streams.fileStream(spark, s"$srcB/*", docs.schema),
-      "doc_id", "text", idx, tmp("graft_lex_ckB")).awaitTermination(120000)
+    // the second checkpoint is refused BEFORE any epoch lands
+    val e = intercept[IllegalStateException] {
+      Streams.lexicalIndexStream(Streams.fileStream(spark, s"$src/*", docs.schema),
+        "doc_id", "text", idx, tmp("graft_lex_ckB"))
+    }
+    assert(e.getMessage.contains("owned by writer namespace"), e.getMessage)
     val queries = Seq((1L, "the"), (2L, "customer")).toDF("qid", "term")
     val served = Lexical.bm25TopK(queries, "qid", "term", null, "id", "text",
         k = 5, post = LexicalIndex.postings(spark, idx),
@@ -483,7 +490,7 @@ class StreamingSpec extends SparkSpec {
     val direct = Lexical.bm25TopK(queries, "qid", "term", docs, "doc_id", "text",
         k = 5).orderBy("query_id", "rank").collect().map(_.toString).toSeq
     assert(served == direct && served.nonEmpty,
-      "second stream's epoch-0 clobbered the first stream's data")
+      "one-checkpoint ingestion must serve identically to the batch index")
   }
 
   test("epoch-tagged appends are idempotent: a replayed micro-batch never double-counts") {
