@@ -1503,6 +1503,17 @@ LATERAL TABLE(RADIUS_SEARCH('rad_ivf', 0.3, qv));""")
       assert(ms.subsetOf(wantFlat.getOrElse(q, Set.empty)),
         s"ivf radius emitted a pair outside the exact ball for query $q")
       assert(ms.contains(q), s"query $q lost its own vector from the ball") }
+    // an 'ivfsq' registration serves the radius from its COMPRESSED
+    // store (dequantized pre-pass, exact re-score): same precision-1.0
+    // and self-in-ball guarantees as the uncompressed route
+    g.registerSearchCorpus("rad_ivfsq", corpus, "content", "vector",
+      maxRows = 0, indexType = "ivfsq")
+    val gotSq = hitsOf("""SELECT query_id, search_results FROM radius_qs,
+LATERAL TABLE(RADIUS_SEARCH('rad_ivfsq', 0.3, qv));""")
+    gotSq.foreach { case (q, ms) =>
+      assert(ms.subsetOf(wantFlat.getOrElse(q, Set.empty)),
+        s"ivfsq radius emitted a pair outside the exact ball for query $q")
+      assert(ms.contains(q), s"query $q lost its own vector from the ball") }
   }
 
   test("FILTERED_SEARCH on an indexed registration serves from the " +

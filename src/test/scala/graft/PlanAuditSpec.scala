@@ -500,6 +500,31 @@ class PlanAuditSpec extends SparkSpec {
       s"label predicate not pushed into the store scan: $pushed")
   }
 
+  test("q_sql_filtered_pq / _sq: the compressed facade routes serve from " +
+      "their persisted code stores with the predicate pushed into the " +
+      "pruned scan") {
+    for ((name, marker) <- Seq(
+        "q_sql_filtered_pq" -> "graft_sql_ivfpq",
+        "q_sql_filtered_sq" -> "graft_sql_ivfsq")) {
+      val ss = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan
+        .collect { case f: FileSourceScanExec => f }
+      val store = ss.filter(s =>
+        s.metadata.getOrElse("Location", "").contains(marker))
+      assert(store.nonEmpty,
+        s"$name: no $marker store scan — the facade fell back to a source-corpus scan")
+      // predicate pushed into the code scan AND the scan reads codes,
+      // never float vectors (the compressed families' whole point)
+      val pushed = store.flatMap(_.metadata.get("PushedFilters"))
+      assert(pushed.exists(_.contains("label")),
+        s"$name: label predicate not pushed into the code scan: $pushed")
+      store.foreach(s => assert(
+        !s.requiredSchema.fieldNames.contains("vec") &&
+          s.requiredSchema.fieldNames.contains("codes"),
+        s"$name: store scan reads ${s.requiredSchema.fieldNames.mkString(",")}"))
+    }
+  }
+
   test("tombstone-filtered IVF serve: dead-row filter is an equi-join, " +
       "store scan still prunes to probed cells") {
     import spark.implicits._
