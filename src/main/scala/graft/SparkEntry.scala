@@ -660,6 +660,18 @@ object SparkEntry {
     path
   }
 
+  /** The PQ twin: one build-once store probed by q_ivfpq_index_recall
+    * AND q_ivfpq_radius_recall.
+    */
+  private def ivfPqIndexStore(s: SparkSession, dir: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
+      indexTag(dir)
+    if (!graft.operators.FsUtil.exists(s, s"$path/centroids/_SUCCESS"))
+      graft.operators.IvfPqIndex.writeIndex(t(s, dir, "embeddings"),
+        "vec_id", "embedding", path, nList = 16, m = 8, kCodes = 16)
+    path
+  }
+
   /** A FRESH mutable copy of a content-addressed pristine store: `build`
     * runs once per (corpus content, tag) — the index-once discipline
     * every *_index_recall query follows — and each caller mutates its
@@ -2438,6 +2450,23 @@ ORDER BY event_id, event_id2""")
         .orderBy("query_id")
     }),
 
+    // RADIUS from the IVF-PQ store: reconstructed-code pre-pass at the
+    // lossy family's wider margin, exact re-score at the true threshold
+    // (precision 1.0 by construction); probes the ONE store
+    // q_ivfpq_index_recall built. Completes range_search across the
+    // at-rest ladder: ivf / ivfsq / ivfpq.
+    "q_ivfpq_radius_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = annQueries(s, dir)
+      val approx = graft.operators.IvfPqIndex.radiusIndex(s,
+        ivfPqIndexStore(s, dir), queries, "query_id", "qv",
+        emb, "vec_id", "embedding",
+        threshold = 0.3, metric = "cosine", nProbe = 12)
+      VectorSearch.radiusRecallContract(approx, radiusGroundTruth(s, dir),
+        queries, "query_id", "match_id", minFrac = 0.4)
+        .orderBy("query_id")
+    }),
+
     // ANN scoreDetails (the vector-side q_bm25_explain — Atlas
     // $vectorSearch explain/searchMeta): the serve's own observability
     // frame under the hash. Full probe makes the ranks exact AND makes
@@ -2476,13 +2505,9 @@ ORDER BY event_id, event_id2""")
     // source corpus; recall contract is the hash gate)
     "q_ivfpq_index_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
-        indexTag(dir)
-      if (!graft.operators.FsUtil.exists(s, s"$path/centroids/_SUCCESS"))
-        graft.operators.IvfPqIndex.writeIndex(emb, "vec_id", "embedding", path,
-          nList = 16, m = 8, kCodes = 16)
       val queries = annQueries(s, dir)
-      val approx = graft.operators.IvfPqIndex.searchIndex(s, path, queries,
+      val approx = graft.operators.IvfPqIndex.searchIndex(s,
+        ivfPqIndexStore(s, dir), queries,
         "query_id", "qv", emb, "vec_id", "embedding",
         k = 3, metric = "dot", nProbe = 8, numCandidates = 200)
       VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
@@ -5372,6 +5397,10 @@ values (
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 
     "q_ivfsq_radius_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_ivfpq_radius_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 20 = 0 ORDER BY query_id"),
 

@@ -162,6 +162,68 @@ object IvfPqIndex {
   def loadCodebooks(spark: SparkSession, path: String): PqSearch.Codebooks =
     PqSearch.loadCodebooks(spark, s"$path/codebooks")
 
+  /** RADIUS search from the persisted IVF-PQ store — the compressed
+    * twin of [[IvfSearch.radiusIndex]] (FAISS `range_search` on
+    * `IVFx,PQy`): probe cells, RECONSTRUCT each scanned code row once
+    * (centroid + residual sub-centroids — the decode view a threshold
+    * on cosine/l2 needs, where the ADC LUT only orders), admit at a
+    * RELAXED threshold, then re-score the admitted pairs EXACTLY
+    * against `corpus` by id and cut at the true threshold — precision
+    * 1.0 by construction. PQ is LOSSY (unlike SQ8's half-step error),
+    * so `margin` defaults wider; widening it only grows the exact
+    * re-score's input, never breaks precision. `filter` rides the
+    * pruned scan (payload pushdown).
+    */
+  def radiusIndex(
+      spark: SparkSession, path: String,
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      threshold: Double, metric: String = "cosine", nProbe: Int = 4,
+      margin: Double = 0.2, filter: Column = lit(true)): DataFrame = {
+    require(margin >= 0, s"radiusIndex: margin must be >= 0, got $margin")
+    val centroids = IvfSearch.loadCentroids(spark, path)
+    val cb = loadCodebooks(spark, path)
+    val probed = queries.select(col(qId), col(qVec),
+      explode(IvfSearch.nearestCells(centroids, nProbe)(col(qVec))).as("cell"))
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    val cs = centroids
+    val rec = udf((codes: Seq[Int], cell: Int) => {
+      val base = cs(cell)
+      val out = java.util.Arrays.copyOf(base, base.length)
+      var s = 0
+      while (s < cb.m) {
+        val book = cb.books(s)(codes(s))
+        var j = 0
+        while (j < cb.dsub) { out(s * cb.dsub + j) += book(j); j += 1 }
+        s += 1
+      }
+      out
+    })
+    val celled = Tombstones.filterLive(spark, path,
+        spark.read.parquet(s"$path/corpus")
+          .filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*))
+          .filter(filter),
+        "id", "epoch")
+      .select(col("id").as("match_id"),
+        rec(col("codes"), col("cell")).as("__rcvec"), col("cell"))
+    val relaxed = threshold + (if (metric == "l2") margin else -margin)
+    val admitted = probed.join(celled, "cell")
+      .withColumn("__ascore",
+        VectorSearch.scoreCol(metric)(col(qVec), col("__rcvec")))
+      .filter(if (metric == "l2") col("__ascore") <= relaxed
+        else col("__ascore") >= relaxed)
+      .select(col(qId), col(qVec), col("match_id"))
+    admitted
+      .join(corpus.select(col(cId).cast("long").as("match_id"),
+        col(cVec).cast("array<float>").as("__cvec")), "match_id")
+      .withColumn("score",
+        VectorSearch.scoreCol(metric)(col(qVec), col("__cvec")))
+      .filter(VectorSearch.radiusPred(metric, threshold))
+      .groupBy(col(qId), col("match_id"))
+      .agg((if (metric == "l2") min(col("score")) else max(col("score")))
+        .as("score"))
+  }
+
   /** Probe a persisted IVF-PQ index. The probed-cell union becomes an IN
     * filter on the partition column (directory pruning, like
     * [[IvfSearch.searchIndex]]); the scan reads ONLY (id, codes, cell).

@@ -1325,6 +1325,13 @@ class GraftSql(
         graft.operators.IvfSqIndex.radiusIndex(spark,
           ivfSqStoreFor(src, contentCol, vecCol, big), qv, "__qid", "__qvec",
           c, "__cid", "__cvec", threshold, "cosine", nProbe = 12)
+      case big: DfCorpus if big.indexType == "ivfpq" =>
+        // the PQ store's twin: reconstructed (centroid + residual
+        // sub-centroid) pre-pass at a wider margin for the lossy codes,
+        // exact re-score (q_ivfpq_radius_recall pins the recall)
+        graft.operators.IvfPqIndex.radiusIndex(spark,
+          ivfPqStoreFor(src, contentCol, vecCol, big), qv, "__qid", "__qvec",
+          c, "__cid", "__cvec", threshold, "cosine", nProbe = 12)
       case _ =>
         VectorSearch.radiusLsh(qv, "__qid", "__qvec",
           c, "__cid", "__cvec", threshold, "cosine",

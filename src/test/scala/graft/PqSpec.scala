@@ -432,4 +432,42 @@ class PqSpec extends SparkSpec {
       .select("match_id").as[Long].collect().toSeq
     assert(served != Seq(0L), "seq-resolved tombstone must win the batch")
   }
+
+  test("IvfPqIndex.radiusIndex: exact re-score gives precision 1.0; " +
+      "reconstruction pre-pass keeps recall; payload filter honored") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") < 300)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_rad").toString
+    graft.operators.IvfPqIndex.writeIndex(corpus, "vec_id", "embedding",
+      path, nList = 8, m = 8, kCodes = 16, payload = Seq("label"))
+    val qs = corpus.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "match_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(graft.operators.VectorSearch.radiusFlat(qs, "qid", "qv",
+      corpus, "vec_id", "embedding", 0.3, "cosine"))
+    // full probe: subset ALWAYS (the re-score cuts at the true
+    // threshold); recall bounded below — PQ reconstruction is lossy, so
+    // exact equality is NOT the contract, a ≥80% overall recall is
+    val full = pairs(graft.operators.IvfPqIndex.radiusIndex(spark, path,
+      qs, "qid", "qv", corpus, "vec_id", "embedding", 0.3, "cosine",
+      nProbe = 8))
+    assert(full.subsetOf(exact) && exact.nonEmpty)
+    assert(full.size >= exact.size * 0.8,
+      s"reconstruction pre-pass lost too much: ${full.size}/${exact.size}")
+    // a WIDER margin can only help recall, never break precision
+    val wider = pairs(graft.operators.IvfPqIndex.radiusIndex(spark, path,
+      qs, "qid", "qv", corpus, "vec_id", "embedding", 0.3, "cosine",
+      nProbe = 8, margin = 1.0))
+    assert(full.subsetOf(wider) && wider.subsetOf(exact))
+    assert(wider == exact,
+      "an all-admitting margin must recover the exact radius")
+    // payload pushdown on the compressed radius scan
+    val filtered = pairs(graft.operators.IvfPqIndex.radiusIndex(spark, path,
+      qs, "qid", "qv", corpus, "vec_id", "embedding", 0.3, "cosine",
+      nProbe = 8, margin = 1.0, filter = col("label") % 4 === 1))
+    val admitted = corpus.filter(col("label") % 4 === 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(filtered == exact.filter { case (_, m) => admitted(m) })
+  }
 }
