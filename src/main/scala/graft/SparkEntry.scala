@@ -1001,6 +1001,30 @@ object SparkEntry {
         .orderBy("query_id", "match_id")
     }),
 
+    // FILTERED radius on the worksheet (Atlas filter-inside-the-search,
+    // fixed-threshold form): the optional predicate arg admits a
+    // metadata subset BEFORE the exact threshold cut, so the result is
+    // the exact filtered ball — fully under the DuckDB hash like
+    // q_sql_radius (a radius result is a complete set; no top-k
+    // boundary for tie-breaks to diverge on).
+    "q_sql_radius_filtered" -> ((s, dir) => {
+      val g = sqlFacade(s)
+      val name = s"sqlradf_${indexTag(dir)}"
+      registerOnce(s, name) {
+        g.registerSearchCorpus(name,
+          t(s, dir, "embeddings").select(
+            col("vec_id").cast("string").as("content"),
+            col("embedding").as("vector"), col("label")),
+          "content", "vector")
+      }
+      annQueries(s, dir).createOrReplaceTempView("graft_radiusf_queries")
+      g.execute("SELECT query_id, search_results FROM graft_radiusf_queries, " +
+          s"LATERAL TABLE(RADIUS_SEARCH('$name', 0.3, qv, 'label % 4 = 1'));")
+        .select(col("query_id"), explode(col("search_results")).as("m"))
+        .select(col("query_id"), col("m.content").cast("long").as("match_id"))
+        .orderBy("query_id", "match_id")
+    }),
+
     // --- embedding near-dup pairs (north star) ----------------------------
     // Threshold 0.35 matches the LSH twin: the synthetic embeddings have
     // no true near-dups (max pairwise cosine ≈ 0.51), so 0.35 yields a
@@ -2933,6 +2957,14 @@ WITH (
             g.execute("SELECT * FROM q_et_rad_src2, " +
               "LATERAL TABLE(RADIUS_SEARCH('no_such_corpus', 0.3, vector));")
           }),
+        ("radius_bad_threshold", "threshold must be numeric",
+          () => {
+            t(s, dir, "embeddings").limit(1)
+              .select(col("embedding").as("vector"))
+              .createOrReplaceTempView("q_et_rad_src3")
+            g.execute("SELECT * FROM q_et_rad_src3, " +
+              "LATERAL TABLE(RADIUS_SEARCH('whatever', high, vector));")
+          }),
         ("filtered_pred_unresolved", "does not resolve against",
           () => {
             g.registerSearchCorpus("q_et_meta",
@@ -3915,6 +3947,13 @@ values (
         "AND list_cosine_similarity(q.embedding, c.embedding) >= 0.3 " +
         "ORDER BY query_id, match_id"),
 
+    "q_sql_radius_filtered" ->
+      ("SELECT q.vec_id AS query_id, c.vec_id AS match_id " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0 " +
+        "AND c.label % 4 = 1 " +
+        "AND list_cosine_similarity(q.embedding, c.embedding) >= 0.3 " +
+        "ORDER BY query_id, match_id"),
+
     "q_radius_facets" ->
       ("SELECT q.vec_id AS query_id, CAST(c.label AS BIGINT) AS facet, count(*) AS n " +
         "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0 " +
@@ -4357,6 +4396,8 @@ values (
         "'overFetch must be >= 1'), " +
         "('radius_bad_args', 'IllegalArgumentException', " +
         "'RADIUS_SEARCH expects'), " +
+        "('radius_bad_threshold', 'IllegalArgumentException', " +
+        "'threshold must be numeric'), " +
         "('radius_unknown_corpus', 'IllegalArgumentException', " +
         "'unknown search corpus'), " +
         "('filtered_pred_unresolved', 'IllegalArgumentException', " +

@@ -758,7 +758,7 @@ class GraftSql(
         // measured (≥50% margin at all three SFs — q_radius_lsh_recall).
         val parts = splitArgs(args)
         require(parts.length >= 3 && parts.length <= 5,
-          s"RADIUS_SEARCH expects ('corpus', threshold, vectorCol[, nBits, nTables]), got: $args")
+          s"RADIUS_SEARCH expects ('corpus', threshold, vectorCol[, 'predicate' | nBits, nTables]), got: $args")
         val corpus = unquote(parts(0))
         // numeric args rethrow as the dialect's named error, not a raw
         // NumberFormatException — same guard contract as the arity check
@@ -767,13 +767,20 @@ class GraftSql(
           catch { case _: NumberFormatException =>
             throw new IllegalArgumentException(
               s"RADIUS_SEARCH $what must be numeric, got '${parts(i).trim}' — " +
-                "usage: RADIUS_SEARCH('corpus', threshold, vectorCol[, nBits, nTables])")
+                "usage: RADIUS_SEARCH('corpus', threshold, vectorCol[, 'predicate' | nBits, nTables])")
           }
         val threshold = numArg(1, "threshold", _.toDouble)
-        val nBits = if (parts.length >= 4) numArg(3, "nBits", _.toInt) else 4
+        // a quoted non-numeric 4th arg is a METADATA PREDICATE (the
+        // Atlas filter-inside-$vectorSearch shape on the radius): both
+        // forms are unambiguous because nBits is always numeric
+        val rpred = if (parts.length == 4 &&
+            !parts(3).trim.matches("[-+]?[0-9]+")) Some(unquote(parts(3)))
+          else None
+        val nBits = if (rpred.isEmpty && parts.length >= 4)
+          numArg(3, "nBits", _.toInt) else 4
         val nTables = if (parts.length >= 5) numArg(4, "nTables", _.toInt) else 24
         s"${radiusSearchView(table, parts(2), corpus, threshold,
-          nBits, nTables, views)} AS $alias"
+          nBits, nTables, rpred, views)} AS $alias"
       case "hybrid_search" =>
         // HYBRID_SEARCH('corpus', k, vectorCol, textCol [, 'predicate']):
         // reciprocal-rank fusion of the corpus's vector ranking with a
@@ -1295,7 +1302,7 @@ class GraftSql(
     */
   private def radiusSearchView(
       table: String, vecExpr: String, corpusName: String, threshold: Double,
-      nBits: Int, nTables: Int,
+      nBits: Int, nTables: Int, pred: Option[String],
       views: scala.collection.mutable.Buffer[String]): String = {
     import org.apache.spark.sql.functions._
     val resolved = resolveCorpus(corpusName)
@@ -1305,10 +1312,25 @@ class GraftSql(
     val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"))
       .dropDuplicates("__qid")
     val c = canonCorpus(src, contentCol, vecCol)
+    // predicate resolution is checked loudly against the REGISTERED
+    // source's columns (the FILTERED_SEARCH contract); exact/LSH routes
+    // pre-filter the source, the index routes push it into the pruned
+    // store scan as payload
+    val admittedSrc = pred.map { p =>
+      try src.filter(expr(p))
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"RADIUS_SEARCH predicate '$p' does not resolve against " +
+            s"corpus '$corpusName' (${src.columns.mkString(", ")}): ${e.getMessage}")
+      }
+    }
+    val storeFilter = pred.map(expr).getOrElse(lit(true))
+    val cAdmitted = admittedSrc.map(canonCorpus(_, contentCol, vecCol))
+      .getOrElse(c)
     val hits = resolved match {
       case _: InMemCorpus =>
         VectorSearch.radiusFlat(qv, "__qid", "__qvec",
-          c, "__cid", "__cvec", threshold, "cosine")
+          cAdmitted, "__cid", "__cvec", threshold, "cosine")
       case big: DfCorpus if big.indexType == "ivf" =>
         // a declared IVF family serves the radius from its persisted
         // store (FAISS range_search posture): probed-cell pruning, exact
@@ -1316,7 +1338,7 @@ class GraftSql(
         // radius recall contract measured (q_ivf_radius_recall)
         graft.operators.IvfSearch.radiusIndex(spark,
           ivfStoreFor(src, contentCol, vecCol, big), qv, "__qid", "__qvec",
-          threshold, "cosine", nProbe = 12)
+          threshold, "cosine", nProbe = 12, filter = storeFilter)
       case big: DfCorpus if big.indexType == "ivfsq" =>
         // the SQ8 store serves the radius from its compressed cells:
         // dequantized relaxed-threshold pre-pass, exact re-score cut at
@@ -1324,17 +1346,19 @@ class GraftSql(
         // q_ivfsq_radius_recall at the same nProbe)
         graft.operators.IvfSqIndex.radiusIndex(spark,
           ivfSqStoreFor(src, contentCol, vecCol, big), qv, "__qid", "__qvec",
-          c, "__cid", "__cvec", threshold, "cosine", nProbe = 12)
+          c, "__cid", "__cvec", threshold, "cosine", nProbe = 12,
+          filter = storeFilter)
       case big: DfCorpus if big.indexType == "ivfpq" =>
         // the PQ store's twin: reconstructed (centroid + residual
         // sub-centroid) pre-pass at a wider margin for the lossy codes,
         // exact re-score (q_ivfpq_radius_recall pins the recall)
         graft.operators.IvfPqIndex.radiusIndex(spark,
           ivfPqStoreFor(src, contentCol, vecCol, big), qv, "__qid", "__qvec",
-          c, "__cid", "__cvec", threshold, "cosine", nProbe = 12)
+          c, "__cid", "__cvec", threshold, "cosine", nProbe = 12,
+          filter = storeFilter)
       case _ =>
         VectorSearch.radiusLsh(qv, "__qid", "__qvec",
-          c, "__cid", "__cvec", threshold, "cosine",
+          cAdmitted, "__cid", "__cvec", threshold, "cosine",
           nBits = nBits, nTables = nTables)
     }
     // best-first deterministic order inside the set: sort_array on

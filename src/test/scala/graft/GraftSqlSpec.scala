@@ -1503,17 +1503,66 @@ LATERAL TABLE(RADIUS_SEARCH('rad_ivf', 0.3, qv));""")
       assert(ms.subsetOf(wantFlat.getOrElse(q, Set.empty)),
         s"ivf radius emitted a pair outside the exact ball for query $q")
       assert(ms.contains(q), s"query $q lost its own vector from the ball") }
-    // an 'ivfsq' registration serves the radius from its COMPRESSED
-    // store (dequantized pre-pass, exact re-score): same precision-1.0
-    // and self-in-ball guarantees as the uncompressed route
-    g.registerSearchCorpus("rad_ivfsq", corpus, "content", "vector",
-      maxRows = 0, indexType = "ivfsq")
-    val gotSq = hitsOf("""SELECT query_id, search_results FROM radius_qs,
-LATERAL TABLE(RADIUS_SEARCH('rad_ivfsq', 0.3, qv));""")
-    gotSq.foreach { case (q, ms) =>
-      assert(ms.subsetOf(wantFlat.getOrElse(q, Set.empty)),
-        s"ivfsq radius emitted a pair outside the exact ball for query $q")
-      assert(ms.contains(q), s"query $q lost its own vector from the ball") }
+    // 'ivfsq'/'ivfpq' registrations serve the radius from their
+    // COMPRESSED stores (geometric pre-pass, exact re-score): same
+    // precision-1.0 and self-in-ball guarantees as the uncompressed route
+    for (fam <- Seq("ivfsq", "ivfpq")) {
+      g.registerSearchCorpus(s"rad_$fam", corpus, "content", "vector",
+        maxRows = 0, indexType = fam)
+      val gotC = hitsOf(s"""SELECT query_id, search_results FROM radius_qs,
+LATERAL TABLE(RADIUS_SEARCH('rad_$fam', 0.3, qv));""")
+      gotC.foreach { case (q, ms) =>
+        assert(ms.subsetOf(wantFlat.getOrElse(q, Set.empty)),
+          s"$fam radius emitted a pair outside the exact ball for query $q")
+        assert(ms.contains(q), s"query $q lost its own vector from the ball") }
+    }
+  }
+
+  test("RADIUS_SEARCH with a metadata predicate: the exact FILTERED ball " +
+      "on every registration posture") {
+    val g = facade()
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").cast("string").as("content"),
+      col("embedding").as("vector"), col("label"))
+    val qs = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    qs.createOrReplaceTempView("radf_qs")
+    def hitsOf(q: String): Map[Long, Set[Long]] =
+      g.execute(q).select(col("query_id"), col("search_results")).collect()
+        .map(r => r.getLong(0) -> (
+          if (r.isNullAt(1)) Set.empty[Long]
+          else r.getSeq[org.apache.spark.sql.Row](1)
+            .map(_.getString(0).toLong).toSet)).toMap
+    // exact filtered ground truth: the ball over the admitted subset
+    val want = graft.operators.VectorSearch.radiusFlat(qs, "query_id", "qv",
+        emb.filter(col("label") % 4 === 1), "vec_id", "embedding",
+        0.3, "cosine")
+      .select(col("query_id"), col("match_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // in-mem (exact pre-filter): EQUALS the filtered ball
+    g.registerSearchCorpus("radf_mem", corpus, "content", "vector")
+    val gotMem = hitsOf("""SELECT query_id, search_results FROM radf_qs,
+LATERAL TABLE(RADIUS_SEARCH('radf_mem', 0.3, qv, 'label % 4 = 1'));""")
+    assert(gotMem.filter(_._2.nonEmpty) == want && want.nonEmpty)
+    // ivf registration (payload pushdown into the pruned store scan):
+    // subset of the filtered ball; an admitted query keeps itself
+    g.registerSearchCorpus("radf_ivf", corpus, "content", "vector",
+      maxRows = 0, indexType = "ivf")
+    val admitted = emb.filter(col("label") % 4 === 1)
+      .select("vec_id").as[Long].collect().toSet
+    val gotIvf = hitsOf("""SELECT query_id, search_results FROM radf_qs,
+LATERAL TABLE(RADIUS_SEARCH('radf_ivf', 0.3, qv, 'label % 4 = 1'));""")
+    gotIvf.foreach { case (q, ms) =>
+      assert(ms.subsetOf(want.getOrElse(q, Set.empty)),
+        s"ivf filtered radius outside the filtered ball for query $q")
+      if (admitted(q)) assert(ms.contains(q),
+        s"admitted query $q lost its own vector") }
+    // a predicate that doesn't resolve names the corpus and columns
+    val err = intercept[IllegalArgumentException](g.execute(
+      """SELECT query_id FROM radf_qs,
+LATERAL TABLE(RADIUS_SEARCH('radf_mem', 0.3, qv, 'nope > 1'));"""))
+    assert(err.getMessage.contains("does not resolve against"), err.getMessage)
   }
 
   test("FILTERED_SEARCH on an indexed registration serves from the " +
@@ -1722,9 +1771,11 @@ LATERAL TABLE(HYBRID_SEARCH('hybf_corpus', 3, vector, question, 'nope > 1'));"""
 LATERAL TABLE(RADIUS_SEARCH('radparse', high, qv));""")
     }
     assert(e.getMessage.contains("threshold must be numeric"), e.getMessage)
+    // a lone non-numeric 4th arg is a PREDICATE by design; the nBits
+    // numeric guard applies to the two-knob (5-arg) LSH form
     val e2 = intercept[IllegalArgumentException] {
       g.execute("""SELECT query_id FROM radparse_qs,
-LATERAL TABLE(RADIUS_SEARCH('radparse', 0.5, qv, 'four'));""")
+LATERAL TABLE(RADIUS_SEARCH('radparse', 0.5, qv, 'four', 24));""")
     }
     assert(e2.getMessage.contains("nBits must be numeric"), e2.getMessage)
   }
