@@ -3170,6 +3170,21 @@ values (
         post = docPostings(s, dir), stats = docBm25Stats(s, dir))
         .orderBy("query_id", "rank")),
 
+    // FILTERED PRF (the Lucene filtered-query convention end-to-end):
+    // BOTH passes restrict to lang='en' documents under GLOBAL corpus
+    // stats — feedback docs come from the filtered ranking, so mined
+    // terms never leak from excluded documents, and the final top-10
+    // admits only the filtered set. Fully hash-oracled: the oracle
+    // replays both filtered passes and the deterministic mining.
+    "q_bm25_prf_filtered" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Lexical.bm25PrfTopK(lexQueries(s), "query_id", "term",
+        docs, "doc_id", "text", k = 10, fbDocs = 5, fbTerms = 3,
+        post = docPostings(s, dir), stats = docBm25Stats(s, dir),
+        allowed = docs.filter(col("lang") === "en"), allowedId = "doc_id")
+        .orderBy("query_id", "rank")
+    }),
+
     // --- persisted lexical index: BM25 served ENTIRELY from the at-rest
     // postings/stats artifacts (LexicalIndex — the store the streaming
     // append twin feeds), with the corpus never touched at scoring time.
@@ -5011,6 +5026,32 @@ values (
         "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
         "SELECT query_id, doc_id AS match_id, score, row_number() OVER (" +
         "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM esc) " +
+        "WHERE rnk <= 10 ORDER BY query_id, rank"),
+
+    // the same two-pass replay with the lang filter applied at RANKING
+    // time in BOTH passes (global stats — the filtered-query chain)
+    "q_bm25_prf_filtered" ->
+      ("WITH " + LexQueriesCte + ", " + bm25CteFor("q", "b") + ", " +
+        "fb AS (SELECT query_id, doc_id FROM (" +
+        "SELECT query_id, sc.doc_id, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY score DESC, sc.doc_id) AS rnk " +
+        "FROM bsc sc JOIN documents d ON sc.doc_id = d.doc_id " +
+        "WHERE d.lang = 'en') WHERE rnk <= 5), " +
+        "ft AS (SELECT f.query_id, t.tok, count(*) AS c " +
+        "FROM btok t JOIN fb f USING (doc_id) GROUP BY 1, 2), " +
+        "mined AS (SELECT query_id, tok AS term FROM (" +
+        "SELECT ft.query_id, ft.tok, ft.c, row_number() OVER (" +
+        "PARTITION BY ft.query_id ORDER BY ft.c DESC, ft.tok) AS r FROM ft " +
+        "WHERE NOT EXISTS (SELECT 1 FROM q " +
+        "WHERE q.query_id = ft.query_id AND q.term = ft.tok)) WHERE r <= 3), " +
+        "q2(query_id, term) AS (SELECT query_id, term FROM q " +
+        "UNION SELECT query_id, term FROM mined), " +
+        bm25CteFor("q2", "e", base = "b") + " " +
+        "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
+        "SELECT query_id, sc.doc_id AS match_id, score, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY score DESC, sc.doc_id) AS rnk " +
+        "FROM esc sc JOIN documents d ON sc.doc_id = d.doc_id " +
+        "WHERE d.lang = 'en') " +
         "WHERE rnk <= 10 ORDER BY query_id, rank"),
 
     // Index-served BM25 is semantically identical to direct BM25 — the

@@ -306,11 +306,18 @@ object Lexical {
     * (≤ fbDocs × max dl candidate terms per query — NOT a Zipf content
     * key).
     */
+  /** `allowed` (optional, with `allowedId`): restrict the FEEDBACK pass
+    * to a metadata-admitted doc set under GLOBAL stats (the
+    * [[bm25TopKFiltered]] semantics) — the standard filtered-RM3 shape:
+    * pseudo-relevant documents come from the ranking the user will
+    * actually see, so mined terms never leak from excluded documents.
+    */
   def prfExpandTerms(queries: DataFrame, qId: String, termCol: String,
       docs: DataFrame, idCol: String, textCol: String,
       fbDocs: Int = 5, fbTerms: Int = 3,
       k1: Double = 1.2, b: Double = 0.75,
-      post: DataFrame = null, stats: DataFrame = null): DataFrame = {
+      post: DataFrame = null, stats: DataFrame = null,
+      allowed: DataFrame = null, allowedId: String = null): DataFrame = {
     require(fbDocs > 0, s"prfExpandTerms: fbDocs=$fbDocs")
     require(fbTerms >= 0, s"prfExpandTerms: fbTerms=$fbTerms")
     val q = queries
@@ -321,8 +328,12 @@ object Lexical {
     // occurrence counts in the feedback docs are Σ tf from the posting
     // rows, so the corpus is never re-tokenized for mining
     val pl = if (post != null) post else postings(docs, idCol, textCol)
-    val fb = bm25TopK(q, "query_id", "term", docs, idCol, textCol,
-        fbDocs, k1, b, post = pl, stats = stats)
+    val fb = (if (allowed == null)
+        bm25TopK(q, "query_id", "term", docs, idCol, textCol,
+          fbDocs, k1, b, post = pl, stats = stats)
+      else
+        bm25TopKFiltered(q, "query_id", "term", docs, idCol, textCol,
+          allowed, allowedId, fbDocs, k1, b, post = pl, stats = stats))
       .select(col("query_id"), col("match_id"))
     val ft = pl.select(col("id").cast("long").as("match_id"),
         col("tok"), col("tf"))
@@ -344,18 +355,26 @@ object Lexical {
   }
 
   /** BM25 top-k under PRF expansion: [[prfExpandTerms]] then
-    * [[bm25TopK]] with the expanded term set.
+    * [[bm25TopK]] with the expanded term set. With `allowed`, BOTH
+    * passes restrict to the admitted set under GLOBAL corpus stats
+    * (the Lucene filtered-query convention end-to-end).
     */
   def bm25PrfTopK(queries: DataFrame, qId: String, termCol: String,
       docs: DataFrame, idCol: String, textCol: String, k: Int,
       fbDocs: Int = 5, fbTerms: Int = 3,
       k1: Double = 1.2, b: Double = 0.75,
-      post: DataFrame = null, stats: DataFrame = null): DataFrame =
-    bm25TopK(
-      prfExpandTerms(queries, qId, termCol, docs, idCol, textCol,
-        fbDocs, fbTerms, k1, b, post = post, stats = stats),
-      "query_id", "term", docs, idCol, textCol, k, k1, b,
-      post = post, stats = stats)
+      post: DataFrame = null, stats: DataFrame = null,
+      allowed: DataFrame = null, allowedId: String = null): DataFrame = {
+    val expanded = prfExpandTerms(queries, qId, termCol, docs, idCol,
+      textCol, fbDocs, fbTerms, k1, b, post = post, stats = stats,
+      allowed = allowed, allowedId = allowedId)
+    if (allowed == null)
+      bm25TopK(expanded, "query_id", "term", docs, idCol, textCol, k,
+        k1, b, post = post, stats = stats)
+    else
+      bm25TopKFiltered(expanded, "query_id", "term", docs, idCol, textCol,
+        allowed, allowedId, k, k1, b, post = post, stats = stats)
+  }
 
   /** Hybrid retrieval: RRF fusion of a vector ranking and a BM25
     * ranking over one corpus — the composed form behind the SQL

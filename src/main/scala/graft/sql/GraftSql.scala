@@ -802,14 +802,20 @@ class GraftSql(
         // the re-ranker surfaced in the same pure-SQL interface as the
         // reference's searches (README.md:404-407), backed by the one
         // [[graft.operators.Lexical.bm25PrfTopK]] implementation
-        val parts = splitArgs(args)
+        val parts0 = splitArgs(args)
+        // a trailing quoted non-numeric arg is a metadata predicate
+        // (restricts BOTH PRF passes under global stats)
+        val prfPred = parts0.drop(3).lastOption
+          .filterNot(_.trim.matches("[-+]?[0-9]+"))
+          .map(unquote)
+        val parts = if (prfPred.isDefined) parts0.dropRight(1) else parts0
         require(parts.length >= 3 && parts.length <= 5,
-          s"PRF_SEARCH expects ('corpus', k, textCol[, fbDocs, fbTerms]), got: $args")
+          s"PRF_SEARCH expects ('corpus', k, textCol[, fbDocs, fbTerms][, 'predicate']), got: $args")
         val corpus = unquote(parts(0))
         val k = parts(1).trim.toInt
         val fbDocs = if (parts.length >= 4) parts(3).trim.toInt else 5
         val fbTerms = if (parts.length >= 5) parts(4).trim.toInt else 3
-        s"${prfSearchView(table, parts(2), corpus, k, fbDocs, fbTerms, views)} AS $alias"
+        s"${prfSearchView(table, parts(2), corpus, k, fbDocs, fbTerms, prfPred, views)} AS $alias"
       case "maxsim_search" =>
         // MAXSIM_SEARCH('corpus', k, vectorCol): multi-vector late
         // interaction (Khattab & Zaharia 2020) — a corpus registered
@@ -819,24 +825,31 @@ class GraftSql(
         // [[graft.operators.VectorSearch.groupMaxSimTopK]] core, two
         // surfaces
         val parts = splitArgs(args)
-        require(parts.length == 3,
-          s"MAXSIM_SEARCH expects ('corpus', k, vectorCol), got: $args")
+        require(parts.length == 3 || parts.length == 4,
+          s"MAXSIM_SEARCH expects ('corpus', k, vectorCol[, 'predicate']), got: $args")
         val corpus = unquote(parts(0))
         val k = parts(1).trim.toInt
-        s"${maxSimSearchView(table, parts(2), corpus, k, views)} AS $alias"
+        val msPred = if (parts.length == 4) Some(unquote(parts(3))) else None
+        s"${maxSimSearchView(table, parts(2), corpus, k, msPred, views)} AS $alias"
       case "mmr_search" =>
         // MMR_SEARCH('corpus', k, vectorCol [, candN, lambda]):
         // maximal-marginal-relevance diversity re-rank of the corpus's
         // cosine top-candN — one [[graft.operators.Lexical.mmrRerank]]
         // core, two surfaces (Scala + SQL)
-        val parts = splitArgs(args)
+        val parts0 = splitArgs(args)
+        // a trailing quoted non-numeric arg is a metadata predicate
+        // (admits the candidate pool before the diversity selection)
+        val mmrPred = parts0.drop(3).lastOption
+          .filterNot(_.trim.matches("[-+]?[0-9]*\\.?[0-9]+"))
+          .map(unquote)
+        val parts = if (mmrPred.isDefined) parts0.dropRight(1) else parts0
         require(parts.length >= 3 && parts.length <= 5,
-          s"MMR_SEARCH expects ('corpus', k, vectorCol[, candN, lambda]), got: $args")
+          s"MMR_SEARCH expects ('corpus', k, vectorCol[, candN, lambda][, 'predicate']), got: $args")
         val corpus = unquote(parts(0))
         val k = parts(1).trim.toInt
         val candN = if (parts.length >= 4) parts(3).trim.toInt else math.max(3 * k, 10)
         val lambda = if (parts.length >= 5) parts(4).trim.toDouble else 0.5
-        s"${mmrSearchView(table, parts(2), corpus, k, candN, lambda, views)} AS $alias"
+        s"${mmrSearchView(table, parts(2), corpus, k, candN, lambda, mmrPred, views)} AS $alias"
       case _ =>
         val parts = splitArgs(args)
         require(parts.length == 3,
@@ -1316,17 +1329,9 @@ class GraftSql(
     // source's columns (the FILTERED_SEARCH contract); exact/LSH routes
     // pre-filter the source, the index routes push it into the pruned
     // store scan as payload
-    val admittedSrc = pred.map { p =>
-      try src.filter(expr(p))
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalArgumentException(
-          s"RADIUS_SEARCH predicate '$p' does not resolve against " +
-            s"corpus '$corpusName' (${src.columns.mkString(", ")}): ${e.getMessage}")
-      }
-    }
-    val storeFilter = pred.map(expr).getOrElse(lit(true))
-    val cAdmitted = admittedSrc.map(canonCorpus(_, contentCol, vecCol))
+    val cAdmitted = pred.map(admittedCanon(corpusName, _, "RADIUS_SEARCH"))
       .getOrElse(c)
+    val storeFilter = pred.map(expr).getOrElse(lit(true))
     val hits = resolved match {
       case _: InMemCorpus =>
         VectorSearch.radiusFlat(qv, "__qid", "__qvec",
@@ -1410,19 +1415,9 @@ class GraftSql(
     val (post, stats) = lexArtifactsFor(corpusName, ref, c)
     // the admitted set resolves against the REGISTERED source's columns
     // (the FILTERED_SEARCH contract), mapped to canonical content ids
-    val admitted = pred.map { p =>
-      val (src, contentCol, vecCol) = corpusSources.getOrElse(corpusName,
-        throw new IllegalArgumentException(
-          s"unknown search corpus '$corpusName'"))
-      val filtered =
-        try src.filter(expr(p))
-        catch { case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalArgumentException(
-            s"HYBRID_SEARCH predicate '$p' does not resolve against " +
-              s"corpus '$corpusName' (${src.columns.mkString(", ")}): ${e.getMessage}")
-        }
-      canonCorpus(filtered, contentCol, vecCol).select("__cid")
-    }.orNull
+    val admitted = pred
+      .map(admittedCanon(corpusName, _, "HYBRID_SEARCH").select("__cid"))
+      .orNull
     val fused = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
       "__qtext", c, "__cid", "__cvec", "__content", k,
       post = post, stats = stats,
@@ -1524,6 +1519,28 @@ class GraftSql(
   private def corpusContentDf(corpusName: String): DataFrame =
     corpusContentDfWithRef(corpusName)._1
 
+  /** A metadata predicate resolved LOUDLY against a registered corpus's
+    * SOURCE columns (the FILTERED_SEARCH contract), returned as the
+    * admitted rows in canonical (__cid, __content, __cvec) form — the
+    * shared front of every filtered search shape on the worksheet
+    * (FILTERED / RADIUS / HYBRID / PRF / MMR / MAXSIM).
+    */
+  private def admittedCanon(corpusName: String, pred: String,
+      what: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (src, contentCol, vecCol) = corpusSources.getOrElse(corpusName,
+      throw new IllegalArgumentException(
+        s"unknown search corpus '$corpusName'"))
+    val filtered =
+      try src.filter(expr(pred))
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$what predicate '$pred' does not resolve against " +
+            s"corpus '$corpusName' (${src.columns.mkString(", ")}): ${e.getMessage}")
+      }
+    canonCorpus(filtered, contentCol, vecCol)
+  }
+
   /** Assemble a ranked (__qid, __cid, __rank) list into the
     * `search_results` ARRAY<ROW<content STRING>> shape, left-join it
     * back onto the query table, and register the temp view — the shared
@@ -1554,7 +1571,7 @@ class GraftSql(
     */
   private def prfSearchView(
       table: String, textExpr: String, corpusName: String,
-      k: Int, fbDocs: Int, fbTerms: Int,
+      k: Int, fbDocs: Int, fbTerms: Int, pred: Option[String],
       views: scala.collection.mutable.Buffer[String]): String = {
     import org.apache.spark.sql.functions._
     val base = spark.table(table)
@@ -1563,11 +1580,18 @@ class GraftSql(
     val qTerms = q.select(col("__qid").as("query_id"),
       explode(graft.operators.Lexical.toks(expr(textExpr))).as("term"))
     // per-registration postings/stats: both PRF passes serve from the
-    // session-held artifacts instead of tokenizing the corpus again
+    // session-held artifacts instead of tokenizing the corpus again.
+    // A predicate restricts BOTH passes (feedback docs come from the
+    // filtered ranking, so mined terms never leak from excluded
+    // documents) under GLOBAL stats — the artifacts stay shared.
     val (post, stats) = lexArtifactsFor(corpusName, ref, c)
+    val admitted = pred
+      .map(admittedCanon(corpusName, _, "PRF_SEARCH").select("__cid"))
+      .orNull
     val ranked = graft.operators.Lexical.bm25PrfTopK(qTerms, "query_id",
         "term", c, "__cid", "__content", k, fbDocs, fbTerms,
-        post = post, stats = stats)
+        post = post, stats = stats,
+        allowed = admitted, allowedId = if (admitted == null) null else "__cid")
       .select(col("query_id").as("__qid"), col("match_id").as("__cid"),
         col("rank").as("__rank"))
     searchResultsView("prfsearch", q, ranked, c, views)
@@ -1582,19 +1606,28 @@ class GraftSql(
     */
   private def maxSimSearchView(
       table: String, vecExpr: String, corpusName: String,
-      k: Int, views: scala.collection.mutable.Buffer[String]): String = {
+      k: Int, pred: Option[String],
+      views: scala.collection.mutable.Buffer[String]): String = {
     import org.apache.spark.sql.functions._
     val base = spark.table(table)
     val q = base.withColumn("__qid", xxhash64(expr(vecExpr)))
-    // members keep distinct (content, vec) rows; the GROUP is the content
-    val members = corpusContentDf(corpusName)
+    // members keep distinct (content, vec) rows; the GROUP is the
+    // content. A predicate admits MEMBER rows (metadata rides per
+    // member), so groups rank by their best ADMITTED member and groups
+    // with no admitted members vanish — member-level pre-filter
+    val allMembers = corpusContentDf(corpusName)
       .withColumn("__gid", xxhash64(col("__content")))
+    val members = pred.map { p =>
+      allMembers.join(
+        admittedCanon(corpusName, p, "MAXSIM_SEARCH").select("__cid"),
+        Seq("__cid"), "left_semi")
+    }.getOrElse(allMembers)
     val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"))
     val ranked = graft.operators.VectorSearch.groupMaxSimTopK(qv, "__qid",
         "__qvec", members, "__gid", "__cvec", k, "cosine")
       .select(col("query_id").as("__qid"), col("match_group").as("__cid"),
         col("rank").as("__rank"))
-    val groups = members.select(col("__gid").as("__cid"), col("__content"))
+    val groups = allMembers.select(col("__gid").as("__cid"), col("__content"))
       .dropDuplicates("__cid")
     searchResultsView("maxsimsearch", q, ranked, groups, views)
   }
@@ -1606,15 +1639,21 @@ class GraftSql(
     */
   private def mmrSearchView(
       table: String, vecExpr: String, corpusName: String,
-      k: Int, candN: Int, lambda: Double,
+      k: Int, candN: Int, lambda: Double, pred: Option[String],
       views: scala.collection.mutable.Buffer[String]): String = {
     import org.apache.spark.sql.functions._
     val base = spark.table(table)
     val q = base.withColumn("__qid", xxhash64(expr(vecExpr)))
     val c = corpusContentDf(corpusName)
+    // a predicate admits the candidate pool BEFORE relevance ranking
+    // (exact pre-filter: the diversity selection runs over admitted
+    // items only, so the result never under-fills on selective filters)
+    val cAdmitted = pred.map(admittedCanon(corpusName, _, "MMR_SEARCH"))
+      .getOrElse(c)
     val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"))
     val ranked = graft.operators.Lexical.mmrRerank(qv, "__qid", "__qvec",
-        c, "__cid", "__cvec", candN = candN, selectK = k, lambda = lambda)
+        cAdmitted, "__cid", "__cvec", candN = candN, selectK = k,
+        lambda = lambda)
       .select(col("query_id").as("__qid"), col("match_id").as("__cid"),
         col("sel_rank").as("__rank"))
     searchResultsView("mmrsearch", q, ranked, c, views)

@@ -1756,6 +1756,65 @@ LATERAL TABLE(HYBRID_SEARCH('hybf_corpus', 3, vector, question, 'nope > 1'));"""
     assert(err.getMessage.contains("does not resolve against"), err.getMessage)
   }
 
+  test("PRF / MMR / MAXSIM accept a trailing metadata predicate — the " +
+      "filter reaches every search shape on the worksheet") {
+    val g = facade()
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 80)
+    val corpus = docs.select(col("text").as("content"),
+      graft.functions.HashEmbedder.embedCol(col("text")).as("vector"),
+      col("doc_id"), col("lang"))
+    g.registerSearchCorpus("sfm_corpus", corpus, "content", "vector")
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id"), col("text").as("question"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    qs.createOrReplaceTempView("sfm_qs")
+    val admitted = docs.filter(col("doc_id") % 2 === 0)
+      .select("text").collect().map(_.getString(0)).toSet
+    def hits(stmt: String): Seq[Seq[String]] =
+      g.execute(stmt).select(col("search_results")).collect().toSeq
+        .map(r => if (r.isNullAt(0)) Seq.empty[String]
+          else r.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0)))
+    // MMR: diversity selection over the ADMITTED candidate pool only
+    val mmr = hits("""SELECT doc_id, search_results FROM sfm_qs,
+LATERAL TABLE(MMR_SEARCH('sfm_corpus', 3, vector, 'doc_id % 2 = 0'));""")
+    assert(mmr.nonEmpty && mmr.forall(_.nonEmpty))
+    mmr.flatten.foreach(t => assert(admitted(t), s"MMR non-admitted: $t"))
+    // PRF: both passes restricted; results only from the admitted set
+    val prf = hits("""SELECT doc_id, search_results FROM sfm_qs,
+LATERAL TABLE(PRF_SEARCH('sfm_corpus', 3, question, 'doc_id % 2 = 0'));""")
+    assert(prf.nonEmpty)
+    prf.flatten.foreach(t => assert(admitted(t), s"PRF non-admitted: $t"))
+    // PRF with explicit knobs AND a predicate (the 6-arg form)
+    val prf6 = hits("""SELECT doc_id, search_results FROM sfm_qs,
+LATERAL TABLE(PRF_SEARCH('sfm_corpus', 3, question, 5, 3, 'doc_id % 2 = 0'));""")
+    assert(prf6 == prf, "explicit default knobs must not change the ranking")
+    // MAXSIM: member-level pre-filter — only admitted members rank
+    val ms = hits("""SELECT doc_id, search_results FROM sfm_qs,
+LATERAL TABLE(MAXSIM_SEARCH('sfm_corpus', 3, vector, 'doc_id % 2 = 0'));""")
+    assert(ms.nonEmpty && ms.forall(_.nonEmpty))
+    ms.flatten.foreach(t => assert(admitted(t), s"MAXSIM non-admitted: $t"))
+    // an admitted query document still self-retrieves first on the
+    // vector shapes (its own text is in the admitted corpus)
+    val texts = docs.filter(col("doc_id") < 3).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val msById = g.execute("""SELECT doc_id, search_results FROM sfm_qs,
+LATERAL TABLE(MAXSIM_SEARCH('sfm_corpus', 3, vector, 'doc_id % 2 = 0'));""")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))).toMap
+    msById.filter(_._1 % 2 == 0).foreach { case (q, h) =>
+      assert(h.head == texts(q), s"admitted query doc $q not first") }
+    // unresolvable predicates fail loudly on every shape
+    for (shape <- Seq("MMR_SEARCH('sfm_corpus', 3, vector, 'nope > 1')",
+        "PRF_SEARCH('sfm_corpus', 3, question, 'nope > 1')",
+        "MAXSIM_SEARCH('sfm_corpus', 3, vector, 'nope > 1')")) {
+      val e = intercept[IllegalArgumentException](g.execute(
+        s"SELECT doc_id FROM sfm_qs, LATERAL TABLE($shape);"))
+      assert(e.getMessage.contains("does not resolve against"),
+        s"$shape: ${e.getMessage}")
+    }
+  }
+
   test("RADIUS_SEARCH rejects a non-numeric threshold with the " +
       "dialect's named error, not a raw NumberFormatException") {
     val g = facade()
