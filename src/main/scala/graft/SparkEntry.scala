@@ -3212,6 +3212,28 @@ values (
         .orderBy("query_id", "rank")
     }),
 
+    // Index-served FILTERED BM25: the persisted store's bucket-pruned
+    // postings + summed stats partials feed the Lucene filtered-query
+    // ranking (global stats, admitted candidates) — the at-rest lexical
+    // store now serves the filter too. Oracle is q_bm25_filtered's
+    // VERBATIM (the q_bm25_indexed idiom): a hash match proves
+    // index-served filtered ≡ corpus-scored filtered.
+    "q_bm25_indexed_filtered" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lex_index2_" +
+        contentTag(dir, "documents")
+      if (!graft.operators.FsUtil.exists(s, s"$path/stats/_SUCCESS"))
+        graft.operators.LexicalIndex.writeIndex(
+          t(s, dir, "documents"), "doc_id", "text", path)
+      graft.operators.Lexical.bm25TopKFiltered(lexQueries(s), "query_id",
+        "term", null, "doc_id", "text",
+        t(s, dir, "documents").filter(col("lang") === "en"), "doc_id",
+        k = 10,
+        post = graft.operators.LexicalIndex.postingsForTerms(s, path,
+          LexQueryTermSet),
+        stats = graft.operators.LexicalIndex.corpusStats(s, path))
+        .orderBy("query_id", "rank")
+    }),
+
     // --- lexical DELETE protocol under the hash gate -----------------------
     // The text twin of q_ivf_delete: tombstoned documents vanish from
     // BM25 retrieval at once, and the NEGATIVE stats partial lands the
@@ -4991,6 +5013,17 @@ values (
         "(f.tf * (1.2 + 1) / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl))), 4) AS contribution " +
         "FROM btf f JOIN bdf d USING (tok) CROSS JOIN bst s " +
         "ORDER BY query_id, match_id, term"),
+
+    // index-served filtered ≡ corpus-scored filtered: the oracle is
+    // q_bm25_filtered's verbatim (the q_bm25_indexed idiom)
+    "q_bm25_indexed_filtered" ->
+      ("WITH " + LexQueriesCte + ", " + Bm25Cte + " " +
+        "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
+        "SELECT query_id, sc.doc_id AS match_id, score, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY score DESC, sc.doc_id) AS rnk " +
+        "FROM bsc sc JOIN documents d ON sc.doc_id = d.doc_id " +
+        "WHERE d.lang = 'en') " +
+        "WHERE rnk <= 10 ORDER BY query_id, rank"),
 
     // same global-stats scoring chain; the lang filter applies at
     // ranking time only (Lucene filtered-query semantics)

@@ -282,25 +282,29 @@ object IndexMaintenance {
         val p = writerSidecar(root)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.mkdirs(p.getParent)
-        try {
-          val out = fs.create(p, false) // fail, don't clobber, on a race
-          try out.write(s"$namespace\n$owner".getBytes("UTF-8"))
-          finally out.close()
-          writerCache.put(root, (namespace, owner))
-        } catch {
-          case _: java.io.IOException =>
-            // lost the creation race — re-read and hold the winner to
-            // the same contract
-            writerCache.remove(root)
-            readClaim(spark, root) match {
-              case Some((ns, who)) if ns != namespace =>
-                throw new IllegalStateException(
-                  s"index store at '$root' was claimed concurrently by " +
-                    s"namespace $ns ('$who') — second writer refused")
-              case Some(_) => ()
-              case None => throw new IllegalStateException(
-                s"cannot persist writer claim under '$root'")
-            }
+        // write-then-RENAME: the sidecar becomes visible only fully
+        // written (a racing reader can never observe a partial claim),
+        // and rename-refuses-existing arbitrates the race atomically
+        val tmp = new Path(p.getParent,
+          s".namespace.${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, false)
+        try out.write(s"$namespace\n$owner".getBytes("UTF-8"))
+        finally out.close()
+        val won = try fs.rename(tmp, p) catch { case _: java.io.IOException => false }
+        if (won) writerCache.put(root, (namespace, owner))
+        else {
+          fs.delete(tmp, false)
+          // lost the race — re-read and hold the winner to the contract
+          writerCache.remove(root)
+          readClaim(spark, root) match {
+            case Some((ns, who)) if ns != namespace =>
+              throw new IllegalStateException(
+                s"index store at '$root' was claimed concurrently by " +
+                  s"namespace $ns ('$who') — second writer refused")
+            case Some(_) => ()
+            case None => throw new IllegalStateException(
+              s"cannot persist writer claim under '$root'")
+          }
         }
     }
   }

@@ -509,6 +509,38 @@ class RobustnessSpec extends SparkSpec {
     assert(e3.getMessage.contains("namespace"), e3.getMessage)
   }
 
+  test("claimWriter race: two concurrent claimants on one store — " +
+      "exactly one namespace wins, the loser fails loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rb_claim").toString
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[String, Long]]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = Seq(11L, 22L).map { ns =>
+      new Thread(() => {
+        gate.await()
+        try {
+          graft.operators.IndexMaintenance.claimWriter(spark, root, ns, s"ck$ns")
+          results.add(Right(ns))
+        } catch {
+          case e: IllegalStateException => results.add(Left(e.getMessage))
+        }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val (losers, winners) = results.asScala.toSeq.partitionMap(identity)
+    assert(winners.size == 1 && losers.size == 1,
+      s"expected exactly one winner: winners=$winners losers=$losers")
+    assert(losers.head.contains("namespace"), losers.head)
+    // the surviving claim is the winner's — a later re-claim by the
+    // winner passes, the loser still fails
+    graft.operators.IndexMaintenance.claimWriter(spark, root, winners.head,
+      s"ck${winners.head}")
+    val other = if (winners.head == 11L) 22L else 11L
+    intercept[IllegalStateException] {
+      graft.operators.IndexMaintenance.claimWriter(spark, root, other, s"ck$other")
+    }
+  }
+
   test("a FAILED index build releases its localCheckpoint blocks " +
       "(try/finally, not success-path-only)") {
     import spark.implicits._
