@@ -65,7 +65,14 @@ class PlanAuditSpec extends SparkSpec {
 
   test("candidate-pruned operators never degenerate into cross products") {
     for (q <- Seq("q_dedup_embedding_lsh", "q_vector_ann", "q_vector_ivf",
-        "q_minhash_pairs", "q_simhash_pairs", "q_decontaminate")) {
+        "q_minhash_pairs", "q_simhash_pairs", "q_decontaminate",
+        // the round-13 compressed-radius shapes: admitted/candidate sets
+        // must ride as semi-joins / pushed filters, never a corpus-sized
+        // NLJ. (q_sql_radius_filtered and the BM25-filtered rows are
+        // deliberately absent: radiusFlat's EXACT all-pairs scan and the
+        // one-row BM25 stats cross-join are byte-guarded/1-row broadcast
+        // NLJs by design, not degenerations)
+        "q_ivfsq_radius_recall", "q_ivfpq_radius_recall")) {
       val p = plan(q).toString
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a broadcast NLJ")
