@@ -1001,6 +1001,105 @@ object SparkEntry {
         .orderBy("query_id", "match_id")
     }),
 
+    // Facade-equivalence for the three round-13 filtered shapes in ONE
+    // row: each worksheet statement with a predicate must EXACTLY equal
+    // its operator-level composition over the same canonical ids and
+    // admitted set — MMR (admitted candidate pool), PRF (both passes
+    // filtered, global stats), MAXSIM (member-level pre-filter). The
+    // internal ids are content hashes (not oracle-replayable), so the
+    // gate is the q_sql_hybrid_filtered contract class: per-(shape,
+    // query) booleans pinned TRUE, plus admit-safety.
+    "q_sql_filtered_shapes" -> ((s, dir) => {
+      val g = sqlFacade(s)
+      val docs = t(s, dir, "documents")
+      val name = s"sqlfshapes_${contentTag(dir, "documents")}"
+      val corpus = docs.select(col("text").as("content"),
+        HashEmbedder.embedCol(col("text")).as("vector"), col("doc_id"))
+      registerOnce(s, name) {
+        g.registerSearchCorpus(name, corpus, "content", "vector",
+          maxRows = 0)
+      }
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qdoc"), col("text").as("question"),
+          HashEmbedder.embedCol(col("text")).as("qv"))
+      qs.createOrReplaceTempView("graft_fshapes_queries")
+      val slim = corpus.select(col("content").as("__content"),
+          col("vector").cast("array<float>").as("__cvec"))
+        .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
+        .dropDuplicates("__cid")
+      val admitted = corpus.filter(col("doc_id") % 2 === 0)
+        .select(col("content").as("__content"),
+          col("vector").cast("array<float>").as("__cvec"))
+        .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
+      val admSet = admitted.select("__cid")
+      def facadeHits(shape: String, args: String): DataFrame =
+        g.execute("SELECT qdoc, search_results FROM graft_fshapes_queries, " +
+            s"LATERAL TABLE($shape('$name', $args, 'doc_id % 2 = 0'));")
+          .select(col("qdoc"),
+            expr("transform(search_results, m -> m.content)").as("hits"))
+      def opHits(ranked: DataFrame, rankCol: String,
+          keyCol: String): DataFrame =
+        ranked
+          .join(slim.select(col("__cid").as(keyCol), col("__content")), keyCol)
+          .join(qs.select(xxhash64(col("qv")).as("query_id"), col("qdoc")),
+            "query_id")
+          .groupBy("qdoc")
+          .agg(expr(s"transform(sort_array(collect_list(struct($rankCol, " +
+            "__content))), m -> m.__content)").as("op_hits"))
+      val qv = qs.select(xxhash64(col("qv")).as("__qid"),
+        col("qv").as("__qvec"), col("question").as("__qtext"), col("qdoc"))
+      // MMR: the facade admits the candidate pool before selection
+      val mmrOp = opHits(graft.operators.Lexical.mmrRerank(
+          qv.select(col("__qid"), col("__qvec")), "__qid", "__qvec",
+          slim.join(admSet, Seq("__cid"), "left_semi"), "__cid", "__cvec",
+          candN = 9, selectK = 3, lambda = 0.5)
+        .select(col("query_id"), col("match_id"), col("sel_rank")),
+        "sel_rank", "match_id")
+      // MAXSIM: member-level pre-filter (the group is the content)
+      val members = slim.join(admSet, Seq("__cid"), "left_semi")
+        .withColumn("__gid", xxhash64(col("__content")))
+      val msRanked = graft.operators.VectorSearch.groupMaxSimTopK(
+          qv.select(col("__qid"), col("__qvec")), "__qid", "__qvec",
+          members, "__gid", "__cvec", 3, "cosine")
+      val groups = slim.withColumn("__gid2", xxhash64(col("__content")))
+      val msOp = msRanked
+        .join(groups.select(col("__gid2").as("match_group"),
+          col("__content")).dropDuplicates("match_group"), "match_group")
+        .join(qs.select(xxhash64(col("qv")).as("query_id"), col("qdoc")),
+          "query_id")
+        .groupBy("qdoc")
+        .agg(expr("transform(sort_array(collect_list(struct(rank, " +
+          "__content))), m -> m.__content)").as("op_hits"))
+      // PRF: both passes filtered under global stats
+      val qTerms = qv.select(
+        xxhash64(col("__qtext")).as("query_id"),
+        explode(graft.operators.Lexical.toks(col("__qtext"))).as("term"))
+      val prfOp = graft.operators.Lexical.bm25PrfTopK(qTerms, "query_id",
+          "term", slim, "__cid", "__content", 3, fbDocs = 5, fbTerms = 3,
+          allowed = admSet, allowedId = "__cid")
+        .join(slim.select(col("__cid").as("match_id"), col("__content")),
+          "match_id")
+        .join(qs.select(xxhash64(col("question")).as("query_id"),
+          col("qdoc")), "query_id")
+        .groupBy("qdoc")
+        .agg(expr("transform(sort_array(collect_list(struct(rank, " +
+          "__content))), m -> m.__content)").as("op_hits"))
+      val admTexts = docs.filter(col("doc_id") % 2 === 0)
+        .agg(collect_set(col("text")).as("adm"))
+      def shapeRow(shape: String, fac: DataFrame, op: DataFrame): DataFrame =
+        fac.join(op, Seq("qdoc"), "left").crossJoin(admTexts)
+          .select(lit(shape).as("shape"), col("qdoc"),
+            (coalesce(col("hits"), expr("array()")) ===
+              coalesce(col("op_hits"), expr("array()"))).as("eq_ok"),
+            expr("forall(coalesce(hits, array()), h -> array_contains(adm, h))")
+              .as("admitted_only_ok"))
+      shapeRow("maxsim", facadeHits("MAXSIM_SEARCH", "3, qv"), msOp)
+        .unionByName(shapeRow("mmr", facadeHits("MMR_SEARCH", "3, qv, 9, 0.5"), mmrOp))
+        .unionByName(shapeRow("prf",
+          facadeHits("PRF_SEARCH", "3, question"), prfOp))
+        .orderBy("shape", "qdoc")
+    }),
+
     // FILTERED radius on the worksheet (Atlas filter-inside-the-search,
     // fixed-threshold form): the optional predicate arg admits a
     // metadata subset BEFORE the exact threshold cut, so the result is
@@ -3983,6 +4082,12 @@ values (
         "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0 " +
         "AND list_cosine_similarity(q.embedding, c.embedding) >= 0.3 " +
         "ORDER BY query_id, match_id"),
+
+    "q_sql_filtered_shapes" ->
+      ("SELECT t.shape, d.doc_id AS qdoc, TRUE AS eq_ok, " +
+        "TRUE AS admitted_only_ok " +
+        "FROM documents d, (VALUES ('maxsim'), ('mmr'), ('prf')) AS t(shape) " +
+        "WHERE d.doc_id % 100 = 0 ORDER BY shape, qdoc"),
 
     "q_sql_radius_filtered" ->
       ("SELECT q.vec_id AS query_id, c.vec_id AS match_id " +
