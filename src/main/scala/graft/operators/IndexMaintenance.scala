@@ -244,21 +244,52 @@ object IndexMaintenance {
   private val writerCache =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
-  private def readClaim(spark: SparkSession, root: String): Option[(Long, String)] =
-    writerCache.get(root).orElse {
-      val p = writerSidecar(root)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        val lines = raw.split("\n", 2)
-        val claim = (lines(0).trim.toLong, lines.lift(1).getOrElse("").trim)
-        writerCache.put(root, claim)
-        Some(claim)
+  private def readClaimDisk(spark: SparkSession, root: String): Option[(Long, String)] = {
+    val p = writerSidecar(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // malformed content is retried briefly: a racing winner's claim can
+    // exist momentarily before its bytes land (exclusive create, then
+    // write) — a claim that STAYS malformed is an error, never a
+    // silently-unclaimed store
+    var attempt = 0
+    while (true) {
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val parsed = raw.split("\n", 2) match {
+        case Array(ns, who) if ns.trim.matches("-?[0-9]+") =>
+          Some((ns.trim.toLong, who.trim))
+        case Array(ns) if ns.trim.matches("-?[0-9]+") =>
+          Some((ns.trim.toLong, ""))
+        case _ => None
+      }
+      parsed match {
+        case Some(claim) =>
+          writerCache.put(root, claim)
+          return Some(claim)
+        case None if attempt < 20 =>
+          attempt += 1; Thread.sleep(25)
+        case None => throw new IllegalStateException(
+          s"writer claim at '$p' is unreadable (content: '${raw.take(80)}')")
       }
     }
+    None // unreachable
+  }
+
+  private def readClaim(spark: SparkSession, root: String): Option[(Long, String)] =
+    writerCache.get(root).orElse(readClaimDisk(spark, root))
+
+  /** A cached claim that is about to REFUSE a caller must be re-read
+    * from disk first: a store retired (deleted) and recreated at the
+    * same path in one JVM would otherwise refuse its new writer on the
+    * dead store's cached claim forever — a false refusal is almost as
+    * bad as a missed one.
+    */
+  private def confirmedClaim(spark: SparkSession, root: String): Option[(Long, String)] = {
+    writerCache.remove(root)
+    readClaimDisk(spark, root)
+  }
 
   /** Claim exclusive epoch-order ownership of the store at `root` for
     * `namespace` (idempotent per namespace — a RESTART of the same
@@ -272,28 +303,39 @@ object IndexMaintenance {
       owner: String): Unit = {
     require(namespace >= 0, s"claimWriter: namespace must be >= 0, got $namespace")
     readClaim(spark, root) match {
-      case Some((ns, who)) =>
-        if (ns != namespace) throw new IllegalStateException(
-          s"index store at '$root' is owned by writer namespace $ns " +
-            s"('$who'); a second writer (namespace $namespace, '$owner') " +
-            "would corrupt the store's epoch order — stream through the " +
-            "owning checkpoint, or retire the store")
+      case Some((ns, _)) if ns != namespace =>
+        confirmedClaim(spark, root) match {
+          case Some((ns2, who2)) if ns2 != namespace =>
+            throw new IllegalStateException(
+              s"index store at '$root' is owned by writer namespace $ns2 " +
+                s"('$who2'); a second writer (namespace $namespace, '$owner') " +
+                "would corrupt the store's epoch order — stream through the " +
+                "owning checkpoint, or retire the store")
+          case Some(_) => () // disk agrees with the caller after all
+          case None =>
+            // the store was retired; claim fresh
+            claimWriter(spark, root, namespace, owner)
+        }
+      case Some(_) => ()
       case None =>
         val p = writerSidecar(root)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.mkdirs(p.getParent)
-        // write-then-RENAME: the sidecar becomes visible only fully
-        // written (a racing reader can never observe a partial claim),
-        // and rename-refuses-existing arbitrates the race atomically
-        val tmp = new Path(p.getParent,
-          s".namespace.${java.util.UUID.randomUUID()}")
-        val out = fs.create(tmp, false)
-        try out.write(s"$namespace\n$owner".getBytes("UTF-8"))
-        finally out.close()
-        val won = try fs.rename(tmp, p) catch { case _: java.io.IOException => false }
+        // exclusive CREATE arbitrates the race (rename cannot: Hadoop's
+        // LocalFileSystem rename overwrites an existing destination, so
+        // two renamers would both "win"); the tiny window where the
+        // winner's claim exists but is not yet fully written is covered
+        // by the reader's bounded malformed-content retry in
+        // [[readClaimDisk]]
+        val won =
+          try {
+            val out = fs.create(p, false) // fail, don't clobber, on a race
+            try out.write(s"$namespace\n$owner".getBytes("UTF-8"))
+            finally out.close()
+            true
+          } catch { case _: java.io.IOException => false }
         if (won) writerCache.put(root, (namespace, owner))
         else {
-          fs.delete(tmp, false)
           // lost the race — re-read and hold the winner to the contract
           writerCache.remove(root)
           readClaim(spark, root) match {
@@ -317,13 +359,15 @@ object IndexMaintenance {
   def validateEpochNamespace(spark: SparkSession, root: String, epoch: Long,
       what: String): Unit = {
     if (epoch < 0) return
-    readClaim(spark, root).foreach { case (ns, who) =>
+    readClaim(spark, root).foreach { case (ns, _) =>
       val ens = epochNamespaceOf(epoch)
-      if (ens != ns) throw new IllegalStateException(
-        s"$what: epoch $epoch carries writer namespace $ens, but the " +
-          s"store at '$root' is owned by namespace $ns ('$who') — a " +
-          "foreign epoch cannot order coherently against the owner's " +
-          "rows (LWW and tombstones compare epochs numerically)")
+      if (ens != ns) confirmedClaim(spark, root).foreach { case (ns2, who2) =>
+        if (ens != ns2) throw new IllegalStateException(
+          s"$what: epoch $epoch carries writer namespace $ens, but the " +
+            s"store at '$root' is owned by namespace $ns2 ('$who2') — a " +
+            "foreign epoch cannot order coherently against the owner's " +
+            "rows (LWW and tombstones compare epochs numerically)")
+      }
     }
   }
 

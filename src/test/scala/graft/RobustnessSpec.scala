@@ -539,6 +539,15 @@ class RobustnessSpec extends SparkSpec {
     intercept[IllegalStateException] {
       graft.operators.IndexMaintenance.claimWriter(spark, root, other, s"ck$other")
     }
+    // a RETIRED store (directory deleted) must not refuse its next
+    // writer on the dead claim cached in this JVM — the refusal path
+    // re-reads disk before throwing
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    graft.operators.IndexMaintenance.claimWriter(spark, root, other, s"ck$other")
+    intercept[IllegalStateException] {
+      graft.operators.IndexMaintenance.claimWriter(spark, root,
+        winners.head, s"ck${winners.head}")
+    }
   }
 
   test("a FAILED index build releases its localCheckpoint blocks " +
