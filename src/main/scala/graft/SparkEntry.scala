@@ -1013,15 +1013,20 @@ object SparkEntry {
       val g = sqlFacade(s)
       val docs = t(s, dir, "documents")
       val name = s"sqlfshapes_${contentTag(dir, "documents")}"
-      val corpus = docs.select(col("text").as("content"),
-        HashEmbedder.embedCol(col("text")).as("vector"), col("doc_id"))
+      // memoized: the embed UDF is the dominant cost and this frame
+      // appears in SIX subtrees (three facade statements + three
+      // operator compositions) — materialize it once per app
+      val corpus = memo(s, dir, "fshapes_corpus")(
+        docs.select(col("text").as("content"),
+          HashEmbedder.embedCol(col("text")).as("vector"), col("doc_id")))
       registerOnce(s, name) {
         g.registerSearchCorpus(name, corpus, "content", "vector",
           maxRows = 0)
       }
-      val qs = docs.filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("qdoc"), col("text").as("question"),
-          HashEmbedder.embedCol(col("text")).as("qv"))
+      val qs = memo(s, dir, "fshapes_qs")(
+        docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("qdoc"), col("text").as("question"),
+            HashEmbedder.embedCol(col("text")).as("qv")))
       qs.createOrReplaceTempView("graft_fshapes_queries")
       val slim = corpus.select(col("content").as("__content"),
           col("vector").cast("array<float>").as("__cvec"))
