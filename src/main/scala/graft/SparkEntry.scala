@@ -1001,6 +1001,32 @@ object SparkEntry {
         .orderBy("query_id", "match_id")
     }),
 
+    // SHOW SEARCH CORPORA — the search registry's describe surface (the
+    // reference's describe-everything pattern: topics, models, and
+    // connections all describe; the corpus registry now does too).
+    // Fresh facade so the listing is exactly the three registrations
+    // made here: a collected corpus (exact broadcast route, declared
+    // family moot), a beyond-cap 'ivf' registration, and an external
+    // CREATE TABLE corpus still unbound. Fully hash-oracled.
+    "q_corpus_describe" -> ((s, dir) => {
+      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_q_corpdesc").toString))
+      val emb = t(s, dir, "embeddings")
+      val src = emb.select(col("vec_id").cast("string").as("content"),
+        col("embedding").as("vector"))
+      g.registerSearchCorpus("products_mem", src.limit(200),
+        "content", "vector")
+      g.registerSearchCorpus("products_ivf", src, "content", "vector",
+        maxRows = 0, numCandidates = 500, indexType = "ivf")
+      g.execute("""CREATE TABLE `products_ext` (
+    `content` STRING,
+    `vector`  ARRAY<FLOAT>
+) WITH ('connector' = 'mongodb', 'mongodb.collection' = 'products_backing',
+        'mongodb.path' = 'vector', 'mongodb.index.type' = 'hnsw',
+        'mongodb.numCandidates' = '250');""")
+      g.execute("SHOW SEARCH CORPORA;").orderBy("name")
+    }),
+
     // Facade-equivalence for the three round-13 filtered shapes in ONE
     // row: each worksheet statement with a predicate must EXACTLY equal
     // its operator-level composition over the same canonical ids and
@@ -4087,6 +4113,15 @@ values (
         "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0 " +
         "AND list_cosine_similarity(q.embedding, c.embedding) >= 0.3 " +
         "ORDER BY query_id, match_id"),
+
+    "q_corpus_describe" ->
+      ("SELECT * FROM (VALUES " +
+        "('products_ext', 'unbound', 'hnsw', 'hnsw', 250, CAST(-1 AS BIGINT)), " +
+        "('products_ivf', 'distributed', 'ivf', 'ivf', 500, CAST(-1 AS BIGINT)), " +
+        "('products_mem', 'collected', 'flat', 'exact-broadcast', 10000, " +
+        "CAST(200 AS BIGINT))" +
+        ") AS t(name, posture, declared_index_type, serving_route, " +
+        "num_candidates, collected_rows) ORDER BY name"),
 
     "q_sql_filtered_shapes" ->
       ("SELECT t.shape, d.doc_id AS qdoc, TRUE AS eq_ok, " +

@@ -77,6 +77,15 @@ class GraftSql(
   private val corpusSources =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, String, String)]
 
+  /** Declared registration knobs per corpus, for `SHOW SEARCH CORPORA`
+    * (the reference's describe-everything surface, extended to the
+    * search registry): the resolved [[corpora]] entry deliberately
+    * drops what the route doesn't need, so the DECLARED shape is kept
+    * here.
+    */
+  private val corpusMeta =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Int)]
+
   /** Register the backing corpus for `FEDERATED_SEARCH('<name>', k, v)`
     * statements — the in-engine stand-in for the reference's external
     * Atlas collection. Default `maxRows` matches
@@ -92,6 +101,7 @@ class GraftSql(
     require(GraftSql.IndexTypes.contains(indexType),
       s"index type '$indexType' not in ${GraftSql.IndexTypes.mkString("/")}")
     val rows = df.select(contentCol, vecCol).limit(maxRows + 1).collect()
+    corpusMeta(name) = (indexType, numCandidates)
     corpusSources(name) = (df, contentCol, vecCol)
     corpora(name) =
       if (rows.length <= maxRows)
@@ -243,6 +253,26 @@ class GraftSql(
       }
       registry.describe(spark, name, all)
 
+    case ShowCorporaRe() =>
+      // the search registry's describe surface (the reference's
+      // describe-everything pattern, README.md:543/655, extended):
+      // declared knobs from registration, posture from the RESOLVED
+      // entry — collected corpora serve the exact broadcast scan
+      // regardless of declared family, and that's worth seeing
+      import spark.implicits._
+      corpora.toSeq.sortBy(_._1).map { case (name, ref) =>
+        val (declared, nc) = corpusMeta.getOrElse(name, ("flat", 10000))
+        ref match {
+          case InMemCorpus(rows) =>
+            (name, "collected", declared, "exact-broadcast", nc, rows.length.toLong)
+          case big: DfCorpus =>
+            (name, "distributed", declared, big.indexType, big.numCandidates, -1L)
+          case lz: LazyCorpus =>
+            (name, "unbound", declared, lz.indexType, lz.numCandidates, -1L)
+        }
+      }.toDF("name", "posture", "declared_index_type", "serving_route",
+        "num_candidates", "collected_rows")
+
     case CreateTableRe(name, cols, opts) =>
       // Flink column DDL is Spark-DDL compatible once backticks drop and
       // ROW<...> becomes STRUCT<...>.
@@ -288,6 +318,7 @@ class GraftSql(
             case _ => Seq(name)
           }
           require(schema.nonEmpty, s"external table $name declares no columns")
+          corpusMeta(name) = (idxType, nc)
           corpora(name) = LazyCorpus(backing, schema.head.name, vecField, idxType, nc)
           status(s"created external search table $name (connector=$conn, " +
             s"index=$idxType, numCandidates=$nc)")
@@ -1714,6 +1745,8 @@ object GraftSql {
     """(?is)^\s*ALTER\s+MODEL\s+`?([\w.-]+)`?\s*SET\s*\(\s*'default_version'\s*=\s*'(\d+)'\s*\)\s*;?\s*$""".r
   private val DescribeModelRe =
     """(?is)^\s*DESCRIBE\s+MODEL\s+`?([\w.$-]+)`?\s*;?\s*$""".r
+  private val ShowCorporaRe =
+    """(?is)^\s*SHOW\s+SEARCH\s+CORPORA\s*;?\s*$""".r
   private val DescribeTableRe =
     """(?is)^\s*DESC(?:RIBE)?\s+(?!MODEL\b)`?([\w.-]+)`?\s*;?\s*$""".r
   private val CreateTableRe =

@@ -1815,6 +1815,37 @@ LATERAL TABLE(MAXSIM_SEARCH('sfm_corpus', 3, vector, 'doc_id % 2 = 0'));""")
     }
   }
 
+  test("SHOW SEARCH CORPORA: declared knobs, posture, and lazy binding " +
+      "visible — an unbound external table resolves on first search") {
+    val g = facade()
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings").limit(40)
+    val src = emb.select(col("vec_id").cast("string").as("content"),
+      col("embedding").as("vector"))
+    g.registerSearchCorpus("showc_mem", src, "content", "vector")
+    src.createOrReplaceTempView("showc_backing")
+    g.execute("""CREATE TABLE `showc_ext` (
+    `content` STRING,
+    `vector`  ARRAY<FLOAT>
+) WITH ('connector' = 'mongodb', 'mongodb.collection' = 'showc_backing',
+        'mongodb.numCandidates' = '300');""")
+    def rows() = g.execute("SHOW SEARCH CORPORA;")
+      .filter(col("name").startsWith("showc_"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(3), r.getInt(4), r.getLong(5))).toMap
+    val before = rows()
+    assert(before("showc_mem") == (("collected", "exact-broadcast", 10000, 40L)))
+    assert(before("showc_ext")._1 == "unbound" && before("showc_ext")._3 == 300)
+    // first search binds the lazy corpus; the registry reflects it
+    emb.limit(1).select(col("embedding").as("qv"))
+      .createOrReplaceTempView("showc_qs")
+    g.execute("""SELECT qv FROM showc_qs,
+LATERAL TABLE(FEDERATED_SEARCH('showc_ext', 1, qv));""").collect()
+    val after = rows()
+    assert(after("showc_ext")._1 == "collected",
+      s"lazy corpus did not re-describe after binding: ${after("showc_ext")}")
+  }
+
   test("RADIUS_SEARCH rejects a non-numeric threshold with the " +
       "dialect's named error, not a raw NumberFormatException") {
     val g = facade()
