@@ -271,7 +271,11 @@ object IndexMaintenance {
         case None if attempt < 20 =>
           attempt += 1; Thread.sleep(25)
         case None => throw new IllegalStateException(
-          s"writer claim at '$p' is unreadable (content: '${raw.take(80)}')")
+          s"writer claim at '$p' is unreadable (content: '${raw.take(80)}') — " +
+            "likely a claimant crashed between the exclusive create and " +
+            "writing its bytes. Recovery: verify no live writer is streaming " +
+            s"into this store, then delete the sidecar file '$p' and restart " +
+            "the intended writer (it will re-claim cleanly)")
       }
     }
     None // unreachable

@@ -508,16 +508,25 @@ object IvfSearch {
         "id", "epoch")
       .select(col("id").as("match_id"), col("vec").as("__cvec"), col("cell"))
     val asc = metric == "l2"
-    probed.join(celled, "cell")
+    val agg = probed.join(celled, "cell")
       .withColumn("score", scoreCol(metric)(col(qVec), col("__cvec")))
       .groupBy(col(qId))
       .agg(graft.functions.TopKByScore.topK(col("match_id"), col("score"), k, asc).as("matches"),
         count(lit(1)).as("candidates_scanned"))
-      .select(col(qId), col("candidates_scanned"),
-        posexplode(col("matches")).as(Seq("rank0", "m")))
+    // left-join back onto the query frame: a query whose probed cells
+    // yield ZERO candidates (everything tombstoned or filtered out) must
+    // surface with candidates_scanned = 0 and a null match row — the
+    // queries that most need explaining must not vanish from the frame
+    queries.select(col(qId)).distinct()
+      .join(agg, Seq(qId), "left")
+      .select(col(qId),
+        coalesce(col("candidates_scanned"), lit(0L)).as("candidates_scanned"),
+        posexplode_outer(col("matches")).as(Seq("rank0", "m")))
       .select(col(qId), col("m.id").as("match_id"),
         (col("rank0") + 1).cast("int").as("rank"),
-        lit(nProbe).cast("int").as("cells_probed"),
+        // the probe caps at the store's cell count: with nProbe > nList
+        // the declared budget would over-report what was actually probed
+        lit(math.min(nProbe, centroids.length)).cast("int").as("cells_probed"),
         col("candidates_scanned"))
   }
 }

@@ -801,11 +801,14 @@ class GraftSql(
                 "usage: RADIUS_SEARCH('corpus', threshold, vectorCol[, 'predicate' | nBits, nTables])")
           }
         val threshold = numArg(1, "threshold", _.toDouble)
-        // a quoted non-numeric 4th arg is a METADATA PREDICATE (the
-        // Atlas filter-inside-$vectorSearch shape on the radius): both
-        // forms are unambiguous because nBits is always numeric
-        val rpred = if (parts.length == 4 &&
-            !parts(3).trim.matches("[-+]?[0-9]+")) Some(unquote(parts(3)))
+        // a QUOTED 4th arg is a METADATA PREDICATE (the Atlas
+        // filter-inside-$vectorSearch shape on the radius); anything
+        // unquoted parses as the numeric nBits knob — quoting, not
+        // "fails the numeric regex", is the disambiguator, so a numeric
+        // string in exotic spelling ('5e-1') errors as a bad knob
+        // instead of being silently reinterpreted as a predicate
+        val rpred = if (parts.length == 4 && parts(3).trim.startsWith("'"))
+            Some(unquote(parts(3)))
           else None
         val nBits = if (rpred.isEmpty && parts.length >= 4)
           numArg(3, "nBits", _.toInt) else 4
@@ -834,10 +837,12 @@ class GraftSql(
         // reference's searches (README.md:404-407), backed by the one
         // [[graft.operators.Lexical.bm25PrfTopK]] implementation
         val parts0 = splitArgs(args)
-        // a trailing quoted non-numeric arg is a metadata predicate
-        // (restricts BOTH PRF passes under global stats)
+        // a trailing QUOTED arg is a metadata predicate (restricts BOTH
+        // PRF passes under global stats); knobs are always unquoted
+        // numerics, so quoting disambiguates — a numeric string or
+        // exponent spelling can't be silently reinterpreted
         val prfPred = parts0.drop(3).lastOption
-          .filterNot(_.trim.matches("[-+]?[0-9]+"))
+          .filter(_.trim.startsWith("'"))
           .map(unquote)
         val parts = if (prfPred.isDefined) parts0.dropRight(1) else parts0
         require(parts.length >= 3 && parts.length <= 5,
@@ -868,10 +873,12 @@ class GraftSql(
         // cosine top-candN — one [[graft.operators.Lexical.mmrRerank]]
         // core, two surfaces (Scala + SQL)
         val parts0 = splitArgs(args)
-        // a trailing quoted non-numeric arg is a metadata predicate
-        // (admits the candidate pool before the diversity selection)
+        // a trailing QUOTED arg is a metadata predicate (admits the
+        // candidate pool before the diversity selection); the candN /
+        // lambda knobs are always unquoted numerics, so quoting
+        // disambiguates (see PRF_SEARCH)
         val mmrPred = parts0.drop(3).lastOption
-          .filterNot(_.trim.matches("[-+]?[0-9]*\\.?[0-9]+"))
+          .filter(_.trim.startsWith("'"))
           .map(unquote)
         val parts = if (mmrPred.isDefined) parts0.dropRight(1) else parts0
         require(parts.length >= 3 && parts.length <= 5,

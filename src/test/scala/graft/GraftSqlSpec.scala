@@ -1813,6 +1813,14 @@ LATERAL TABLE(MAXSIM_SEARCH('sfm_corpus', 3, vector, 'doc_id % 2 = 0'));""")
       assert(e.getMessage.contains("does not resolve against"),
         s"$shape: ${e.getMessage}")
     }
+    // QUOTING disambiguates predicate vs knob: an UNQUOTED trailing arg
+    // is always a knob, so exponent-notation lambda parses as 0.5 (it
+    // must never be silently reinterpreted as a metadata predicate)
+    val mmrExp = hits("""SELECT doc_id, search_results FROM sfm_qs,
+LATERAL TABLE(MMR_SEARCH('sfm_corpus', 3, vector, 9, 5e-1));""")
+    val mmrHalf = hits("""SELECT doc_id, search_results FROM sfm_qs,
+LATERAL TABLE(MMR_SEARCH('sfm_corpus', 3, vector, 9, 0.5));""")
+    assert(mmrExp == mmrHalf, "5e-1 must parse as the lambda knob 0.5")
   }
 
   test("SHOW SEARCH CORPORA: declared knobs, posture, and lazy binding " +

@@ -693,6 +693,22 @@ class IvfSpec extends SparkSpec {
       .select("qid", "match_id", "rank").collect().map(_.toString).sorted.toSeq
     assert(expl.map(r => org.apache.spark.sql.Row(
       r.getLong(0), r.getLong(1), r.getInt(2)).toString).sorted.toSeq == plain)
+    // cells_probed reflects REALITY, not the declared budget: a probe
+    // beyond the store's cell count clamps to nList
+    val over = IvfSearch.explainProbe(spark, path, qs, "qid", "qv",
+      k = 3, metric = "dot", nProbe = 99).collect()
+    assert(over.nonEmpty && over.forall(_.getInt(3) == 8),
+      "cells_probed must clamp at the store's cell count")
+    // a query whose probed cells yield ZERO candidates must stay in the
+    // frame (candidates_scanned = 0, null match) — the queries that most
+    // need explaining must not vanish
+    val none = IvfSearch.explainProbe(spark, path, qs, "qid", "qv",
+      k = 3, metric = "dot", nProbe = 2,
+      filter = org.apache.spark.sql.functions.lit(false)).collect()
+    val qids = qs.select("qid").collect().map(_.getLong(0)).toSet
+    assert(none.map(_.getLong(0)).toSet == qids, "every query present")
+    assert(none.forall(r => r.getLong(4) == 0L && r.isNullAt(1)),
+      "zero-candidate queries must show candidates_scanned = 0")
   }
 
   test("IvfSqIndex.radiusIndex: exact re-score gives precision 1.0; " +
