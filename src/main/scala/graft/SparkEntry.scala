@@ -2455,6 +2455,58 @@ ORDER BY event_id, event_id2""")
         .orderBy("qdoc")
     }),
 
+    // INDEX-SERVED hybrid on the SQL worksheet: HYBRID_SEARCH's vector
+    // leg on an 'ivf' beyond-cap registration now comes from the same
+    // rankedForFamily ladder FEDERATED_SEARCH dispatches, instead of
+    // the exact corpus scan — the one search shape that still paid a
+    // full vector re-scan per statement on exactly the corpora
+    // registered beyond-cap. The BM25 leg stays on the cached
+    // per-registration artifacts. Gate: the statement's fused top-5
+    // must overlap the EXACT fusion's top-5 (recall contract, >= 2 of
+    // 5 — the BM25 leg is shared between the two fusions, and the
+    // family's own probe recall is pinned by q_ivf_recall /
+    // q_ivf_index_recall; the full-probe facade equivalence is pinned
+    // in GraftSqlSpec).
+    "q_sql_hybrid_indexed" -> ((s, dir) => {
+      val g = sqlFacade(s)
+      val docs = t(s, dir, "documents")
+      val name = s"sqlhybix_${contentTag(dir, "documents")}"
+      val corpus = docs.select(col("text").as("content"),
+        HashEmbedder.embedCol(col("text")).as("vector"),
+        col("doc_id"), col("lang"))
+      registerOnce(s, name) {
+        g.registerSearchCorpus(name, corpus, "content", "vector",
+          maxRows = 0, indexType = "ivf")
+      }
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"), col("text").as("question"),
+          HashEmbedder.embedCol(col("text")).as("qv"))
+      qs.createOrReplaceTempView("graft_hybix_queries")
+      val approx = g.execute(
+          "SELECT query_id, search_results FROM graft_hybix_queries, " +
+            s"LATERAL TABLE(HYBRID_SEARCH('$name', 5, qv, question));")
+        .select(col("query_id"), explode(col("search_results")).as("m"))
+        .select(col("query_id"), col("m.content").as("match_id"))
+      // the exact fusion over the same canonical content ids
+      val slim = corpus.select(col("content").as("__content"),
+          col("vector").cast("array<float>").as("__cvec"))
+        .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
+        .dropDuplicates("__cid")
+      val qv = qs.select(xxhash64(col("qv"), col("question")).as("__qid"),
+        col("qv").as("__qvec"), col("question").as("__qtext"),
+        col("query_id"))
+      val exact = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
+          "__qtext", slim, "__cid", "__cvec", "__content", 5)
+        .select(col("query_id").as("__fq"), col("match_id"))
+        .join(slim.select(col("__cid").as("match_id"), col("__content")),
+          Seq("match_id"))
+        .join(qv.select(col("__qid").as("__fq"), col("query_id")), Seq("__fq"))
+        .select(col("query_id"), col("__content").as("match_id"))
+      VectorSearch.recallContract(approx, exact,
+        qs.select("query_id"), "query_id", "match_id", 2)
+        .orderBy("query_id")
+    }),
+
     // --- index DELETE protocol, IVF (exact under the hash gate) -----------
     // The right-to-be-forgotten path: tombstone epochs kill rows at serve
     // time immediately, LWW lets a later re-ingest out-live the delete,
@@ -2648,6 +2700,36 @@ ORDER BY event_id, event_id2""")
         ivfSqIndexStore(s, dir), queries, "query_id", "qv",
         emb, "vec_id", "embedding",
         threshold = 0.3, metric = "cosine", nProbe = 12)
+      VectorSearch.radiusRecallContract(approx, radiusGroundTruth(s, dir),
+        queries, "query_id", "match_id", minFrac = 0.4)
+        .orderBy("query_id")
+    }),
+
+    // RADIUS on an hnsw registration, served from the GRAPH (previously
+    // the one family whose radius fell back to an LSH raw-vector
+    // re-scan — a full corpus pass per statement on exactly the corpora
+    // registered beyond-cap): beam-probe the persisted graphs for a
+    // numCandidates-bounded pool, exact re-score, cut at the true
+    // threshold. Precision 1.0 by construction; recall contracted here
+    // against the exact cosine ball at the same threshold every other
+    // radius family is measured at.
+    "q_hnsw_radius_recall" -> ((s, dir) => {
+      val g = sqlFacade(s)
+      val name = s"sqlradhnsw_${indexTag(dir)}"
+      registerOnce(s, name) {
+        g.registerSearchCorpus(name,
+          t(s, dir, "embeddings").select(
+            col("vec_id").cast("string").as("content"),
+            col("embedding").as("vector")),
+          "content", "vector", maxRows = 0, indexType = "hnsw")
+      }
+      val queries = annQueries(s, dir)
+      queries.createOrReplaceTempView("graft_radius_hnsw_queries")
+      val approx = g.execute(
+          "SELECT query_id, search_results FROM graft_radius_hnsw_queries, " +
+            s"LATERAL TABLE(RADIUS_SEARCH('$name', 0.3, qv));")
+        .select(col("query_id"), explode(col("search_results")).as("m"))
+        .select(col("query_id"), col("m.content").cast("long").as("match_id"))
       VectorSearch.radiusRecallContract(approx, radiusGroundTruth(s, dir),
         queries, "query_id", "match_id", minFrac = 0.4)
         .orderBy("query_id")
@@ -2888,6 +2970,52 @@ where `n_chars` > 100;"""
       g.executeStreaming(insert, ckpt).awaitTermination()
       g.topics.table("doc_lines_out")
         .select("doc_id", "src", "n_chars").orderBy("doc_id")
+    }),
+
+    // --- the reference's PERPETUAL SEARCH statement under the hash --------
+    // (README.md:435,438-446: an INSERT INTO ... SELECT ... LATERAL
+    // TABLE(FEDERATED_SEARCH(...)) submitted once "will run forever ...
+    // performing vector searches as they are submitted"). The verbatim
+    // worksheet statement runs as a checkpointed stream in TWO drains —
+    // queries arrive after the first, the SAME statement + checkpoint
+    // resume from committed offsets — and the accumulated topic must
+    // equal the batch semantics of the statement over all queries: the
+    // exploded (query_id, match_id, rank) ladder is fully DuckDB-oracled
+    // (exact dot top-3 with the deterministic tie-break), which also
+    // pins the topic JSON round-trip of ARRAY<FLOAT> query vectors and
+    // ARRAY<ROW<content>> results to full float precision.
+    "q_stream_search" -> ((s, dir) => {
+      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_q_streamsearch").toString))
+      g.execute("""CREATE TABLE `vec_questions` (
+    `qid` BIGINT,
+    `qv`  ARRAY<FLOAT>
+) WITH ('value.format' = 'json-registry');""")
+      g.execute("""CREATE TABLE `search_out` (
+    `qid` BIGINT,
+    `search_results` ARRAY<ROW<`content` STRING>>
+) WITH ('value.format' = 'json-registry');""")
+      val emb = t(s, dir, "embeddings")
+      g.registerSearchCorpus("stream_corpus",
+        emb.select(col("vec_id").cast("string").as("content"),
+          col("embedding").as("vector")), "content", "vector")
+      val qs = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val insert = """insert into `search_out`
+select `qid`, `search_results` from `vec_questions`,
+LATERAL TABLE(FEDERATED_SEARCH('stream_corpus', 3, `qv`));"""
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q_streamsearch_ck").toString
+      g.topics.insertInto("vec_questions", qs.filter(col("qid") % 40 === 0))
+      g.executeStreaming(insert, ckpt).awaitTermination()
+      g.topics.insertInto("vec_questions", qs.filter(col("qid") % 40 =!= 0))
+      g.executeStreaming(insert, ckpt).awaitTermination()
+      g.topics.table("search_out")
+        .select(col("qid").as("query_id"),
+          posexplode(col("search_results")).as(Seq("pos", "m")))
+        .select(col("query_id"), col("m.content").cast("long").as("match_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("query_id", "rank")
     }),
 
     // --- keyed (cleanup.policy=compact) topic compaction ------------------
@@ -3640,6 +3768,69 @@ values (
         .orderBy("query_id")
     }),
 
+    // MMR on the SQL worksheet served from the REGISTERED index: the
+    // candidate pool of MMR_SEARCH on an 'ivf' beyond-cap registration
+    // comes from the family ladder (pool IDS from the probe, relevance
+    // re-scored exactly) instead of an exact corpus scan per statement.
+    // Gate: selection overlap vs the exact operator-level MMR (the
+    // full-probe facade equivalence is pinned in GraftSqlSpec).
+    "q_sql_mmr_indexed" -> ((s, dir) => {
+      val g = sqlFacade(s)
+      val name = s"sqlfivf_${indexTag(dir)}"
+      registerOnce(s, name) {
+        g.registerSearchCorpus(name,
+          t(s, dir, "embeddings").select(
+            col("vec_id").cast("string").as("content"),
+            col("embedding").as("vector"), col("label")),
+          "content", "vector", maxRows = 0, indexType = "ivf")
+      }
+      val queries = annQueries(s, dir)
+      queries.createOrReplaceTempView("graft_mmr_ix_queries")
+      val approx = g.execute(
+          "SELECT query_id, search_results FROM graft_mmr_ix_queries, " +
+            s"LATERAL TABLE(MMR_SEARCH('$name', 3, qv, 10, 0.5));")
+        .select(col("query_id"), explode(col("search_results")).as("m"))
+        .select(col("query_id"), col("m.content").cast("long").as("match_id"))
+      val exact = graft.operators.Lexical.mmrRerank(queries, "query_id",
+        "qv", t(s, dir, "embeddings"), "vec_id", "embedding",
+        candN = 10, selectK = 3, lambda = 0.5)
+      VectorSearch.recallContract(approx, exact, queries,
+        "query_id", "match_id", 1)
+        .orderBy("query_id")
+    }),
+
+    // MAXSIM on the SQL worksheet served from the REGISTERED index: an
+    // 'ivf' registration's member ranking comes from its persisted
+    // store probe (the q_maxsim_index_recall machinery behind the
+    // facade) instead of an exact member scan per statement. Groups are
+    // label-keyed member sets; gate: group overlap vs the exact
+    // operator-level group-MaxSim.
+    "q_sql_maxsim_indexed" -> ((s, dir) => {
+      val g = sqlFacade(s)
+      val emb = t(s, dir, "embeddings")
+      val name = s"sqlmsivf_${indexTag(dir)}"
+      registerOnce(s, name) {
+        g.registerSearchCorpus(name,
+          emb.select(col("label").cast("string").as("content"),
+            col("embedding").as("vector")),
+          "content", "vector", maxRows = 0, indexType = "ivf")
+      }
+      val queries = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      queries.createOrReplaceTempView("graft_ms_ix_queries")
+      val approx = g.execute(
+          "SELECT query_id, search_results FROM graft_ms_ix_queries, " +
+            s"LATERAL TABLE(MAXSIM_SEARCH('$name', 3, qv));")
+        .select(col("query_id"), explode(col("search_results")).as("m"))
+        .select(col("query_id"),
+          col("m.content").cast("long").as("match_group"))
+      val exact = VectorSearch.groupMaxSimTopK(queries, "query_id", "qv",
+        emb, "label", "embedding", k = 3, metric = "cosine")
+      VectorSearch.recallContract(approx, exact, queries,
+        "query_id", "match_group", 1)
+        .orderBy("query_id")
+    }),
+
     // Contrastive training triples: rank-aligned (positive, negative)
     // pairs per query from the same scored scan. Fully oracled.
     "q_contrastive_triples" -> ((s, dir) => {
@@ -4108,6 +4299,22 @@ values (
         "TRUE AS admitted_only_ok, TRUE AS k_ok FROM documents " +
         "WHERE doc_id % 100 = 0 ORDER BY qdoc"),
 
+    "q_sql_hybrid_indexed" ->
+      ("SELECT doc_id AS query_id, TRUE AS recall_ok FROM documents " +
+        "WHERE doc_id % 100 = 0 ORDER BY query_id"),
+
+    "q_hnsw_radius_recall" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_sql_mmr_indexed" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
+    "q_sql_maxsim_indexed" ->
+      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 25 = 0 ORDER BY query_id"),
+
     "q_sql_radius" ->
       ("SELECT q.vec_id AS query_id, c.vec_id AS match_id " +
         "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0 " +
@@ -4517,6 +4724,18 @@ values (
     "q_stream_insert" ->
       ("SELECT doc_id, upper(source) AS src, n_chars FROM documents " +
         "WHERE n_chars > 100 ORDER BY doc_id"),
+
+    // the streamed search ladder == the exact dot top-3 per query (the
+    // q_sql_topk oracle restricted to the streamed query set); ties
+    // break by ascending STRINGIFIED content like the in-mem corpus heap
+    "q_stream_search" ->
+      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, " +
+        "CAST(c.vec_id AS VARCHAR)) AS rnk " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0) " +
+        "WHERE rnk <= 3 ORDER BY query_id, rank"),
 
     "q_compacted_topic" ->
       ("SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id FROM (" +

@@ -413,6 +413,14 @@ object Lexical {
     * corpus statistics per [[bm25TopKFiltered]]'s Lucene filtered-query
     * semantics), so the fused top-k never under-fills on a selective
     * filter and a document's BM25 relevance does not shift with it.
+    *
+    * `vRank` (optional): a PRE-RANKED vector leg — (qId, match_id,
+    * rank [1-based]) at least `max(k, fuseDepth)` deep — replacing the
+    * internal exact scan. This is how an INDEX-SERVED registration
+    * (IVF/HNSW/compressed store probe) feeds the fusion without the
+    * full corpus scan; the caller's ranking is also expected to already
+    * encode any `allowed` restriction on the vector side (the lexical
+    * leg still applies it here).
     */
   def hybridTopK(queries: DataFrame, qId: String, qVec: String, qText: String,
       corpus: DataFrame, cId: String, cVec: String, cText: String,
@@ -420,7 +428,8 @@ object Lexical {
       kConst: Int = 60, maxQueryTerms: Int = 0,
       dfTable: DataFrame = null, post: DataFrame = null,
       stats: DataFrame = null,
-      allowed: DataFrame = null, allowedId: String = null): DataFrame = {
+      allowed: DataFrame = null, allowedId: String = null,
+      vRank: DataFrame = null): DataFrame = {
     require(k > 0, s"hybridTopK: k must be positive, got $k")
     require(allowed == null || allowedId != null,
       "hybridTopK: allowed requires allowedId")
@@ -430,7 +439,10 @@ object Lexical {
     val vCorpus = if (allowedIds == null) corpus
       else corpus.join(allowedIds,
         corpus(cId).cast("long") === allowedIds("__aid"), "left_semi")
-    val vrank = VectorSearch.topKAgg(queries, qId, qVec,
+    val vrank = if (vRank != null)
+      vRank.select(col(qId).cast("long").as("query_id"),
+        col("match_id").cast("long").as("match_id"), col("rank"))
+    else VectorSearch.topKAgg(queries, qId, qVec,
         vCorpus, cId, cVec, depth, metric)
       .select(col(qId).cast("long").as("query_id"),
         posexplode(col("matches")).as(Seq("__pos", "__m")))
@@ -485,16 +497,25 @@ object Lexical {
     *
     * Output: (query_id, sel_rank [1-based], match_id).
     */
+  /** `candidates` (optional): a PRE-RANKED relevance pool — (query_id,
+    * match_id, rel) with ≤ candN rows per query — replacing the internal
+    * exact top-candN scan. This is how an INDEX-SERVED registration
+    * feeds the diversity selection its candidate pool without the full
+    * corpus scan; `corpus` is still consulted for the candidates'
+    * vectors (the candidate-to-candidate similarity term).
+    */
   def mmrRerank(queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       candN: Int, selectK: Int, lambda: Double = 0.5,
-      metric: String = "cosine"): DataFrame = {
+      metric: String = "cosine", candidates: DataFrame = null): DataFrame = {
     require(candN > 0, s"mmrRerank: candN must be positive, got $candN")
     require(selectK > 0 && selectK <= candN,
       s"mmrRerank: selectK must be in [1, candN=$candN], got $selectK")
     require(lambda >= 0 && lambda <= 1,
       s"mmrRerank: lambda must be in [0,1], got $lambda")
-    val cand = VectorSearch.topKAgg(queries, qId, qVec,
+    val cand = if (candidates != null)
+      candidates.select(col("query_id"), col("match_id"), col("rel"))
+    else VectorSearch.topKAgg(queries, qId, qVec,
         corpus, cId, cVec, k = candN, metric = metric)
       .select(col(qId).as("query_id"),
         posexplode(col("matches")).as(Seq("__pos", "m")))

@@ -77,6 +77,15 @@ class GraftSql(
   private val corpusSources =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, String, String)]
 
+  /** Registrations that DECLARED an at-rest lexical index
+    * (`lexicalIndex = true` / `'<connector>.lexical.index' = 'true'`):
+    * their worksheet BM25/PRF/hybrid postings serve from a build-once
+    * persisted [[graft.operators.LexicalIndex]] instead of session-held
+    * checkpoint artifacts — see [[lexArtifactsFor]].
+    */
+  private val lexDeclared =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
   /** Declared registration knobs per corpus, for `SHOW SEARCH CORPORA`
     * (the reference's describe-everything surface, extended to the
     * search registry): the resolved [[corpora]] entry deliberately
@@ -96,11 +105,12 @@ class GraftSql(
   def registerSearchCorpus(
       name: String, df: DataFrame, contentCol: String, vecCol: String,
       maxRows: Int = 100000, numCandidates: Int = 10000,
-      indexType: String = "flat"): Unit = {
+      indexType: String = "flat", lexicalIndex: Boolean = false): Unit = {
     requireNumCandidates(numCandidates)
     require(GraftSql.IndexTypes.contains(indexType),
       s"index type '$indexType' not in ${GraftSql.IndexTypes.mkString("/")}")
     val rows = df.select(contentCol, vecCol).limit(maxRows + 1).collect()
+    lexDeclared(name) = lexicalIndex
     corpusMeta(name) = (indexType, numCandidates)
     corpusSources(name) = (df, contentCol, vecCol)
     corpora(name) =
@@ -318,6 +328,12 @@ class GraftSql(
             case _ => Seq(name)
           }
           require(schema.nonEmpty, s"external table $name declares no columns")
+          // '<connector>.lexical.index' = 'true' declares an at-rest
+          // lexical index next to the vector one: worksheet BM25/PRF/
+          // hybrid postings then serve from the persisted store
+          lexDeclared(name) = options.exists { case (key, v) =>
+            key.endsWith(".lexical.index") && v.trim.equalsIgnoreCase("true")
+          }
           corpusMeta(name) = (idxType, nc)
           corpora(name) = LazyCorpus(backing, schema.head.name, vecField, idxType, nc)
           status(s"created external search table $name (connector=$conn, " +
@@ -482,20 +498,28 @@ class GraftSql(
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // shadow the topic view with this micro-batch's slice, run the
-        // verbatim statement batch-style, then restore the full view.
-        // The slice must be RE-BOUND to the facade session first:
-        // foreachBatch hands a frame owned by the stream's CLONED
-        // session, and a temp view registered on the clone is invisible
-        // to the facade's spark.sql — the statement would silently read
-        // the full topic again every batch.
-        val slice = spark.createDataFrame(batch.rdd, batch.schema)
-        slice.createOrReplaceTempView(source)
-        // executeBatch, not execute: under statement-level continuous
-        // mode the outer routing would otherwise start a NEW stream from
-        // inside every micro-batch
-        try { executeBatch(sql0); () }
-        finally topics.refreshView(source)
+        // the micro-batch shadows the SOURCE topic's view BY NAME, so two
+        // concurrent streaming statements reading one topic would race on
+        // the binding (statement A's batch could read statement B's
+        // slice) — a per-topic monitor serializes the shadow/execute/
+        // restore critical section; streams on different topics never
+        // contend
+        GraftSql.streamBatchLock(source).synchronized {
+          // shadow the topic view with this micro-batch's slice, run the
+          // verbatim statement batch-style, then restore the full view.
+          // The slice must be RE-BOUND to the facade session first:
+          // foreachBatch hands a frame owned by the stream's CLONED
+          // session, and a temp view registered on the clone is invisible
+          // to the facade's spark.sql — the statement would silently read
+          // the full topic again every batch.
+          val slice = spark.createDataFrame(batch.rdd, batch.schema)
+          slice.createOrReplaceTempView(source)
+          // executeBatch, not execute: under statement-level continuous
+          // mode the outer routing would otherwise start a NEW stream from
+          // inside every micro-batch
+          try { executeBatch(sql0); () }
+          finally topics.refreshView(source)
+        }
       }
       .start()
   }
@@ -926,7 +950,9 @@ class GraftSql(
           s"search corpus '$name': no backing relation among " +
             candidates.mkString("[", ", ", "]")))
         registerSearchCorpus(name, df, contentCol, vecCol,
-          numCandidates = nc, indexType = idxType)
+          numCandidates = nc, indexType = idxType,
+          // binding must not clobber the CREATE TABLE's declaration
+          lexicalIndex = lexDeclared.getOrElse(name, false))
         corpora(name)
       case c => c
     }
@@ -1154,6 +1180,138 @@ class GraftSql(
     path
   }
 
+  /** Families whose FILTERED serve comes from a persisted store (payload
+    * pushdown on the celled families, over-fetch post-filter on hnsw) —
+    * every other family takes the exact pre-filter fallback.
+    */
+  private[sql] val StoreFilteredFamilies = Set("ivf", "ivfpq", "ivfsq", "hnsw")
+
+  /** THE family dispatch — one ranked (__qid, __rank [1-based], __cid)
+    * serve for every facade search view (FEDERATED / FILTERED / the
+    * HYBRID vector leg / MMR's candidate pool), so family #10 is one
+    * case here instead of one per view.
+    *
+    * Unfiltered (`pred = None`) dispatches all 9 families: exact
+    * bounded-heap "flat", the in-flight ANN forms (ivf/pq/lsh/sq/bq
+    * with registration-cached codebooks/models), and the build-once
+    * persisted stores (ivfpq/ivfsq/hnsw). With a predicate, the
+    * [[StoreFilteredFamilies]] serve it from their stores — the celled
+    * families push it INTO the pruned cell/code scan as a parquet
+    * PushedFilter, hnsw post-filters an over-fetched beam — and every
+    * other family falls back to the exact pre-filter over the admitted
+    * subset (correct at any selectivity, full-scan cost: the families
+    * registered beyond-cap for scale should be store-backed ones).
+    * `metric` defaults to the reference's dot ranking; the hnsw graph
+    * serves its build metric regardless (it comes from `_meta`).
+    */
+  private def rankedForFamily(qv0: DataFrame, big: DfCorpus, k: Int,
+      pred: Option[String] = None, metric: String = "dot"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val qv = qv0.select(col("__qid"), col("__qvec"))
+    val c = canonCorpus(big.df, big.contentCol, big.vecCol)
+    def pool = math.max(k, math.min(big.numCandidates, 1000))
+    def nProbeFor = graft.operators.IvfSearch.probesForBudget(
+      VectorSearch.estimatedRows(c, corpusDim(c, big.tag)), 16,
+      big.numCandidates)
+    val ranked = (big.indexType, pred) match {
+      case ("ivf", None) =>
+        graft.operators.IvfSearch.ivfTopKCandidates(qv, "__qid", "__qvec",
+          c, "__cid", "__cvec", k, metric, numCandidates = big.numCandidates)
+      case ("ivf", Some(p)) =>
+        // predicate lands as a payload PushedFilter inside the
+        // partition-pruned probe scan of the persisted store
+        graft.operators.IvfSearch.searchIndex(spark,
+          ivfStoreFor(big.df, big.contentCol, big.vecCol, big),
+          qv, "__qid", "__qvec", k, metric,
+          nProbe = nProbeFor, filter = expr(p))
+      case ("pq", None) =>
+        // serve-only: codebooks come from the registration-scoped cache
+        // (train-once at first statement, zero training jobs after) —
+        // persist=false because the tag is registration-unique, not
+        // derived from the data files' content
+        val cb = graft.operators.PqSearch.cachedCodebooks(
+          c, "__cid", "__cvec", big.tag, persist = false)
+        graft.operators.PqSearch.pqTopK(qv, "__qid", "__qvec",
+          c, "__cid", "__cvec", k, cb, metric,
+          numCandidates = big.numCandidates, maxQueries = 10000)
+      case ("lsh", None) =>
+        VectorSearch.annTopKCandidates(qv, "__qid", "__qvec",
+          c, "__cid", "__cvec", k, metric, numCandidates = big.numCandidates)
+      case ("sq", None) =>
+        // serve-only like "pq": the byte-quantizer bounds come from the
+        // registration-scoped cache; dim derived from the data (the
+        // facade accepts any vector width)
+        val m = graft.operators.SqSearch.cachedModel(
+          c, "__cid", "__cvec", big.tag, dim = corpusDim(c, big.tag),
+          persist = false)
+        graft.operators.SqSearch.sqTopK(qv, "__qid", "__qvec",
+          c, "__cid", "__cvec", k, m, metric,
+          numCandidates = big.numCandidates, maxQueries = 10000)
+      case ("bq", None) =>
+        val m = graft.operators.BqSearch.cachedModel(
+          c, "__cvec", big.tag, dim = corpusDim(c, big.tag), persist = false)
+        graft.operators.BqSearch.bqTopK(qv, "__qid", "__qvec",
+          c, "__cid", "__cvec", k, m, metric,
+          numCandidates = big.numCandidates, maxQueries = 10000)
+      case ("ivfpq", p) =>
+        // the composed at-rest family (FAISS IVFx,PQy): partition-pruned
+        // probe over compressed residual codes, exact re-rank of the
+        // ADC survivors joining the canonical corpus by id. numCandidates
+        // sizes both the probe budget (nProbe) and the survivor pool,
+        // the latter clamped so |queries|×pool stays inside the serve's
+        // per-task heap bound. A predicate rides the pruned ADC scan —
+        // same pushdown posture as "ivf" at 1/32 the scanned bytes.
+        graft.operators.IvfPqIndex.searchIndex(spark,
+          ivfPqStoreFor(big.df, big.contentCol, big.vecCol, big),
+          qv, "__qid", "__qvec", c, "__cid", "__cvec", k, metric,
+          nProbe = nProbeFor, numCandidates = pool, maxQueries = 10000,
+          filter = p.map(expr).getOrElse(lit(true)))
+      case ("ivfsq", p) =>
+        // the SQ8 celled store: same probe/re-rank shape as "ivfpq" on
+        // 4x-compressed near-exact codes (per-dimension affine scan)
+        graft.operators.IvfSqIndex.searchIndex(spark,
+          ivfSqStoreFor(big.df, big.contentCol, big.vecCol, big),
+          qv, "__qid", "__qvec", c, "__cid", "__cvec", k, metric,
+          nProbe = nProbeFor, numCandidates = pool, maxQueries = 10000,
+          filter = p.map(expr).getOrElse(lit(true)))
+      case ("hnsw", None) =>
+        // sharded small-world graphs (the Atlas/Lucene family the
+        // reference's $vectorSearch actually runs on); numCandidates
+        // maps to the layer-0 beam width, the HNSW recall knob.
+        graft.operators.HnswSearch.searchIndex(spark, hnswStoreFor(c, big),
+          qv, "__qid", "__qvec", k,
+          efSearch = math.max(k, math.min(big.numCandidates, 10000)),
+          maxQueries = 10000)
+      case ("hnsw", Some(p)) =>
+        // a graph walk cannot pre-filter without breaking navigability:
+        // the standard post-filter-with-over-fetch strategy against the
+        // admitted-id set. overFetch 16 covers predicates down to
+        // ~k/(16·k) ≈ 6% admit rate in expectation (overFetch ≳ c/s);
+        // more selective filters belong on the ivf payload-pushdown
+        // registration or the exact pre-filter — the operator's own
+        // guidance.
+        val admitted = canonCorpus(big.df.filter(expr(p)),
+          big.contentCol, big.vecCol).select("__cid")
+        graft.operators.HnswSearch.searchIndexFiltered(spark,
+          hnswStoreFor(c, big), qv, "__qid", "__qvec", admitted, "__cid",
+          k, efSearch = math.max(k, math.min(big.numCandidates, 10000)),
+          overFetch = 16, maxQueries = 10000)
+      case (_, p) =>
+        // exact bounded-heap ranking ("flat" and the pre-filter fallback
+        // of the non-store families): map-side partial heaps, only ≤k
+        // rows per query per partition reach the shuffle
+        val target = p.map(q => canonCorpus(big.df.filter(expr(q)),
+          big.contentCol, big.vecCol)).getOrElse(c)
+        VectorSearch.topKAgg(qv, "__qid", "__qvec",
+            target, "__cid", "__cvec", k, metric)
+          .select(col("__qid"), posexplode(col("matches")).as(Seq("__pos", "__m")))
+          .select(col("__qid"), col("__m.id").as("match_id"),
+            (col("__pos") + 1).cast("int").as("rank"))
+    }
+    ranked.select(col("__qid"), col("rank").as("__rank"),
+      col("match_id").as("__cid"))
+  }
+
   private def fedSearchView(
       table: String, vecExpr: String, big: DfCorpus, k: Int,
       views: scala.collection.mutable.Buffer[String]): String = {
@@ -1162,96 +1320,7 @@ class GraftSql(
     val q = base.withColumn("__qid", xxhash64(expr(vecExpr)))
     val c = canonCorpus(big.df, big.contentCol, big.vecCol)
     val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"))
-    val ranked = big.indexType match {
-      case "ivf" =>
-        graft.operators.IvfSearch.ivfTopKCandidates(qv, "__qid", "__qvec",
-          c, "__cid", "__cvec", k, "dot", numCandidates = big.numCandidates)
-          .select(col("__qid"), col("rank").as("__rank"),
-            col("match_id").as("__cid"))
-      case "pq" =>
-        // serve-only: codebooks come from the registration-scoped cache
-        // (train-once at first statement, zero training jobs after) —
-        // persist=false because the tag is registration-unique, not
-        // derived from the data files' content
-        val cb = graft.operators.PqSearch.cachedCodebooks(
-          c, "__cid", "__cvec", big.tag, persist = false)
-        graft.operators.PqSearch.pqTopK(qv, "__qid", "__qvec",
-          c, "__cid", "__cvec", k, cb, "dot",
-          numCandidates = big.numCandidates, maxQueries = 10000)
-          .select(col("__qid"), col("rank").as("__rank"),
-            col("match_id").as("__cid"))
-      case "lsh" =>
-        VectorSearch.annTopKCandidates(qv, "__qid", "__qvec",
-          c, "__cid", "__cvec", k, "dot", numCandidates = big.numCandidates)
-          .select(col("__qid"), col("rank").as("__rank"),
-            col("match_id").as("__cid"))
-      case "sq" =>
-        // serve-only like "pq": the byte-quantizer bounds come from the
-        // registration-scoped cache; dim derived from the data (the
-        // facade accepts any vector width)
-        val dim = corpusDim(c, big.tag)
-        val m = graft.operators.SqSearch.cachedModel(
-          c, "__cid", "__cvec", big.tag, dim = dim, persist = false)
-        graft.operators.SqSearch.sqTopK(qv, "__qid", "__qvec",
-          c, "__cid", "__cvec", k, m, "dot",
-          numCandidates = big.numCandidates, maxQueries = 10000)
-          .select(col("__qid"), col("rank").as("__rank"),
-            col("match_id").as("__cid"))
-      case "bq" =>
-        val dim = corpusDim(c, big.tag)
-        val m = graft.operators.BqSearch.cachedModel(
-          c, "__cvec", big.tag, dim = dim, persist = false)
-        graft.operators.BqSearch.bqTopK(qv, "__qid", "__qvec",
-          c, "__cid", "__cvec", k, m, "dot",
-          numCandidates = big.numCandidates, maxQueries = 10000)
-          .select(col("__qid"), col("rank").as("__rank"),
-            col("match_id").as("__cid"))
-      case "ivfpq" =>
-        // the composed at-rest family (FAISS IVFx,PQy): partition-pruned
-        // probe over compressed residual codes, exact re-rank of the
-        // ADC survivors joining the canonical corpus by id. numCandidates
-        // sizes both the probe budget (nProbe) and the survivor pool,
-        // the latter clamped so |queries|×pool stays inside the serve's
-        // per-task heap bound.
-        val n = VectorSearch.estimatedRows(c, corpusDim(c, big.tag))
-        graft.operators.IvfPqIndex.searchIndex(spark,
-            ivfPqStoreFor(big.df, big.contentCol, big.vecCol, big),
-            qv, "__qid", "__qvec", c, "__cid", "__cvec", k, "dot",
-            nProbe = graft.operators.IvfSearch.probesForBudget(
-              n, 16, big.numCandidates),
-            numCandidates = math.max(k, math.min(big.numCandidates, 1000)),
-            maxQueries = 10000)
-          .select(col("__qid"), col("rank").as("__rank"),
-            col("match_id").as("__cid"))
-      case "ivfsq" =>
-        // the SQ8 celled store: same probe/re-rank shape as "ivfpq" on
-        // 4x-compressed near-exact codes (per-dimension affine scan)
-        val nSq = VectorSearch.estimatedRows(c, corpusDim(c, big.tag))
-        graft.operators.IvfSqIndex.searchIndex(spark,
-            ivfSqStoreFor(big.df, big.contentCol, big.vecCol, big),
-            qv, "__qid", "__qvec", c, "__cid", "__cvec", k, "dot",
-            nProbe = graft.operators.IvfSearch.probesForBudget(
-              nSq, 16, big.numCandidates),
-            numCandidates = math.max(k, math.min(big.numCandidates, 1000)),
-            maxQueries = 10000)
-          .select(col("__qid"), col("rank").as("__rank"),
-            col("match_id").as("__cid"))
-      case "hnsw" =>
-        // sharded small-world graphs (the Atlas/Lucene family the
-        // reference's $vectorSearch actually runs on); numCandidates
-        // maps to the layer-0 beam width, the HNSW recall knob.
-        graft.operators.HnswSearch.searchIndex(spark, hnswStoreFor(c, big),
-          qv, "__qid", "__qvec", k,
-          efSearch = math.max(k, math.min(big.numCandidates, 10000)),
-          maxQueries = 10000)
-          .select(col("__qid"), col("rank").as("__rank"),
-            col("match_id").as("__cid"))
-      case _ =>
-        VectorSearch.topKAgg(qv, "__qid", "__qvec", c, "__cid", "__cvec", k, "dot")
-          .select(col("__qid"), posexplode(col("matches")).as(Seq("__rank", "__m")))
-          .select(col("__qid"), col("__rank"), col("__m.id").as("__cid"))
-    }
-    searchResultsView("fedsearch", q, ranked, c, views)
+    searchResultsView("fedsearch", q, rankedForFamily(qv, big, k), c, views)
   }
 
   /** Index-served FILTERED_SEARCH for a beyond-cap registration: the
@@ -1280,60 +1349,8 @@ class GraftSql(
     val q = base.withColumn("__qid", xxhash64(expr(vecExpr)))
     val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"))
     val c = canonCorpus(src, contentCol, vecCol)
-    val ranked = big.indexType match {
-      case "ivf" =>
-        val n = VectorSearch.estimatedRows(c, corpusDim(c, big.tag))
-        graft.operators.IvfSearch.searchIndex(spark,
-            ivfStoreFor(src, contentCol, vecCol, big), qv, "__qid", "__qvec",
-            k, "dot",
-            nProbe = graft.operators.IvfSearch.probesForBudget(
-              n, 16, big.numCandidates),
-            filter = expr(pred))
-          .select(col("__qid"), col("rank").as("__rank"),
-            col("match_id").as("__cid"))
-      case "ivfpq" =>
-        // the compressed celled store serves the predicate INSIDE the
-        // pruned ADC scan (payload PushedFilter stacked on cell
-        // pruning), exact re-rank of the admitted survivors by id-join
-        // — same pushdown posture as "ivf" at 1/32 the scanned bytes
-        val n = VectorSearch.estimatedRows(c, corpusDim(c, big.tag))
-        graft.operators.IvfPqIndex.searchIndex(spark,
-            ivfPqStoreFor(src, contentCol, vecCol, big),
-            qv, "__qid", "__qvec", c, "__cid", "__cvec", k, "dot",
-            nProbe = graft.operators.IvfSearch.probesForBudget(
-              n, 16, big.numCandidates),
-            numCandidates = math.max(k, math.min(big.numCandidates, 1000)),
-            maxQueries = 10000, filter = expr(pred))
-          .select(col("__qid"), col("rank").as("__rank"),
-            col("match_id").as("__cid"))
-      case "ivfsq" =>
-        val n = VectorSearch.estimatedRows(c, corpusDim(c, big.tag))
-        graft.operators.IvfSqIndex.searchIndex(spark,
-            ivfSqStoreFor(src, contentCol, vecCol, big),
-            qv, "__qid", "__qvec", c, "__cid", "__cvec", k, "dot",
-            nProbe = graft.operators.IvfSearch.probesForBudget(
-              n, 16, big.numCandidates),
-            numCandidates = math.max(k, math.min(big.numCandidates, 1000)),
-            maxQueries = 10000, filter = expr(pred))
-          .select(col("__qid"), col("rank").as("__rank"),
-            col("match_id").as("__cid"))
-      case "hnsw" =>
-        val admitted = canonCorpus(src.filter(expr(pred)), contentCol, vecCol)
-          .select("__cid")
-        // overFetch 16 covers predicates down to ~k/(16·k) ≈ 6% admit
-        // rate in expectation (overFetch ≳ c/s); more selective filters
-        // belong on the ivf payload-pushdown registration or the exact
-        // pre-filter — the operator's own guidance
-        graft.operators.HnswSearch.searchIndexFiltered(spark,
-            hnswStoreFor(c, big), qv, "__qid", "__qvec", admitted, "__cid",
-            k, efSearch = math.max(k, math.min(big.numCandidates, 10000)),
-            overFetch = 16, maxQueries = 10000)
-          .select(col("__qid"), col("rank").as("__rank"),
-            col("match_id").as("__cid"))
-      case other => throw new IllegalStateException(
-        s"filteredIndexView dispatched for index type '$other'")
-    }
-    searchResultsView("filteredsearch", q, ranked, c, views)
+    searchResultsView("filteredsearch", q,
+      rankedForFamily(qv, big, k, Some(pred)), c, views)
   }
 
   /** RADIUS_SEARCH: everything within a similarity threshold of each
@@ -1399,6 +1416,32 @@ class GraftSql(
           ivfPqStoreFor(src, contentCol, vecCol, big), qv, "__qid", "__qvec",
           c, "__cid", "__cvec", threshold, "cosine", nProbe = 12,
           filter = storeFilter)
+      case big: DfCorpus if big.indexType == "hnsw" =>
+        // graph radius (an hnsw registration previously fell to the LSH
+        // raw-vector re-scan — a full corpus pass per statement on
+        // exactly the corpora registered beyond-cap): probe the SAME
+        // persisted graphs top-k serving uses with a beam sized to the
+        // declared numCandidates budget, then EXACT re-score the pool
+        // and cut at the true threshold. Precision is 1.0 by
+        // construction (every emitted pair genuinely clears it); recall
+        // is bounded by the pool — a radius ball bigger than the
+        // candidate budget is clipped to its best `kCap` members —
+        // and contracted by q_hnsw_radius_recall. A predicate
+        // post-filters via the admitted join below, the hnsw
+        // filtered-search posture.
+        val kCap = math.max(16, math.min(big.numCandidates, 1000))
+        graft.operators.HnswSearch.searchIndex(spark,
+            hnswStoreFor(c, big), qv, "__qid", "__qvec", k = kCap,
+            efSearch = kCap, maxQueries = 10000)
+          .select(col("__qid"), col("match_id"))
+          .join(qv, "__qid")
+          .join(cAdmitted.select(col("__cid").as("match_id"), col("__cvec")),
+            "match_id")
+          .withColumn("score", graft.functions.VectorFunctions
+            .cosine_similarity(col("__qvec").cast("array<float>"),
+              col("__cvec")))
+          .filter(col("score") >= threshold)
+          .select(col("__qid"), col("match_id"), col("score"))
       case _ =>
         VectorSearch.radiusLsh(qv, "__qid", "__qvec",
           cAdmitted, "__cid", "__cvec", threshold, "cosine",
@@ -1424,14 +1467,23 @@ class GraftSql(
   }
 
   /** HYBRID_SEARCH: reciprocal-rank fusion (Cormack et al. 2009) of the
-    * corpus's exact vector ranking with a BM25 ranking of the query
-    * text's tokens over corpus CONTENTS. Both rankings go `fuseDepth`
-    * deep (max(k, 10) — RRF fuses deeper lists than it returns), fuse
+    * corpus's vector ranking with a BM25 ranking of the query text's
+    * tokens over corpus CONTENTS. Both rankings go `fuseDepth` deep
+    * (max(k, 10) — RRF fuses deeper lists than it returns), fuse
     * through [[graft.operators.Lexical.rrfFuse]], and the top-k fused
     * hits come back as `search_results` exactly like FEDERATED_SEARCH.
     * A collected (in-memory) corpus re-lifts to a DataFrame here: the
     * lexical side needs distributed tf/df aggregation either way, and
     * both sides stay bounded heaps.
+    *
+    * The VECTOR leg follows the registration: a beyond-cap corpus
+    * declared under any non-flat family serves its leg through the SAME
+    * [[rankedForFamily]] ladder FEDERATED_SEARCH uses (in-flight ANN or
+    * the build-once persisted stores; a predicate rides the store's
+    * payload pushdown on the [[StoreFilteredFamilies]]) — a hybrid
+    * statement no longer pays the full exact vector scan the
+    * registration was declared to avoid. Collected and flat
+    * registrations keep the exact bounded-heap leg.
     */
   private def hybridSearchView(
       table: String, vecExpr: String, textExpr: String, corpusName: String,
@@ -1456,10 +1508,24 @@ class GraftSql(
     val admitted = pred
       .map(admittedCanon(corpusName, _, "HYBRID_SEARCH").select("__cid"))
       .orNull
+    // index-served vector leg: fuseDepth-deep ranking from the declared
+    // family (the non-store families fall back to the exact pre-filter
+    // inside rankedForFamily when a predicate is present)
+    val fuseDepth = math.max(k, 10)
+    val vRank = ref match {
+      case big: DfCorpus if big.indexType != "flat" =>
+        rankedForFamily(qv.select(col("__qid"),
+            col("__qvec").cast("array<float>").as("__qvec")),
+            big, fuseDepth, pred)
+          .select(col("__qid"), col("__cid").as("match_id"),
+            col("__rank").as("rank"))
+      case _ => null
+    }
     val fused = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
       "__qtext", c, "__cid", "__cvec", "__content", k,
       post = post, stats = stats,
-      allowed = admitted, allowedId = if (admitted == null) null else "__cid")
+      allowed = admitted, allowedId = if (admitted == null) null else "__cid",
+      vRank = vRank)
     val ranked = fused.select(col("query_id").as("__qid"),
       col("match_id").as("__cid"), col("rrf_rank").as("__rank"))
     searchResultsView("hybridsearch", q, ranked, c, views)
@@ -1511,21 +1577,47 @@ class GraftSql(
         case _ => ()
       }
     }
+  /** Build-once persisted lexical index for a registration that
+    * DECLARED one — the at-rest twin of the session artifact cache,
+    * same build-once/lock discipline as [[hnswStoreFor]]. Stats are
+    * written last, so their _SUCCESS implies the whole index landed.
+    */
+  private def lexStoreFor(c: DataFrame, big: DfCorpus): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sql_lex_" +
+      s"${spark.sparkContext.applicationId}_${big.tag}"
+    GraftSql.hnswBuildLock.synchronized {
+      if (!graft.operators.FsUtil.exists(spark, s"$path/stats/_SUCCESS"))
+        graft.operators.LexicalIndex.writeIndex(c, "__cid", "__content", path)
+    }
+    path
+  }
+
   private def lexArtifactsFor(
       name: String, ref: AnyRef, c: DataFrame): (DataFrame, DataFrame) =
-    lexArtifacts.synchronized {
-      val cur = lexArtifacts.get(name)
-      if (cur != null && (cur._1 eq ref)) (cur._2, cur._3)
-      else {
-        // re-registration: the stale entry is replaced below — release
-        // its checkpoint blocks now rather than waiting on GC
-        if (cur != null) unpersistLexArtifacts(cur)
-        val post = graft.operators.Lexical.postings(c, "__cid", "__content")
-          .localCheckpoint(false)
-        val stats = graft.operators.Lexical.corpusStats(c, "__content")
-          .localCheckpoint(false)
-        lexArtifacts.put(name, (ref, post, stats))
-        (post, stats)
+    ref match {
+      case big: DfCorpus if lexDeclared.getOrElse(name, false) =>
+        // declared at-rest lexical index: postings/stats are lazy scans
+        // of the persisted store — zero tokenize jobs at serve time, a
+        // driver-known term join prunes at the parquet reader, and the
+        // artifacts survive the session (the reference pattern: the
+        // posting store sits NEXT to the vector index, both build-once)
+        val path = lexStoreFor(c, big)
+        (graft.operators.LexicalIndex.postings(spark, path),
+          graft.operators.LexicalIndex.corpusStats(spark, path))
+      case _ => lexArtifacts.synchronized {
+        val cur = lexArtifacts.get(name)
+        if (cur != null && (cur._1 eq ref)) (cur._2, cur._3)
+        else {
+          // re-registration: the stale entry is replaced below — release
+          // its checkpoint blocks now rather than waiting on GC
+          if (cur != null) unpersistLexArtifacts(cur)
+          val post = graft.operators.Lexical.postings(c, "__cid", "__content")
+            .localCheckpoint(false)
+          val stats = graft.operators.Lexical.corpusStats(c, "__content")
+            .localCheckpoint(false)
+          lexArtifacts.put(name, (ref, post, stats))
+          (post, stats)
+        }
       }
     }
 
@@ -1653,18 +1745,40 @@ class GraftSql(
     // content. A predicate admits MEMBER rows (metadata rides per
     // member), so groups rank by their best ADMITTED member and groups
     // with no admitted members vanish — member-level pre-filter
-    val allMembers = corpusContentDf(corpusName)
-      .withColumn("__gid", xxhash64(col("__content")))
+    val (cdf, ref) = corpusContentDfWithRef(corpusName)
+    val allMembers = cdf.withColumn("__gid", xxhash64(col("__content")))
     val members = pred.map { p =>
       allMembers.join(
         admittedCanon(corpusName, p, "MAXSIM_SEARCH").select("__cid"),
         Seq("__cid"), "left_semi")
     }.getOrElse(allMembers)
-    val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"))
-    val ranked = graft.operators.VectorSearch.groupMaxSimTopK(qv, "__qid",
-        "__qvec", members, "__gid", "__cvec", k, "cosine")
-      .select(col("query_id").as("__qid"), col("match_group").as("__cid"),
-        col("rank").as("__rank"))
+    val qv = q.select(col("__qid"),
+      expr(vecExpr).cast("array<float>").as("__qvec"))
+    // an 'ivf' registration serves the MEMBER ranking from its persisted
+    // store (the q_maxsim_index_recall machinery): candidates from the
+    // partition-pruned probe, group max over retrieved members only —
+    // the member→group mapping is the slim (__cid, __gid) projection.
+    // Predicated statements keep the exact member pre-filter (the store
+    // probe has no member-level allowed-set form).
+    val ranked = (ref, pred) match {
+      case (big: DfCorpus, None) if big.indexType == "ivf" =>
+        graft.operators.VectorSearch.groupMaxSimIndex(spark,
+            ivfStoreFor(big.df, big.contentCol, big.vecCol, big),
+            qv, "__qid", "__qvec",
+            allMembers.select("__cid", "__gid"), "__cid", "__gid",
+            k, "cosine",
+            numCandidates = math.max(k, math.min(big.numCandidates, 1000)),
+            nProbe = graft.operators.IvfSearch.probesForBudget(
+              VectorSearch.estimatedRows(cdf, corpusDim(cdf, big.tag)), 16,
+              big.numCandidates))
+          .select(col("query_id").as("__qid"), col("match_group").as("__cid"),
+            col("rank").as("__rank"))
+      case _ =>
+        graft.operators.VectorSearch.groupMaxSimTopK(qv, "__qid",
+            "__qvec", members, "__gid", "__cvec", k, "cosine")
+          .select(col("query_id").as("__qid"), col("match_group").as("__cid"),
+            col("rank").as("__rank"))
+    }
     val groups = allMembers.select(col("__gid").as("__cid"), col("__content"))
       .dropDuplicates("__cid")
     searchResultsView("maxsimsearch", q, ranked, groups, views)
@@ -1682,16 +1796,35 @@ class GraftSql(
     import org.apache.spark.sql.functions._
     val base = spark.table(table)
     val q = base.withColumn("__qid", xxhash64(expr(vecExpr)))
-    val c = corpusContentDf(corpusName)
+    val (c, ref) = corpusContentDfWithRef(corpusName)
     // a predicate admits the candidate pool BEFORE relevance ranking
     // (exact pre-filter: the diversity selection runs over admitted
     // items only, so the result never under-fills on selective filters)
     val cAdmitted = pred.map(admittedCanon(corpusName, _, "MMR_SEARCH"))
       .getOrElse(c)
-    val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"))
+    val qv = q.select(col("__qid"),
+      expr(vecExpr).cast("array<float>").as("__qvec"))
+    // candidate pool from the registered family on a non-flat beyond-cap
+    // registration (the predicate rides the store's payload pushdown on
+    // the StoreFilteredFamilies): pool IDS come from the ladder, the
+    // relevance term is re-scored EXACTLY — queries × candN work — so
+    // the selection quality degrades only through pool membership, the
+    // same knob every ANN family is contracted on
+    val poolCand = ref match {
+      case big: DfCorpus if big.indexType != "flat" =>
+        rankedForFamily(qv, big, candN, pred, metric = "cosine")
+          .select(col("__qid"), col("__cid").as("match_id"))
+          .join(cAdmitted.select(col("__cid").as("match_id"), col("__cvec")),
+            "match_id")
+          .join(qv, "__qid")
+          .select(col("__qid").as("query_id"), col("match_id"),
+            graft.functions.VectorFunctions.cosine_similarity(
+              col("__qvec"), col("__cvec")).as("rel"))
+      case _ => null
+    }
     val ranked = graft.operators.Lexical.mmrRerank(qv, "__qid", "__qvec",
         cAdmitted, "__cid", "__cvec", candN = candN, selectK = k,
-        lambda = lambda)
+        lambda = lambda, candidates = poolCand)
       .select(col("query_id").as("__qid"), col("match_id").as("__cid"),
         col("sel_rank").as("__rank"))
     searchResultsView("mmrsearch", q, ranked, c, views)
@@ -1740,6 +1873,18 @@ object GraftSql {
     * index (see the "hnsw" federated-search route).
     */
   private[sql] val hnswBuildLock = new Object
+
+  /** Per-source-topic monitor serializing streaming micro-batch
+    * execution: the foreachBatch body shadows the topic's temp view by
+    * name, so concurrent streams on ONE topic must not interleave their
+    * shadow/execute/restore sections (see [[GraftSql.executeStreaming]]).
+    * JVM-global like the build lock — two facades over one catalog share
+    * the session's temp-view namespace either way.
+    */
+  private val streamBatchLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private[sql] def streamBatchLock(source: String): Object =
+    streamBatchLocks.getOrElseUpdate(source, new Object)
 
   /** Registration generation counter feeding [[DfCorpus.tag]]. */
   private[sql] val corpusGen = new java.util.concurrent.atomic.AtomicLong(0)

@@ -1089,6 +1089,44 @@ LATERAL TABLE(ML_PREDICT('retail_assistant', json_object(
     } finally q.stop()
   }
 
+  test("two concurrent streaming statements on ONE source topic do not " +
+      "race on the micro-batch view shadow (per-topic monitor)") {
+    val g = facade()
+    g.execute("""CREATE TABLE `race_src` (`n` BIGINT) WITH ('value.format' = 'json-registry');""")
+    g.execute("""CREATE TABLE `race_a` (`n` BIGINT) WITH ('value.format' = 'json-registry');""")
+    g.execute("""CREATE TABLE `race_b` (`n` BIGINT) WITH ('value.format' = 'json-registry');""")
+    g.topics.produceJson("race_src",
+      (1L to 40L).map(i => s"""{"n":$i}"""))
+    val ck = java.nio.file.Files.createTempDirectory("graft_race_ck").toString
+    // both statements read race_src; each micro-batch re-binds that view
+    // name — without the per-topic monitor one statement's batch could
+    // read the OTHER statement's slice (wrong rows, possibly doubled)
+    val qa = g.executeStreaming(
+      "insert into `race_a` select `n` from `race_src` where `n` % 2 = 0;",
+      s"$ck/a", trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val qb = g.executeStreaming(
+      "insert into `race_b` select `n` from `race_src` where `n` % 2 = 1;",
+      s"$ck/b", trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      // several rounds of concurrent arrivals drained by BOTH streams
+      for (round <- 1 to 3) {
+        g.topics.produceJson("race_src",
+          (1L to 20L).map(i => s"""{"n":${round * 100 + i}}"""))
+        qa.processAllAvailable()
+        qb.processAllAvailable()
+      }
+      def got(t: String): Seq[Long] =
+        g.execute(s"SELECT n FROM $t ORDER BY n").collect()
+          .map(_.getLong(0)).toSeq
+      val all = (1L to 40L) ++
+        (1 to 3).flatMap(r => (1L to 20L).map(_ + r * 100L))
+      assert(got("race_a") == all.filter(_ % 2 == 0).sorted,
+        "stream A saw another statement's slice (or lost rows)")
+      assert(got("race_b") == all.filter(_ % 2 == 1).sorted,
+        "stream B saw another statement's slice (or lost rows)")
+    } finally { qa.stop(); qb.stop() }
+  }
+
   test("connection CLI blocks parse verbatim; dangling refs fail with the reference's error (README.md:90-96,310-316)") {
     val g = facade()
     // the reference's four connections are pre-wired ("you should already
@@ -1821,6 +1859,88 @@ LATERAL TABLE(MMR_SEARCH('sfm_corpus', 3, vector, 9, 5e-1));""")
     val mmrHalf = hits("""SELECT doc_id, search_results FROM sfm_qs,
 LATERAL TABLE(MMR_SEARCH('sfm_corpus', 3, vector, 9, 0.5));""")
     assert(mmrExp == mmrHalf, "5e-1 must parse as the lambda knob 0.5")
+  }
+
+  test("a registration declaring an at-rest lexical index serves BM25/PRF/" +
+      "hybrid postings from the persisted store, results unchanged") {
+    val g = facade()
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 80)
+    val corpus = docs.select(col("text").as("content"),
+      graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    g.registerSearchCorpus("lexix_store", corpus, "content", "vector",
+      maxRows = 0, lexicalIndex = true)
+    g.registerSearchCorpus("lexix_sess", corpus, "content", "vector",
+      maxRows = 0)
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id"), col("text").as("question"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    qs.createOrReplaceTempView("lexix_qs")
+    def frame(reg: String, shape: String) =
+      g.execute("SELECT doc_id, search_results FROM lexix_qs, " +
+        s"LATERAL TABLE(${shape.replace("$R", reg)});")
+    // facade equivalence: the persisted posting store changes NOTHING
+    // about the rankings (same (id, dl, tok, tf) rows, same stats)
+    for (shape <- Seq("HYBRID_SEARCH('$R', 3, vector, question)",
+        "PRF_SEARCH('$R', 3, question)")) {
+      val store = frame("lexix_store", shape).collect().map(_.toString).sorted
+      val sess = frame("lexix_sess", shape).collect().map(_.toString).sorted
+      assert(store.toSeq == sess.toSeq, s"$shape: store-served != session")
+    }
+    // the store-served plan READS the persisted postings parquet (no
+    // per-statement corpus re-tokenize), and the session artifact cache
+    // holds no entry for the declared registration
+    val plan = frame("lexix_store", "HYBRID_SEARCH('$R', 3, vector, question)")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_sql_lex_"),
+      "declared registration must serve postings from the persisted store")
+    assert(g.lexArtifacts.get("lexix_store") == null,
+      "declared registration must not also build session artifacts")
+    assert(g.lexArtifacts.get("lexix_sess") != null,
+      "undeclared registration keeps the session artifact path")
+  }
+
+  test("index-served worksheet shapes at FULL probe equal their exact " +
+      "twins: HYBRID vector leg, MMR pool, MAXSIM members, hnsw radius") {
+    val g = facade()
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 80)
+    val corpus = docs.select(col("text").as("content"),
+      graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    // beyond-cap 'ivf' registration: the default numCandidates budget
+    // (10000) covers this corpus, so rankedForFamily's probe is FULL —
+    // the index-served legs must EQUAL the exact computations exactly
+    // (facade-equivalence pin; partial-probe recall is the job of the
+    // board's q_sql_*_indexed contracts and the family recall rows)
+    g.registerSearchCorpus("ixfp_ivf", corpus, "content", "vector",
+      maxRows = 0, indexType = "ivf")
+    // the exact twin: a beyond-cap FLAT registration of the same corpus
+    g.registerSearchCorpus("ixfp_flat", corpus, "content", "vector",
+      maxRows = 0)
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id"), col("text").as("question"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
+    qs.createOrReplaceTempView("ixfp_qs")
+    def run(shape: String => String, reg: String): Seq[String] =
+      g.execute("SELECT doc_id, search_results FROM ixfp_qs, " +
+          s"LATERAL TABLE(${shape(reg)});")
+        .collect().map(_.toString).sorted.toSeq
+    val shapes: Seq[(String, String => String)] = Seq(
+      ("hybrid", s => s"HYBRID_SEARCH('$s', 3, vector, question)"),
+      ("mmr", s => s"MMR_SEARCH('$s', 3, vector, 8, 0.5)"),
+      ("maxsim", s => s"MAXSIM_SEARCH('$s', 3, vector)"))
+    for ((name, shape) <- shapes)
+      assert(run(shape, "ixfp_ivf") == run(shape, "ixfp_flat"),
+        s"$name: index-served (full probe) != exact")
+    // hnsw radius: beam covers the whole (tiny) graph, so the graph-
+    // served ball must equal the exact collected-registration ball
+    g.registerSearchCorpus("ixfp_hnsw", corpus, "content", "vector",
+      maxRows = 0, indexType = "hnsw")
+    g.registerSearchCorpus("ixfp_mem", corpus, "content", "vector")
+    def radius(reg: String): Seq[String] =
+      g.execute("SELECT doc_id, search_results FROM ixfp_qs, " +
+          s"LATERAL TABLE(RADIUS_SEARCH('$reg', 0.3, vector));")
+        .collect().map(_.toString).sorted.toSeq
+    assert(radius("ixfp_hnsw") == radius("ixfp_mem"),
+      "hnsw radius: graph-served ball != exact ball at exhaustive beam")
   }
 
   test("SHOW SEARCH CORPORA: declared knobs, posture, and lazy binding " +
