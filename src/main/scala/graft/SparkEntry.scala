@@ -1023,7 +1023,8 @@ object SparkEntry {
     `vector`  ARRAY<FLOAT>
 ) WITH ('connector' = 'mongodb', 'mongodb.collection' = 'products_backing',
         'mongodb.path' = 'vector', 'mongodb.index.type' = 'hnsw',
-        'mongodb.numCandidates' = '250');""")
+        'mongodb.numCandidates' = '250',
+        'mongodb.lexical.index' = 'true');""")
       g.execute("SHOW SEARCH CORPORA;").orderBy("name")
     }),
 
@@ -2471,16 +2472,22 @@ ORDER BY event_id, event_id2""")
       val g = sqlFacade(s)
       val docs = t(s, dir, "documents")
       val name = s"sqlhybix_${contentTag(dir, "documents")}"
-      val corpus = docs.select(col("text").as("content"),
-        HashEmbedder.embedCol(col("text")).as("vector"),
-        col("doc_id"), col("lang"))
+      // the embedded corpus/query frames are shared with
+      // q_sql_filtered_shapes (same memo keys): the embed UDF dominates
+      // and this row re-reads the frame in the registration, the ivf
+      // leg's train/assign/score passes, AND the exact-fusion twin
+      val corpus = memo(s, dir, "fshapes_corpus")(
+        docs.select(col("text").as("content"),
+          HashEmbedder.embedCol(col("text")).as("vector"), col("doc_id")))
       registerOnce(s, name) {
         g.registerSearchCorpus(name, corpus, "content", "vector",
           maxRows = 0, indexType = "ivf")
       }
-      val qs = docs.filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("query_id"), col("text").as("question"),
-          HashEmbedder.embedCol(col("text")).as("qv"))
+      val qs = memo(s, dir, "fshapes_qs")(
+        docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("qdoc"), col("text").as("question"),
+            HashEmbedder.embedCol(col("text")).as("qv")))
+        .select(col("qdoc").as("query_id"), col("question"), col("qv"))
       qs.createOrReplaceTempView("graft_hybix_queries")
       val approx = g.execute(
           "SELECT query_id, search_results FROM graft_hybix_queries, " +
@@ -4323,12 +4330,14 @@ values (
 
     "q_corpus_describe" ->
       ("SELECT * FROM (VALUES " +
-        "('products_ext', 'unbound', 'hnsw', 'hnsw', 250, CAST(-1 AS BIGINT)), " +
-        "('products_ivf', 'distributed', 'ivf', 'ivf', 500, CAST(-1 AS BIGINT)), " +
+        "('products_ext', 'unbound', 'hnsw', 'hnsw', 250, " +
+        "CAST(-1 AS BIGINT), TRUE), " +
+        "('products_ivf', 'distributed', 'ivf', 'ivf', 500, " +
+        "CAST(-1 AS BIGINT), FALSE), " +
         "('products_mem', 'collected', 'flat', 'exact-broadcast', 10000, " +
-        "CAST(200 AS BIGINT))" +
+        "CAST(200 AS BIGINT), FALSE)" +
         ") AS t(name, posture, declared_index_type, serving_route, " +
-        "num_candidates, collected_rows) ORDER BY name"),
+        "num_candidates, collected_rows, lexical_index) ORDER BY name"),
 
     "q_sql_filtered_shapes" ->
       ("SELECT t.shape, d.doc_id AS qdoc, TRUE AS eq_ok, " +

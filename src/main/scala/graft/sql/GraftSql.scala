@@ -272,16 +272,20 @@ class GraftSql(
       import spark.implicits._
       corpora.toSeq.sortBy(_._1).map { case (name, ref) =>
         val (declared, nc) = corpusMeta.getOrElse(name, ("flat", 10000))
+        val lex = lexDeclared.getOrElse(name, false)
         ref match {
           case InMemCorpus(rows) =>
-            (name, "collected", declared, "exact-broadcast", nc, rows.length.toLong)
+            (name, "collected", declared, "exact-broadcast", nc,
+              rows.length.toLong, lex)
           case big: DfCorpus =>
-            (name, "distributed", declared, big.indexType, big.numCandidates, -1L)
+            (name, "distributed", declared, big.indexType, big.numCandidates,
+              -1L, lex)
           case lz: LazyCorpus =>
-            (name, "unbound", declared, lz.indexType, lz.numCandidates, -1L)
+            (name, "unbound", declared, lz.indexType, lz.numCandidates,
+              -1L, lex)
         }
       }.toDF("name", "posture", "declared_index_type", "serving_route",
-        "num_candidates", "collected_rows")
+        "num_candidates", "collected_rows", "lexical_index")
 
     case CreateTableRe(name, cols, opts) =>
       // Flink column DDL is Spark-DDL compatible once backticks drop and

@@ -1972,6 +1972,12 @@ LATERAL TABLE(FEDERATED_SEARCH('showc_ext', 1, qv));""").collect()
     val after = rows()
     assert(after("showc_ext")._1 == "collected",
       s"lazy corpus did not re-describe after binding: ${after("showc_ext")}")
+    // the at-rest lexical declaration is part of the describe surface
+    val lex = g.execute("SHOW SEARCH CORPORA;")
+      .filter(col("name").startsWith("showc_"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(6)).toMap
+    assert(!lex("showc_mem") && !lex("showc_ext"),
+      "undeclared registrations must describe lexical_index = false")
   }
 
   test("RADIUS_SEARCH rejects a non-numeric threshold with the " +
