@@ -1758,12 +1758,15 @@ class GraftSql(
     }.getOrElse(allMembers)
     val qv = q.select(col("__qid"),
       expr(vecExpr).cast("array<float>").as("__qvec"))
-    // an 'ivf' registration serves the MEMBER ranking from its persisted
-    // store (the q_maxsim_index_recall machinery): candidates from the
-    // partition-pruned probe, group max over retrieved members only —
-    // the member→group mapping is the slim (__cid, __gid) projection.
-    // Predicated statements keep the exact member pre-filter (the store
-    // probe has no member-level allowed-set form).
+    // indexed registrations serve the MEMBER ranking from the family
+    // ladder instead of an exact member scan per statement. An 'ivf'
+    // registration keeps the dedicated persisted-store probe
+    // ([[VectorSearch.groupMaxSimIndex]] — the q_maxsim_index_recall
+    // machinery); every OTHER non-flat family takes the generic pool:
+    // member ids from [[rankedForFamily]] (a predicate rides the store
+    // pushdown where the family supports it), exact cosine re-score,
+    // group max over retrieved members only — the standard multi-vector
+    // ANN approximation, recall governed by the candidate budget.
     val ranked = (ref, pred) match {
       case (big: DfCorpus, None) if big.indexType == "ivf" =>
         graft.operators.VectorSearch.groupMaxSimIndex(spark,
@@ -1777,6 +1780,22 @@ class GraftSql(
               big.numCandidates))
           .select(col("query_id").as("__qid"), col("match_group").as("__cid"),
             col("rank").as("__rank"))
+      case (big: DfCorpus, p) if big.indexType != "flat" =>
+        val budget = math.max(k, math.min(big.numCandidates, 1000))
+        val scored = rankedForFamily(qv, big, budget, p, metric = "cosine")
+          .select(col("__qid"), col("__cid"))
+          .join(members.select("__cid", "__gid", "__cvec"), Seq("__cid"))
+          .join(qv, "__qid")
+          .withColumn("__s", graft.functions.VectorFunctions
+            .cosine_similarity(col("__qvec"), col("__cvec")))
+        scored.groupBy(col("__qid"), col("__gid"))
+          .agg(max(col("__s")).as("__best"))
+          .groupBy("__qid")
+          .agg(graft.functions.TopKByScore.topK(col("__gid"), col("__best"), k)
+            .as("matches"))
+          .select(col("__qid"), posexplode(col("matches")).as(Seq("__pos", "m")))
+          .select(col("__qid"), col("m.id").as("__cid"),
+            (col("__pos") + 1).cast("int").as("__rank"))
       case _ =>
         graft.operators.VectorSearch.groupMaxSimTopK(qv, "__qid",
             "__qvec", members, "__gid", "__cvec", k, "cosine")

@@ -1923,13 +1923,18 @@ LATERAL TABLE(MMR_SEARCH('sfm_corpus', 3, vector, 9, 0.5));""")
       g.execute("SELECT doc_id, search_results FROM ixfp_qs, " +
           s"LATERAL TABLE(${shape(reg)});")
         .collect().map(_.toString).sorted.toSeq
+    // an ivfsq registration exercises the COMPRESSED branch of the same
+    // ladder behind all three shapes (full budget -> exact re-ranked
+    // pool covers the corpus, so equality still holds)
+    g.registerSearchCorpus("ixfp_sq", corpus, "content", "vector",
+      maxRows = 0, indexType = "ivfsq")
     val shapes: Seq[(String, String => String)] = Seq(
       ("hybrid", s => s"HYBRID_SEARCH('$s', 3, vector, question)"),
       ("mmr", s => s"MMR_SEARCH('$s', 3, vector, 8, 0.5)"),
       ("maxsim", s => s"MAXSIM_SEARCH('$s', 3, vector)"))
-    for ((name, shape) <- shapes)
-      assert(run(shape, "ixfp_ivf") == run(shape, "ixfp_flat"),
-        s"$name: index-served (full probe) != exact")
+    for ((name, shape) <- shapes; reg <- Seq("ixfp_ivf", "ixfp_sq"))
+      assert(run(shape, reg) == run(shape, "ixfp_flat"),
+        s"$name on $reg: index-served (full probe) != exact")
     // hnsw radius: beam covers the whole (tiny) graph, so the graph-
     // served ball must equal the exact collected-registration ball
     g.registerSearchCorpus("ixfp_hnsw", corpus, "content", "vector",
