@@ -2514,6 +2514,58 @@ ORDER BY event_id, event_id2""")
         .orderBy("query_id")
     }),
 
+    // DECLARED at-rest lexical index behind the worksheet: a beyond-cap
+    // registration with lexicalIndex=true serves its BM25 leg from a
+    // build-once persisted LexicalIndex (bucket-partitioned postings +
+    // summed stats partials) instead of session checkpoint artifacts —
+    // zero tokenize jobs per statement. The store carries the SAME
+    // (id, dl, tok, tf) rows the session artifacts would, so the gate
+    // is strict equality: the statement on the declared registration
+    // must EXACTLY equal the operator-level exact fusion, per query
+    // (fused_eq_ok / k_ok pinned TRUE — the q_sql_hybrid_filtered
+    // contract class).
+    "q_sql_lex_indexed" -> ((s, dir) => {
+      val g = sqlFacade(s)
+      val docs = t(s, dir, "documents")
+      val name = s"sqllexix_${contentTag(dir, "documents")}"
+      val corpus = memo(s, dir, "fshapes_corpus")(
+        docs.select(col("text").as("content"),
+          HashEmbedder.embedCol(col("text")).as("vector"), col("doc_id")))
+      registerOnce(s, name) {
+        g.registerSearchCorpus(name, corpus, "content", "vector",
+          maxRows = 0, lexicalIndex = true)
+      }
+      val qs = memo(s, dir, "fshapes_qs")(
+        docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("qdoc"), col("text").as("question"),
+            HashEmbedder.embedCol(col("text")).as("qv")))
+      qs.createOrReplaceTempView("graft_lexix_queries")
+      val facadeHits = g.execute(
+          "SELECT qdoc, search_results FROM graft_lexix_queries, " +
+            s"LATERAL TABLE(HYBRID_SEARCH('$name', 5, qv, question));")
+        .select(col("qdoc"),
+          expr("transform(search_results, m -> m.content)").as("hits"))
+      val slim = corpus.select(col("content").as("__content"),
+          col("vector").cast("array<float>").as("__cvec"))
+        .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
+        .dropDuplicates("__cid")
+      val qv = qs.select(xxhash64(col("qv"), col("question")).as("__qid"),
+        col("qv").as("__qvec"), col("question").as("__qtext"), col("qdoc"))
+      val op = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
+          "__qtext", slim, "__cid", "__cvec", "__content", 5)
+        .join(slim.select(col("__cid").as("match_id"), col("__content")),
+          "match_id")
+        .join(qv.select(col("__qid").as("query_id"), col("qdoc")), "query_id")
+        .groupBy("qdoc")
+        .agg(expr("transform(sort_array(collect_list(struct(rrf_rank, " +
+          "__content))), m -> m.__content)").as("op_hits"))
+      facadeHits.join(op, Seq("qdoc"))
+        .select(col("qdoc"),
+          (col("hits") === col("op_hits")).as("fused_eq_ok"),
+          (size(col("hits")) === 5).as("k_ok"))
+        .orderBy("qdoc")
+    }),
+
     // --- index DELETE protocol, IVF (exact under the hash gate) -----------
     // The right-to-be-forgotten path: tombstone epochs kill rows at serve
     // time immediately, LWW lets a later re-ingest out-live the delete,
@@ -4309,6 +4361,10 @@ values (
     "q_sql_hybrid_indexed" ->
       ("SELECT doc_id AS query_id, TRUE AS recall_ok FROM documents " +
         "WHERE doc_id % 100 = 0 ORDER BY query_id"),
+
+    "q_sql_lex_indexed" ->
+      ("SELECT doc_id AS qdoc, TRUE AS fused_eq_ok, TRUE AS k_ok " +
+        "FROM documents WHERE doc_id % 100 = 0 ORDER BY qdoc"),
 
     "q_hnsw_radius_recall" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
