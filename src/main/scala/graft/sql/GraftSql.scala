@@ -1118,9 +1118,9 @@ class GraftSql(
     // the STORE's internal column (wrong rows, no error) — refuse loudly
     val clash = src.columns.filter(reserved).toSeq
     require(clash.isEmpty,
-      s"FILTERED_SEARCH on an $family registration: source column(s) " +
-        s"${clash.mkString("[", ", ", "]")} collide with reserved store " +
-        s"columns ${reserved.toSeq.sorted.mkString("(", "/", ")")} — " +
+      s"search on an $family registration (persisted payload store): " +
+        s"source column(s) ${clash.mkString("[", ", ", "]")} collide with " +
+        s"reserved store columns ${reserved.toSeq.sorted.mkString("(", "/", ")")} — " +
         "rename them before registering")
     // the vector column is already the store's `vec` — carrying it
     // again would double the store bytes for nothing
@@ -1218,16 +1218,17 @@ class GraftSql(
       VectorSearch.estimatedRows(c, corpusDim(c, big.tag)), 16,
       big.numCandidates)
     val ranked = (big.indexType, pred) match {
-      case ("ivf", None) =>
-        graft.operators.IvfSearch.ivfTopKCandidates(qv, "__qid", "__qvec",
-          c, "__cid", "__cvec", k, metric, numCandidates = big.numCandidates)
-      case ("ivf", Some(p)) =>
+      case ("ivf", p) =>
+        // BOTH forms serve the build-once persisted store (filtered: the
         // predicate lands as a payload PushedFilter inside the
-        // partition-pruned probe scan of the persisted store
+        // partition-pruned probe scan). Serving unfiltered statements
+        // in-flight would re-train k-means and re-scan the corpus PER
+        // STATEMENT — the store exists precisely so repeated statements
+        // list only their probed cells' files.
         graft.operators.IvfSearch.searchIndex(spark,
           ivfStoreFor(big.df, big.contentCol, big.vecCol, big),
           qv, "__qid", "__qvec", k, metric,
-          nProbe = nProbeFor, filter = expr(p))
+          nProbe = nProbeFor, filter = p.map(expr).getOrElse(lit(true)))
       case ("pq", None) =>
         // serve-only: codebooks come from the registration-scoped cache
         // (train-once at first statement, zero training jobs after) —
