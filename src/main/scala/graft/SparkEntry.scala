@@ -3055,6 +3055,10 @@ where `n_chars` > 100;"""
     `search_results` ARRAY<ROW<`content` STRING>>
 ) WITH ('value.format' = 'json-registry');""")
       val emb = t(s, dir, "embeddings")
+      // default collect cap: the oracle's tie-break (VARCHAR content asc)
+      // replays the COLLECTED route's heap; past 100k rows the corpus
+      // would fall to the distributed route, whose hash-id tie-break the
+      // oracle can't replay — this row is defined at the gate SFs
       g.registerSearchCorpus("stream_corpus",
         emb.select(col("vec_id").cast("string").as("content"),
           col("embedding").as("vector")), "content", "vector")

@@ -86,6 +86,14 @@ class GraftSql(
   private val lexDeclared =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
+  /** Registration-unique identity of a DECLARED lexical store, minted at
+    * registration time (re-registering rebuilds) — kept separately from
+    * [[DfCorpus.tag]] so the declaration is honored on COLLECTED
+    * registrations too, which have no DfCorpus identity.
+    */
+  private val lexTags =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Declared registration knobs per corpus, for `SHOW SEARCH CORPORA`
     * (the reference's describe-everything surface, extended to the
     * search registry): the resolved [[corpora]] entry deliberately
@@ -111,6 +119,8 @@ class GraftSql(
       s"index type '$indexType' not in ${GraftSql.IndexTypes.mkString("/")}")
     val rows = df.select(contentCol, vecCol).limit(maxRows + 1).collect()
     lexDeclared(name) = lexicalIndex
+    if (lexicalIndex)
+      lexTags(name) = s"${name}_g${GraftSql.corpusGen.incrementAndGet()}"
     corpusMeta(name) = (indexType, numCandidates)
     corpusSources(name) = (df, contentCol, vecCol)
     corpora(name) =
@@ -795,7 +805,7 @@ class GraftSql(
           // a registered index family serves the filter from its
           // persisted store (payload pushdown / over-fetch) — the exact
           // pre-filter below would pay a full corpus scan per statement
-          case big: DfCorpus if Set("ivf", "ivfpq", "ivfsq", "hnsw")(big.indexType) =>
+          case big: DfCorpus if StoreFilteredFamilies(big.indexType) =>
             s"${filteredIndexView(table, parts(2), big, k, pred,
               src, contentCol, vecCol, views)} AS $alias"
           case _ =>
@@ -1224,7 +1234,10 @@ class GraftSql(
         // partition-pruned probe scan). Serving unfiltered statements
         // in-flight would re-train k-means and re-scan the corpus PER
         // STATEMENT — the store exists precisely so repeated statements
-        // list only their probed cells' files.
+        // list only their probed cells' files. The k-within-budget
+        // contract the in-flight op enforced stays loud here.
+        require(k <= big.numCandidates,
+          s"k=$k exceeds the registration's numCandidates=${big.numCandidates}")
         graft.operators.IvfSearch.searchIndex(spark,
           ivfStoreFor(big.df, big.contentCol, big.vecCol, big),
           qv, "__qid", "__qvec", k, metric,
@@ -1433,7 +1446,12 @@ class GraftSql(
         // candidate budget is clipped to its best `kCap` members —
         // and contracted by q_hnsw_radius_recall. A predicate
         // post-filters via the admitted join below, the hnsw
-        // filtered-search posture.
+        // filtered-search posture. CAVEAT: the graph ranks its beam by
+        // its build metric (dot), so on a corpus with strongly skewed
+        // vector NORMS small-norm members inside the cosine ball can
+        // rank below the pool cut — norm-skewed corpora should register
+        // a celled family (ivf/ivfsq/ivfpq) for radius serving, where
+        // the contract measures exactly this.
         val kCap = math.max(16, math.min(big.numCandidates, 1000))
         graft.operators.HnswSearch.searchIndex(spark,
             hnswStoreFor(c, big), qv, "__qid", "__qvec", k = kCap,
@@ -1587,9 +1605,9 @@ class GraftSql(
     * same build-once/lock discipline as [[hnswStoreFor]]. Stats are
     * written last, so their _SUCCESS implies the whole index landed.
     */
-  private def lexStoreFor(c: DataFrame, big: DfCorpus): String = {
+  private def lexStoreFor(c: DataFrame, tag: String): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_sql_lex_" +
-      s"${spark.sparkContext.applicationId}_${big.tag}"
+      s"${spark.sparkContext.applicationId}_$tag"
     GraftSql.hnswBuildLock.synchronized {
       if (!graft.operators.FsUtil.exists(spark, s"$path/stats/_SUCCESS"))
         graft.operators.LexicalIndex.writeIndex(c, "__cid", "__content", path)
@@ -1600,13 +1618,23 @@ class GraftSql(
   private def lexArtifactsFor(
       name: String, ref: AnyRef, c: DataFrame): (DataFrame, DataFrame) =
     ref match {
-      case big: DfCorpus if lexDeclared.getOrElse(name, false) =>
+      case _ if lexDeclared.getOrElse(name, false) =>
         // declared at-rest lexical index: postings/stats are lazy scans
         // of the persisted store — zero tokenize jobs at serve time, a
         // driver-known term join prunes at the parquet reader, and the
         // artifacts survive the session (the reference pattern: the
-        // posting store sits NEXT to the vector index, both build-once)
-        val path = lexStoreFor(c, big)
+        // posting store sits NEXT to the vector index, both build-once).
+        // Keyed by the registration-minted lex tag, NOT the DfCorpus
+        // tag, so collected registrations honor the declaration too.
+        // A previous UNDECLARED registration of this name may have left
+        // session artifacts behind — release them rather than pinning
+        // their checkpoint blocks until LRU eviction.
+        lexArtifacts.synchronized {
+          val stale = lexArtifacts.remove(name)
+          if (stale != null) unpersistLexArtifacts(stale)
+        }
+        val path = lexStoreFor(c, lexTags.getOrElseUpdate(name,
+          s"${name}_g${GraftSql.corpusGen.incrementAndGet()}"))
         (graft.operators.LexicalIndex.postings(spark, path),
           graft.operators.LexicalIndex.corpusStats(spark, path))
       case _ => lexArtifacts.synchronized {

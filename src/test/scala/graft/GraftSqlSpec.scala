@@ -1897,6 +1897,19 @@ LATERAL TABLE(MMR_SEARCH('sfm_corpus', 3, vector, 9, 0.5));""")
       "declared registration must not also build session artifacts")
     assert(g.lexArtifacts.get("lexix_sess") != null,
       "undeclared registration keeps the session artifact path")
+    // the declaration is honored on COLLECTED registrations too (they
+    // have no DfCorpus identity — the lex store keys on its own
+    // registration-minted tag), with identical results
+    g.registerSearchCorpus("lexix_mem", corpus, "content", "vector",
+      lexicalIndex = true)
+    val memF = frame("lexix_mem", "HYBRID_SEARCH('$R', 3, vector, question)")
+    assert(memF.queryExecution.executedPlan.toString.contains("graft_sql_lex_"),
+      "collected declared registration must serve the persisted store")
+    assert(memF.collect().map(_.toString).sorted.toSeq ==
+      frame("lexix_sess", "HYBRID_SEARCH('$R', 3, vector, question)")
+        .collect().map(_.toString).sorted.toSeq,
+      "collected store-served hybrid != session-artifact hybrid")
+    assert(g.lexArtifacts.get("lexix_mem") == null)
   }
 
   test("index-served worksheet shapes at FULL probe equal their exact " +
