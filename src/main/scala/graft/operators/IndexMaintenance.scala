@@ -284,6 +284,16 @@ object IndexMaintenance {
   private def readClaim(spark: SparkSession, root: String): Option[(Long, String)] =
     writerCache.get(root).orElse(readClaimDisk(spark, root))
 
+  /** The store's current writer claim, if any — (namespace, owner). A
+    * retirement path (DROP SEARCH CORPUS, re-registration GC) checks
+    * this before deleting at-rest bytes: deleting a store a stream
+    * still claims would strand the stream's checkpointed writer mid-
+    * epoch. Re-read from DISK, not the cache: a refusal must be based
+    * on the live sidecar (same rule as [[confirmedClaim]]).
+    */
+  def currentClaim(spark: SparkSession, root: String): Option[(Long, String)] =
+    confirmedClaim(spark, root)
+
   /** A cached claim that is about to REFUSE a caller must be re-read
     * from disk first: a store retired (deleted) and recreated at the
     * same path in one JVM would otherwise refuse its new writer on the

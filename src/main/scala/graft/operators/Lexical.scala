@@ -439,10 +439,21 @@ object Lexical {
     val vCorpus = if (allowedIds == null) corpus
       else corpus.join(allowedIds,
         corpus(cId).cast("long") === allowedIds("__aid"), "left_semi")
-    val vrank = if (vRank != null)
-      vRank.select(col(qId).cast("long").as("query_id"),
+    val vrank = if (vRank != null) {
+      val vr = vRank.select(col(qId).cast("long").as("query_id"),
         col("match_id").cast("long").as("match_id"), col("rank"))
-    else VectorSearch.topKAgg(queries, qId, qVec,
+      // STRUCTURAL, not by-convention: a caller-provided vector leg is
+      // documented to already encode the `allowed` restriction, but a
+      // future caller passing an unfiltered ranking alongside a
+      // predicate must not leak excluded documents through the fusion —
+      // the same admitted-id set the lexical leg joins cuts this leg
+      // too (a no-op for a correctly pre-restricted ranking; ranks keep
+      // their pre-cut positions, matching the store-served pushdown
+      // routes where excluded rows never ranked at all)
+      if (allowedIds == null) vr
+      else vr.join(allowedIds, vr("match_id") === allowedIds("__aid"),
+        "left_semi")
+    } else VectorSearch.topKAgg(queries, qId, qVec,
         vCorpus, cId, cVec, depth, metric)
       .select(col(qId).cast("long").as("query_id"),
         posexplode(col("matches")).as(Seq("__pos", "__m")))

@@ -117,6 +117,14 @@ class GraftSql(
     requireNumCandidates(numCandidates)
     require(GraftSql.IndexTypes.contains(indexType),
       s"index type '$indexType' not in ${GraftSql.IndexTypes.mkString("/")}")
+    // RE-registration retires the previous identity's build-once at-rest
+    // stores before the new tags are minted — without this, a long-lived
+    // session cycling registrations under one name accumulates dead
+    // index bytes under tmpdir forever (each tag is registration-unique,
+    // so no future statement can ever serve the old store). Best-effort
+    // on claims: a store a stream still owns is skipped with a loud
+    // warning rather than failing a registration that used to succeed.
+    if (corpora.contains(name)) retireCorpusStores(name, failOnClaim = false)
     val rows = df.select(contentCol, vecCol).limit(maxRows + 1).collect()
     lexDeclared(name) = lexicalIndex
     if (lexicalIndex)
@@ -138,6 +146,67 @@ class GraftSql(
         // regenerated data always retrains (the tag is deliberately NOT
         // content-derived — see cachedCodebooks' persist=false contract)
         tag = s"sql_${name}_g${GraftSql.corpusGen.incrementAndGet()}")
+  }
+
+  /** `DROP SEARCH CORPUS name` — the registration lifecycle's missing
+    * end: removes the registry entry AND deletes the registration's
+    * build-once at-rest stores (the persisted ivf/ivfpq/ivfsq/hnsw
+    * payload stores and the declared lexical index), releasing the
+    * session's checkpoint artifacts for the name as well. Claim-checked:
+    * a store an index-maintenance stream still owns refuses the drop
+    * loudly (stop the stream first) — nothing is deleted on refusal.
+    */
+  def dropSearchCorpus(name: String): DataFrame = {
+    require(corpora.contains(name) || corpusSources.contains(name),
+      s"unknown search corpus '$name'")
+    val retired = retireCorpusStores(name, failOnClaim = true)
+    lexArtifacts.synchronized {
+      val stale = lexArtifacts.remove(name)
+      if (stale != null) unpersistLexArtifacts(stale)
+    }
+    corpora.remove(name); corpusSources.remove(name)
+    lexDeclared.remove(name); lexTags.remove(name); corpusMeta.remove(name)
+    status(s"dropped search corpus $name " +
+      s"(${retired.size} at-rest store(s) retired)")
+  }
+
+  /** Delete the at-rest stores minted for `name`'s CURRENT registration
+    * identity (the family tag and, if declared, the lexical tag). Two
+    * callers: DROP (failOnClaim = true — refuse the whole drop, delete
+    * nothing, if ANY store is writer-claimed) and re-registration GC
+    * (failOnClaim = false — claimed stores are skipped with a warning,
+    * the rest are reclaimed). Returns the deleted paths.
+    */
+  private def retireCorpusStores(
+      name: String, failOnClaim: Boolean): Seq[String] = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val app = spark.sparkContext.applicationId
+    val famTags = corpora.get(name).toSeq.collect { case b: DfCorpus => b.tag }
+    val candidates =
+      famTags.flatMap(t => Seq("hnsw", "ivf", "ivfpq", "ivfsq").map(f =>
+        s"$tmp/graft_sql_${f}_${app}_$t")) ++
+      lexTags.get(name).map(t => s"$tmp/graft_sql_lex_${app}_$t")
+    val existing = candidates.filter(p =>
+      graft.operators.FsUtil.exists(spark, p))
+    val (claimed, free) = existing.partition(p =>
+      graft.operators.IndexMaintenance.currentClaim(spark, p).isDefined)
+    if (claimed.nonEmpty && failOnClaim)
+      throw new IllegalStateException(
+        s"DROP SEARCH CORPUS $name: store(s) " +
+          claimed.mkString("[", ", ", "]") +
+          " are owned by an active writer claim — stop the owning " +
+          "stream (or let its checkpointed query terminate) before " +
+          "dropping; nothing was deleted")
+    if (claimed.nonEmpty)
+      System.err.println(s"[graft] re-registering '$name': skipped " +
+        s"writer-claimed store(s) ${claimed.mkString("[", ", ", "]")} — " +
+        "stop the owning stream and DROP SEARCH CORPUS to reclaim them")
+    free.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+    }
+    free
   }
 
   /** Statement-scoped session options (`SET 'k' = 'v'`) — the Flink
@@ -296,6 +365,9 @@ class GraftSql(
         }
       }.toDF("name", "posture", "declared_index_type", "serving_route",
         "num_candidates", "collected_rows", "lexical_index")
+
+    case DropCorpusRe(name) =>
+      dropSearchCorpus(name)
 
     case CreateTableRe(name, cols, opts) =>
       // Flink column DDL is Spark-DDL compatible once backticks drop and
@@ -802,10 +874,12 @@ class GraftSql(
                 s"corpus '$corpus' (${src.columns.mkString(", ")}): ${e.getMessage}")
           }
         resolved match {
-          // a registered index family serves the filter from its
-          // persisted store (payload pushdown / over-fetch) — the exact
-          // pre-filter below would pay a full corpus scan per statement
-          case big: DfCorpus if StoreFilteredFamilies(big.indexType) =>
+          // a registered index family serves the filter from its index:
+          // payload pushdown on the persisted celled stores, over-fetch
+          // + post-filter on hnsw AND the in-flight ANN families
+          // (pq/sq/bq/lsh) — the exact pre-filter below would pay the
+          // full corpus scan the registration was declared to avoid
+          case big: DfCorpus if big.indexType != "flat" =>
             s"${filteredIndexView(table, parts(2), big, k, pred,
               src, contentCol, vecCol, views)} AS $alias"
           case _ =>
@@ -1211,10 +1285,12 @@ class GraftSql(
     * persisted stores (ivfpq/ivfsq/hnsw). With a predicate, the
     * [[StoreFilteredFamilies]] serve it from their stores — the celled
     * families push it INTO the pruned cell/code scan as a parquet
-    * PushedFilter, hnsw post-filters an over-fetched beam — and every
-    * other family falls back to the exact pre-filter over the admitted
-    * subset (correct at any selectivity, full-scan cost: the families
-    * registered beyond-cap for scale should be store-backed ones).
+    * PushedFilter, hnsw post-filters an over-fetched beam — the
+    * in-flight ANN families (pq/sq/bq/lsh) serve the same over-fetch +
+    * post-filter posture from their unfiltered pools (no full corpus
+    * re-scan; recall governed by selectivity under the declared
+    * budget), and 'flat' keeps the exact pre-filter (correct at any
+    * selectivity, full-scan cost by definition of the family).
     * `metric` defaults to the reference's dot ranking; the hnsw graph
     * serves its build metric regardless (it comes from `_meta`).
     */
@@ -1314,6 +1390,28 @@ class GraftSql(
           hnswStoreFor(c, big), qv, "__qid", "__qvec", admitted, "__cid",
           k, efSearch = math.max(k, math.min(big.numCandidates, 10000)),
           overFetch = 16, maxQueries = 10000)
+      case ("pq" | "lsh" | "sq" | "bq", Some(p)) =>
+        // the in-flight compressed/bucketed families have no payload
+        // store to push a predicate into; the old exact pre-filter
+        // fallback silently paid the full corpus scan the registration
+        // was declared to avoid. Serve the hnsw posture instead:
+        // over-fetch the family's UNFILTERED pool (overFetch 16 covers
+        // admit rates down to ~k/(16·k) ≈ 6% in expectation), cut it
+        // against the admitted-id set, re-densify ranks. Recall
+        // degrades with predicate selectivity under the declared
+        // numCandidates budget (contract: q_sql_filtered_pq); more
+        // selective predicates belong on a payload-store family
+        // (ivf/ivfpq/ivfsq) or a 'flat' registration's exact pre-filter.
+        val depth = math.max(k, math.min(16 * k, big.numCandidates))
+        val admitted = canonCorpus(big.df.filter(expr(p)),
+          big.contentCol, big.vecCol).select("__cid")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__qid").orderBy("__rank", "__cid")
+        rankedForFamily(qv0, big, depth, None, metric)
+          .join(admitted, Seq("__cid"), "left_semi")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("__qid"), col("__cid").as("match_id"), col("rank"))
       case (_, p) =>
         // exact bounded-heap ranking ("flat" and the pre-filter fallback
         // of the non-store families): map-side partial heaps, only ≤k
@@ -1532,14 +1630,18 @@ class GraftSql(
       .map(admittedCanon(corpusName, _, "HYBRID_SEARCH").select("__cid"))
       .orNull
     // index-served vector leg: fuseDepth-deep ranking from the declared
-    // family (the non-store families fall back to the exact pre-filter
-    // inside rankedForFamily when a predicate is present)
+    // family. The ladder depth is an INTERNAL fusion knob, not the
+    // user's k, so it clamps to the registration's numCandidates budget
+    // instead of failing the ladder's k-within-budget contract — a
+    // small-budget registration fuses a shorter vector list (RRF
+    // tolerates uneven leg depths; the lexical leg still fills to k)
+    // rather than rejecting a statement the exact leg used to serve.
     val fuseDepth = math.max(k, 10)
     val vRank = ref match {
       case big: DfCorpus if big.indexType != "flat" =>
         rankedForFamily(qv.select(col("__qid"),
             col("__qvec").cast("array<float>").as("__qvec")),
-            big, fuseDepth, pred)
+            big, math.min(fuseDepth, big.numCandidates), pred)
           .select(col("__qid"), col("__cid").as("match_id"),
             col("__rank").as("rank"))
       case _ => null
@@ -1810,7 +1912,11 @@ class GraftSql(
           .select(col("query_id").as("__qid"), col("match_group").as("__cid"),
             col("rank").as("__rank"))
       case (big: DfCorpus, p) if big.indexType != "flat" =>
-        val budget = math.max(k, math.min(big.numCandidates, 1000))
+        // the member-pool budget clamps to the registration's declared
+        // numCandidates (same rationale as the hybrid/MMR legs: an
+        // internal pool knob must not trip the ladder's k require)
+        val budget = math.min(
+          math.max(k, math.min(big.numCandidates, 1000)), big.numCandidates)
         val scored = rankedForFamily(qv, big, budget, p, metric = "cosine")
           .select(col("__qid"), col("__cid"))
           .join(members.select("__cid", "__gid", "__cvec"), Seq("__cid"))
@@ -1864,7 +1970,13 @@ class GraftSql(
     // same knob every ANN family is contracted on
     val poolCand = ref match {
       case big: DfCorpus if big.indexType != "flat" =>
-        rankedForFamily(qv, big, candN, pred, metric = "cosine")
+        // candN is the diversity pool knob, not the user's k: clamp it
+        // to the registration's numCandidates budget (a short pool
+        // degrades selection breadth, the knob the MMR contract already
+        // tolerates) instead of failing the ladder's k-within-budget
+        // require with a message naming the wrong quantity
+        rankedForFamily(qv, big, math.min(candN, big.numCandidates),
+            pred, metric = "cosine")
           .select(col("__qid"), col("__cid").as("match_id"))
           .join(cAdmitted.select(col("__cid").as("match_id"), col("__cvec")),
             "match_id")
@@ -1951,6 +2063,8 @@ object GraftSql {
     """(?is)^\s*DESCRIBE\s+MODEL\s+`?([\w.$-]+)`?\s*;?\s*$""".r
   private val ShowCorporaRe =
     """(?is)^\s*SHOW\s+SEARCH\s+CORPORA\s*;?\s*$""".r
+  private val DropCorpusRe =
+    """(?is)^\s*DROP\s+SEARCH\s+CORPUS\s+`?([\w.-]+)`?\s*;?\s*$""".r
   private val DescribeTableRe =
     """(?is)^\s*DESC(?:RIBE)?\s+(?!MODEL\b)`?([\w.-]+)`?\s*;?\s*$""".r
   private val CreateTableRe =

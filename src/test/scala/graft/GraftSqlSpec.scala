@@ -2021,4 +2021,128 @@ LATERAL TABLE(RADIUS_SEARCH('radparse', 0.5, qv, 'four', 24));""")
     }
     assert(e2.getMessage.contains("nBits must be numeric"), e2.getMessage)
   }
+
+  test("FILTERED_SEARCH on an in-flight family (pq) serves the " +
+      "over-fetch post-filter instead of the exact full-scan fallback") {
+    val g = facade()
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").cast("string").as("content"),
+      col("embedding").as("vector"), col("label"))
+    g.registerSearchCorpus("fpq_inflight", corpus, "content", "vector",
+      maxRows = 0, indexType = "pq")
+    val qs = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    qs.createOrReplaceTempView("fpq_qs")
+    val got = g.execute("""SELECT query_id, search_results FROM fpq_qs,
+LATERAL TABLE(FILTERED_SEARCH('fpq_inflight', 3, qv, 'label % 4 = 1'));""")
+      .select(col("query_id"), col("search_results")).collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) Set.empty[Long]
+        else r.getSeq[org.apache.spark.sql.Row](1)
+          .map(_.getString(0).toLong).toSet)).toMap
+    val admitted = emb.filter(col("label") % 4 === 1)
+      .select("vec_id").as[Long].collect().toSet
+    // absolute safety: only admitted ids ever surface
+    got.values.flatten.foreach(m =>
+      assert(admitted(m), s"pq over-fetch served non-admitted id $m"))
+    // the pool is the family's exact-re-ranked candidates, so an
+    // admitted query keeps its own vector (its dot argmax) after the cut
+    got.filterKeys(admitted).foreach { case (q, ms) =>
+      assert(ms.contains(q), s"admitted query $q lost its own vector") }
+    assert(got.values.count(_.nonEmpty) > 0, "over-fetch produced no hits")
+  }
+
+  test("HYBRID/MMR internal ladder depths clamp to a small declared " +
+      "numCandidates budget instead of failing the k-within-budget require") {
+    val g = facade()
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    g.registerSearchCorpus("clamp_ivf",
+      emb.select(col("vec_id").cast("string").as("content"),
+        col("embedding").as("vector")), "content", "vector",
+      maxRows = 0, indexType = "ivf", numCandidates = 5)
+    emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("vec_id").cast("string").as("qtext"))
+      .createOrReplaceTempView("clamp_qs")
+    // HYBRID fuses fuseDepth = max(k, 10) deep; the budget is 5 — the
+    // vector leg must clamp to 5, not throw 'k=10 exceeds ...'
+    val hyb = g.execute("""SELECT query_id, search_results FROM clamp_qs,
+LATERAL TABLE(HYBRID_SEARCH('clamp_ivf', 3, qv, qtext));""").collect()
+    assert(hyb.nonEmpty && hyb.forall(!_.isNullAt(1)),
+      "clamped hybrid must still serve every query")
+    // MMR with candN = 9 > numCandidates = 5: pool clamps to 5
+    val mmr = g.execute("""SELECT query_id, search_results FROM clamp_qs,
+LATERAL TABLE(MMR_SEARCH('clamp_ivf', 3, qv, 9, 0.5));""").collect()
+    assert(mmr.nonEmpty && mmr.forall(!_.isNullAt(1)),
+      "clamped MMR must still serve every query")
+  }
+
+  test("DROP SEARCH CORPUS retires the registration AND its build-once " +
+      "at-rest stores; re-registration GCs the previous identity") {
+    val g = facade()
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").cast("string").as("content"),
+      col("embedding").as("vector"))
+    def storeDirs(): Seq[java.io.File] = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val app = spark.sparkContext.applicationId
+      tmp.listFiles().toSeq.filter(f =>
+        f.getName.startsWith(s"graft_sql_ivf_${app}_sql_dropix_") ||
+          f.getName.startsWith(s"graft_sql_lex_${app}_dropix_"))
+    }
+    storeDirs().foreach { f =>
+      val hp = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    g.registerSearchCorpus("dropix", corpus, "content", "vector",
+      maxRows = 0, indexType = "ivf", lexicalIndex = true)
+    emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("vec_id").cast("string").as("qtext"))
+      .createOrReplaceTempView("dropix_qs")
+    // build both at-rest stores: the ivf payload store (vector serve)
+    // and the declared lexical index (hybrid's BM25 leg)
+    g.execute("""SELECT query_id, search_results FROM dropix_qs,
+LATERAL TABLE(FEDERATED_SEARCH('dropix', 3, qv));""").collect()
+    g.execute("""SELECT query_id, search_results FROM dropix_qs,
+LATERAL TABLE(HYBRID_SEARCH('dropix', 3, qv, qtext));""").collect()
+    assert(storeDirs().nonEmpty, "expected at-rest store dirs after serving")
+    val st = g.execute("DROP SEARCH CORPUS dropix;").collect().head
+    assert(st.getString(0).contains("dropped search corpus dropix"),
+      st.getString(0))
+    assert(storeDirs().isEmpty, "DROP must delete the at-rest stores")
+    val names = g.execute("SHOW SEARCH CORPORA")
+      .select("name").as[String].collect()
+    assert(!names.contains("dropix"), "dropped corpus still listed")
+    val e = intercept[Exception] {
+      g.execute("""SELECT query_id FROM dropix_qs,
+LATERAL TABLE(FEDERATED_SEARCH('dropix', 3, qv));""")
+    }
+    assert(e.getMessage.contains("dropix"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      g.execute("DROP SEARCH CORPUS no_such_corpus;")
+    }
+    assert(e2.getMessage.contains("no_such_corpus"), e2.getMessage)
+    // re-registration under the SAME name retires the previous
+    // identity's stores: after serving again exactly ONE ivf store
+    // (the new tag's) exists
+    g.registerSearchCorpus("dropix", corpus, "content", "vector",
+      maxRows = 0, indexType = "ivf")
+    g.execute("""SELECT query_id, search_results FROM dropix_qs,
+LATERAL TABLE(FEDERATED_SEARCH('dropix', 3, qv));""").collect()
+    val afterFirst = storeDirs().map(_.getName).toSet
+    assert(afterFirst.size == 1, s"expected one store, got $afterFirst")
+    g.registerSearchCorpus("dropix", corpus, "content", "vector",
+      maxRows = 0, indexType = "ivf")
+    g.execute("""SELECT query_id, search_results FROM dropix_qs,
+LATERAL TABLE(FEDERATED_SEARCH('dropix', 3, qv));""").collect()
+    val afterSecond = storeDirs().map(_.getName).toSet
+    assert(afterSecond.size == 1 && afterSecond != afterFirst,
+      s"re-registration must GC the old store: $afterFirst -> $afterSecond")
+    g.execute("DROP SEARCH CORPUS dropix;")
+    assert(storeDirs().isEmpty)
+  }
 }

@@ -515,4 +515,34 @@ class LexicalSpec extends SparkSpec {
     // ...and the stats still equal the batch form over the same corpus
     assert(statsOnce == Lexical.corpusStats(docs, "text").collect()(0))
   }
+
+  test("hybridTopK: a caller-provided vRank leg is cut by `allowed` " +
+      "STRUCTURALLY — an unfiltered vector leg cannot leak excluded docs") {
+    // the invariant used to be held by convention (the one caller
+    // pre-restricted its ladder ranking); a second caller passing an
+    // UNFILTERED ranking alongside a predicate must still never fuse
+    // an excluded document through the vector leg
+    val docs = Tables(spark, sf, "documents").limit(200)
+      .select(col("doc_id"), col("text"),
+        graft.functions.HashEmbedder.embedCol(col("text")).as("vec"))
+    val qs = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"), col("vec").as("qv"),
+        col("text").as("qtext"))
+    val allowed = docs.filter(col("doc_id") % 2 === 0)
+    val allowedIds = allowed.select("doc_id").as[Long].collect().toSet
+    // deliberately UNFILTERED exact vector ranking (violates the
+    // documented caller contract)
+    val unfilteredVRank = VectorSearch.topKAgg(qs, "qid", "qv",
+        docs, "doc_id", "vec", 10, "dot")
+      .select(col("qid"), posexplode(col("matches")).as(Seq("p", "m")))
+      .select(col("qid"), col("m.id").as("match_id"),
+        (col("p") + 1).cast("int").as("rank"))
+    val fused = Lexical.hybridTopK(qs, "qid", "qv", "qtext",
+      docs, "doc_id", "vec", "text", k = 5,
+      allowed = allowed, allowedId = "doc_id", vRank = unfilteredVRank)
+    val hits = fused.select("match_id").as[Long].collect()
+    assert(hits.nonEmpty, "vacuous: fusion returned nothing")
+    hits.foreach(m => assert(allowedIds(m),
+      s"excluded doc $m leaked through the caller's unfiltered vRank leg"))
+  }
 }
