@@ -20,6209 +20,21 @@ import graft.pipeline.Rag
   * DuckDB (CORRECTNESS_r01: rows/ranks matched, raw-double hashes
   * didn't). Array-typed columns are serialized (to_json / concat_ws):
   * the driver's pandas loader cannot hash ndarray cells.
+  *
+  * The board itself lives in the EntryQueries* family objects (plus
+  * EntryShared for fixtures/caches and EntryOracles for the DuckDB
+  * side) — this object is the thin driver-facing composition.
   */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    Tables(spark, dir, name)
-
-  /** Exact char-5-shingle Jaccard ground truth at the LOOSEST threshold
-    * any sketch contract uses (0.2), computed ONCE per (session, dir) —
-    * materialized by the bitset kernel's own localCheckpoint — and shared:
-    * the four sketch-accuracy contracts
-    * (minhash / simhash / dedup-pipeline / incremental-dedup) each filter
-    * this small pair list at their own threshold instead of re-running
-    * the shingle equi-join (the single most expensive subtree in the
-    * suite: its cost is the collision mass of stop-shingles). Filtering
-    * `jaccard >= t` over the 0.2-threshold set is value-identical to
-    * computing at `t` directly, so the DuckDB oracles are untouched.
-    */
-  private val shingleGtCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
-
-  /** Driver-held index-artifact bytes (the Bloom gram filter), keyed and
-    * evicted exactly like [[memo]] — built once per (app, dir) the way a
-    * deployment builds its decontamination filter once per benchmark
-    * release, then probes every corpus shard with it.
-    */
-  private val artifactBytes =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), Array[Byte]]
-
-  /** Trained unigram-LM tokenizer per (app, dir) — a model artifact
-    * like the PQ codebooks: train once offline, encode many.
-    */
-  private val ulmCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), graft.operators.UnigramLm.UlmModel]
-  private def ulmModel(s: SparkSession, dir: String): graft.operators.UnigramLm.UlmModel =
-    ulmCache.synchronized {
-      val app = s.sparkContext.applicationId
-      ulmCache.keys.filter(_._1 != app).foreach(ulmCache.remove)
-      ulmCache.getOrElseUpdate((app, dir),
-        graft.operators.UnigramLm.train(t(s, dir, "documents"), "text",
-          vocabSize = 500, rounds = 2, maxPieceLen = 4))
-    }
-  private def benchGramBloom(s: SparkSession, dir: String): Array[Byte] =
-    artifactBytes.synchronized {
-      val app = s.sparkContext.applicationId
-      artifactBytes.keys.filter(_._1 != app).foreach(artifactBytes.remove)
-      artifactBytes.getOrElseUpdate((app, dir, "bench_gram_bloom"), {
-        val docs = t(s, dir, "documents")
-        // sized from the measured gram count (48 bits/item, per-probe
-        // fp ≈ 2⁻³³), so the oracle's exact-equality margin holds at
-        // any sf instead of decaying as a fixed-size filter fills up
-        graft.operators.Bloom.buildGramBloomSized(
-          docs.filter(pmod(col("doc_id"), lit(97)) === 0), "doc_id", "text",
-          n = 4)
-      })
-    }
-  private def shingleGroundTruth(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "shingle_gt")(
-      Dedup.charShingleJaccardPairsBitset(t(s, dir, "documents"), "doc_id", "text", 5, 0.2))
-
-  /** The standard ANN query slice (every 20th embedding) — shared by all
-    * vector-search queries probing the `embeddings` corpus.
-    */
-  private def annQueries(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-
-  /** Fixed keyword queries for the lexical/hybrid retrieval family —
-    * terms drawn from the generator's stable vocabulary (present at
-    * every SF), mixing corpus-common terms with the rare "dup" so idf
-    * spans its real range. The DuckDB oracles inline the same list as
-    * a VALUES CTE.
-    */
-  private val LexQueryTerms: Seq[(Long, String)] =
-    Seq((0L, "sort"), (0L, "merge"), (0L, "join"),
-      (1L, "window"), (1L, "agg"),
-      (2L, "stream"), (2L, "batch"), (2L, "dup"))
-
-  /** The distinct term set of [[LexQueryTerms]] — the ONE list the
-    * bucket-pruned index serves pass to `postingsForTerms` (hand-copied
-    * term lists would silently desync from the queries and prune away a
-    * scoring term's bucket).
-    */
-  private val LexQueryTermSet: Seq[String] = LexQueryTerms.map(_._2).distinct
-
-  private def lexQueries(s: SparkSession): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    LexQueryTerms.toDF("query_id", "term")
-  }
-
-  /** The [[lexQueries]] list as the oracle's VALUES CTE. */
-  private val LexQueriesCte =
-    "q(query_id, term) AS (SELECT CAST(v AS BIGINT), t FROM (VALUES " +
-      "(0, 'sort'), (0, 'merge'), (0, 'join'), (1, 'window'), (1, 'agg'), " +
-      "(2, 'stream'), (2, 'batch'), (2, 'dup')) AS qv(v, t))"
-
-  /** BM25 oracle pipeline generator: the tokenize -> tf/df/stats ->
-    * score CTE chain against the query CTE `qName`, all CTE names
-    * prefixed `p` so TWO scoring passes can coexist in one statement
-    * (the PRF oracle). When `base` is non-null the tokenize/stat CTEs
-    * of that earlier prefix are REUSED instead of re-emitted. Ends in
-    * `${p}sc(query_id, doc_id, score)`, score already round(,4). Every
-    * operation and ASSOCIATION mirrors
-    * [[graft.operators.Lexical.bm25Scores]] exactly: the idf factor
-    * multiplies the PARENTHESIZED tf-norm quotient, `(1 - 0.75)` folds
-    * to the exact 0.25, and sums happen only under the final round.
-    */
-  private def bm25CteFor(qName: String, p: String, base: String = null,
-      src: String = "documents"): String = {
-    val bp = if (base == null) p else base
-    val tokenize =
-      s"${bp}tk AS (SELECT doc_id, " +
-        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk " +
-        s"FROM $src), " +
-      s"${bp}st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tk)) AS avgdl FROM ${bp}tk), " +
-      s"${bp}tok AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS tok FROM ${bp}tk), "
-    (if (base == null) tokenize else "") +
-      s"${p}tf AS (SELECT qq.query_id, t.tok, t.doc_id, t.dl, count(*) AS tf " +
-      s"FROM ${bp}tok t JOIN $qName qq ON t.tok = qq.term GROUP BY 1, 2, 3, 4), " +
-      s"${p}df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT tok, doc_id FROM ${p}tf) GROUP BY tok), " +
-      s"${p}sc AS (SELECT f.query_id, f.doc_id, " +
-      s"round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * " +
-      s"(f.tf * (1.2 + 1) / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl)))), 4) AS score " +
-      s"FROM ${p}tf f JOIN ${p}df d USING (tok) CROSS JOIN ${bp}st s GROUP BY 1, 2)"
-  }
-
-  private val Bm25Cte = bm25CteFor("q", "b")
-
-  /** Exact flat top-3 (dot) over [[annQueries]] — the ORACLE side shared
-    * verbatim by every ANN recall contract (LSH / IVF / PQ / IVF-PQ,
-    * in-flight and persisted). Like [[shingleGroundTruth]], the ground
-    * truth is the oracle twin, not the operator under test, so the memo
-    * pattern applies: five contracts check five different indexes against
-    * ONE materialized exact answer instead of recomputing it per query.
-    */
-  private def annGroundTruth(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "ann_gt_k3_dot")(
-      VectorSearch.topKFlat(annQueries(s, dir), "query_id", "qv",
-        t(s, dir, "embeddings"), "vec_id", "embedding", k = 3, metric = "dot"))
-
-  /** The FILTERED-search predicate shared by the filtered family —
-    * `label % 4 = 1` admits ~a quarter of the corpus, selective enough
-    * that post-filtering a plain top-3 would visibly under-fill.
-    */
-  private val FilteredPred: org.apache.spark.sql.Column = col("label") % 4 === 1
-
-  /** Exact filtered top-3 (dot) — the ground truth both filtered index
-    * serves (IVF payload pre-filter, HNSW over-fetch post-filter) are
-    * contracted against; memoized like [[annGroundTruth]].
-    */
-  private def annFilteredGroundTruth(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "ann_gt_k3_dot_lbl1")(
-      VectorSearch.topKFiltered(annQueries(s, dir), "query_id", "qv",
-        t(s, dir, "embeddings"), "vec_id", "embedding", FilteredPred,
-        k = 3, metric = "dot"))
-
-  /** Exact cosine-radius result over [[annQueries]] at τ=0.3 — the
-    * ground truth of the LSH radius contract; memoized.
-    */
-  private def radiusGroundTruth(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "radius_gt_cos03")(
-      VectorSearch.radiusFlat(annQueries(s, dir), "query_id", "qv",
-        t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.3, metric = "cosine"))
-
-  /** Per-(application, dir, tag) memo for expensive subplans SHARED
-    * VERBATIM by several driver queries (the r5 ground-truth cache,
-    * generalized): each is computed and materialized once per app —
-    * exactly what a production deployment does when one physical dataset
-    * feeds several checks. synchronized: TrieMap.getOrElseUpdate is not
-    * atomic for the expensive branch; evicting other-application keys
-    * keeps a long-lived JVM that cycles SparkSessions (test suites) from
-    * pinning dead checkpoint RDDs forever.
-    */
-  private def memo(s: SparkSession, dir: String, tag: String)(
-      f: => DataFrame): DataFrame =
-    shingleGtCache.synchronized {
-      val app = s.sparkContext.applicationId
-      shingleGtCache.keys.filter(_._1 != app).foreach(shingleGtCache.remove)
-      shingleGtCache.getOrElseUpdate((app, dir, tag), f.localCheckpoint())
-    }
-
-  /** Like [[memo]] but ALWAYS recomputes, refreshing the cache entry.
-    * Used by the standalone operator-under-test queries: their bench
-    * timing must reflect a real run every pass (a cache hit would game
-    * the min-of-passes metric), while their contract twins — checks OF
-    * the same run — legitimately read the refreshed entry.
-    */
-  private def memoRefresh(s: SparkSession, dir: String, tag: String)(
-      f: => DataFrame): DataFrame =
-    shingleGtCache.synchronized {
-      val app = s.sparkContext.applicationId
-      shingleGtCache.keys.filter(_._1 != app).foreach(shingleGtCache.remove)
-      val df = f.localCheckpoint()
-      shingleGtCache((app, dir, tag)) = df
-      df
-    }
-
-  /** The full dedup pipeline over `documents` — consumed by
-    * q_dedup_pipeline (survivors) and q_dedup_pipeline_contract
-    * (properties of the same run).
-    */
-  private def memoizedPipeline(s: SparkSession, dir: String,
-      fresh: Boolean = false): DataFrame = {
-    def f = Dedup.dedupPipeline(t(s, dir, "documents"), "doc_id", "text",
-      minhashThreshold = 0.7)
-    if (fresh) memoRefresh(s, dir, "dedup_pipeline_0.7")(f)
-    else memo(s, dir, "dedup_pipeline_0.7")(f)
-  }
-
-  /** MinHash candidate pairs over `documents` at the 0.5 estimate cut —
-    * consumed by q_minhash_pairs (the pairs) and q_minhash_contract
-    * (recall/precision of the same pairs).
-    */
-  private def memoizedMinhashPairs(s: SparkSession, dir: String,
-      fresh: Boolean = false): DataFrame = {
-    def f = Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-      numHashes = 64, bands = 16, shingleLen = 5, threshold = 0.5)
-    if (fresh) memoRefresh(s, dir, "minhash_pairs_0.5")(f)
-    else memo(s, dir, "minhash_pairs_0.5")(f)
-  }
-
-  /** Exact embedding near-dup pairs at 0.35 — q_dedup_embedding (the
-    * pairs) and q_embedding_lsh_contract (the recall denominator).
-    */
-  private def memoizedEmbeddingPairs(s: SparkSession, dir: String,
-      fresh: Boolean = false): DataFrame = {
-    def f = Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
-      "embedding", threshold = 0.35)
-    if (fresh) memoRefresh(s, dir, "embedding_pairs_0.35")(f)
-    else memo(s, dir, "embedding_pairs_0.35")(f)
-  }
-
-  /** LSH embedding near-dup pairs (0.35, 4 bits x 8 tables) —
-    * q_dedup_embedding_lsh and the contract's candidate side.
-    */
-  private def memoizedEmbeddingPairsLsh(s: SparkSession, dir: String,
-      fresh: Boolean = false): DataFrame = {
-    def f = Dedup.embeddingNearDupPairsLsh(t(s, dir, "embeddings"), "vec_id",
-      "embedding", threshold = 0.35, nBits = 4, nTables = 8)
-    if (fresh) memoRefresh(s, dir, "embedding_pairs_lsh_0.35")(f)
-    else memo(s, dir, "embedding_pairs_lsh_0.35")(f)
-  }
-
-  /** SemDeDup survivors over `embeddings` (16 cells, cosine 0.35 — the
-    * same threshold as [[memoizedEmbeddingPairs]], so the exact pair set
-    * is the contract's ground truth) — q_semdedup (survivors) and
-    * q_semdedup_contract (properties of the same run).
-    */
-  private def memoizedSemDedup(s: SparkSession, dir: String,
-      fresh: Boolean = false): DataFrame = {
-    def f = Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-      nClusters = 16, threshold = 0.35)
-    if (fresh) memoRefresh(s, dir, "semdedup_0.35")(f)
-    else memo(s, dir, "semdedup_0.35")(f)
-  }
-
-  /** Planted-dup scored corpus for the keepBest queries: every 10th doc
-    * gets a copy differing only in case/whitespace, so its raw quality
-    * differs while its normalized text doesn't (the corpus has no
-    * natural exact dups). Shared by q_dedup_keepbest (the pipeline
-    * under test) and q_dedup_keepbest_contract (the oracle-side window
-    * over the same corpus).
-    */
-  private def keepBestCorpus(s: SparkSession, dir: String,
-      fresh: Boolean = false): DataFrame = {
-    def f = {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val planted = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(lit("  "), upper(col("text")), lit("   ")).as("text"))
-      docs.unionByName(planted)
-        .withColumn("__q", TextOps.qualityScore(col("text")))
-    }
-    if (fresh) memoRefresh(s, dir, "keepbest_corpus")(f)
-    else memo(s, dir, "keepbest_corpus")(f)
-  }
-
-  /** KeepBest pipeline survivors over [[keepBestCorpus]] — consumed by
-    * q_dedup_keepbest (the survivors) and q_dedup_keepbest_contract
-    * (properties of the same run).
-    */
-  private def memoizedKeepBest(s: SparkSession, dir: String,
-      fresh: Boolean = false): DataFrame = {
-    def f = Dedup.dedupPipelineKeepBest(
-      keepBestCorpus(s, dir, fresh), "doc_id", "text", "__q")
-    if (fresh) memoRefresh(s, dir, "keepbest_surv")(f)
-    else memo(s, dir, "keepbest_surv")(f)
-  }
-
-  /** Best-effort recursive delete of a per-app temp dir — called on
-    * app eviction and from the JVM shutdown hook, never in a query
-    * path. Catches UncheckedIOException too: Files.walk reports
-    * mid-traversal failures (dir vanishing under a concurrent cleanup)
-    * through the stream iterator as a RuntimeException, and best-effort
-    * cleanup of a dead app's scratch must never fail a live query.
-    */
-  private def deleteTempDir(dir: String): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(root)) {
-        val s = java.nio.file.Files.walk(root)
-        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator.asScala
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally s.close()
-      }
-    } catch {
-      case _: java.io.IOException => ()
-      case _: java.io.UncheckedIOException => ()
-    }
-
-  /** Dirs pending exit cleanup, drained by ONE static shutdown hook —
-    * a hook thread per dir would accumulate unboundedly in exactly the
-    * long-lived-JVM-cycling-sessions scenario the per-app eviction
-    * defends against. Eviction removes a dir from the set after
-    * deleting it eagerly.
-    */
-  private val exitCleanupDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private lazy val exitHookInstalled: Boolean = {
-    try Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      exitCleanupDirs.forEach(d => deleteTempDir(d))
-    }, "graft-tmp-cleanup"))
-    catch { case _: IllegalStateException => () } // already shutting down
-    true
-  }
-
-  /** Create a per-app temp dir that is deleted on JVM exit (and on
-    * app eviction by the callers below) — previously these catalog /
-    * scratch dirs were created fresh per invocation and never removed.
-    */
-  private def appTempDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
-    exitHookInstalled
-    exitCleanupDirs.add(dir)
-    dir
-  }
-
-  private def reapTempDir(dir: String): Unit = {
-    deleteTempDir(dir)
-    exitCleanupDirs.remove(dir)
-  }
-
-  /** One SQL facade per session for the pure-SELECT statement queries
-    * (q_asof_sql / q_interval_sql): they never touch topics, so they
-    * share one catalog tmpdir per app instead of leaking a fresh
-    * directory every invocation (3 bench passes × 2 queries = 6 dirs);
-    * the dir itself is reaped on eviction or JVM exit.
-    */
-  private val sqlFacades =
-    scala.collection.concurrent.TrieMap.empty[String, (graft.sql.GraftSql, String)]
-  private def sqlFacade(s: SparkSession): graft.sql.GraftSql =
-    sqlFacades.synchronized {
-      // keyed by applicationId, evicting other apps' entries — same
-      // protection as the memo above against a long-lived JVM that
-      // cycles SparkSessions pinning dead sessions forever
-      val app = s.sparkContext.applicationId
-      sqlFacades.keys.filter(_ != app).foreach(k =>
-        sqlFacades.remove(k).foreach { case (_, d) => reapTempDir(d) })
-      sqlFacades.getOrElseUpdate(app, {
-        val dir = appTempDir("graft_q_sql")
-        (new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s, dir)), dir)
-      })._1
-    }
-
-  /** One scratch dir per app for q_formats_roundtrip (overwrite-mode
-    * writes reuse it across bench passes instead of leaking a fresh
-    * dir per invocation — the same class of leak the facade above and
-    * the asof/interval catalog already fixed).
-    */
-  private val fmtDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private def fmtDir(s: SparkSession): String =
-    fmtDirs.synchronized {
-      val app = s.sparkContext.applicationId
-      fmtDirs.keys.filter(_ != app).foreach(k =>
-        fmtDirs.remove(k).foreach(reapTempDir))
-      fmtDirs.getOrElseUpdate(app, appTempDir("graft_q_fmt"))
-    }
-
-  /** Deterministic multi-line corpus for the line-level operators
-    * (q_line_dedup, q_stopline_filter): the documents table is
-    * single-line text, so each doc's lowercased whitespace tokens are
-    * re-joined into 6-token lines — the exact construction the DuckDB
-    * oracles replay. Output: (doc_id, text_lined).
-    */
-  private def sixTokenLined(s: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+"),
-      t => length(t) > 0)
-    t(s, dir, "documents")
-      .select(col("doc_id"), toks.as("__tk"))
-      .select(col("doc_id"), concat_ws("\n",
-        transform(
-          sequence(lit(0),
-            greatest(ceil(size(col("__tk")) / 6.0).cast("int") - 1, lit(0))),
-          i => array_join(slice(col("__tk"), i * 6 + 1, lit(6)), " ")))
-        .as("text_lined"))
-  }
-
-  /** Deterministic PUNCTUATED multi-line corpus for the C4 cleaning
-    * rules (q_c4_clean): the [[sixTokenLined]] lines gain terminal
-    * punctuation and rule-triggering markers by an index-keyed CASE
-    * both engines replay verbatim — line i of doc d becomes
-    * `lorem ipsum dolor.` (d%41=0, i=1), gains ` {` (d%37=0, i=0),
-    * ` javascript.` ((d+i)%29=0), or `.` ((d+i)%3≠0), else stays
-    * unpunctuated. Output: (doc_id, text_lined).
-    */
-  private def punctLined(s: SparkSession, dir: String): DataFrame =
-    sixTokenLined(s, dir).select(col("doc_id"),
-      concat_ws("\n", transform(split(col("text_lined"), "\n"), (ln, i) =>
-        when(pmod(col("doc_id"), lit(41)) === 0 && i === 1,
-          lit("lorem ipsum dolor."))
-          .when(pmod(col("doc_id"), lit(37)) === 0 && i === 0,
-            concat(ln, lit(" {")))
-          .when(pmod(col("doc_id") + i, lit(29)) === 0,
-            concat(ln, lit(" javascript.")))
-          .when(pmod(col("doc_id") + i, lit(3)) =!= 0, concat(ln, lit(".")))
-          .otherwise(ln))).as("text_lined"))
-
-  /** The flagship RAG slice — q_rag_e2e (the rows) and q_rag_contract
-    * (JSON-structure properties of the same rows).
-    */
-  private def memoizedRagE2e(s: SparkSession, dir: String,
-      fresh: Boolean = false): DataFrame =
-    if (fresh) memoRefresh(s, dir, "rag_e2e")(Rag.e2e(s, dir))
-    else memo(s, dir, "rag_e2e")(Rag.e2e(s, dir))
-
-  /** The hybrid RAG slice — q_rag_hybrid (rows, fresh per bench pass)
-    * and q_rag_hybrid_contract (law booleans over the SAME memoized
-    * rows — the [[memoizedRagE2e]] pattern).
-    */
-  private def memoizedHybridRag(s: SparkSession, dir: String,
-      fresh: Boolean = false): DataFrame = {
-    // the embedded corpus is the offline index artifact (the reference
-    // stores it in the vector topic) — memoized once per (app, dir);
-    // the RETRIEVAL pipeline still pays its full cost on fresh runs
-    val corpus = memo(s, dir, "rag_hybrid_corpus")(Rag.hybridCorpus(s, dir))
-    // term document frequencies are the lexical index artifact (the
-    // posting-list statistics a search engine persists at index time)
-    val dfTab = memo(s, dir, "rag_hybrid_df")(
-      graft.operators.Lexical.termDf(corpus, "cid", "ctext"))
-    // the posting list is the third index-time artifact (tf/dl per
-    // (doc, term) — what a search engine persists as its inverted index)
-    val post = memo(s, dir, "rag_hybrid_postings")(
-      graft.operators.Lexical.postings(
-        corpus.select(col("cid"), col("ctext")), "cid", "ctext"))
-    // the 1-row (N, avgdl) stats artifact completes the index: with it,
-    // scoring passes never re-tokenize the corpus at all
-    val stats = memo(s, dir, "rag_hybrid_stats")(
-      graft.operators.Lexical.corpusStats(corpus, "ctext"))
-    if (fresh) memoRefresh(s, dir, "rag_hybrid")(
-      Rag.hybridE2e(s, dir, corpusOverride = corpus, dfOverride = dfTab,
-        postOverride = post, statsOverride = stats))
-    else memo(s, dir, "rag_hybrid")(
-      Rag.hybridE2e(s, dir, corpusOverride = corpus, dfOverride = dfTab,
-        postOverride = post, statsOverride = stats))
-  }
-
-  /** Offline lexical index artifacts over the `documents` corpus —
-    * shared by the whole BM25 query family (q_bm25_topk, q_bm25_prf,
-    * q_hybrid_rrf), exactly the way [[memoizedHybridRag]] shares its
-    * chunk-corpus artifacts: a deployment computes the inverted index
-    * (postings), and corpus stats once at index time, and every query
-    * batch reuses them. The SCORING passes stay fresh per run — only
-    * the index artifacts memoize, preserving the operator-under-test
-    * bench discipline.
-    */
-  private def docPostings(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "docs_postings")(
-      graft.operators.Lexical.postings(
-        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text"))
-
-  private def docBm25Stats(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "docs_bm25_stats")(
-      graft.operators.Lexical.corpusStats(t(s, dir, "documents"), "text"))
-
-  /** Content tag for persisted-index paths, so a regenerated dataset at
-    * the same path triggers a rebuild instead of silently probing a
-    * stale index. `embeddings.parquet` may be a single file (the
-    * driver's pyarrow layout) or a Spark-written DIRECTORY — a
-    * directory inode's length/mtime are NOT content-derived (an
-    * in-place part rewrite can leave both unchanged), so the tag hashes
-    * every data file's (name, length, mtime) inside it instead.
-    */
-  private def indexTag(dir: String): String = contentTag(dir, "embeddings")
-
-  /** One-time facade corpus registration per (application, name): a
-    * registration collects (in-mem) or mints a fresh store tag
-    * (beyond-cap), so re-registering per bench pass would re-pay the
-    * collect — or worse, rebuild a persisted SQL-side index store every
-    * invocation. Names embed [[indexTag]], so regenerated data registers
-    * fresh.
-    */
-  private val sqlCorpusReg =
-    scala.collection.concurrent.TrieMap.empty[String, Boolean]
-  private def registerOnce(s: SparkSession, name: String)(reg: => Unit): Unit = {
-    sqlCorpusReg.getOrElseUpdate(
-      s.sparkContext.applicationId + "|" + name, { reg; true })
-    ()
-  }
-
-  /** Shared fixture of the filtered-shape rows (q_sql_filtered_mmr /
-    * q_sql_filtered_prf / q_sql_filtered_maxsim): ONE registered corpus,
-    * query view, canonical/admitted frames over the memoized embedded
-    * documents. The combined q_sql_filtered_shapes row was split into
-    * three (judge r13/r14: a single fixture row absorbing 4%+ of the
-    * board degrades the per-row timing signal); the embed-dominated
-    * setup stays shared through the memo keys.
-    */
-  private case class FShapes(g: graft.sql.GraftSql, name: String,
-      qs: DataFrame, slim: DataFrame, admSet: DataFrame, qv: DataFrame,
-      admTexts: DataFrame)
-  private def fshapesFixture(s: SparkSession, dir: String): FShapes = {
-    val g = sqlFacade(s)
-    val docs = t(s, dir, "documents")
-    val name = s"sqlfshapes_${contentTag(dir, "documents")}"
-    val corpus = memo(s, dir, "fshapes_corpus")(
-      docs.select(col("text").as("content"),
-        HashEmbedder.embedCol(col("text")).as("vector"), col("doc_id")))
-    registerOnce(s, name) {
-      g.registerSearchCorpus(name, corpus, "content", "vector", maxRows = 0)
-    }
-    val qs = memo(s, dir, "fshapes_qs")(
-      docs.filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("qdoc"), col("text").as("question"),
-          HashEmbedder.embedCol(col("text")).as("qv")))
-    qs.createOrReplaceTempView("graft_fshapes_queries")
-    val slim = corpus.select(col("content").as("__content"),
-        col("vector").cast("array<float>").as("__cvec"))
-      .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
-      .dropDuplicates("__cid")
-    val admSet = corpus.filter(col("doc_id") % 2 === 0)
-      .select(col("content").as("__content"),
-        col("vector").cast("array<float>").as("__cvec"))
-      .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
-      .select("__cid")
-    val qv = qs.select(xxhash64(col("qv")).as("__qid"),
-      col("qv").as("__qvec"), col("question").as("__qtext"), col("qdoc"))
-    val admTexts = docs.filter(col("doc_id") % 2 === 0)
-      .agg(collect_set(col("text")).as("adm"))
-    FShapes(g, name, qs, slim, admSet, qv, admTexts)
-  }
-  private def fshapesFacadeHits(f: FShapes, shape: String,
-      args: String): DataFrame =
-    f.g.execute("SELECT qdoc, search_results FROM graft_fshapes_queries, " +
-        s"LATERAL TABLE($shape('${f.name}', $args, 'doc_id % 2 = 0'));")
-      .select(col("qdoc"),
-        expr("transform(search_results, m -> m.content)").as("hits"))
-  private def fshapesRow(f: FShapes, fac: DataFrame, op: DataFrame): DataFrame =
-    fac.join(op, Seq("qdoc"), "left").crossJoin(f.admTexts)
-      .select(col("qdoc"),
-        (coalesce(col("hits"), expr("array()")) ===
-          coalesce(col("op_hits"), expr("array()"))).as("eq_ok"),
-        expr("forall(coalesce(hits, array()), h -> array_contains(adm, h))")
-          .as("admitted_only_ok"))
-      .orderBy("qdoc")
-
-  /** Shared body of q_sql_filtered_pq / q_sql_filtered_sq (compressed
-    * persisted stores: predicate pushed into the pruned code scan) AND
-    * q_sql_filtered_overfetch (an in-flight 'pq' family: no payload
-    * store, so the serve over-fetches the unfiltered pool and
-    * post-filters — the hnsw posture): register the embeddings corpus
-    * beyond-cap under the family, run the FILTERED_SEARCH worksheet
-    * statement, and contract recall against the exact filtered ground
-    * truth — one parameterized shape (the q_sql_filtered_indexed idiom).
-    */
-  private def sqlFilteredCompressed(s: SparkSession, dir: String,
-      family: String): DataFrame = {
-    val g = sqlFacade(s)
-    val name = s"sqlf${family}_${indexTag(dir)}"
-    registerOnce(s, name) {
-      g.registerSearchCorpus(name,
-        t(s, dir, "embeddings").select(
-          col("vec_id").cast("string").as("content"),
-          col("embedding").as("vector"), col("label")),
-        "content", "vector", maxRows = 0, indexType = family)
-    }
-    val queries = annQueries(s, dir)
-    queries.createOrReplaceTempView(s"graft_filtered_${family}_queries")
-    val approx = g.execute(
-        s"SELECT query_id, search_results FROM graft_filtered_${family}_queries, " +
-          s"LATERAL TABLE(FILTERED_SEARCH('$name', 3, qv, 'label % 4 = 1'));")
-      .select(col("query_id"), explode(col("search_results")).as("m"))
-      .select(col("query_id"), col("m.content").cast("long").as("match_id"))
-    VectorSearch.recallContract(approx, annFilteredGroundTruth(s, dir),
-      queries, "query_id", "match_id", 1)
-      .orderBy("query_id")
-  }
-
-  /** The celled delete-lifecycle MUTATION preamble shared by every
-    * q_*_delete fixture: clone the content-tagged pristine store (the
-    * build runs once per corpus content), tombstone every label%5==3
-    * vector at the store's current epoch, then LWW-revive the even-id
-    * half by re-ingesting at a later epoch. One implementation of the
-    * delete/revive recipe so a sixth index family adds a serve fn and
-    * knobs, not a fourth copy of the harness.
-    */
-  private def deleteLifecycleStore(s: SparkSession, dir: String, tag: String,
-      doneMarker: String = "stats/_SUCCESS")(build: String => Unit)(
-      delete: (String, DataFrame) => Any,
-      revive: (DataFrame, String) => Any): String = {
-    val emb = t(s, dir, "embeddings")
-    val store = clonedStore(s, dir, tag, doneMarker)(build)
-    delete(store, emb.filter(col("label") % 5 === 3).select("vec_id"))
-    revive(emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 === 0),
-      store)
-    store
-  }
-
-  /** The full contract-gated delete lifecycle for a LOSSY/compressed
-    * store family (q_ivfpq_delete / q_ivfsq_delete — q_hnsw_delete's
-    * gates, q_ivf_delete's phases): mutate via
-    * [[deleteLifecycleStore]], then serve TWICE (tombstone-filtered,
-    * post-compaction) with absolute deletion safety (`no_deleted`: a
-    * dead id may never fill a slot in either phase) and retrieval
-    * quality (recall vs the memoized exact top-3 over the SURVIVING
-    * corpus). The serve's re-rank corpus is deliberately the FULL table
-    * so a tombstone leak surfaces instead of being join-masked.
-    */
-  private def compressedDeleteLifecycle(s: SparkSession, dir: String,
-      tag: String)(build: String => Unit)(
-      delete: (String, DataFrame) => Any,
-      revive: (DataFrame, String) => Any,
-      compact: String => Any,
-      serve: (String, DataFrame) => DataFrame): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val store = deleteLifecycleStore(s, dir, tag)(build)(delete, revive)
-    val queries = annQueries(s, dir)
-    val surviving = emb.filter(col("label") % 5 =!= 3 ||
-      col("vec_id") % 2 === 0)
-    val exact = memo(s, dir, "ann_gt_k3_dot_surv")(
-      VectorSearch.topKFlat(queries, "query_id", "qv",
-        surviving, "vec_id", "embedding", k = 3, metric = "dot"))
-    val dead = emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 =!= 0)
-      .select(col("vec_id").as("match_id"))
-    def phaseDf(phase: String) = {
-      val approx = serve(store, queries).localCheckpoint()
-      val noDead = queries.select("query_id").join(
-          approx.join(dead, Seq("match_id"), "left_semi")
-            .select(col("query_id"), lit(false).as("__hit")).distinct(),
-          Seq("query_id"), "left")
-        .select(col("query_id"), coalesce(col("__hit"), lit(true))
-          .as("no_deleted"))
-      VectorSearch.recallContract(approx, exact, queries,
-        "query_id", "match_id", 1)
-        .join(noDead, Seq("query_id"))
-        .select(lit(phase).as("phase"), col("query_id"),
-          col("recall_ok"), col("no_deleted"))
-    }
-    val served = phaseDf("served").localCheckpoint()
-    compact(store)
-    served.unionByName(phaseDf("compacted"))
-      .orderBy("phase", "query_id")
-  }
-
-  /** The ONE build-once persisted HNSW store over the embeddings table —
-    * q_hnsw_index_recall and q_hnsw_filtered_recall both probe it (the
-    * index-once discipline every *_index_recall query follows). v2: the
-    * segment layout added the epoch partition column — a stale pre-epoch
-    * index under the same content tag must not serve.
-    */
-  private def hnswIndexStore(s: SparkSession, dir: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_index_v2_" +
-      indexTag(dir)
-    if (!graft.operators.FsUtil.exists(s, s"$path/_meta/_SUCCESS"))
-      graft.operators.HnswSearch.writeIndex(t(s, dir, "embeddings"),
-        "vec_id", "embedding", path, nShards = 4, m = 8,
-        efConstruction = 64, metric = "dot")
-    path
-  }
-
-  /** Its IVF twin: index once (content-addressed path; centroids are
-    * written last, so their _SUCCESS implies the whole index landed),
-    * probed by q_ivf_index_recall AND q_ivf_radius_recall — the
-    * benchmark times the PROBES, never a rebuild.
-    */
-  private def ivfIndexStore(s: SparkSession, dir: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
-      indexTag(dir)
-    if (!graft.operators.FsUtil.exists(s, s"$path/centroids/_SUCCESS"))
-      graft.operators.IvfSearch.writeIndex(t(s, dir, "embeddings"),
-        "vec_id", "embedding", path, nList = 16)
-    path
-  }
-
-  /** The SQ8 twin of [[ivfIndexStore]]: one build-once store probed by
-    * q_ivfsq_index_recall AND q_ivfsq_radius_recall.
-    */
-  private def ivfSqIndexStore(s: SparkSession, dir: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfsq_index_" +
-      indexTag(dir)
-    if (!graft.operators.FsUtil.exists(s, s"$path/stats/_SUCCESS"))
-      graft.operators.IvfSqIndex.writeIndex(t(s, dir, "embeddings"),
-        "vec_id", "embedding", path, nList = 16)
-    path
-  }
-
-  /** The PQ twin: one build-once store probed by q_ivfpq_index_recall
-    * AND q_ivfpq_radius_recall.
-    */
-  private def ivfPqIndexStore(s: SparkSession, dir: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
-      indexTag(dir)
-    if (!graft.operators.FsUtil.exists(s, s"$path/centroids/_SUCCESS"))
-      graft.operators.IvfPqIndex.writeIndex(t(s, dir, "embeddings"),
-        "vec_id", "embedding", path, nList = 16, m = 8, kCodes = 16)
-    path
-  }
-
-  /** A FRESH mutable copy of a content-addressed pristine store: `build`
-    * runs once per (corpus content, tag) — the index-once discipline
-    * every *_index_recall query follows — and each caller mutates its
-    * own file-level clone (the delete-lifecycle queries tombstone,
-    * append, and compact theirs; cloning a small store is milliseconds
-    * where rebuilding costs a training pass). `doneMarker` is the
-    * build's last-written file, so its existence implies a complete
-    * pristine store.
-    */
-  private def clonedStore(s: SparkSession, dir: String, tag: String,
-      doneMarker: String, table: String = "embeddings")(
-      build: String => Unit): String = {
-    val pristine = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-      contentTag(dir, table)
-    if (!graft.operators.FsUtil.exists(s, s"$pristine/$doneMarker"))
-      build(pristine)
-    // appTempDir, not a bare createTempDirectory: the mutated clone is
-    // store-sized and per-invocation — repeated bench passes must not
-    // accumulate orphaned index bytes past JVM exit
-    val clone = appTempDir(s"graft_${tag}_mut")
-    val conf = s.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(pristine)
-    val dst = new org.apache.hadoop.fs.Path(clone)
-    val fs = src.getFileSystem(conf)
-    fs.listStatus(src).foreach(st =>
-      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
-        new org.apache.hadoop.fs.Path(dst, st.getPath.getName), false, conf))
-    clone
-  }
-
-  /** Content identity of `$dir/$table.parquet` (names, sizes, mtimes) —
-    * the key for persisted train-once artifacts (PQ/SQ models on
-    * embeddings, the quality classifier on documents): same content →
-    * reload, changed content → retrain.
-    */
-  private def contentTag(dir: String, table: String): String = {
-    val root = new java.io.File(s"$dir/$table.parquet")
-    val files: Array[java.io.File] =
-      if (root.isDirectory)
-        Option(root.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-          .sortBy(_.getName)
-      else Array(root)
-    val h = files.foldLeft(s"$dir/$table".hashCode.toLong) { (acc, f) =>
-      ((acc * 1000003L) ^ f.getName.hashCode.toLong * 2654435761L) ^
-        (f.length() * 31) ^ (f.lastModified() * 131)
-    }
-    java.lang.Long.toHexString(h)
-  }
-
-  /** PQ codebooks for `dir`'s embeddings, trained AT MOST ONCE per
-    * corpus content: persisted content-addressed (the [[indexTag]]
-    * pattern) and memoized in-process. Training inside the query body
-    * was the one remaining 100 TB anti-shape (VERDICT r5 #1) — the
-    * serve path ([[graft.operators.PqSearch.pqTopK]] with a `cb`) does
-    * zero training passes.
-    */
-  private def pqCodebooks(s: SparkSession, dir: String): graft.operators.PqSearch.Codebooks =
-    graft.operators.PqSearch.cachedCodebooks(
-      t(s, dir, "embeddings"), "vec_id", "embedding", indexTag(dir),
-      m = 8, kCodes = 16)
-
-  /** Train-once/serve-many SQ8 bounds, content-addressed like
-    * [[pqCodebooks]] — the bench queries never pay a training pass.
-    */
-  private def sqModel(s: SparkSession, dir: String): graft.operators.SqSearch.SqModel =
-    graft.operators.SqSearch.cachedModel(
-      t(s, dir, "embeddings"), "vec_id", "embedding", indexTag(dir))
-
-  /** Train-once/serve-many BQ sign thresholds, content-addressed like
-    * [[pqCodebooks]] — the bench queries never pay a training pass.
-    */
-  private def bqModel(s: SparkSession, dir: String): graft.operators.BqSearch.BqModel =
-    graft.operators.BqSearch.cachedModel(
-      t(s, dir, "embeddings"), "embedding", indexTag(dir))
-
-  /** Train-once/serve-many BPE merge table (30 merges over the gate
-    * corpus's word types) — driver-side model like the k-means/PQ
-    * artifacts, trained from ONE word-type aggregate per (app, dir).
-    */
-  private val bpeCache =
-    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Bpe.BpeModel]
-  private def bpeModel(s: SparkSession, dir: String): graft.operators.Bpe.BpeModel =
-    bpeCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir,
-      graft.operators.Bpe.trainMerges(t(s, dir, "documents"), "text", nMerges = 30))
-
-  /** Shared contract bodies for the merge-table tokenizer families
-    * (BPE + WordPiece) — ONE implementation of each law so the two
-    * gates can never silently diverge.
-    *
-    * Closure contract: every merge's concatenation occurs in some
-    * corpus word (REAL corpus check via the broadcast word-type
-    * substring join), and each side is a single char or an earlier
-    * merge's unit.
-    */
-  private def mergeClosureContract(s: SparkSession, dir: String,
-      merges: IndexedSeq[(String, String)]): DataFrame = {
-    import s.implicits._
-    val units = scala.collection.mutable.Set.empty[String]
-    val rows = merges.zipWithIndex.map { case ((l, r), i) =>
-      def ok(x: String) = x.length == 1 || units.contains(x)
-      val c = ok(l) && ok(r)
-      units += (l + r)
-      (i, l + r, c)
-    }
-    val mdf = rows.toDF("rank", "pat", "construct_ok")
-    val words = graft.operators.Bpe.wordTypes(
-      t(s, dir, "documents"), "text", 1000000).select("word")
-    mdf.join(broadcast(words), contains(col("word"), col("pat")), "left")
-      .groupBy("rank")
-      .agg(max(col("construct_ok")).as("construct_ok"),
-        max(col("word").isNotNull).as("substring_ok"))
-      .select(col("rank").cast("int").as("rank"), col("substring_ok"),
-        col("construct_ok"))
-      .orderBy("rank")
-  }
-
-  /** Budget contract: per document, n_words <= <encoded count> <=
-    * n_chars — bounds the oracle can derive, counts it cannot.
-    * `counts` is the encoder output (id, `cntCol`).
-    */
-  private def tokenBoundsContract(s: SparkSession, dir: String,
-      counts: DataFrame, cntCol: String): DataFrame = {
-    // coalesce mirrors the encoders' null guard: a null text counts 0
-    // tokens there, so the bounds side must see 0 words / 0 chars (not
-    // size(null) = -1 and a null verdict diverging from the oracle)
-    val toksCol = filter(
-      split(lower(trim(coalesce(col("text"), lit("")))), "[ \\t\\n\\f\\r]+"),
-      x => length(x) > 0)
-    val bounds = t(s, dir, "documents").select(col("doc_id"),
-      size(toksCol).cast("long").as("__nw"),
-      aggregate(toksCol, lit(0L), (a, x) => a + length(x)).as("__nc"))
-    counts.withColumnRenamed("id", "doc_id")
-      .join(bounds, "doc_id")
-      .select(col("doc_id"),
-        (col(cntCol) >= col("__nw") && col(cntCol) <= col("__nc"))
-          .as("bounds_ok"))
-      .orderBy("doc_id")
-  }
-
-  /** Train-once/serve-many WordPiece merge table — the third tokenizer
-    * artifact next to [[bpeModel]] and [[ulmModel]], same memo rule.
-    */
-  private val wpCache =
-    scala.collection.concurrent.TrieMap.empty[String, graft.operators.WordPiece.WpModel]
-  private def wpModel(s: SparkSession, dir: String): graft.operators.WordPiece.WpModel =
-    wpCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir,
-      graft.operators.WordPiece.trainMerges(t(s, dir, "documents"), "text",
-        nMerges = 30))
-
-  /** Train-once/serve-many quality-classifier model, content-addressed
-    * like [[pqCodebooks]] — the production posture: the filter model is
-    * an offline artifact; bench queries only score. Weak labels = the
-    * Gopher structural verdict (named in the tag: a model is a function
-    * of corpus AND labeling).
-    */
-  private def qualityModel(s: SparkSession,
-      dir: String): graft.operators.QualityClassifier.Model =
-    graft.operators.QualityClassifier.cachedModel(
-      t(s, dir, "documents"), "doc_id", "text",
-      graft.functions.TextOps.gopherPass(col("text")),
-      tag = contentTag(dir, "documents") + "_gopher")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Rag.e2e(spark, "/root/testdata/sf0.001")
 
-  /** Exact sum of a cents-valued double column: round to integer cents
-    * (exact integral doubles — order-independent addition), divide back.
-    */
-  private def sumCents(c: org.apache.spark.sql.Column) =
-    sum(round(c * 100)) / 100.0
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
-
-    // --- P1/P2 scans & projections (SURVEY §2.2) -------------------------
-    "q_scan_project" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select("doc_id", "source", "n_chars")
-        .orderBy("doc_id")),
-
-    "q_filter" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .filter(col("l_quantity") > 30 && col("l_returnflag") === "R")
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-        // (l_orderkey, l_linenumber) is NOT unique in this synthetic data;
-        // include l_quantity so ties are identical tuples
-        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
-
-    // --- schemaless -> schema retrofit (SURVEY §1.2) ---------------------
-    "q_from_json" -> ((s, dir) =>
-      t(s, dir, "events")
-        .withColumn("k",
-          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))("k"))
-        .select("event_id", "event_type", "k")
-        .orderBy("event_id")),
-
-    // --- aggregation breadth (SURVEY §2.4 / §7.5.9) ----------------------
-    "q1_agg" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          sumCents(col("l_extendedprice")).as("sum_base_price"),
-          (sum(round(col("l_extendedprice") * 100) *
-            (lit(100) - round(col("l_discount") * 100))) / 10000.0).as("sum_revenue"),
-          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")),
-
-    // --- dedup: exact (north star) ---------------------------------------
-    "q_dedup_exact" -> ((s, dir) =>
-      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
-        .select("doc_id", "n_chars")
-        .orderBy("doc_id")),
-
-    // --- embedding (J1/M1; no oracle — golden/property tests) ------------
-    // Array columns crash the driver's pandas loader ("unhashable type:
-    // numpy.ndarray", CORRECTNESS_r01) — serialize to JSON for the
-    // rows-only check; the raw array form stays in entry()/Rag and specs.
-    "q_embed" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          to_json(HashEmbedder.embedCol(col("text"))).as("embedding_json"))
-        .orderBy("doc_id")),
-
-    // --- vector top-k, window strategy (J2) -------------------------------
-    // Driver-facing projection is (ids, rank) only: rank selection +
-    // ordering fully pins the score computation without betting on float
-    // bit-parity with the driver's DuckDB build (CORRECTNESS_r01 lesson —
-    // rows/ranks matched, raw-double hash didn't). Scores are verified
-    // bit-exactly in VectorExprsSpec/VectorSearchSpec.
-    "q_vector_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      VectorSearch.topKFlat(queries, "query_id", "qv", emb, "vec_id", "embedding",
-        k = 3, metric = "dot")
-        .select("query_id", "match_id", "rank")
-        .orderBy("query_id", "rank")
-    }),
-
-    // --- vector top-k, bounded-heap aggregate strategy (scale path) ------
-    // matches is best-first with ties broken by lower id (TopKHeap.better)
-    // == the oracle's row_number tie-break, so pos+1 IS the rank.
-    "q_vector_topk_agg" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      VectorSearch.topKAgg(queries, "query_id", "qv", emb, "vec_id", "embedding",
-        k = 3, metric = "dot")
-        .select(col("query_id"), posexplode(col("matches")).as(Seq("pos", "m")))
-        .select(col("query_id"), col("m.id").as("match_id"),
-          (col("pos") + 1).cast("int").as("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // --- cosine knn over a query sample ----------------------------------
-    "q_knn_cosine" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") % 10 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      VectorSearch.topKFlat(queries, "query_id", "qv", emb, "vec_id", "embedding",
-        k = 5, metric = "cosine")
-        .select("query_id", "match_id", "rank")
-        .orderBy("query_id", "rank")
-    }),
-
-    // --- FILTERED vector search (exact pre-filter baseline) ---------------
-    // Atlas $vectorSearch's `filter` shape: a metadata predicate admits a
-    // subset of the corpus and the top-k is exact over the admitted set.
-    // This is the oracle-hashed baseline; the index-served strategies
-    // (IVF payload pushdown, HNSW over-fetch) contract against the same
-    // ground truth below.
-    "q_vector_filtered" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      VectorSearch.topKFiltered(annQueries(s, dir), "query_id", "qv",
-        emb, "vec_id", "embedding", FilteredPred, k = 3, metric = "dot")
-        .select("query_id", "match_id", "rank")
-        .orderBy("query_id", "rank")
-    }),
-
-    // --- RANGE (radius) search: exact fixed-threshold retrieval -----------
-    // Every corpus vector with cosine ≥ 0.3 of each query — the radius
-    // twin of top-k (FAISS range_search). Cosine integer-scaled exactly
-    // like q_dedup_embedding (raw float hashes don't agree across
-    // engines; the rounded integer does).
-    "q_vector_radius" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      VectorSearch.radiusFlat(annQueries(s, dir), "query_id", "qv",
-        emb, "vec_id", "embedding", threshold = 0.3, metric = "cosine")
-        .select(col("query_id"), col("match_id"),
-          round(col("score") * 1e6).cast("long").as("cosine_1e6"))
-        .orderBy("query_id", "match_id")
-    }),
-
-    // Facet counts over the radius result (Atlas $searchMeta facets next
-    // to $vectorSearch): per query, admitted matches bucketed by label.
-    // Fully hash-oracled — the one-pass grouped count over the same
-    // admitted stream as q_vector_radius.
-    "q_radius_facets" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      VectorSearch.radiusFacetCounts(annQueries(s, dir), "query_id", "qv",
-        emb, "vec_id", "embedding", "label", threshold = 0.3,
-        metric = "cosine")
-        .select(col("query_id"), col("facet").cast("long").as("facet"),
-          col("n"))
-        .orderBy("query_id", "facet")
-    }),
-
-    // RADIUS_SEARCH on the SQL worksheet dialect — the same exact
-    // cosine ≥ 0.3 retrieval as q_vector_radius, reached entirely
-    // through the facade (register corpus → LATERAL TABLE statement),
-    // so the whole SQL route sits under the DuckDB hash. Contents are
-    // the corpus ids as strings; exploding search_results back to
-    // (query_id, match_id) keeps the output pandas-loadable.
-    "q_sql_radius" -> ((s, dir) => {
-      val g = sqlFacade(s)
-      val name = s"sqlrad_${indexTag(dir)}"
-      registerOnce(s, name) {
-        g.registerSearchCorpus(name,
-          t(s, dir, "embeddings").select(
-            col("vec_id").cast("string").as("content"),
-            col("embedding").as("vector")),
-          "content", "vector")
-      }
-      annQueries(s, dir).createOrReplaceTempView("graft_radius_queries")
-      g.execute("SELECT query_id, search_results FROM graft_radius_queries, " +
-          s"LATERAL TABLE(RADIUS_SEARCH('$name', 0.3, qv));")
-        .select(col("query_id"), explode(col("search_results")).as("m"))
-        .select(col("query_id"), col("m.content").cast("long").as("match_id"))
-        .orderBy("query_id", "match_id")
-    }),
-
-    // SHOW SEARCH CORPORA — the search registry's describe surface (the
-    // reference's describe-everything pattern: topics, models, and
-    // connections all describe; the corpus registry now does too).
-    // Fresh facade so the listing is exactly the three registrations
-    // made here: a collected corpus (exact broadcast route, declared
-    // family moot), a beyond-cap 'ivf' registration, and an external
-    // CREATE TABLE corpus still unbound. Fully hash-oracled.
-    "q_corpus_describe" -> ((s, dir) => {
-      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
-        appTempDir("graft_q_corpdesc")))
-      val emb = t(s, dir, "embeddings")
-      val src = emb.select(col("vec_id").cast("string").as("content"),
-        col("embedding").as("vector"))
-      g.registerSearchCorpus("products_mem", src.limit(200),
-        "content", "vector")
-      g.registerSearchCorpus("products_ivf", src, "content", "vector",
-        maxRows = 0, numCandidates = 500, indexType = "ivf")
-      g.execute("""CREATE TABLE `products_ext` (
-    `content` STRING,
-    `vector`  ARRAY<FLOAT>
-) WITH ('connector' = 'mongodb', 'mongodb.collection' = 'products_backing',
-        'mongodb.path' = 'vector', 'mongodb.index.type' = 'hnsw',
-        'mongodb.numCandidates' = '250',
-        'mongodb.lexical.index' = 'true');""")
-      g.execute("SHOW SEARCH CORPORA;").orderBy("name")
-    }),
-
-    // Facade-equivalence for the three round-13 filtered shapes in ONE
-    // row: each worksheet statement with a predicate must EXACTLY equal
-    // its operator-level composition over the same canonical ids and
-    // admitted set — MMR (admitted candidate pool), PRF (both passes
-    // filtered, global stats), MAXSIM (member-level pre-filter). The
-    // internal ids are content hashes (not oracle-replayable), so the
-    // gate is the q_sql_hybrid_filtered contract class: per-(shape,
-    // query) booleans pinned TRUE, plus admit-safety.
-    // the three filtered worksheet shapes, one board row each (split
-    // from the former q_sql_filtered_shapes per judge r13/r14): facade
-    // statement vs operator composition over the SHARED fshapesFixture
-    "q_sql_filtered_mmr" -> ((s, dir) => {
-      val f = fshapesFixture(s, dir)
-      // MMR: the facade admits the candidate pool before selection
-      val mmrOp = graft.operators.Lexical.mmrRerank(
-          f.qv.select(col("__qid"), col("__qvec")), "__qid", "__qvec",
-          f.slim.join(f.admSet, Seq("__cid"), "left_semi"), "__cid",
-          "__cvec", candN = 9, selectK = 3, lambda = 0.5)
-        .join(f.slim.select(col("__cid").as("match_id"), col("__content")),
-          "match_id")
-        .join(f.qs.select(xxhash64(col("qv")).as("query_id"), col("qdoc")),
-          "query_id")
-        .groupBy("qdoc")
-        .agg(expr("transform(sort_array(collect_list(struct(sel_rank, " +
-          "__content))), m -> m.__content)").as("op_hits"))
-      fshapesRow(f, fshapesFacadeHits(f, "MMR_SEARCH", "3, qv, 9, 0.5"),
-        mmrOp)
-    }),
-
-    "q_sql_filtered_maxsim" -> ((s, dir) => {
-      val f = fshapesFixture(s, dir)
-      // MAXSIM: member-level pre-filter (the group is the content)
-      val members = f.slim.join(f.admSet, Seq("__cid"), "left_semi")
-        .withColumn("__gid", xxhash64(col("__content")))
-      val msRanked = graft.operators.VectorSearch.groupMaxSimTopK(
-          f.qv.select(col("__qid"), col("__qvec")), "__qid", "__qvec",
-          members, "__gid", "__cvec", 3, "cosine")
-      val groups = f.slim.withColumn("__gid2", xxhash64(col("__content")))
-      val msOp = msRanked
-        .join(groups.select(col("__gid2").as("match_group"),
-          col("__content")).dropDuplicates("match_group"), "match_group")
-        .join(f.qs.select(xxhash64(col("qv")).as("query_id"), col("qdoc")),
-          "query_id")
-        .groupBy("qdoc")
-        .agg(expr("transform(sort_array(collect_list(struct(rank, " +
-          "__content))), m -> m.__content)").as("op_hits"))
-      fshapesRow(f, fshapesFacadeHits(f, "MAXSIM_SEARCH", "3, qv"), msOp)
-    }),
-
-    "q_sql_filtered_prf" -> ((s, dir) => {
-      val f = fshapesFixture(s, dir)
-      // PRF: both passes filtered under global stats
-      val qTerms = f.qv.select(
-        xxhash64(col("__qtext")).as("query_id"),
-        explode(graft.operators.Lexical.toks(col("__qtext"))).as("term"))
-      val prfOp = graft.operators.Lexical.bm25PrfTopK(qTerms, "query_id",
-          "term", f.slim, "__cid", "__content", 3, fbDocs = 5, fbTerms = 3,
-          allowed = f.admSet, allowedId = "__cid")
-        .join(f.slim.select(col("__cid").as("match_id"), col("__content")),
-          "match_id")
-        .join(f.qs.select(xxhash64(col("question")).as("query_id"),
-          col("qdoc")), "query_id")
-        .groupBy("qdoc")
-        .agg(expr("transform(sort_array(collect_list(struct(rank, " +
-          "__content))), m -> m.__content)").as("op_hits"))
-      fshapesRow(f, fshapesFacadeHits(f, "PRF_SEARCH", "3, question"), prfOp)
-    }),
-
-    // FILTERED radius on the worksheet (Atlas filter-inside-the-search,
-    // fixed-threshold form): the optional predicate arg admits a
-    // metadata subset BEFORE the exact threshold cut, so the result is
-    // the exact filtered ball — fully under the DuckDB hash like
-    // q_sql_radius (a radius result is a complete set; no top-k
-    // boundary for tie-breaks to diverge on).
-    "q_sql_radius_filtered" -> ((s, dir) => {
-      val g = sqlFacade(s)
-      val name = s"sqlradf_${indexTag(dir)}"
-      registerOnce(s, name) {
-        g.registerSearchCorpus(name,
-          t(s, dir, "embeddings").select(
-            col("vec_id").cast("string").as("content"),
-            col("embedding").as("vector"), col("label")),
-          "content", "vector")
-      }
-      annQueries(s, dir).createOrReplaceTempView("graft_radiusf_queries")
-      g.execute("SELECT query_id, search_results FROM graft_radiusf_queries, " +
-          s"LATERAL TABLE(RADIUS_SEARCH('$name', 0.3, qv, 'label % 4 = 1'));")
-        .select(col("query_id"), explode(col("search_results")).as("m"))
-        .select(col("query_id"), col("m.content").cast("long").as("match_id"))
-        .orderBy("query_id", "match_id")
-    }),
-
-    // --- embedding near-dup pairs (north star) ----------------------------
-    // Threshold 0.35 matches the LSH twin: the synthetic embeddings have
-    // no true near-dups (max pairwise cosine ≈ 0.51), so 0.35 yields a
-    // REAL ~189-pair oracle comparison instead of two empty sets. Cosine
-    // is integer-scaled (round-to-integer agrees across engines; raw
-    // float hashes don't, CORRECTNESS_r01).
-    "q_dedup_embedding" -> ((s, dir) =>
-      memoizedEmbeddingPairs(s, dir, fresh = true)
-        .select(col("id1"), col("id2"),
-          round(col("cosine") * 1e6).cast("long").as("cosine_1e6"))
-        .orderBy("id1", "id2")),
-
-    // LSH-bucketed scale path (rows-only; DedupSpec asserts recall and
-    // precision against the exact twin). Threshold 0.35 / 4-bit buckets
-    // exercise the candidate route end-to-end on this corpus.
-    "q_dedup_embedding_lsh" -> ((s, dir) =>
-      memoizedEmbeddingPairsLsh(s, dir, fresh = true)
-        .orderBy("id1", "id2")),
-
-    // --- SemDeDup: k-means-bounded semantic dedup (Abbas 2023) ------------
-    // Survivors of cluster-bounded cosine dedup at 0.35 (rows-only; the
-    // contract twin below is the oracle gate).
-    "q_semdedup" -> ((s, dir) =>
-      memoizedSemDedup(s, dir, fresh = true)
-        .select(col("id").as("vec_id"), col("cell").cast("long").as("cell"))
-        .orderBy("vec_id")),
-
-    // Contract over the SAME run: the exact 0.35 pair set is the oracle-
-    // recomputable ground truth (DuckDB's own cosine); semDedup pairs are
-    // cluster-bounded ⊆ exact pairs, so "isolated docs survive" and
-    // "removed docs have a ≥-threshold exact neighbor" are guaranteed —
-    // pinned TRUE by the oracle, computed (not pinned) here.
-    "q_semdedup_contract" -> ((s, dir) => {
-      val surv = memoizedSemDedup(s, dir)
-        .select(col("id").as("vec_id")).withColumn("__kept", lit(true))
-      val exact = memoizedEmbeddingPairs(s, dir)
-      val paired = exact.select(col("id1").as("vec_id"))
-        .union(exact.select(col("id2").as("vec_id")))
-        .distinct().withColumn("__paired", lit(true))
-      t(s, dir, "embeddings").select(col("vec_id"))
-        .join(broadcast(paired), Seq("vec_id"), "left")
-        .join(broadcast(surv), Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("__paired"), lit(false)).unary_!.as("is_isolated"),
-          (coalesce(col("__paired"), lit(false)) ||
-            coalesce(col("__kept"), lit(false))).as("isolated_kept_ok"),
-          (coalesce(col("__kept"), lit(false)) ||
-            coalesce(col("__paired"), lit(false))).as("removed_has_neighbor_ok"))
-        .orderBy("vec_id")
-    }),
-
-    // --- D4 prototypicality pruning (Tirumala 2023, arXiv:2308.12284) -----
-    // Anchor-celled form, fully oracled: cells are argmax-cosine against
-    // the 8 lowest-id vectors (a construction both engines replay on
-    // bit-identical FLOAT[] inputs with bit-equal cosine kernels, so
-    // assignment is deterministic cross-engine); centroids quantize to
-    // f32 on both sides (DiversifySpec asserts the quantized mean is
-    // summation-ORDER-invariant, so either engine's partial-sum order
-    // lands on the same float); emitted columns are integers only. The
-    // k-means-celled scale path is Diversify.d4Pipeline (spec-proven —
-    // trained centroids aren't oracle-reproducible).
-    "q_proto_prune" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      // bounded driver collect: exactly 8 anchor rows by construction
-      val anchors = emb.orderBy("vec_id").limit(8)
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-      val celled = graft.operators.Diversify.anchorCells(
-        emb, "vec_id", "embedding", anchors)
-      graft.operators.Diversify.prototypePrune(celled, "id", "v", "cell",
-        dropFrac = 0.25)
-        .select(col("id").as("vec_id"), col("cell"), col("n_cell"),
-          col("proto_rank"))
-        .orderBy("vec_id")
-    }),
-
-    // --- RAG sliding-window token chunker ---------------------------------
-    // 32-token chunks advancing by 24 (8 overlapping context tokens) —
-    // the ingestion step upstream of the reference's embed-and-store
-    // flow. Pure narrow codegen work; fully oracled incl. chunk text.
-    "q_chunk_tokens" -> ((s, dir) =>
-      Corpus.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
-        chunkSize = 32, overlap = 8)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id", "chunk_id")),
-
-    // --- SEMANTIC decontamination (embedding-level eval-leak guard) -------
-    // Train slice = vec_id % 5 != 0, benchmark = the rest; a train doc
-    // within 0.35 cosine of ANY benchmark vector drops. Broadcast bench,
-    // one narrow anti-join pass (codegen'd cosine) — fully oracled via
-    // DuckDB's own NOT EXISTS over its bit-identical cosine.
-    "q_semantic_decontam" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Corpus.semanticDecontaminate(
-        emb.filter(col("vec_id") % 5 =!= 0),
-        emb.filter(col("vec_id") % 5 === 0),
-        "vec_id", "embedding", threshold = 0.35)
-        .select(col("vec_id"), col("label").cast("long").as("label"))
-        .orderBy("vec_id")
-    }),
-
-    // --- prompt assembly (F1/F2) ------------------------------------------
-    "q_prompt_assembly" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          to_json(struct(lit("user").as("role"), col("text").as("content"),
-            col("lang").as("lang"))).as("prompt"))
-        .orderBy("doc_id")),
-
-    // --- full RAG slice (no oracle; smoke + unit tests) -------------------
-    // products is ARRAY<STRUCT<content>> — serialize for the driver's
-    // pandas loader (rows-only check); Rag.e2e keeps the typed array.
-    "q_rag_e2e" -> ((s, dir) =>
-      memoizedRagE2e(s, dir, fresh = true).withColumn("products", to_json(col("products")))),
-
-    // --- contract twins: embedder / RAG / multimodal (oracle pins TRUE) ---
-    // The hash-derived values themselves aren't SQL-computable, so the
-    // oracle-checked surface is their mathematical contract, like the
-    // HLL/recall contracts: unit norm for the embedder, JSON structure
-    // for the RAG response, stub-codec bounds for media features.
-    "q_embed_contract" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), HashEmbedder.embedCol(col("text")).as("v"))
-        .select(col("doc_id"),
-          VectorFunctions.dot_product(col("v"), col("v")).as("selfdot"))
-        .select(col("doc_id"),
-          (abs(col("selfdot") - 1.0) < 1e-5 || col("selfdot") === 0.0)
-            .as("unit_norm_ok"))
-        .orderBy("doc_id")),
-
-    "q_rag_contract" -> ((s, dir) =>
-      memoizedRagE2e(s, dir)
-        .select(col("doc_id"),
-          (get_json_object(col("prompt"), "$.role") === "user").as("prompt_role_ok"),
-          (get_json_object(col("json_response"), "$.role") === "assistant")
-            .as("response_role_ok"),
-          (size(col("products")) > 0).as("has_products"),
-          (get_json_object(col("prompt"), "$.content").isNotNull)
-            .as("prompt_has_content"))
-        .orderBy("doc_id")),
-
-    "q_multimodal_contract" -> ((s, dir) =>
-      Multimodal.extractFeatures(
-        Multimodal.withMediaColumn(t(s, dir, "documents"), "doc_id", "text"))
-        .toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          (col("decoded_width").between(16, 79)).as("width_ok"),
-          (col("kind") =!= "audio" || col("decoded_height") === 1).as("audio_1d_ok"))
-        .orderBy("media_id")),
-
-    // --- text analysis (north star) ---------------------------------------
-    "q_text_stats" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextOps.tokenCountWs(col("text")).cast("long").as("n_tok_ws"),
-        TextOps.tokenCountBpeish(col("text")).cast("long").as("n_tok_bpe"),
-        TextOps.punctCount(col("text")).cast("long").as("n_punct"),
-        TextOps.stopwordRatio(col("text")).as("stopword_ratio"))
-        .orderBy("doc_id")),
-
-    // lang-id + fingerprint (UDF heuristics; rows-only + unit tests)
-    "q_lang_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextOps.langId(col("text")).as("lang_pred"),
-        TextOps.fingerprint(col("text")).as("fp"),
-        TextOps.simhash(col("text")).as("simhash"))
-        .orderBy("doc_id")),
-
-    // --- n-gram Jaccard near-dup pairs (north star; oracle ✓) -------------
-    "q_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.3)
-        .orderBy("id1", "id2")),
-
-    // --- MinHash near-dup pairs (north star; rows-only + unit tests) ------
-    "q_minhash_pairs" -> ((s, dir) =>
-      memoizedMinhashPairs(s, dir, fresh = true)
-        .orderBy("id1", "id2")),
-
-    // --- SimHash near-dup pairs (north star; rows-only + unit tests) ------
-    "q_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 6)
-        .orderBy("id1", "id2")),
-
-    // --- TPC-H-style breadth: joins + agg + top-n (SURVEY §2.12) ----------
-    "q3_shipping" -> ((s, dir) => {
-      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val ord = t(s, dir, "orders").filter(col("o_orderdate") < "1998-01-01")
-      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > "1998-01-01")
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .groupBy("l_orderkey")
-        .agg((sum(round(col("l_extendedprice") * 100) *
-          (lit(100) - round(col("l_discount") * 100))) / 10000.0).as("revenue"),
-          count(lit(1)).as("n_lines"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(10)
-    }),
-
-    "q5_region_revenue" -> ((s, dir) => {
-      val asia = broadcast(
-        t(s, dir, "nation").join(
-          broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
-          col("n_regionkey") === col("r_regionkey")))
-      t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .join(asia, col("c_nationkey") === col("n_nationkey"))
-        .groupBy("n_name")
-        .agg((sum(round(col("l_extendedprice") * 100) *
-          (lit(100) - round(col("l_discount") * 100))) / 10000.0).as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
-    }),
-
-    // semi join: orders with >=1 returned line (left_semi)
-    "q_semi_join" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
-          col("o_orderkey") === col("l_orderkey"), "left_semi")
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("o_orderstatus")),
-
-    // anti join: customers with no 1995 orders (the orders side is
-    // year-restricted so the result is non-vacuous — in the synthetic
-    // data every customer has at least one order overall)
-    "q_anti_join" -> ((s, dir) =>
-      t(s, dir, "customer")
-        .join(t(s, dir, "orders").filter(year(col("o_orderdate")) === 1995),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")),
-
-    // theta join: lines priced far above catalog
-    "q_theta_join" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")),
-          col("l_partkey") === col("p_partkey") &&
-            col("l_extendedprice") > col("p_retailprice") * 20)
-        .groupBy("p_brand")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("p_brand")),
-
-    // --- window functions ------------------------------------------------
-    "q_window_rank" -> ((s, dir) => {
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, dir, "orders")
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
-        .orderBy("o_custkey", "rnk")
-    }),
-
-    "q_window_running" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "events")
-        .withColumn("running_cents", sum(round(col("value") * 100)).over(w))
-        .select(col("event_id"), col("user_id"),
-          (col("running_cents") / 100.0).as("running_value"))
-        .orderBy("event_id")
-    }),
-
-    // --- as-of join (custom operator; SURVEY §2.3 absent-from-Spark) ------
-    "q_asof_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val signups = ev.filter(col("event_type") === "signup")
-        .select("user_id", "ts", "value")
-      graft.operators.AsofJoin.asofLeft(
-        purchases, signups, "user_id", "ts", "ts", Seq("value"))
-        .select(col("event_id"), col("user_id"), col("value").as("signup_value"))
-        .orderBy("event_id")
-    }),
-
-    // --- forward as-of: earliest right row at-or-after the left row -------
-    // (the other direction of the time-series join; DuckDB's ASOF with a
-    // flipped inequality is the oracle)
-    "q_asof_forward" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val signups = ev.filter(col("event_type") === "signup")
-        .select("user_id", "ts", "value")
-      graft.operators.AsofJoin.asofLeft(
-        purchases, signups, "user_id", "ts", "ts", Seq("value"),
-        direction = "forward")
-        .select(col("event_id"), col("user_id"), col("value").as("next_signup_value"))
-        .orderBy("event_id")
-    }),
-
-    // --- ASOF JOIN through the SQL facade (DuckDB's own spelling is the
-    // oracle, so the statement-level surface earns a real hash row) ------
-    "q_asof_sql" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts").createOrReplaceTempView("asof_p")
-      ev.filter(col("event_type") === "signup")
-        .select("user_id", "ts", "value").createOrReplaceTempView("asof_s")
-      sqlFacade(s).execute("""SELECT event_id, user_id, value AS signup_value
-FROM asof_p p ASOF LEFT JOIN asof_s s2
-ON p.user_id = s2.user_id AND p.ts >= s2.ts
-ORDER BY event_id""")
-    }),
-
-    // --- strict ASOF boundary through the SQL facade: `>` excludes an
-    // exactly-coincident right row (DuckDB admits both forms, so the
-    // boundary semantics earn their own oracle row) --------------------
-    "q_asof_sql_strict" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts").createOrReplaceTempView("asof_p")
-      ev.filter(col("event_type") === "signup")
-        .select("user_id", "ts", "value").createOrReplaceTempView("asof_s")
-      sqlFacade(s).execute("""SELECT event_id, user_id, value AS signup_value
-FROM asof_p p ASOF LEFT JOIN asof_s s2
-ON p.user_id = s2.user_id AND p.ts > s2.ts
-ORDER BY event_id""")
-    }),
-
-    // --- interval join through the SQL facade (Flink's symmetric-BETWEEN
-    // spelling routes to the bucketed IntervalJoin, not a BNL join) ------
-    "q_interval_sql" -> ((s, dir) => {
-      t(s, dir, "events").select("event_id", "user_id", "ts")
-        .createOrReplaceTempView("iv_events")
-      sqlFacade(s).execute("""SELECT event_id, b_event_id AS event_id2, user_id
-FROM iv_events a JOIN iv_events b
-ON a.user_id = b.user_id
-AND a.ts BETWEEN b.ts - INTERVAL '1' MINUTE AND b.ts + INTERVAL '1' MINUTE
-WHERE event_id < b_event_id
-ORDER BY event_id, event_id2""")
-    }),
-
-    // --- interval join (custom operator; range-join absence in §2.3) ------
-    "q_interval_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
-      graft.operators.IntervalJoin.within(
-        ev, ev.withColumnRenamed("event_id", "event_id2").withColumnRenamed("ts", "ts2"),
-        "user_id", "ts", "ts2", maxGapSeconds = 60, rightPayload = Seq("event_id2"))
-        .filter(col("event_id") < col("event_id2"))
-        .select("event_id", "event_id2", "user_id")
-        .orderBy("event_id", "event_id2")
-    }),
-
-    // --- more window functions: lag / lead / ntile ------------------------
-    "q_window_lag" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-      t(s, dir, "events")
-        .select(col("event_id"), col("user_id"),
-          lag(col("event_type"), 1).over(w).as("prev_type"),
-          lead(col("event_type"), 1).over(w).as("next_type"),
-          ntile(4).over(w).as("quartile"))
-        .orderBy("event_id")
-    }),
-
-    // --- quality scoring (north star text analysis) -----------------------
-    "q_quality" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")),
-
-    // --- Gopher structural quality rules (Rae et al. 2021, table A1) ------
-    // Per-doc stats + composite verdict, all built-ins → full DuckDB oracle.
-    "q_gopher_rules" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextOps.wordCount(col("text")).cast("long").as("n_words"),
-          TextOps.meanWordLen(col("text")).as("mean_word_len"),
-          TextOps.symbolRatio(col("text")).as("symbol_ratio"),
-          TextOps.bulletLineRatio(col("text")).as("bullet_line_ratio"),
-          TextOps.ellipsisLineRatio(col("text")).as("ellipsis_line_ratio"),
-          TextOps.alphaWordRatio(col("text")).as("alpha_word_ratio"),
-          TextOps.stopwordHits(col("text")).cast("long").as("n_stop_hits"))
-        // verdict from the emitted columns: one tokenize pass per doc,
-        // and gopher_pass can never disagree with the reported metrics
-        .withColumn("gopher_pass", TextOps.gopherPassFromCols(
-          col("n_words"), col("mean_word_len"), col("symbol_ratio"),
-          col("bullet_line_ratio"), col("ellipsis_line_ratio"),
-          col("alpha_word_ratio"), col("n_stop_hits")))
-        .orderBy("doc_id")),
-
-    // --- unigram-LM quality proxy (CCNet-style, Wenzek et al. 2020) -------
-    // Per-doc cross-entropy under the corpus's own unigram LM — the
-    // perplexity-bucket filter, fully relational, full DuckDB oracle.
-    "q_unigram_xent" -> ((s, dir) =>
-      Corpus.unigramXent(t(s, dir, "documents"), "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")),
-
-    // --- CCNet perplexity buckets (head/middle/tail) ----------------------
-    // Band cutoffs estimated on the deterministic 20% hash sample (the
-    // CCNet held-out-slice discipline — never a global sort); assignment
-    // is a literal-compare chain on the rounded xent. Fully oracled:
-    // DuckDB replays the sample, the rank cutoffs, and the band compare.
-    "q_xent_buckets" -> ((s, dir) =>
-      Corpus.xentBuckets(t(s, dir, "documents"), "doc_id", "text",
-        sampleRate = 0.2, nBuckets = 3)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")),
-
-    // --- bigram-LM quality proxy (order-sensitive CCNet rung) -------------
-    // Per-doc cross-entropy under the corpus's own add-1 bigram LM —
-    // scores word ORDER, the signal the unigram proxy can't see; fully
-    // relational, full DuckDB oracle.
-    "q_bigram_xent" -> ((s, dir) =>
-      Corpus.bigramXent(t(s, dir, "documents"), "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")),
-
-    // --- trained quality classifier (GPT-3/fastText filter rung) ----------
-    // Logistic regression over hashed BoW + structural features, trained
-    // distributed on Gopher-verdict weak labels (train-once per app/dir;
-    // deterministic integer-scaled GD). Rows-only; the contract twin is
-    // the hash gate.
-    "q_quality_classifier" -> ((s, dir) =>
-      graft.operators.QualityClassifier.score(t(s, dir, "documents"),
-          "doc_id", "text", qualityModel(s, dir))
-        .withColumnRenamed("id", "doc_id")
-        .withColumn("score", round(col("score"), 4))
-        .orderBy("doc_id")),
-
-    // Contract: scores are probabilities, and the trained model actually
-    // separates its weak labels (AUC >= 0.85 — measured 0.98+ at the
-    // gate SFs; the margin absorbs corpus churn). The oracle pins both
-    // booleans TRUE per doc.
-    "q_quality_classifier_contract" -> ((s, dir) => {
-      import graft.operators.QualityClassifier
-      val docs = t(s, dir, "documents")
-      val scored = QualityClassifier.score(docs, "doc_id", "text",
-          qualityModel(s, dir))
-        .join(docs.select(col("doc_id").as("id"),
-          graft.functions.TextOps.gopherPass(col("text")).as("__y")), "id")
-      val a = QualityClassifier.auc(scored, "score", "__y")
-        .select((col("auc") >= 0.85).as("auc_ok"))
-      scored
-        .select(col("id").as("doc_id"),
-          (col("score") >= 0.0 && col("score") <= 1.0).as("score_in_unit"))
-        .crossJoin(broadcast(a))
-        .orderBy("doc_id")
-    }),
-
-    // --- DSIR importance selection (Xie et al. 2023), deterministic -------
-    // Target distribution = the corpus's own English slice (the trusted-
-    // subset role); selection is top-100 by smoothed unigram log-ratio.
-    // The top-k is TakeOrderedAndProject + a broadcast semi-probe back —
-    // never a global single-partition window.
-    "q_dsir_select" -> ((s, dir) => {
-      // materialized once: the top-100 carve and the probe side both
-      // read it, and join branches don't share work
-      val w = Corpus.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
-        col("lang") === "en").withColumnRenamed("id", "doc_id")
-        .localCheckpoint()
-      val top = w.orderBy(col("dsir_weight").desc, col("doc_id"))
-        .limit(100).select(col("doc_id").as("__sel"))
-      w.join(broadcast(top), col("doc_id") === col("__sel"), "left")
-        .select(col("doc_id"), col("n_tok"), col("dsir_weight"),
-          col("__sel").isNotNull.as("selected"))
-        .orderBy("doc_id")
-    }),
-
-    // --- cross-corpus unigram divergence (mix monitoring) -----------------
-    // KL both ways between the en slice and the rest under add-1
-    // unigram LMs over the union vocabulary — the drift signal a mix
-    // pipeline watches between slices or crawl snapshots. One row.
-    "q_corpus_divergence" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Corpus.corpusDivergence(
-        docs.filter(col("lang") === "en"),
-        docs.filter(col("lang") =!= "en"), "doc_id", "text")
-    }),
-
-    // --- sketch aggregate: HLL distinct --------------------------------
-    // Oracle-checkable accuracy contract: the sketch value itself is
-    // engine-specific, so the driver-facing columns are the EXACT count
-    // plus a boolean asserting the HLL estimate landed within 5% of it
-    // (rsd=0.02 ⇒ 5% is > 2σ). The oracle emits the exact count and
-    // literal TRUE — a drifting sketch flips the boolean and fails hash.
-    // Pre-deduplicate (flag, partkey) once, then count + sketch over the
-    // distinct keys: HLL is duplicate-insensitive so the estimate is
-    // identical, and the plan avoids the Expand (double-shuffle) that
-    // `count(DISTINCT) + approx_count_distinct` in one agg would cost.
-    "q_hll_distinct" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .select("l_returnflag", "l_partkey").distinct()
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          count(lit(1)).as("exact_parts"))
-        .select(col("l_returnflag"), col("exact_parts"),
-          (abs(col("approx_parts") - col("exact_parts")) <=
-            col("exact_parts") * 0.05).as("hll_ok"))
-        .orderBy("l_returnflag")),
-
-    // --- grouping sets / distinct agg ------------------------------------
-    "q_rollup" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
-
-    "q_distinct_agg" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(col("l_partkey")).as("n_part"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag")),
-
-    // --- set operations ---------------------------------------------------
-    "q_set_ops" -> ((s, dir) => {
-      val ord = t(s, dir, "orders")
-      def active(y: Int) = ord.filter(year(col("o_orderdate")) === y).select("o_custkey")
-      active(1995).intersect(active(1996)).except(active(2000))
-        .orderBy("o_custkey")
-    }),
-
-    // --- bag-semantics set ops --------------------------------------------
-    "q_set_ops_all" -> ((s, dir) => {
-      val ord = t(s, dir, "orders")
-      def keys(y: Int) = ord.filter(year(col("o_orderdate")) === y).select("o_custkey")
-      keys(1995).intersectAll(keys(1996)).exceptAll(keys(2000))
-        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
-        .orderBy("o_custkey")
-    }),
-
-    // --- full outer join (partially disjoint key sets, nulls surfaced) ----
-    "q_full_outer" -> ((s, dir) => {
-      val ord = t(s, dir, "orders")
-      def yearly(y: Int, out: String) = ord.filter(year(col("o_orderdate")) === y)
-        .groupBy(col("o_custkey").as(s"k$y")).agg(count(lit(1)).as(out))
-      yearly(1995, "n_1995").join(yearly(1996, "n_1996"),
-          col("k1995") === col("k1996"), "full_outer")
-        .select(coalesce(col("k1995"), col("k1996")).as("custkey"),
-          col("n_1995"), col("n_1996"))
-        .orderBy("custkey")
-    }),
-
-    // --- array-function breadth (serialized for the driver loader) --------
-    "q_array_funcs" -> ((s, dir) => {
-      val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          size(array_distinct(toks)).cast("long").as("n_uniq"),
-          array_join(slice(sort_array(array_distinct(toks)), 1, 3), " ").as("first3"),
-          array_contains(toks, "the").as("has_the"))
-        .orderBy("doc_id")
-    }),
-
-    // --- sketch percentile accuracy contract ------------------------------
-    // approx_percentile(p50) must land inside the exact [p40, p60] band;
-    // oracle pins TRUE (same pattern as the HLL/recall contracts).
-    // The exact band is computed as window ORDER STATISTICS (row_number
-    // over one sort shuffle of slim rows, parallel per group), not the
-    // exact-percentile aggregate — that one ships every value through
-    // the shuffle inside serialized buffers (measured 2.3 s warm vs
-    // ~1 s for this shape at sf0.1). Order-stat bounds differ from
-    // interpolated percentiles by < 1 rank; the approx side's rank
-    // error is ≤ n/1000, so the ±10%-rank band is orders of magnitude
-    // wider than both together.
-    // the approximate p50 must land inside the exact [p40, p60] band.
-    // ONE partial aggregation: approx_percentile's KLL-style sketch and
-    // the exact percentile both merge map-side partials, so the 3-value
-    // returnflag key never becomes 3 unsplittable window-sort tasks
-    // (the previous row_number-over-group shape — a 100 TB lineitem
-    // would sort a third of the table per task). The exact percentile
-    // buffers per-group value counts; fine at any scale where a GROUP's
-    // distinct-value histogram fits an executor (prices are bounded) —
-    // and the operator under test is the SKETCH, which is the scale path.
-    "q_approx_percentile" -> ((s, dir) =>
-      t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
-        .groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_extendedprice, array(0.4, 0.6))").as("band"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"))
-        .select(col("l_returnflag"),
-          (col("ap") >= col("band")(0) && col("ap") <= col("band")(1))
-            .as("p50_ok"))
-        .orderBy("l_returnflag")),
-
-    // --- pivot ------------------------------------------------------------
-    "q_pivot" -> ((s, dir) =>
-      t(s, dir, "events")
-        .groupBy("user_id")
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(count(lit(1)))
-        .na.fill(0L)
-        .orderBy("user_id")),
-
-    // --- conversation history: windowed array agg (reference sessionid) ---
-    // history joined with '|' instead of emitted as ARRAY<STRING>: the
-    // driver's pandas loader can't hash ndarray cells (CORRECTNESS_r01)
-    // and event_type values are delimiter-safe words.
-    "q_conversation" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-        .rowsBetween(-3, -1)
-      t(s, dir, "events")
-        .select(col("event_id"), col("user_id"),
-          concat_ws("|", collect_list(col("event_type")).over(w)).as("history"))
-        .orderBy("event_id")
-    }),
-
-    // --- global sort / limit ----------------------------------------------
-    "q_sort_limit" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-        .limit(20)),
-
-    // --- events: tumbling window + sessionize (ST gap-fill) ---------------
-    "q_events_tumbling" -> ((s, dir) =>
-      t(s, dir, "events")
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sumCents(col("value")).as("sum_value"))
-        .select(col("w.start").cast("long").as("hour"), col("event_type"),
-          col("n"), col("sum_value"))
-        .orderBy("hour", "event_type")),
-
-    // --- sliding windows (batch twin of Streams.slidingCounts) ------------
-    "q_events_sliding" -> ((s, dir) =>
-      t(s, dir, "events")
-        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("w.start").cast("long").as("win_start"), col("event_type"), col("n"))
-        .orderBy("win_start", "event_type")),
-
-    "q_sessionize" -> ((s, dir) =>
-      t(s, dir, "events")
-        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
-        .agg(count(lit(1)).as("n"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
-        .orderBy("user_id")),
-
-    // --- scalar-function breadth: strings (SURVEY §2.8 absences) ----------
-    "q_string_funcs" -> ((s, dir) =>
-      t(s, dir, "customer")
-        .select(col("c_custkey"),
-          upper(col("c_name")).as("up"),
-          substring(col("c_name"), 1, 8).as("prefix"),
-          concat(col("c_mktsegment"), lit("#"), col("c_name")).as("joined"),
-          length(col("c_name")).cast("long").as("len"),
-          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
-          levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("dist"))
-        .orderBy("c_custkey")),
-
-    // --- scalar-function breadth: dates + math ----------------------------
-    "q_date_math_funcs" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .select(col("o_orderkey"),
-          year(col("o_orderdate")).cast("long").as("y"),
-          month(col("o_orderdate")).cast("long").as("m"),
-          dayofmonth(col("o_orderdate")).cast("long").as("d"),
-          // integer-scaled: Spark's BigDecimal HALF_UP round(x, 6) and
-          // DuckDB's float rounding diverge in the last digit
-          // (CORRECTNESS_r01); round-to-integer agrees on both engines
-          round(sqrt(col("o_totalprice")) * 1e6).cast("long").as("sqrt_price_1e6"),
-          // ln() is not bit-portable across libms (ADVICE r2): at 1e2 scale a
-          // last-ulp divergence (~2e-15 abs) cannot straddle the rounding
-          // boundary, unlike the r2 1e6 scaling
-          round(log(col("o_totalprice") + 1) * 1e2).cast("long").as("log_price_1e2"),
-          pmod(col("o_orderkey"), lit(7)).as("mod7"),
-          floor(col("o_totalprice") / 1000).as("price_k"))
-        .orderBy("o_orderkey")),
-
-    // --- date arithmetic breadth ------------------------------------------
-    "q_date_arith" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .select(col("o_orderkey"),
-          trunc(col("o_orderdate").cast("date"), "month").as("month_start"),
-          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
-            .cast("long").as("days_since"),
-          add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
-          last_day(col("o_orderdate").cast("date")).as("eom"))
-        .orderBy("o_orderkey")),
-
-    // --- RANGE window frame (value-based, tie-inclusive — distinct from
-    // the ROWS frames elsewhere; partitioned by year so frame state is
-    // bounded per partition at scale) ---------------------------------------
-    "q_window_range" -> ((s, dir) => {
-      val w = Window.partitionBy(col("y")).orderBy(col("cents"))
-        .rangeBetween(-100000L, 0L)
-      t(s, dir, "orders")
-        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("y"),
-          round(col("o_totalprice") * 100).cast("long").as("cents"))
-        .withColumn("near_sum", sum(col("cents")).over(w))
-        .orderBy("o_orderkey")
-    }),
-
-    // --- exact percentiles ------------------------------------------------
-    "q_percentile" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
-          expr("percentile(l_quantity, 0.9)").as("p90"),
-          min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"))
-        .orderBy("l_returnflag")),
-
-    // --- composed dedup recipe (flagship training-data pipeline; rows-only:
-    // survivors depend on MinHash candidates, which no SQL oracle can
-    // recompute — closure/chain semantics are spec-verified in DedupSpec)
-    "q_dedup_pipeline" -> ((s, dir) =>
-      memoizedPipeline(s, dir, fresh = true)
-        .select("doc_id", "source", "n_chars")
-        .orderBy("doc_id")),
-
-    // --- duplicated token spans (Lee et al. 2021's exact-substring signal,
-    // relational form). The HASHED variant runs (8-byte shuffle keys, the
-    // 100 TB shape) while the DuckDB oracle rebuilds spans from gram TEXT —
-    // the hash gate proves the hashed plan loses nothing.
-    "q_dup_spans" -> ((s, dir) =>
-      Dedup.duplicateSpansHashed(t(s, dir, "documents"), "doc_id", "text",
-        n = 8, minDocs = 2)
-        .select(col("id").as("doc_id"), col("pos").cast("long").as("pos"),
-          col("n_docs"))
-        .orderBy("doc_id", "pos")),
-
-    // --- duplicated-span REMOVAL (the scrubbing half of Lee 2021) ---------
-    // Tokens covered by a cross-doc 8-token span are cut from every doc
-    // except the span's min-id keeper; text rebuilt from kept tokens.
-    // Hashed span keys run (8-byte shuffle) while the oracle rebuilds
-    // from gram text — the hash gate again proves the plan loses nothing.
-    "q_span_scrub" -> ((s, dir) =>
-      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
-        n = 8, minDocs = 2)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")),
-
-    // --- the full curation recipe, composed end-to-end --------------------
-    // structural gate (Gopher-style rules at recipe thresholds) →
-    // word-repetition gate (dup-2gram fraction, exact integer form) →
-    // LM-quality band (CCNet-style unigram xent, drop the gibberish
-    // tail) → DSIR importance selection (keep docs at least as
-    // target-like as raw) → exact dedup (min-id keeper) → deterministic
-    // train/test carve → decontaminate train against its own held-out
-    // split (4-gram overlap) → per-source token budget → sequence
-    // packing. Every stage is the already-oracled operator, so the
-    // COMPOSITION carries a full DuckDB oracle too; the one approximate
-    // stage of a production recipe (MinHash near-dup) ships separately
-    // as q_dedup_pipeline. Thresholds are set against the measured
-    // signal distributions of this corpus (dup-2gram p90 ≈ 0.068, xent
-    // p95 ≈ 3.41) so every stage drops real rows at every SF.
-    "q_curation_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      // structural gate; materialized once — three signal stages and
-      // the dedup prefix all re-read it
-      val quality = docs.filter(TextOps.curationGate(col("text")))
-        .select("doc_id", "source", "lang", "text").localCheckpoint(false)
-      // Gopher word-repetition gate: duplicate-2gram fraction <= 0.08
-      // as integer cross-multiplication — no float enters the filter
-      val repOk = Corpus.ngramRepetition(quality, "doc_id", "text", ns = Seq(2))
-        .filter((col("total") - col("n_distinct")) * 25 <= col("total") * 2)
-        .select(col("id").as("doc_id"))
-      // ONE unigram tokenize pass feeds both LM stages below — the
-      // count table semi-joins down as the gates tighten, instead of
-      // each stage re-scanning the text
-      val dtq = Corpus.docTokenCounts(quality, "doc_id", "text")
-      val dtRep = dtq.join(repOk.select(col("doc_id").as("id")), "id")
-      // CCNet-style band: drop the high-xent tail under the rep-gated
-      // corpus's OWN unigram LM (threshold on the rounded score both
-      // engines agree on to 4 decimals)
-      val xentOk = Corpus.unigramXentFromCounts(dtRep)
-        .filter(col("xent") <= 3.45).select(col("id").as("doc_id"))
-      val xentKept = quality.join(repOk, "doc_id").join(xentOk, "doc_id")
-      // DSIR selection: keep docs at least as target-like as the raw
-      // corpus (weight >= 0), target = the English slice of the gated
-      // corpus (the semi-join intersects it with the xent-kept set)
-      val dtX = dtRep.join(xentOk.select(col("doc_id").as("id")), "id")
-      val dsirOk = Corpus.dsirWeightsFromCounts(dtX,
-          quality.filter(col("lang") === "en").select(col("doc_id").as("id")))
-        .filter(col("dsir_weight") >= 0).select(col("id").as("doc_id"))
-      val selected = xentKept.join(dsirOk, "doc_id")
-      val deduped = Dedup.exact(selected, "doc_id", "text")
-      // the gated→dedup→split prefix feeds four branches (train grams,
-      // bench grams, the anti-join probe, sized) — materialize it once
-      val split = Corpus.assignSplits(deduped, "doc_id",
-        Seq("train" -> 0.9, "test" -> 0.1)).localCheckpoint(false)
-      val train = split.filter(col("split") === "train")
-      val bench = split.filter(col("split") === "test")
-      val contaminated = Corpus.contamination(train, bench, "doc_id", "text",
-        n = 4, minShared = 1).select(col("id").as("doc_id"))
-      val clean = train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-      val sized = clean.select(col("doc_id"), col("source"),
-        TextOps.tokenCountWs(col("text")).cast("long").as("n_tok"))
-      val budgeted = Corpus.tokenBudget(sized, "doc_id", "source", "n_tok",
-        budget = 3000L).drop("running_tok")
-      Corpus.packSequences(budgeted, "doc_id", "source", "n_tok", seqLen = 256L)
-        .orderBy("doc_id")
-    }),
-
-    // --- cross-doc line dedup (C4 / RefinedWeb line-dedup stage) ----------
-    // The corpus is single-line text, so the query first derives a
-    // multi-line corpus deterministically (6-token lines from each doc's
-    // tokens — the same construction the oracle replays), then removes
-    // every line whose normalized form appears in >= 2 docs, keeping the
-    // min-id document's copy, and rebuilds the text.
-    "q_line_dedup" -> ((s, dir) =>
-      Dedup.lineDedup(sixTokenLined(s, dir), "doc_id", "text_lined",
-        minDocs = 2)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")),
-
-    // --- stop-line filter (C4 / RefinedWeb boilerplate removal) -----------
-    // The CONSUMER of the mined boilerplate list: lines with document
-    // frequency >= 3 over the derived line corpus are removed from every
-    // document (no keeper copy — boilerplate is boilerplate everywhere)
-    // and the text is rebuilt. The mine is the skew-safe count-distinct
-    // groupBy; the filter is a broadcast anti-join (no shuffle on the
-    // line key at all) — the pre-filter lineDedup's scaladoc asks for.
-    "q_stopline_filter" -> ((s, dir) => {
-      val lined = sixTokenLined(s, dir)
-      val stops = Dedup.boilerplateLines(lined, "doc_id", "text_lined",
-        minDocFreq = 3)
-      Dedup.stopLineFilter(lined, "doc_id", "text_lined", stops.select("key"))
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
-    }),
-
-    // --- stop-line filter with the SKETCH-FIRST mine ----------------------
-    // Same stop-line semantics, but the boilerplate list comes from the
-    // bounded-memory heavy-hitter sketch (candidates) + exact verify —
-    // the mine whose memory doesn't grow with the distinct-line space.
-    // Oracled by q_stopline_filter's verbatim SQL: the hash match proves
-    // the sketch-mined list is EXACT, not merely approximate.
-    "q_stopline_sketch" -> ((s, dir) => {
-      val lined = sixTokenLined(s, dir)
-      // maxMapSize sized for the sf0.1 line stream: the operator's
-      // vacuous-guarantee guard FIRED at the 2^14 default there (sketch
-      // maxError reached the doc-frequency threshold) — exactly the loud
-      // failure it exists for; 2^18 holds the error at 0 for this corpus
-      // family (4 MB of sketch per partition — nothing, vs the exact
-      // mine's full distinct-line shuffle)
-      val stops = Dedup.boilerplateLinesSketch(lined, "doc_id", "text_lined",
-        minDocFreq = 3, maxMapSize = 1 << 18)
-      Dedup.stopLineFilter(lined, "doc_id", "text_lined", stops.select("key"))
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
-    }),
-
-    // --- corpus curation: deterministic stratified sampling ---------------
-    // Sampling is a pure function of doc_id (multiplicative hash), not an
-    // RNG — the same subset selects on any cluster size / partitioning,
-    // which is what makes a 100 TB sampled corpus reproducible.
-    "q_sample_stratified" -> ((s, dir) =>
-      Corpus.stratifiedSample(t(s, dir, "documents"), "doc_id", "source",
-        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
-        defaultRate = 0.125)
-        .select("doc_id", "source")
-        .orderBy("doc_id")),
-
-    // --- temperature-based mixture sampling (Lample & Conneau 2019) -------
-    // alpha = 0.5 flattens the lang mixture toward uniform (en is ~42%
-    // of this corpus; tails upsample relative to it). Rates derive from
-    // integerized sqrt weights in a fixed IEEE evaluation order, so the
-    // DuckDB oracle recomputes the exact same per-stratum thresholds.
-    "q_temperature_sample" -> ((s, dir) =>
-      Corpus.temperatureSample(t(s, dir, "documents"), "doc_id", "lang",
-        alpha = 0.5, targetRows = 250)
-        .select("doc_id", "lang")
-        .orderBy("doc_id")),
-
-    // --- corpus curation: PII redaction -----------------------------------
-    // The synthetic corpus carries no PII, so the query plants one email,
-    // phone, and URL per row (derived from doc_id) and then redacts —
-    // exercising the regex surface genuinely on both engines.
-    "q_pii_redact" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .withColumn("dirty", concat(col("text"),
-          lit(" contact user"), col("doc_id").cast("string"),
-          lit("@mail"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".com or 555-"),
-          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
-          lit(" see https://ex"), pmod(col("doc_id"), lit(5)).cast("string"),
-          lit(".org/d/"), col("doc_id").cast("string")))
-        .select(col("doc_id"), Corpus.redactPii(col("dirty")).as("clean"),
-          Corpus.piiCounts(col("dirty"))._1.as("n_email"),
-          Corpus.piiCounts(col("dirty"))._2.as("n_phone"),
-          Corpus.piiCounts(col("dirty"))._3.as("n_url"))
-        .orderBy("doc_id")),
-
-    // --- corpus curation: benchmark decontamination -----------------------
-    // Benchmark = every 97th document (stand-in eval set); flag docs
-    // sharing any distinct 4-gram with it. Benchmark grams broadcast.
-    "q_decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Corpus.contamination(
-        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
-        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
-        "doc_id", "text", n = 4, minShared = 1)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
-    }),
-
-    // --- Bloom-served decontamination (the benchmark-too-big regime) ------
-    // Same flags as q_decontaminate, served through the distributed-built
-    // Bloom gram filter instead of the broadcast exact gram set: the
-    // benchmark contributes only the filter bytes, so the plan holds
-    // at ANY benchmark size. Oracled against the same exact-join SQL:
-    // Bloom error is one-sided (no false negatives ever) and the filter
-    // is SIZED FROM THE MEASURED gram count with a 2²⁴-bit floor (see
-    // buildGramBloomSized: Spark's 32-bit double hashing floors small
-    // filters' fp near 10⁻⁵, so the floor, not the ratio, carries the
-    // margin), keeping the expected false-positive count ≪ 1 across
-    // the corpus gram set at any sf — the flagged set IS the exact
-    // contamination set (the guaranteed superset property — the
-    // operator's contract — is what BloomSpec and PipelineSpec assert).
-    "q_bloom_decontam" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      graft.operators.Bloom.contaminationBloom(
-        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0), "doc_id", "text",
-        benchGramBloom(s, dir), n = 4, minShared = 1)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
-    }),
-
-    // --- language ID, oracle-checked --------------------------------------
-    // The full stopword-marker heuristic (TextOps.langIdHeuristic) is
-    // re-expressed relationally in the DuckDB oracle: per-language marker
-    // counts + argmax with the same (count, lang) tie-break. The CJK /
-    // Cyrillic script fast paths are vacuous on this ASCII corpus.
-    "q_lang_id" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.langId(col("text")).as("lang"))
-        .orderBy("doc_id")),
-
-    // --- corpus curation: per-source token budget (training-mix fill) -----
-    "q_token_budget" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          TextOps.tokenCountWs(col("text")).cast("long").as("n_tok"))
-      Corpus.tokenBudget(docs, "doc_id", "source", "n_tok", budget = 2000L)
-        .orderBy("doc_id")
-    }),
-
-    // --- corpus curation: deterministic train/val/test split --------------
-    // (hash-banded membership — a document can never migrate between
-    // splits across runs; oracle recomputes the same integer thresholds)
-    "q_split_assign" -> ((s, dir) =>
-      Corpus.assignSplits(
-        t(s, dir, "documents").select("doc_id", "source"),
-        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .orderBy("doc_id")),
-
-    // --- corpus curation: exact-count per-stratum carve-out ---------------
-    "q_take_per_stratum" -> ((s, dir) =>
-      Corpus.takePerStratum(
-        t(s, dir, "documents").select("doc_id", "source"),
-        "doc_id", "source", n = 10)
-        .orderBy("doc_id")),
-
-    // --- corpus curation: sequence-packing plan (concat-then-chunk) -------
-    // (fixed 512-token training sequences per stratum in deterministic
-    // hash-shuffle order; all-integer window cumsum, oracle-recomputable)
-    "q_seq_packing" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          TextOps.tokenCountWs(col("text")).cast("long").as("n_tok"))
-      Corpus.packSequences(docs, "doc_id", "source", "n_tok", seqLen = 512L)
-        .orderBy("doc_id")
-    }),
-
-    // --- corpus curation: intra-doc repetition profile --------------------
-    "q_repetition" -> ((s, dir) =>
-      Corpus.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")),
-
-    // --- boilerplate mining: corpus-wide top n-grams by doc frequency -----
-    // The list a stop-line / boilerplate filter is seeded from. Top-k is
-    // TakeOrderedAndProject over the gram->doc-frequency aggregate (slim
-    // keys, partial agg map-side); ties break on the gram text so the
-    // cut is deterministic in both engines.
-    "q_boilerplate_grams" -> ((s, dir) =>
-      Corpus.distinctGrams(t(s, dir, "documents"), "doc_id", "text", 3)
-        .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
-        .orderBy(col("doc_freq").desc, col("gram"))
-        .limit(20)),
-
-    // --- n-gram repetition profile (Gopher's dup/top n-gram fractions) ----
-    // Integer numerators only — the dup-fraction and dominance filters
-    // derive from (total, n_distinct, top_cnt) without float rounding.
-    "q_ngram_repetition" -> ((s, dir) =>
-      Corpus.ngramRepetition(t(s, dir, "documents"), "doc_id", "text",
-        ns = Seq(2, 3))
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id", "n")),
-
-    // --- multimodal binary columns (north star) ---------------------------
-    "q_multimodal_bytes" -> ((s, dir) =>
-      Multimodal.byteStats(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    "q_multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(
-        Multimodal.withMediaColumn(t(s, dir, "documents"), "doc_id", "text"))
-        .toDF()
-        .orderBy("media_id")),
-
-    // --- file-format breadth: ORC + CSV round-trip, driver-checked --------
-    // (the reference ingests only JSON-on-Kafka; a general engine must
-    // round-trip columnar and text formats without loss — aggregate
-    // equality against the source table proves fidelity)
-    "q_formats_roundtrip" -> ((s, dir) => {
-      val base = t(s, dir, "documents").select("doc_id", "source", "n_chars")
-      val root = fmtDir(s)
-      base.write.mode("overwrite").orc(s"$root/orc")
-      base.write.mode("overwrite").option("header", "true").csv(s"$root/csv")
-      val orc = s.read.orc(s"$root/orc")
-      val csv = s.read.schema(base.schema).option("header", "true").csv(s"$root/csv")
-      orc.withColumn("format", lit("orc"))
-        .unionByName(csv.withColumn("format", lit("csv")))
-        .groupBy("format")
-        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
-          countDistinct(col("source")).as("n_sources"))
-        .orderBy("format")
-    }),
-
-    // --- multimodal resize + frame sampling (stub codec, real plumbing) ---
-    "q_multimodal_resize" -> ((s, dir) =>
-      Multimodal.resize(
-        Multimodal.withMediaColumn(t(s, dir, "documents"), "doc_id", "text"), 16, 16)
-        .toDF()
-        .select(col("media_id"), col("kind"), col("width"), col("height"),
-          length(col("bytes")).cast("int").as("n_out"))
-        .orderBy("media_id")),
-
-    // frame geometry is pure arithmetic over the byte length, so the
-    // sampled (idx, len) set has an exact DuckDB twin — a REAL oracle for
-    // the video-sampling shape, not just a pinned boolean
-    "q_frame_sample" -> ((s, dir) =>
-      Multimodal.sampleFrames(
-        Multimodal.withMediaColumn(t(s, dir, "documents"), "doc_id", "text"),
-        frameSize = 256, stride = 4)
-        .toDF()
-        .orderBy("media_id", "frame_idx")),
-
-    // --- pure-SQL surface: extension-registered functions + temp views ----
-    "q_sql_topk" -> ((s, dir) => {
-      Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      // (ids, rank) projection only — no raw float score in driver-facing
-      // output (see q_vector_topk)
-      s.sql("""
-        SELECT query_id, match_id, rank FROM (
-          SELECT q.vec_id AS query_id, c.vec_id AS match_id,
-                 row_number() OVER (PARTITION BY q.vec_id
-                   ORDER BY dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rank
-          FROM embeddings q CROSS JOIN embeddings c)
-        WHERE rank <= 3 ORDER BY query_id, rank""")
-    }),
-
-    "q_sql_topk_agg" -> ((s, dir) => {
-      Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      // score is computed in the inner SELECT (codegen'd projection), not
-      // inside the aggregate call — a TypedImperativeAggregate evaluates
-      // its input expressions interpreted, per row. matches is best-first
-      // with ties broken by lower id, so pos+1 == row_number rank.
-      s.sql("""
-        SELECT query_id, m.id AS match_id, CAST(pos + 1 AS INT) AS rank
-        FROM (
-          SELECT query_id, top_k_by_score(match_id, score, 3) AS matches
-          FROM (
-            SELECT q.vec_id AS query_id, c.vec_id AS match_id,
-                   dot_product(q.embedding, c.embedding) AS score
-            FROM embeddings q CROSS JOIN embeddings c)
-          GROUP BY query_id)
-        LATERAL VIEW posexplode(matches) AS pos, m
-        ORDER BY query_id, rank""")
-    }),
-
-    // --- ANN, IVF variant (k-means cells + nProbe; rows-only + tests) -----
-    "q_vector_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      graft.operators.IvfSearch.ivfTopK(queries, "query_id", "qv",
-        emb, "vec_id", "embedding", k = 3, metric = "dot",
-        nList = 16, nProbe = 4)
-        .orderBy("query_id", "rank")
-    }),
-
-    // --- ANN accuracy contracts (oracle-checkable approximate search) -----
-    // Same pattern as the HLL contract: the approximate result itself is
-    // engine-specific, so the driver-checked output is a per-query boolean
-    // asserting >=1 of the true top-3 was retrieved; the oracle pins TRUE.
-    "q_ann_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = annQueries(s, dir)
-      val approx = VectorSearch.annTopK(queries, "query_id", "qv",
-        emb, "vec_id", "embedding", k = 3, metric = "dot", nBits = 6, nTables = 4)
-      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
-        "query_id", "match_id", 1)
-        .orderBy("query_id")
-    }),
-
-    "q_ivf_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = annQueries(s, dir)
-      val approx = graft.operators.IvfSearch.ivfTopK(queries, "query_id", "qv",
-        emb, "vec_id", "embedding", k = 3, metric = "dot", nList = 16, nProbe = 4)
-      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
-        "query_id", "match_id", 1)
-        .orderBy("query_id")
-    }),
-
-    // --- HNSW (sharded small-world graphs — the Atlas/Lucene family) ------
-    // Graph build per hash shard, broadcast query batch, exact re-rank
-    // of the shard-survivor union; recall contract is the hash gate
-    // like every other index family.
-    "q_hnsw_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = annQueries(s, dir)
-      val approx = graft.operators.HnswSearch.hnswTopK(queries, "query_id",
-        "qv", emb, "vec_id", "embedding", k = 3, metric = "dot",
-        m = 8, efConstruction = 64, efSearch = 32, nShards = 4)
-      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
-        "query_id", "match_id", 1)
-        .orderBy("query_id")
-    }),
-
-    // Persisted HNSW: graphs build once (content-addressed path, the
-    // q_ivf_index_recall discipline — the benchmark times the PROBE),
-    // restore from stored adjacency, serve under the same contract.
-    "q_hnsw_index_recall" -> ((s, dir) => {
-      val queries = annQueries(s, dir)
-      val approx = graft.operators.HnswSearch.searchIndex(s,
-        hnswIndexStore(s, dir), queries, "query_id", "qv", k = 3,
-        efSearch = 32)
-      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
-        "query_id", "match_id", 1)
-        .orderBy("query_id")
-    }),
-
-    // --- persisted IVF index: write once (cell = partition column), probe
-    // with partition pruning, same recall contract as the in-flight IVF.
-    // The at-rest layout is the 100 TB index shape: a probe lists only the
-    // probed cells' directories (PlanAuditSpec pins the pruned scan).
-    "q_ivf_index_recall" -> ((s, dir) => {
-      val queries = annQueries(s, dir)
-      val approx = graft.operators.IvfSearch.searchIndex(s,
-        ivfIndexStore(s, dir), queries,
-        "query_id", "qv", k = 3, metric = "dot", nProbe = 4)
-      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
-        "query_id", "match_id", 1)
-        .orderBy("query_id")
-    }),
-
-    // --- FILTERED IVF serve: payload predicate inside the pruned probe ----
-    // The store carries `label` as a payload column (writeIndex payload),
-    // so the predicate evaluates inside the partition-pruned scan as a
-    // parquet PushedFilter — no join back to the source corpus. nProbe
-    // is raised 4→12 for the ~1/4-selective predicate (the 1/selectivity
-    // budget rule on IvfSearch.searchIndex says 16; 12 keeps a real
-    // probe decision in play and still clears the contract with margin —
-    // nProbe=8 missed 2/100 queries at sf0.1); recall contract against
-    // the exact FILTERED ground truth is the hash gate.
-    "q_ivf_filtered_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivff_index_" +
-        indexTag(dir)
-      if (!graft.operators.FsUtil.exists(s, s"$path/centroids/_SUCCESS"))
-        graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding", path,
-          nList = 16, payload = Seq("label"))
-      val queries = annQueries(s, dir)
-      val approx = graft.operators.IvfSearch.searchIndex(s, path, queries,
-        "query_id", "qv", k = 3, metric = "dot", nProbe = 12,
-        filter = FilteredPred)
-      VectorSearch.recallContract(approx, annFilteredGroundTruth(s, dir),
-        queries, "query_id", "match_id", 1)
-        .orderBy("query_id")
-    }),
-
-    // Index-served FILTERED_SEARCH on the SQL dialect: the corpus is
-    // registered with indexType="ivf" beyond the collect cap, so the
-    // facade serves the statement from its persisted payload-pushdown
-    // store (predicate inside the pruned cell scan) instead of the
-    // per-statement exact pre-filter. Recall-contracted against the
-    // same exact filtered ground truth as the operator-level row.
-    "q_sql_filtered_indexed" -> ((s, dir) => {
-      val g = sqlFacade(s)
-      val name = s"sqlfivf_${indexTag(dir)}"
-      registerOnce(s, name) {
-        g.registerSearchCorpus(name,
-          t(s, dir, "embeddings").select(
-            col("vec_id").cast("string").as("content"),
-            col("embedding").as("vector"), col("label")),
-          "content", "vector", maxRows = 0, indexType = "ivf")
-      }
-      val queries = annQueries(s, dir)
-      queries.createOrReplaceTempView("graft_filtered_queries")
-      val approx = g.execute(
-          "SELECT query_id, search_results FROM graft_filtered_queries, " +
-            s"LATERAL TABLE(FILTERED_SEARCH('$name', 3, qv, 'label % 4 = 1'));")
-        .select(col("query_id"), explode(col("search_results")).as("m"))
-        .select(col("query_id"), col("m.content").cast("long").as("match_id"))
-      VectorSearch.recallContract(approx, annFilteredGroundTruth(s, dir),
-        queries, "query_id", "match_id", 1)
-        .orderBy("query_id")
-    }),
-
-    // the hnsw twin of q_sql_filtered_indexed: the same statement on an
-    // 'hnsw' registration serves the over-fetch post-filter from the
-    // persisted graphs (GraftSqlSpec pins admit-safety; this row pins
-    // retrieval quality on the oracle board)
-    "q_sql_filtered_hnsw" -> ((s, dir) => {
-      val g = sqlFacade(s)
-      val name = s"sqlfhnsw_${indexTag(dir)}"
-      registerOnce(s, name) {
-        g.registerSearchCorpus(name,
-          t(s, dir, "embeddings").select(
-            col("vec_id").cast("string").as("content"),
-            col("embedding").as("vector"), col("label")),
-          "content", "vector", maxRows = 0, indexType = "hnsw")
-      }
-      val queries = annQueries(s, dir)
-      queries.createOrReplaceTempView("graft_filtered_hnsw_queries")
-      val approx = g.execute(
-          "SELECT query_id, search_results FROM graft_filtered_hnsw_queries, " +
-            s"LATERAL TABLE(FILTERED_SEARCH('$name', 3, qv, 'label % 4 = 1'));")
-        .select(col("query_id"), explode(col("search_results")).as("m"))
-        .select(col("query_id"), col("m.content").cast("long").as("match_id"))
-      VectorSearch.recallContract(approx, annFilteredGroundTruth(s, dir),
-        queries, "query_id", "match_id", 1)
-        .orderBy("query_id")
-    }),
-
-    // the COMPRESSED twins of q_sql_filtered_indexed: an 'ivfpq' /
-    // 'ivfsq' registration serves the same statement from its persisted
-    // code store with the predicate pushed into the pruned ADC / affine
-    // scan — the corpora big enough to be registered compressed no
-    // longer pay the exact full-scan pre-filter on the SQL surface
-    "q_sql_filtered_pq" -> ((s, dir) =>
-      sqlFilteredCompressed(s, dir, "ivfpq")),
-    "q_sql_filtered_sq" -> ((s, dir) =>
-      sqlFilteredCompressed(s, dir, "ivfsq")),
-    // the IN-FLIGHT-family twin: a 'pq' registration has no payload
-    // store to push the predicate into, so FILTERED_SEARCH serves the
-    // hnsw posture — over-fetch the family's unfiltered pool (16×k,
-    // bounded by the declared budget), post-filter against the admitted
-    // ids, re-densify ranks. Previously this family fell SILENTLY to
-    // the exact pre-filter full scan (judge r14 gap #3); now it serves
-    // the index and this row contracts the recall of that serve.
-    "q_sql_filtered_overfetch" -> ((s, dir) =>
-      sqlFilteredCompressed(s, dir, "pq")),
-
-    // FILTERED hybrid retrieval on the SQL worksheet: the optional 5th
-    // HYBRID_SEARCH argument restricts BOTH legs to the admitted
-    // metadata subset (exact vector leg, Lucene filtered-query BM25 leg
-    // with GLOBAL stats) before RRF fusion. The fused ranking's internal
-    // tie-break is the canonical content-hash id (not reproducible in
-    // the oracle engine), so the gate is the facade-equivalence
-    // contract: the statement must EXACTLY equal the operator-level
-    // hybridTopK(allowed) fusion per query, every hit must be admitted,
-    // and the list must fill k — booleans pinned TRUE (the
-    // q_embed_contract gate class; q_hybrid_filtered hash-pins the
-    // fusion semantics at operator level).
-    "q_sql_hybrid_filtered" -> ((s, dir) => {
-      val g = sqlFacade(s)
-      val docs = t(s, dir, "documents")
-      val name = s"sqlhybf_${contentTag(dir, "documents")}"
-      val corpus = docs.select(col("text").as("content"),
-        HashEmbedder.embedCol(col("text")).as("vector"),
-        col("doc_id"), col("lang"))
-      registerOnce(s, name) {
-        g.registerSearchCorpus(name, corpus, "content", "vector",
-          maxRows = 0)
-      }
-      val qs = docs.filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("qdoc"), col("text").as("question"),
-          HashEmbedder.embedCol(col("text")).as("qv"))
-      qs.createOrReplaceTempView("graft_hybf_queries")
-      val facadeHits = g.execute(
-          "SELECT qdoc, search_results FROM graft_hybf_queries, " +
-            s"LATERAL TABLE(HYBRID_SEARCH('$name', 5, qv, question, " +
-            "'doc_id % 2 = 0'));")
-        .select(col("qdoc"),
-          expr("transform(search_results, m -> m.content)").as("hits"))
-      // the operator-level fusion over the same canonical ids/admitted set
-      val slim = corpus.select(col("content").as("__content"),
-          col("vector").cast("array<float>").as("__cvec"))
-        .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
-        .dropDuplicates("__cid")
-      val allowed = corpus.filter(col("doc_id") % 2 === 0)
-        .select(col("content").as("__content"),
-          col("vector").cast("array<float>").as("__cvec"))
-        .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
-        .select("__cid")
-      val qv = qs.select(xxhash64(col("qv"), col("question")).as("__qid"),
-        col("qv").as("__qvec"), col("question").as("__qtext"), col("qdoc"))
-      val op = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
-          "__qtext", slim, "__cid", "__cvec", "__content", 5,
-          allowed = allowed, allowedId = "__cid")
-        .join(slim.select(col("__cid").as("match_id"), col("__content")),
-          "match_id")
-        .join(qv.select(col("__qid").as("query_id"), col("qdoc")), "query_id")
-        .groupBy("qdoc")
-        .agg(expr("transform(sort_array(collect_list(struct(rrf_rank, " +
-          "__content))), m -> m.__content)").as("op_hits"))
-      val admitted = docs.filter(col("doc_id") % 2 === 0)
-        .select(col("text")).distinct()
-        .agg(collect_set(col("text")).as("adm"))
-      facadeHits.join(op, Seq("qdoc")).crossJoin(admitted)
-        .select(col("qdoc"),
-          (col("hits") === col("op_hits")).as("fused_eq_ok"),
-          expr("forall(hits, h -> array_contains(adm, h))")
-            .as("admitted_only_ok"),
-          (size(col("hits")) === 5).as("k_ok"))
-        .orderBy("qdoc")
-    }),
-
-    // INDEX-SERVED hybrid on the SQL worksheet: HYBRID_SEARCH's vector
-    // leg on an 'ivf' beyond-cap registration now comes from the same
-    // rankedForFamily ladder FEDERATED_SEARCH dispatches, instead of
-    // the exact corpus scan — the one search shape that still paid a
-    // full vector re-scan per statement on exactly the corpora
-    // registered beyond-cap. The BM25 leg stays on the cached
-    // per-registration artifacts. Gate: the statement's fused top-5
-    // must overlap the EXACT fusion's top-5 (recall contract, >= 2 of
-    // 5 — the BM25 leg is shared between the two fusions, and the
-    // family's own probe recall is pinned by q_ivf_recall /
-    // q_ivf_index_recall; the full-probe facade equivalence is pinned
-    // in GraftSqlSpec).
-    "q_sql_hybrid_indexed" -> ((s, dir) => {
-      val g = sqlFacade(s)
-      val docs = t(s, dir, "documents")
-      val name = s"sqlhybix_${contentTag(dir, "documents")}"
-      // the embedded corpus/query frames are shared with
-      // q_sql_filtered_shapes (same memo keys): the embed UDF dominates
-      // and this row re-reads the frame in the registration, the ivf
-      // leg's train/assign/score passes, AND the exact-fusion twin
-      val corpus = memo(s, dir, "fshapes_corpus")(
-        docs.select(col("text").as("content"),
-          HashEmbedder.embedCol(col("text")).as("vector"), col("doc_id")))
-      registerOnce(s, name) {
-        g.registerSearchCorpus(name, corpus, "content", "vector",
-          maxRows = 0, indexType = "ivf")
-      }
-      val qs = memo(s, dir, "fshapes_qs")(
-        docs.filter(col("doc_id") % 100 === 0)
-          .select(col("doc_id").as("qdoc"), col("text").as("question"),
-            HashEmbedder.embedCol(col("text")).as("qv")))
-        .select(col("qdoc").as("query_id"), col("question"), col("qv"))
-      qs.createOrReplaceTempView("graft_hybix_queries")
-      val approx = g.execute(
-          "SELECT query_id, search_results FROM graft_hybix_queries, " +
-            s"LATERAL TABLE(HYBRID_SEARCH('$name', 5, qv, question));")
-        .select(col("query_id"), explode(col("search_results")).as("m"))
-        .select(col("query_id"), col("m.content").as("match_id"))
-      // the exact fusion over the same canonical content ids
-      val slim = corpus.select(col("content").as("__content"),
-          col("vector").cast("array<float>").as("__cvec"))
-        .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
-        .dropDuplicates("__cid")
-      val qv = qs.select(xxhash64(col("qv"), col("question")).as("__qid"),
-        col("qv").as("__qvec"), col("question").as("__qtext"),
-        col("query_id"))
-      val exact = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
-          "__qtext", slim, "__cid", "__cvec", "__content", 5)
-        .select(col("query_id").as("__fq"), col("match_id"))
-        .join(slim.select(col("__cid").as("match_id"), col("__content")),
-          Seq("match_id"))
-        .join(qv.select(col("__qid").as("__fq"), col("query_id")), Seq("__fq"))
-        .select(col("query_id"), col("__content").as("match_id"))
-      VectorSearch.recallContract(approx, exact,
-        qs.select("query_id"), "query_id", "match_id", 2)
-        .orderBy("query_id")
-    }),
-
-    // DECLARED at-rest lexical index behind the worksheet: a beyond-cap
-    // registration with lexicalIndex=true serves its BM25 leg from a
-    // build-once persisted LexicalIndex (bucket-partitioned postings +
-    // summed stats partials) instead of session checkpoint artifacts —
-    // zero tokenize jobs per statement. The store carries the SAME
-    // (id, dl, tok, tf) rows the session artifacts would, so the gate
-    // is strict equality: the statement on the declared registration
-    // must EXACTLY equal the operator-level exact fusion, per query
-    // (fused_eq_ok / k_ok pinned TRUE — the q_sql_hybrid_filtered
-    // contract class).
-    "q_sql_lex_indexed" -> ((s, dir) => {
-      val g = sqlFacade(s)
-      val docs = t(s, dir, "documents")
-      val name = s"sqllexix_${contentTag(dir, "documents")}"
-      val corpus = memo(s, dir, "fshapes_corpus")(
-        docs.select(col("text").as("content"),
-          HashEmbedder.embedCol(col("text")).as("vector"), col("doc_id")))
-      registerOnce(s, name) {
-        g.registerSearchCorpus(name, corpus, "content", "vector",
-          maxRows = 0, lexicalIndex = true)
-      }
-      val qs = memo(s, dir, "fshapes_qs")(
-        docs.filter(col("doc_id") % 100 === 0)
-          .select(col("doc_id").as("qdoc"), col("text").as("question"),
-            HashEmbedder.embedCol(col("text")).as("qv")))
-      qs.createOrReplaceTempView("graft_lexix_queries")
-      val facadeHits = g.execute(
-          "SELECT qdoc, search_results FROM graft_lexix_queries, " +
-            s"LATERAL TABLE(HYBRID_SEARCH('$name', 5, qv, question));")
-        .select(col("qdoc"),
-          expr("transform(search_results, m -> m.content)").as("hits"))
-      val slim = corpus.select(col("content").as("__content"),
-          col("vector").cast("array<float>").as("__cvec"))
-        .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
-        .dropDuplicates("__cid")
-      val qv = qs.select(xxhash64(col("qv"), col("question")).as("__qid"),
-        col("qv").as("__qvec"), col("question").as("__qtext"), col("qdoc"))
-      val op = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
-          "__qtext", slim, "__cid", "__cvec", "__content", 5)
-        .join(slim.select(col("__cid").as("match_id"), col("__content")),
-          "match_id")
-        .join(qv.select(col("__qid").as("query_id"), col("qdoc")), "query_id")
-        .groupBy("qdoc")
-        .agg(expr("transform(sort_array(collect_list(struct(rrf_rank, " +
-          "__content))), m -> m.__content)").as("op_hits"))
-      facadeHits.join(op, Seq("qdoc"))
-        .select(col("qdoc"),
-          (col("hits") === col("op_hits")).as("fused_eq_ok"),
-          (size(col("hits")) === 5).as("k_ok"))
-        .orderBy("qdoc")
-    }),
-
-    // PRF on the SAME declared lexical registration (judge r14 gap #2:
-    // the store-served PRF path was spec-tested but had no driver row):
-    // both RM3 passes — first-pass BM25 feedback ranking AND the
-    // expanded re-ranking — read postings/stats as lazy scans of the
-    // persisted LexicalIndex, zero tokenize jobs. Gate is strict
-    // equality vs the operator-level exact PRF over the same canonical
-    // ids (the q_sql_lex_indexed gate class).
-    "q_sql_prf_indexed" -> ((s, dir) => {
-      val g = sqlFacade(s)
-      val docs = t(s, dir, "documents")
-      val name = s"sqllexix_${contentTag(dir, "documents")}"
-      val corpus = memo(s, dir, "fshapes_corpus")(
-        docs.select(col("text").as("content"),
-          HashEmbedder.embedCol(col("text")).as("vector"), col("doc_id")))
-      registerOnce(s, name) {
-        g.registerSearchCorpus(name, corpus, "content", "vector",
-          maxRows = 0, lexicalIndex = true)
-      }
-      val qs = memo(s, dir, "fshapes_qs")(
-        docs.filter(col("doc_id") % 100 === 0)
-          .select(col("doc_id").as("qdoc"), col("text").as("question"),
-            HashEmbedder.embedCol(col("text")).as("qv")))
-      qs.createOrReplaceTempView("graft_prfix_queries")
-      val facadeHits = g.execute(
-          "SELECT qdoc, search_results FROM graft_prfix_queries, " +
-            s"LATERAL TABLE(PRF_SEARCH('$name', 5, question));")
-        .select(col("qdoc"),
-          expr("transform(search_results, m -> m.content)").as("hits"))
-      val slim = corpus.select(col("content").as("__content"),
-          col("vector").cast("array<float>").as("__cvec"))
-        .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
-        .dropDuplicates("__cid")
-      val qTerms = qs.select(xxhash64(col("question")).as("query_id"),
-        explode(graft.operators.Lexical.toks(col("question"))).as("term"))
-      val op = graft.operators.Lexical.bm25PrfTopK(qTerms, "query_id",
-          "term", slim, "__cid", "__content", 5, fbDocs = 5, fbTerms = 3)
-        .join(slim.select(col("__cid").as("match_id"), col("__content")),
-          "match_id")
-        .join(qs.select(xxhash64(col("question")).as("query_id"),
-          col("qdoc")), "query_id")
-        .groupBy("qdoc")
-        .agg(expr("transform(sort_array(collect_list(struct(rank, " +
-          "__content))), m -> m.__content)").as("op_hits"))
-      facadeHits.join(op, Seq("qdoc"))
-        .select(col("qdoc"),
-          (col("hits") === col("op_hits")).as("prf_eq_ok"),
-          (size(col("hits")) === size(col("op_hits"))).as("k_ok"))
-        .orderBy("qdoc")
-    }),
-
-    // --- index DELETE protocol, IVF (exact under the hash gate) -----------
-    // The right-to-be-forgotten path: tombstone epochs kill rows at serve
-    // time immediately, LWW lets a later re-ingest out-live the delete,
-    // and compaction removes the rows physically + retires the
-    // tombstones. A FULL probe (nProbe = nList) makes the serve exact,
-    // so the whole lifecycle sits under the DuckDB hash: both phases
-    // (tombstone-filtered serve, post-compaction serve) must equal the
-    // exact top-3 over the surviving corpus.
-    "q_ivf_delete" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      // tag v2: the pristine layout gained the post-build consolidation —
-      // a stale unconsolidated store under the old tag must not serve
-      val store = deleteLifecycleStore(s, dir, "ivfdel_v2") { p =>
-        graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding",
-          p, nList = 8)
-        // consolidate the fresh store once (build-then-optimize): the
-        // partitioned write leaves one file per (cell, task) and every
-        // downstream clone/serve/compact pays the listing; one file per
-        // cell is the shape the lifecycle should start from
-        graft.operators.IvfSearch.compactIndex(s, p)
-      }((p, ids) => graft.operators.IvfSearch.deleteFromIndex(s, p, ids,
-          "vec_id"),
-        (df, p) => graft.operators.IvfSearch.appendToIndex(df, "vec_id",
-          "embedding", p, epoch = 1L))
-      val queries = annQueries(s, dir)
-      def serve(phase: String) =
-        graft.operators.IvfSearch.searchIndex(s, store, queries,
-          "query_id", "qv", k = 3, metric = "dot", nProbe = 8)
-          .select(lit(phase).as("phase"), col("query_id"), col("match_id"),
-            col("rank"))
-      val served = serve("served").localCheckpoint()
-      graft.operators.IvfSearch.compactIndex(s, store)
-      served.unionByName(serve("compacted"))
-        .orderBy("phase", "query_id", "rank")
-    }),
-
-    // --- index DELETE protocol, HNSW (contract) ----------------------------
-    // The graph twin of q_ivf_delete: deletion safety is absolute (a
-    // dead id may NEVER fill a slot — `no_deleted` pins set membership,
-    // not recall), retrieval quality after the delete is the usual
-    // recall contract against the exact top-3 over the SURVIVING corpus.
-    // Serve-time fetch widens by the live tombstone count so dead ids
-    // cannot displace alive neighbors out of the per-segment beam.
-    "q_hnsw_delete" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val store = clonedStore(s, dir, "hnswdel", "_meta/_SUCCESS")(p =>
-        graft.operators.HnswSearch.writeIndex(emb, "vec_id", "embedding",
-          p, nShards = 4, m = 8, efConstruction = 64, metric = "dot"))
-      graft.operators.HnswSearch.deleteFromIndex(s, store,
-        emb.filter(col("label") % 5 === 3).select("vec_id"), "vec_id")
-      graft.operators.HnswSearch.appendToIndex(
-        emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 === 0),
-        "vec_id", "embedding", store, epoch = 1L)
-      val queries = annQueries(s, dir)
-      val approx = graft.operators.HnswSearch.searchIndex(s, store, queries,
-        "query_id", "qv", k = 3, efSearch = 32).localCheckpoint()
-      val surviving = emb.filter(col("label") % 5 =!= 3 ||
-        col("vec_id") % 2 === 0)
-      val exact = memo(s, dir, "ann_gt_k3_dot_surv")(
-        VectorSearch.topKFlat(queries, "query_id", "qv",
-          surviving, "vec_id", "embedding", k = 3, metric = "dot"))
-      val dead = emb.filter(col("label") % 5 === 3 && col("vec_id") % 2 =!= 0)
-        .select(col("vec_id").as("match_id"))
-      val noDead = queries.select("query_id").join(
-          approx.join(dead, Seq("match_id"), "left_semi")
-            .select(col("query_id"), lit(false).as("__hit")).distinct(),
-          Seq("query_id"), "left")
-        .select(col("query_id"), coalesce(col("__hit"), lit(true))
-          .as("no_deleted"))
-      VectorSearch.recallContract(approx, exact, queries,
-        "query_id", "match_id", 1)
-        .join(noDead, Seq("query_id"))
-        .select("query_id", "recall_ok", "no_deleted")
-        .orderBy("query_id")
-    }),
-
-    // --- FILTERED HNSW serve: over-fetch + post-filter ---------------------
-    // A graph walk can't pre-filter without losing navigability, so the
-    // persisted graph (the SAME store q_hnsw_index_recall probes — no
-    // second build) over-fetches 8×k candidates and semi-joins the
-    // allowed-id set; contract against the exact filtered ground truth.
-    "q_hnsw_filtered_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = annQueries(s, dir)
-      val approx = graft.operators.HnswSearch.searchIndexFiltered(s,
-        hnswIndexStore(s, dir), queries, "query_id", "qv",
-        emb.filter(FilteredPred), "vec_id",
-        k = 3, efSearch = 32, overFetch = 8)
-      VectorSearch.recallContract(approx, annFilteredGroundTruth(s, dir),
-        queries, "query_id", "match_id", 1)
-        .orderBy("query_id")
-    }),
-
-    // --- LSH radius search: bucket-pruned range retrieval ------------------
-    // Survivors of the (table, bucket) equi-join re-score EXACTLY and cut
-    // at the true threshold, so precision is 1.0 by construction and the
-    // contract gates per-query RECALL (fraction-based: radius result
-    // sizes vary per query, a fixed hit count would gate unevenly).
-    "q_radius_lsh_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = annQueries(s, dir)
-      // nBits=4/nTables=24 measured: min per-query recall 0.75 (sf0.001),
-      // 0.83 (sf0.01), 0.77 (sf0.1) — the 0.5 gate has ~50% margin.
-      // τ=0.3 is a hard LSH regime (per-hyperplane agreement ~0.6), so
-      // the table count does the work; see radiusLsh's Scaladoc for the
-      // threshold/recall law.
-      val approx = VectorSearch.radiusLsh(queries, "query_id", "qv",
-        emb, "vec_id", "embedding", threshold = 0.3, metric = "cosine",
-        nBits = 4, nTables = 24)
-      VectorSearch.radiusRecallContract(approx, radiusGroundTruth(s, dir),
-        queries, "query_id", "match_id", minFrac = 0.5)
-        .orderBy("query_id")
-    }),
-
-    // --- IVF radius probe: range search on the persisted store -------------
-    // FAISS range_search on IVFFlat: nProbe cells per query, exact
-    // scoring of only the probed cells, true-threshold cut (precision
-    // 1.0 by construction; recall bounded by cell coverage). Reuses the
-    // SAME pristine store as q_ivf_index_recall — no second build.
-    // nProbe=12/16 measured at all 3 SFs: min per-query recall 0.64
-    // (sf0.1), 0.67 (sf0.001), 0.75 (sf0.01) — the 0.4 gate has ~60%
-    // margin. τ=0.3 is a WIDE ball (matches spread across many cells),
-    // the hard regime for a cell-pruned radius.
-    "q_ivf_radius_recall" -> ((s, dir) => {
-      val queries = annQueries(s, dir)
-      val approx = graft.operators.IvfSearch.radiusIndex(s,
-        ivfIndexStore(s, dir), queries, "query_id", "qv",
-        threshold = 0.3, metric = "cosine", nProbe = 12)
-      VectorSearch.radiusRecallContract(approx, radiusGroundTruth(s, dir),
-        queries, "query_id", "match_id", minFrac = 0.4)
-        .orderBy("query_id")
-    }),
-
-    // --- persisted IVF-SQ index: partition-pruned probe over SQ8 codes ----
-    // (the 4x near-exact point of the compressed at-rest ladder — FAISS
-    // IVF,SQ8: coarse cells prune directories, per-dimension affine
-    // codes drive the scan, exact re-rank from the source corpus)
-    "q_ivfsq_index_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = annQueries(s, dir)
-      val approx = graft.operators.IvfSqIndex.searchIndex(s,
-        ivfSqIndexStore(s, dir), queries,
-        "query_id", "qv", emb, "vec_id", "embedding",
-        k = 3, metric = "dot", nProbe = 8, numCandidates = 200)
-      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
-        "query_id", "match_id", 1)
-        .orderBy("query_id")
-    }),
-
-    // RADIUS from the IVF-PQ store: reconstructed-code pre-pass at the
-    // lossy family's wider margin, exact re-score at the true threshold
-    // (precision 1.0 by construction); probes the ONE store
-    // q_ivfpq_index_recall built. Completes range_search across the
-    // at-rest ladder: ivf / ivfsq / ivfpq.
-    "q_ivfpq_radius_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = annQueries(s, dir)
-      val approx = graft.operators.IvfPqIndex.radiusIndex(s,
-        ivfPqIndexStore(s, dir), queries, "query_id", "qv",
-        emb, "vec_id", "embedding",
-        threshold = 0.3, metric = "cosine", nProbe = 12)
-      VectorSearch.radiusRecallContract(approx, radiusGroundTruth(s, dir),
-        queries, "query_id", "match_id", minFrac = 0.4)
-        .orderBy("query_id")
-    }),
-
-    // ANN scoreDetails (the vector-side q_bm25_explain — Atlas
-    // $vectorSearch explain/searchMeta): the serve's own observability
-    // frame under the hash. Full probe makes the ranks exact AND makes
-    // candidates_scanned exactly the store's live row count, so every
-    // column — ids, ranks, planner stat (cells_probed), executor stat
-    // (candidates_scanned) — is replayable by the external oracle.
-    // Pruned-probe counter consistency is pinned in IvfSpec.
-    "q_ann_explain" -> ((s, dir) => {
-      val queries = annQueries(s, dir)
-      graft.operators.IvfSearch.explainProbe(s, ivfIndexStore(s, dir),
-        queries, "query_id", "qv", k = 3, metric = "dot", nProbe = 16)
-        .orderBy("query_id", "rank")
-    }),
-
-    // RADIUS from the SQ8 store (FAISS range_search on the compressed
-    // celled layout): the ONE build-once store q_ivfsq_index_recall
-    // probes, dequantized relaxed-threshold pre-pass, exact re-score cut
-    // at the true threshold — precision 1.0 by construction (subset of
-    // exact is pinned inside radiusRecallContract's precision gate),
-    // recall contracted like q_ivf_radius_recall at the same nProbe.
-    "q_ivfsq_radius_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = annQueries(s, dir)
-      val approx = graft.operators.IvfSqIndex.radiusIndex(s,
-        ivfSqIndexStore(s, dir), queries, "query_id", "qv",
-        emb, "vec_id", "embedding",
-        threshold = 0.3, metric = "cosine", nProbe = 12)
-      VectorSearch.radiusRecallContract(approx, radiusGroundTruth(s, dir),
-        queries, "query_id", "match_id", minFrac = 0.4)
-        .orderBy("query_id")
-    }),
-
-    // RADIUS on an hnsw registration, served from the GRAPH (previously
-    // the one family whose radius fell back to an LSH raw-vector
-    // re-scan — a full corpus pass per statement on exactly the corpora
-    // registered beyond-cap): beam-probe the persisted graphs for a
-    // numCandidates-bounded pool, exact re-score, cut at the true
-    // threshold. Precision 1.0 by construction; recall contracted here
-    // against the exact cosine ball at the same threshold every other
-    // radius family is measured at.
-    "q_hnsw_radius_recall" -> ((s, dir) => {
-      val g = sqlFacade(s)
-      val name = s"sqlradhnsw_${indexTag(dir)}"
-      registerOnce(s, name) {
-        g.registerSearchCorpus(name,
-          t(s, dir, "embeddings").select(
-            col("vec_id").cast("string").as("content"),
-            col("embedding").as("vector")),
-          "content", "vector", maxRows = 0, indexType = "hnsw")
-      }
-      val queries = annQueries(s, dir)
-      queries.createOrReplaceTempView("graft_radius_hnsw_queries")
-      val approx = g.execute(
-          "SELECT query_id, search_results FROM graft_radius_hnsw_queries, " +
-            s"LATERAL TABLE(RADIUS_SEARCH('$name', 0.3, qv));")
-        .select(col("query_id"), explode(col("search_results")).as("m"))
-        .select(col("query_id"), col("m.content").cast("long").as("match_id"))
-      VectorSearch.radiusRecallContract(approx, radiusGroundTruth(s, dir),
-        queries, "query_id", "match_id", minFrac = 0.4)
-        .orderBy("query_id")
-    }),
-
-    // --- persisted IVF-PQ index: partition-pruned probe over PQ codes -----
-    // (the composed 100 TB layout — coarse cells prune directories, PQ
-    // residual codes compress the scan ~32x, exact re-rank from the
-    // source corpus; recall contract is the hash gate)
-    "q_ivfpq_index_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = annQueries(s, dir)
-      val approx = graft.operators.IvfPqIndex.searchIndex(s,
-        ivfPqIndexStore(s, dir), queries,
-        "query_id", "qv", emb, "vec_id", "embedding",
-        k = 3, metric = "dot", nProbe = 8, numCandidates = 200)
-      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
-        "query_id", "match_id", 1)
-        .orderBy("query_id")
-    }),
-
-    // --- FILTERED IVF-PQ serve: payload pushdown on the compressed store --
-    // The code store carries `label` as payload, so the predicate
-    // evaluates inside the partition-pruned ADC scan (no join back to
-    // the source corpus — the same layout as q_ivf_filtered_recall, on
-    // ~32x fewer bytes). nProbe raised for the ~1/4-selective predicate
-    // (the 1/selectivity budget rule); contract against the exact
-    // FILTERED ground truth.
-    "q_ivfpq_filtered_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqf_index_" +
-        indexTag(dir)
-      if (!graft.operators.FsUtil.exists(s, s"$path/stats/_SUCCESS"))
-        graft.operators.IvfPqIndex.writeIndex(emb, "vec_id", "embedding",
-          path, nList = 16, m = 8, kCodes = 16, payload = Seq("label"))
-      val queries = annQueries(s, dir)
-      val approx = graft.operators.IvfPqIndex.searchIndex(s, path, queries,
-        "query_id", "qv", emb, "vec_id", "embedding",
-        k = 3, metric = "dot", nProbe = 12, numCandidates = 200,
-        filter = FilteredPred)
-      VectorSearch.recallContract(approx, annFilteredGroundTruth(s, dir),
-        queries, "query_id", "match_id", 1)
-        .orderBy("query_id")
-    }),
-
-    // --- FILTERED IVF-SQ serve: payload pushdown on the SQ8 store ---------
-    // The q_ivfpq_filtered_recall twin at the near-exact 4x point of the
-    // compressed ladder: `label` rides the code rows, the predicate
-    // evaluates inside the pruned affine scan, survivors re-rank exact.
-    "q_ivfsq_filtered_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfsqf_index_" +
-        indexTag(dir)
-      if (!graft.operators.FsUtil.exists(s, s"$path/stats/_SUCCESS"))
-        graft.operators.IvfSqIndex.writeIndex(emb, "vec_id", "embedding",
-          path, nList = 16, payload = Seq("label"))
-      val queries = annQueries(s, dir)
-      val approx = graft.operators.IvfSqIndex.searchIndex(s, path, queries,
-        "query_id", "qv", emb, "vec_id", "embedding",
-        k = 3, metric = "dot", nProbe = 12, numCandidates = 200,
-        filter = FilteredPred)
-      VectorSearch.recallContract(approx, annFilteredGroundTruth(s, dir),
-        queries, "query_id", "match_id", 1)
-        .orderBy("query_id")
-    }),
-
-    // --- index DELETE protocol, IVF-SQ (contract) --------------------------
-    // q_ivfpq_delete's twin on the SQ8 store: same lifecycle, same gates
-    // (absolute no_deleted in both phases + recall vs the exact top-3
-    // over the surviving corpus; the re-rank corpus is the FULL table so
-    // a tombstone leak surfaces instead of being join-masked).
-    "q_ivfsq_delete" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      compressedDeleteLifecycle(s, dir, "ivfsqdel") { p =>
-        graft.operators.IvfSqIndex.writeIndex(emb, "vec_id", "embedding",
-          p, nList = 8)
-        graft.operators.IvfSqIndex.compactIndex(s, p)
-      }(
-        (p, ids) => graft.operators.IvfSqIndex.deleteFromIndex(s, p, ids,
-          "vec_id"),
-        (df, p) => graft.operators.IvfSqIndex.appendToIndex(df, "vec_id",
-          "embedding", p, epoch = 1L),
-        p => graft.operators.IvfSqIndex.compactIndex(s, p),
-        (p, queries) => graft.operators.IvfSqIndex.searchIndex(s, p,
-          queries, "query_id", "qv", emb, "vec_id", "embedding",
-          k = 3, metric = "dot", nProbe = 8, numCandidates = 200))
-    }),
-
-    // --- index DELETE protocol, IVF-PQ (contract) --------------------------
-    // The compressed-store member of the delete family: the SAME
-    // tombstone lifecycle as q_ivf_delete (cloned pristine store →
-    // tombstone → LWW re-append → serve → compact → serve), gated like
-    // q_hnsw_delete because PQ is lossy — deletion safety is ABSOLUTE
-    // (`no_deleted`: a dead id may never fill a slot in either phase;
-    // the re-rank corpus is deliberately the FULL table so a tombstone
-    // leak would surface instead of being masked by the join), and
-    // retrieval quality is the recall contract against the exact top-3
-    // over the SURVIVING corpus.
-    "q_ivfpq_delete" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      compressedDeleteLifecycle(s, dir, "ivfpqdel") { p =>
-        graft.operators.IvfPqIndex.writeIndex(emb, "vec_id", "embedding",
-          p, nList = 8, m = 8, kCodes = 16)
-        // consolidate once (build-then-optimize, the q_ivf_delete rule)
-        graft.operators.IvfPqIndex.compactIndex(s, p)
-      }(
-        (p, ids) => graft.operators.IvfPqIndex.deleteFromIndex(s, p, ids,
-          "vec_id"),
-        (df, p) => graft.operators.IvfPqIndex.appendToIndex(df, "vec_id",
-          "embedding", p, epoch = 1L),
-        p => graft.operators.IvfPqIndex.compactIndex(s, p),
-        (p, queries) => graft.operators.IvfPqIndex.searchIndex(s, p,
-          queries, "query_id", "qv", emb, "vec_id", "embedding",
-          k = 3, metric = "dot", nProbe = 8, numCandidates = 200))
-    }),
-
-    // --- SQL surface: CUBE grouping sets with grouping() flags ------------
-    "q_cube" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
-          grouping(col("l_returnflag")).cast("int").as("g_rf"),
-          grouping(col("l_linestatus")).cast("int").as("g_ls"))
-        .orderBy(col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first)),
-
-    // --- SQL surface: correlated EXISTS subquery --------------------------
-    "q_exists_subquery" -> ((s, dir) => {
-      t(s, dir, "customer").createOrReplaceTempView("customer")
-      t(s, dir, "orders").createOrReplaceTempView("orders")
-      s.sql("""
-        SELECT c_custkey, c_name FROM customer c
-        WHERE EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
-          AND NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 10000)
-        ORDER BY c_custkey""")
-    }),
-
-    // --- SQL surface: scalar subquery (exact integer-cent comparison) -----
-    // avg-threshold filter done in exact integer arithmetic on both
-    // engines: cents * n * 2 > total_cents * 3  ⇔  price > 1.5 * avg
-    "q_scalar_subquery" -> ((s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("orders")
-      s.sql("""
-        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
-        FROM orders
-        WHERE CAST(round(o_totalprice * 100) AS BIGINT)
-                * (SELECT count(*) FROM orders) * 2
-              > (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) FROM orders) * 3
-        ORDER BY o_orderkey""")
-    }),
-
-    // --- SQL surface: chained CTEs (per-year busiest customers) -----------
-    "q_cte" -> ((s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("orders")
-      s.sql("""
-        WITH yearly AS (
-          SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_custkey, count(*) AS n
-          FROM orders GROUP BY 1, 2),
-        peaks AS (SELECT y AS py, max(n) AS mx FROM yearly GROUP BY y)
-        SELECT y, o_custkey, n
-        FROM yearly JOIN peaks ON yearly.y = peaks.py AND yearly.n = peaks.mx
-        ORDER BY y, o_custkey""")
-    }),
-
-    // --- SQL surface: unpivot (stack) to long form ------------------------
-    "q_unpivot" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .select(col("o_orderkey"),
-          expr("stack(2, 'total_cents', CAST(round(o_totalprice * 100) AS BIGINT), " +
-            "'custkey', o_custkey) AS (metric, value)"))
-        .orderBy("o_orderkey", "metric")),
-
-    // --- SQL surface: JSON path extraction over the props column ----------
-    "q_json_path" -> ((s, dir) =>
-      t(s, dir, "events")
-        .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"),
-          get_json_object(col("props"), "$.missing").as("missing"))
-        .orderBy("event_id")),
-
-    // --- SQL surface: extension-registered sampling hash ------------------
-    "q_sql_sample" -> ((s, dir) => {
-      t(s, dir, "documents").createOrReplaceTempView("documents")
-      s.sql("""
-        SELECT doc_id, source FROM documents
-        WHERE sample_hash(doc_id) < 1073741824
-        ORDER BY doc_id""")
-    }),
-
-    // --- topic catalog round-trip: create + produce + INSERT SELECT + scan
-    // (S1/S2/S5/S6 made driver-visible; oracle = the same rows straight
-    // from the source table plus the manually-produced record)
-    "q_topic_roundtrip" -> ((s, dir) => {
-      val root = appTempDir("graft_q_topic")
-      val c = new graft.sources.TopicCatalog(s, root)
-      c.create("docs_topic", StructType(Seq(
-        StructField("doc_id", LongType), StructField("source", StringType),
-        StructField("n_chars", LongType))))
-      c.produceJson("docs_topic",
-        Seq("""{"doc_id":-1,"source":"manual","n_chars":0}"""))
-      c.insertInto("docs_topic",
-        t(s, dir, "documents").select("doc_id", "source", "n_chars"))
-      c.table("docs_topic").select("doc_id", "source", "n_chars").orderBy("doc_id")
-    }),
-
-    // --- ST1 under the hash gate: the reference's run-forever INSERT
-    // SELECT (README.md:435) driven as availableNow micro-batch drains
-    // over a real topic + checkpoint. TWO drain cycles over ONE
-    // checkpoint put the incremental contract itself on the oracle
-    // hash: the second run must append ONLY the late-arriving slice —
-    // any reprocessing of the drained prefix would duplicate rows and
-    // break the hash, not just a spec.
-    "q_stream_insert" -> ((s, dir) => {
-      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
-        appTempDir("graft_q_stream")))
-      g.execute("""CREATE TABLE `doc_lines` (
-    `doc_id`  BIGINT,
-    `source`  STRING,
-    `n_chars` BIGINT
-) WITH ('value.format' = 'json-registry');""")
-      g.execute("""CREATE TABLE `doc_lines_out` (
-    `doc_id`  BIGINT,
-    `src`     STRING,
-    `n_chars` BIGINT
-) WITH ('value.format' = 'json-registry');""")
-      val docs = t(s, dir, "documents").select("doc_id", "source", "n_chars")
-      val insert = """insert into `doc_lines_out`
-select `doc_id`, upper(`source`) AS `src`, `n_chars` from `doc_lines`
-where `n_chars` > 100;"""
-      val ckpt = appTempDir("graft_q_stream_ck")
-      g.topics.insertInto("doc_lines", docs.filter(col("doc_id") % 2 === 0))
-      g.executeStreaming(insert, ckpt).awaitTermination()
-      // records arrive after the first drain; the SAME statement and
-      // checkpoint resume from the committed offsets
-      g.topics.insertInto("doc_lines", docs.filter(col("doc_id") % 2 === 1))
-      g.executeStreaming(insert, ckpt).awaitTermination()
-      g.topics.table("doc_lines_out")
-        .select("doc_id", "src", "n_chars").orderBy("doc_id")
-    }),
-
-    // --- the reference's PERPETUAL SEARCH statement under the hash --------
-    // (README.md:435,438-446: an INSERT INTO ... SELECT ... LATERAL
-    // TABLE(FEDERATED_SEARCH(...)) submitted once "will run forever ...
-    // performing vector searches as they are submitted"). The verbatim
-    // worksheet statement runs as a checkpointed stream in TWO drains —
-    // queries arrive after the first, the SAME statement + checkpoint
-    // resume from committed offsets — and the accumulated topic must
-    // equal the batch semantics of the statement over all queries: the
-    // exploded (query_id, match_id, rank) ladder is fully DuckDB-oracled
-    // (exact dot top-3 with the deterministic tie-break), which also
-    // pins the topic JSON round-trip of ARRAY<FLOAT> query vectors and
-    // ARRAY<ROW<content>> results to full float precision.
-    "q_stream_search" -> ((s, dir) => {
-      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
-        appTempDir("graft_q_streamsearch")))
-      g.execute("""CREATE TABLE `vec_questions` (
-    `qid` BIGINT,
-    `qv`  ARRAY<FLOAT>
-) WITH ('value.format' = 'json-registry');""")
-      g.execute("""CREATE TABLE `search_out` (
-    `qid` BIGINT,
-    `search_results` ARRAY<ROW<`content` STRING>>
-) WITH ('value.format' = 'json-registry');""")
-      val emb = t(s, dir, "embeddings")
-      // default collect cap: the oracle's tie-break (VARCHAR content asc)
-      // replays the COLLECTED route's heap; past 100k rows the corpus
-      // would fall to the distributed route, whose hash-id tie-break the
-      // oracle can't replay — this row is defined at the gate SFs
-      g.registerSearchCorpus("stream_corpus",
-        emb.select(col("vec_id").cast("string").as("content"),
-          col("embedding").as("vector")), "content", "vector")
-      val qs = emb.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val insert = """insert into `search_out`
-select `qid`, `search_results` from `vec_questions`,
-LATERAL TABLE(FEDERATED_SEARCH('stream_corpus', 3, `qv`));"""
-      val ckpt = appTempDir("graft_q_streamsearch_ck")
-      g.topics.insertInto("vec_questions", qs.filter(col("qid") % 40 === 0))
-      g.executeStreaming(insert, ckpt).awaitTermination()
-      g.topics.insertInto("vec_questions", qs.filter(col("qid") % 40 =!= 0))
-      g.executeStreaming(insert, ckpt).awaitTermination()
-      g.topics.table("search_out")
-        .select(col("qid").as("query_id"),
-          posexplode(col("search_results")).as(Seq("pos", "m")))
-        .select(col("query_id"), col("m.content").cast("long").as("match_id"),
-          (col("pos") + 1).cast("int").as("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // the reference's ACTUAL deployment shape (judge r14 gap #1): the
-    // perpetual search statement against an INDEXED external table
-    // (README.md:435,438-446 + the Atlas index :370-382) — the corpus
-    // registers beyond-cap under 'ivf', so the micro-batch re-execution
-    // of the verbatim statement serves the build-once persisted store
-    // (built inside the FIRST micro-batch under the build lock, zero
-    // rebuilds after). Gate: two checkpointed drains, then the
-    // accumulated topic must EXACTLY equal the same statement run
-    // batch-style over all queries — both routes serve one store with
-    // one deterministic probe, so stream ≡ batch is strict equality
-    // per (query, rank), not a recall contract.
-    "q_stream_search_indexed" -> ((s, dir) => {
-      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
-        appTempDir("graft_q_streamsearchix")))
-      g.execute("""CREATE TABLE `vec_questions_ix` (
-    `qid` BIGINT,
-    `qv`  ARRAY<FLOAT>
-) WITH ('value.format' = 'json-registry');""")
-      g.execute("""CREATE TABLE `search_out_ix` (
-    `qid` BIGINT,
-    `search_results` ARRAY<ROW<`content` STRING>>
-) WITH ('value.format' = 'json-registry');""")
-      val emb = t(s, dir, "embeddings")
-      g.registerSearchCorpus("stream_corpus_ix",
-        emb.select(col("vec_id").cast("string").as("content"),
-          col("embedding").as("vector")), "content", "vector",
-        maxRows = 0, indexType = "ivf")
-      val qs = emb.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val insert = """insert into `search_out_ix`
-select `qid`, `search_results` from `vec_questions_ix`,
-LATERAL TABLE(FEDERATED_SEARCH('stream_corpus_ix', 3, `qv`));"""
-      val ckpt = appTempDir("graft_q_streamsearchix_ck")
-      g.topics.insertInto("vec_questions_ix", qs.filter(col("qid") % 40 === 0))
-      g.executeStreaming(insert, ckpt).awaitTermination()
-      g.topics.insertInto("vec_questions_ix", qs.filter(col("qid") % 40 =!= 0))
-      g.executeStreaming(insert, ckpt).awaitTermination()
-      val streamed = g.topics.table("search_out_ix")
-        .select(col("qid").as("query_id"),
-          posexplode(col("search_results")).as(Seq("pos", "m")))
-        .select(col("query_id"), (col("pos") + 1).as("rank"),
-          col("m.content").as("s_content"))
-      val batch = g.execute(
-          "SELECT qid, search_results FROM vec_questions_ix, " +
-            "LATERAL TABLE(FEDERATED_SEARCH('stream_corpus_ix', 3, qv));")
-        .select(col("qid").as("query_id"),
-          posexplode(col("search_results")).as(Seq("pos", "m")))
-        .select(col("query_id"), (col("pos") + 1).as("rank"),
-          col("m.content").as("b_content"))
-      streamed.join(batch, Seq("query_id", "rank"), "full_outer")
-        .groupBy("query_id")
-        .agg((count(lit(1)) === 3).as("k_ok"),
-          min(coalesce(col("s_content") === col("b_content"), lit(false)))
-            .as("eq_ok"))
-        .select(col("query_id"), (col("k_ok") && col("eq_ok")).as("eq_ok"))
-        .orderBy("query_id")
-    }),
-
-    // --- keyed (cleanup.policy=compact) topic compaction ------------------
-    // (the other standard Kafka cleanup policy: latest record per key +
-    // CDC-style tombstone delete; winner via ONE max_by hash aggregation
-    // with map-side combine — no window sort. Oracle recomputes the
-    // winners from the events source with a row_number window.)
-    "q_compacted_topic" -> ((s, dir) => {
-      val root = appTempDir("graft_q_compact")
-      val c = new graft.sources.TopicCatalog(s, root)
-      c.create("user_state", StructType(Seq(
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("ts", TimestampType),
-        StructField("event_id", LongType))))
-      c.insertInto("user_state", t(s, dir, "events")
-        .select(col("user_id").cast("string").cast("binary").as("key"),
-          col("user_id"), col("event_type"), col("value"), col("ts"),
-          col("event_id")))
-      // delete user 7's state: tombstone ordered past every real event
-      c.tombstone("user_state", "7".getBytes("UTF-8"),
-        Map("ts" -> java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
-      c.compactKeyed("user_state", "ts", Seq("event_id"))
-      c.table("user_state")
-        // epoch-micros long: pandas-dtype-stable across engines AND proves
-        // the topic JSON encoding round-trips full microsecond precision
-        .select(col("user_id"), col("event_type"), col("value"),
-          unix_micros(col("ts")).as("ts_us"), col("event_id"))
-        .orderBy("user_id")
-    }),
-
-    // --- DESCRIBE table with the implicit bucket-key column (P5) ----------
-    "q_topic_describe" -> ((s, dir) => {
-      val root = appTempDir("graft_q_desc")
-      val c = new graft.sources.TopicCatalog(s, root)
-      c.create("products_topic", StructType(Seq(
-        StructField("product_id", LongType), StructField("name", StringType))))
-      c.describe("products_topic").orderBy("col_name")
-    }),
-
-    // --- version-pinned ML_PREDICT equals the default dispatch (M4) -------
-    "q_model_pin" -> ((s, dir) => {
-      val r = graft.model.Models.default()
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          (r.mlPredict("retail_assistant$1", col("text")) ===
-            r.mlPredict("retail_assistant", col("text"))).as("pin_eq_default"))
-        .orderBy("doc_id")
-    }),
-
-    // --- DESCRIBE MODEL over the reference's two registered models --------
-    // (M1/M2/M3 made driver-visible; metadata is static so the oracle is a
-    // VALUES literal)
-    "q_model_describe" -> ((s, dir) => {
-      val r = graft.model.Models.default()
-      r.describe(s, graft.model.Models.VectorEncoding, all = true)
-        .unionByName(r.describe(s, graft.model.Models.RetailAssistant, all = true))
-        .orderBy("name", "version")
-    }),
-
-    // --- ALTER MODEL default_version made driver-visible (M5) -------------
-    // (three CREATE MODEL versions like the reference's README.md:660-699
-    // history, default re-pinned to 2 via the verbatim ALTER syntax;
-    // metadata is static so the oracle is a VALUES literal)
-    "q_model_alter" -> ((s, dir) => {
-      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
-        appTempDir("graft_q_alter")))
-      val create = """CREATE MODEL retail_assistant
-INPUT(prompts STRING)
-OUTPUT(json_response STRING)
-WITH (
-  'provider' = 'openai',
-  'task' = 'classification',
-  'openai.connection' = 'openai-llm-connection'
-);"""
-      g.execute(create); g.execute(create); g.execute(create)
-      g.execute("ALTER MODEL `retail_assistant` SET ('default_version'='2');")
-      g.execute("DESCRIBE MODEL retail_assistant$all").orderBy("version")
-    }),
-
-    // --- connection DDL made driver-visible (S4) --------------------------
-    // (the reference's four `confluent flink connection create` CLI blocks
-    // parsed verbatim, README.md:53-60/67-74/79-86/321-329; credentials
-    // masked on describe — config metadata is static, oracle is literal)
-    "q_connection_describe" -> ((s, dir) =>
-      graft.model.Connections.default().describe(s).orderBy("name")),
-
-    // --- the reference's teaching-by-failure surface, under the hash gate --
-    // (each case is a negative transcript the reference walks through or a
-    // guard it documents: sink/query schema mismatch README.md:586-594,
-    // degenerate ROW<> README.md:586-608, model/version 404 README.md:
-    // 657-699, numCandidates ≤ 10000 README.md:368, Schema Registry
-    // additionalProperties=false README.md:228-252. Every case must fail
-    // with the DECLARED class and message marker — emitted as rows, so a
-    // silently-weakened guard breaks the oracle hash, not just a spec.)
-    "q_error_transcripts" -> ((s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.types.{StructType, StructField, StringType, LongType}
-      val root = appTempDir("graft_q_errs")
-      val c = new graft.sources.TopicCatalog(s, root)
-      val g = new graft.sql.GraftSql(s, c)
-      val r = graft.model.Models.default()
-      val docSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("source", StringType)))
-      val cases: Seq[(String, String, () => Unit)] = Seq(
-        ("degenerate_row_type", "ROW<>",
-          () => c.create("llm_prompt_test", StructType(Seq(
-            StructField("sessionid", StringType),
-            StructField("llm_request_json_object", StructType(Seq.empty)))))),
-        ("model_404", "model no_such_model not found",
-          () => r.resolve("no_such_model")),
-        ("model_version_404", "version 9 not found",
-          () => r.resolve(graft.model.Models.RetailAssistant + "$9")),
-        ("num_candidates_cap", "numCandidates must be in [1, 10000]",
-          () => g.registerSearchCorpus("caps", t(s, dir, "documents")
-            .select(col("text").as("content"),
-              graft.functions.HashEmbedder.embedCol(col("text")).as("vector")),
-            "content", "vector", numCandidates = 10001)),
-        ("sink_schema_mismatch", "schema mismatch",
-          () => {
-            c.create("sink_topic", docSchema)
-            c.insertInto("sink_topic",
-              t(s, dir, "documents").select("doc_id", "source", "n_chars"))
-          }),
-        ("strict_produce_reject", "additionalProperties=false",
-          () => {
-            c.create("strict_topic", docSchema, Map("validation" -> "strict"))
-            c.produceJson("strict_topic",
-              Seq("""{"doc_id":1,"source":"web","email":"x@y.z"}"""))
-          }),
-        ("unknown_corpus", "unknown search corpus",
-          () => {
-            t(s, dir, "documents").limit(1)
-              .select(graft.functions.HashEmbedder.embedCol(col("text")).as("vector"))
-              .createOrReplaceTempView("q_et_src")
-            g.execute("SELECT * FROM q_et_src, " +
-              "LATERAL TABLE(FEDERATED_SEARCH('no_such_corpus', 3, vector));")
-          }),
-        ("lease_held", "compaction already in progress",
-          () => {
-            // a live (fresh-mtime) lock held by another compactor must
-            // fail this one fast instead of racing the rename swap
-            val store = java.nio.file.Files
-              .createTempDirectory("graft_q_lease").toString
-            java.nio.file.Files.createFile(
-              java.nio.file.Paths.get(store, ".compact.lock"))
-            graft.operators.IndexMaintenance.withStoreLock(s, store) { () }
-          }),
-        ("lease_usurped", "usurped by another compactor",
-          () => {
-            // a holder that overran its lease and was taken over must
-            // fail loudly on release — and never delete the usurper's
-            // lock (asserted below after the transcript rows build)
-            val store = java.nio.file.Files
-              .createTempDirectory("graft_q_usurp").toString
-            val lockF = java.nio.file.Paths.get(store, ".compact.lock")
-            graft.operators.IndexMaintenance.withStoreLock(s, store) {
-              java.nio.file.Files.delete(lockF)
-              java.nio.file.Files.write(lockF,
-                "intruder-token".getBytes("UTF-8"))
-            }
-          }),
-        ("unknown_metric", "unknown metric manhattan",
-          () => graft.operators.VectorSearch.topKFlat(
-            t(s, dir, "embeddings").limit(1)
-              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-            "qid", "qv", t(s, dir, "embeddings"), "vec_id", "embedding",
-            k = 1, metric = "manhattan")),
-        ("delete_missing_store", "does not exist or is unreachable",
-          () => graft.operators.IvfSearch.deleteFromIndex(s,
-            appTempDir("graft_q_delmiss"),
-            t(s, dir, "embeddings").limit(1).select("vec_id"), "vec_id")),
-        ("payload_reserved", "collides with a reserved store column",
-          () => graft.operators.IvfSearch.writeIndex(
-            t(s, dir, "embeddings").withColumn("cell", lit(1)),
-            "vec_id", "embedding",
-            appTempDir("graft_q_resv"),
-            nList = 2, payload = Seq("cell"))),
-        ("filtered_overfetch", "overFetch must be >= 1",
-          () => graft.operators.HnswSearch.searchIndexFiltered(s,
-            "/nonexistent_store", t(s, dir, "embeddings").limit(1)
-              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-            "qid", "qv", t(s, dir, "embeddings").select("vec_id"), "vec_id",
-            k = 3, overFetch = 0)),
-        ("radius_bad_args", "RADIUS_SEARCH expects",
-          () => {
-            t(s, dir, "embeddings").limit(1)
-              .select(col("embedding").as("vector"))
-              .createOrReplaceTempView("q_et_rad_src")
-            g.execute("SELECT * FROM q_et_rad_src, " +
-              "LATERAL TABLE(RADIUS_SEARCH('whatever', 0.3));")
-          }),
-        ("radius_unknown_corpus", "unknown search corpus",
-          () => {
-            t(s, dir, "embeddings").limit(1)
-              .select(col("embedding").as("vector"))
-              .createOrReplaceTempView("q_et_rad_src2")
-            g.execute("SELECT * FROM q_et_rad_src2, " +
-              "LATERAL TABLE(RADIUS_SEARCH('no_such_corpus', 0.3, vector));")
-          }),
-        ("radius_bad_threshold", "threshold must be numeric",
-          () => {
-            t(s, dir, "embeddings").limit(1)
-              .select(col("embedding").as("vector"))
-              .createOrReplaceTempView("q_et_rad_src3")
-            g.execute("SELECT * FROM q_et_rad_src3, " +
-              "LATERAL TABLE(RADIUS_SEARCH('whatever', high, vector));")
-          }),
-        ("filtered_pred_unresolved", "does not resolve against",
-          () => {
-            g.registerSearchCorpus("q_et_meta",
-              t(s, dir, "documents").limit(20).select(
-                col("text").as("content"),
-                graft.functions.HashEmbedder.embedCol(col("text")).as("vector")),
-              "content", "vector")
-            t(s, dir, "embeddings").limit(1)
-              .select(col("embedding").as("vector"))
-              .createOrReplaceTempView("q_et_flt_src")
-            g.execute("SELECT * FROM q_et_flt_src, " +
-              "LATERAL TABLE(FILTERED_SEARCH('q_et_meta', 3, vector, " +
-              "'no_such_col = 1'));")
-          }))
-      val rows = cases.map { case (name, needle, act) =>
-        val (cls, detail) =
-          try { act(); ("NO_ERROR", s"MISSING: $needle") }
-          catch {
-            case e: Throwable =>
-              (e.getClass.getSimpleName,
-                if (e.getMessage != null && e.getMessage.contains(needle)) needle
-                else s"UNEXPECTED: ${Option(e.getMessage).getOrElse("").take(80)}")
-          }
-        (name, cls, detail)
-      }
-      rows.toDF("case_name", "error_class", "detail").orderBy("case_name")
-    }),
-
-    // --- INSERT VALUES with complex literals (S7/F3) ----------------------
-    // (the reference's verbatim ARRAY[ROW(...)] insert, README.md:614-623,
-    // through the SQL facade; plus one typed-Row insert through the
-    // catalog API; arrays serialize to_json for the pandas-safe contract)
-    "q_insert_values" -> ((s, dir) => {
-      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
-        appTempDir("graft_q_vals")))
-      g.execute("""CREATE TABLE `user_prompts` (
-    `role`         STRING,
-    `content`      STRING,
-    `sessionid`    STRING,
-    `products` ARRAY<ROW<`content` STRING>>
-) WITH ('value.format' = 'json-registry');""")
-      g.execute("""insert into user_prompts (role, content, sessionid, products)
-values (
-  'user',
-  'Find me a pair of mens formal shoes in medium size.',
-  'abc256',
-  ARRAY[ROW('Blue Medium Adult Male Shoes, product_id: 101'), ROW('Blue Medium Adult Female Shoes, product_id: 102')]
-);""")
-      g.topics.insertValues("user_prompts",
-        org.apache.spark.sql.Row("user", "Waterproof hiking boots", "abc257",
-          Seq(org.apache.spark.sql.Row("Trail boots, product_id: 201"))))
-      g.topics.table("user_prompts")
-        .select(col("role"), col("content"), col("sessionid"),
-          to_json(col("products")).as("products_json"))
-        .orderBy("sessionid")
-    }),
-
-    // --- ANN (LSH candidate pruning — approximate, rows-only + tests) -----
-    "q_vector_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      VectorSearch.annTopK(queries, "query_id", "qv", emb, "vec_id", "embedding",
-        k = 3, metric = "dot", nBits = 6, nTables = 4)
-        .select("query_id", "match_id", "score", "rank")
-        .orderBy("query_id", "rank")
-    }),
-
-    // --- HNSW ANN: sharded graph search (rows-only; q_hnsw_recall is
-    // the hash gate). Scores are the bit-parity scoreF32, rank exact
-    // over the shard-survivor union.
-    "q_vector_hnsw" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      graft.operators.HnswSearch.hnswTopK(queries, "query_id", "qv",
-        emb, "vec_id", "embedding", k = 3, metric = "dot",
-        m = 8, efConstruction = 64, efSearch = 32, nShards = 4)
-        .select("query_id", "match_id", "score", "rank")
-        .orderBy("query_id", "rank")
-    }),
-
-    // --- PQ (product quantization) ANN: compressed-corpus ADC scan --------
-    // (Jégou 2011; third index family beside LSH/IVF — rows-only, the
-    // recall contract below is the hash gate)
-    "q_vector_pq" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      graft.operators.PqSearch.pqTopK(queries, "query_id", "qv",
-        emb, "vec_id", "embedding", k = 3, cb = pqCodebooks(s, dir),
-        metric = "dot", numCandidates = 100, maxQueries = 10000)
-        .select("query_id", "match_id", "score", "rank")
-        .orderBy("query_id", "rank")
-    }),
-
-    "q_pq_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = annQueries(s, dir)
-      val approx = graft.operators.PqSearch.pqTopK(queries, "query_id", "qv",
-        emb, "vec_id", "embedding", k = 3, cb = pqCodebooks(s, dir),
-        metric = "dot", numCandidates = 100, maxQueries = 10000)
-      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
-        "query_id", "match_id", 1)
-        .orderBy("query_id")
-    }),
-
-    // --- SQ8 (scalar quantization) ANN: byte-coded flat scan --------------
-    // (FAISS's SQ8 family — 4x memory cut with per-dim byte resolution;
-    // rows-only, the recall contract below is the hash gate)
-    "q_vector_sq" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      graft.operators.SqSearch.sqTopK(queries, "query_id", "qv",
-        emb, "vec_id", "embedding", k = 3, model = sqModel(s, dir),
-        metric = "dot", numCandidates = 100, maxQueries = 10000)
-        .select("query_id", "match_id", "score", "rank")
-        .orderBy("query_id", "rank")
-    }),
-
-    "q_sq_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = annQueries(s, dir)
-      val approx = graft.operators.SqSearch.sqTopK(queries, "query_id", "qv",
-        emb, "vec_id", "embedding", k = 3, model = sqModel(s, dir),
-        metric = "dot", numCandidates = 100, maxQueries = 10000)
-      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
-        "query_id", "match_id", 1)
-        .orderBy("query_id")
-    }),
-
-    // --- BQ (binary quantization) ANN: 1-bit sign codes -------------------
-    // (FAISS's binary-flat rung — 32x memory cut, XOR+popcount scan;
-    // rows-only, the recall contract below is the hash gate)
-    "q_vector_bq" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      graft.operators.BqSearch.bqTopK(queries, "query_id", "qv",
-        emb, "vec_id", "embedding", k = 3, model = bqModel(s, dir),
-        metric = "dot", numCandidates = 100, maxQueries = 10000)
-        .select("query_id", "match_id", "score", "rank")
-        .orderBy("query_id", "rank")
-    }),
-
-    "q_bq_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = annQueries(s, dir)
-      val approx = graft.operators.BqSearch.bqTopK(queries, "query_id", "qv",
-        emb, "vec_id", "embedding", k = 3, model = bqModel(s, dir),
-        metric = "dot", numCandidates = 100, maxQueries = 10000)
-      VectorSearch.recallContract(approx, annGroundTruth(s, dir), queries,
-        "query_id", "match_id", 1)
-        .orderBy("query_id")
-    }),
-
-    // --- lexical + hybrid retrieval (production RAG's other half) ---------
-    // BM25 keyword top-10 over the documents corpus for the fixed
-    // lexQueries. Fully oracled: scores are round(,4) with the
-    // unigramXent measured-margin argument (asserted in LexicalSpec),
-    // rank is over the ROUNDED score with id tie-break, so both
-    // engines rank identically.
-    "q_bm25_topk" -> ((s, dir) =>
-      graft.operators.Lexical.bm25TopK(lexQueries(s), "query_id", "term",
-        t(s, dir, "documents"), "doc_id", "text", k = 10,
-        post = docPostings(s, dir), stats = docBm25Stats(s, dir))
-        .orderBy("query_id", "rank")),
-
-    // BM25 scoreDetails (the Atlas/Lucene explain shape): one row per
-    // (query, doc, matched term) with the scoring primitives and the
-    // factors whose product is the term's contribution — fully
-    // hash-oracled (the DuckDB oracle replays the per-term frame with
-    // the exact same associations as the score chain).
-    "q_bm25_explain" -> ((s, dir) =>
-      graft.operators.Lexical.bm25Explain(lexQueries(s), "query_id", "term",
-        t(s, dir, "documents"), "doc_id", "text",
-        post = docPostings(s, dir), stats = docBm25Stats(s, dir))
-        .orderBy("query_id", "match_id", "term")),
-
-    // FILTERED BM25 (Lucene filtered-query semantics): scores from the
-    // GLOBAL corpus stats — identical to q_bm25_topk's — but only
-    // lang='en' documents may fill the top-10. Fully hash-oracled: the
-    // oracle replays the same global-stats pipeline and applies the
-    // filter at ranking time only.
-    "q_bm25_filtered" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      graft.operators.Lexical.bm25TopKFiltered(lexQueries(s), "query_id",
-        "term", docs, "doc_id", "text",
-        docs.filter(col("lang") === "en"), "doc_id", k = 10,
-        post = docPostings(s, dir), stats = docBm25Stats(s, dir))
-        .orderBy("query_id", "rank")
-    }),
-
-    // PRF (RM3-style) query expansion: original query -> top-5 feedback
-    // docs -> 3 most frequent non-query terms mined -> expanded query
-    // re-ranked. Fully oracled: the oracle replays BOTH scoring passes
-    // and the deterministic term mining.
-    "q_bm25_prf" -> ((s, dir) =>
-      graft.operators.Lexical.bm25PrfTopK(lexQueries(s), "query_id", "term",
-        t(s, dir, "documents"), "doc_id", "text", k = 10,
-        fbDocs = 5, fbTerms = 3,
-        post = docPostings(s, dir), stats = docBm25Stats(s, dir))
-        .orderBy("query_id", "rank")),
-
-    // FILTERED PRF (the Lucene filtered-query convention end-to-end):
-    // BOTH passes restrict to lang='en' documents under GLOBAL corpus
-    // stats — feedback docs come from the filtered ranking, so mined
-    // terms never leak from excluded documents, and the final top-10
-    // admits only the filtered set. Fully hash-oracled: the oracle
-    // replays both filtered passes and the deterministic mining.
-    "q_bm25_prf_filtered" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      graft.operators.Lexical.bm25PrfTopK(lexQueries(s), "query_id", "term",
-        docs, "doc_id", "text", k = 10, fbDocs = 5, fbTerms = 3,
-        post = docPostings(s, dir), stats = docBm25Stats(s, dir),
-        allowed = docs.filter(col("lang") === "en"), allowedId = "doc_id")
-        .orderBy("query_id", "rank")
-    }),
-
-    // --- persisted lexical index: BM25 served ENTIRELY from the at-rest
-    // postings/stats artifacts (LexicalIndex — the store the streaming
-    // append twin feeds), with the corpus never touched at scoring time.
-    // Same oracle as q_bm25_topk: serving from the index is semantically
-    // identical to scoring the corpus, which is exactly the property the
-    // row asserts. Index once, serve many (the build is content-addressed
-    // like the persisted vector indexes; the bench times the SERVE).
-    "q_bm25_indexed" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lex_index2_" +
-        contentTag(dir, "documents")
-      if (!graft.operators.FsUtil.exists(s, s"$path/stats/_SUCCESS"))
-        graft.operators.LexicalIndex.writeIndex(
-          t(s, dir, "documents"), "doc_id", "text", path)
-      // the query terms are driver-known, so the serve takes the
-      // BUCKET-PRUNED posting scan (only the terms' partition dirs are
-      // listed — the IVF-probe shape on the lexical side); restricting
-      // the posting list to whole term-buckets changes nothing
-      // semantically (scoring equi-joins on the term) and the oracle
-      // hash proves it
-      graft.operators.Lexical.bm25TopK(lexQueries(s), "query_id", "term",
-        null, "doc_id", "text", k = 10,
-        post = graft.operators.LexicalIndex.postingsForTerms(s, path,
-          LexQueryTermSet),
-        stats = graft.operators.LexicalIndex.corpusStats(s, path))
-        .orderBy("query_id", "rank")
-    }),
-
-    // Index-served FILTERED BM25: the persisted store's bucket-pruned
-    // postings + summed stats partials feed the Lucene filtered-query
-    // ranking (global stats, admitted candidates) — the at-rest lexical
-    // store now serves the filter too. Oracle is q_bm25_filtered's
-    // VERBATIM (the q_bm25_indexed idiom): a hash match proves
-    // index-served filtered ≡ corpus-scored filtered.
-    "q_bm25_indexed_filtered" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lex_index2_" +
-        contentTag(dir, "documents")
-      if (!graft.operators.FsUtil.exists(s, s"$path/stats/_SUCCESS"))
-        graft.operators.LexicalIndex.writeIndex(
-          t(s, dir, "documents"), "doc_id", "text", path)
-      graft.operators.Lexical.bm25TopKFiltered(lexQueries(s), "query_id",
-        "term", null, "doc_id", "text",
-        t(s, dir, "documents").filter(col("lang") === "en"), "doc_id",
-        k = 10,
-        post = graft.operators.LexicalIndex.postingsForTerms(s, path,
-          LexQueryTermSet),
-        stats = graft.operators.LexicalIndex.corpusStats(s, path))
-        .orderBy("query_id", "rank")
-    }),
-
-    // --- lexical DELETE protocol under the hash gate -----------------------
-    // The text twin of q_ivf_delete: tombstoned documents vanish from
-    // BM25 retrieval at once, and the NEGATIVE stats partial lands the
-    // global constants (n, avgdl) exactly — both phases (tombstone-
-    // filtered serve, post-compaction serve) must hash-match the oracle
-    // computing BM25 from scratch over the SURVIVING corpus. Nothing
-    // weaker would pass: a stale n or avgdl shifts every score.
-    "q_bm25_delete" -> ((s, dir) => {
-      // pristine tag v2: consolidated at build (one file per bucket, the
-      // q_ivf_delete discipline) so the clone/delete/serve/compact
-      // lifecycle starts from the store shape compaction maintains
-      val store = clonedStore(s, dir, "lexdel_v2", "stats/_SUCCESS",
-        table = "documents") { p =>
-        graft.operators.LexicalIndex.writeIndex(
-          t(s, dir, "documents"), "doc_id", "text", p)
-        graft.operators.LexicalIndex.compactIndex(s, p)
-      }
-      graft.operators.LexicalIndex.deleteFromIndex(s, store,
-        t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
-          .select("doc_id"), "doc_id")
-      def serve(phase: String) =
-        graft.operators.Lexical.bm25TopK(lexQueries(s), "query_id", "term",
-          null, "doc_id", "text", k = 10,
-          post = graft.operators.LexicalIndex.postingsForTerms(s, store,
-            LexQueryTermSet),
-          stats = graft.operators.LexicalIndex.corpusStats(s, store))
-          .select(lit(phase).as("phase"), col("query_id"), col("match_id"),
-            col("score"), col("rank"))
-      val served = serve("served").localCheckpoint()
-      graft.operators.LexicalIndex.compactIndex(s, store)
-      served.unionByName(serve("compacted"))
-        .orderBy("phase", "query_id", "rank")
-    }),
-
-    // The MAINTAINED index: built over half the corpus, grown to full
-    // by append, then COMPACTED (one file per bucket, stats partials
-    // pre-summed) — served under the very same oracle as the direct and
-    // freshly-indexed BM25. The hash match proves the whole lifecycle
-    // (build → append → compact) is score-invisible; the store is
-    // content-addressed with a build-complete marker written last.
-    "q_bm25_compacted" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lex_cidx2_" +
-        contentTag(dir, "documents")
-      if (!graft.operators.FsUtil.exists(s, s"$path/_COMPACTED")) {
-        val docs = t(s, dir, "documents")
-        graft.operators.LexicalIndex.writeIndex(
-          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", path)
-        graft.operators.LexicalIndex.appendToIndex(
-          docs.filter(pmod(col("doc_id"), lit(2)) =!= 0), "doc_id", "text", path)
-        graft.operators.LexicalIndex.compactIndex(s, path)
-        graft.operators.FsUtil.touch(s, s"$path/_COMPACTED")
-      }
-      graft.operators.Lexical.bm25TopK(lexQueries(s), "query_id", "term",
-        null, "doc_id", "text", k = 10,
-        post = graft.operators.LexicalIndex.postingsForTerms(s, path,
-          LexQueryTermSet),
-        stats = graft.operators.LexicalIndex.corpusStats(s, path))
-        .orderBy("query_id", "rank")
-    }),
-
-    // Reciprocal-rank fusion of the cosine ranking (embeddings, query
-    // vectors = vec_id 0..2) with the BM25 ranking (documents, the
-    // aligned lexQueries) — doc_id == vec_id by construction in the
-    // test corpus. RRF adds exactly two IEEE quotients in fixed order,
-    // so the fused score needs no rounding.
-    "q_hybrid_rrf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val vq = emb.filter(col("vec_id") <= 2)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val vrank = VectorSearch.topKAgg(vq, "query_id", "qv",
-        emb, "vec_id", "embedding", k = 20, metric = "cosine")
-        .select(col("query_id"), posexplode(col("matches")).as(Seq("pos", "m")))
-        .select(col("query_id"), col("m.id").as("match_id"),
-          (col("pos") + 1).cast("int").as("rank"))
-      val lrank = graft.operators.Lexical.bm25TopK(lexQueries(s),
-        "query_id", "term", t(s, dir, "documents"), "doc_id", "text", k = 20,
-        post = docPostings(s, dir), stats = docBm25Stats(s, dir))
-        .select("query_id", "match_id", "rank")
-      graft.operators.Lexical.rrfFuse(vrank, lrank,
-        "query_id", "match_id", "rank", k = 5)
-        .orderBy("query_id", "rrf_rank")
-    }),
-
-    // FILTERED hybrid: both legs metadata-restricted BEFORE fusion — the
-    // vector leg pre-filters its corpus (exact over the admitted subset,
-    // the topKFiltered law), the BM25 leg keeps GLOBAL stats and
-    // restricts candidates (the bm25TopKFiltered law) — then the same
-    // RRF. Fully hash-oracled: the oracle replays both filtered
-    // rankings and the fixed-operand-order fusion.
-    "q_hybrid_filtered" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val docs = t(s, dir, "documents")
-      val vq = emb.filter(col("vec_id") <= 2)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val vrank = VectorSearch.topKAgg(vq, "query_id", "qv",
-        emb.filter(FilteredPred), "vec_id", "embedding", k = 20,
-        metric = "cosine")
-        .select(col("query_id"), posexplode(col("matches")).as(Seq("pos", "m")))
-        .select(col("query_id"), col("m.id").as("match_id"),
-          (col("pos") + 1).cast("int").as("rank"))
-      val lrank = graft.operators.Lexical.bm25TopKFiltered(lexQueries(s),
-        "query_id", "term", docs, "doc_id", "text",
-        docs.filter(col("lang") === "en"), "doc_id", k = 20,
-        post = docPostings(s, dir), stats = docBm25Stats(s, dir))
-        .select("query_id", "match_id", "rank")
-      graft.operators.Lexical.rrfFuse(vrank, lrank,
-        "query_id", "match_id", "rank", k = 5)
-        .orderBy("query_id", "rrf_rank")
-    }),
-
-    // Hybrid fusion with the BM25 leg served ENTIRELY from the persisted
-    // lexical index (bucket-pruned postings + summed stats partials) —
-    // the continuously-ingested-corpus hybrid serve path, proven on the
-    // oracle board: same oracle as q_hybrid_rrf, so a hash match shows
-    // index-served hybrid ≡ corpus-scored hybrid.
-    "q_hybrid_indexed" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lex_index2_" +
-        contentTag(dir, "documents")
-      if (!graft.operators.FsUtil.exists(s, s"$path/stats/_SUCCESS"))
-        graft.operators.LexicalIndex.writeIndex(
-          t(s, dir, "documents"), "doc_id", "text", path)
-      val emb = t(s, dir, "embeddings")
-      val vq = emb.filter(col("vec_id") <= 2)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val vrank = VectorSearch.topKAgg(vq, "query_id", "qv",
-        emb, "vec_id", "embedding", k = 20, metric = "cosine")
-        .select(col("query_id"), posexplode(col("matches")).as(Seq("pos", "m")))
-        .select(col("query_id"), col("m.id").as("match_id"),
-          (col("pos") + 1).cast("int").as("rank"))
-      val lrank = graft.operators.Lexical.bm25TopK(lexQueries(s),
-        "query_id", "term", null, "doc_id", "text", k = 20,
-        post = graft.operators.LexicalIndex.postingsForTerms(s, path,
-          LexQueryTermSet),
-        stats = graft.operators.LexicalIndex.corpusStats(s, path))
-        .select("query_id", "match_id", "rank")
-      graft.operators.Lexical.rrfFuse(vrank, lrank,
-        "query_id", "match_id", "rank", k = 5)
-        .orderBy("query_id", "rrf_rank")
-    }),
-
-    // MMR diversity re-rank of each query's cosine top-10 down to 3
-    // (lambda = 0.5: halving is exact in IEEE 754, so the marginal
-    // score is a bit-stable function of the bit-parity cosines and the
-    // unrolled DuckDB oracle replays the greedy selection exactly).
-    "q_mmr_rerank" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      graft.operators.Lexical.mmrRerank(q, "query_id", "qv",
-        emb, "vec_id", "embedding", candN = 10, selectK = 3, lambda = 0.5)
-        .orderBy("query_id", "sel_rank")
-    }),
-
-    // Hybrid-retrieval RAG (rows-only; the contract twin is the gate):
-    // the reference slice with retrieval swapped for RRF(vector, BM25)
-    // self-retrieval over documents.
-    "q_rag_hybrid" -> ((s, dir) =>
-      memoizedHybridRag(s, dir, fresh = true)
-        .withColumn("products", to_json(col("products")))),
-
-    // Contract: k products, every product text IS a corpus document
-    // (referential integrity — a REAL join check), prompt JSON shape,
-    // response present. Self-retrieval is deliberately NOT asserted:
-    // the vector side pins self at rank 1 (unit-norm embedder,
-    // PipelineSpec), but BM25's length normalization legitimately
-    // ranks tighter term-packed documents above a long diffuse self,
-    // so the FUSED top-3 may exclude it — that is hybrid retrieval
-    // working as designed, not a defect.
-    "q_rag_hybrid_contract" -> ((s, dir) => {
-      val df = memoizedHybridRag(s, dir)
-      val corpusTexts = t(s, dir, "documents")
-        .select(col("text").as("__ct")).distinct()
-      df.select(col("doc_id"),
-          explode(col("products")).as("p"),
-          col("prompt"), col("json_response"))
-        .join(broadcast(corpusTexts), col("p.content") === col("__ct"), "left")
-        .groupBy("doc_id")
-        .agg((count(lit(1)) === 3).as("products_k_ok"),
-          (sum(when(col("__ct").isNull, 1).otherwise(0)) === 0)
-            .as("products_from_corpus_ok"),
-          (max(get_json_object(col("prompt"), "$.role")) === "user")
-            .as("prompt_role_ok"),
-          (sum(when(col("json_response").isNull, 1).otherwise(0)) === 0)
-            .as("response_ok"))
-        .orderBy("doc_id")
-    }),
-
-    // Hard-negative mining (Karpukhin 2020): per query, the top-5 most
-    // similar DIFFERENT-label items — rank-only output, fully oracled.
-    "q_hard_negatives" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("label").as("qlab"))
-      graft.operators.RetrievalEval.hardNegatives(q, "query_id", "qv", "qlab",
-        emb, "vec_id", "embedding", "label", k = 5)
-        .orderBy("query_id", "rank")
-    }),
-
-    // Winnowing fingerprint selection (Schleimer 2003, MOSS) over the
-    // normalized char stream — lexicographic gram order so the oracle
-    // replays the window minima exactly. Fully oracled.
-    "q_winnow" -> ((s, dir) =>
-      Dedup.winnow(t(s, dir, "documents"), "doc_id", "text", k = 5, w = 4)
-        .orderBy("id", "pos")),
-
-    // MOSS matching step: near-dup candidate pairs sharing >= 2 winnow
-    // fingerprints, hot grams bucket-capped first. Fully oracled.
-    "q_winnow_pairs" -> ((s, dir) =>
-      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
-        k = 5, w = 4, minShared = 2, maxBucket = 20)
-        .orderBy("id1", "id2")),
-
-    // Grouped MaxSim (multi-vector late interaction, ColBERT-style):
-    // rank label-groups by the max cosine over their member vectors.
-    // Fully oracled (group-max + rank replay in SQL).
-    "q_maxsim_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      VectorSearch.groupMaxSimTopK(q, "query_id", "qv",
-        emb, "label", "embedding", k = 3, metric = "cosine")
-        .orderBy("query_id", "rank")
-    }),
-
-    // The MaxSim scale path: IVF-probed candidates then group-max
-    // (rows-only; the recall contract below is the hash gate).
-    "q_maxsim_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      VectorSearch.groupMaxSimAnn(q, "query_id", "qv",
-        emb, "label", "vec_id", "embedding", k = 3, metric = "cosine",
-        numCandidates = 200)
-        .orderBy("query_id", "rank")
-    }),
-
-    "q_maxsim_ann_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val approx = VectorSearch.groupMaxSimAnn(q, "query_id", "qv",
-        emb, "label", "vec_id", "embedding", k = 3, metric = "cosine",
-        numCandidates = 200)
-      val exact = VectorSearch.groupMaxSimTopK(q, "query_id", "qv",
-        emb, "label", "embedding", k = 3, metric = "cosine")
-      VectorSearch.recallContract(approx, exact, q,
-        "query_id", "match_group", 1)
-        .orderBy("query_id")
-    }),
-
-    // MaxSim served from the PERSISTED IVF index (the same
-    // content-addressed store q_ivf_index_recall probes): candidates
-    // from the partition-pruned at-rest probe, group-max over retrieved
-    // members, member→group mapping riding as the slim offline artifact
-    // — the multi-vector path for a continuously-appended index, gated
-    // by the same recall contract as the in-flight ANN form.
-    "q_maxsim_index_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
-        indexTag(dir)
-      if (!graft.operators.FsUtil.exists(s, s"$path/centroids/_SUCCESS"))
-        graft.operators.IvfSearch.writeIndex(emb, "vec_id", "embedding", path,
-          nList = 16)
-      val q = emb.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val approx = VectorSearch.groupMaxSimIndex(s, path, q, "query_id", "qv",
-        emb.select("vec_id", "label"), "vec_id", "label",
-        k = 3, metric = "cosine", numCandidates = 200, nProbe = 8)
-      val exact = VectorSearch.groupMaxSimTopK(q, "query_id", "qv",
-        emb, "label", "embedding", k = 3, metric = "cosine")
-      VectorSearch.recallContract(approx, exact, q,
-        "query_id", "match_group", 1)
-        .orderBy("query_id")
-    }),
-
-    // MMR on the SQL worksheet served from the REGISTERED index: the
-    // candidate pool of MMR_SEARCH on an 'ivf' beyond-cap registration
-    // comes from the family ladder (pool IDS from the probe, relevance
-    // re-scored exactly) instead of an exact corpus scan per statement.
-    // Gate: selection overlap vs the exact operator-level MMR (the
-    // full-probe facade equivalence is pinned in GraftSqlSpec).
-    "q_sql_mmr_indexed" -> ((s, dir) => {
-      val g = sqlFacade(s)
-      val name = s"sqlfivf_${indexTag(dir)}"
-      registerOnce(s, name) {
-        g.registerSearchCorpus(name,
-          t(s, dir, "embeddings").select(
-            col("vec_id").cast("string").as("content"),
-            col("embedding").as("vector"), col("label")),
-          "content", "vector", maxRows = 0, indexType = "ivf")
-      }
-      val queries = annQueries(s, dir)
-      queries.createOrReplaceTempView("graft_mmr_ix_queries")
-      val approx = g.execute(
-          "SELECT query_id, search_results FROM graft_mmr_ix_queries, " +
-            s"LATERAL TABLE(MMR_SEARCH('$name', 3, qv, 10, 0.5));")
-        .select(col("query_id"), explode(col("search_results")).as("m"))
-        .select(col("query_id"), col("m.content").cast("long").as("match_id"))
-      val exact = graft.operators.Lexical.mmrRerank(queries, "query_id",
-        "qv", t(s, dir, "embeddings"), "vec_id", "embedding",
-        candN = 10, selectK = 3, lambda = 0.5)
-      VectorSearch.recallContract(approx, exact, queries,
-        "query_id", "match_id", 1)
-        .orderBy("query_id")
-    }),
-
-    // MAXSIM on the SQL worksheet served from the REGISTERED index: an
-    // 'ivf' registration's member ranking comes from its persisted
-    // store probe (the q_maxsim_index_recall machinery behind the
-    // facade) instead of an exact member scan per statement. Groups are
-    // label-keyed member sets; gate: group overlap vs the exact
-    // operator-level group-MaxSim.
-    "q_sql_maxsim_indexed" -> ((s, dir) => {
-      val g = sqlFacade(s)
-      val emb = t(s, dir, "embeddings")
-      val name = s"sqlmsivf_${indexTag(dir)}"
-      registerOnce(s, name) {
-        g.registerSearchCorpus(name,
-          emb.select(col("label").cast("string").as("content"),
-            col("embedding").as("vector")),
-          "content", "vector", maxRows = 0, indexType = "ivf")
-      }
-      val queries = emb.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      queries.createOrReplaceTempView("graft_ms_ix_queries")
-      val approx = g.execute(
-          "SELECT query_id, search_results FROM graft_ms_ix_queries, " +
-            s"LATERAL TABLE(MAXSIM_SEARCH('$name', 3, qv));")
-        .select(col("query_id"), explode(col("search_results")).as("m"))
-        .select(col("query_id"),
-          col("m.content").cast("long").as("match_group"))
-      val exact = VectorSearch.groupMaxSimTopK(queries, "query_id", "qv",
-        emb, "label", "embedding", k = 3, metric = "cosine")
-      VectorSearch.recallContract(approx, exact, queries,
-        "query_id", "match_group", 1)
-        .orderBy("query_id")
-    }),
-
-    // Contrastive training triples: rank-aligned (positive, negative)
-    // pairs per query from the same scored scan. Fully oracled.
-    "q_contrastive_triples" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("label").as("qlab"))
-      graft.operators.RetrievalEval.contrastiveTriples(q, "query_id", "qv",
-        "qlab", emb, "vec_id", "embedding", "label", k = 3)
-        .orderBy("query_id", "pair_rank")
-    }),
-
-    // Length-bucketed inference batch shaping: per-source sorted
-    // batches of 32 with padding-waste accounting. All-integer — fully
-    // oracled.
-    "q_length_batches" -> ((s, dir) =>
-      Corpus.lengthBatches(
-        t(s, dir, "documents").withColumn("n_tok",
-          graft.functions.TextOps.wordCount(col("text"))),
-        "doc_id", "source", "n_tok", batchSize = 32)
-        .orderBy("stratum", "batch_id")),
-
-    // Corpus datasheet: the per-source data card (counts, token mass,
-    // discrete length quantiles, corpus share). Fully oracled — the
-    // discrete order-statistic index formula replays verbatim in SQL.
-    "q_datasheet" -> ((s, dir) =>
-      Corpus.datasheet(t(s, dir, "documents"), "text", "source")
-        .orderBy("stratum")),
-
-    // --- Unigram-LM tokenizer induction (Kudo 2018) -----------------------
-    // The SECOND tokenizer family next to BPE: start from a large
-    // candidate inventory, prune under hard-EM. The candidate stage is
-    // pure relational algebra — fully oracled (substring frequencies
-    // weighted by word-type counts, top-50 cap + always-kept chars).
-    "q_ulm_candidates" -> ((s, dir) =>
-      graft.operators.UnigramLm.candidates(t(s, dir, "documents"), "text",
-        maxPieceLen = 4, maxCandidates = 50)
-        .orderBy("piece")),
-
-    // Encode contract over the trained model (EM itself isn't SQL-
-    // replayable; UnigramLmSpec pins discovery/monotonicity/invariance):
-    // per doc, n_words is REAL (oracle recomputes it), every word's
-    // Viterbi pieces reassemble to the word, and the piece count can
-    // never undershoot the word count.
-    "q_ulm_encode" -> ((s, dir) =>
-      graft.operators.UnigramLm.encodeCount(
-        t(s, dir, "documents"), "doc_id", "text", ulmModel(s, dir))
-        .select(col("id").as("doc_id"), col("n_words"), col("roundtrip_ok"),
-          (col("n_pieces") >= col("n_words")).as("pieces_ok"))
-        .orderBy("doc_id")),
-
-    // --- BPE tokenizer induction (Sennrich 2016) --------------------------
-    // The FIRST merge is an oracle-recomputable fact: the corpus's most
-    // frequent adjacent character pair weighted by word-type counts
-    // (count desc, then lexicographic pair). Fully oracled.
-    "q_bpe_merge_head" -> ((s, dir) =>
-      graft.operators.Bpe.mergesDf(t(s, dir, "documents"), "text", nMerges = 1)
-        .select(col("rank").cast("int").as("rank"), col("lhs"), col("rhs"))),
-
-    // The full 30-merge table (rows-only; ranks past 0 depend on
-    // re-segmentation no SQL engine can replay — the contract twin
-    // below pins the cross-engine-checkable invariants, and BpeSpec
-    // pins the exact sequence against an independent reference).
-    "q_bpe_merges" -> ((s, dir) => {
-      val m = bpeModel(s, dir)
-      import s.implicits._
-      m.merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
-        .toDF("rank", "lhs", "rhs").orderBy("rank")
-    }),
-
-    // Contract twin: every merge's concatenation occurs in some corpus
-    // word (REAL corpus check), and each side is a single char or an
-    // earlier merge's unit (the BPE closure law; shared body with the
-    // WordPiece gate — mergeClosureContract).
-    "q_bpe_contract" -> ((s, dir) =>
-      mergeClosureContract(s, dir, bpeModel(s, dir).merges)),
-
-    // Per-document BPE token budget under the learned merges (narrow
-    // map, broadcast model); the boolean pins n_words <= n_bpe_tok <=
-    // n_chars — bounds the oracle can derive, counts it cannot.
-    "q_bpe_tokens_contract" -> ((s, dir) =>
-      tokenBoundsContract(s, dir,
-        graft.operators.Bpe.encodeCount(t(s, dir, "documents"), "doc_id",
-          "text", bpeModel(s, dir)), "n_bpe_tok")),
-
-    // --- WordPiece tokenizer induction (Schuster & Nakajima 2012) ---------
-    // The THIRD tokenizer family: likelihood-ratio merges
-    // count(ab)/(count(a)*count(b)). The FIRST merge is fully oracled —
-    // the score is ONE IEEE double expression over exact long counts,
-    // so DuckDB replays the argmax bit-identically (q_bpe_merge_head's
-    // discipline, with the ratio in place of the raw count).
-    "q_wp_head" -> ((s, dir) =>
-      graft.operators.WordPiece.mergesDf(t(s, dir, "documents"), "text",
-        nMerges = 1)
-        .select(col("rank").cast("int").as("rank"), col("lhs"), col("rhs"))),
-
-    // Contract twin over the 30-merge table: the closure law, the SAME
-    // body as q_bpe_contract (mergeClosureContract — one implementation
-    // for both merge-table families; WordPieceSpec pins the exact
-    // sequence against an independent derivation).
-    "q_wp_contract" -> ((s, dir) =>
-      mergeClosureContract(s, dir, wpModel(s, dir).merges)),
-
-    // Per-document WordPiece piece budget under greedy longest-match
-    // inference (narrow map, broadcast vocab); the boolean pins
-    // n_words <= n_wp_tok <= n_chars (shared tokenBoundsContract body).
-    "q_wp_tokens_contract" -> ((s, dir) =>
-      tokenBoundsContract(s, dir,
-        graft.operators.WordPiece.encodeCount(t(s, dir, "documents"),
-          "doc_id", "text", wpModel(s, dir)), "n_wp_tok")),
-
-    // --- C4 cleaning rules (Raffel 2020 §2.2) -----------------------------
-    // The structural web-page recipe over the deterministically
-    // punctuated line corpus: terminal-punctuation + min-word +
-    // javascript line rules, lorem-ipsum / curly-brace / min-sentence
-    // page rules. Fully oracled — the DuckDB oracle replays the corpus
-    // derivation, every line verdict, the sentence proxy, and the
-    // ordered text rebuild.
-    "q_c4_clean" -> ((s, dir) =>
-      graft.operators.Corpus.c4Clean(punctLined(s, dir), "doc_id",
-        "text_lined", minLineWords = 3, minSentences = 3)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")),
-
-    // Retrieval-quality metrics (precision@10, MRR, nDCG@10) of exact
-    // cosine retrieval against label relevance — fully oracled: prec and
-    // MRR are exact integer ratios; DCG/nDCG are round(,4) under the
-    // measured-margin rule (RetrievalEvalSpec).
-    "q_retrieval_eval" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("label").as("qlab"))
-      graft.operators.RetrievalEval.evalLabelRetrieval(q, "query_id", "qv",
-        "qlab", emb, "vec_id", "embedding", "label", k = 10)
-        .orderBy("query_id")
-    }),
-
-    // --- accuracy-contract twins for the sketch/approx dedup family -------
-    // Same pattern as q_ann_recall / q_hll_distinct: rows are keyed on an
-    // oracle-recomputable ground truth (exact character-5-shingle Jaccard
-    // over the minhash normalization, relational on both engines), real
-    // columns carry values both engines compute, booleans pin the sketch
-    // guarantees the oracle can't re-derive.
-
-    "q_minhash_contract" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      // recall, keyed on ground truth: planted near-dups sit at exact
-      // jaccard >= 0.8 on this corpus while background pairs stay < 0.5 —
-      // at s >= 0.8 a 16x4 band hits with p ~ 1 - (1-0.8^4)^16 > 0.999,
-      // and est >= 0.5 is > 4 sigma below the true value (64 hashes)
-      val exact = shingleGroundTruth(s, dir).filter(col("jaccard") >= 0.8)
-      // shared with q_minhash_pairs (memoized + materialized): both the
-      // recall join and the precision anti-join consume the candidate set
-      val mh = memoizedMinhashPairs(s, dir)
-      val found = exact
-        .join(mh.select(col("id1"), col("id2"), lit(true).as("__f")),
-          Seq("id1", "id2"), "left")
-        .select(col("id1"), col("id2"),
-          coalesce(col("__f"), lit(false)).as("found_ok"))
-      // precision: every emitted pair (est >= 0.5) must hold an exact
-      // jaccard >= 0.2 — 0.3 was only ~4 sigma of estimator slack and an
-      // observed borderline pair (est exactly 0.5, exact 0.269) sat inside
-      // it; 0.2 is ~5.4 sigma below the est cut with 64 hashes.
-      // Counted via a broadcast SEMI join (gt streamed once, no shuffle):
-      // a left-anti from mh would force the multi-million-row ground
-      // truth onto the build side — a full shuffle+sort per run. Both
-      // sides hold distinct pairs, so |mh ∩ gt| = |mh| ⇔ mh ⊆ gt.
-      val loose = shingleGroundTruth(s, dir)
-      val matched = loose.select("id1", "id2")
-        .join(broadcast(mh.select("id1", "id2")), Seq("id1", "id2"),
-          "left_semi")
-        .select(count(lit(1)).as("__m"))
-      val prec = mh.select(count(lit(1)).as("__n")).crossJoin(matched)
-        .select((col("__n") === col("__m")).as("precision_all_ok"))
-      found.crossJoin(prec).orderBy("id1", "id2")
-    }),
-
-    "q_simhash_contract" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      // the guarantee the 4x16-bit banding actually gives (Manku WWW'07
-      // pigeonhole): hamming <= 3 ==> at least one band is identical, so
-      // the banded join MUST surface the pair. Short docs can push a
-      // 0.9-jaccard pair past distance 3 (few tokens => low bit margins),
-      // so distance > 3 pairs are legitimately best-effort — the contract
-      // pins exactly the theorem, keyed on oracle-recomputable pairs.
-      val exact = shingleGroundTruth(s, dir).filter(col("jaccard") >= 0.9)
-      val fp = docs.select(col("doc_id"), TextOps.simhash(col("text")).as("fp"))
-      val withH = exact
-        .join(fp.select(col("doc_id").as("id1"), col("fp").as("fp1")), "id1")
-        .join(fp.select(col("doc_id").as("id2"), col("fp").as("fp2")), "id2")
-        .withColumn("hamming", bit_count(col("fp1").bitwiseXOR(col("fp2"))))
-      val sh = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 6)
-      withH
-        .join(sh.select(col("id1"), col("id2"), lit(true).as("__f")),
-          Seq("id1", "id2"), "left")
-        .select(col("id1"), col("id2"),
-          (col("hamming") > 3 || col("__f").isNotNull).as("manku_ok"))
-        .orderBy("id1", "id2")
-    }),
-
-    // fingerprint semantics gate, REAL-valued: Rabin-Karp fingerprints
-    // must induce exactly the same doc partition as the normalized token
-    // sequence itself (order-sensitive, whitespace-insensitive) — the
-    // oracle recomputes the group sizes from the raw text
-    "q_fingerprint_contract" -> ((s, dir) =>
-      {
-        // group sizes from a partial-agg groupBy + join-back on the
-        // fingerprint — not a count-over-window on the content-derived
-        // key (boilerplate texts share one fingerprint: a hot key)
-        val fp = t(s, dir, "documents")
-          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("__fp"))
-          .localCheckpoint(false)
-        fp.join(
-            fp.groupBy("__fp").agg(count(lit(1)).cast("long").as("n_same_fp")),
-            Seq("__fp"))
-          .select("doc_id", "n_same_fp")
-          .orderBy("doc_id")
-      }),
-
-    // dedup-pipeline contract: per-doc `is_isolated` is REAL (both engines
-    // compute max pairwise exact jaccard < 0.3); the booleans pin that the
-    // pipeline never removes an isolated doc (no-false-positive recall)
-    // and that its survivors are a subset of the text-keyed exact-dedup
-    // survivors (validates the xxhash64 shuffle-key equivalence end-to-end)
-    "q_dedup_pipeline_contract" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val surv = memoizedPipeline(s, dir)
-        .select(col("doc_id"), lit(true).as("__s"))
-      val loose = shingleGroundTruth(s, dir).filter(col("jaccard") >= 0.3)
-      val paired = loose.select(col("id1").as("doc_id"))
-        .union(loose.select(col("id2").as("doc_id")))
-        .distinct().withColumn("__p", lit(true))
-      val exactSurv = Dedup.exact(docs, "doc_id", "text")
-        .select(col("doc_id"), lit(true).as("__e"))
-      docs.select("doc_id")
-        .join(surv, Seq("doc_id"), "left")
-        .join(paired, Seq("doc_id"), "left")
-        .join(exactSurv, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          col("__p").isNull.as("is_isolated"),
-          (col("__p").isNotNull || col("__s").isNotNull).as("isolated_kept_ok"),
-          (col("__s").isNull || col("__e").isNotNull).as("subset_in_exact_ok"))
-        .orderBy("doc_id")
-    }),
-
-    // quality-aware keepBest dedup pipeline over the planted corpus —
-    // the operator under test (memoRefresh: every bench pass pays the
-    // real run). The near-dup survivor choice isn't SQL-derivable, so
-    // this row is rows-only; the hash-green contract twin below pins
-    // the semantics of THIS run via the shared memo.
-    "q_dedup_keepbest" -> ((s, dir) =>
-      memoizedKeepBest(s, dir, fresh = true)
-        .select("doc_id").orderBy("doc_id")),
-
-    // quality-aware dedup contract over the SAME run q_dedup_keepbest
-    // just refreshed (planted corpus + survivors read from the memo).
-    // REAL columns both engines recompute: exact_keeper_id (argmax
-    // quality per normalized-text group, id tie-break — exercises the
-    // cross-engine quality formula inside an argmax) and is_isolated
-    // (group anchor absent from the GT-0.3 pair set). Booleans pin
-    // keepBest semantics the oracle can't re-derive: survivors are
-    // always their group's keeper and isolated keepers always survive.
-    // (Count-isomorphism with the min-id pipeline is DedupSpec-pinned —
-    // re-running a second full pipeline here would double the query's
-    // cost for a property the spec already gates.)
-    "q_dedup_keepbest_contract" -> ((s, dir) => {
-      val corpus = keepBestCorpus(s, dir)
-      val surv = memoizedKeepBest(s, dir)
-        .select(col("doc_id"), lit(true).as("__s"))
-      // group stats from ONE partial-agg groupBy over the normalized
-      // text, joined back on the group key — the skew-proof shape the
-      // operator itself uses (never a window over a content key: a hot
-      // duplicate group fans across join tasks instead of serializing
-      // into one sort). Keeper = argmax quality / min id via the same
-      // min-struct agg as Dedup.exactKeepBest; anchor = min id.
-      val loose = shingleGroundTruth(s, dir).filter(col("jaccard") >= 0.3)
-      val paired = loose.select(col("id1").as("anchor"))
-        .union(loose.select(col("id2").as("anchor")))
-        .distinct().withColumn("__p", lit(true))
-      val withNt = corpus.withColumn("__nt", Dedup.normText(col("text")))
-      val groups = withNt.groupBy(col("__nt")).agg(
-        min(Dedup.keeperKey(col("__q"), col("doc_id"))).as("__b"),
-        min(col("doc_id")).as("anchor"))
-        .select(col("__nt"), col("__b.__i").as("exact_keeper_id"), col("anchor"))
-      withNt
-        .join(groups, Seq("__nt"))
-        .join(surv, Seq("doc_id"), "left")
-        .join(paired, Seq("anchor"), "left")
-        .select(col("doc_id"), col("exact_keeper_id"),
-          col("__p").isNull.as("is_isolated"),
-          (col("__s").isNull || col("doc_id") === col("exact_keeper_id"))
-            .as("survivor_is_keeper_ok"),
-          (col("__p").isNotNull || col("doc_id") =!= col("exact_keeper_id") ||
-            col("__s").isNotNull).as("isolated_kept_ok"))
-        .orderBy("doc_id")
-    }),
-
-    // LSH embedding-dedup contract, single row: n_exact is REAL (the
-    // oracle re-runs the O(n^2) cosine join itself); precision is exact
-    // by construction (candidates are exact-scored), recall >= 0.6 pins
-    // the 4-bit x 8-table bucket design on this corpus
-    "q_embedding_lsh_contract" -> ((s, dir) => {
-      // both sides shared with their standalone queries via the memo
-      val exact = memoizedEmbeddingPairs(s, dir)
-        .select(col("id1"), col("id2"), lit(1).as("__x"))
-      val lsh = memoizedEmbeddingPairsLsh(s, dir)
-        .select(col("id1"), col("id2"), lit(1).as("__l"))
-      exact.join(lsh, Seq("id1", "id2"), "full_outer")
-        .agg(
-          sum(col("__x")).cast("long").as("n_exact"),
-          (count(lit(1)) === sum(col("__x"))).as("precision_ok"),
-          (sum(when(col("__x").isNotNull && col("__l").isNotNull, 1).otherwise(0)) * 10
-            >= sum(col("__x")) * 6).as("recall_ge_60_ok"))
-    }),
-
-    // incremental-dedup contract (the streaming signature-store path,
-    // driver-visible): split the corpus into an accumulated "store"
-    // (even ids) and a "new batch" (odd ids); every new doc with an
-    // exact char-5 jaccard >= 0.8 partner in the store must be flagged
-    // by the banded cross-set join minhashDupsAgainst — keyed on the
-    // oracle-recomputable ground-truth set
-    "q_incremental_dedup_contract" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val sig = (d: DataFrame) => d.select(col("doc_id").as("id"),
-        TextOps.minhash(col("text"), 64, 5).as("sig"))
-      val flagged = Dedup.minhashDupsAgainst(
-        sig(docs.filter(col("doc_id") % 2 === 1)),
-        sig(docs.filter(col("doc_id") % 2 === 0)),
-        numHashes = 64, bands = 16, threshold = 0.5)
-        .withColumnRenamed("id", "doc_id").withColumn("__d", lit(true))
-      val exactPairs = shingleGroundTruth(s, dir).filter(col("jaccard") >= 0.8)
-      val truth = exactPairs.select(col("id1").as("a"), col("id2").as("b"))
-        .union(exactPairs.select(col("id2").as("a"), col("id1").as("b")))
-        .filter(col("a") % 2 === 1 && col("b") % 2 === 0)
-        .select(col("a").as("doc_id")).distinct()
-      truth.join(flagged, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("__d").isNotNull.as("flagged_ok"))
-        .orderBy("doc_id")
-    }),
-
-    // media features, REAL arithmetic oracle: the stub codec derives
-    // width/height/mean purely from the payload byte-sum, which DuckDB
-    // recomputes from the UTF-8 text (pure-ASCII corpus => byte == ord);
-    // byte_sum reconstructs exactly from mean * n_bytes (sum <= 255 * n
-    // is far inside double precision)
-    "q_media_features_contract" -> ((s, dir) =>
-      Multimodal.extractFeatures(
-        Multimodal.withMediaColumn(t(s, dir, "documents"), "doc_id", "text"))
-        .toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("decoded_width").cast("long").as("w"),
-          col("decoded_height").cast("long").as("h"),
-          round(col("decoded_mean") * col("n_bytes")).cast("long").as("byte_sum"))
-        .orderBy("media_id")),
-  )
-
-  /** DuckDB-equivalent SQL per query (driver's t2 gate). Keys absent here
-    * get a rows-only check.
-    */
-  def oracleSql: Map[String, String] = ListMap(
-    "q_scan_project" ->
-      "SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id",
-
-    "q_filter" ->
-      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
-        "WHERE l_quantity > 30 AND l_returnflag = 'R' " +
-        "ORDER BY l_orderkey, l_linenumber, l_quantity"),
-
-    "q_from_json" ->
-      ("SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
-        "FROM events ORDER BY event_id"),
-
-    "q1_agg" ->
-      ("SELECT l_returnflag, l_linestatus, " +
-        "sum(l_quantity) AS sum_qty, " +
-        "sum(round(l_extendedprice*100))/100.0 AS sum_base_price, " +
-        "sum(round(l_extendedprice*100) * (100 - round(l_discount*100)))/10000.0 AS sum_revenue, " +
-        "sum(l_quantity)/count(*) AS avg_qty, " +
-        "count(*) AS count_order " +
-        "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
-        "ORDER BY l_returnflag, l_linestatus"),
-
-    "q_dedup_exact" ->
-      ("SELECT doc_id, n_chars FROM (" +
-        "SELECT doc_id, n_chars, min(doc_id) OVER (" +
-        "PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS keep " +
-        "FROM documents) WHERE doc_id = keep ORDER BY doc_id"),
-
-    "q_vector_topk" ->
-      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +
-        "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
-        "row_number() OVER (PARTITION BY q.vec_id " +
-        "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
-        "FROM embeddings q, embeddings c) WHERE rnk <= 3 " +
-        "ORDER BY query_id, rank"),
-
-    "q_vector_topk_agg" ->
-      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +
-        "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
-        "row_number() OVER (PARTITION BY q.vec_id " +
-        "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
-        "FROM embeddings q, embeddings c) WHERE rnk <= 3 " +
-        "ORDER BY query_id, rank"),
-
-    "q_knn_cosine" ->
-      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +
-        "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
-        "row_number() OVER (PARTITION BY q.vec_id " +
-        "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
-        "FROM embeddings q, embeddings c WHERE q.vec_id % 10 = 0) WHERE rnk <= 5 " +
-        "ORDER BY query_id, rank"),
-
-    "q_vector_filtered" ->
-      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +
-        "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
-        "row_number() OVER (PARTITION BY q.vec_id " +
-        "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
-        "FROM embeddings q, embeddings c " +
-        "WHERE q.vec_id % 20 = 0 AND c.label % 4 = 1) WHERE rnk <= 3 " +
-        "ORDER BY query_id, rank"),
-
-    "q_vector_radius" ->
-      ("SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
-        "CAST(round(list_cosine_similarity(q.embedding, c.embedding) * 1e6) AS BIGINT) AS cosine_1e6 " +
-        "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0 " +
-        "AND list_cosine_similarity(q.embedding, c.embedding) >= 0.3 " +
-        "ORDER BY query_id, match_id"),
-
-    "q_ivf_delete" ->
-      ("SELECT p.phase, query_id, match_id, CAST(rnk AS INTEGER) AS rank " +
-        "FROM (SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
-        "row_number() OVER (PARTITION BY q.vec_id " +
-        "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
-        "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0 " +
-        "AND (c.label % 5 <> 3 OR c.vec_id % 2 = 0)), " +
-        "(VALUES ('served'), ('compacted')) AS p(phase) WHERE rnk <= 3 " +
-        "ORDER BY phase, query_id, rank"),
-
-    "q_hnsw_delete" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS no_deleted " +
-        "FROM embeddings WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_ivf_filtered_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_sql_filtered_indexed" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_sql_filtered_hnsw" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_sql_filtered_pq" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_sql_filtered_sq" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_sql_hybrid_filtered" ->
-      ("SELECT doc_id AS qdoc, TRUE AS fused_eq_ok, " +
-        "TRUE AS admitted_only_ok, TRUE AS k_ok FROM documents " +
-        "WHERE doc_id % 100 = 0 ORDER BY qdoc"),
-
-    "q_sql_hybrid_indexed" ->
-      ("SELECT doc_id AS query_id, TRUE AS recall_ok FROM documents " +
-        "WHERE doc_id % 100 = 0 ORDER BY query_id"),
-
-    "q_sql_lex_indexed" ->
-      ("SELECT doc_id AS qdoc, TRUE AS fused_eq_ok, TRUE AS k_ok " +
-        "FROM documents WHERE doc_id % 100 = 0 ORDER BY qdoc"),
-
-    "q_hnsw_radius_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_sql_mmr_indexed" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_stream_search_indexed" ->
-      ("SELECT vec_id AS query_id, TRUE AS eq_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_sql_maxsim_indexed" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 25 = 0 ORDER BY query_id"),
-
-    "q_sql_radius" ->
-      ("SELECT q.vec_id AS query_id, c.vec_id AS match_id " +
-        "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0 " +
-        "AND list_cosine_similarity(q.embedding, c.embedding) >= 0.3 " +
-        "ORDER BY query_id, match_id"),
-
-    "q_corpus_describe" ->
-      ("SELECT * FROM (VALUES " +
-        "('products_ext', 'unbound', 'hnsw', 'hnsw', 250, " +
-        "CAST(-1 AS BIGINT), TRUE), " +
-        "('products_ivf', 'distributed', 'ivf', 'ivf', 500, " +
-        "CAST(-1 AS BIGINT), FALSE), " +
-        "('products_mem', 'collected', 'flat', 'exact-broadcast', 10000, " +
-        "CAST(200 AS BIGINT), FALSE)" +
-        ") AS t(name, posture, declared_index_type, serving_route, " +
-        "num_candidates, collected_rows, lexical_index) ORDER BY name"),
-
-    "q_sql_filtered_mmr" ->
-      ("SELECT doc_id AS qdoc, TRUE AS eq_ok, TRUE AS admitted_only_ok " +
-        "FROM documents WHERE doc_id % 100 = 0 ORDER BY qdoc"),
-
-    "q_sql_filtered_maxsim" ->
-      ("SELECT doc_id AS qdoc, TRUE AS eq_ok, TRUE AS admitted_only_ok " +
-        "FROM documents WHERE doc_id % 100 = 0 ORDER BY qdoc"),
-
-    "q_sql_filtered_prf" ->
-      ("SELECT doc_id AS qdoc, TRUE AS eq_ok, TRUE AS admitted_only_ok " +
-        "FROM documents WHERE doc_id % 100 = 0 ORDER BY qdoc"),
-
-    "q_sql_filtered_overfetch" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_sql_prf_indexed" ->
-      ("SELECT doc_id AS qdoc, TRUE AS prf_eq_ok, TRUE AS k_ok " +
-        "FROM documents WHERE doc_id % 100 = 0 ORDER BY qdoc"),
-
-    "q_sql_radius_filtered" ->
-      ("SELECT q.vec_id AS query_id, c.vec_id AS match_id " +
-        "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0 " +
-        "AND c.label % 4 = 1 " +
-        "AND list_cosine_similarity(q.embedding, c.embedding) >= 0.3 " +
-        "ORDER BY query_id, match_id"),
-
-    "q_radius_facets" ->
-      ("SELECT q.vec_id AS query_id, CAST(c.label AS BIGINT) AS facet, count(*) AS n " +
-        "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0 " +
-        "AND list_cosine_similarity(q.embedding, c.embedding) >= 0.3 " +
-        "GROUP BY 1, 2 ORDER BY query_id, facet"),
-
-    "q_hnsw_filtered_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_radius_lsh_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_dedup_embedding" ->
-      ("SELECT a.vec_id AS id1, b.vec_id AS id2, " +
-        "CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 1e6) AS BIGINT) AS cosine_1e6 " +
-        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
-        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35 " +
-        "ORDER BY id1, id2"),
-
-    // SemDeDup contract: DuckDB recomputes the exact 0.35 pair set with
-    // its own cosine; the cluster-bounded pairs are a subset of it, so
-    // the two implication booleans are guaranteed and pinned TRUE.
-    "q_semdedup_contract" ->
-      ("WITH pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2 " +
-        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
-        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35), " +
-        "paired AS (SELECT id1 AS vec_id FROM pairs UNION SELECT id2 FROM pairs) " +
-        "SELECT vec_id, vec_id NOT IN (SELECT vec_id FROM paired) AS is_isolated, " +
-        "TRUE AS isolated_kept_ok, TRUE AS removed_has_neighbor_ok " +
-        "FROM embeddings ORDER BY vec_id"),
-
-    // D4 prototype pruning: the oracle replays the whole anchor-celled
-    // recipe — argmax-cosine cells against the 8 lowest-id vectors
-    // (ORDER BY cos DESC, aid = the Spark fold's max(struct(cos,-aid))),
-    // per-cell mean centroid quantized to FLOAT[] (f32 quantization is
-    // summation-order-invariant on this corpus — spec-asserted), then
-    // rank by cosine-to-centroid DESC with id tie-break and keep
-    // rank > ceil(0.25 * n_cell).
-    "q_proto_prune" ->
-      ("WITH anchors AS (SELECT vec_id AS aid, embedding AS av " +
-        "FROM embeddings ORDER BY vec_id LIMIT 8), " +
-        "scored AS (SELECT e.vec_id, e.embedding, a.aid, " +
-        "list_cosine_similarity(e.embedding, a.av) AS cos " +
-        "FROM embeddings e CROSS JOIN anchors a), " +
-        "cells AS (SELECT vec_id, embedding, aid AS cell FROM (" +
-        "SELECT *, row_number() OVER (PARTITION BY vec_id " +
-        "ORDER BY cos DESC, aid) AS rn FROM scored) WHERE rn = 1), " +
-        "cent AS (SELECT cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m " +
-        "FROM cells CROSS JOIN UNNEST(range(1, 65)) r(i) GROUP BY cell, i), " +
-        "cv AS (SELECT cell, CAST(list(m ORDER BY i) AS FLOAT[]) AS cvec " +
-        "FROM cent GROUP BY cell), " +
-        "pr AS (SELECT c.vec_id, c.cell, " +
-        "list_cosine_similarity(c.embedding, v.cvec) AS proto " +
-        "FROM cells c JOIN cv v USING (cell)), " +
-        "rk AS (SELECT vec_id, cell, " +
-        "row_number() OVER (PARTITION BY cell ORDER BY proto DESC, vec_id) AS proto_rank, " +
-        "count(*) OVER (PARTITION BY cell) AS n_cell FROM pr) " +
-        "SELECT vec_id, cell, n_cell, CAST(proto_rank AS BIGINT) AS proto_rank " +
-        "FROM rk WHERE proto_rank > ceil(0.25 * n_cell) ORDER BY vec_id"),
-
-    // token chunker: same nChunks formula (1 if the doc fits, else
-    // ceil((n - size) / stride) + 1), 1-based inclusive list slicing.
-    "q_chunk_tokens" ->
-      ("WITH toks AS (SELECT doc_id, " +
-        "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS tk " +
-        "FROM documents), " +
-        "b AS (SELECT doc_id, tk, len(tk) AS n, " +
-        "CASE WHEN len(tk) <= 32 THEN 1 " +
-        "ELSE CAST(ceil((len(tk) - 32) / 24.0) AS INT) + 1 END AS nc " +
-        "FROM toks WHERE len(tk) > 0) " +
-        "SELECT doc_id, i AS chunk_id, " +
-        "CAST(least(32, n - i * 24) AS BIGINT) AS n_chunk_tok, " +
-        "array_to_string(tk[CAST(i*24+1 AS INT):CAST(i*24+32 AS INT)], ' ') AS chunk_text " +
-        "FROM b CROSS JOIN UNNEST(range(0, nc)) r(i) " +
-        "ORDER BY doc_id, chunk_id"),
-
-    "q_semantic_decontam" ->
-      ("SELECT t.vec_id, CAST(t.label AS BIGINT) AS label " +
-        "FROM embeddings t WHERE t.vec_id % 5 <> 0 " +
-        "AND NOT EXISTS (SELECT 1 FROM embeddings b WHERE b.vec_id % 5 = 0 " +
-        "AND list_cosine_similarity(t.embedding, b.embedding) >= 0.35) " +
-        "ORDER BY vec_id"),
-
-    // duplicated 8-token spans: the oracle rebuilds every sliding window
-    // from gram TEXT (1-based DuckDB list slicing = the operator's `pos`
-    // spelling) and keeps windows seen in >= 2 distinct docs.
-    "q_dup_spans" ->
-      ("WITH toks AS (SELECT doc_id, " +
-        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk " +
-        "FROM documents), " +
-        "grams AS (SELECT doc_id, i AS pos, array_to_string(tk[i:i+7], ' ') AS gram " +
-        "FROM toks, UNNEST(range(1, len(tk) - 6)) AS r(i) WHERE len(tk) >= 8), " +
-        "dup AS (SELECT gram, count(DISTINCT doc_id) AS n_docs FROM grams " +
-        "GROUP BY gram HAVING count(DISTINCT doc_id) >= 2) " +
-        "SELECT g.doc_id, g.pos, d.n_docs FROM grams g JOIN dup d ON g.gram = d.gram " +
-        "ORDER BY doc_id, pos"),
-
-    // span scrub: coverage = union of 8-token windows of every non-keeper
-    // occurrence of a duplicated gram; text rebuilt from uncovered tokens.
-    "q_span_scrub" ->
-      ("WITH toks AS (SELECT doc_id, " +
-        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk " +
-        "FROM documents), " +
-        "tokens AS (SELECT doc_id, i AS p, tk[i] AS tok " +
-        "FROM toks, UNNEST(range(1, len(tk)+1)) r(i) WHERE len(tk) > 0), " +
-        "grams AS (SELECT doc_id, i AS pos, array_to_string(tk[i:i+7], ' ') AS gram " +
-        "FROM toks, UNNEST(range(1, len(tk) - 6)) AS r(i) WHERE len(tk) >= 8), " +
-        "dup AS (SELECT gram, min(doc_id) AS keeper FROM grams " +
-        "GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), " +
-        "cov AS (SELECT DISTINCT g.doc_id, g.pos + o AS p " +
-        "FROM grams g JOIN dup d USING (gram), UNNEST(range(0, 8)) r2(o) " +
-        "WHERE g.doc_id <> d.keeper), " +
-        "m AS (SELECT t.doc_id, t.p, t.tok, c.p IS NOT NULL AS cvd " +
-        "FROM tokens t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p) " +
-        "SELECT doc_id, count(*) AS n_tok, " +
-        "CAST(sum(CASE WHEN cvd THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
-        "coalesce(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE NOT cvd), '') AS clean_text " +
-        "FROM m GROUP BY doc_id ORDER BY doc_id"),
-
-    "q_prompt_assembly" ->
-      ("SELECT doc_id, json_object('role', 'user', 'content', text, 'lang', lang) AS prompt " +
-        "FROM documents ORDER BY doc_id"),
-
-    "q_text_stats" ->
-      ("SELECT doc_id, " +
-        "CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok_ws, " +
-        "len(regexp_extract_all(text, ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS n_tok_bpe, " +
-        "length(text) - length(regexp_replace(text, '[!\"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')) AS n_punct, " +
-        "CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) = 0 THEN 0.0 " +
-        "ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
-        "t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','was','at','by','be','this'], t))) AS DOUBLE) " +
-        "/ CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS DOUBLE) END AS stopword_ratio " +
-        "FROM documents ORDER BY doc_id"),
-
-    "q_ngram_jaccard" ->
-      ("WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents), " +
-        "grams AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS gram " +
-        "FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS r(i) WHERE len(tk) >= 3), " +
-        "counts AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id), " +
-        "common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common " +
-        "FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        "SELECT id1, id2, jaccard FROM (" +
-        "SELECT id1, id2, CAST(common AS DOUBLE) / CAST(c1.n_grams + c2.n_grams - common AS DOUBLE) AS jaccard " +
-        "FROM common JOIN counts c1 ON c1.doc_id = id1 JOIN counts c2 ON c2.doc_id = id2) " +
-        "WHERE jaccard >= 0.3 ORDER BY id1, id2"),
-
-    "q3_shipping" ->
-      ("SELECT l_orderkey, revenue, n_lines FROM (" +
-        "SELECT l_orderkey, " +
-        "sum(round(l_extendedprice*100) * (100 - round(l_discount*100)))/10000.0 AS revenue, " +
-        "count(*) AS n_lines " +
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "JOIN customer ON o_custkey = c_custkey " +
-        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
-        "AND l_shipdate > TIMESTAMP '1998-01-01' " +
-        "GROUP BY l_orderkey) ORDER BY revenue DESC, l_orderkey LIMIT 10"),
-
-    "q5_region_revenue" ->
-      ("SELECT n_name, sum(round(l_extendedprice*100) * (100 - round(l_discount*100)))/10000.0 AS revenue " +
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "JOIN customer ON o_custkey = c_custkey " +
-        "JOIN nation ON c_nationkey = n_nationkey " +
-        "JOIN region ON n_regionkey = r_regionkey " +
-        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"),
-
-    "q_semi_join" ->
-      ("SELECT o_orderstatus, count(*) AS n FROM orders o " +
-        "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') " +
-        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
-
-    "q_anti_join" ->
-      ("SELECT c_custkey, c_name FROM customer c " +
-        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
-        "AND year(o.o_orderdate) = 1995) ORDER BY c_custkey"),
-
-    "q_theta_join" ->
-      ("SELECT p_brand, count(*) AS n FROM lineitem JOIN part " +
-        "ON l_partkey = p_partkey AND l_extendedprice > p_retailprice * 20 " +
-        "GROUP BY p_brand ORDER BY p_brand"),
-
-    "q_window_rank" ->
-      ("SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk FROM (" +
-        "SELECT o_custkey, o_orderkey, o_totalprice, " +
-        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk " +
-        "FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk"),
-
-    "q_window_running" ->
-      ("SELECT event_id, user_id, " +
-        "sum(round(value*100)) OVER (PARTITION BY user_id ORDER BY event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_value " +
-        "FROM events ORDER BY event_id"),
-
-    "q_rollup" ->
-      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n " +
-        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
-        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
-
-    "q_distinct_agg" ->
-      ("SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, " +
-        "count(DISTINCT l_partkey) AS n_part, count(*) AS n " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
-
-    "q_set_ops" ->
-      ("(SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995 " +
-        "INTERSECT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996) " +
-        "EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2000 " +
-        "ORDER BY o_custkey"),
-
-    "q_sort_limit" ->
-      ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
-        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"),
-
-    "q_set_ops_all" ->
-      ("SELECT o_custkey, count(*) AS n FROM (" +
-        "(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 " +
-        "INTERSECT ALL SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) " +
-        "EXCEPT ALL SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000) " +
-        "GROUP BY o_custkey ORDER BY o_custkey"),
-
-    "q_pivot" ->
-      ("SELECT user_id, " +
-        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, " +
-        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, " +
-        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, " +
-        "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, " +
-        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view " +
-        "FROM events GROUP BY user_id ORDER BY user_id"),
-
-    // outer coalesce: DuckDB's array_to_string maps an EMPTY list to NULL,
-    // Spark's concat_ws maps it to ''
-    "q_conversation" ->
-      ("SELECT event_id, user_id, " +
-        "coalesce(array_to_string(list(event_type) OVER (PARTITION BY user_id ORDER BY event_id " +
-        "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '|'), '') AS history " +
-        "FROM events ORDER BY event_id"),
-
-    "q_events_tumbling" ->
-      ("SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, event_type, " +
-        "count(*) AS n, sum(round(value*100))/100.0 AS sum_value " +
-        "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"),
-
-    "q_sessionize" ->
-      ("WITH gaps AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM events), " +
-        "marks AS (SELECT user_id, CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM gaps) " +
-        "SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events " +
-        "FROM marks GROUP BY user_id ORDER BY user_id"),
-
-    "q_multimodal_bytes" ->
-      ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest " +
-        "FROM documents ORDER BY doc_id"),
-
-    "q_string_funcs" ->
-      ("SELECT c_custkey, upper(c_name) AS up, substring(c_name, 1, 8) AS prefix, " +
-        "c_mktsegment || '#' || c_name AS joined, length(c_name) AS len, " +
-        "lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded, " +
-        "levenshtein(c_mktsegment, 'BUILDING') AS dist " +
-        "FROM customer ORDER BY c_custkey"),
-
-    "q_date_math_funcs" ->
-      ("SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m, " +
-        "dayofmonth(o_orderdate) AS d, " +
-        "CAST(round(sqrt(o_totalprice) * 1000000) AS BIGINT) AS sqrt_price_1e6, " +
-        "CAST(round(ln(o_totalprice + 1) * 100) AS BIGINT) AS log_price_1e2, " +
-        // CAST: DuckDB floor() returns DOUBLE but Spark floor() is LONG —
-        // value-equal yet dtype-different columns hash-differ in the
-        // driver's pandas gate (the r2 red row)
-        "o_orderkey % 7 AS mod7, CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k " +
-        "FROM orders ORDER BY o_orderkey"),
-
-    "q_percentile" ->
-      ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50, " +
-        "quantile_cont(l_quantity, 0.9) AS p90, " +
-        "min(l_quantity) AS mn, max(l_quantity) AS mx " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
-
-    "q_sql_topk" ->
-      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +
-        "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
-        "row_number() OVER (PARTITION BY q.vec_id " +
-        "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
-        "FROM embeddings q, embeddings c) WHERE rnk <= 3 " +
-        "ORDER BY query_id, rank"),
-
-    "q_asof_join" ->
-      ("WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
-        "signups AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') " +
-        "SELECT event_id, purchases.user_id AS user_id, value AS signup_value " +
-        "FROM purchases ASOF LEFT JOIN signups " +
-        "ON purchases.user_id = signups.user_id AND purchases.ts >= signups.ts " +
-        "ORDER BY event_id"),
-
-    "q_asof_forward" ->
-      ("WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
-        "signups AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') " +
-        "SELECT event_id, purchases.user_id AS user_id, value AS next_signup_value " +
-        "FROM purchases ASOF LEFT JOIN signups " +
-        "ON purchases.user_id = signups.user_id AND purchases.ts <= signups.ts " +
-        "ORDER BY event_id"),
-
-    "q_asof_sql" ->
-      ("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
-        "s2 AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') " +
-        "SELECT event_id, p.user_id AS user_id, value AS signup_value " +
-        "FROM p ASOF LEFT JOIN s2 " +
-        "ON p.user_id = s2.user_id AND p.ts >= s2.ts " +
-        "ORDER BY event_id"),
-
-    "q_asof_sql_strict" ->
-      ("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
-        "s2 AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') " +
-        "SELECT event_id, p.user_id AS user_id, value AS signup_value " +
-        "FROM p ASOF LEFT JOIN s2 " +
-        "ON p.user_id = s2.user_id AND p.ts > s2.ts " +
-        "ORDER BY event_id"),
-
-    "q_interval_sql" ->
-      ("SELECT a.event_id AS event_id, b.event_id AS event_id2, a.user_id AS user_id " +
-        "FROM events a JOIN events b ON a.user_id = b.user_id " +
-        "AND a.event_id < b.event_id " +
-        "AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 60000000 " +
-        "ORDER BY event_id, event_id2"),
-
-    "q_interval_join" ->
-      ("SELECT a.event_id AS event_id, b.event_id AS event_id2, a.user_id AS user_id " +
-        "FROM events a JOIN events b ON a.user_id = b.user_id " +
-        "AND a.event_id < b.event_id " +
-        "AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 60000000 " +
-        "ORDER BY event_id, event_id2"),
-
-    "q_window_lag" ->
-      ("SELECT event_id, user_id, " +
-        "lag(event_type, 1) OVER w AS prev_type, " +
-        "lead(event_type, 1) OVER w AS next_type, " +
-        "CAST(ntile(4) OVER w AS INTEGER) AS quartile " +
-        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id) " +
-        "ORDER BY event_id"),
-
-    "q_quality" ->
-      ("SELECT doc_id, round((" +
-        "least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) + " +
-        "CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(length(text) AS DOUBLE) / n_tok END) " +
-        "BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END + " +
-        "(1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
-        "CAST(length(text) - length(regexp_replace(text, '[!\"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')) AS DOUBLE) " +
-        "/ length(text) END) * 4.0, 1.0))" +
-        ") / 3.0, 4) AS quality FROM (" +
-        "SELECT doc_id, text, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS n_tok " +
-        "FROM documents) ORDER BY doc_id"),
-
-    "q_gopher_rules" ->
-      ("WITH base AS (SELECT doc_id, text, " +
-        "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0) AS toks, " +
-        "list_filter(regexp_split_to_array(text, '\\n'), l -> len(trim(l)) > 0) AS lines " +
-        "FROM documents), " +
-        "m AS (SELECT doc_id, len(toks) AS n_words, " +
-        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks), 4) END AS mean_word_len, " +
-        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(CAST((length(text) - length(replace(text, '#', ''))) + " +
-        "(length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / len(toks), 4) END AS symbol_ratio, " +
-        "CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lines), 4) END AS bullet_line_ratio, " +
-        "CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS DOUBLE) / len(lines), 4) END AS ellipsis_line_ratio, " +
-        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks), 4) END AS alpha_word_ratio, " +
-        "len(list_distinct(list_filter(list_transform(toks, t -> lower(t)), " +
-        "t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','was','at','by','be','this'], t)))) AS n_stop_hits " +
-        "FROM base) " +
-        "SELECT *, (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10) " +
-        "AND symbol_ratio < 0.1 AND bullet_line_ratio < 0.9 AND ellipsis_line_ratio < 0.3 " +
-        "AND alpha_word_ratio > 0.8 AND n_stop_hits >= 2 AS gopher_pass " +
-        "FROM m ORDER BY doc_id"),
-
-    "q_topic_roundtrip" ->
-      ("SELECT * FROM (" +
-        "SELECT CAST(-1 AS BIGINT) AS doc_id, 'manual' AS source, CAST(0 AS BIGINT) AS n_chars " +
-        "UNION ALL SELECT doc_id, source, n_chars FROM documents) " +
-        "ORDER BY doc_id"),
-
-    "q_stream_insert" ->
-      ("SELECT doc_id, upper(source) AS src, n_chars FROM documents " +
-        "WHERE n_chars > 100 ORDER BY doc_id"),
-
-    // the streamed search ladder == the exact dot top-3 per query (the
-    // q_sql_topk oracle restricted to the streamed query set); ties
-    // break by ascending STRINGIFIED content like the in-mem corpus heap
-    "q_stream_search" ->
-      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +
-        "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
-        "row_number() OVER (PARTITION BY q.vec_id " +
-        "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, " +
-        "CAST(c.vec_id AS VARCHAR)) AS rnk " +
-        "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0) " +
-        "WHERE rnk <= 3 ORDER BY query_id, rank"),
-
-    "q_compacted_topic" ->
-      ("SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id FROM (" +
-        "SELECT e.*, row_number() OVER (" +
-        "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
-        "FROM events e) WHERE rn = 1 AND user_id <> 7 ORDER BY user_id"),
-
-    "q_model_describe" ->
-      ("SELECT * FROM (VALUES " +
-        "('vector_encoding', 1, true, 'embedding', 'STRING', 'ARRAY<FLOAT>', 'dim=64,provider=hash'), " +
-        "('retail_assistant', 1, true, 'chat', 'STRING', 'STRING', " +
-        "'provider=stub,system_prompt=You are a retail assistant')" +
-        ") AS t(name, version, is_default, task, input, output, options) " +
-        "ORDER BY name, version"),
-
-    "q_model_alter" ->
-      ("SELECT * FROM (VALUES " +
-        "('retail_assistant', 1, false, 'classification', 'STRING', 'STRING', " +
-        "'openai.connection=openai-llm-connection,provider=openai,task=classification'), " +
-        "('retail_assistant', 2, true, 'classification', 'STRING', 'STRING', " +
-        "'openai.connection=openai-llm-connection,provider=openai,task=classification'), " +
-        "('retail_assistant', 3, false, 'classification', 'STRING', 'STRING', " +
-        "'openai.connection=openai-llm-connection,provider=openai,task=classification')" +
-        ") AS t(name, version, is_default, task, input, output, options) " +
-        "ORDER BY version"),
-
-    "q_connection_describe" ->
-      ("SELECT * FROM (VALUES " +
-        "('mongodb-connection', 'mongodb', 'aws', 'us-west-2', '', " +
-        "'${atlas_endpoint}', 'password=<hidden>,username=<hidden>'), " +
-        "('mongodb-fed-search-connection', 'mongodb', 'aws', 'us-west-2', " +
-        "'my-environment-id', '${atlas_endpoint}', 'password=<hidden>,username=<hidden>'), " +
-        "('openai-llm-connection', 'openai', 'aws', 'us-west-2', 'my-env-id', " +
-        "'https://api.openai.com/v1/chat/completions', 'api-key=<hidden>'), " +
-        "('openai-vector-connection', 'openai', 'aws', 'us-west-2', 'my-env-id', " +
-        "'https://api.openai.com/v1/embeddings', 'api-key=<hidden>')" +
-        ") AS t(name, type, cloud, region, environment, endpoint, credentials) " +
-        "ORDER BY name"),
-
-    "q_error_transcripts" ->
-      ("SELECT * FROM (VALUES " +
-        "('degenerate_row_type', 'IllegalArgumentException', 'ROW<>'), " +
-        "('model_404', 'ModelNotFoundException', 'model no_such_model not found'), " +
-        "('model_version_404', 'ModelNotFoundException', 'version 9 not found'), " +
-        "('num_candidates_cap', 'IllegalArgumentException', " +
-        "'numCandidates must be in [1, 10000]'), " +
-        "('sink_schema_mismatch', 'IllegalArgumentException', 'schema mismatch'), " +
-        "('strict_produce_reject', 'IllegalArgumentException', " +
-        "'additionalProperties=false'), " +
-        "('unknown_corpus', 'IllegalArgumentException', 'unknown search corpus'), " +
-        "('unknown_metric', 'IllegalArgumentException', 'unknown metric manhattan'), " +
-        "('lease_held', 'IllegalStateException', 'compaction already in progress'), " +
-        "('lease_usurped', 'IllegalStateException', 'usurped by another compactor'), " +
-        "('delete_missing_store', 'IllegalArgumentException', " +
-        "'does not exist or is unreachable'), " +
-        "('payload_reserved', 'IllegalArgumentException', " +
-        "'collides with a reserved store column'), " +
-        "('filtered_overfetch', 'IllegalArgumentException', " +
-        "'overFetch must be >= 1'), " +
-        "('radius_bad_args', 'IllegalArgumentException', " +
-        "'RADIUS_SEARCH expects'), " +
-        "('radius_bad_threshold', 'IllegalArgumentException', " +
-        "'threshold must be numeric'), " +
-        "('radius_unknown_corpus', 'IllegalArgumentException', " +
-        "'unknown search corpus'), " +
-        "('filtered_pred_unresolved', 'IllegalArgumentException', " +
-        "'does not resolve against')" +
-        ") AS t(case_name, error_class, detail) ORDER BY case_name"),
-
-    "q_insert_values" ->
-      ("SELECT * FROM (VALUES " +
-        "('user', 'Find me a pair of mens formal shoes in medium size.', 'abc256', " +
-        "'[{\"content\":\"Blue Medium Adult Male Shoes, product_id: 101\"}," +
-        "{\"content\":\"Blue Medium Adult Female Shoes, product_id: 102\"}]'), " +
-        "('user', 'Waterproof hiking boots', 'abc257', " +
-        "'[{\"content\":\"Trail boots, product_id: 201\"}]')" +
-        ") AS t(role, content, sessionid, products_json) " +
-        "ORDER BY sessionid"),
-
-    "q_sql_topk_agg" ->
-      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +
-        "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
-        "row_number() OVER (PARTITION BY q.vec_id " +
-        "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
-        "FROM embeddings q, embeddings c) WHERE rnk <= 3 " +
-        "ORDER BY query_id, rank"),
-
-    "q_hll_distinct" ->
-      ("SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, " +
-        "TRUE AS hll_ok FROM lineitem GROUP BY 1 ORDER BY 1"),
-
-    "q_sample_stratified" ->
-      ("SELECT doc_id, source FROM documents " +
-        "WHERE (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296 < " +
-        "CASE WHEN source = 'src0' THEN 4294967296 " +
-        "WHEN source = 'src1' THEN 2147483648 " +
-        "WHEN source = 'src2' THEN 1073741824 " +
-        "ELSE 536870912 END ORDER BY doc_id"),
-
-    // temperature sampling: per-lang thresholds recomputed from the data
-    // (integer sqrt weights; ((T*w)/Σw)/n in the operator's exact IEEE
-    // evaluation order; floor to the same 2^32-range integer threshold).
-    "q_temperature_sample" ->
-      ("WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), " +
-        "w AS (SELECT lang, n, CAST(round(sqrt(n)) AS BIGINT) AS w FROM cnt), " +
-        "sw AS (SELECT CAST(sum(w) AS DOUBLE) AS sw FROM w), " +
-        "th AS (SELECT lang, CAST(floor(least(1.0, 250.0 * w / sw / n) * 4294967296) AS BIGINT) AS th " +
-        "FROM w CROSS JOIN sw) " +
-        "SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang) " +
-        "WHERE (((d.doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296 < th " +
-        "ORDER BY doc_id"),
-
-    "q_pii_redact" ->
-      ("SELECT doc_id, " +
-        "regexp_replace(regexp_replace(regexp_replace(dirty, " +
-        "'https?://[^\\s]+', '<URL>', 'g'), " +
-        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
-        "'\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS clean, " +
-        "CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, " +
-        "CAST(len(regexp_extract_all(dirty, '\\b[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) AS n_phone, " +
-        "CAST(len(regexp_extract_all(dirty, 'https?://[^\\s]+')) AS BIGINT) AS n_url " +
-        // pmod parity: Spark pmod is non-negative while DuckDB % is
-        // sign-preserving — wrap so both agree for ANY id sign
-        "FROM (SELECT doc_id, concat(text, ' contact user', doc_id, '@mail', " +
-        "((doc_id % 7) + 7) % 7, '.com or 555-', " +
-        "lpad(CAST(((doc_id % 10000) + 10000) % 10000 AS VARCHAR), 4, '0'), " +
-        "' see https://ex', ((doc_id % 5) + 5) % 5, '.org/d/', doc_id) AS dirty FROM documents) " +
-        "ORDER BY doc_id"),
-
-    "q_decontaminate" ->
-      ("WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents), " +
-        "grams AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+3], ' ') AS gram " +
-        "FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 1))) AS r(i) WHERE len(tk) >= 4), " +
-        "bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0) " +
-        "SELECT g.doc_id, count(*) AS n_shared FROM grams g JOIN bench b ON g.gram = b.gram " +
-        "WHERE g.doc_id % 97 <> 0 GROUP BY 1 HAVING count(*) >= 1 ORDER BY doc_id"),
-
-    // the Bloom-served flags equal the exact-join flags (one-sided error;
-    // FP probability ~1e-6 at the designed filter size — see the query's
-    // comment), so the oracle is the exact contamination SQL verbatim
-    // with the operator's own output column name
-    "q_bloom_decontam" ->
-      ("WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents), " +
-        "grams AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+3], ' ') AS gram " +
-        "FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 1))) AS r(i) WHERE len(tk) >= 4), " +
-        "bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0) " +
-        "SELECT g.doc_id, count(*) AS n_flagged FROM grams g JOIN bench b ON g.gram = b.gram " +
-        "WHERE g.doc_id % 97 <> 0 GROUP BY 1 HAVING count(*) >= 1 ORDER BY doc_id"),
-
-    "q_repetition" ->
-      ("WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok FROM documents), " +
-        "cnts AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2) " +
-        "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok, count(*) AS n_distinct, " +
-        "CAST(max(cnt) AS BIGINT) AS top_cnt FROM cnts GROUP BY doc_id ORDER BY doc_id"),
-
-    // the composed curation recipe: each stage lifts its own proven
-    // oracle spelling — gate (gopher exprs), dedup (normText window),
-    // split (multiplicative-hash bands), decontamination (4-gram
-    // anti-join), budget + packing (hash-order running sums).
-    "q_curation_pipeline" ->
-      ("WITH q AS (SELECT doc_id, source, lang, text FROM (" +
-        "SELECT doc_id, source, lang, text, " +
-        "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0) AS toks FROM documents) " +
-        "WHERE len(toks) >= 20 " +
-        "AND round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks), 4) BETWEEN 3 AND 10 " +
-        "AND len(list_distinct(list_filter(list_transform(toks, t -> lower(t)), " +
-        "t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','was','at','by','be','this'], t)))) >= 2), " +
-        // word-repetition gate: dup-2gram fraction <= 0.08, integer form
-        "qtoks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM q), " +
-        "c2 AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS gram, count(*) AS c " +
-        "FROM qtoks, UNNEST(range(1, len(tk))) r(i) WHERE len(tk) >= 2 GROUP BY doc_id, gram), " +
-        "rep AS (SELECT doc_id FROM (SELECT doc_id, sum(c) AS total, count(*) AS n_distinct " +
-        "FROM c2 GROUP BY doc_id) WHERE (total - n_distinct) * 25 <= total * 2), " +
-        // CCNet xent band over the rep-gated corpus's own unigram LM
-        "dtx AS (SELECT doc_id, tok, count(*) AS cnt FROM (" +
-        "SELECT doc_id, unnest(tk) AS tok FROM qtoks WHERE doc_id IN (SELECT doc_id FROM rep)) " +
-        "GROUP BY doc_id, tok), " +
-        "vocabx AS (SELECT tok, sum(cnt) AS c FROM dtx GROUP BY tok), " +
-        "totx AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocabx), " +
-        "keptx AS (SELECT doc_id FROM (SELECT doc_id, " +
-        "round(-sum(cnt * (ln(c) - ln(n))) / sum(cnt), 4) AS xent " +
-        "FROM dtx JOIN vocabx USING (tok) CROSS JOIN totx GROUP BY doc_id) WHERE xent <= 3.45), " +
-        // DSIR: add-1-smoothed en-vs-raw log-ratio over the xent-kept set
-        "dt3 AS (SELECT * FROM dtx WHERE doc_id IN (SELECT doc_id FROM keptx)), " +
-        "rawv AS (SELECT tok, sum(cnt) AS cr FROM dt3 GROUP BY tok), " +
-        "tgtv AS (SELECT tok, sum(cnt) AS ct FROM dt3 " +
-        "WHERE doc_id IN (SELECT doc_id FROM q WHERE lang = 'en') GROUP BY tok), " +
-        "vocab2 AS (SELECT r.tok AS tok, cr, coalesce(ct, 0) AS ct " +
-        "FROM rawv r LEFT JOIN tgtv tt ON r.tok = tt.tok), " +
-        "tot2 AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr, CAST(sum(ct) AS DOUBLE) AS nt, " +
-        "CAST(count(*) AS DOUBLE) AS v FROM vocab2), " +
-        "ratio AS (SELECT tok, ln(ct + 1) - ln(nt + v) - ln(cr + 1) + ln(nr + v) AS logratio " +
-        "FROM vocab2 CROSS JOIN tot2), " +
-        "sel AS (SELECT doc_id FROM (SELECT doc_id, round(sum(cnt * logratio), 4) AS dw " +
-        "FROM dt3 JOIN ratio USING (tok) GROUP BY doc_id) WHERE dw >= 0), " +
-        "d2 AS (SELECT doc_id, source, text FROM q " +
-        "WHERE doc_id IN (SELECT doc_id FROM sel) " +
-        "QUALIFY doc_id = min(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))), " +
-        "sp AS (SELECT doc_id, source, text, CASE WHEN " +
-        "(((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296 < 3865470566 " +
-        "THEN 'train' ELSE 'test' END AS split FROM d2), " +
-        "grams AS (SELECT DISTINCT doc_id, split, array_to_string(tk[i:i+3], ' ') AS gram " +
-        "FROM (SELECT doc_id, split, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM sp), " +
-        "UNNEST(range(1, greatest(len(tk) - 2, 1))) AS r(i) WHERE len(tk) >= 4), " +
-        "cont AS (SELECT DISTINCT g.doc_id FROM grams g " +
-        "JOIN (SELECT DISTINCT gram FROM grams WHERE split = 'test') b ON g.gram = b.gram " +
-        "WHERE g.split = 'train'), " +
-        "clean AS (SELECT doc_id, source, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok " +
-        "FROM sp WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM cont)), " +
-        "budg AS (SELECT doc_id, source, n_tok FROM (" +
-        "SELECT doc_id, source, n_tok, sum(n_tok) OVER (PARTITION BY source " +
-        "ORDER BY (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, doc_id " +
-        "ROWS UNBOUNDED PRECEDING) AS running FROM clean) WHERE running <= 3000), " +
-        "r AS (SELECT doc_id, source, n_tok, COALESCE(sum(n_tok) OVER (PARTITION BY source " +
-        "ORDER BY (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM budg) " +
-        "SELECT doc_id, source, n_tok, CAST(cum_before // 256 AS BIGINT) AS pack_id, " +
-        "CAST(cum_before % 256 AS BIGINT) AS pack_offset, " +
-        "(cum_before % 256) + n_tok > 256 AS crosses FROM r ORDER BY doc_id"),
-
-    "q_boilerplate_grams" ->
-      ("WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents), " +
-        "grams AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS gram " +
-        "FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS r(i) WHERE len(tk) >= 3) " +
-        "SELECT gram, count(*) AS doc_freq FROM grams GROUP BY gram " +
-        "ORDER BY doc_freq DESC, gram LIMIT 20"),
-
-    "q_ngram_repetition" ->
-      ("WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents), " +
-        "g AS (SELECT doc_id, CAST(n AS INTEGER) AS n, array_to_string(tk[i:i+n-1], ' ') AS gram " +
-        "FROM toks, UNNEST([2, 3]) tn(n), UNNEST(range(1, len(tk) - n + 2)) r(i) WHERE len(tk) >= n), " +
-        "c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram) " +
-        "SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS total, count(*) AS n_distinct, " +
-        "CAST(max(c) AS BIGINT) AS top_cnt FROM c GROUP BY doc_id, n ORDER BY doc_id, n"),
-
-    // line dedup: the oracle replays the 6-token-line construction and
-    // the keep rule (blank, under-threshold, or min-id keeper) with
-    // DISTINCT window aggregates, rebuilding text via ordered string_agg.
-    "q_line_dedup" ->
-      ("WITH lined AS (SELECT doc_id, array_to_string(" +
-        "[array_to_string(tk[i*6+1:i*6+6], ' ') " +
-        "FOR i IN range(0, greatest(CAST(ceil(len(tk)/6.0) AS INT), 1))], chr(10)) AS text_lined " +
-        "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents)), " +
-        "lines AS (SELECT doc_id, i AS pos, sp[i] AS line, lower(trim(sp[i])) AS key " +
-        "FROM (SELECT doc_id, string_split(text_lined, chr(10)) AS sp FROM lined), " +
-        "UNNEST(range(1, len(sp)+1)) r(i)), " +
-        "st AS (SELECT doc_id, pos, line, key, " +
-        "count(DISTINCT doc_id) OVER (PARTITION BY key) AS nd, " +
-        "min(doc_id) OVER (PARTITION BY key) AS keeper, " +
-        "count(*) OVER (PARTITION BY doc_id) AS n_lines FROM lines) " +
-        "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, count(*) AS n_kept, " +
-        "string_agg(line, chr(10) ORDER BY pos) AS clean_text " +
-        "FROM st WHERE len(key) = 0 OR nd < 2 OR doc_id = keeper " +
-        "GROUP BY doc_id, n_lines ORDER BY doc_id"),
-
-    // stop-line filter: mine keys in >= 3 docs, remove them from every
-    // doc (no keeper), rebuild via ordered string_agg — same lined CTE.
-    "q_stopline_filter" ->
-      ("WITH lined AS (SELECT doc_id, array_to_string(" +
-        "[array_to_string(tk[i*6+1:i*6+6], ' ') " +
-        "FOR i IN range(0, greatest(CAST(ceil(len(tk)/6.0) AS INT), 1))], chr(10)) AS text_lined " +
-        "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents)), " +
-        "lines AS (SELECT doc_id, i AS pos, sp[i] AS line, lower(trim(sp[i])) AS key " +
-        "FROM (SELECT doc_id, string_split(text_lined, chr(10)) AS sp FROM lined), " +
-        "UNNEST(range(1, len(sp)+1)) r(i)), " +
-        "stops AS (SELECT key FROM lines WHERE len(key) > 0 " +
-        "GROUP BY key HAVING count(DISTINCT doc_id) >= 3), " +
-        "st AS (SELECT doc_id, pos, line, key, " +
-        "count(*) OVER (PARTITION BY doc_id) AS n_lines FROM lines) " +
-        "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, count(*) AS n_kept, " +
-        "string_agg(line, chr(10) ORDER BY pos) AS clean_text " +
-        "FROM st WHERE key NOT IN (SELECT key FROM stops) " +
-        "GROUP BY doc_id, n_lines ORDER BY doc_id"),
-
-    // the sketch-first mine must be EXACT (candidates superset + exact
-    // verify), so its consumer is oracled by the stop-line SQL verbatim
-    "q_stopline_sketch" ->
-      ("WITH lined AS (SELECT doc_id, array_to_string(" +
-        "[array_to_string(tk[i*6+1:i*6+6], ' ') " +
-        "FOR i IN range(0, greatest(CAST(ceil(len(tk)/6.0) AS INT), 1))], chr(10)) AS text_lined " +
-        "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents)), " +
-        "lines AS (SELECT doc_id, i AS pos, sp[i] AS line, lower(trim(sp[i])) AS key " +
-        "FROM (SELECT doc_id, string_split(text_lined, chr(10)) AS sp FROM lined), " +
-        "UNNEST(range(1, len(sp)+1)) r(i)), " +
-        "stops AS (SELECT key FROM lines WHERE len(key) > 0 " +
-        "GROUP BY key HAVING count(DISTINCT doc_id) >= 3), " +
-        "st AS (SELECT doc_id, pos, line, key, " +
-        "count(*) OVER (PARTITION BY doc_id) AS n_lines FROM lines) " +
-        "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, count(*) AS n_kept, " +
-        "string_agg(line, chr(10) ORDER BY pos) AS clean_text " +
-        "FROM st WHERE key NOT IN (SELECT key FROM stops) " +
-        "GROUP BY doc_id, n_lines ORDER BY doc_id"),
-
-    // unigram cross-entropy: the oracle mirrors the MLE formula term by
-    // term (ln(c) - ln(n), then the negated length-normalized sum) so
-    // both engines round the same double at 4 places.
-    "q_unigram_xent" ->
-      ("WITH dt AS (SELECT doc_id, tok, count(*) AS cnt FROM (" +
-        "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok " +
-        "FROM documents) GROUP BY doc_id, tok), " +
-        "vocab AS (SELECT tok, sum(cnt) AS c FROM dt GROUP BY tok), " +
-        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab) " +
-        "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok, " +
-        "round(-sum(cnt * (ln(c) - ln(n))) / sum(cnt), 4) AS xent " +
-        "FROM dt JOIN vocab USING (tok) CROSS JOIN tot " +
-        "GROUP BY doc_id ORDER BY doc_id"),
-
-    // CCNet buckets: the oracle replays the xent, the 20% hash sample
-    // (the Knuth multiplicative hash spelling), the two rank cutoffs
-    // (ceil(m/3), ceil(2m/3) over (xent, id) order), and the band
-    // comparison with the same lexicographic tie-break.
-    "q_xent_buckets" ->
-      ("WITH dt AS (SELECT doc_id, tok, count(*) AS cnt FROM (" +
-        "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok " +
-        "FROM documents) GROUP BY doc_id, tok), " +
-        "vocab AS (SELECT tok, sum(cnt) AS c FROM dt GROUP BY tok), " +
-        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab), " +
-        "x AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok, " +
-        "round(-sum(cnt * (ln(c) - ln(n))) / sum(cnt), 4) AS xent " +
-        "FROM dt JOIN vocab USING (tok) CROSS JOIN tot GROUP BY doc_id), " +
-        "s AS (SELECT xent, doc_id AS id, " +
-        "row_number() OVER (ORDER BY xent, doc_id) AS rn, count(*) OVER () AS m " +
-        "FROM x WHERE (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296 < 858993459), " +
-        "cut AS (SELECT xent, id FROM s WHERE rn = CAST(ceil(m / 3.0) AS BIGINT) " +
-        "OR rn = CAST(ceil(2.0 * m / 3.0) AS BIGINT)) " +
-        "SELECT x.doc_id, x.n_tok, x.xent, " +
-        "CAST(sum(CASE WHEN x.xent > c.xent OR (x.xent = c.xent AND x.doc_id > c.id) " +
-        "THEN 1 ELSE 0 END) AS BIGINT) AS bucket " +
-        "FROM x CROSS JOIN cut c GROUP BY x.doc_id, x.n_tok, x.xent " +
-        "ORDER BY doc_id"),
-
-    // bigram cross-entropy: the oracle mirrors the add-1 conditional
-    // term by term (ln(c12+1) - ln(c1+v), negated length-normalized sum)
-    // so both engines round the same double at 4 places; bigrams come
-    // from 1-based list indexing over the shared tokenizer.
-    "q_bigram_xent" ->
-      ("WITH base AS (SELECT doc_id, " +
-        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk " +
-        "FROM documents), " +
-        "bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, count(*) AS cnt " +
-        "FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM base WHERE len(tk) >= 2) " +
-        "GROUP BY doc_id, w1, w2), " +
-        "c12 AS (SELECT w1, w2, sum(cnt) AS c12 FROM bg GROUP BY w1, w2), " +
-        "c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1), " +
-        "vc AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM " +
-        "(SELECT unnest(tk) AS tok FROM base)) " +
-        "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigram, " +
-        "round(-sum(cnt * (ln(c12 + 1) - ln(c1 + v))) / sum(cnt), 4) AS xent2 " +
-        "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vc " +
-        "GROUP BY doc_id ORDER BY doc_id"),
-
-    // cross-corpus divergence: union-vocab add-1 LMs, KL both ways; the
-    // smoothed probabilities are exact-integer ratios so only the ln
-    // terms carry libm ulps (the measured-margin argument again).
-    "q_corpus_divergence" ->
-      ("WITH wa AS (SELECT tok, count(*) AS ca FROM (" +
-        "SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok " +
-        "FROM documents WHERE lang = 'en') GROUP BY tok), " +
-        "wb AS (SELECT tok, count(*) AS cb FROM (" +
-        "SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok " +
-        "FROM documents WHERE lang <> 'en') GROUP BY tok), " +
-        "u AS (SELECT tok, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb " +
-        "FROM wa FULL OUTER JOIN wb USING (tok)), " +
-        "tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb, " +
-        "CAST(count(*) AS DOUBLE) AS v FROM u) " +
-        "SELECT CAST(sum(ca) AS BIGINT) AS n_tok_a, CAST(sum(cb) AS BIGINT) AS n_tok_b, " +
-        "count(*) AS vocab, " +
-        "round(sum(((ca+1)/(na+v)) * (ln((ca+1)/(na+v)) - ln((cb+1)/(nb+v)))), 4) AS kl_ab, " +
-        "round(sum(((cb+1)/(nb+v)) * (ln((cb+1)/(nb+v)) - ln((ca+1)/(na+v)))), 4) AS kl_ba " +
-        "FROM u CROSS JOIN tot"),
-
-    // DSIR: add-1-smoothed target/raw unigram log-ratio, selection =
-    // top-100 by (rounded weight desc, doc_id) — the window spelling of
-    // the Spark side's TakeOrderedAndProject + broadcast semi-probe.
-    "q_dsir_select" ->
-      ("WITH dt AS (SELECT doc_id, tok, count(*) AS cnt FROM (" +
-        "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok " +
-        "FROM documents) GROUP BY doc_id, tok), " +
-        "raw AS (SELECT tok, sum(cnt) AS cr FROM dt GROUP BY tok), " +
-        "tgt AS (SELECT tok, sum(cnt) AS ct FROM dt " +
-        "WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en') GROUP BY tok), " +
-        "vocab AS (SELECT r.tok AS tok, cr, coalesce(ct, 0) AS ct " +
-        "FROM raw r LEFT JOIN tgt tt ON r.tok = tt.tok), " +
-        "tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr, CAST(sum(ct) AS DOUBLE) AS nt, " +
-        "CAST(count(*) AS DOUBLE) AS v FROM vocab), " +
-        "ratio AS (SELECT tok, ln(ct + 1) - ln(nt + v) - ln(cr + 1) + ln(nr + v) AS logratio " +
-        "FROM vocab CROSS JOIN tot), " +
-        "w AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok, " +
-        "round(sum(cnt * logratio), 4) AS dsir_weight " +
-        "FROM dt JOIN ratio USING (tok) GROUP BY doc_id) " +
-        "SELECT doc_id, n_tok, dsir_weight, " +
-        "row_number() OVER (ORDER BY dsir_weight DESC, doc_id) <= 100 AS selected " +
-        "FROM w ORDER BY doc_id"),
-
-    "q_cube" ->
-      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n, " +
-        "CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf, " +
-        "CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls " +
-        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
-        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
-
-    "q_exists_subquery" ->
-      ("SELECT c_custkey, c_name FROM customer c " +
-        "WHERE EXISTS (SELECT 1 FROM orders o " +
-        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) " +
-        "AND NOT EXISTS (SELECT 1 FROM orders o " +
-        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 10000) " +
-        "ORDER BY c_custkey"),
-
-    "q_scalar_subquery" ->
-      ("SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents " +
-        "FROM orders " +
-        "WHERE CAST(round(o_totalprice * 100) AS BIGINT) " +
-        "* (SELECT count(*) FROM orders) * 2 " +
-        "> (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) FROM orders) * 3 " +
-        "ORDER BY o_orderkey"),
-
-    "q_cte" ->
-      ("WITH yearly AS (" +
-        "SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_custkey, count(*) AS n " +
-        "FROM orders GROUP BY 1, 2), " +
-        "peaks AS (SELECT y AS py, max(n) AS mx FROM yearly GROUP BY y) " +
-        "SELECT y, o_custkey, n " +
-        "FROM yearly JOIN peaks ON yearly.y = peaks.py AND yearly.n = peaks.mx " +
-        "ORDER BY y, o_custkey"),
-
-    "q_unpivot" ->
-      ("SELECT o_orderkey, metric, value FROM (" +
-        "SELECT o_orderkey, 'total_cents' AS metric, " +
-        "CAST(round(o_totalprice * 100) AS BIGINT) AS value FROM orders " +
-        "UNION ALL SELECT o_orderkey, 'custkey', o_custkey FROM orders) " +
-        "ORDER BY o_orderkey, metric"),
-
-    "q_json_path" ->
-      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
-        "json_extract_string(props, '$.missing') AS missing " +
-        "FROM events ORDER BY event_id"),
-
-    // each event belongs to exactly size/slide = 4 overlapping windows:
-    // starts floor(epoch/900)*900 - i*900 for i in 0..3
-    "q_events_sliding" ->
-      ("SELECT win_start, event_type, count(*) AS n FROM (" +
-        "SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - i * 900 AS win_start, " +
-        "event_type FROM events, UNNEST([0, 1, 2, 3]) AS t(i)) " +
-        "GROUP BY 1, 2 ORDER BY win_start, event_type"),
-
-    "q_topic_describe" ->
-      ("SELECT * FROM (VALUES " +
-        "('key', 'binary', true, 'BUCKET KEY'), " +
-        "('product_id', 'bigint', true, ''), " +
-        "('name', 'string', true, '')" +
-        ") AS t(col_name, data_type, nullable, extras) ORDER BY col_name"),
-
-    "q_model_pin" ->
-      ("SELECT doc_id, TRUE AS pin_eq_default FROM documents ORDER BY doc_id"),
-
-    "q_date_arith" ->
-      ("SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, " +
-        "datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since, " +
-        "CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m, " +
-        "CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom " +
-        "FROM orders ORDER BY o_orderkey"),
-
-    "q_window_range" ->
-      ("SELECT o_orderkey, y, cents, CAST(sum(cents) OVER (PARTITION BY y ORDER BY cents " +
-        "RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_sum FROM (" +
-        "SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y, " +
-        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
-        "ORDER BY o_orderkey"),
-
-    "q_formats_roundtrip" ->
-      ("SELECT format, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
-        "count(DISTINCT source) AS n_sources FROM (" +
-        "SELECT 'orc' AS format, n_chars, source FROM documents " +
-        "UNION ALL SELECT 'csv', n_chars, source FROM documents) " +
-        "GROUP BY format ORDER BY format"),
-
-    "q_multimodal_resize" ->
-      ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
-        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
-        "CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, " +
-        "CAST(256 AS INTEGER) AS n_out FROM documents ORDER BY media_id"),
-
-    "q_frame_sample" ->
-      ("WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n " +
-        "FROM documents) " +
-        "SELECT media_id, CAST(i AS INTEGER) AS frame_idx, " +
-        "CAST(least(256, n - i * 256) AS INTEGER) AS frame_len " +
-        "FROM m, UNNEST(range(0, (n + 255) // 256, 4)) AS t(i) " +
-        "ORDER BY media_id, frame_idx"),
-
-    "q_embed_contract" ->
-      ("SELECT doc_id, TRUE AS unit_norm_ok FROM documents ORDER BY doc_id"),
-
-    "q_rag_contract" ->
-      ("SELECT doc_id, TRUE AS prompt_role_ok, TRUE AS response_role_ok, " +
-        "TRUE AS has_products, TRUE AS prompt_has_content " +
-        "FROM documents ORDER BY doc_id"),
-
-    "q_multimodal_contract" ->
-      ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
-        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
-        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "TRUE AS width_ok, TRUE AS audio_1d_ok " +
-        "FROM documents ORDER BY media_id"),
-
-    "q_sql_sample" ->
-      ("SELECT doc_id, source FROM documents " +
-        "WHERE (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296 < 1073741824 " +
-        "ORDER BY doc_id"),
-
-    "q_lang_id" ->
-      ("WITH toks AS (SELECT doc_id, unnest(list_filter(" +
-        "regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), t -> len(t) > 0)) AS tok " +
-        "FROM documents), " +
-        "c AS (SELECT doc_id, " +
-        "count(*) FILTER (WHERE tok IN ('the','and','of','to','is','you','that','with')) AS en, " +
-        "count(*) FILTER (WHERE tok IN ('el','la','los','las','de','que','es','una','para','por')) AS es, " +
-        "count(*) FILTER (WHERE tok IN ('le','les','des','une','est','dans','pour','avec','sur')) AS fr, " +
-        "count(*) FILTER (WHERE tok IN ('der','die','das','und','ist','nicht','ein','mit','von')) AS de, " +
-        "count(*) FILTER (WHERE tok IN ('il','di','che','per','con','sono','della','una')) AS it, " +
-        "count(*) FILTER (WHERE tok IN ('os','uma','com','para','mais','como','dos','ser')) AS pt " +
-        "FROM toks GROUP BY doc_id) " +
-        "SELECT d.doc_id, CASE " +
-        "WHEN c.doc_id IS NULL OR greatest(en, es, fr, de, it, pt) = 0 THEN 'und' " +
-        "WHEN pt = greatest(en, es, fr, de, it, pt) THEN 'pt' " +
-        "WHEN it = greatest(en, es, fr, de, it, pt) THEN 'it' " +
-        "WHEN fr = greatest(en, es, fr, de, it, pt) THEN 'fr' " +
-        "WHEN es = greatest(en, es, fr, de, it, pt) THEN 'es' " +
-        "WHEN en = greatest(en, es, fr, de, it, pt) THEN 'en' " +
-        "ELSE 'de' END AS lang " +
-        "FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id ORDER BY d.doc_id"),
-
-    // split thresholds are the Scala-side (cumFraction * 2^32).toLong
-    // literals: 0.8 -> 3435973836, 0.9 -> 3865470566 (double rounding
-    // included, so both engines band identically)
-    "q_split_assign" ->
-      ("SELECT doc_id, source, CASE WHEN h < 3435973836 THEN 'train' " +
-        "WHEN h < 3865470566 THEN 'val' ELSE 'test' END AS split FROM (" +
-        "SELECT doc_id, source, " +
-        "(((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296 AS h " +
-        "FROM documents) ORDER BY doc_id"),
-
-    "q_take_per_stratum" ->
-      ("SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (" +
-        "PARTITION BY source ORDER BY " +
-        "(((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, doc_id" +
-        ") AS rn FROM documents) WHERE rn <= 10 ORDER BY doc_id"),
-
-    "q_seq_packing" ->
-      ("WITH d AS (SELECT doc_id, source, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok FROM documents), " +
-        "r AS (SELECT doc_id, source, n_tok, COALESCE(sum(n_tok) OVER (" +
-        "PARTITION BY source ORDER BY (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM d) " +
-        "SELECT doc_id, source, n_tok, CAST(cum_before // 512 AS BIGINT) AS pack_id, " +
-        "CAST(cum_before % 512 AS BIGINT) AS pack_offset, " +
-        "(cum_before % 512) + n_tok > 512 AS crosses " +
-        "FROM r ORDER BY doc_id"),
-
-    "q_token_budget" ->
-      ("WITH d AS (SELECT doc_id, source, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok FROM documents), " +
-        "r AS (SELECT doc_id, source, n_tok, sum(n_tok) OVER (" +
-        "PARTITION BY source ORDER BY (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296, doc_id " +
-        "ROWS UNBOUNDED PRECEDING) AS running_tok FROM d) " +
-        "SELECT doc_id, source, n_tok, CAST(running_tok AS BIGINT) AS running_tok " +
-        "FROM r WHERE running_tok <= 2000 ORDER BY doc_id"),
-
-    "q_full_outer" ->
-      ("WITH y95 AS (SELECT o_custkey AS k, count(*) AS n_1995 FROM orders " +
-        "WHERE year(o_orderdate) = 1995 GROUP BY 1), " +
-        "y96 AS (SELECT o_custkey AS k, count(*) AS n_1996 FROM orders " +
-        "WHERE year(o_orderdate) = 1996 GROUP BY 1) " +
-        "SELECT coalesce(y95.k, y96.k) AS custkey, n_1995, n_1996 " +
-        "FROM y95 FULL OUTER JOIN y96 ON y95.k = y96.k ORDER BY custkey"),
-
-    "q_array_funcs" ->
-      ("SELECT doc_id, CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq, " +
-        "array_to_string(list_sort(list_distinct(tk))[1:3], ' ') AS first3, " +
-        "list_contains(tk, 'the') AS has_the " +
-        "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
-        "t -> len(t) > 0) AS tk FROM documents) ORDER BY doc_id"),
-
-    "q_approx_percentile" ->
-      ("SELECT l_returnflag, TRUE AS p50_ok FROM lineitem " +
-        "GROUP BY 1 ORDER BY 1"),
-
-    "q_ann_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_ivf_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_hnsw_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_hnsw_index_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_pq_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_sq_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_bq_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    // BM25 top-10: the oracle replays tokenize -> tf/df/corpus stats ->
-    // the exact Lucene-parameterized formula (same association), rounds
-    // to 4 like the operator, and ranks over the rounded score.
-    "q_bm25_topk" ->
-      ("WITH " + LexQueriesCte + ", " + Bm25Cte + " " +
-        "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
-        "SELECT query_id, doc_id AS match_id, score, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bsc) " +
-        "WHERE rnk <= 10 ORDER BY query_id, rank"),
-
-    // the per-term frame behind the score chain, identical associations
-    // (idf's parenthesization, the folded (1 - 0.75) = 0.25, rounds only
-    // at the emitted factors)
-    "q_bm25_explain" ->
-      ("WITH " + LexQueriesCte + ", " + Bm25Cte + " " +
-        "SELECT query_id, f.doc_id AS match_id, f.tok AS term, " +
-        "CAST(f.tf AS BIGINT) AS tf, CAST(f.dl AS BIGINT) AS dl, " +
-        "CAST(d.df AS BIGINT) AS df, " +
-        "round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)), 4) AS idf, " +
-        "round(f.tf * (1.2 + 1) / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl)), 4) AS tf_norm, " +
-        "round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * " +
-        "(f.tf * (1.2 + 1) / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl))), 4) AS contribution " +
-        "FROM btf f JOIN bdf d USING (tok) CROSS JOIN bst s " +
-        "ORDER BY query_id, match_id, term"),
-
-    // index-served filtered ≡ corpus-scored filtered: the oracle is
-    // q_bm25_filtered's verbatim (the q_bm25_indexed idiom)
-    "q_bm25_indexed_filtered" ->
-      ("WITH " + LexQueriesCte + ", " + Bm25Cte + " " +
-        "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
-        "SELECT query_id, sc.doc_id AS match_id, score, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY score DESC, sc.doc_id) AS rnk " +
-        "FROM bsc sc JOIN documents d ON sc.doc_id = d.doc_id " +
-        "WHERE d.lang = 'en') " +
-        "WHERE rnk <= 10 ORDER BY query_id, rank"),
-
-    // same global-stats scoring chain; the lang filter applies at
-    // ranking time only (Lucene filtered-query semantics)
-    "q_bm25_filtered" ->
-      ("WITH " + LexQueriesCte + ", " + Bm25Cte + " " +
-        "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
-        "SELECT query_id, sc.doc_id AS match_id, score, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY score DESC, sc.doc_id) AS rnk " +
-        "FROM bsc sc JOIN documents d ON sc.doc_id = d.doc_id " +
-        "WHERE d.lang = 'en') " +
-        "WHERE rnk <= 10 ORDER BY query_id, rank"),
-
-    // PRF: pass-1 scoring (prefix b), feedback top-5, term mining with
-    // the NOT EXISTS original-term exclusion and (count desc, term)
-    // rank, expanded query UNION, pass-2 scoring (prefix e, reusing the
-    // b tokenize), final top-10 over the rounded pass-2 score.
-    "q_bm25_prf" ->
-      ("WITH " + LexQueriesCte + ", " + bm25CteFor("q", "b") + ", " +
-        "fb AS (SELECT query_id, doc_id FROM (" +
-        "SELECT query_id, doc_id, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bsc) " +
-        "WHERE rnk <= 5), " +
-        "ft AS (SELECT f.query_id, t.tok, count(*) AS c " +
-        "FROM btok t JOIN fb f USING (doc_id) GROUP BY 1, 2), " +
-        "mined AS (SELECT query_id, tok AS term FROM (" +
-        "SELECT ft.query_id, ft.tok, ft.c, row_number() OVER (" +
-        "PARTITION BY ft.query_id ORDER BY ft.c DESC, ft.tok) AS r FROM ft " +
-        "WHERE NOT EXISTS (SELECT 1 FROM q " +
-        "WHERE q.query_id = ft.query_id AND q.term = ft.tok)) WHERE r <= 3), " +
-        "q2(query_id, term) AS (SELECT query_id, term FROM q " +
-        "UNION SELECT query_id, term FROM mined), " +
-        bm25CteFor("q2", "e", base = "b") + " " +
-        "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
-        "SELECT query_id, doc_id AS match_id, score, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM esc) " +
-        "WHERE rnk <= 10 ORDER BY query_id, rank"),
-
-    // the same two-pass replay with the lang filter applied at RANKING
-    // time in BOTH passes (global stats — the filtered-query chain)
-    "q_bm25_prf_filtered" ->
-      ("WITH " + LexQueriesCte + ", " + bm25CteFor("q", "b") + ", " +
-        "fb AS (SELECT query_id, doc_id FROM (" +
-        "SELECT query_id, sc.doc_id, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY score DESC, sc.doc_id) AS rnk " +
-        "FROM bsc sc JOIN documents d ON sc.doc_id = d.doc_id " +
-        "WHERE d.lang = 'en') WHERE rnk <= 5), " +
-        "ft AS (SELECT f.query_id, t.tok, count(*) AS c " +
-        "FROM btok t JOIN fb f USING (doc_id) GROUP BY 1, 2), " +
-        "mined AS (SELECT query_id, tok AS term FROM (" +
-        "SELECT ft.query_id, ft.tok, ft.c, row_number() OVER (" +
-        "PARTITION BY ft.query_id ORDER BY ft.c DESC, ft.tok) AS r FROM ft " +
-        "WHERE NOT EXISTS (SELECT 1 FROM q " +
-        "WHERE q.query_id = ft.query_id AND q.term = ft.tok)) WHERE r <= 3), " +
-        "q2(query_id, term) AS (SELECT query_id, term FROM q " +
-        "UNION SELECT query_id, term FROM mined), " +
-        bm25CteFor("q2", "e", base = "b") + " " +
-        "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
-        "SELECT query_id, sc.doc_id AS match_id, score, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY score DESC, sc.doc_id) AS rnk " +
-        "FROM esc sc JOIN documents d ON sc.doc_id = d.doc_id " +
-        "WHERE d.lang = 'en') " +
-        "WHERE rnk <= 10 ORDER BY query_id, rank"),
-
-    // Index-served BM25 is semantically identical to direct BM25 — the
-    // oracle is q_bm25_topk's, and a hash match proves the persisted
-    // artifacts (postings + summed stats partials) reproduce corpus
-    // scoring exactly.
-    "q_bm25_indexed" ->
-      ("WITH " + LexQueriesCte + ", " + Bm25Cte + " " +
-        "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
-        "SELECT query_id, doc_id AS match_id, score, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bsc) " +
-        "WHERE rnk <= 10 ORDER BY query_id, rank"),
-
-    // delete under the hash: BM25 from scratch over the SURVIVING
-    // corpus (the tokenize CTE reads the survivor subquery, so n, avgdl,
-    // df, and every score are the post-delete constants), each expected
-    // row twice — once per lifecycle phase
-    "q_bm25_delete" ->
-      ("WITH " + LexQueriesCte + ", " +
-        bm25CteFor("q", "d",
-          src = "(SELECT * FROM documents WHERE doc_id % 10 <> 0)") + " " +
-        "SELECT p.phase, query_id, match_id, score, CAST(rnk AS INTEGER) AS rank " +
-        "FROM (SELECT query_id, doc_id AS match_id, score, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM dsc), " +
-        "(VALUES ('served'), ('compacted')) AS p(phase) " +
-        "WHERE rnk <= 10 ORDER BY phase, query_id, rank"),
-
-    // the maintained (build → append → compact) index serves the exact
-    // same scores — q_bm25_indexed's oracle verbatim
-    "q_bm25_compacted" ->
-      ("WITH " + LexQueriesCte + ", " + Bm25Cte + " " +
-        "SELECT query_id, match_id, score, CAST(rnk AS INTEGER) AS rank FROM (" +
-        "SELECT query_id, doc_id AS match_id, score, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bsc) " +
-        "WHERE rnk <= 10 ORDER BY query_id, rank"),
-
-    // RRF fusion: cosine top-20 (queries = vec_id 0..2) fused with BM25
-    // top-20 over the SAME id space (doc_id == vec_id in the test
-    // corpus); the fused score adds the vector quotient first, exactly
-    // like the operator.
-    "q_hybrid_rrf" ->
-      ("WITH " + LexQueriesCte + ", " + Bm25Cte + ", " +
-        "vr AS (SELECT query_id, match_id, rnk FROM (" +
-        "SELECT q2.vec_id AS query_id, c.vec_id AS match_id, row_number() OVER (" +
-        "PARTITION BY q2.vec_id ORDER BY list_cosine_similarity(q2.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
-        "FROM embeddings q2, embeddings c WHERE q2.vec_id <= 2) WHERE rnk <= 20), " +
-        "lr AS (SELECT query_id, match_id, rnk FROM (" +
-        "SELECT query_id, doc_id AS match_id, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bsc) WHERE rnk <= 20), " +
-        "fused AS (SELECT coalesce(vr.query_id, lr.query_id) AS query_id, " +
-        "coalesce(vr.match_id, lr.match_id) AS match_id, " +
-        "coalesce(CAST(1.0 AS DOUBLE) / (60 + vr.rnk), 0) + " +
-        "coalesce(CAST(1.0 AS DOUBLE) / (60 + lr.rnk), 0) AS rrf " +
-        "FROM vr FULL OUTER JOIN lr ON vr.query_id = lr.query_id AND vr.match_id = lr.match_id) " +
-        "SELECT query_id, match_id, CAST(r AS INTEGER) AS rrf_rank FROM (" +
-        "SELECT query_id, match_id, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY rrf DESC, match_id) AS r FROM fused) " +
-        "WHERE r <= 5 ORDER BY query_id, rrf_rank"),
-
-    // both legs filtered before fusion; the BM25 leg's scores stay
-    // global-stats (the Lucene filtered-query law)
-    "q_hybrid_filtered" ->
-      ("WITH " + LexQueriesCte + ", " + Bm25Cte + ", " +
-        "vr AS (SELECT query_id, match_id, rnk FROM (" +
-        "SELECT q2.vec_id AS query_id, c.vec_id AS match_id, row_number() OVER (" +
-        "PARTITION BY q2.vec_id ORDER BY list_cosine_similarity(q2.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
-        "FROM embeddings q2, embeddings c WHERE q2.vec_id <= 2 " +
-        "AND c.label % 4 = 1) WHERE rnk <= 20), " +
-        "lr AS (SELECT query_id, match_id, rnk FROM (" +
-        "SELECT query_id, sc.doc_id AS match_id, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY score DESC, sc.doc_id) AS rnk " +
-        "FROM bsc sc JOIN documents d ON sc.doc_id = d.doc_id " +
-        "WHERE d.lang = 'en') WHERE rnk <= 20), " +
-        "fused AS (SELECT coalesce(vr.query_id, lr.query_id) AS query_id, " +
-        "coalesce(vr.match_id, lr.match_id) AS match_id, " +
-        "coalesce(CAST(1.0 AS DOUBLE) / (60 + vr.rnk), 0) + " +
-        "coalesce(CAST(1.0 AS DOUBLE) / (60 + lr.rnk), 0) AS rrf " +
-        "FROM vr FULL OUTER JOIN lr ON vr.query_id = lr.query_id AND vr.match_id = lr.match_id) " +
-        "SELECT query_id, match_id, CAST(r AS INTEGER) AS rrf_rank FROM (" +
-        "SELECT query_id, match_id, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY rrf DESC, match_id) AS r FROM fused) " +
-        "WHERE r <= 5 ORDER BY query_id, rrf_rank"),
-
-    // index-served hybrid ≡ corpus-scored hybrid: the oracle is
-    // q_hybrid_rrf's verbatim — the row asserts the persisted lexical
-    // artifacts change nothing about the fused ranking
-    "q_hybrid_indexed" ->
-      ("WITH " + LexQueriesCte + ", " + Bm25Cte + ", " +
-        "vr AS (SELECT query_id, match_id, rnk FROM (" +
-        "SELECT q2.vec_id AS query_id, c.vec_id AS match_id, row_number() OVER (" +
-        "PARTITION BY q2.vec_id ORDER BY list_cosine_similarity(q2.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
-        "FROM embeddings q2, embeddings c WHERE q2.vec_id <= 2) WHERE rnk <= 20), " +
-        "lr AS (SELECT query_id, match_id, rnk FROM (" +
-        "SELECT query_id, doc_id AS match_id, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM bsc) WHERE rnk <= 20), " +
-        "fused AS (SELECT coalesce(vr.query_id, lr.query_id) AS query_id, " +
-        "coalesce(vr.match_id, lr.match_id) AS match_id, " +
-        "coalesce(CAST(1.0 AS DOUBLE) / (60 + vr.rnk), 0) + " +
-        "coalesce(CAST(1.0 AS DOUBLE) / (60 + lr.rnk), 0) AS rrf " +
-        "FROM vr FULL OUTER JOIN lr ON vr.query_id = lr.query_id AND vr.match_id = lr.match_id) " +
-        "SELECT query_id, match_id, CAST(r AS INTEGER) AS rrf_rank FROM (" +
-        "SELECT query_id, match_id, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY rrf DESC, match_id) AS r FROM fused) " +
-        "WHERE r <= 5 ORDER BY query_id, rrf_rank"),
-
-    "q_rag_hybrid_contract" ->
-      ("SELECT doc_id, TRUE AS products_k_ok, TRUE AS products_from_corpus_ok, " +
-        "TRUE AS prompt_role_ok, TRUE AS response_ok " +
-        "FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id"),
-
-    "q_hard_negatives" ->
-      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank FROM (" +
-        "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
-        "row_number() OVER (PARTITION BY q.vec_id " +
-        "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
-        "FROM embeddings q, embeddings c " +
-        "WHERE q.vec_id % 25 = 0 AND q.label <> c.label) WHERE rnk <= 5 " +
-        "ORDER BY query_id, rank"),
-
-    "q_maxsim_ann_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 25 = 0 ORDER BY query_id"),
-
-    "q_maxsim_index_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 25 = 0 ORDER BY query_id"),
-
-    "q_winnow_pairs" ->
-      ("WITH s AS (SELECT doc_id AS id, " +
-        "regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS st FROM documents), " +
-        "g AS (SELECT id, CAST(i AS BIGINT) AS pos, " +
-        "substr(st, CAST(i AS INTEGER), 5) AS gram, len(st) - 4 AS ngrams " +
-        "FROM (SELECT id, st, unnest(range(1, len(st) - 3)) AS i FROM s " +
-        "WHERE len(st) >= 8)), " +
-        "m AS (SELECT id, pos, ngrams, " +
-        "min(gram || lpad(CAST(pos AS VARCHAR), 10, '0')) OVER (" +
-        "PARTITION BY id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm " +
-        "FROM g), " +
-        "fp AS (SELECT DISTINCT id, substr(wm, 1, 5) AS gram FROM m " +
-        "WHERE pos <= ngrams - 3), " +
-        "sized AS (SELECT gram FROM fp GROUP BY gram HAVING count(*) <= 20), " +
-        "kept AS (SELECT fp.id, fp.gram FROM fp JOIN sized USING (gram)) " +
-        "SELECT id1, id2, CAST(n_shared AS BIGINT) AS n_shared FROM (" +
-        "SELECT a.id AS id1, b.id AS id2, count(*) AS n_shared " +
-        "FROM kept a JOIN kept b ON a.gram = b.gram AND a.id < b.id " +
-        "GROUP BY 1, 2) WHERE n_shared >= 2 ORDER BY id1, id2"),
-
-    // winnowing: grams at every position, the (gram ++ zero-padded pos)
-    // sortable encoding, window minima over full w-windows, distinct
-    "q_winnow" ->
-      ("WITH s AS (SELECT doc_id AS id, " +
-        "regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS st FROM documents), " +
-        "g AS (SELECT id, CAST(i AS BIGINT) AS pos, " +
-        "substr(st, CAST(i AS INTEGER), 5) AS gram, len(st) - 4 AS ngrams " +
-        "FROM (SELECT id, st, unnest(range(1, len(st) - 3)) AS i FROM s " +
-        "WHERE len(st) >= 8)), " +
-        "m AS (SELECT id, pos, ngrams, " +
-        "min(gram || lpad(CAST(pos AS VARCHAR), 10, '0')) OVER (" +
-        "PARTITION BY id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm " +
-        "FROM g) " +
-        "SELECT DISTINCT id, CAST(substr(wm, 6, 10) AS BIGINT) AS pos, " +
-        "substr(wm, 1, 5) AS gram FROM m WHERE pos <= ngrams - 3 " +
-        "ORDER BY id, pos"),
-
-    "q_maxsim_topk" ->
-      ("SELECT query_id, match_group, CAST(rnk AS INTEGER) AS rank FROM (" +
-        "SELECT query_id, match_group, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY best DESC, match_group) AS rnk FROM (" +
-        "SELECT q.vec_id AS query_id, CAST(c.label AS BIGINT) AS match_group, " +
-        "max(list_cosine_similarity(q.embedding, c.embedding)) AS best " +
-        "FROM embeddings q, embeddings c WHERE q.vec_id % 25 = 0 " +
-        "GROUP BY 1, 2)) WHERE rnk <= 3 ORDER BY query_id, rank"),
-
-    // triples: positives = same-label non-self cosine ranking,
-    // negatives = different-label ranking, joined on rank
-    "q_contrastive_triples" ->
-      ("WITH sc AS (SELECT q.vec_id AS query_id, q.label AS qlab, " +
-        "c.vec_id AS match_id, c.label AS clab, " +
-        "list_cosine_similarity(q.embedding, c.embedding) AS s " +
-        "FROM embeddings q, embeddings c WHERE q.vec_id % 25 = 0), " +
-        "pos AS (SELECT query_id, match_id AS pos_id, rnk FROM (" +
-        "SELECT query_id, match_id, row_number() OVER (PARTITION BY query_id " +
-        "ORDER BY s DESC, match_id) AS rnk FROM sc " +
-        "WHERE clab = qlab AND match_id <> query_id) WHERE rnk <= 3), " +
-        "neg AS (SELECT query_id, match_id AS neg_id, rnk FROM (" +
-        "SELECT query_id, match_id, row_number() OVER (PARTITION BY query_id " +
-        "ORDER BY s DESC, match_id) AS rnk FROM sc " +
-        "WHERE clab <> qlab) WHERE rnk <= 3) " +
-        "SELECT query_id, pos_id, neg_id, CAST(rnk AS INTEGER) AS pair_rank " +
-        "FROM pos JOIN neg USING (query_id, rnk) " +
-        "ORDER BY query_id, pair_rank"),
-
-    "q_length_batches" ->
-      ("WITH b AS (SELECT source AS stratum, doc_id, " +
-        "CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tok " +
-        "FROM documents), " +
-        "r AS (SELECT stratum, n_tok, CAST((row_number() OVER (" +
-        "PARTITION BY stratum ORDER BY n_tok DESC, doc_id) - 1) // 32 AS BIGINT) AS batch_id FROM b) " +
-        "SELECT stratum, batch_id, count(*) AS n_docs, max(n_tok) AS max_tok, " +
-        "CAST(sum(n_tok) AS BIGINT) AS sum_tok, " +
-        "count(*) * max(n_tok) - CAST(sum(n_tok) AS BIGINT) AS pad_waste " +
-        "FROM r GROUP BY stratum, batch_id ORDER BY stratum, batch_id"),
-
-    "q_datasheet" ->
-      ("WITH b AS (SELECT source AS stratum, " +
-        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0)) AS nt, " +
-        "len(text) AS l FROM documents), " +
-        "per AS (SELECT stratum, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens, " +
-        "list_sort(list(l)) AS sorted FROM b GROUP BY stratum), " +
-        "tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM per) " +
-        "SELECT stratum, n_docs, n_tokens, " +
-        "round(CAST(n_tokens AS DOUBLE) / n_docs, 4) AS mean_tok, " +
-        "CAST(sorted[CAST(ceil(CAST(0.5 AS DOUBLE) * n_docs) AS INTEGER)] AS BIGINT) AS p50_len, " +
-        "CAST(sorted[CAST(ceil(CAST(0.9 AS DOUBLE) * n_docs) AS INTEGER)] AS BIGINT) AS p90_len, " +
-        "round(n_docs / total, 4) AS share " +
-        "FROM per CROSS JOIN tot ORDER BY stratum"),
-
-    // BPE head merge: the oracle replays word-type counts, every
-    // adjacent character pair weighted by type count, and the
-    // (count desc, lexicographic) argmax.
-    // unigram-LM candidate inventory: substring frequencies weighted by
-    // word-type counts, top-50 by (freq desc, piece asc) union ALL
-    // single chars, distinct — replayed relationally
-    "q_ulm_candidates" ->
-      ("WITH wc AS (SELECT word, count(*) AS cnt FROM (" +
-        "SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS word " +
-        "FROM documents) GROUP BY word), " +
-        "p AS (SELECT substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece, cnt " +
-        "FROM (SELECT word, cnt, l, unnest(range(1, len(word) - CAST(l AS INTEGER) + 2)) AS i " +
-        "FROM (SELECT word, cnt, unnest(range(1, least(4, len(word)) + 1)) AS l FROM wc))), " +
-        "f AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM p GROUP BY piece), " +
-        "top AS (SELECT piece, freq FROM f ORDER BY freq DESC, piece LIMIT 50), " +
-        "chars AS (SELECT piece, freq FROM f WHERE len(piece) = 1) " +
-        "SELECT DISTINCT piece, freq FROM (SELECT * FROM top UNION ALL SELECT * FROM chars) " +
-        "ORDER BY piece"),
-
-    "q_ulm_encode" ->
-      ("SELECT doc_id, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +
-        "ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) END AS BIGINT) AS n_words, " +
-        "TRUE AS roundtrip_ok, TRUE AS pieces_ok FROM documents ORDER BY doc_id"),
-
-    "q_bpe_merge_head" ->
-      ("WITH wc AS (SELECT word, count(*) AS cnt FROM (" +
-        "SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS word " +
-        "FROM documents) GROUP BY word), " +
-        "p AS (SELECT substr(word, CAST(i AS INTEGER), 1) AS lhs, " +
-        "substr(word, CAST(i AS INTEGER) + 1, 1) AS rhs, sum(cnt) AS c " +
-        "FROM (SELECT word, cnt, unnest(range(1, len(word))) AS i FROM wc) " +
-        "GROUP BY 1, 2) " +
-        "SELECT CAST(0 AS INTEGER) AS rank, lhs, rhs FROM p " +
-        "ORDER BY c DESC, lhs, rhs LIMIT 1"),
-
-    "q_bpe_contract" ->
-      ("SELECT CAST(i AS INTEGER) AS rank, TRUE AS substring_ok, " +
-        "TRUE AS construct_ok FROM generate_series(0, 29) t(i) ORDER BY rank"),
-
-    "q_bpe_tokens_contract" ->
-      ("SELECT doc_id, TRUE AS bounds_ok FROM documents ORDER BY doc_id"),
-
-    // WordPiece first merge: replay word types -> per-char counts ->
-    // adjacent-pair counts -> argmax of the IEEE-double likelihood
-    // ratio pcnt/(lcnt*rcnt) with the (score desc, lhs, rhs) order.
-    // Long counts < 2^53 cast exactly; /,* are correctly rounded, so
-    // the double is bit-identical to the Scala trainer's.
-    "q_wp_head" ->
-      ("WITH wc AS (SELECT word, count(*) AS cnt FROM (" +
-        "SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS word " +
-        "FROM documents) GROUP BY word), " +
-        "pos AS (SELECT word, cnt, CAST(i AS INTEGER) AS i " +
-        "FROM (SELECT word, cnt, unnest(range(1, len(word) + 1)) AS i FROM wc)), " +
-        "cc AS (SELECT substr(word, i, 1) AS c, sum(cnt) AS ccnt FROM pos GROUP BY 1), " +
-        "p AS (SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs, sum(cnt) AS pcnt " +
-        "FROM pos WHERE i < len(word) GROUP BY 1, 2) " +
-        "SELECT CAST(0 AS INTEGER) AS rank, lhs, rhs FROM p " +
-        "JOIN cc cl ON cl.c = p.lhs JOIN cc cr ON cr.c = p.rhs " +
-        "ORDER BY CAST(pcnt AS DOUBLE) / (CAST(cl.ccnt AS DOUBLE) * CAST(cr.ccnt AS DOUBLE)) DESC, lhs, rhs " +
-        "LIMIT 1"),
-
-    "q_wp_contract" ->
-      ("SELECT CAST(i AS INTEGER) AS rank, TRUE AS substring_ok, " +
-        "TRUE AS construct_ok FROM generate_series(0, 29) t(i) ORDER BY rank"),
-
-    "q_wp_tokens_contract" ->
-      ("SELECT doc_id, TRUE AS bounds_ok FROM documents ORDER BY doc_id"),
-
-    // C4 rules: replay the 6-token-line construction, the index-keyed
-    // punctuation CASE, each line verdict (terminal punct + >= 3 words
-    // + no javascript), the [.!?] sentence proxy over kept lines, the
-    // page flags, and the ordered rebuild (coalesced to '' when every
-    // line drops, matching concat_ws over the empty array).
-    "q_c4_clean" ->
-      ("WITH lined AS (SELECT doc_id, array_to_string(" +
-        "[array_to_string(tk[i*6+1:i*6+6], ' ') " +
-        "FOR i IN range(0, greatest(CAST(ceil(len(tk)/6.0) AS INT), 1))], chr(10)) AS text_lined " +
-        "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM documents)), " +
-        "plined AS (SELECT doc_id, array_to_string([CASE " +
-        "WHEN doc_id % 41 = 0 AND i = 1 THEN 'lorem ipsum dolor.' " +
-        "WHEN doc_id % 37 = 0 AND i = 0 THEN sp[i+1] || ' {' " +
-        "WHEN (doc_id + i) % 29 = 0 THEN sp[i+1] || ' javascript.' " +
-        "WHEN (doc_id + i) % 3 <> 0 THEN sp[i+1] || '.' " +
-        "ELSE sp[i+1] END FOR i IN range(0, len(sp))], chr(10)) AS text_lined " +
-        "FROM (SELECT doc_id, string_split(text_lined, chr(10)) AS sp FROM lined)), " +
-        "lines AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, sp[CAST(i AS INTEGER)+1] AS line " +
-        "FROM (SELECT doc_id, string_split(text_lined, chr(10)) AS sp FROM plined), " +
-        "UNNEST(range(0, len(sp))) r(i)), " +
-        "j AS (SELECT doc_id, pos, line, " +
-        "regexp_matches(line, '[.!?\"]$') " +
-        "AND len(list_filter(regexp_split_to_array(trim(line), '[ \\t\\f\\r]+'), t -> len(t) > 0)) >= 3 " +
-        "AND NOT regexp_matches(lower(line), '\\bjavascript\\b') AS keep FROM lines), " +
-        "agg AS (SELECT doc_id, count(*) AS n_lines, " +
-        "sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept, " +
-        "sum(CASE WHEN keep THEN len(regexp_extract_all(line, '[.!?]')) ELSE 0 END) AS n_sentences, " +
-        "coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS clean_text " +
-        "FROM j GROUP BY doc_id), " +
-        "fl AS (SELECT doc_id, contains(lower(text_lined), 'lorem ipsum') AS has_lorem, " +
-        "contains(text_lined, '{') AS has_brace FROM plined) " +
-        "SELECT agg.doc_id, CAST(n_lines AS BIGINT) AS n_lines, " +
-        "CAST(n_kept AS BIGINT) AS n_kept, CAST(n_sentences AS BIGINT) AS n_sentences, " +
-        "has_lorem, has_brace, " +
-        "(NOT has_lorem AND NOT has_brace AND n_sentences >= 3) AS kept_page, clean_text " +
-        "FROM agg JOIN fl ON agg.doc_id = fl.doc_id ORDER BY agg.doc_id"),
-
-    // Retrieval metrics: the oracle replays the cosine top-10, the label
-    // relevance join, the per-label corpus counts, and the ideal-DCG
-    // prefix (ascending cumsum over generate_series, the operator's
-    // ascending-loop spelling) with the same rounding.
-    "q_retrieval_eval" ->
-      ("WITH rk AS (SELECT query_id, qlab, match_id, rnk FROM (" +
-        "SELECT q.vec_id AS query_id, q.label AS qlab, c.vec_id AS match_id, " +
-        "row_number() OVER (PARTITION BY q.vec_id " +
-        "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
-        "FROM embeddings q, embeddings c WHERE q.vec_id % 25 = 0) WHERE rnk <= 10), " +
-        "hit AS (SELECT rk.query_id, rk.rnk, (e.label = rk.qlab) AS h " +
-        "FROM rk JOIN embeddings e ON rk.match_id = e.vec_id), " +
-        "lc AS (SELECT label, count(*) AS cnt FROM embeddings GROUP BY label), " +
-        "ic AS (SELECT i, sum(CAST(1.0 AS DOUBLE)/log2(i+1)) OVER (ORDER BY i) AS cum " +
-        "FROM generate_series(1, 10) t(i)), " +
-        "pq AS (SELECT query_id, CAST(sum(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at_k, " +
-        "coalesce(max(CASE WHEN h THEN CAST(1.0 AS DOUBLE)/rnk END), 0.0) AS mrr, " +
-        "coalesce(sum(CASE WHEN h THEN CAST(1.0 AS DOUBLE)/log2(rnk+1) END), 0.0) AS dcg " +
-        "FROM hit GROUP BY query_id), " +
-        "nr AS (SELECT q.vec_id AS query_id, lc.cnt FROM embeddings q " +
-        "JOIN lc ON q.label = lc.label WHERE q.vec_id % 25 = 0) " +
-        "SELECT pq.query_id, pq.n_rel_at_k, " +
-        "round(CAST(pq.n_rel_at_k AS DOUBLE) / 10, 4) AS prec_at_k, " +
-        "round(CASE WHEN coalesce(nr.cnt, 0) = 0 THEN 0.0 " +
-        "ELSE CAST(pq.n_rel_at_k AS DOUBLE) / nr.cnt END, 4) AS recall_at_k, " +
-        "round(pq.mrr, 4) AS mrr, " +
-        "round(CASE WHEN coalesce(nr.cnt, 0) = 0 THEN 0.0 ELSE pq.dcg / ic.cum END, 4) AS ndcg " +
-        "FROM pq LEFT JOIN nr ON pq.query_id = nr.query_id " +
-        "LEFT JOIN ic ON ic.i = least(10, nr.cnt) " +
-        "ORDER BY pq.query_id"),
-
-    // MMR: the oracle unrolls the greedy selection (candidates -> pure-
-    // relevance pick -> two marginal-score picks) with every cosine CAST
-    // to DOUBLE before arithmetic (the operator's expression widens its
-    // float32 result to double the same way) and lambda = 0.5 exact.
-    "q_mmr_rerank" ->
-      ("WITH mcand AS (SELECT query_id, match_id, rel FROM (" +
-        "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
-        "CAST(list_cosine_similarity(q.embedding, c.embedding) AS DOUBLE) AS rel, " +
-        "row_number() OVER (PARTITION BY q.vec_id " +
-        "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
-        "FROM embeddings q, embeddings c WHERE q.vec_id % 50 = 0) WHERE rnk <= 10), " +
-        "cv AS (SELECT mcand.query_id, mcand.match_id, mcand.rel, e.embedding AS v " +
-        "FROM mcand JOIN embeddings e ON mcand.match_id = e.vec_id), " +
-        "s1 AS (SELECT query_id, match_id, v FROM (SELECT query_id, match_id, v, " +
-        "row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, match_id) AS r FROM cv) WHERE r = 1), " +
-        "m2 AS (SELECT c.query_id, c.match_id, c.v, " +
-        "0.5 * c.rel - 0.5 * CAST(list_cosine_similarity(c.v, s1.v) AS DOUBLE) AS mmr " +
-        "FROM cv c JOIN s1 ON c.query_id = s1.query_id AND c.match_id <> s1.match_id), " +
-        "s2 AS (SELECT query_id, match_id, v FROM (SELECT query_id, match_id, v, " +
-        "row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, match_id) AS r FROM m2) WHERE r = 1), " +
-        "m3 AS (SELECT c.query_id, c.match_id, " +
-        "0.5 * c.rel - 0.5 * greatest(" +
-        "CAST(list_cosine_similarity(c.v, s1.v) AS DOUBLE), " +
-        "CAST(list_cosine_similarity(c.v, s2.v) AS DOUBLE)) AS mmr " +
-        "FROM cv c JOIN s1 ON c.query_id = s1.query_id JOIN s2 ON c.query_id = s2.query_id " +
-        "WHERE c.match_id <> s1.match_id AND c.match_id <> s2.match_id), " +
-        "s3 AS (SELECT query_id, match_id FROM (SELECT query_id, match_id, " +
-        "row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, match_id) AS r FROM m3) WHERE r = 1) " +
-        "SELECT query_id, CAST(sr AS INTEGER) AS sel_rank, match_id FROM (" +
-        "SELECT query_id, 1 AS sr, match_id FROM s1 " +
-        "UNION ALL SELECT query_id, 2 AS sr, match_id FROM s2 " +
-        "UNION ALL SELECT query_id, 3 AS sr, match_id FROM s3) " +
-        "ORDER BY query_id, sel_rank"),
-
-    // classifier contract: per-doc probability-range boolean plus the
-    // corpus-level AUC gate, both pinned TRUE (the recall-contract
-    // pattern — a drifting model flips a boolean and fails hash)
-    "q_quality_classifier_contract" ->
-      ("SELECT doc_id, TRUE AS score_in_unit, TRUE AS auc_ok " +
-        "FROM documents ORDER BY doc_id"),
-
-    "q_ivfpq_index_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_ivfsq_index_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_ivfsq_delete" ->
-      ("SELECT p.phase, vec_id AS query_id, TRUE AS recall_ok, " +
-        "TRUE AS no_deleted FROM embeddings, " +
-        "(VALUES ('served'), ('compacted')) AS p(phase) " +
-        "WHERE vec_id % 20 = 0 ORDER BY phase, query_id"),
-
-    "q_ivfpq_delete" ->
-      ("SELECT p.phase, vec_id AS query_id, TRUE AS recall_ok, " +
-        "TRUE AS no_deleted FROM embeddings, " +
-        "(VALUES ('served'), ('compacted')) AS p(phase) " +
-        "WHERE vec_id % 20 = 0 ORDER BY phase, query_id"),
-
-    "q_ivfpq_filtered_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_ivfsq_filtered_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_ivf_index_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_ivfsq_radius_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    "q_ivfpq_radius_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    // full probe: exact top-3 ids/ranks; cells_probed is the declared
-    // budget (16 = nList), candidates_scanned the store's live rows
-    "q_ann_explain" ->
-      ("SELECT query_id, match_id, CAST(rnk AS INTEGER) AS rank, " +
-        "CAST(16 AS INTEGER) AS cells_probed, " +
-        "(SELECT count(*) FROM embeddings) AS candidates_scanned FROM (" +
-        "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
-        "row_number() OVER (PARTITION BY q.vec_id " +
-        "ORDER BY list_dot_product(q.embedding, c.embedding) DESC, c.vec_id) AS rnk " +
-        "FROM embeddings q, embeddings c WHERE q.vec_id % 20 = 0) " +
-        "WHERE rnk <= 3 ORDER BY query_id, rank"),
-
-    "q_ivf_radius_recall" ->
-      ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
-
-    // exact char-5-shingle Jaccard over the minhash normalization
-    // (lowercased alphanumeric tokens joined by one space) — the shared
-    // ground-truth CTE the sketch contracts key on
-    "q_minhash_contract" ->
-      (CharShingleCte +
-        "SELECT id1, id2, TRUE AS found_ok, TRUE AS precision_all_ok " +
-        "FROM j WHERE jac >= 0.8 ORDER BY id1, id2"),
-
-    "q_simhash_contract" ->
-      (CharShingleCte +
-        "SELECT id1, id2, TRUE AS manku_ok " +
-        "FROM j WHERE jac >= 0.9 ORDER BY id1, id2"),
-
-    "q_fingerprint_contract" ->
-      ("SELECT doc_id, CAST(count(*) OVER (PARTITION BY " +
-        "array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
-        "t -> len(t) > 0), ' ')) AS BIGINT) AS n_same_fp " +
-        "FROM documents ORDER BY doc_id"),
-
-    "q_dedup_pipeline_contract" ->
-      (CharShingleCte.dropRight(1) + ", " +
-        "paired AS (SELECT id1 AS doc_id FROM j WHERE jac >= 0.3 " +
-        "UNION SELECT id2 FROM j WHERE jac >= 0.3) " +
-        "SELECT doc_id, doc_id NOT IN (SELECT doc_id FROM paired) AS is_isolated, " +
-        "TRUE AS isolated_kept_ok, TRUE AS subset_in_exact_ok " +
-        "FROM documents ORDER BY doc_id"),
-
-    "q_incremental_dedup_contract" ->
-      (CharShingleCte.dropRight(1) + ", " +
-        "cand AS (SELECT id1 AS a, id2 AS b FROM j WHERE jac >= 0.8 " +
-        "UNION ALL SELECT id2, id1 FROM j WHERE jac >= 0.8) " +
-        "SELECT DISTINCT a AS doc_id, TRUE AS flagged_ok FROM cand " +
-        "WHERE a % 2 = 1 AND b % 2 = 0 ORDER BY doc_id"),
-
-    "q_dedup_keepbest_contract" ->
-      (CharShingleCte.dropRight(1) + ", " +
-        "corpus AS (SELECT doc_id, text FROM documents " +
-        "UNION ALL SELECT doc_id + 100000, concat('  ', upper(text), '   ') " +
-        "FROM documents WHERE doc_id % 10 = 0), " +
-        "qual AS (SELECT doc_id, text, round((" +
-        "least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) + " +
-        "CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(length(text) AS DOUBLE) / n_tok END) " +
-        "BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END + " +
-        "(1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
-        "CAST(length(text) - length(regexp_replace(text, '[!\"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')) AS DOUBLE) " +
-        "/ length(text) END) * 4.0, 1.0))" +
-        ") / 3.0, 4) AS __q FROM (" +
-        "SELECT doc_id, text, CAST(CASE WHEN len(trim(text)) = 0 THEN 0 " +
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS n_tok " +
-        "FROM corpus)), " +
-        "grp AS (SELECT doc_id, __q, " +
-        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nk FROM qual), " +
-        "keeper AS (SELECT doc_id, " +
-        "first_value(doc_id) OVER (PARTITION BY nk ORDER BY __q DESC, doc_id) AS exact_keeper_id, " +
-        "min(doc_id) OVER (PARTITION BY nk) AS anchor FROM grp), " +
-        "paired AS (SELECT id1 AS a FROM j WHERE jac >= 0.3 " +
-        "UNION SELECT id2 FROM j WHERE jac >= 0.3) " +
-        "SELECT doc_id, exact_keeper_id, " +
-        "anchor NOT IN (SELECT a FROM paired) AS is_isolated, " +
-        "TRUE AS survivor_is_keeper_ok, TRUE AS isolated_kept_ok " +
-        "FROM keeper ORDER BY doc_id"),
-
-    "q_embedding_lsh_contract" ->
-      ("SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS precision_ok, " +
-        "TRUE AS recall_ge_60_ok FROM (" +
-        "SELECT 1 AS x FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
-        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35)"),
-
-    "q_media_features_contract" ->
-      ("WITH chars AS (SELECT doc_id, ord(substring(text, i, 1)) AS o " +
-        "FROM documents, UNNEST(range(1, len(text) + 1)) AS r(i)), " +
-        "sums AS (SELECT doc_id, sum(o) AS s, count(*) AS n FROM chars GROUP BY doc_id) " +
-        "SELECT d.doc_id AS media_id, " +
-        "CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
-        "CAST(coalesce(n, 0) AS BIGINT) AS n_bytes, " +
-        "CAST(16 + coalesce(s, 0) % 64 AS BIGINT) AS w, " +
-        "CAST(CASE WHEN d.doc_id % 3 = 0 THEN 16 + (coalesce(s, 0) // 64) % 64 " +
-        "WHEN d.doc_id % 3 = 1 THEN 1 " +
-        "ELSE 16 + (coalesce(s, 0) // 64) % 32 END AS BIGINT) AS h, " +
-        "CAST(coalesce(s, 0) AS BIGINT) AS byte_sum " +
-        "FROM documents d LEFT JOIN sums USING (doc_id) ORDER BY media_id"),
-  )
-
-  /** DuckDB CTE chain computing exact character-5-shingle Jaccard pairs
-    * over the minhash normalization — ends with relation `j(id1, id2,
-    * jac)` and a trailing space. Shared by the sketch-accuracy oracles.
-    */
-  private val CharShingleCte: String =
-    "WITH norm AS (SELECT doc_id, array_to_string(list_filter(" +
-      "regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0), ' ') AS nm " +
-      "FROM documents), " +
-      "sh AS (SELECT DISTINCT doc_id, substring(nm, i, 5) AS s " +
-      "FROM norm, UNNEST(range(1, len(nm) - 3)) AS r(i) WHERE len(nm) >= 5), " +
-      "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
-      "common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c " +
-      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-      "j AS (SELECT id1, id2, CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE) AS jac " +
-      "FROM common JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2) "
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    EntryQueriesCore.queries ++ EntryQueriesIndex.queries ++
+      EntryQueriesFacade.queries
+
+  def oracleSql: Map[String, String] = EntryOracles.oracleSql
 }
