@@ -166,6 +166,11 @@ private[graft] object EntryOracles {
         ") AS t(name, posture, declared_index_type, serving_route, " +
         "num_candidates, collected_rows, lexical_index) ORDER BY name"),
 
+    "q_corpus_drop" ->
+      ("SELECT * FROM (VALUES " +
+        "('after_drop', FALSE, FALSE), ('after_search', TRUE, TRUE)" +
+        ") AS t(phase, listed, stores_present) ORDER BY phase"),
+
     "q_sql_filtered_mmr" ->
       ("SELECT doc_id AS qdoc, TRUE AS eq_ok, TRUE AS admitted_only_ok " +
         "FROM documents WHERE doc_id % 100 = 0 ORDER BY qdoc"),

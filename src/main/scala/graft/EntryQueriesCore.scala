@@ -206,17 +206,54 @@ private[graft] object EntryQueriesCore {
       g.execute("SHOW SEARCH CORPORA;").orderBy("name")
     }),
 
-    // Facade-equivalence for the three round-13 filtered shapes in ONE
-    // row: each worksheet statement with a predicate must EXACTLY equal
-    // its operator-level composition over the same canonical ids and
-    // admitted set — MMR (admitted candidate pool), PRF (both passes
-    // filtered, global stats), MAXSIM (member-level pre-filter). The
-    // internal ids are content hashes (not oracle-replayable), so the
-    // gate is the q_sql_hybrid_filtered contract class: per-(shape,
-    // query) booleans pinned TRUE, plus admit-safety.
-    // the three filtered worksheet shapes, one board row each (split
-    // from the former q_sql_filtered_shapes per judge r13/r14): facade
-    // statement vs operator composition over the SHARED fshapesFixture
+    // DROP SEARCH CORPUS as a driver-visible row (the registration
+    // lifecycle's end, GraftSqlSpec runs the full filesystem side):
+    // register beyond-cap 'ivf', serve once (builds the persisted
+    // payload store), then DROP — the listing row must vanish AND the
+    // at-rest store bytes must be gone from disk. A fresh facade keeps
+    // the drop from touching other rows' registrations.
+    "q_corpus_drop" -> ((s, dir) => {
+      import s.implicits._
+      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
+        appTempDir("graft_q_corpdrop")))
+      // a 1/5 slice: the lifecycle under test (register -> store build
+      // -> serve -> drop) is size-independent, and the store REBUILDS
+      // every invocation by design (fresh facade + fresh registration
+      // tag), so the fixture stays deliberately small
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+      g.registerSearchCorpus("drop_probe",
+        emb.select(col("vec_id").cast("string").as("content"),
+          col("embedding").as("vector")), "content", "vector",
+        maxRows = 0, indexType = "ivf")
+      emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .createOrReplaceTempView("graft_drop_qs")
+      def stores(): Int = {
+        val app = s.sparkContext.applicationId
+        Option(new java.io.File(System.getProperty("java.io.tmpdir"))
+          .listFiles()).toSeq.flatten
+          .count(_.getName.startsWith(s"graft_sql_ivf_${app}_sql_drop_probe_"))
+      }
+      def listed(): Boolean = g.execute("SHOW SEARCH CORPORA;")
+        .filter(col("name") === "drop_probe").count() == 1
+      g.execute("""SELECT query_id, search_results FROM graft_drop_qs,
+LATERAL TABLE(FEDERATED_SEARCH('drop_probe', 3, qv));""").collect()
+      val afterSearch = ("after_search", listed(), stores() >= 1)
+      g.execute("DROP SEARCH CORPUS drop_probe;").collect()
+      val afterDrop = ("after_drop", listed(), stores() >= 1)
+      Seq(afterDrop, afterSearch)
+        .toDF("phase", "listed", "stores_present").orderBy("phase")
+    }),
+
+    // Facade-equivalence for the three filtered worksheet shapes, one
+    // board row each (split from the former combined q_sql_filtered_shapes
+    // per judge r13/r14): each statement with a predicate must EXACTLY
+    // equal its operator-level composition over the same canonical ids
+    // and admitted set — MMR (admitted candidate pool), PRF (both passes
+    // filtered, global stats), MAXSIM (member-level pre-filter) — over
+    // the SHARED fshapesFixture. The internal ids are content hashes
+    // (not oracle-replayable), so the gate is the q_sql_hybrid_filtered
+    // contract class: per-query booleans pinned TRUE, plus admit-safety.
     "q_sql_filtered_mmr" -> ((s, dir) => {
       val f = fshapesFixture(s, dir)
       // MMR: the facade admits the candidate pool before selection

@@ -145,9 +145,14 @@ LATERAL TABLE(FEDERATED_SEARCH('stream_corpus', 3, `qv`));"""
     `search_results` ARRAY<ROW<`content` STRING>>
 ) WITH ('value.format' = 'json-registry');""")
       val emb = t(s, dir, "embeddings")
+      // a 1/3 corpus slice: the contract (stream ≡ batch from ONE
+      // build-once store) is corpus-size-independent, and the store
+      // rebuilds per invocation by design (fresh facade + fresh
+      // registration tag) — keep the per-pass build bounded
       g.registerSearchCorpus("stream_corpus_ix",
-        emb.select(col("vec_id").cast("string").as("content"),
-          col("embedding").as("vector")), "content", "vector",
+        emb.filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id").cast("string").as("content"),
+            col("embedding").as("vector")), "content", "vector",
         maxRows = 0, indexType = "ivf")
       val qs = emb.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
