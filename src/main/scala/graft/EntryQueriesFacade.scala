@@ -176,13 +176,22 @@ LATERAL TABLE(FEDERATED_SEARCH('stream_corpus_ix', 3, `qv`));"""
           posexplode(col("search_results")).as(Seq("pos", "m")))
         .select(col("query_id"), (col("pos") + 1).as("rank"),
           col("m.content").as("b_content"))
-      streamed.join(batch, Seq("query_id", "rank"), "full_outer")
+      val contract = streamed
+        .join(batch, Seq("query_id", "rank"), "full_outer")
         .groupBy("query_id")
         .agg((count(lit(1)) === 3).as("k_ok"),
           min(coalesce(col("s_content") === col("b_content"), lit(false)))
             .as("eq_ok"))
         .select(col("query_id"), (col("k_ok") && col("eq_ok")).as("eq_ok"))
-        .orderBy("query_id")
+      // materialize the tiny per-query contract NOW so the registration
+      // can be DROPPED before returning — the batch leg serves the
+      // persisted store lazily, and without the drop every invocation
+      // orphans a fresh build-once store under tmpdir (the leak class
+      // DROP SEARCH CORPUS exists to close)
+      import s.implicits._
+      val verdicts = contract.as[(Long, Boolean)].collect().toSeq
+      g.execute("DROP SEARCH CORPUS stream_corpus_ix;").collect()
+      verdicts.toDF("query_id", "eq_ok").orderBy("query_id")
     }),
 
     // --- keyed (cleanup.policy=compact) topic compaction ------------------

@@ -117,15 +117,21 @@ class GraftSql(
     requireNumCandidates(numCandidates)
     require(GraftSql.IndexTypes.contains(indexType),
       s"index type '$indexType' not in ${GraftSql.IndexTypes.mkString("/")}")
+    // the collect probe VALIDATES the new registration (bad column
+    // names/types throw here) — it must run before any retirement, or a
+    // failed re-registration would leave the still-live old registration
+    // storeless (next statement silently pays a full rebuild)
+    val rows = df.select(contentCol, vecCol).limit(maxRows + 1).collect()
     // RE-registration retires the previous identity's build-once at-rest
     // stores before the new tags are minted — without this, a long-lived
     // session cycling registrations under one name accumulates dead
     // index bytes under tmpdir forever (each tag is registration-unique,
     // so no future statement can ever serve the old store). Best-effort
     // on claims: a store a stream still owns is skipped with a loud
-    // warning rather than failing a registration that used to succeed.
+    // warning rather than failing a registration that used to succeed
+    // (its path stays on the name's pending-retire list, so a later
+    // DROP SEARCH CORPUS reclaims it once the claim clears).
     if (corpora.contains(name)) retireCorpusStores(name, failOnClaim = false)
-    val rows = df.select(contentCol, vecCol).limit(maxRows + 1).collect()
     lexDeclared(name) = lexicalIndex
     if (lexicalIndex)
       lexTags(name) = s"${name}_g${GraftSql.corpusGen.incrementAndGet()}"
@@ -170,12 +176,23 @@ class GraftSql(
       s"(${retired.size} at-rest store(s) retired)")
   }
 
+  /** Store paths a retirement pass could NOT delete (writer-claimed at
+    * the time), kept per corpus name so the next retirement of the same
+    * name re-attempts them — without this, a claimed store skipped by
+    * re-registration GC would fall out of the registry (the new tags
+    * replace the old) and become unreclaimable by any later DROP.
+    */
+  private val pendingRetire =
+    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+
   /** Delete the at-rest stores minted for `name`'s CURRENT registration
-    * identity (the family tag and, if declared, the lexical tag). Two
-    * callers: DROP (failOnClaim = true — refuse the whole drop, delete
-    * nothing, if ANY store is writer-claimed) and re-registration GC
-    * (failOnClaim = false — claimed stores are skipped with a warning,
-    * the rest are reclaimed). Returns the deleted paths.
+    * identity (the family tag and, if declared, the lexical tag), plus
+    * any paths a previous retirement had to skip. Two callers: DROP
+    * (failOnClaim = true — refuse the whole drop, delete nothing, if
+    * ANY store is writer-claimed) and re-registration GC
+    * (failOnClaim = false — claimed stores are skipped with a warning
+    * and remembered on the pending-retire list, the rest are
+    * reclaimed). Returns the deleted paths.
     */
   private def retireCorpusStores(
       name: String, failOnClaim: Boolean): Seq[String] = {
@@ -185,27 +202,37 @@ class GraftSql(
     val candidates =
       famTags.flatMap(t => Seq("hnsw", "ivf", "ivfpq", "ivfsq").map(f =>
         s"$tmp/graft_sql_${f}_${app}_$t")) ++
-      lexTags.get(name).map(t => s"$tmp/graft_sql_lex_${app}_$t")
-    val existing = candidates.filter(p =>
+      lexTags.get(name).map(t => s"$tmp/graft_sql_lex_${app}_$t") ++
+      pendingRetire.getOrElse(name, Set.empty)
+    val existing = candidates.distinct.filter(p =>
       graft.operators.FsUtil.exists(spark, p))
     val (claimed, free) = existing.partition(p =>
       graft.operators.IndexMaintenance.currentClaim(spark, p).isDefined)
     if (claimed.nonEmpty && failOnClaim)
+      // writer claims are immutable for the store's LIFETIME — a
+      // terminated stream does not clear its sidecar — so the recovery
+      // is retiring the claim file itself, exactly the README's
+      // re-homing recipe
       throw new IllegalStateException(
         s"DROP SEARCH CORPUS $name: store(s) " +
           claimed.mkString("[", ", ", "]") +
-          " are owned by an active writer claim — stop the owning " +
-          "stream (or let its checkpointed query terminate) before " +
-          "dropping; nothing was deleted")
+          " are owned by a writer claim — stop the owning stream, then " +
+          "delete the store's _writer/namespace sidecar (claims persist " +
+          "past stream termination) and re-issue the DROP; nothing was " +
+          "deleted")
     if (claimed.nonEmpty)
       System.err.println(s"[graft] re-registering '$name': skipped " +
         s"writer-claimed store(s) ${claimed.mkString("[", ", ", "]")} — " +
-        "stop the owning stream and DROP SEARCH CORPUS to reclaim them")
+        "they stay on the pending-retire list; stop the owning stream, " +
+        "delete the _writer/namespace sidecar, and DROP SEARCH CORPUS " +
+        "to reclaim them")
     free.foreach { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(hp, true)
     }
+    if (claimed.nonEmpty) pendingRetire(name) = claimed.toSet
+    else pendingRetire.remove(name)
     free
   }
 
@@ -1399,7 +1426,7 @@ class GraftSql(
         // admit rates down to ~k/(16·k) ≈ 6% in expectation), cut it
         // against the admitted-id set, re-densify ranks. Recall
         // degrades with predicate selectivity under the declared
-        // numCandidates budget (contract: q_sql_filtered_pq); more
+        // numCandidates budget (contract: q_sql_filtered_overfetch); more
         // selective predicates belong on a payload-store family
         // (ivf/ivfpq/ivfsq) or a 'flat' registration's exact pre-filter.
         val depth = math.max(k, math.min(16 * k, big.numCandidates))
@@ -1631,17 +1658,19 @@ class GraftSql(
       .orNull
     // index-served vector leg: fuseDepth-deep ranking from the declared
     // family. The ladder depth is an INTERNAL fusion knob, not the
-    // user's k, so it clamps to the registration's numCandidates budget
-    // instead of failing the ladder's k-within-budget contract — a
-    // small-budget registration fuses a shorter vector list (RRF
-    // tolerates uneven leg depths; the lexical leg still fills to k)
-    // rather than rejecting a statement the exact leg used to serve.
+    // user's k, so its 10-deep RRF floor clamps to the registration's
+    // numCandidates budget instead of failing the ladder's
+    // k-within-budget contract — a small-budget registration fuses a
+    // shorter vector list (RRF tolerates uneven leg depths; the lexical
+    // leg still fills to k). The clamp floors at k, NOT below it: a
+    // USER k beyond the declared budget must keep the ladder's loud
+    // 'k exceeds numCandidates' error, never a silently shorter leg.
     val fuseDepth = math.max(k, 10)
     val vRank = ref match {
       case big: DfCorpus if big.indexType != "flat" =>
         rankedForFamily(qv.select(col("__qid"),
             col("__qvec").cast("array<float>").as("__qvec")),
-            big, math.min(fuseDepth, big.numCandidates), pred)
+            big, math.max(k, math.min(fuseDepth, big.numCandidates)), pred)
           .select(col("__qid"), col("__cid").as("match_id"),
             col("__rank").as("rank"))
       case _ => null
@@ -1912,11 +1941,12 @@ class GraftSql(
           .select(col("query_id").as("__qid"), col("match_group").as("__cid"),
             col("rank").as("__rank"))
       case (big: DfCorpus, p) if big.indexType != "flat" =>
-        // the member-pool budget clamps to the registration's declared
-        // numCandidates (same rationale as the hybrid/MMR legs: an
-        // internal pool knob must not trip the ladder's k require)
-        val budget = math.min(
-          math.max(k, math.min(big.numCandidates, 1000)), big.numCandidates)
+        // member-pool budget: min(numCandidates, 1000) floor-raised to
+        // k. When the USER's k exceeds the declared budget this exceeds
+        // numCandidates on purpose — the ladder's 'k exceeds
+        // numCandidates' require stays loud (an outer clamp to nc would
+        // silently under-serve the user's k)
+        val budget = math.max(k, math.min(big.numCandidates, 1000))
         val scored = rankedForFamily(qv, big, budget, p, metric = "cosine")
           .select(col("__qid"), col("__cid"))
           .join(members.select("__cid", "__gid", "__cvec"), Seq("__cid"))
@@ -1974,8 +2004,12 @@ class GraftSql(
         // to the registration's numCandidates budget (a short pool
         // degrades selection breadth, the knob the MMR contract already
         // tolerates) instead of failing the ladder's k-within-budget
-        // require with a message naming the wrong quantity
-        rankedForFamily(qv, big, math.min(candN, big.numCandidates),
+        // require with a message naming the wrong quantity. Floored at
+        // the user's selectK, so k beyond the declared budget keeps the
+        // ladder's loud 'k exceeds numCandidates' error instead of a
+        // silently under-filled selection.
+        rankedForFamily(qv, big,
+            math.max(k, math.min(candN, big.numCandidates)),
             pred, metric = "cosine")
           .select(col("__qid"), col("__cid").as("match_id"))
           .join(cAdmitted.select(col("__cid").as("match_id"), col("__cvec")),

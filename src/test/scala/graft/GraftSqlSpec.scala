@@ -2077,6 +2077,72 @@ LATERAL TABLE(HYBRID_SEARCH('clamp_ivf', 3, qv, qtext));""").collect()
 LATERAL TABLE(MMR_SEARCH('clamp_ivf', 3, qv, 9, 0.5));""").collect()
     assert(mmr.nonEmpty && mmr.forall(!_.isNullAt(1)),
       "clamped MMR must still serve every query")
+    // the clamp floors at the USER's k: k beyond the declared budget
+    // keeps the ladder's loud error instead of a silently shorter leg
+    val e = intercept[IllegalArgumentException] {
+      g.execute("""SELECT query_id, search_results FROM clamp_qs,
+LATERAL TABLE(HYBRID_SEARCH('clamp_ivf', 7, qv, qtext));""").collect()
+    }
+    assert(e.getMessage.contains("exceeds"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      g.execute("""SELECT query_id, search_results FROM clamp_qs,
+LATERAL TABLE(MMR_SEARCH('clamp_ivf', 7, qv, 9, 0.5));""").collect()
+    }
+    assert(e2.getMessage.contains("exceeds"), e2.getMessage)
+  }
+
+  test("a writer-claimed store skipped by re-registration GC stays on " +
+      "the pending-retire list and a later DROP reclaims it") {
+    val g = facade()
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings").filter(col("vec_id") % 5 === 0)
+    val corpus = emb.select(col("vec_id").cast("string").as("content"),
+      col("embedding").as("vector"))
+    def storeDirs(): Seq[java.io.File] = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val app = spark.sparkContext.applicationId
+      tmp.listFiles().toSeq.filter(_.getName
+        .startsWith(s"graft_sql_ivf_${app}_sql_pendrix_"))
+    }
+    storeDirs().foreach { f =>
+      val hp = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    g.registerSearchCorpus("pendrix", corpus, "content", "vector",
+      maxRows = 0, indexType = "ivf")
+    emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .createOrReplaceTempView("pendrix_qs")
+    g.execute("""SELECT query_id FROM pendrix_qs,
+LATERAL TABLE(FEDERATED_SEARCH('pendrix', 3, qv));""").collect()
+    val first = storeDirs()
+    assert(first.size == 1, s"expected one store, got $first")
+    // a stream claims the old store; re-registration must SKIP it (warn,
+    // not fail) and remember it for later reclamation
+    graft.operators.IndexMaintenance.claimWriter(spark,
+      first.head.getAbsolutePath, namespace = 7L, owner = "spec-stream")
+    g.registerSearchCorpus("pendrix", corpus, "content", "vector",
+      maxRows = 0, indexType = "ivf")
+    g.execute("""SELECT query_id FROM pendrix_qs,
+LATERAL TABLE(FEDERATED_SEARCH('pendrix', 3, qv));""").collect()
+    assert(storeDirs().size == 2,
+      "claimed old store must survive re-registration GC")
+    // DROP refuses while the claim stands (nothing deleted)...
+    val e = intercept[IllegalStateException] {
+      g.execute("DROP SEARCH CORPUS pendrix;")
+    }
+    assert(e.getMessage.contains("_writer/namespace"), e.getMessage)
+    assert(storeDirs().size == 2, "refused DROP must delete nothing")
+    // ...and once the claim sidecar is retired (the README re-homing
+    // recipe), the SAME drop reclaims BOTH the current store and the
+    // pending-retire one from the earlier skip
+    val sidecar = new org.apache.hadoop.fs.Path(
+      first.head.getAbsolutePath, "_writer")
+    sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sidecar, true)
+    g.execute("DROP SEARCH CORPUS pendrix;").collect()
+    assert(storeDirs().isEmpty,
+      "DROP must reclaim the pending-retire store too")
   }
 
   test("DROP SEARCH CORPUS retires the registration AND its build-once " +
