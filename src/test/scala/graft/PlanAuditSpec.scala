@@ -556,4 +556,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(storeScan.selectedPartitions.partitionCount == 2,
       s"probe pruning lost under tombstones: ${storeScan.selectedPartitions.partitionCount}")
   }
+
+  test("filtered in-flight pq: over-fetch post-filter shape — a semi-join " +
+      "cut, a bounded per-query window, and no nested-loop join") {
+    // the old exact-pre-filter fallback paid a |Q|-fold similarity scan
+    // + heaps over the admitted subset; the over-fetch route's admitted
+    // side is ONE hash-id derivation pass cut into the family's pool by
+    // a left-semi join, with ranks re-densified by a window over pool
+    // rows only — never a cartesian/nested-loop shape
+    import org.apache.spark.sql.functions._
+    val g = new graft.sql.GraftSql(spark, new graft.sources.TopicCatalog(
+      spark, java.nio.file.Files.createTempDirectory("graft_pa_pq").toString))
+    val emb = Tables(spark, sf, "embeddings")
+    g.registerSearchCorpus("pa_pq_inflight",
+      emb.select(col("vec_id").cast("string").as("content"),
+        col("embedding").as("vector"), col("label")),
+      "content", "vector", maxRows = 0, indexType = "pq")
+    emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .createOrReplaceTempView("pa_pq_qs")
+    val df = g.execute("""SELECT query_id, search_results FROM pa_pq_qs,
+LATERAL TABLE(FILTERED_SEARCH('pa_pq_inflight', 3, qv, 'label % 4 = 1'));""")
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("LeftSemi"),
+      s"over-fetch post-filter lost its semi-join cut:\n${p.take(2000)}")
+    assert(p.contains("Window"),
+      "rank re-densification window missing")
+    assert(!p.contains("CartesianProduct"),
+      "over-fetch route degenerated into a cartesian product")
+    // and the serve is bounded: at most k admitted hits per query
+    val sizes = df.select(size(coalesce(col("search_results"),
+        expr("array()")))).collect().map(_.getInt(0))
+    assert(sizes.nonEmpty && sizes.forall(_ <= 3), sizes.toSeq.toString)
+  }
 }
