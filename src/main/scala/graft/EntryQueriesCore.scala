@@ -298,8 +298,10 @@ LATERAL TABLE(FEDERATED_SEARCH('drop_probe', 3, qv));""").collect()
       val qTerms = f.qv.select(
         xxhash64(col("__qtext")).as("query_id"),
         explode(graft.operators.Lexical.toks(col("__qtext"))).as("term"))
+      val (post, stats) = canonPostStats(s, dir, f.slim)
       val prfOp = graft.operators.Lexical.bm25PrfTopK(qTerms, "query_id",
           "term", f.slim, "__cid", "__content", 3, fbDocs = 5, fbTerms = 3,
+          post = post, stats = stats,
           allowed = f.admSet, allowedId = "__cid")
         .join(f.slim.select(col("__cid").as("match_id"), col("__content")),
           "match_id")

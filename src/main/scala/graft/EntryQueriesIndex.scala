@@ -240,8 +240,10 @@ private[graft] object EntryQueriesIndex {
         .select("__cid")
       val qv = qs.select(xxhash64(col("qv"), col("question")).as("__qid"),
         col("qv").as("__qvec"), col("question").as("__qtext"), col("qdoc"))
+      val (hfPost, hfStats) = canonPostStats(s, dir, slim)
       val op = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
           "__qtext", slim, "__cid", "__cvec", "__content", 5,
+          post = hfPost, stats = hfStats,
           allowed = allowed, allowedId = "__cid")
         .join(slim.select(col("__cid").as("match_id"), col("__content")),
           "match_id")
@@ -307,8 +309,10 @@ private[graft] object EntryQueriesIndex {
       val qv = qs.select(xxhash64(col("qv"), col("question")).as("__qid"),
         col("qv").as("__qvec"), col("question").as("__qtext"),
         col("query_id"))
+      val (hxPost, hxStats) = canonPostStats(s, dir, slim)
       val exact = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
-          "__qtext", slim, "__cid", "__cvec", "__content", 5)
+          "__qtext", slim, "__cid", "__cvec", "__content", 5,
+          post = hxPost, stats = hxStats)
         .select(col("query_id").as("__fq"), col("match_id"))
         .join(slim.select(col("__cid").as("match_id"), col("__content")),
           Seq("match_id"))
@@ -356,8 +360,10 @@ private[graft] object EntryQueriesIndex {
         .dropDuplicates("__cid")
       val qv = qs.select(xxhash64(col("qv"), col("question")).as("__qid"),
         col("qv").as("__qvec"), col("question").as("__qtext"), col("qdoc"))
+      val (lxPost, lxStats) = canonPostStats(s, dir, slim)
       val op = graft.operators.Lexical.hybridTopK(qv, "__qid", "__qvec",
-          "__qtext", slim, "__cid", "__cvec", "__content", 5)
+          "__qtext", slim, "__cid", "__cvec", "__content", 5,
+          post = lxPost, stats = lxStats)
         .join(slim.select(col("__cid").as("match_id"), col("__content")),
           "match_id")
         .join(qv.select(col("__qid").as("query_id"), col("qdoc")), "query_id")
@@ -405,8 +411,10 @@ private[graft] object EntryQueriesIndex {
         .dropDuplicates("__cid")
       val qTerms = qs.select(xxhash64(col("question")).as("query_id"),
         explode(graft.operators.Lexical.toks(col("question"))).as("term"))
+      val (pxPost, pxStats) = canonPostStats(s, dir, slim)
       val op = graft.operators.Lexical.bm25PrfTopK(qTerms, "query_id",
-          "term", slim, "__cid", "__content", 5, fbDocs = 5, fbTerms = 3)
+          "term", slim, "__cid", "__content", 5, fbDocs = 5, fbTerms = 3,
+          post = pxPost, stats = pxStats)
         .join(slim.select(col("__cid").as("match_id"), col("__content")),
           "match_id")
         .join(qs.select(xxhash64(col("question")).as("query_id"),

@@ -495,6 +495,26 @@ private[graft] object EntryShared {
     memo(s, dir, "docs_bm25_stats")(
       graft.operators.Lexical.corpusStats(t(s, dir, "documents"), "text"))
 
+  /** Memoized BM25 postings/stats over a CANONICAL (__cid, __content)
+    * corpus frame — shared by the lexical facade-equivalence twins
+    * (q_sql_lex_indexed / q_sql_prf_indexed / q_sql_hybrid_indexed /
+    * q_sql_hybrid_filtered / q_sql_filtered_prf), which otherwise each
+    * re-tokenize the same 5k-document corpus per bench pass. Passing
+    * them through the operators' documented offline-artifact params
+    * (post/stats) is bit-identical to the inline derivation — the
+    * params exist precisely for index-once/serve-many — so the
+    * contracts compare the same values while the board pays ONE
+    * tokenize pass per app. Canonical ids are content-derived, so one
+    * artifact serves every twin over the same embedded-documents slim
+    * frame regardless of which extra payload columns its row registers.
+    */
+  def canonPostStats(s: SparkSession, dir: String,
+      slim: DataFrame): (DataFrame, DataFrame) =
+    (memo(s, dir, "canon_postings")(
+        graft.operators.Lexical.postings(slim, "__cid", "__content")),
+      memo(s, dir, "canon_bm25_stats")(
+        graft.operators.Lexical.corpusStats(slim, "__content")))
+
   /** Content tag for persisted-index paths, so a regenerated dataset at
     * the same path triggers a rebuild instead of silently probing a
     * stale index. `embeddings.parquet` may be a single file (the
