@@ -171,6 +171,20 @@ private[graft] object EntryOracles {
         "('after_drop', FALSE, FALSE), ('after_search', TRUE, TRUE)" +
         ") AS t(phase, listed, stores_present) ORDER BY phase"),
 
+    "q_statements" ->
+      ("SELECT * FROM (VALUES " +
+        "(CAST(1 AS BIGINT), 'CREATE TABLE', 'COMPLETED', " +
+        "'CREATE TABLE `stm_in` (`v` BIGINT) WITH (''value.format'' = ''json-registry'');'), " +
+        "(CAST(2 AS BIGINT), 'CREATE TABLE', 'COMPLETED', " +
+        "'CREATE TABLE `stm_out` (`v` BIGINT) WITH (''value.format'' = ''json-registry'');'), " +
+        "(CAST(3 AS BIGINT), 'SET', 'COMPLETED', " +
+        "'SET ''execution.mode'' = ''continuous'';'), " +
+        "(CAST(4 AS BIGINT), 'SET', 'COMPLETED', " +
+        "'SET ''execution.trigger'' = ''available-now'';'), " +
+        "(CAST(5 AS BIGINT), 'INSERT INTO', 'COMPLETED', " +
+        "'insert into `stm_out` select `v` from `stm_in`;')" +
+        ") AS t(statement_id, kind, phase, statement) ORDER BY statement_id"),
+
     "q_sql_filtered_mmr" ->
       ("SELECT doc_id AS qdoc, TRUE AS eq_ok, TRUE AS admitted_only_ok " +
         "FROM documents WHERE doc_id % 100 = 0 ORDER BY qdoc"),

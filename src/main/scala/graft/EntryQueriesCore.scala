@@ -245,6 +245,28 @@ LATERAL TABLE(FEDERATED_SEARCH('drop_probe', 3, qv));""").collect()
         .toDF("phase", "listed", "stores_present").orderBy("phase")
     }),
 
+    // SHOW STATEMENTS: the reference's visible statement lifecycle
+    // ("Submitting statement ... Statement phase is COMPLETED",
+    // README.md:544-547,666-669) as a queryable listing — submission
+    // order, leading-keyword kind, live phase (a drained available-now
+    // continuous INSERT reports COMPLETED), normalized statement text.
+    // Fresh facade per invocation so statement ids are deterministic.
+    "q_statements" -> ((s, dir) => {
+      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
+        appTempDir("graft_q_stmts")))
+      g.execute("CREATE TABLE `stm_in` (`v` BIGINT) " +
+        "WITH ('value.format' = 'json-registry');")
+      g.execute("CREATE TABLE `stm_out` (`v` BIGINT) " +
+        "WITH ('value.format' = 'json-registry');")
+      g.topics.insertInto("stm_in",
+        t(s, dir, "embeddings").select(col("vec_id").as("v")))
+      g.execute("SET 'execution.mode' = 'continuous';")
+      g.execute("SET 'execution.trigger' = 'available-now';")
+      g.execute("insert into `stm_out` select `v` from `stm_in`;")
+      g.activeStreams.foreach(_.awaitTermination())
+      g.execute("SHOW STATEMENTS;").orderBy("statement_id")
+    }),
+
     // Facade-equivalence for the three filtered worksheet shapes, one
     // board row each (split from the former combined q_sql_filtered_shapes
     // per judge r13/r14): each statement with a predicate must EXACTLY

@@ -262,11 +262,52 @@ class GraftSql(
   private def continuousMode: Boolean =
     sessionOpts.get("execution.mode").exists(_.equalsIgnoreCase("continuous"))
 
+  /** Submitted-statement log for `SHOW STATEMENTS` — the reference's
+    * visible statement lifecycle ("Submitting statement ... Statement
+    * phase is COMPLETED", README.md:544-547,666-669) as a queryable
+    * surface. Batch statements record COMPLETED at return (submission
+    * analyzes eagerly) or FAILED with the error's head; continuous
+    * statements keep their StreamingQuery and resolve the phase LIVE
+    * (RUNNING / COMPLETED / FAILED). BOUNDED at 256 entries (oldest
+    * evicted) so a run-forever session's log never grows without bound.
+    */
+  private val stmtLog = new java.util.concurrent.CopyOnWriteArrayList[
+    (Long, String, Either[String, StreamingQuery])]
+  private val stmtSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val lastStartedStream = new ThreadLocal[StreamingQuery]
+  private def logStmt(id: Long, sql: String,
+      phase: Either[String, StreamingQuery]): Unit = {
+    stmtLog.add((id, sql.replaceAll("\\s+", " ").trim, phase))
+    while (stmtLog.size() > 256) stmtLog.remove(0)
+  }
+
+  /** The statement listing: (statement_id, kind, phase, statement) in
+    * submission order — kind is the statement's leading keyword pair,
+    * the statement text is whitespace-normalized and truncated.
+    */
+  private def showStatements(): DataFrame = {
+    import spark.implicits._
+    scala.jdk.CollectionConverters.ListHasAsScala(stmtLog).asScala.toSeq
+      .map { case (id, sql, phase) =>
+        val kind = sql.split("\\s+").iterator
+          .takeWhile(_.matches("[A-Za-z]+")).take(2)
+          .mkString(" ").toUpperCase
+        val p = phase match {
+          case Left(s) => s
+          case Right(q) if q.isActive => "RUNNING"
+          case Right(q) if q.exception.isDefined => "FAILED"
+          case Right(_) => "COMPLETED"
+        }
+        (id, kind, p, sql.take(120))
+      }.toDF("statement_id", "kind", "phase", "statement")
+  }
+
   /** Execute one statement; DDL forms return a small status/metadata
     * DataFrame, everything else returns whatever `spark.sql` returns.
     * Under `SET 'execution.mode' = 'continuous'`, an INSERT INTO SELECT
     * starts (and registers in [[activeStreams]]) a streaming query
-    * instead of draining the topic batch-style.
+    * instead of draining the topic batch-style. Every submission lands
+    * in the [[showStatements]] log (`SHOW STATEMENTS` itself excluded).
     *
     * Routing matches the RAW statement: the DML rewrites never touch the
     * SET/INSERT prefixes these patterns key on, and rewriting here would
@@ -275,6 +316,25 @@ class GraftSql(
     * is the single place a statement is rewritten).
     */
   def execute(sql0: String): DataFrame = sql0 match {
+    case ShowStatementsRe() => showStatements()
+    case _ =>
+      val id = stmtSeq.incrementAndGet()
+      lastStartedStream.remove()
+      val df =
+        try executeRouted(sql0)
+        catch { case e: Throwable =>
+          logStmt(id, sql0, Left(s"FAILED: ${String.valueOf(e.getMessage).take(80)}"))
+          throw e
+        }
+      logStmt(id, sql0, Option(lastStartedStream.get()) match {
+        case Some(q) => Right(q)
+        case None => Left("COMPLETED")
+      })
+      lastStartedStream.remove()
+      df
+  }
+
+  private def executeRouted(sql0: String): DataFrame = sql0 match {
     case SetOptionRe(k, v) =>
       sessionOpts(k.toLowerCase) = v
       status(s"set ${k.toLowerCase} = $v")
@@ -309,6 +369,7 @@ class GraftSql(
       }
       val q = executeStreaming(sql0, ckpt, trigger = trig)
       started.add(q)
+      lastStartedStream.set(q) // SHOW STATEMENTS resolves this phase live
       status(s"started continuous INSERT INTO $table (stream id ${q.id})")
 
     case _ => executeBatch(sql0)
@@ -497,8 +558,12 @@ class GraftSql(
       // INSERT INTO topic [(cols)] SELECT ... — the reference's perpetual
       // pipeline statement (README.md:285-287, 432-445, ~723), batch form:
       // run the SELECT, map positional column names if a list is given,
-      // append through the catalog's schema-checked insert.
-      val df0 = execute(select)
+      // append through the catalog's schema-checked insert. executeBatch,
+      // not execute: the inner SELECT is a sub-plan of THIS statement,
+      // not a submission of its own (a bare SELECT routes to executeBatch
+      // either way, but the public entry would also log it in
+      // SHOW STATEMENTS).
+      val df0 = executeBatch(select)
       val df = Option(colList) match {
         case Some(cl) =>
           val names = cl.split(",").map(_.trim.replace("`", "")).filter(_.nonEmpty)
@@ -2099,6 +2164,8 @@ object GraftSql {
     """(?is)^\s*SHOW\s+SEARCH\s+CORPORA\s*;?\s*$""".r
   private val DropCorpusRe =
     """(?is)^\s*DROP\s+SEARCH\s+CORPUS\s+`?([\w.-]+)`?\s*;?\s*$""".r
+  private val ShowStatementsRe =
+    """(?is)^\s*SHOW\s+STATEMENTS\s*;?\s*$""".r
   private val DescribeTableRe =
     """(?is)^\s*DESC(?:RIBE)?\s+(?!MODEL\b)`?([\w.-]+)`?\s*;?\s*$""".r
   private val CreateTableRe =

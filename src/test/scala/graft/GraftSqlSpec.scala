@@ -2211,4 +2211,36 @@ LATERAL TABLE(FEDERATED_SEARCH('dropix', 3, qv));""").collect()
     g.execute("DROP SEARCH CORPUS dropix;")
     assert(storeDirs().isEmpty)
   }
+
+  test("SHOW STATEMENTS: the submitted-statement lifecycle is queryable " +
+      "(COMPLETED / FAILED / RUNNING phases, reference README.md:544-547)") {
+    val g = facade()
+    import spark.implicits._
+    g.execute("""CREATE TABLE `stml_in` (`v` BIGINT)
+WITH ('value.format' = 'json-registry');""")
+    g.execute("""CREATE TABLE `stml_out` (`v` BIGINT)
+WITH ('value.format' = 'json-registry');""")
+    g.topics.insertInto("stml_in", Seq(1L, 2L, 3L).toDF("v"))
+    // a failed submission records FAILED with the error's head
+    intercept[Exception] { g.execute("DROP SEARCH CORPUS nope_missing;") }
+    g.execute("SET 'execution.mode' = 'continuous';")
+    g.execute("insert into `stml_out` select `v` from `stml_in`;")
+    val q = g.activeStreams.last
+    val live = g.execute("SHOW STATEMENTS;")
+      .orderBy("statement_id").collect()
+    // SHOW STATEMENTS itself is not logged
+    assert(live.length == 5, live.mkString("\n"))
+    assert(live.map(_.getString(1)).toSeq ==
+      Seq("CREATE TABLE", "CREATE TABLE", "DROP SEARCH", "SET", "INSERT INTO"),
+      live.map(_.getString(1)).toSeq.toString)
+    assert(live(2).getString(2).startsWith("FAILED"), live(2).toString)
+    assert(live(4).getString(2) == "RUNNING",
+      "run-forever insert must report RUNNING while active")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val after = g.execute("SHOW STATEMENTS;")
+      .orderBy("statement_id").collect()
+    assert(after(4).getString(2) == "COMPLETED",
+      "stopped stream must report COMPLETED")
+    assert(g.topics.table("stml_out").count() == 3)
+  }
 }
