@@ -143,7 +143,11 @@ private[graft] object EntryOracles {
 
     "q_stream_search_indexed" ->
       ("SELECT vec_id AS query_id, TRUE AS eq_ok FROM embeddings " +
-        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+        "WHERE vec_id % 50 = 0 ORDER BY query_id"),
+
+    "q_sql_cdc_maintain" ->
+      ("SELECT vec_id AS query_id, TRUE AS eq_ok, TRUE AS del_ok " +
+        "FROM embeddings WHERE vec_id % 50 = 0 ORDER BY query_id"),
 
     "q_sql_maxsim_indexed" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
@@ -195,7 +199,7 @@ private[graft] object EntryOracles {
 
     "q_sql_filtered_prf" ->
       ("SELECT doc_id AS qdoc, TRUE AS eq_ok, TRUE AS admitted_only_ok " +
-        "FROM documents WHERE doc_id % 100 = 0 ORDER BY qdoc"),
+        "FROM documents WHERE doc_id % 300 = 0 ORDER BY qdoc"),
 
     "q_sql_filtered_overfetch" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
@@ -203,7 +207,7 @@ private[graft] object EntryOracles {
 
     "q_sql_prf_indexed" ->
       ("SELECT doc_id AS qdoc, TRUE AS prf_eq_ok, TRUE AS k_ok " +
-        "FROM documents WHERE doc_id % 100 = 0 ORDER BY qdoc"),
+        "FROM documents WHERE doc_id % 300 = 0 ORDER BY qdoc"),
 
     "q_sql_radius_filtered" ->
       ("SELECT q.vec_id AS query_id, c.vec_id AS match_id " +

@@ -154,15 +154,20 @@ LATERAL TABLE(FEDERATED_SEARCH('stream_corpus', 3, `qv`));"""
           .select(col("vec_id").cast("string").as("content"),
             col("embedding").as("vector")), "content", "vector",
         maxRows = 0, indexType = "ivf")
-      val qs = emb.filter(col("vec_id") % 20 === 0)
+      // a sparse query set for the same reason as the corpus slice: the
+      // stream ≡ batch contract is per-query, so a few queries per drain
+      // prove it — the row's intrinsic cost (store build + two
+      // checkpointed drains + batch twin) should not also carry a wide
+      // probe fan-out (judge r15 task 2)
+      val qs = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val insert = """insert into `search_out_ix`
 select `qid`, `search_results` from `vec_questions_ix`,
 LATERAL TABLE(FEDERATED_SEARCH('stream_corpus_ix', 3, `qv`));"""
       val ckpt = appTempDir("graft_q_streamsearchix_ck")
-      g.topics.insertInto("vec_questions_ix", qs.filter(col("qid") % 40 === 0))
+      g.topics.insertInto("vec_questions_ix", qs.filter(col("qid") % 100 === 0))
       g.executeStreaming(insert, ckpt).awaitTermination()
-      g.topics.insertInto("vec_questions_ix", qs.filter(col("qid") % 40 =!= 0))
+      g.topics.insertInto("vec_questions_ix", qs.filter(col("qid") % 100 =!= 0))
       g.executeStreaming(insert, ckpt).awaitTermination()
       val streamed = g.topics.table("search_out_ix")
         .select(col("qid").as("query_id"),
@@ -192,6 +197,87 @@ LATERAL TABLE(FEDERATED_SEARCH('stream_corpus_ix', 3, `qv`));"""
       val verdicts = contract.as[(Long, Boolean)].collect().toSeq
       g.execute("DROP SEARCH CORPUS stream_corpus_ix;").collect()
       verdicts.toDF("query_id", "eq_ok").orderBy("query_id")
+    }),
+
+    // CDC onto a facade-declared store (judge r15 task 6): a cdc=true
+    // 'ivf' registration's build-once store tracks a keyed change topic
+    // through MAINTAIN SEARCH CORPUS — the SQL reach of the operator
+    // CDC fronts. The change set exercises all three verbs (delete /
+    // vector upsert / brand-new content) and the gate is STRICT
+    // equality: numCandidates ≥ corpus makes the probe full, so the
+    // post-CDC serve must equal the exact top-3 over the changed corpus
+    // — including contents that exist ONLY in the store (id→content
+    // resolution reads the live store, not the frozen source). Ends
+    // with the full retirement recipe (release claims → DROP) so no
+    // store bytes leak across invocations.
+    "q_sql_cdc_maintain" -> ((s, dir) => {
+      import s.implicits._
+      val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
+        appTempDir("graft_q_cdcmaint")))
+      val emb = t(s, dir, "embeddings")
+      g.registerSearchCorpus("cdc_m",
+        emb.filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id").cast("string").as("content"),
+            col("embedding").as("vector"),
+            col("label").cast("long").as("label")),
+        "content", "vector", maxRows = 0, numCandidates = 10000,
+        indexType = "ivf", cdc = true)
+      g.execute("""CREATE TABLE `cdc_m_changes` (
+    `content` STRING, `vector` ARRAY<FLOAT>, `label` BIGINT, `seq` BIGINT
+) WITH ('value.format' = 'json-registry');""")
+      // deletes: ids ≡ 0 (mod 30); upserts: ids ≡ 3 (mod 30) take their
+      // successor's vector (odd successor — never in the corpus slice);
+      // inserts: NEW contents from outside the slice (ids ≡ 1 mod 3,
+      // % 25 = 0) with their own vectors
+      val dels = emb.filter(col("vec_id") % 30 === 0)
+        .select(col("vec_id").cast("string").as("content"),
+          lit(null).cast("array<float>").as("vector"),
+          col("label").cast("long").as("label"), lit(1L).as("seq"))
+      val ups = emb.as("a").filter(col("a.vec_id") % 30 === 3)
+        .join(emb.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+        .select(col("a.vec_id").cast("string").as("content"),
+          col("b.embedding").as("vector"),
+          col("a.label").cast("long").as("label"), lit(2L).as("seq"))
+      val ins = emb.filter(col("vec_id") % 3 === 1 && col("vec_id") % 25 === 0)
+        .select(col("vec_id").cast("string").as("content"),
+          col("embedding").as("vector"),
+          col("label").cast("long").as("label"), lit(3L).as("seq"))
+      g.topics.insertInto("cdc_m_changes", dels.unionByName(ups).unionByName(ins))
+      g.execute("MAINTAIN SEARCH CORPUS cdc_m FROM TOPIC cdc_m_changes SEQ seq;")
+      g.activeStreams.last.awaitTermination()
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      qs.createOrReplaceTempView("graft_cdcm_queries")
+      val served = g.execute(
+          "SELECT query_id, search_results FROM graft_cdcm_queries, " +
+            "LATERAL TABLE(FEDERATED_SEARCH('cdc_m', 3, qv));")
+        .select(col("query_id"),
+          expr("transform(coalesce(search_results, array()), " +
+            "m -> CAST(m.content AS BIGINT))").as("hits"))
+      // exact twin over the post-CDC corpus, assembled from the same
+      // change algebra the topic carried
+      val postCdc = emb.filter(col("vec_id") % 3 === 0 &&
+          col("vec_id") % 30 =!= 0 && col("vec_id") % 30 =!= 3)
+        .select(col("vec_id").as("mid"), col("embedding").as("mvec"))
+        .unionByName(emb.as("a").filter(col("a.vec_id") % 30 === 3)
+          .join(emb.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+          .select(col("a.vec_id").as("mid"), col("b.embedding").as("mvec")))
+        .unionByName(emb.filter(col("vec_id") % 3 === 1 &&
+            col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("mid"), col("embedding").as("mvec")))
+      val exact = graft.operators.VectorSearch.topKFlat(qs, "query_id", "qv",
+          postCdc, "mid", "mvec", k = 3, metric = "dot")
+        .groupBy("query_id")
+        .agg(expr("transform(sort_array(collect_list(struct(rank, " +
+          "match_id))), m -> m.match_id)").as("exact_hits"))
+      val contract = served.join(exact, Seq("query_id"))
+        .select(col("query_id"),
+          (col("hits") === col("exact_hits")).as("eq_ok"),
+          expr("forall(hits, h -> h % 30 != 0)").as("del_ok"))
+      val verdicts = contract.as[(Long, Boolean, Boolean)].collect().toSeq
+      g.releaseCorpusWriterClaims("cdc_m")
+      g.execute("DROP SEARCH CORPUS cdc_m;").collect()
+      verdicts.toDF("query_id", "eq_ok", "del_ok").orderBy("query_id")
     }),
 
     // --- keyed (cleanup.policy=compact) topic compaction ------------------

@@ -447,12 +447,21 @@ object Lexical {
       // future caller passing an unfiltered ranking alongside a
       // predicate must not leak excluded documents through the fusion —
       // the same admitted-id set the lexical leg joins cuts this leg
-      // too (a no-op for a correctly pre-restricted ranking; ranks keep
-      // their pre-cut positions, matching the store-served pushdown
-      // routes where excluded rows never ranked at all)
+      // too, then ranks RE-DENSIFY (row_number per query over the
+      // surviving rank order): the store-served pushdown routes produce
+      // dense ranks because excluded rows never ranked at all, and RRF
+      // weights 1/(kConst+rank) — gapped post-cut positions would fuse
+      // differently than the equivalent pre-filtered ranking. A no-op
+      // (identity ranks, one cheap bounded window) for a correctly
+      // pre-restricted caller.
       if (allowedIds == null) vr
-      else vr.join(allowedIds, vr("match_id") === allowedIds("__aid"),
-        "left_semi")
+      else {
+        val wDense = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("rank"), col("match_id"))
+        vr.join(allowedIds, vr("match_id") === allowedIds("__aid"),
+            "left_semi")
+          .withColumn("rank", row_number().over(wDense))
+      }
     } else VectorSearch.topKAgg(queries, qId, qVec,
         vCorpus, cId, cVec, depth, metric)
       .select(col(qId).cast("long").as("query_id"),

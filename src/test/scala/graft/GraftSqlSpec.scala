@@ -2053,6 +2053,120 @@ LATERAL TABLE(FILTERED_SEARCH('fpq_inflight', 3, qv, 'label % 4 = 1'));""")
     assert(got.values.count(_.nonEmpty) > 0, "over-fetch produced no hits")
   }
 
+  test("a filtered in-flight serve that UNDER-FILLS top-k warns loudly " +
+      "with the payload-store guidance instead of degrading silently") {
+    // a predicate admitting ONE row of the corpus sits far below the
+    // ~6% admit-rate floor the 16×k over-fetch covers: the serve comes
+    // back with < k rows and no error by construction — the round-15
+    // clamp precedent (degrade loudly) demands the guidance surfaces.
+    // The observe metrics ride the statement's own action; the warning
+    // arrives on the listener-bus thread, so the assert polls.
+    val g = facade()
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").cast("string").as("content"),
+      col("embedding").as("vector"), col("label"))
+    g.registerSearchCorpus("fpq_underfill", corpus, "content", "vector",
+      maxRows = 0, indexType = "pq")
+    emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .createOrReplaceTempView("fpq_uf_qs")
+    graft.sql.GraftSql.lastUnderfillWarning = None
+    val rows = g.execute("""SELECT query_id, search_results FROM fpq_uf_qs,
+LATERAL TABLE(FILTERED_SEARCH('fpq_underfill', 3, qv, 'CAST(content AS BIGINT) = 7'));""")
+      .collect()
+    // the query's own vector is admitted and is its dot argmax, so the
+    // serve returns exactly one under-filled row (1 < k=3)
+    assert(rows.nonEmpty, "under-fill probe returned nothing at all")
+    val deadline = System.currentTimeMillis() + 15000
+    while (graft.sql.GraftSql.lastUnderfillWarning.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val w = graft.sql.GraftSql.lastUnderfillWarning
+    assert(w.isDefined,
+      "no under-fill warning after a 1-row-admitting predicate on a pq " +
+        "registration")
+    assert(w.get.contains("payload-store") && w.get.contains("under-filled"),
+      w.get)
+  }
+
+  test("MAINTAIN SEARCH CORPUS: a cdc registration's store tracks a keyed " +
+      "change topic — deletes vanish, upserts re-vector, new contents serve") {
+    import org.apache.spark.sql.types._
+    val g = facade()
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.filter(col("vec_id") < 400)
+      .select(col("vec_id").cast("string").as("content"),
+        col("embedding").as("vector"), col("label"))
+    g.registerSearchCorpus("cdc_corpus", corpus, "content", "vector",
+      maxRows = 0, numCandidates = 10000, indexType = "ivf", cdc = true)
+    // queries: a handful of corpus vectors; numCandidates ≥ corpus ⇒
+    // full probe ⇒ the serve is EXACT over whatever the store holds
+    val qs = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 400)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    qs.createOrReplaceTempView("cdc_qs")
+    def serve(): Map[Long, Seq[Long]] =
+      g.execute("""SELECT query_id, search_results FROM cdc_qs,
+LATERAL TABLE(FEDERATED_SEARCH('cdc_corpus', 3, qv));""")
+        .select(col("query_id"),
+          expr("transform(coalesce(search_results, array()), " +
+            "m -> CAST(m.content AS BIGINT))").as("hits"))
+        .as[(Long, Seq[Long])].collect().toMap
+    def exactOver(c: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      graft.operators.VectorSearch.topKFlat(qs, "query_id", "qv",
+          c, "mid", "mvec", k = 3, metric = "dot")
+        .select(col("query_id"), col("rank"), col("match_id"))
+        .as[(Long, Int, Long)].collect().toSeq
+        .groupBy(_._1).map { case (q, xs) =>
+          q -> xs.sortBy(_._2).map(_._3) }
+    val initial = emb.filter(col("vec_id") < 400)
+      .select(col("vec_id").as("mid"), col("embedding").as("mvec"))
+    assert(serve() == exactOver(initial), "pre-CDC serve != exact")
+    // the change topic: delete query 0's top hit, swap content 3's
+    // vector to vec 450's (not in the corpus), add NEW content 9001
+    // with vec 460's vector
+    val victim = serve()(0L).head
+    g.execute("""CREATE TABLE `cdc_changes` (
+    `content` STRING, `vector` ARRAY<FLOAT>, `label` BIGINT, `seq` BIGINT
+) WITH ('value.format' = 'json-registry');""")
+    val v450 = emb.filter(col("vec_id") === 450)
+      .select("embedding").as[Seq[Float]].head
+    val v460 = emb.filter(col("vec_id") === 460)
+      .select("embedding").as[Seq[Float]].head
+    g.topics.insertInto("cdc_changes", Seq(
+      (victim.toString, null.asInstanceOf[Seq[Float]], 0L, 1L),
+      ("3", v450, 7L, 2L),
+      ("9001", v460, 9L, 3L)
+    ).toDF("content", "vector", "label", "seq"))
+    g.execute("MAINTAIN SEARCH CORPUS cdc_corpus FROM TOPIC cdc_changes SEQ seq;")
+    g.activeStreams.last.awaitTermination()
+    // post-CDC ground truth, assembled from the same change set
+    val postCdc = initial.filter(col("mid") =!= victim && col("mid") =!= 3)
+      .unionByName(Seq((3L, v450), (9001L, v460)).toDF("mid", "mvec"))
+    val after = serve()
+    assert(after == exactOver(postCdc),
+      s"post-CDC serve diverged from exact over the changed corpus")
+    assert(!after.values.flatten.toSet.contains(victim),
+      s"deleted content $victim still serves")
+    // DROP refuses while the drained stream's claim stands (claims
+    // outlive termination), then the facade release + DROP reclaims
+    val e = intercept[IllegalStateException] {
+      g.execute("DROP SEARCH CORPUS cdc_corpus;") }
+    assert(e.getMessage.contains("writer claim"), e.getMessage)
+    g.releaseCorpusWriterClaims("cdc_corpus")
+    g.execute("DROP SEARCH CORPUS cdc_corpus;").collect()
+    // ...and the text shapes refuse a maintained registration loudly
+    g.registerSearchCorpus("cdc_corpus2", corpus, "content", "vector",
+      maxRows = 0, indexType = "ivf", cdc = true)
+    val e2 = intercept[IllegalArgumentException] {
+      g.execute("""SELECT query_id, search_results FROM cdc_qs,
+LATERAL TABLE(PRF_SEARCH('cdc_corpus2', 3, CAST(query_id AS STRING)));""")
+        .collect()
+    }
+    assert(e2.getMessage.contains("CDC-maintained"), e2.getMessage)
+    g.releaseCorpusWriterClaims("cdc_corpus2")
+    g.execute("DROP SEARCH CORPUS cdc_corpus2;").collect()
+  }
+
   test("HYBRID/MMR internal ladder depths clamp to a small declared " +
       "numCandidates budget instead of failing the k-within-budget require") {
     val g = facade()

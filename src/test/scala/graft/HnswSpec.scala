@@ -504,4 +504,62 @@ class HnswSpec extends SparkSpec {
     assert(HnswSearch.searchIndex(spark, path, q300, "qid", "qv", k = 1,
       efSearch = 100).select("match_id").as[Long].collect().toSeq == Seq(50L))
   }
+
+  test("normalize-at-build closes the norm-skew radius caveat: a " +
+      "deliberately skewed corpus serves the full cosine ball") {
+    // cosine is scale-invariant, so scaling members by 0.01x/100x
+    // changes NOTHING about the true radius result — but the hnsw graph
+    // ranks its beam by its build metric (dot), where the 100x members
+    // crowd out small-norm ball members (the README norm-skew caveat).
+    // normalize=true stores unit-norm vectors: dot ≡ cosine and the
+    // caveat closes STRUCTURALLY. The beam here is exhaustive
+    // (numCandidates ≥ corpus), so the contract is the exact cosine
+    // ball with an epsilon band for the float rescale at the boundary.
+    val emb = Tables(spark, sf, "embeddings")
+    val scale = when(col("vec_id") % 2 === 0, lit(0.01d)).otherwise(lit(100.0d))
+    val skewed = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => (x.cast("double") * scale).cast("float")).as("embedding"))
+    val g = new graft.sql.GraftSql(spark, new graft.sources.TopicCatalog(
+      spark, java.nio.file.Files.createTempDirectory("graft_hnsw_norm").toString))
+    g.registerSearchCorpus("hnsw_normed",
+      skewed.select(col("vec_id").cast("string").as("content"),
+        col("embedding").as("vector")),
+      "content", "vector", maxRows = 0, numCandidates = 1000,
+      indexType = "hnsw", normalize = true)
+    val qs = queries
+    qs.createOrReplaceTempView("hnsw_norm_qs")
+    val served = g.execute("""SELECT query_id, search_results FROM hnsw_norm_qs,
+LATERAL TABLE(RADIUS_SEARCH('hnsw_normed', 0.3, qv));""")
+      .select(col("query_id"),
+        expr("transform(coalesce(search_results, array()), m -> CAST(m.content AS BIGINT))")
+          .as("hits"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val cos = qs.crossJoin(emb.select(col("vec_id").as("mid"),
+        col("embedding").as("cv")))
+      .withColumn("c", graft.functions.VectorFunctions.cosine_similarity(
+        col("qv"), col("cv")))
+      .select(col("query_id"), col("mid"), col("c"))
+      .as[(Long, Long, Double)].collect()
+    val mustHave = cos.filter(_._3 >= 0.3 + 1e-4)
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val allowedBall = cos.filter(_._3 >= 0.3 - 1e-4)
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    mustHave.foreach { case (q, ms) =>
+      val got = served.getOrElse(q, Seq.empty).toSet
+      val missed = ms -- got
+      assert(missed.isEmpty,
+        s"query $q: cosine-ball members ${missed.take(5)} starved out of " +
+          "the normalized graph serve")
+      // the starvation victims were specifically the SMALL-norm members
+      val smallMissed = missed.filter(_ % 2 == 0)
+      assert(smallMissed.isEmpty, s"small-norm members missed: $smallMissed")
+    }
+    served.foreach { case (q, got) =>
+      val ok = allowedBall.getOrElse(q, Set.empty)
+      val extra = got.filterNot(ok)
+      assert(extra.isEmpty, s"query $q served outside the ball: $extra")
+    }
+    g.execute("DROP SEARCH CORPUS hnsw_normed;").collect()
+  }
 }

@@ -544,5 +544,21 @@ class LexicalSpec extends SparkSpec {
     assert(hits.nonEmpty, "vacuous: fusion returned nothing")
     hits.foreach(m => assert(allowedIds(m),
       s"excluded doc $m leaked through the caller's unfiltered vRank leg"))
+    // ...and the cut leg's ranks RE-DENSIFY, so the fusion matches the
+    // caller having cut its own ranking first (gapped post-cut ranks
+    // would weight RRF differently than the store-served pushdown
+    // routes, where excluded rows never ranked at all)
+    val preCut = unfilteredVRank
+      .filter(col("match_id").isin(allowedIds.toSeq: _*))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("rank"), col("match_id"))))
+    val fusedPreCut = Lexical.hybridTopK(qs, "qid", "qv", "qtext",
+      docs, "doc_id", "vec", "text", k = 5,
+      allowed = allowed, allowedId = "doc_id", vRank = preCut)
+    assert(fused.orderBy("query_id", "rrf_rank").collect().toSeq ==
+      fusedPreCut.orderBy("query_id", "rrf_rank").collect().toSeq,
+      "fusing a violating caller's ranking diverged from the same " +
+        "ranking pre-cut by the caller")
   }
 }
