@@ -162,13 +162,14 @@ private[graft] object EntryOracles {
     "q_corpus_describe" ->
       ("SELECT * FROM (VALUES " +
         "('products_ext', 'unbound', 'hnsw', 'hnsw', 250, " +
-        "CAST(-1 AS BIGINT), TRUE), " +
+        "CAST(-1 AS BIGINT), TRUE, TRUE, FALSE), " +
         "('products_ivf', 'distributed', 'ivf', 'ivf', 500, " +
-        "CAST(-1 AS BIGINT), FALSE), " +
+        "CAST(-1 AS BIGINT), FALSE, FALSE, TRUE), " +
         "('products_mem', 'collected', 'flat', 'exact-broadcast', 10000, " +
-        "CAST(200 AS BIGINT), FALSE)" +
+        "CAST(200 AS BIGINT), FALSE, FALSE, FALSE)" +
         ") AS t(name, posture, declared_index_type, serving_route, " +
-        "num_candidates, collected_rows, lexical_index) ORDER BY name"),
+        "num_candidates, collected_rows, lexical_index, " +
+        "normalize_at_build, cdc_maintained) ORDER BY name"),
 
     "q_corpus_drop" ->
       ("SELECT * FROM (VALUES " +

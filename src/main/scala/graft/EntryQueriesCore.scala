@@ -194,15 +194,18 @@ private[graft] object EntryQueriesCore {
         col("embedding").as("vector"))
       g.registerSearchCorpus("products_mem", src.limit(200),
         "content", "vector")
+      // cdc=true: the content-keyed maintenance declaration shows in the
+      // listing (registration only — no store builds without a serve)
       g.registerSearchCorpus("products_ivf", src, "content", "vector",
-        maxRows = 0, numCandidates = 500, indexType = "ivf")
+        maxRows = 0, numCandidates = 500, indexType = "ivf", cdc = true)
       g.execute("""CREATE TABLE `products_ext` (
     `content` STRING,
     `vector`  ARRAY<FLOAT>
 ) WITH ('connector' = 'mongodb', 'mongodb.collection' = 'products_backing',
         'mongodb.path' = 'vector', 'mongodb.index.type' = 'hnsw',
         'mongodb.numCandidates' = '250',
-        'mongodb.lexical.index' = 'true');""")
+        'mongodb.lexical.index' = 'true',
+        'mongodb.index.normalize' = 'true');""")
       g.execute("SHOW SEARCH CORPORA;").orderBy("name")
     }),
 

@@ -33,12 +33,21 @@ import graft.sources.TopicCatalog
   * Statement routing is by leading keywords only — no shadow SQL parser;
   * each DDL form is matched with an anchored regex and everything else
   * is delegated, keeping this a thin adapter rather than a dialect fork.
+  *
+  * Split across three files at the facade's natural seams (the
+  * SparkEntry-split discipline): [[GraftSqlDialect]] holds statement
+  * routing, the DML rewrites, and batch/continuous execution;
+  * [[GraftSqlRegistry]] holds corpus registration, the build-once store
+  * lifecycle (build / CDC-maintain / retire), and the canonical serve
+  * frames; this file keeps the 9-family ranked dispatch and the search
+  * lateral views they both feed.
   */
 class GraftSql(
-    spark: SparkSession,
+    private[sql] val spark: SparkSession,
     val topics: TopicCatalog,
     val registry: ModelRegistry = new ModelRegistry,
-    val connections: graft.model.ConnectionCatalog = graft.model.Connections.default()) {
+    val connections: graft.model.ConnectionCatalog = graft.model.Connections.default())
+  extends GraftSqlRegistry with GraftSqlDialect {
 
   import GraftSql._
 
@@ -56,1499 +65,10 @@ class GraftSql(
   /** Output column name per model (from the DDL's OUTPUT clause) — what a
     * `LATERAL TABLE(ML_PREDICT(...))` join exposes to the SELECT list.
     */
-  private val outputNames =
+  private[sql] val outputNames =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Registered FEDERATED_SEARCH corpora. Small corpora are collected
-    * once (bounded) and scanned per row with a bounded heap — the shape
-    * of the reference's per-row lateral against its Atlas index
-    * (README.md:404-407). Beyond-cap corpora stay as DataFrames and the
-    * search routes through the distributed [[VectorSearch.topKAgg]]
-    * instead of refusing.
-    */
-  private val corpora =
-    scala.collection.concurrent.TrieMap.empty[String, CorpusRef]
-
-  /** The registered SOURCE frame per corpus (all its columns, not just
-    * content+vector) — what FILTERED_SEARCH's metadata predicate
-    * resolves against. Kept alongside [[corpora]] because the collected
-    * InMemCorpus form deliberately drops every non-search column.
-    */
-  private val corpusSources =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, String, String)]
-
-  /** Registrations that DECLARED an at-rest lexical index
-    * (`lexicalIndex = true` / `'<connector>.lexical.index' = 'true'`):
-    * their worksheet BM25/PRF/hybrid postings serve from a build-once
-    * persisted [[graft.operators.LexicalIndex]] instead of session-held
-    * checkpoint artifacts — see [[lexArtifactsFor]].
-    */
-  private val lexDeclared =
-    scala.collection.concurrent.TrieMap.empty[String, Boolean]
-
-  /** Registration-unique identity of a DECLARED lexical store, minted at
-    * registration time (re-registering rebuilds) — kept separately from
-    * [[DfCorpus.tag]] so the declaration is honored on COLLECTED
-    * registrations too, which have no DfCorpus identity.
-    */
-  private val lexTags =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
-  /** Declared registration knobs per corpus, for `SHOW SEARCH CORPORA`
-    * (the reference's describe-everything surface, extended to the
-    * search registry): the resolved [[corpora]] entry deliberately
-    * drops what the route doesn't need, so the DECLARED shape is kept
-    * here.
-    */
-  private val corpusMeta =
-    scala.collection.concurrent.TrieMap.empty[String, (String, Int)]
-
-  /** Register the backing corpus for `FEDERATED_SEARCH('<name>', k, v)`
-    * statements — the in-engine stand-in for the reference's external
-    * Atlas collection. Default `maxRows` matches
-    * [[VectorSearch.topKBroadcast]]'s driver-collect posture scaled to
-    * the ≤16g clamped driver heap: 100k (content, 64-float) rows is a
-    * few tens of MB; 2M rows of Row overhead was an OOM hazard.
-    */
-  def registerSearchCorpus(
-      name: String, df0: DataFrame, contentCol: String, vecCol: String,
-      maxRows: Int = 100000, numCandidates: Int = 10000,
-      indexType: String = "flat", lexicalIndex: Boolean = false,
-      normalize: Boolean = false, cdc: Boolean = false): Unit = {
-    requireNumCandidates(numCandidates)
-    require(GraftSql.IndexTypes.contains(indexType),
-      s"index type '$indexType' not in ${GraftSql.IndexTypes.mkString("/")}")
-    // cdc=true declares CONTENT-KEYED maintenance: the persisted store's
-    // ids hash the content alone (not content+vector), so a keyed change
-    // topic can upsert a content's vector / delete a content through the
-    // standard CDC sub-epoch protocol ([[maintainSearchCorpus]]) — the
-    // id IS the topic key. Serve-side id→content resolution then comes
-    // from the LIVE store (the source frame is just the initial load),
-    // and the registration is always store-backed (never collected).
-    // First cut is the 'ivf' payload family — the store carries every
-    // payload column, so CDC upserts replace metadata and all.
-    require(!cdc || indexType == "ivf",
-      s"cdc maintenance is supported on indexType='ivf' (got '$indexType') — " +
-        "the payload store family whose CDC front replaces vectors AND " +
-        "metadata; register with indexType='ivf' or drop cdc")
-    require(!cdc || !lexicalIndex,
-      "cdc=true with lexicalIndex=true is not supported: the lexical " +
-        "store would serve the frozen initial load while vectors move")
-    // normalize-at-build (the Atlas cosine posture, reference
-    // README.md:380): unit-norm vectors make dot ≡ cosine EVERYWHERE in
-    // the registration — in particular the hnsw graph's dot-ranked beam
-    // can no longer starve small-norm members inside a cosine radius
-    // ball (the README norm-skew caveat, closed structurally here).
-    // Applied to the SOURCE frame, so every route — store builds, exact
-    // re-scores, canonical ids — sees one consistent corpus.
-    val df = if (normalize) GraftSql.l2Normalize(df0, vecCol) else df0
-    // the collect probe VALIDATES the new registration (bad column
-    // names/types throw here) — it must run before any retirement, or a
-    // failed re-registration would leave the still-live old registration
-    // storeless (next statement silently pays a full rebuild)
-    val rows = df.select(contentCol, vecCol)
-      .limit(if (cdc) 1 else maxRows + 1).collect()
-    // RE-registration retires the previous identity's build-once at-rest
-    // stores before the new tags are minted — without this, a long-lived
-    // session cycling registrations under one name accumulates dead
-    // index bytes under tmpdir forever (each tag is registration-unique,
-    // so no future statement can ever serve the old store). Best-effort
-    // on claims: a store a stream still owns is skipped with a loud
-    // warning rather than failing a registration that used to succeed
-    // (its path stays on the name's pending-retire list, so a later
-    // DROP SEARCH CORPUS reclaims it once the claim clears).
-    if (corpora.contains(name)) retireCorpusStores(name, failOnClaim = false)
-    lexDeclared(name) = lexicalIndex
-    if (lexicalIndex)
-      lexTags(name) = s"${name}_g${GraftSql.corpusGen.incrementAndGet()}"
-    corpusMeta(name) = (indexType, numCandidates)
-    corpusSources(name) = (df, contentCol, vecCol)
-    corpora(name) =
-      if (!cdc && rows.length <= maxRows)
-        // sorted by content so heap index tie-break == content tie-break,
-        // independent of collect order. A collected corpus ignores the
-        // declared index family: the broadcast heap scan IS the fastest
-        // exact plan at this size, and ANN only trades accuracy for
-        // speed it can't gain here.
-        InMemCorpus(rows.map(r => (r.getString(0), r.getSeq[Float](1).toArray))
-          .sortBy(_._1))
-      else DfCorpus(df, contentCol, vecCol, indexType, numCandidates,
-        // registration-scoped identity: the per-registration counter
-        // alone guarantees uniqueness, so re-registering over
-        // regenerated data always retrains (the tag is deliberately NOT
-        // content-derived — see cachedCodebooks' persist=false contract)
-        tag = s"sql_${name}_g${GraftSql.corpusGen.incrementAndGet()}",
-        cdcKeyed = cdc, normalized = normalize)
-  }
-
-  /** `DROP SEARCH CORPUS name` — the registration lifecycle's missing
-    * end: removes the registry entry AND deletes the registration's
-    * build-once at-rest stores (the persisted ivf/ivfpq/ivfsq/hnsw
-    * payload stores and the declared lexical index), releasing the
-    * session's checkpoint artifacts for the name as well. Claim-checked:
-    * a store an index-maintenance stream still owns refuses the drop
-    * loudly (stop the stream first) — nothing is deleted on refusal.
-    */
-  def dropSearchCorpus(name: String): DataFrame = {
-    require(corpora.contains(name) || corpusSources.contains(name),
-      s"unknown search corpus '$name'")
-    val retired = retireCorpusStores(name, failOnClaim = true)
-    lexArtifacts.synchronized {
-      val stale = lexArtifacts.remove(name)
-      if (stale != null) unpersistLexArtifacts(stale)
-    }
-    corpora.remove(name); corpusSources.remove(name)
-    lexDeclared.remove(name); lexTags.remove(name); corpusMeta.remove(name)
-    maintStreams.remove(name)
-    maintCkpts.keys.filter(_.startsWith(s"$name|")).foreach(maintCkpts.remove)
-    status(s"dropped search corpus $name " +
-      s"(${retired.size} at-rest store(s) retired)")
-  }
-
-  /** Maintenance streams started per corpus name (the latest wins the
-    * slot — re-issuing MAINTAIN on a drained stream is the restart
-    * path, same checkpoint re-claims idempotently).
-    */
-  private val maintStreams =
-    scala.collection.concurrent.TrieMap.empty[String, StreamingQuery]
-  private val maintCkpts =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
-  /** Apply a keyed change stream to a CDC-declared registration's
-    * persisted store — the SQL-reachable form of the operator-level
-    * [[graft.streaming.Streams.ivfCdcStream]] front (judge r15 task 6:
-    * a `registerSearchCorpus` store was build-once with no way to track
-    * a change topic). The change records must carry the registration's
-    * content and vector columns plus every payload column the store
-    * carries (the append schema contract); a record whose vector is
-    * NULL deletes its content. Ids derive from the content alone (the
-    * cdc=true registration contract), so an upsert tombstones the
-    * content's old row and lands the new vector+payload in one
-    * sub-epoch pair. The stream claims the store (single-writer,
-    * enforced); it drains with AvailableNow semantics — re-issue to
-    * apply later topic appends, same checkpoint re-claims idempotently.
-    */
-  def maintainSearchCorpus(name: String, changes: DataFrame,
-      seqCol: Option[String] = None,
-      checkpointDir: Option[String] = None): StreamingQuery = {
-    import org.apache.spark.sql.functions._
-    val big = corpora.get(name) match {
-      case Some(b: DfCorpus) if b.cdcKeyed => b
-      case Some(_) => throw new IllegalArgumentException(
-        s"search corpus '$name' was not registered with cdc=true — " +
-          "CDC maintenance needs content-keyed store ids; re-register " +
-          "with cdc=true (or '<connector>.index.cdc'='true')")
-      case None => throw new IllegalArgumentException(
-        s"unknown search corpus '$name'")
-    }
-    // the store must exist before the first CDC batch (the CDC front
-    // appends/tombstones, it never bootstraps)
-    val path = ivfStoreFor(big.df, big.contentCol, big.vecCol, big)
-    // the checkpoint is PER (name, registration) and re-issues reuse it:
-    // the store's writer claim is bound to the first checkpoint's
-    // namespace, so a fresh checkpoint per MAINTAIN would refuse itself
-    // as a foreign writer on the second issue (re-claiming the same
-    // checkpoint is the blessed restart)
-    val ckpt = maintCkpts.getOrElseUpdate(s"$name|${big.tag}",
-      checkpointDir.orElse(
-        sessionOpts.get("execution.checkpoint-dir")).getOrElse(
-        java.nio.file.Files.createTempDirectory("graft_sql_maint_").toString))
-    // a normalized registration normalizes its upserts too (NULL
-    // vectors — deletes — pass through untouched)
-    val recs0 = if (big.normalized)
-      GraftSql.l2Normalize(changes, big.vecCol) else changes
-    val recs = recs0.withColumn("__cid", xxhash64(col(big.contentCol)))
-    val q = graft.streaming.Streams.ivfCdcStream(
-      recs, "__cid", big.vecCol, path, ckpt, seqCol)
-    started.add(q)
-    lastStartedStream.set(q)
-    maintStreams(name) = q
-    q
-  }
-
-  /** The README claim-recovery recipe as a facade call: once `name`'s
-    * maintenance stream has terminated, retire the writer-claim
-    * sidecars of its at-rest stores so DROP SEARCH CORPUS (or
-    * re-registration GC) can reclaim the bytes. Refuses while the
-    * stream is still active — claims exist precisely so a live writer's
-    * store cannot be deleted under it.
-    */
-  def releaseCorpusWriterClaims(name: String): DataFrame = {
-    maintStreams.get(name).foreach(q => require(!q.isActive,
-      s"search corpus '$name' still has an ACTIVE maintenance stream — " +
-        "stop it (or let its AvailableNow drain finish) before releasing " +
-        "its writer claims"))
-    val famTags = corpora.get(name).toSeq.collect { case b: DfCorpus => b.tag }
-    val released = famTags.flatMap(t =>
-      GraftSql.AtRestFamilies.map(f => storePath(f, t)))
-      .filter(p => graft.operators.IndexMaintenance
-        .currentClaim(spark, p).isDefined)
-    released.foreach { p =>
-      val hp = new org.apache.hadoop.fs.Path(s"$p/_writer")
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(hp, true)
-    }
-    maintStreams.remove(name)
-    status(s"released ${released.size} writer claim(s) on $name")
-  }
-
-  /** Store paths a retirement pass could NOT delete (writer-claimed at
-    * the time), kept per corpus name so the next retirement of the same
-    * name re-attempts them — without this, a claimed store skipped by
-    * re-registration GC would fall out of the registry (the new tags
-    * replace the old) and become unreclaimable by any later DROP.
-    */
-  private val pendingRetire =
-    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
-
-  /** Delete the at-rest stores minted for `name`'s CURRENT registration
-    * identity (the family tag and, if declared, the lexical tag), plus
-    * any paths a previous retirement had to skip. Two callers: DROP
-    * (failOnClaim = true — refuse the whole drop, delete nothing, if
-    * ANY store is writer-claimed) and re-registration GC
-    * (failOnClaim = false — claimed stores are skipped with a warning
-    * and remembered on the pending-retire list, the rest are
-    * reclaimed). Returns the deleted paths.
-    */
-  private def retireCorpusStores(
-      name: String, failOnClaim: Boolean): Seq[String] = {
-    val famTags = corpora.get(name).toSeq.collect { case b: DfCorpus => b.tag }
-    val candidates =
-      famTags.flatMap(t => GraftSql.AtRestFamilies.map(f => storePath(f, t))) ++
-      lexTags.get(name).map(t => storePath("lex", t)) ++
-      pendingRetire.getOrElse(name, Set.empty)
-    // claim-check + delete run under the SAME monitor every *StoreFor
-    // builder holds for its exists-check-then-build: without it, a
-    // retirement could delete a store mid-rebuild (leaving a _SUCCESS
-    // whose data files are gone — then served silently) or race a
-    // concurrent serve's path check. DataFrames obtained from a
-    // registration BEFORE it was re-registered/dropped may still fail
-    // lazily after retirement — that is the documented lifecycle (the
-    // old registration's identity is gone).
-    GraftSql.hnswBuildLock.synchronized {
-      val existing = candidates.distinct.filter(p =>
-        graft.operators.FsUtil.exists(spark, p))
-      val (claimed, free) = existing.partition(p =>
-        graft.operators.IndexMaintenance.currentClaim(spark, p).isDefined)
-      if (claimed.nonEmpty && failOnClaim)
-        // writer claims are immutable for the store's LIFETIME — a
-        // terminated stream does not clear its sidecar — so the recovery
-        // is retiring the claim file itself, exactly the README's
-        // re-homing recipe
-        throw new IllegalStateException(
-          s"DROP SEARCH CORPUS $name: store(s) " +
-            claimed.mkString("[", ", ", "]") +
-            " are owned by a writer claim — stop the owning stream, then " +
-            "delete the store's _writer/namespace sidecar (claims persist " +
-            "past stream termination) and re-issue the DROP; nothing was " +
-            "deleted")
-      if (claimed.nonEmpty)
-        System.err.println(s"[graft] re-registering '$name': skipped " +
-          s"writer-claimed store(s) ${claimed.mkString("[", ", ", "]")} — " +
-          "they stay on the pending-retire list; stop the owning stream, " +
-          "delete the _writer/namespace sidecar, and DROP SEARCH CORPUS " +
-          "to reclaim them")
-      free.foreach { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(hp, true)
-      }
-      if (claimed.nonEmpty) pendingRetire(name) = claimed.toSet
-      else pendingRetire.remove(name)
-      free
-    }
-  }
-
-  /** THE path-minting rule for every build-once at-rest store — the
-    * single source both the `*StoreFor` builders and
-    * [[retireCorpusStores]] derive paths from, so a new store-backed
-    * family cannot desync from retirement GC (the orphaned-store leak
-    * this shared helper exists to prevent). Families with at-rest
-    * stores are enumerated in [[GraftSql.AtRestFamilies]] (+ "lex").
-    */
-  private def storePath(family: String, tag: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_sql_${family}_" +
-      s"${spark.sparkContext.applicationId}_$tag"
-
-  /** Statement-scoped session options (`SET 'k' = 'v'`) — the Flink
-    * spelling the reference's worksheets assume. The one load-bearing
-    * key is `'execution.mode' = 'continuous'`: every subsequent
-    * `INSERT INTO ... SELECT` then runs as a Structured Streaming query
-    * (the reference's submit-and-run-forever semantic, README.md:435)
-    * with no Scala-level method choice. Supporting keys:
-    * `'execution.checkpoint-dir'` (default: a fresh tmpdir per
-    * statement) and `'execution.trigger'` (`'available-now'` drains and
-    * stops — spec/bench friendly; any Spark interval string such as
-    * `'1 second'` polls; unset = run forever at ProcessingTime(0)).
-    */
-  private val sessionOpts =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
-  /** Streaming queries started by statement-level continuous INSERTs, in
-    * start order — callers await/stop these (the facade never blocks on
-    * a run-forever statement).
-    */
-  private val started =
-    new java.util.concurrent.CopyOnWriteArrayList[StreamingQuery]
-  def activeStreams: Seq[StreamingQuery] =
-    scala.jdk.CollectionConverters.ListHasAsScala(started).asScala.toSeq
-
-  private def continuousMode: Boolean =
-    sessionOpts.get("execution.mode").exists(_.equalsIgnoreCase("continuous"))
-
-  /** Submitted-statement log for `SHOW STATEMENTS` — the reference's
-    * visible statement lifecycle ("Submitting statement ... Statement
-    * phase is COMPLETED", README.md:544-547,666-669) as a queryable
-    * surface. Batch statements record COMPLETED at return (submission
-    * analyzes eagerly) or FAILED with the error's head; continuous
-    * statements keep their StreamingQuery and resolve the phase LIVE
-    * (RUNNING / COMPLETED / FAILED). BOUNDED at 256 entries (oldest
-    * evicted) so a run-forever session's log never grows without bound.
-    */
-  private val stmtLog = new java.util.ArrayDeque[
-    (Long, String, Either[String, StreamingQuery])]
-  private val stmtSeq = new java.util.concurrent.atomic.AtomicLong(0)
-  private val lastStartedStream = new ThreadLocal[StreamingQuery]
-  // append + cap-eviction under one monitor (a concurrent-statement
-  // burst must neither interleave eviction with append nor pay the
-  // CopyOnWriteArrayList's O(n^2) copy storm); the deque pops from the
-  // head in O(1). Reads snapshot under the same monitor.
-  private def logStmt(id: Long, sql: String,
-      phase: Either[String, StreamingQuery]): Unit = stmtLog.synchronized {
-    stmtLog.add((id, sql.replaceAll("\\s+", " ").trim, phase))
-    while (stmtLog.size() > 256) stmtLog.poll()
-  }
-
-  /** The statement listing: (statement_id, kind, phase, statement) in
-    * submission (statement_id) order — concurrent submitters may land
-    * in the log out of id order, so the listing sorts — kind is the
-    * statement's leading keyword pair, the statement text is
-    * whitespace-normalized and truncated.
-    */
-  private def showStatements(): DataFrame = {
-    import spark.implicits._
-    stmtLog.synchronized {
-      scala.jdk.CollectionConverters.IteratorHasAsScala(stmtLog.iterator)
-        .asScala.toSeq
-    }.sortBy(_._1)
-      .map { case (id, sql, phase) =>
-        val kind = sql.split("\\s+").iterator
-          .takeWhile(_.matches("[A-Za-z]+")).take(2)
-          .mkString(" ").toUpperCase
-        val p = phase match {
-          case Left(s) => s
-          case Right(q) if q.isActive => "RUNNING"
-          case Right(q) if q.exception.isDefined => "FAILED"
-          case Right(_) => "COMPLETED"
-        }
-        (id, kind, p, sql.take(120))
-      }.toDF("statement_id", "kind", "phase", "statement")
-  }
-
-  /** Execute one statement; DDL forms return a small status/metadata
-    * DataFrame, everything else returns whatever `spark.sql` returns.
-    * Under `SET 'execution.mode' = 'continuous'`, an INSERT INTO SELECT
-    * starts (and registers in [[activeStreams]]) a streaming query
-    * instead of draining the topic batch-style. Every submission lands
-    * in the [[showStatements]] log (`SHOW STATEMENTS` itself excluded).
-    *
-    * Routing matches the RAW statement: the DML rewrites never touch the
-    * SET/INSERT prefixes these patterns key on, and rewriting here would
-    * run the side-effecting ASOF/interval/lateral rewrites a second time
-    * (they plan joins eagerly and register temp views — [[executeBatch]]
-    * is the single place a statement is rewritten).
-    */
-  def execute(sql0: String): DataFrame = sql0 match {
-    case ShowStatementsRe() => showStatements()
-    case _ =>
-      val id = stmtSeq.incrementAndGet()
-      lastStartedStream.remove()
-      val df =
-        try executeRouted(sql0)
-        catch { case e: Throwable =>
-          logStmt(id, sql0, Left(s"FAILED: ${String.valueOf(e.getMessage).take(80)}"))
-          throw e
-        }
-      logStmt(id, sql0, Option(lastStartedStream.get()) match {
-        case Some(q) => Right(q)
-        case None => Left("COMPLETED")
-      })
-      lastStartedStream.remove()
-      df
-  }
-
-  private def executeRouted(sql0: String): DataFrame = sql0 match {
-    case SetOptionRe(k, v) =>
-      sessionOpts(k.toLowerCase) = v
-      status(s"set ${k.toLowerCase} = $v")
-
-    case ResetOptionRe(k) =>
-      sessionOpts.remove(k.toLowerCase)
-      status(s"reset ${k.toLowerCase}")
-
-    case InsertIntoRe(table, _, _) if continuousMode && topics.exists(table) =>
-      // a configured checkpoint dir is a BASE: each DISTINCT statement
-      // gets a content-keyed subdir. Two different streaming INSERTs
-      // therefore never share a checkpoint (sharing fails the second
-      // start, or worse resumes the wrong offsets), while a re-issued
-      // identical statement finds its own subdir again and drains only
-      // newly arrived records — the incremental-resume semantic the
-      // continuous-mode spec pins.
-      val ckpt = sessionOpts.get("execution.checkpoint-dir") match {
-        case Some(base) =>
-          // whitespace-normalized SHA-256 — a 32-bit hashCode could
-          // collide two different statements into one checkpoint
-          val digest = java.security.MessageDigest.getInstance("SHA-256")
-            .digest(sql0.replaceAll("\\s+", " ").trim.getBytes("UTF-8"))
-          val key = digest.take(8).map("%02x".format(_)).mkString
-          s"$base/${table}_$key"
-        case None =>
-          java.nio.file.Files.createTempDirectory("graft_sql_ckpt_").toString
-      }
-      val trig = sessionOpts.get("execution.trigger") match {
-        case Some(t) if t.equalsIgnoreCase("available-now") => Trigger.AvailableNow()
-        case Some(interval) => Trigger.ProcessingTime(interval)
-        case None => Trigger.ProcessingTime(0L)
-      }
-      val q = executeStreaming(sql0, ckpt, trigger = trig)
-      started.add(q)
-      lastStartedStream.set(q) // SHOW STATEMENTS resolves this phase live
-      status(s"started continuous INSERT INTO $table (stream id ${q.id})")
-
-    case _ => executeBatch(sql0)
-  }
-
-  /** Single rewrite point: the statement is rewritten ONCE, and every
-    * temp view the rewrites registered (`graft_asof_N` /
-    * `graft_interval_N` / `graft_fedsearch_N`) is dropped after the
-    * statement resolves against it — Spark analyzes eagerly on
-    * `spark.sql`, so the returned DataFrame keeps working and a
-    * long-lived session (or a run-forever continuous INSERT re-rewriting
-    * per micro-batch) no longer accumulates views.
-    */
-  private def executeBatch(sql0: String): DataFrame = {
-    val stmtViews = scala.collection.mutable.ListBuffer.empty[String]
-    try executeRewritten(rewriteDml(sql0, stmtViews))
-    finally stmtViews.foreach(v => spark.catalog.dropTempView(v))
-  }
-
-  private def executeRewritten(rewritten: String): DataFrame = rewritten match {
-    case CreateModelRe(name, in, out, comment, opts) =>
-      val options0 = parseOptions(opts)
-      val options =
-        if (comment != null) options0 + ("comment" -> comment) else options0
-      // a model's '<provider>.connection' must exist — the reference
-      // fails statements over dangling connections with
-      // "Connection '<name>' not found" (README.md:310-316)
-      options.collect { case (k, v) if k.endsWith(".connection") => v }
-        .foreach(connections.resolve)
-      val task = options.getOrElse("task", "chat").toLowerCase
-      val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        if (task == "embedding") c => HashEmbedder.embedCol(c)
-        else {
-          val sys = options.getOrElse("openai.system_prompt",
-            options.getOrElse("system_prompt", "You are a helpful assistant"))
-          c => StubLlm.respondUdf(sys)(c)
-        }
-      val v = registry.create(name, task,
-        inputType = typeOf(in), outputType = typeOf(out),
-        options = options, fn = fn)
-      outputNames(name) = nameOf(out)
-      status(s"created model $name version $v")
-
-    case AlterModelRe(name, ver) =>
-      registry.setDefault(name, ver.toInt)
-      status(s"default_version of $name set to $ver")
-
-    case DescribeTableRe(name) if topics.exists(name) =>
-      // the reference's `desc \`topic\`` transcript (README.md:543-556):
-      // registered topics describe through the catalog so the implicit
-      // BUCKET KEY row shows; anything else falls through to spark.sql
-      topics.describe(name)
-
-    case DescribeModelRe(ref) =>
-      val (name, all) = ref.indexOf('$') match {
-        case -1 => (ref, false)
-        case i  => (ref.substring(0, i), ref.substring(i + 1) == "all")
-      }
-      registry.describe(spark, name, all)
-
-    case ShowCorporaRe() =>
-      // the search registry's describe surface (the reference's
-      // describe-everything pattern, README.md:543/655, extended):
-      // declared knobs from registration, posture from the RESOLVED
-      // entry — collected corpora serve the exact broadcast scan
-      // regardless of declared family, and that's worth seeing
-      import spark.implicits._
-      corpora.toSeq.sortBy(_._1).map { case (name, ref) =>
-        val (declared, nc) = corpusMeta.getOrElse(name, ("flat", 10000))
-        val lex = lexDeclared.getOrElse(name, false)
-        ref match {
-          case InMemCorpus(rows) =>
-            (name, "collected", declared, "exact-broadcast", nc,
-              rows.length.toLong, lex)
-          case big: DfCorpus =>
-            (name, "distributed", declared, big.indexType, big.numCandidates,
-              -1L, lex)
-          case lz: LazyCorpus =>
-            (name, "unbound", declared, lz.indexType, lz.numCandidates,
-              -1L, lex)
-        }
-      }.toDF("name", "posture", "declared_index_type", "serving_route",
-        "num_candidates", "collected_rows", "lexical_index")
-
-    case DropCorpusRe(name) =>
-      dropSearchCorpus(name)
-
-    case MaintainCorpusRe(name, topic, seq) =>
-      // `MAINTAIN SEARCH CORPUS name FROM TOPIC topic [SEQ col]`: the
-      // registration's store tracks the keyed change topic through the
-      // claimed-writer CDC front (NULL vector = delete; SEQ orders
-      // multi-change batches). AvailableNow semantics: drains what the
-      // topic holds, then completes — re-issue to apply later appends.
-      val q = maintainSearchCorpus(name, topics.stream(topic), Option(seq))
-      status(s"maintaining search corpus $name from topic $topic " +
-        s"(stream ${q.id})")
-
-    case CreateTableRe(name, cols, opts) =>
-      // Flink column DDL is Spark-DDL compatible once backticks drop and
-      // ROW<...> becomes STRUCT<...>.
-      val schema = StructType.fromDDL(
-        cols.replace("`", "").replaceAll("(?i)\\bROW<", "STRUCT<"))
-      val options = parseOptions(opts)
-      options.get("connector") match {
-        case Some(conn) if conn != "kafka" =>
-          // External-connector table, e.g. the reference's ANN-searchable
-          // Atlas collection (README.md:355-366): `'connector'='mongodb',
-          // 'mongodb.collection'=..., 'mongodb.path'=<vector field>,
-          // 'mongodb.numCandidates'=...`. Routes to FEDERATED_SEARCH
-          // corpus registration (NOT a topic) against an in-engine
-          // backing relation named by `<database>.<collection>` /
-          // `<collection>` — resolved lazily at first search, like the
-          // external system the options point at.
-          // dangling '<connector>.connection' fails like the reference
-          // (README.md:310-316)
-          options.collect { case (k, v) if k.endsWith(".connection") => v }
-            .foreach(connections.resolve)
-          val nc = options.collectFirst {
-            case (key, v) if key.endsWith(".numcandidates") => v.trim.toInt
-          }.getOrElse(10000)
-          requireNumCandidates(nc)
-          val vecField = options.collectFirst {
-            case (key, v) if key.endsWith(".path") => v
-          }.getOrElse("vector")
-          // '<connector>.index.type' picks the distributed search family
-          // ('flat' exact | 'ivf' | 'pq' | 'lsh') — distinct from the
-          // reference's '<connector>.index', which names the remote index
-          // (README.md:362) and stays free-form
-          val idxType = options.collectFirst {
-            case (key, v) if key.endsWith(".index.type") => v.trim.toLowerCase
-          }.getOrElse("flat")
-          require(GraftSql.IndexTypes.contains(idxType),
-            s"index type '$idxType' not in ${GraftSql.IndexTypes.mkString("/")}")
-          val backing = (options.collectFirst {
-            case (key, v) if key.endsWith(".database") => v
-          }, options.collectFirst {
-            case (key, v) if key.endsWith(".collection") => v
-          }) match {
-            case (db, Some(coll)) => db.map(d => s"$d.$coll").toSeq :+ coll
-            case _ => Seq(name)
-          }
-          require(schema.nonEmpty, s"external table $name declares no columns")
-          // '<connector>.lexical.index' = 'true' declares an at-rest
-          // lexical index next to the vector one: worksheet BM25/PRF/
-          // hybrid postings then serve from the persisted store
-          lexDeclared(name) = options.exists { case (key, v) =>
-            key.endsWith(".lexical.index") && v.trim.equalsIgnoreCase("true")
-          }
-          // '<connector>.index.normalize' = 'true': unit-norm vectors at
-          // build (dot ≡ cosine — the Atlas cosine posture); the hnsw
-          // norm-skew radius caveat is closed by declaring this
-          val norm = options.exists { case (key, v) =>
-            key.endsWith(".index.normalize") && v.trim.equalsIgnoreCase("true")
-          }
-          // '<connector>.index.cdc' = 'true': content-keyed CDC
-          // maintenance declared at the table (see registerSearchCorpus)
-          val cdcOpt = options.exists { case (key, v) =>
-            key.endsWith(".index.cdc") && v.trim.equalsIgnoreCase("true")
-          }
-          corpusMeta(name) = (idxType, nc)
-          corpora(name) = LazyCorpus(backing, schema.head.name, vecField,
-            idxType, nc, normalize = norm, cdcKeyed = cdcOpt)
-          status(s"created external search table $name (connector=$conn, " +
-            s"index=$idxType, numCandidates=$nc" +
-            (if (norm) ", normalize=true" else "") + ")")
-        case _ =>
-          // Topic-backed table ('value.format'='json-registry', or
-          // connector=kafka): always the TopicCatalog in this engine.
-          // A RE-issued CREATE TABLE with a compatible superset schema is
-          // the reference's schema-evolution flow — the registry schema
-          // evolves and the table definition follows automatically
-          // (README.md:610-612); old records read the new fields as null.
-          if (topics.exists(name)) {
-            topics.evolve(name, schema)
-            // the statement's WITH clause is the full new config set —
-            // a re-issued CREATE TABLE updates cleanup.policy etc. too
-            topics.updateConfigs(name, options)
-            status(s"evolved table $name")
-          } else {
-            topics.create(name, schema, options)
-            status(s"created table $name")
-          }
-      }
-
-    case AlterTableAddRe(name, colsDdl) if topics.exists(name) =>
-      // ALTER TABLE t ADD COLUMNS (c TYPE, ...) — the explicit-DDL spelling
-      // of the same registry evolution (append-only; README.md:610-612).
-      // Guarded on topics.exists like DESCRIBE/COMPACT: ALTER against an
-      // ordinary Spark table falls through to spark.sql untouched.
-      val added = StructType.fromDDL(
-        colsDdl.replace("`", "").replaceAll("(?i)\\bROW<", "STRUCT<"))
-      topics.evolve(name, StructType(topics.valueSchemaOf(name).fields ++ added.fields))
-      status(s"evolved table $name (+${added.fieldNames.mkString(", ")})")
-
-    case CompactTableRe(name) if topics.exists(name) =>
-      // maintenance statement: run the topic's declared cleanup policy
-      // (keyed 'compact' with its declared ordering, else small-file
-      // consolidation — Kafka's two cleanup policies)
-      val removed = topics.compactByPolicy(name)
-      status(s"compacted table $name ($removed files rewritten)")
-
-    case ShowPropsRe(name) if topics.exists(name) =>
-      // topic configs (cleanup.policy etc.) through the standard Spark
-      // spelling; non-topics fall through to spark.sql's own TBLPROPERTIES
-      import spark.implicits._
-      topics.configsOf(name).toSeq.sorted.toDF("key", "value")
-
-    case InsertIntoRe(table, colList, select) =>
-      // INSERT INTO topic [(cols)] SELECT ... — the reference's perpetual
-      // pipeline statement (README.md:285-287, 432-445, ~723), batch form:
-      // run the SELECT, map positional column names if a list is given,
-      // append through the catalog's schema-checked insert. executeBatch,
-      // not execute: the inner SELECT is a sub-plan of THIS statement,
-      // not a submission of its own (a bare SELECT routes to executeBatch
-      // either way, but the public entry would also log it in
-      // SHOW STATEMENTS).
-      val df0 = executeBatch(select)
-      val df = Option(colList) match {
-        case Some(cl) =>
-          val names = cl.split(",").map(_.trim.replace("`", "")).filter(_.nonEmpty)
-          require(names.length == df0.columns.length,
-            s"INSERT column list (${names.length}) != SELECT width (${df0.columns.length})")
-          df0.toDF(names.toIndexedSeq: _*)
-        case None => df0
-      }
-      topics.insertInto(table, df)
-      status(s"inserted into $table")
-
-    case InsertValuesRe(table, colList, valuesBody) =>
-      // INSERT INTO topic [(cols)] VALUES (...), ... with Flink's complex
-      // literals (README.md:614-623: `ARRAY[ROW('...'), ROW('...')]`):
-      // each tuple becomes a SELECT whose ARRAY[/ROW( literals rewrite to
-      // array(/named_struct( against the DECLARED column types, then the
-      // rows append through the same schema-checked insert as any SELECT.
-      val target = topics.valueSchemaOf(table)
-      val cols = Option(colList)
-        .map(_.split(",").map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq)
-        .getOrElse(target.fieldNames.toSeq)
-      val tuples = splitArgs(valuesBody)
-      val selects = tuples.map { tup =>
-        val t = tup.trim
-        require(t.startsWith("(") && t.endsWith(")"),
-          s"malformed VALUES tuple: ${t.take(40)}")
-        val args = splitArgs(t.substring(1, t.length - 1))
-        require(args.length == cols.length,
-          s"VALUES width (${args.length}) != column list (${cols.length})")
-        cols.zip(args).map { case (c, a) =>
-          val dt = target.fields.find(_.name == c).map(_.dataType).getOrElse(
-            throw new IllegalArgumentException(
-              s"insert into $table: unknown column '$c'"))
-          s"${valuesExpr(a, dt)} AS `$c`"
-        }.mkString("SELECT ", ", ", "")
-      }.mkString(" UNION ALL ")
-      topics.insertInto(table, spark.sql(selects))
-      status(s"inserted ${tuples.length} row(s) into $table")
-
-    case other => spark.sql(other)
-  }
-
-  /** Rewrite one VALUES literal against its declared type: Flink's
-    * `ARRAY[...]` → `array(...)` and `ROW(args)` → `named_struct('f1',
-    * a1, ...)` with field names taken from the declared STRUCT — applied
-    * recursively so `ARRAY[ROW(...), ...]` nests. Anything else passes
-    * through as Spark SQL.
-    */
-  private def valuesExpr(e: String, dt: org.apache.spark.sql.types.DataType): String = {
-    import org.apache.spark.sql.types.{ArrayType, StructType => St}
-    val t = e.trim
-    dt match {
-      case ArrayType(el, _) if t.toUpperCase.startsWith("ARRAY[") && t.endsWith("]") =>
-        val inner = t.substring("ARRAY[".length, t.length - 1).trim
-        val elems = if (inner.isEmpty) Seq.empty else splitArgs(inner)
-        elems.map(valuesExpr(_, el)).mkString("array(", ", ", ")")
-      case st: St if t.matches("(?is)^ROW\\s*\\(.*\\)$") =>
-        val args = splitArgs(
-          t.replaceAll("(?is)^ROW\\s*\\(", "").dropRight(1))
-        require(args.length == st.fields.length,
-          s"ROW(...) arity ${args.length} != declared struct ${st.fields.length}")
-        st.fields.zip(args).map { case (f, a) =>
-          s"'${f.name}', ${valuesExpr(a, f.dataType)}"
-        }.mkString("named_struct(", ", ", ")")
-      case _ => e
-    }
-  }
-
-  /** The reference's PERPETUAL pipeline form: an `INSERT INTO ... SELECT`
-    * submitted to Flink "will run forever in the background ... performing
-    * vector searches against user_questions as they are submitted"
-    * (reference README.md:435). Here the same statement runs as a
-    * Structured Streaming query: the source topic is opened as a stream,
-    * and each micro-batch re-binds the topic's view name to the newly
-    * arrived slice and executes the UNCHANGED statement through the batch
-    * [[execute]] path — one implementation, two drivers. All rewrites
-    * (LATERAL ML_PREDICT / FEDERATED_SEARCH, JSON_OBJECT) and the
-    * schema-checked insert therefore behave identically in both modes.
-    *
-    * Delivery is at-least-once into the target topic (append-only JSON,
-    * like unkeyed Kafka records); the checkpoint bounds replay to the
-    * last uncommitted micro-batch. Default trigger `AvailableNow` drains
-    * what exists and stops (spec-friendly); pass
-    * `Trigger.ProcessingTime(0)` for the reference's run-forever mode.
-    */
-  def executeStreaming(
-      sql0: String, checkpointDir: String,
-      sourceTopic: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    // parse the RAW statement: the first FROM names the real source
-    // topic even when a rewrite would replace it (ASOF/interval/lateral
-    // FROM clauses become graft_* temp views), and the side-effecting
-    // rewrites stay confined to executeBatch inside each micro-batch
-    val (table, select) = sql0 match {
-      case InsertIntoRe(t, _, sel) => (t, sel)
-      case other => throw new IllegalArgumentException(
-        s"executeStreaming expects INSERT INTO ... SELECT, got: ${other.take(80)}")
-    }
-    val source = sourceTopic.getOrElse {
-      val m = """(?is)\bFROM\s+`?([\w.]+)`?""".r.findFirstMatchIn(select)
-        .getOrElse(throw new IllegalArgumentException(
-          s"cannot locate the source topic in: ${select.take(80)}"))
-      m.group(1)
-    }
-    require(topics.exists(source),
-      s"streaming source '$source' is not a registered topic " +
-        "(pass sourceTopic explicitly for derived sources)")
-    require(topics.exists(table), s"streaming target '$table' is not a registered topic")
-    topics.stream(source).writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // the micro-batch shadows the SOURCE topic's view BY NAME, so two
-        // concurrent streaming statements reading one topic would race on
-        // the binding (statement A's batch could read statement B's
-        // slice) — a per-topic monitor serializes the shadow/execute/
-        // restore critical section; streams on different topics never
-        // contend
-        GraftSql.streamBatchLock(source).synchronized {
-          // shadow the topic view with this micro-batch's slice, run the
-          // verbatim statement batch-style, then restore the full view.
-          // The slice must be RE-BOUND to the facade session first:
-          // foreachBatch hands a frame owned by the stream's CLONED
-          // session, and a temp view registered on the clone is invisible
-          // to the facade's spark.sql — the statement would silently read
-          // the full topic again every batch.
-          val slice = spark.createDataFrame(batch.rdd, batch.schema)
-          slice.createOrReplaceTempView(source)
-          // executeBatch, not execute: under statement-level continuous
-          // mode the outer routing would otherwise start a NEW stream from
-          // inside every micro-batch
-          try { executeBatch(sql0); () }
-          finally topics.refreshView(source)
-        }
-      }
-      .start()
-  }
-
-  // --- verbatim-DML rewrites ----------------------------------------------
-
-  /** Text-level rewrites that map the reference's Flink-only DML forms
-    * (plus the two time-series join spellings Spark's parser lacks —
-    * `ASOF JOIN` and the symmetric `BETWEEN ± INTERVAL` join)
-    * onto Spark-parsable equivalents, applied before routing:
-    *  - `JSON_OBJECT('k' VALUE v, ...)` → `to_json(named_struct('k', v, ...))`
-    *    (README.md:434-439; Spark has no VALUE syntax).
-    *  - `FROM t, LATERAL TABLE(ML_PREDICT('m', arg))` →
-    *    `FROM (SELECT *, <model-udf>(arg) AS <output-name> FROM t) AS t`
-    *    — the reference's 1-row-in/1-row-out lateral (README.md:279-287)
-    *    as a narrow projection; the subquery is aliased with the table
-    *    name so qualified refs in the SELECT list keep resolving.
-    *  - `FROM t, LATERAL TABLE(FEDERATED_SEARCH('corpus', k, v))` →
-    *    same shape with a broadcast top-k UDF producing `search_results`
-    *    (README.md:425-431); corpus registered via
-    *    [[registerSearchCorpus]].
-    */
-  private def rewriteDml(
-      sql: String,
-      views: scala.collection.mutable.Buffer[String]): String =
-    rewriteInterval(rewriteAsof(
-      rewriteLateral(rewriteJsonObject(sql), views), views), views)
-
-  /** `FROM l [AS a] ASOF [LEFT] JOIN r [AS b] ON a.k = b.k AND a.ts >= b.ts`
-    * (DuckDB's spelling; `<=` flips to the forward direction) →
-    * [[graft.operators.AsofJoin.asofLeft]] materialized as a temp view
-    * aliased with the left alias. The view carries the left columns plus
-    * every right column that doesn't collide (the right's own key/ts
-    * arrive through the left side) — so the SELECT list references right
-    * payloads unqualified or through the left alias. Plain ASOF JOIN is
-    * inner (unmatched left rows drop); ASOF LEFT JOIN keeps them with
-    * null payloads.
-    */
-  private def rewriteAsof(
-      sql: String,
-      views: scala.collection.mutable.Buffer[String]): String = {
-    val m = AsofJoinRe.findFirstMatchIn(sql)
-    if (m.isEmpty) return sql
-    val mm = m.get
-    val lt = mm.group(1).replace("`", "")
-    val la = Option(mm.group(2)).getOrElse(lt.substring(lt.lastIndexOf('.') + 1))
-    val isLeft = mm.group(3) != null
-    val rt = mm.group(4).replace("`", "")
-    val ra = Option(mm.group(5)).getOrElse(rt.substring(rt.lastIndexOf('.') + 1))
-    val conds = splitTopLevelAnd(mm.group(6))
-    require(conds.length == 2,
-      s"ASOF JOIN expects exactly `key = key AND ts >= ts` in ON, got: ${mm.group(6)}")
-    val QualRef = """(?s)^\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*(>=|<=|=|>|<)\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*$""".r
-    def parse(c: String): (String, String, String, String, String) = c match {
-      case QualRef(q1, c1, op, q2, c2) => (q1, c1, op, q2, c2)
-      case _ => throw new IllegalArgumentException(
-        s"ASOF JOIN ON terms must be alias-qualified comparisons, got: $c")
-    }
-    val parsed = conds.map(parse)
-    val eq = parsed.find(_._3 == "=").getOrElse(throw new IllegalArgumentException(
-      s"ASOF JOIN needs one equality key term: ${mm.group(6)}"))
-    val ineq = parsed.find(p => Set(">=", "<=", ">", "<").contains(p._3))
-      .getOrElse(throw new IllegalArgumentException(
-        s"ASOF JOIN needs one >=/<=/>/< time term: ${mm.group(6)}"))
-    def isL(q: String) = q.equalsIgnoreCase(la)
-    def isR(q: String) = q.equalsIgnoreCase(ra)
-    // each term must compare one LEFT column with one RIGHT column —
-    // same-side comparisons would silently mis-assign the key/ts roles
-    for (term <- Seq(eq, ineq))
-      require((isL(term._1) && isR(term._4)) || (isR(term._1) && isL(term._4)),
-        s"ASOF JOIN ON terms must compare $la against $ra, got: " +
-          s"${term._1}.${term._2} ${term._3} ${term._4}.${term._5}")
-    val (lKey, rKey) = if (isL(eq._1)) (eq._2, eq._5) else (eq._5, eq._2)
-    // orient the inequality so the left table's ts is on the LHS
-    def mirror(op: String): String = op match {
-      case ">=" => "<=" case "<=" => ">=" case ">" => "<" case "<" => ">"
-    }
-    val (lts, rts, op) =
-      if (isL(ineq._1)) (ineq._2, ineq._5, ineq._3)
-      else (ineq._5, ineq._2, mirror(ineq._3))
-    // > / < are the strict boundary: an exactly-coincident right row is
-    // excluded (DuckDB's dialect admits both forms)
-    val direction = if (op.startsWith(">")) "backward" else "forward"
-    val strict = !op.endsWith("=")
-    val left = spark.table(lt)
-    val right0 = spark.table(rt)
-    require(rKey == lKey || !right0.columns.contains(lKey),
-      s"ASOF JOIN: cannot align key $rKey to $lKey — right already has $lKey")
-    val right = if (rKey == lKey) right0 else right0.withColumnRenamed(rKey, lKey)
-    import org.apache.spark.sql.functions.col
-    // the right ts rides along under a reserved name: inner semantics
-    // filter on it (matched == non-null ts carried from the right row)
-    val rtsTagged = right.withColumn("__asof_matched_ts", col(rts))
-    val payload = right.columns
-      .filterNot(c => c == lKey || left.columns.contains(c)).toSeq :+ "__asof_matched_ts"
-    val joined = graft.operators.AsofJoin.asofLeft(
-      left, rtsTagged, lKey, lts, rts, payload, direction, strict)
-    val df = (if (isLeft) joined
-              else joined.filter(col("__asof_matched_ts").isNotNull))
-      .drop("__asof_matched_ts")
-    val view = s"graft_asof_${fedViewCounter.incrementAndGet()}"
-    df.createOrReplaceTempView(view)
-    views += view
-    rewriteAsof(sql.substring(0, mm.start) + s" FROM $view AS $la " +
-      sql.substring(mm.end), views)
-  }
-
-  /** Flink's batch interval-join spelling — `FROM a JOIN b ON a.k = b.k
-    * AND a.ts BETWEEN b.ts - INTERVAL 'n' <unit> AND b.ts + INTERVAL 'n'
-    * <unit>` (symmetric bounds) → [[graft.operators.IntervalJoin.within]]
-    * via a temp view, avoiding the broadcast-nested-loop plan Spark
-    * would pick for the raw range predicate. Left columns keep their
-    * names; colliding right columns surface as `<rightAlias>_<col>`.
-    */
-  private def rewriteInterval(
-      sql: String,
-      views: scala.collection.mutable.Buffer[String]): String = {
-    val m = IntervalJoinRe.findFirstMatchIn(sql)
-    if (m.isEmpty) return sql
-    val mm = m.get
-    val lt = mm.group(1).replace("`", "")
-    val la = Option(mm.group(2)).getOrElse(lt.substring(lt.lastIndexOf('.') + 1))
-    val rt = mm.group(3).replace("`", "")
-    val ra = Option(mm.group(4)).getOrElse(rt.substring(rt.lastIndexOf('.') + 1))
-    val (k1q, k1, k2q, k2) = (mm.group(5), mm.group(6), mm.group(7), mm.group(8))
-    val (t1q, t1) = (mm.group(9), mm.group(10))
-    val (t2q, t2) = (mm.group(11), mm.group(12))
-    val (n1, u1, t3q, t3, n2, u2) =
-      (mm.group(13).toLong, mm.group(14), mm.group(15), mm.group(16),
-        mm.group(17).toLong, mm.group(18))
-    require(t2q == t3q && t2 == t3 && n1 == n2 && u1.equalsIgnoreCase(u2),
-      "interval join expects symmetric BETWEEN x - INTERVAL d AND x + INTERVAL d bounds")
-    val gapSeconds = n1 * (u1.toUpperCase match {
-      case "SECOND" | "SECONDS" => 1L
-      case "MINUTE" | "MINUTES" => 60L
-      case "HOUR" | "HOURS"     => 3600L
-      case "DAY" | "DAYS"       => 86400L
-      case u => throw new IllegalArgumentException(s"unsupported INTERVAL unit $u")
-    })
-    def isL(q: String) = q.equalsIgnoreCase(la)
-    def isR(q: String) = q.equalsIgnoreCase(ra)
-    // one side from each table per term (see rewriteAsof)
-    require((isL(k1q) && isR(k2q)) || (isR(k1q) && isL(k2q)),
-      s"interval join key term must compare $la against $ra")
-    require((isL(t1q) && isR(t2q)) || (isR(t1q) && isL(t2q)),
-      s"interval join time term must compare $la against $ra")
-    val (lKey, rKey) = if (isL(k1q)) (k1, k2) else (k2, k1)
-    val (lts, rts) = if (isL(t1q)) (t1, t2) else (t2, t1)
-    val left = spark.table(lt)
-    val right0 = spark.table(rt)
-    require(rKey == lKey || !right0.columns.contains(lKey),
-      s"interval join: cannot align key $rKey to $lKey — right already has $lKey")
-    val right = if (rKey == lKey) right0 else right0.withColumnRenamed(rKey, lKey)
-    import org.apache.spark.sql.functions.col
-    // colliding right payloads surface as <rightAlias>_<col> (the right
-    // ts included), so both sides' columns stay addressable in the SELECT
-    val renames = right.columns.filterNot(_ == lKey).collect {
-      case c if left.columns.contains(c) => c -> s"${ra}_$c"
-    }.toMap
-    val rRenamed = renames.foldLeft(right) { case (d, (from, to)) =>
-      d.withColumnRenamed(from, to) }
-    val payload = rRenamed.columns.filterNot(_ == lKey).toSeq
-    val df = graft.operators.IntervalJoin.within(
-      left, rRenamed, lKey, lts, renames.getOrElse(rts, rts), gapSeconds, payload)
-    val view = s"graft_interval_${fedViewCounter.incrementAndGet()}"
-    df.createOrReplaceTempView(view)
-    views += view
-    rewriteInterval(sql.substring(0, mm.start) + s" FROM $view AS $la " +
-      sql.substring(mm.end), views)
-  }
-
-  /** Split on top-level AND (quote/paren aware). */
-  private def splitTopLevelAnd(s: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var inQuote = false; var start = 0; var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inQuote) { if (c == '\'') inQuote = false; i += 1 }
-      else c match {
-        case '\'' => inQuote = true; i += 1
-        case '(' => depth += 1; i += 1
-        case ')' => depth -= 1; i += 1
-        case _ if depth == 0 && (c == 'a' || c == 'A') &&
-            s.regionMatches(true, i, "AND", 0, 3) &&
-            (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
-            (i + 3 >= s.length || !s.charAt(i + 3).isLetterOrDigit) =>
-          out += s.substring(start, i); start = i + 3; i += 3
-        case _ => i += 1
-      }
-    }
-    out += s.substring(start)
-    out.map(_.trim).filter(_.nonEmpty).toSeq
-  }
-
-  private def rewriteJsonObject(sql: String): String = {
-    // quote-aware seed: a string literal containing "json_object(" must
-    // not trigger the rewrite (matchParen is quote-aware; the seed match
-    // has to be too)
-    val at = indexOfOutsideQuotes(sql, "json_object")
-    if (at < 0) return sql
-    val open = sql.indexOf('(', at)
-    if (open < 0) return sql
-    val close = matchParen(sql, open)
-    val inner = sql.substring(open + 1, close)
-    val rewrittenInner = inner.replaceAll("(?i)'\\s+VALUE\\s+", "', ")
-      .replaceAll("(?i)(?<=')\\s+VALUE\\s+", ", ")
-    val replaced = sql.substring(0, at) +
-      s"to_json(named_struct($rewrittenInner))" + sql.substring(close + 1)
-    rewriteJsonObject(replaced) // handle multiple occurrences
-  }
-
-  private def rewriteLateral(
-      sql: String,
-      views: scala.collection.mutable.Buffer[String]): String = {
-    val m = LateralRe.findFirstMatchIn(sql)
-    if (m.isEmpty) return sql
-    val mm = m.get
-    val table = mm.group(1).replace("`", "")
-    val fnKind = mm.group(2).toLowerCase // ml_predict | federated_search
-    val open = sql.indexOf('(', mm.end(2))
-    val close = matchParen(sql, open)
-    val args = sql.substring(open + 1, close)
-    // LATERAL TABLE's own closing paren: first non-whitespace after the
-    // function call must close the lateral
-    var lc = close + 1
-    while (lc < sql.length && sql.charAt(lc).isWhitespace) lc += 1
-    require(lc < sql.length && sql.charAt(lc) == ')',
-      s"malformed LATERAL TABLE near: ${sql.substring(mm.start, math.min(sql.length, mm.start + 80))}")
-    val lateralClose = lc
-    // a dotted source (db.tbl) can't itself be a subquery alias — alias
-    // with the last name segment so unqualified refs keep resolving
-    val alias = table.substring(table.lastIndexOf('.') + 1)
-    val prefix = sql.substring(0, mm.start)
-    val suffix = sql.substring(lateralClose + 1)
-    val replaced = fnKind match {
-      case "ml_predict" =>
-        val (ref, arg) = splitFirstArg(args)
-        val call = s"${mlPredictUdf(ref)}($arg)"
-        val outName = outputNames.getOrElse(ref.takeWhile(_ != '$'), "json_response")
-        s"(SELECT *, $call AS $outName FROM $table) AS $alias"
-      case "filtered_search" =>
-        // FILTERED_SEARCH('corpus', k, vectorCol, 'predicate'): the
-        // Atlas $vectorSearch filter shape on the SQL surface — a
-        // metadata predicate (any SQL expression over the REGISTERED
-        // corpus's columns) admits a subset, and the top-k is exact
-        // over the admitted set (pre-filter: results never under-fill
-        // on selective predicates). Routed through the same
-        // content-ranked view machinery as FEDERATED_SEARCH, so hits
-        // come back as `search_results`.
-        val parts = splitArgs(args)
-        require(parts.length == 4,
-          s"FILTERED_SEARCH expects ('corpus', k, vectorCol, 'predicate'), got: $args")
-        val corpus = unquote(parts(0))
-        val k = parts(1).trim.toInt
-        val pred = unquote(parts(3))
-        val resolved = resolveCorpus(corpus) // binds lazy corpora -> corpusSources
-        val (src, contentCol, vecCol) = corpusSources.getOrElse(corpus,
-          throw new IllegalArgumentException(
-            s"unknown search corpus '$corpus' — CREATE TABLE ... WITH " +
-              "('connector'='mongodb', ...) or call registerSearchCorpus first"))
-        val admitted =
-          try src.filter(org.apache.spark.sql.functions.expr(pred))
-          catch { case e: org.apache.spark.sql.AnalysisException =>
-            throw new IllegalArgumentException(
-              s"FILTERED_SEARCH predicate '$pred' does not resolve against " +
-                s"corpus '$corpus' (${src.columns.mkString(", ")}): ${e.getMessage}")
-          }
-        resolved match {
-          // a registered index family serves the filter from its index:
-          // payload pushdown on the persisted celled stores, over-fetch
-          // + post-filter on hnsw AND the in-flight ANN families
-          // (pq/sq/bq/lsh) — the exact pre-filter below would pay the
-          // full corpus scan the registration was declared to avoid
-          case big: DfCorpus if big.indexType != "flat" =>
-            s"${filteredIndexView(table, parts(2), big, k, pred,
-              src, contentCol, vecCol, views)} AS $alias"
-          case _ =>
-            // exact pre-filter: "flat" routes the view through the exact
-            // bounded-heap ranking over the admitted subset;
-            // registration-unique tag (serve-only)
-            val fc = DfCorpus(admitted, contentCol, vecCol, "flat", 10000,
-              tag = s"sqlf_${corpus}_g${GraftSql.corpusGen.incrementAndGet()}")
-            s"${fedSearchView(table, parts(2), fc, k, views)} AS $alias"
-        }
-      case "radius_search" =>
-        // RADIUS_SEARCH('corpus', threshold, vectorCol [, nBits,
-        // nTables]): every corpus vector with cosine ≥ threshold of the
-        // row's query vector — the reference's pattern is every search
-        // shape reachable from the worksheet (README.md:404-407); hits
-        // come back as `search_results` like every other search
-        // lateral. The optional LSH knobs apply on the beyond-cap path
-        // only; defaults are the parameters the radius recall contract
-        // measured (≥50% margin at all three SFs — q_radius_lsh_recall).
-        val parts = splitArgs(args)
-        require(parts.length >= 3 && parts.length <= 5,
-          s"RADIUS_SEARCH expects ('corpus', threshold, vectorCol[, 'predicate' | nBits, nTables]), got: $args")
-        val corpus = unquote(parts(0))
-        // numeric args rethrow as the dialect's named error, not a raw
-        // NumberFormatException — same guard contract as the arity check
-        def numArg[A](i: Int, what: String, parse: String => A): A =
-          try parse(parts(i).trim)
-          catch { case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"RADIUS_SEARCH $what must be numeric, got '${parts(i).trim}' — " +
-                "usage: RADIUS_SEARCH('corpus', threshold, vectorCol[, 'predicate' | nBits, nTables])")
-          }
-        val threshold = numArg(1, "threshold", _.toDouble)
-        // a QUOTED 4th arg is a METADATA PREDICATE (the Atlas
-        // filter-inside-$vectorSearch shape on the radius); anything
-        // unquoted parses as the numeric nBits knob — quoting, not
-        // "fails the numeric regex", is the disambiguator, so a numeric
-        // string in exotic spelling ('5e-1') errors as a bad knob
-        // instead of being silently reinterpreted as a predicate
-        val rpred = if (parts.length == 4 && parts(3).trim.startsWith("'"))
-            Some(unquote(parts(3)))
-          else None
-        val nBits = if (rpred.isEmpty && parts.length >= 4)
-          numArg(3, "nBits", _.toInt) else 4
-        val nTables = if (parts.length >= 5) numArg(4, "nTables", _.toInt) else 24
-        s"${radiusSearchView(table, parts(2), corpus, threshold,
-          nBits, nTables, rpred, views)} AS $alias"
-      case "hybrid_search" =>
-        // HYBRID_SEARCH('corpus', k, vectorCol, textCol [, 'predicate']):
-        // reciprocal-rank fusion of the corpus's vector ranking with a
-        // BM25 keyword ranking of the text expression's tokens over
-        // corpus contents — the production retrieval pattern next to
-        // pure FEDERATED_SEARCH. The optional predicate restricts BOTH
-        // legs to the admitted metadata subset (exact vector leg, Lucene
-        // filtered-query BM25 leg with GLOBAL stats) before fusing.
-        val parts = splitArgs(args)
-        require(parts.length == 4 || parts.length == 5,
-          s"HYBRID_SEARCH expects ('corpus', k, vectorCol, textCol[, 'predicate']), got: $args")
-        val corpus = unquote(parts(0))
-        val k = parts(1).trim.toInt
-        val hpred = if (parts.length == 5) Some(unquote(parts(4))) else None
-        s"${hybridSearchView(table, parts(2), parts(3), corpus, k, hpred, views)} AS $alias"
-      case "prf_search" =>
-        // PRF_SEARCH('corpus', k, textCol [, fbDocs, fbTerms]): BM25
-        // keyword retrieval under pseudo-relevance-feedback expansion —
-        // the re-ranker surfaced in the same pure-SQL interface as the
-        // reference's searches (README.md:404-407), backed by the one
-        // [[graft.operators.Lexical.bm25PrfTopK]] implementation
-        val parts0 = splitArgs(args)
-        // a trailing QUOTED arg is a metadata predicate (restricts BOTH
-        // PRF passes under global stats); knobs are always unquoted
-        // numerics, so quoting disambiguates — a numeric string or
-        // exponent spelling can't be silently reinterpreted
-        val prfPred = parts0.drop(3).lastOption
-          .filter(_.trim.startsWith("'"))
-          .map(unquote)
-        val parts = if (prfPred.isDefined) parts0.dropRight(1) else parts0
-        require(parts.length >= 3 && parts.length <= 5,
-          s"PRF_SEARCH expects ('corpus', k, textCol[, fbDocs, fbTerms][, 'predicate']), got: $args")
-        val corpus = unquote(parts(0))
-        val k = parts(1).trim.toInt
-        val fbDocs = if (parts.length >= 4) parts(3).trim.toInt else 5
-        val fbTerms = if (parts.length >= 5) parts(4).trim.toInt else 3
-        s"${prfSearchView(table, parts(2), corpus, k, fbDocs, fbTerms, prfPred, views)} AS $alias"
-      case "maxsim_search" =>
-        // MAXSIM_SEARCH('corpus', k, vectorCol): multi-vector late
-        // interaction (Khattab & Zaharia 2020) — a corpus registered
-        // with SEVERAL vectors per content (one row per chunk/member,
-        // each carrying its parent document's content) ranks contents
-        // by their BEST member's similarity; one
-        // [[graft.operators.VectorSearch.groupMaxSimTopK]] core, two
-        // surfaces
-        val parts = splitArgs(args)
-        require(parts.length == 3 || parts.length == 4,
-          s"MAXSIM_SEARCH expects ('corpus', k, vectorCol[, 'predicate']), got: $args")
-        val corpus = unquote(parts(0))
-        val k = parts(1).trim.toInt
-        val msPred = if (parts.length == 4) Some(unquote(parts(3))) else None
-        s"${maxSimSearchView(table, parts(2), corpus, k, msPred, views)} AS $alias"
-      case "mmr_search" =>
-        // MMR_SEARCH('corpus', k, vectorCol [, candN, lambda]):
-        // maximal-marginal-relevance diversity re-rank of the corpus's
-        // cosine top-candN — one [[graft.operators.Lexical.mmrRerank]]
-        // core, two surfaces (Scala + SQL)
-        val parts0 = splitArgs(args)
-        // a trailing QUOTED arg is a metadata predicate (admits the
-        // candidate pool before the diversity selection); the candN /
-        // lambda knobs are always unquoted numerics, so quoting
-        // disambiguates (see PRF_SEARCH)
-        val mmrPred = parts0.drop(3).lastOption
-          .filter(_.trim.startsWith("'"))
-          .map(unquote)
-        val parts = if (mmrPred.isDefined) parts0.dropRight(1) else parts0
-        require(parts.length >= 3 && parts.length <= 5,
-          s"MMR_SEARCH expects ('corpus', k, vectorCol[, candN, lambda][, 'predicate']), got: $args")
-        val corpus = unquote(parts(0))
-        val k = parts(1).trim.toInt
-        val candN = if (parts.length >= 4) parts(3).trim.toInt else math.max(3 * k, 10)
-        val lambda = if (parts.length >= 5) parts(4).trim.toDouble else 0.5
-        s"${mmrSearchView(table, parts(2), corpus, k, candN, lambda, mmrPred, views)} AS $alias"
-      case _ =>
-        val parts = splitArgs(args)
-        require(parts.length == 3,
-          s"FEDERATED_SEARCH expects ('corpus', k, vectorCol), got: $args")
-        val corpus = unquote(parts(0))
-        val k = parts(1).trim.toInt
-        resolveCorpus(corpus) match {
-          case mem: InMemCorpus =>
-            val call = s"${federatedSearchUdf(corpus, mem, k)}(${parts(2)})"
-            s"(SELECT *, $call AS search_results FROM $table) AS $alias"
-          case big: DfCorpus =>
-            // beyond the driver-collect cap: distributed search via
-            // topKAgg, materialized as a temp view carrying the source
-            // columns + search_results
-            s"${fedSearchView(table, parts(2), big, k, views)} AS $alias"
-          case _: LazyCorpus =>
-            throw new IllegalStateException("unreachable: resolveCorpus resolves LazyCorpus")
-        }
-    }
-    rewriteLateral(s"$prefix FROM $replaced $suffix", views)
-  }
-
-  /** Resolve a corpus reference to a concrete form: lazy table-backed
-    * corpora (external-connector CREATE TABLE) are bound to the first
-    * resolvable backing relation and re-registered via
-    * [[registerSearchCorpus]] (collect if small, DataFrame otherwise).
-    */
-  private def resolveCorpus(name: String): CorpusRef =
-    corpora.getOrElse(name, throw new IllegalArgumentException(
-      s"unknown search corpus '$name' — CREATE TABLE ... WITH " +
-        "('connector'='mongodb', ...) or call registerSearchCorpus first")) match {
-      case LazyCorpus(candidates, contentCol, vecCol, idxType, nc, norm, cdcK) =>
-        val df = candidates.view.flatMap { ref =>
-          try Some(spark.table(ref)) catch { case _: Exception => None }
-        }.headOption.getOrElse(throw new IllegalArgumentException(
-          s"search corpus '$name': no backing relation among " +
-            candidates.mkString("[", ", ", "]")))
-        registerSearchCorpus(name, df, contentCol, vecCol,
-          numCandidates = nc, indexType = idxType,
-          // binding must not clobber the CREATE TABLE's declaration
-          lexicalIndex = lexDeclared.getOrElse(name, false),
-          normalize = norm, cdc = cdcK)
-        corpora(name)
-      case c => c
-    }
-
-  /** Register (idempotently) a scalar UDF evaluating the resolved model
-    * and return its name. Output type follows the model task: embedding
-    * → ARRAY<FLOAT>, otherwise STRING.
-    */
-  private def mlPredictUdf(ref: String): String = {
-    val resolved = registry.resolve(ref) // fails fast on unknown ref
-    val fname = ("ml_predict__" + ref).replaceAll("[^\\w]", "_")
-    if (resolved.task == "embedding")
-      spark.udf.register(fname, (s: String) => HashEmbedder.embed(s, HashEmbedder.DefaultDim))
-    else {
-      val sys = resolved.options.getOrElse("openai.system_prompt",
-        resolved.options.getOrElse("system_prompt", "You are a helpful assistant"))
-      spark.udf.register(fname, (s: String) => StubLlm.respond(sys, s))
-    }
-    fname
-  }
-
-  /** Register (idempotently) the broadcast top-k UDF for a collected
-    * corpus and return its name: dot-product scoring over the corpus with
-    * a bounded [[TopKHeap]] (O(n log k), no per-row sort allocation),
-    * best k contents as ARRAY<STRUCT<content STRING>> (the reference's
-    * `search_results` shape, README.md:417,425-431). Ties break by
-    * content asc (rows are content-sorted at registration, and the heap
-    * breaks score ties by index asc).
-    */
-  private def federatedSearchUdf(corpus: String, mem: InMemCorpus, k: Int): String = {
-    val rows = mem.rows
-    val fname = s"federated_search__${corpus}__$k".replaceAll("[^\\w]", "_")
-    spark.udf.register(fname, (v: Seq[Float]) => {
-      val q = if (v == null) Array.empty[Float] else v.toArray
-      val heap = new TopKHeap(k, ascending = false)
-      var i = 0
-      while (i < rows.length) {
-        heap.insert(i.toLong, VectorSearch.scoreF32("dot", q, rows(i)._2))
-        i += 1
-      }
-      (0 until heap.n).map(j => SearchHit(rows(heap.ids(j).toInt)._1))
-    })
-    fname
-  }
-
-  private val fedViewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
-
-  /** Vector dimensionality of a registered corpus, derived from the
-    * data ONCE per registration tag (re-registration mints a fresh tag,
-    * so a stale dim can never serve a regenerated corpus). An empty
-    * corpus fails with a named error instead of head's opaque
-    * NoSuchElementException, and the cache keeps repeat statements from
-    * paying a probe job each.
-    */
-  private val dimCache = scala.collection.concurrent.TrieMap.empty[String, Int]
-  private[graft] def corpusDim(c: DataFrame, tag: String): Int =
-    dimCache.getOrElseUpdate(tag, {
-      import org.apache.spark.sql.functions.{col, size}
-      c.select(size(col("__cvec"))).head(1).headOption.getOrElse(
-          throw new IllegalArgumentException(
-            s"search corpus '$tag' is empty — cannot derive vector dimensionality"))
-        .getInt(0)
-    })
-
-  /** Distributed FEDERATED_SEARCH for beyond-cap corpora: score through
-    * the corpus' declared index family — exact [[VectorSearch.topKAgg]]
-    * ("flat": map-side bounded heap, only ≤k rows per query per
-    * partition reach the shuffle) or an ANN operator ("ivf" | "pq" |
-    * "lsh" | "sq" | "bq" | "hnsw") under the declared numCandidates budget — map match ids
-    * back to contents, and register source-columns + `search_results`
-    * as a temp view the rewritten statement selects FROM.
-    */
-  /** The canonical search form of a corpus source: (__content, __cvec,
-    * __cid) with deterministic content-derived ids, NOT
-    * monotonically_increasing_id: the frame appears twice in a search
-    * DAG (scoring subtree + join-back) and mono-ids are recomputed per
-    * evaluation, so a repartitioned input would permute the join. Rows
-    * with identical (content, vector) collapse to one id — harmless for
-    * membership semantics. ONE derivation shared by every search view
-    * (federated / filtered / radius) and every persisted SQL-side store,
-    * because the id contract is what maps store hits back to contents.
-    */
-  private def canonCorpus(src: DataFrame, contentCol: String,
-      vecCol: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    src.select(col(contentCol).as("__content"),
-        col(vecCol).cast("array<float>").as("__cvec"))
-      .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
-      .dropDuplicates("__cid")
-  }
-
-  /** The canonical (__cid, __content, __cvec) frame a registration's
-    * serve resolves hits against. For a CDC-MAINTAINED registration the
-    * source frame is only the initial load — contents upserted through
-    * [[maintainSearchCorpus]] exist nowhere else — so resolution reads
-    * the LIVE persisted store (content rides as payload; tombstoned rows
-    * die here exactly as they do in the probe scan). Everything else
-    * keeps the registered source.
-    */
-  private def canonServe(big: DfCorpus): DataFrame =
-    if (!big.cdcKeyed) canonCorpus(big.df, big.contentCol, big.vecCol)
-    else {
-      import org.apache.spark.sql.functions._
-      val path = ivfStoreFor(big.df, big.contentCol, big.vecCol, big)
-      graft.operators.Tombstones.filterLive(spark, path,
-          spark.read.parquet(s"$path/corpus"), "id", "epoch")
-        .select(col("id").as("__cid"),
-          col(big.contentCol).as("__content"), col("vec").as("__cvec"))
-    }
-
-  /** Build-once persisted HNSW store for a beyond-cap registration.
-    * Index-once/probe-many like the pq/sq/bq cached artifacts: the
-    * graphs persist per (application, registration) via writeIndex —
-    * repeated statements run ZERO build passes — and nShards is sized
-    * from the corpus count at build time so a beyond-cap corpus never
-    * trips the per-shard heap bound the in-flight defaults would
-    * (target ~1M rows per shard graph). Check-then-build runs under one
-    * monitor: two concurrent statements on a fresh registration must
-    * not both run the overwrite build on the shared path (the
-    * synchronized-ModelCache discipline the pq/sq/bq families get for
-    * free).
-    */
-  private def hnswStoreFor(c: DataFrame, big: DfCorpus): String = {
-    val path = storePath("hnsw", big.tag)
-    GraftSql.hnswBuildLock.synchronized {
-      if (!graft.operators.FsUtil.exists(spark, s"$path/_meta/_SUCCESS")) {
-        val shards = graft.operators.HnswSearch.shardsFor(c.count())
-        graft.operators.HnswSearch.writeIndex(c, "__cid", "__cvec", path,
-          nShards = shards, m = 8, efConstruction = 64, metric = "dot")
-      }
-    }
-    path
-  }
-
-  /** Build-once persisted IVF store for a beyond-cap registration, laid
-    * out for FILTERED serving: every non-reserved source column rides
-    * as PAYLOAD next to the vectors, so a metadata predicate evaluates
-    * inside the partition-pruned probe scan as a parquet PushedFilter —
-    * no join back to the source corpus per statement (the at-scale
-    * contract of [[graft.operators.IvfSearch.searchIndex]]). Same
-    * build-once/lock discipline as [[hnswStoreFor]].
-    */
-  private def ivfStoreFor(src: DataFrame, contentCol: String,
-      vecCol: String, big: DfCorpus): String = {
-    val path = storePath("ivf", big.tag)
-    GraftSql.hnswBuildLock.synchronized {
-      if (!graft.operators.FsUtil.exists(spark, s"$path/centroids/_SUCCESS")) {
-        val (withIds, payload) = payloadSource(src, contentCol, vecCol,
-          Set("id", "vec", "cell", "epoch"), "ivf",
-          idFromContentOnly = big.cdcKeyed)
-        graft.operators.IvfSearch.writeIndex(withIds, "__cid", "__cvec",
-          path, nList = 16, payload = payload)
-      }
-    }
-    path
-  }
-
-  /** A registered corpus SOURCE prepared for a payload-carrying
-    * persisted store: (__cid, __cvec, every non-vector source column)
-    * with the canonical content-derived ids ([[canonCorpus]]'s id
-    * contract — store hits map back to contents by this hash).
-    * Duplicate (content, vector) rows with DIVERGENT payload must not
-    * collapse to an ARBITRARY survivor (a filtered probe would then
-    * admit/reject the content on whichever duplicate happened to win,
-    * silently diverging from the exact pre-filter route, which filters
-    * BEFORE dedup): when every payload type is orderable the winner is
-    * the row with the greatest payload tuple — deterministic across
-    * rebuilds — otherwise (map-typed payload) the collapse falls back
-    * to an arbitrary-but-single survivor and the caveat is on the
-    * caller to keep duplicate rows' payload in agreement.
-    */
-  private def payloadSource(src: DataFrame, contentCol: String,
-      vecCol: String, reserved: Set[String], family: String,
-      idFromContentOnly: Boolean = false): (DataFrame, Seq[String]) = {
-    import org.apache.spark.sql.functions._
-    // a source column named like a reserved store column could not ride
-    // as payload, so a predicate over it would silently resolve against
-    // the STORE's internal column (wrong rows, no error) — refuse loudly
-    val clash = src.columns.filter(reserved).toSeq
-    require(clash.isEmpty,
-      s"search on an $family registration (persisted payload store): " +
-        s"source column(s) ${clash.mkString("[", ", ", "]")} collide with " +
-        s"reserved store columns ${reserved.toSeq.sorted.mkString("(", "/", ")")} — " +
-        "rename them before registering")
-    // the vector column is already the store's `vec` — carrying it
-    // again would double the store bytes for nothing
-    val payload = src.columns.toSeq.filterNot(_ == vecCol)
-    // a CDC-maintained store keys by CONTENT alone: a keyed change
-    // topic's upsert must tombstone the content's OLD row by the id it
-    // can derive from the record it holds — content+vector ids would
-    // leave the old vector alive under a vector change
-    val keyed = src
-      .withColumn("__cvec", col(vecCol).cast("array<float>"))
-      .withColumn("__cid",
-        if (idFromContentOnly) xxhash64(col(contentCol))
-        else xxhash64(col(contentCol), col("__cvec")))
-    val orderable = keyed.schema.fields
-      .filter(f => payload.contains(f.name))
-      .forall(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
-        .isOrderable(f.dataType))
-    val deduped =
-      if (orderable)
-        keyed.groupBy("__cid")
-          .agg(max(struct(col("__cvec") +: payload.map(col): _*)).as("__w"))
-          .select(col("__cid"), col("__w.*"))
-      else keyed.dropDuplicates("__cid")
-    (deduped, payload)
-  }
-
-  /** Build-once persisted IVF-PQ store for a beyond-cap registration —
-    * the composed 100 TB layout (coarse cells prune directories, PQ
-    * residual codes compress the scan) on the SQL surface, laid out for
-    * FILTERED serving like [[ivfStoreFor]]: every non-reserved source
-    * column rides as payload next to the codes (an unfiltered probe's
-    * scan never reads them — parquet column pruning — so the unfiltered
-    * ladder pays nothing for the layout). Same build-once/lock
-    * discipline as [[hnswStoreFor]].
-    */
-  private def ivfPqStoreFor(src: DataFrame, contentCol: String,
-      vecCol: String, big: DfCorpus): String = {
-    val path = storePath("ivfpq", big.tag)
-    GraftSql.hnswBuildLock.synchronized {
-      if (!graft.operators.FsUtil.exists(spark, s"$path/stats/_SUCCESS")) {
-        val (withIds, payload) = payloadSource(src, contentCol, vecCol,
-          Set("id", "vec", "cell", "epoch", "codes", "v", "rv"), "ivfpq")
-        graft.operators.IvfPqIndex.writeIndex(withIds, "__cid", "__cvec",
-          path, nList = 16, m = 8, kCodes = 16, payload = payload)
-      }
-    }
-    path
-  }
-
-  /** The SQ8 twin of [[ivfPqStoreFor]] — the near-exact 4× point of the
-    * compressed ladder, same payload-carrying filtered-serving layout.
-    */
-  private def ivfSqStoreFor(src: DataFrame, contentCol: String,
-      vecCol: String, big: DfCorpus): String = {
-    val path = storePath("ivfsq", big.tag)
-    GraftSql.hnswBuildLock.synchronized {
-      if (!graft.operators.FsUtil.exists(spark, s"$path/stats/_SUCCESS")) {
-        val (withIds, payload) = payloadSource(src, contentCol, vecCol,
-          Set("id", "vec", "cell", "epoch", "codes", "v"), "ivfsq")
-        graft.operators.IvfSqIndex.writeIndex(withIds, "__cid", "__cvec",
-          path, nList = 16, dim = corpusDim(withIds, big.tag),
-          payload = payload)
-      }
-    }
-    path
-  }
+  private[sql] val fedViewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Families whose FILTERED serve comes from a persisted store (payload
     * pushdown on the celled families, over-fetch post-filter on hnsw) —
@@ -1576,7 +96,7 @@ class GraftSql(
     * `metric` defaults to the reference's dot ranking; the hnsw graph
     * serves its build metric regardless (it comes from `_meta`).
     */
-  private def rankedForFamily(qv0: DataFrame, big: DfCorpus, k: Int,
+  private[sql] def rankedForFamily(qv0: DataFrame, big: DfCorpus, k: Int,
       pred: Option[String] = None, metric: String = "dot"): DataFrame = {
     import org.apache.spark.sql.functions._
     val qv = qv0.select(col("__qid"), col("__qvec"))
@@ -1724,7 +244,7 @@ class GraftSql(
       col("match_id").as("__cid"))
   }
 
-  private def fedSearchView(
+  private[sql] def fedSearchView(
       table: String, vecExpr: String, big: DfCorpus, k: Int,
       views: scala.collection.mutable.Buffer[String]): String = {
     import org.apache.spark.sql.functions._
@@ -1752,7 +272,7 @@ class GraftSql(
     * selective predicates, register with a larger budget (the
     * 1/selectivity rule on the operator's Scaladoc).
     */
-  private def filteredIndexView(
+  private[sql] def filteredIndexView(
       table: String, vecExpr: String, big: DfCorpus, k: Int, pred: String,
       src: DataFrame, contentCol: String, vecCol: String,
       views: scala.collection.mutable.Buffer[String]): String = {
@@ -1780,7 +300,7 @@ class GraftSql(
     * (table, bucket), exact re-score, precision 1.0 with recall pinned
     * by its contract).
     */
-  private def radiusSearchView(
+  private[sql] def radiusSearchView(
       table: String, vecExpr: String, corpusName: String, threshold: Double,
       nBits: Int, nTables: Int, pred: Option[String],
       views: scala.collection.mutable.Buffer[String]): String = {
@@ -1905,7 +425,7 @@ class GraftSql(
     * registration was declared to avoid. Collected and flat
     * registrations keep the exact bounded-heap leg.
     */
-  private def hybridSearchView(
+  private[sql] def hybridSearchView(
       table: String, vecExpr: String, textExpr: String, corpusName: String,
       k: Int, pred: Option[String],
       views: scala.collection.mutable.Buffer[String]): String = {
@@ -1956,174 +476,12 @@ class GraftSql(
       col("match_id").as("__cid"), col("rrf_rank").as("__rank"))
     searchResultsView("hybridsearch", q, ranked, c, views)
   }
-
-  /** BM25 index artifacts — postings and corpus stats — for a
-    * registered corpus, derived ONCE per registration: the lexical twin
-    * of the SQ/BQ model caches. Repeat HYBRID_SEARCH / PRF_SEARCH
-    * statements serve from the session-held artifacts instead of
-    * re-tokenizing the corpus per statement (the "index once, serve
-    * many" posture; the persisted [[graft.operators.LexicalIndex]] is
-    * the at-rest form of the same idea). Keyed by corpus NAME with the
-    * resolved CorpusRef's identity stored alongside: re-registration
-    * mints a fresh ref, so a hit is served only while the ref still
-    * matches — stale artifacts can never serve regenerated data, and
-    * the replaced entry's checkpoint blocks become unreachable. BOUNDED
-    * (access-order LRU, like [[graft.operators.PqSearch]]'s model
-    * cache): a long-lived session cycling many registrations must not
-    * pin every prior corpus's checkpointed postings forever. Lazily
-    * checkpointed — materialized by the first statement, sized by
-    * corpus tokens (postings) / one row (stats).
-    */
-  private[graft] val lexArtifacts =
-    new java.util.LinkedHashMap[String, (AnyRef, DataFrame, DataFrame)](
-      16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (AnyRef, DataFrame, DataFrame)]): Boolean = {
-        val evict = size() > 64
-        // eviction must RELEASE, not merely forget: dropping the map
-        // entry leaves the localCheckpoint's persisted blocks in the
-        // block manager until driver GC + ContextCleaner get around to
-        // them, so a session cycling many corpora would pin up to 64
-        // corpus-token-sized postings frames long after eviction
-        if (evict) unpersistLexArtifacts(e.getValue)
-        evict
-      }
-    }
-  /** Drop a (ref, postings, stats) entry's checkpoint blocks from the
-    * block manager. The checkpointed frames' plans are `LogicalRDD`
-    * leaves over the persisted RDDs; unpersisting those releases
-    * executor storage immediately. A lazily-checkpointed frame that was
-    * never materialized unpersists as a no-op.
-    */
-  private def unpersistLexArtifacts(v: (AnyRef, DataFrame, DataFrame)): Unit =
-    Seq(v._2, v._3).foreach { df =>
-      df.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
-    }
-  /** Build-once persisted lexical index for a registration that
-    * DECLARED one — the at-rest twin of the session artifact cache,
-    * same build-once/lock discipline as [[hnswStoreFor]]. Stats are
-    * written last, so their _SUCCESS implies the whole index landed.
-    */
-  private def lexStoreFor(c: DataFrame, tag: String): String = {
-    val path = storePath("lex", tag)
-    GraftSql.hnswBuildLock.synchronized {
-      if (!graft.operators.FsUtil.exists(spark, s"$path/stats/_SUCCESS"))
-        graft.operators.LexicalIndex.writeIndex(c, "__cid", "__content", path)
-    }
-    path
-  }
-
-  private def lexArtifactsFor(
-      name: String, ref: AnyRef, c: DataFrame): (DataFrame, DataFrame) =
-    ref match {
-      case _ if lexDeclared.getOrElse(name, false) =>
-        // declared at-rest lexical index: postings/stats are lazy scans
-        // of the persisted store — zero tokenize jobs at serve time, a
-        // driver-known term join prunes at the parquet reader, and the
-        // artifacts survive the session (the reference pattern: the
-        // posting store sits NEXT to the vector index, both build-once).
-        // Keyed by the registration-minted lex tag, NOT the DfCorpus
-        // tag, so collected registrations honor the declaration too.
-        // A previous UNDECLARED registration of this name may have left
-        // session artifacts behind — release them rather than pinning
-        // their checkpoint blocks until LRU eviction.
-        lexArtifacts.synchronized {
-          val stale = lexArtifacts.remove(name)
-          if (stale != null) unpersistLexArtifacts(stale)
-        }
-        val path = lexStoreFor(c, lexTags.getOrElseUpdate(name,
-          s"${name}_g${GraftSql.corpusGen.incrementAndGet()}"))
-        (graft.operators.LexicalIndex.postings(spark, path),
-          graft.operators.LexicalIndex.corpusStats(spark, path))
-      case _ => lexArtifacts.synchronized {
-        val cur = lexArtifacts.get(name)
-        if (cur != null && (cur._1 eq ref)) (cur._2, cur._3)
-        else {
-          // re-registration: the stale entry is replaced below — release
-          // its checkpoint blocks now rather than waiting on GC
-          if (cur != null) unpersistLexArtifacts(cur)
-          val post = graft.operators.Lexical.postings(c, "__cid", "__content")
-            .localCheckpoint(false)
-          val stats = graft.operators.Lexical.corpusStats(c, "__content")
-            .localCheckpoint(false)
-          lexArtifacts.put(name, (ref, post, stats))
-          (post, stats)
-        }
-      }
-    }
-
-  /** A registered corpus as a slim (__cid, __content, __cvec) DataFrame
-    * with content-derived ids — the shared front half of every
-    * corpus-reading lateral view, plus the resolved CorpusRef (the
-    * identity the per-registration artifact caches key on). An
-    * in-memory corpus re-lifts to a DataFrame: the lexical/MMR sides
-    * need distributed work either way.
-    */
-  private def corpusContentDfWithRef(corpusName: String): (DataFrame, AnyRef) = {
-    import org.apache.spark.sql.functions._
-    import spark.implicits._
-    val ref = resolveCorpus(corpusName)
-    val (cdf, contentCol, vecCol) = ref match {
-      case InMemCorpus(rows) =>
-        (rows.toSeq.toDF("__content0", "__cvec0"), "__content0", "__cvec0")
-      case big: DfCorpus if big.cdcKeyed =>
-        // the text/lexical shapes derive content frames and session
-        // postings from the SOURCE, which for a maintained registration
-        // is only the initial load — serving them would silently ignore
-        // every CDC change. Vector shapes (FEDERATED / FILTERED /
-        // RADIUS) resolve from the live store and stay supported.
-        throw new IllegalArgumentException(
-          s"search corpus '$corpusName' is CDC-maintained (cdc=true): " +
-            "text/lexical shapes (HYBRID/PRF/MMR/MAXSIM/BM25) would serve " +
-            "the frozen initial load — use FEDERATED_SEARCH / " +
-            "FILTERED_SEARCH / RADIUS_SEARCH, or register a separate " +
-            "non-cdc corpus for text retrieval")
-      case big: DfCorpus => (big.df, big.contentCol, big.vecCol)
-      case _: LazyCorpus =>
-        throw new IllegalStateException("unreachable: resolveCorpus resolves LazyCorpus")
-    }
-    val slim = cdf.select(col(contentCol).as("__content"),
-        col(vecCol).cast("array<float>").as("__cvec"))
-      .withColumn("__cid", xxhash64(col("__content"), col("__cvec")))
-      .dropDuplicates("__cid")
-    (slim, ref)
-  }
-
-  private def corpusContentDf(corpusName: String): DataFrame =
-    corpusContentDfWithRef(corpusName)._1
-
-  /** A metadata predicate resolved LOUDLY against a registered corpus's
-    * SOURCE columns (the FILTERED_SEARCH contract), returned as the
-    * admitted rows in canonical (__cid, __content, __cvec) form — the
-    * shared front of every filtered search shape on the worksheet
-    * (FILTERED / RADIUS / HYBRID / PRF / MMR / MAXSIM).
-    */
-  private def admittedCanon(corpusName: String, pred: String,
-      what: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val (src, contentCol, vecCol) = corpusSources.getOrElse(corpusName,
-      throw new IllegalArgumentException(
-        s"unknown search corpus '$corpusName'"))
-    val filtered =
-      try src.filter(expr(pred))
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalArgumentException(
-          s"$what predicate '$pred' does not resolve against " +
-            s"corpus '$corpusName' (${src.columns.mkString(", ")}): ${e.getMessage}")
-      }
-    canonCorpus(filtered, contentCol, vecCol)
-  }
-
   /** Assemble a ranked (__qid, __cid, __rank) list into the
     * `search_results` ARRAY<ROW<content STRING>> shape, left-join it
     * back onto the query table, and register the temp view — the shared
     * back half of the search lateral views.
     */
-  private def searchResultsView(kind: String, q: DataFrame, ranked: DataFrame,
+  private[sql] def searchResultsView(kind: String, q: DataFrame, ranked: DataFrame,
       c: DataFrame, views: scala.collection.mutable.Buffer[String]): String = {
     import org.apache.spark.sql.functions._
     val resolved = ranked
@@ -2146,7 +504,7 @@ class GraftSql(
     * query text's tokens over corpus CONTENTS, surfaced through the same
     * LATERAL TABLE shape as FEDERATED_SEARCH.
     */
-  private def prfSearchView(
+  private[sql] def prfSearchView(
       table: String, textExpr: String, corpusName: String,
       k: Int, fbDocs: Int, fbTerms: Int, pred: Option[String],
       views: scala.collection.mutable.Buffer[String]): String = {
@@ -2181,7 +539,7 @@ class GraftSql(
     * is the content's own identity, so `search_results` carries each
     * winning document once, best-group-first.
     */
-  private def maxSimSearchView(
+  private[sql] def maxSimSearchView(
       table: String, vecExpr: String, corpusName: String,
       k: Int, pred: Option[String],
       views: scala.collection.mutable.Buffer[String]): String = {
@@ -2260,7 +618,7 @@ class GraftSql(
     * top-`candN` for each query vector, returning the `selectK = k`
     * selection in greedy pick order as `search_results`.
     */
-  private def mmrSearchView(
+  private[sql] def mmrSearchView(
       table: String, vecExpr: String, corpusName: String,
       k: Int, candN: Int, lambda: Double, pred: Option[String],
       views: scala.collection.mutable.Buffer[String]): String = {
@@ -2311,7 +669,7 @@ class GraftSql(
     searchResultsView("mmrsearch", q, ranked, c, views)
   }
 
-  private def status(msg: String): DataFrame = {
+  private[sql] def status(msg: String): DataFrame = {
     import spark.implicits._
     Seq(msg).toDF("status")
   }
@@ -2373,7 +731,7 @@ object GraftSql {
     * JVM-global like the build lock — two facades over one catalog share
     * the session's temp-view namespace either way.
     */
-  private val streamBatchLocks =
+  private[sql] val streamBatchLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
   private[sql] def streamBatchLock(source: String): Object =
     streamBatchLocks.getOrElseUpdate(source, new Object)
@@ -2393,7 +751,7 @@ object GraftSql {
     */
   @volatile private[graft] var lastUnderfillWarning: Option[String] = None
 
-  private val underfillListenerSessions =
+  private[sql] val underfillListenerSessions =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** One listener per session prints the admit-rate guidance whenever a
@@ -2435,39 +793,39 @@ object GraftSql {
 
   // (?is): case-insensitive, dot-matches-newline — statements arrive as
   // multi-line worksheet text, optionally ';'-terminated
-  private val CreateModelRe =
+  private[sql] val CreateModelRe =
     """(?is)^\s*CREATE\s+MODEL\s+`?([\w.-]+)`?\s*INPUT\s*\((.*?)\)\s*OUTPUT\s*\((.*?)\)\s*(?:COMMENT\s*'([^']*)')?\s*WITH\s*\((.*)\)\s*;?\s*$""".r
-  private val AlterModelRe =
+  private[sql] val AlterModelRe =
     """(?is)^\s*ALTER\s+MODEL\s+`?([\w.-]+)`?\s*SET\s*\(\s*'default_version'\s*=\s*'(\d+)'\s*\)\s*;?\s*$""".r
-  private val DescribeModelRe =
+  private[sql] val DescribeModelRe =
     """(?is)^\s*DESCRIBE\s+MODEL\s+`?([\w.$-]+)`?\s*;?\s*$""".r
-  private val ShowCorporaRe =
+  private[sql] val ShowCorporaRe =
     """(?is)^\s*SHOW\s+SEARCH\s+CORPORA\s*;?\s*$""".r
-  private val DropCorpusRe =
+  private[sql] val DropCorpusRe =
     """(?is)^\s*DROP\s+SEARCH\s+CORPUS\s+`?([\w.-]+)`?\s*;?\s*$""".r
-  private val MaintainCorpusRe =
+  private[sql] val MaintainCorpusRe =
     """(?is)^\s*MAINTAIN\s+SEARCH\s+CORPUS\s+`?([\w.-]+)`?\s+FROM\s+TOPIC\s+`?([\w.-]+)`?(?:\s+SEQ\s+`?(\w+)`?)?\s*;?\s*$""".r
-  private val ShowStatementsRe =
+  private[sql] val ShowStatementsRe =
     """(?is)^\s*SHOW\s+STATEMENTS\s*;?\s*$""".r
-  private val DescribeTableRe =
+  private[sql] val DescribeTableRe =
     """(?is)^\s*DESC(?:RIBE)?\s+(?!MODEL\b)`?([\w.-]+)`?\s*;?\s*$""".r
-  private val CreateTableRe =
+  private[sql] val CreateTableRe =
     """(?is)^\s*CREATE\s+TABLE\s+`?([\w.-]+)`?\s*\((.*)\)\s*WITH\s*\((.*?)\)\s*;?\s*$""".r
-  private val AlterTableAddRe =
+  private[sql] val AlterTableAddRe =
     """(?is)^\s*ALTER\s+TABLE\s+`?([\w.-]+)`?\s+ADD\s+COLUMNS?\s*\((.*)\)\s*;?\s*$""".r
-  private val CompactTableRe =
+  private[sql] val CompactTableRe =
     """(?is)^\s*COMPACT\s+TABLE\s+`?([\w.-]+)`?\s*;?\s*$""".r
-  private val ShowPropsRe =
+  private[sql] val ShowPropsRe =
     """(?is)^\s*SHOW\s+TBLPROPERTIES\s+`?([\w.-]+)`?\s*;?\s*$""".r
-  private val InsertIntoRe =
+  private[sql] val InsertIntoRe =
     """(?is)^\s*INSERT\s+INTO\s+`?([\w.-]+)`?\s*(?:\(([^)]*)\))?\s*(SELECT\b.*?)\s*;?\s*$""".r
   // Flink's quoted SET/RESET forms only — Spark's own unquoted
   // `SET spark.x=y` falls through to spark.sql untouched
-  private val SetOptionRe =
+  private[sql] val SetOptionRe =
     """(?is)^\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*;?\s*$""".r
-  private val ResetOptionRe =
+  private[sql] val ResetOptionRe =
     """(?is)^\s*RESET\s+'([^']+)'\s*;?\s*$""".r
-  private val InsertValuesRe =
+  private[sql] val InsertValuesRe =
     """(?is)^\s*INSERT\s+INTO\s+`?([\w.-]+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(\(.*\))\s*;?\s*$""".r
   // DuckDB's ASOF [LEFT] JOIN spelling; the ON clause runs to the next
   // top-level clause keyword (or end of statement)
@@ -2587,7 +945,7 @@ object GraftSql {
   }
 
   /** Column NAME of a single-column INPUT/OUTPUT clause. */
-  private def nameOf(clause: String): String =
+  private[sql] def nameOf(clause: String): String =
     clause.replace("`", "").trim.split("\\s+", 2).head
 
   /** `'k' = 'v', ...` option lists; keys normalized to lowercase (the
@@ -2600,9 +958,10 @@ object GraftSql {
   /** INPUT/OUTPUT clause like "input STRING" / "vector ARRAY<FLOAT>" —
     * the declared type is the part after the first identifier.
     */
-  private def typeOf(clause: String): String =
+  private[sql] def typeOf(clause: String): String =
     clause.replace("`", "").trim.split("\\s+", 2) match {
       case Array(_, t) => t.trim
       case _           => clause.trim
     }
 }
+
