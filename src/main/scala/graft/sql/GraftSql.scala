@@ -100,7 +100,10 @@ class GraftSql(
       pred: Option[String] = None, metric: String = "dot"): DataFrame = {
     import org.apache.spark.sql.functions._
     val qv = qv0.select(col("__qid"), col("__qvec"))
-    val c = canonCorpus(big.df, big.contentCol, big.vecCol)
+    // identical to canonCorpus(big.df, ...) for a normal registration;
+    // a CDC-maintained one resolves from its LIVE store (the compressed
+    // routes' exact re-rank then covers CDC-only contents)
+    val c = canonServe(big)
     def pool = math.max(k, math.min(big.numCandidates, 1000))
     def nProbeFor = graft.operators.IvfSearch.probesForBudget(
       VectorSearch.estimatedRows(c, corpusDim(c, big.tag)), 16,
@@ -188,10 +191,18 @@ class GraftSql(
         // guidance.
         val admitted = canonCorpus(big.df.filter(expr(p)),
           big.contentCol, big.vecCol).select("__cid")
+        // same loud under-fill as the in-flight over-fetch route below:
+        // the graph's post-filter has the identical silent failure mode
+        GraftSql.ensureUnderfillListener(spark)
         graft.operators.HnswSearch.searchIndexFiltered(spark,
-          hnswStoreFor(c, big), qv, "__qid", "__qvec", admitted, "__cid",
-          k, efSearch = math.max(k, math.min(big.numCandidates, 10000)),
-          overFetch = 16, maxQueries = 10000)
+            hnswStoreFor(c, big), qv, "__qid", "__qvec", admitted, "__cid",
+            k, efSearch = math.max(k, math.min(big.numCandidates, 10000)),
+            overFetch = 16, maxQueries = 10000)
+          .observe(
+            s"graft_overfetch_underfill_${GraftSql.obsSeq.incrementAndGet()}",
+            count(when(col("rank") === 1, true)).as("with_hits"),
+            count(when(col("rank") === k, true)).as("full_k"),
+            lit(big.indexType).as("family"), lit(k).as("k"))
       case ("pq" | "lsh" | "sq" | "bq", Some(p)) =>
         // the in-flight compressed/bucketed families have no payload
         // store to push a predicate into; the old exact pre-filter
@@ -723,6 +734,13 @@ object GraftSql {
     */
   private[sql] val AtRestFamilies: Seq[String] =
     Seq("hnsw", "ivf", "ivfpq", "ivfsq")
+
+  /** Families a cdc=true registration may declare — the payload stores
+    * whose CDC fronts replace vectors and metadata (ivf natively; the
+    * compressed pair carries the raw vector as payload so resolution
+    * and exact re-rank cover CDC-only contents).
+    */
+  private[sql] val CdcFamilies: Set[String] = Set("ivf", "ivfpq", "ivfsq")
 
   /** Per-source-topic monitor serializing streaming micro-batch
     * execution: the foreachBatch body shadows the topic's temp view by

@@ -86,12 +86,15 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
     // id IS the topic key. Serve-side id→content resolution then comes
     // from the LIVE store (the source frame is just the initial load),
     // and the registration is always store-backed (never collected).
-    // First cut is the 'ivf' payload family — the store carries every
-    // payload column, so CDC upserts replace metadata and all.
-    require(!cdc || indexType == "ivf",
-      s"cdc maintenance is supported on indexType='ivf' (got '$indexType') — " +
-        "the payload store family whose CDC front replaces vectors AND " +
-        "metadata; register with indexType='ivf' or drop cdc")
+    // The payload-store families carry CDC: ivf (raw vectors native)
+    // and ivfpq/ivfsq (the raw vector rides as payload on cdc
+    // registrations so the exact re-rank and id→content resolution
+    // cover CDC-only contents too).
+    require(!cdc || GraftSql.CdcFamilies.contains(indexType),
+      s"cdc maintenance is supported on the payload-store families " +
+        s"${GraftSql.CdcFamilies.mkString("/")} (got '$indexType') — " +
+        "their CDC fronts replace vectors AND metadata; re-register " +
+        "under one of them or drop cdc")
     require(!cdc || !lexicalIndex,
       "cdc=true with lexicalIndex=true is not supported: the lexical " +
         "store would serve the frozen initial load while vectors move")
@@ -204,7 +207,13 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
     }
     // the store must exist before the first CDC batch (the CDC front
     // appends/tombstones, it never bootstraps)
-    val path = ivfStoreFor(big.df, big.contentCol, big.vecCol, big)
+    val path = big.indexType match {
+      case "ivf" => ivfStoreFor(big.df, big.contentCol, big.vecCol, big)
+      case "ivfpq" => ivfPqStoreFor(big.df, big.contentCol, big.vecCol, big)
+      case "ivfsq" => ivfSqStoreFor(big.df, big.contentCol, big.vecCol, big)
+      case other => throw new IllegalStateException(
+        s"cdc registration on unsupported family '$other'")
+    }
     // the checkpoint is PER (name, registration) and re-issues reuse it:
     // the store's writer claim is bound to the first checkpoint's
     // namespace, so a fresh checkpoint per MAINTAIN would refuse itself
@@ -219,8 +228,14 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
     val recs0 = if (big.normalized)
       GraftSql.l2Normalize(changes, big.vecCol) else changes
     val recs = recs0.withColumn("__cid", xxhash64(col(big.contentCol)))
-    val q = graft.streaming.Streams.ivfCdcStream(
-      recs, "__cid", big.vecCol, path, ckpt, seqCol)
+    val q = big.indexType match {
+      case "ivf" => graft.streaming.Streams.ivfCdcStream(
+        recs, "__cid", big.vecCol, path, ckpt, seqCol)
+      case "ivfpq" => graft.streaming.Streams.ivfPqCdcStream(
+        recs, "__cid", big.vecCol, path, ckpt, seqCol)
+      case _ => graft.streaming.Streams.ivfSqCdcStream(
+        recs, "__cid", big.vecCol, path, ckpt, seqCol)
+    }
     started.add(q)
     lastStartedStream.set(q)
     maintStreams(name) = q
@@ -401,11 +416,27 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
     if (!big.cdcKeyed) canonCorpus(big.df, big.contentCol, big.vecCol)
     else {
       import org.apache.spark.sql.functions._
-      val path = ivfStoreFor(big.df, big.contentCol, big.vecCol, big)
+      // ivf stores raw vectors natively; the compressed families carry
+      // the raw vector as a payload column on cdc registrations
+      // (payloadSource keepVecPayload) — either way the live store IS
+      // the canonical corpus, vectors included, so the exact re-rank of
+      // compressed survivors covers CDC-only contents too
+      val (path, vecExpr) = big.indexType match {
+        case "ivf" =>
+          (ivfStoreFor(big.df, big.contentCol, big.vecCol, big), col("vec"))
+        case "ivfpq" =>
+          (ivfPqStoreFor(big.df, big.contentCol, big.vecCol, big),
+            col(big.vecCol))
+        case "ivfsq" =>
+          (ivfSqStoreFor(big.df, big.contentCol, big.vecCol, big),
+            col(big.vecCol))
+        case other => throw new IllegalStateException(
+          s"cdc registration on unsupported family '$other'")
+      }
       graft.operators.Tombstones.filterLive(spark, path,
           spark.read.parquet(s"$path/corpus"), "id", "epoch")
         .select(col("id").as("__cid"),
-          col(big.contentCol).as("__content"), col("vec").as("__cvec"))
+          col(big.contentCol).as("__content"), vecExpr.as("__cvec"))
     }
 
   /** Build-once persisted HNSW store for a beyond-cap registration.
@@ -471,7 +502,8 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
     */
   private[sql] def payloadSource(src: DataFrame, contentCol: String,
       vecCol: String, reserved: Set[String], family: String,
-      idFromContentOnly: Boolean = false): (DataFrame, Seq[String]) = {
+      idFromContentOnly: Boolean = false,
+      keepVecPayload: Boolean = false): (DataFrame, Seq[String]) = {
     import org.apache.spark.sql.functions._
     // a source column named like a reserved store column could not ride
     // as payload, so a predicate over it would silently resolve against
@@ -483,17 +515,30 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
         s"reserved store columns ${reserved.toSeq.sorted.mkString("(", "/", ")")} — " +
         "rename them before registering")
     // the vector column is already the store's `vec` — carrying it
-    // again would double the store bytes for nothing
-    val payload = src.columns.toSeq.filterNot(_ == vecCol)
+    // again would double the store bytes for nothing. EXCEPT on a
+    // CDC-maintained compressed store (keepVecPayload): ivfpq/ivfsq
+    // discard raw vectors at encode time, but a maintained registration
+    // resolves everything from the LIVE store — including the exact
+    // re-rank of the ADC/dequantized survivors — so the raw vector
+    // rides as a payload column (the FAISS-refine/Lucene-stored-fields
+    // posture: scan compression is kept — probes still read codes only,
+    // parquet prunes the vector column — at the cost of at-rest bytes).
+    val payload =
+      if (keepVecPayload) src.columns.toSeq
+      else src.columns.toSeq.filterNot(_ == vecCol)
     // a CDC-maintained store keys by CONTENT alone: a keyed change
     // topic's upsert must tombstone the content's OLD row by the id it
     // can derive from the record it holds — content+vector ids would
     // leave the old vector alive under a vector change
-    val keyed = src
+    val keyed0 = src
       .withColumn("__cvec", col(vecCol).cast("array<float>"))
       .withColumn("__cid",
         if (idFromContentOnly) xxhash64(col(contentCol))
         else xxhash64(col(contentCol), col("__cvec")))
+    // the payload copy of the vector is the CAST form — the re-rank
+    // kernels read array<float>
+    val keyed = if (keepVecPayload) keyed0.withColumn(vecCol, col("__cvec"))
+      else keyed0
     val orderable = keyed.schema.fields
       .filter(f => payload.contains(f.name))
       .forall(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
@@ -522,7 +567,8 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
     GraftSql.hnswBuildLock.synchronized {
       if (!graft.operators.FsUtil.exists(spark, s"$path/stats/_SUCCESS")) {
         val (withIds, payload) = payloadSource(src, contentCol, vecCol,
-          Set("id", "vec", "cell", "epoch", "codes", "v", "rv"), "ivfpq")
+          Set("id", "vec", "cell", "epoch", "codes", "v", "rv"), "ivfpq",
+          idFromContentOnly = big.cdcKeyed, keepVecPayload = big.cdcKeyed)
         graft.operators.IvfPqIndex.writeIndex(withIds, "__cid", "__cvec",
           path, nList = 16, m = 8, kCodes = 16, payload = payload)
       }
@@ -539,7 +585,8 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
     GraftSql.hnswBuildLock.synchronized {
       if (!graft.operators.FsUtil.exists(spark, s"$path/stats/_SUCCESS")) {
         val (withIds, payload) = payloadSource(src, contentCol, vecCol,
-          Set("id", "vec", "cell", "epoch", "codes", "v"), "ivfsq")
+          Set("id", "vec", "cell", "epoch", "codes", "v"), "ivfsq",
+          idFromContentOnly = big.cdcKeyed, keepVecPayload = big.cdcKeyed)
         graft.operators.IvfSqIndex.writeIndex(withIds, "__cid", "__cvec",
           path, nList = 16, dim = corpusDim(withIds, big.tag),
           payload = payload)

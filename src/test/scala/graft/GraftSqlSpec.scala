@@ -2088,25 +2088,33 @@ LATERAL TABLE(FILTERED_SEARCH('fpq_underfill', 3, qv, 'CAST(content AS BIGINT) =
       w.get)
   }
 
-  test("MAINTAIN SEARCH CORPUS: a cdc registration's store tracks a keyed " +
+  // all three payload-store families: ivf serves raw vectors natively;
+  // ivfpq/ivfsq re-rank exactly through the raw-vector PAYLOAD a cdc
+  // registration carries — numCandidates >= corpus makes every family's
+  // serve exact over whatever the live store holds, so one strict gate
+  // covers the ladder.
+  for (family <- Seq("ivf", "ivfpq", "ivfsq"))
+  test(s"MAINTAIN SEARCH CORPUS ($family): the store tracks a keyed " +
       "change topic — deletes vanish, upserts re-vector, new contents serve") {
-    import org.apache.spark.sql.types._
     val g = facade()
     import spark.implicits._
     val emb = Tables(spark, sf, "embeddings")
     val corpus = emb.filter(col("vec_id") < 400)
       .select(col("vec_id").cast("string").as("content"),
         col("embedding").as("vector"), col("label"))
-    g.registerSearchCorpus("cdc_corpus", corpus, "content", "vector",
-      maxRows = 0, numCandidates = 10000, indexType = "ivf", cdc = true)
-    // queries: a handful of corpus vectors; numCandidates ≥ corpus ⇒
-    // full probe ⇒ the serve is EXACT over whatever the store holds
+    val cname = s"cdc_corpus_$family"
+    g.registerSearchCorpus(cname, corpus, "content", "vector",
+      maxRows = 0, numCandidates = 10000, indexType = family, cdc = true)
+    // queries: a handful of corpus vectors; numCandidates >= corpus =>
+    // full probe + full survivor pool => the serve is EXACT over
+    // whatever the store holds (compressed families exact-re-rank ALL
+    // candidates through the payload vectors)
     val qs = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 400)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     qs.createOrReplaceTempView("cdc_qs")
     def serve(): Map[Long, Seq[Long]] =
-      g.execute("""SELECT query_id, search_results FROM cdc_qs,
-LATERAL TABLE(FEDERATED_SEARCH('cdc_corpus', 3, qv));""")
+      g.execute(s"""SELECT query_id, search_results FROM cdc_qs,
+LATERAL TABLE(FEDERATED_SEARCH('$cname', 3, qv));""")
         .select(col("query_id"),
           expr("transform(coalesce(search_results, array()), " +
             "m -> CAST(m.content AS BIGINT))").as("hits"))
@@ -2125,46 +2133,52 @@ LATERAL TABLE(FEDERATED_SEARCH('cdc_corpus', 3, qv));""")
     // vector to vec 450's (not in the corpus), add NEW content 9001
     // with vec 460's vector
     val victim = serve()(0L).head
-    g.execute("""CREATE TABLE `cdc_changes` (
+    val topic = s"cdc_changes_$family"
+    g.execute(s"""CREATE TABLE `$topic` (
     `content` STRING, `vector` ARRAY<FLOAT>, `label` BIGINT, `seq` BIGINT
 ) WITH ('value.format' = 'json-registry');""")
     val v450 = emb.filter(col("vec_id") === 450)
       .select("embedding").as[Seq[Float]].head
     val v460 = emb.filter(col("vec_id") === 460)
       .select("embedding").as[Seq[Float]].head
-    g.topics.insertInto("cdc_changes", Seq(
+    g.topics.insertInto(topic, Seq(
       (victim.toString, null.asInstanceOf[Seq[Float]], 0L, 1L),
       ("3", v450, 7L, 2L),
       ("9001", v460, 9L, 3L)
     ).toDF("content", "vector", "label", "seq"))
-    g.execute("MAINTAIN SEARCH CORPUS cdc_corpus FROM TOPIC cdc_changes SEQ seq;")
+    g.execute(s"MAINTAIN SEARCH CORPUS $cname FROM TOPIC $topic SEQ seq;")
     g.activeStreams.last.awaitTermination()
     // post-CDC ground truth, assembled from the same change set
     val postCdc = initial.filter(col("mid") =!= victim && col("mid") =!= 3)
       .unionByName(Seq((3L, v450), (9001L, v460)).toDF("mid", "mvec"))
     val after = serve()
     assert(after == exactOver(postCdc),
-      s"post-CDC serve diverged from exact over the changed corpus")
+      s"post-CDC $family serve diverged from exact over the changed corpus")
     assert(!after.values.flatten.toSet.contains(victim),
       s"deleted content $victim still serves")
-    // DROP refuses while the drained stream's claim stands (claims
-    // outlive termination), then the facade release + DROP reclaims
-    val e = intercept[IllegalStateException] {
-      g.execute("DROP SEARCH CORPUS cdc_corpus;") }
-    assert(e.getMessage.contains("writer claim"), e.getMessage)
-    g.releaseCorpusWriterClaims("cdc_corpus")
-    g.execute("DROP SEARCH CORPUS cdc_corpus;").collect()
-    // ...and the text shapes refuse a maintained registration loudly
-    g.registerSearchCorpus("cdc_corpus2", corpus, "content", "vector",
-      maxRows = 0, indexType = "ivf", cdc = true)
-    val e2 = intercept[IllegalArgumentException] {
-      g.execute("""SELECT query_id, search_results FROM cdc_qs,
+    if (family == "ivf") {
+      // DROP refuses while the drained stream's claim stands (claims
+      // outlive termination), then the facade release + DROP reclaims
+      val e = intercept[IllegalStateException] {
+        g.execute(s"DROP SEARCH CORPUS $cname;") }
+      assert(e.getMessage.contains("writer claim"), e.getMessage)
+      g.releaseCorpusWriterClaims(cname)
+      g.execute(s"DROP SEARCH CORPUS $cname;").collect()
+      // ...and the text shapes refuse a maintained registration loudly
+      g.registerSearchCorpus("cdc_corpus2", corpus, "content", "vector",
+        maxRows = 0, indexType = "ivf", cdc = true)
+      val e2 = intercept[IllegalArgumentException] {
+        g.execute("""SELECT query_id, search_results FROM cdc_qs,
 LATERAL TABLE(PRF_SEARCH('cdc_corpus2', 3, CAST(query_id AS STRING)));""")
-        .collect()
+          .collect()
+      }
+      assert(e2.getMessage.contains("CDC-maintained"), e2.getMessage)
+      g.releaseCorpusWriterClaims("cdc_corpus2")
+      g.execute("DROP SEARCH CORPUS cdc_corpus2;").collect()
+    } else {
+      g.releaseCorpusWriterClaims(cname)
+      g.execute(s"DROP SEARCH CORPUS $cname;").collect()
     }
-    assert(e2.getMessage.contains("CDC-maintained"), e2.getMessage)
-    g.releaseCorpusWriterClaims("cdc_corpus2")
-    g.execute("DROP SEARCH CORPUS cdc_corpus2;").collect()
   }
 
   test("HYBRID/MMR internal ladder depths clamp to a small declared " +
