@@ -532,6 +532,44 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("cdc-maintained ivfpq serve: the code probe stays pruned — the " +
+      "raw-vector payload never rides the code scan — and the exact " +
+      "re-rank reads the LIVE store's payload vectors") {
+    // the cdc layout stores the raw vector as payload so CDC-only
+    // contents re-rank exactly; the price must stay at-rest only:
+    // parquet column pruning keeps the ADC probe reading codes (never
+    // the payload vector), while the re-rank/resolution legs read the
+    // payload vector from the store instead of the frozen source
+    import org.apache.spark.sql.functions._
+    val g = new graft.sql.GraftSql(spark, new graft.sources.TopicCatalog(
+      spark, java.nio.file.Files.createTempDirectory("graft_pa_cdc").toString))
+    val emb = Tables(spark, sf, "embeddings")
+    g.registerSearchCorpus("pa_cdc_pq",
+      emb.select(col("vec_id").cast("string").as("content"),
+        col("embedding").as("vector"), col("label")),
+      "content", "vector", maxRows = 0, indexType = "ivfpq", cdc = true)
+    emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .createOrReplaceTempView("pa_cdc_qs")
+    val df = g.execute("""SELECT query_id, search_results FROM pa_cdc_qs,
+LATERAL TABLE(FEDERATED_SEARCH('pa_cdc_pq', 3, qv));""")
+    val ss = df.queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }
+    val store = ss.filter(s =>
+      s.metadata.getOrElse("Location", "").contains("graft_sql_ivfpq"))
+    assert(store.nonEmpty, "maintained serve did not read its persisted store")
+    val codeScans = store.filter(_.requiredSchema.fieldNames.contains("codes"))
+    assert(codeScans.nonEmpty, "no code scan in the maintained serve")
+    codeScans.foreach(s =>
+      assert(!s.requiredSchema.fieldNames.contains("vector"),
+        s"raw-vector payload rode the code scan: " +
+          s.requiredSchema.fieldNames.mkString(",")))
+    assert(store.exists(s => s.requiredSchema.fieldNames.contains("vector")),
+      "no store scan reads the payload vector — the re-rank fell back " +
+        "to the frozen source")
+    g.execute("DROP SEARCH CORPUS pa_cdc_pq;").collect()
+  }
+
   test("tombstone-filtered IVF serve: dead-row filter is an equi-join, " +
       "store scan still prunes to probed cells") {
     import spark.implicits._
