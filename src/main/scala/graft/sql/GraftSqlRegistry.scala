@@ -189,12 +189,16 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
     * cdc=true registration contract), so an upsert tombstones the
     * content's old row and lands the new vector+payload in one
     * sub-epoch pair. The stream claims the store (single-writer,
-    * enforced); it drains with AvailableNow semantics — re-issue to
-    * apply later topic appends, same checkpoint re-claims idempotently.
+    * enforced). Trigger: AvailableNow by default (drain-and-stop;
+    * re-issue to apply later topic appends — the same checkpoint
+    * re-claims idempotently), or honor `SET 'execution.trigger'` /
+    * the explicit param for the reference's run-forever maintenance
+    * (the store stays in step with the topic until the stream stops).
     */
   def maintainSearchCorpus(name: String, changes: DataFrame,
       seqCol: Option[String] = None,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      trigger: Option[Trigger] = None): StreamingQuery = {
     import org.apache.spark.sql.functions._
     val big = corpora.get(name) match {
       case Some(b: DfCorpus) if b.cdcKeyed => b
@@ -228,13 +232,22 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
     val recs0 = if (big.normalized)
       GraftSql.l2Normalize(changes, big.vecCol) else changes
     val recs = recs0.withColumn("__cid", xxhash64(col(big.contentCol)))
+    // explicit param > session `SET 'execution.trigger'` > drain-once.
+    // (Unlike continuous INSERT, unset means AvailableNow here — the
+    // established MAINTAIN semantic; set an interval for run-forever.)
+    val trig = trigger.getOrElse(sessionOpts.get("execution.trigger") match {
+      case Some(t) if t.equalsIgnoreCase("available-now") =>
+        Trigger.AvailableNow()
+      case Some(interval) => Trigger.ProcessingTime(interval)
+      case None => Trigger.AvailableNow()
+    })
     val q = big.indexType match {
       case "ivf" => graft.streaming.Streams.ivfCdcStream(
-        recs, "__cid", big.vecCol, path, ckpt, seqCol)
+        recs, "__cid", big.vecCol, path, ckpt, seqCol, trigger = trig)
       case "ivfpq" => graft.streaming.Streams.ivfPqCdcStream(
-        recs, "__cid", big.vecCol, path, ckpt, seqCol)
+        recs, "__cid", big.vecCol, path, ckpt, seqCol, trigger = trig)
       case _ => graft.streaming.Streams.ivfSqCdcStream(
-        recs, "__cid", big.vecCol, path, ckpt, seqCol)
+        recs, "__cid", big.vecCol, path, ckpt, seqCol, trigger = trig)
     }
     started.add(q)
     lastStartedStream.set(q)

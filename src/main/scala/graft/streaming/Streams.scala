@@ -347,11 +347,16 @@ object Streams {
       indexPath: String, checkpointDir: String,
       seqCol: Option[String] = None,
       onStats: graft.operators.AppendStats => Unit = _ => (),
-      compactEvery: Long = 0): StreamingQuery = {
+      compactEvery: Long = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     claimStore(records, indexPath, checkpointDir)
     records.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      // AvailableNow by default (drain-and-stop — the spec/board
+      // cadence); a ProcessingTime trigger turns the front into the
+      // reference's run-forever maintenance (the store stays in step
+      // with the topic until the stream is stopped)
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
         val resolved = resolveCdc(batch, idCol, vecCol, seqCol)
@@ -393,11 +398,12 @@ object Streams {
       indexPath: String, checkpointDir: String,
       seqCol: Option[String] = None,
       onStats: graft.operators.AppendStats => Unit = _ => (),
-      compactEvery: Long = 0): StreamingQuery = {
+      compactEvery: Long = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     claimStore(records, indexPath, checkpointDir)
     records.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
         val resolved = resolveCdc(batch, idCol, vecCol, seqCol)
@@ -431,11 +437,12 @@ object Streams {
       indexPath: String, checkpointDir: String,
       seqCol: Option[String] = None,
       onStats: graft.operators.AppendStats => Unit = _ => (),
-      compactEvery: Long = 0): StreamingQuery = {
+      compactEvery: Long = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     claimStore(records, indexPath, checkpointDir)
     records.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
         val resolved = resolveCdc(batch, idCol, vecCol, seqCol)

@@ -2181,6 +2181,56 @@ LATERAL TABLE(PRF_SEARCH('cdc_corpus2', 3, CAST(query_id AS STRING)));""")
     }
   }
 
+  test("perpetual MAINTAIN: under SET 'execution.trigger', the maintenance " +
+      "stream keeps the store in step with records produced AFTER start") {
+    // the reference's deployment shape on the maintenance side: the
+    // statement runs forever and the index tracks the topic — not the
+    // drain-once default. The probe polls the serve until the
+    // post-start delete lands (bounded wait).
+    val g = facade()
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.filter(col("vec_id") < 300)
+      .select(col("vec_id").cast("string").as("content"),
+        col("embedding").as("vector"))
+    g.registerSearchCorpus("cdc_live", corpus, "content", "vector",
+      maxRows = 0, numCandidates = 10000, indexType = "ivf", cdc = true)
+    g.execute("""CREATE TABLE `cdc_live_changes` (
+    `content` STRING, `vector` ARRAY<FLOAT>
+) WITH ('value.format' = 'json-registry');""")
+    g.execute("SET 'execution.trigger' = '250 milliseconds';")
+    g.execute("MAINTAIN SEARCH CORPUS cdc_live FROM TOPIC cdc_live_changes;")
+    val stream = g.activeStreams.last
+    try {
+      assert(stream.isActive,
+        "perpetual MAINTAIN stopped immediately — trigger not honored")
+      emb.filter(col("vec_id") === 7)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .createOrReplaceTempView("cdc_live_qs")
+      def top(): Long = g.execute(
+          """SELECT query_id, search_results FROM cdc_live_qs,
+LATERAL TABLE(FEDERATED_SEARCH('cdc_live', 1, qv));""")
+        .select(expr("CAST(search_results[0].content AS BIGINT)"))
+        .as[Long].head
+      assert(top() == 7L, "fixture: query 7 must self-match pre-delete")
+      // the delete arrives AFTER the stream started
+      g.topics.insertInto("cdc_live_changes",
+        Seq(("7", null.asInstanceOf[Seq[Float]])).toDF("content", "vector"))
+      val deadline = System.currentTimeMillis() + 90000
+      var t = top()
+      while (t == 7L && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300); t = top()
+      }
+      assert(t != 7L,
+        "perpetual maintenance never applied the post-start delete")
+    } finally {
+      stream.stop()
+      g.execute("RESET 'execution.trigger';")
+    }
+    g.releaseCorpusWriterClaims("cdc_live")
+    g.execute("DROP SEARCH CORPUS cdc_live;").collect()
+  }
+
   test("HYBRID/MMR internal ladder depths clamp to a small declared " +
       "numCandidates budget instead of failing the k-within-budget require") {
     val g = facade()
