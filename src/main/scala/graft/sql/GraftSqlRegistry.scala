@@ -258,9 +258,13 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
   /** The README claim-recovery recipe as a facade call: once `name`'s
     * maintenance stream has terminated, retire the writer-claim
     * sidecars of its at-rest stores so DROP SEARCH CORPUS (or
-    * re-registration GC) can reclaim the bytes. Refuses while the
-    * stream is still active — claims exist precisely so a live writer's
-    * store cannot be deleted under it.
+    * re-registration GC) can reclaim the bytes. Two refusals guard it:
+    * the tracked maintenance stream must be inactive (claims exist
+    * precisely so a live writer's store cannot be deleted under it),
+    * and only claims THIS facade minted are released — a claim whose
+    * owner is a foreign checkpoint (an operator-level CDC stream this
+    * facade never started, possibly still live in another process) is
+    * left intact with the manual recipe named.
     */
   def releaseCorpusWriterClaims(name: String): DataFrame = {
     maintStreams.get(name).foreach(q => require(!q.isActive,
@@ -268,17 +272,28 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
         "stop it (or let its AvailableNow drain finish) before releasing " +
         "its writer claims"))
     val famTags = corpora.get(name).toSeq.collect { case b: DfCorpus => b.tag }
-    val released = famTags.flatMap(t =>
+    val ownCkpts = maintCkpts.collect {
+      case (k, v) if k.startsWith(s"$name|") => v }.toSet
+    val claimed = famTags.flatMap(t =>
       GraftSql.AtRestFamilies.map(f => storePath(f, t)))
-      .filter(p => graft.operators.IndexMaintenance
-        .currentClaim(spark, p).isDefined)
-    released.foreach { p =>
+      .flatMap(p => graft.operators.IndexMaintenance
+        .currentClaim(spark, p).map { case (_, owner) => (p, owner) })
+    val (own, foreign) = claimed.partition { case (_, owner) =>
+      ownCkpts.contains(owner) }
+    require(foreign.isEmpty,
+      s"release claims on '$name': store(s) " +
+        foreign.map(_._1).mkString("[", ", ", "]") +
+        " are claimed by writer(s) this facade did not start (" +
+        foreign.map(_._2).mkString(", ") + ") — a foreign stream may " +
+        "still be live; stop it, then delete the store's " +
+        "_writer/namespace sidecar manually. Nothing was released")
+    own.foreach { case (p, _) =>
       val hp = new org.apache.hadoop.fs.Path(s"$p/_writer")
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(hp, true)
     }
     maintStreams.remove(name)
-    status(s"released ${released.size} writer claim(s) on $name")
+    status(s"released ${own.size} writer claim(s) on $name")
   }
 
   /** Store paths a retirement pass could NOT delete (writer-claimed at

@@ -2181,6 +2181,38 @@ LATERAL TABLE(PRF_SEARCH('cdc_corpus2', 3, CAST(query_id AS STRING)));""")
     }
   }
 
+  test("releaseCorpusWriterClaims refuses a claim this facade did not " +
+      "mint — a foreign writer may still be live") {
+    val g = facade()
+    val emb = Tables(spark, sf, "embeddings")
+    g.registerSearchCorpus("cdc_foreign",
+      emb.select(col("vec_id").cast("string").as("content"),
+        col("embedding").as("vector")),
+      "content", "vector", maxRows = 0, indexType = "ivf", cdc = true)
+    // a serve builds the store
+    emb.limit(1).select(col("embedding").as("qv"))
+      .createOrReplaceTempView("cdcf_qs")
+    g.execute("""SELECT qv FROM cdcf_qs,
+LATERAL TABLE(FEDERATED_SEARCH('cdc_foreign', 1, qv));""").collect()
+    val app = spark.sparkContext.applicationId
+    val store = Option(new java.io.File(
+        System.getProperty("java.io.tmpdir")).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith(s"graft_sql_ivf_${app}_sql_cdc_foreign_"))
+      .head.getAbsolutePath
+    // an operator-level CDC stream (not this facade) claims the store
+    graft.operators.IndexMaintenance.claimWriter(
+      spark, store, 12345L, "/elsewhere/ckpt")
+    val e = intercept[IllegalArgumentException] {
+      g.releaseCorpusWriterClaims("cdc_foreign") }
+    assert(e.getMessage.contains("did not start"), e.getMessage)
+    // the manual recipe (stop the foreign writer, delete its sidecar)
+    // still applies; exercise it so DROP reclaims and nothing leaks
+    val hp = new org.apache.hadoop.fs.Path(s"$store/_writer")
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(hp, true)
+    g.execute("DROP SEARCH CORPUS cdc_foreign;").collect()
+  }
+
   test("perpetual MAINTAIN: under SET 'execution.trigger', the maintenance " +
       "stream keeps the store in step with records produced AFTER start") {
     // the reference's deployment shape on the maintenance side: the
