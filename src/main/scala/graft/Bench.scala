@@ -119,19 +119,22 @@ object Bench {
     // round's min); the floor answers "what does this plan cost on a
     // fair window", which queries alone cannot once a window is slow.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
+    val priorRoot =
+      try Some(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(fullPath)))))
+      catch { case _: Throwable => None }
+    // floors only union across runs of the SAME scale factor: one run
+    // at a smaller SF would otherwise permanently contaminate the
+    // committed floor with minima no sf0.1 plan can reach
     def priorMap(field: String): Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(fullPath)))
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(txt).get(field)
-        if (node == null) Map.empty
-        else {
+      priorRoot.filter(r =>
+          Option(r.get("sf")).exists(_.asText() == sfDir))
+        .flatMap(r => Option(r.get(field))).map { node =>
           import scala.jdk.CollectionConverters._
           node.properties().asScala
             .map(e => e.getKey -> e.getValue.asDouble()).toMap
-        }
-      } catch { case _: Throwable => Map.empty }
+        }.getOrElse(Map.empty)
     val priorQ = priorMap("queries")
     val priorFloor = priorMap("historical_floor")
     val floor = results.map { case (name, v) =>

@@ -97,13 +97,17 @@ class GraftSql(
     * serves its build metric regardless (it comes from `_meta`).
     */
   private[sql] def rankedForFamily(qv0: DataFrame, big: DfCorpus, k: Int,
-      pred: Option[String] = None, metric: String = "dot"): DataFrame = {
+      pred: Option[String] = None, metric: String = "dot",
+      canon: DataFrame = null): DataFrame = {
     import org.apache.spark.sql.functions._
     val qv = qv0.select(col("__qid"), col("__qvec"))
     // identical to canonCorpus(big.df, ...) for a normal registration;
     // a CDC-maintained one resolves from its LIVE store (the compressed
-    // routes' exact re-rank then covers CDC-only contents)
-    val c = canonServe(big)
+    // routes' exact re-rank then covers CDC-only contents). Callers
+    // that already derived the frame pass it in (`canon`) — a cdc
+    // derivation reads the persisted store, and the serve hot path
+    // must not list/derive it twice per statement.
+    val c = if (canon != null) canon else canonServe(big)
     def pool = math.max(k, math.min(big.numCandidates, 1000))
     def nProbeFor = graft.operators.IvfSearch.probesForBudget(
       VectorSearch.estimatedRows(c, corpusDim(c, big.tag)), 16,
@@ -229,7 +233,7 @@ class GraftSql(
         // (A query whose admitted pool is EMPTY yields no rows at all —
         // already visible to the caller as an empty result.)
         GraftSql.ensureUnderfillListener(spark)
-        rankedForFamily(qv0, big, depth, None, metric)
+        rankedForFamily(qv0, big, depth, None, metric, canon = c)
           .join(admitted, Seq("__cid"), "left_semi")
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= k)
@@ -263,7 +267,8 @@ class GraftSql(
     val q = base.withColumn("__qid", xxhash64(expr(vecExpr)))
     val c = canonServe(big)
     val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"))
-    searchResultsView("fedsearch", q, rankedForFamily(qv, big, k), c, views)
+    searchResultsView("fedsearch", q,
+      rankedForFamily(qv, big, k, canon = c), c, views)
   }
 
   /** Index-served FILTERED_SEARCH for a beyond-cap registration: the
@@ -293,7 +298,7 @@ class GraftSql(
     val qv = q.select(col("__qid"), expr(vecExpr).as("__qvec"))
     val c = canonServe(big)
     searchResultsView("filteredsearch", q,
-      rankedForFamily(qv, big, k, Some(pred)), c, views)
+      rankedForFamily(qv, big, k, Some(pred), canon = c), c, views)
   }
 
   /** RADIUS_SEARCH: everything within a similarity threshold of each

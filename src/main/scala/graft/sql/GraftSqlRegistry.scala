@@ -200,14 +200,17 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
       checkpointDir: Option[String] = None,
       trigger: Option[Trigger] = None): StreamingQuery = {
     import org.apache.spark.sql.functions._
-    val big = corpora.get(name) match {
-      case Some(b: DfCorpus) if b.cdcKeyed => b
-      case Some(_) => throw new IllegalArgumentException(
+    // resolveCorpus, not corpora.get: an external CREATE TABLE corpus
+    // declaring '<connector>.index.cdc' is still LazyCorpus until its
+    // first search — MAINTAIN must bind it too, or the advertised
+    // CREATE TABLE flow fails telling the user to set the very option
+    // they already set
+    val big = resolveCorpus(name) match {
+      case b: DfCorpus if b.cdcKeyed => b
+      case _ => throw new IllegalArgumentException(
         s"search corpus '$name' was not registered with cdc=true — " +
           "CDC maintenance needs content-keyed store ids; re-register " +
           "with cdc=true (or '<connector>.index.cdc'='true')")
-      case None => throw new IllegalArgumentException(
-        s"unknown search corpus '$name'")
     }
     // the store must exist before the first CDC batch (the CDC front
     // appends/tombstones, it never bootstraps)
@@ -222,10 +225,18 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
     // the store's writer claim is bound to the first checkpoint's
     // namespace, so a fresh checkpoint per MAINTAIN would refuse itself
     // as a foreign writer on the second issue (re-claiming the same
-    // checkpoint is the blessed restart)
+    // checkpoint is the blessed restart). A session-level
+    // 'execution.checkpoint-dir' is a BASE: each maintenance stream
+    // gets its own (name, tag)-keyed subdir — two MAINTAINs sharing one
+    // literal checkpoint would resume each other's topic offsets, and a
+    // re-registered corpus (fresh tag, fresh empty store) must re-read
+    // the topic from the start, not skip its already-committed batches.
+    // An EXPLICIT checkpointDir param is honored verbatim (the caller
+    // owns its lifecycle — pass a distinct dir per registration).
     val ckpt = maintCkpts.getOrElseUpdate(s"$name|${big.tag}",
       checkpointDir.orElse(
-        sessionOpts.get("execution.checkpoint-dir")).getOrElse(
+        sessionOpts.get("execution.checkpoint-dir")
+          .map(base => s"$base/maint_${name}_${big.tag}")).getOrElse(
         java.nio.file.Files.createTempDirectory("graft_sql_maint_").toString))
     // a normalized registration normalizes its upserts too (NULL
     // vectors — deletes — pass through untouched)
@@ -274,8 +285,13 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
     val famTags = corpora.get(name).toSeq.collect { case b: DfCorpus => b.tag }
     val ownCkpts = maintCkpts.collect {
       case (k, v) if k.startsWith(s"$name|") => v }.toSet
-    val claimed = famTags.flatMap(t =>
-      GraftSql.AtRestFamilies.map(f => storePath(f, t)))
+    // pending-retire paths too: a claim this facade minted on a
+    // SUPERSEDED registration's store (skipped by re-registration GC)
+    // must be releasable here, or DROP stays blocked on it forever —
+    // the manual-sidecar surgery this API exists to replace
+    val claimed = (famTags.flatMap(t =>
+        GraftSql.AtRestFamilies.map(f => storePath(f, t))) ++
+        pendingRetire.getOrElse(name, Set.empty)).distinct
       .flatMap(p => graft.operators.IndexMaintenance
         .currentClaim(spark, p).map { case (_, owner) => (p, owner) })
     val (own, foreign) = claimed.partition { case (_, owner) =>

@@ -2213,6 +2213,70 @@ LATERAL TABLE(FEDERATED_SEARCH('cdc_foreign', 1, qv));""").collect()
     g.execute("DROP SEARCH CORPUS cdc_foreign;").collect()
   }
 
+  test("MAINTAIN binds an external CREATE TABLE corpus declaring " +
+      "index.cdc — the advertised flow needs no prior search statement") {
+    val g = facade()
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    emb.filter(col("vec_id") < 200)
+      .select(col("vec_id").cast("string").as("content"),
+        col("embedding").as("vector"))
+      .createOrReplaceTempView("cdcext_backing")
+    g.execute("""CREATE TABLE `cdcext` (
+    `content` STRING,
+    `vector`  ARRAY<FLOAT>
+) WITH ('connector' = 'mongodb', 'mongodb.collection' = 'cdcext_backing',
+        'mongodb.index.type' = 'ivf', 'mongodb.index.cdc' = 'true');""")
+    g.execute("""CREATE TABLE `cdcext_ch` (
+    `content` STRING, `vector` ARRAY<FLOAT>
+) WITH ('value.format' = 'json-registry');""")
+    g.topics.insertInto("cdcext_ch",
+      Seq(("7", null.asInstanceOf[Seq[Float]])).toDF("content", "vector"))
+    // MAINTAIN is the FIRST statement touching the lazy corpus — it
+    // must bind it (resolveCorpus), not throw 'not registered with cdc'
+    g.execute("MAINTAIN SEARCH CORPUS cdcext FROM TOPIC cdcext_ch;")
+    g.activeStreams.last.awaitTermination()
+    emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .createOrReplaceTempView("cdcext_qs")
+    val top = g.execute("""SELECT query_id, search_results FROM cdcext_qs,
+LATERAL TABLE(FEDERATED_SEARCH('cdcext', 1, qv));""")
+      .select(expr("CAST(search_results[0].content AS BIGINT)"))
+      .as[Long].head
+    assert(top != 7L,
+      "external-table cdc maintenance did not apply the delete")
+    g.releaseCorpusWriterClaims("cdcext")
+    g.execute("DROP SEARCH CORPUS cdcext;").collect()
+  }
+
+  test("a facade-minted claim on a SUPERSEDED registration's store " +
+      "releases through the facade, unblocking DROP") {
+    val g = facade()
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    def corpus = emb.select(col("vec_id").cast("string").as("content"),
+      col("embedding").as("vector"))
+    g.registerSearchCorpus("cdc_super", corpus, "content", "vector",
+      maxRows = 0, indexType = "ivf", cdc = true)
+    g.execute("""CREATE TABLE `cdc_super_ch` (
+    `content` STRING, `vector` ARRAY<FLOAT>
+) WITH ('value.format' = 'json-registry');""")
+    g.topics.insertInto("cdc_super_ch",
+      Seq(("7", null.asInstanceOf[Seq[Float]])).toDF("content", "vector"))
+    g.execute("MAINTAIN SEARCH CORPUS cdc_super FROM TOPIC cdc_super_ch;")
+    g.activeStreams.last.awaitTermination()
+    // re-registration: the drained stream's claim still guards the old
+    // store, so GC skips it onto the pending-retire list
+    g.registerSearchCorpus("cdc_super", corpus, "content", "vector",
+      maxRows = 0, indexType = "ivf", cdc = true)
+    // the facade minted that claim — release must cover pending-retire
+    // paths, or DROP stays blocked until manual sidecar surgery
+    val msg = g.releaseCorpusWriterClaims("cdc_super")
+      .collect().head.getString(0)
+    assert(msg.contains("released 1"), msg)
+    g.execute("DROP SEARCH CORPUS cdc_super;").collect()
+  }
+
   test("perpetual MAINTAIN: under SET 'execution.trigger', the maintenance " +
       "stream keeps the store in step with records produced AFTER start") {
     // the reference's deployment shape on the maintenance side: the
