@@ -55,7 +55,10 @@ object Bench {
       try {
         val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
           .trim.split("\\s+").drop(1).map(_.toLong)
-        (if (f.length > 7) f(7) else 0L, f.sum)
+        // denominator: user..steal only — guest/guest_nice (fields 9-10)
+        // are already folded into user/nice on Linux, so summing all
+        // fields double-counts them and under-reports steal_pct
+        (if (f.length > 7) f(7) else 0L, f.take(8).sum)
       } catch { case _: Throwable => (0L, 0L) }
     def load1(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").getLines().next()

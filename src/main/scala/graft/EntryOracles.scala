@@ -147,7 +147,7 @@ private[graft] object EntryOracles {
 
     "q_sql_cdc_maintain" ->
       ("SELECT vec_id AS query_id, TRUE AS eq_ok, TRUE AS del_ok " +
-        "FROM embeddings WHERE vec_id % 50 = 0 ORDER BY query_id"),
+        "FROM embeddings WHERE vec_id % 100 = 0 ORDER BY query_id"),
 
     "q_sql_maxsim_indexed" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +

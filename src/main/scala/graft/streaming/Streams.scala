@@ -478,11 +478,12 @@ object Streams {
       indexPath: String, checkpointDir: String,
       seqCol: Option[String] = None,
       onAppend: ((Long, Int)) => Unit = _ => (),
-      compactEvery: Long = 0): StreamingQuery = {
+      compactEvery: Long = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     claimStore(records, indexPath, checkpointDir)
     records.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
         val resolved = resolveCdc(batch, idCol, vecCol, seqCol)
@@ -500,6 +501,80 @@ object Streams {
           if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
             graft.operators.HnswSearch.compactIndex(spark, indexPath,
               excludeEpoch = epochKey(checkpointDir, 2 * epoch + 1))
+        } finally graft.operators.IndexMaintenance.unpersistCheckpoint(resolved)
+        ()
+      }
+      .start()
+  }
+
+  /** [[hnswCdcStream]]'s payload-store twin for CDC-maintained HNSW
+    * registrations that must resolve hits WITHOUT the original source
+    * frame (the SQL facade's cdc=true contract): the graph nodes AND a
+    * `corpus/` docs sidecar (id → content plus every payload column,
+    * epoch-partitioned next to the graphs) track the keyed change
+    * stream in one sub-epoch dance. UNLIKE [[hnswCdcStream]], EVERY
+    * changed id tombstones at sub-epoch 2e — not only true deletes —
+    * because the sidecar has no serve-time LWW: an upsert must kill its
+    * old sidecar row the way the IVF fronts do, so a tombstone-filtered
+    * scan of `corpus/` is exactly the live corpus with no per-statement
+    * LWW aggregate (the 100 TB posture: resolution joins a pruned scan,
+    * never a full-corpus group-by). Rent: upsert traffic widens the
+    * graph serve beam like delete traffic until the next
+    * [[graft.operators.HnswSearch.compactIndex]]. The sidecar append is
+    * schema-checked against the base corpus LOUDLY — a change record
+    * missing a payload column would otherwise strand half a row.
+    */
+  def hnswPayloadCdcStream(
+      records: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, checkpointDir: String,
+      seqCol: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    claimStore(records, indexPath, checkpointDir)
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val resolved = resolveCdc(batch, idCol, vecCol, seqCol)
+        try {
+          val changed = resolved.select(idCol).distinct()
+          val live = resolved.filter(col(vecCol).isNotNull)
+          if (!changed.isEmpty) {
+            graft.operators.HnswSearch.deleteFromIndex(spark, indexPath,
+              changed, idCol, Some(epochKey(checkpointDir, 2 * epoch)))
+            if (!live.isEmpty) {
+              graft.operators.HnswSearch.appendToIndex(
+                live, idCol, vecCol, indexPath,
+                epoch = epochKey(checkpointDir, 2 * epoch + 1))
+              // docs sidecar: same columns as the base corpus (id +
+              // payload), the vector re-cast exactly as the base write
+              // cast it; at-least-once replays overwrite their own
+              // epoch=2e+1 partition (epochWrite's dynamic-overwrite
+              // contract), so the pair stays idempotent
+              val base = spark.read.parquet(s"$indexPath/corpus")
+                .schema.fieldNames.filterNot(_ == "epoch").toSeq
+              val missing = base.filterNot(c =>
+                c == "id" || live.columns.contains(c))
+              require(missing.isEmpty,
+                s"hnsw CDC append to '$indexPath': change records lack " +
+                  s"store payload column(s) ${missing.mkString("[", ", ", "]")} " +
+                  "— upserts must carry every column the docs sidecar " +
+                  "stores (the append schema contract)")
+              val e = epochKey(checkpointDir, 2 * epoch + 1)
+              val docs = live.select(base.map {
+                case "id" => col(idCol).cast("long").as("id")
+                case c if c == vecCol => col(vecCol).cast("array<float>").as(c)
+                case c => col(c)
+              }: _*).withColumn("epoch", lit(e))
+              graft.operators.IndexMaintenance.epochWrite(
+                docs, Seq("epoch"), e, s"$indexPath/corpus")
+            }
+          }
+          // deliberately NO compactEvery knob: HnswSearch.compactIndex
+          // rewrites only the graphs and then clears applied tombstones
+          // — tombstones the docs sidecar still needs, so dead sidecar
+          // rows would resurrect. A sidecar-aware compaction must apply
+          // the rule to corpus/ in the same lease before clearing.
         } finally graft.operators.IndexMaintenance.unpersistCheckpoint(resolved)
         ()
       }
@@ -524,11 +599,12 @@ object Streams {
       records: DataFrame, idCol: String, textCol: String,
       indexPath: String, checkpointDir: String,
       seqCol: Option[String] = None,
-      compactEvery: Long = 0): StreamingQuery = {
+      compactEvery: Long = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     claimStore(records, indexPath, checkpointDir)
     records.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
         val resolved = resolveCdc(batch, idCol, textCol, seqCol)
