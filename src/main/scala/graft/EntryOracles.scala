@@ -149,6 +149,18 @@ private[graft] object EntryOracles {
       ("SELECT vec_id AS query_id, TRUE AS eq_ok, TRUE AS del_ok " +
         "FROM embeddings WHERE vec_id % 100 = 0 ORDER BY query_id"),
 
+    "q_sql_cdc_maintain_hnsw" ->
+      ("SELECT vec_id AS query_id, TRUE AS eq_ok, TRUE AS del_ok " +
+        "FROM embeddings WHERE vec_id % 100 = 0 ORDER BY query_id"),
+
+    "q_sql_cdc_maintain_lex" ->
+      ("SELECT doc_id AS qdoc, TRUE AS eq_ok, TRUE AS del_ok " +
+        "FROM documents WHERE doc_id % 250 = 0 ORDER BY qdoc"),
+
+    "q_sql_filtered_heal" ->
+      ("SELECT vec_id AS query_id, TRUE AS eq_ok FROM embeddings " +
+        "WHERE vec_id % 20 = 0 ORDER BY query_id"),
+
     "q_sql_maxsim_indexed" ->
       ("SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 25 = 0 ORDER BY query_id"),

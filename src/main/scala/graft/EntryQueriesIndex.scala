@@ -196,6 +196,45 @@ private[graft] object EntryQueriesIndex {
     "q_sql_filtered_overfetch" -> ((s, dir) =>
       sqlFilteredCompressed(s, dir, "pq")),
 
+    // SELF-HEALING under-fill on the oracle board (judge r16 task 2): a
+    // 2-row-admitting predicate sits far below the ~6% over-fetch
+    // floor, so EVERY query's cut under-fills — and every query must
+    // come back with the EXACT filtered ranking of both admitted rows
+    // (the healed exact-pre-filter branch), gated strictly per query.
+    // Same 'pq' registration as q_sql_filtered_overfetch: the route is
+    // predicate-dependent, not registration-dependent.
+    "q_sql_filtered_heal" -> ((s, dir) => {
+      val g = sqlFacade(s)
+      val name = s"sqlfpq_${indexTag(dir)}"
+      registerOnce(s, name) {
+        g.registerSearchCorpus(name,
+          t(s, dir, "embeddings").select(
+            col("vec_id").cast("string").as("content"),
+            col("embedding").as("vector"), col("label")),
+          "content", "vector", maxRows = 0, indexType = "pq")
+      }
+      val queries = annQueries(s, dir)
+      queries.createOrReplaceTempView("graft_heal_queries")
+      val got = g.execute(
+          "SELECT query_id, search_results FROM graft_heal_queries, " +
+            s"LATERAL TABLE(FILTERED_SEARCH('$name', 3, qv, " +
+            "'CAST(content AS BIGINT) IN (97, 194)'));")
+        .select(col("query_id"),
+          expr("transform(coalesce(search_results, array()), " +
+            "m -> CAST(m.content AS BIGINT))").as("hits"))
+      val exact = VectorSearch.topKFlat(queries, "query_id", "qv",
+          t(s, dir, "embeddings").filter(col("vec_id").isin(97L, 194L))
+            .select(col("vec_id").as("mid"), col("embedding").as("mvec")),
+          "mid", "mvec", k = 3, metric = "dot")
+        .groupBy("query_id")
+        .agg(expr("transform(sort_array(collect_list(struct(rank, " +
+          "match_id))), m -> m.match_id)").as("exact_hits"))
+      got.join(exact, Seq("query_id"))
+        .select(col("query_id"),
+          (col("hits") === col("exact_hits")).as("eq_ok"))
+        .orderBy("query_id")
+    }),
+
     // FILTERED hybrid retrieval on the SQL worksheet: the optional 5th
     // HYBRID_SEARCH argument restricts BOTH legs to the admitted
     // metadata subset (exact vector leg, Lucene filtered-query BM25 leg
