@@ -237,6 +237,20 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
     * re-claims idempotently), or honor `SET 'execution.trigger'` /
     * the explicit param for the reference's run-forever maintenance
     * (the store stays in step with the topic until the stream stops).
+    *
+    * SERVE-DURING-MAINTAIN (the pinned consistency contract, DESIGN.md):
+    * a concurrent search reads WITHOUT snapshot isolation across a
+    * micro-batch's two sub-epochs — between the tombstone commit (2e)
+    * and the live append (2e+1) an upserted content is transiently
+    * ABSENT, and a multi-partition append can surface partially. A
+    * reader can never see a torn row, a superseded duplicate, or a
+    * resurrected delete. Batch-atomic visibility = serve between
+    * AvailableNow drains; run-forever trades the window for freshness.
+    *
+    * A registration that also declared `lexicalIndex = true` starts a
+    * SECOND stream onto its persisted lexical store (same topic, own
+    * claim/checkpoint): deletes drop postings with exact stats healing,
+    * inserts index their text — the maintained text corpus.
     */
   def maintainSearchCorpus(name: String, changes: DataFrame,
       seqCol: Option[String] = None,
