@@ -219,10 +219,6 @@ LATERAL TABLE(FEDERATED_SEARCH('stream_corpus_ix', 3, `qv`));"""
     // the same strict exact-top-3 gate covers the reference's actual
     // Atlas index family under maintenance.
     "q_sql_cdc_maintain_hnsw" -> ((s, dir) => cdcMaintainRow(s, dir, "hnsw")),
-      // deletes: ids ≡ 0 (mod 60); upserts: ids ≡ 3 (mod 60) take their
-      // successor's vector (successor ≡ 1 mod 3 — never in the
-      // % 3 == 0 corpus slice); inserts: NEW contents from outside the
-      // slice (ids ≡ 1 mod 3, % 25 = 0) with their own vectors
     // the LEXICAL twin (judge r16 task 1): a cdc + lexicalIndex
     // registration's persisted BM25 store tracks the same topic — the
     // q_bm25_delete discipline on the SQL surface. The gate is strict
@@ -237,7 +233,11 @@ LATERAL TABLE(FEDERATED_SEARCH('stream_corpus_ix', 3, `qv`));"""
         appTempDir("graft_q_cdclex")))
       val docs = t(s, dir, "documents")
       def embed = HashEmbedder.embedCol(col("text"))
-      val slice = docs.filter(col("doc_id") % 3 === 0)
+      // a 1/5 corpus slice: the contract (exact stats healing, strict
+      // twin equality) is size-independent, and this row carries TWO
+      // store builds + TWO maintenance streams — lean fixtures keep it
+      // off the board's cost ceiling
+      val slice = docs.filter(col("doc_id") % 5 === 0)
       g.registerSearchCorpus("cdc_lexm",
         slice.select(col("text").as("content"), embed.as("vector"),
           col("doc_id").cast("long").as("doc_id")),
@@ -246,14 +246,18 @@ LATERAL TABLE(FEDERATED_SEARCH('stream_corpus_ix', 3, `qv`));"""
       g.execute("""CREATE TABLE `cdc_lexm_ch` (
     `content` STRING, `vector` ARRAY<FLOAT>, `doc_id` BIGINT, `seq` BIGINT
 ) WITH ('value.format' = 'json-registry');""")
+      // deletes: docs ≡ 0 (mod 60); upserts: docs ≡ 30 (mod 60)
+      // re-ingest their own text (a lexical no-op that must heal stats
+      // EXACTLY through the tombstone + re-append dance); inserts: new
+      // docs from outside the slice (≡ 1 mod 50 — never ≡ 0 mod 5)
       val dels = slice.filter(col("doc_id") % 60 === 0)
         .select(col("text").as("content"),
           lit(null).cast("array<float>").as("vector"),
           col("doc_id").cast("long").as("doc_id"), lit(1L).as("seq"))
-      val ups = slice.filter(col("doc_id") % 60 === 3)
+      val ups = slice.filter(col("doc_id") % 60 === 30)
         .select(col("text").as("content"), embed.as("vector"),
           col("doc_id").cast("long").as("doc_id"), lit(2L).as("seq"))
-      val ins = docs.filter(col("doc_id") % 3 =!= 0 &&
+      val ins = docs.filter(col("doc_id") % 5 =!= 0 &&
           col("doc_id") % 50 === 1)
         .select(col("text").as("content"), embed.as("vector"),
           col("doc_id").cast("long").as("doc_id"), lit(3L).as("seq"))
@@ -274,7 +278,7 @@ LATERAL TABLE(FEDERATED_SEARCH('stream_corpus_ix', 3, `qv`));"""
             "m -> m.content)").as("hits"))
       // the fresh-index twin over the surviving corpus, content-only ids
       val c2 = slice.filter(col("doc_id") % 60 =!= 0)
-        .unionByName(docs.filter(col("doc_id") % 3 =!= 0 &&
+        .unionByName(docs.filter(col("doc_id") % 5 =!= 0 &&
           col("doc_id") % 50 === 1))
         .select(col("text").as("__content"))
         .withColumn("__cid", xxhash64(col("__content")))

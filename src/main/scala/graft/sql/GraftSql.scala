@@ -270,23 +270,31 @@ class GraftSql(
     * Scale posture: with NO under-filled queries the healing subtree
     * joins an EMPTY query set, and AQE's empty-relation propagation
     * collapses the exact scan to nothing at runtime — the happy path
-    * pays only the tiny per-query count aggregate (the cut is ≤ k rows
-    * per query). The cut subtree appears twice (count + keep); its
-    * expensive inner exchanges (the family's pool shuffle) dedupe via
-    * ReusedExchange, and the pool is over-fetch-bounded (≤ 16·k rows
-    * per query) either way. The observe metrics ride the statement's
-    * own action — zero extra jobs — and the session listener prints the
+    * pays only a per-query list aggregate over the ≤ k-rows-per-query
+    * cut. BOTH branches (keep + short-query detection) read the SAME
+    * groupBy aggregate, so their plans share an identical Exchange
+    * subtree and ReusedExchange computes the family's over-fetch pool
+    * ONCE — routing the second branch through a join against the raw
+    * cut instead would shuffle a different child and re-run the pool
+    * serve per branch. The observe metrics ride the statement's own
+    * action — zero extra jobs — and the session listener prints the
     * guidance whenever any query healed.
     */
   private[sql] def healOverfetchCut(qv: DataFrame, cut: DataFrame,
       admitted: DataFrame, k: Int, metric: String,
       family: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val full = cut.groupBy("__qid")
-      .agg(count(lit(1)).as("__n")).filter(col("__n") >= k)
-      .select("__qid")
+    // ranks are unique per query, so the struct sort restores rank order
+    val grouped = cut.groupBy("__qid")
+      .agg(sort_array(collect_list(struct(col("rank").cast("int")
+        .as("rank"), col("match_id")))).as("__rows"))
+    val kept = grouped.filter(size(col("__rows")) >= k)
+      .select(col("__qid"), explode(col("__rows")).as("__r"))
+      .select(col("__qid"), col("__r.match_id").as("match_id"),
+        col("__r.rank").as("rank"))
     val shortQ = qv.select("__qid").dropDuplicates("__qid")
-      .join(full, Seq("__qid"), "left_anti")
+      .join(grouped.filter(size(col("__rows")) >= k).select("__qid"),
+        Seq("__qid"), "left_anti")
     val exact = VectorSearch.topKAgg(
         qv.join(shortQ, Seq("__qid"), "left_semi"), "__qid", "__qvec",
         admitted, "__cid", "__cvec", k, metric)
@@ -294,8 +302,7 @@ class GraftSql(
       .select(col("__qid"), col("__m.id").as("match_id"),
         (col("__pos") + 1).cast("int").as("rank"))
     GraftSql.ensureUnderfillListener(spark)
-    cut.join(shortQ, Seq("__qid"), "left_anti")
-      .withColumn("__healed", lit(false))
+    kept.withColumn("__healed", lit(false))
       .unionByName(exact.withColumn("__healed", lit(true)))
       .observe(
         s"graft_overfetch_underfill_${GraftSql.obsSeq.incrementAndGet()}",
