@@ -19,13 +19,17 @@ private[graft] object EntryOraclesFacade {
       ("SELECT vec_id AS query_id, TRUE AS eq_ok FROM embeddings " +
         "WHERE vec_id % 50 = 0 ORDER BY query_id"),
 
+    // two lifecycle phases per query: the drained-CDC serve and the
+    // post-COMPACT serve, both strict-equal to the exact twin
     "q_sql_cdc_maintain" ->
-      ("SELECT vec_id AS query_id, TRUE AS eq_ok, TRUE AS del_ok " +
-        "FROM embeddings WHERE vec_id % 100 = 0 ORDER BY query_id"),
+      ("SELECT p.phase, e.vec_id AS query_id, TRUE AS eq_ok, TRUE AS del_ok " +
+        "FROM embeddings e, (VALUES ('compacted'), ('served')) AS p(phase) " +
+        "WHERE e.vec_id % 100 = 0 ORDER BY p.phase, query_id"),
 
     "q_sql_cdc_maintain_hnsw" ->
-      ("SELECT vec_id AS query_id, TRUE AS eq_ok, TRUE AS del_ok " +
-        "FROM embeddings WHERE vec_id % 100 = 0 ORDER BY query_id"),
+      ("SELECT p.phase, e.vec_id AS query_id, TRUE AS eq_ok, TRUE AS del_ok " +
+        "FROM embeddings e, (VALUES ('compacted'), ('served')) AS p(phase) " +
+        "WHERE e.vec_id % 100 = 0 ORDER BY p.phase, query_id"),
 
     "q_sql_cdc_maintain_lex" ->
       ("SELECT doc_id AS qdoc, TRUE AS eq_ok, TRUE AS del_ok " +

@@ -1528,7 +1528,7 @@ values (
     val qs = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     qs.createOrReplaceTempView(s"graft_cdcm_${family}_queries")
-    val served = g.execute(
+    def serve() = g.execute(
         s"SELECT query_id, search_results FROM graft_cdcm_${family}_queries, " +
           s"LATERAL TABLE(FEDERATED_SEARCH('$cname', 3, qv));")
       .select(col("query_id"),
@@ -1550,13 +1550,22 @@ values (
       .groupBy("query_id")
       .agg(expr("transform(sort_array(collect_list(struct(rank, " +
         "match_id))), m -> m.match_id)").as("exact_hits"))
-    val contract = served.join(exact, Seq("query_id"))
-      .select(col("query_id"),
+    def verdicts(phase: String) = serve().join(exact, Seq("query_id"))
+      .select(lit(phase).as("phase"), col("query_id"),
         (col("hits") === col("exact_hits")).as("eq_ok"),
         expr("forall(hits, h -> h % 60 != 0)").as("del_ok"))
-    val verdicts = contract.as[(Long, Boolean, Boolean)].collect().toSeq
+      .as[(String, Long, Boolean, Boolean)].collect().toSeq
+    // phase 1: tombstone-filtered serve straight off the drained CDC
+    // epochs; phase 2: COMPACT SEARCH CORPUS applies the rent
+    // physically (deleted rows leave the store, epoch segments merge,
+    // the hnsw beam un-widens) and the serve must be IDENTICAL —
+    // compaction is score-invisible by contract
+    val served = verdicts("served")
+    g.execute(s"COMPACT SEARCH CORPUS $cname;").collect()
+    val compacted = verdicts("compacted")
     g.releaseCorpusWriterClaims(cname)
     g.execute(s"DROP SEARCH CORPUS $cname;").collect()
-    verdicts.toDF("query_id", "eq_ok", "del_ok").orderBy("query_id")
+    (served ++ compacted).toDF("phase", "query_id", "eq_ok", "del_ok")
+      .orderBy("phase", "query_id")
   }
 }

@@ -604,6 +604,28 @@ object HnswSearch {
           .select("shard", "id", "vec", "links", "epoch")
           .unionByName(kept)
       }
+      // a docs SIDECAR (`corpus/` — the SQL facade's CDC-maintained
+      // registrations keep id→content+payload next to the graphs)
+      // compacts in the SAME lease: apply the tombstone rule physically
+      // and collapse closed epochs to the base partition BEFORE
+      // clearApplied retires tombstones the sidecar's dead rows still
+      // depend on — graph-only compaction would resurrect deleted
+      // sidecar rows. Serve-style LWW per id is applied defensively:
+      // the payload CDC front self-tombstones every change (≤ 1 live
+      // row per id), but a foreign append cadence may not have.
+      if (FsUtil.exists(spark, s"$path/corpus"))
+        IndexMaintenance.rewriteDir(spark, s"$path/corpus",
+          Seq("epoch")) { df =>
+          val closed = Tombstones.filterLive(spark, path,
+            df.filter(col("epoch") =!= excludeEpoch), "id", "epoch")
+          val others = closed.columns
+            .filterNot(c => c == "id" || c == "epoch").toSeq
+          closed.groupBy(col("id"))
+            .agg(max_by(struct(others.map(col): _*), col("epoch")).as("__r"))
+            .select(col("id") +: others.map(c => col(s"__r.`$c`").as(c)): _*)
+            .withColumn("epoch", lit(-1L))
+            .unionByName(df.filter(col("epoch") === excludeEpoch))
+        }
       Tombstones.clearApplied(spark, path, excludeEpoch)
       (before, IndexMaintenance.dataFiles(spark, s"$path/nodes"))
     }

@@ -885,6 +885,8 @@ object GraftSql {
     """(?is)^\s*SHOW\s+SEARCH\s+CORPORA\s*;?\s*$""".r
   private[sql] val DropCorpusRe =
     """(?is)^\s*DROP\s+SEARCH\s+CORPUS\s+`?([\w.-]+)`?\s*;?\s*$""".r
+  private[sql] val CompactCorpusRe =
+    """(?is)^\s*COMPACT\s+SEARCH\s+CORPUS\s+`?([\w.-]+)`?\s*;?\s*$""".r
   private[sql] val MaintainCorpusRe =
     """(?is)^\s*MAINTAIN\s+SEARCH\s+CORPUS\s+`?([\w.-]+)`?\s+FROM\s+TOPIC\s+`?([\w.-]+)`?(?:\s+SEQ\s+`?(\w+)`?)?\s*;?\s*$""".r
   private[sql] val ShowStatementsRe =

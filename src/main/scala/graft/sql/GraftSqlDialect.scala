@@ -251,6 +251,14 @@ private[sql] trait GraftSqlDialect { self: GraftSql =>
     case DropCorpusRe(name) =>
       dropSearchCorpus(name)
 
+    case CompactCorpusRe(name) =>
+      // `COMPACT SEARCH CORPUS name`: apply the registration's
+      // maintenance rent physically (tombstones leave the stores,
+      // epoch segments merge, the widened hnsw beam un-widens, the
+      // declared lexical store compacts too). Score-invisible by
+      // contract; refused while a maintenance stream is active.
+      compactSearchCorpus(name)
+
     case MaintainCorpusRe(name, topic, seq) =>
       // `MAINTAIN SEARCH CORPUS name FROM TOPIC topic [SEQ col]`: the
       // registration's store tracks the keyed change topic through the

@@ -310,7 +310,20 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
     // vectors — deletes — pass through untouched)
     val recs0 = if (big.normalized)
       GraftSql.l2Normalize(changes, big.vecCol) else changes
-    val recs = recs0.withColumn("__cid", xxhash64(col(big.contentCol)))
+    // change records ALIGN to the registration source's column types by
+    // name: the store's payload files carry the SOURCE types, and an
+    // un-cast record — e.g. a BIGINT topic column next to an int32
+    // source column — lands mixed-type parquet files that serve only
+    // while column pruning hides them (compaction and payload
+    // predicates read every column and refuse loudly). Casting here
+    // keeps the topic DDL decoupled from the source schema — the
+    // connector posture. (The vector column is cast by every front.)
+    val aligned = big.df.schema.fields.foldLeft(recs0) { (df, f) =>
+      if (f.name != big.vecCol && df.columns.contains(f.name))
+        df.withColumn(f.name, col(f.name).cast(f.dataType))
+      else df
+    }
+    val recs = aligned.withColumn("__cid", xxhash64(col(big.contentCol)))
     // explicit param > session `SET 'execution.trigger'` > drain-once.
     // (Unlike continuous INSERT, unset means AvailableNow here — the
     // established MAINTAIN semantic; set an interval for run-forever.)
@@ -359,6 +372,60 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
       trackMaintStream(name, lq)
     }
     q
+  }
+
+  /** `COMPACT SEARCH CORPUS name` — apply the registration's
+    * accumulated maintenance rent physically: tombstoned rows leave the
+    * at-rest stores, append-epoch segments merge into rebuilt bases,
+    * applied tombstones retire (restoring the un-widened hnsw serve
+    * beam), and the declared lexical store compacts its postings/stats
+    * partials in the same pass. Refused while ANY maintenance stream
+    * for the name is still active: a compaction that can't know the
+    * stream's in-flight epoch would retire tombstones its replay still
+    * needs — stop the stream (or let the drain finish), compact, then
+    * re-issue MAINTAIN (the same checkpoint re-claims). Serves before
+    * and after must be identical — compaction is score-invisible (the
+    * q_bm25_compacted / q_*_delete discipline, now reachable from the
+    * worksheet).
+    */
+  def compactSearchCorpus(name: String): DataFrame = {
+    val big = resolveCorpus(name) match {
+      case b: DfCorpus if GraftSql.AtRestFamilies.contains(b.indexType) => b
+      case b: DfCorpus => throw new IllegalArgumentException(
+        s"search corpus '$name' (family '${b.indexType}') has no at-rest " +
+          "store to compact — only the persisted families " +
+          s"${GraftSql.AtRestFamilies.mkString("/")} accumulate epochs")
+      case _ => throw new IllegalArgumentException(
+        s"search corpus '$name' is collected in-memory — nothing to compact")
+    }
+    val live = maintStreams.getOrElse(name, Nil).filter(_.isActive)
+    require(live.isEmpty,
+      s"COMPACT SEARCH CORPUS $name: ${live.size} maintenance stream(s) " +
+        "are still ACTIVE — compaction cannot know a live stream's " +
+        "in-flight epoch; stop it (or let its AvailableNow drain " +
+        "finish), compact, then re-issue MAINTAIN")
+    val famPath = storePath(big.indexType, big.tag)
+    val compacted = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    if (graft.operators.FsUtil.exists(spark, famPath)) {
+      val (b, a) = big.indexType match {
+        case "ivf" => graft.operators.IvfSearch.compactIndex(spark, famPath)
+        case "ivfpq" => graft.operators.IvfPqIndex.compactIndex(spark, famPath)
+        case "ivfsq" => graft.operators.IvfSqIndex.compactIndex(spark, famPath)
+        case _ => graft.operators.HnswSearch.compactIndex(spark, famPath)
+      }
+      compacted += ((big.indexType, b, a))
+    }
+    lexTags.get(name).map(t => storePath("lex", t))
+      .filter(p => lexDeclared.getOrElse(name, false) &&
+        graft.operators.FsUtil.exists(spark, p))
+      .foreach { p =>
+        val (b, a) = graft.operators.LexicalIndex.compactIndex(spark, p)
+        compacted += (("lex", b, a))
+      }
+    status(s"compacted search corpus $name: " + (
+      if (compacted.isEmpty) "no at-rest store built yet (nothing to do)"
+      else compacted.map { case (f, b, a) => s"$f $b->$a files" }
+        .mkString(", ")))
   }
 
   /** The README claim-recovery recipe as a facade call: once `name`'s

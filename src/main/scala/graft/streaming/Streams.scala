@@ -528,6 +528,7 @@ object Streams {
       records: DataFrame, idCol: String, vecCol: String,
       indexPath: String, checkpointDir: String,
       seqCol: Option[String] = None,
+      compactEvery: Long = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     claimStore(records, indexPath, checkpointDir)
     records.writeStream
@@ -570,11 +571,13 @@ object Streams {
                 docs, Seq("epoch"), e, s"$indexPath/corpus")
             }
           }
-          // deliberately NO compactEvery knob: HnswSearch.compactIndex
-          // rewrites only the graphs and then clears applied tombstones
-          // — tombstones the docs sidecar still needs, so dead sidecar
-          // rows would resurrect. A sidecar-aware compaction must apply
-          // the rule to corpus/ in the same lease before clearing.
+          // compactIndex is sidecar-aware (it applies the tombstone
+          // rule to corpus/ in the same lease before clearing), so the
+          // cadence knob is safe here — dead sidecar rows cannot
+          // resurrect past a compaction
+          if (compactEvery > 0 && epoch % compactEvery == compactEvery - 1)
+            graft.operators.HnswSearch.compactIndex(spark, indexPath,
+              excludeEpoch = epochKey(checkpointDir, 2 * epoch + 1))
         } finally graft.operators.IndexMaintenance.unpersistCheckpoint(resolved)
         ()
       }

@@ -2214,6 +2214,14 @@ LATERAL TABLE(FEDERATED_SEARCH('$cname', 3, qv));""")
       s"post-CDC $family serve diverged from exact over the changed corpus")
     assert(!after.values.flatten.toSet.contains(victim),
       s"deleted content $victim still serves")
+    // COMPACT SEARCH CORPUS applies the maintenance rent physically
+    // (deleted rows leave the store, epoch segments merge into the
+    // base, hnsw's docs sidecar compacts in the same lease) and must
+    // be score-invisible: the identical strict gate repeats
+    g.execute(s"COMPACT SEARCH CORPUS $cname;").collect()
+    assert(serve() == exactOver(postCdc),
+      s"post-compaction $family serve diverged — compaction must be " +
+        "score-invisible")
     if (family == "ivf" || family == "hnsw") {
       // DROP refuses while the drained stream's claim stands (claims
       // outlive termination), then the facade release + DROP reclaims
@@ -2382,6 +2390,11 @@ LATERAL TABLE(FEDERATED_SEARCH('cdc_live', 1, qv));""")
       }
       assert(t != 7L,
         "perpetual maintenance never applied the post-start delete")
+      // compaction cannot know a live stream's in-flight epoch — it
+      // must refuse while the run-forever maintenance is active
+      val ce = intercept[IllegalArgumentException] {
+        g.execute("COMPACT SEARCH CORPUS cdc_live;") }
+      assert(ce.getMessage.contains("ACTIVE"), ce.getMessage)
     } finally {
       stream.stop()
       g.execute("RESET 'execution.trigger';")
@@ -2433,12 +2446,14 @@ LATERAL TABLE(FEDERATED_SEARCH('cdc_live', 1, qv));""")
     val qs = docs.filter(col("doc_id") % 250 === 0)
       .select(col("doc_id").as("qdoc"), col("text").as("question"))
     qs.createOrReplaceTempView("cdc_lex_qs")
-    val got = g.execute("""SELECT qdoc, search_results FROM cdc_lex_qs,
+    def prfServe(): Map[Long, Seq[String]] =
+      g.execute("""SELECT qdoc, search_results FROM cdc_lex_qs,
 LATERAL TABLE(PRF_SEARCH('cdc_lex', 5, question));""")
-      .select(col("qdoc"),
-        expr("transform(coalesce(search_results, array()), m -> m.content)")
-          .as("hits"))
-      .as[(Long, Seq[String])].collect().toMap
+        .select(col("qdoc"),
+          expr("transform(coalesce(search_results, array()), m -> m.content)")
+            .as("hits"))
+        .as[(Long, Seq[String])].collect().toMap
+    val got = prfServe()
     // the fresh-index twin over the SURVIVING corpus, content-only ids
     val c2 = slice.filter(col("doc_id") % 30 =!= 0)
       .unionByName(docs.filter(col("doc_id") % 3 =!= 0 &&
@@ -2466,6 +2481,20 @@ LATERAL TABLE(PRF_SEARCH('cdc_lex', 5, question));""")
     val deadTexts = dels.select("content").as[String].collect().toSet
     got.values.flatten.foreach(h => assert(!deadTexts(h),
       "deleted document still serves from the maintained lexical store"))
+    // COMPACT SEARCH CORPUS compacts BOTH stores (ivf + the declared
+    // lexical index: stats partials pre-summed, tombstoned postings
+    // physically gone) and must be score-invisible — the PRF serve
+    // repeats strict-equal to the same fresh-index twin
+    val msg = g.execute("COMPACT SEARCH CORPUS cdc_lex;")
+      .collect().head.getString(0)
+    assert(msg.contains("ivf") && msg.contains("lex"), msg)
+    val afterCompact = prfServe()
+    qs.select("qdoc").as[Long].collect().foreach { q =>
+      assert(afterCompact.getOrElse(q, Seq.empty) ==
+        twin.getOrElse(q, Seq.empty),
+        s"qdoc $q: post-compaction PRF diverged — compaction must be " +
+          "score-invisible")
+    }
     // DROP refuses while the drained streams' claims stand (the lexical
     // store's claim included), then release + DROP reclaims everything
     val e = intercept[IllegalStateException] {
