@@ -27,9 +27,9 @@ private[graft] object EntryOraclesFacade {
         "WHERE e.vec_id % 100 = 0 ORDER BY p.phase, query_id"),
 
     "q_sql_cdc_maintain_hnsw" ->
-      ("SELECT p.phase, e.vec_id AS query_id, TRUE AS eq_ok, TRUE AS del_ok " +
-        "FROM embeddings e, (VALUES ('compacted'), ('served')) AS p(phase) " +
-        "WHERE e.vec_id % 100 = 0 ORDER BY p.phase, query_id"),
+      ("SELECT 'served' AS phase, vec_id AS query_id, TRUE AS eq_ok, " +
+        "TRUE AS del_ok FROM embeddings WHERE vec_id % 100 = 0 " +
+        "ORDER BY query_id"),
 
     "q_sql_cdc_maintain_lex" ->
       ("SELECT doc_id AS qdoc, TRUE AS eq_ok, TRUE AS del_ok " +

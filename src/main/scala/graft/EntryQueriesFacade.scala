@@ -217,8 +217,13 @@ LATERAL TABLE(FEDERATED_SEARCH('stream_corpus_ix', 3, `qv`));"""
     // AND the docs sidecar through hnswPayloadCdcStream; efSearch =
     // numCandidates ≥ corpus makes the beam exhaustive per segment, so
     // the same strict exact-top-3 gate covers the reference's actual
-    // Atlas index family under maintenance.
-    "q_sql_cdc_maintain_hnsw" -> ((s, dir) => cdcMaintainRow(s, dir, "hnsw")),
+    // Atlas index family under maintenance. Single-phase on the board
+    // (the ivf row carries the compaction phase; hnsw compaction's
+    // score-invisibility — graphs AND docs sidecar — is spec-gated in
+    // the per-family GraftSqlSpec lifecycle, keeping this row off the
+    // bench cost ceiling).
+    "q_sql_cdc_maintain_hnsw" ->
+      ((s, dir) => cdcMaintainRow(s, dir, "hnsw", compactPhase = false)),
     // the LEXICAL twin (judge r16 task 1): a cdc + lexicalIndex
     // registration's persisted BM25 store tracks the same topic — the
     // q_bm25_delete discipline on the SQL surface. The gate is strict
@@ -1487,7 +1492,7 @@ values (
     * size-independent, so a few queries per drain prove it.
     */
   private def cdcMaintainRow(s: SparkSession, dir: String,
-      family: String): DataFrame = {
+      family: String, compactPhase: Boolean = true): DataFrame = {
     import s.implicits._
     val g = new graft.sql.GraftSql(s, new graft.sources.TopicCatalog(s,
       appTempDir(s"graft_q_cdcmaint_$family")))
@@ -1556,13 +1561,16 @@ values (
         expr("forall(hits, h -> h % 60 != 0)").as("del_ok"))
       .as[(String, Long, Boolean, Boolean)].collect().toSeq
     // phase 1: tombstone-filtered serve straight off the drained CDC
-    // epochs; phase 2: COMPACT SEARCH CORPUS applies the rent
-    // physically (deleted rows leave the store, epoch segments merge,
-    // the hnsw beam un-widens) and the serve must be IDENTICAL —
-    // compaction is score-invisible by contract
+    // epochs; phase 2 (ivf row only): COMPACT SEARCH CORPUS applies
+    // the rent physically (deleted rows leave the store, epoch
+    // segments merge) and the serve must be IDENTICAL — compaction is
+    // score-invisible by contract (the other families pin the same
+    // contract in the per-family spec lifecycle, off the bench bill)
     val served = verdicts("served")
-    g.execute(s"COMPACT SEARCH CORPUS $cname;").collect()
-    val compacted = verdicts("compacted")
+    val compacted = if (compactPhase) {
+      g.execute(s"COMPACT SEARCH CORPUS $cname;").collect()
+      verdicts("compacted")
+    } else Seq.empty
     g.releaseCorpusWriterClaims(cname)
     g.execute(s"DROP SEARCH CORPUS $cname;").collect()
     (served ++ compacted).toDF("phase", "query_id", "eq_ok", "del_ok")
