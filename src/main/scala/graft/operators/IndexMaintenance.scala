@@ -385,6 +385,40 @@ object IndexMaintenance {
     }
   }
 
+  /** THE payload append-schema contract, shared by every
+    * payload-carrying store's appendToIndex and the hnsw docs-sidecar
+    * CDC front: the batch must carry every payload column the store's
+    * parquet schema declares, AT the store's types. Names alone are not
+    * enough — a batch column of a different type (a BIGINT topic column
+    * next to an int32 source column) lands mixed-type parquet files
+    * that serve only while column pruning hides them; the first
+    * compaction or payload predicate then reads every column and fails
+    * on the WHOLE store. Refuse the batch instead, naming the cast.
+    */
+  def requirePayloadCompatible(store: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType,
+      payloadCols: Seq[String], path: String): Unit = {
+    val missing = payloadCols.filterNot(batch.fieldNames.contains)
+    require(missing.isEmpty,
+      s"index store at '$path' carries payload columns " +
+        s"${payloadCols.mkString("[", ", ", "]")} (filtered-search layout); " +
+        s"append batch lacks ${missing.mkString("[", ", ", "]")} — supply " +
+        "them or rebuild the store without payload")
+    val mismatched = store.fields.filter(f => payloadCols.contains(f.name))
+      .flatMap { f =>
+        batch.fields.find(_.name == f.name)
+          .filter(_.dataType != f.dataType)
+          .map(b => s"${f.name} (store ${f.dataType.simpleString}, " +
+            s"batch ${b.dataType.simpleString})")
+      }
+    require(mismatched.isEmpty,
+      s"index store at '$path': append batch payload column type(s) " +
+        s"diverge from the store schema — ${mismatched.mkString("; ")}. " +
+        "Mixed-type payload files would serve only until compaction or a " +
+        "payload predicate reads them and fails the whole store; cast the " +
+        "batch to the store's types before appending")
+  }
+
   /** Compaction's closed-epoch remap: every epoch except the stream's
     * in-flight `excludeEpoch` merges into base segment `-1` (see the
     * compactIndex docs for why the in-flight epoch must survive).

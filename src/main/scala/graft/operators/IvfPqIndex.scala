@@ -101,18 +101,16 @@ object IvfPqIndex {
     val spark = df.sparkSession
     val centroids = IvfSearch.loadCentroids(spark, path)
     val cb = loadCodebooks(spark, path)
-    // a payload store's appends MUST carry the same payload columns —
-    // the store's own schema is the contract (the IvfSearch.appendToIndex
-    // rule: an epoch written without them would serve NULL under a
-    // filtered probe and silently vanish from every filtered result)
-    val payloadCols = spark.read.parquet(s"$path/corpus").schema
-      .fieldNames.filterNot(Set("id", "codes", "cell", "epoch")).toSeq
-    val missing = payloadCols.filterNot(df.columns.contains)
-    require(missing.isEmpty,
-      s"index store at '$path' carries payload columns " +
-        s"${payloadCols.mkString("[", ", ", "]")} (filtered-search layout); " +
-        s"append batch lacks ${missing.mkString("[", ", ", "]")} — supply " +
-        "them or rebuild the store without payload")
+    // a payload store's appends MUST carry the same payload columns at
+    // the same TYPES — the store's own schema is the contract
+    // ([[IndexMaintenance.requirePayloadCompatible]]: the name half
+    // keeps filtered probes from serving NULL, the type half keeps
+    // mixed-type files from failing the store at compaction)
+    val storeSchema = spark.read.parquet(s"$path/corpus").schema
+    val payloadCols = storeSchema.fieldNames
+      .filterNot(Set("id", "codes", "cell", "epoch")).toSeq
+    IndexMaintenance.requirePayloadCompatible(storeSchema, df.schema,
+      payloadCols, path)
     val celled = df.select(col(cId).cast("long").as("id") +:
         IvfSearch.nearestCell(centroids)(col(cVec)).as("cell") +:
         col(cVec).as("v") +: payloadCols.map(col): _*)

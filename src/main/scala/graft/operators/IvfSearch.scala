@@ -292,18 +292,16 @@ object IvfSearch {
       epoch: Long = -1L): AppendStats = {
     val spark = df.sparkSession
     val centroids = loadCentroids(spark, path)
-    // a payload store's appends MUST carry the same payload columns —
-    // an epoch written without them would serve NULL under a filtered
-    // probe and silently drop its vectors from every filtered result.
-    // The store's own schema (not caller memory) is the contract.
-    val payloadCols = spark.read.parquet(s"$path/corpus").schema
-      .fieldNames.filterNot(Set("id", "vec", "cell", "epoch")).toSeq
-    val missing = payloadCols.filterNot(df.columns.contains)
-    require(missing.isEmpty,
-      s"index store at '$path' carries payload columns " +
-        s"${payloadCols.mkString("[", ", ", "]")} (filtered-search layout); " +
-        s"append batch lacks ${missing.mkString("[", ", ", "]")} — supply " +
-        "them or rebuild the store without payload")
+    // a payload store's appends MUST carry the same payload columns at
+    // the same TYPES — an epoch written without them would serve NULL
+    // under a filtered probe, and a mixed-type column fails the whole
+    // store at compaction. The store's own schema (not caller memory)
+    // is the contract ([[IndexMaintenance.requirePayloadCompatible]]).
+    val storeSchema = spark.read.parquet(s"$path/corpus").schema
+    val payloadCols = storeSchema.fieldNames
+      .filterNot(Set("id", "vec", "cell", "epoch")).toSeq
+    IndexMaintenance.requirePayloadCompatible(storeSchema, df.schema,
+      payloadCols, path)
     // assign cells once; the partition write and the drift aggregation
     // both read the materialized assignment
     val celled = df.select(col(cId).as("id") +: col(cVec).as("vec") +:

@@ -73,14 +73,11 @@ object IvfSqIndex {
     val spark = df.sparkSession
     val centroids = IvfSearch.loadCentroids(spark, path)
     val m = SqSearch.loadModel(spark, s"$path/sqmodel")
-    val payloadCols = spark.read.parquet(s"$path/corpus").schema
-      .fieldNames.filterNot(Set("id", "codes", "cell", "epoch")).toSeq
-    val missing = payloadCols.filterNot(df.columns.contains)
-    require(missing.isEmpty,
-      s"index store at '$path' carries payload columns " +
-        s"${payloadCols.mkString("[", ", ", "]")} (filtered-search layout); " +
-        s"append batch lacks ${missing.mkString("[", ", ", "]")} — supply " +
-        "them or rebuild the store without payload")
+    val storeSchema = spark.read.parquet(s"$path/corpus").schema
+    val payloadCols = storeSchema.fieldNames
+      .filterNot(Set("id", "codes", "cell", "epoch")).toSeq
+    IndexMaintenance.requirePayloadCompatible(storeSchema, df.schema,
+      payloadCols, path)
     val celled = df.select(col(cId).cast("long").as("id") +:
         IvfSearch.nearestCell(centroids)(col(cVec)).as("cell") +:
         col(cVec).as("v") +: payloadCols.map(col): _*)

@@ -548,19 +548,17 @@ object Streams {
                 live, idCol, vecCol, indexPath,
                 epoch = epochKey(checkpointDir, 2 * epoch + 1))
               // docs sidecar: same columns as the base corpus (id +
-              // payload), the vector re-cast exactly as the base write
-              // cast it; at-least-once replays overwrite their own
-              // epoch=2e+1 partition (epochWrite's dynamic-overwrite
-              // contract), so the pair stays idempotent
-              val base = spark.read.parquet(s"$indexPath/corpus")
-                .schema.fieldNames.filterNot(_ == "epoch").toSeq
-              val missing = base.filterNot(c =>
-                c == "id" || live.columns.contains(c))
-              require(missing.isEmpty,
-                s"hnsw CDC append to '$indexPath': change records lack " +
-                  s"store payload column(s) ${missing.mkString("[", ", ", "]")} " +
-                  "— upserts must carry every column the docs sidecar " +
-                  "stores (the append schema contract)")
+              // payload) AT the base types, the vector re-cast exactly
+              // as the base write cast it; at-least-once replays
+              // overwrite their own epoch=2e+1 partition (epochWrite's
+              // dynamic-overwrite contract), so the pair stays
+              // idempotent
+              val baseSchema = spark.read.parquet(s"$indexPath/corpus")
+                .schema
+              val base = baseSchema.fieldNames.filterNot(_ == "epoch").toSeq
+              graft.operators.IndexMaintenance.requirePayloadCompatible(
+                baseSchema, live.schema,
+                base.filterNot(c => c == "id" || c == vecCol), indexPath)
               val e = epochKey(checkpointDir, 2 * epoch + 1)
               val docs = live.select(base.map {
                 case "id" => col(idCol).cast("long").as("id")

@@ -374,6 +374,17 @@ class IvfSpec extends SparkSpec {
         "vec_id", "embedding", path, epoch = 2L)
     }
     assert(e.getMessage.contains("payload"))
+    // ...as is a batch whose payload column carries a DIFFERENT TYPE:
+    // mixed-type parquet files serve only while column pruning hides
+    // them, then fail the whole store at compaction or under a payload
+    // predicate — the append is the only gate that can refuse in time
+    val e2 = intercept[IllegalArgumentException] {
+      IvfSearch.appendToIndex(
+        emb.filter(col("vec_id") >= 300)
+          .withColumn("label", col("label").cast("long")),
+        "vec_id", "embedding", path, epoch = 2L)
+    }
+    assert(e2.getMessage.contains("diverge"), e2.getMessage)
   }
 
   test("deleteFromIndex lifecycle: serve-time death, LWW re-ingest, " +
