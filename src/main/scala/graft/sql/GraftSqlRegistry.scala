@@ -356,20 +356,28 @@ private[sql] trait GraftSqlRegistry { self: GraftSql =>
     // Its own store, its own claim, its own checkpoint namespace (an
     // explicit checkpointDir gets a caller-owned '/lex' sibling).
     if (lexDeclared.getOrElse(name, false)) {
-      val lexTag = lexTags(name)
-      val lexPath = lexStoreFor(canonSource(big), lexTag)
-      val lexCkpt = mintCkpt(s"$name|lex|$lexTag",
-        checkpointDir.map(d => s"$d/lex"),
-        sessionOpts.get("execution.checkpoint-dir")
-          .map(base => s"$base/maint_${name}_lex_$lexTag"),
-        "graft_sql_maint_lex_")
-      val lexRecs = recs.withColumn("__ltext",
-        when(col(big.vecCol).isNotNull, col(big.contentCol)))
-      val lq = graft.streaming.Streams.lexCdcStream(
-        lexRecs, "__cid", "__ltext", lexPath, lexCkpt, seqCol,
-        trigger = trig)
-      started.add(lq)
-      trackMaintStream(name, lq)
+      try {
+        val lexTag = lexTags(name)
+        val lexPath = lexStoreFor(canonSource(big), lexTag)
+        val lexCkpt = mintCkpt(s"$name|lex|$lexTag",
+          checkpointDir.map(d => s"$d/lex"),
+          sessionOpts.get("execution.checkpoint-dir")
+            .map(base => s"$base/maint_${name}_lex_$lexTag"),
+          "graft_sql_maint_lex_")
+        val lexRecs = recs.withColumn("__ltext",
+          when(col(big.vecCol).isNotNull, col(big.contentCol)))
+        val lq = graft.streaming.Streams.lexCdcStream(
+          lexRecs, "__cid", "__ltext", lexPath, lexCkpt, seqCol,
+          trigger = trig)
+        started.add(lq)
+        trackMaintStream(name, lq)
+      } catch { case t: Throwable =>
+        // MAINTAIN on a cdc+lexical registration is atomic: a failed
+        // lexical start must not leave the vector stream silently
+        // maintaining half the registration behind a failed statement
+        try q.stop() catch { case _: Throwable => () }
+        throw t
+      }
     }
     q
   }
