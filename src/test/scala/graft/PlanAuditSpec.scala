@@ -627,4 +627,31 @@ LATERAL TABLE(FILTERED_SEARCH('pa_pq_inflight', 3, qv, 'label % 4 = 1'));""")
         expr("array()")))).collect().map(_.getInt(0))
     assert(sizes.nonEmpty && sizes.forall(_ <= 3), sizes.toSeq.toString)
   }
+
+  test("self-heal plan: the two heal branches share ONE over-fetch pool " +
+      "via exchange reuse — the family serve never computes per branch") {
+    // the BENCH_NOTES claim as an executable assertion: kept rows and
+    // short-query detection both read the same groupBy aggregate, so
+    // the runtime plan must carry a reused exchange/stage over the
+    // pool subtree (AQE resolves reuse at execution — assert on the
+    // FINAL adaptive plan, after the action ran)
+    import org.apache.spark.sql.functions._
+    val g = new graft.sql.GraftSql(spark, new graft.sources.TopicCatalog(
+      spark, java.nio.file.Files.createTempDirectory("graft_pa_heal").toString))
+    val emb = Tables(spark, sf, "embeddings")
+    g.registerSearchCorpus("pa_heal_pq",
+      emb.select(col("vec_id").cast("string").as("content"),
+        col("embedding").as("vector"), col("label")),
+      "content", "vector", maxRows = 0, indexType = "pq")
+    emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .createOrReplaceTempView("pa_heal_qs")
+    val df = g.execute("""SELECT query_id, search_results FROM pa_heal_qs,
+LATERAL TABLE(FILTERED_SEARCH('pa_heal_pq', 3, qv, 'label % 2 = 0'));""")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"heal branches did not share the over-fetch pool exchange:\n" +
+        p.take(3000))
+  }
 }
