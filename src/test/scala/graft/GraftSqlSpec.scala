@@ -2222,6 +2222,26 @@ LATERAL TABLE(FEDERATED_SEARCH('$cname', 3, qv));""")
     assert(serve() == exactOver(postCdc),
       s"post-compaction $family serve diverged — compaction must be " +
         "score-invisible")
+    if (family == "hnsw") {
+      // physical asserts on the docs SIDECAR (the serve equality above
+      // proves behavior; these prove the bytes): the deleted content's
+      // row left corpus/, every epoch collapsed to the base partition,
+      // and the applied tombstones retired
+      val app = spark.sparkContext.applicationId
+      val store = Option(new java.io.File(
+          System.getProperty("java.io.tmpdir")).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith(s"graft_sql_hnsw_${app}_sql_${cname}_"))
+        .head.getAbsolutePath
+      val raw = spark.read.parquet(s"$store/corpus")
+      val victimId = Seq(victim.toString).toDF("c")
+        .select(xxhash64(col("c"))).as[Long].head
+      assert(!raw.select("id").as[Long].collect().toSet.contains(victimId),
+        "compaction left the deleted id physically in the docs sidecar")
+      assert(raw.select("epoch").distinct().as[Long].collect().toSeq ==
+        Seq(-1L), "sidecar epochs not collapsed to the base partition")
+      assert(!new java.io.File(s"$store/tombstones").exists,
+        "applied tombstones not retired after compaction")
+    }
     if (family == "ivf" || family == "hnsw") {
       // DROP refuses while the drained stream's claim stands (claims
       // outlive termination), then the facade release + DROP reclaims
