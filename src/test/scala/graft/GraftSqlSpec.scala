@@ -2524,6 +2524,56 @@ LATERAL TABLE(PRF_SEARCH('cdc_lex', 5, question));""")
     g.execute("DROP SEARCH CORPUS cdc_lex;").collect()
   }
 
+  test("cdc + lexicalIndex composes with the hnsw family: one MAINTAIN " +
+      "keeps graphs, docs sidecar AND lexical store in step") {
+    // the cross-family composition the facade allows: the graph store's
+    // CDC front (nodes + corpus/) and the lexical front drain the same
+    // topic; a delete must vanish from BOTH retrieval modalities
+    val g = facade()
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+    def embed = graft.functions.HashEmbedder.embedCol(col("text"))
+    val slice = docs.filter(col("doc_id") % 5 === 0)
+    g.registerSearchCorpus("cdc_hl",
+      slice.select(col("text").as("content"), embed.as("vector"),
+        col("doc_id").cast("long").as("doc_id")),
+      "content", "vector", maxRows = 0, numCandidates = 10000,
+      indexType = "hnsw", lexicalIndex = true, cdc = true)
+    g.execute("""CREATE TABLE `cdc_hl_ch` (
+    `content` STRING, `vector` ARRAY<FLOAT>, `doc_id` BIGINT
+) WITH ('value.format' = 'json-registry');""")
+    val victim = slice.filter(col("doc_id") === 30)
+      .select("text").as[String].head
+    g.topics.insertInto("cdc_hl_ch",
+      Seq((victim, null.asInstanceOf[Seq[Float]], 30L))
+        .toDF("content", "vector", "doc_id"))
+    g.execute("MAINTAIN SEARCH CORPUS cdc_hl FROM TOPIC cdc_hl_ch;")
+    g.activeStreams.takeRight(2).foreach(_.awaitTermination())
+    // vector modality: the victim's own vector no longer self-matches
+    Seq(victim).toDF("qt")
+      .select(graft.functions.HashEmbedder.embedCol(col("qt")).as("qv"))
+      .createOrReplaceTempView("cdc_hl_vq")
+    val vTop = g.execute("""SELECT search_results FROM cdc_hl_vq,
+LATERAL TABLE(FEDERATED_SEARCH('cdc_hl', 1, qv));""")
+      .select(expr("search_results[0].content")).as[String].head
+    assert(vTop != victim,
+      "deleted document still serves from the maintained hnsw store")
+    // lexical modality: a PRF probe with the victim's text never
+    // retrieves it (postings + stats healed through the lex front)
+    Seq((30L, victim)).toDF("qdoc", "question")
+      .createOrReplaceTempView("cdc_hl_lq")
+    val lHits = g.execute("""SELECT qdoc, search_results FROM cdc_hl_lq,
+LATERAL TABLE(PRF_SEARCH('cdc_hl', 5, question));""")
+      .select(expr("transform(coalesce(search_results, array()), " +
+        "m -> m.content)")).as[Seq[String]].head
+    assert(!lHits.contains(victim),
+      "deleted document still serves from the maintained lexical store")
+    assert(lHits.nonEmpty,
+      "lexical serve returned nothing — the maintained store is empty?")
+    g.releaseCorpusWriterClaims("cdc_hl")
+    g.execute("DROP SEARCH CORPUS cdc_hl;").collect()
+  }
+
   test("releaseCorpusWriterClaims refuses while ANY tracked maintenance " +
       "stream is active — not just the latest slot-holder") {
     // the judge r16 ADVICE race: after re-registration the
